@@ -1,0 +1,13 @@
+"""qdrant_spark — a PySpark-native batch analytics engine with the query
+capabilities of qdrant/qdrant (vector similarity search, payload filter
+algebra, hybrid fusion, recommendation scoring, facets, group-by).
+
+Reference semantics: qdrant v1.19.0 (Apache-2.0). This is NOT a port of the
+Rust engine — every operator is re-expressed as Spark DataFrame / SQL plans
+so Catalyst + Tungsten pick the physical strategy. See SURVEY.md.
+"""
+
+from qdrant_spark.session import get_spark
+
+__all__ = ["get_spark"]
+__version__ = "0.1.0"

@@ -1,0 +1,373 @@
+"""Qdrant filter DSL -> ``pyspark.sql.Column`` compiler.
+
+This is the single most reused component: every search / scroll / count /
+facet / delete operator takes an optional filter. Accepts the qdrant JSON
+filter shape (reference: ``Filter`` lib/segment/src/types.rs:4409-4446,
+``Condition`` types.rs:3964-3982) and produces one boolean Column that
+Catalyst can push down to the Parquet scan.
+
+Value semantics preserved from the reference:
+
+- A payload field may hold a scalar OR an array of values; a condition
+  matches if ANY value matches (tests/openapi/helpers/collection_setup.py:
+  171-180). Array-typed columns are therefore evaluated with ``exists``.
+- ``is_empty`` = field absent (NULL) or empty array (types.rs:3780);
+  ``is_null`` = field present with JSON null (types.rs:3786). Parquet has no
+  "present but JSON-null" state, so ``is_null`` checks an optional sibling
+  marker column ``<field>__isnull`` when the table declares one, else falls
+  back to plain NULL.
+- ``match.except`` = at least one value NOT in the set (types.rs:3075;
+  behavior pinned by tests/openapi/test_match_except_empty.py: missing
+  field does not match, ``except: []`` matches every point having the field).
+- ``min_should`` = at least ``min_count`` of the conditions hold
+  (types.rs:4395-4403) -> sum of boolean casts.
+- ``nested`` conditions evaluate per array element and all sub-conditions
+  must hit the SAME element (types.rs:3925-3962,
+  nested_filtering_test.rs) -> single ``exists`` over a compiled sub-filter.
+
+Spark three-valued logic is collapsed eagerly: every leaf is wrapped in
+``coalesce(cond, false)`` so ``must_not`` over a missing field behaves like
+the reference (missing -> condition false -> must_not true).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EARTH_RADIUS_M = 6371000.0  # mean earth radius used for haversine distances
+
+ValuePred = Callable[[Column], Column]
+
+
+def _false_if_null(c: Column) -> Column:
+    return F.coalesce(c, F.lit(False))
+
+
+class FieldResolver:
+    """Resolves a qdrant key path (``a.b``) to a Column + its Spark type.
+
+    Array-valued payload fields are first-class: ``resolve`` walks struct
+    fields; ``any_match`` applies a value predicate with exists-semantics
+    when the terminal type is an array.
+    """
+
+    def __init__(self, schema: T.StructType):
+        self.schema = schema
+
+    def _walk(self, key: str) -> tuple[Column, T.DataType | None]:
+        parts = key.split(".")
+        field_type: T.DataType | None = None
+        cur: T.DataType = self.schema
+        col = None
+        for p in parts:
+            if isinstance(cur, T.StructType) and p in cur.fieldNames():
+                cur = cur[p].dataType
+                col = F.col(key) if col is None else col[p]
+            else:
+                return (F.col(key), None)  # unknown: let Spark resolve / fail lazily
+            field_type = cur
+        return (F.col(".".join(parts)), field_type)
+
+    def resolve(self, key: str) -> tuple[Column, T.DataType | None]:
+        return self._walk(key)
+
+    def isnull_marker(self, key: str) -> Column | None:
+        marker = f"{key}__isnull"
+        if isinstance(self.schema, T.StructType) and marker in self.schema.fieldNames():
+            return F.col(marker)
+        return None
+
+    def any_match(self, key: str, pred: ValuePred) -> Column:
+        col, typ = self.resolve(key)
+        if isinstance(typ, T.ArrayType):
+            return _false_if_null(F.exists(col, pred))
+        return _false_if_null(pred(col))
+
+    def all_values(self, key: str, pred: ValuePred) -> Column:
+        col, typ = self.resolve(key)
+        if isinstance(typ, T.ArrayType):
+            return _false_if_null(F.forall(col, pred))
+        return _false_if_null(pred(col))
+
+
+# ---------------------------------------------------------------------------
+# condition compilers
+# ---------------------------------------------------------------------------
+
+
+def _compile_match(fr: FieldResolver, key: str, match: dict[str, Any]) -> Column:
+    if "value" in match:
+        v = match["value"]
+        return fr.any_match(key, lambda c: c == F.lit(v))
+    if "any" in match:
+        vals = list(match["any"])
+        if not vals:
+            return F.lit(False)
+        return fr.any_match(key, lambda c: c.isin(vals))
+    if "except" in match:
+        vals = list(match["except"])
+        if not vals:
+            # every point that has the field matches
+            return fr.any_match(key, lambda c: c.isNotNull())
+        return fr.any_match(key, lambda c: ~c.isin(vals) & c.isNotNull())
+    if "text" in match or "text_any" in match or "phrase" in match:
+        from qdrant_spark.functions.text import compile_text_match
+
+        return compile_text_match(fr, key, match)
+    if "prefix" in match:
+        p = match["prefix"]
+        return fr.any_match(key, lambda c: c.startswith(p))
+    raise ValueError(f"unsupported match condition: {match!r}")
+
+
+def _compile_range(fr: FieldResolver, key: str, rng: dict[str, Any]) -> Column:
+    _, typ = fr.resolve(key)
+    elem = typ.elementType if isinstance(typ, T.ArrayType) else typ
+
+    def to_lit(v: Any) -> Column:
+        if isinstance(elem, (T.TimestampType, T.DateType)) or (
+            isinstance(v, str) and not isinstance(elem, T.StringType)
+        ):
+            return F.to_timestamp(F.lit(v))
+        return F.lit(v)
+
+    def pred(c: Column) -> Column:
+        conds = []
+        if (v := rng.get("gt")) is not None:
+            conds.append(c > to_lit(v))
+        if (v := rng.get("gte")) is not None:
+            conds.append(c >= to_lit(v))
+        if (v := rng.get("lt")) is not None:
+            conds.append(c < to_lit(v))
+        if (v := rng.get("lte")) is not None:
+            conds.append(c <= to_lit(v))
+        if not conds:
+            return F.lit(True)
+        out = conds[0]
+        for x in conds[1:]:
+            out = out & x
+        return out
+
+    return fr.any_match(key, pred)
+
+
+def haversine_meters(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in meters (all args in degrees).
+
+    Matches the reference's haversine geo_radius (GeoRadius types.rs:3427).
+    """
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = F.sin(dlat / 2) ** 2 + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) ** 2
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def _compile_geo(fr: FieldResolver, key: str, cond_key: str, body: dict) -> Column:
+    if cond_key == "geo_bounding_box":
+        tl, br = body["top_left"], body["bottom_right"]
+
+        def pred(c: Column) -> Column:
+            lat_ok = (c["lat"] <= F.lit(tl["lat"])) & (c["lat"] >= F.lit(br["lat"]))
+            if tl["lon"] <= br["lon"]:
+                lon_ok = (c["lon"] >= F.lit(tl["lon"])) & (c["lon"] <= F.lit(br["lon"]))
+            else:  # antimeridian wrap (types.rs:3400 handles this)
+                lon_ok = (c["lon"] >= F.lit(tl["lon"])) | (c["lon"] <= F.lit(br["lon"]))
+            return lat_ok & lon_ok
+
+        return fr.any_match(key, pred)
+    if cond_key == "geo_radius":
+        ctr, radius = body["center"], float(body["radius"])
+        return fr.any_match(
+            key,
+            lambda c: haversine_meters(
+                c["lat"], c["lon"], F.lit(ctr["lat"]), F.lit(ctr["lon"])
+            )
+            < F.lit(radius),
+        )
+    if cond_key == "geo_polygon":
+        return fr.any_match(key, lambda c: _point_in_polygon(c, body))
+    raise ValueError(f"unsupported geo condition {cond_key}")
+
+
+def _ring_crossings(c: Column, ring: list[dict]) -> Column:
+    """Ray-casting parity for one ring, as a pure Column expression."""
+    inside = F.lit(False)
+    pts = ring
+    n = len(pts)
+    for i in range(n):
+        x1, y1 = float(pts[i]["lon"]), float(pts[i]["lat"])
+        x2, y2 = float(pts[(i + 1) % n]["lon"]), float(pts[(i + 1) % n]["lat"])
+        if y1 == y2:
+            continue
+        cond = ((F.lit(y1) > c["lat"]) != (F.lit(y2) > c["lat"])) & (
+            c["lon"]
+            < (F.lit(x2 - x1)) * (c["lat"] - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
+        )
+        inside = F.when(cond, ~inside).otherwise(inside)
+    return inside
+
+
+def _point_in_polygon(c: Column, body: dict) -> Column:
+    """Point-in-polygon with interior holes (GeoPolygon types.rs:3472).
+
+    The polygon is a query-time constant, so the test unrolls into a fixed
+    boolean expression — stays in whole-stage codegen, no UDF.
+    """
+    exterior = body["exterior"]["points"]
+    inside = _ring_crossings(c, exterior)
+    for interior in body.get("interiors") or []:
+        inside = inside & ~_ring_crossings(c, interior["points"])
+    return inside
+
+
+def _compile_condition(fr: FieldResolver, cond: dict[str, Any]) -> Column:
+    if "has_id" in cond:
+        ids = list(cond["has_id"])
+        return _false_if_null(F.col("id").isin(ids)) if ids else F.lit(False)
+    if "has_vector" in cond:
+        name = cond["has_vector"]
+        col, typ = fr.resolve(f"vec_{name}" if f"vec_{name}" in fr.schema.fieldNames() else name)
+        return col.isNotNull()
+    if "is_empty" in cond:
+        key = cond["is_empty"]["key"]
+        col, typ = fr.resolve(key)
+        if isinstance(typ, T.ArrayType):
+            return col.isNull() | (F.size(col) == 0)
+        return col.isNull()
+    if "is_null" in cond:
+        key = cond["is_null"]["key"]
+        marker = fr.isnull_marker(key)
+        if marker is not None:
+            return _false_if_null(marker)
+        col, _ = fr.resolve(key)
+        return col.isNull()
+    if "nested" in cond:
+        return _compile_nested(fr, cond["nested"])
+    if "key" in cond:
+        key = cond["key"]
+        if "match" in cond:
+            return _compile_match(fr, key, cond["match"])
+        if "range" in cond:
+            return _compile_range(fr, key, cond["range"])
+        if "values_count" in cond:
+            col, typ = fr.resolve(key)
+            n = F.when(col.isNull(), F.lit(0)).otherwise(
+                F.size(col) if isinstance(typ, T.ArrayType) else F.lit(1)
+            )
+            return _false_if_null(_compile_range_scalar(n, cond["values_count"]))
+        for geo_key in ("geo_bounding_box", "geo_radius", "geo_polygon"):
+            if geo_key in cond:
+                return _compile_geo(fr, key, geo_key, cond[geo_key])
+    if any(k in cond for k in ("must", "should", "must_not", "min_should")):
+        return compile_filter(fr, cond)
+    raise ValueError(f"unsupported condition: {cond!r}")
+
+
+def _compile_range_scalar(c: Column, rng: dict[str, Any]) -> Column:
+    out = F.lit(True)
+    if (v := rng.get("gt")) is not None:
+        out = out & (c > v)
+    if (v := rng.get("gte")) is not None:
+        out = out & (c >= v)
+    if (v := rng.get("lt")) is not None:
+        out = out & (c < v)
+    if (v := rng.get("lte")) is not None:
+        out = out & (c <= v)
+    return out
+
+
+def _compile_nested(fr: FieldResolver, nested: dict[str, Any]) -> Column:
+    """Same-element semantics: one ``exists`` over the compiled sub-filter."""
+    key = nested["key"].removesuffix("[]")
+    col, typ = fr.resolve(key)
+    if not isinstance(typ, T.ArrayType) or not isinstance(typ.elementType, T.StructType):
+        raise ValueError(f"nested key {key!r} must be array<struct>")
+    elem_schema = typ.elementType
+    sub = nested["filter"]
+
+    def pred(elem: Column) -> Column:
+        sub_fr = _ElementResolver(elem_schema, elem)
+        return compile_filter(sub_fr, sub)
+
+    return _false_if_null(F.exists(col, pred))
+
+
+class _ElementResolver(FieldResolver):
+    """FieldResolver scoped to a struct element inside ``exists``."""
+
+    def __init__(self, schema: T.StructType, elem: Column):
+        super().__init__(schema)
+        self.elem = elem
+
+    def _walk(self, key: str):
+        parts = key.split(".")
+        cur: T.DataType = self.schema
+        col = self.elem
+        typ: T.DataType | None = None
+        for p in parts:
+            if isinstance(cur, T.StructType) and p in cur.fieldNames():
+                cur = cur[p].dataType
+                col = col[p]
+                typ = cur
+            else:
+                return (col[p], None)
+        return (col, typ)
+
+    def isnull_marker(self, key: str):
+        return None
+
+
+# ---------------------------------------------------------------------------
+# filter root
+# ---------------------------------------------------------------------------
+
+
+def compile_filter(fr: FieldResolver, flt: dict[str, Any] | None) -> Column:
+    """Compile a full Filter object (must / should / must_not / min_should)."""
+    if not flt:
+        return F.lit(True)
+    clauses: list[Column] = []
+    if must := flt.get("must"):
+        must = must if isinstance(must, list) else [must]
+        for c in must:
+            clauses.append(_compile_condition(fr, c))
+    if should := flt.get("should"):
+        should = should if isinstance(should, list) else [should]
+        any_c = F.lit(False)
+        for c in should:
+            any_c = any_c | _compile_condition(fr, c)
+        clauses.append(any_c)
+    if mn := flt.get("min_should"):
+        conds = [_compile_condition(fr, c) for c in mn["conditions"]]
+        total = None
+        for c in conds:
+            x = c.cast("int")
+            total = x if total is None else total + x
+        clauses.append(total >= int(mn["min_count"]))
+    if must_not := flt.get("must_not"):
+        must_not = must_not if isinstance(must_not, list) else [must_not]
+        for c in must_not:
+            clauses.append(~_false_if_null(_compile_condition(fr, c)))
+    if not clauses:
+        return F.lit(True)
+    out = clauses[0]
+    for c in clauses[1:]:
+        out = out & c
+    return out
+
+
+def filter_column(df: DataFrame, flt: dict[str, Any] | None) -> Column:
+    """Public entry: compile ``flt`` against ``df``'s schema."""
+    return compile_filter(FieldResolver(df.schema), flt)
+
+
+def apply_filter(df: DataFrame, flt: dict[str, Any] | None) -> DataFrame:
+    if not flt:
+        return df
+    return df.filter(filter_column(df, flt))

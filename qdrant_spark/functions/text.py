@@ -1,0 +1,190 @@
+"""Text analysis: tokenizers, full-text match conditions, and the
+training-data-pipeline text metrics (language-ID, quality scoring, token
+counting, fingerprinting).
+
+Tokenizer semantics follow qdrant's full-text index tokenizers
+(lib/segment/src/data_types/index.rs:250-257 — Prefix/Whitespace/Word/
+Multilingual; impls under
+lib/segment/src/index/field_index/full_text_index/tokenizers/): lowercase
+by default, `word` splits on non-alphanumeric. Everything is built-in
+column expressions (split/transform/filter) so tokenization happens
+JVM-side; query-side tokens are Python constants folded at plan time.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from qdrant_spark.filters import FieldResolver
+
+WORD_SPLIT_RE = r"[^\p{L}\p{N}]+"
+_PY_WORD_SPLIT = re.compile(r"[^\w]+", re.UNICODE)
+
+
+def tokenize_py(text: str, tokenizer: str = "word", lowercase: bool = True) -> list[str]:
+    """Driver-side tokenizer for constant query strings — must agree with
+    :func:`tokenize` so filter compilation and document tokenization match."""
+    if lowercase:
+        text = text.lower()
+    if tokenizer == "whitespace":
+        toks = text.split()
+    else:  # word / multilingual approximation
+        toks = [t for t in _PY_WORD_SPLIT.split(text) if t]
+    return toks
+
+
+def tokenize(
+    col: Column | str, tokenizer: str = "word", lowercase: bool = True
+) -> Column:
+    """Tokenize a string column -> array<string>, JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    pattern = r"\s+" if tokenizer == "whitespace" else WORD_SPLIT_RE
+    toks = F.split(c, pattern)
+    return F.filter(toks, lambda t: t != "")
+
+
+def compile_text_match(fr: "FieldResolver", key: str, match: dict[str, Any]) -> Column:
+    """match.text (ALL tokens present, types.rs:3014), match.text_any
+    (at least one, types.rs:3021), match.phrase (ordered-adjacent,
+    types.rs:3034)."""
+    if "text" in match:
+        q_tokens = tokenize_py(match["text"])
+        if not q_tokens:
+            return F.lit(True)
+
+        def pred(c: Column) -> Column:
+            doc = tokenize(c)
+            out = F.array_contains(doc, q_tokens[0])
+            for t in q_tokens[1:]:
+                out = out & F.array_contains(doc, t)
+            return out
+
+        return fr.any_match(key, pred)
+    if "text_any" in match:
+        q_tokens = tokenize_py(match["text_any"])
+        if not q_tokens:
+            return F.lit(True)
+        return fr.any_match(
+            key,
+            lambda c: F.arrays_overlap(
+                tokenize(c), F.array(*[F.lit(t) for t in q_tokens])
+            ),
+        )
+    if "phrase" in match:
+        q_tokens = tokenize_py(match["phrase"])
+        if not q_tokens:
+            return F.lit(True)
+        m = len(q_tokens)
+        q_arr = F.array(*[F.lit(t) for t in q_tokens])
+
+        def pred(c: Column) -> Column:
+            doc = tokenize(c)
+            n = F.size(doc)
+            positions = F.sequence(F.lit(1), F.greatest(n - m + 1, F.lit(0)))
+            return (n >= m) & F.exists(
+                positions, lambda i: F.slice(doc, i, m) == q_arr
+            )
+
+        return fr.any_match(key, pred)
+    raise ValueError(f"unsupported text match: {match!r}")
+
+
+# ---------------------------------------------------------------------------
+# training-data-pipeline text metrics (beyond-reference ops)
+# ---------------------------------------------------------------------------
+
+# small language-discriminating stopword lists (function words) — a classic
+# stopword-hit heuristic; deterministic and SQL-expressible for the oracle.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "que", "pour", "des"],
+    "es": ["el", "la", "los", "las", "es", "una", "en", "que", "por", "para"],
+}
+
+
+def token_count(col: Column | str, mode: str = "whitespace") -> Column:
+    """Token count: whitespace or a BPE-ish word/number/punct split."""
+    c = F.col(col) if isinstance(col, str) else col
+    if mode == "whitespace":
+        return F.size(F.filter(F.split(c, r"\s+"), lambda t: t != ""))
+    # BPE-ish: letters runs, digit runs, single punctuation marks each count
+    return F.size(
+        F.filter(
+            F.split(c, r"(?<=\p{L})(?=\p{N})|(?<=\p{N})(?=\p{L})|\s+|(?=[^\p{L}\p{N}\s])|(?<=[^\p{L}\p{N}\s])"),
+            lambda t: t != "",
+        )
+    )
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Heuristic quality signals for a document column (length, punctuation
+    density, stopword ratio, mean token length). All JVM-side expressions."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokenize(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    stop = F.array(*[F.lit(t) for t in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\p{L}\p{N}\s]", ""))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "mean_token_len": F.when(n_tok > 0, F.aggregate(
+            toks, F.lit(0), lambda a, t: a + F.length(t)
+        ).cast("double") / n_tok).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(
+            F.lit(0.0)
+        ),
+        "punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(
+            F.lit(0.0)
+        ),
+    }
+
+
+def detect_language(col: Column | str, langs: list[str] | None = None) -> Column:
+    """Stopword-hit language ID: the language whose function-word list hits
+    the most tokens; NULL hits -> 'und' (undetermined). Deterministic
+    tie-break by language code order."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokenize(c)
+    langs = langs or sorted(LANG_STOPWORDS)
+    # argmax via struct-ordered greatest: maximize hits, tie-break by the
+    # FIRST language in sorted order (higher -i wins ties deterministically)
+    candidates = []
+    for i, lang in enumerate(langs):
+        sw = F.array(*[F.lit(t) for t in LANG_STOPWORDS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        candidates.append(
+            F.struct(hits.alias("h"), F.lit(-i).alias("r"), F.lit(lang).alias("l"))
+        )
+    best = F.greatest(*candidates) if len(candidates) > 1 else candidates[0]
+    return F.when(best["h"] > 0, best["l"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column | str, normalize: bool = True) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lowercased text. md5 exists in both Spark and DuckDB -> oracle-checkable."""
+    c = F.col(col) if isinstance(col, str) else col
+    if normalize:
+        c = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(c)
+
+
+def shingles(col: Column | str, n: int = 3, mode: str = "word") -> Column:
+    """n-gram shingles as array<string> (word n-grams or char n-grams)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if mode == "word":
+        toks = tokenize(c)
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0)))
+        return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    s = F.lower(c)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(0)))
+    return F.transform(idx, lambda i: s.substr(i, F.lit(n)))
