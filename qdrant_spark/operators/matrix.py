@@ -1,0 +1,57 @@
+"""Distance matrix: sample N filtered points, score each against the other
+sampled points, keep top-k neighbors per sample.
+
+Reference: search_points_matrix
+(lib/collection/src/collection/distance_matrix.rs:141), REST
+``/points/search/matrix/{pairs,offsets}`` (src/actix/api/search_api.rs).
+
+Spark shape: the sample is bounded (``sample_size`` defaults to 10 in the
+API), so the self-join is a broadcast theta-join of sample x sample — the
+naturally parallel plan; per-row top-k via one window on sample^2 rows.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from qdrant_spark.functions.distances import distance, larger_is_better
+from qdrant_spark.operators.points import sample as sample_points
+
+
+def distance_matrix(
+    points: DataFrame,
+    *,
+    sample_size: int = 10,
+    limit_per_sample: int = 3,
+    metric: str = "cosine",
+    vec_col: str = "vec",
+    id_col: str = "id",
+    flt: dict[str, Any] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Returns (id_a, id_b, score): for each sampled point a, its
+    ``limit_per_sample`` nearest other sampled points b."""
+    smp = (
+        sample_points(points.filter(F.col(vec_col).isNotNull()), sample_size, flt=flt, seed=seed)
+        .select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    )
+    other = smp.select(F.col("id_a").alias("id_b"), F.col("__va").alias("__vb"))
+    pairs = (
+        smp.crossJoin(F.broadcast(other))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("score", distance(metric, F.col("__va"), F.col("__vb")))
+    )
+    order = [
+        F.col("score").desc() if larger_is_better(metric) else F.col("score").asc(),
+        F.col("id_b").asc(),
+    ]
+    w = Window.partitionBy("id_a").orderBy(*order)
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= limit_per_sample)
+        .select("id_a", "id_b", "score", "rank")
+    )

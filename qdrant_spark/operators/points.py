@@ -1,0 +1,150 @@
+"""Point-level read operators: retrieve, scroll, count, facet, sampling.
+
+Reference semantics:
+- retrieve by ids + payload/vector selectors
+  (src/actix/api/retrieve_api.rs; SegmentsSearcher::retrieve,
+  lib/collection/src/collection_manager/segments_searcher.rs:387).
+- scroll: filtered scan with keyset pagination ordered by id, by a payload
+  field (with ``start_from``), or random
+  (lib/collection/src/collection/point_ops.rs:328;
+  ScrollOrder lib/shard/src/query/scroll.rs:36-41;
+  order-by stream lib/segment/src/segment/read_view/order_by.rs:52-149).
+- count exact (lib/shard/src/count.rs:11-23). Approximate count in the
+  reference exists only because exact counting is expensive there; a Spark
+  scan-count is already the cheap path, so ``exact=false`` serves exact too.
+- facet: top-limit values of a field with counts
+  (lib/segment/src/data_types/facets.rs:16-30,
+  lib/collection/src/collection/facet.rs:83). Array-valued fields explode —
+  a point counts once per distinct value it holds.
+- random sampling (ScoringQuery::Sample,
+  lib/segment/src/segment/read_view/sampling.rs:79) -> rand(seed) order.
+
+Keyset pagination (not OFFSET) is deliberate: at 100 TB an offset-scan is
+O(offset) per page, while ``id > last_seen`` prunes with the parquet
+min/max statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from qdrant_spark.filters import apply_filter
+
+
+def retrieve(
+    points: DataFrame,
+    ids: list,
+    *,
+    id_col: str = "id",
+    with_payload: bool | list[str] = True,
+    with_vector: bool | list[str] = False,
+    vec_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fetch records by id with payload/vector projection
+    (WithPayloadInterface types.rs:4175, WithVector types.rs:4201)."""
+    df = points.filter(F.col(id_col).isin(ids))
+    vec_cols = vec_cols or [c for c in df.columns if c.startswith("vec")]
+    payload_cols = [c for c in df.columns if c != id_col and c not in vec_cols]
+    cols = [id_col]
+    if with_payload is True:
+        cols += payload_cols
+    elif isinstance(with_payload, list):
+        cols += [c for c in payload_cols if c in with_payload]
+    if with_vector is True:
+        cols += vec_cols
+    elif isinstance(with_vector, list):
+        cols += [c for c in vec_cols if c in with_vector]
+    return df.select(*cols)
+
+
+def scroll(
+    points: DataFrame,
+    *,
+    limit: int = 10,
+    flt: dict[str, Any] | None = None,
+    id_col: str = "id",
+    offset_id: Any | None = None,
+    order_by: str | None = None,
+    direction: str = "asc",
+    start_from: Any | None = None,
+    random_seed: int | None = None,
+) -> DataFrame:
+    """Paged scan. Default: id-order keyset pagination (``offset_id`` is the
+    first id of the page, inclusive — matching the reference's offset point).
+    ``order_by``: order by payload field, ties broken by id; ``start_from``
+    value-keyset. ``random_seed``: ScrollOrder::Random."""
+    df = apply_filter(points, flt)
+    if random_seed is not None:
+        return df.orderBy(F.rand(random_seed)).limit(limit)
+    if order_by is not None:
+        c = F.col(order_by)
+        if start_from is not None:
+            df = df.filter(c >= start_from if direction == "asc" else c <= start_from)
+        order = [c.asc() if direction == "asc" else c.desc(), F.col(id_col).asc()]
+        return df.orderBy(*order).limit(limit)
+    if offset_id is not None:
+        df = df.filter(F.col(id_col) >= offset_id)
+    return df.orderBy(F.col(id_col).asc()).limit(limit)
+
+
+def count(points: DataFrame, flt: dict[str, Any] | None = None) -> int:
+    return apply_filter(points, flt).count()
+
+
+def count_df(points: DataFrame, flt: dict[str, Any] | None = None) -> DataFrame:
+    """count as a 1-row DataFrame (for oracle-checkable pipelines)."""
+    return apply_filter(points, flt).agg(F.count("*").alias("count"))
+
+
+def facet(
+    points: DataFrame,
+    key: str,
+    *,
+    limit: int = 10,
+    flt: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Top-``limit`` values with counts, count desc then value asc
+    (FacetParams facets.rs:16-30). Array fields: each distinct value of a
+    point counts once."""
+    df = apply_filter(points, flt)
+    typ = df.schema[key].dataType if key in df.columns else None
+    val = F.explode(F.array_distinct(F.col(key))) if isinstance(typ, T.ArrayType) else F.col(key)
+    return (
+        df.select(val.alias("value"))
+        .filter(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.col("count").desc(), F.col("value").asc())
+        .limit(limit)
+    )
+
+
+def unique_values(
+    points: DataFrame, key: str, *, flt: dict[str, Any] | None = None
+) -> DataFrame:
+    df = apply_filter(points, flt)
+    typ = df.schema[key].dataType if key in df.columns else None
+    val = F.explode(F.col(key)) if isinstance(typ, T.ArrayType) else F.col(key)
+    return df.select(val.alias("value")).filter(F.col("value").isNotNull()).distinct()
+
+
+def sample(
+    points: DataFrame,
+    n: int,
+    *,
+    flt: dict[str, Any] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Uniform random sample of n points (deterministic under the seed)."""
+    return apply_filter(points, flt).orderBy(F.rand(seed)).limit(n)
+
+
+def slice_condition(id_col: Column, fraction_start: float, fraction_end: float, buckets: int = 1 << 16) -> Column:
+    """Deterministic id-space slice (SliceCondition types.rs:3871-3907):
+    stable-hash the id into [0,1) buckets."""
+    h = F.pmod(F.xxhash64(id_col), F.lit(buckets)) / F.lit(float(buckets))
+    return (h >= fraction_start) & (h < fraction_end)

@@ -1,0 +1,88 @@
+"""Read operators (retrieve/scroll/count/facet/unique/sample) vs oracles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from qdrant_spark.operators.points import (
+    count,
+    count_df,
+    facet,
+    retrieve,
+    sample,
+    scroll,
+    unique_values,
+)
+
+
+def test_retrieve_projection(points_basic):
+    got = retrieve(points_basic, ["1", "3"], with_payload=["city"], with_vector=True)
+    assert sorted(got.columns) == ["city", "id", "vec"]
+    rows = {r["id"]: r for r in got.collect()}
+    assert set(rows) == {"1", "3"}
+    assert rows["3"]["city"] == ["Berlin", "Moscow"]
+
+
+def test_scroll_by_id_keyset(points_basic):
+    page = scroll(points_basic, limit=3, offset_id="3")
+    ids = [r["id"] for r in page.select("id").collect()]
+    # string ids sort lexicographically: 3 < 4 < 5
+    assert ids == sorted([i for i in map(str, range(1, 11)) if i >= "3"])[:3]
+
+
+def test_scroll_order_by_value(points_basic):
+    page = scroll(
+        points_basic,
+        limit=3,
+        order_by="price",
+        direction="desc",
+        flt={"must": [{"key": "price", "range": {"gt": 0}}]},
+    )
+    rows = page.select("id", "price").collect()
+    assert [r["id"] for r in rows] == ["2", "1", "3"]
+
+
+def test_scroll_random_is_seeded(points_basic):
+    a = [r["id"] for r in scroll(points_basic, limit=5, random_seed=7).collect()]
+    b = [r["id"] for r in scroll(points_basic, limit=5, random_seed=7).collect()]
+    assert a == b and len(a) == 5
+
+
+def test_count_with_filter(points_basic):
+    assert count(points_basic) == 10
+    assert count(points_basic, {"must": [{"key": "city", "match": {"value": "Berlin"}}]}) == 3
+    row = count_df(points_basic, {"must": [{"key": "city", "match": {"value": "Berlin"}}]}).collect()
+    assert row[0]["count"] == 3
+
+
+def test_facet_array_field(points_basic):
+    rows = facet(points_basic, "city").collect()
+    got = [(r["value"], r["count"]) for r in rows]
+    # Berlin x3, London x2, Moscow x2; count desc then value asc
+    assert got == [("Berlin", 3), ("London", 2), ("Moscow", 2)]
+
+
+def test_facet_respects_filter_and_limit(documents):
+    rows = facet(documents, "lang", limit=2).collect()
+    oracle = (
+        documents.groupBy("lang")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("lang").asc())
+        .limit(2)
+        .collect()
+    )
+    assert [(r["value"], r["count"]) for r in rows] == [
+        (r["lang"], r["count"]) for r in oracle
+    ]
+
+
+def test_unique_values(points_basic):
+    vals = {r["value"] for r in unique_values(points_basic, "city").collect()}
+    assert vals == {"Berlin", "London", "Moscow"}
+
+
+def test_sample_deterministic(embeddings):
+    a = sorted(r["vec_id"] for r in sample(embeddings, 20, seed=3).collect())
+    b = sorted(r["vec_id"] for r in sample(embeddings, 20, seed=3).collect())
+    assert a == b and len(a) == 20

@@ -1,0 +1,154 @@
+"""Recommend / discover / context / feedback scoring vs NumPy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from qdrant_spark.operators.matrix import distance_matrix
+from qdrant_spark.operators.recommend import (
+    context,
+    discover,
+    recommend_avg_vector,
+    recommend_best_score,
+    recommend_sum_scores,
+    relevance_feedback,
+)
+
+F32_EPS = float(np.finfo(np.float32).eps)
+
+
+@pytest.fixture(scope="module")
+def emb(embeddings):
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def cos(mat, q):
+    return (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+
+
+def topk(ids, scores, k):
+    order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))
+    return [(int(ids[i]), float(scores[i])) for i in order[:k]]
+
+
+def fast_sigmoid(x):
+    return x / (1.0 + np.abs(x))
+
+
+def scaled_fast_sigmoid(x):
+    return 0.5 * (fast_sigmoid(x) + 1.0)
+
+
+def check(df, exp):
+    got = [(r[0], r[1]) for r in df.select("vec_id", "score").collect()]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], rel=1e-9, abs=1e-12)
+
+
+def test_avg_vector(embeddings, emb):
+    ids, mat = emb
+    pos, neg = [mat[1].tolist(), mat[2].tolist()], [mat[3].tolist()]
+    got = recommend_avg_vector(
+        embeddings, pos, neg, metric="dot", k=8, vec_col="embedding", id_col="vec_id"
+    )
+    q = mat[[1, 2]].mean(axis=0) * 2 - mat[3]
+    check(got, topk(ids, mat @ q, 8))
+
+
+def test_best_score(embeddings, emb):
+    ids, mat = emb
+    pos, neg = [mat[1].tolist(), mat[2].tolist()], [mat[3].tolist()]
+    got = recommend_best_score(
+        embeddings, pos, neg, metric="cosine", k=8, vec_col="embedding", id_col="vec_id"
+    )
+    mp = np.maximum(cos(mat, mat[1]), cos(mat, mat[2]))
+    mn = cos(mat, mat[3])
+    s = np.where(mp > mn, scaled_fast_sigmoid(mp), -scaled_fast_sigmoid(mn))
+    check(got, topk(ids, s, 8))
+
+
+def test_sum_scores(embeddings, emb):
+    ids, mat = emb
+    got = recommend_sum_scores(
+        embeddings,
+        [mat[1].tolist(), mat[2].tolist()],
+        [mat[3].tolist()],
+        metric="dot",
+        k=8,
+        vec_col="embedding",
+        id_col="vec_id",
+    )
+    s = mat @ mat[1] + mat @ mat[2] - mat @ mat[3]
+    check(got, topk(ids, s, 8))
+
+
+def test_discover(embeddings, emb):
+    ids, mat = emb
+    got = discover(
+        embeddings,
+        mat[0].tolist(),
+        [(mat[1].tolist(), mat[2].tolist()), (mat[3].tolist(), mat[4].tolist())],
+        metric="dot",
+        k=8,
+        vec_col="embedding",
+        id_col="vec_id",
+    )
+    rank = np.sign(mat @ mat[1] - mat @ mat[2]) + np.sign(mat @ mat[3] - mat @ mat[4])
+    s = rank + scaled_fast_sigmoid(mat @ mat[0])
+    check(got, topk(ids, s, 8))
+
+
+def test_context(embeddings, emb):
+    ids, mat = emb
+    got = context(
+        embeddings,
+        [(mat[1].tolist(), mat[2].tolist())],
+        metric="dot",
+        k=8,
+        vec_col="embedding",
+        id_col="vec_id",
+    )
+    diff = mat @ mat[1] - mat @ mat[2] - F32_EPS
+    s = fast_sigmoid(np.minimum(diff, 0.0))
+    check(got, topk(ids, s, 8))
+
+
+def test_relevance_feedback(embeddings, emb):
+    ids, mat = emb
+    got = relevance_feedback(
+        embeddings,
+        mat[0].tolist(),
+        [(mat[1].tolist(), mat[2].tolist(), 0.5)],
+        a=2.0,
+        metric="dot",
+        k=8,
+        vec_col="embedding",
+        id_col="vec_id",
+    )
+    s = 2.0 * (mat @ mat[0]) + 0.5 * (mat @ mat[1] - mat @ mat[2])
+    check(got, topk(ids, s, 8))
+
+
+def test_distance_matrix_shape(embeddings):
+    out = distance_matrix(
+        embeddings,
+        sample_size=10,
+        limit_per_sample=3,
+        metric="cosine",
+        vec_col="embedding",
+        id_col="vec_id",
+    ).collect()
+    by_a = {}
+    for r in out:
+        assert r["id_a"] != r["id_b"]
+        by_a.setdefault(r["id_a"], []).append(r)
+    assert len(by_a) == 10
+    for rows in by_a.values():
+        assert len(rows) == 3
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
