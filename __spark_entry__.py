@@ -1,38 +1,735 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship hybrid query; ``queries()`` exposes one
+callable per implemented operator from SURVEY.md §2; ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for each (same result, same column names).
+
+Conventions shared by every (query, oracle) pair:
+- scores are computed in DOUBLE and rounded to 6 decimals AFTER top-k /
+  ordering, on both sides, so value-hashes match;
+- ties are broken by id ascending (the reference breaks ties arbitrarily;
+  we pin id-asc — FIXTURES.md "Oracle rules");
+- rank-like columns are cast to BIGINT on the Spark side to match DuckDB.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+WORD_PAT = r"[^\p{L}\p{N}]+"  # must match qdrant_spark.functions.text.tokenize
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf: str) -> DataFrame:
+    # events.parquet stores TIMESTAMP(NANOS), which Spark's reader rejects
+    # unless nanos are read as epoch-nanos longs (runtime-settable conf).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+def _vecs(spark: SparkSession, sf: str, ids: list[int]) -> dict[int, list[float]]:
+    rows = _emb(spark, sf).filter(F.col("vec_id").isin(ids)).collect()
+    return {r["vec_id"]: list(r["embedding"]) for r in rows}
+
+
+def _r6(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), 6))
+    return df
+
+
+def _long(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("long"))
+    return df
+
+
+# DuckDB score expressions over e.v / q.qv (both DOUBLE[]); these mirror
+# qdrant_spark.functions.distances exactly (double math, same formula shape).
+_SQL_DIST = {
+    "dot": "list_dot_product(e.v, q.qv)",
+    "cosine": (
+        "list_dot_product(e.v, q.qv) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))"
+    ),
+    "euclid": (
+        "sqrt(list_aggregate(list_transform(generate_series(1, len(e.v)),"
+        " i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i])), 'sum'))"
+    ),
+    "manhattan": (
+        "list_aggregate(list_transform(generate_series(1, len(e.v)),"
+        " i -> abs(e.v[i] - q.qv[i])), 'sum')"
+    ),
+}
+_SQL_DIR = {"dot": "DESC", "cosine": "DESC", "euclid": "ASC", "manhattan": "ASC"}
+
+_E_CTE = "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings)"
+_Q_CTE = "q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)"
+# word tokens of a document, matching functions.text.tokenize
+_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),"
+    " t -> t != '')"
+)
+_SSIG = "(0.5 * (({x}) / (1.0 + abs({x})) + 1.0))"  # scaled fast sigmoid
+_FSIG = "(({x}) / (1.0 + abs({x})))"  # fast sigmoid
+
+
+def _knn_sql(metric: str, k: int = 10, label_where: str = "", threshold: str = "") -> str:
+    e_cte = _E_CTE
+    if label_where:
+        e_cte = e_cte[:-1] + f" WHERE {label_where})"
+    return f"""
+WITH {_Q_CTE}, {e_cte},
+s AS (SELECT e.vec_id, {_SQL_DIST[metric]} AS score FROM e, q)
+SELECT vec_id, round(s.score, 6) AS score FROM s
+{threshold}
+ORDER BY s.score {_SQL_DIR[metric]}, vec_id LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# query callables
+# ---------------------------------------------------------------------------
+
+
+def _q_knn(metric: str, flt=None, threshold=None):
+    def run(spark: SparkSession, sf: str) -> DataFrame:
+        from qdrant_spark.operators.knn import knn
+
+        q = _vecs(spark, sf, [0])[0]
+        out = knn(
+            _emb(spark, sf), q, metric=metric, k=10, vec_col="embedding",
+            id_col="vec_id", flt=flt, score_threshold=threshold,
+            select=["vec_id", "score"],
+        )
+        return _r6(out, "score")
+
+    return run
+
+
+def _q_knn_batch(strategy: str):
+    def run(spark: SparkSession, sf: str) -> DataFrame:
+        from qdrant_spark.operators.knn import knn_batch
+
+        emb = _emb(spark, sf)
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        out = knn_batch(
+            emb, queries, metric="cosine", k=10, vec_col="embedding",
+            id_col="vec_id", strategy=strategy,
+        ).select("qid", "vec_id", "score", "rank")
+        return _long(_r6(out, "score"), "rank")
+
+    return run
+
+
+_KNN_BATCH_SQL = f"""
+WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 5),
+{_E_CTE},
+s AS (SELECT qs.qid, e.vec_id,
+      list_dot_product(e.v, qs.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qs.qv, qs.qv))) AS score
+      FROM e, qs),
+r AS (SELECT qid, vec_id, score,
+      row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) rn FROM s)
+SELECT qid, vec_id, round(r.score, 6) AS score, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 10
+"""
+
+
+def _q_reco(kind: str):
+    def run(spark: SparkSession, sf: str) -> DataFrame:
+        from qdrant_spark.operators import recommend as R
+
+        v = _vecs(spark, sf, [0, 1, 2, 3, 4])
+        emb = _emb(spark, sf)
+        kw = dict(vec_col="embedding", id_col="vec_id", k=8)
+        if kind == "avg":
+            out = R.recommend_avg_vector(emb, [v[1], v[2]], [v[3]], metric="dot", **kw)
+        elif kind == "best":
+            out = R.recommend_best_score(emb, [v[1], v[2]], [v[3]], metric="cosine", **kw)
+        elif kind == "sum":
+            out = R.recommend_sum_scores(emb, [v[1], v[2]], [v[3]], metric="dot", **kw)
+        elif kind == "discover":
+            out = R.discover(emb, v[0], [(v[1], v[2]), (v[3], v[4])], metric="dot", **kw)
+        elif kind == "context":
+            out = R.context(emb, [(v[1], v[2])], metric="dot", **kw)
+        else:  # feedback
+            out = R.relevance_feedback(
+                emb, v[0], [(v[1], v[2], 0.5)], a=2.0, metric="dot", **kw
+            )
+        return _r6(out.select("vec_id", "score"), "score")
+
+    return run
+
+
+def _dot_q(qid: int) -> str:
+    return (
+        f"(SELECT list_dot_product(e.v, (SELECT CAST(embedding AS DOUBLE[])"
+        f" FROM embeddings WHERE vec_id = {qid})))"
+    )
+
+
+def _reco_sql(kind: str) -> str:
+    d = {i: _dot_q(i) for i in range(5)}
+    cos = (
+        "(list_dot_product(e.v, {q}) / (sqrt(list_dot_product(e.v, e.v)) *"
+        " sqrt(list_dot_product({q}, {q}))))"
+    )
+    if kind == "avg":
+        return f"""
+WITH pc AS (
+  SELECT i, avg(x) AS ax FROM (
+    SELECT generate_subscripts(CAST(embedding AS DOUBLE[]), 1) i,
+           unnest(CAST(embedding AS DOUBLE[])) x
+    FROM embeddings WHERE vec_id IN (1, 2)) GROUP BY i),
+nc AS (
+  SELECT i, avg(x) AS ax FROM (
+    SELECT generate_subscripts(CAST(embedding AS DOUBLE[]), 1) i,
+           unnest(CAST(embedding AS DOUBLE[])) x
+    FROM embeddings WHERE vec_id = 3) GROUP BY i),
+q AS (SELECT list(pc.ax + pc.ax - nc.ax ORDER BY pc.i) qv
+      FROM pc JOIN nc ON pc.i = nc.i),
+{_E_CTE},
+s AS (SELECT e.vec_id, list_dot_product(e.v, q.qv) AS score FROM e, q)
+SELECT vec_id, round(s.score, 6) AS score FROM s ORDER BY s.score DESC, vec_id LIMIT 8
+"""
+    if kind == "best":
+        q1 = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1)"
+        q2 = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 2)"
+        q3 = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 3)"
+        return f"""
+WITH {_E_CTE},
+s0 AS (SELECT e.vec_id, {cos.format(q=q1)} c1, {cos.format(q=q2)} c2, {cos.format(q=q3)} c3 FROM e),
+s AS (SELECT vec_id,
+      CASE WHEN greatest(c1, c2) > c3 THEN {_SSIG.format(x='greatest(c1, c2)')}
+           ELSE -{_SSIG.format(x='c3')} END AS score FROM s0)
+SELECT vec_id, round(s.score, 6) AS score FROM s ORDER BY s.score DESC, vec_id LIMIT 8
+"""
+    if kind == "sum":
+        expr = f"{d[1]} + {d[2]} - {d[3]}"
+    elif kind == "discover":
+        sign1 = f"(CASE WHEN {d[1]} > {d[2]} THEN 1 WHEN {d[1]} < {d[2]} THEN -1 ELSE 0 END)"
+        sign2 = f"(CASE WHEN {d[3]} > {d[4]} THEN 1 WHEN {d[3]} < {d[4]} THEN -1 ELSE 0 END)"
+        expr = f"CAST({sign1} + {sign2} AS DOUBLE) + {_SSIG.format(x=d[0])}"
+    elif kind == "context":
+        eps = "1.1920928955078125e-07"
+        diff = f"({d[1]} - {d[2]} - {eps})"
+        expr = _FSIG.format(x=f"least({diff}, 0.0)")
+    else:  # feedback
+        expr = f"2.0 * {d[0]} + 0.5 * ({d[1]} - {d[2]})"
+    return f"""
+WITH {_E_CTE},
+s AS (SELECT e.vec_id, {expr} AS score FROM e)
+SELECT vec_id, round(s.score, 6) AS score FROM s ORDER BY s.score DESC, vec_id LIMIT 8
+"""
+
+
+def _q_fusion(kind: str):
+    def run(spark: SparkSession, sf: str) -> DataFrame:
+        from qdrant_spark.operators.fusion import dbsf, rrf
+        from qdrant_spark.operators.knn import knn
+
+        q = _vecs(spark, sf, [0])[0]
+        emb = _emb(spark, sf)
+        kw = dict(k=20, vec_col="embedding", id_col="vec_id", select=["vec_id", "score"])
+        cos = knn(emb, q, metric="cosine", **kw)
+        euc = knn(emb, q, metric="euclid", **kw)
+        fn = rrf if kind == "rrf" else dbsf
+        out = fn([cos, euc], orders=[True, False], id_col="vec_id", limit=10)
+        return _r6(out, "score")
+
+    return run
+
+
+def _fusion_sql(kind: str) -> str:
+    base = f"""
+WITH {_Q_CTE}, {_E_CTE},
+ca AS (SELECT e.vec_id, {_SQL_DIST['cosine']} AS score FROM e, q
+       ORDER BY score DESC, vec_id LIMIT 20),
+cb AS (SELECT e.vec_id, {_SQL_DIST['euclid']} AS score FROM e, q
+       ORDER BY score ASC, vec_id LIMIT 20)"""
+    if kind == "rrf":
+        return base + """,
+ra AS (SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) - 1 AS pos FROM ca),
+rb AS (SELECT vec_id, row_number() OVER (ORDER BY score ASC, vec_id) - 1 AS pos FROM cb),
+u AS (SELECT vec_id, 1.0 / (CAST(pos + 1 AS DOUBLE) / 1.0 + 2 - 1.0) AS c FROM ra
+      UNION ALL
+      SELECT vec_id, 1.0 / (CAST(pos + 1 AS DOUBLE) / 1.0 + 2 - 1.0) AS c FROM rb),
+f AS (SELECT vec_id, sum(c) AS score FROM u GROUP BY vec_id)
+SELECT vec_id, round(f.score, 6) AS score FROM f ORDER BY f.score DESC, vec_id LIMIT 10
+"""
+    norm = """
+  SELECT vec_id,
+    CASE WHEN count(*) OVER () = 1 THEN 0.5
+         WHEN stddev_samp(s) OVER () = 0 THEN 0.5
+         ELSE (s - (avg(s) OVER () - 3 * stddev_samp(s) OVER ()))
+              / ((avg(s) OVER () + 3 * stddev_samp(s) OVER ())
+                 - (avg(s) OVER () - 3 * stddev_samp(s) OVER ())) END * 1.0 AS n
+  FROM {src}"""
+    return base + f""",
+sa AS (SELECT vec_id, CAST(score AS DOUBLE) s FROM ca),
+sb AS (SELECT vec_id, -CAST(score AS DOUBLE) s FROM cb),
+na AS ({norm.format(src='sa')}),
+nb AS ({norm.format(src='sb')}),
+u AS (SELECT * FROM na UNION ALL SELECT * FROM nb),
+f AS (SELECT vec_id, sum(n) AS score FROM u GROUP BY vec_id)
+SELECT vec_id, round(f.score, 6) AS score FROM f ORDER BY f.score DESC, vec_id LIMIT 10
+"""
+
+
+def _q_group(with_lk: bool):
+    def run(spark: SparkSession, sf: str) -> DataFrame:
+        from qdrant_spark.operators.groupby import group_by, with_lookup
+        from qdrant_spark.operators.knn import knn
+
+        q = _vecs(spark, sf, [0])[0]
+        emb = _emb(spark, sf)
+        scored = knn(
+            emb, q, metric="cosine", k=50, vec_col="embedding", id_col="vec_id",
+            select=["vec_id", "label", "score"],
+        )
+        grp = group_by(
+            scored, "label", groups=5, group_size=3, id_col="vec_id"
+        ).select("group_value", "vec_id", "score", "rank_in_group", "group_rank")
+        grp = _long(_r6(grp, "score"), "rank_in_group", "group_rank")
+        if with_lk:
+            lk = emb.groupBy("label").agg(
+                F.min("vec_id").alias("rep"), F.count("*").alias("n")
+            )
+            grp = with_lookup(grp, lk, lookup_id_col="label").select(
+                "group_value", "vec_id", "score", "rank_in_group", "group_rank",
+                "lookup_rep", "lookup_n",
+            )
+        return grp
+
+    return run
+
+
+def _group_sql(with_lk: bool) -> str:
+    lk_join = """
+JOIN (SELECT label, min(vec_id) AS lookup_rep, count(*) AS lookup_n
+      FROM embeddings GROUP BY label) lk ON lk.label = g3.group_value""" if with_lk else ""
+    lk_cols = ", lk.lookup_rep, lk.lookup_n" if with_lk else ""
+    return f"""
+WITH {_Q_CTE}, {_E_CTE},
+c AS (SELECT e.vec_id, e.label, {_SQL_DIST['cosine']} AS score FROM e, q
+      ORDER BY score DESC, vec_id LIMIT 50),
+g AS (SELECT label AS group_value, vec_id, score,
+      row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id) rig
+      FROM c),
+g2 AS (SELECT *, max(CASE WHEN rig = 1 THEN score END)
+       OVER (PARTITION BY group_value) best FROM g WHERE rig <= 3),
+g3 AS (SELECT *, dense_rank() OVER (ORDER BY best DESC, group_value) gr FROM g2)
+SELECT group_value, vec_id, round(g3.score, 6) AS score,
+       CAST(rig AS BIGINT) AS rank_in_group, CAST(gr AS BIGINT) AS group_rank{lk_cols}
+FROM g3 {lk_join} WHERE gr <= 5
+"""
+
+
+def _q_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.operators.matrix import distance_matrix
+
+    out = distance_matrix(
+        _emb(spark, sf), sample_size=10, limit_per_sample=3, metric="cosine",
+        vec_col="embedding", id_col="vec_id",
+        flt={"must": [{"key": "vec_id", "range": {"lt": 10}}]},
+    )
+    return _long(_r6(out, "score"), "rank")
+
+
+_MATRIX_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 10),
+p AS (SELECT a.vec_id id_a, b.vec_id id_b,
+      list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS score
+      FROM e a, e b WHERE a.vec_id <> b.vec_id),
+r AS (SELECT id_a, id_b, score,
+      row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b) rn FROM p)
+SELECT id_a, id_b, round(r.score, 6) AS score, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 3
+"""
+
+
+def _q_maxsim(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.functions.distances import maxsim
+
+    emb = _emb(spark, sf)
+    q = _vecs(spark, sf, [0])[0]
+    chunks = [q[i * 8:(i + 1) * 8] for i in range(8)]
+    q_mv = F.array(*[F.array(*[F.lit(float(x)) for x in ch]) for ch in chunks])
+    d_mv = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.slice(F.col("embedding").cast("array<double>"), i * 8 + 1, 8),
+    )
+    out = (
+        emb.withColumn("score", maxsim(q_mv, d_mv, metric="dot"))
+        .select("vec_id", "score")
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    return _r6(out, "score")
+
+
+_MAXSIM_SQL = f"""
+WITH {_E_CTE}, {_Q_CTE},
+s AS (
+  SELECT e.vec_id, qi.i AS qi,
+         max(list_dot_product(q.qv[qi.i * 8 + 1 : qi.i * 8 + 8],
+                              e.v[di.i * 8 + 1 : di.i * 8 + 8])) AS m
+  FROM e, q, generate_series(0, 7) qi(i), generate_series(0, 7) di(i)
+  GROUP BY e.vec_id, qi.i),
+t AS (SELECT vec_id, sum(m) AS score FROM s GROUP BY vec_id)
+SELECT vec_id, round(t.score, 6) AS score FROM t ORDER BY t.score DESC, vec_id LIMIT 10
+"""
+
+
+def _q_scroll_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.operators.points import scroll
+
+    return scroll(
+        _docs(spark, sf), limit=20, id_col="doc_id", offset_id=100,
+        flt={"must": [{"key": "lang", "match": {"value": "en"}}]},
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def _q_scroll_events(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.operators.points import scroll
+
+    out = scroll(
+        _events(spark, sf), limit=50, id_col="event_id",
+        order_by="value", direction="desc", start_from=90.0,
+    ).select("event_id", "value")
+    return _r6(out, "value")
+
+
+def _q_count_events(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.operators.points import count_df
+
+    return count_df(
+        _events(spark, sf),
+        {"must": [
+            {"key": "event_type", "match": {"any": ["click", "view"]}},
+            {"key": "value", "range": {"gte": 10.0, "lt": 500.0}},
+        ]},
+    )
+
+
+def _q_facet(table: str, key: str):
+    def run(spark: SparkSession, sf: str) -> DataFrame:
+        from qdrant_spark.operators.points import facet
+
+        df = spark.read.parquet(f"{sf}/{table}.parquet")
+        return facet(df, key, limit=10)
+
+    return run
+
+
+def _q_unique_source(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.operators.points import unique_values
+
+    return unique_values(_docs(spark, sf), "source")
+
+
+def _q_retrieve(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.operators.points import retrieve
+
+    return retrieve(
+        _docs(spark, sf), [1, 5, 17, 99], id_col="doc_id",
+        with_payload=["lang", "source"],
+    )
+
+
+def _q_filter_orders(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.filters import apply_filter
+
+    flt = {
+        "must": [
+            {"key": "o_orderstatus", "match": {"value": "O"}},
+            {"key": "o_totalprice", "range": {"gte": 1000.0, "lte": 150000.0}},
+            {"key": "o_orderdate", "range": {"gte": "1995-01-01T00:00:00Z"}},
+        ],
+        "must_not": [{"key": "o_orderpriority", "match": {"any": ["1-URGENT"]}}],
+    }
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    return apply_filter(orders, flt).select("o_orderkey")
+
+
+def _q_filter_min_should(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.filters import apply_filter
+
+    flt = {
+        "min_should": {
+            "conditions": [
+                {"key": "l_returnflag", "match": {"value": "R"}},
+                {"key": "l_quantity", "range": {"gt": 25.0}},
+                {"key": "l_discount", "range": {"lte": 0.02}},
+            ],
+            "min_count": 2,
+        }
+    }
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return apply_filter(li, flt).select("l_orderkey", "l_linenumber")
+
+
+def _q_filter_text(kind: str):
+    def run(spark: SparkSession, sf: str) -> DataFrame:
+        from qdrant_spark.filters import apply_filter
+
+        match = {"text": "fast hash"} if kind == "text" else {"phrase": "hash join"}
+        flt = {"must": [{"key": "text", "match": match}]}
+        return apply_filter(_docs(spark, sf), flt).select("doc_id")
+
+    return run
+
+
+def _q_events_json(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _events(spark, sf)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.withColumn("k", k).filter(F.col("k") >= 50).select("event_id", "k")
+
+
+def _q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.functions.text import quality_features, tokenize
+
+    df = _docs(spark, sf).withColumn("__toks", tokenize("text"))
+    feats = quality_features("text", tokens=F.col("__toks"))
+    return df.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+    )
+
+
+def _q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.functions.text import token_count
+
+    out = _docs(spark, sf).select(
+        "doc_id",
+        token_count("text", "whitespace").alias("tok_ws"),
+        token_count("text", "bpe").alias("tok_bpe"),
+    )
+    return _long(out, "tok_ws", "tok_bpe")
+
+
+def _q_lang_detect(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.functions.text import detect_language, tokenize
+
+    return _docs(spark, sf).withColumn("__toks", tokenize("text")).select(
+        "doc_id", detect_language("text", tokens=F.col("__toks")).alias("lang_pred")
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.functions.text import fingerprint
+
+    return _docs(spark, sf).select("doc_id", fingerprint("text").alias("fp"))
+
+
+def _lang_detect_sql() -> str:
+    from qdrant_spark.functions.text import LANG_STOPWORDS
+
+    hits = {}
+    for lang in sorted(LANG_STOPWORDS):
+        lst = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        hits[lang] = f"len(list_filter(toks, t -> list_contains([{lst}], t)))"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, {hits['de']} hd, {hits['en']} he, {hits['es']} hs, {hits['fr']} hf FROM t)
+SELECT doc_id,
+  CASE WHEN greatest(hd, he, hs, hf) <= 0 THEN 'und'
+       WHEN hd = greatest(hd, he, hs, hf) THEN 'de'
+       WHEN he = greatest(hd, he, hs, hf) THEN 'en'
+       WHEN hs = greatest(hd, he, hs, hf) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM h
+"""
+
+
+def _text_stats_sql() -> str:
+    from qdrant_spark.functions.text import LANG_STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id,
+  len(toks) AS n_tokens,
+  CASE WHEN len(toks) > 0 THEN
+    CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks)
+  ELSE 0.0 END AS mean_token_len,
+  CASE WHEN len(toks) > 0 THEN
+    CAST(len(list_filter(toks, x -> list_contains([{stop}], x))) AS DOUBLE) / len(toks)
+  ELSE 0.0 END AS stopword_ratio,
+  CASE WHEN length(text) > 0 THEN
+    CAST(length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE) / length(text)
+  ELSE 0.0 END AS punct_ratio
+FROM t)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       round(mean_token_len, 6) AS mean_token_len,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(punct_ratio, 6) AS punct_ratio
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship hybrid query on sf0.001: dense cosine + euclid KNN fused
+    with RRF — the reference's universal Query API shape (prefetch + fusion)."""
+    return _q_fusion("rrf")(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "knn_cosine": _q_knn("cosine"),
+        "knn_dot": _q_knn("dot"),
+        "knn_euclid": _q_knn("euclid"),
+        "knn_manhattan": _q_knn("manhattan"),
+        "knn_filtered": _q_knn(
+            "cosine",
+            flt={"must": [{"key": "label", "match": {"any": [1, 2, 3]}}]},
+            threshold=0.1,
+        ),
+        "knn_batch": _q_knn_batch("window"),
+        "knn_batch_partial": _q_knn_batch("partial"),
+        "recommend_avg_vector": _q_reco("avg"),
+        "recommend_best_score": _q_reco("best"),
+        "recommend_sum_scores": _q_reco("sum"),
+        "discover": _q_reco("discover"),
+        "context": _q_reco("context"),
+        "relevance_feedback": _q_reco("feedback"),
+        "fusion_rrf": _q_fusion("rrf"),
+        "fusion_dbsf": _q_fusion("dbsf"),
+        "group_by": _q_group(False),
+        "group_by_lookup": _q_group(True),
+        "distance_matrix": _q_matrix,
+        "maxsim": _q_maxsim,
+        "scroll_keyset": _q_scroll_docs,
+        "scroll_order_by": _q_scroll_events,
+        "count_filtered": _q_count_events,
+        "facet_lang": _q_facet("documents", "lang"),
+        "facet_event_type": _q_facet("events", "event_type"),
+        "unique_values": _q_unique_source,
+        "retrieve": _q_retrieve,
+        "filter_dsl_orders": _q_filter_orders,
+        "filter_min_should": _q_filter_min_should,
+        "filter_text_all": _q_filter_text("text"),
+        "filter_phrase": _q_filter_text("phrase"),
+        "payload_json_path": _q_events_json,
+        "text_quality": _q_text_stats,
+        "token_counts": _q_token_counts,
+        "lang_detect": _q_lang_detect,
+        "fingerprint": _q_fingerprint,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "knn_cosine": _knn_sql("cosine"),
+        "knn_dot": _knn_sql("dot"),
+        "knn_euclid": _knn_sql("euclid"),
+        "knn_manhattan": _knn_sql("manhattan"),
+        "knn_filtered": _knn_sql(
+            "cosine", label_where="label IN (1, 2, 3)", threshold="WHERE s.score > 0.1"
+        ),
+        "knn_batch": _KNN_BATCH_SQL,
+        "knn_batch_partial": _KNN_BATCH_SQL,
+        "recommend_avg_vector": _reco_sql("avg"),
+        "recommend_best_score": _reco_sql("best"),
+        "recommend_sum_scores": _reco_sql("sum"),
+        "discover": _reco_sql("discover"),
+        "context": _reco_sql("context"),
+        "relevance_feedback": _reco_sql("feedback"),
+        "fusion_rrf": _fusion_sql("rrf"),
+        "fusion_dbsf": _fusion_sql("dbsf"),
+        "group_by": _group_sql(False),
+        "group_by_lookup": _group_sql(True),
+        "distance_matrix": _MATRIX_SQL,
+        "maxsim": _MAXSIM_SQL,
+        "scroll_keyset": """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE lang = 'en' AND doc_id >= 100 ORDER BY doc_id LIMIT 20
+""",
+        "scroll_order_by": """
+SELECT event_id, round(ev.value, 6) AS value FROM events ev
+WHERE ev.value <= 90.0 ORDER BY ev.value DESC, event_id LIMIT 50
+""",
+        "count_filtered": """
+SELECT count(*) AS count FROM events
+WHERE event_type IN ('click', 'view') AND value >= 10.0 AND value < 500.0
+""",
+        "facet_lang": """
+SELECT lang AS value, count(*) AS count FROM documents WHERE lang IS NOT NULL
+GROUP BY lang ORDER BY count(*) DESC, lang ASC LIMIT 10
+""",
+        "facet_event_type": """
+SELECT event_type AS value, count(*) AS count FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type ORDER BY count(*) DESC, event_type ASC LIMIT 10
+""",
+        "unique_values": "SELECT DISTINCT source AS value FROM documents WHERE source IS NOT NULL",
+        "retrieve": "SELECT doc_id, lang, source FROM documents WHERE doc_id IN (1, 5, 17, 99)",
+        "filter_dsl_orders": """
+SELECT o_orderkey FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice >= 1000.0 AND o_totalprice <= 150000.0
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND NOT (o_orderpriority IN ('1-URGENT'))
+""",
+        "filter_min_should": """
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+     + CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END
+     + CASE WHEN l_discount <= 0.02 THEN 1 ELSE 0 END) >= 2
+""",
+        "filter_text_all": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id FROM t WHERE list_contains(toks, 'fast') AND list_contains(toks, 'hash')
+""",
+        "filter_phrase": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id FROM t
+WHERE position(' hash join ' IN ' ' || list_aggregate(toks, 'string_agg', ' ') || ' ') > 0
+""",
+        "payload_json_path": """
+SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events
+WHERE json_extract_string(props, '$.k')::BIGINT >= 50
+""",
+        "text_quality": _text_stats_sql(),
+        "token_counts": f"""
+SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')) AS BIGINT) AS tok_ws,
+  CAST(len(regexp_extract_all(text, '\\p{{L}}+'))
+     + len(regexp_extract_all(text, '\\p{{N}}+'))
+     + len(regexp_extract_all(text, '[^\\p{{L}}\\p{{N}}\\s]')) AS BIGINT) AS tok_bpe
+FROM documents
+""",
+        "lang_detect": _lang_detect_sql(),
+        "fingerprint": """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+""",
+    }

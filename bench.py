@@ -1,0 +1,135 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Headline set mirrors the reference's own bench configs (BASELINE.md):
+batch KNN (batch_search_bench.rs), filtered search (conditional_search.rs),
+facets (facets.rs), fusion/universal-query (batch_query_bench.rs), plus the
+scale-path operators (grouped search, text pipeline).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from qdrant_spark.session import get_spark
+    from qdrant_spark.filters import apply_filter
+    from qdrant_spark.functions.text import quality_features, tokenize
+    from qdrant_spark.operators.fusion import rrf
+    from qdrant_spark.operators.groupby import group_by
+    from qdrant_spark.operators.knn import knn, knn_batch
+    from qdrant_spark.operators.points import facet
+
+    spark = get_spark(app_name="qdrant-spark-bench", cpus=cpus)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_emb = emb.count()  # materialize cache before timing
+
+    qvecs = [list(r["embedding"]) for r in emb.limit(64).collect()]
+    q0 = qvecs[0]
+    queries_df = spark.createDataFrame(
+        [(i, qvecs[i]) for i in range(64)], "qid: long, qvec: array<float>"
+    )
+
+    def q_knn_single():
+        return knn(emb, q0, metric="cosine", k=10, vec_col="embedding",
+                   id_col="vec_id", select=["vec_id", "score"]).collect()
+
+    def q_knn_batch64():
+        return knn_batch(emb, queries_df, metric="cosine", k=10,
+                         vec_col="embedding", id_col="vec_id",
+                         strategy="partial").count()
+
+    def q_knn_filtered():
+        flt = {"must": [{"key": "label", "match": {"any": [1, 2, 3]}}]}
+        return knn(emb, q0, metric="euclid", k=10, vec_col="embedding",
+                   id_col="vec_id", flt=flt, select=["vec_id", "score"]).collect()
+
+    def q_fusion_hybrid():
+        kw = dict(k=100, vec_col="embedding", id_col="vec_id",
+                  select=["vec_id", "score"])
+        cos = knn(emb, q0, metric="cosine", **kw)
+        dot = knn(emb, q0, metric="dot", **kw)
+        return rrf([cos, dot], id_col="vec_id", limit=10).collect()
+
+    def q_grouped():
+        scored = emb.withColumn(
+            "score",
+            F.aggregate(F.zip_with(F.col("embedding").cast("array<double>"),
+                                   F.lit(q0).cast("array<double>"),
+                                   lambda x, y: x * y),
+                        F.lit(0.0), lambda a, x: a + x),
+        ).select("vec_id", "label", "score")
+        return group_by(scored, "label", groups=10, group_size=5,
+                        id_col="vec_id").count()
+
+    def q_filter_scan():
+        flt = {
+            "must": [
+                {"key": "l_returnflag", "match": {"value": "R"}},
+                {"key": "l_quantity", "range": {"gt": 25.0}},
+            ]
+        }
+        return apply_filter(lineitem, flt).count()
+
+    def q_facet():
+        return facet(docs, "source", limit=20).collect()
+
+    def q_text_pipeline():
+        pre = docs.withColumn("__toks", tokenize("text"))
+        feats = quality_features("text", tokens=F.col("__toks"))
+        return (
+            pre.select("lang", feats["n_tokens"].alias("nt"),
+                       feats["stopword_ratio"].alias("sr"))
+            .groupBy("lang").agg(F.avg("nt"), F.avg("sr")).collect()
+        )
+
+    bench = {
+        "knn_single": q_knn_single,
+        "knn_batch64": q_knn_batch64,
+        "knn_filtered": q_knn_filtered,
+        "fusion_hybrid": q_fusion_hybrid,
+        "grouped_search": q_grouped,
+        "filter_scan": q_filter_scan,
+        "facet": q_facet,
+        "text_pipeline": q_text_pipeline,
+    }
+
+    times: dict[str, float] = {}
+    for name, fn in bench.items():
+        fn()  # warm-up: plan + JIT + cache
+        t0 = time.time()
+        fn()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_embeddings": n_emb,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

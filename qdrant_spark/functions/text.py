@@ -111,24 +111,35 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 
 
 def token_count(col: Column | str, mode: str = "whitespace") -> Column:
-    """Token count: whitespace or a BPE-ish word/number/punct split."""
+    """Token count: whitespace or a BPE-ish word/number/punct split.
+
+    BPE-ish = letter runs + digit runs + individual punctuation marks, each
+    counting one token. Expressed with ``regexp_extract_all`` (no
+    lookarounds) so a DuckDB/RE2 oracle can reproduce it exactly.
+    """
     c = F.col(col) if isinstance(col, str) else col
     if mode == "whitespace":
         return F.size(F.filter(F.split(c, r"\s+"), lambda t: t != ""))
-    # BPE-ish: letters runs, digit runs, single punctuation marks each count
-    return F.size(
-        F.filter(
-            F.split(c, r"(?<=\p{L})(?=\p{N})|(?<=\p{N})(?=\p{L})|\s+|(?=[^\p{L}\p{N}\s])|(?<=[^\p{L}\p{N}\s])"),
-            lambda t: t != "",
-        )
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(r"\p{L}+"), 0))
+        + F.size(F.regexp_extract_all(c, F.lit(r"\p{N}+"), 0))
+        + F.size(F.regexp_extract_all(c, F.lit(r"[^\p{L}\p{N}\s]"), 0))
     )
 
 
-def quality_features(col: Column | str) -> dict[str, Column]:
+def quality_features(
+    col: Column | str, tokens: Column | None = None
+) -> dict[str, Column]:
     """Heuristic quality signals for a document column (length, punctuation
-    density, stopword ratio, mean token length). All JVM-side expressions."""
+    density, stopword ratio, mean token length). All JVM-side expressions.
+
+    Pass ``tokens`` (a pre-materialized ``tokenize(col)`` column, e.g. via
+    ``df.withColumn``) when computing several features at once: expressions
+    don't share subtrees across output columns, so inlining ``tokenize``
+    here would re-split the text per feature and bloat codegen.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    toks = tokenize(c)
+    toks = tokens if tokens is not None else tokenize(c)
     n_tok = F.size(toks)
     n_chars = F.length(c)
     stop = F.array(*[F.lit(t) for t in LANG_STOPWORDS["en"]])
@@ -149,12 +160,16 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     }
 
 
-def detect_language(col: Column | str, langs: list[str] | None = None) -> Column:
+def detect_language(
+    col: Column | str,
+    langs: list[str] | None = None,
+    tokens: Column | None = None,
+) -> Column:
     """Stopword-hit language ID: the language whose function-word list hits
     the most tokens; NULL hits -> 'und' (undetermined). Deterministic
     tie-break by language code order."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = tokenize(c)
+    toks = tokens if tokens is not None else tokenize(c)
     langs = langs or sorted(LANG_STOPWORDS)
     # argmax via struct-ordered greatest: maximize hits, tie-break by the
     # FIRST language in sorted order (higher -i wins ties deterministically)
