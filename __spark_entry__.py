@@ -594,6 +594,205 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# sparse / BM25 / dedup entries
+# ---------------------------------------------------------------------------
+
+_SHINGLES3 = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),"
+    " i -> list_aggregate(toks[i:i+2], 'string_agg', ' ')))"
+)
+_H63 = "('0x' || substring(md5({x}), 1, 15))::BIGINT"
+_P = 2_147_483_647
+
+
+def _q_sparse_knn(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.operators.sparse import doc_terms, sparse_knn_terms
+
+    docs = _docs(spark, sf)
+    terms = doc_terms(docs)
+    q = {
+        r["term"]: float(r["tf"])
+        for r in terms.filter(F.col("doc_id") == 0).collect()
+    }
+    return _r6(sparse_knn_terms(terms, q, k=10), "score")
+
+
+_SPARSE_KNN_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+terms AS (SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY doc_id, term),
+q AS (SELECT term, CAST(tf AS DOUBLE) AS qw FROM terms WHERE doc_id = 0),
+s AS (SELECT terms.doc_id, sum(terms.tf * q.qw) AS score
+      FROM terms JOIN q USING (term) GROUP BY terms.doc_id)
+SELECT doc_id, round(s.score, 6) AS score FROM s ORDER BY s.score DESC, doc_id LIMIT 10
+"""
+
+
+def _q_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.operators.sparse import bm25_search
+
+    return _r6(bm25_search(_docs(spark, sf), "fast hash join sort", k=10), "score")
+
+
+_BM25_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+terms AS (SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+q AS (SELECT unnest(['fast', 'hash', 'join', 'sort']) AS term),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS nd FROM terms GROUP BY term),
+sc AS (SELECT terms.doc_id,
+       sum(ln(((SELECT count(*) FROM documents) - nd + 0.5) / (nd + 0.5) + 1.0)
+           * (terms.tf * (1.2 + 1.0))
+           / (terms.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / 256.0))) AS score
+       FROM terms JOIN q USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id)
+       GROUP BY terms.doc_id)
+SELECT doc_id, round(sc.score, 6) AS score FROM sc ORDER BY sc.score DESC, doc_id LIMIT 10
+"""
+
+
+def _q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf))
+
+
+_EXACT_DEDUP_SQL = """
+WITH f AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+           FROM documents)
+SELECT doc_id, fp, doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_duplicate FROM f
+"""
+
+
+def _q_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.operators.dedup import minhash_signatures
+
+    sig = minhash_signatures(
+        _docs(spark, sf).filter(F.col("doc_id") < 50), n_perms=16
+    )
+    out = sig.select("doc_id", F.posexplode("sig").alias("perm", "minv"))
+    return _long(out, "perm")
+
+
+def _minhash_sql() -> str:
+    from qdrant_spark.functions.hashes import minhash_params
+
+    parts = []
+    for i, (a, b) in enumerate(minhash_params(16)):
+        parts.append(
+            f"SELECT doc_id, CAST({i} AS BIGINT) AS perm,"
+            f" list_min(list_transform(hs, x -> ({a} * x + {b}) % {_P})) AS minv FROM h"
+        )
+    u = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 50),
+s AS (SELECT doc_id, {_SHINGLES3} AS sh FROM t),
+h AS (SELECT doc_id, list_transform(sh, x -> {_H63.format(x='x')} % {_P}) AS hs
+      FROM s WHERE len(sh) > 0)
+{u}
+"""
+
+
+def _q_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.operators.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(
+        _docs(spark, sf), n_perms=16, bands=4, jaccard_threshold=0.2
+    )
+    return _r6(out, "jaccard")
+
+
+def _lsh_sql() -> str:
+    from qdrant_spark.functions.hashes import minhash_params
+
+    sig_elems = ", ".join(
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {_P}))"
+        for a, b in minhash_params(16)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {bnd} AS band,"
+        f" md5(list_aggregate(list_transform(sig[{bnd * 4 + 1}:{bnd * 4 + 4}],"
+        f" x -> CAST(x AS VARCHAR)), 'string_agg', '_')) AS key FROM sig"
+        for bnd in range(4)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_SHINGLES3} AS sh FROM t),
+s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+h AS (SELECT doc_id, list_transform(sh, x -> {_H63.format(x='x')} % {_P}) AS hs FROM s2),
+sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM h),
+bk AS ({band_rows}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+         WHERE a.doc_id < b.doc_id),
+j AS (SELECT id_a, id_b,
+      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+      FROM cand JOIN s2 sa ON sa.doc_id = id_a JOIN s2 sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.2
+"""
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _docs(spark, sf).filter(F.col("doc_id") < 100), threshold=0.2
+    )
+    return _r6(out, "jaccard")
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 100),
+s AS (SELECT doc_id, {_SHINGLES3} AS sh FROM t),
+s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM p WHERE jaccard >= 0.2
+"""
+
+
+def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.operators.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_docs(spark, sf), bits=32)
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {b}) & 1) = 1)) > len(hs)"
+        f" THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, list_transform(toks, x -> {_H63.format(x='x')}) AS hs FROM t)
+SELECT doc_id, CASE WHEN len(hs) > 0 THEN {terms} END AS simhash FROM h
+"""
+
+
+def _q_emb_dups(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.operators.dedup import embedding_near_dups
+
+    out = embedding_near_dups(
+        _emb(spark, sf), threshold=0.4, block_col="label"
+    )
+    return _r6(out, "cos")
+
+
+_EMB_DUPS_SQL = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+      list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT vec_id_a, vec_id_b, round(cos, 6) AS cos FROM p WHERE cos >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -617,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "knn_batch": _q_knn_batch("window"),
         "knn_batch_partial": _q_knn_batch("partial"),
+        "knn_batch_matmul": _q_knn_batch("matmul"),
         "recommend_avg_vector": _q_reco("avg"),
         "recommend_best_score": _q_reco("best"),
         "recommend_sum_scores": _q_reco("sum"),
@@ -645,6 +845,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "lang_detect": _q_lang_detect,
         "fingerprint": _q_fingerprint,
+        "sparse_knn": _q_sparse_knn,
+        "bm25_search": _q_bm25,
+        "dedup_exact": _q_exact_dedup,
+        "dedup_minhash_sig": _q_minhash,
+        "dedup_lsh_pairs": _q_lsh_pairs,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_simhash": _q_simhash,
+        "dedup_embedding": _q_emb_dups,
     }
 
 
@@ -659,6 +867,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn_batch": _KNN_BATCH_SQL,
         "knn_batch_partial": _KNN_BATCH_SQL,
+        "knn_batch_matmul": _KNN_BATCH_SQL,
         "recommend_avg_vector": _reco_sql("avg"),
         "recommend_best_score": _reco_sql("best"),
         "recommend_sum_scores": _reco_sql("sum"),
@@ -732,4 +941,12 @@ FROM documents
 SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
 FROM documents
 """,
+        "sparse_knn": _SPARSE_KNN_SQL,
+        "bm25_search": _BM25_SQL,
+        "dedup_exact": _EXACT_DEDUP_SQL,
+        "dedup_minhash_sig": _minhash_sql(),
+        "dedup_lsh_pairs": _lsh_sql(),
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_simhash": _simhash_sql(),
+        "dedup_embedding": _EMB_DUPS_SQL,
     }

@@ -55,7 +55,7 @@ def main() -> None:
     def q_knn_batch64():
         return knn_batch(emb, queries_df, metric="cosine", k=10,
                          vec_col="embedding", id_col="vec_id",
-                         strategy="partial").count()
+                         strategy="matmul").count()
 
     def q_knn_filtered():
         flt = {"must": [{"key": "label", "match": {"any": [1, 2, 3]}}]}

@@ -47,8 +47,18 @@ def hashed_tokens(tokens: Column) -> Column:
 
 def minhash_signature(tokens: Column, n_perms: int = 16) -> Column:
     """MinHash signature (array<bigint>, length n_perms) over a token /
-    shingle array. NULL when the array is empty (no shingles to hash)."""
-    hs = hashed_tokens(tokens)
+    shingle array. NULL when the array is empty (no shingles to hash).
+
+    NOTE: prefer :func:`minhash_from_hashed` on a pre-materialized
+    ``hashed_tokens`` column — inlining the hash pipeline here duplicates
+    it once per permutation (expressions share no subtrees), which bloats
+    codegen ~n_perms-fold.
+    """
+    return minhash_from_hashed(hashed_tokens(tokens), n_perms)
+
+
+def minhash_from_hashed(hs: Column, n_perms: int = 16) -> Column:
+    """MinHash signature from an ``array<bigint>`` of (token_hash63 % p)."""
     sigs = [
         F.array_min(
             F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P))
@@ -73,8 +83,13 @@ def band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
 def simhash(tokens: Column, bits: int = 32) -> Column:
     """SimHash fingerprint over a token array: bit b is set when the sum of
     (2*bit_b(h(t)) - 1) over tokens is positive. Pure column math (no UDF),
-    mirrored exactly by a generated CASE-sum SQL oracle."""
-    hs = F.transform(tokens, token_hash63)
+    mirrored exactly by a generated CASE-sum SQL oracle. Prefer
+    :func:`simhash_from_hashed` on a materialized hash column."""
+    return simhash_from_hashed(F.transform(tokens, token_hash63), bits)
+
+
+def simhash_from_hashed(hs: Column, bits: int = 32) -> Column:
+    """SimHash from an ``array<bigint>`` of raw token_hash63 values."""
     out = F.lit(0).cast("long")
     n = F.size(hs)
     for b in range(bits):

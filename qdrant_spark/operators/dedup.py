@@ -1,0 +1,254 @@
+"""Deduplication suite for training-data pipelines (beyond-reference ops).
+
+Five families, each a bounded-shuffle DataFrame plan designed for 100 TB:
+
+- exact: md5 fingerprint of normalized text -> groupBy(fp), keep min id.
+  One shuffle on the 32-byte fingerprint, never on the text.
+- MinHash + LSH: shingle -> minhash signature -> band keys -> bucket
+  self-join -> exact-jaccard verify of candidates only. The bucket join is
+  the scale path: candidates ~ O(collisions), not O(n^2).
+- n-gram Jaccard: exact all-pairs via shingle explode + equi-join; meant
+  for bounded slices / verification, not the full corpus.
+- SimHash: 32/64-bit fingerprint, near-dup = small hamming distance;
+  hamming-radius search via band-exact-match blocking.
+- embedding cosine: self-join (optionally blocked) with a similarity
+  threshold — SemDeDup-style near-dup detection on vectors.
+
+All hashes are md5-derived (functions/hashes.py) so every step is
+reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qdrant_spark.functions.hashes import band_keys
+from qdrant_spark.functions.text import fingerprint, shingles
+from qdrant_spark.functions.distances import cosine
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, fp, is_duplicate): keeps the minimum id per fingerprint as the
+    canonical row; others are flagged. One shuffle on fp."""
+    fp = fingerprint(F.col(text_col))
+    out = df.select(F.col(id_col), fp.alias("fp"))
+    keep = out.groupBy("fp").agg(F.min(id_col).alias("__keep"))
+    return (
+        out.join(keep, "fp")
+        .withColumn("is_duplicate", F.col(id_col) != F.col("__keep"))
+        .select(id_col, "fp", "is_duplicate")
+    )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sh): distinct word n-gram shingles per document."""
+    return df.select(
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col), n)).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_perms: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<bigint>) MinHash signatures over word shingles.
+
+    Staged via ``withColumn`` so the shingle+hash pipeline is evaluated
+    once, not once per permutation (no cross-column CSE in Spark)."""
+    from qdrant_spark.functions.hashes import hashed_tokens, minhash_from_hashed
+
+    sh = with_shingles(df, text_col, id_col, shingle_n)
+    hashed = sh.withColumn("__hs", hashed_tokens(F.col("sh")))
+    return hashed.select(
+        F.col(id_col), minhash_from_hashed(F.col("__hs"), n_perms).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_perms: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.3,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard) via banded MinHash-LSH
+    with exact-jaccard verification of the candidates.
+
+    Shuffles: one on the band key (bucket join), one on the candidate pair
+    for the verify. The full shingle sets are joined back only for
+    candidate ids — at 100 TB the candidate set is tiny vs the corpus."""
+    from qdrant_spark.functions.hashes import hashed_tokens, minhash_from_hashed
+
+    rows_per_band = n_perms // bands
+    sh = with_shingles(df, text_col, id_col, shingle_n).cache()
+    sig = (
+        sh.withColumn("__hs", hashed_tokens(F.col("sh")))
+        .select(F.col(id_col), minhash_from_hashed(F.col("__hs"), n_perms).alias("sig"))
+        .filter(F.col("sig").isNotNull())
+    )
+    bk = sig.select(
+        F.col(id_col),
+        F.explode(band_keys(F.col("sig"), bands, rows_per_band)).alias("b"),
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a = bk.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = bk.select(F.col(id_col).alias("id_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact all-pairs jaccard via the inverted shingle index: pairs sharing
+    at least one shingle, intersection counted by the join, union from
+    per-doc set sizes. O(sum of posting-list^2) — use on bounded slices."""
+    sh = with_shingles(df, text_col, id_col, shingle_n)
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("n"))
+    ex = sh.select(F.col(id_col), F.explode("sh").alias("s"))
+    a = ex.select(F.col(id_col).alias("id_a"), "s")
+    b = ex.select(F.col(id_col).alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 32,
+) -> DataFrame:
+    """(id, simhash) fingerprints from word tokens."""
+    from qdrant_spark.functions.hashes import simhash_from_hashed, token_hash63
+    from qdrant_spark.functions.text import tokenize
+
+    staged = df.withColumn(
+        "__hs", F.transform(tokenize(F.col(text_col)), token_hash63)
+    )
+    return staged.select(
+        F.col(id_col), simhash_from_hashed(F.col("__hs"), bits).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    fps: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by hamming distance <= max_hamming, blocked on exact
+    match of one of ``n_blocks`` bit-chunks (pigeonhole: any pair within
+    hamming d < n_blocks shares at least one exact chunk)."""
+    from qdrant_spark.functions.hashes import hamming64
+
+    chunk = bits // n_blocks
+    mask = (1 << chunk) - 1
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), i * chunk)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    bk = fps.filter(F.col("simhash").isNotNull()).select(
+        F.col(id_col), F.col("simhash"), F.explode(blocks).alias("b")
+    ).select(id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.key").alias("key"))
+    a = bk.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "blk", "key")
+    b = bk.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "blk", "key")
+    return (
+        a.join(b, ["blk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("h_a"), F.col("h_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Cosine near-duplicate pairs (SemDeDup-style). ``block_col`` (e.g. an
+    IVF cluster id or label) turns the O(n^2) self-join into per-block
+    joins — the scale path; without it this is a full cross join."""
+    cols = [F.col(id_col), F.col(vec_col)] + (
+        [F.col(block_col)] if block_col else []
+    )
+    base = emb.select(*cols)
+    a = base.select(
+        *[c.alias(f"{n}_a") for c, n in zip(
+            [F.col(id_col), F.col(vec_col)], [id_col, "v"])],
+        *([F.col(block_col)] if block_col else []),
+    )
+    b = base.select(
+        *[c.alias(f"{n}_b") for c, n in zip(
+            [F.col(id_col), F.col(vec_col)], [id_col, "v"])],
+        *([F.col(block_col)] if block_col else []),
+    )
+    on = [block_col] if block_col else []
+    joined = a.join(b, on=on) if on else a.crossJoin(b)
+    return (
+        joined.filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= threshold)
+        .select(f"{id_col}_a", f"{id_col}_b", "cos")
+    )

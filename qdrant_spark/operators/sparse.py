@@ -1,0 +1,185 @@
+"""Sparse-vector search: inverted-index scoring, BM25 embedding, IDF.
+
+Reference semantics:
+- sparse KNN = dot product over (indices, values) pairs, searched via an
+  inverted index (lib/sparse/src/index/search_context.rs:37-91; posting
+  lists pruned by max_next_weight). In Spark the inverted index IS the
+  exploded (id, dim, value) DataFrame: a query becomes a broadcast join on
+  dim + groupBy(id) sum — the classic SQL inverted-index plan. At 100 TB
+  the terms table is partitioned/bucketed by dim so each query term touches
+  one partition (posting list locality for free).
+- BM25 embedding (lib/bm25/src/lib.rs:19-166): tf component
+  tf*(k1+1) / (tf + k1*(1 - b + b*doc_len/avg_doc_len)), defaults k1=1.2,
+  b=0.75, avg_doc_len=256; token ids via murmur3 in the reference — we use
+  the md5-derived token_hash63 (functions/hashes.py) so DuckDB oracles can
+  reproduce ids.
+- IDF modifier (lib/segment/src/data_types/modifier.rs:13-17; sparse idf in
+  lib/segment/src/index/sparse_index/): idf(t) = ln((N - n(t) + 0.5) /
+  (n(t) + 0.5) + 1), applied to query values at search time.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from qdrant_spark.filters import apply_filter
+from qdrant_spark.functions.text import tokenize
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_AVG_DOC_LEN = 256.0
+
+
+def doc_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    flt: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Inverted index as a DataFrame: (id, term, tf). This is the sparse
+    engine's storage layout; persist bucketed by term at scale."""
+    df = apply_filter(docs, flt)
+    toks = tokenize(F.col(text_col))
+    return (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doc_lengths(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    toks = tokenize(F.col(text_col))
+    return docs.select(F.col(id_col), F.size(toks).cast("double").alias("dl"))
+
+
+def idf_df(terms: DataFrame, n_docs: int, id_col: str = "doc_id") -> DataFrame:
+    """(term, idf) with the BM25 idf convention used by the reference."""
+    n = F.countDistinct(id_col).alias("nd")
+    df = terms.groupBy("term").agg(n)
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("nd") + F.lit(0.5)) / (F.col("nd") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    return df.select("term", idf.alias("idf"))
+
+
+def sparse_knn_terms(
+    terms: DataFrame,
+    query_terms: dict[str, float],
+    *,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse dot-product top-k over the (id, term, tf) inverted index.
+
+    The query is a tiny DataFrame broadcast onto the terms table — only
+    posting lists of query terms are read (predicate pushdown on the join
+    key after AQE converts it to a broadcast join)."""
+    spark = terms.sparkSession
+    q = spark.createDataFrame(
+        [(t, float(w)) for t, w in query_terms.items()], "term: string, qw: double"
+    )
+    scored = (
+        terms.join(F.broadcast(q), "term")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("qw")).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def sparse_knn(
+    points: DataFrame,
+    query_indices: list[int],
+    query_values: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "id",
+    indices_col: str = "sparse_indices",
+    values_col: str = "sparse_values",
+    flt: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Sparse KNN over (indices array<int/long>, values array<float>) columns
+    — the qdrant SparseVector layout. Explodes to the inverted-index shape
+    and joins with the query terms (lib/sparse/src/common/sparse_vector.rs)."""
+    df = apply_filter(points, flt)
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.col(indices_col).alias("dim"),
+                F.col(values_col).cast("array<double>").alias("v"),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.dim").alias("dim"), F.col("p.v").alias("v"))
+    spark = points.sparkSession
+    q = spark.createDataFrame(
+        list(zip([int(i) for i in query_indices], [float(v) for v in query_values])),
+        "dim: long, qv: double",
+    )
+    scored = (
+        pairs.withColumn("dim", F.col("dim").cast("long"))
+        .join(F.broadcast(q), "dim")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("v") * F.col("qv")).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bm25_tf(tf: Column, dl: Column, k1: float = BM25_K1, b: float = BM25_B,
+            avg_doc_len: float = BM25_AVG_DOC_LEN) -> Column:
+    """BM25 tf component (lib/bm25/src/lib.rs:19-50)."""
+    return (tf * (k1 + 1.0)) / (
+        tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avg_doc_len))
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_text: str,
+    *,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    avg_doc_len: float | None = BM25_AVG_DOC_LEN,
+    flt: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Full BM25 ranking: corpus IDF * per-doc tf component, summed over
+    unique query tokens. ``avg_doc_len=None`` computes the corpus average
+    instead of the reference's fixed 256 default.
+
+    Plan shape at scale: terms (shuffled once by term) ⋈ broadcast(query)
+    ⋈ broadcast(idf of query terms) ⋈ doc_lengths — one shuffle for the
+    groupBy(id), everything else broadcast."""
+    from qdrant_spark.functions.text import tokenize_py
+
+    df = apply_filter(docs, flt)
+    n_docs = df.count()
+    terms = doc_terms(df, text_col, id_col)
+    dls = doc_lengths(df, text_col, id_col)
+    if avg_doc_len is None:
+        avg_doc_len = dls.agg(F.avg("dl")).collect()[0][0]
+    q_tokens = sorted(set(tokenize_py(query_text)))
+    spark = docs.sparkSession
+    q = spark.createDataFrame([(t,) for t in q_tokens], "term: string")
+
+    idf = idf_df(terms, n_docs, id_col)
+    scored = (
+        terms.join(F.broadcast(q), "term")
+        .join(dls, id_col)
+        .join(idf, "term")
+        .withColumn(
+            "contrib",
+            F.col("idf") * bm25_tf(F.col("tf").cast("double"), F.col("dl"),
+                                   k1, b, float(avg_doc_len)),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

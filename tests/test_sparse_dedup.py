@@ -1,0 +1,134 @@
+"""Sparse search, BM25, dedup suite, and matmul-KNN equivalence tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from qdrant_spark.operators.dedup import (
+    exact_dedup,
+    embedding_near_dups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+from qdrant_spark.operators.knn import knn_batch
+from qdrant_spark.operators.sparse import bm25_search, doc_terms, sparse_knn, sparse_knn_terms
+
+
+def test_matmul_equals_window(embeddings):
+    qdf = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    for metric in ["cosine", "euclid", "manhattan"]:
+        kw = dict(metric=metric, k=5, vec_col="embedding", id_col="vec_id")
+        a = knn_batch(embeddings, qdf, strategy="window", **kw)
+        b = knn_batch(embeddings, qdf, strategy="matmul", **kw)
+        ra = [(r["qid"], r["vec_id"], r["rank"]) for r in a.orderBy("qid", "rank").collect()]
+        rb = [(r["qid"], r["vec_id"], r["rank"]) for r in b.orderBy("qid", "rank").collect()]
+        assert ra == rb, metric
+        sa = [r["score"] for r in a.orderBy("qid", "rank").collect()]
+        sb = [r["score"] for r in b.orderBy("qid", "rank").collect()]
+        for x, y in zip(sa, sb):
+            assert x == pytest.approx(y, rel=1e-9)
+
+
+def test_sparse_knn_struct_layout(spark):
+    rows = [
+        ("a", [1, 5, 9], [1.0, 2.0, 3.0]),
+        ("b", [5, 9], [4.0, 1.0]),
+        ("c", [2, 3], [9.0, 9.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id: string, sparse_indices: array<int>, sparse_values: array<float>"
+    )
+    out = sparse_knn(df, [5, 9], [1.0, 1.0], k=3).collect()
+    got = [(r["id"], r["score"]) for r in out]
+    assert got == [("a", 5.0), ("b", 5.0)]  # c shares no dims -> absent
+
+
+def test_bm25_matches_python_oracle(documents):
+    docs = documents.filter(F.col("doc_id") < 200)
+    out = bm25_search(docs, "fast hash", k=5).collect()
+
+    import re
+
+    rows = docs.select("doc_id", "text").collect()
+    tok = lambda s: [t for t in re.split(r"[^\w]+", s.lower()) if t]
+    corpus = {r["doc_id"]: tok(r["text"]) for r in rows}
+    N = len(corpus)
+    q = ["fast", "hash"]
+    nd = {t: sum(1 for ts in corpus.values() if t in ts) for t in q}
+    scores = {}
+    for d, ts in corpus.items():
+        s = 0.0
+        for t in q:
+            tf = ts.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((N - nd[t] + 0.5) / (nd[t] + 0.5) + 1.0)
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(ts) / 256.0))
+        if s > 0:
+            scores[d] = s
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["doc_id"], pytest.approx(r["score"], rel=1e-9)) for r in out] == exp
+
+
+def test_lsh_finds_planted_dups(documents):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            documents.filter(F.col("doc_id") < 100), threshold=0.5
+        ).collect()
+    }
+    assert exact, "testdata should contain planted near-dups"
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            documents.filter(F.col("doc_id") < 100), jaccard_threshold=0.5
+        ).collect()
+    }
+    # LSH with 4 bands x 4 rows catches jaccard>=0.5 pairs w.h.p.
+    assert exact <= lsh or len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_exact_dedup_flags(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r["is_duplicate"] for r in exact_dedup(df).collect()}
+    assert out == {1: False, 2: True, 3: False}  # normalized-equal, keep min id
+
+
+def test_simhash_pairs_near_identical(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely unrelated words here")],
+        "doc_id: long, text: string",
+    )
+    fps = simhash_fingerprints(df)
+    pairs = simhash_pairs(fps, max_hamming=8).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_embedding_near_dups_blocked(embeddings):
+    out = embedding_near_dups(embeddings, threshold=0.4, block_col="label").collect()
+    for r in out:
+        assert r["vec_id_a"] < r["vec_id_b"]
+        assert r["cos"] >= 0.4
+
+
+def test_sparse_terms_roundtrip(documents):
+    docs = documents.filter(F.col("doc_id") < 50)
+    terms = doc_terms(docs)
+    q = {r["term"]: float(r["tf"]) for r in terms.filter(F.col("doc_id") == 0).collect()}
+    top = sparse_knn_terms(terms, q, k=50).collect()
+    scores = {r["doc_id"]: r["score"] for r in top}
+    # the query doc's own score is exactly sum(tf^2) (raw TF dot product)
+    assert scores[0] == pytest.approx(sum(w * w for w in q.values()))
