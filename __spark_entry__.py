@@ -793,6 +793,185 @@ SELECT vec_id_a, vec_id_b, round(cos, 6) AS cos FROM p WHERE cos >= 0.4
 
 
 # ---------------------------------------------------------------------------
+# formula / planner / mutation / mmr / ann entries
+# ---------------------------------------------------------------------------
+
+
+def _q_formula(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.operators.formula import rescore_formula
+    from qdrant_spark.operators.knn import knn
+
+    q = _vecs(spark, sf, [0])[0]
+    scored = knn(
+        _emb(spark, sf), q, metric="cosine", k=50, vec_col="embedding",
+        id_col="vec_id", select=["vec_id", "label", "score"],
+    )
+    formula = {
+        "sum": [
+            {"mult": [0.7, "$score"]},
+            {"mult": [0.3, {"gauss_decay": {"x": "label", "target": 5.0, "scale": 3.0}}]},
+        ]
+    }
+    out = rescore_formula(scored, formula, id_col="vec_id", limit=10)
+    return _r6(out.select("vec_id", "score"), "score")
+
+
+_FORMULA_SQL = f"""
+WITH {_Q_CTE}, {_E_CTE},
+c AS (SELECT e.vec_id, e.label, {_SQL_DIST['cosine']} AS score FROM e, q
+      ORDER BY score DESC, vec_id LIMIT 50),
+r AS (SELECT vec_id,
+      0.7 * score + 0.3 * exp((ln(0.5) / (3.0 * 3.0))
+        * (abs(CAST(label AS DOUBLE) - 5.0) * abs(CAST(label AS DOUBLE) - 5.0))) AS score
+      FROM c)
+SELECT vec_id, round(r.score, 6) AS score FROM r ORDER BY r.score DESC, vec_id LIMIT 10
+"""
+
+
+def _q_universal_hybrid(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.query import universal_query
+
+    q = _vecs(spark, sf, [0])[0]
+    req = {
+        "prefetch": [
+            {"query": {"nearest": q}, "limit": 30},
+            {"query": {"nearest": q}, "limit": 30,
+             "filter": {"must": [{"key": "label", "range": {"lt": 5}}]}},
+        ],
+        "query": {"fusion": "rrf"},
+        "limit": 10,
+    }
+    out = universal_query(_emb(spark, sf), req, id_col="vec_id", vec_col="embedding")
+    return _r6(out, "score")
+
+
+_UNIVERSAL_HYBRID_SQL = f"""
+WITH {_Q_CTE}, {_E_CTE},
+ca AS (SELECT e.vec_id, {_SQL_DIST['cosine']} AS score FROM e, q
+       ORDER BY score DESC, vec_id LIMIT 30),
+cb AS (SELECT e.vec_id, {_SQL_DIST['cosine']} AS score FROM e, q
+       WHERE e.label < 5 ORDER BY score DESC, vec_id LIMIT 30),
+ra AS (SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) - 1 AS pos FROM ca),
+rb AS (SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) - 1 AS pos FROM cb),
+u AS (SELECT vec_id, 1.0 / (CAST(pos + 1 AS DOUBLE) / 1.0 + 2 - 1.0) AS c FROM ra
+      UNION ALL
+      SELECT vec_id, 1.0 / (CAST(pos + 1 AS DOUBLE) / 1.0 + 2 - 1.0) AS c FROM rb),
+f AS (SELECT vec_id, sum(c) AS score FROM u GROUP BY vec_id)
+SELECT vec_id, round(f.score, 6) AS score FROM f ORDER BY f.score DESC, vec_id LIMIT 10
+"""
+
+
+def _q_universal_rescore(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.query import universal_query
+
+    v = _vecs(spark, sf, [0, 7])
+    req = {
+        "prefetch": [{"query": {"nearest": v[0]}, "limit": 100}],
+        "query": {"nearest": v[7]},
+        "limit": 10,
+    }
+    out = universal_query(_emb(spark, sf), req, id_col="vec_id", vec_col="embedding")
+    return _r6(out, "score")
+
+
+_UNIVERSAL_RESCORE_SQL = f"""
+WITH {_Q_CTE}, {_E_CTE},
+q7 AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 7),
+c AS (SELECT e.vec_id, {_SQL_DIST['cosine']} AS score FROM e, q
+      ORDER BY score DESC, vec_id LIMIT 100),
+s AS (SELECT e.vec_id,
+      list_dot_product(e.v, q7.qv)
+      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q7.qv, q7.qv))) AS score
+      FROM e JOIN c USING (vec_id), q7)
+SELECT vec_id, round(s.score, 6) AS score FROM s ORDER BY s.score DESC, vec_id LIMIT 10
+"""
+
+
+def _q_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.operators.mutate import upsert_points
+
+    ups = spark.createDataFrame(
+        [(0, 99), (1, 99), (10001, 99)], "vec_id: long, label: int"
+    )
+    out = upsert_points(_emb(spark, sf), ups, id_col="vec_id")
+    return out.filter(F.col("vec_id").isin([0, 1, 10001])).select("vec_id", "label")
+
+
+_UPSERT_SQL = """
+WITH up AS (SELECT * FROM (VALUES (0, 99), (1, 99), (10001, 99)) v(vec_id, label)),
+merged AS (
+  SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM up)
+  UNION ALL SELECT vec_id, label FROM up)
+SELECT vec_id, CAST(label AS INTEGER) AS label FROM merged WHERE vec_id IN (0, 1, 10001)
+"""
+
+
+def _q_delete_filter(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.operators.mutate import delete_points
+
+    out = delete_points(
+        _emb(spark, sf),
+        flt={"must": [{"key": "label", "match": {"any": [1, 2, 3]}}]},
+        id_col="vec_id",
+    )
+    return out.agg(F.count("*").alias("count"))
+
+
+_DELETE_FILTER_SQL = "SELECT count(*) AS count FROM embeddings WHERE NOT (label IN (1, 2, 3))"
+
+
+def _q_set_payload(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.operators.mutate import set_payload
+
+    out = set_payload(
+        _emb(spark, sf), {"label": 100},
+        flt={"must": [{"key": "vec_id", "range": {"lt": 10}}]}, id_col="vec_id",
+    )
+    return out.filter(F.col("vec_id") < 20).select("vec_id", "label")
+
+
+_SET_PAYLOAD_SQL = """
+SELECT vec_id, CAST(CASE WHEN vec_id < 10 THEN 100 ELSE label END AS INTEGER) AS label
+FROM embeddings WHERE vec_id < 20
+"""
+
+
+def _q_mmr(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.operators.knn import knn
+    from qdrant_spark.operators.mmr import mmr
+
+    q = _vecs(spark, sf, [0])[0]
+    cand = knn(
+        _emb(spark, sf), q, metric="cosine", k=30, vec_col="embedding",
+        id_col="vec_id", select=["vec_id", "score", "embedding"],
+    )
+    out = mmr(cand, lambda_=0.5, k=10, metric="cosine",
+              id_col="vec_id", vec_col="embedding")
+    return _r6(out.select("vec_id", "score", "rank"), "score")
+
+
+def _q_ann_full_probe(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.operators.ann import build_ivf, ivf_search
+
+    emb = _emb(spark, sf)
+    idx = build_ivf(emb, n_clusters=8, vec_col="embedding", id_col="vec_id")
+    q = _vecs(spark, sf, [0])[0]
+    # nprobe == n_clusters probes everything -> must equal the exact scan
+    out = ivf_search(idx, q, k=10, nprobe=8, metric="cosine")
+    return _r6(out, "score")
+
+
+def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.operators.ann import build_ivf, ivf_search
+
+    emb = _emb(spark, sf)
+    idx = build_ivf(emb, n_clusters=8, vec_col="embedding", id_col="vec_id")
+    q = _vecs(spark, sf, [0])[0]
+    out = ivf_search(idx, q, k=10, nprobe=2, metric="cosine")
+    return _r6(out, "score")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -853,6 +1032,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash": _q_simhash,
         "dedup_embedding": _q_emb_dups,
+        "formula_rescore": _q_formula,
+        "universal_hybrid": _q_universal_hybrid,
+        "universal_rescore": _q_universal_rescore,
+        "upsert": _q_upsert,
+        "delete_by_filter": _q_delete_filter,
+        "set_payload": _q_set_payload,
+        "mmr": _q_mmr,
+        "ann_ivf_full_probe": _q_ann_full_probe,
+        "ann_ivf": _q_ann_ivf,
     }
 
 
@@ -949,4 +1137,13 @@ FROM documents
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": _EMB_DUPS_SQL,
+        "formula_rescore": _FORMULA_SQL,
+        "universal_hybrid": _UNIVERSAL_HYBRID_SQL,
+        "universal_rescore": _UNIVERSAL_RESCORE_SQL,
+        "upsert": _UPSERT_SQL,
+        "delete_by_filter": _DELETE_FILTER_SQL,
+        "set_payload": _SET_PAYLOAD_SQL,
+        # mmr: sequential greedy selection — not SQL-expressible (rows-only)
+        "ann_ivf_full_probe": _knn_sql("cosine"),
+        # ann_ivf (nprobe<k): approximate by design — gated by recall tests
     }

@@ -1,0 +1,211 @@
+"""Mutation surface: upsert / delete / payload / vector operations.
+
+Reference ops (lib/shard/src/operations/point_ops.rs:111-123,
+payload_ops.rs:16-28, vector_ops.rs:12-19) are applied through a WAL +
+per-point version counter; stale-version ops are skipped
+(collection_updater.rs:41). Without a transactional table format in this
+environment, every operator here is a PURE DataFrame transform: it takes
+the current table state and returns the next state — the caller persists
+(overwrite a parquet snapshot, or feed a Delta MERGE where available).
+The transforms are exactly the MERGE shapes listed in SURVEY §2.1, so they
+scale: one shuffle on the id (or none, when the update batch broadcasts).
+
+Versioning: ``version_col`` is bumped per applied op; an upsert whose
+version is <= the stored version is skipped (idempotent replay).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qdrant_spark.filters import filter_column
+
+
+def _align(updates: DataFrame, columns: list[str]) -> DataFrame:
+    """Project `updates` onto `columns`, nulling out the missing ones."""
+    have = set(updates.columns)
+    return updates.select(
+        *[F.col(c) if c in have else F.lit(None).alias(c) for c in columns]
+    )
+
+
+def upsert_points(
+    table: DataFrame,
+    updates: DataFrame,
+    *,
+    id_col: str = "id",
+    version_col: str | None = None,
+) -> DataFrame:
+    """Insert-or-replace by id (PointOperations::UpsertPoints).
+
+    Without versions: last-write-wins for ids present in ``updates``
+    (anti-join + union — the MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT
+    rewrite). With ``version_col``: keep the row with the highest version
+    per id, existing row wins ties (stale-op skip semantics)."""
+    ups = _align(updates, table.columns)
+    if version_col is None:
+        kept = table.join(
+            updates.select(id_col).distinct(), on=id_col, how="left_anti"
+        )
+        return kept.unionByName(ups)
+    from pyspark.sql.window import Window
+
+    tagged = table.withColumn("__src", F.lit(0)).unionByName(
+        ups.withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col(version_col).desc(), F.col("__src").asc()
+    )
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
+def upsert_points_conditional(
+    table: DataFrame,
+    updates: DataFrame,
+    flt: dict[str, Any],
+    *,
+    id_col: str = "id",
+) -> DataFrame:
+    """UpsertPointsConditional (point_ops.rs:116-117): replace only rows
+    whose CURRENT state matches the filter; new ids always insert."""
+    cond = filter_column(table, flt)
+    matched_ids = table.filter(cond).select(id_col)
+    existing_ids = table.select(id_col)
+    ups = _align(updates, table.columns)
+    replace = ups.join(matched_ids, id_col, "left_semi")
+    insert = ups.join(existing_ids, id_col, "left_anti")
+    kept = table.join(matched_ids.join(updates.select(id_col).distinct(), id_col, "left_semi"),
+                      id_col, "left_anti")
+    return kept.unionByName(replace).unionByName(insert)
+
+
+def delete_points(
+    table: DataFrame,
+    *,
+    ids: list | None = None,
+    flt: dict[str, Any] | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """DeletePoints{ids} / DeletePointsByFilter (point_ops.rs:118-121)."""
+    if ids is not None:
+        return table.filter(~F.col(id_col).isin(ids))
+    if flt is not None:
+        return table.filter(~F.coalesce(filter_column(table, flt), F.lit(False)))
+    raise ValueError("need ids or flt")
+
+
+def _target_cond(table: DataFrame, ids, flt, id_col):
+    if ids is not None:
+        return F.col(id_col).isin(ids)
+    if flt is not None:
+        return F.coalesce(filter_column(table, flt), F.lit(False))
+    return F.lit(True)
+
+
+def set_payload(
+    table: DataFrame,
+    payload: dict[str, Any],
+    *,
+    ids: list | None = None,
+    flt: dict[str, Any] | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """SetPayload (payload_ops.rs:16-28): per-key merge — listed keys are
+    set on matching rows, other columns untouched."""
+    cond = _target_cond(table, ids, flt, id_col)
+    out = table
+    for key, value in payload.items():
+        base = F.col(key) if key in table.columns else F.lit(None)
+        out = out.withColumn(key, F.when(cond, F.lit(value)).otherwise(base))
+    return out
+
+
+def overwrite_payload(
+    table: DataFrame,
+    payload: dict[str, Any],
+    payload_cols: list[str],
+    *,
+    ids: list | None = None,
+    flt: dict[str, Any] | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """OverwritePayload: full replace — keys not in ``payload`` are cleared
+    (NULL) on matching rows."""
+    cond = _target_cond(table, ids, flt, id_col)
+    out = table
+    for key in payload_cols:
+        new = F.lit(payload[key]) if key in payload else F.lit(None)
+        base = F.col(key) if key in table.columns else F.lit(None)
+        out = out.withColumn(key, F.when(cond, new).otherwise(base))
+    return out
+
+
+def delete_payload(
+    table: DataFrame,
+    keys: list[str],
+    *,
+    ids: list | None = None,
+    flt: dict[str, Any] | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """DeletePayload: remove listed keys (NULL the columns) on matches."""
+    cond = _target_cond(table, ids, flt, id_col)
+    out = table
+    for key in keys:
+        out = out.withColumn(key, F.when(cond, F.lit(None)).otherwise(F.col(key)))
+    return out
+
+
+def clear_payload(
+    table: DataFrame,
+    payload_cols: list[str],
+    *,
+    ids: list | None = None,
+    flt: dict[str, Any] | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """ClearPayload / ClearPayloadByFilter: NULL every payload column."""
+    return delete_payload(table, payload_cols, ids=ids, flt=flt, id_col=id_col)
+
+
+def update_vectors(
+    table: DataFrame,
+    updates: DataFrame,
+    vec_cols: list[str],
+    *,
+    id_col: str = "id",
+) -> DataFrame:
+    """UpdateVectors (vector_ops.rs:12-19): set named vectors on existing
+    points, leaving payload and absent vector names untouched."""
+    right = updates.select(
+        F.col(id_col).alias("__uid"),
+        *[F.col(c).alias(f"__new_{c}") for c in vec_cols if c in updates.columns],
+    )
+    out = table.join(F.broadcast(right), table[id_col] == right["__uid"], "left")
+    for c in vec_cols:
+        if f"__new_{c}" in out.columns:
+            out = out.withColumn(c, F.coalesce(F.col(f"__new_{c}"), F.col(c)))
+    return out.drop("__uid", *[f"__new_{c}" for c in vec_cols if f"__new_{c}" in out.columns])
+
+
+def delete_vectors(
+    table: DataFrame,
+    vec_cols: list[str],
+    *,
+    ids: list | None = None,
+    flt: dict[str, Any] | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """DeleteVectors / DeleteVectorsByFilter: NULL named vector columns."""
+    cond = _target_cond(table, ids, flt, id_col)
+    out = table
+    for c in vec_cols:
+        out = out.withColumn(c, F.when(cond, F.lit(None)).otherwise(F.col(c)))
+    return out

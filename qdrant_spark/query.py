@@ -1,0 +1,215 @@
+"""Universal Query API: prefetch-tree planner -> DataFrame pipeline.
+
+Reference: the flagship ``POST /collections/{c}/points/query`` path —
+``CollectionQueryRequest`` (lib/collection/src/operations/universal_query/
+collection_query.rs:34-106), ``ShardPrefetch`` (lib/shard/src/query/
+mod.rs:75-108), and ``PlannedQuery`` (lib/shard/src/query/planned_query.rs:
+17-112): an arbitrary-depth tree where each node is (filter, query, limit);
+leaves run search/scroll, parents re-score or merge their children.
+Max depth 64 (planned_query.rs).
+
+Spark mapping: every node compiles to a DataFrame of (id, score) — leaves
+are KNN/sparse/scroll plans, parents compose child DataFrames (fusion
+windows, rescore joins, MMR). The reference's shard-level vs
+collection-level rescore distinction (RescoreStages) disappears: a Spark
+window over the union IS the global merge, and rank-dependent fusion is
+computed after each child's global top-k, which is exactly the semantics
+the reference engineers for.
+
+Request shape (qdrant JSON, dict form):
+
+    {
+      "prefetch": [ {<nested request>}, ... ],      # optional children
+      "query": {"nearest": [..]}                    # dense KNN
+               | {"nearest": {"indices": [...], "values": [...]}}  # sparse
+               | {"recommend": {"positive": [...], "negative": [...],
+                                "strategy": "average_vector" | "best_score"
+                                          | "sum_scores"}}
+               | {"discover": {"target": [...], "context": [...]}}
+               | {"context": [...]}
+               | {"fusion": "rrf" | "dbsf"}
+               | {"formula": <formula AST>}
+               | {"mmr": {"diversity": d, "candidates_limit": n}}
+               | {"order_by": {"key": k, "direction": "asc"|"desc"}}
+               | {"sample": "random"}
+      "using": "<vector column>",                   # default "vec"
+      "filter": {<filter DSL>},
+      "limit": n, "offset": n, "score_threshold": t
+    }
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_LIMIT = 10  # collection_query.rs:51
+MAX_DEPTH = 64
+
+
+class QueryPlanner:
+    """Compiles a universal-query request against a points DataFrame."""
+
+    def __init__(self, points: DataFrame, *, id_col: str = "id",
+                 default_vec_col: str = "vec", metric: str = "cosine"):
+        self.points = points
+        self.id_col = id_col
+        self.default_vec_col = default_vec_col
+        self.metric = metric
+
+    # -- public ------------------------------------------------------------
+
+    def plan(self, request: dict[str, Any]) -> DataFrame:
+        """Returns (id, score) best-first, limited."""
+        return self._node(request, depth=0)
+
+    # -- internals ----------------------------------------------------------
+
+    def _node(self, req: dict[str, Any], depth: int) -> DataFrame:
+        if depth > MAX_DEPTH:
+            raise ValueError("prefetch tree deeper than 64")
+        children = req.get("prefetch") or []
+        if isinstance(children, dict):
+            children = [children]
+        limit = int(req.get("limit", DEFAULT_LIMIT))
+        query = req.get("query")
+        if children:
+            child_dfs = [self._node(c, depth + 1) for c in children]
+            return self._rescore(query, child_dfs, req, limit)
+        return self._leaf(query, req, limit)
+
+    def _leaf(self, query: Any, req: dict[str, Any], limit: int) -> DataFrame:
+        from qdrant_spark.operators import recommend as R
+        from qdrant_spark.operators.knn import knn
+        from qdrant_spark.operators.points import sample as sample_points
+        from qdrant_spark.operators.points import scroll
+
+        flt = req.get("filter")
+        vec_col = req.get("using", self.default_vec_col)
+        offset = int(req.get("offset", 0))
+        threshold = req.get("score_threshold")
+        kw = dict(vec_col=vec_col, id_col=self.id_col, k=limit, flt=flt)
+
+        if query is None:  # scroll by id
+            out = scroll(self.points, limit=limit, flt=flt, id_col=self.id_col)
+            return out.select(self.id_col).withColumn("score", F.lit(0.0))
+        if "nearest" in query:
+            target = query["nearest"]
+            if isinstance(target, dict):  # sparse vector
+                from qdrant_spark.operators.sparse import sparse_knn
+
+                return sparse_knn(
+                    self.points, target["indices"], target["values"], k=limit,
+                    id_col=self.id_col, flt=flt,
+                ).select(self.id_col, "score")
+            out = knn(self.points, target, metric=self.metric,
+                      score_threshold=threshold, offset=offset,
+                      select=[self.id_col, "score"], **kw)
+            return out
+        if "recommend" in query:
+            r = query["recommend"]
+            strat = r.get("strategy", "average_vector")
+            pos, neg = r.get("positive") or [], r.get("negative") or []
+            fn = {
+                "average_vector": R.recommend_avg_vector,
+                "best_score": R.recommend_best_score,
+                "sum_scores": R.recommend_sum_scores,
+            }[strat]
+            kw2 = dict(kw)
+            if strat == "average_vector":
+                kw2["score_threshold"] = threshold
+            out = fn(self.points, pos, neg, metric=self.metric, **kw2)
+            return out.select(self.id_col, "score")
+        if "discover" in query:
+            d = query["discover"]
+            pairs = [(p["positive"], p["negative"]) for p in d["context"]]
+            return R.discover(self.points, d["target"], pairs, metric=self.metric,
+                              **kw).select(self.id_col, "score")
+        if "context" in query:
+            pairs = [(p["positive"], p["negative"]) for p in query["context"]]
+            return R.context(self.points, pairs, metric=self.metric, **kw).select(
+                self.id_col, "score")
+        if "order_by" in query:
+            ob = query["order_by"]
+            key, direction = ob["key"], ob.get("direction", "asc")
+            out = scroll(self.points, limit=limit, flt=flt, id_col=self.id_col,
+                         order_by=key, direction=direction,
+                         start_from=ob.get("start_from"))
+            return out.select(
+                self.id_col, F.col(key).cast("double").alias("score")
+            )
+        if "sample" in query:
+            out = sample_points(self.points, limit, flt=flt)
+            return out.select(self.id_col).withColumn("score", F.lit(0.0))
+        raise ValueError(f"unsupported leaf query: {query!r}")
+
+    def _rescore(self, query: Any, children: list[DataFrame],
+                 req: dict[str, Any], limit: int) -> DataFrame:
+        from qdrant_spark.operators.fusion import dbsf, rrf
+
+        if query is None:
+            query = {"fusion": "rrf"}
+        if "fusion" in query:
+            fn = {"rrf": rrf, "dbsf": dbsf}[query["fusion"]]
+            return fn(children, id_col=self.id_col, limit=limit)
+        # merge children candidate ids (dedup), then re-score
+        merged = children[0].select(self.id_col)
+        for c in children[1:]:
+            merged = merged.unionByName(c.select(self.id_col))
+        merged = merged.distinct()
+        if "nearest" in query:
+            from qdrant_spark.operators.knn import knn
+
+            vec_col = req.get("using", self.default_vec_col)
+            cand = self.points.join(merged, self.id_col, "left_semi")
+            return knn(cand, query["nearest"], metric=self.metric, k=limit,
+                       vec_col=vec_col, id_col=self.id_col,
+                       score_threshold=req.get("score_threshold"),
+                       select=[self.id_col, "score"])
+        if "formula" in query:
+            from qdrant_spark.operators.formula import rescore_formula
+
+            # formula sees $score = first child's score plus payload columns
+            cand = children[0].join(self.points, self.id_col, "left")
+            return rescore_formula(
+                cand, query["formula"], id_col=self.id_col, limit=limit,
+                defaults=query.get("defaults"),
+            ).select(self.id_col, "score")
+        if "mmr" in query:
+            from qdrant_spark.operators.mmr import mmr
+
+            m = query["mmr"]
+            vec_col = req.get("using", self.default_vec_col)
+            cand = children[0].join(
+                self.points.select(self.id_col, vec_col), self.id_col, "left"
+            )
+            out = mmr(cand, lambda_=1.0 - float(m.get("diversity", 0.5)),
+                      k=limit, metric=self.metric, id_col=self.id_col,
+                      vec_col=vec_col)
+            return out.select(self.id_col, "score")
+        if "order_by" in query:
+            ob = query["order_by"]
+            key, direction = ob["key"], ob.get("direction", "asc")
+            cand = merged.join(self.points, self.id_col, "left")
+            c = F.col(key)
+            order = [c.asc() if direction == "asc" else c.desc(),
+                     F.col(self.id_col).asc()]
+            return (cand.orderBy(*order).limit(limit)
+                    .select(self.id_col, c.cast("double").alias("score")))
+        raise ValueError(f"unsupported rescore query: {query!r}")
+
+
+def universal_query(
+    points: DataFrame,
+    request: dict[str, Any],
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    metric: str = "cosine",
+) -> DataFrame:
+    """One-shot entry: plan and return (id, score) best-first."""
+    return QueryPlanner(
+        points, id_col=id_col, default_vec_col=vec_col, metric=metric
+    ).plan(request)

@@ -1,0 +1,244 @@
+"""Formula compiler, MMR, mutations, IVF-ANN, and the universal query planner."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from qdrant_spark.operators.formula import rescore_formula
+from qdrant_spark.operators.mmr import mmr, mmr_rerank_pd
+from qdrant_spark.operators.mutate import (
+    delete_points,
+    delete_vectors,
+    set_payload,
+    upsert_points,
+    upsert_points_conditional,
+)
+from qdrant_spark.query import universal_query
+
+
+# --- formula ---------------------------------------------------------------
+
+
+def test_formula_arithmetic(spark):
+    df = spark.createDataFrame(
+        [("1", 0.5, 10.0), ("2", 0.9, 2.0), ("3", 0.1, 100.0)],
+        "id: string, score: double, price: double",
+    )
+    formula = {
+        "sum": [
+            {"mult": [0.7, "$score"]},
+            {"mult": [0.3, {"div": {"left": 1.0, "right": "price",
+                                    "by_zero_default": 0.0}}]},
+        ]
+    }
+    rows = rescore_formula(df, formula).collect()
+    exp = {
+        "1": 0.7 * 0.5 + 0.3 * (1 / 10.0),
+        "2": 0.7 * 0.9 + 0.3 * (1 / 2.0),
+        "3": 0.7 * 0.1 + 0.3 * (1 / 100.0),
+    }
+    got = {r["id"]: r["score"] for r in rows}
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], rel=1e-12)
+    assert [r["id"] for r in rows] == sorted(exp, key=lambda k: -exp[k])
+
+
+def test_formula_decay_and_condition(spark):
+    df = spark.createDataFrame(
+        [("1", 1.0, 5.0, "red"), ("2", 1.0, 8.0, "blue")],
+        "id: string, score: double, x: double, color: string",
+    )
+    formula = {
+        "sum": [
+            {"gauss_decay": {"x": "x", "target": 5.0, "scale": 3.0}},
+            {"key": "color", "match": {"value": "red"}},
+        ]
+    }
+    got = {r["id"]: r["score"] for r in rescore_formula(df, formula).collect()}
+    lam = math.log(0.5) / 9.0
+    assert got["1"] == pytest.approx(1.0 + 1.0, rel=1e-12)  # decay(0)=1, cond=1
+    assert got["2"] == pytest.approx(math.exp(lam * 9.0), rel=1e-12)
+
+
+def test_formula_defaults(spark):
+    df = spark.createDataFrame(
+        [("1", 1.0, 2.0), ("2", 1.0, None)], "id: string, score: double, w: double"
+    )
+    got = {
+        r["id"]: r["score"]
+        for r in rescore_formula(df, {"mult": ["$score", "w"]},
+                                 defaults={"w": 7.0}).collect()
+    }
+    assert got == {"1": 2.0, "2": 7.0}
+
+
+# --- MMR -------------------------------------------------------------------
+
+
+def test_mmr_greedy_matches_pure_python(embeddings):
+    import pandas as pd
+
+    cand = embeddings.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        (F.col("vec_id") * -1.0).cast("double").alias("score"),
+    )
+    out = mmr(cand, lambda_=0.5, k=5, metric="cosine",
+              id_col="vec_id", vec_col="embedding").collect()
+    pdf = cand.toPandas()
+    exp = mmr_rerank_pd(pdf, lambda_=0.5, k=5, metric="cosine",
+                        id_col="vec_id", vec_col="embedding")
+    assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])] == list(exp["vec_id"])
+    # first pick is pure relevance argmax
+    assert sorted(out, key=lambda r: r["rank"])[0]["vec_id"] == 0
+
+
+def test_mmr_diversity_extreme(spark):
+    # two near-identical high-rel vectors + one orthogonal: with high
+    # diversity weight the orthogonal one must be picked second
+    rows = [
+        (1, [1.0, 0.0], 1.0),
+        (2, [0.999, 0.001], 0.99),
+        (3, [0.0, 1.0], 0.5),
+    ]
+    df = spark.createDataFrame(rows, "id: long, vec: array<float>, score: double")
+    out = sorted(
+        mmr(df, lambda_=0.1, k=2, metric="cosine").collect(), key=lambda r: r["rank"]
+    )
+    assert [r["id"] for r in out] == [1, 3]
+
+
+# --- mutations -------------------------------------------------------------
+
+
+@pytest.fixture()
+def table(spark):
+    return spark.createDataFrame(
+        [("1", 1, "a", 1.0), ("2", 1, "b", 2.0), ("3", 2, "a", 3.0)],
+        "id: string, version: long, tag: string, val: double",
+    )
+
+
+def test_upsert_replace_and_insert(spark, table):
+    ups = spark.createDataFrame(
+        [("2", 5, "B", 20.0), ("4", 1, "d", 4.0)],
+        "id: string, version: long, tag: string, val: double",
+    )
+    out = {r["id"]: (r["tag"], r["val"]) for r in upsert_points(table, ups).collect()}
+    assert out == {"1": ("a", 1.0), "2": ("B", 20.0), "3": ("a", 3.0), "4": ("d", 4.0)}
+
+
+def test_upsert_stale_version_skipped(spark, table):
+    ups = spark.createDataFrame(
+        [("3", 1, "STALE", 0.0), ("3", 9, "fresh", 9.0)],
+        "id: string, version: long, tag: string, val: double",
+    )
+    out = {r["id"]: r["tag"] for r in
+           upsert_points(table, ups, version_col="version").collect()}
+    assert out["3"] == "fresh"  # version 9 wins over stored 2 and stale 1
+
+
+def test_upsert_conditional(spark, table):
+    ups = spark.createDataFrame(
+        [("1", 2, "X", 0.0), ("3", 3, "Y", 0.0), ("9", 1, "new", 0.0)],
+        "id: string, version: long, tag: string, val: double",
+    )
+    # only rows currently tagged 'a' may be replaced; new ids insert
+    out = {r["id"]: r["tag"] for r in upsert_points_conditional(
+        table, ups, {"must": [{"key": "tag", "match": {"value": "a"}}]}
+    ).collect()}
+    assert out == {"1": "X", "2": "b", "3": "Y", "9": "new"}
+
+
+def test_delete_and_payload_ops(spark, table):
+    out = delete_points(table, flt={"must": [{"key": "tag", "match": {"value": "a"}}]})
+    assert {r["id"] for r in out.collect()} == {"2"}
+
+    out2 = set_payload(table, {"tag": "z"}, ids=["1", "3"])
+    got = {r["id"]: r["tag"] for r in out2.collect()}
+    assert got == {"1": "z", "2": "b", "3": "z"}
+
+
+def test_delete_vectors(spark):
+    df = spark.createDataFrame(
+        [("1", [1.0, 2.0]), ("2", [3.0, 4.0])], "id: string, vec: array<float>"
+    )
+    out = {r["id"]: r["vec"] for r in delete_vectors(df, ["vec"], ids=["1"]).collect()}
+    assert out["1"] is None and out["2"] == [3.0, 4.0]
+
+
+# --- IVF ANN ---------------------------------------------------------------
+
+
+def test_ivf_recall(embeddings):
+    from qdrant_spark.operators.ann import build_ivf, recall_at_k
+
+    idx = build_ivf(embeddings, n_clusters=8, vec_col="embedding", id_col="vec_id")
+    rows = embeddings.filter(F.col("vec_id") < 5).collect()
+    queries = [list(r["embedding"]) for r in rows]
+    r = recall_at_k(idx, embeddings, queries, k=10, nprobe=4, metric="cosine")
+    assert r >= 0.6  # random gaussian corpus, half the clusters probed
+    r_all = recall_at_k(idx, embeddings, queries, k=10, nprobe=8, metric="cosine")
+    assert r_all == 1.0  # probing every cluster == exact
+
+
+# --- universal query planner ----------------------------------------------
+
+
+def test_universal_hybrid_fusion(embeddings):
+    r0 = embeddings.filter("vec_id = 0").collect()[0]
+    q, lbl = r0["embedding"], r0["label"]
+    req = {
+        "prefetch": [
+            {"query": {"nearest": list(q)}, "limit": 20},
+            {"query": {"nearest": list(q)}, "limit": 20, "filter":
+                {"must": [{"key": "label", "match": {"value": lbl}}]}},
+        ],
+        "query": {"fusion": "rrf"},
+        "limit": 5,
+    }
+    out = universal_query(embeddings, req, id_col="vec_id", vec_col="embedding").collect()
+    assert len(out) == 5
+    assert out[0]["vec_id"] == 0  # rank 0 in both prefetch lists
+
+
+def test_universal_rescore_nearest(embeddings):
+    rows = embeddings.filter(F.col("vec_id").isin([0, 7])).collect()
+    v = {r["vec_id"]: list(r["embedding"]) for r in rows}
+    req = {
+        "prefetch": [{"query": {"nearest": v[0]}, "limit": 50}],
+        "query": {"nearest": v[7]},
+        "limit": 10,
+    }
+    out = universal_query(embeddings, req, id_col="vec_id", vec_col="embedding").collect()
+    assert len(out) == 10
+    # candidates came from v0's top-50, but ranking is by similarity to v7
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_universal_formula_rescore(embeddings):
+    q = embeddings.filter("vec_id = 0").collect()[0]["embedding"]
+    req = {
+        "prefetch": [{"query": {"nearest": list(q)}, "limit": 20}],
+        "query": {"formula": {"sum": ["$score", {"mult": [0.01, "label"]}]}},
+        "limit": 5,
+    }
+    out = universal_query(embeddings, req, id_col="vec_id", vec_col="embedding").collect()
+    assert len(out) == 5 and out[0]["score"] is not None
+
+
+def test_universal_mmr(embeddings):
+    q = embeddings.filter("vec_id = 0").collect()[0]["embedding"]
+    req = {
+        "prefetch": [{"query": {"nearest": list(q)}, "limit": 30}],
+        "query": {"mmr": {"diversity": 0.5}},
+        "limit": 5,
+        "using": "embedding",
+    }
+    out = universal_query(embeddings, req, id_col="vec_id", vec_col="embedding").collect()
+    assert len(out) == 5
