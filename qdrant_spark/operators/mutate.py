@@ -41,12 +41,16 @@ def upsert_points(
 ) -> DataFrame:
     """Insert-or-replace by id (PointOperations::UpsertPoints).
 
-    Without versions: last-write-wins for ids present in ``updates``
+    Without versions: rows in ``updates`` replace same-id rows in the table
     (anti-join + union — the MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT
-    rewrite). With ``version_col``: keep the row with the highest version
-    per id, existing row wins ties (stale-op skip semantics)."""
+    rewrite). A DataFrame batch has no order, so duplicate ids WITHIN the
+    batch have no "last" — they are collapsed to one arbitrary row
+    (the reference applies ops in request order; supply ``version_col``
+    for deterministic conflict resolution). With ``version_col``: keep the
+    highest version per id, existing row wins ties (stale-op skip)."""
     ups = _align(updates, table.columns)
     if version_col is None:
+        ups = ups.dropDuplicates([id_col])
         kept = table.join(
             updates.select(id_col).distinct(), on=id_col, how="left_anti"
         )
