@@ -793,6 +793,88 @@ SELECT vec_id_a, vec_id_b, round(cos, 6) AS cos FROM p WHERE cos >= 0.4
 
 
 # ---------------------------------------------------------------------------
+# geo entries (synthetic deterministic coordinates from events columns)
+# ---------------------------------------------------------------------------
+
+_GEO_LAT = "(value % 180.0) - 90.0"          # value >= 0 -> % == pmod
+_GEO_LON = "((user_id * 3.7) % 360.0) - 180.0"
+
+_POLY = {
+    "exterior": {"points": [
+        {"lon": -175.0, "lat": -85.0}, {"lon": -105.0, "lat": -80.0},
+        {"lon": -100.0, "lat": -35.0}, {"lon": -150.0, "lat": -30.0},
+        {"lon": -178.0, "lat": -50.0},
+    ]},
+    "interiors": [{"points": [
+        {"lon": -160.0, "lat": -70.0}, {"lon": -130.0, "lat": -70.0},
+        {"lon": -130.0, "lat": -50.0}, {"lon": -160.0, "lat": -50.0},
+    ]}],
+}
+
+
+def _events_geo(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _events(spark, sf)
+    lat = F.pmod(F.col("value"), F.lit(180.0)) - F.lit(90.0)
+    lon = F.pmod(F.col("user_id") * F.lit(3.7), F.lit(360.0)) - F.lit(180.0)
+    return ev.withColumn("location", F.struct(lon.alias("lon"), lat.alias("lat")))
+
+
+def _q_geo(kind: str):
+    def run(spark: SparkSession, sf: str) -> DataFrame:
+        from qdrant_spark.filters import apply_filter
+
+        if kind == "radius":
+            cond = {"key": "location", "geo_radius":
+                    {"center": {"lat": -60.0, "lon": -150.0, }, "radius": 3_000_000.0}}
+        elif kind == "bbox":
+            cond = {"key": "location", "geo_bounding_box":
+                    {"top_left": {"lat": 60.0, "lon": 170.0},
+                     "bottom_right": {"lat": -60.0, "lon": -170.0}}}
+        else:
+            cond = {"key": "location", "geo_polygon": _POLY}
+        return apply_filter(_events_geo(spark, sf), {"must": [cond]}).select("event_id")
+
+    return run
+
+
+def _ring_sql(ring: list[dict]) -> str:
+    """XOR-parity ray casting, mirroring filters._ring_crossings edge by edge."""
+    terms = []
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = float(ring[i]["lon"]), float(ring[i]["lat"])
+        x2, y2 = float(ring[(i + 1) % n]["lon"]), float(ring[(i + 1) % n]["lat"])
+        if y1 == y2:
+            continue
+        terms.append(
+            f"(CASE WHEN (({y1} > lat) <> ({y2} > lat)) AND"
+            f" (lon < ({x2} - {x1}) * (lat - {y1}) / ({y2} - {y1}) + {x1})"
+            f" THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def _geo_sql(kind: str) -> str:
+    base = f"g AS (SELECT event_id, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM events)"
+    if kind == "radius":
+        hav = (
+            "2.0 * 6371000.0 * asin(sqrt("
+            "pow(sin(radians(-60.0 - lat) / 2), 2)"
+            " + cos(radians(lat)) * cos(radians(-60.0))"
+            " * pow(sin(radians(-150.0 - lon) / 2), 2)))"
+        )
+        return f"WITH {base} SELECT event_id FROM g WHERE {hav} < 3000000.0"
+    if kind == "bbox":
+        return (
+            f"WITH {base} SELECT event_id FROM g "
+            "WHERE lat <= 60.0 AND lat >= -60.0 AND (lon >= 170.0 OR lon <= -170.0)"
+        )
+    inside = _ring_sql(_POLY["exterior"]["points"])
+    hole = _ring_sql(_POLY["interiors"][0]["points"])
+    return f"WITH {base} SELECT event_id FROM g WHERE {inside} AND NOT {hole}"
+
+
+# ---------------------------------------------------------------------------
 # formula / planner / mutation / mmr / ann entries
 # ---------------------------------------------------------------------------
 
@@ -1032,6 +1114,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash": _q_simhash,
         "dedup_embedding": _q_emb_dups,
+        "geo_radius": _q_geo("radius"),
+        "geo_bbox_wrap": _q_geo("bbox"),
+        "geo_polygon": _q_geo("polygon"),
         "formula_rescore": _q_formula,
         "universal_hybrid": _q_universal_hybrid,
         "universal_rescore": _q_universal_rescore,
@@ -1137,6 +1222,9 @@ FROM documents
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": _EMB_DUPS_SQL,
+        "geo_radius": _geo_sql("radius"),
+        "geo_bbox_wrap": _geo_sql("bbox"),
+        "geo_polygon": _geo_sql("polygon"),
         "formula_rescore": _FORMULA_SQL,
         "universal_hybrid": _UNIVERSAL_HYBRID_SQL,
         "universal_rescore": _UNIVERSAL_RESCORE_SQL,
