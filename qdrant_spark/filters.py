@@ -25,9 +25,13 @@ Value semantics preserved from the reference:
   must hit the SAME element (types.rs:3925-3962,
   nested_filtering_test.rs) -> single ``exists`` over a compiled sub-filter.
 
-Spark three-valued logic is collapsed eagerly: every leaf is wrapped in
-``coalesce(cond, false)`` so ``must_not`` over a missing field behaves like
-the reference (missing -> condition false -> must_not true).
+Spark three-valued logic: a WHERE clause already treats NULL as false, so
+leaves are left UNWRAPPED — this keeps them eligible for Parquet predicate
+pushdown (a ``coalesce(cond, false)`` wrapper disables PushedFilters
+entirely). NULL is collapsed with ``coalesce(cond, false)`` only at the two
+sites where three-valued logic would change semantics: under ``must_not``
+(missing field -> condition false -> negation true, matching the
+reference) and inside ``min_should`` counting.
 """
 
 from __future__ import annotations
@@ -85,14 +89,14 @@ class FieldResolver:
     def any_match(self, key: str, pred: ValuePred) -> Column:
         col, typ = self.resolve(key)
         if isinstance(typ, T.ArrayType):
-            return _false_if_null(F.exists(col, pred))
-        return _false_if_null(pred(col))
+            return F.exists(col, pred)
+        return pred(col)
 
     def all_values(self, key: str, pred: ValuePred) -> Column:
         col, typ = self.resolve(key)
         if isinstance(typ, T.ArrayType):
-            return _false_if_null(F.forall(col, pred))
-        return _false_if_null(pred(col))
+            return F.forall(col, pred)
+        return pred(col)
 
 
 # ---------------------------------------------------------------------------
@@ -229,7 +233,7 @@ def _point_in_polygon(c: Column, body: dict) -> Column:
 def _compile_condition(fr: FieldResolver, cond: dict[str, Any]) -> Column:
     if "has_id" in cond:
         ids = list(cond["has_id"])
-        return _false_if_null(F.col("id").isin(ids)) if ids else F.lit(False)
+        return F.col("id").isin(ids) if ids else F.lit(False)
     if "has_vector" in cond:
         name = cond["has_vector"]
         col, typ = fr.resolve(f"vec_{name}" if f"vec_{name}" in fr.schema.fieldNames() else name)
@@ -260,7 +264,7 @@ def _compile_condition(fr: FieldResolver, cond: dict[str, Any]) -> Column:
             n = F.when(col.isNull(), F.lit(0)).otherwise(
                 F.size(col) if isinstance(typ, T.ArrayType) else F.lit(1)
             )
-            return _false_if_null(_compile_range_scalar(n, cond["values_count"]))
+            return _compile_range_scalar(n, cond["values_count"])
         for geo_key in ("geo_bounding_box", "geo_radius", "geo_polygon"):
             if geo_key in cond:
                 return _compile_geo(fr, key, geo_key, cond[geo_key])
@@ -295,7 +299,7 @@ def _compile_nested(fr: FieldResolver, nested: dict[str, Any]) -> Column:
         sub_fr = _ElementResolver(elem_schema, elem)
         return compile_filter(sub_fr, sub)
 
-    return _false_if_null(F.exists(col, pred))
+    return F.exists(col, pred)
 
 
 class _ElementResolver(FieldResolver):
@@ -347,7 +351,7 @@ def compile_filter(fr: FieldResolver, flt: dict[str, Any] | None) -> Column:
         conds = [_compile_condition(fr, c) for c in mn["conditions"]]
         total = None
         for c in conds:
-            x = c.cast("int")
+            x = _false_if_null(c).cast("int")  # NULL must count as 0, not poison the sum
             total = x if total is None else total + x
         clauses.append(total >= int(mn["min_count"]))
     if must_not := flt.get("must_not"):

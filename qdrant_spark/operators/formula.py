@@ -119,7 +119,10 @@ class FormulaCompiler:
             if kind in expr:
                 return self._decay(kind.split("_")[0], expr[kind])
         # otherwise: a filter condition used as a 0/1 indicator
-        return _compile_condition(self.fr, expr).cast("double")
+        # (conditions are un-coalesced for pushdown; NULL counts as 0 here)
+        return F.coalesce(
+            _compile_condition(self.fr, expr), F.lit(False)
+        ).cast("double")
 
     def _decay(self, kind: str, d: dict[str, Any]) -> Column:
         """Decay kernels (parsed_formula.rs lin/exp/gauss; midpoint default
