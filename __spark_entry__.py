@@ -793,6 +793,119 @@ SELECT vec_id_a, vec_id_b, round(cos, 6) AS cos FROM p WHERE cos >= 0.4
 
 
 # ---------------------------------------------------------------------------
+# remaining filter-condition entries (nested / prefix / is_empty / counts)
+# ---------------------------------------------------------------------------
+
+
+def _q_filter_nested(spark: SparkSession, sf: str) -> DataFrame:
+    """Same-element nested semantics: both conditions must hit the SAME
+    lineitem of the order (types.rs:3925-3962)."""
+    from qdrant_spark.filters import apply_filter
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    agg = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_partkey", "l_quantity")).alias("items")
+    )
+    flt = {"must": [{"nested": {"key": "items", "filter": {"must": [
+        {"key": "l_quantity", "range": {"gt": 45.0}},
+        {"key": "l_partkey", "range": {"lt": 50}},
+    ]}}}]}
+    return apply_filter(agg, flt).select("l_orderkey")
+
+
+_FILTER_NESTED_SQL = """
+SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity > 45.0 AND l_partkey < 50
+"""
+
+
+def _q_filter_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.filters import apply_filter
+
+    flt = {"must": [{"key": "source", "match": {"prefix": "src1"}}]}
+    return apply_filter(_docs(spark, sf), flt).select("doc_id", "source")
+
+
+_FILTER_PREFIX_SQL = "SELECT doc_id, source FROM documents WHERE source LIKE 'src1%'"
+
+
+def _docs_with_tags(spark: SparkSession, sf: str) -> DataFrame:
+    """Synthesized array payload with the reference's three-way missing /
+    empty / null semantics (types.rs:3780-3806)."""
+    d = _docs(spark, sf)
+    tags = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("array<string>"))
+        .when(F.col("doc_id") % 5 == 1, F.array().cast("array<string>"))
+        .otherwise(F.array(F.col("lang")))
+    )
+    return d.withColumn("tags", tags).withColumn(
+        "tags__isnull", F.col("doc_id") % 10 == 5
+    )
+
+
+def _q_filter_is_empty(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.filters import apply_filter
+
+    out = apply_filter(
+        _docs_with_tags(spark, sf), {"must": [{"is_empty": {"key": "tags"}}]}
+    )
+    return out.select("doc_id")
+
+
+_FILTER_IS_EMPTY_SQL = """
+SELECT doc_id FROM documents WHERE doc_id % 5 = 0 OR doc_id % 5 = 1
+"""
+
+
+def _q_filter_is_null(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.filters import apply_filter
+
+    out = apply_filter(
+        _docs_with_tags(spark, sf), {"must": [{"is_null": {"key": "tags"}}]}
+    )
+    return out.select("doc_id")
+
+
+_FILTER_IS_NULL_SQL = "SELECT doc_id FROM documents WHERE doc_id % 10 = 5"
+
+
+def _q_values_count(spark: SparkSession, sf: str) -> DataFrame:
+    """values_count on the token array of each document."""
+    from qdrant_spark.filters import apply_filter
+    from qdrant_spark.functions.text import tokenize
+
+    d = _docs(spark, sf).withColumn("toks", tokenize("text"))
+    out = apply_filter(
+        d, {"must": [{"key": "toks", "values_count": {"gte": 30, "lt": 40}}]}
+    )
+    return out.select("doc_id")
+
+
+_VALUES_COUNT_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id FROM t WHERE len(toks) >= 30 AND len(toks) < 40
+"""
+
+
+def _q_query_by_id(spark: SparkSession, sf: str) -> DataFrame:
+    """VectorInput::Id — the query vector is point id 7, resolved first."""
+    from qdrant_spark.query import universal_query
+
+    req = {"query": {"nearest": {"id": 7}}, "limit": 10}
+    out = universal_query(_emb(spark, sf), req, id_col="vec_id", vec_col="embedding")
+    return _r6(out, "score")
+
+
+_QUERY_BY_ID_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 7),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+s AS (SELECT e.vec_id,
+      list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS score
+      FROM e, q)
+SELECT vec_id, round(s.score, 6) AS score FROM s ORDER BY s.score DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # geo entries (synthetic deterministic coordinates from events columns)
 # ---------------------------------------------------------------------------
 
@@ -1114,6 +1227,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash": _q_simhash,
         "dedup_embedding": _q_emb_dups,
+        "filter_nested": _q_filter_nested,
+        "filter_prefix": _q_filter_prefix,
+        "filter_is_empty": _q_filter_is_empty,
+        "filter_is_null": _q_filter_is_null,
+        "filter_values_count": _q_values_count,
+        "query_by_id": _q_query_by_id,
         "geo_radius": _q_geo("radius"),
         "geo_bbox_wrap": _q_geo("bbox"),
         "geo_polygon": _q_geo("polygon"),
@@ -1222,6 +1341,12 @@ FROM documents
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": _EMB_DUPS_SQL,
+        "filter_nested": _FILTER_NESTED_SQL,
+        "filter_prefix": _FILTER_PREFIX_SQL,
+        "filter_is_empty": _FILTER_IS_EMPTY_SQL,
+        "filter_is_null": _FILTER_IS_NULL_SQL,
+        "filter_values_count": _VALUES_COUNT_SQL,
+        "query_by_id": _QUERY_BY_ID_SQL,
         "geo_radius": _geo_sql("radius"),
         "geo_bbox_wrap": _geo_sql("bbox"),
         "geo_polygon": _geo_sql("polygon"),

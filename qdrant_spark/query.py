@@ -80,6 +80,21 @@ class QueryPlanner:
             return self._rescore(query, child_dfs, req, limit)
         return self._leaf(query, req, limit)
 
+    def _resolve_vector_input(self, target: Any, vec_col: str,
+                              lookup_from: DataFrame | None = None) -> list:
+        """VectorInput id resolution (VectorInputInternal::Id,
+        collection_query.rs:147-152; cross-collection lookup_from via
+        lib/collection/src/common/fetch_vectors.rs): a query position may be
+        a point id, resolved against this collection (or ``lookup_from``)
+        before search."""
+        if isinstance(target, dict) and "id" in target:
+            src = lookup_from if lookup_from is not None else self.points
+            rows = src.filter(F.col(self.id_col) == target["id"]).select(vec_col).collect()
+            if not rows or rows[0][0] is None:
+                raise ValueError(f"vector id {target['id']!r} not found")
+            return list(rows[0][0])
+        return target
+
     def _leaf(self, query: Any, req: dict[str, Any], limit: int) -> DataFrame:
         from qdrant_spark.operators import recommend as R
         from qdrant_spark.operators.knn import knn
@@ -97,13 +112,15 @@ class QueryPlanner:
             return out.select(self.id_col).withColumn("score", F.lit(0.0))
         if "nearest" in query:
             target = query["nearest"]
-            if isinstance(target, dict):  # sparse vector
+            if isinstance(target, dict) and "indices" in target:  # sparse vector
                 from qdrant_spark.operators.sparse import sparse_knn
 
                 return sparse_knn(
                     self.points, target["indices"], target["values"], k=limit,
                     id_col=self.id_col, flt=flt,
                 ).select(self.id_col, "score")
+            target = self._resolve_vector_input(target, vec_col,
+                                                query.get("lookup_from"))
             out = knn(self.points, target, metric=self.metric,
                       score_threshold=threshold, offset=offset,
                       select=[self.id_col, "score"], **kw)
