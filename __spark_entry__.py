@@ -157,6 +157,46 @@ FROM r WHERE rn <= 10
 """
 
 
+def _q_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bulk similarity join: top-5 neighbors for each of the first 50
+    vectors against the whole corpus — the training-pipeline shape of
+    batch KNN (one block-matmul pass over the points)."""
+    from qdrant_spark.operators.knn import knn_batch
+
+    emb = _emb(spark, sf)
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = knn_batch(
+        emb, queries, metric="cosine", k=5, vec_col="embedding",
+        id_col="vec_id", strategy="matmul",
+    ).select("qid", "vec_id", "score", "rank")
+    return _long(_r6(out, "score"), "rank")
+
+
+_SIMILARITY_JOIN_SQL = f"""
+WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 50),
+{_E_CTE},
+s AS (SELECT qs.qid, e.vec_id,
+      list_dot_product(e.v, qs.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qs.qv, qs.qv))) AS score
+      FROM e, qs),
+r AS (SELECT qid, vec_id, score,
+      row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) rn FROM s)
+SELECT qid, vec_id, round(r.score, 6) AS score, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 5
+"""
+
+
+def _q_scroll_random(spark: SparkSession, sf: str) -> DataFrame:
+    """ScrollOrder::Random — seeded, deterministic within Spark but not
+    reproducible in SQL (rows-only check)."""
+    from qdrant_spark.operators.points import scroll
+
+    return scroll(_docs(spark, sf), limit=20, id_col="doc_id", random_seed=42).select(
+        "doc_id"
+    )
+
+
 def _q_reco(kind: str):
     def run(spark: SparkSession, sf: str) -> DataFrame:
         from qdrant_spark.operators import recommend as R
@@ -625,6 +665,41 @@ q AS (SELECT term, CAST(tf AS DOUBLE) AS qw FROM terms WHERE doc_id = 0),
 s AS (SELECT terms.doc_id, sum(terms.tf * q.qw) AS score
       FROM terms JOIN q USING (term) GROUP BY terms.doc_id)
 SELECT doc_id, round(s.score, 6) AS score FROM s ORDER BY s.score DESC, doc_id LIMIT 10
+"""
+
+
+def _q_sparse_idf(spark: SparkSession, sf: str) -> DataFrame:
+    """Modifier::Idf (modifier.rs:13-17): query values are rescaled by the
+    corpus IDF at search time; documents keep raw tf."""
+    from qdrant_spark.operators.sparse import doc_terms, idf_df
+
+    docs = _docs(spark, sf)
+    n_docs = docs.count()
+    terms = doc_terms(docs)
+    idf = idf_df(terms, n_docs)
+    q_tokens = ["fast", "hash", "join", "sort"]
+    q = spark.createDataFrame([(t,) for t in q_tokens], "term: string")
+    scored = (
+        terms.join(F.broadcast(q), "term")
+        .join(idf, "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+    return _r6(scored, "score")
+
+
+_SPARSE_IDF_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+terms AS (SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY doc_id, term),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS nd FROM terms GROUP BY term),
+q AS (SELECT unnest(['fast', 'hash', 'join', 'sort']) AS term),
+sc AS (SELECT terms.doc_id,
+       sum(terms.tf * ln(((SELECT count(*) FROM documents) - nd + 0.5) / (nd + 0.5) + 1.0)) AS score
+       FROM terms JOIN q USING (term) JOIN dfq USING (term) GROUP BY terms.doc_id)
+SELECT doc_id, round(sc.score, 6) AS score FROM sc ORDER BY sc.score DESC, doc_id LIMIT 10
 """
 
 
@@ -1191,6 +1266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_batch": _q_knn_batch("window"),
         "knn_batch_partial": _q_knn_batch("partial"),
         "knn_batch_matmul": _q_knn_batch("matmul"),
+        "similarity_join": _q_similarity_join,
+        "scroll_random": _q_scroll_random,
         "recommend_avg_vector": _q_reco("avg"),
         "recommend_best_score": _q_reco("best"),
         "recommend_sum_scores": _q_reco("sum"),
@@ -1220,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_detect": _q_lang_detect,
         "fingerprint": _q_fingerprint,
         "sparse_knn": _q_sparse_knn,
+        "sparse_idf_knn": _q_sparse_idf,
         "bm25_search": _q_bm25,
         "dedup_exact": _q_exact_dedup,
         "dedup_minhash_sig": _q_minhash,
@@ -1260,6 +1338,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_batch": _KNN_BATCH_SQL,
         "knn_batch_partial": _KNN_BATCH_SQL,
         "knn_batch_matmul": _KNN_BATCH_SQL,
+        "similarity_join": _SIMILARITY_JOIN_SQL,
+        # scroll_random: seeded rand() not reproducible in DuckDB (rows-only)
         "recommend_avg_vector": _reco_sql("avg"),
         "recommend_best_score": _reco_sql("best"),
         "recommend_sum_scores": _reco_sql("sum"),
@@ -1334,6 +1414,7 @@ SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
 FROM documents
 """,
         "sparse_knn": _SPARSE_KNN_SQL,
+        "sparse_idf_knn": _SPARSE_IDF_SQL,
         "bm25_search": _BM25_SQL,
         "dedup_exact": _EXACT_DEDUP_SQL,
         "dedup_minhash_sig": _minhash_sql(),

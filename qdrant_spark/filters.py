@@ -268,7 +268,8 @@ def _compile_condition(fr: FieldResolver, cond: dict[str, Any]) -> Column:
         for geo_key in ("geo_bounding_box", "geo_radius", "geo_polygon"):
             if geo_key in cond:
                 return _compile_geo(fr, key, geo_key, cond[geo_key])
-    if any(k in cond for k in ("must", "should", "must_not", "min_should")):
+    if not cond or any(k in cond for k in ("must", "should", "must_not", "min_should")):
+        # Condition::Filter (types.rs:3981); an empty filter matches all
         return compile_filter(fr, cond)
     raise ValueError(f"unsupported condition: {cond!r}")
 
