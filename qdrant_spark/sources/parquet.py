@@ -1,0 +1,66 @@
+"""PointsTable: parquet-backed collection storage with scale-aware layout.
+
+The reference's storage ladder (segments, mmap tiers, tenant-aware layout —
+SURVEY §4.2, `PayloadSchemaParams::tenant_optimization` types.rs:2712) maps
+to parquet layout choices:
+
+- ``partition_by`` (e.g. a tenant / shard-key column, `ShardKey`
+  types.rs:6309): directory partitioning -> Catalyst partition pruning for
+  multitenant filters, the equivalent of qdrant's tenant segment placement.
+- ``bucket_by`` on id (via a stable hash column): co-locates same-id rows
+  for merge/upsert joins — the hash-ring analogue (hash_ring.rs:140).
+- cluster column from IVF (operators/ann.py): partition by cluster for
+  nprobe partition pruning.
+
+Snapshots (versioned directories + CURRENT pointer) come from
+streaming/ingest.ParquetPointsSink; this module is the batch-side reader/
+writer with the same layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class PointsTable:
+    def __init__(self, spark: SparkSession, path: str, *, id_col: str = "id",
+                 partition_by: list[str] | None = None):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.partition_by = partition_by or []
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def write(self, df: DataFrame, *, mode: str = "overwrite",
+              shard_buckets: int | None = None) -> None:
+        """Persist with the declared layout. ``shard_buckets`` adds a
+        ``__shard`` column (stable hash of id, the hash-ring analogue) and
+        partitions by it so upserts and id-lookups prune files."""
+        writer_df = df
+        parts = list(self.partition_by)
+        if shard_buckets:
+            writer_df = df.withColumn(
+                "__shard", F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(shard_buckets))
+            )
+            parts.append("__shard")
+        w = writer_df.write.mode(mode)
+        if parts:
+            w = w.partitionBy(*parts)
+        w.parquet(self.path)
+
+    def upsert(self, updates: DataFrame, *, version_col: str | None = None) -> None:
+        """Read-modify-write upsert snapshot (MERGE shape; see
+        operators/mutate.upsert_points). With a transactional format this
+        becomes a real MERGE INTO with the same join plan."""
+        from qdrant_spark.operators.mutate import upsert_points
+
+        current = self.read()
+        merged = upsert_points(current, updates, id_col=self.id_col,
+                               version_col=version_col)
+        tmp = f"{self.path}__tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(self.path)

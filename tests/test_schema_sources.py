@@ -1,0 +1,84 @@
+"""Collection config / schema validation and PointsTable layout."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from qdrant_spark.schema import CollectionConfig, PayloadField, VectorConfig
+from qdrant_spark.sources.parquet import PointsTable
+
+
+@pytest.fixture()
+def config():
+    return CollectionConfig(
+        vectors={"": VectorConfig(dim=4, distance="dot"),
+                 "colbert": VectorConfig(dim=4, kind="multi"),
+                 "text": VectorConfig(dim=0, kind="sparse")},
+        payload={"city": PayloadField("keyword", nullable_marker=True),
+                 "price": PayloadField("float"),
+                 "location": PayloadField("geo", array=False)},
+    )
+
+
+def test_struct_type_shape(config):
+    st = config.to_struct_type()
+    names = st.fieldNames()
+    assert names[:2] == ["id", "version"]
+    assert "vec" in names and "vec_colbert" in names and "vec_text" in names
+    assert "city" in names and "city__isnull" in names
+    assert st["vec"].dataType.simpleString() == "array<float>"
+    assert st["vec_colbert"].dataType.simpleString() == "array<array<float>>"
+    assert st["city"].dataType.simpleString() == "array<string>"
+    assert st["location"].dataType.simpleString() == "struct<lon:double,lat:double>"
+
+
+def test_validate_reports_drift(spark, config):
+    df = spark.createDataFrame([("1", 0)], "id: string, version: long")
+    problems = config.validate(df)
+    assert any("vec" in p for p in problems)
+    assert any("city" in p for p in problems)
+
+
+def test_invalid_configs_rejected():
+    with pytest.raises(ValueError):
+        VectorConfig(dim=4, distance="nope")
+    with pytest.raises(ValueError):
+        VectorConfig(dim=4, kind="graph")
+
+
+def test_points_table_roundtrip_and_shards(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        t = PointsTable(spark, f"{tmp}/pts", id_col="id")
+        df = spark.createDataFrame(
+            [(str(i), i % 3, float(i)) for i in range(30)],
+            "id: string, tenant: int, val: double",
+        )
+        t.write(df, shard_buckets=4)
+        back = t.read()
+        assert back.count() == 30
+        assert "__shard" in back.columns
+        assert back.select("__shard").distinct().count() <= 4
+
+        ups = spark.createDataFrame(
+            [("5", 99, 99.0), ("100", 1, 1.0)], "id: string, tenant: int, val: double"
+        )
+        t.upsert(ups)
+        got = {r["id"]: r["val"] for r in t.read().collect()}
+        assert got["5"] == 99.0 and got["100"] == 1.0 and len(got) == 31
+
+
+def test_points_table_partition_pruning(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        t = PointsTable(spark, f"{tmp}/pts", id_col="id", partition_by=["tenant"])
+        df = spark.createDataFrame(
+            [(str(i), i % 3, float(i)) for i in range(30)],
+            "id: string, tenant: int, val: double",
+        )
+        t.write(df)
+        pruned = t.read().filter(F.col("tenant") == 1)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert pruned.count() == 10
+        assert "PartitionFilters: [isnotnull(tenant" in plan or "tenant#" in plan
