@@ -42,6 +42,15 @@ def main() -> None:
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     n_emb = emb.count()  # materialize cache before timing
 
+    # XL corpus: union-amplify the embeddings to ~128k distinct-id rows so
+    # the vector path is measured at a size where per-row cost dominates
+    # (the raw table is small at every sf)
+    xl = emb
+    while xl.count() < 128_000 // 2:
+        xl = xl.unionByName(xl)
+    xl = xl.withColumn("vec_id", F.monotonically_increasing_id()).cache()
+    n_xl = xl.count()
+
     qvecs = [list(r["embedding"]) for r in emb.limit(64).collect()]
     q0 = qvecs[0]
     queries_df = spark.createDataFrame(
@@ -80,6 +89,16 @@ def main() -> None:
         return group_by(scored, "label", groups=10, group_size=5,
                         id_col="vec_id").count()
 
+    def q_knn_batch64_xl():
+        return knn_batch(xl, queries_df, metric="cosine", k=10,
+                         vec_col="embedding", id_col="vec_id",
+                         strategy="matmul").count()
+
+    def q_bm25():
+        from qdrant_spark.operators.sparse import bm25_search
+
+        return bm25_search(docs, "fast hash join sort", k=10).collect()
+
     def q_filter_scan():
         flt = {
             "must": [
@@ -104,9 +123,11 @@ def main() -> None:
     bench = {
         "knn_single": q_knn_single,
         "knn_batch64": q_knn_batch64,
+        "knn_batch64_xl": q_knn_batch64_xl,
         "knn_filtered": q_knn_filtered,
         "fusion_hybrid": q_fusion_hybrid,
         "grouped_search": q_grouped,
+        "bm25": q_bm25,
         "filter_scan": q_filter_scan,
         "facet": q_facet,
         "text_pipeline": q_text_pipeline,
@@ -127,6 +148,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "n_embeddings": n_emb,
+        "n_embeddings_xl": n_xl,
     }))
     spark.stop()
 

@@ -149,9 +149,11 @@ def _matmul_knn(
     score_threshold: float | None,
 ) -> DataFrame:
     """Block-matmul batch KNN: per Arrow batch, score all queries at once
-    with NumPy (float64 BLAS), keep a running top-k per query, emit at most
-    Q*k candidates per partition. The final window re-ranks exactly
-    (score direction, then id asc) so ties match the Column-math path."""
+    with NumPy (float64 BLAS), keep per-batch top-k per query, emit at most
+    ~batches*Q*k candidates per partition. Arrow-native (``mapInArrow``):
+    the vector column's flat value buffer reshapes straight into the (P, D)
+    matrix — no per-row object conversion. The final window re-ranks
+    exactly (score direction, then id asc) so ties match the Column path."""
     import numpy as np
 
     q_rows = queries.select(qid_col, qvec_col).collect()
@@ -171,63 +173,76 @@ def _matmul_knn(
     )
 
     def score_batches(batches: Iterator) -> Iterator:
-        import pandas as pd
+        import pyarrow as pa
 
         qids_l, Qm = bq.value
-        nq = Qm.shape[0]
+        nq, dim = Qm.shape
         qnorm = np.linalg.norm(Qm, axis=1) if metric == "cosine" else None
-        cand: "pd.DataFrame | None" = None
+        qid_arr = np.asarray(qids_l)
+        acc_q: list[np.ndarray] = []   # query INDEX per candidate row
+        acc_i: list[np.ndarray] = []
+        acc_s: list[np.ndarray] = []
 
-        def topk_frame(ids: "np.ndarray", S: "np.ndarray") -> "pd.DataFrame":
-            # S: (P, Q) scores; exact per-query top-k incl. id tie-break
-            kk = min(k, S.shape[0])
-            frames = []
-            for qi in range(nq):
-                s = S[:, qi]
-                if kk < S.shape[0]:
-                    part = np.argpartition(-s if bigger_better else s, kk - 1)[:kk * 2]
-                else:
-                    part = np.arange(S.shape[0])
-                key_s = -s[part] if bigger_better else s[part]
-                order = np.lexsort((ids[part], key_s))[:kk]
-                sel = part[order]
-                frames.append(
-                    pd.DataFrame({qid_col: qids_l[qi], id_col: ids[sel], "score": s[sel]})
-                )
-            return pd.concat(frames, ignore_index=True)
-
-        def prune(df: "pd.DataFrame") -> "pd.DataFrame":
-            df = df.sort_values(
-                ["score", id_col], ascending=[not bigger_better, True]
-            )
-            return df.groupby(qid_col, sort=False).head(k).reset_index(drop=True)
-
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            M = np.array(list(pdf[vec_col]), dtype=np.float64)  # (P, D)
-            ids = pdf[id_col].to_numpy()
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            vec = batch.column(1)
+            if isinstance(vec, pa.ChunkedArray):
+                vec = vec.combine_chunks()
+            flat = vec.flatten().to_numpy(zero_copy_only=False)
+            M = flat.reshape(n, dim).astype(np.float64, copy=False)
             if metric in ("dot", "cosine"):
                 S = M @ Qm.T
                 if metric == "cosine":
                     S = S / (np.linalg.norm(M, axis=1)[:, None] * qnorm[None, :])
             else:
-                # chunk queries to bound the (P, cq, D) intermediate
-                P, D = M.shape
-                cq = max(1, 4_000_000 // max(1, P * D))
-                S = np.empty((P, nq))
+                cq = max(1, 4_000_000 // max(1, n * dim))
+                S = np.empty((n, nq))
                 for lo in range(0, nq, cq):
                     d = M[:, None, :] - Qm[None, lo:lo + cq, :]
                     if metric == "euclid":
                         S[:, lo:lo + cq] = np.sqrt((d * d).sum(axis=2))
                     else:
                         S[:, lo:lo + cq] = np.abs(d).sum(axis=2)
-            cur = topk_frame(ids, S)
-            cand = cur if cand is None else prune(pd.concat([cand, cur]))
-        if cand is not None:
-            yield cand
+            kk = min(k, n)
+            if kk < n:
+                # top-kk by score per query (columnwise argpartition, one call)
+                part = np.argpartition(-S if bigger_better else S, kk - 1, axis=0)[:kk]
+            else:
+                part = np.tile(np.arange(n)[:, None], (1, nq))
+            rows = part.ravel(order="F")                 # kk rows per query
+            qidx = np.repeat(np.arange(nq), part.shape[0])
+            acc_q.append(qidx)
+            acc_i.append(ids[rows])
+            acc_s.append(S[rows, qidx])
 
-    scored = pts.select(id_col, vec_col).mapInPandas(score_batches, out_schema)
+        if not acc_q:
+            return
+        qidx = np.concatenate(acc_q)
+        ids = np.concatenate(acc_i)
+        scores = np.concatenate(acc_s)
+        # exact per-query top-k incl. id tie-break, one lexsort over candidates
+        key_s = -scores if bigger_better else scores
+        order = np.lexsort((ids, key_s, qidx))  # qidx major, then score, id
+        qidx, ids, scores = qidx[order], ids[order], scores[order]
+        # rank within query = position - first position of that query
+        starts = np.searchsorted(qidx, np.arange(len(qids_l)))
+        rank = np.arange(len(qidx)) - starts[qidx]
+        keep = rank < k
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(qid_arr[qidx[keep]]),
+                pa.array(ids[keep]),
+                pa.array(scores[keep], type=pa.float64()),
+            ],
+            names=[qid_col, id_col, "score"],
+        )
+
+    scored = pts.select(id_col, vec_col).filter(
+        F.size(vec_col) == len(Q[0])
+    ).mapInArrow(score_batches, out_schema)
     if score_threshold is not None:
         scored = scored.filter(_threshold_cond(metric, score_threshold))
     w = Window.partitionBy(qid_col).orderBy(*score_order(metric, id_col=id_col))

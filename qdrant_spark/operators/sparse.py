@@ -169,11 +169,13 @@ def bm25_search(
     spark = docs.sparkSession
     q = spark.createDataFrame([(t,) for t in q_tokens], "term: string")
 
-    idf = idf_df(terms, n_docs, id_col)
+    # IDF only for the query's terms (semi-join first), then broadcast —
+    # keeps the big terms⋈idf join off the full vocabulary
+    idf = idf_df(terms.join(F.broadcast(q), "term", "left_semi"), n_docs, id_col)
     scored = (
         terms.join(F.broadcast(q), "term")
         .join(dls, id_col)
-        .join(idf, "term")
+        .join(F.broadcast(idf), "term")
         .withColumn(
             "contrib",
             F.col("idf") * bm25_tf(F.col("tf").cast("double"), F.col("dl"),
