@@ -156,7 +156,10 @@ def _matmul_knn(
     exactly (score direction, then id asc) so ties match the Column path."""
     import numpy as np
 
-    q_rows = queries.select(qid_col, qvec_col).collect()
+    # coalesce(1) before collect: a python-backed queries DF otherwise runs
+    # one pickle-deserializing worker per partition just to fetch a few
+    # hundred rows (the whole batch is broadcast afterwards anyway)
+    q_rows = queries.select(qid_col, qvec_col).coalesce(1).collect()
     qids = [r[qid_col] for r in q_rows]
     Q = np.array([list(r[qvec_col]) for r in q_rows], dtype=np.float64)
     bigger_better = larger_is_better(metric)
