@@ -1241,6 +1241,32 @@ def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return _r6(out, "score")
 
 
+def _q_sq_rescore(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-quantized coarse scan + exact rescore of k*oversampling
+    candidates (QuantizationSearchParams, types.rs:573-628). With rescore
+    on, results equal the exact scan whenever the true top-k survives the
+    coarse cut — the oracle asserts exactly that."""
+    from qdrant_spark.operators.quantize import build_sq, sq_search
+
+    emb = _emb(spark, sf)
+    idx = build_sq(emb, vec_col="embedding", id_col="vec_id")
+    q = _vecs(spark, sf, [0])[0]
+    out = sq_search(idx, q, k=10, oversampling=3.0, metric="cosine")
+    return _r6(out, "score")
+
+
+def _q_bq_rescore(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary (1-bit) quantization: hamming coarse stage + exact rescore.
+    Approximate by design (rows-only check; recall gated in tests)."""
+    from qdrant_spark.operators.quantize import build_bq, bq_search
+
+    emb = _emb(spark, sf)
+    idx = build_bq(emb, vec_col="embedding", id_col="vec_id")
+    q = _vecs(spark, sf, [0])[0]
+    out = bq_search(idx, q, k=10, oversampling=8.0, metric="cosine")
+    return _r6(out, "score")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1323,6 +1349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr": _q_mmr,
         "ann_ivf_full_probe": _q_ann_full_probe,
         "ann_ivf": _q_ann_ivf,
+        "quantized_sq_rescore": _q_sq_rescore,
+        "quantized_bq_rescore": _q_bq_rescore,
     }
 
 
@@ -1439,5 +1467,8 @@ FROM documents
         "set_payload": _SET_PAYLOAD_SQL,
         # mmr: sequential greedy selection — not SQL-expressible (rows-only)
         "ann_ivf_full_probe": _knn_sql("cosine"),
+        "quantized_sq_rescore": _knn_sql("cosine"),
+        # quantized_bq_rescore: hamming coarse stage is approximate by
+        # design — rows-only check, recall gated in tests/test_quantize.py
         # ann_ivf (nprobe<k): approximate by design — gated by recall tests
     }

@@ -1,0 +1,99 @@
+"""Quantized two-stage search: rescored results must recover the exact
+top-k (SQ, small corpus) or hit a recall floor (BQ) — the reference's
+ANN-vs-exact gate applied to quantization (types.rs:573-628)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from qdrant_spark.operators.knn import knn
+from qdrant_spark.operators.quantize import build_bq, build_sq, bq_search, sq_search
+
+
+@pytest.fixture(scope="module")
+def sq(embeddings):
+    idx = build_sq(embeddings, vec_col="embedding", id_col="vec_id")
+    idx.codes.cache().count()
+    return idx
+
+
+@pytest.fixture(scope="module")
+def bq(embeddings):
+    idx = build_bq(embeddings, vec_col="embedding", id_col="vec_id")
+    idx.packed.cache().count()
+    return idx
+
+
+def _exact_ids(embeddings, q, metric, k):
+    return [
+        r["vec_id"]
+        for r in knn(embeddings, q, metric=metric, k=k, vec_col="embedding",
+                     id_col="vec_id", select=["vec_id", "score"]).collect()
+    ]
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclid"])
+def test_sq_rescore_matches_exact(embeddings, sq, metric):
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    exact = _exact_ids(embeddings, q, metric, 10)
+    got = [r["vec_id"] for r in sq_search(sq, q, k=10, oversampling=3.0,
+                                          metric=metric).collect()]
+    assert got == exact
+
+
+def test_sq_coarse_no_rescore_close(embeddings, sq):
+    """rescore=False returns coarse scores: same k, high overlap, scores
+    within quantization error of exact."""
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    coarse = sq_search(sq, q, k=10, metric="cosine", rescore=False).collect()
+    assert len(coarse) == 10
+    exact = set(_exact_ids(embeddings, q, "cosine", 10))
+    overlap = len(exact & {r["vec_id"] for r in coarse}) / 10
+    assert overlap >= 0.8
+
+
+def test_sq_filtered(embeddings, sq):
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    flt = {"must": [{"key": "label", "range": {"lte": 5}}]}
+    got = sq_search(sq, q, k=5, metric="cosine", flt=flt).collect()
+    labels = {
+        r["label"]
+        for r in embeddings.filter(embeddings.vec_id.isin([g["vec_id"] for g in got]))
+        .select("label").collect()
+    }
+    assert labels and all(l <= 5 for l in labels)
+
+
+def test_sq_codes_are_int8_and_small(sq):
+    f = dict(zip(sq.codes.schema.fieldNames(), sq.codes.schema.fields))
+    assert f["__sq"].dataType.simpleString() == "array<tinyint>"
+    row = sq.codes.select("__sq").first()
+    assert all(-128 <= c <= 127 for c in row["__sq"])
+
+
+def test_bq_recall(embeddings, bq):
+    """1-bit codes + hamming coarse stage: recall@10 over a handful of
+    queries must clear a floor with oversampling=8."""
+    rows = embeddings.limit(5).collect()
+    hits = 0
+    for r in rows:
+        q = list(r["embedding"])
+        exact = set(_exact_ids(embeddings, q, "cosine", 10))
+        got = {x["vec_id"] for x in bq_search(bq, q, k=10, oversampling=8.0).collect()}
+        hits += len(exact & got)
+    assert hits / (10 * len(rows)) >= 0.5
+
+
+def test_bq_packs_words(bq, embeddings):
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    row = bq.packed.select("__bq").first()
+    assert len(row["__bq"]) == (dim + 63) // 64
+
+
+def test_bq_self_query_top1(embeddings, bq):
+    """Querying with a corpus vector must return that point first after
+    rescore (hamming distance to itself is 0, so it's always a candidate)."""
+    r = embeddings.limit(3).collect()[2]
+    got = bq_search(bq, list(r["embedding"]), k=3, oversampling=4.0).collect()
+    assert got[0]["vec_id"] == r["vec_id"]
