@@ -20,6 +20,7 @@ Reference semantics:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -138,6 +139,99 @@ def bm25_tf(tf: Column, dl: Column, k1: float = BM25_K1, b: float = BM25_B,
     )
 
 
+@dataclass
+class Bm25Index:
+    """Materialized text index: denormalized postings ``(id, term, tf, dl)``.
+
+    The doc length rides along inside the single build shuffle (it's a
+    pre-explode column carried through the groupBy keys), so query-time
+    scoring needs NO join back to the documents — the posting row is
+    self-sufficient, exactly like the reference's posting lists which store
+    everything scoring needs (lib/sparse/src/index/search_context.rs).
+    Persist bucketed by ``term`` at scale; queries then touch only the
+    posting lists of their own terms."""
+
+    postings: DataFrame
+    n_docs: int
+    id_col: str
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    flt: dict[str, Any] | None = None,
+) -> Bm25Index:
+    """One tokenization pass, one shuffle: (id, dl, explode(term)) →
+    groupBy(id, term, dl).count(). The index build is the ingest-time cost
+    the reference pays in its sparse/BM25 indexer; searches amortize it."""
+    df = apply_filter(docs, flt)
+    toks = tokenize(F.col(text_col))
+    postings = (
+        df.select(
+            F.col(id_col),
+            F.size(toks).cast("double").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    return Bm25Index(postings=postings, n_docs=df.count(), id_col=id_col)
+
+
+def bm25_search_index(
+    index: Bm25Index,
+    query_text: str,
+    *,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    avg_doc_len: float | None = BM25_AVG_DOC_LEN,
+) -> DataFrame:
+    """BM25 top-k over a prebuilt index. Both the IDF stats and the scores
+    derive from the same candidate set (postings ⋈ broadcast(query terms)),
+    so the full postings table is scanned once per branch and the vocabulary
+    outside the query is never aggregated."""
+    spark = index.postings.sparkSession
+    q_tokens = _query_terms_df(spark, query_text)
+    cand = index.postings.join(F.broadcast(q_tokens), "term")
+    if avg_doc_len is None:
+        avg_doc_len = index.postings.select(index.id_col, "dl").distinct() \
+            .agg(F.avg("dl")).collect()[0][0]
+    # document frequency of a query term == its row count in cand
+    idf = (
+        cand.groupBy("term")
+        .agg(F.count("*").alias("nd"))
+        .select(
+            "term",
+            F.log(
+                (F.lit(float(index.n_docs)) - F.col("nd") + F.lit(0.5))
+                / (F.col("nd") + F.lit(0.5))
+                + F.lit(1.0)
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        cand.join(F.broadcast(idf), "term")
+        .withColumn(
+            "contrib",
+            F.col("idf") * bm25_tf(F.col("tf").cast("double"), F.col("dl"),
+                                   k1, b, float(avg_doc_len)),
+        )
+        .groupBy(index.id_col)
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(index.id_col).asc()).limit(k)
+
+
+def _query_terms_df(spark, query_text: str) -> DataFrame:
+    from qdrant_spark.functions.text import tokenize_py
+
+    toks = sorted(set(tokenize_py(query_text)))
+    return spark.createDataFrame([(t,) for t in toks], "term: string")
+
+
 def bm25_search(
     docs: DataFrame,
     query_text: str,
@@ -154,34 +248,9 @@ def bm25_search(
     unique query tokens. ``avg_doc_len=None`` computes the corpus average
     instead of the reference's fixed 256 default.
 
-    Plan shape at scale: terms (shuffled once by term) ⋈ broadcast(query)
-    ⋈ broadcast(idf of query terms) ⋈ doc_lengths — one shuffle for the
-    groupBy(id), everything else broadcast."""
-    from qdrant_spark.functions.text import tokenize_py
-
-    df = apply_filter(docs, flt)
-    n_docs = df.count()
-    terms = doc_terms(df, text_col, id_col)
-    dls = doc_lengths(df, text_col, id_col)
-    if avg_doc_len is None:
-        avg_doc_len = dls.agg(F.avg("dl")).collect()[0][0]
-    q_tokens = sorted(set(tokenize_py(query_text)))
-    spark = docs.sparkSession
-    q = spark.createDataFrame([(t,) for t in q_tokens], "term: string")
-
-    # IDF only for the query's terms (semi-join first), then broadcast —
-    # keeps the big terms⋈idf join off the full vocabulary
-    idf = idf_df(terms.join(F.broadcast(q), "term", "left_semi"), n_docs, id_col)
-    scored = (
-        terms.join(F.broadcast(q), "term")
-        .join(dls, id_col)
-        .join(F.broadcast(idf), "term")
-        .withColumn(
-            "contrib",
-            F.col("idf") * bm25_tf(F.col("tf").cast("double"), F.col("dl"),
-                                   k1, b, float(avg_doc_len)),
-        )
-        .groupBy(id_col)
-        .agg(F.sum("contrib").alias("score"))
-    )
-    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    Convenience wrapper: builds the postings index inline and delegates to
+    :func:`bm25_search_index`. For repeated searches build the index once
+    (the reference's ingest-time sparse indexing) and reuse it."""
+    index = build_bm25_index(docs, text_col=text_col, id_col=id_col, flt=flt)
+    return bm25_search_index(index, query_text, k=k, k1=k1, b=b,
+                             avg_doc_len=avg_doc_len)
