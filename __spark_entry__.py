@@ -1241,6 +1241,22 @@ def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return _r6(out, "score")
 
 
+def _q_ann_ivf_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Bulk ANN: per-query cluster probing via a (qid, cluster) pairs join.
+    nprobe == n_clusters probes everything, so results equal the exact
+    batch scan (same oracle as knn_batch)."""
+    from qdrant_spark.operators.ann import build_ivf, ivf_search_batch
+
+    emb = _emb(spark, sf)
+    idx = build_ivf(emb, n_clusters=8, vec_col="embedding", id_col="vec_id")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = ivf_search_batch(idx, queries, k=10, nprobe=8, metric="cosine") \
+        .select("qid", "vec_id", "score", "rank")
+    return _long(_r6(out, "score"), "rank")
+
+
 def _q_sq_rescore(spark: SparkSession, sf: str) -> DataFrame:
     """Scalar-quantized coarse scan + exact rescore of k*oversampling
     candidates (QuantizationSearchParams, types.rs:573-628). With rescore
@@ -1349,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr": _q_mmr,
         "ann_ivf_full_probe": _q_ann_full_probe,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_batch": _q_ann_ivf_batch,
         "quantized_sq_rescore": _q_sq_rescore,
         "quantized_bq_rescore": _q_bq_rescore,
     }
@@ -1467,6 +1484,7 @@ FROM documents
         "set_payload": _SET_PAYLOAD_SQL,
         # mmr: sequential greedy selection — not SQL-expressible (rows-only)
         "ann_ivf_full_probe": _knn_sql("cosine"),
+        "ann_ivf_batch": _KNN_BATCH_SQL,
         "quantized_sq_rescore": _knn_sql("cosine"),
         # quantized_bq_rescore: hamming coarse stage is approximate by
         # design — rows-only check, recall gated in tests/test_quantize.py

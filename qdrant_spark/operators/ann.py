@@ -23,6 +23,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from qdrant_spark.functions.distances import distance
 from qdrant_spark.operators.knn import knn
 
 
@@ -83,6 +84,62 @@ def ivf_search(
         pruned, query_vector, metric=metric, k=k, vec_col=index.vec_col,
         id_col=index.id_col, flt=flt,
         select=[index.id_col, "score"],
+    )
+
+
+def ivf_search_batch(
+    index: IvfIndex,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    metric: str = "cosine",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Bulk ANN: every query probes only its ``nprobe`` nearest clusters.
+
+    Plan shape: a small (qid, cluster) probe table — computed driver-side
+    from the centroid matrix, queries are broadcast-sized by definition —
+    joins the clustered corpus on ``__cluster``. The per-cluster join scopes
+    the query×point cross product to nprobe/K of the corpus per query,
+    then an exact per-query top-k window finishes. With the corpus
+    partitioned by cluster this is a co-located join: no corpus shuffle,
+    ~nprobe/K of the bytes of the exact batch scan."""
+    q_rows = queries.select(qid_col, qvec_col).coalesce(1).collect()
+    qids = [r[qid_col] for r in q_rows]
+    Qm = np.array([list(r[qvec_col]) for r in q_rows], dtype=np.float64)
+    # (nq, K) squared euclid to centroids -> nprobe smallest per query
+    d = ((Qm[:, None, :] - index.centroids[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d, axis=1)[:, :nprobe]
+
+    spark = queries.sparkSession
+    pairs = spark.createDataFrame(
+        [
+            (qids[i], [float(x) for x in Qm[i]], int(c))
+            for i in range(len(qids))
+            for c in probes[i]
+        ],
+        f"{qid_col}: long, {qvec_col}: array<double>, __cluster: int",
+    )
+    from qdrant_spark.operators.knn import score_order
+
+    scored = (
+        index.assigned.join(F.broadcast(pairs), "__cluster")
+        .withColumn(
+            "score",
+            distance(metric, F.col(index.vec_col), F.col(qvec_col)),
+        )
+        .select(qid_col, index.id_col, "score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(qid_col).orderBy(
+        *score_order(metric, id_col=index.id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 

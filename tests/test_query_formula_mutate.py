@@ -186,6 +186,32 @@ def test_ivf_recall(embeddings):
     assert r_all == 1.0  # probing every cluster == exact
 
 
+def test_ivf_batch(embeddings, spark):
+    from qdrant_spark.operators.ann import build_ivf, ivf_search_batch
+    from qdrant_spark.operators.knn import knn_batch
+
+    idx = build_ivf(embeddings, n_clusters=8, vec_col="embedding", id_col="vec_id")
+    qvecs = [list(r["embedding"]) for r in embeddings.limit(6).collect()]
+    qdf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(qvecs)], "qid: long, qvec: array<float>"
+    )
+    exact = {
+        (r["qid"], r["vec_id"])
+        for r in knn_batch(embeddings, qdf, metric="cosine", k=10,
+                           vec_col="embedding", id_col="vec_id").collect()
+    }
+    full = {
+        (r["qid"], r["vec_id"])
+        for r in ivf_search_batch(idx, qdf, k=10, nprobe=8, metric="cosine").collect()
+    }
+    assert full == exact  # probing every cluster == exact batch scan
+    part = {
+        (r["qid"], r["vec_id"])
+        for r in ivf_search_batch(idx, qdf, k=10, nprobe=2, metric="cosine").collect()
+    }
+    assert len(part & exact) / len(exact) >= 0.5
+
+
 # --- universal query planner ----------------------------------------------
 
 
