@@ -23,31 +23,86 @@ if TYPE_CHECKING:
     from qdrant_spark.filters import FieldResolver
 
 WORD_SPLIT_RE = r"[^\p{L}\p{N}]+"
-_PY_WORD_SPLIT = re.compile(r"[^\w]+", re.UNICODE)
+# [\W_] not \W: python \w includes underscore, java \p{L}\p{N} does not —
+# both sides must split on it or query/document tokenization diverges
+_PY_WORD_SPLIT = re.compile(r"[\W_]+", re.UNICODE)
 
 
-def tokenize_py(text: str, tokenizer: str = "word", lowercase: bool = True) -> list[str]:
+def tokenize_py(
+    text: str,
+    tokenizer: str = "word",
+    lowercase: bool = True,
+    min_token_len: int | None = None,
+    max_token_len: int | None = None,
+    stopwords: set[str] | None = None,
+) -> list[str]:
     """Driver-side tokenizer for constant query strings — must agree with
-    :func:`tokenize` so filter compilation and document tokenization match."""
+    :func:`tokenize` so filter compilation and document tokenization match.
+    Options mirror the reference's TextIndexParams (index.rs:260-360):
+    min/max token length drop out-of-range tokens, ``stopwords`` drops
+    members of the set, and ``tokenizer='prefix'`` emits every prefix of
+    each token from ``min_token_len`` (default 1) up to
+    ``max_token_len`` (the reference's Prefix tokenizer)."""
     if lowercase:
         text = text.lower()
     if tokenizer == "whitespace":
         toks = text.split()
-    else:  # word / multilingual approximation
+    else:  # word / prefix / multilingual approximation
         toks = [t for t in _PY_WORD_SPLIT.split(text) if t]
+    if stopwords:
+        toks = [t for t in toks if t not in stopwords]
+    if tokenizer == "prefix":
+        lo = min_token_len or 1
+        hi = max_token_len or 20
+        return [t[:i] for t in toks for i in range(lo, min(len(t), hi) + 1)]
+    if min_token_len is not None:
+        toks = [t for t in toks if len(t) >= min_token_len]
+    if max_token_len is not None:
+        toks = [t for t in toks if len(t) <= max_token_len]
     return toks
 
 
 def tokenize(
-    col: Column | str, tokenizer: str = "word", lowercase: bool = True
+    col: Column | str,
+    tokenizer: str = "word",
+    lowercase: bool = True,
+    min_token_len: int | None = None,
+    max_token_len: int | None = None,
+    stopwords: set[str] | None = None,
 ) -> Column:
-    """Tokenize a string column -> array<string>, JVM-side."""
+    """Tokenize a string column -> array<string>, JVM-side (split/filter/
+    flatten stay in whole-stage codegen). Same options as
+    :func:`tokenize_py`."""
     c = F.col(col) if isinstance(col, str) else col
     if lowercase:
         c = F.lower(c)
     pattern = r"\s+" if tokenizer == "whitespace" else WORD_SPLIT_RE
-    toks = F.split(c, pattern)
-    return F.filter(toks, lambda t: t != "")
+    toks = F.filter(F.split(c, pattern), lambda t: t != "")
+    if stopwords:
+        sw = F.lit(sorted(stopwords))
+        toks = F.filter(toks, lambda t: ~F.array_contains(sw, t))
+    if tokenizer == "prefix":
+        lo = min_token_len or 1
+        hi = max_token_len or 20
+        return F.flatten(
+            F.transform(
+                toks,
+                # guard: sequence(lo, hi) with hi < lo counts DOWN in Spark,
+                # so short tokens must map to an empty prefix list instead
+                lambda t: F.when(
+                    F.length(t) >= lo,
+                    F.transform(
+                        F.sequence(F.lit(lo), F.least(F.length(t), F.lit(hi))),
+                        lambda i: t.substr(F.lit(1), i),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        )
+    if min_token_len is not None:
+        toks = F.filter(toks, lambda t: F.length(t) >= min_token_len)
+    if max_token_len is not None:
+        toks = F.filter(toks, lambda t: F.length(t) <= max_token_len)
+    return toks
 
 
 def compile_text_match(fr: "FieldResolver", key: str, match: dict[str, Any]) -> Column:
