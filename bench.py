@@ -99,6 +99,26 @@ def main() -> None:
                          vec_col="embedding", id_col="vec_id",
                          strategy="matmul").count()
 
+    # ANN / quantized scale paths: index built once (ingest-time), searches
+    # amortize it — mirrors the reference's HNSW-build-then-search split
+    from qdrant_spark.operators.ann import build_ivf, ivf_search_batch
+    from qdrant_spark.operators.quantize import build_sq, sq_search
+
+    ivf_xl = build_ivf(xl, n_clusters=32, vec_col="embedding", id_col="vec_id")
+    ivf_xl.assigned = ivf_xl.assigned.cache()
+    ivf_xl.assigned.count()
+    sq_xl = build_sq(xl, vec_col="embedding", id_col="vec_id")
+    sq_xl.codes = sq_xl.codes.cache()
+    sq_xl.codes.count()
+
+    def q_ann_ivf_batch64_xl():
+        return ivf_search_batch(ivf_xl, queries_df, k=10, nprobe=4,
+                                metric="cosine").count()
+
+    def q_sq_rescore_xl():
+        return sq_search(sq_xl, q0, k=10, oversampling=3.0,
+                         metric="cosine").count()
+
     # BM25 index built once (ingest-time cost, as in the reference's sparse
     # indexer); the timed query measures search over the postings table
     from qdrant_spark.operators.sparse import bm25_search_index, build_bm25_index
@@ -135,6 +155,8 @@ def main() -> None:
         "knn_single": q_knn_single,
         "knn_batch64": q_knn_batch64,
         "knn_batch64_xl": q_knn_batch64_xl,
+        "ann_ivf_batch64_xl": q_ann_ivf_batch64_xl,
+        "sq_rescore_xl": q_sq_rescore_xl,
         "knn_filtered": q_knn_filtered,
         "fusion_hybrid": q_fusion_hybrid,
         "grouped_search": q_grouped,

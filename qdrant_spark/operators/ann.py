@@ -23,7 +23,6 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from qdrant_spark.functions.distances import distance
 from qdrant_spark.operators.knn import knn
 
 
@@ -99,44 +98,100 @@ def ivf_search_batch(
 ) -> DataFrame:
     """Bulk ANN: every query probes only its ``nprobe`` nearest clusters.
 
-    Plan shape: a small (qid, cluster) probe table — computed driver-side
-    from the centroid matrix, queries are broadcast-sized by definition —
-    joins the clustered corpus on ``__cluster``. The per-cluster join scopes
-    the query×point cross product to nprobe/K of the corpus per query,
-    then an exact per-query top-k window finishes. With the corpus
-    partitioned by cluster this is a co-located join: no corpus shuffle,
-    ~nprobe/K of the bytes of the exact batch scan."""
+    Plan shape: the probe map (cluster -> probing query indices, computed
+    driver-side from the centroid matrix) is broadcast; the corpus —
+    pre-filtered to clusters somebody probes, which becomes partition
+    pruning when the corpus is stored partitioned by cluster — streams
+    through the Arrow scorer ONCE, each cluster block matmul'd against
+    only its probing queries. No pair materialization: a join would ship
+    every point duplicated per probing query. Exact per-query top-k window
+    finishes, so full probe == exact batch scan."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from qdrant_spark.operators.knn import (
+        larger_is_better, score_block, score_order,
+    )
+
     q_rows = queries.select(qid_col, qvec_col).coalesce(1).collect()
     qids = [r[qid_col] for r in q_rows]
     Qm = np.array([list(r[qvec_col]) for r in q_rows], dtype=np.float64)
     # (nq, K) squared euclid to centroids -> nprobe smallest per query
     d = ((Qm[:, None, :] - index.centroids[None, :, :]) ** 2).sum(axis=2)
     probes = np.argsort(d, axis=1)[:, :nprobe]
+    used = sorted({int(c) for row in probes for c in row})
+    cluster_q = {
+        int(c): np.where((probes == c).any(axis=1))[0] for c in used
+    }
 
-    spark = queries.sparkSession
-    pairs = spark.createDataFrame(
+    sc = queries.sparkSession.sparkContext
+    bq = sc.broadcast((np.asarray(qids), Qm, cluster_q))
+    bigger_better = larger_is_better(metric)
+
+    pruned = index.assigned.filter(F.col("__cluster").isin(used))
+    sel = pruned.select(index.id_col, index.vec_col, "__cluster")
+    out_schema = T.StructType(
         [
-            (qids[i], [float(x) for x in Qm[i]], int(c))
-            for i in range(len(qids))
-            for c in probes[i]
-        ],
-        f"{qid_col}: long, {qvec_col}: array<double>, __cluster: int",
+            T.StructField(qid_col, queries.schema[qid_col].dataType),
+            T.StructField(index.id_col, sel.schema[index.id_col].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
     )
-    from qdrant_spark.operators.knn import score_order
+    id_col = index.id_col
 
-    scored = (
-        index.assigned.join(F.broadcast(pairs), "__cluster")
-        .withColumn(
-            "score",
-            distance(metric, F.col(index.vec_col), F.col(qvec_col)),
+    def score_batches(batches):
+        import pyarrow as pa
+
+        qid_arr, Qm_, cq = bq.value
+        acc = []
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            vec = batch.column(1)
+            if isinstance(vec, pa.ChunkedArray):
+                vec = vec.combine_chunks()
+            V = vec.flatten().to_numpy(zero_copy_only=False) \
+                .reshape(n, -1).astype(np.float64, copy=False)
+            cl = batch.column(2).to_numpy(zero_copy_only=False)
+            for c in np.unique(cl):
+                qidx = cq.get(int(c))
+                if qidx is None or len(qidx) == 0:
+                    continue
+                mask = cl == c
+                S = score_block(V[mask], Qm_[qidx], metric)
+                nb = S.shape[0]
+                kk = min(k, nb)
+                if kk < nb:
+                    part = np.argpartition(
+                        -S if bigger_better else S, kk - 1, axis=0
+                    )[:kk]
+                else:
+                    part = np.tile(np.arange(nb)[:, None], (1, len(qidx)))
+                rows = part.ravel(order="F")
+                qrep = np.repeat(qidx, part.shape[0])
+                acc.append((qrep, ids[mask][rows],
+                            S[rows, np.repeat(np.arange(len(qidx)), part.shape[0])]))
+        if not acc:
+            return
+        qi = np.concatenate([a[0] for a in acc])
+        ii = np.concatenate([a[1] for a in acc])
+        ss = np.concatenate([a[2] for a in acc])
+        key_s = -ss if bigger_better else ss
+        order = np.lexsort((ii, key_s, qi))
+        qi, ii, ss = qi[order], ii[order], ss[order]
+        uq, starts = np.unique(qi, return_index=True)
+        rank = np.arange(len(qi)) - starts[np.searchsorted(uq, qi)]
+        keep = rank < k
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(qid_arr[qi[keep]]), pa.array(ii[keep]),
+             pa.array(ss[keep], type=pa.float64())],
+            names=[qid_col, id_col, "score"],
         )
-        .select(qid_col, index.id_col, "score")
-    )
-    from pyspark.sql import Window
 
-    w = Window.partitionBy(qid_col).orderBy(
-        *score_order(metric, id_col=index.id_col)
-    )
+    scored = sel.mapInArrow(score_batches, out_schema)
+    w = Window.partitionBy(qid_col).orderBy(*score_order(metric, id_col=id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

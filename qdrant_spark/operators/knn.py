@@ -136,6 +136,32 @@ def knn_batch(
     )
 
 
+def score_block(M, Qm, metric: str, qnorm=None):
+    """(n, d) points × (q, d) queries -> (n, q) float64 scores, one BLAS
+    call (dot/cosine) or memory-bounded chunks (euclid/manhattan). The
+    shared kernel of every batch scorer (block matmul, IVF cluster blocks)."""
+    import numpy as np
+
+    n, dim = M.shape
+    nq = Qm.shape[0]
+    if metric in ("dot", "cosine"):
+        S = M @ Qm.T
+        if metric == "cosine":
+            if qnorm is None:
+                qnorm = np.linalg.norm(Qm, axis=1)
+            S = S / (np.linalg.norm(M, axis=1)[:, None] * qnorm[None, :])
+        return S
+    cq = max(1, 4_000_000 // max(1, n * dim))
+    S = np.empty((n, nq))
+    for lo in range(0, nq, cq):
+        d = M[:, None, :] - Qm[None, lo:lo + cq, :]
+        if metric == "euclid":
+            S[:, lo:lo + cq] = np.sqrt((d * d).sum(axis=2))
+        else:
+            S[:, lo:lo + cq] = np.abs(d).sum(axis=2)
+    return S
+
+
 def _matmul_knn(
     pts: DataFrame,
     queries: DataFrame,
@@ -196,19 +222,7 @@ def _matmul_knn(
                 vec = vec.combine_chunks()
             flat = vec.flatten().to_numpy(zero_copy_only=False)
             M = flat.reshape(n, dim).astype(np.float64, copy=False)
-            if metric in ("dot", "cosine"):
-                S = M @ Qm.T
-                if metric == "cosine":
-                    S = S / (np.linalg.norm(M, axis=1)[:, None] * qnorm[None, :])
-            else:
-                cq = max(1, 4_000_000 // max(1, n * dim))
-                S = np.empty((n, nq))
-                for lo in range(0, nq, cq):
-                    d = M[:, None, :] - Qm[None, lo:lo + cq, :]
-                    if metric == "euclid":
-                        S[:, lo:lo + cq] = np.sqrt((d * d).sum(axis=2))
-                    else:
-                        S[:, lo:lo + cq] = np.abs(d).sum(axis=2)
+            S = score_block(M, Qm, metric, qnorm=qnorm)
             kk = min(k, n)
             if kk < n:
                 # top-kk by score per query (columnwise argpartition, one call)
@@ -248,6 +262,87 @@ def _matmul_knn(
     ).mapInArrow(score_batches, out_schema)
     if score_threshold is not None:
         scored = scored.filter(_threshold_cond(metric, score_threshold))
+    w = Window.partitionBy(qid_col).orderBy(*score_order(metric, id_col=id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    )
+
+
+def rowwise_score_topk(
+    pairs: DataFrame,
+    *,
+    metric: str,
+    k: int,
+    qid_col: str = "qid",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact per-query top-k over a pre-joined (qid, id, vec, qvec) pair
+    table — the scoring primitive for scoped joins (IVF cluster probes,
+    blocked similarity joins) where each point meets only *some* queries,
+    so broadcasting the full query matrix (`_matmul_knn`) would waste work.
+
+    Arrow-native rowwise scoring: both vector columns reshape from flat
+    Arrow buffers into (n, d) matrices, one vectorized einsum/norm per
+    batch, per-batch per-query top-k, exact final window (score direction,
+    then id asc). Interpreted Column math on array pairs is ~60x slower —
+    never score pair tables with `aggregate(zip_with(...))`."""
+    import numpy as np
+
+    bigger_better = larger_is_better(metric)
+    sel = pairs.select(qid_col, id_col, vec_col, qvec_col)
+    out_schema = T.StructType(
+        [
+            T.StructField(qid_col, sel.schema[qid_col].dataType),
+            T.StructField(id_col, sel.schema[id_col].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def score_batches(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+
+            def mat(col) -> "np.ndarray":
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                return flat.reshape(n, -1).astype(np.float64, copy=False)
+
+            qids = batch.column(0).to_numpy(zero_copy_only=False)
+            ids = batch.column(1).to_numpy(zero_copy_only=False)
+            V = mat(batch.column(2))
+            Qm = mat(batch.column(3))
+            if metric == "dot":
+                s = np.einsum("ij,ij->i", V, Qm)
+            elif metric == "cosine":
+                s = np.einsum("ij,ij->i", V, Qm) / (
+                    np.linalg.norm(V, axis=1) * np.linalg.norm(Qm, axis=1)
+                )
+            elif metric == "euclid":
+                s = np.linalg.norm(V - Qm, axis=1)
+            else:
+                s = np.abs(V - Qm).sum(axis=1)
+            # per-batch per-query top-k prune (exactness restored by the
+            # final window); lexsort: qid major, then score, id
+            key_s = -s if bigger_better else s
+            order = np.lexsort((ids, key_s, qids))
+            qids, ids, s = qids[order], ids[order], s[order]
+            uq, starts = np.unique(qids, return_index=True)
+            rank = np.arange(len(qids)) - starts[np.searchsorted(uq, qids)]
+            keep = rank < k
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qids[keep]), pa.array(ids[keep]),
+                 pa.array(s[keep], type=pa.float64())],
+                names=[qid_col, id_col, "score"],
+            )
+
+    scored = sel.mapInArrow(score_batches, out_schema)
     w = Window.partitionBy(qid_col).orderBy(*score_order(metric, id_col=id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -69,24 +69,28 @@ def build_sq(
     id_col: str = "id",
     quantile: float = 0.99,
 ) -> SqIndex:
-    """One aggregation pass computes per-dimension clip bounds (symmetric
-    ``quantile`` clipping, as the reference's SQ ``quantile`` knob,
-    types.rs:937-985), one projection writes the int8 codes."""
+    """Per-dimension clip bounds (symmetric ``quantile`` clipping, as the
+    reference's SQ ``quantile`` knob, types.rs:937-985) come from a seeded
+    sample quantile computed in NumPy: one sampled scan of the vector
+    column instead of 2*dim approx-percentile object-aggregates (those run
+    outside codegen and were ~60x slower). Bound precision only affects
+    code granularity, never correctness — rescore is exact."""
     base = points.filter(F.col(vec_col).isNotNull())
-    first = base.select(F.size(vec_col).alias("d")).first()
-    if first is None:
+    n = base.count()
+    if n == 0:
         raise ValueError("empty corpus")
-    dim = first["d"]
-
-    lo_q, hi_q = 1.0 - quantile, quantile
-    aggs = []
-    for d in range(dim):
-        e = F.element_at(F.col(vec_col), d + 1).cast("double")
-        aggs.append(F.percentile_approx(e, lo_q).alias(f"lo{d}"))
-        aggs.append(F.percentile_approx(e, hi_q).alias(f"hi{d}"))
-    row = base.agg(*aggs).first()
-    lo = np.array([row[f"lo{d}"] for d in range(dim)])
-    hi = np.array([row[f"hi{d}"] for d in range(dim)])
+    frac = min(1.0, 100_000.0 / n)
+    sample = np.array(
+        [list(r[0]) for r in base.select(vec_col).sample(frac, seed=7).collect()],
+        dtype=np.float64,
+    )
+    if sample.size == 0:  # tiny corpus + unlucky sample: take it all
+        sample = np.array(
+            [list(r[0]) for r in base.select(vec_col).limit(10_000).collect()],
+            dtype=np.float64,
+        )
+    lo = np.quantile(sample, 1.0 - quantile, axis=0)
+    hi = np.quantile(sample, quantile, axis=0)
     hi = np.where(hi - lo < 1e-12, lo + 1e-12, hi)  # constant dims
 
     lo_lit = F.lit(lo.tolist())

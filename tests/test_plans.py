@@ -1,0 +1,116 @@
+"""Physical-plan regression tests: the scale claims in README ("Scale
+design") asserted against `.explain` output, so a refactor that silently
+de-optimizes a plan (lost pushdown, a broadcast that became a sort-merge
+join, a top-k that became a global sort) fails CI, not a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from qdrant_spark.filters import apply_filter
+from qdrant_spark.operators.knn import knn, knn_batch
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    jdf = df._jdf
+    return jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+@pytest.fixture(scope="module")
+def docs_path(documents):
+    return documents
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    flt = {"must": [{"key": "lang", "match": {"value": "en"}},
+                    {"key": "n_chars", "range": {"gt": 10}}]}
+    plan = _plan(apply_filter(df, flt).select("doc_id"))
+    assert "PushedFilters:" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "lang" in pushed and "n_chars" in pushed
+
+
+def test_projection_prunes_scan_columns(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(df.select("doc_id", "lang"))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read and "lang" in read and "text" not in read
+
+
+def test_single_knn_is_take_ordered(embeddings):
+    q = [0.0] * 64
+    df = knn(embeddings, q, metric="cosine", k=10, vec_col="embedding",
+             id_col="vec_id", select=["vec_id", "score"])
+    plan = _plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_batch_knn_window_broadcasts_queries(embeddings, spark):
+    qdf = spark.createDataFrame([(0, [0.0] * 64)], "qid: long, qvec: array<float>")
+    df = knn_batch(embeddings, qdf, metric="cosine", k=5, vec_col="embedding",
+                   id_col="vec_id", strategy="window")
+    plan = _plan(df, "simple")
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_index_search_all_broadcast(documents):
+    from qdrant_spark.operators.sparse import bm25_search_index, build_bm25_index
+
+    idx = build_bm25_index(documents)
+    df = bm25_search_index(idx, "quality data fox")
+    plan = _plan(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_batch_prunes_clusters_no_join(embeddings, spark):
+    """The probe map is broadcast inside the Arrow scorer; the plan must be
+    a cluster-pruning filter + one MapInArrow — never a pair-materializing
+    join or cross product."""
+    from qdrant_spark.operators.ann import build_ivf, ivf_search_batch
+
+    idx = build_ivf(embeddings, n_clusters=4, vec_col="embedding", id_col="vec_id")
+    qdf = spark.createDataFrame(
+        [(0, [0.0] * 64)], "qid: long, qvec: array<float>"
+    )
+    df = ivf_search_batch(idx, qdf, k=5, nprobe=2)
+    plan = _plan(df, "simple")
+    assert "MapInArrow" in plan
+    assert "__cluster" in plan  # pruning filter present
+    assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+def test_sq_coarse_stage_stays_jvm_side(embeddings):
+    from qdrant_spark.operators.quantize import build_sq, sq_search
+
+    idx = build_sq(embeddings, vec_col="embedding", id_col="vec_id")
+    q = [0.0] * 64
+    df = sq_search(idx, q, k=5, metric="cosine", rescore=False)
+    plan = _plan(df, "simple")
+    # no python evaluation anywhere in the coarse path
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "mapInArrow" not in plan
+
+
+def test_grouped_search_no_global_single_partition_window(embeddings):
+    """group_by windows must partition by the group key (or qid), never an
+    empty partition spec over unbounded input."""
+    from qdrant_spark.operators.groupby import group_by
+
+    scored = embeddings.select(
+        "vec_id", "label", F.rand(7).alias("score")
+    )
+    df = group_by(scored, "label", groups=3, group_size=2, id_col="vec_id")
+    plan = _plan(df, "simple")
+    # the per-group ranking window partitions by the group key
+    wins = [l for l in plan.splitlines() if "Window" in l]
+    assert wins and any("group_value" in w or "label" in w for w in wins)
