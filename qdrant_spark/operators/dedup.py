@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 
 from qdrant_spark.functions.hashes import band_keys
 from qdrant_spark.functions.text import fingerprint, shingles
-from qdrant_spark.functions.distances import cosine
 
 
 def exact_dedup(
@@ -246,9 +245,15 @@ def embedding_near_dups(
     )
     on = [block_col] if block_col else []
     joined = a.join(b, on=on) if on else a.crossJoin(b)
-    return (
-        joined.filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
-        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
-        .filter(F.col("cos") >= threshold)
-        .select(f"{id_col}_a", f"{id_col}_b", "cos")
-    )
+    pairs = joined.filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+    # Arrow rowwise scorer: cosine computed vectorized in the python
+    # worker, sub-threshold pairs dropped before they leave it — the
+    # interpreted aggregate(zip_with(...)) Column was ~60x slower per pair
+    from qdrant_spark.operators.knn import rowwise_score_topk
+
+    return rowwise_score_topk(
+        pairs, metric="cosine", k=None,
+        qid_col=f"{id_col}_a", id_col=f"{id_col}_b",
+        vec_col="v_a", qvec_col="v_b",
+        score_threshold=threshold, threshold_inclusive=True,
+    ).withColumnRenamed("score", "cos")

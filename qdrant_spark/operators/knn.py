@@ -272,22 +272,27 @@ def rowwise_score_topk(
     pairs: DataFrame,
     *,
     metric: str,
-    k: int,
+    k: int | None,
     qid_col: str = "qid",
     id_col: str = "id",
     vec_col: str = "vec",
     qvec_col: str = "qvec",
+    score_threshold: float | None = None,
+    threshold_inclusive: bool = False,
 ) -> DataFrame:
-    """Exact per-query top-k over a pre-joined (qid, id, vec, qvec) pair
-    table — the scoring primitive for scoped joins (IVF cluster probes,
-    blocked similarity joins) where each point meets only *some* queries,
-    so broadcasting the full query matrix (`_matmul_knn`) would waste work.
+    """Score a pre-joined (qid, id, vec, qvec) pair table — the primitive
+    for scoped joins (blocked similarity joins, candidate-pair verify)
+    where each point meets only *some* queries, so broadcasting the full
+    query matrix (`_matmul_knn`) would waste work.
 
     Arrow-native rowwise scoring: both vector columns reshape from flat
     Arrow buffers into (n, d) matrices, one vectorized einsum/norm per
-    batch, per-batch per-query top-k, exact final window (score direction,
-    then id asc). Interpreted Column math on array pairs is ~60x slower —
-    never score pair tables with `aggregate(zip_with(...))`."""
+    batch. With ``k`` set: per-batch per-query prune + exact final window
+    (score direction, then id asc). With ``k=None``: all pairs passing
+    ``score_threshold`` (applied inside the scorer, so non-matching pairs
+    never leave the python worker). Interpreted Column math on array pairs
+    is ~60x slower — never score pair tables with
+    ``aggregate(zip_with(...))``."""
     import numpy as np
 
     bigger_better = larger_is_better(metric)
@@ -328,21 +333,33 @@ def rowwise_score_topk(
                 s = np.linalg.norm(V - Qm, axis=1)
             else:
                 s = np.abs(V - Qm).sum(axis=1)
-            # per-batch per-query top-k prune (exactness restored by the
-            # final window); lexsort: qid major, then score, id
-            key_s = -s if bigger_better else s
-            order = np.lexsort((ids, key_s, qids))
-            qids, ids, s = qids[order], ids[order], s[order]
-            uq, starts = np.unique(qids, return_index=True)
-            rank = np.arange(len(qids)) - starts[np.searchsorted(uq, qids)]
-            keep = rank < k
+            if score_threshold is not None:
+                if bigger_better:
+                    keep = s >= score_threshold if threshold_inclusive else s > score_threshold
+                else:
+                    keep = s <= score_threshold if threshold_inclusive else s < score_threshold
+                qids, ids, s = qids[keep], ids[keep], s[keep]
+                if len(s) == 0:
+                    continue
+            if k is not None:
+                # per-batch per-query top-k prune (exactness restored by
+                # the final window); lexsort: qid major, then score, id
+                key_s = -s if bigger_better else s
+                order = np.lexsort((ids, key_s, qids))
+                qids, ids, s = qids[order], ids[order], s[order]
+                uq, starts = np.unique(qids, return_index=True)
+                rank = np.arange(len(qids)) - starts[np.searchsorted(uq, qids)]
+                keep = rank < k
+                qids, ids, s = qids[keep], ids[keep], s[keep]
             yield pa.RecordBatch.from_arrays(
-                [pa.array(qids[keep]), pa.array(ids[keep]),
-                 pa.array(s[keep], type=pa.float64())],
+                [pa.array(qids), pa.array(ids),
+                 pa.array(s, type=pa.float64())],
                 names=[qid_col, id_col, "score"],
             )
 
     scored = sel.mapInArrow(score_batches, out_schema)
+    if k is None:
+        return scored
     w = Window.partitionBy(qid_col).orderBy(*score_order(metric, id_col=id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
