@@ -151,6 +151,12 @@ def main() -> None:
             .groupBy("lang").agg(F.avg("nt"), F.avg("sr")).collect()
         )
 
+    def q_dedup_lsh():
+        from qdrant_spark.operators.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(docs, n_perms=16, bands=4,
+                                 jaccard_threshold=0.3).count()
+
     bench = {
         "knn_single": q_knn_single,
         "knn_batch64": q_knn_batch64,
@@ -164,6 +170,7 @@ def main() -> None:
         "filter_scan": q_filter_scan,
         "facet": q_facet,
         "text_pipeline": q_text_pipeline,
+        "dedup_lsh": q_dedup_lsh,
     }
 
     # Steady-state timing (criterion-style): one warm-up run, then min of
