@@ -1241,6 +1241,23 @@ def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return _r6(out, "score")
 
 
+def _q_maxsim_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-scale MaxSim scan (Arrow segment-max scorer) — same query
+    construction and oracle as the Column-math maxsim entry."""
+    from qdrant_spark.operators.multivec import maxsim_knn
+
+    emb = _emb(spark, sf)
+    q = _vecs(spark, sf, [0])[0]
+    q_mv = [q[i * 8:(i + 1) * 8] for i in range(8)]
+    d_mv = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.slice(F.col("embedding").cast("array<double>"), i * 8 + 1, 8),
+    )
+    pts = emb.select("vec_id", d_mv.alias("mv"))
+    out = maxsim_knn(pts, q_mv, k=10, metric="dot", mv_col="mv", id_col="vec_id")
+    return _r6(out.select("vec_id", "score"), "score")
+
+
 def _q_ann_ivf_batch(spark: SparkSession, sf: str) -> DataFrame:
     """Bulk ANN: per-query cluster probing via a (qid, cluster) pairs join.
     nprobe == n_clusters probes everything, so results equal the exact
@@ -1322,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_lookup": _q_group(True),
         "distance_matrix": _q_matrix,
         "maxsim": _q_maxsim,
+        "maxsim_knn": _q_maxsim_knn,
         "scroll_keyset": _q_scroll_docs,
         "scroll_order_by": _q_scroll_events,
         "count_filtered": _q_count_events,
@@ -1397,6 +1415,7 @@ def oracle_sql() -> dict[str, str]:
         "group_by_lookup": _group_sql(True),
         "distance_matrix": _MATRIX_SQL,
         "maxsim": _MAXSIM_SQL,
+        "maxsim_knn": _MAXSIM_SQL,
         "scroll_keyset": """
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE lang = 'en' AND doc_id >= 100 ORDER BY doc_id LIMIT 20

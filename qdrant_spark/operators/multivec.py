@@ -1,0 +1,99 @@
+"""Multivector (late-interaction / ColBERT-style) KNN at corpus scale.
+
+MaxSim semantics (MultiVectorComparator::MaxSim, lib/segment/src/types.rs:
+2055-2084; scorers lib/segment/src/vector_storage/query_scorer/
+multi_metric_query_scorer.rs): score(Q, D) = sum over q in Q of
+max over d in D of sim(q, d).
+
+The Column implementation (functions/distances.maxsim) nests two
+higher-order functions and runs interpreted — fine for a rescore of a
+bounded candidate set, wrong for a corpus scan. This operator is the scan
+path: one mapInArrow pass where each batch's doc token vectors flatten
+into a single (total_tokens, dim) matrix, one BLAS matmul against the
+query token matrix, and `np.maximum.reduceat` over the Arrow list offsets
+computes the per-doc segment max — no per-doc python loop.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+from qdrant_spark.operators.knn import score_order
+
+
+def maxsim_knn(
+    points: DataFrame,
+    query_multivector: Sequence[Sequence[float]],
+    *,
+    k: int = 10,
+    metric: str = "dot",
+    mv_col: str = "mv",
+    id_col: str = "id",
+) -> DataFrame:
+    """Top-k by MaxSim of an ``array<array<float>>`` column against a query
+    multivector. ``metric``: dot or cosine (both larger-is-better, as the
+    reference restricts multivectors to sim metrics)."""
+    if metric not in ("dot", "cosine"):
+        raise ValueError("maxsim supports dot/cosine")
+    Qm = np.asarray([list(t) for t in query_multivector], dtype=np.float64)
+    if metric == "cosine":
+        Qm = Qm / np.linalg.norm(Qm, axis=1, keepdims=True)
+    sc = points.sparkSession.sparkContext
+    bq = sc.broadcast(Qm)
+
+    sel = points.filter(F.col(mv_col).isNotNull()).filter(
+        F.size(mv_col) > 0
+    ).select(id_col, mv_col)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, sel.schema[id_col].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def score_batches(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        Q = bq.value
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            mv = batch.column(1)
+            if isinstance(mv, pa.ChunkedArray):
+                mv = mv.combine_chunks()
+            # outer list: docs -> token vectors; inner list: floats
+            inner = mv.flatten()                    # list<float> per token
+            # token count per doc from the outer offsets
+            outer_off = mv.offsets.to_numpy(zero_copy_only=False)
+            tok_counts = np.diff(outer_off)
+            vals = inner.flatten().to_numpy(zero_copy_only=False)
+            dim = Q.shape[1]
+            Tm = vals.reshape(-1, dim).astype(np.float64, copy=False)
+            if metric == "cosine":
+                norms = np.linalg.norm(Tm, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                Tm = Tm / norms
+            S = Tm @ Q.T                            # (total_tokens, tq)
+            starts = outer_off[:-1] - outer_off[0]
+            # segment max per doc per query token, then sum over qtokens
+            # reduceat on an empty segment would grab the next one; empty
+            # docs were filtered out Spark-side (size > 0)
+            assert (tok_counts > 0).all()
+            M = np.maximum.reduceat(S, starts, axis=0)
+            scores = M.sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(scores, type=pa.float64())],
+                names=[id_col, "score"],
+            )
+
+    scored = sel.mapInArrow(score_batches, out_schema)
+    # single global top-k: TakeOrderedAndProject, no shuffle of scored rows
+    return scored.orderBy(*score_order(metric, id_col=id_col)).limit(k)
