@@ -668,6 +668,50 @@ SELECT doc_id, round(s.score, 6) AS score FROM s ORDER BY s.score DESC, doc_id L
 """
 
 
+def _q_sparse_knn_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched sparse KNN over (indices, values) columns built from doc
+    terms (dims = md5-derived token hash, reproducible in DuckDB)."""
+    from qdrant_spark.functions.hashes import token_hash63
+    from qdrant_spark.operators.sparse import doc_terms, sparse_knn_batch
+
+    docs = _docs(spark, sf)
+    h = doc_terms(docs).withColumn("dim", token_hash63(F.col("term")))
+    sv = (
+        h.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("dim", "tf"))).alias("ps"))
+        .select(
+            "doc_id",
+            F.col("ps.dim").alias("sparse_indices"),
+            F.col("ps.tf").cast("array<double>").alias("sparse_values"),
+        )
+    )
+    queries = sv.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("qid"),
+        F.col("sparse_indices").alias("qindices"),
+        F.col("sparse_values").alias("qvalues"),
+    )
+    out = sparse_knn_batch(sv, queries, k=10, id_col="doc_id")
+    return _long(
+        _r6(out.select("qid", "doc_id", "score", "rank"), "score"), "rank"
+    )
+
+
+_SPARSE_KNN_BATCH_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+terms AS (SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY doc_id, term),
+h AS (SELECT doc_id, ('0x' || substring(md5(term), 1, 15))::BIGINT AS dim,
+             CAST(tf AS DOUBLE) AS v FROM terms),
+q AS (SELECT doc_id AS qid, dim, v AS qv FROM h WHERE doc_id < 3),
+s AS (SELECT q.qid, h.doc_id, sum(h.v * q.qv) AS score
+      FROM h JOIN q USING (dim) GROUP BY q.qid, h.doc_id),
+r AS (SELECT qid, doc_id, score,
+      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) rn FROM s)
+SELECT qid, doc_id, round(score, 6) AS score, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 10
+"""
+
+
 def _q_sparse_idf(spark: SparkSession, sf: str) -> DataFrame:
     """Modifier::Idf (modifier.rs:13-17): query values are rescaled by the
     corpus IDF at search time; documents keep raw tf."""
@@ -1357,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_detect": _q_lang_detect,
         "fingerprint": _q_fingerprint,
         "sparse_knn": _q_sparse_knn,
+        "sparse_knn_batch": _q_sparse_knn_batch,
         "sparse_idf_knn": _q_sparse_idf,
         "bm25_search": _q_bm25,
         "dedup_exact": _q_exact_dedup,
@@ -1478,6 +1523,7 @@ SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
 FROM documents
 """,
         "sparse_knn": _SPARSE_KNN_SQL,
+        "sparse_knn_batch": _SPARSE_KNN_BATCH_SQL,
         "sparse_idf_knn": _SPARSE_IDF_SQL,
         "bm25_search": _BM25_SQL,
         "dedup_exact": _EXACT_DEDUP_SQL,

@@ -25,6 +25,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from qdrant_spark.filters import apply_filter
 from qdrant_spark.functions.text import tokenize
@@ -129,6 +130,61 @@ def sparse_knn(
         .agg(F.sum(F.col("v") * F.col("qv")).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def sparse_knn_batch(
+    points: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "id",
+    indices_col: str = "sparse_indices",
+    values_col: str = "sparse_values",
+    qid_col: str = "qid",
+    q_indices_col: str = "qindices",
+    q_values_col: str = "qvalues",
+    flt: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Batched sparse KNN: every query row scores against the corpus in ONE
+    inverted-index join (the reference batches sparse searches the same way
+    its dense path does, lib/shard/src/search.rs).
+
+    Plan: corpus explodes once to (id, dim, v) — at scale this is the
+    materialized index, bucketed by dim — queries explode to (qid, dim,
+    qv) and broadcast; join on dim, partial-agg sum(v*qv) per (qid, id),
+    per-query top-k window. One corpus-side shuffle regardless of batch
+    size — batch amortizes the scan, which is the whole point at 100 TB."""
+    df = apply_filter(points, flt)
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.col(indices_col).alias("dim"),
+                F.col(values_col).cast("array<double>").alias("v"),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.dim").cast("long").alias("dim"), F.col("p.v").alias("v"))
+    q_pairs = queries.select(
+        F.col(qid_col),
+        F.explode(
+            F.arrays_zip(
+                F.col(q_indices_col).alias("dim"),
+                F.col(q_values_col).cast("array<double>").alias("qv"),
+            )
+        ).alias("p"),
+    ).select(qid_col, F.col("p.dim").cast("long").alias("dim"), F.col("p.qv").alias("qv"))
+    scored = (
+        pairs.join(F.broadcast(q_pairs), "dim")
+        .groupBy(qid_col, id_col)
+        .agg(F.sum(F.col("v") * F.col("qv")).alias("score"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def bm25_tf(tf: Column, dl: Column, k1: float = BM25_K1, b: float = BM25_B,

@@ -132,3 +132,27 @@ def test_sparse_terms_roundtrip(documents):
     scores = {r["doc_id"]: r["score"] for r in top}
     # the query doc's own score is exactly sum(tf^2) (raw TF dot product)
     assert scores[0] == pytest.approx(sum(w * w for w in q.values()))
+
+
+def test_sparse_knn_batch_handcrafted(spark):
+    from qdrant_spark.operators.sparse import sparse_knn_batch
+
+    pts = spark.createDataFrame(
+        [
+            (1, [0, 2], [1.0, 2.0]),
+            (2, [1], [5.0]),
+            (3, [0, 1, 2], [1.0, 1.0, 1.0]),
+        ],
+        "id: long, sparse_indices: array<int>, sparse_values: array<double>",
+    )
+    qs = spark.createDataFrame(
+        [
+            (10, [0], [2.0]),       # hits 1 (2.0) and 3 (2.0) -> tie, id asc
+            (11, [1, 2], [1.0, 1.0]),  # 1: 2.0, 2: 5.0, 3: 2.0
+        ],
+        "qid: long, qindices: array<int>, qvalues: array<double>",
+    )
+    out = sparse_knn_batch(pts, qs, k=2, id_col="id")
+    rows = {(r["qid"], r["rank"]): (r["id"], r["score"]) for r in out.collect()}
+    assert rows[(10, 1)] == (1, 2.0) and rows[(10, 2)] == (3, 2.0)
+    assert rows[(11, 1)] == (2, 5.0) and rows[(11, 2)] == (1, 2.0)
