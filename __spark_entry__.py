@@ -1220,6 +1220,61 @@ SELECT vec_id, CAST(label AS INTEGER) AS label FROM merged WHERE vec_id IN (0, 1
 """
 
 
+def _q_upsert_conditional(spark: SparkSession, sf: str) -> DataFrame:
+    """UpsertPointsConditional (point_ops.rs:116-117): replace only where
+    the CURRENT row matches the filter; unknown ids always insert."""
+    from qdrant_spark.operators.mutate import upsert_points_conditional
+
+    ups = spark.createDataFrame(
+        [(0, 77), (1, 77), (10001, 77)], "vec_id: long, label: int"
+    )
+    flt = {"must": [{"key": "label", "range": {"lte": 4}}]}
+    out = upsert_points_conditional(_emb(spark, sf), ups, flt, id_col="vec_id")
+    return out.filter(F.col("vec_id").isin([0, 1, 10001])).select("vec_id", "label")
+
+
+_UPSERT_COND_SQL = """
+WITH up AS (SELECT * FROM (VALUES (0, 77), (1, 77), (10001, 77)) v(vec_id, label)),
+m AS (SELECT vec_id FROM embeddings WHERE label <= 4),
+kept AS (SELECT e.vec_id, e.label FROM embeddings e
+         WHERE NOT (e.vec_id IN (SELECT vec_id FROM m)
+                    AND e.vec_id IN (SELECT vec_id FROM up))),
+repl AS (SELECT up.vec_id, up.label FROM up JOIN m USING (vec_id)),
+ins AS (SELECT up.vec_id, up.label FROM up
+        WHERE vec_id NOT IN (SELECT vec_id FROM embeddings)),
+merged AS (SELECT * FROM kept UNION ALL SELECT * FROM repl
+           UNION ALL SELECT * FROM ins)
+SELECT vec_id, CAST(label AS INTEGER) AS label FROM merged
+WHERE vec_id IN (0, 1, 10001)
+"""
+
+
+def _q_update_vectors(spark: SparkSession, sf: str) -> DataFrame:
+    """UpdateVectors (vector_ops.rs:12-19): replace the named vector of
+    existing points, leave everything else. Verified via the vector sum so
+    the oracle compares scalars, not float arrays."""
+    from qdrant_spark.operators.mutate import update_vectors
+
+    new_vec = [0.5] * 64
+    ups = spark.createDataFrame([(0, new_vec)], "vec_id: long, embedding: array<float>")
+    out = update_vectors(_emb(spark, sf), ups, ["embedding"], id_col="vec_id")
+    s = F.aggregate(
+        F.col("embedding").cast("array<double>"), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        out.filter(F.col("vec_id").isin([0, 1]))
+        .select("vec_id", F.round(s, 6).alias("s"))
+    )
+
+
+_UPDATE_VECTORS_SQL = """
+SELECT vec_id,
+       round(CASE WHEN vec_id = 0 THEN 32.0
+                  ELSE list_sum(CAST(embedding AS DOUBLE[])) END, 6) AS s
+FROM embeddings WHERE vec_id IN (0, 1)
+"""
+
+
 def _q_delete_filter(spark: SparkSession, sf: str) -> DataFrame:
     from qdrant_spark.operators.mutate import delete_points
 
@@ -1423,6 +1478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "universal_hybrid": _q_universal_hybrid,
         "universal_rescore": _q_universal_rescore,
         "upsert": _q_upsert,
+        "upsert_conditional": _q_upsert_conditional,
+        "update_vectors": _q_update_vectors,
         "delete_by_filter": _q_delete_filter,
         "set_payload": _q_set_payload,
         "mmr": _q_mmr,
@@ -1545,6 +1602,8 @@ FROM documents
         "universal_hybrid": _UNIVERSAL_HYBRID_SQL,
         "universal_rescore": _UNIVERSAL_RESCORE_SQL,
         "upsert": _UPSERT_SQL,
+        "upsert_conditional": _UPSERT_COND_SQL,
+        "update_vectors": _UPDATE_VECTORS_SQL,
         "delete_by_filter": _DELETE_FILTER_SQL,
         "set_payload": _SET_PAYLOAD_SQL,
         # mmr: sequential greedy selection — not SQL-expressible (rows-only)
