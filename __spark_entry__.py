@@ -1142,6 +1142,73 @@ SELECT vec_id, round(r.score, 6) AS score FROM r ORDER BY r.score DESC, vec_id L
 """
 
 
+def _q_universal_hybrid_sparse(spark: SparkSession, sf: str) -> DataFrame:
+    """THE qdrant hybrid-search shape: dense prefetch + sparse prefetch
+    over the same points, fused with RRF at the top (universal Query API,
+    collection_query.rs:90-106). doc_id and vec_id coincide in the
+    testdata, so one points table carries both the embedding and the
+    text-derived sparse vector."""
+    from qdrant_spark.functions.hashes import token_hash63
+    from qdrant_spark.operators.sparse import doc_terms
+    from qdrant_spark.query import universal_query
+
+    emb = _emb(spark, sf)
+    docs = _docs(spark, sf)
+    h = doc_terms(docs).withColumn("dim", token_hash63(F.col("term")))
+    sv = (
+        h.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("dim", "tf"))).alias("ps"))
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("ps.dim").alias("sparse_indices"),
+            F.col("ps.tf").cast("array<float>").alias("sparse_values"),
+        )
+    )
+    pts = emb.join(sv, "vec_id", "left")
+    q = _vecs(spark, sf, [0])[0]
+    q_terms = sorted(
+        (r["dim"], float(r["tf"]))
+        for r in h.filter(F.col("doc_id") == 0).collect()
+    )
+    req = {
+        "prefetch": [
+            {"query": {"nearest": q}, "limit": 20},
+            {"query": {"nearest": {"indices": [d for d, _ in q_terms],
+                                   "values": [v for _, v in q_terms]}},
+             "limit": 20},
+        ],
+        "query": {"fusion": "rrf"},
+        "limit": 10,
+    }
+    out = universal_query(pts, req, id_col="vec_id", vec_col="embedding")
+    return _r6(out, "score")
+
+
+_UNIVERSAL_HYBRID_SPARSE_SQL = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+da AS (SELECT e.vec_id,
+       list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS score
+       FROM e, q ORDER BY score DESC, vec_id LIMIT 20),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+terms AS (SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY doc_id, term),
+h AS (SELECT doc_id, ('0x' || substring(md5(term), 1, 15))::BIGINT AS dim,
+             CAST(tf AS DOUBLE) AS v FROM terms),
+sq AS (SELECT dim, v AS qv FROM h WHERE doc_id = 0),
+sb AS (SELECT h.doc_id AS vec_id, sum(h.v * sq.qv) AS score
+       FROM h JOIN sq USING (dim) GROUP BY h.doc_id
+       ORDER BY score DESC, vec_id LIMIT 20),
+ra AS (SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) - 1 AS pos FROM da),
+rb AS (SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) - 1 AS pos FROM sb),
+u AS (SELECT vec_id, 1.0 / (CAST(pos + 1 AS DOUBLE) + 1.0) AS c FROM ra
+      UNION ALL
+      SELECT vec_id, 1.0 / (CAST(pos + 1 AS DOUBLE) + 1.0) AS c FROM rb),
+f AS (SELECT vec_id, sum(c) AS score FROM u GROUP BY vec_id)
+SELECT vec_id, round(score, 6) AS score FROM f ORDER BY f.score DESC, vec_id LIMIT 10
+"""
+
+
 def _q_universal_hybrid(spark: SparkSession, sf: str) -> DataFrame:
     from qdrant_spark.query import universal_query
 
@@ -1476,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_polygon": _q_geo("polygon"),
         "formula_rescore": _q_formula,
         "universal_hybrid": _q_universal_hybrid,
+        "universal_hybrid_sparse": _q_universal_hybrid_sparse,
         "universal_rescore": _q_universal_rescore,
         "upsert": _q_upsert,
         "upsert_conditional": _q_upsert_conditional,
@@ -1600,6 +1668,7 @@ FROM documents
         "geo_polygon": _geo_sql("polygon"),
         "formula_rescore": _FORMULA_SQL,
         "universal_hybrid": _UNIVERSAL_HYBRID_SQL,
+        "universal_hybrid_sparse": _UNIVERSAL_HYBRID_SPARSE_SQL,
         "universal_rescore": _UNIVERSAL_RESCORE_SQL,
         "upsert": _UPSERT_SQL,
         "upsert_conditional": _UPSERT_COND_SQL,
