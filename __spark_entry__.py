@@ -1472,9 +1472,11 @@ def _q_bq_rescore(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship hybrid query on sf0.001: dense cosine + euclid KNN fused
-    with RRF — the reference's universal Query API shape (prefetch + fusion)."""
-    return _q_fusion("rrf")(spark, "/root/testdata/sf0.001")
+    """Flagship query on sf0.001: dense prefetch + text-derived sparse
+    prefetch over the same points, fused with RRF — the reference's
+    hybrid-search shape through the universal Query API (prefetch tree +
+    fusion, collection_query.rs:90-106)."""
+    return _q_universal_hybrid_sparse(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
