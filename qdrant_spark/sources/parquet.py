@@ -64,3 +64,45 @@ class PointsTable:
         merged.write.mode("overwrite").parquet(tmp)
         final = self.spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(self.path)
+
+    def optimize(self, *, target_rows_per_file: int = 1_000_000,
+                 zorder_by: str | None = None) -> int:
+        """Compaction — the merge_optimizer analogue (SURVEY §4.3,
+        lib/shard/src/optimizers/merge_optimizer.rs): rewrite the table
+        into ceil(n/target) files per partition. ``zorder_by`` sorts
+        within partitions by that column first (e.g. the IVF ``__cluster``
+        or a tenant key) so min/max parquet stats give row-group skipping
+        on it — the poor man's Z-order, right shape for one column.
+        Returns the row count rewritten."""
+        import math
+
+        df = self.read()
+        n = df.count()
+        n_files = max(1, math.ceil(n / target_rows_per_file))
+        if zorder_by is not None:
+            df = df.repartitionByRange(n_files, F.col(zorder_by)) \
+                   .sortWithinPartitions(zorder_by)
+        else:
+            df = df.repartition(n_files)
+        tmp = f"{self.path}__compact"
+        w = df.write.mode("overwrite")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+        return n
+
+    def vacuum(self, *, deleted_col: str = "__deleted") -> int:
+        """Drop soft-deleted rows — the vacuum_optimizer analogue
+        (vacuum_optimizer.rs:76-91). Returns rows removed. No-op when the
+        marker column doesn't exist."""
+        df = self.read()
+        if deleted_col not in df.columns:
+            return 0
+        live = df.filter(~F.coalesce(F.col(deleted_col), F.lit(False))) \
+                 .drop(deleted_col)
+        removed = df.count() - live.count()
+        tmp = f"{self.path}__vacuum"
+        live.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+        return removed

@@ -82,3 +82,32 @@ def test_points_table_partition_pruning(spark):
         plan = pruned._jdf.queryExecution().executedPlan().toString()
         assert pruned.count() == 10
         assert "PartitionFilters: [isnotnull(tenant" in plan or "tenant#" in plan
+
+
+def test_points_table_optimize_and_vacuum(spark, tmp_path):
+    import glob
+
+    from qdrant_spark.sources.parquet import PointsTable
+
+    path = str(tmp_path / "pts")
+    t = PointsTable(spark, path, id_col="id")
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("blk"),
+        (F.col("id") % 3 == 0).alias("__deleted"),
+    ).repartition(16)
+    t.write(df)
+    assert len(glob.glob(f"{path}/*.parquet")) >= 16
+
+    n = t.optimize(target_rows_per_file=500, zorder_by="blk")
+    assert n == 1000
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) == 2  # ceil(1000/500)
+    assert t.read().count() == 1000
+
+    removed = t.vacuum()
+    assert removed == 334  # ids divisible by 3 in [0, 1000)
+    out = t.read()
+    assert out.count() == 666 and "__deleted" not in out.columns
+    # idempotent: second vacuum is a no-op (column gone)
+    assert t.vacuum() == 0
