@@ -40,11 +40,18 @@ def distance_matrix(
         .select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     )
     other = smp.select(F.col("id_a").alias("id_b"), F.col("__va").alias("__vb"))
-    pairs = (
-        smp.crossJoin(F.broadcast(other))
-        .filter(F.col("id_a") != F.col("id_b"))
-        .withColumn("score", distance(metric, F.col("__va"), F.col("__vb")))
-    )
+    pairs = smp.crossJoin(F.broadcast(other)).filter(F.col("id_a") != F.col("id_b"))
+    if sample_size > 100:
+        # sample^2 pairs: interpreted Column scoring is the slow path —
+        # route through the vectorized Arrow pair scorer (same ordering
+        # and tie-break, so results are identical)
+        from qdrant_spark.operators.knn import rowwise_score_topk
+
+        return rowwise_score_topk(
+            pairs, metric=metric, k=limit_per_sample,
+            qid_col="id_a", id_col="id_b", vec_col="__va", qvec_col="__vb",
+        ).select("id_a", "id_b", "score", "rank")
+    pairs = pairs.withColumn("score", distance(metric, F.col("__va"), F.col("__vb")))
     order = [
         F.col("score").desc() if larger_is_better(metric) else F.col("score").asc(),
         F.col("id_b").asc(),

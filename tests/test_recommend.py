@@ -152,3 +152,32 @@ def test_distance_matrix_shape(embeddings):
     for rows in by_a.values():
         assert len(rows) == 3
         assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
+
+
+def test_distance_matrix_large_sample_matches_numpy(embeddings):
+    """sample_size > 100 switches to the Arrow pair scorer; verify it
+    against a direct NumPy recomputation of the same sample."""
+    from qdrant_spark.operators.matrix import distance_matrix
+    from qdrant_spark.operators.points import sample as sample_points
+
+    from pyspark.sql import functions as F
+
+    got = distance_matrix(
+        embeddings, sample_size=120, limit_per_sample=3, metric="cosine",
+        vec_col="embedding", id_col="vec_id", seed=11,
+    ).collect()
+    smp = (
+        sample_points(embeddings.filter(F.col("embedding").isNotNull()), 120, seed=11)
+        .select("vec_id", "embedding").collect()
+    )
+    ids = np.array([r["vec_id"] for r in smp])
+    V = np.array([list(r["embedding"]) for r in smp], dtype=np.float64)
+    S = (V @ V.T) / (
+        np.linalg.norm(V, axis=1)[:, None] * np.linalg.norm(V, axis=1)[None, :]
+    )
+    assert len(got) == 120 * 3
+    for r in got:
+        i = int(np.where(ids == r["id_a"])[0][0])
+        order = sorted(range(len(ids)), key=lambda j: (-S[i, j], ids[j]))
+        expect = [ids[j] for j in order if ids[j] != r["id_a"]][:3]
+        assert r["id_b"] == expect[r["rank"] - 1]
