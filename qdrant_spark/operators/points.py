@@ -40,16 +40,27 @@ def retrieve(
     ids: list,
     *,
     id_col: str = "id",
-    with_payload: bool | list[str] = True,
+    with_payload: bool | list[str] | dict = True,
     with_vector: bool | list[str] = False,
     vec_cols: list[str] | None = None,
 ) -> DataFrame:
     """Fetch records by id with payload/vector projection
-    (WithPayloadInterface types.rs:4175, WithVector types.rs:4201)."""
+    (WithPayloadInterface types.rs:4175, WithVector types.rs:4201).
+    ``with_payload`` also accepts the selector dict forms
+    ``{"include": [...]}`` / ``{"exclude": [...]}`` (PayloadSelector
+    types.rs:4329)."""
     df = points.filter(F.col(id_col).isin(ids))
     vec_cols = vec_cols or [c for c in df.columns if c.startswith("vec")]
     payload_cols = [c for c in df.columns if c != id_col and c not in vec_cols]
     cols = [id_col]
+    if isinstance(with_payload, dict):
+        if "include" in with_payload:
+            with_payload = list(with_payload["include"])
+        elif "exclude" in with_payload:
+            excl = set(with_payload["exclude"])
+            with_payload = [c for c in payload_cols if c not in excl]
+        else:
+            raise ValueError("payload selector needs 'include' or 'exclude'")
     if with_payload is True:
         cols += payload_cols
     elif isinstance(with_payload, list):

@@ -86,3 +86,16 @@ def test_sample_deterministic(embeddings):
     a = sorted(r["vec_id"] for r in sample(embeddings, 20, seed=3).collect())
     b = sorted(r["vec_id"] for r in sample(embeddings, 20, seed=3).collect())
     assert a == b and len(a) == 20
+
+
+def test_retrieve_payload_selectors(points_basic):
+    from qdrant_spark.operators.points import retrieve
+
+    inc = retrieve(points_basic, ["1"], with_payload={"include": ["city"]})
+    assert set(inc.columns) == {"id", "city"}
+    exc = retrieve(points_basic, ["1"], with_payload={"exclude": ["city"]})
+    assert "city" not in exc.columns and "price" in exc.columns
+    import pytest
+
+    with pytest.raises(ValueError):
+        retrieve(points_basic, ["1"], with_payload={"bogus": []})
