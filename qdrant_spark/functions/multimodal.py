@@ -114,6 +114,59 @@ def extract_features(
     return df.select(id_col, blob_col).mapInPandas(run, schema)
 
 
+def resize_media(
+    df: DataFrame,
+    *,
+    blob_col: str = "blob",
+    id_col: str = "id",
+    width: int = 64,
+    height: int = 64,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """(id, blob, width, height) with the blob re-encoded to the target
+    size — image-resize plumbing with the codec stubbed (this container
+    has no image libraries; swap ``resize_fn`` for a PIL/opencv call in a
+    real deployment). The deterministic fake derives exactly
+    ``width*height`` bytes from the input via md5 expansion, so tests can
+    assert sizes and idempotence without a codec."""
+
+    def fake_resize(blob: bytes, w: int, h: int) -> bytes:
+        blob = blob or b""
+        out = bytearray()
+        i = 0
+        while len(out) < w * h:
+            out.extend(hashlib.md5(blob + bytes([i % 256])).digest())
+            i += 1
+        return bytes(out[: w * h])
+
+    fn = resize_fn or fake_resize
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("blob", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = [fn(b, width, height) if b is not None else None
+                     for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "blob": blobs,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema)
+
+
 def frame_sample(
     df: DataFrame,
     *,

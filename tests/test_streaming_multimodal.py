@@ -96,3 +96,18 @@ def test_frame_sample_explodes(spark):
 def test_real_decode_is_marked_stub():
     with pytest.raises(NotImplementedError):
         real_decode(b"x")
+
+
+def test_resize_media_deterministic(spark):
+    from qdrant_spark.functions.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, b"imagebytes"), (2, b"other"), (3, None)], "id: long, blob: binary"
+    )
+    out = resize_media(df, width=8, height=4).collect()
+    by_id = {r["id"]: r for r in out}
+    assert len(by_id[1]["blob"]) == 32 and by_id[1]["width"] == 8
+    assert by_id[3]["blob"] is None
+    # deterministic: same input -> same bytes
+    again = {r["id"]: r["blob"] for r in resize_media(df, width=8, height=4).collect()}
+    assert again[1] == by_id[1]["blob"]
