@@ -1,0 +1,94 @@
+"""End-to-end training-data curation pipeline on the test tables.
+
+The composition a 100 TB corpus job would run, demonstrated at any SF:
+
+1. ingest documents + embeddings into one points table (id-aligned)
+2. drop exact and near duplicates (MinHash-LSH, then embedding cosine)
+3. quality-filter with text heuristics (token count, stopword ratio)
+4. build the BM25 postings index and the IVF ANN index (ingest-time cost)
+5. hybrid-retrieve per query: dense prefetch + sparse prefetch -> RRF
+6. diversify the final set per source with grouped search
+
+Run: PYTHONPATH=/root/repo python examples/curation_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+
+def run(sf_dir: str = "/root/testdata/sf0.001", cpus: int = 8) -> dict:
+    from qdrant_spark import get_spark
+    from qdrant_spark.functions.text import quality_features, tokenize
+    from qdrant_spark.operators.dedup import (
+        embedding_near_dups, exact_dedup, minhash_lsh_pairs,
+    )
+    from qdrant_spark.operators.groupby import group_by
+    from qdrant_spark.operators.knn import knn
+    from qdrant_spark.operators.sparse import bm25_search_index, build_bm25_index
+    from qdrant_spark.operators.fusion import rrf
+
+    spark = get_spark(app_name="curation-pipeline", cpus=cpus)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # -- 2. dedup: exact, then LSH near-dup, then embedding near-dup ------
+    exact = exact_dedup(docs).filter(~F.col("is_duplicate")).select("doc_id")
+    lsh_dups = minhash_lsh_pairs(docs, jaccard_threshold=0.5).select(
+        F.col("id_b").alias("doc_id")
+    )
+    emb_dups = embedding_near_dups(
+        emb, vec_col="embedding", id_col="vec_id", threshold=0.995,
+        block_col="label",
+    ).select(F.col("vec_id_b").alias("doc_id"))
+    keep = (
+        exact.join(lsh_dups, "doc_id", "left_anti")
+        .join(emb_dups, "doc_id", "left_anti")
+    )
+
+    # -- 3. quality filter ------------------------------------------------
+    toks = tokenize(F.col("text"))
+    feats = quality_features("text", tokens=toks)
+    quality = (
+        docs.join(keep, "doc_id", "left_semi")
+        .withColumn("__nt", feats["n_tokens"])
+        .withColumn("__sr", feats["stopword_ratio"])
+        .filter((F.col("__nt") >= 5) & (F.col("__sr") <= 0.9))
+        .select("doc_id", "text", "lang", "source")
+    )
+    pts = quality.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding", "label"),
+        "doc_id",
+    ).cache()
+    n_clean = pts.count()
+
+    # -- 4. indexes (ingest-time) ----------------------------------------
+    bm25 = build_bm25_index(pts, text_col="text", id_col="doc_id")
+    bm25.postings = bm25.postings.cache()
+    bm25.postings.count()
+
+    # -- 5. hybrid retrieval ---------------------------------------------
+    qvec = list(emb.limit(1).collect()[0]["embedding"])
+    dense = knn(pts, qvec, metric="cosine", k=50, vec_col="embedding",
+                id_col="doc_id", select=["doc_id", "score"])
+    sparse = bm25_search_index(bm25, "data quality model training", k=50)
+    fused = rrf([dense, sparse], id_col="doc_id", limit=30)
+
+    # -- 6. per-source diversity -----------------------------------------
+    enriched = fused.join(pts.select("doc_id", "source"), "doc_id")
+    final = group_by(enriched, "source", groups=3, group_size=5,
+                     id_col="doc_id")
+    result = final.collect()
+    out = {
+        "clean_docs": n_clean,
+        "final_rows": len(result),
+        "sources": sorted({r["group_value"] for r in result}),
+    }
+    spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    print(run(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
