@@ -747,6 +747,48 @@ SELECT doc_id, round(sc.score, 6) AS score FROM sc ORDER BY sc.score DESC, doc_i
 """
 
 
+def _q_sparse_idf_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-filtered IDF (IdfParams types.rs:701-732, reference
+    tests/openapi/test_sparse_idf_corpus.py): the document-frequency stats
+    come from a FILTERED sub-corpus (lang = 'en'), while the search still
+    ranks the whole corpus."""
+    from qdrant_spark.filters import apply_filter
+    from qdrant_spark.operators.sparse import doc_terms, idf_df
+
+    docs = _docs(spark, sf)
+    corpus = apply_filter(docs, {"must": [{"key": "lang", "match": {"value": "en"}}]})
+    n_corpus = corpus.count()
+    idf = idf_df(doc_terms(corpus), n_corpus)
+    terms = doc_terms(docs)
+    q_tokens = ["fast", "hash", "join", "sort"]
+    q = spark.createDataFrame([(t,) for t in q_tokens], "term: string")
+    scored = (
+        terms.join(F.broadcast(q), "term")
+        .join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+    return _r6(scored, "score")
+
+
+_SPARSE_IDF_CORPUS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+terms AS (SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY doc_id, term),
+cterms AS (SELECT terms.* FROM terms
+           JOIN documents USING (doc_id) WHERE documents.lang = 'en'),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS nd FROM cterms GROUP BY term),
+q AS (SELECT unnest(['fast', 'hash', 'join', 'sort']) AS term),
+sc AS (SELECT terms.doc_id,
+       sum(terms.tf * ln(((SELECT count(*) FROM documents WHERE lang = 'en') - nd + 0.5)
+                         / (nd + 0.5) + 1.0)) AS score
+       FROM terms JOIN q USING (term) JOIN dfq USING (term) GROUP BY terms.doc_id)
+SELECT doc_id, round(sc.score, 6) AS score FROM sc ORDER BY sc.score DESC, doc_id LIMIT 10
+"""
+
+
 def _q_bm25(spark: SparkSession, sf: str) -> DataFrame:
     from qdrant_spark.operators.sparse import bm25_search
 
@@ -1527,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_knn": _q_sparse_knn,
         "sparse_knn_batch": _q_sparse_knn_batch,
         "sparse_idf_knn": _q_sparse_idf,
+        "sparse_idf_corpus": _q_sparse_idf_corpus,
         "bm25_search": _q_bm25,
         "dedup_exact": _q_exact_dedup,
         "dedup_minhash_sig": _q_minhash,
@@ -1652,6 +1695,7 @@ FROM documents
         "sparse_knn": _SPARSE_KNN_SQL,
         "sparse_knn_batch": _SPARSE_KNN_BATCH_SQL,
         "sparse_idf_knn": _SPARSE_IDF_SQL,
+        "sparse_idf_corpus": _SPARSE_IDF_CORPUS_SQL,
         "bm25_search": _BM25_SQL,
         "dedup_exact": _EXACT_DEDUP_SQL,
         "dedup_minhash_sig": _minhash_sql(),
