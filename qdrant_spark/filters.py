@@ -67,11 +67,9 @@ class FieldResolver:
         parts = key.split(".")
         field_type: T.DataType | None = None
         cur: T.DataType = self.schema
-        col = None
         for p in parts:
             if isinstance(cur, T.StructType) and p in cur.fieldNames():
                 cur = cur[p].dataType
-                col = F.col(key) if col is None else col[p]
             else:
                 return (F.col(key), None)  # unknown: let Spark resolve / fail lazily
             field_type = cur

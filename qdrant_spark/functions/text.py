@@ -142,10 +142,13 @@ def compile_text_match(fr: "FieldResolver", key: str, match: dict[str, Any]) -> 
         def pred(c: Column) -> Column:
             doc = tokenize(c)
             n = F.size(doc)
-            positions = F.sequence(F.lit(1), F.greatest(n - m + 1, F.lit(0)))
-            return (n >= m) & F.exists(
-                positions, lambda i: F.slice(doc, i, m) == q_arr
-            )
+            # guard with when(), not `&`: Spark AND doesn't short-circuit, and
+            # sequence(1, 0) counts DOWN to [1, 0] -> slice(doc, 0, m) throws
+            positions = F.sequence(F.lit(1), n - m + 1)
+            return F.when(
+                n >= m,
+                F.exists(positions, lambda i: F.slice(doc, i, m) == q_arr),
+            ).otherwise(F.lit(False))
 
         return fr.any_match(key, pred)
     raise ValueError(f"unsupported text match: {match!r}")
@@ -251,10 +254,23 @@ def fingerprint(col: Column | str, normalize: bool = True) -> Column:
 def shingles(col: Column | str, n: int = 3, mode: str = "word") -> Column:
     """n-gram shingles as array<string> (word n-grams or char n-grams)."""
     c = F.col(col) if isinstance(col, str) else col
+    empty = F.array().cast("array<string>")
     if mode == "word":
         toks = tokenize(c)
-        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0)))
-        return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        # guard: with size < n, greatest(...,0) made sequence(1, 0) count DOWN
+        # to [1, 0] and slice(toks, 0, n) threw INVALID_PARAMETER_VALUE.START
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(empty)
     s = F.lower(c)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(0)))
-    return F.transform(idx, lambda i: s.substr(i, F.lit(n)))
+    return F.when(
+        F.length(s) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - n + 1),
+            lambda i: s.substr(i, F.lit(n)),
+        ),
+    ).otherwise(empty)

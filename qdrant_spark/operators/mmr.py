@@ -54,6 +54,12 @@ def mmr_rerank_pd(
     """Greedy MMR over one candidate group (driver-free, pure pandas/NumPy)."""
     V = np.array(list(pdf[vec_col]), dtype=np.float64)
     rel = pdf["score"].to_numpy(dtype=np.float64)
+    if metric in ("euclid", "manhattan"):
+        # incoming scores are user-facing distances (smaller=better); flip
+        # into the internal larger-is-better convention the sim matrix uses
+        # (the reference recomputes relevance in that convention,
+        # lib/shard/src/query/mmr/mod.rs relevance_similarities)
+        rel = -rel
     ids = pdf[id_col].to_numpy()
     n = len(pdf)
     sim = _sim_matrix(V, metric)

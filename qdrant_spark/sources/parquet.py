@@ -19,8 +19,17 @@ writer with the same layout.
 
 from __future__ import annotations
 
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _rm(path: str) -> None:
+    """Remove an intermediate rewrite directory (local filesystem; on a real
+    deployment the versioned-snapshot sink in streaming/ingest.py replaces
+    this read-modify-write dance entirely)."""
+    shutil.rmtree(path, ignore_errors=True)
 
 
 class PointsTable:
@@ -64,6 +73,7 @@ class PointsTable:
         merged.write.mode("overwrite").parquet(tmp)
         final = self.spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(self.path)
+        _rm(tmp)
 
     def optimize(self, *, target_rows_per_file: int = 1_000_000,
                  zorder_by: str | None = None) -> int:
@@ -90,6 +100,7 @@ class PointsTable:
             w = w.partitionBy(*self.partition_by)
         w.parquet(tmp)
         self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+        _rm(tmp)
         return n
 
     def vacuum(self, *, deleted_col: str = "__deleted") -> int:
@@ -105,4 +116,5 @@ class PointsTable:
         tmp = f"{self.path}__vacuum"
         live.write.mode("overwrite").parquet(tmp)
         self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+        _rm(tmp)
         return removed

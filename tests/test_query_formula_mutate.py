@@ -112,6 +112,24 @@ def test_mmr_diversity_extreme(spark):
     assert [r["id"] for r in out] == [1, 3]
 
 
+def test_mmr_euclid_distance_scores_prefer_nearest():
+    # scores are user-facing euclid distances (smaller = better); the first
+    # pick must be the NEAREST point, not the farthest (regression: relevance
+    # entered the internal larger-is-better mix un-negated)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3],
+            "vec": [[0.0, 0.0], [5.0, 0.0], [0.0, 5.0]],
+            "score": [0.1, 4.0, 5.0],  # distances to the query
+        }
+    )
+    out = mmr_rerank_pd(pdf, lambda_=1.0, k=1, metric="euclid",
+                        id_col="id", vec_col="vec")
+    assert list(out["id"]) == [1]
+
+
 # --- mutations -------------------------------------------------------------
 
 

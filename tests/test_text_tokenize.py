@@ -64,3 +64,35 @@ def test_stopword_and_length_filters(tok_spark):
     [toks] = tok_spark(["The quick brown fox of doom"], stopwords=STOPWORDS,
                        min_token_len=4)
     assert toks == ["quick", "brown", "doom"]
+
+
+def test_shingles_short_and_empty_docs(spark):
+    # regression: docs with fewer than n tokens/chars made sequence(1, 0)
+    # count DOWN and slice(toks, 0, n) abort the whole job
+    from qdrant_spark.functions.text import shingles
+
+    df = spark.createDataFrame(
+        [(1, "two tokens"), (2, ""), (3, "one"), (4, "a b c d")],
+        "doc_id: long, text: string",
+    )
+    word = {r["doc_id"]: list(r["s"]) for r in
+            df.select("doc_id", shingles("text", n=3).alias("s")).collect()}
+    assert word[1] == [] and word[2] == [] and word[3] == []
+    assert word[4] == ["a b c", "b c d"]
+    char = {r["doc_id"]: list(r["s"]) for r in
+            df.select("doc_id", shingles("text", n=5, mode="char").alias("s")).collect()}
+    assert char[3] == [] and char[2] == []
+    assert char[1][:2] == ["two t", "wo to"]
+
+
+def test_phrase_match_doc_shorter_than_phrase(spark):
+    from qdrant_spark.filters import filter_column
+
+    df = spark.createDataFrame(
+        [(1, "big data"), (2, ""), (3, "big data systems at scale")],
+        "id: long, body: string",
+    )
+    cond = {"must": [{"key": "body",
+                      "match": {"phrase": "big data systems"}}]}
+    got = sorted(r["id"] for r in df.filter(filter_column(df, cond)).collect())
+    assert got == [3]
