@@ -1521,8 +1521,55 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_universal_hybrid_sparse(spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate truncates at 50 entries per round
+# (CORRECTNESS_r01.json stopped at entry 50), so entries that have not yet
+# received a green driver row run FIRST. Round 1 gated the first 50 of the
+# old ordering; this list front-loads the 24 that were cut off, plus any
+# entries new this round. Rotate once everything has a driver row.
+_GATE_PRIORITY = [
+    # new in round 2
+    "sync",
+    "filter_text_stemmed",
+    "filter_jsonpath_array",
+    "quantized_pq_rescore",
+    "recommend_multi_ids",
+    "multimodal_decode",
+    # driver-ungated after round 1 (entries 51-74 of the old ordering)
+    "filter_nested",
+    "filter_prefix",
+    "filter_is_empty",
+    "filter_is_null",
+    "filter_values_count",
+    "query_by_id",
+    "geo_radius",
+    "geo_bbox_wrap",
+    "geo_polygon",
+    "formula_rescore",
+    "universal_hybrid",
+    "universal_hybrid_sparse",
+    "universal_rescore",
+    "upsert",
+    "upsert_conditional",
+    "update_vectors",
+    "delete_by_filter",
+    "set_payload",
+    "mmr",
+    "ann_ivf_full_probe",
+    "ann_ivf",
+    "ann_ivf_batch",
+    "quantized_sq_rescore",
+    "quantized_bq_rescore",
+]
+
+
+def _gate_order(base: dict) -> dict:
+    ordered = {k: base[k] for k in _GATE_PRIORITY if k in base}
+    ordered.update({k: v for k, v in base.items() if k not in ordered})
+    return ordered
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _gate_order({
         "knn_cosine": _q_knn("cosine"),
         "knn_dot": _q_knn("dot"),
         "knn_euclid": _q_knn("euclid"),
@@ -1601,11 +1648,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch": _q_ann_ivf_batch,
         "quantized_sq_rescore": _q_sq_rescore,
         "quantized_bq_rescore": _q_bq_rescore,
-    }
+    })
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    return _gate_order({
         "knn_cosine": _knn_sql("cosine"),
         "knn_dot": _knn_sql("dot"),
         "knn_euclid": _knn_sql("euclid"),
@@ -1728,4 +1775,4 @@ FROM documents
         # quantized_bq_rescore: hamming coarse stage is approximate by
         # design — rows-only check, recall gated in tests/test_quantize.py
         # ann_ivf (nprobe<k): approximate by design — gated by recall tests
-    }
+    })
