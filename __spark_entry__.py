@@ -542,6 +542,39 @@ def _q_filter_text(kind: str):
     return run
 
 
+def _q_filter_text_stemmed(spark: SparkSession, sf: str) -> DataFrame:
+    """match.text against a Snowball-stemmed text index
+    (StemmingAlgorithm/SnowballParams, index.rs:304-360; stemmer.rs:9-52):
+    query and document tokens both stem, so inflected forms match."""
+    from qdrant_spark.filters import apply_filter
+
+    tp = {"text": {"stemmer": {"type": "snowball", "language": "english"}}}
+    flt = {"must": [{"key": "text", "match": {"text": "queries merged"}}]}
+    return apply_filter(_docs(spark, sf), flt, text_params=tp).select("doc_id")
+
+
+# Full token vocabulary of the synthetic documents corpus (stable across
+# scale factors — the generator draws from this word list). The oracle
+# can't run a stemmer (DuckDB's fts extension is unavailable offline), so
+# it joins tokens against this dictionary stemmed by our snowball_en —
+# the stemmer itself is pinned by the golden/property tests in
+# tests/test_text_tokenize.py; the oracle then independently checks the
+# tokenization + stemmed-match semantics.
+_DOC_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+
+
+def _stem_map_sql() -> str:
+    from qdrant_spark.functions.stemmer import snowball_en
+
+    pairs = ", ".join(f"('{w}', '{snowball_en(w)}')" for w in _DOC_VOCAB)
+    return f"sm(word, stem) AS (VALUES {pairs})"
+
+
 def _q_events_json(spark: SparkSession, sf: str) -> DataFrame:
     ev = _events(spark, sf)
     k = F.get_json_object("props", "$.k").cast("long")
@@ -1607,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_dsl_orders": _q_filter_orders,
         "filter_min_should": _q_filter_min_should,
         "filter_text_all": _q_filter_text("text"),
+        "filter_text_stemmed": _q_filter_text_stemmed,
         "filter_phrase": _q_filter_text("phrase"),
         "payload_json_path": _q_events_json,
         "text_quality": _q_text_stats,
@@ -1715,6 +1749,14 @@ WHERE (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
         "filter_text_all": f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
 SELECT doc_id FROM t WHERE list_contains(toks, 'fast') AND list_contains(toks, 'hash')
+""",
+        "filter_text_stemmed": f"""
+WITH {_stem_map_sql()},
+tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+st AS (SELECT doc_id, coalesce(sm.stem, tk.tok) AS stem
+       FROM tk LEFT JOIN sm ON tk.tok = sm.word)
+SELECT doc_id FROM st GROUP BY doc_id
+HAVING bool_or(stem = 'queri') AND bool_or(stem = 'merg')
 """,
         "filter_phrase": f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)

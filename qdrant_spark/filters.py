@@ -60,8 +60,15 @@ class FieldResolver:
     when the terminal type is an array.
     """
 
-    def __init__(self, schema: T.StructType):
+    def __init__(
+        self,
+        schema: T.StructType,
+        text_params: dict[str, dict[str, Any]] | None = None,
+    ):
         self.schema = schema
+        # per-field TextIndexParams (tokenizer/stemmer/ascii_folding/... —
+        # index.rs:260-360); the analogue of a declared text field index
+        self.text_params = text_params or {}
 
     def _walk(self, key: str) -> tuple[Column, T.DataType | None]:
         parts = key.split(".")
@@ -365,12 +372,25 @@ def compile_filter(fr: FieldResolver, flt: dict[str, Any] | None) -> Column:
     return out
 
 
-def filter_column(df: DataFrame, flt: dict[str, Any] | None) -> Column:
-    """Public entry: compile ``flt`` against ``df``'s schema."""
-    return compile_filter(FieldResolver(df.schema), flt)
+def filter_column(
+    df: DataFrame,
+    flt: dict[str, Any] | None,
+    *,
+    text_params: dict[str, dict[str, Any]] | None = None,
+) -> Column:
+    """Public entry: compile ``flt`` against ``df``'s schema.
+    ``text_params`` declares per-field text-index options (tokenizer,
+    stemmer, ascii_folding, stopwords, min/max token length) that full-text
+    conditions on that field honor — the declared-field-index analogue."""
+    return compile_filter(FieldResolver(df.schema, text_params), flt)
 
 
-def apply_filter(df: DataFrame, flt: dict[str, Any] | None) -> DataFrame:
+def apply_filter(
+    df: DataFrame,
+    flt: dict[str, Any] | None,
+    *,
+    text_params: dict[str, dict[str, Any]] | None = None,
+) -> DataFrame:
     if not flt:
         return df
-    return df.filter(filter_column(df, flt))
+    return df.filter(filter_column(df, flt, text_params=text_params))

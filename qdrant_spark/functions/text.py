@@ -27,6 +27,93 @@ WORD_SPLIT_RE = r"[^\p{L}\p{N}]+"
 # both sides must split on it or query/document tokenization diverges
 _PY_WORD_SPLIT = re.compile(r"[\W_]+", re.UNICODE)
 
+# CJK character class for the multilingual tokenizer. Same explicit ranges on
+# the Python and Java side so both tokenize identically (charabia segments
+# CJK scripts per-word; we approximate with per-character tokens — the
+# documented divergence is multi-char CJK words, e.g. the reference's
+# vaporetto yields 日本|語 where we yield 日|本|語).
+# Reference: multilingual.rs:22-58, japanese.rs.
+_CJK_RANGES = (
+    "\\u1100-\\u11FF"  # Hangul Jamo
+    "\\u3040-\\u309F"  # Hiragana
+    "\\u30A0-\\u30FF"  # Katakana
+    "\\u3400-\\u4DBF"  # CJK ext A
+    "\\u4E00-\\u9FFF"  # CJK unified
+    "\\uAC00-\\uD7AF"  # Hangul syllables
+)
+_CJK_CLASS = f"[{_CJK_RANGES}]"
+_PY_CJK = re.compile(_CJK_CLASS)
+
+# ASCII folding — a curated subset of the Lucene ASCIIFoldingFilter table the
+# reference ports (ascii_folding.rs:16-30): Latin-1 Supplement + Latin
+# Extended-A letters + common ligatures. Single source of truth for the
+# Python and Spark sides. Symbol/enclosed-form mappings ("(a)" etc.) are
+# intentionally omitted: they never produce index tokens.
+_FOLD_1TO1: dict[str, str] = {}
+for _dst, _srcs in {
+    "A": "ÀÁÂÃÄÅĀĂĄǍ", "a": "àáâãäåāăąǎ",
+    "C": "ÇĆĈĊČ", "c": "çćĉċč",
+    "D": "ÐĎĐ", "d": "ðďđ",
+    "E": "ÈÉÊËĒĔĖĘĚ", "e": "èéêëēĕėęě",
+    "G": "ĜĞĠĢ", "g": "ĝğġģ",
+    "H": "ĤĦ", "h": "ĥħ",
+    "I": "ÌÍÎÏĨĪĬĮİ", "i": "ìíîïĩīĭįı",
+    "J": "Ĵ", "j": "ĵ",
+    "K": "Ķ", "k": "ķ",
+    "L": "ĹĻĽĿŁ", "l": "ĺļľŀł",
+    "N": "ÑŃŅŇŊ", "n": "ñńņňŋ",
+    "O": "ÒÓÔÕÖØŌŎŐǑ", "o": "òóôõöøōŏőǒ",
+    "R": "ŔŖŘ", "r": "ŕŗř",
+    "S": "ŚŜŞŠ", "s": "śŝşšſ",
+    "T": "ŢŤŦ", "t": "ţťŧ",
+    "U": "ÙÚÛÜŨŪŬŮŰŲǓ", "u": "ùúûüũūŭůűųǔ",
+    "W": "Ŵ", "w": "ŵ",
+    "Y": "ÝŶŸ", "y": "ýÿŷ",
+    "Z": "ŹŻŽ", "z": "źżž",
+}.items():
+    for _ch in _srcs:
+        _FOLD_1TO1[_ch] = _dst
+_FOLD_MULTI: dict[str, str] = {
+    "Æ": "AE", "æ": "ae", "Œ": "OE", "œ": "oe", "ß": "ss",
+    "Ĳ": "IJ", "ĳ": "ij", "Þ": "TH", "þ": "th",
+    "ﬀ": "ff", "ﬁ": "fi", "ﬂ": "fl", "ﬃ": "ffi", "ﬄ": "ffl",
+}
+_PY_FOLD = str.maketrans({**_FOLD_1TO1, **_FOLD_MULTI})
+
+
+def fold_to_ascii_py(text: str) -> str:
+    """Driver-side ASCII folding (ascii_folding.rs:16-30 subset)."""
+    return text.translate(_PY_FOLD)
+
+
+def fold_to_ascii(col: Column | str) -> Column:
+    """JVM-side ASCII folding: one translate() for 1:1 chars + a replace
+    chain for the few multi-char expansions. Stays in codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    src = "".join(_FOLD_1TO1)
+    dst = "".join(_FOLD_1TO1.values())
+    c = F.translate(c, src, dst)
+    for ch, repl in _FOLD_MULTI.items():
+        c = F.replace(c, F.lit(ch), F.lit(repl))
+    return c
+
+
+def _resolve_stemmer(stemmer: str | dict[str, Any] | None):
+    """Accept the reference's StemmingAlgorithm shapes (index.rs:341-352):
+    {"type": "snowball", "language": "english"}, {"type": "none"}, or a bare
+    language string."""
+    if stemmer is None:
+        return None
+    if isinstance(stemmer, str):
+        lang = stemmer
+    elif stemmer.get("type") == "none":
+        return None
+    else:
+        lang = stemmer["language"]
+    from qdrant_spark.functions.stemmer import get_stemmer
+
+    return get_stemmer(lang)
+
 
 def tokenize_py(
     text: str,
@@ -35,31 +122,63 @@ def tokenize_py(
     min_token_len: int | None = None,
     max_token_len: int | None = None,
     stopwords: set[str] | None = None,
+    ascii_folding: bool = False,
+    stemmer: str | dict[str, Any] | None = None,
 ) -> list[str]:
     """Driver-side tokenizer for constant query strings — must agree with
     :func:`tokenize` so filter compilation and document tokenization match.
-    Options mirror the reference's TextIndexParams (index.rs:260-360):
-    min/max token length drop out-of-range tokens, ``stopwords`` drops
-    members of the set, and ``tokenizer='prefix'`` emits every prefix of
-    each token from ``min_token_len`` (default 1) up to
-    ``max_token_len`` (the reference's Prefix tokenizer)."""
+    Options mirror the reference's TextIndexParams (index.rs:260-360) and
+    apply in the reference's per-token order (tokens_processor.rs:59-106):
+    fold -> lowercase -> stopwords -> stem -> length. ``tokenizer='prefix'``
+    emits every prefix of each token from ``min_token_len`` (default 1) up
+    to ``max_token_len``; ``tokenizer='multilingual'`` additionally splits
+    CJK characters into single-char tokens and drops tokens with no letter
+    (multilingual.rs:49-52)."""
+    if ascii_folding:
+        text = fold_to_ascii_py(text)
     if lowercase:
         text = text.lower()
     if tokenizer == "whitespace":
         toks = text.split()
-    else:  # word / prefix / multilingual approximation
+    else:  # word / prefix / multilingual
+        if tokenizer == "multilingual":
+            text = _PY_CJK.sub(lambda m: f" {m.group(0)} ", text)
         toks = [t for t in _PY_WORD_SPLIT.split(text) if t]
+        if tokenizer == "multilingual":
+            toks = [t for t in toks if any(c.isalpha() for c in t)]
     if stopwords:
         toks = [t for t in toks if t not in stopwords]
     if tokenizer == "prefix":
         lo = min_token_len or 1
         hi = max_token_len or 20
         return [t[:i] for t in toks for i in range(lo, min(len(t), hi) + 1)]
+    stem = _resolve_stemmer(stemmer)
+    if stem is not None:
+        toks = [stem(t) for t in toks]
     if min_token_len is not None:
         toks = [t for t in toks if len(t) >= min_token_len]
     if max_token_len is not None:
         toks = [t for t in toks if len(t) <= max_token_len]
     return toks
+
+
+def _stem_tokens_udf(language: str):
+    """Arrow-batched token-array stemmer. The only Python-side stage of the
+    tokenize pipeline — everything else stays in codegen. Used for document
+    tokens when a text index declares a stemmer; query tokens stem
+    driver-side via tokenize_py."""
+    from qdrant_spark.functions.stemmer import get_stemmer
+
+    stem = get_stemmer(language)
+
+    def stem_tokens(s):
+        return s.apply(
+            lambda toks: None if toks is None else [stem(t) for t in toks]
+        )
+
+    # no type hints: postponed annotations (PEP 563) break pyspark's
+    # hint-based eval-type inference; default scalar pandas UDF is what we want
+    return F.pandas_udf(stem_tokens, "array<string>")
 
 
 def tokenize(
@@ -69,15 +188,23 @@ def tokenize(
     min_token_len: int | None = None,
     max_token_len: int | None = None,
     stopwords: set[str] | None = None,
+    ascii_folding: bool = False,
+    stemmer: str | dict[str, Any] | None = None,
 ) -> Column:
     """Tokenize a string column -> array<string>, JVM-side (split/filter/
-    flatten stay in whole-stage codegen). Same options as
-    :func:`tokenize_py`."""
+    flatten stay in whole-stage codegen; stemming, when enabled, is the one
+    Arrow-batched stage). Same options and ordering as :func:`tokenize_py`."""
     c = F.col(col) if isinstance(col, str) else col
+    if ascii_folding:
+        c = fold_to_ascii(c)
     if lowercase:
         c = F.lower(c)
+    if tokenizer == "multilingual":
+        c = F.regexp_replace(c, f"({_CJK_CLASS})", " $1 ")
     pattern = r"\s+" if tokenizer == "whitespace" else WORD_SPLIT_RE
     toks = F.filter(F.split(c, pattern), lambda t: t != "")
+    if tokenizer == "multilingual":
+        toks = F.filter(toks, lambda t: t.rlike(r"\p{L}"))
     if stopwords:
         sw = F.lit(sorted(stopwords))
         toks = F.filter(toks, lambda t: ~F.array_contains(sw, t))
@@ -98,6 +225,10 @@ def tokenize(
                 ).otherwise(F.array().cast("array<string>")),
             )
         )
+    stem = _resolve_stemmer(stemmer)
+    if stem is not None:
+        lang = stemmer if isinstance(stemmer, str) else stemmer["language"]
+        toks = _stem_tokens_udf(lang)(toks)
     if min_token_len is not None:
         toks = F.filter(toks, lambda t: F.length(t) >= min_token_len)
     if max_token_len is not None:
@@ -108,14 +239,17 @@ def tokenize(
 def compile_text_match(fr: "FieldResolver", key: str, match: dict[str, Any]) -> Column:
     """match.text (ALL tokens present, types.rs:3014), match.text_any
     (at least one, types.rs:3021), match.phrase (ordered-adjacent,
-    types.rs:3034)."""
+    types.rs:3034). Tokenization honors the field's declared text-index
+    params (FieldResolver.text_params) on both the query and document
+    side, so a stemmed/folded index matches like the reference's."""
+    params: dict[str, Any] = getattr(fr, "text_params", {}).get(key, {})
     if "text" in match:
-        q_tokens = tokenize_py(match["text"])
+        q_tokens = tokenize_py(match["text"], **params)
         if not q_tokens:
             return F.lit(True)
 
         def pred(c: Column) -> Column:
-            doc = tokenize(c)
+            doc = tokenize(c, **params)
             out = F.array_contains(doc, q_tokens[0])
             for t in q_tokens[1:]:
                 out = out & F.array_contains(doc, t)
@@ -123,24 +257,24 @@ def compile_text_match(fr: "FieldResolver", key: str, match: dict[str, Any]) -> 
 
         return fr.any_match(key, pred)
     if "text_any" in match:
-        q_tokens = tokenize_py(match["text_any"])
+        q_tokens = tokenize_py(match["text_any"], **params)
         if not q_tokens:
             return F.lit(True)
         return fr.any_match(
             key,
             lambda c: F.arrays_overlap(
-                tokenize(c), F.array(*[F.lit(t) for t in q_tokens])
+                tokenize(c, **params), F.array(*[F.lit(t) for t in q_tokens])
             ),
         )
     if "phrase" in match:
-        q_tokens = tokenize_py(match["phrase"])
+        q_tokens = tokenize_py(match["phrase"], **params)
         if not q_tokens:
             return F.lit(True)
         m = len(q_tokens)
         q_arr = F.array(*[F.lit(t) for t in q_tokens])
 
         def pred(c: Column) -> Column:
-            doc = tokenize(c)
+            doc = tokenize(c, **params)
             n = F.size(doc)
             # guard with when(), not `&`: Spark AND doesn't short-circuit, and
             # sequence(1, 0) counts DOWN to [1, 0] -> slice(doc, 0, m) throws

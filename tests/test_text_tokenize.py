@@ -17,17 +17,19 @@ from qdrant_spark.functions.text import tokenize, tokenize_py
 STOPWORDS = {"the", "a", "of"}
 
 texts = st.text(
-    alphabet=st.sampled_from("ab cd THE a of xyzq .,-é9_"),
+    alphabet=st.sampled_from("ab cd THE a of xyzq .,-é9_ß語ü日ﬁ本"),
     min_size=0,
     max_size=40,
 )
 options = st.fixed_dictionaries(
     {
-        "tokenizer": st.sampled_from(["word", "whitespace", "prefix"]),
+        "tokenizer": st.sampled_from(["word", "whitespace", "prefix", "multilingual"]),
         "lowercase": st.booleans(),
         "min_token_len": st.sampled_from([None, 1, 2, 3]),
         "max_token_len": st.sampled_from([None, 3, 5]),
         "stopwords": st.sampled_from([None, STOPWORDS]),
+        "ascii_folding": st.booleans(),
+        "stemmer": st.sampled_from([None, "english", {"type": "none"}]),
     }
 )
 
@@ -96,3 +98,107 @@ def test_phrase_match_doc_shorter_than_phrase(spark):
                       "match": {"phrase": "big data systems"}}]}
     got = sorted(r["id"] for r in df.filter(filter_column(df, cond)).collect())
     assert got == [3]
+
+
+# --- stemmer / folding / multilingual parity ------------------------------
+
+STEM_GOLDEN = {
+    # Snowball English sample-vocabulary pairs + per-step probes; the
+    # reference stems via rust_stemmers (stemmer.rs:9-52), generated from
+    # the same published algorithm
+    "consign": "consign", "consigned": "consign", "consigning": "consign",
+    "consignment": "consign", "consist": "consist", "consistency": "consist",
+    "consistent": "consist", "consistently": "consist",
+    "consolation": "consol", "consolatory": "consolatori",
+    "console": "consol", "consolidate": "consolid", "consoling": "consol",
+    "consonant": "conson", "conspicuous": "conspicu",
+    "conspiracy": "conspiraci", "conspirator": "conspir",
+    "constable": "constabl", "constancy": "constanc", "constant": "constant",
+    "knack": "knack", "knackeries": "knackeri", "knavish": "knavish",
+    "kneaded": "knead", "knees": "knee", "knives": "knive",
+    "knightly": "knight", "knitted": "knit", "knocker": "knocker",
+    "testing": "test", "hopping": "hop", "hoping": "hope", "dies": "die",
+    "cries": "cri", "gas": "gas", "gaps": "gap", "kiwis": "kiwi",
+    "agreed": "agre", "relational": "relat", "conditional": "condit",
+    "rational": "ration", "generously": "generous",
+    "communication": "communic", "radically": "radic", "bled": "bled",
+    "sky": "sky", "dying": "die", "lying": "lie", "early": "earli",
+    "skies": "sky", "news": "news", "generate": "generat",
+    "general": "general", "generic": "generic", "happily": "happili",
+    "possibly": "possibl", "ability": "abil", "arguing": "argu",
+    "argument": "argument", "replacement": "replac", "dependent": "depend",
+    "formality": "formal", "sensitivity": "sensit",
+    "sensibility": "sensibl", "operator": "oper", "grossness": "gross",
+    "effectiveness": "effect", "hopefulness": "hope", "formative": "format",
+    "electricity": "electr", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good", "allowance": "allow", "inference": "infer",
+    "adjustable": "adjust", "defensible": "defens", "adoption": "adopt",
+    "controllable": "control", "rolled": "roll", "proceed": "proceed",
+    "exceed": "exceed", "inning": "inning", "herring": "herring",
+    # longest-match commits without retry (snowball `among` semantics):
+    # 'entli' fails R1 for this word, so no shorter suffix is tried
+    "fluently": "fluentli",
+    "customer": "custom", "value": "valu", "column": "column",
+}
+
+
+def test_snowball_english_golden():
+    from qdrant_spark.functions.stemmer import snowball_en
+
+    bad = {w: (snowball_en(w), e) for w, e in STEM_GOLDEN.items()
+           if snowball_en(w) != e}
+    assert not bad, bad
+
+
+def test_snowball_unsupported_language_raises():
+    from qdrant_spark.functions.stemmer import get_stemmer
+
+    with pytest.raises(ValueError):
+        get_stemmer("klingon")
+
+
+def test_ascii_folding_parity(tok_spark):
+    from qdrant_spark.functions.text import fold_to_ascii_py
+
+    samples = ["naïve Café ÆON ß œuf Ĳsselmeer ﬁne ﬂow", "Ýŷÿ Žluťoučký"]
+    got = tok_spark(samples, ascii_folding=True)
+    exp = [tokenize_py(t, ascii_folding=True) for t in samples]
+    assert got == exp
+    assert fold_to_ascii_py("ß") == "ss"
+    assert fold_to_ascii_py("Æon") == "AEon"
+
+
+def test_multilingual_reference_cases(tok_spark):
+    # reference: multilingual.rs:160-174 — latin path matches word
+    # tokenization; CJK chars become standalone tokens (we emit unigrams
+    # where vaporetto segments words, a documented approximation); tokens
+    # with no letter are dropped (multilingual.rs:49-52)
+    [t1] = tok_spark(["This is a test"], tokenizer="multilingual")
+    assert t1 == ["this", "is", "a", "test"]
+    [t2] = tok_spark(["これはテストです"], tokenizer="multilingual")
+    assert t2 == list("これはテストです")
+    [t3] = tok_spark(["abc 123 4d"], tokenizer="multilingual")
+    assert t3 == ["abc", "4d"]  # pure-number tokens dropped
+
+
+def test_stemmed_tokenize_spark_matches_python(tok_spark):
+    texts = ["Testing the Relational Systems generously",
+             "consolidated arguments", ""]
+    got = tok_spark(texts, stemmer="english")
+    exp = [tokenize_py(t, stemmer="english") for t in texts]
+    assert got == exp
+
+
+def test_stemmed_match_text_filter(spark):
+    from qdrant_spark.filters import filter_column
+
+    df = spark.createDataFrame(
+        [(1, "the customers valued relational joins"),
+         (2, "customer value"), (3, "relational algebra")],
+        "id: long, body: string",
+    )
+    tp = {"body": {"stemmer": {"type": "snowball", "language": "english"}}}
+    flt = {"must": [{"key": "body", "match": {"text": "customer values"}}]}
+    got = sorted(r["id"] for r in
+                 df.filter(filter_column(df, flt, text_params=tp)).collect())
+    assert got == [1, 2]  # 'valued'/'value'/'values' all stem to 'valu'
