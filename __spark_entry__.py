@@ -1012,6 +1012,40 @@ SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity > 45.0 AND l_partkey <
 """
 
 
+def _q_filter_jsonpath(spark: SparkSession, sf: str) -> DataFrame:
+    """JsonPath array accessors in plain (non-nested) key paths:
+    `items[].l_quantity` matches ANY element, `items[0].l_partkey` indexes
+    the first element (json_path/mod.rs:24-33, value_get :319-340) —
+    unlike `nested`, conditions need not hit the same element."""
+    from qdrant_spark.filters import apply_filter
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    agg = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.struct("l_partkey", "l_quantity"))).alias("items")
+    )
+    flt = {"must": [
+        {"key": "items[].l_quantity", "range": {"gt": 49.0}},
+        {"key": "items[0].l_partkey", "range": {"lt": 100}},
+    ]}
+    return apply_filter(agg, flt).select("l_orderkey")
+
+
+_FILTER_JSONPATH_SQL = """
+WITH anyq AS (
+  SELECT l_orderkey, bool_or(l_quantity > 49.0) AS hit
+  FROM lineitem GROUP BY l_orderkey
+), fst AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT l_orderkey, l_partkey,
+           row_number() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_partkey, l_quantity) AS rn
+    FROM lineitem) WHERE rn = 1
+)
+SELECT anyq.l_orderkey FROM anyq JOIN fst USING (l_orderkey)
+WHERE anyq.hit AND fst.l_partkey < 100
+"""
+
+
 def _q_filter_prefix(spark: SparkSession, sf: str) -> DataFrame:
     from qdrant_spark.filters import apply_filter
 
@@ -1659,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "dedup_embedding": _q_emb_dups,
         "filter_nested": _q_filter_nested,
+        "filter_jsonpath_array": _q_filter_jsonpath,
         "filter_prefix": _q_filter_prefix,
         "filter_is_empty": _q_filter_is_empty,
         "filter_is_null": _q_filter_is_null,
@@ -1793,6 +1828,7 @@ FROM documents
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": _EMB_DUPS_SQL,
         "filter_nested": _FILTER_NESTED_SQL,
+        "filter_jsonpath_array": _FILTER_JSONPATH_SQL,
         "filter_prefix": _FILTER_PREFIX_SQL,
         "filter_is_empty": _FILTER_IS_EMPTY_SQL,
         "filter_is_null": _FILTER_IS_NULL_SQL,

@@ -37,6 +37,7 @@ reference) and inside ``min_should`` counting.
 from __future__ import annotations
 
 import math
+import re
 from typing import Any, Callable
 
 from pyspark.sql import Column, DataFrame
@@ -50,6 +51,36 @@ ValuePred = Callable[[Column], Column]
 
 def _false_if_null(c: Column) -> Column:
     return F.coalesce(c, F.lit(False))
+
+
+# JsonPath items (lib/segment/src/json_path/mod.rs:24-33): a dot-separated
+# key path where any segment may carry array accessors — `a[0].b` (index)
+# or `a[].b` (wildcard over all elements). Parsed into
+# ("key", name) | ("idx", i) | ("wild",) tuples.
+_SEG_RE = re.compile(r"^([^\[\]]+)((?:\[\d*\])*)$")
+_BRACKET_RE = re.compile(r"\[(\d*)\]")
+
+
+def _get_field(name: str):
+    # NOTE: plain `lambda x, n=name: ...` breaks here — pyspark counts lambda
+    # parameters and treats a 2-arg lambda as (element, index)
+    return lambda x: x.getField(name)
+
+
+def _get_index(i: int):
+    return lambda x: F.get(x, i)
+
+
+def _parse_path(key: str) -> list[tuple] | None:
+    items: list[tuple] = []
+    for seg in key.split("."):
+        m = _SEG_RE.match(seg)
+        if not m:
+            return None
+        items.append(("key", m.group(1)))
+        for b in _BRACKET_RE.findall(m.group(2)):
+            items.append(("wild",) if b == "" else ("idx", int(b)))
+    return items
 
 
 class FieldResolver:
@@ -85,6 +116,60 @@ class FieldResolver:
     def resolve(self, key: str) -> tuple[Column, T.DataType | None]:
         return self._walk(key)
 
+    def _root(self, name: str) -> tuple[Column, T.DataType] | None:
+        if isinstance(self.schema, T.StructType) and name in self.schema.fieldNames():
+            return F.col(name), self.schema[name].dataType
+        return None
+
+    def resolve_multi(self, key: str) -> tuple[Column, T.DataType | None, bool]:
+        """Resolve a JsonPath key with array accessors (`a[].b`, `a[0].b`,
+        json_path/mod.rs:319-340) -> (column, terminal type, multi). When
+        ``multi`` is true the column is an *array of resolved values*
+        (the reference's MultiValue) and conditions apply with
+        exists-semantics. Plain dot paths keep the raw-column shape so
+        leaf predicates still push down to the parquet scan."""
+        items = _parse_path(key)
+        if items is None or all(it[0] == "key" for it in items):
+            col, typ = self._walk(key)
+            return col, typ, False
+        root = self._root(items[0][1])
+        if root is None:
+            # unknown root field: no value -> condition evaluates NULL/false
+            return F.lit(None), None, False
+        col, cur_t = root
+        multi = False
+        for it in items[1:]:
+            kind = it[0]
+            if kind == "key":
+                name = it[1]
+                if multi and isinstance(cur_t, T.StructType) and name in cur_t.fieldNames():
+                    col = F.transform(col, _get_field(name))
+                    cur_t = cur_t[name].dataType
+                elif not multi and isinstance(cur_t, T.StructType) and name in cur_t.fieldNames():
+                    col = col[name]
+                    cur_t = cur_t[name].dataType
+                else:
+                    return F.lit(None), None, False
+            elif kind == "idx":
+                i = it[1]
+                if not isinstance(cur_t, T.ArrayType):
+                    return F.lit(None), None, False
+                if multi:
+                    col = F.transform(col, _get_index(i))
+                else:
+                    col = F.get(col, i)
+                cur_t = cur_t.elementType
+            else:  # wildcard
+                if not isinstance(cur_t, T.ArrayType):
+                    return F.lit(None), None, False
+                if multi:
+                    # array<array<e>> -> array<e>; drop null inner arrays
+                    # (flatten() nulls out the whole result otherwise)
+                    col = F.flatten(F.filter(col, lambda x: x.isNotNull()))
+                multi = True
+                cur_t = cur_t.elementType
+        return col, cur_t, multi
+
     def isnull_marker(self, key: str) -> Column | None:
         marker = f"{key}__isnull"
         if isinstance(self.schema, T.StructType) and marker in self.schema.fieldNames():
@@ -92,14 +177,22 @@ class FieldResolver:
         return None
 
     def any_match(self, key: str, pred: ValuePred) -> Column:
-        col, typ = self.resolve(key)
-        if isinstance(typ, T.ArrayType):
+        col, typ, multi = self.resolve_multi(key)
+        if multi and isinstance(typ, T.ArrayType):
+            # wildcard path landing on array leaves: conditions match any
+            # element of any resolved array (MultiValue × array-value)
+            col = F.flatten(F.filter(col, lambda x: x.isNotNull()))
+            return F.exists(col, pred)
+        if multi or isinstance(typ, T.ArrayType):
             return F.exists(col, pred)
         return pred(col)
 
     def all_values(self, key: str, pred: ValuePred) -> Column:
-        col, typ = self.resolve(key)
-        if isinstance(typ, T.ArrayType):
+        col, typ, multi = self.resolve_multi(key)
+        if multi and isinstance(typ, T.ArrayType):
+            col = F.flatten(F.filter(col, lambda x: x.isNotNull()))
+            return F.forall(col, pred)
+        if multi or isinstance(typ, T.ArrayType):
             return F.forall(col, pred)
         return pred(col)
 
@@ -245,9 +338,9 @@ def _compile_condition(fr: FieldResolver, cond: dict[str, Any]) -> Column:
         return col.isNotNull()
     if "is_empty" in cond:
         key = cond["is_empty"]["key"]
-        col, typ = fr.resolve(key)
-        if isinstance(typ, T.ArrayType):
-            return col.isNull() | (F.size(col) == 0)
+        col, typ, multi = fr.resolve_multi(key)
+        if multi or isinstance(typ, T.ArrayType):
+            return col.isNull() | (F.size(F.filter(col, lambda x: x.isNotNull())) == 0)
         return col.isNull()
     if "is_null" in cond:
         key = cond["is_null"]["key"]
@@ -265,9 +358,11 @@ def _compile_condition(fr: FieldResolver, cond: dict[str, Any]) -> Column:
         if "range" in cond:
             return _compile_range(fr, key, cond["range"])
         if "values_count" in cond:
-            col, typ = fr.resolve(key)
+            col, typ, multi = fr.resolve_multi(key)
             n = F.when(col.isNull(), F.lit(0)).otherwise(
-                F.size(col) if isinstance(typ, T.ArrayType) else F.lit(1)
+                F.size(col)
+                if multi or isinstance(typ, T.ArrayType)
+                else F.lit(1)
             )
             return _compile_range_scalar(n, cond["values_count"])
         for geo_key in ("geo_bounding_box", "geo_radius", "geo_polygon"):
@@ -328,6 +423,11 @@ class _ElementResolver(FieldResolver):
             else:
                 return (col[p], None)
         return (col, typ)
+
+    def _root(self, name: str):
+        if isinstance(self.schema, T.StructType) and name in self.schema.fieldNames():
+            return self.elem[name], self.schema[name].dataType
+        return None
 
     def isnull_marker(self, key: str):
         return None

@@ -249,3 +249,51 @@ def test_text_match(spark):
     assert sorted(r["id"] for r in apply_filter(df, phrase).select("id").collect()) == ["1"]
     prefix = {"must": [{"key": "body", "match": {"prefix": "laz"}}]}
     assert sorted(r["id"] for r in apply_filter(df, prefix).select("id").collect()) == ["3"]
+
+
+# --- JsonPath array accessors (json_path/mod.rs:24-33, value_get :319-340) --
+
+
+def _jp_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, [{"b": 1, "c": [10, 20]}, {"b": 2, "c": [30]}], {"xs": [5, 6]}),
+            (2, [{"b": 7, "c": []}], {"xs": []}),
+            (3, [], None),
+            (4, None, {"xs": [9]}),
+        ],
+        "id: long, a: array<struct<b: long, c: array<long>>>, m: struct<xs: array<long>>",
+    )
+
+
+def _ids(df, flt):
+    from qdrant_spark.filters import apply_filter
+
+    return sorted(r["id"] for r in apply_filter(df, flt).collect())
+
+
+def test_jsonpath_wildcard_key(spark):
+    df = _jp_df(spark)
+    assert _ids(df, {"must": [{"key": "a[].b", "match": {"value": 2}}]}) == [1]
+    assert _ids(df, {"must": [{"key": "a[].b", "range": {"gte": 7}}]}) == [2]
+
+
+def test_jsonpath_index_key(spark):
+    df = _jp_df(spark)
+    assert _ids(df, {"must": [{"key": "a[0].b", "match": {"value": 1}}]}) == [1]
+    # index out of range -> no value -> no match
+    assert _ids(df, {"must": [{"key": "a[1].b", "match": {"value": 2}}]}) == [1]
+    assert _ids(df, {"must": [{"key": "m.xs[1]", "match": {"value": 6}}]}) == [1]
+
+
+def test_jsonpath_double_wildcard(spark):
+    df = _jp_df(spark)
+    assert _ids(df, {"must": [{"key": "a[].c[]", "match": {"value": 30}}]}) == [1]
+    assert _ids(df, {"must": [{"key": "a[].c", "values_count": {"gte": 2}}]}) == [1]
+
+
+def test_jsonpath_is_empty_and_unknown(spark):
+    df = _jp_df(spark)
+    assert _ids(df, {"must": [{"is_empty": {"key": "a[].c[]"}}]}) == [2, 3, 4]
+    # unknown path segment -> never matches
+    assert _ids(df, {"must": [{"key": "a[].zz", "match": {"value": 1}}]}) == []

@@ -163,3 +163,77 @@ def test_compiled_filter_matches_reference(random_rows, flt):
     expected = {r["id"] for r in rows if eval_filter(r, flt)}
     got = {r["id"] for r in apply_filter(df, flt).select("id").collect()}
     assert got == expected, flt
+
+
+# --- JsonPath array-path property test -------------------------------------
+# independent evaluator of value_get semantics (json_path/mod.rs:319-340)
+
+
+def _jp_values(row, path):
+    import re as _re
+
+    vals = [row]
+    for seg in path.split("."):
+        m = _re.match(r"^([^\[\]]+)((?:\[\d*\])*)$", seg)
+        name, brackets = m.group(1), m.group(2)
+        nxt = []
+        for v in vals:
+            if isinstance(v, dict) and name in v:
+                nxt.append(v[name])
+        vals = nxt
+        for b in _re.findall(r"\[(\d*)\]", brackets):
+            nxt = []
+            for v in vals:
+                if isinstance(v, list):
+                    if b == "":
+                        nxt.extend(v)
+                    elif int(b) < len(v):
+                        nxt.append(v[int(b)])
+            vals = nxt
+    return vals
+
+
+nested_rows = st.lists(
+    st.fixed_dictionaries(
+        {
+            "b": st.integers(min_value=0, max_value=5),
+            "c": st.lists(st.integers(min_value=0, max_value=9), max_size=3),
+        }
+    ),
+    max_size=3,
+)
+jp_paths = st.sampled_from(["a[].b", "a[0].b", "a[1].b", "a[].c[]", "a[0].c[]", "a[].c[1]"])
+jp_conds = st.one_of(
+    st.builds(lambda p, v: {"key": p, "match": {"value": v}}, jp_paths,
+              st.integers(min_value=0, max_value=9)),
+    st.builds(lambda p, lo: {"key": p, "range": {"gte": lo}}, jp_paths,
+              st.integers(min_value=0, max_value=9)),
+)
+
+
+@pytest.fixture(scope="module")
+def jp_frame(spark):
+    def make(payloads):
+        return spark.createDataFrame(
+            [(i, p) for i, p in enumerate(payloads)],
+            "id: long, a: array<struct<b: long, c: array<long>>>",
+        )
+
+    return make
+
+
+@given(payloads=st.lists(nested_rows, min_size=1, max_size=8), cond=jp_conds)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_jsonpath_array_paths_match_reference(jp_frame, payloads, cond):
+    df = jp_frame(payloads)
+    got = sorted(r["id"] for r in apply_filter(df, {"must": [cond]}).collect())
+
+    def ok(row):
+        vals = _jp_values({"a": row}, cond["key"])
+        if "match" in cond:
+            return any(v == cond["match"]["value"] for v in vals)
+        return any(v is not None and v >= cond["range"]["gte"] for v in vals)
+
+    exp = [i for i, p in enumerate(payloads) if ok(p)]
+    assert got == exp
