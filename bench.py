@@ -99,6 +99,24 @@ def main() -> None:
                          vec_col="embedding", id_col="vec_id",
                          strategy="matmul").count()
 
+    def q_knn_single_xl():
+        # below ARROW_DISPATCH_BYTES: plan-stats dispatch keeps Column math
+        return knn(xl, q0, metric="cosine", k=10, vec_col="embedding",
+                   id_col="vec_id", select=["vec_id", "score"]).collect()
+
+    # XXL corpus (~512k rows): past the dispatch crossover, so the same
+    # call auto-routes through the Q=1 Arrow block-matmul scorer
+    xxl = xl
+    while xxl.count() < 512_000 // 2:
+        xxl = xxl.unionByName(xxl)
+    xxl = (xxl.withColumn("vec_id", F.monotonically_increasing_id())
+              .repartition(16).cache())
+    n_xxl = xxl.count()
+
+    def q_knn_single_xxl():
+        return knn(xxl, q0, metric="cosine", k=10, vec_col="embedding",
+                   id_col="vec_id", select=["vec_id", "score"]).collect()
+
     # ANN / quantized scale paths: index built once (ingest-time), searches
     # amortize it — mirrors the reference's HNSW-build-then-search split
     from qdrant_spark.operators.ann import build_ivf, ivf_search_batch
@@ -161,6 +179,8 @@ def main() -> None:
         "knn_single": q_knn_single,
         "knn_batch64": q_knn_batch64,
         "knn_batch64_xl": q_knn_batch64_xl,
+        "knn_single_xl": q_knn_single_xl,
+        "knn_single_xxl": q_knn_single_xxl,
         "ann_ivf_batch64_xl": q_ann_ivf_batch64_xl,
         "sq_rescore_xl": q_sq_rescore_xl,
         "knn_filtered": q_knn_filtered,

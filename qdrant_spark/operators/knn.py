@@ -58,6 +58,24 @@ def _threshold_cond(metric: str, threshold: float, score_col: str = "score") -> 
     return c > F.lit(threshold) if larger_is_better(metric) else c < F.lit(threshold)
 
 
+# Corpus-size cutoff (bytes, from Catalyst plan stats) above which the
+# single-query path scores in the Arrow worker instead of interpreted
+# Column math — the analogue of the reference's plain-vs-index dispatch on
+# full_scan_threshold (hnsw read_view dispatch.rs:56-176). Measured on
+# local[16] @ 64-dim: the Arrow path carries ~0.25 s fixed python-worker
+# cost but ~3x lower per-element cost, crossing over around ~150 MB of
+# vector data (≈500k x 64d rows); on a long-running cluster the fixed cost
+# amortizes, so the cutoff errs low-side of the local crossover.
+ARROW_DISPATCH_BYTES = 128 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 0
+
+
 def knn(
     points: DataFrame,
     query_vector: Sequence[float],
@@ -70,10 +88,24 @@ def knn(
     score_threshold: float | None = None,
     offset: int = 0,
     select: list[str] | None = None,
+    arrow_dispatch_bytes: int | None = None,
 ) -> DataFrame:
-    """Single-query exact KNN. Returns (id, ..., score) ordered best-first."""
+    """Single-query exact KNN. Returns (id, ..., score) ordered best-first.
+
+    Physical strategy is size-dispatched: small inputs score with Column
+    math (zero Python round-trips); inputs whose Catalyst size estimate
+    exceeds ``arrow_dispatch_bytes`` route through the block-matmul Arrow
+    scorer with Q=1 and re-join the surviving <= offset+k rows for payload
+    columns. Both paths produce identical (score, id)-ordered results."""
     df = apply_filter(points, flt)
     df = df.filter(F.col(vec_col).isNotNull())
+    cutoff = ARROW_DISPATCH_BYTES if arrow_dispatch_bytes is None else arrow_dispatch_bytes
+    if _plan_size_bytes(df) >= cutoff:
+        return _knn_single_arrow(
+            df, query_vector, metric=metric, k=k, vec_col=vec_col,
+            id_col=id_col, score_threshold=score_threshold, offset=offset,
+            select=select,
+        )
     df = df.withColumn("score", distance(metric, F.col(vec_col), _vec_lit(query_vector)))
     if score_threshold is not None:
         df = df.filter(_threshold_cond(metric, score_threshold))
@@ -83,6 +115,39 @@ def knn(
         # TakeOrderedAndProject handles limit; offset applied after global order
         return df.limit(offset + k).offset(offset)
     return df.limit(k)
+
+
+def _knn_single_arrow(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    *,
+    metric: str,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    score_threshold: float | None,
+    offset: int,
+    select: list[str] | None,
+) -> DataFrame:
+    """Q=1 dispatch into the block-matmul scorer: the corpus scan stays
+    Arrow-side (one BLAS call per batch, <= partitions*k candidates out),
+    then the tiny winner set broadcast-joins back for payload columns."""
+    import numpy as np
+
+    top = _matmul_knn(
+        df, None,
+        metric=metric, k=k + offset, vec_col=vec_col, id_col=id_col,
+        qid_col="__q", qvec_col="__qv", score_threshold=score_threshold,
+        q_data=([0], np.asarray([[float(x) for x in query_vector]])),
+    ).select(F.col(id_col).alias("__hit_id"), "score")
+    joined = df.join(
+        F.broadcast(top), df[id_col] == F.col("__hit_id"), "inner"
+    ).drop("__hit_id")
+    out_cols = select if select is not None else [c for c in df.columns if c != vec_col] + ["score"]
+    out = joined.select(*out_cols).orderBy(*score_order(metric, id_col=id_col))
+    if offset:
+        return out.limit(offset + k).offset(offset)
+    return out.limit(k)
 
 
 def knn_batch(
@@ -173,21 +238,31 @@ def _matmul_knn(
     qid_col: str,
     qvec_col: str,
     score_threshold: float | None,
+    q_data: tuple[list, "Any"] | None = None,
 ) -> DataFrame:
     """Block-matmul batch KNN: per Arrow batch, score all queries at once
     with NumPy (float64 BLAS), keep per-batch top-k per query, emit at most
     ~batches*Q*k candidates per partition. Arrow-native (``mapInArrow``):
     the vector column's flat value buffer reshapes straight into the (P, D)
     matrix — no per-row object conversion. The final window re-ranks
-    exactly (score direction, then id asc) so ties match the Column path."""
+    exactly (score direction, then id asc) so ties match the Column path.
+
+    ``q_data=(qids, Q)`` supplies the query set directly (single-query
+    dispatch, pre-collected batches) instead of collecting ``queries``."""
     import numpy as np
 
-    # coalesce(1) before collect: a python-backed queries DF otherwise runs
-    # one pickle-deserializing worker per partition just to fetch a few
-    # hundred rows (the whole batch is broadcast afterwards anyway)
-    q_rows = queries.select(qid_col, qvec_col).coalesce(1).collect()
-    qids = [r[qid_col] for r in q_rows]
-    Q = np.array([list(r[qvec_col]) for r in q_rows], dtype=np.float64)
+    if q_data is not None:
+        qids = list(q_data[0])
+        Q = np.asarray(q_data[1], dtype=np.float64)
+        qid_type = T.LongType()
+    else:
+        # coalesce(1) before collect: a python-backed queries DF otherwise
+        # runs one pickle-deserializing worker per partition just to fetch a
+        # few hundred rows (the whole batch is broadcast afterwards anyway)
+        q_rows = queries.select(qid_col, qvec_col).coalesce(1).collect()
+        qids = [r[qid_col] for r in q_rows]
+        Q = np.array([list(r[qvec_col]) for r in q_rows], dtype=np.float64)
+        qid_type = queries.schema[qid_col].dataType
     bigger_better = larger_is_better(metric)
     sc = pts.sparkSession.sparkContext
     bq = sc.broadcast((qids, Q))
@@ -195,7 +270,7 @@ def _matmul_knn(
     id_field = pts.schema[id_col]
     out_schema = T.StructType(
         [
-            T.StructField(qid_col, queries.schema[qid_col].dataType),
+            T.StructField(qid_col, qid_type),
             T.StructField(id_col, id_field.dataType),
             T.StructField("score", T.DoubleType()),
         ]

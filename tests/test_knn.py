@@ -96,3 +96,29 @@ def test_knn_offset(embeddings, emb_np):
         embeddings, q, metric="dot", k=5, offset=5, vec_col="embedding", id_col="vec_id"
     ).select("vec_id").collect()
     assert [r["vec_id"] for r in got] == [i for i, _ in full[5:10]]
+
+
+def test_knn_single_arrow_path_matches_column_path(embeddings, emb_np):
+    ids, mat = emb_np
+    q = mat[3].tolist()
+    for metric in ("cosine", "euclid"):
+        col_path = knn(embeddings, q, metric=metric, k=8, vec_col="embedding",
+                       id_col="vec_id", select=["vec_id", "score"]).collect()
+        arrow_path = knn(embeddings, q, metric=metric, k=8, vec_col="embedding",
+                         id_col="vec_id", select=["vec_id", "score"],
+                         arrow_dispatch_bytes=0).collect()
+        assert [r["vec_id"] for r in arrow_path] == [r["vec_id"] for r in col_path]
+        for a, c in zip(arrow_path, col_path):
+            assert a["score"] == pytest.approx(c["score"], rel=1e-9)
+
+
+def test_knn_single_arrow_with_filter_threshold_offset(embeddings, emb_np):
+    ids, mat = emb_np
+    q = mat[0].tolist()
+    kw = dict(metric="cosine", k=5, vec_col="embedding", id_col="vec_id",
+              flt={"must": [{"key": "label", "match": {"any": [0, 1, 2]}}]},
+              score_threshold=0.0, offset=2, select=["vec_id", "label", "score"])
+    col_path = knn(embeddings, q, **kw).collect()
+    arrow_path = knn(embeddings, q, **kw, arrow_dispatch_bytes=0).collect()
+    assert [(r["vec_id"], r["label"]) for r in arrow_path] == \
+           [(r["vec_id"], r["label"]) for r in col_path]

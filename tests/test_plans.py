@@ -114,3 +114,17 @@ def test_grouped_search_no_global_single_partition_window(embeddings):
     # the per-group ranking window partitions by the group key
     wins = [l for l in plan.splitlines() if "Window" in l]
     assert wins and any("group_value" in w or "label" in w for w in wins)
+
+
+def test_single_knn_dispatches_to_arrow_above_threshold(embeddings):
+    # the analogue of the reference's full_scan_threshold dispatch
+    # (read_view dispatch.rs:56-176): big corpus -> block-matmul scorer
+    q = [0.0] * 64
+    df = knn(embeddings, q, metric="cosine", k=10, vec_col="embedding",
+             id_col="vec_id", select=["vec_id", "score"], arrow_dispatch_bytes=0)
+    plan = _plan(df, "simple")
+    assert "MapInArrow" in plan or "mapInArrow" in plan
+    # small corpus (below cutoff) keeps the zero-python column plan
+    df2 = knn(embeddings, q, metric="cosine", k=10, vec_col="embedding",
+              id_col="vec_id", select=["vec_id", "score"])
+    assert "MapInArrow" not in _plan(df2, "simple")
