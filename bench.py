@@ -104,10 +104,10 @@ def main() -> None:
         return knn(xl, q0, metric="cosine", k=10, vec_col="embedding",
                    id_col="vec_id", select=["vec_id", "score"]).collect()
 
-    # XXL corpus (~512k rows): past the dispatch crossover, so the same
+    # XXL corpus (512k rows): past the dispatch crossover, so the same
     # call auto-routes through the Q=1 Arrow block-matmul scorer
     xxl = xl
-    while xxl.count() < 512_000 // 2:
+    while xxl.count() < 512_000:
         xxl = xxl.unionByName(xxl)
     xxl = (xxl.withColumn("vec_id", F.monotonically_increasing_id())
               .repartition(16).cache())
@@ -118,13 +118,27 @@ def main() -> None:
                    id_col="vec_id", select=["vec_id", "score"]).collect()
 
     # ANN / quantized scale paths: index built once (ingest-time), searches
-    # amortize it — mirrors the reference's HNSW-build-then-search split
-    from qdrant_spark.operators.ann import build_ivf, ivf_search_batch
+    # amortize it — mirrors the reference's HNSW-build-then-search split.
+    # IVF assignments are PERSISTED partitioned by __cluster (persist_ivf)
+    # so cluster probing is directory partition pruning, not scan+discard.
+    import tempfile
+
+    from qdrant_spark.operators.ann import (
+        build_ivf, ivf_search, ivf_search_batch, persist_ivf,
+    )
     from qdrant_spark.operators.quantize import build_sq, sq_search
 
-    ivf_xl = build_ivf(xl, n_clusters=32, vec_col="embedding", id_col="vec_id")
-    ivf_xl.assigned = ivf_xl.assigned.cache()
-    ivf_xl.assigned.count()
+    ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+    ivf_xl = persist_ivf(
+        build_ivf(xl, n_clusters=32, vec_col="embedding", id_col="vec_id",
+                  fit_fraction=0.25),
+        f"{ivf_dir}/xl",
+    )
+    ivf_xxl = persist_ivf(
+        build_ivf(xxl, n_clusters=32, vec_col="embedding", id_col="vec_id",
+                  fit_fraction=0.1),
+        f"{ivf_dir}/xxl",
+    )
     sq_xl = build_sq(xl, vec_col="embedding", id_col="vec_id")
     sq_xl.codes = sq_xl.codes.cache()
     sq_xl.codes.count()
@@ -132,6 +146,12 @@ def main() -> None:
     def q_ann_ivf_batch64_xl():
         return ivf_search_batch(ivf_xl, queries_df, k=10, nprobe=4,
                                 metric="cosine").count()
+
+    def q_ann_ivf_single_xxl():
+        # single probe reads nprobe/32 of the partitioned corpus — compare
+        # against knn_single_xxl (full exact scan) for the pruning win
+        return ivf_search(ivf_xxl, q0, k=10, nprobe=4,
+                          metric="cosine").collect()
 
     def q_sq_rescore_xl():
         return sq_search(sq_xl, q0, k=10, oversampling=3.0,
@@ -182,6 +202,7 @@ def main() -> None:
         "knn_single_xl": q_knn_single_xl,
         "knn_single_xxl": q_knn_single_xxl,
         "ann_ivf_batch64_xl": q_ann_ivf_batch64_xl,
+        "ann_ivf_single_xxl": q_ann_ivf_single_xxl,
         "sq_rescore_xl": q_sq_rescore_xl,
         "knn_filtered": q_knn_filtered,
         "fusion_hybrid": q_fusion_hybrid,
@@ -209,6 +230,9 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+    import shutil
+
+    shutil.rmtree(ivf_dir, ignore_errors=True)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,

@@ -46,8 +46,14 @@ def build_ivf(
     id_col: str = "id",
     seed: int = 42,
     max_iter: int = 20,
+    fit_fraction: float | None = None,
 ) -> IvfIndex:
-    """KMeans-cluster the corpus (MLlib, Euclidean) and attach cluster ids."""
+    """KMeans-cluster the corpus (MLlib, Euclidean) and attach cluster ids.
+
+    ``fit_fraction`` fits the centroids on a sample (KMeans iterations over
+    the full 100-TB corpus would dominate build cost; a few-percent sample
+    pins the same centroid structure) — assignment still runs over every
+    row via the fitted model (one JVM-side pass)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -55,10 +61,28 @@ def build_ivf(
     feat = base.withColumn("__feat", array_to_vector(F.col(vec_col).cast("array<double>")))
     km = KMeans(k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="__feat",
                 predictionCol="__cluster")
-    model = km.fit(feat)
+    fit_df = feat.sample(fit_fraction, seed=seed) if fit_fraction else feat
+    model = km.fit(fit_df)
     assigned = model.transform(feat).drop("__feat")
     centroids = np.array(model.clusterCenters())
     return IvfIndex(assigned=assigned, centroids=centroids, vec_col=vec_col, id_col=id_col)
+
+
+def persist_ivf(index: IvfIndex, path: str) -> IvfIndex:
+    """Materialize the assignment parquet-partitioned by ``__cluster`` —
+    the layout that turns cluster probing into directory partition
+    pruning: a probe of nprobe/K clusters READS nprobe/K of the corpus
+    (file skip), instead of scanning everything and discarding rows.
+    This is the scale path every search helper assumes; returns the index
+    re-pointed at the pruned-readable table."""
+    index.assigned.write.mode("overwrite").partitionBy("__cluster").parquet(path)
+    spark = index.assigned.sparkSession
+    return IvfIndex(
+        assigned=spark.read.parquet(path),
+        centroids=index.centroids,
+        vec_col=index.vec_col,
+        id_col=index.id_col,
+    )
 
 
 def ivf_search(

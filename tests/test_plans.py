@@ -128,3 +128,17 @@ def test_single_knn_dispatches_to_arrow_above_threshold(embeddings):
     df2 = knn(embeddings, q, metric="cosine", k=10, vec_col="embedding",
               id_col="vec_id", select=["vec_id", "score"])
     assert "MapInArrow" not in _plan(df2, "simple")
+
+
+def test_persisted_ivf_probe_is_partition_pruned(embeddings, tmp_path):
+    from qdrant_spark.operators.ann import build_ivf, ivf_search, persist_ivf
+
+    idx = persist_ivf(
+        build_ivf(embeddings, n_clusters=4, vec_col="embedding", id_col="vec_id"),
+        str(tmp_path / "ivf"),
+    )
+    q = [0.0] * 64
+    df = ivf_search(idx, q, k=5, nprobe=1, metric="cosine")
+    plan = _plan(df)
+    # the cluster probe must reach the scan as a partition filter
+    assert "PartitionFilters" in plan and "__cluster" in plan.split("PartitionFilters", 1)[1][:200]
