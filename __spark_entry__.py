@@ -1563,6 +1563,22 @@ def _q_sq_rescore(spark: SparkSession, sf: str) -> DataFrame:
     return _r6(out, "score")
 
 
+def _q_pq_rescore(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantized ADC coarse scan (M=8 subspaces, 1 byte each —
+    encoded_vectors_pq.rs) + exact rescore of k*oversampling candidates.
+    Codebooks trained on the full (tiny) corpus here, so the exact top-k
+    survives the coarse cut and the oracle can assert equality with the
+    exact scan."""
+    from qdrant_spark.operators.quantize import build_pq, pq_search
+
+    emb = _emb(spark, sf)
+    idx = build_pq(emb, vec_col="embedding", id_col="vec_id",
+                   n_subspaces=8, n_centroids=256)
+    q = _vecs(spark, sf, [0])[0]
+    out = pq_search(idx, q, k=10, oversampling=8.0, metric="cosine")
+    return _r6(out, "score")
+
+
 def _q_bq_rescore(spark: SparkSession, sf: str) -> DataFrame:
     """Binary (1-bit) quantization: hamming coarse stage + exact rescore.
     Approximate by design (rows-only check; recall gated in tests)."""
@@ -1716,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_batch": _q_ann_ivf_batch,
         "quantized_sq_rescore": _q_sq_rescore,
+        "quantized_pq_rescore": _q_pq_rescore,
         "quantized_bq_rescore": _q_bq_rescore,
     })
 
@@ -1850,6 +1867,7 @@ FROM documents
         "ann_ivf_full_probe": _knn_sql("cosine"),
         "ann_ivf_batch": _KNN_BATCH_SQL,
         "quantized_sq_rescore": _knn_sql("cosine"),
+        "quantized_pq_rescore": _knn_sql("cosine"),
         # quantized_bq_rescore: hamming coarse stage is approximate by
         # design — rows-only check, recall gated in tests/test_quantize.py
         # ann_ivf (nprobe<k): approximate by design — gated by recall tests

@@ -210,6 +210,195 @@ def build_bq(
     return BqIndex(packed=packed, means=means, vec_col=vec_col, id_col=id_col)
 
 
+# --------------------------------------------------------------------------
+# Product quantization (M subspaces x 256 centroids, 1 byte per subspace)
+# --------------------------------------------------------------------------
+
+@dataclass
+class PqIndex:
+    """Product-quantized corpus (reference:
+    lib/quantization/src/encoded_vectors_pq.rs — vector split into
+    ``chunks``, per-chunk KMeans codebook of ≤256 centroids, one u8 code
+    per chunk). ``codes`` holds ``__pq`` (array<tinyint>, value =
+    centroid_index - 128) next to the original columns; the coarse scan
+    reads ONLY that column — M bytes/row vs 4*dim for float32, the x4-x64
+    compression users deploy. ``codebooks`` is (M, K, dsub)."""
+
+    codes: DataFrame
+    codebooks: np.ndarray
+    vec_col: str
+    id_col: str
+
+    @property
+    def n_subspaces(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def n_centroids(self) -> int:
+        return self.codebooks.shape[1]
+
+
+def _kmeans_np(X: np.ndarray, k: int, iters: int, rng: np.random.Generator) -> np.ndarray:
+    """Seeded Lloyd's on a driver-side sample. The reference trains PQ
+    codebooks on a bounded sample too (encoded_vectors_pq.rs KMeans over
+    a capped training set); sample size bounds driver cost at 100 TB."""
+    n = X.shape[0]
+    k = min(k, n)
+    C = X[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = (C * C).sum(axis=1)[None, :] - 2.0 * X @ C.T
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            mask = assign == j
+            C[j] = X[mask].mean(axis=0) if mask.any() else X[rng.integers(n)]
+    return C
+
+
+def build_pq(
+    points: DataFrame,
+    *,
+    vec_col: str = "vec",
+    id_col: str = "id",
+    n_subspaces: int = 8,
+    n_centroids: int = 256,
+    sample_size: int = 100_000,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> PqIndex:
+    """Train per-subspace codebooks on a seeded driver-side sample, then
+    encode the whole corpus in one Arrow-batched pass (NumPy argmin via
+    matmul per subspace — vectorized, ingest-time-only). ``dim`` must be
+    divisible by ``n_subspaces`` (the reference pads; we require exact
+    split and let callers pick M)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    base = points.filter(F.col(vec_col).isNotNull())
+    first = base.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty corpus")
+    dim = first["d"]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    dsub = dim // n_subspaces
+
+    n = base.count()
+    frac = min(1.0, float(sample_size) / max(n, 1))
+    sample = np.array(
+        [list(r[0]) for r in base.select(vec_col).sample(frac, seed=seed).collect()],
+        dtype=np.float64,
+    )
+    if sample.size == 0:
+        sample = np.array(
+            [list(r[0]) for r in base.select(vec_col).limit(sample_size).collect()],
+            dtype=np.float64,
+        )
+    rng = np.random.default_rng(seed)
+    codebooks = np.stack([
+        _kmeans_np(sample[:, m * dsub:(m + 1) * dsub], n_centroids, max_iter, rng)
+        for m in range(n_subspaces)
+    ])  # (M, K, dsub) with K = min(n_centroids, sample rows)
+
+    cb = codebooks
+    cb_norm2 = (cb * cb).sum(axis=2)  # (M, K)
+    M = cb.shape[0]
+
+    def _encode_batch(s):
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(s.tolist(), dtype=np.float64)
+        codes = np.empty((V.shape[0], M), dtype=np.int16)
+        for m in range(M):
+            sub = V[:, m * dsub:(m + 1) * dsub]
+            d = cb_norm2[m][None, :] - 2.0 * sub @ cb[m].T
+            codes[:, m] = d.argmin(axis=1)
+        return pd.Series(list((codes - 128).astype(np.int8)))
+
+    _encode = pandas_udf(_encode_batch, "array<tinyint>")
+    codes = base.withColumn("__pq", _encode(F.col(vec_col)))
+    return PqIndex(codes=codes, codebooks=codebooks, vec_col=vec_col, id_col=id_col)
+
+
+def _pq_lut_sum(lut: np.ndarray) -> Any:
+    """Column summing per-subspace LUT contributions for a code array:
+    ADC scoring (encoded_vectors_pq.rs score_point: per-chunk
+    lookup-table built once per query, summed per point). Stays in
+    whole-stage codegen — one flattened literal array, one
+    transform+aggregate over the M-byte code column."""
+    K = lut.shape[1]
+    flat = F.lit([float(x) for x in lut.reshape(-1)])
+    contrib = F.transform(
+        F.col("__pq"),
+        lambda c, i: F.element_at(flat, i * K + c.cast("int") + 129),
+    )
+    return F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_search(
+    index: PqIndex,
+    query_vector: Sequence[float],
+    *,
+    k: int = 10,
+    oversampling: float = 4.0,
+    metric: str = "cosine",
+    flt: dict[str, Any] | None = None,
+    rescore: bool = True,
+) -> DataFrame:
+    """Two-stage PQ search: asymmetric-distance (ADC) coarse scan over
+    codes via per-query lookup tables, then exact rescore of
+    ``k*oversampling`` candidates on the original vectors
+    (QuantizationSearchParams semantics, types.rs:573-628)."""
+    q = np.asarray(query_vector, dtype=np.float64)
+    cb = index.codebooks  # (M, K, dsub)
+    M, K, dsub = cb.shape
+    qsub = q.reshape(M, dsub)
+
+    pts = index.codes
+    if flt is not None:
+        from qdrant_spark.filters import apply_filter
+
+        pts = apply_filter(pts, flt)
+
+    if metric == "dot":
+        lut = np.einsum("md,mkd->mk", qsub, cb)
+        coarse_score = _pq_lut_sum(lut)
+    elif metric == "cosine":
+        lut = np.einsum("md,mkd->mk", qsub, cb)
+        norm2 = (cb * cb).sum(axis=2)
+        qn = float(np.linalg.norm(q))
+        coarse_score = _pq_lut_sum(lut) / (
+            F.lit(qn) * F.sqrt(_pq_lut_sum(norm2)) + F.lit(1e-12)
+        )
+    elif metric == "euclid":
+        lut = ((qsub[:, None, :] - cb) ** 2).sum(axis=2)
+        coarse_score = F.sqrt(_pq_lut_sum(lut))
+    elif metric == "manhattan":
+        lut = np.abs(qsub[:, None, :] - cb).sum(axis=2)
+        coarse_score = _pq_lut_sum(lut)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+
+    n_coarse = max(k, int(np.ceil(k * oversampling)))
+    order = F.col("__coarse").desc() if larger_is_better(metric) else F.col("__coarse")
+    coarse = (
+        pts.withColumn("__coarse", coarse_score)
+        .orderBy(order, F.col(index.id_col))
+        .limit(n_coarse)
+    )
+    if not rescore:
+        return (
+            coarse.limit(k)
+            .select(F.col(index.id_col), F.col("__coarse").alias("score"))
+        )
+    cand_ids = F.broadcast(coarse.select(index.id_col))
+    candidates = index.codes.join(cand_ids, index.id_col, "left_semi")
+    return knn(
+        candidates, query_vector, metric=metric, k=k,
+        vec_col=index.vec_col, id_col=index.id_col,
+        select=[index.id_col, "score"],
+    )
+
+
 def bq_search(
     index: BqIndex,
     query_vector: Sequence[float],

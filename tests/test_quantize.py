@@ -8,7 +8,9 @@ import numpy as np
 import pytest
 
 from qdrant_spark.operators.knn import knn
-from qdrant_spark.operators.quantize import build_bq, build_sq, bq_search, sq_search
+from qdrant_spark.operators.quantize import (
+    build_bq, build_pq, build_sq, bq_search, pq_search, sq_search,
+)
 
 
 @pytest.fixture(scope="module")
@@ -89,6 +91,65 @@ def test_bq_packs_words(bq, embeddings):
     dim = len(embeddings.select("embedding").first()["embedding"])
     row = bq.packed.select("__bq").first()
     assert len(row["__bq"]) == (dim + 63) // 64
+
+
+@pytest.fixture(scope="module")
+def pq(embeddings):
+    idx = build_pq(embeddings, vec_col="embedding", id_col="vec_id",
+                   n_subspaces=8, n_centroids=256)
+    idx.codes.cache().count()
+    return idx
+
+
+def test_pq_codes_are_one_byte_per_subspace(pq):
+    f = dict(zip(pq.codes.schema.fieldNames(), pq.codes.schema.fields))
+    assert f["__pq"].dataType.simpleString() == "array<tinyint>"
+    row = pq.codes.select("__pq").first()
+    assert len(row["__pq"]) == 8
+    assert all(-128 <= c <= 127 for c in row["__pq"])
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclid", "dot", "manhattan"])
+def test_pq_rescore_matches_exact(embeddings, pq, metric):
+    """With generous oversampling the exact top-k must survive the ADC
+    coarse cut on this corpus — rescore then recovers the exact ranking."""
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    exact = _exact_ids(embeddings, q, metric, 10)
+    got = [r["vec_id"] for r in pq_search(pq, q, k=10, oversampling=8.0,
+                                          metric=metric).collect()]
+    assert got == exact
+
+
+def test_pq_coarse_recall(embeddings, pq):
+    """ADC scores alone (rescore=False) must already rank well: recall@10
+    floor over a handful of queries."""
+    rows = embeddings.limit(5).collect()
+    hits = 0
+    for r in rows:
+        q = list(r["embedding"])
+        exact = set(_exact_ids(embeddings, q, "cosine", 10))
+        got = {x["vec_id"] for x in
+               pq_search(pq, q, k=10, metric="cosine", rescore=False).collect()}
+        hits += len(exact & got)
+    assert hits / (10 * len(rows)) >= 0.6
+
+
+def test_pq_filtered(embeddings, pq):
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    flt = {"must": [{"key": "label", "range": {"lte": 5}}]}
+    got = pq_search(pq, q, k=5, metric="cosine", flt=flt).collect()
+    labels = {
+        r["label"]
+        for r in embeddings.filter(embeddings.vec_id.isin([g["vec_id"] for g in got]))
+        .select("label").collect()
+    }
+    assert labels and all(l <= 5 for l in labels)
+
+
+def test_pq_self_query_top1(embeddings, pq):
+    r = embeddings.limit(3).collect()[2]
+    got = pq_search(pq, list(r["embedding"]), k=3, oversampling=8.0).collect()
+    assert got[0]["vec_id"] == r["vec_id"]
 
 
 def test_bq_self_query_top1(embeddings, bq):
