@@ -1396,6 +1396,30 @@ SELECT vec_id, CAST(label AS INTEGER) AS label FROM merged WHERE vec_id IN (0, 1
 """
 
 
+def _q_sync(spark: SparkSession, sf: str) -> DataFrame:
+    """SyncPoints (point_ops.rs:121-123): make id range [100, 200) exactly
+    equal the batch — absent range ids deleted, batch rows replace/insert."""
+    from qdrant_spark.operators.mutate import sync_points
+
+    batch = spark.createDataFrame(
+        [(100, 77), (150, 77), (199, 77)], "vec_id: long, label: int"
+    )
+    out = sync_points(_emb(spark, sf), batch, from_id=100, to_id=200,
+                      id_col="vec_id")
+    return (out.filter(F.col("vec_id").between(90, 209))
+               .select("vec_id", "label"))
+
+
+_SYNC_SQL = """
+WITH batch AS (SELECT * FROM (VALUES (100, 77), (150, 77), (199, 77)) v(vec_id, label)),
+merged AS (
+  SELECT vec_id, label FROM embeddings WHERE vec_id < 100 OR vec_id >= 200
+  UNION ALL SELECT vec_id, label FROM batch)
+SELECT vec_id, CAST(label AS INTEGER) AS label FROM merged
+WHERE vec_id BETWEEN 90 AND 209
+"""
+
+
 def _q_upsert_conditional(spark: SparkSession, sf: str) -> DataFrame:
     """UpsertPointsConditional (point_ops.rs:116-117): replace only where
     the CURRENT row matches the filter; unknown ids always insert."""
@@ -1723,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "universal_hybrid_sparse": _q_universal_hybrid_sparse,
         "universal_rescore": _q_universal_rescore,
         "upsert": _q_upsert,
+        "sync": _q_sync,
         "upsert_conditional": _q_upsert_conditional,
         "update_vectors": _q_update_vectors,
         "delete_by_filter": _q_delete_filter,
@@ -1859,6 +1884,7 @@ FROM documents
         "universal_hybrid_sparse": _UNIVERSAL_HYBRID_SPARSE_SQL,
         "universal_rescore": _UNIVERSAL_RESCORE_SQL,
         "upsert": _UPSERT_SQL,
+        "sync": _SYNC_SQL,
         "upsert_conditional": _UPSERT_COND_SQL,
         "update_vectors": _UPDATE_VECTORS_SQL,
         "delete_by_filter": _DELETE_FILTER_SQL,

@@ -70,6 +70,35 @@ def upsert_points(
     )
 
 
+def sync_points(
+    table: DataFrame,
+    points: DataFrame,
+    *,
+    from_id=None,
+    to_id=None,
+    id_col: str = "id",
+) -> DataFrame:
+    """SyncPoints (point_ops.rs:121-123, applied by
+    lib/shard/src/update/points/sync.rs:70-80): make the ``[from_id,
+    to_id)`` id range exactly equal to ``points`` — range rows absent
+    from the batch are deleted, batch rows replace/insert (steps 2-5 of
+    sync_points_impl collapse to one declarative replace; the
+    skip-if-identical optimization is a no-op on state).
+
+    Scale shape: this is the ``replaceWhere`` partition-overwrite — on an
+    id-partitioned table only the synced range's files are rewritten,
+    everything outside the range is kept untouched (no shuffle of the
+    out-of-range data; Catalyst prunes it to a pass-through scan)."""
+    in_range = F.lit(True)
+    if from_id is not None:
+        in_range = in_range & (F.col(id_col) >= F.lit(from_id))
+    if to_id is not None:
+        in_range = in_range & (F.col(id_col) < F.lit(to_id))
+    kept = table.filter(~in_range)
+    ups = _align(points.dropDuplicates([id_col]), table.columns)
+    return kept.unionByName(ups)
+
+
 def upsert_points_conditional(
     table: DataFrame,
     updates: DataFrame,

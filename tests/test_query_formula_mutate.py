@@ -172,6 +172,36 @@ def test_upsert_conditional(spark, table):
     assert out == {"1": "X", "2": "b", "3": "Y", "9": "new"}
 
 
+def test_sync_points_range_replace(spark):
+    from qdrant_spark.operators.mutate import sync_points
+
+    table = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "id: long, tag: string"
+    )
+    batch = spark.createDataFrame(
+        [(3, "NEW3"), (5, "NEW5"), (4, "ins4")], "id: long, tag: string"
+    )
+    # sync [3, 7): ids 3,4,5 come from the batch, 6 (absent) is deleted,
+    # everything outside the range is untouched
+    out = {r["id"]: r["tag"] for r in
+           sync_points(table, batch, from_id=3, to_id=7).collect()}
+    assert out == {0: "t0", 1: "t1", 2: "t2", 3: "NEW3", 4: "ins4",
+                   5: "NEW5", 7: "t7", 8: "t8", 9: "t9"}
+
+
+def test_sync_points_open_ended(spark):
+    from qdrant_spark.operators.mutate import sync_points
+
+    table = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(5)], "id: long, tag: string"
+    )
+    batch = spark.createDataFrame([(4, "last")], "id: long, tag: string")
+    # no to_id: everything >= 3 is replaced by the batch
+    out = {r["id"]: r["tag"] for r in
+           sync_points(table, batch, from_id=3).collect()}
+    assert out == {0: "t0", 1: "t1", 2: "t2", 4: "last"}
+
+
 def test_delete_and_payload_ops(spark, table):
     out = delete_points(table, flt={"must": [{"key": "tag", "match": {"value": "a"}}]})
     assert {r["id"] for r in out.collect()} == {"2"}
