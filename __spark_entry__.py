@@ -1123,6 +1123,47 @@ def _q_query_by_id(spark: SparkSession, sf: str) -> DataFrame:
     return _r6(out, "score")
 
 
+def _q_recommend_multi_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """Recommend where every position is a point ID (VectorInput::Id,
+    collection_query.rs:147-152), resolved through a NAMED lookup_from
+    collection — the planner batch-resolves all 6 ids with ONE scan of the
+    lookup table (fetch_vectors.rs batching), not per-id round-trips."""
+    from qdrant_spark.query import universal_query
+
+    emb = _emb(spark, sf)
+    req = {
+        "query": {"recommend": {
+            "positive": [{"id": 1}, {"id": 2}, {"id": 11}, {"id": 12}],
+            "negative": [{"id": 3}, {"id": 21}],
+            "strategy": "average_vector",
+        }},
+        "lookup_from": {"collection": "emb_lookup", "vector": "embedding"},
+        "limit": 8,
+    }
+    out = universal_query(emb, req, id_col="vec_id", vec_col="embedding",
+                          metric="dot", collections={"emb_lookup": emb})
+    return _r6(out, "score")
+
+
+_RECO_MULTI_SQL = """
+WITH pc AS (
+  SELECT i, avg(x) AS ax FROM (
+    SELECT generate_subscripts(CAST(embedding AS DOUBLE[]), 1) i,
+           unnest(CAST(embedding AS DOUBLE[])) x
+    FROM embeddings WHERE vec_id IN (1, 2, 11, 12)) GROUP BY i),
+nc AS (
+  SELECT i, avg(x) AS ax FROM (
+    SELECT generate_subscripts(CAST(embedding AS DOUBLE[]), 1) i,
+           unnest(CAST(embedding AS DOUBLE[])) x
+    FROM embeddings WHERE vec_id IN (3, 21)) GROUP BY i),
+q AS (SELECT list(pc.ax + pc.ax - nc.ax ORDER BY pc.i) qv
+      FROM pc JOIN nc ON pc.i = nc.i),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+s AS (SELECT e.vec_id, list_dot_product(e.v, q.qv) AS score FROM e, q)
+SELECT vec_id, round(s.score, 6) AS score FROM s ORDER BY s.score DESC, vec_id LIMIT 8
+"""
+
+
 _QUERY_BY_ID_SQL = """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 7),
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
@@ -1739,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_is_null": _q_filter_is_null,
         "filter_values_count": _q_values_count,
         "query_by_id": _q_query_by_id,
+        "recommend_multi_ids": _q_recommend_multi_ids,
         "geo_radius": _q_geo("radius"),
         "geo_bbox_wrap": _q_geo("bbox"),
         "geo_polygon": _q_geo("polygon"),
@@ -1876,6 +1918,7 @@ FROM documents
         "filter_is_null": _FILTER_IS_NULL_SQL,
         "filter_values_count": _VALUES_COUNT_SQL,
         "query_by_id": _QUERY_BY_ID_SQL,
+        "recommend_multi_ids": _RECO_MULTI_SQL,
         "geo_radius": _geo_sql("radius"),
         "geo_bbox_wrap": _geo_sql("bbox"),
         "geo_polygon": _geo_sql("polygon"),

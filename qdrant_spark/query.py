@@ -50,19 +50,27 @@ MAX_DEPTH = 64
 
 
 class QueryPlanner:
-    """Compiles a universal-query request against a points DataFrame."""
+    """Compiles a universal-query request against a points DataFrame.
+
+    ``collections`` is an optional name -> DataFrame registry so
+    ``lookup_from`` can reference another collection by name
+    (LookupLocation {collection, vector}, collection_query.rs:147-152)."""
 
     def __init__(self, points: DataFrame, *, id_col: str = "id",
-                 default_vec_col: str = "vec", metric: str = "cosine"):
+                 default_vec_col: str = "vec", metric: str = "cosine",
+                 collections: dict[str, DataFrame] | None = None):
         self.points = points
         self.id_col = id_col
         self.default_vec_col = default_vec_col
         self.metric = metric
+        self.collections = collections or {}
+        self._vec_cache: dict[tuple, list] = {}
 
     # -- public ------------------------------------------------------------
 
     def plan(self, request: dict[str, Any]) -> DataFrame:
         """Returns (id, score) best-first, limited."""
+        self._vec_cache = self._batch_resolve_ids(request)
         return self._node(request, depth=0)
 
     # -- internals ----------------------------------------------------------
@@ -80,19 +88,107 @@ class QueryPlanner:
             return self._rescore(query, child_dfs, req, limit)
         return self._leaf(query, req, limit)
 
-    def _resolve_vector_input(self, target: Any, vec_col: str,
-                              lookup_from: DataFrame | None = None) -> list:
-        """VectorInput id resolution (VectorInputInternal::Id,
-        collection_query.rs:147-152; cross-collection lookup_from via
-        lib/collection/src/common/fetch_vectors.rs): a query position may be
-        a point id, resolved against this collection (or ``lookup_from``)
-        before search."""
+    # -- VectorInput id resolution ------------------------------------------
+
+    def _lookup_source(self, spec: Any, vec_col: str):
+        """Normalize a ``lookup_from`` spec to (cache_key, df, vec_col).
+        Accepts None (this collection), a DataFrame, a collection name, or
+        the reference's LookupLocation dict {"collection", "vector"}
+        (collection_query.rs:147-152, fetch_vectors.rs)."""
+        if spec is None:
+            return (None, self.points, vec_col)
+        if isinstance(spec, DataFrame):
+            return (("df", id(spec)), spec, vec_col)
+        if isinstance(spec, str):
+            if spec not in self.collections:
+                raise ValueError(f"unknown lookup_from collection {spec!r}")
+            return (("coll", spec), self.collections[spec], vec_col)
+        if isinstance(spec, dict):
+            name = spec.get("collection")
+            if name not in self.collections:
+                raise ValueError(f"unknown lookup_from collection {name!r}")
+            return (("coll", name), self.collections[name],
+                    spec.get("vector") or vec_col)
+        raise ValueError(f"bad lookup_from: {spec!r}")
+
+    def _node_lookup(self, req: dict[str, Any]):
+        query = req.get("query")
+        vec_col = req.get("using", self.default_vec_col)
+        spec = None
+        if isinstance(query, dict):
+            for sub in ("nearest", "recommend", "discover"):
+                if isinstance(query.get(sub), dict) and "lookup_from" in query[sub]:
+                    spec = query[sub]["lookup_from"]
+            if spec is None:
+                spec = query.get("lookup_from")
+        if spec is None:
+            spec = req.get("lookup_from")
+        return self._lookup_source(spec, vec_col)
+
+    def _batch_resolve_ids(self, request: dict[str, Any]) -> dict[tuple, list]:
+        """One bounded collect per (source, vector column) for ALL id
+        references in the request tree — a recommend with 50 id-positions
+        resolves in a single scan, not 50 driver round-trips (the
+        reference batches identically: fetch_vectors.rs resolves every
+        referenced id of a request in one retrieve)."""
+        wanted: dict[tuple, tuple] = {}  # key -> (df, vec_col, set(ids))
+
+        def walk(req: dict[str, Any]) -> None:
+            key, df, vc = self._node_lookup(req)
+            query = req.get("query")
+
+            def add(t: Any) -> None:
+                if isinstance(t, dict) and "id" in t:
+                    wanted.setdefault((key, vc), (df, vc, set()))[2].add(t["id"])
+
+            if isinstance(query, dict):
+                if "nearest" in query and not (
+                    isinstance(query["nearest"], dict) and "indices" in query["nearest"]
+                ):
+                    add(query["nearest"])
+                if "recommend" in query:
+                    r = query["recommend"]
+                    for t in (r.get("positive") or []) + (r.get("negative") or []):
+                        add(t)
+                if "discover" in query:
+                    d = query["discover"]
+                    add(d.get("target"))
+                    for p in d.get("context") or []:
+                        add(p.get("positive"))
+                        add(p.get("negative"))
+                if "context" in query:
+                    for p in query["context"] or []:
+                        add(p.get("positive"))
+                        add(p.get("negative"))
+            children = req.get("prefetch") or []
+            if isinstance(children, dict):
+                children = [children]
+            for c in children:
+                walk(c)
+
+        walk(request)
+        cache: dict[tuple, list] = {}
+        for (key, vc), (df, vec_col, ids) in wanted.items():
+            rows = (
+                df.filter(F.col(self.id_col).isin(list(ids)))
+                .select(self.id_col, vec_col)
+                .collect()
+            )
+            for r in rows:
+                if r[1] is not None:
+                    cache[(key, vc, r[0])] = list(r[1])
+        return cache
+
+    def _resolve_vector_input(self, target: Any, req: dict[str, Any]) -> list:
+        """VectorInput (VectorInputInternal::Id, collection_query.rs:
+        147-152): a query position may be a point id, pre-resolved against
+        this collection (or ``lookup_from``) by ``_batch_resolve_ids``."""
         if isinstance(target, dict) and "id" in target:
-            src = lookup_from if lookup_from is not None else self.points
-            rows = src.filter(F.col(self.id_col) == target["id"]).select(vec_col).collect()
-            if not rows or rows[0][0] is None:
+            key, _, vc = self._node_lookup(req)
+            try:
+                return self._vec_cache[(key, vc, target["id"])]
+            except KeyError:
                 raise ValueError(f"vector id {target['id']!r} not found")
-            return list(rows[0][0])
         return target
 
     def _leaf(self, query: Any, req: dict[str, Any], limit: int) -> DataFrame:
@@ -119,16 +215,17 @@ class QueryPlanner:
                     self.points, target["indices"], target["values"], k=limit,
                     id_col=self.id_col, flt=flt,
                 ).select(self.id_col, "score")
-            target = self._resolve_vector_input(target, vec_col,
-                                                query.get("lookup_from"))
+            target = self._resolve_vector_input(target, req)
             out = knn(self.points, target, metric=self.metric,
                       score_threshold=threshold, offset=offset,
                       select=[self.id_col, "score"], **kw)
             return out
+        rv = lambda t: self._resolve_vector_input(t, req)  # noqa: E731
         if "recommend" in query:
             r = query["recommend"]
             strat = r.get("strategy", "average_vector")
-            pos, neg = r.get("positive") or [], r.get("negative") or []
+            pos = [rv(t) for t in r.get("positive") or []]
+            neg = [rv(t) for t in r.get("negative") or []]
             fn = {
                 "average_vector": R.recommend_avg_vector,
                 "best_score": R.recommend_best_score,
@@ -141,11 +238,11 @@ class QueryPlanner:
             return out.select(self.id_col, "score")
         if "discover" in query:
             d = query["discover"]
-            pairs = [(p["positive"], p["negative"]) for p in d["context"]]
-            return R.discover(self.points, d["target"], pairs, metric=self.metric,
-                              **kw).select(self.id_col, "score")
+            pairs = [(rv(p["positive"]), rv(p["negative"])) for p in d["context"]]
+            return R.discover(self.points, rv(d["target"]), pairs,
+                              metric=self.metric, **kw).select(self.id_col, "score")
         if "context" in query:
-            pairs = [(p["positive"], p["negative"]) for p in query["context"]]
+            pairs = [(rv(p["positive"]), rv(p["negative"])) for p in query["context"]]
             return R.context(self.points, pairs, metric=self.metric, **kw).select(
                 self.id_col, "score")
         if "order_by" in query:
@@ -225,8 +322,10 @@ def universal_query(
     id_col: str = "id",
     vec_col: str = "vec",
     metric: str = "cosine",
+    collections: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """One-shot entry: plan and return (id, score) best-first."""
     return QueryPlanner(
-        points, id_col=id_col, default_vec_col=vec_col, metric=metric
+        points, id_col=id_col, default_vec_col=vec_col, metric=metric,
+        collections=collections,
     ).plan(request)
