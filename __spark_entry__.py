@@ -542,6 +542,17 @@ def _q_filter_text(kind: str):
     return run
 
 
+def _q_filter_phrase_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """match.phrase via the materialized positional postings index
+    (full_text_index/inverted_index/mod.rs:479-494): query tokens join the
+    posting lists at their phrase offsets — the corpus text is never
+    re-tokenized at query time."""
+    from qdrant_spark.operators.text_index import build_text_index, phrase_match_index
+
+    idx = build_text_index(_docs(spark, sf))
+    return phrase_match_index(idx, "stream table hash").select("doc_id")
+
+
 def _q_filter_text_stemmed(spark: SparkSession, sf: str) -> DataFrame:
     """match.text against a Snowball-stemmed text index
     (StemmingAlgorithm/SnowballParams, index.rs:304-360; stemmer.rs:9-52):
@@ -1757,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_text_all": _q_filter_text("text"),
         "filter_text_stemmed": _q_filter_text_stemmed,
         "filter_phrase": _q_filter_text("phrase"),
+        "filter_phrase_indexed": _q_filter_phrase_indexed,
         "payload_json_path": _q_events_json,
         "text_quality": _q_text_stats,
         "token_counts": _q_token_counts,
@@ -1881,6 +1893,11 @@ HAVING bool_or(stem = 'queri') AND bool_or(stem = 'merg')
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
 SELECT doc_id FROM t
 WHERE position(' hash join ' IN ' ' || list_aggregate(toks, 'string_agg', ' ') || ' ') > 0
+""",
+        "filter_phrase_indexed": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id FROM t
+WHERE position(' stream table hash ' IN ' ' || list_aggregate(toks, 'string_agg', ' ') || ' ') > 0
 """,
         "payload_json_path": """
 SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events
