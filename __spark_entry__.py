@@ -617,6 +617,114 @@ def _q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     return _long(out, "tok_ws", "tok_bpe")
 
 
+def _q_multimodal_wav(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode through the Arrow plumbing: per doc, PCM16
+    samples come from a fixed arithmetic formula, get encoded to an actual
+    RIFF/WAVE blob in one mapInPandas stage, and a second stage parses the
+    RIFF container back (functions/codecs.decode_wav) to emit stats. The
+    oracle computes the same stats from the formula directly — a decoder
+    that didn't really parse the bytes could not match it."""
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType
+
+    from qdrant_spark.functions.codecs import encode_wav, wav_features
+    from qdrant_spark.functions.multimodal import extract_features
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = [
+                encode_wav(
+                    [((int(d) * 2654435761 + j * 40503) % 65536) - 32768
+                     for j in range(32 + int(d) % 17)],
+                    sample_rate=8000,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    docs = _docs(spark, sf).select("doc_id")
+    blobs = docs.mapInPandas(gen, "doc_id long, blob binary")
+    feats = extract_features(blobs, id_col="doc_id", decode_fn=wav_features,
+                             feature_type=DoubleType())
+    e = F.col("embedding")
+    return feats.select(
+        "doc_id",
+        e[0].cast("long").alias("n_samples"),
+        F.round(e[2].cast("double"), 6).alias("mean_amp"),
+        e[3].cast("long").alias("min_amp"),
+        e[4].cast("long").alias("max_amp"),
+    )
+
+
+_MM_WAV_SQL = """
+WITH s AS (
+  SELECT doc_id,
+    list_transform(range(0, 32 + doc_id % 17),
+      j -> ((doc_id * 2654435761 + j * 40503) % 65536) - 32768) AS smp
+  FROM documents)
+SELECT doc_id,
+  CAST(len(smp) AS BIGINT) AS n_samples,
+  round(CAST(list_sum(smp) AS DOUBLE) / len(smp), 6) AS mean_amp,
+  CAST(list_min(smp) AS BIGINT) AS min_amp,
+  CAST(list_max(smp) AS BIGINT) AS max_amp
+FROM s
+"""
+
+
+def _q_multimodal_ppm(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode: formula pixels → actual P6 PPM blob → header+
+    pixel parse (functions/codecs.decode_ppm) → per-channel means."""
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType
+
+    from qdrant_spark.functions.codecs import encode_ppm, ppm_features
+    from qdrant_spark.functions.multimodal import extract_features
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 3
+                px = bytes((d * 31 + k * 7) % 256 for k in range(w * h * 3))
+                blobs.append(encode_ppm(w, h, px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    docs = _docs(spark, sf).select("doc_id")
+    blobs = docs.mapInPandas(gen, "doc_id long, blob binary")
+    feats = extract_features(blobs, id_col="doc_id", decode_fn=ppm_features,
+                             feature_type=DoubleType())
+    e = F.col("embedding")
+    return feats.select(
+        "doc_id",
+        e[0].cast("long").alias("width"),
+        e[1].cast("long").alias("height"),
+        F.round(e[2].cast("double"), 6).alias("mean_r"),
+        F.round(e[3].cast("double"), 6).alias("mean_g"),
+        F.round(e[4].cast("double"), 6).alias("mean_b"),
+    )
+
+
+_MM_PPM_SQL = """
+WITH g AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h FROM documents),
+c AS (
+  SELECT doc_id, w, h,
+    list_sum(list_transform(range(0, w * h), i -> (doc_id * 31 + (3 * i + 0) * 7) % 256)) AS sr,
+    list_sum(list_transform(range(0, w * h), i -> (doc_id * 31 + (3 * i + 1) * 7) % 256)) AS sg,
+    list_sum(list_transform(range(0, w * h), i -> (doc_id * 31 + (3 * i + 2) * 7) % 256)) AS sb
+  FROM g)
+SELECT doc_id,
+  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  round(CAST(sr AS DOUBLE) / (w * h), 6) AS mean_r,
+  round(CAST(sg AS DOUBLE) / (w * h), 6) AS mean_g,
+  round(CAST(sb AS DOUBLE) / (w * h), 6) AS mean_b
+FROM c
+"""
+
+
 def _q_lang_detect(spark: SparkSession, sf: str) -> DataFrame:
     from qdrant_spark.functions.text import detect_language, tokenize
 
@@ -1774,6 +1882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "lang_detect": _q_lang_detect,
         "fingerprint": _q_fingerprint,
+        "multimodal_wav": _q_multimodal_wav,
+        "multimodal_ppm": _q_multimodal_ppm,
         "sparse_knn": _q_sparse_knn,
         "sparse_knn_batch": _q_sparse_knn_batch,
         "sparse_idf_knn": _q_sparse_idf,
@@ -1913,6 +2023,8 @@ SELECT doc_id,
 FROM documents
 """,
         "lang_detect": _lang_detect_sql(),
+        "multimodal_wav": _MM_WAV_SQL,
+        "multimodal_ppm": _MM_PPM_SQL,
         "fingerprint": """
 SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
 FROM documents

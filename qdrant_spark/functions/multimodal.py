@@ -10,9 +10,11 @@ service. For a training-data pipeline the engine-side responsibilities are:
 - partition-safe batch plumbing: decode / feature-extract / resize /
   frame-sample run as Arrow-batched ``mapInPandas`` stages, blob bytes
   never hit the driver;
-- the actual codec calls are STUBBED here (no image/audio libs in this
-  container): ``decode_fn`` hooks let deployments plug Pillow/ffmpeg; the
-  built-in fake decoder is deterministic so the plumbing is testable.
+- codecs: REAL dependency-free WAV (RIFF/PCM16) and PPM (P6) decoders
+  live in :mod:`qdrant_spark.functions.codecs` and plug in via the same
+  ``decode_fn`` / ``resize_fn`` hooks used for Pillow/ffmpeg in a full
+  deployment; the md5-fake below remains only as a default for formats
+  this container cannot decode.
 
 At 100 TB: blobs dominate storage — keep them in their own column family
 (separate parquet files via column projection), partition by content hash
@@ -91,16 +93,21 @@ def extract_features(
     dim: int = 16,
     decode_fn: Callable[[bytes], list[float]] | None = None,
     batch_size_hint: int | None = None,
+    feature_type: T.DataType | None = None,
 ) -> DataFrame:
     """(id, embedding array<float>) via Arrow-batched mapInPandas.
 
     The UDF sees only (id, blob) — metadata and other payload stay JVM-side
-    and re-join by id, so the Python boundary moves the minimum bytes."""
+    and re-join by id, so the Python boundary moves the minimum bytes.
+    ``feature_type`` overrides the element type (float32 default is right
+    for embeddings; pass DoubleType for exact decoded statistics)."""
     fn = decode_fn or (lambda b: fake_decode(b, dim))
     schema = T.StructType(
         [
             df.schema[id_col],
-            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField(
+                "embedding", T.ArrayType(feature_type or T.FloatType())
+            ),
         ]
     )
 
