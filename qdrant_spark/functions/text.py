@@ -43,6 +43,13 @@ _CJK_RANGES = (
 )
 _CJK_CLASS = f"[{_CJK_RANGES}]"
 _PY_CJK = re.compile(_CJK_CLASS)
+# Japanese tokenizer: the reference segments with a learned model
+# (vaporetto, japanese.rs:9-13) whose bundled weights can't be shipped
+# here; we use the standard CJK-bigram approximation (Lucene
+# CJKAnalyzer shape): each CJK run yields overlapping character bigrams
+# (single char if the run is length 1), non-CJK spans tokenize like
+# `word`. Documented divergence: segment boundaries inside CJK runs.
+_PY_CJK_RUN = re.compile(f"{_CJK_CLASS}+")
 
 # ASCII folding — a curated subset of the Lucene ASCIIFoldingFilter table the
 # reference ports (ascii_folding.rs:16-30): Latin-1 Supplement + Latin
@@ -140,11 +147,23 @@ def tokenize_py(
         text = text.lower()
     if tokenizer == "whitespace":
         toks = text.split()
-    else:  # word / prefix / multilingual
+    else:  # word / prefix / multilingual / japanese
         if tokenizer == "multilingual":
             text = _PY_CJK.sub(lambda m: f" {m.group(0)} ", text)
+        elif tokenizer == "japanese":
+            text = _PY_CJK_RUN.sub(lambda m: f" {m.group(0)} ", text)
         toks = [t for t in _PY_WORD_SPLIT.split(text) if t]
-        if tokenizer == "multilingual":
+        if tokenizer == "japanese":
+            toks = [
+                b
+                for t in toks
+                for b in (
+                    [t[i:i + 2] for i in range(len(t) - 1)]
+                    if len(t) >= 2 and _PY_CJK.match(t)
+                    else [t]
+                )
+            ]
+        if tokenizer in ("multilingual", "japanese"):
             toks = [t for t in toks if any(c.isalpha() for c in t)]
     if stopwords:
         toks = [t for t in toks if t not in stopwords]
@@ -181,6 +200,41 @@ def _stem_tokens_udf(language: str):
     return F.pandas_udf(stem_tokens, "array<string>")
 
 
+def _japanese_stem_udf(stemmer: str | dict[str, Any], stopwords: set[str] | None):
+    """Bigram-expansion + letter-filter + stopwords + stem in ONE Arrow
+    stage, mirroring tokenize_py's exact ordering. Exists because nesting
+    the Column-side bigram expansion (when/transform/sequence) inside a
+    pandas-UDF argument trips a Spark analyzer/codegen bug ("Cannot
+    evaluate expression: stem_tokens(...)"), so the japanese+stemmer
+    combination keeps the heavy HOF work Python-side where the token
+    stream is already crossing into Arrow for stemming anyway."""
+    from qdrant_spark.functions.stemmer import get_stemmer
+
+    lang = stemmer if isinstance(stemmer, str) else stemmer["language"]
+    stem = get_stemmer(lang)
+    sw = frozenset(stopwords or ())
+
+    def run(s):
+        def one(toks):
+            if toks is None:
+                return None
+            out = []
+            for t in toks:
+                if len(t) >= 2 and _PY_CJK.match(t):
+                    out.extend(t[i:i + 2] for i in range(len(t) - 1))
+                else:
+                    out.append(t)
+            return [
+                stem(t)
+                for t in out
+                if any(c.isalpha() for c in t) and t not in sw
+            ]
+
+        return s.apply(one)
+
+    return F.pandas_udf(run, "array<string>")
+
+
 def tokenize(
     col: Column | str,
     tokenizer: str = "word",
@@ -201,9 +255,36 @@ def tokenize(
         c = F.lower(c)
     if tokenizer == "multilingual":
         c = F.regexp_replace(c, f"({_CJK_CLASS})", " $1 ")
+    elif tokenizer == "japanese":
+        c = F.regexp_replace(c, f"({_CJK_CLASS}+)", " $1 ")
     pattern = r"\s+" if tokenizer == "whitespace" else WORD_SPLIT_RE
     toks = F.filter(F.split(c, pattern), lambda t: t != "")
-    if tokenizer == "multilingual":
+    stem = _resolve_stemmer(stemmer)
+    if tokenizer == "japanese" and stem is not None:
+        # bigrams + filters + stem fused into one Arrow stage (see
+        # _japanese_stem_udf for why this combination can't stay Column-side)
+        toks = _japanese_stem_udf(stemmer, stopwords)(toks)
+        if min_token_len is not None:
+            toks = F.filter(toks, lambda t: F.length(t) >= min_token_len)
+        if max_token_len is not None:
+            toks = F.filter(toks, lambda t: F.length(t) <= max_token_len)
+        return toks
+    if tokenizer == "japanese":
+        # CJK runs -> overlapping character bigrams (see _PY_CJK_RUN note);
+        # guard with when(): sequence(1, 0) counts DOWN for 1-char runs
+        toks = F.flatten(
+            F.transform(
+                toks,
+                lambda t: F.when(
+                    t.rlike(f"^{_CJK_CLASS}+$") & (F.length(t) >= 2),
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(t) - 1),
+                        lambda i: t.substr(i, F.lit(2)),
+                    ),
+                ).otherwise(F.array(t)),
+            )
+        )
+    if tokenizer in ("multilingual", "japanese"):
         toks = F.filter(toks, lambda t: t.rlike(r"\p{L}"))
     if stopwords:
         sw = F.lit(sorted(stopwords))
@@ -225,7 +306,6 @@ def tokenize(
                 ).otherwise(F.array().cast("array<string>")),
             )
         )
-    stem = _resolve_stemmer(stemmer)
     if stem is not None:
         lang = stemmer if isinstance(stemmer, str) else stemmer["language"]
         toks = _stem_tokens_udf(lang)(toks)

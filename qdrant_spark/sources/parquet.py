@@ -103,6 +103,79 @@ class PointsTable:
         _rm(tmp)
         return n
 
+    # -- snapshots (src/actix/api/snapshot_api.rs: create/list/restore/
+    # delete as first-class collection ops) ---------------------------------
+
+    def _snapshot_dir(self, name: str | None = None) -> str:
+        base = f"{self.path}__snapshots"
+        return base if name is None else f"{base}/{name}"
+
+    def create_snapshot(self, name: str | None = None) -> str:
+        """Write a full consistent copy of the table under
+        ``<path>__snapshots/<name>/`` with a manifest (row count + schema),
+        mirroring the reference's collection snapshot op. The copy is a
+        Spark write so it works on any storage the session can reach; the
+        manifest uses the driver filesystem like the rest of this module's
+        local-path plumbing. Returns the snapshot name."""
+        import json
+        import os
+        import time
+
+        df = self.read()
+        n = df.count()
+        if name is None:
+            name = f"snap-{int(time.time())}-{n}"
+        dest = self._snapshot_dir(name)
+        df.write.mode("errorifexists").parquet(dest)
+        with open(os.path.join(dest, "_manifest.json"), "w") as f:
+            json.dump({"name": name, "rows": n, "id_col": self.id_col,
+                       "schema": df.schema.jsonValue()}, f)
+        return name
+
+    def list_snapshots(self) -> list[dict]:
+        """Manifests of all snapshots, oldest-first by name."""
+        import json
+        import os
+
+        base = self._snapshot_dir()
+        if not os.path.isdir(base):
+            return []
+        out = []
+        for name in sorted(os.listdir(base)):
+            mpath = os.path.join(base, name, "_manifest.json")
+            if os.path.isfile(mpath):
+                with open(mpath) as f:
+                    out.append(json.load(f))
+        return out
+
+    def restore_snapshot(self, name: str) -> int:
+        """Replace the live table with the snapshot's contents (the
+        recover/restore op). Returns rows restored. The snapshot is read
+        fully before the overwrite so a restore onto the same path is
+        safe."""
+        import os
+
+        dest = self._snapshot_dir(name)
+        if not os.path.isdir(dest):
+            raise ValueError(f"unknown snapshot {name!r}")
+        snap = self.spark.read.parquet(dest)
+        tmp = f"{self.path}__restore"
+        snap.write.mode("overwrite").parquet(tmp)
+        restored = self.spark.read.parquet(tmp)
+        restored.write.mode("overwrite").parquet(self.path)
+        n = self.read().count()
+        _rm(tmp)
+        return n
+
+    def delete_snapshot(self, name: str) -> bool:
+        """Drop a snapshot directory; True if it existed."""
+        import os
+
+        dest = self._snapshot_dir(name)
+        existed = os.path.isdir(dest)
+        _rm(dest)
+        return existed
+
     def vacuum(self, *, deleted_col: str = "__deleted") -> int:
         """Drop soft-deleted rows — the vacuum_optimizer analogue
         (vacuum_optimizer.rs:76-91). Returns rows removed. No-op when the

@@ -111,3 +111,35 @@ def test_points_table_optimize_and_vacuum(spark, tmp_path):
     assert out.count() == 666 and "__deleted" not in out.columns
     # idempotent: second vacuum is a no-op (column gone)
     assert t.vacuum() == 0
+
+
+def test_points_table_snapshots(spark, tmp_path):
+    """Snapshot API op (snapshot_api.rs shape): create → mutate → list →
+    restore round-trips the pre-mutation state; delete removes it."""
+    from qdrant_spark.sources.parquet import PointsTable
+
+    path = str(tmp_path / "pts")
+    t = PointsTable(spark, path, id_col="id")
+    t.write(spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v")))
+
+    name = t.create_snapshot("before")
+    assert name == "before"
+    # mutate the live table
+    t.write(spark.range(10).select(F.col("id"), F.lit(0).alias("v")))
+    assert t.read().count() == 10
+
+    snaps = t.list_snapshots()
+    assert [s["name"] for s in snaps] == ["before"]
+    assert snaps[0]["rows"] == 100
+
+    assert t.restore_snapshot("before") == 100
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert len(rows) == 100 and rows[7] == 14
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.restore_snapshot("nope")
+    assert t.delete_snapshot("before") is True
+    assert t.delete_snapshot("before") is False
+    assert t.list_snapshots() == []

@@ -23,7 +23,9 @@ texts = st.text(
 )
 options = st.fixed_dictionaries(
     {
-        "tokenizer": st.sampled_from(["word", "whitespace", "prefix", "multilingual"]),
+        "tokenizer": st.sampled_from(
+            ["word", "whitespace", "prefix", "multilingual", "japanese"]
+        ),
         "lowercase": st.booleans(),
         "min_token_len": st.sampled_from([None, 1, 2, 3]),
         "max_token_len": st.sampled_from([None, 3, 5]),
@@ -179,6 +181,21 @@ def test_multilingual_reference_cases(tok_spark):
     assert t2 == list("これはテストです")
     [t3] = tok_spark(["abc 123 4d"], tokenizer="multilingual")
     assert t3 == ["abc", "4d"]  # pure-number tokens dropped
+
+
+def test_japanese_cjk_bigrams(tok_spark):
+    # japanese.rs uses a learned segmenter (vaporetto); we approximate with
+    # CJK-run character bigrams (Lucene CJKAnalyzer shape) — latin spans
+    # tokenize like `word`, 1-char runs stay unigrams
+    [t1] = tok_spark(["日本語のテスト"], tokenizer="japanese")
+    assert t1 == ["日本", "本語", "語の", "のテ", "テス", "スト"]
+    [t2] = tok_spark(["Spark 日本語 engine"], tokenizer="japanese")
+    assert t2 == ["spark", "日本", "本語", "engine"]
+    [t3] = tok_spark(["語 123"], tokenizer="japanese")
+    assert t3 == ["語"]  # single-char run + pure-number token dropped
+    got = tok_spark(["日本語のテスト処理系"], tokenizer="japanese")
+    exp = [tokenize_py("日本語のテスト処理系", tokenizer="japanese")]
+    assert got == exp
 
 
 def test_stemmed_tokenize_spark_matches_python(tok_spark):
