@@ -1763,6 +1763,21 @@ def _q_pq_rescore(spark: SparkSession, sf: str) -> DataFrame:
     return _r6(out, "score")
 
 
+def _q_tq_rescore(spark: SparkSession, sf: str) -> DataFrame:
+    """TurboQuant 2-bit coarse scan (seeded rotation + shared Lloyd-Max
+    N(0,1) codebook — turboquant/{lloyd_max,quantization}.rs) + exact
+    rescore. The oversampled candidate set retains the exact top-k at
+    this corpus size, so the oracle asserts equality with the exact
+    scan, same gate as SQ/PQ."""
+    from qdrant_spark.operators.quantize import build_tq, tq_search
+
+    emb = _emb(spark, sf)
+    idx = build_tq(emb, vec_col="embedding", id_col="vec_id", bits=2)
+    q = _vecs(spark, sf, [0])[0]
+    out = tq_search(idx, q, k=10, oversampling=8.0, metric="cosine")
+    return _r6(out, "score")
+
+
 def _q_bq_rescore(spark: SparkSession, sf: str) -> DataFrame:
     """Binary (1-bit) quantization: hamming coarse stage + exact rescore.
     Approximate by design (rows-only check; recall gated in tests)."""
@@ -1799,6 +1814,7 @@ _GATE_PRIORITY = [
     "filter_text_stemmed",
     "filter_jsonpath_array",
     "quantized_pq_rescore",
+    "quantized_tq_rescore",
     "recommend_multi_ids",
     "multimodal_decode",
     # driver-ungated after round 1 (entries 51-74 of the old ordering)
@@ -1922,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch": _q_ann_ivf_batch,
         "quantized_sq_rescore": _q_sq_rescore,
         "quantized_pq_rescore": _q_pq_rescore,
+        "quantized_tq_rescore": _q_tq_rescore,
         "quantized_bq_rescore": _q_bq_rescore,
     })
 
@@ -2066,6 +2083,7 @@ FROM documents
         "ann_ivf_batch": _KNN_BATCH_SQL,
         "quantized_sq_rescore": _knn_sql("cosine"),
         "quantized_pq_rescore": _knn_sql("cosine"),
+        "quantized_tq_rescore": _knn_sql("cosine"),
         # quantized_bq_rescore: hamming coarse stage is approximate by
         # design — rows-only check, recall gated in tests/test_quantize.py
         # ann_ivf (nprobe<k): approximate by design — gated by recall tests

@@ -24,6 +24,7 @@ from dataclasses import dataclass
 from typing import Any, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -382,6 +383,301 @@ def pq_search(
     order = F.col("__coarse").desc() if larger_is_better(metric) else F.col("__coarse")
     coarse = (
         pts.withColumn("__coarse", coarse_score)
+        .orderBy(order, F.col(index.id_col))
+        .limit(n_coarse)
+    )
+    if not rescore:
+        return (
+            coarse.limit(k)
+            .select(F.col(index.id_col), F.col("__coarse").alias("score"))
+        )
+    cand_ids = F.broadcast(coarse.select(index.id_col))
+    candidates = index.codes.join(cand_ids, index.id_col, "left_semi")
+    return knn(
+        candidates, query_vector, metric=metric, k=k,
+        vec_col=index.vec_col, id_col=index.id_col,
+        select=[index.id_col, "score"],
+    )
+
+
+# --------------------------------------------------------------------------
+# TurboQuant (rotated 1/1.5/2/4-bit scalar quantization, asymmetric scoring)
+# --------------------------------------------------------------------------
+
+# Lloyd-Max optimal centroids for N(0, 1), per bit-width — the reference's
+# compile-time tables (lib/quantization/src/turboquant/lloyd_max.rs:3-17).
+# After an orthonormal rotation + rescale to L2 = sqrt(d), coordinates of a
+# generic vector are ~N(0, 1), so one shared codebook serves every dimension
+# (vs PQ's trained per-subspace codebooks).
+_TQ_CENTROIDS = {
+    1: np.array([-0.7978846, 0.7978846]),
+    2: np.array([-1.510, -0.4528, 0.4528, 1.510]),
+    4: np.array([
+        -2.733, -2.069, -1.618, -1.256, -0.9424, -0.6568, -0.3881, -0.1284,
+        0.1284, 0.3881, 0.6568, 0.9424, 1.256, 1.618, 2.069, 2.733,
+    ]),
+}
+
+
+def _tq_boundaries(bpc: int) -> np.ndarray:
+    c = _TQ_CENTROIDS[bpc]
+    return (c[:-1] + c[1:]) / 2.0
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(3, (n - 1).bit_length())
+
+
+def _tq_rotation_params(padded_dim: int, seed: int, rounds: int = 3):
+    """Seeded structured rotation: per round a random sign diagonal, a
+    Walsh-Hadamard transform, and a random permutation (the reference's
+    sign-flip + WHT + permutation rounds, turboquant/rotation.rs:90-120).
+    The composition is orthonormal; params are regenerated identically on
+    the driver (query path) and in executors (encode path), so nothing
+    but the seed ships with the index."""
+    rng = np.random.default_rng(seed)
+    return [
+        (rng.choice([-1.0, 1.0], size=padded_dim), rng.permutation(padded_dim))
+        for _ in range(rounds)
+    ]
+
+
+def _fwht(X: np.ndarray) -> np.ndarray:
+    """Batched in-place fast Walsh-Hadamard transform over the last axis
+    (d = power of two). O(n d log d); unnormalized (multiply by 1/sqrt(d)
+    for the orthonormal H)."""
+    n, d = X.shape
+    h = 1
+    while h < d:
+        X = X.reshape(n, d // (2 * h), 2, h)
+        a = X[:, :, 0, :].copy()
+        X[:, :, 0, :] += X[:, :, 1, :]
+        X[:, :, 1, :] = a - X[:, :, 1, :]
+        X = X.reshape(n, d)
+        h *= 2
+    return X
+
+
+def _tq_rotate(V: np.ndarray, params) -> np.ndarray:
+    d = V.shape[1]
+    inv_sqrt_d = 1.0 / np.sqrt(d)
+    V = V.copy()
+    for signs, perm in params:
+        V = _fwht(V * signs) * inv_sqrt_d
+        V = V[:, perm]
+    return V
+
+
+def _tq_unrotate(V: np.ndarray, params) -> np.ndarray:
+    """Exact inverse of :func:`_tq_rotate` (H/sqrt(d) and the sign diagonal
+    are involutions; the permutation inverts by argsort)."""
+    d = V.shape[1]
+    inv_sqrt_d = 1.0 / np.sqrt(d)
+    V = V.copy()
+    for signs, perm in reversed(params):
+        V = V[:, np.argsort(perm)]
+        V = _fwht(V) * inv_sqrt_d * signs
+    return V
+
+
+def _tq_pack(codes: np.ndarray, bpc: int) -> np.ndarray:
+    """(n, d) uint8 code indices -> (n, d*bpc/8) packed bytes. d is a
+    power of two >= 8, so every lane divides evenly."""
+    n, d = codes.shape
+    if bpc == 1:
+        return np.packbits(codes, axis=1)
+    if bpc == 2:
+        c = codes.reshape(n, d // 4, 4)
+        return (c[:, :, 0] << 6 | c[:, :, 1] << 4
+                | c[:, :, 2] << 2 | c[:, :, 3]).astype(np.uint8)
+    if bpc == 4:
+        c = codes.reshape(n, d // 2, 2)
+        return (c[:, :, 0] << 4 | c[:, :, 1]).astype(np.uint8)
+    raise ValueError(f"unsupported bits-per-code {bpc}")
+
+
+def _tq_unpack(raw: np.ndarray, bpc: int, d: int) -> np.ndarray:
+    """(n, nbytes) uint8 -> (n, d) uint8 code indices."""
+    n = raw.shape[0]
+    if bpc == 1:
+        return np.unpackbits(raw, axis=1)[:, :d]
+    if bpc == 2:
+        out = np.empty((n, raw.shape[1], 4), dtype=np.uint8)
+        out[:, :, 0] = raw >> 6
+        out[:, :, 1] = (raw >> 4) & 3
+        out[:, :, 2] = (raw >> 2) & 3
+        out[:, :, 3] = raw & 3
+        return out.reshape(n, -1)[:, :d]
+    if bpc == 4:
+        out = np.empty((n, raw.shape[1], 2), dtype=np.uint8)
+        out[:, :, 0] = raw >> 4
+        out[:, :, 1] = raw & 15
+        return out.reshape(n, -1)[:, :d]
+    raise ValueError(f"unsupported bits-per-code {bpc}")
+
+
+@dataclass
+class TqIndex:
+    """TurboQuant-encoded corpus (reference:
+    lib/quantization/src/turboquant/{quantization,lloyd_max,rotation}.rs and
+    encoded_vectors_tq.rs). ``codes`` holds, next to the original columns:
+
+    - ``__tq``    binary — per-coordinate Lloyd-Max code indices of the
+      rotated, L2-rescaled vector, bit-packed (1/2/4 bits per coord;
+      ``bits=1.5`` is 1-bit over a 1.5x-padded rotation, mod.rs:28-29);
+    - ``__tq_l2`` double — original L2 length (quantization.rs extras);
+    - ``__tq_cn`` double — L2 norm of the chosen centroid vector, used to
+      rescale the reconstructed direction back to true length
+      (compute_centroid_norm, quantization.rs:290-316).
+
+    At 100 TB the coarse stage reads only these three narrow columns:
+    4 bits/dim is a 64x scan-bandwidth cut vs float32, with no trained
+    codebook to ship — only the seed."""
+
+    codes: DataFrame
+    bits: float            # 1, 1.5, 2 or 4
+    dim: int
+    padded_dim: int
+    seed: int
+    vec_col: str
+    id_col: str
+
+    @property
+    def bits_per_code(self) -> int:
+        return 1 if self.bits in (1, 1.5) else int(self.bits)
+
+
+def build_tq(
+    points: DataFrame,
+    *,
+    vec_col: str = "vec",
+    id_col: str = "id",
+    bits: float = 2,
+    seed: int = 7,
+) -> TqIndex:
+    """Encode the corpus in one Arrow-batched pass: zero-pad to the rotation
+    width, apply the seeded rotation, rescale each row to L2 = sqrt(d) so
+    coordinates sit on the N(0, 1) centroid grid (preprocess_into,
+    quantization.rs:167-207), nearest-centroid by boundary bisection, pack.
+    No sampling, no training, no driver-side state beyond the seed."""
+    from pyspark.sql.functions import pandas_udf
+
+    if bits not in (1, 1.5, 2, 4):
+        raise ValueError(f"bits must be one of 1, 1.5, 2, 4 — got {bits}")
+    base = points.filter(F.col(vec_col).isNotNull())
+    first = base.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty corpus")
+    dim = int(first["d"])
+    target = int(np.ceil(dim * 1.5)) if bits == 1.5 else dim
+    padded_dim = _next_pow2(target)
+    bpc = 1 if bits in (1, 1.5) else int(bits)
+    centroids = _TQ_CENTROIDS[bpc]
+    boundaries = _tq_boundaries(bpc)
+    sqrt_d = float(np.sqrt(padded_dim))
+    pd_, dim_, seed_ = padded_dim, dim, seed
+
+    def _encode(s: pd.Series) -> pd.DataFrame:
+        if len(s) == 0:
+            return pd.DataFrame({"codes": pd.Series([], dtype=object),
+                                 "l2": pd.Series([], dtype=np.float64),
+                                 "cn": pd.Series([], dtype=np.float64)})
+        params = _tq_rotation_params(pd_, seed_)
+        V = np.zeros((len(s), pd_), dtype=np.float64)
+        V[:, :dim_] = np.array(s.tolist(), dtype=np.float64)
+        V = _tq_rotate(V, params)
+        l2 = np.linalg.norm(V, axis=1)
+        scale = np.where(l2 > 0.0, sqrt_d / np.where(l2 > 0.0, l2, 1.0), 1.0)
+        V *= scale[:, None]
+        idx = np.searchsorted(boundaries, V).astype(np.uint8)
+        cn = np.linalg.norm(centroids[idx], axis=1)
+        packed = _tq_pack(idx, bpc)
+        return pd.DataFrame({
+            "codes": [row.tobytes() for row in packed],
+            "l2": l2,
+            "cn": cn,
+        })
+
+    enc = pandas_udf(_encode, "codes binary, l2 double, cn double")
+    codes = (
+        base.withColumn("__t", enc(F.col(vec_col)))
+        .withColumn("__tq", F.col("__t.codes"))
+        .withColumn("__tq_l2", F.col("__t.l2"))
+        .withColumn("__tq_cn", F.col("__t.cn"))
+        .drop("__t")
+    )
+    return TqIndex(codes=codes, bits=bits, dim=dim, padded_dim=padded_dim,
+                   seed=seed, vec_col=vec_col, id_col=id_col)
+
+
+def tq_search(
+    index: TqIndex,
+    query_vector: Sequence[float],
+    *,
+    k: int = 10,
+    oversampling: float = 4.0,
+    metric: str = "cosine",
+    flt: dict[str, Any] | None = None,
+    rescore: bool = True,
+) -> DataFrame:
+    """Two-stage TurboQuant search. Coarse stage is asymmetric: the query
+    stays full-precision in rotated space; each stored vector is
+    reconstructed as ``centroids[codes] * (l2 / centroid_norm)`` — the
+    reference's renorm scoring (quantization.rs:290-316) — and scored with
+    one BLAS matvec per Arrow batch. Cosine/dot/euclid derive from the
+    rotation-invariant inner product; manhattan dequantizes and applies
+    the inverse rotation per candidate (the reference's L1 slow path,
+    EncodedQueryTQ.query, mod.rs:110-112). Then exact rescore of
+    ``k*oversampling`` candidates on the original vectors."""
+    from pyspark.sql.functions import pandas_udf
+
+    if metric not in ("cosine", "dot", "euclid", "manhattan"):
+        raise ValueError(f"unknown metric {metric!r}")
+    q = np.asarray(query_vector, dtype=np.float64)
+    if len(q) != index.dim:
+        raise ValueError(f"query dim {len(q)} != index dim {index.dim}")
+    bpc = index.bits_per_code
+    centroids = _TQ_CENTROIDS[bpc]
+    pd_, dim_, seed_ = index.padded_dim, index.dim, index.seed
+    params = _tq_rotation_params(pd_, seed_)
+    qpad = np.zeros(pd_, dtype=np.float64)
+    qpad[:dim_] = q
+    q_rot = _tq_rotate(qpad[None, :], params)[0]
+    l2_q = float(np.linalg.norm(q))
+
+    def _score(codes_s: pd.Series, l2_s: pd.Series, cn_s: pd.Series) -> pd.Series:
+        if len(codes_s) == 0:
+            return pd.Series([], dtype=np.float64)
+        raw = np.frombuffer(b"".join(codes_s), dtype=np.uint8)
+        raw = raw.reshape(len(codes_s), -1)
+        idx = _tq_unpack(raw, bpc, pd_)
+        l2 = l2_s.to_numpy(dtype=np.float64)
+        cn = np.maximum(cn_s.to_numpy(dtype=np.float64), 1e-12)
+        C = centroids[idx]                      # (n, padded_dim) reconstruction
+        if metric == "manhattan":
+            approx = _tq_unrotate(C * (l2 / cn)[:, None], params)[:, :dim_]
+            return pd.Series(np.abs(approx - q).sum(axis=1))
+        raw_dot = C @ q_rot                     # one BLAS matvec per batch
+        if metric == "dot":
+            return pd.Series(raw_dot * l2 / cn)
+        if metric == "cosine":
+            return pd.Series(raw_dot / (cn * max(l2_q, 1e-12)))
+        d2 = l2 * l2 + l2_q * l2_q - 2.0 * raw_dot * l2 / cn
+        return pd.Series(np.sqrt(np.maximum(d2, 0.0)))
+
+    score_udf = pandas_udf(_score, "double")
+    pts = index.codes
+    if flt is not None:
+        from qdrant_spark.filters import apply_filter
+
+        pts = apply_filter(pts, flt)
+    n_coarse = max(k, int(np.ceil(k * oversampling)))
+    order = F.col("__coarse").desc() if larger_is_better(metric) else F.col("__coarse")
+    coarse = (
+        pts.withColumn(
+            "__coarse",
+            score_udf(F.col("__tq"), F.col("__tq_l2"), F.col("__tq_cn")),
+        )
         .orderBy(order, F.col(index.id_col))
         .limit(n_coarse)
     )

@@ -158,3 +158,84 @@ def test_bq_self_query_top1(embeddings, bq):
     r = embeddings.limit(3).collect()[2]
     got = bq_search(bq, list(r["embedding"]), k=3, oversampling=4.0).collect()
     assert got[0]["vec_id"] == r["vec_id"]
+
+
+# ---------------------------------------------------------------------------
+# TurboQuant (rotated 1/1.5/2/4-bit Lloyd-Max quantization)
+# ---------------------------------------------------------------------------
+
+from qdrant_spark.operators.quantize import (  # noqa: E402
+    _tq_pack, _tq_rotate, _tq_rotation_params, _tq_unpack, _tq_unrotate,
+    build_tq, tq_search,
+)
+
+
+@pytest.fixture(scope="module")
+def tq(embeddings):
+    idx = build_tq(embeddings, vec_col="embedding", id_col="vec_id", bits=2)
+    idx.codes.cache().count()
+    return idx
+
+
+def test_tq_rotation_is_orthonormal_and_invertible():
+    params = _tq_rotation_params(128, seed=11)
+    V = np.random.default_rng(0).normal(size=(9, 128))
+    R = _tq_rotate(V, params)
+    assert np.allclose(np.linalg.norm(R, axis=1), np.linalg.norm(V, axis=1))
+    assert np.allclose(_tq_unrotate(R, params), V)
+
+
+@pytest.mark.parametrize("bpc", [1, 2, 4])
+def test_tq_pack_roundtrip(bpc):
+    codes = np.random.default_rng(1).integers(
+        0, 2 ** bpc, size=(7, 64)).astype(np.uint8)
+    assert (_tq_unpack(_tq_pack(codes, bpc), bpc, 64) == codes).all()
+
+
+def test_tq_codes_width(tq):
+    """2-bit codes over the 512-wide padded rotation = 128 bytes/vector —
+    a 12x cut vs 384 float32s; plus two doubles of extras."""
+    row = tq.codes.limit(1).collect()[0]
+    assert len(row["__tq"]) == tq.padded_dim * 2 // 8
+    assert row["__tq_l2"] > 0 and row["__tq_cn"] > 0
+
+
+@pytest.mark.parametrize("metric", ["cosine", "dot", "euclid", "manhattan"])
+def test_tq_full_probe_matches_exact(embeddings, tq, metric):
+    """With the coarse cut disabled (oversampling covers the corpus) the
+    exact rescore must reproduce the exact scan — same gate as SQ/PQ."""
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    exact = _exact_ids(embeddings, q, metric, 10)
+    got = [r["vec_id"] for r in
+           tq_search(tq, q, k=10, oversampling=100.0, metric=metric).collect()]
+    assert got == exact
+
+
+@pytest.mark.parametrize("bits", [1, 1.5, 4])
+def test_tq_recall_by_bits(embeddings, bits):
+    idx = build_tq(embeddings, vec_col="embedding", id_col="vec_id", bits=bits)
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    exact = set(_exact_ids(embeddings, q, "cosine", 10))
+    got = {r["vec_id"] for r in
+           tq_search(idx, q, k=10, oversampling=8.0, metric="cosine").collect()}
+    floor = 0.6 if bits == 1 else 0.8
+    assert len(exact & got) / 10 >= floor
+
+
+def test_tq_filtered(embeddings, tq):
+    flt = {"must": [{"key": "label", "range": {"lte": 5}}]}
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    got = tq_search(tq, q, k=5, oversampling=8.0, metric="cosine", flt=flt).collect()
+    assert len(got) == 5
+    labels = {
+        r["label"]
+        for r in embeddings.filter(embeddings.vec_id.isin([g["vec_id"] for g in got]))
+        .select("label").collect()
+    }
+    assert labels and all(l <= 5 for l in labels)
+
+
+def test_tq_self_query_top1(embeddings, tq):
+    r = embeddings.limit(3).collect()[2]
+    got = tq_search(tq, list(r["embedding"]), k=3, oversampling=8.0).collect()
+    assert got[0]["vec_id"] == r["vec_id"]
