@@ -137,7 +137,9 @@ def ivf_search_batch(
         larger_is_better, score_block, score_order,
     )
 
-    q_rows = queries.select(qid_col, qvec_col).coalesce(1).collect()
+    # plain collect (see knn._matmul_knn): coalesce(1) serializes every
+    # python partition through one worker, ~2.6s fixed overhead
+    q_rows = queries.select(qid_col, qvec_col).collect()
     qids = [r[qid_col] for r in q_rows]
     Qm = np.array([list(r[qvec_col]) for r in q_rows], dtype=np.float64)
     # (nq, K) squared euclid to centroids -> nprobe smallest per query

@@ -256,10 +256,11 @@ def _matmul_knn(
         Q = np.asarray(q_data[1], dtype=np.float64)
         qid_type = T.LongType()
     else:
-        # coalesce(1) before collect: a python-backed queries DF otherwise
-        # runs one pickle-deserializing worker per partition just to fetch a
-        # few hundred rows (the whole batch is broadcast afterwards anyway)
-        q_rows = queries.select(qid_col, qvec_col).coalesce(1).collect()
+        # plain collect, NOT coalesce(1): narrowing a python-backed queries
+        # DF to one partition funnels every pickled partition through a
+        # single python worker sequentially — measured ~2.6s fixed vs ~0.2s
+        # for the parallel collect of the same 64 rows
+        q_rows = queries.select(qid_col, qvec_col).collect()
         qids = [r[qid_col] for r in q_rows]
         Q = np.array([list(r[qvec_col]) for r in q_rows], dtype=np.float64)
         qid_type = queries.schema[qid_col].dataType
