@@ -126,9 +126,13 @@ def main() -> None:
     from qdrant_spark.operators.ann import (
         build_ivf, ivf_search, ivf_search_batch, persist_ivf,
     )
-    from qdrant_spark.operators.quantize import build_sq, sq_search
+    from qdrant_spark.operators.quantize import (
+        build_sq, build_tq, sq_search, tq_search,
+    )
 
     ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+    xxl.write.mode("overwrite").parquet(f"{ivf_dir}/xxl_plain")
+    xxl_disk = spark.read.parquet(f"{ivf_dir}/xxl_plain")
     ivf_xl = persist_ivf(
         build_ivf(xl, n_clusters=32, vec_col="embedding", id_col="vec_id",
                   fit_fraction=0.25),
@@ -142,6 +146,9 @@ def main() -> None:
     sq_xl = build_sq(xl, vec_col="embedding", id_col="vec_id")
     sq_xl.codes = sq_xl.codes.cache()
     sq_xl.codes.count()
+    tq_xl = build_tq(xl, vec_col="embedding", id_col="vec_id", bits=2)
+    tq_xl.codes = tq_xl.codes.cache()
+    tq_xl.codes.count()
 
     def q_ann_ivf_batch64_xl():
         return ivf_search_batch(ivf_xl, queries_df, k=10, nprobe=4,
@@ -153,8 +160,37 @@ def main() -> None:
         return ivf_search(ivf_xxl, q0, k=10, nprobe=4,
                           metric="cosine").collect()
 
+    def q_knn_batch64_xxl():
+        # 64q x 512k x 384d exact over the RAM-cached corpus
+        return knn_batch(xxl, queries_df, metric="cosine", k=10,
+                         vec_col="embedding", id_col="vec_id",
+                         strategy="matmul").count()
+
+    def q_knn_batch64_xxl_disk():
+        # same exact scan but from parquet — the 100TB shape (nothing is
+        # cached at scale). Compare against ann_ivf_batch64_xxl, which also
+        # reads parquet but prunes 28/32 cluster partitions per query.
+        return knn_batch(xxl_disk, queries_df, metric="cosine", k=10,
+                         vec_col="embedding", id_col="vec_id",
+                         strategy="matmul").count()
+
+    def q_ann_ivf_batch64_xxl():
+        # NOTE: with 64 queries x 4 probes over 32 clusters the probe UNION
+        # covers every cluster, so no partition is pruned at this scale —
+        # the win is compute (each point scored against ~Q*nprobe/K queries,
+        # not Q), which is below overhead here. At cluster scale (4k+
+        # clusters, Q per batch << clusters/nprobe) the same plan prunes IO
+        # too, as the single-query line (ann_ivf_single_xxl) shows.
+        return ivf_search_batch(ivf_xxl, queries_df, k=10, nprobe=4,
+                                metric="cosine").count()
+
     def q_sq_rescore_xl():
         return sq_search(sq_xl, q0, k=10, oversampling=3.0,
+                         metric="cosine").count()
+
+    def q_tq_rescore_xl():
+        # TurboQuant 2-bit coarse (12 bytes/vec scanned vs 1536) + rescore
+        return tq_search(tq_xl, q0, k=10, oversampling=3.0,
                          metric="cosine").count()
 
     # BM25 index built once (ingest-time cost, as in the reference's sparse
@@ -203,7 +239,11 @@ def main() -> None:
         "knn_single_xxl": q_knn_single_xxl,
         "ann_ivf_batch64_xl": q_ann_ivf_batch64_xl,
         "ann_ivf_single_xxl": q_ann_ivf_single_xxl,
+        "knn_batch64_xxl": q_knn_batch64_xxl,
+        "knn_batch64_xxl_disk": q_knn_batch64_xxl_disk,
+        "ann_ivf_batch64_xxl": q_ann_ivf_batch64_xxl,
         "sq_rescore_xl": q_sq_rescore_xl,
+        "tq_rescore_xl": q_tq_rescore_xl,
         "knn_filtered": q_knn_filtered,
         "fusion_hybrid": q_fusion_hybrid,
         "grouped_search": q_grouped,
