@@ -541,10 +541,47 @@ class TqIndex:
     seed: int
     vec_col: str
     id_col: str
+    # TQ+ (mode=Plus) per-coordinate error correction: x+ = (x - shift)/scale
+    # pulls each rotated, rescaled coordinate onto the N(0, 1) codebook grid
+    # (ErrorCorrection, turboquant/quantization.rs:23-48). None = Normal mode
+    # (equivalent to shift=0, scale=1).
+    ec_shift: np.ndarray | None = None
+    ec_scale: np.ndarray | None = None
 
     @property
     def bits_per_code(self) -> int:
         return 1 if self.bits in (1, 1.5) else int(self.bits)
+
+
+def _tq_preprocess(V: np.ndarray, params, sqrt_d: float):
+    """Rotate + rescale rows to L2 = sqrt(padded_dim) (preprocess_into,
+    quantization.rs:167-207). Returns (rescaled, original l2 lengths)."""
+    V = _tq_rotate(V, params)
+    l2 = np.linalg.norm(V, axis=1)
+    scale = np.where(l2 > 0.0, sqrt_d / np.where(l2 > 0.0, l2, 1.0), 1.0)
+    return V * scale[:, None], l2
+
+
+def _fit_tq_plus(sample: np.ndarray, c_outer: float):
+    """TQ+ quantile-anchored per-coordinate fit (encoded_vectors_tq.rs:
+    150-184): map the empirical [1-p_outer, p_outer] quantiles of each
+    rotated, rescaled coordinate onto the outermost centroids ±c_outer.
+    For ideally-N(0, 1) coords this collapses to shift=0, scale=1; for
+    anisotropic data it avoids mean/stddev bias under heavy tails."""
+    import math
+
+    p_outer = 0.5 * (1.0 + math.erf(c_outer / math.sqrt(2.0)))
+    q_lo = np.quantile(sample, 1.0 - p_outer, axis=0)
+    q_hi = np.quantile(sample, p_outer, axis=0)
+    shift = (q_hi + q_lo) / 2.0
+    scale = (q_hi - q_lo) / (2.0 * c_outer)
+    scale = np.where(np.abs(scale) < 1e-9, 1.0, scale)  # degenerate coords
+    return shift, scale
+
+
+# TQ+ pre-pass sample sizes per codebook (TQBits::sample_size, mod.rs:62-69:
+# sized so the order-statistic estimator's sigma stays ~flat per anchor)
+_TQ_PLUS_SAMPLES = {1: 2_048, 2: 4_096, 4: 8_192}
 
 
 def build_tq(
@@ -554,12 +591,15 @@ def build_tq(
     id_col: str = "id",
     bits: float = 2,
     seed: int = 7,
+    plus: bool = False,
 ) -> TqIndex:
     """Encode the corpus in one Arrow-batched pass: zero-pad to the rotation
     width, apply the seeded rotation, rescale each row to L2 = sqrt(d) so
     coordinates sit on the N(0, 1) centroid grid (preprocess_into,
     quantization.rs:167-207), nearest-centroid by boundary bisection, pack.
-    No sampling, no training, no driver-side state beyond the seed."""
+    Normal mode needs no sampling or training — no driver-side state beyond
+    the seed. ``plus=True`` (TQMode::Plus) adds the quantile-anchored
+    per-coordinate shift/scale pre-pass over a bounded seeded sample."""
     from pyspark.sql.functions import pandas_udf
 
     if bits not in (1, 1.5, 2, 4):
@@ -577,6 +617,21 @@ def build_tq(
     sqrt_d = float(np.sqrt(padded_dim))
     pd_, dim_, seed_ = padded_dim, dim, seed
 
+    ec_shift = ec_scale = None
+    if plus:
+        n = base.count()
+        want = _TQ_PLUS_SAMPLES[bpc]
+        frac = min(1.0, float(want) / max(n, 1))
+        rows = base.select(vec_col).sample(frac, seed=seed).limit(want).collect()
+        if not rows:
+            rows = base.select(vec_col).limit(want).collect()
+        S = np.zeros((len(rows), padded_dim), dtype=np.float64)
+        S[:, :dim] = np.array([list(r[0]) for r in rows], dtype=np.float64)
+        S, _ = _tq_preprocess(S, _tq_rotation_params(padded_dim, seed), sqrt_d)
+        ec_shift, ec_scale = _fit_tq_plus(S, float(centroids[-1]))
+    shift_b = ec_shift if ec_shift is not None else np.zeros(padded_dim)
+    scale_b = ec_scale if ec_scale is not None else np.ones(padded_dim)
+
     def _encode(s: pd.Series) -> pd.DataFrame:
         if len(s) == 0:
             return pd.DataFrame({"codes": pd.Series([], dtype=object),
@@ -585,12 +640,13 @@ def build_tq(
         params = _tq_rotation_params(pd_, seed_)
         V = np.zeros((len(s), pd_), dtype=np.float64)
         V[:, :dim_] = np.array(s.tolist(), dtype=np.float64)
-        V = _tq_rotate(V, params)
-        l2 = np.linalg.norm(V, axis=1)
-        scale = np.where(l2 > 0.0, sqrt_d / np.where(l2 > 0.0, l2, 1.0), 1.0)
-        V *= scale[:, None]
-        idx = np.searchsorted(boundaries, V).astype(np.uint8)
-        cn = np.linalg.norm(centroids[idx], axis=1)
+        V, l2 = _tq_preprocess(V, params, sqrt_d)
+        idx = np.searchsorted(boundaries, (V - shift_b) / scale_b) \
+            .astype(np.uint8)
+        # centroid norm on the EC-reverted reconstruction, so renorm scoring
+        # rescales the same vector the scorer rebuilds
+        # (compute_centroid_norm, quantization.rs:290-316)
+        cn = np.linalg.norm(centroids[idx] * scale_b + shift_b, axis=1)
         packed = _tq_pack(idx, bpc)
         return pd.DataFrame({
             "codes": [row.tobytes() for row in packed],
@@ -607,7 +663,8 @@ def build_tq(
         .drop("__t")
     )
     return TqIndex(codes=codes, bits=bits, dim=dim, padded_dim=padded_dim,
-                   seed=seed, vec_col=vec_col, id_col=id_col)
+                   seed=seed, vec_col=vec_col, id_col=id_col,
+                   ec_shift=ec_shift, ec_scale=ec_scale)
 
 
 def tq_search(
@@ -644,6 +701,8 @@ def tq_search(
     qpad[:dim_] = q
     q_rot = _tq_rotate(qpad[None, :], params)[0]
     l2_q = float(np.linalg.norm(q))
+    ec_shift = index.ec_shift if index.ec_shift is not None else None
+    ec_scale = index.ec_scale if index.ec_scale is not None else None
 
     def _score(codes_s: pd.Series, l2_s: pd.Series, cn_s: pd.Series) -> pd.Series:
         if len(codes_s) == 0:
@@ -654,6 +713,9 @@ def tq_search(
         l2 = l2_s.to_numpy(dtype=np.float64)
         cn = np.maximum(cn_s.to_numpy(dtype=np.float64), 1e-12)
         C = centroids[idx]                      # (n, padded_dim) reconstruction
+        if ec_scale is not None:
+            # TQ+ revert: x_hat = centroid * scale + shift, per coordinate
+            C = C * ec_scale + ec_shift
         if metric == "manhattan":
             approx = _tq_unrotate(C * (l2 / cn)[:, None], params)[:, :dim_]
             return pd.Series(np.abs(approx - q).sum(axis=1))

@@ -245,35 +245,33 @@ def bm25_search_index(
     b: float = BM25_B,
     avg_doc_len: float | None = BM25_AVG_DOC_LEN,
 ) -> DataFrame:
-    """BM25 top-k over a prebuilt index. Both the IDF stats and the scores
-    derive from the same candidate set (postings ⋈ broadcast(query terms)),
-    so the full postings table is scanned once per branch and the vocabulary
-    outside the query is never aggregated."""
+    """BM25 top-k over a prebuilt index. ONE scan of the postings table:
+    the broadcast term join keeps only query-term postings, then a window
+    over ``term`` derives each term's document frequency from the same
+    candidate rows the scores need — no second postings scan, no
+    aggregation over vocabulary outside the query."""
+    from pyspark.sql import Window
+
     spark = index.postings.sparkSession
     q_tokens = _query_terms_df(spark, query_text)
     cand = index.postings.join(F.broadcast(q_tokens), "term")
     if avg_doc_len is None:
         avg_doc_len = index.postings.select(index.id_col, "dl").distinct() \
             .agg(F.avg("dl")).collect()[0][0]
-    # document frequency of a query term == its row count in cand
-    idf = (
-        cand.groupBy("term")
-        .agg(F.count("*").alias("nd"))
-        .select(
-            "term",
-            F.log(
-                (F.lit(float(index.n_docs)) - F.col("nd") + F.lit(0.5))
-                / (F.col("nd") + F.lit(0.5))
-                + F.lit(1.0)
-            ).alias("idf"),
-        )
+    # document frequency of a query term == its row count in cand; the
+    # window shuffle is over candidate rows only (query terms), tiny next
+    # to a full postings rescan
+    nd = F.count("*").over(Window.partitionBy("term"))
+    idf = F.log(
+        (F.lit(float(index.n_docs)) - nd + F.lit(0.5))
+        / (nd + F.lit(0.5))
+        + F.lit(1.0)
     )
     scored = (
-        cand.join(F.broadcast(idf), "term")
-        .withColumn(
+        cand.withColumn(
             "contrib",
-            F.col("idf") * bm25_tf(F.col("tf").cast("double"), F.col("dl"),
-                                   k1, b, float(avg_doc_len)),
+            idf * bm25_tf(F.col("tf").cast("double"), F.col("dl"),
+                          k1, b, float(avg_doc_len)),
         )
         .groupBy(index.id_col)
         .agg(F.sum("contrib").alias("score"))

@@ -239,3 +239,35 @@ def test_tq_self_query_top1(embeddings, tq):
     r = embeddings.limit(3).collect()[2]
     got = tq_search(tq, list(r["embedding"]), k=3, oversampling=8.0).collect()
     assert got[0]["vec_id"] == r["vec_id"]
+
+
+def test_tq_plus_full_probe_matches_exact(embeddings):
+    """TQ+ (quantile-anchored per-coordinate EC) keeps the exact-rescore
+    contract; on near-isotropic data the fit collapses toward
+    shift~0/scale~1 rather than distorting scores."""
+    idx = build_tq(embeddings, vec_col="embedding", id_col="vec_id",
+                   bits=1, plus=True)
+    assert idx.ec_shift is not None and idx.ec_scale is not None
+    assert np.abs(idx.ec_shift).mean() < 0.5
+    assert abs(float(np.mean(idx.ec_scale)) - 1.0) < 0.5
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    exact = _exact_ids(embeddings, q, "cosine", 10)
+    got = [r["vec_id"] for r in
+           tq_search(idx, q, k=10, oversampling=100.0, metric="cosine").collect()]
+    assert got == exact
+
+
+def test_tq_plus_coarse_recall_not_worse_than_normal(embeddings):
+    """At 1 bit the EC fit must not hurt coarse recall on this corpus."""
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    exact = set(_exact_ids(embeddings, q, "cosine", 10))
+
+    def rec(plus):
+        idx = build_tq(embeddings, vec_col="embedding", id_col="vec_id",
+                       bits=1, plus=plus)
+        got = {r["vec_id"] for r in
+               tq_search(idx, q, k=10, oversampling=8.0,
+                         metric="cosine").collect()}
+        return len(exact & got)
+
+    assert rec(True) >= rec(False) - 1
