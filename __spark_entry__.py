@@ -1478,6 +1478,38 @@ SELECT vec_id, round(score, 6) AS score FROM f ORDER BY f.score DESC, vec_id LIM
 """
 
 
+def _q_query_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch universal query (points/query/batch, src/actix/api/query_api.rs):
+    heterogeneous requests — plain nearest + filtered nearest — planned
+    independently and unioned with request_idx."""
+    from qdrant_spark.query import query_batch
+
+    vs = _vecs(spark, sf, [0, 1])
+    reqs = [
+        {"query": {"nearest": vs[0]}, "limit": 10},
+        {"query": {"nearest": vs[1]}, "limit": 10,
+         "filter": {"must": [{"key": "label", "range": {"lt": 5}}]}},
+    ]
+    out = query_batch(_emb(spark, sf), reqs, id_col="vec_id",
+                      vec_col="embedding")
+    return _r6(out, "score")
+
+
+_QUERY_BATCH_SQL = f"""
+WITH {_E_CTE},
+q0 AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+q1 AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 1),
+a AS (SELECT 0 AS request_idx, e.vec_id,
+             {_SQL_DIST['cosine'].replace('q.qv', 'q0.qv')} AS score
+      FROM e, q0 ORDER BY score DESC, e.vec_id LIMIT 10),
+b AS (SELECT 1 AS request_idx, e.vec_id,
+             {_SQL_DIST['cosine'].replace('q.qv', 'q1.qv')} AS score
+      FROM e, q1 WHERE e.label < 5 ORDER BY score DESC, e.vec_id LIMIT 10)
+SELECT request_idx, vec_id, round(score, 6) AS score
+FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+"""
+
+
 def _q_universal_hybrid(spark: SparkSession, sf: str) -> DataFrame:
     from qdrant_spark.query import universal_query
 
@@ -1815,6 +1847,7 @@ _GATE_PRIORITY = [
     "filter_jsonpath_array",
     "quantized_pq_rescore",
     "quantized_tq_rescore",
+    "query_batch",
     "recommend_multi_ids",
     "multimodal_decode",
     # driver-ungated after round 1 (entries 51-74 of the old ordering)
@@ -1923,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bbox_wrap": _q_geo("bbox"),
         "geo_polygon": _q_geo("polygon"),
         "formula_rescore": _q_formula,
+        "query_batch": _q_query_batch,
         "universal_hybrid": _q_universal_hybrid,
         "universal_hybrid_sparse": _q_universal_hybrid_sparse,
         "universal_rescore": _q_universal_rescore,
@@ -2069,6 +2103,7 @@ FROM documents
         "geo_bbox_wrap": _geo_sql("bbox"),
         "geo_polygon": _geo_sql("polygon"),
         "formula_rescore": _FORMULA_SQL,
+        "query_batch": _QUERY_BATCH_SQL,
         "universal_hybrid": _UNIVERSAL_HYBRID_SQL,
         "universal_hybrid_sparse": _UNIVERSAL_HYBRID_SPARSE_SQL,
         "universal_rescore": _UNIVERSAL_RESCORE_SQL,

@@ -329,3 +329,40 @@ def universal_query(
         points, id_col=id_col, default_vec_col=vec_col, metric=metric,
         collections=collections,
     ).plan(request)
+
+
+def query_batch(
+    points: DataFrame,
+    requests: list[dict[str, Any]],
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    metric: str = "cosine",
+    collections: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Batch universal query (``POST /collections/{c}/points/query/batch``,
+    reference src/actix/api/query_api.rs; per-request independence as in
+    ``Collection::query_batch``): plan each request against the same corpus
+    and union the results tagged with ``request_idx``.
+
+    Requests may differ arbitrarily (prefetch trees, filters, fusion), so
+    each compiles to its own sub-plan; the union lets Spark schedule the
+    scans together, and a cached corpus is read once per sub-plan stage
+    rather than once per round-trip. For the homogeneous
+    many-nearest-queries case prefer ``operators.knn.knn_batch`` — one
+    corpus scan total — which the reference's batch dispatch also
+    special-cases (dispatch.rs batch path)."""
+    from functools import reduce
+
+    planner = QueryPlanner(
+        points, id_col=id_col, default_vec_col=vec_col, metric=metric,
+        collections=collections,
+    )
+    outs = [
+        planner.plan(req).withColumn("request_idx", F.lit(i))
+        for i, req in enumerate(requests)
+    ]
+    if not outs:
+        raise ValueError("empty request batch")
+    return reduce(lambda a, b: a.unionByName(b), outs) \
+        .select("request_idx", *(c for c in outs[0].columns if c != "request_idx"))

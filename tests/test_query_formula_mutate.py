@@ -316,3 +316,31 @@ def test_universal_mmr(embeddings):
     }
     out = universal_query(embeddings, req, id_col="vec_id", vec_col="embedding").collect()
     assert len(out) == 5
+
+
+def test_query_batch_heterogeneous(embeddings):
+    """Batch of unlike requests: plain nearest, filtered nearest, and an
+    RRF-fusion tree — one unioned result tagged by request_idx, each slice
+    equal to planning the request alone."""
+    from qdrant_spark.query import query_batch
+
+    r0 = embeddings.filter("vec_id = 0").collect()[0]
+    q = list(r0["embedding"])
+    reqs = [
+        {"query": {"nearest": q}, "limit": 5},
+        {"query": {"nearest": q}, "limit": 5,
+         "filter": {"must": [{"key": "label", "range": {"lt": 5}}]}},
+        {"prefetch": [{"query": {"nearest": q}, "limit": 20}],
+         "query": {"fusion": "rrf"}, "limit": 5},
+    ]
+    out = query_batch(embeddings, reqs, id_col="vec_id", vec_col="embedding")
+    rows = out.collect()
+    assert {r["request_idx"] for r in rows} == {0, 1, 2}
+    by_req = {}
+    for r in rows:
+        by_req.setdefault(r["request_idx"], []).append((r["vec_id"], r["score"]))
+    for i, req in enumerate(reqs):
+        solo = [(r["vec_id"], r["score"]) for r in universal_query(
+            embeddings, req, id_col="vec_id", vec_col="embedding").collect()]
+        assert sorted(by_req[i]) == sorted(solo), f"request {i}"
+    assert len(by_req[0]) == 5 and by_req[0][0][0] == 0
