@@ -1478,6 +1478,40 @@ SELECT vec_id, round(score, 6) AS score FROM f ORDER BY f.score DESC, vec_id LIM
 """
 
 
+def _q_knn_uint8(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact KNN over uint8 packed storage (VectorDataType::Uint8,
+    lib/segment/src/data_types/vectors.rs): corpus stored 1 byte/dim with
+    a global affine range, scored at storage precision — the oracle
+    replicates the floor(x+0.5) encode/decode in SQL."""
+    from qdrant_spark.operators.datatypes import knn_packed, pack_vectors
+
+    emb = _emb(spark, sf)
+    packed = pack_vectors(emb, vec_col="embedding", id_col="vec_id",
+                          dtype="uint8")
+    q = _vecs(spark, sf, [0])[0]
+    out = knn_packed(packed, q, metric="cosine", k=10)
+    return _r6(out, "score")
+
+
+_KNN_UINT8_SQL = f"""
+WITH {_Q_CTE}, {_E_CTE},
+r AS (SELECT min(u) AS lo, max(u) AS hi
+      FROM (SELECT unnest(v) AS u FROM e)),
+d AS (SELECT e.vec_id,
+             list_transform(e.v, x ->
+                 floor((x - r.lo) * 255.0 / (r.hi - r.lo) + 0.5)
+                 * (r.hi - r.lo) / 255.0 + r.lo) AS dv
+      FROM e, r),
+s AS (SELECT d.vec_id,
+             list_dot_product(d.dv, q.qv) /
+             (sqrt(list_dot_product(d.dv, d.dv)) *
+              sqrt(list_dot_product(q.qv, q.qv))) AS score
+      FROM d, q)
+SELECT vec_id, round(score, 6) AS score FROM s
+ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
 def _q_query_batch(spark: SparkSession, sf: str) -> DataFrame:
     """Batch universal query (points/query/batch, src/actix/api/query_api.rs):
     heterogeneous requests — plain nearest + filtered nearest — planned
@@ -1848,6 +1882,7 @@ _GATE_PRIORITY = [
     "quantized_pq_rescore",
     "quantized_tq_rescore",
     "query_batch",
+    "knn_uint8",
     "recommend_multi_ids",
     "multimodal_decode",
     # driver-ungated after round 1 (entries 51-74 of the old ordering)
@@ -1957,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_polygon": _q_geo("polygon"),
         "formula_rescore": _q_formula,
         "query_batch": _q_query_batch,
+        "knn_uint8": _q_knn_uint8,
         "universal_hybrid": _q_universal_hybrid,
         "universal_hybrid_sparse": _q_universal_hybrid_sparse,
         "universal_rescore": _q_universal_rescore,
@@ -2104,6 +2140,7 @@ FROM documents
         "geo_polygon": _geo_sql("polygon"),
         "formula_rescore": _FORMULA_SQL,
         "query_batch": _QUERY_BATCH_SQL,
+        "knn_uint8": _KNN_UINT8_SQL,
         "universal_hybrid": _UNIVERSAL_HYBRID_SQL,
         "universal_hybrid_sparse": _UNIVERSAL_HYBRID_SPARSE_SQL,
         "universal_rescore": _UNIVERSAL_RESCORE_SQL,

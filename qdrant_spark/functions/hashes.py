@@ -68,6 +68,46 @@ def minhash_from_hashed(hs: Column, n_perms: int = 16) -> Column:
     return F.when(F.size(hs) > 0, F.array(*sigs))
 
 
+def minhash_from_hashed_arrow(hs: Column, n_perms: int = 16) -> Column:
+    """Arrow-batched :func:`minhash_from_hashed`: identical integer math
+    ((a*h + b) mod p, min per doc), but all permutations in one NumPy pass
+    per batch instead of ``n_perms`` interpreted ``transform`` traversals
+    (Spark array HOFs don't codegen — same lesson as the KNN matmul path).
+    ~n_perms x fewer array walks; bit-identical output, so the DuckDB
+    oracle for the Column version gates this one too."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    params = minhash_params(n_perms)
+
+    def _sig(s):
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter(
+            (0 if x is None else len(x) for x in s), dtype=np.int64, count=len(s)
+        )
+        nonempty = lens > 0
+        if not nonempty.any():
+            return pd.Series([None] * len(s), dtype=object)
+        flat = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in s if x is not None and len(x)]
+        )
+        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lens[nonempty][:-1], out=starts[1:])
+        sigs = np.empty((len(starts), len(params)), dtype=np.int64)
+        for j, (a, b) in enumerate(params):
+            # a, h < 2^31 so a*h + b < 2^62: no int64 overflow
+            sigs[:, j] = np.minimum.reduceat((a * flat + b) % MERSENNE_P, starts)
+        out = np.empty(len(s), dtype=object)
+        out[:] = None
+        for i, row in zip(np.flatnonzero(nonempty), sigs):
+            out[i] = row
+        return pd.Series(out)
+
+    return pandas_udf(_sig, "array<bigint>")(hs)
+
+
 def band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
     """LSH band keys: array<struct<band int, key string>>; key is the md5 of
     the band's signature slice — the bucket-join key for candidate pairs."""

@@ -1,0 +1,160 @@
+"""Vector storage datatypes: float16 / uint8 packed columns.
+
+Reference: ``VectorDataType {float32, float16, uint8}``
+(lib/segment/src/data_types/vectors.rs VectorStorageDatatype,
+configured per collection in types.rs VectorParams.datatype) — vectors
+stored at reduced precision and scored as-is; unlike quantization there
+is no rescore stage, the stored precision IS the search precision.
+
+Spark mapping: a ``binary`` column holding the packed little-endian values
+(2 bytes/dim f16, 1 byte/dim u8) next to — or instead of — the float32
+array. At 100 TB the win is scan bandwidth: the KNN path reads the packed
+column only (Parquet column pruning), and the Arrow scorer decodes each
+batch straight out of the value buffer into the float64 block matmul via
+the ``vec_decode`` hook of ``knn._matmul_knn`` — one ``np.frombuffer``
+per batch, no per-row Python.
+
+uint8 uses a driver-fitted global affine range (lo, hi): encode
+``byte = floor((v - lo) * 255 / (hi - lo) + 0.5)`` clamped to [0, 255],
+decode ``v ≈ byte * (hi - lo) / 255 + lo`` — floor(x+0.5) rounding so a
+SQL oracle reproduces it exactly (DuckDB round() matches; NumPy's
+``np.round`` half-to-even would not).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qdrant_spark.operators.knn import _matmul_knn, score_order
+
+
+@dataclass
+class PackedVectors:
+    """Corpus with a packed vector column ``__packed`` (binary)."""
+
+    df: DataFrame
+    dtype: str             # "float16" | "uint8"
+    dim: int
+    vec_col: str           # original float column name (may be dropped)
+    id_col: str
+    lo: float = 0.0        # uint8 affine range
+    hi: float = 1.0
+
+
+def pack_vectors(
+    points: DataFrame,
+    *,
+    vec_col: str = "vec",
+    id_col: str = "id",
+    dtype: str = "float16",
+) -> PackedVectors:
+    """Add ``__packed``: the vector re-encoded at storage precision."""
+    from pyspark.sql.functions import pandas_udf
+
+    if dtype not in ("float16", "uint8"):
+        raise ValueError(f"dtype must be float16 or uint8 — got {dtype!r}")
+    base = points.filter(F.col(vec_col).isNotNull())
+    first = base.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty corpus")
+    dim = int(first["d"])
+
+    lo = hi = 0.0
+    if dtype == "uint8":
+        row = base.select(
+            F.min(F.array_min(vec_col)).alias("lo"),
+            F.max(F.array_max(vec_col)).alias("hi"),
+        ).first()
+        lo, hi = float(row["lo"]), float(row["hi"])
+        if hi - lo < 1e-12:
+            hi = lo + 1e-12
+
+    lo_, hi_ = lo, hi
+
+    def _enc(s):
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(s.tolist(), dtype=np.float64)
+        if dtype == "float16":
+            P = V.astype("<f2")
+        else:
+            code = np.floor((V - lo_) * 255.0 / (hi_ - lo_) + 0.5)
+            P = np.clip(code, 0.0, 255.0).astype(np.uint8)
+        return pd.Series([row.tobytes() for row in P])
+
+    enc = pandas_udf(_enc, "binary")
+    df = base.withColumn("__packed", enc(F.col(vec_col)))
+    return PackedVectors(df=df, dtype=dtype, dim=dim, vec_col=vec_col,
+                         id_col=id_col, lo=lo, hi=hi)
+
+
+def _decoder(dtype: str, dim: int, lo: float, hi: float):
+    if dtype == "float16":
+        def dec(vec, n):
+            flat = np.frombuffer(
+                b"".join(vec.to_numpy(zero_copy_only=False)), dtype="<f2"
+            )
+            return flat.reshape(n, dim).astype(np.float64)
+    else:
+        scale = (hi - lo) / 255.0
+
+        def dec(vec, n):
+            flat = np.frombuffer(
+                b"".join(vec.to_numpy(zero_copy_only=False)), dtype=np.uint8
+            )
+            return flat.reshape(n, dim).astype(np.float64) * scale + lo
+    return dec
+
+
+def knn_packed(
+    packed: PackedVectors,
+    query_vector: Sequence[float],
+    *,
+    metric: str = "cosine",
+    k: int = 10,
+    flt: dict[str, Any] | None = None,
+    score_threshold: float | None = None,
+) -> DataFrame:
+    """Exact KNN over the packed column: scores computed on the decoded
+    storage-precision values (the reference scores f16/u8 storages
+    directly — no rescore stage). One Arrow scan of the binary column."""
+    return knn_batch_packed(
+        packed, None, metric=metric, k=k, flt=flt,
+        score_threshold=score_threshold,
+        _q_data=([0], np.asarray([[float(x) for x in query_vector]])),
+    ).select(packed.id_col, "score")
+
+
+def knn_batch_packed(
+    packed: PackedVectors,
+    queries: DataFrame | None,
+    *,
+    metric: str = "cosine",
+    k: int = 10,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    flt: dict[str, Any] | None = None,
+    score_threshold: float | None = None,
+    _q_data=None,
+) -> DataFrame:
+    """Batched exact KNN over the packed column (block matmul with the
+    binary-decode hook)."""
+    from qdrant_spark.filters import apply_filter
+
+    pts = packed.df
+    if flt is not None:
+        pts = apply_filter(pts, flt)
+    out = _matmul_knn(
+        pts, queries, metric=metric, k=k, vec_col="__packed",
+        id_col=packed.id_col, qid_col=qid_col, qvec_col=qvec_col,
+        score_threshold=score_threshold, q_data=_q_data,
+        vec_decode=_decoder(packed.dtype, packed.dim, packed.lo, packed.hi),
+    )
+    order = [F.col(qid_col)] + list(score_order(metric, id_col=packed.id_col))
+    return out.select(qid_col, packed.id_col, "score").orderBy(*order)

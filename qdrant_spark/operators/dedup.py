@@ -63,12 +63,12 @@ def minhash_signatures(
 
     Staged via ``withColumn`` so the shingle+hash pipeline is evaluated
     once, not once per permutation (no cross-column CSE in Spark)."""
-    from qdrant_spark.functions.hashes import hashed_tokens, minhash_from_hashed
+    from qdrant_spark.functions.hashes import hashed_tokens, minhash_from_hashed_arrow
 
     sh = with_shingles(df, text_col, id_col, shingle_n)
     hashed = sh.withColumn("__hs", hashed_tokens(F.col("sh")))
     return hashed.select(
-        F.col(id_col), minhash_from_hashed(F.col("__hs"), n_perms).alias("sig")
+        F.col(id_col), minhash_from_hashed_arrow(F.col("__hs"), n_perms).alias("sig")
     )
 
 
@@ -88,13 +88,13 @@ def minhash_lsh_pairs(
     Shuffles: one on the band key (bucket join), one on the candidate pair
     for the verify. The full shingle sets are joined back only for
     candidate ids — at 100 TB the candidate set is tiny vs the corpus."""
-    from qdrant_spark.functions.hashes import hashed_tokens, minhash_from_hashed
+    from qdrant_spark.functions.hashes import hashed_tokens, minhash_from_hashed_arrow
 
     rows_per_band = n_perms // bands
     sh = with_shingles(df, text_col, id_col, shingle_n).cache()
     sig = (
         sh.withColumn("__hs", hashed_tokens(F.col("sh")))
-        .select(F.col(id_col), minhash_from_hashed(F.col("__hs"), n_perms).alias("sig"))
+        .select(F.col(id_col), minhash_from_hashed_arrow(F.col("__hs"), n_perms).alias("sig"))
         .filter(F.col("sig").isNotNull())
     )
     bk = sig.select(

@@ -239,6 +239,7 @@ def _matmul_knn(
     qvec_col: str,
     score_threshold: float | None,
     q_data: tuple[list, "Any"] | None = None,
+    vec_decode: "Any" = None,
 ) -> DataFrame:
     """Block-matmul batch KNN: per Arrow batch, score all queries at once
     with NumPy (float64 BLAS), keep per-batch top-k per query, emit at most
@@ -296,8 +297,13 @@ def _matmul_knn(
             vec = batch.column(1)
             if isinstance(vec, pa.ChunkedArray):
                 vec = vec.combine_chunks()
-            flat = vec.flatten().to_numpy(zero_copy_only=False)
-            M = flat.reshape(n, dim).astype(np.float64, copy=False)
+            if vec_decode is not None:
+                # packed storage (binary f16/u8 columns): decode hook
+                # yields the (n, dim) float64 matrix
+                M = vec_decode(vec, n)
+            else:
+                flat = vec.flatten().to_numpy(zero_copy_only=False)
+                M = flat.reshape(n, dim).astype(np.float64, copy=False)
             S = score_block(M, Qm, metric, qnorm=qnorm)
             kk = min(k, n)
             if kk < n:
@@ -333,9 +339,10 @@ def _matmul_knn(
             names=[qid_col, id_col, "score"],
         )
 
-    scored = pts.select(id_col, vec_col).filter(
-        F.size(vec_col) == len(Q[0])
-    ).mapInArrow(score_batches, out_schema)
+    sel = pts.select(id_col, vec_col)
+    if vec_decode is None:
+        sel = sel.filter(F.size(vec_col) == len(Q[0]))
+    scored = sel.mapInArrow(score_batches, out_schema)
     if score_threshold is not None:
         scored = scored.filter(_threshold_cond(metric, score_threshold))
     w = Window.partitionBy(qid_col).orderBy(*score_order(metric, id_col=id_col))
