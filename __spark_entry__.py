@@ -1884,7 +1884,9 @@ _GATE_PRIORITY = [
     "query_batch",
     "knn_uint8",
     "recommend_multi_ids",
-    "multimodal_decode",
+    "filter_phrase_indexed",
+    "multimodal_wav",
+    "multimodal_ppm",
     # driver-ungated after round 1 (entries 51-74 of the old ordering)
     "filter_nested",
     "filter_prefix",
