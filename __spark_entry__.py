@@ -410,6 +410,39 @@ FROM r WHERE rn <= 3
 """
 
 
+def _q_matrix_offsets(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.operators.matrix import distance_matrix_offsets
+
+    out = distance_matrix_offsets(
+        _emb(spark, sf), sample_size=10, limit_per_sample=3, metric="cosine",
+        vec_col="embedding", id_col="vec_id",
+        flt={"must": [{"key": "vec_id", "range": {"lt": 10}}]},
+    )
+    return out.select(
+        "ids", "offsets_row", "offsets_col",
+        F.transform("scores", lambda x: F.round(x, 6)).alias("scores"),
+    )
+
+
+_MATRIX_OFFSETS_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 10),
+p AS (SELECT a.vec_id id_a, b.vec_id id_b,
+      list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS score
+      FROM e a, e b WHERE a.vec_id <> b.vec_id),
+r AS (SELECT id_a, id_b, score,
+      row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b) rn FROM p
+      QUALIFY rn <= 3),
+o AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS off FROM e),
+j AS (SELECT ia.off ro, ib.off co, r.score, r.rn
+      FROM r JOIN o ia ON r.id_a = ia.vec_id JOIN o ib ON r.id_b = ib.vec_id)
+SELECT (SELECT list(vec_id ORDER BY vec_id) FROM e) AS ids,
+       list(ro ORDER BY ro, rn) AS offsets_row,
+       list(co ORDER BY ro, rn) AS offsets_col,
+       list(round(score, 6) ORDER BY ro, rn) AS scores
+FROM j
+"""
+
+
 def _q_maxsim(spark: SparkSession, sf: str) -> DataFrame:
     from qdrant_spark.functions.distances import maxsim
 
@@ -1876,6 +1909,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries new this round. Rotate once everything has a driver row.
 _GATE_PRIORITY = [
     # new in round 2
+    "distance_matrix_offsets",
     "sync",
     "filter_text_stemmed",
     "filter_jsonpath_array",
@@ -1948,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by": _q_group(False),
         "group_by_lookup": _q_group(True),
         "distance_matrix": _q_matrix,
+        "distance_matrix_offsets": _q_matrix_offsets,
         "maxsim": _q_maxsim,
         "maxsim_knn": _q_maxsim_knn,
         "scroll_keyset": _q_scroll_docs,
@@ -2040,6 +2075,7 @@ def oracle_sql() -> dict[str, str]:
         "group_by": _group_sql(False),
         "group_by_lookup": _group_sql(True),
         "distance_matrix": _MATRIX_SQL,
+        "distance_matrix_offsets": _MATRIX_OFFSETS_SQL,
         "maxsim": _MAXSIM_SQL,
         "maxsim_knn": _MAXSIM_SQL,
         "scroll_keyset": """

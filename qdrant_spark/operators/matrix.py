@@ -62,3 +62,62 @@ def distance_matrix(
         .filter(F.col("rank") <= limit_per_sample)
         .select("id_a", "id_b", "score", "rank")
     )
+
+
+def distance_matrix_offsets(
+    points: DataFrame,
+    *,
+    sample_size: int = 10,
+    limit_per_sample: int = 3,
+    metric: str = "cosine",
+    vec_col: str = "vec",
+    id_col: str = "id",
+    flt: dict[str, Any] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """CSR ``offsets`` response format: one row with four arrays —
+    ``ids`` (the sample ids), ``offsets_row`` / ``offsets_col`` (positions
+    into ``ids``), and flat ``scores``, ordered row-major by (row, rank).
+
+    Reference: SearchMatrixOffsetsResponse construction
+    (lib/collection/src/collection/distance_matrix.rs:64-94), REST
+    ``/points/search/matrix/offsets``. The reference keeps ``ids`` in
+    sample order; here ids are canonicalized ascending so the output is
+    deterministic across engines (the CSR is equivalent up to that
+    permutation).
+
+    Scale note: everything past ``distance_matrix`` operates on at most
+    ``sample_size * limit_per_sample`` rows (the API default sample is 10),
+    so the unpartitioned window and single-row aggregate are bounded by
+    construction, not by corpus size.
+    """
+    pairs = distance_matrix(
+        points, sample_size=sample_size, limit_per_sample=limit_per_sample,
+        metric=metric, vec_col=vec_col, id_col=id_col, flt=flt, seed=seed,
+    )
+    ids = (
+        pairs.select(F.col("id_a").alias("__id"))
+        .union(pairs.select(F.col("id_b").alias("__id")))
+        .distinct()
+        .withColumn("__off", F.row_number().over(Window.orderBy("__id")) - F.lit(1))
+    )
+    j = (
+        pairs
+        .join(ids.select(F.col("__id").alias("id_a"),
+                         F.col("__off").alias("__ro")), "id_a")
+        .join(ids.select(F.col("__id").alias("id_b"),
+                         F.col("__off").alias("__co")), "id_b")
+    )
+    csr = j.agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("__ro").alias("ro"), F.col("rank").alias("rk"),
+            F.col("__co").alias("co"), F.col("score").alias("sc"),
+        ))).alias("__t")
+    )
+    id_arr = ids.agg(F.sort_array(F.collect_list("__id")).alias("ids"))
+    return csr.crossJoin(id_arr).select(
+        F.col("ids"),
+        F.transform("__t", lambda s: s["ro"].cast("long")).alias("offsets_row"),
+        F.transform("__t", lambda s: s["co"].cast("long")).alias("offsets_col"),
+        F.transform("__t", lambda s: s["sc"]).alias("scores"),
+    )

@@ -181,3 +181,34 @@ def test_distance_matrix_large_sample_matches_numpy(embeddings):
         order = sorted(range(len(ids)), key=lambda j: (-S[i, j], ids[j]))
         expect = [ids[j] for j in order if ids[j] != r["id_a"]][:3]
         assert r["id_b"] == expect[r["rank"] - 1]
+
+
+def test_distance_matrix_offsets_csr_consistency(embeddings):
+    """The CSR offsets form must be an exact re-encoding of the pairs form:
+    ids ascending, offsets indexing into ids, scores row-major by rank."""
+    from qdrant_spark.operators.matrix import distance_matrix_offsets
+
+    kw = dict(sample_size=10, limit_per_sample=3, metric="cosine",
+              vec_col="embedding", id_col="vec_id", seed=7)
+    pairs = distance_matrix(embeddings, **kw).collect()
+    row = distance_matrix_offsets(embeddings, **kw).collect()
+    assert len(row) == 1
+    r = row[0]
+    ids = list(r["ids"])
+    assert ids == sorted(ids)
+    n = len(pairs)
+    assert len(r["offsets_row"]) == len(r["offsets_col"]) == len(r["scores"]) == n
+    got = {
+        (ids[r["offsets_row"][i]], ids[r["offsets_col"][i]], round(r["scores"][i], 9))
+        for i in range(n)
+    }
+    expect = {(p["id_a"], p["id_b"], round(p["score"], 9)) for p in pairs}
+    assert got == expect
+    # row-major: offsets_row is non-decreasing, and within a row scores
+    # follow rank order (descending for cosine)
+    assert list(r["offsets_row"]) == sorted(r["offsets_row"])
+    by_row = {}
+    for i in range(n):
+        by_row.setdefault(r["offsets_row"][i], []).append(r["scores"][i])
+    for scores in by_row.values():
+        assert scores == sorted(scores, reverse=True)
