@@ -443,6 +443,44 @@ FROM j
 """
 
 
+def _q_field_index_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from qdrant_spark.catalog import CollectionCatalog
+
+    cat = CollectionCatalog()
+    # events.ts is epoch-nanoseconds in the testdata parquet; present it as
+    # epoch seconds so the datetime stats are in the reference's unit
+    cat.register("events", lambda: spark.read.parquet(f"{sf}/events.parquet")
+                 .withColumn("ts", F.col("ts") / F.lit(1e9)))
+    cat.create_field_index("events", "event_type", "keyword", is_tenant=True)
+    cat.create_field_index("events", "user_id", "integer", is_principal=True)
+    cat.create_field_index("events", "ts", "datetime", is_principal=True)
+    cat.create_field_index("events", "value", "float")
+    out = cat.index_stats("events")
+    return _r6(_r6(out, "min_num"), "max_num")
+
+
+_FIELD_INDEX_STATS_SQL = """
+SELECT 'event_type' AS field, 'keyword' AS schema_type,
+       count(event_type) AS n, count(*) - count(event_type) AS nulls,
+       count(DISTINCT event_type) AS n_distinct,
+       CAST(min(event_type) AS VARCHAR) AS min_str,
+       CAST(max(event_type) AS VARCHAR) AS max_str,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num
+FROM events
+UNION ALL
+SELECT 'ts', 'datetime', count(ts), count(*) - count(ts), count(DISTINCT ts),
+       NULL, NULL, round(epoch(min(ts)), 6), round(epoch(max(ts)), 6) FROM events
+UNION ALL
+SELECT 'user_id', 'integer', count(user_id), count(*) - count(user_id),
+       count(DISTINCT user_id), NULL, NULL,
+       round(CAST(min(user_id) AS DOUBLE), 6), round(CAST(max(user_id) AS DOUBLE), 6) FROM events
+UNION ALL
+SELECT 'value', 'float', count(value), count(*) - count(value),
+       count(DISTINCT value), NULL, NULL,
+       round(min(value), 6), round(max(value), 6) FROM events
+"""
+
+
 def _q_maxsim(spark: SparkSession, sf: str) -> DataFrame:
     from qdrant_spark.functions.distances import maxsim
 
@@ -1910,6 +1948,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_PRIORITY = [
     # new in round 2
     "distance_matrix_offsets",
+    "field_index_stats",
     "sync",
     "filter_text_stemmed",
     "filter_jsonpath_array",
@@ -1983,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_lookup": _q_group(True),
         "distance_matrix": _q_matrix,
         "distance_matrix_offsets": _q_matrix_offsets,
+        "field_index_stats": _q_field_index_stats,
         "maxsim": _q_maxsim,
         "maxsim_knn": _q_maxsim_knn,
         "scroll_keyset": _q_scroll_docs,
@@ -2076,6 +2116,7 @@ def oracle_sql() -> dict[str, str]:
         "group_by_lookup": _group_sql(True),
         "distance_matrix": _MATRIX_SQL,
         "distance_matrix_offsets": _MATRIX_OFFSETS_SQL,
+        "field_index_stats": _FIELD_INDEX_STATS_SQL,
         "maxsim": _MAXSIM_SQL,
         "maxsim_knn": _MAXSIM_SQL,
         "scroll_keyset": """

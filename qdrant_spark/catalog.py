@@ -17,9 +17,80 @@ and ``lookup_from`` resolution.
 
 from __future__ import annotations
 
-from typing import Callable, Iterator, Mapping
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable, Iterator, Mapping
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Payload field index schema types (PayloadSchemaType + per-type params,
+# lib/segment/src/data_types/index.rs). ``is_tenant`` exists on keyword/uuid
+# ("used for tenant optimization"), ``is_principal`` on integer/float/
+# datetime ("use this key to organize storage of the collection data").
+FIELD_SCHEMA_TYPES = frozenset(
+    {"keyword", "integer", "float", "bool", "geo", "datetime", "text", "uuid"}
+)
+_TENANT_TYPES = frozenset({"keyword", "uuid"})
+_PRINCIPAL_TYPES = frozenset({"integer", "float", "datetime"})
+
+
+@dataclass(frozen=True)
+class FieldIndex:
+    """A registered payload field index (FieldIndexOperations,
+    lib/shard/src/operations/mod.rs:207).
+
+    In the reference this triggers building an in-memory/on-disk per-field
+    index structure; the Spark analogue is (a) typed schema registration the
+    filter compiler and planners can consult, and (b) a physical-layout
+    directive: tenant fields become partition columns, principal fields
+    become within-partition sort keys — which turns parquet min/max row-group
+    stats and directory pruning into the reference's index-accelerated
+    filtering."""
+
+    field: str
+    schema_type: str
+    is_tenant: bool = False
+    is_principal: bool = False
+    params: dict[str, Any] = dc_field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.schema_type not in FIELD_SCHEMA_TYPES:
+            raise ValueError(f"unknown field schema type {self.schema_type!r}")
+        if self.is_tenant and self.schema_type not in _TENANT_TYPES:
+            raise ValueError(
+                f"is_tenant is only valid for {sorted(_TENANT_TYPES)} indexes")
+        if self.is_principal and self.schema_type not in _PRINCIPAL_TYPES:
+            raise ValueError(
+                f"is_principal is only valid for {sorted(_PRINCIPAL_TYPES)} indexes")
+
+
+def field_index_stats(df: DataFrame, indexes: list[FieldIndex]) -> DataFrame:
+    """Materialize per-indexed-field statistics in ONE scan: count, nulls,
+    exact distinct, and min/max (strings for keyword-ish fields, numbers for
+    numeric/datetime — datetime as epoch seconds).
+
+    This is the build step of "create field index" re-expressed Spark-first:
+    the reference builds value->points postings; the columnar analogue is
+    field stats that drive partition pruning and row-group skipping, kept as
+    a small table. One wide agg → unpivot, so adding fields does not add
+    scans; at 100 TB this is a single map-side-combined pass."""
+    aggs: list = []
+    for fi in indexes:
+        c, numeric = F.col(fi.field), fi.schema_type in _PRINCIPAL_TYPES | {"bool"}
+        num = c.cast("double")  # datetime → epoch seconds, bool → 0/1
+        aggs.append(F.struct(
+            F.lit(fi.field).alias("field"),
+            F.lit(fi.schema_type).alias("schema_type"),
+            F.count(c).alias("n"),
+            (F.count(F.lit(1)) - F.count(c)).alias("nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            (F.min(c).cast("string") if not numeric else F.lit(None).cast("string")).alias("min_str"),
+            (F.max(c).cast("string") if not numeric else F.lit(None).cast("string")).alias("max_str"),
+            (F.min(num) if numeric else F.lit(None).cast("double")).alias("min_num"),
+            (F.max(num) if numeric else F.lit(None).cast("double")).alias("max_num"),
+        ))
+    row = df.agg(F.array(*aggs).alias("__s"))
+    return row.select(F.explode("__s").alias("s")).select("s.*")
 
 
 class CollectionCatalog(Mapping):
@@ -30,6 +101,7 @@ class CollectionCatalog(Mapping):
     def __init__(self) -> None:
         self._collections: dict[str, DataFrame | Callable[[], DataFrame]] = {}
         self._aliases: dict[str, str] = {}  # alias -> collection name
+        self._field_indexes: dict[str, dict[str, FieldIndex]] = {}
 
     # -- collection ops ----------------------------------------------------
 
@@ -43,11 +115,66 @@ class CollectionCatalog(Mapping):
         """Drop a collection and any aliases pointing at it (the reference
         deletes dangling aliases with their collection)."""
         self._collections.pop(name, None)
+        self._field_indexes.pop(name, None)
         for a in [a for a, c in self._aliases.items() if c == name]:
             del self._aliases[a]
 
     def list_collections(self) -> list[str]:
         return sorted(self._collections)
+
+    # -- field index ops (FieldIndexOperations mod.rs:207; params
+    # lib/segment/src/data_types/index.rs) ---------------------------------
+
+    def create_field_index(self, collection: str, field: str,
+                           schema_type: str = "keyword", *,
+                           is_tenant: bool = False,
+                           is_principal: bool = False,
+                           **params: Any) -> FieldIndex:
+        """Register a typed payload index on a collection. Resolves aliases.
+        Replaces an existing index on the same field (the reference's
+        create-index on an indexed field is an idempotent rebuild)."""
+        name = self._aliases.get(collection, collection)
+        if name not in self._collections:
+            raise KeyError(f"unknown collection {collection!r}")
+        fi = FieldIndex(field=field, schema_type=schema_type,
+                        is_tenant=is_tenant, is_principal=is_principal,
+                        params=dict(params))
+        self._field_indexes.setdefault(name, {})[field] = fi
+        return fi
+
+    def delete_field_index(self, collection: str, field: str) -> None:
+        name = self._aliases.get(collection, collection)
+        try:
+            del self._field_indexes[name][field]
+        except KeyError:
+            raise KeyError(
+                f"no index on field {field!r} of collection {collection!r}"
+            ) from None
+
+    def list_field_indexes(self, collection: str) -> dict[str, FieldIndex]:
+        name = self._aliases.get(collection, collection)
+        return dict(self._field_indexes.get(name, {}))
+
+    def layout_hints(self, collection: str) -> dict[str, list[str]]:
+        """Physical layout implied by the registered indexes: tenant fields
+        → partition columns (directory pruning per tenant), principal fields
+        → within-partition sort keys (parquet min/max row-group skipping).
+        Feed ``partition_by`` to PointsTable(partition_by=...) and
+        ``sort_by`` to PointsTable.optimize(zorder_by=...)."""
+        idx = self.list_field_indexes(collection).values()
+        return {
+            "partition_by": sorted(fi.field for fi in idx if fi.is_tenant),
+            "sort_by": sorted(fi.field for fi in idx if fi.is_principal),
+        }
+
+    def index_stats(self, collection: str) -> DataFrame:
+        """Materialize stats for every indexed field of the collection —
+        one scan regardless of index count (see field_index_stats)."""
+        idx = sorted(self.list_field_indexes(collection).values(),
+                     key=lambda fi: fi.field)
+        if not idx:
+            raise ValueError(f"no field indexes on {collection!r}")
+        return field_index_stats(self.resolve(collection), idx)
 
     # -- alias ops (collection_meta_ops.rs:45-81) --------------------------
 

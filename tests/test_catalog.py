@@ -78,3 +78,89 @@ def test_planner_lookup_from_alias(embeddings):
     out = universal_query(embeddings, req, id_col="vec_id",
                           vec_col="embedding", collections=cat).collect()
     assert len(out) == 5 and out[0]["vec_id"] == 0
+
+
+# -- field index ops (FieldIndexOperations mod.rs:207; param validation
+# mirrors lib/segment/src/data_types/index.rs) ---------------------------
+
+
+def test_field_index_crud_and_alias_resolution(embeddings):
+    import pytest
+
+    cat = CollectionCatalog()
+    cat.register("docs_v1", embeddings)
+    cat.create_alias("docs", "docs_v1")
+    # create through the alias, read back through the collection
+    cat.create_field_index("docs", "label", "keyword", is_tenant=True)
+    cat.create_field_index("docs_v1", "vec_id", "integer", is_principal=True)
+    idx = cat.list_field_indexes("docs")
+    assert set(idx) == {"label", "vec_id"}
+    assert idx["label"].is_tenant and idx["vec_id"].is_principal
+    # replace is idempotent rebuild
+    cat.create_field_index("docs", "label", "uuid")
+    assert cat.list_field_indexes("docs_v1")["label"].schema_type == "uuid"
+    cat.delete_field_index("docs", "vec_id")
+    assert set(cat.list_field_indexes("docs")) == {"label"}
+    with pytest.raises(KeyError):
+        cat.delete_field_index("docs", "vec_id")
+    with pytest.raises(KeyError):
+        cat.create_field_index("nope", "x")
+    # dropping the collection drops its indexes
+    cat.drop("docs_v1")
+    cat.register("docs_v1", embeddings)
+    assert cat.list_field_indexes("docs_v1") == {}
+
+
+def test_field_index_param_validation():
+    import pytest
+
+    from qdrant_spark.catalog import FieldIndex
+
+    with pytest.raises(ValueError):
+        FieldIndex("f", "nope")
+    with pytest.raises(ValueError):
+        FieldIndex("f", "integer", is_tenant=True)  # tenant: keyword/uuid only
+    with pytest.raises(ValueError):
+        FieldIndex("f", "keyword", is_principal=True)  # principal: int/float/dt
+    assert FieldIndex("f", "uuid", is_tenant=True).is_tenant
+    assert FieldIndex("f", "datetime", is_principal=True).is_principal
+
+
+def test_layout_hints_and_stats_single_scan(embeddings):
+    cat = CollectionCatalog()
+    cat.register("emb", embeddings)
+    cat.create_field_index("emb", "label", "keyword", is_tenant=True)
+    cat.create_field_index("emb", "vec_id", "integer", is_principal=True)
+    assert cat.layout_hints("emb") == {"partition_by": ["label"],
+                                       "sort_by": ["vec_id"]}
+    stats = cat.index_stats("emb")
+    rows = {r["field"]: r for r in stats.collect()}
+    n = embeddings.count()
+    assert rows["label"]["n"] == n and rows["label"]["nulls"] == 0
+    assert rows["label"]["schema_type"] == "keyword"
+    assert rows["label"]["min_str"] is not None
+    assert rows["vec_id"]["min_num"] == 0.0
+    assert rows["vec_id"]["max_num"] == float(n - 1)
+    assert rows["vec_id"]["n_distinct"] == n
+    # one scan: a single agg node, no union of per-field scans
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+
+
+def test_tenant_layout_partition_prunes(embeddings, tmp_path):
+    """Writing with layout_hints.partition_by turns a tenant filter into
+    directory-level partition pruning — the point of is_tenant."""
+    from pyspark.sql import functions as F
+
+    cat = CollectionCatalog()
+    cat.register("emb", embeddings)
+    cat.create_field_index("emb", "label", "keyword", is_tenant=True)
+    hints = cat.layout_hints("emb")
+    path = str(tmp_path / "tenant_tbl")
+    embeddings.write.partitionBy(*hints["partition_by"]).parquet(path)
+    spark = embeddings.sparkSession
+    got = spark.read.parquet(path).filter(F.col("label") == 1)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "label" in plan.split("PartitionFilters", 1)[1][:200]
+    assert got.count() == embeddings.filter(F.col("label") == 1).count()
