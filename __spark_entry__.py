@@ -443,6 +443,48 @@ FROM j
 """
 
 
+def _q_shard_routed_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """KNN over a shard-key-routed corpus: assign shard_key per point
+    (custom sharding by the label field), route the query to shards [1, 3]
+    only, search inside them."""
+    from qdrant_spark.operators.knn import knn
+    from qdrant_spark.operators.sharding import assign_shard_key, select_shards
+
+    sh = assign_shard_key(_emb(spark, sf), F.col("label"))
+    routed = select_shards(sh, [1, 3])
+    q = _vecs(spark, sf, [0])[0]
+    out = knn(routed, q, metric="cosine", k=10, vec_col="embedding",
+              id_col="vec_id", select=["vec_id", "score"])
+    return _r6(out, "score")
+
+
+_SHARD_ROUTED_SQL = f"""
+WITH {_E_CTE}, {_Q_CTE},
+s AS (SELECT vec_id,
+      list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS score
+      FROM e, q WHERE e.label IN (1, 3))
+SELECT vec_id, round(s.score, 6) AS score FROM s
+ORDER BY s.score DESC, vec_id LIMIT 10
+"""
+
+
+def _q_shard_fallback(spark: SparkSession, sf: str) -> DataFrame:
+    """Fallback routing (shard_holder/mod.rs:721-784): the target key does
+    not exist, so the read routes to the fallback key's shard."""
+    from qdrant_spark.operators.sharding import assign_shard_key, select_shards
+
+    sh = assign_shard_key(_emb(spark, sf), F.col("label"))
+    routed = select_shards(sh, {"target": 999, "fallback": 2})
+    return (routed.select("vec_id", F.col("shard_key").cast("long").alias("shard_key"))
+            .orderBy("vec_id").limit(20))
+
+
+_SHARD_FALLBACK_SQL = """
+SELECT vec_id, CAST(label AS BIGINT) AS shard_key FROM embeddings
+WHERE label = 2 ORDER BY vec_id LIMIT 20
+"""
+
+
 def _q_field_index_stats(spark: SparkSession, sf: str) -> DataFrame:
     from qdrant_spark.catalog import CollectionCatalog
 
@@ -1949,6 +1991,8 @@ _GATE_PRIORITY = [
     # new in round 2
     "distance_matrix_offsets",
     "field_index_stats",
+    "shard_routed_knn",
+    "shard_fallback_route",
     "sync",
     "filter_text_stemmed",
     "filter_jsonpath_array",
@@ -2023,6 +2067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_matrix": _q_matrix,
         "distance_matrix_offsets": _q_matrix_offsets,
         "field_index_stats": _q_field_index_stats,
+        "shard_routed_knn": _q_shard_routed_knn,
+        "shard_fallback_route": _q_shard_fallback,
         "maxsim": _q_maxsim,
         "maxsim_knn": _q_maxsim_knn,
         "scroll_keyset": _q_scroll_docs,
@@ -2117,6 +2163,8 @@ def oracle_sql() -> dict[str, str]:
         "distance_matrix": _MATRIX_SQL,
         "distance_matrix_offsets": _MATRIX_OFFSETS_SQL,
         "field_index_stats": _FIELD_INDEX_STATS_SQL,
+        "shard_routed_knn": _SHARD_ROUTED_SQL,
+        "shard_fallback_route": _SHARD_FALLBACK_SQL,
         "maxsim": _MAXSIM_SQL,
         "maxsim_knn": _MAXSIM_SQL,
         "scroll_keyset": """

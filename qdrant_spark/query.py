@@ -324,7 +324,19 @@ def universal_query(
     metric: str = "cosine",
     collections: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
-    """One-shot entry: plan and return (id, score) best-first."""
+    """One-shot entry: plan and return (id, score) best-first.
+
+    A ``shard_key`` selector on the request routes BEFORE planning
+    (shard_holder resolves ShardSelectorInternal above the per-shard query,
+    shard_holder/mod.rs:663): the whole prefetch tree then runs against the
+    selected shards only, and the filter prunes partitions when the shard
+    column is a partition column."""
+    if request.get("shard_key") is not None:
+        from qdrant_spark.operators.sharding import select_shards
+
+        selector = request["shard_key"]
+        request = {k: v for k, v in request.items() if k != "shard_key"}
+        points = select_shards(points, selector, col="shard_key")
     return QueryPlanner(
         points, id_col=id_col, default_vec_col=vec_col, metric=metric,
         collections=collections,
