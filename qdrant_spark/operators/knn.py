@@ -171,6 +171,17 @@ def knn_batch(
     (qid, id, score, rank, *keep_cols) with rank 1..k per query.
     """
     pts = apply_filter(points, flt).filter(F.col(vec_col).isNotNull())
+    if strategy == "auto":
+        # Same plain-vs-index dispatch as single-query knn(), scaled by the
+        # batch width: the interpreted window path does n*Q element walks,
+        # so the Arrow crossover corpus shrinks by ~Q. queries is always a
+        # small driver-built DF, so count() here is a no-shuffle job.
+        nq = max(1, queries.count())
+        strategy = ("matmul"
+                    if _plan_size_bytes(pts) * nq >= ARROW_DISPATCH_BYTES
+                    else "window")
+        if strategy == "matmul" and keep_cols:
+            strategy = "window"  # matmul path drops payload columns
     if strategy == "matmul":
         if keep_cols:
             raise ValueError("keep_cols unsupported with strategy='matmul'")

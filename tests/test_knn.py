@@ -122,3 +122,36 @@ def test_knn_single_arrow_with_filter_threshold_offset(embeddings, emb_np):
     arrow_path = knn(embeddings, q, **kw, arrow_dispatch_bytes=0).collect()
     assert [(r["vec_id"], r["label"]) for r in arrow_path] == \
            [(r["vec_id"], r["label"]) for r in col_path]
+
+
+def test_knn_batch_auto_dispatch(embeddings):
+    """strategy='auto' mirrors the single-query size dispatch: window for
+    small corpora, matmul past the (bytes * n_queries) crossover — results
+    identical either way."""
+    from pyspark.sql import functions as F
+
+    from qdrant_spark.operators import knn as K
+
+    queries = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    kw = dict(metric="cosine", k=5, vec_col="embedding", id_col="vec_id")
+    auto = K.knn_batch(embeddings, queries, strategy="auto", **kw)
+    win = K.knn_batch(embeddings, queries, strategy="window", **kw)
+    got = sorted((r["qid"], r["rank"], r["vec_id"]) for r in auto.collect())
+    ref = sorted((r["qid"], r["rank"], r["vec_id"]) for r in win.collect())
+    assert got == ref
+    # tiny corpus stays JVM-side; huge dispatch threshold forces window
+    small = K.knn_batch(embeddings, queries, strategy="auto", **kw)
+    assert "mapInArrow" not in small._jdf.queryExecution().executedPlan().toString() \
+        or K._plan_size_bytes(embeddings.filter(F.col("embedding").isNotNull())) * 3 >= K.ARROW_DISPATCH_BYTES
+    # past the crossover the same call routes through the Arrow scorer
+    old = K.ARROW_DISPATCH_BYTES
+    K.ARROW_DISPATCH_BYTES = 1
+    try:
+        forced = K.knn_batch(embeddings, queries, strategy="auto", **kw)
+        plan = forced._jdf.queryExecution().executedPlan().toString()
+        assert "MapInArrow" in plan or "mapInArrow" in plan.lower()
+        got_f = sorted((r["qid"], r["rank"], r["vec_id"]) for r in forced.collect())
+        assert got_f == ref
+    finally:
+        K.ARROW_DISPATCH_BYTES = old
