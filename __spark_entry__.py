@@ -418,9 +418,18 @@ def _q_matrix_offsets(spark: SparkSession, sf: str) -> DataFrame:
         vec_col="embedding", id_col="vec_id",
         flt={"must": [{"key": "vec_id", "range": {"lt": 10}}]},
     )
+    # Flatten the CSR arrays into one row per stored entry (the driver's
+    # value-hash compare needs scalar columns); ids (all bigint) stay as a
+    # csv string so the id ordering is still asserted.
     return out.select(
-        "ids", "offsets_row", "offsets_col",
-        F.transform("scores", lambda x: F.round(x, 6)).alias("scores"),
+        F.concat_ws(",", F.col("ids")).alias("ids_csv"),
+        F.posexplode(F.arrays_zip("offsets_row", "offsets_col", "scores")),
+    ).select(
+        "ids_csv",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("col.offsets_row").cast("long").alias("row_off"),
+        F.col("col.offsets_col").cast("long").alias("col_off"),
+        F.round(F.col("col.scores"), 6).alias("score"),
     )
 
 
@@ -435,10 +444,9 @@ r AS (SELECT id_a, id_b, score,
 o AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS off FROM e),
 j AS (SELECT ia.off ro, ib.off co, r.score, r.rn
       FROM r JOIN o ia ON r.id_a = ia.vec_id JOIN o ib ON r.id_b = ib.vec_id)
-SELECT (SELECT list(vec_id ORDER BY vec_id) FROM e) AS ids,
-       list(ro ORDER BY ro, rn) AS offsets_row,
-       list(co ORDER BY ro, rn) AS offsets_col,
-       list(round(score, 6) ORDER BY ro, rn) AS scores
+SELECT (SELECT string_agg(vec_id, ',' ORDER BY vec_id) FROM e) AS ids_csv,
+       row_number() OVER (ORDER BY ro, rn) - 1 AS pos,
+       ro AS row_off, co AS col_off, round(score, 6) AS score
 FROM j
 """
 
@@ -489,10 +497,12 @@ def _q_field_index_stats(spark: SparkSession, sf: str) -> DataFrame:
     from qdrant_spark.catalog import CollectionCatalog
 
     cat = CollectionCatalog()
-    # events.ts is epoch-nanoseconds in the testdata parquet; present it as
-    # epoch seconds so the datetime stats are in the reference's unit
+    # events.ts is a TIMESTAMP column in the testdata parquet; present it as
+    # epoch seconds (double) so the datetime stats match DuckDB's epoch()
     cat.register("events", lambda: spark.read.parquet(f"{sf}/events.parquet")
-                 .withColumn("ts", F.col("ts") / F.lit(1e9)))
+                 .withColumn("ts", F.expr(
+                     "timestampdiff(MICROSECOND, "
+                     "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) / 1e6")))
     cat.create_field_index("events", "event_type", "keyword", is_tenant=True)
     cat.create_field_index("events", "user_id", "integer", is_principal=True)
     cat.create_field_index("events", "ts", "datetime", is_principal=True)
