@@ -1984,6 +1984,233 @@ def _q_bq_rescore(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# --- round 3: training-data curation operators ---------------------------
+
+def _q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id%17==0 act as the held-out
+    benchmark; every other doc is training data flagged if it shares any
+    word 3-gram. Runs the scale path (xxhash64'd grams, broadcast bench
+    side); the oracle joins raw grams — counts agree absent 64-bit hash
+    collisions (property-tested in tests/test_curation.py)."""
+    from qdrant_spark.operators.curation import decontaminate
+
+    d = _docs(spark, sf)
+    return decontaminate(
+        d.where(F.col("doc_id") % 17 != 0),
+        d.where(F.col("doc_id") % 17 == 0),
+        n=3,
+        hash_grams=True,
+    ).select(
+        "doc_id",
+        F.col("contaminated_grams").cast("long").alias("contaminated_grams"),
+        "contaminated",
+    )
+
+
+_DECONTAMINATE_SQL = r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+g AS (SELECT doc_id, array_to_string(w.w[i.i : i.i + 2], ' ') AS gram
+      FROM w, unnest(range(1, len(w.w) - 1)) i(i)),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+hits AS (SELECT g.doc_id, count(DISTINCT g.gram) cg
+         FROM g JOIN bg USING (gram) WHERE g.doc_id % 17 <> 0 GROUP BY g.doc_id)
+SELECT d.doc_id, coalesce(cg, 0) AS contaminated_grams,
+       coalesce(cg, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+LEFT JOIN hits USING (doc_id)
+"""
+
+
+def _q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/C4 per-document quality signals — all per-row column
+    expressions (zero shuffles; the top-2-gram argmax runs inside the row
+    via array_sort with a comparator)."""
+    from qdrant_spark.operators.curation import gopher_quality
+
+    out = gopher_quality(_docs(spark, sf))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len", "dup_word_frac",
+        F.col("stopword_count").cast("long").alias("stopword_count"),
+        "alpha_word_frac", "dup_line_frac", "top_2gram_char_frac",
+    )
+
+
+_GOPHER_SQL = r"""
+WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') w,
+                  string_split(text, chr(10)) l FROM documents),
+g AS (SELECT doc_id, array_to_string(t.w[i.i : i.i + 1], ' ') gram
+      FROM t, unnest(range(1, len(t.w))) i(i)),
+gc AS (SELECT doc_id, gram, count(*) cnt FROM g GROUP BY doc_id, gram),
+top AS (SELECT doc_id, cnt, gram,
+        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) rn FROM gc)
+SELECT t.doc_id,
+  len(t.w) AS n_words,
+  round(list_sum(list_transform(t.w, x -> length(x))) * 1.0 / len(t.w), 6) AS mean_word_len,
+  round(1.0 - len(list_distinct(t.w)) * 1.0 / len(t.w), 6) AS dup_word_frac,
+  len(list_filter(t.w, x -> list_contains(['the','a','an','of','and','in','to','is'], x))) AS stopword_count,
+  round(len(list_filter(t.w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(t.w), 6) AS alpha_word_frac,
+  round(1.0 - len(list_distinct(t.l)) * 1.0 / len(t.l), 6) AS dup_line_frac,
+  coalesce(round(top.cnt * length(top.gram) * 1.0 / length(t.text), 6), 0.0) AS top_2gram_char_frac
+FROM t LEFT JOIN top ON t.doc_id = top.doc_id AND top.rn = 1
+"""
+
+
+def _pii_augment(col_id: str = "doc_id"):
+    """Deterministic PII injection shared by the Spark entry and (as SQL)
+    the oracle — the synthetic docs contain no PII of their own."""
+    did = F.col(col_id)
+    return F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.concat(
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+        )).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.concat(
+            F.lit(" from 10.0."), (did % 256).cast("string"),
+            F.lit("."), ((did % 254) + 1).cast("string"),
+        )).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit(" call +1 555 867 5309")).otherwise(F.lit("")),
+    )
+
+
+def _q_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detect + redact over deterministically-injected emails / IPv4s /
+    phone numbers. Counts per kind plus the redacted-text length (the
+    redaction itself is asserted by the length change)."""
+    from qdrant_spark.operators.curation import pii_counts, pii_redact
+
+    aug = _docs(spark, sf).withColumn("text", _pii_augment())
+    counts = pii_counts(aug).select(
+        "doc_id",
+        *[F.col(c).cast("long").alias(c)
+          for c in ("n_email", "n_ipv4", "n_phone", "n_pii")],
+    )
+    red = pii_redact(aug).select("doc_id", F.length("text").alias("red_len"))
+    return counts.join(red, "doc_id").select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "n_pii",
+        F.col("red_len").cast("long").alias("red_len"),
+    )
+
+
+_PII_AUG_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 254 + 1 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' call +1 555 867 5309' ELSE '' END"
+)
+
+
+def _pii_sql() -> str:
+    from qdrant_spark.operators.curation import PII_PATTERNS
+
+    e, i, p = (PII_PATTERNS[k] for k in ("email", "ipv4", "phone"))
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(t, '{e}', '[PII:email]', 'g'),"
+        f" '{i}', '[PII:ipv4]', 'g'), '{p}', '[PII:phone]', 'g')"
+    )
+    return f"""
+WITH a AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents),
+c AS (SELECT doc_id,
+      len(regexp_extract_all(t, '{e}')) AS n_email,
+      len(regexp_extract_all(t, '{i}')) AS n_ipv4,
+      len(regexp_extract_all(t, '{p}')) AS n_phone,
+      length({red}) AS red_len
+      FROM a)
+SELECT doc_id, n_email, n_ipv4, n_phone,
+       n_email + n_ipv4 + n_phone AS n_pii, red_len FROM c
+"""
+
+
+def _q_chunk_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-window chunking (size=32, overlap=8): per-row explode, no
+    shuffle; chunk boundaries pinned by the oracle."""
+    from qdrant_spark.operators.curation import chunk_documents
+
+    return chunk_documents(_docs(spark, sf), size=32, overlap=8)
+
+
+_CHUNK_SQL = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+c AS (SELECT doc_id, k.k AS chunk_idx, t.w[k.k * 24 + 1 : k.k * 24 + 32] AS cw
+      FROM t, unnest(range(0, CAST(greatest(1, ceil((len(t.w) - 8) / 24.0)) AS BIGINT))) k(k))
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       array_to_string(cw, ' ') AS chunk_text, CAST(len(cw) AS BIGINT) AS n_tokens
+FROM c
+"""
+
+
+def _q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language Bernoulli sample (md5-bucket threshold):
+    map-only filter, no shuffle — the 100 TB-safe sampling path."""
+    from qdrant_spark.operators.curation import stratified_sample
+
+    out = stratified_sample(
+        _docs(spark, sf), "lang", {"en": 0.5, "fr": 0.25},
+        id_col="doc_id", default_fraction=0.1,
+    )
+    return out.select("doc_id", "lang")
+
+
+def _stratified_sample_sql() -> str:
+    from qdrant_spark.operators.curation import fraction_threshold
+
+    t_en, t_fr, t_def = (fraction_threshold(f) for f in (0.5, 0.25, 0.1))
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':strata'), 1, 8) <
+      CASE lang WHEN 'en' THEN '{t_en}' WHEN 'fr' THEN '{t_fr}'
+                ELSE '{t_def}' END
+"""
+
+
+def _q_stratified_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic top-7-per-language sample ordered by the md5 bucket
+    (one window shuffle on the stratum key)."""
+    from qdrant_spark.operators.curation import stratified_quota
+
+    return stratified_quota(
+        _docs(spark, sf), "lang", quota=7, id_col="doc_id"
+    ).select("doc_id", "lang")
+
+
+_STRATIFIED_QUOTA_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, row_number() OVER (
+    PARTITION BY lang
+    ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':strata'), 1, 8), doc_id) rn
+  FROM documents) WHERE rn <= 7
+"""
+
+
+def _q_embedding_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Signed random projection 64 -> 4 dims (Achlioptas / JL): the ±1 sign
+    matrix is an md5-derived plan-time literal, each output dim one
+    codegen'd fold — no UDF, no shuffle."""
+    from qdrant_spark.operators.curation import (
+        project_embeddings, random_sign_matrix,
+    )
+
+    signs = random_sign_matrix(64, 4, seed=1)
+    return project_embeddings(_emb(spark, sf), signs)
+
+
+def _embedding_project_sql() -> str:
+    from qdrant_spark.operators.curation import random_sign_matrix
+
+    signs = random_sign_matrix(64, 4, seed=1)
+    cols = ",\n  ".join(
+        "round(list_dot_product(v, ["
+        + ", ".join(str(float(s)) for s in signs[i])
+        + f"]) * 0.5, 6) AS p{i}"
+        for i in range(4)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)\n"
+        f"SELECT vec_id, {cols} FROM e"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: dense prefetch + text-derived sparse
     prefetch over the same points, fused with RRF — the reference's
@@ -1998,9 +2225,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # old ordering; this list front-loads the 24 that were cut off, plus any
 # entries new this round. Rotate once everything has a driver row.
 _GATE_PRIORITY = [
-    # new in round 2
+    # new in round 3 (curation) + the two entries fixed this round — none
+    # of these has a green driver row yet, so they go first (50-entry cap)
+    "decontaminate",
+    "gopher_quality",
+    "pii_scan",
+    "chunk_docs",
+    "stratified_sample",
+    "stratified_quota",
+    "embedding_project",
     "distance_matrix_offsets",
     "field_index_stats",
+    # green in round 2
     "shard_routed_knn",
     "shard_fallback_route",
     "sync",
@@ -2050,6 +2286,13 @@ def _gate_order(base: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _gate_order({
+        "decontaminate": _q_decontaminate,
+        "gopher_quality": _q_gopher_quality,
+        "pii_scan": _q_pii_scan,
+        "chunk_docs": _q_chunk_docs,
+        "stratified_sample": _q_stratified_sample,
+        "stratified_quota": _q_stratified_quota,
+        "embedding_project": _q_embedding_project,
         "knn_cosine": _q_knn("cosine"),
         "knn_dot": _q_knn("dot"),
         "knn_euclid": _q_knn("euclid"),
@@ -2148,6 +2391,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return _gate_order({
+        "decontaminate": _DECONTAMINATE_SQL,
+        "gopher_quality": _GOPHER_SQL,
+        "pii_scan": _pii_sql(),
+        "chunk_docs": _CHUNK_SQL,
+        "stratified_sample": _stratified_sample_sql(),
+        "stratified_quota": _STRATIFIED_QUOTA_SQL,
+        "embedding_project": _embedding_project_sql(),
         "knn_cosine": _knn_sql("cosine"),
         "knn_dot": _knn_sql("dot"),
         "knn_euclid": _knn_sql("euclid"),

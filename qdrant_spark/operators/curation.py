@@ -1,0 +1,379 @@
+"""Training-data curation operators: benchmark decontamination, Gopher/C4
+quality signals, PII detection/redaction, document chunking, deterministic
+stratified sampling, and signed random projection.
+
+These extend the engine beyond the reference's query surface with the
+operations a large-scale LLM training-data pipeline needs (BASELINE north
+star). Scale notes per operator:
+
+- ``decontaminate``: the benchmark side is tiny relative to the corpus, so
+  the gram join is a broadcast hash join — the training side is a map-only
+  explode + broadcast-semi probe followed by one aggregation keyed on
+  doc_id. No corpus-sized shuffle of text, ever (grams can be hashed to
+  64-bit before the join with ``hash_grams=True``).
+- ``gopher_quality``: every metric is a per-row column expression
+  (split/transform/aggregate/array_sort with comparator) — zero shuffles,
+  whole-stage-codegen friendly, embarrassingly parallel at 100 TB.
+- ``pii_*``: per-row regexp expressions, zero shuffles.
+- ``chunk_documents``: per-row sequence + slice + posexplode; output is
+  partition-local (no shuffle), chunk count scales with doc length only.
+- ``stratified_sample``: fraction mode is a map-only filter on an
+  md5-derived uniform hash — no shuffle, no window, works on a 100 TB scan
+  unchanged. Quota mode needs one window per stratum (single shuffle on the
+  stratum key); use fraction mode when strata are huge.
+- ``project_embeddings``: the sign matrix is tiny and plan-time constant
+  (folded into codegen); per-row dot products, no shuffle. For very wide
+  in_dim × out_dim use the Arrow matmul in ``operators/knn.py`` instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Any, Iterable, Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "decontaminate",
+    "gopher_quality",
+    "pii_counts",
+    "pii_redact",
+    "chunk_documents",
+    "stratified_sample",
+    "stratified_quota",
+    "random_sign_matrix",
+    "project_embeddings",
+]
+
+
+def _word_grams(words: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (empty if fewer than n words).
+    Guarded: Spark's sequence(1, 0) would count DOWN, so short docs get an
+    explicit empty array."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Flag training documents sharing any word ``n``-gram with a benchmark
+    set (the GPT-3/Pile exact-substring decontamination shape).
+
+    Returns one row per training doc: ``(id_col, contaminated_grams,
+    contaminated)`` where ``contaminated_grams`` counts DISTINCT shared
+    grams. The benchmark grams are distinct-ed and broadcast; the training
+    side never shuffles its text.
+    """
+    def grams_of(df: DataFrame) -> DataFrame:
+        words = F.split(F.col(text_col), r"\s+")
+        g = F.explode(_word_grams(words, n)).alias("gram")
+        out = df.select(F.col(id_col), g)
+        if hash_grams:
+            out = out.select(id_col, F.xxhash64("gram").alias("gram"))
+        return out
+
+    bench_grams = grams_of(benchmark).select("gram").distinct()
+    hits = (
+        grams_of(train)
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("contaminated_grams"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("contaminated_grams", F.lit(0)).alias("contaminated_grams"),
+            (F.coalesce("contaminated_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+_DEFAULT_STOPWORDS = ("the", "a", "an", "of", "and", "in", "to", "is")
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: Iterable[str] = _DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Per-document Gopher/C4-style quality signals, all as per-row column
+    expressions (no shuffle):
+
+    - ``n_words``, ``mean_word_len``
+    - ``dup_word_frac``  = 1 - distinct/total words
+    - ``stopword_count`` = words in a small stopword list (Gopher requires
+      >= 2 to keep a doc)
+    - ``alpha_word_frac`` = words containing at least one alphabetic char
+    - ``dup_line_frac``  = 1 - distinct/total newline-separated lines
+    - ``top_2gram_char_frac`` = chars covered by the most frequent word
+      2-gram (count * len(gram) / len(text)); ties break to the
+      lexicographically smallest gram
+
+    The top-2-gram argmax runs inside the row via ``array_sort`` with a
+    comparator over the distinct grams — O(g^2) in distinct grams per doc,
+    bounded by doc length, no cross-row state.
+    """
+    # Materialize words/grams as real columns first: expressions referenced
+    # inside higher-order-function lambdas are NOT common-subexpression
+    # eliminated, so leaving `grams` inline recomputes the whole gram array
+    # per distinct gram (measured ~50x slower on sf0.01).
+    docs = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__words"),
+        F.split(F.col(text_col), "\n").alias("__lines"),
+    ).withColumn("__grams", _word_grams(F.col("__words"), 2))
+    words, lines, grams = F.col("__words"), F.col("__lines"), F.col("__grams")
+    # (count, gram) per distinct gram, sorted count DESC then gram ASC
+    counted = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.struct(
+            F.size(F.filter(grams, lambda x: x == g)).alias("cnt"),
+            g.alias("gram"),
+        ),
+    )
+    ranked = F.array_sort(
+        counted,
+        lambda l, r: F.when(l["cnt"] > r["cnt"], F.lit(-1))
+        .when(l["cnt"] < r["cnt"], F.lit(1))
+        .when(l["gram"] < r["gram"], F.lit(-1))
+        .when(l["gram"] > r["gram"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    top = F.element_at(ranked, 1)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    n_words = F.size(words)
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(
+            F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+            / n_words, 6,
+        ).alias("mean_word_len"),
+        F.round(1.0 - F.size(F.array_distinct(words)) / n_words, 6).alias(
+            "dup_word_frac"
+        ),
+        F.size(F.filter(words, lambda w: F.array_contains(sw, w))).alias(
+            "stopword_count"
+        ),
+        F.round(
+            F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words, 6
+        ).alias("alpha_word_frac"),
+        F.round(1.0 - F.size(F.array_distinct(lines)) / F.size(lines), 6).alias(
+            "dup_line_frac"
+        ),
+        F.when(F.size(grams) > 0, F.round(
+            top["cnt"] * F.length(top["gram"]) / F.length(text_col), 6
+        )).otherwise(F.lit(0.0)).alias("top_2gram_char_frac"),
+    )
+
+
+# RE2-safe patterns (no lookarounds/backrefs) so the same regex runs in
+# Spark (Java regex) and any RE2-based oracle engine.
+PII_PATTERNS: Mapping[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}",
+}
+
+
+def pii_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: Mapping[str, str] = PII_PATTERNS,
+) -> DataFrame:
+    """Count PII matches per document and kind: ``(id, n_email, n_ipv4,
+    n_phone, n_pii)``. Pure per-row regexp — no shuffle."""
+    counts = [
+        F.size(F.regexp_extract_all(text_col, F.lit(pat), 0)).alias(f"n_{kind}")
+        for kind, pat in patterns.items()
+    ]
+    out = docs.select(F.col(id_col), *counts)
+    total = None
+    for kind in patterns:
+        c = F.col(f"n_{kind}")
+        total = c if total is None else total + c
+    return out.withColumn("n_pii", total)
+
+
+def pii_redact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: Mapping[str, str] = PII_PATTERNS,
+    token: str = "[PII:{kind}]",
+) -> DataFrame:
+    """Replace every PII match with a typed token; other columns pass
+    through with the redacted text under the original column name."""
+    col: Column = F.col(text_col)
+    for kind, pat in patterns.items():
+        col = F.regexp_replace(col, pat, token.format(kind=kind))
+    return docs.withColumn(text_col, col)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 512,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into whitespace-token windows of ``size`` tokens
+    stepping by ``size - overlap``: ``(id, chunk_idx, chunk_text,
+    n_tokens)``. The number of chunks is ``ceil(max(0, n - overlap) /
+    step)`` (min 1 for non-empty docs), so consecutive chunks share exactly
+    ``overlap`` tokens and no chunk is fully contained in the previous one.
+    Per-row explode — partition-local, no shuffle.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    step = size - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(step))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda k: F.slice(words, k * step + 1, size),
+    )
+    return (
+        docs.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "w"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.array_join("w", " ").alias("chunk_text"),
+            F.size("w").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def _hash_bucket(id_col: str, salt: str) -> Column:
+    """First 8 hex chars of md5(id || ':' || salt) — uniform in [0, 16^8);
+    compared lexicographically it is numeric order (lowercase hex both in
+    Spark and DuckDB/standard md5), so fraction thresholds are portable
+    string literals."""
+    return F.substring(
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+    )
+
+
+def fraction_threshold(fraction: float) -> str:
+    """Hex-string threshold t such that P[hash < t] == fraction."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return format(min(int(fraction * (1 << 32)), (1 << 32) - 1), "08x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[Any, float] | float,
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: keep a row iff its
+    md5-hash bucket is under the stratum's threshold. Map-only — no
+    shuffle, no window, reproducible across runs and engines. ``fractions``
+    is either one float or a dict per stratum value (missing strata use
+    ``default_fraction``)."""
+    bucket = _hash_bucket(id_col, salt)
+    if isinstance(fractions, Mapping):
+        thr: Column = F.lit(fraction_threshold(default_fraction))
+        expr = None
+        for value, frac in fractions.items():
+            cond = F.col(strata_col) == F.lit(value)
+            t = F.lit(fraction_threshold(frac))
+            expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+        thr = expr.otherwise(thr) if expr is not None else thr
+    else:
+        thr = F.lit(fraction_threshold(float(fractions)))
+    return df.where(bucket < thr)
+
+
+def stratified_quota(
+    df: DataFrame,
+    strata_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+    salt: str = "strata",
+) -> DataFrame:
+    """Deterministic top-``quota`` rows per stratum, ordered by the md5
+    hash bucket (a reproducible shuffle order). One window shuffle on the
+    stratum key; prefer :func:`stratified_sample` when strata are huge."""
+    from pyspark.sql import Window
+
+    bucket = _hash_bucket(id_col, salt)
+    w = Window.partitionBy(strata_col).orderBy(bucket, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+
+
+def random_sign_matrix(in_dim: int, out_dim: int, seed: int = 0) -> list[list[int]]:
+    """Deterministic ±1 sign matrix (out_dim × in_dim) derived from md5 —
+    reproducible everywhere without a PRNG: sign(i, j) = +1 iff the first
+    hex digit of md5("{seed}:{i}:{j}") < 8."""
+    mat = []
+    for i in range(out_dim):
+        row = []
+        for j in range(in_dim):
+            h = hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) < 8 else -1)
+        mat.append(row)
+    return mat
+
+
+def project_embeddings(
+    emb: DataFrame,
+    signs: list[list[int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: float | None = None,
+) -> DataFrame:
+    """Signed random projection (Achlioptas): y_i = scale * <x, s_i> with
+    s_i in {±1}^d; preserves pairwise distances in expectation
+    (Johnson-Lindenstrauss). The sign matrix is a plan-time literal, so
+    each output dim is one codegen'd fold over the vector — no UDF, no
+    shuffle. Default scale 1/sqrt(out_dim)."""
+    out_dim = len(signs)
+    if scale is None:
+        scale = 1.0 / math.sqrt(out_dim)
+    x = F.col(vec_col).cast("array<double>")
+    dims = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    x,
+                    F.array(*[F.lit(float(s)) for s in signs[i]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * F.lit(scale),
+            6,
+        ).alias(f"p{i}")
+        for i in range(out_dim)
+    ]
+    return emb.select(F.col(id_col), *dims)

@@ -1,0 +1,205 @@
+"""Curation operators: decontamination, quality signals, PII, chunking,
+stratified sampling, random projection — verified against pure-Python
+reimplementations on small synthetic corpora plus the real testdata."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from qdrant_spark.operators.curation import (
+    chunk_documents,
+    decontaminate,
+    fraction_threshold,
+    gopher_quality,
+    pii_counts,
+    pii_redact,
+    project_embeddings,
+    random_sign_matrix,
+    stratified_quota,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def toy_docs(spark):
+    rows = [
+        (0, "the cat sat on the mat the cat sat again", "en"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+        (2, "one two three\none two three\nfour five six", "fr"),
+        (3, "reach me at bob@example.com or +1 555 867 5309 ok", "en"),
+        (4, "server at 10.0.0.1 and 192.168.1.254 responded", "fr"),
+        (5, "x", "de"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_decontaminate_flags_shared_ngrams(spark, toy_docs):
+    bench = spark.createDataFrame(
+        [(100, "the cat sat somewhere else entirely")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: (r.contaminated_grams, r.contaminated)
+        for r in decontaminate(toy_docs, bench, n=3).collect()
+    }
+    # "the cat sat" appears in doc 0 and the benchmark
+    assert out[0] == (1, True)
+    assert all(out[d] == (0, False) for d in (1, 2, 3, 4, 5))
+
+
+def test_decontaminate_hash_matches_plain(spark, toy_docs):
+    bench = toy_docs.where("doc_id = 1").select("doc_id", "text")
+    train = toy_docs.where("doc_id <> 1")
+    a = decontaminate(train, bench, n=2, hash_grams=True).collect()
+    b = decontaminate(train, bench, n=2, hash_grams=False).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_gopher_quality_metrics(spark, toy_docs):
+    out = {r.doc_id: r for r in gopher_quality(toy_docs).collect()}
+    r0 = out[0]
+    # "the cat sat on the mat the cat sat again": 10 words, 6 distinct
+    assert r0.n_words == 10
+    assert r0.dup_word_frac == pytest.approx(1 - 6 / 10, abs=1e-6)
+    assert r0.stopword_count == 3  # the x3
+    # top 2-gram "the cat" occurs twice ("cat sat" too; tie -> lexicographic
+    # smallest is "cat sat") => 2 * len("cat sat") / len(text)
+    text0 = "the cat sat on the mat the cat sat again"
+    assert r0.top_2gram_char_frac == pytest.approx(
+        round(2 * len("cat sat") / len(text0), 6), abs=1e-6
+    )
+    # doc 2 has 3 lines, one duplicated => dup_line_frac = 1/3
+    assert out[2].dup_line_frac == pytest.approx(1 / 3, abs=1e-6)
+    assert out[1].dup_word_frac == 0.0
+    assert out[5].n_words == 1 and out[5].mean_word_len == 1.0
+
+
+def test_pii_counts_and_redact(spark, toy_docs):
+    out = {r.doc_id: r for r in pii_counts(toy_docs).collect()}
+    assert out[3].n_email == 1 and out[3].n_phone == 1
+    assert out[4].n_ipv4 == 2
+    assert out[0].n_pii == 0
+    red = {r.doc_id: r.text for r in pii_redact(toy_docs).collect()}
+    assert "[PII:email]" in red[3] and "bob@example.com" not in red[3]
+    assert red[4].count("[PII:ipv4]") == 2
+
+
+def test_pii_phone_pattern(spark):
+    df = spark.createDataFrame(
+        [(0, "call +44 207 946 0958 now"), (1, "digits 12345678901 alone")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.n_phone for r in pii_counts(df).collect()}
+    assert out[0] == 1 and out[1] == 0
+
+
+@pytest.mark.parametrize("size,overlap", [(3, 0), (4, 2), (5, 1)])
+def test_chunk_documents_matches_python(spark, toy_docs, size, overlap):
+    rows = toy_docs.select("doc_id", "text").collect()
+    expect = []
+    step = size - overlap
+    for r in rows:
+        words = r.text.split()
+        n = len(words)
+        n_chunks = max(1, math.ceil(max(0, n - overlap) / step))
+        for k in range(n_chunks):
+            w = words[k * step : k * step + size]
+            expect.append((r.doc_id, k, " ".join(w), len(w)))
+    got = [
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in chunk_documents(toy_docs, size=size, overlap=overlap).collect()
+    ]
+    assert sorted(got) == sorted(expect)
+
+
+def test_chunk_overlap_tokens_shared(spark, toy_docs):
+    out = (
+        chunk_documents(toy_docs.where("doc_id = 0"), size=4, overlap=2)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    for a, b in zip(out, out[1:]):
+        assert a.chunk_text.split()[-2:] == b.chunk_text.split()[:2]
+
+
+def _py_bucket(doc_id, salt):
+    return hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:8]
+
+
+def test_stratified_sample_deterministic(spark, documents):
+    fr = {"en": 0.5, "fr": 0.25}
+    out = stratified_sample(
+        documents, "lang", fr, id_col="doc_id", default_fraction=0.1
+    )
+    got = {(r.doc_id, r.lang) for r in out.select("doc_id", "lang").collect()}
+    for r in documents.select("doc_id", "lang").collect():
+        t = fraction_threshold(fr.get(r.lang, 0.1))
+        assert ((r.doc_id, r.lang) in got) == (_py_bucket(r.doc_id, "strata") < t)
+    # repeatable
+    again = {(r.doc_id, r.lang) for r in out.select("doc_id", "lang").collect()}
+    assert got == again
+
+
+def test_stratified_quota_exact_counts(spark, documents):
+    out = stratified_quota(documents, "lang", quota=7, id_col="doc_id")
+    sizes = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    avail = {r.lang: r.n for r in documents.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert n == min(7, avail[lang])
+    # deterministic choice: lowest hash buckets win
+    chosen = {r.doc_id for r in out.where("lang = 'en'").collect()}
+    ranked = sorted(
+        (r.doc_id for r in documents.where("lang = 'en'").collect()),
+        key=lambda d: (_py_bucket(d, "strata"), d),
+    )[:7]
+    assert chosen == set(ranked)
+
+
+def test_random_sign_matrix_deterministic():
+    a = random_sign_matrix(8, 4, seed=7)
+    b = random_sign_matrix(8, 4, seed=7)
+    c = random_sign_matrix(8, 4, seed=8)
+    assert a == b and a != c
+    assert all(v in (-1, 1) for row in a for v in row)
+
+
+def test_project_embeddings_matches_numpy(spark, embeddings):
+    import numpy as np
+
+    signs = random_sign_matrix(64, 4, seed=1)
+    out = project_embeddings(embeddings.limit(50), signs).collect()
+    rows = embeddings.limit(50).collect()
+    mat = np.array(signs, dtype=float) / math.sqrt(4)
+    by_id = {r.vec_id: np.array(r.embedding, dtype=float) for r in rows}
+    for r in out:
+        want = mat @ by_id[r.vec_id]
+        got = np.array([r.p0, r.p1, r.p2, r.p3])
+        assert np.allclose(got, np.round(want, 6), atol=2e-6)
+
+
+def test_project_preserves_distance_in_expectation(spark, embeddings):
+    """JL sanity: with out_dim=32 the squared-distance ratio proj/true has
+    mean ~1 and bounded distortion (std ~ sqrt(2/k) = 0.25). Correlation is
+    not meaningful here: random high-dim vectors concentrate all pairwise
+    distances near one value."""
+    import numpy as np
+
+    signs = random_sign_matrix(64, 32, seed=3)
+    rows = embeddings.limit(30).collect()
+    out = {r.vec_id: r for r in project_embeddings(embeddings.limit(30), signs).collect()}
+    true_d, proj_d = [], []
+    vecs = {r.vec_id: np.array(r.embedding, dtype=float) for r in rows}
+    ids = sorted(vecs)
+    proj = {
+        v: np.array([out[v][f"p{k}"] for k in range(32)]) for v in ids
+    }
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            true_d.append(float(np.linalg.norm(vecs[a] - vecs[b])))
+            proj_d.append(float(np.linalg.norm(proj[a] - proj[b])))
+    ratio = (np.array(proj_d) / np.array(true_d)) ** 2
+    assert abs(ratio.mean() - 1.0) < 0.1
+    assert ratio.min() > 0.3 and ratio.max() < 2.5
