@@ -1952,6 +1952,23 @@ def _q_pq_rescore(spark: SparkSession, sf: str) -> DataFrame:
     return _r6(out, "score")
 
 
+def _q_ivf_pq_rescore(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ: cluster-pruned ADC scan over residual PQ codes + exact
+    rescore — the Spark analogue of the reference's HNSW-over-quantized
+    deployment (hnsw_index quantized path + encoded_vectors_pq.rs). Full
+    probe + ample oversampling here, so the result equals the exact scan
+    and the oracle asserts equality."""
+    from qdrant_spark.operators.ann import build_ivf_pq, ivf_pq_search
+
+    emb = _emb(spark, sf)
+    idx = build_ivf_pq(emb, n_clusters=8, n_subspaces=8, n_centroids=256,
+                       vec_col="embedding", id_col="vec_id", seed=3)
+    q = _vecs(spark, sf, [0])[0]
+    out = ivf_pq_search(idx, q, k=10, nprobe=8, oversampling=16.0,
+                        metric="cosine")
+    return _r6(out, "score")
+
+
 def _q_tq_rescore(spark: SparkSession, sf: str) -> DataFrame:
     """TurboQuant 2-bit coarse scan (seeded rotation + shared Lloyd-Max
     N(0,1) codebook — turboquant/{lloyd_max,quantization}.rs) + exact
@@ -2211,6 +2228,48 @@ def _embedding_project_sql() -> str:
     )
 
 
+def _q_ngram_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus word-2-gram count table with a min-count floor — one explode
+    + one agg on the gram key (map-side partial agg collapses duplicates
+    before the shuffle)."""
+    from qdrant_spark.operators.curation import ngram_counts
+
+    return _docs(spark, sf).transform(
+        lambda d: ngram_counts(d, n=2, min_count=5)
+    )
+
+
+_NGRAM_COUNTS_SQL = r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+g AS (SELECT array_to_string(w.w[i.i : i.i + 1], ' ') AS gram
+      FROM w, unnest(range(1, len(w.w))) i(i))
+SELECT gram, count(*) AS cnt FROM g GROUP BY gram HAVING count(*) >= 5
+"""
+
+
+def _q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted deterministic downsampling: keep probability
+    proportional to doc length (min(1, n_chars/600)), decided by an
+    md5-uniform per row — map-only, no shuffle, reproducible in any
+    engine."""
+    from qdrant_spark.operators.curation import weighted_sample
+
+    d = _docs(spark, sf).withColumn(
+        "__p", F.least(F.lit(1.0), F.col("n_chars") / F.lit(600.0))
+    )
+    return weighted_sample(d, "__p", id_col="doc_id").select("doc_id", "lang")
+
+
+_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE list_sum(list_transform(range(8), i ->
+        (strpos('0123456789abcdef',
+                substr(substr(md5(CAST(doc_id AS VARCHAR) || ':weighted'), 1, 8),
+                       i + 1, 1)) - 1) * power(16, 7 - i))) / 4294967296.0
+      < least(1.0, n_chars / 600.0)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: dense prefetch + text-derived sparse
     prefetch over the same points, fused with RRF — the reference's
@@ -2227,6 +2286,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_PRIORITY = [
     # new in round 3 (curation) + the two entries fixed this round — none
     # of these has a green driver row yet, so they go first (50-entry cap)
+    "ann_ivf_pq_rescore",
     "decontaminate",
     "gopher_quality",
     "pii_scan",
@@ -2234,6 +2294,8 @@ _GATE_PRIORITY = [
     "stratified_sample",
     "stratified_quota",
     "embedding_project",
+    "ngram_counts",
+    "weighted_sample",
     "distance_matrix_offsets",
     "field_index_stats",
     # green in round 2
@@ -2293,6 +2355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "stratified_quota": _q_stratified_quota,
         "embedding_project": _q_embedding_project,
+        "ngram_counts": _q_ngram_counts,
+        "weighted_sample": _q_weighted_sample,
         "knn_cosine": _q_knn("cosine"),
         "knn_dot": _q_knn("dot"),
         "knn_euclid": _q_knn("euclid"),
@@ -2384,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch": _q_ann_ivf_batch,
         "quantized_sq_rescore": _q_sq_rescore,
         "quantized_pq_rescore": _q_pq_rescore,
+        "ann_ivf_pq_rescore": _q_ivf_pq_rescore,
         "quantized_tq_rescore": _q_tq_rescore,
         "quantized_bq_rescore": _q_bq_rescore,
     })
@@ -2398,6 +2463,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_sql(),
         "stratified_quota": _STRATIFIED_QUOTA_SQL,
         "embedding_project": _embedding_project_sql(),
+        "ngram_counts": _NGRAM_COUNTS_SQL,
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "knn_cosine": _knn_sql("cosine"),
         "knn_dot": _knn_sql("dot"),
         "knn_euclid": _knn_sql("euclid"),
@@ -2542,6 +2609,7 @@ FROM documents
         "ann_ivf_batch": _KNN_BATCH_SQL,
         "quantized_sq_rescore": _knn_sql("cosine"),
         "quantized_pq_rescore": _knn_sql("cosine"),
+        "ann_ivf_pq_rescore": _knn_sql("cosine"),
         "quantized_tq_rescore": _knn_sql("cosine"),
         # quantized_bq_rescore: hamming coarse stage is approximate by
         # design — rows-only check, recall gated in tests/test_quantize.py

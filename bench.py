@@ -143,6 +143,18 @@ def main() -> None:
                   fit_fraction=0.1),
         f"{ivf_dir}/xxl",
     )
+    from qdrant_spark.operators.ann import build_ivf_pq, ivf_pq_search, persist_ivf_pq
+
+    # IVF-PQ on the xxl corpus, persisted partitioned by cluster: the
+    # coarse probe reads ~nprobe/32 of the files AND only the 8-byte code
+    # column — both prunings compound on disk (compare knn_single_xxl /
+    # ann_ivf_single_xxl, which read the full-width vectors).
+    ivfpq_xxl = persist_ivf_pq(
+        build_ivf_pq(xxl, n_clusters=32, n_subspaces=8, n_centroids=256,
+                     vec_col="embedding", id_col="vec_id", fit_fraction=0.1),
+        f"{ivf_dir}/xxl_pq",
+    )
+
     sq_xl = build_sq(xl, vec_col="embedding", id_col="vec_id")
     sq_xl.codes = sq_xl.codes.cache()
     sq_xl.codes.count()
@@ -183,6 +195,10 @@ def main() -> None:
         # too, as the single-query line (ann_ivf_single_xxl) shows.
         return ivf_search_batch(ivf_xxl, queries_df, k=10, nprobe=4,
                                 metric="cosine").count()
+
+    def q_ivf_pq_single_xxl():
+        return ivf_pq_search(ivfpq_xxl, q0, k=10, nprobe=4, oversampling=4.0,
+                             metric="cosine").collect()
 
     def q_sq_rescore_xl():
         return sq_search(sq_xl, q0, k=10, oversampling=3.0,
@@ -231,6 +247,18 @@ def main() -> None:
         return minhash_lsh_pairs(docs, n_perms=16, bands=4,
                                  jaccard_threshold=0.3).count()
 
+    def q_curation_pipeline():
+        # quality-filter -> chunk: all per-row JVM column expressions
+        from qdrant_spark.operators.curation import (
+            chunk_documents, gopher_quality,
+        )
+
+        q = gopher_quality(docs)
+        keep = q.where((F.col("dup_word_frac") < 0.95)
+                       & (F.col("n_words") >= 10)).select("doc_id")
+        return chunk_documents(docs.join(keep, "doc_id"),
+                               size=64, overlap=8).count()
+
     bench = {
         "knn_single": q_knn_single,
         "knn_batch64": q_knn_batch64,
@@ -242,6 +270,7 @@ def main() -> None:
         "knn_batch64_xxl": q_knn_batch64_xxl,
         "knn_batch64_xxl_disk": q_knn_batch64_xxl_disk,
         "ann_ivf_batch64_xxl": q_ann_ivf_batch64_xxl,
+        "ivf_pq_single_xxl": q_ivf_pq_single_xxl,
         "sq_rescore_xl": q_sq_rescore_xl,
         "tq_rescore_xl": q_tq_rescore_xl,
         "knn_filtered": q_knn_filtered,
@@ -252,6 +281,7 @@ def main() -> None:
         "facet": q_facet,
         "text_pipeline": q_text_pipeline,
         "dedup_lsh": q_dedup_lsh,
+        "curation_pipeline": q_curation_pipeline,
     }
 
     # Steady-state timing (criterion-style): one warm-up run, then min of
@@ -270,6 +300,27 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+
+    # recall@10 vs the exact scan for the approximate lines (untimed) —
+    # BASELINE.md requires ANN numbers to carry their recall
+    exact10 = {
+        r["vec_id"]
+        for r in knn(xxl, q0, metric="cosine", k=10, vec_col="embedding",
+                     id_col="vec_id", select=["vec_id", "score"]).collect()
+    }
+
+    def _recall(df):
+        got = {r["vec_id"] for r in df.collect()}
+        return round(len(exact10 & got) / len(exact10), 3)
+
+    recall = {
+        "ann_ivf_single_xxl": _recall(
+            ivf_search(ivf_xxl, q0, k=10, nprobe=4, metric="cosine")),
+        "ivf_pq_single_xxl": _recall(
+            ivf_pq_search(ivfpq_xxl, q0, k=10, nprobe=4, oversampling=4.0,
+                          metric="cosine")),
+    }
+
     import shutil
 
     shutil.rmtree(ivf_dir, ignore_errors=True)
@@ -278,6 +329,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "recall_at_10": recall,
         "sf": sf,
         "n_embeddings": n_emb,
         "n_embeddings_xl": n_xl,

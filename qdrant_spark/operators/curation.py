@@ -377,3 +377,40 @@ def project_embeddings(
         for i in range(out_dim)
     ]
     return emb.select(F.col(id_col), *dims)
+
+
+def ngram_counts(
+    docs: DataFrame,
+    n: int = 2,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level word n-gram count table ``(gram, cnt)`` — the count
+    table behind contamination / repetition analyses. One explode + one
+    aggregation on the gram key; Spark's partial (map-side) aggregation
+    collapses per-partition duplicates before the shuffle, so the shuffle
+    volume is bounded by distinct grams per partition, not corpus tokens."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    out = (
+        docs.select(F.explode(_word_grams(words, n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    if min_count > 1:
+        out = out.where(F.col("cnt") >= min_count)
+    return out
+
+
+def weighted_sample(
+    df: DataFrame,
+    prob_col: str | Column,
+    id_col: str = "doc_id",
+    salt: str = "weighted",
+) -> DataFrame:
+    """Deterministic per-row Bernoulli keep with row-specific probability
+    (quality-weighted downsampling): keep iff uniform_hash(id) < p. Pure
+    map-side filter — no shuffle, reproducible across runs and engines
+    (md5-derived uniform, same construction as :func:`stratified_sample`)."""
+    p = F.col(prob_col) if isinstance(prob_col, str) else prob_col
+    bucket = F.conv(_hash_bucket(id_col, salt), 16, 10).cast("double")
+    return df.where(bucket / F.lit(4294967296.0) < p)

@@ -33,13 +33,17 @@ from pyspark.sql import types as T
 
 
 def _with_event_time(df: DataFrame, ts_col: str) -> DataFrame:
-    """Watermarks require TIMESTAMP; testdata timestamps arrive as
-    nanosecond longs (``spark.sql.legacy.parquet.nanosAsLong``). Normalize
-    in place, truncating nanos to micros (Spark timestamp precision)."""
-    if isinstance(df.schema[ts_col].dataType, (T.LongType, T.IntegerType)):
+    """Watermarks require TIMESTAMP; testdata timestamps arrive either as
+    nanosecond longs (``spark.sql.legacy.parquet.nanosAsLong``) or as
+    TIMESTAMP_NTZ (parquet micros). Normalize both to TIMESTAMP in place,
+    truncating nanos to micros (Spark timestamp precision)."""
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, (T.LongType, T.IntegerType)):
         return df.withColumn(
             ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
         )
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 

@@ -203,3 +203,41 @@ def test_project_preserves_distance_in_expectation(spark, embeddings):
     ratio = (np.array(proj_d) / np.array(true_d)) ** 2
     assert abs(ratio.mean() - 1.0) < 0.1
     assert ratio.min() > 0.3 and ratio.max() < 2.5
+
+
+def test_ngram_counts_matches_python(spark, toy_docs):
+    from collections import Counter
+
+    from qdrant_spark.operators.curation import ngram_counts
+
+    got = {r.gram: r.cnt for r in ngram_counts(toy_docs, n=2).collect()}
+    want = Counter()
+    for r in toy_docs.select("text").collect():
+        w = r.text.split()
+        for i in range(len(w) - 1):
+            want[" ".join(w[i:i + 2])] += 1
+    assert got == dict(want)
+    floor = {r.gram: r.cnt
+             for r in ngram_counts(toy_docs, n=2, min_count=2).collect()}
+    assert floor == {g: c for g, c in want.items() if c >= 2}
+
+
+def test_weighted_sample_deterministic(spark, documents):
+    from pyspark.sql import functions as F
+
+    from qdrant_spark.operators.curation import weighted_sample
+
+    p = F.least(F.lit(1.0), F.col("n_chars") / F.lit(600.0))
+    out = weighted_sample(documents.withColumn("__p", p), "__p",
+                          id_col="doc_id")
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    for r in documents.select("doc_id", "n_chars").collect():
+        bucket = int(_py_bucket(r.doc_id, "weighted"), 16) / 2**32
+        keep = bucket < min(1.0, r.n_chars / 600.0)
+        assert (r.doc_id in got) == keep
+    # monotone: raising every probability only adds rows
+    p2 = F.least(F.lit(1.0), F.col("n_chars") / F.lit(300.0))
+    got2 = {r.doc_id for r in weighted_sample(
+        documents.withColumn("__p", p2), "__p", id_col="doc_id"
+    ).select("doc_id").collect()}
+    assert got <= got2

@@ -1,0 +1,126 @@
+"""IVF-PQ: coarse cluster pruning over residual PQ codes + exact rescore.
+Gates: full-probe + ample oversampling == exact top-k; pruned probes hit a
+recall floor; residual codebooks beat raw-vector PQ distortion."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from qdrant_spark.operators.ann import (
+    build_ivf_pq, ivf_pq_search, persist_ivf_pq,
+)
+from qdrant_spark.operators.knn import knn
+
+
+@pytest.fixture(scope="module")
+def ivfpq(embeddings):
+    idx = build_ivf_pq(
+        embeddings, n_clusters=8, n_subspaces=8, n_centroids=256,
+        vec_col="embedding", id_col="vec_id", seed=3,
+    )
+    idx.assigned.cache().count()
+    return idx
+
+
+def _exact_ids(embeddings, q, metric, k):
+    return [
+        r["vec_id"]
+        for r in knn(embeddings, q, metric=metric, k=k, vec_col="embedding",
+                     id_col="vec_id", select=["vec_id", "score"]).collect()
+    ]
+
+
+@pytest.mark.parametrize("metric", ["cosine", "dot", "euclid"])
+def test_full_probe_rescore_matches_exact(embeddings, ivfpq, metric):
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    exact = _exact_ids(embeddings, q, metric, 10)
+    got = [
+        r["vec_id"]
+        for r in ivf_pq_search(ivfpq, q, k=10, nprobe=8, oversampling=16.0,
+                               metric=metric).collect()
+    ]
+    assert got == exact
+
+
+def test_pruned_probe_recall(embeddings, ivfpq):
+    rows = embeddings.limit(5).collect()
+    hits = total = 0
+    for row in rows:
+        q = list(row["embedding"])
+        exact = set(_exact_ids(embeddings, q, "cosine", 10))
+        got = {
+            r["vec_id"]
+            for r in ivf_pq_search(ivfpq, q, k=10, nprobe=4, oversampling=6.0,
+                                   metric="cosine").collect()
+        }
+        hits += len(exact & got)
+        total += len(exact)
+    assert hits / total >= 0.6
+
+
+def test_coarse_adc_scores_close_to_exact(embeddings, ivfpq):
+    """The ADC approximation alone (rescore=False, full probe) must rank
+    well: overlap with exact top-10 >= 0.5 and scores within coarse
+    quantization error."""
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    coarse = ivf_pq_search(ivfpq, q, k=10, nprobe=8, oversampling=1.0,
+                           metric="cosine", rescore=False).collect()
+    assert len(coarse) == 10
+    exact = set(_exact_ids(embeddings, q, "cosine", 10))
+    overlap = len(exact & {r["vec_id"] for r in coarse}) / 10
+    assert overlap >= 0.5
+    for r in coarse:
+        assert -1.2 <= r["score"] <= 1.2
+
+
+def test_residual_reconstruction_tighter_than_raw(embeddings, ivfpq):
+    """Residual PQ must reconstruct with lower MSE than quantizing raw
+    vectors with the same code budget — the point of the residual trick."""
+    from qdrant_spark.operators.quantize import build_pq
+
+    raw = build_pq(embeddings, vec_col="embedding", id_col="vec_id",
+                   n_subspaces=8, n_centroids=256, seed=3)
+    rows = ivfpq.assigned.select("embedding", "__cluster", "__pq").limit(200).collect()
+    cb, cents = ivfpq.codebooks, ivfpq.centroids
+    M, K, dsub = cb.shape
+    err_res = 0.0
+    for r in rows:
+        v = np.array(r["embedding"], dtype=float)
+        codes = np.array(r["__pq"], dtype=np.int64) + 128
+        xhat = cents[r["__cluster"]] + cb[np.arange(M), codes].reshape(-1)
+        err_res += float(((v - xhat) ** 2).sum())
+    raw_rows = raw.codes.select("embedding", "__pq").limit(200).collect()
+    rcb = raw.codebooks
+    err_raw = 0.0
+    for r in raw_rows:
+        v = np.array(r["embedding"], dtype=float)
+        codes = np.array(r["__pq"], dtype=np.int64) + 128
+        xhat = rcb[np.arange(M), codes].reshape(-1)
+        err_raw += float(((v - xhat) ** 2).sum())
+    assert err_res < err_raw
+
+
+def test_persist_prunes_partitions(tmp_path, embeddings, ivfpq):
+    idx = persist_ivf_pq(ivfpq, str(tmp_path / "ivfpq"))
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    out = ivf_pq_search(idx, q, k=5, nprobe=2, metric="cosine")
+    assert out.count() == 5
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the coarse scan must read the partition-pruned parquet
+    assert "PartitionFilters" in plan or "__cluster" in plan
+
+
+def test_filtered_search(embeddings, ivfpq):
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    flt = {"must": [{"key": "label", "range": {"lte": 5}}]}
+    got = ivf_pq_search(ivfpq, q, k=5, nprobe=8, oversampling=8.0,
+                        metric="cosine", flt=flt).collect()
+    assert got
+    labels = {
+        r["label"]
+        for r in embeddings.filter(
+            embeddings.vec_id.isin([g["vec_id"] for g in got])
+        ).select("label").collect()
+    }
+    assert labels and all(l <= 5 for l in labels)
