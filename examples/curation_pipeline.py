@@ -4,10 +4,12 @@ The composition a 100 TB corpus job would run, demonstrated at any SF:
 
 1. ingest documents + embeddings into one points table (id-aligned)
 2. drop exact and near duplicates (MinHash-LSH, then embedding cosine)
-3. quality-filter with text heuristics (token count, stopword ratio)
-4. build the BM25 postings index and the IVF ANN index (ingest-time cost)
-5. hybrid-retrieve per query: dense prefetch + sparse prefetch -> RRF
-6. diversify the final set per source with grouped search
+3. quality-filter: Gopher/C4 signals + text heuristics, then redact PII
+4. decontaminate against a held-out benchmark set (n-gram overlap)
+5. chunk into token windows and stratify-sample per language
+6. build the BM25 postings index and the IVF ANN index (ingest-time cost)
+7. hybrid-retrieve per query: dense prefetch + sparse prefetch -> RRF
+8. diversify the final set per source with grouped search
 
 Run: PYTHONPATH=/root/repo python examples/curation_pipeline.py [sf_dir]
 """
@@ -48,16 +50,38 @@ def run(sf_dir: str = "/root/testdata/sf0.001", cpus: int = 8) -> dict:
         .join(emb_dups, "doc_id", "left_anti")
     )
 
-    # -- 3. quality filter ------------------------------------------------
+    # -- 3. quality filter (Gopher signals + heuristics), then PII redact -
+    from qdrant_spark.operators.curation import (
+        chunk_documents, decontaminate, gopher_quality, pii_redact,
+        stratified_sample,
+    )
+
+    gq = gopher_quality(docs).where(
+        (F.col("dup_word_frac") < 0.95) & (F.col("n_words") >= 5)
+        & (F.col("top_2gram_char_frac") < 0.5)
+    ).select("doc_id")
     toks = tokenize(F.col("text"))
     feats = quality_features("text", tokens=toks)
     quality = (
-        docs.join(keep, "doc_id", "left_semi")
+        pii_redact(docs.join(keep, "doc_id", "left_semi")
+                   .join(gq, "doc_id", "left_semi"))
         .withColumn("__nt", feats["n_tokens"])
         .withColumn("__sr", feats["stopword_ratio"])
         .filter((F.col("__nt") >= 5) & (F.col("__sr") <= 0.9))
         .select("doc_id", "text", "lang", "source")
     )
+
+    # -- 4. decontaminate vs a benchmark; 5. chunk + stratified sample ----
+    bench = docs.where("doc_id % 97 = 0").select("doc_id", "text")
+    dec = decontaminate(quality, bench, n=13)
+    quality = quality.join(
+        dec.where(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    chunks = chunk_documents(quality, size=256, overlap=32)
+    n_chunks = chunks.count()
+    sampled = stratified_sample(quality, "lang", 0.9, id_col="doc_id",
+                                default_fraction=0.9)
+    quality = sampled
     pts = quality.join(
         emb.select(F.col("vec_id").alias("doc_id"), "embedding", "label"),
         "doc_id",
@@ -82,6 +106,7 @@ def run(sf_dir: str = "/root/testdata/sf0.001", cpus: int = 8) -> dict:
                      id_col="doc_id")
     result = final.collect()
     out = {
+        "n_chunks": n_chunks,
         "clean_docs": n_clean,
         "final_rows": len(result),
         "sources": sorted({r["group_value"] for r in result}),
