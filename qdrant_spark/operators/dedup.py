@@ -101,12 +101,32 @@ def minhash_lsh_pairs(
         F.col(id_col),
         F.explode(band_keys(F.col("sig"), bands, rows_per_band)).alias("b"),
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-    a = bk.select(F.col(id_col).alias("id_a"), "band", "key")
-    b = bk.select(F.col(id_col).alias("id_b"), "band", "key")
+    # bucket-then-expand, NOT a self-join: a join would run the whole
+    # shingle->minhash pipeline twice (no cross-branch reuse) and shuffle
+    # both sides; grouping shuffles the (id, band, key) rows once and emits
+    # ordered pairs per bucket with an in-row comprehension. Bucket sizes
+    # are the LSH collision sets, so the expansion is O(collisions).
+    buckets = (
+        bk.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    n = F.size(ids)
+    pair_list = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(ids, i + 1, n),
+                lambda x: F.struct(
+                    F.element_at(ids, i).alias("id_a"), x.alias("id_b")
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_list).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
