@@ -142,3 +142,87 @@ def test_persisted_ivf_probe_is_partition_pruned(embeddings, tmp_path):
     plan = _plan(df)
     # the cluster probe must reach the scan as a partition filter
     assert "PartitionFilters" in plan and "__cluster" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_curation_quality_has_no_exchange(documents):
+    """gopher_quality is per-row column math: any Exchange in the plan
+    means a refactor introduced a shuffle into a map-only operator."""
+    from qdrant_spark.operators.curation import gopher_quality
+
+    plan = _plan(gopher_quality(documents), "simple")
+    assert "Exchange" not in plan
+
+
+def test_stratified_fraction_sample_is_map_only(documents):
+    from qdrant_spark.operators.curation import stratified_sample
+
+    plan = _plan(
+        stratified_sample(documents, "lang", 0.5, id_col="doc_id"), "simple"
+    )
+    assert "Exchange" not in plan and "Window" not in plan
+
+
+def test_weighted_sample_is_map_only(documents):
+    from qdrant_spark.operators.curation import weighted_sample
+
+    d = documents.withColumn("__p", F.lit(0.5))
+    plan = _plan(weighted_sample(d, "__p", id_col="doc_id"), "simple")
+    assert "Exchange" not in plan
+
+
+def test_chunking_is_partition_local(documents):
+    from qdrant_spark.operators.curation import chunk_documents
+
+    plan = _plan(chunk_documents(documents, size=32, overlap=8), "simple")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
+def test_decontaminate_broadcasts_benchmark_grams(documents):
+    """The benchmark gram set must broadcast; the training side must never
+    sort-merge-join (that would shuffle corpus-sized gram lists)."""
+    from qdrant_spark.operators.curation import decontaminate
+
+    bench = documents.where("doc_id % 17 = 0")
+    train = documents.where("doc_id % 17 <> 0")
+    plan = _plan(decontaminate(train, bench, n=3), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_projection_is_codegen_no_udf(embeddings):
+    """Signed random projection must stay in codegen'd column expressions —
+    no python workers (ArrowEvalPython/BatchEvalPython) in the plan."""
+    from qdrant_spark.operators.curation import (
+        project_embeddings, random_sign_matrix,
+    )
+
+    plan = _plan(
+        project_embeddings(embeddings, random_sign_matrix(64, 4, seed=1)),
+        "simple",
+    )
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_ivf_pq_coarse_reads_only_code_columns(embeddings, tmp_path):
+    """The persisted IVF-PQ coarse stage must (a) partition-prune on
+    __cluster and (b) NOT read the full-precision vector column — the
+    whole point of scanning codes."""
+    from qdrant_spark.operators.ann import (
+        build_ivf_pq, ivf_pq_search, persist_ivf_pq,
+    )
+
+    idx = persist_ivf_pq(
+        build_ivf_pq(embeddings, n_clusters=4, n_subspaces=8, n_centroids=16,
+                     vec_col="embedding", id_col="vec_id", seed=3),
+        str(tmp_path / "pq"),
+    )
+    q = [0.1] * 64
+    coarse = ivf_pq_search(idx, q, k=5, nprobe=2, metric="cosine",
+                           rescore=False)
+    plan = _plan(coarse)
+    scans = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scans and any("__cluster" in l for l in scans)
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all("embedding" not in l for l in reads)
