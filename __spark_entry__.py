@@ -1169,6 +1169,43 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.2
 """
 
 
+def _q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the LSH near-dup pair graph (min-label
+    propagation, driver-bounded loop): (id, component, is_duplicate) for
+    every id that appears in a pair — the "which copy to keep" completion
+    of pair-producing dedup."""
+    from qdrant_spark.operators.dedup import (
+        duplicate_components, minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf), n_perms=16, bands=4, jaccard_threshold=0.2
+    )
+    out = duplicate_components(pairs)
+    return out.select(
+        "id", "component",
+        (F.col("id") != F.col("component")).alias("is_duplicate"),
+    )
+
+
+def _components_sql() -> str:
+    """Recursive-CTE connected components over the same pair SQL the
+    dedup_lsh_pairs oracle uses: labels = min node id reachable."""
+    base = _lsh_sql().rsplit("SELECT id_a, id_b,", 1)[0].rstrip()
+    return f"""{base},
+p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+e AS (SELECT id_a s, id_b d FROM p UNION SELECT id_b, id_a FROM p),
+nodes AS (SELECT DISTINCT s AS id FROM e),
+walk AS (
+  SELECT id, id AS comp FROM nodes
+  UNION
+  SELECT e.d, w.comp FROM walk w JOIN e ON e.s = w.id
+)
+SELECT id, min(comp) AS component, id <> min(comp) AS is_duplicate
+FROM walk GROUP BY id
+"""
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     from qdrant_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -2286,6 +2323,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_PRIORITY = [
     # new in round 3 (curation) + the two entries fixed this round — none
     # of these has a green driver row yet, so they go first (50-entry cap)
+    "dedup_components",
     "ann_ivf_pq_rescore",
     "decontaminate",
     "gopher_quality",
@@ -2416,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_exact_dedup,
         "dedup_minhash_sig": _q_minhash,
         "dedup_lsh_pairs": _q_lsh_pairs,
+        "dedup_components": _q_dedup_components,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash": _q_simhash,
         "dedup_embedding": _q_emb_dups,
@@ -2578,6 +2617,7 @@ FROM documents
         "dedup_exact": _EXACT_DEDUP_SQL,
         "dedup_minhash_sig": _minhash_sql(),
         "dedup_lsh_pairs": _lsh_sql(),
+        "dedup_components": "WITH RECURSIVE " + _components_sql().lstrip().removeprefix("WITH "),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": _EMB_DUPS_SQL,

@@ -277,3 +277,88 @@ def embedding_near_dups(
         vec_col="v_a", qvec_col="v_b",
         score_threshold=threshold, threshold_inclusive=True,
     ).withColumnRenamed("score", "cos")
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph:
+    ``(id, component)`` with component = min id reachable. Iterative
+    min-label propagation — each round one join + one groupBy over the
+    PAIR set only (LSH candidates, O(collisions), tiny vs the corpus), and
+    the loop runs until a round changes nothing (<= graph diameter rounds;
+    near-dup clusters are dense, so diameter is small). The driver-side
+    loop is bounded and touches only one count per round — the data never
+    leaves executors.
+
+    This is the "which copy do we keep" completion of the pair-producing
+    dedup ops: group pairs into clusters, keep min-id per cluster."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.union(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .cache()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), "component")
+            .groupBy("id")
+            .agg(F.min("component").alias("__nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("__nbr_min", F.col("component")),
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Attach ``(component, is_duplicate)`` to every row of ``df``:
+    singletons are their own component; within a near-dup cluster the min
+    id is the keeper. The component table is pair-sized, so the join back
+    to the corpus broadcasts."""
+    comps = duplicate_components(pairs, id_a, id_b).withColumnRenamed(
+        "id", id_col
+    )
+    return (
+        df.join(F.broadcast(comps), id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+        .withColumn("is_duplicate", F.col("component") != F.col(id_col))
+    )

@@ -156,3 +156,49 @@ def test_sparse_knn_batch_handcrafted(spark):
     rows = {(r["qid"], r["rank"]): (r["id"], r["score"]) for r in out.collect()}
     assert rows[(10, 1)] == (1, 2.0) and rows[(10, 2)] == (3, 2.0)
     assert rows[(11, 1)] == (2, 5.0) and rows[(11, 2)] == (1, 2.0)
+
+
+def test_duplicate_components_matches_union_find(spark):
+    """Min-label propagation must agree with a python union-find on an
+    arbitrary pair graph (chains force multi-round propagation)."""
+    from qdrant_spark.operators.dedup import duplicate_components
+
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (4, 5)]
+    df = spark.createDataFrame(pairs, "id_a: long, id_b: long")
+    got = {r.id: r.component for r in duplicate_components(df).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+    # chain 1-2-3-4-5 collapses to component 1
+    assert got[5] == 1 and got[22] == 20
+
+
+def test_resolve_duplicates_keeps_min_id(spark, documents):
+    from qdrant_spark.operators.dedup import (
+        minhash_lsh_pairs, resolve_duplicates,
+    )
+
+    pairs = minhash_lsh_pairs(documents, jaccard_threshold=0.3)
+    out = resolve_duplicates(documents, pairs, id_col="doc_id")
+    assert out.count() == documents.count()
+    rows = out.select("doc_id", "component", "is_duplicate").collect()
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        assert comp == min(m.doc_id for m in members)
+        for m in members:
+            assert m.is_duplicate == (m.doc_id != comp)
