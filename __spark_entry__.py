@@ -1626,7 +1626,9 @@ h AS (SELECT doc_id, ('0x' || substring(md5(term), 1, 15))::BIGINT AS dim,
              CAST(tf AS DOUBLE) AS v FROM terms),
 sq AS (SELECT dim, v AS qv FROM h WHERE doc_id = 0),
 sb AS (SELECT h.doc_id AS vec_id, sum(h.v * sq.qv) AS score
-       FROM h JOIN sq USING (dim) GROUP BY h.doc_id
+       FROM h JOIN sq USING (dim)
+       WHERE h.doc_id IN (SELECT vec_id FROM embeddings)
+       GROUP BY h.doc_id
        ORDER BY score DESC, vec_id LIMIT 20),
 ra AS (SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) - 1 AS pos FROM da),
 rb AS (SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) - 1 AS pos FROM sb),
@@ -2001,8 +2003,12 @@ def _q_ivf_pq_rescore(spark: SparkSession, sf: str) -> DataFrame:
     idx = build_ivf_pq(emb, n_clusters=8, n_subspaces=8, n_centroids=256,
                        vec_col="embedding", id_col="vec_id", seed=3)
     q = _vecs(spark, sf, [0])[0]
-    out = ivf_pq_search(idx, q, k=10, nprobe=8, oversampling=16.0,
-                        metric="cosine")
+    # oversampling scales with corpus size so the exact top-k always
+    # survives the ADC cut regardless of sf (the coarse ranking quality is
+    # relative: a fixed candidate COUNT thins out as the corpus grows)
+    n = emb.count()
+    out = ivf_pq_search(idx, q, k=10, nprobe=8,
+                        oversampling=max(16.0, n / 40.0), metric="cosine")
     return _r6(out, "score")
 
 

@@ -466,3 +466,56 @@ def ivf_pq_search(
         vec_col=index.vec_col, id_col=index.id_col,
         select=[index.id_col, "score"],
     )
+
+
+def assign_to_ivf(index: IvfIndex, new_points: DataFrame) -> IvfIndex:
+    """Incremental index maintenance: assign NEW rows to the existing
+    centroids (nearest-centroid, computed as a plan-time literal argmin —
+    no KMeans refit, no python worker) and append them to the assignment.
+    This is the ingest-time path for a live corpus: centroids stay fixed
+    between periodic rebuilds, so appends are map-only and the
+    cluster-partitioned layout keeps working (new files land in existing
+    cluster directories on the next persist).
+
+    The argmin over K centroids unrolls into a codegen'd expression:
+    squared euclid to centroid c is ||v||^2 - 2 v.c + ||c||^2; ||v||^2 is
+    shared, so the comparison needs only the linear term per cluster."""
+    vec = F.col(index.vec_col).cast("array<double>")
+    cents = index.centroids
+    # score_c = -2 v.c + ||c||^2 (minimize) — one fold per cluster, the
+    # shared ||v||^2 term cancels in the argmin
+    scores = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in cents[c]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(-2.0)
+            + F.lit(float((cents[c] * cents[c]).sum()))
+        ).alias(f"__s{c}")
+        for c in range(len(cents))
+    ]
+    ranked = F.array_sort(
+        F.array(*[
+            F.struct(F.col(f"__s{c}").alias("s"),
+                     F.lit(c).cast("int").alias("c"))
+            for c in range(len(cents))
+        ])
+    )
+    assigned_new = (
+        new_points.filter(F.col(index.vec_col).isNotNull())
+        .select("*", *scores)
+        .withColumn("__cluster", F.element_at(ranked, 1)["c"])
+        .drop(*[f"__s{c}" for c in range(len(cents))])
+    )
+    cols = index.assigned.columns
+    merged = index.assigned.unionByName(assigned_new.select(*cols))
+    return IvfIndex(
+        assigned=merged, centroids=index.centroids,
+        vec_col=index.vec_col, id_col=index.id_col,
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from qdrant_spark.operators.ann import (
     build_ivf_pq, ivf_pq_search, persist_ivf_pq,
@@ -124,3 +125,45 @@ def test_filtered_search(embeddings, ivfpq):
         ).select("label").collect()
     }
     assert labels and all(l <= 5 for l in labels)
+
+
+def test_assign_to_ivf_matches_nearest_centroid(spark, embeddings):
+    """Incremental assignment must give every appended row its true
+    nearest centroid (numpy cross-check), and full-probe search over the
+    merged index must equal the exact scan over the merged corpus."""
+    import numpy as np
+
+    from qdrant_spark.operators.ann import assign_to_ivf, build_ivf, ivf_search
+
+    base = embeddings.where("vec_id < 400")
+    newer = embeddings.where("vec_id >= 400").withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    idx = build_ivf(base, n_clusters=8, vec_col="embedding", id_col="vec_id",
+                    seed=3)
+    merged = assign_to_ivf(idx, newer)
+    assert merged.assigned.count() == embeddings.count()
+
+    got = {
+        r.vec_id: r["__cluster"]
+        for r in merged.assigned.where("vec_id >= 10000").collect()
+    }
+    cents = idx.centroids
+    for r in newer.collect():
+        v = np.array(r.embedding, dtype=float)
+        want = int(((cents - v) ** 2).sum(axis=1).argmin())
+        assert got[r.vec_id] == want
+
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    union = base.unionByName(newer)
+    exact = [
+        r.vec_id
+        for r in knn(union, q, metric="cosine", k=10, vec_col="embedding",
+                     id_col="vec_id", select=["vec_id", "score"]).collect()
+    ]
+    full = [
+        r.vec_id
+        for r in ivf_search(merged, q, k=10, nprobe=8,
+                            metric="cosine").collect()
+    ]
+    assert full == exact

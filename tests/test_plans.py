@@ -226,3 +226,18 @@ def test_ivf_pq_coarse_reads_only_code_columns(embeddings, tmp_path):
     assert scans and any("__cluster" in l for l in scans)
     reads = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert reads and all("embedding" not in l for l in reads)
+
+
+def test_incremental_ivf_assignment_is_map_only(embeddings):
+    """assign_to_ivf is the live-ingest path: nearest-centroid must be a
+    codegen'd literal argmin — no shuffle, no python workers."""
+    from qdrant_spark.operators.ann import assign_to_ivf, build_ivf
+
+    idx = build_ivf(embeddings.where("vec_id < 100"), n_clusters=4,
+                    vec_col="embedding", id_col="vec_id", seed=3)
+    newer = embeddings.where("vec_id >= 100")
+    merged = assign_to_ivf(idx, newer)
+    # plan of just the newly-assigned branch
+    new_branch = merged.assigned.where("vec_id >= 100")
+    plan = _plan(new_branch, "simple")
+    assert "EvalPython" not in plan
