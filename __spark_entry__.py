@@ -2012,6 +2012,27 @@ def _q_ivf_pq_rescore(spark: SparkSession, sf: str) -> DataFrame:
     return _r6(out, "score")
 
 
+def _q_ivf_pq_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched IVF-PQ (bulk compressed ANN): per-query cluster probing +
+    ADC over code columns + exact rescore. Full probe + corpus-scaled
+    oversampling, so the result equals the exact batch scan and the
+    oracle is the same SQL as knn_batch."""
+    from qdrant_spark.operators.ann import build_ivf_pq, ivf_pq_search_batch
+
+    emb = _emb(spark, sf)
+    idx = build_ivf_pq(emb, n_clusters=8, n_subspaces=8, n_centroids=256,
+                       vec_col="embedding", id_col="vec_id", seed=3)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    n = emb.count()
+    out = ivf_pq_search_batch(
+        idx, queries, k=10, nprobe=8, oversampling=max(16.0, n / 40.0),
+        metric="cosine",
+    ).select("qid", "vec_id", "score", "rank")
+    return _long(_r6(out, "score"), "rank")
+
+
 def _q_tq_rescore(spark: SparkSession, sf: str) -> DataFrame:
     """TurboQuant 2-bit coarse scan (seeded rotation + shared Lloyd-Max
     N(0,1) codebook — turboquant/{lloyd_max,quantization}.rs) + exact
@@ -2330,6 +2351,7 @@ _GATE_PRIORITY = [
     # new in round 3 (curation) + the two entries fixed this round — none
     # of these has a green driver row yet, so they go first (50-entry cap)
     "dedup_components",
+    "ann_ivf_pq_batch",
     "ann_ivf_pq_rescore",
     "decontaminate",
     "gopher_quality",
@@ -2494,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_sq_rescore": _q_sq_rescore,
         "quantized_pq_rescore": _q_pq_rescore,
         "ann_ivf_pq_rescore": _q_ivf_pq_rescore,
+        "ann_ivf_pq_batch": _q_ivf_pq_batch,
         "quantized_tq_rescore": _q_tq_rescore,
         "quantized_bq_rescore": _q_bq_rescore,
     })
@@ -2656,6 +2679,7 @@ FROM documents
         "quantized_sq_rescore": _knn_sql("cosine"),
         "quantized_pq_rescore": _knn_sql("cosine"),
         "ann_ivf_pq_rescore": _knn_sql("cosine"),
+        "ann_ivf_pq_batch": _KNN_BATCH_SQL,
         "quantized_tq_rescore": _knn_sql("cosine"),
         # quantized_bq_rescore: hamming coarse stage is approximate by
         # design — rows-only check, recall gated in tests/test_quantize.py

@@ -196,6 +196,15 @@ def main() -> None:
         return ivf_search_batch(ivf_xxl, queries_df, k=10, nprobe=4,
                                 metric="cosine").count()
 
+    def q_ivf_pq_batch64_xxl():
+        # 64 queries over the cluster-partitioned CODE columns: each point
+        # contributes 8 bytes to the ADC scan vs 1536 for the float path —
+        # compare ann_ivf_batch64_xxl (same probing, full-width vectors)
+        from qdrant_spark.operators.ann import ivf_pq_search_batch
+
+        return ivf_pq_search_batch(ivfpq_xxl, queries_df, k=10, nprobe=4,
+                                   oversampling=4.0, metric="cosine").count()
+
     def q_ivf_pq_single_xxl():
         return ivf_pq_search(ivfpq_xxl, q0, k=10, nprobe=4, oversampling=4.0,
                              metric="cosine").collect()
@@ -271,6 +280,7 @@ def main() -> None:
         "knn_batch64_xxl_disk": q_knn_batch64_xxl_disk,
         "ann_ivf_batch64_xxl": q_ann_ivf_batch64_xxl,
         "ivf_pq_single_xxl": q_ivf_pq_single_xxl,
+        "ivf_pq_batch64_xxl": q_ivf_pq_batch64_xxl,
         "sq_rescore_xl": q_sq_rescore_xl,
         "tq_rescore_xl": q_tq_rescore_xl,
         "knn_filtered": q_knn_filtered,

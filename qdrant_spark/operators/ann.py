@@ -519,3 +519,185 @@ def assign_to_ivf(index: IvfIndex, new_points: DataFrame) -> IvfIndex:
         assigned=merged, centroids=index.centroids,
         vec_col=index.vec_col, id_col=index.id_col,
     )
+
+
+def ivf_pq_search_batch(
+    index: IvfPqIndex,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    oversampling: float = 4.0,
+    metric: str = "cosine",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batched IVF-PQ: the bulk 100-TB ANN shape — every query ADC-scores
+    only its ``nprobe`` probed clusters reading ONLY the code column, then
+    the per-query shortlists are exact-rescored.
+
+    Plan: the probe map and all per-query LUTs (dot LUT (Q, M, K), q·c
+    (Q, C), plus the shared norm tables) are broadcast; the corpus streams
+    through one Arrow pass emitting per-partition per-query top-n_coarse of
+    the ADC score — ≤ partitions·Q·n_coarse rows shuffle, never the codes.
+    The rescore joins the tiny (qid, id) shortlist back to the original
+    vectors (broadcast semi-join on the probed partitions) and finishes
+    with an exact per-query window, so full probe + ample oversampling
+    equals the exact batch scan."""
+    import pandas as pd  # noqa: F401  (Arrow path dependency)
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from qdrant_spark.operators.knn import larger_is_better, score_order
+
+    if metric not in ("cosine", "dot", "euclid"):
+        raise ValueError(f"batched IVF-PQ supports cosine/dot/euclid, got {metric!r}")
+    q_rows = queries.select(qid_col, qvec_col).collect()
+    qids = np.asarray([r[qid_col] for r in q_rows])
+    Qm = np.array([list(r[qvec_col]) for r in q_rows], dtype=np.float64)
+    cb = index.codebooks
+    M, K, dsub = cb.shape
+    cents = index.centroids
+    nq = Qm.shape[0]
+
+    d = ((Qm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d, axis=1)[:, :nprobe]
+    used = sorted({int(c) for row in probes for c in row})
+    cluster_q = {int(c): np.where((probes == c).any(axis=1))[0] for c in used}
+
+    lut = np.einsum("qmd,mkd->qmk", Qm.reshape(nq, M, dsub), cb)   # (Q, M, K)
+    qc = Qm @ cents.T                                               # (Q, C)
+    cnorm2 = (cents * cents).sum(axis=1)
+    rnorm2 = (cb * cb).sum(axis=2)
+    cross = np.einsum("cmd,mkd->cmk", cents.reshape(-1, M, dsub), cb)
+    l2q = np.linalg.norm(Qm, axis=1)
+
+    sc = queries.sparkSession.sparkContext
+    b = sc.broadcast((qids, cluster_q, lut, qc, cnorm2, rnorm2, cross, l2q))
+    bigger = larger_is_better(metric)
+    n_coarse = max(k, int(np.ceil(k * oversampling)))
+    marange = np.arange(M)
+
+    pruned = index.assigned.filter(F.col("__cluster").isin(used))
+    sel = pruned.select(index.id_col, "__pq", "__cluster")
+    out_schema = T.StructType([
+        T.StructField(qid_col, queries.schema[qid_col].dataType),
+        T.StructField(index.id_col, sel.schema[index.id_col].dataType),
+        T.StructField("__coarse", T.DoubleType()),
+    ])
+    id_col = index.id_col
+
+    def adc_batches(batches):
+        import pyarrow as pa
+
+        qid_arr, cq, lut_, qc_, cn2, rn2, cross_, l2q_ = b.value
+        acc = []
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            codes_col = batch.column(1)
+            if isinstance(codes_col, pa.ChunkedArray):
+                codes_col = codes_col.combine_chunks()
+            codes = (
+                codes_col.flatten().to_numpy(zero_copy_only=False)
+                .reshape(n, M).astype(np.int64) + 128
+            )
+            cl = batch.column(2).to_numpy(zero_copy_only=False)
+            for c in np.unique(cl):
+                qidx = cq.get(int(c))
+                if qidx is None or len(qidx) == 0:
+                    continue
+                mask = cl == c
+                cc = codes[mask]                      # (n_c, M)
+                nc = cc.shape[0]
+                # (q, n_c): residual dot LUT sums + the q·c constant
+                dots = (
+                    lut_[qidx][:, marange[None, :], cc].sum(axis=2)
+                    + qc_[qidx, int(c)][:, None]
+                )
+                if metric == "dot":
+                    S = dots
+                else:
+                    norm2 = (
+                        cn2[int(c)]
+                        + 2.0 * cross_[int(c)][marange[None, :], cc].sum(axis=1)
+                        + rn2[marange[None, :], cc].sum(axis=1)
+                    )                                  # (n_c,)
+                    norm2 = np.maximum(norm2, 1e-24)
+                    if metric == "cosine":
+                        S = dots / (np.sqrt(norm2)[None, :]
+                                    * np.maximum(l2q_[qidx], 1e-12)[:, None])
+                    else:  # euclid
+                        d2 = norm2[None, :] + (l2q_[qidx] ** 2)[:, None] - 2.0 * dots
+                        S = np.sqrt(np.maximum(d2, 0.0))
+                kk = min(n_coarse, nc)
+                if kk < nc:
+                    part = np.argpartition(
+                        -S if bigger else S, kk - 1, axis=1
+                    )[:, :kk]
+                else:
+                    part = np.tile(np.arange(nc)[None, :], (len(qidx), 1))
+                rows = part.ravel()
+                qrep = np.repeat(qidx, part.shape[1])
+                acc.append((qrep, ids[mask][rows], S[np.repeat(
+                    np.arange(len(qidx)), part.shape[1]), rows]))
+        if not acc:
+            return
+        import pyarrow as pa
+
+        qi = np.concatenate([a[0] for a in acc])
+        ii = np.concatenate([a[1] for a in acc])
+        ss = np.concatenate([a[2] for a in acc])
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(qid_arr[qi]), pa.array(ii),
+             pa.array(ss, type=pa.float64())],
+            names=[qid_col, id_col, "__coarse"],
+        )
+
+    scored = sel.mapInArrow(adc_batches, out_schema)
+    worder = (F.col("__coarse").desc() if bigger else F.col("__coarse").asc())
+    w = Window.partitionBy(qid_col).orderBy(worder, F.col(id_col))
+    shortlist = (
+        scored.withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") <= n_coarse)
+        .select(qid_col, id_col)
+    )
+    # exact rescore: shortlist is tiny (Q * n_coarse rows) — broadcast it
+    # onto the probed partitions, then score each (query, candidate) pair
+    # with exact column math and finish with the exact per-query window
+    cand = pruned.join(
+        F.broadcast(shortlist), id_col, "inner"
+    ).select(qid_col, id_col, F.col(index.vec_col).cast("array<double>").alias("__v"))
+    qdf = queries.select(
+        F.col(qid_col), F.col(qvec_col).cast("array<double>").alias("__qv")
+    )
+    pair = cand.join(F.broadcast(qdf), qid_col)
+    dot = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__qv"), lambda a, x: a * x),
+        F.lit(0.0), lambda acc2, x: acc2 + x,
+    )
+    nv = F.sqrt(F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__v"), lambda a, x: a * x),
+        F.lit(0.0), lambda acc2, x: acc2 + x,
+    ))
+    nq_ = F.sqrt(F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__qv"), lambda a, x: a * x),
+        F.lit(0.0), lambda acc2, x: acc2 + x,
+    ))
+    if metric == "dot":
+        score = dot
+    elif metric == "cosine":
+        score = dot / (nv * nq_ + F.lit(1e-12))
+    else:
+        score = F.sqrt(F.greatest(
+            nv * nv + nq_ * nq_ - F.lit(2.0) * dot, F.lit(0.0)
+        ))
+    wf = Window.partitionBy(qid_col).orderBy(*score_order(metric, id_col=id_col))
+    return (
+        pair.withColumn("score", score)
+        .select(qid_col, id_col, "score")
+        .withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+    )

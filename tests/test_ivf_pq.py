@@ -167,3 +167,51 @@ def test_assign_to_ivf_matches_nearest_centroid(spark, embeddings):
                             metric="cosine").collect()
     ]
     assert full == exact
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclid"])
+def test_batch_full_probe_matches_exact_batch(spark, embeddings, ivfpq, metric):
+    from qdrant_spark.operators.ann import ivf_pq_search_batch
+    from qdrant_spark.operators.knn import knn_batch
+
+    queries = embeddings.where("vec_id < 4").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = [
+        (r.qid, r.vec_id, r.rank)
+        for r in ivf_pq_search_batch(
+            ivfpq, queries, k=5, nprobe=8, oversampling=24.0, metric=metric
+        ).collect()
+    ]
+    want = [
+        (r.qid, r.vec_id, r.rank)
+        for r in knn_batch(
+            embeddings, queries, metric=metric, k=5, vec_col="embedding",
+            id_col="vec_id", strategy="window",
+        ).select("qid", "vec_id", "rank").collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+
+def test_batch_pruned_recall(spark, embeddings, ivfpq):
+    from qdrant_spark.operators.ann import ivf_pq_search_batch
+    from qdrant_spark.operators.knn import knn_batch
+
+    queries = embeddings.where("vec_id < 5").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = ivf_pq_search_batch(ivfpq, queries, k=10, nprobe=4,
+                              oversampling=6.0, metric="cosine").collect()
+    exact = knn_batch(embeddings, queries, metric="cosine", k=10,
+                      vec_col="embedding", id_col="vec_id",
+                      strategy="window").collect()
+    by_q: dict = {}
+    for r in exact:
+        by_q.setdefault(r.qid, set()).add(r.vec_id)
+    hits = total = 0
+    for r in got:
+        total_set = by_q[r.qid]
+        if r.vec_id in total_set:
+            hits += 1
+    total = sum(len(s) for s in by_q.values())
+    assert hits / total >= 0.6
