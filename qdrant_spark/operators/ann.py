@@ -612,19 +612,20 @@ def ivf_pq_search_batch(
                 mask = cl == c
                 cc = codes[mask]                      # (n_c, M)
                 nc = cc.shape[0]
-                # (q, n_c): residual dot LUT sums + the q·c constant
-                dots = (
-                    lut_[qidx][:, marange[None, :], cc].sum(axis=2)
-                    + qc_[qidx, int(c)][:, None]
-                )
+                # accumulate per subspace: M gathers of (q, n_c) instead of
+                # one (q, n_c, M) intermediate — same result, ~M x less
+                # transient memory, so batches stay cache-resident
+                lut_q = lut_[qidx]                     # (q, M, K)
+                dots = np.repeat(qc_[qidx, int(c)][:, None], nc, axis=1)
+                for m in range(M):
+                    dots += lut_q[:, m, cc[:, m]]
                 if metric == "dot":
                     S = dots
                 else:
-                    norm2 = (
-                        cn2[int(c)]
-                        + 2.0 * cross_[int(c)][marange[None, :], cc].sum(axis=1)
-                        + rn2[marange[None, :], cc].sum(axis=1)
-                    )                                  # (n_c,)
+                    norm2 = np.full(nc, cn2[int(c)])
+                    for m in range(M):
+                        norm2 += (2.0 * cross_[int(c)][m, cc[:, m]]
+                                  + rn2[m, cc[:, m]])
                     norm2 = np.maximum(norm2, 1e-24)
                     if metric == "cosine":
                         S = dots / (np.sqrt(norm2)[None, :]
