@@ -1498,6 +1498,20 @@ def _q_geo(kind: str):
     return run
 
 
+def _q_geo_indexed_radius(spark: SparkSession, sf: str) -> DataFrame:
+    """geo_radius through the geo cell index: driver-side covering-cell set
+    prunes the scan (partition pruning on a cell-partitioned table), exact
+    haversine decides membership — identical results to the plain filter,
+    so the oracle is the same SQL (reference geo field index shape,
+    lib/segment/src/index/field_index/geo_index/)."""
+    from qdrant_spark.operators.geo_index import add_geo_cells, geo_pruned_filter
+
+    cond = {"key": "location", "geo_radius":
+            {"center": {"lat": -60.0, "lon": -150.0}, "radius": 3_000_000.0}}
+    pts = add_geo_cells(_events_geo(spark, sf), "location", precision_deg=5.0)
+    return geo_pruned_filter(pts, cond, precision_deg=5.0).select("event_id")
+
+
 def _ring_sql(ring: list[dict]) -> str:
     """XOR-parity ray casting, mirroring filters._ring_crossings edge by edge."""
     terms = []
@@ -2352,6 +2366,7 @@ _GATE_PRIORITY = [
     # of these has a green driver row yet, so they go first (50-entry cap)
     "dedup_components",
     "ann_ivf_pq_batch",
+    "geo_indexed_radius",
     "ann_ivf_pq_rescore",
     "decontaminate",
     "gopher_quality",
@@ -2517,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_pq_rescore": _q_pq_rescore,
         "ann_ivf_pq_rescore": _q_ivf_pq_rescore,
         "ann_ivf_pq_batch": _q_ivf_pq_batch,
+        "geo_indexed_radius": _q_geo_indexed_radius,
         "quantized_tq_rescore": _q_tq_rescore,
         "quantized_bq_rescore": _q_bq_rescore,
     })
@@ -2680,6 +2696,7 @@ FROM documents
         "quantized_pq_rescore": _knn_sql("cosine"),
         "ann_ivf_pq_rescore": _knn_sql("cosine"),
         "ann_ivf_pq_batch": _KNN_BATCH_SQL,
+        "geo_indexed_radius": _geo_sql("radius"),
         "quantized_tq_rescore": _knn_sql("cosine"),
         # quantized_bq_rescore: hamming coarse stage is approximate by
         # design — rows-only check, recall gated in tests/test_quantize.py
