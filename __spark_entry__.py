@@ -499,10 +499,20 @@ def _q_field_index_stats(spark: SparkSession, sf: str) -> DataFrame:
     cat = CollectionCatalog()
     # events.ts is a TIMESTAMP column in the testdata parquet; present it as
     # epoch seconds (double) so the datetime stats match DuckDB's epoch()
-    cat.register("events", lambda: spark.read.parquet(f"{sf}/events.parquet")
-                 .withColumn("ts", F.expr(
-                     "timestampdiff(MICROSECOND, "
-                     "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) / 1e6")))
+    def events_epoch():
+        # robust to testdata regeneration: ts has shipped both as
+        # TIMESTAMP_NTZ (micros) and as epoch-nanos LONG across rounds
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        dt = ev.schema["ts"].dataType.simpleString()
+        if dt.startswith("timestamp"):
+            ntz = "TIMESTAMP_NTZ '1970-01-01 00:00:00'" if "ntz" in dt \
+                else "TIMESTAMP '1970-01-01 00:00:00'"
+            epoch = F.expr(f"timestampdiff(MICROSECOND, {ntz}, ts) / 1e6")
+        else:  # epoch-nanos long
+            epoch = F.col("ts") / F.lit(1e9)
+        return ev.withColumn("ts", epoch)
+
+    cat.register("events", events_epoch)
     cat.create_field_index("events", "event_type", "keyword", is_tenant=True)
     cat.create_field_index("events", "user_id", "integer", is_principal=True)
     cat.create_field_index("events", "ts", "datetime", is_principal=True)
