@@ -284,18 +284,48 @@ def duplicate_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over the near-duplicate pair graph:
-    ``(id, component)`` with component = min id reachable. Iterative
-    min-label propagation — each round one join + one groupBy over the
-    PAIR set only (LSH candidates, O(collisions), tiny vs the corpus), and
-    the loop runs until a round changes nothing (<= graph diameter rounds;
-    near-dup clusters are dense, so diameter is small). The driver-side
-    loop is bounded and touches only one count per round — the data never
-    leaves executors.
+    ``(id, component)`` with component = min id reachable.
+
+    Two physical strategies, same result:
+
+    - pair count <= ``driver_threshold``: collect the pairs (they are the
+      LSH candidate set — tiny vs the corpus; 1M pairs ~ 16 MB) and run
+      union-find driver-side in O(pairs * alpha). One job, no iteration —
+      the same bounded-collect pattern as MMR / KMeans centroids.
+    - above the threshold: iterative min-label propagation — each round
+      one join + one groupBy over the pair set, looping until a round
+      changes nothing (<= graph diameter rounds; near-dup clusters are
+      dense, so diameter is small).
 
     This is the "which copy do we keep" completion of the pair-producing
     dedup ops: group pairs into clusters, keep min-id per cluster."""
+    n_pairs = pairs.count()
+    if n_pairs <= driver_threshold:
+        rows = pairs.select(id_a, id_b).collect()
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            ra, rb = find(r[0]), find(r[1])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(x, find(x)) for x in parent]
+        spark = pairs.sparkSession
+        ida_t = pairs.schema[id_a].dataType.simpleString()
+        return spark.createDataFrame(out, f"id: {ida_t}, component: {ida_t}")
+
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.union(

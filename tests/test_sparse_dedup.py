@@ -202,3 +202,17 @@ def test_resolve_duplicates_keeps_min_id(spark, documents):
         assert comp == min(m.doc_id for m in members)
         for m in members:
             assert m.is_duplicate == (m.doc_id != comp)
+
+
+def test_components_distributed_path_agrees_with_union_find(spark):
+    """Force the iterative path (driver_threshold=0) and check it matches
+    the union-find fast path on the same graph."""
+    from qdrant_spark.operators.dedup import duplicate_components
+
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (4, 5)]
+    df = spark.createDataFrame(pairs, "id_a: long, id_b: long")
+    fast = {(r.id, r.component)
+            for r in duplicate_components(df).collect()}
+    dist = {(r.id, r.component)
+            for r in duplicate_components(df, driver_threshold=0).collect()}
+    assert fast == dist
