@@ -1216,6 +1216,32 @@ FROM walk GROUP BY id
 """
 
 
+def _q_dedup_resolve(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-corpus duplicate resolution: every doc gets (component,
+    is_duplicate); singletons are their own component, min id per cluster
+    is the keeper."""
+    from qdrant_spark.operators.dedup import (
+        minhash_lsh_pairs, resolve_duplicates,
+    )
+
+    docs = _docs(spark, sf)
+    pairs = minhash_lsh_pairs(docs, n_perms=16, bands=4,
+                              jaccard_threshold=0.2)
+    out = resolve_duplicates(docs, pairs, id_col="doc_id")
+    return out.select("doc_id", "component", "is_duplicate")
+
+
+def _resolve_sql() -> str:
+    base = _components_sql().rstrip()
+    comp = base.rsplit("SELECT id, min(comp)", 1)[0].rstrip()
+    return f"""{comp},
+comps AS (SELECT id, min(comp) AS component FROM walk GROUP BY id)
+SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+       coalesce(c.component, d.doc_id) <> d.doc_id AS is_duplicate
+FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
+"""
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     from qdrant_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -2375,6 +2401,7 @@ _GATE_PRIORITY = [
     # new in round 3 (curation) + the two entries fixed this round — none
     # of these has a green driver row yet, so they go first (50-entry cap)
     "dedup_components",
+    "dedup_resolve",
     "ann_ivf_pq_batch",
     "geo_indexed_radius",
     "ann_ivf_pq_rescore",
@@ -2508,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": _q_minhash,
         "dedup_lsh_pairs": _q_lsh_pairs,
         "dedup_components": _q_dedup_components,
+        "dedup_resolve": _q_dedup_resolve,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash": _q_simhash,
         "dedup_embedding": _q_emb_dups,
@@ -2673,6 +2701,7 @@ FROM documents
         "dedup_minhash_sig": _minhash_sql(),
         "dedup_lsh_pairs": _lsh_sql(),
         "dedup_components": "WITH RECURSIVE " + _components_sql().lstrip().removeprefix("WITH "),
+        "dedup_resolve": "WITH RECURSIVE " + _resolve_sql().lstrip().removeprefix("WITH "),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": _EMB_DUPS_SQL,
