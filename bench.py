@@ -154,6 +154,17 @@ def main() -> None:
                      vec_col="embedding", id_col="vec_id", fit_fraction=0.1),
         f"{ivf_dir}/xxl_pq",
     )
+    # RAM-resident index (the reference's deployment: quantized index hot in
+    # memory): auto mode dispatches this to the FUSED single-stage plan;
+    # the disk line below pins mode="coarse" — the narrow-scan 100-TB plan
+    from qdrant_spark.operators.ann import IvfPqIndex
+
+    pq_ram_xxl = ivfpq_xxl.assigned.cache()
+    pq_ram_xxl.count()
+    ivfpq_xxl_ram = IvfPqIndex(
+        assigned=pq_ram_xxl, centroids=ivfpq_xxl.centroids,
+        codebooks=ivfpq_xxl.codebooks, vec_col="embedding", id_col="vec_id",
+    )
 
     sq_xl = build_sq(xl, vec_col="embedding", id_col="vec_id")
     sq_xl.codes = sq_xl.codes.cache()
@@ -197,13 +208,24 @@ def main() -> None:
                                 metric="cosine").count()
 
     def q_ivf_pq_batch64_xxl():
-        # 64 queries over the cluster-partitioned CODE columns: each point
-        # contributes 8 bytes to the ADC scan vs 1536 for the float path —
-        # compare ann_ivf_batch64_xxl (same probing, full-width vectors)
+        # RAM-resident index, auto -> fused: ONE python stage that
+        # ADC-shortlists (LUT gathers, no matmul) and exact-rescores only
+        # the shortlist in-worker — compare knn_batch64_xxl (full matmul
+        # over the same cached corpus, same stage count, ~30x the compute)
+        from qdrant_spark.operators.ann import ivf_pq_search_batch
+
+        return ivf_pq_search_batch(ivfpq_xxl_ram, queries_df, k=10, nprobe=4,
+                                   oversampling=4.0, metric="cosine").count()
+
+    def q_ivf_pq_batch64_xxl_disk():
+        # mode="coarse" pinned: the 100-TB narrow-scan plan over the
+        # cluster-partitioned parquet — the ADC pass reads 8 bytes/row of
+        # codes vs 256 of floats; compare knn_batch64_xxl_disk
         from qdrant_spark.operators.ann import ivf_pq_search_batch
 
         return ivf_pq_search_batch(ivfpq_xxl, queries_df, k=10, nprobe=4,
-                                   oversampling=4.0, metric="cosine").count()
+                                   oversampling=4.0, metric="cosine",
+                                   mode="coarse").count()
 
     def q_ivf_pq_single_xxl():
         return ivf_pq_search(ivfpq_xxl, q0, k=10, nprobe=4, oversampling=4.0,
@@ -281,6 +303,7 @@ def main() -> None:
         "ann_ivf_batch64_xxl": q_ann_ivf_batch64_xxl,
         "ivf_pq_single_xxl": q_ivf_pq_single_xxl,
         "ivf_pq_batch64_xxl": q_ivf_pq_batch64_xxl,
+        "ivf_pq_batch64_xxl_disk": q_ivf_pq_batch64_xxl_disk,
         "sq_rescore_xl": q_sq_rescore_xl,
         "tq_rescore_xl": q_tq_rescore_xl,
         "knn_filtered": q_knn_filtered,

@@ -25,6 +25,14 @@ from pyspark.sql import functions as F
 
 from qdrant_spark.operators.knn import knn
 
+#: Probed-scan size (Catalyst estimate, bytes) under which the batched
+#: IVF-PQ search fuses ADC shortlist + exact rescore into one python stage
+#: (reads full-width vectors) instead of the narrow coarse scan + join
+#: rescore. Two python stages + a broadcast join cost ~0.5 s of fixed
+#: overhead on local[32]; a full-width scan of <1 GiB costs less than
+#: that, so small/cached corpora fuse and 100-TB layouts stay narrow.
+FUSED_PQ_DISPATCH_BYTES = 1 << 30
+
 
 @dataclass
 class IvfIndex:
@@ -379,6 +387,7 @@ def ivf_pq_search(
     metric: str = "cosine",
     flt: dict[str, Any] | None = None,
     rescore: bool = True,
+    rescore_with: DataFrame | None = None,
 ) -> DataFrame:
     """Probe ``nprobe`` clusters, ADC-score the PQ codes inside them
     (asymmetric: full-precision query vs reconstructed ``centroid[c] +
@@ -390,7 +399,14 @@ def ivf_pq_search(
     code per row, one fancy-indexed LUT sum per Arrow batch — no
     reconstruction matmul. The reconstruction identities:
     ``dot(q, x̂) = q·c + Σ_m lut[m, code_m]`` and ``‖x̂‖² = ‖c‖² +
-    2 Σ_m cross[c, m, code_m] + Σ_m rnorm2[m, code_m]``."""
+    2 Σ_m cross[c, m, code_m] + Σ_m rnorm2[m, code_m]``.
+
+    ``rescore_with`` supplies the full-precision vector table for the
+    exact rescore (must carry ``id_col`` + ``vec_col``). Default is the
+    index's own ``assigned`` table; pass the original corpus when it is
+    better laid out for point lookup (RAM-cached, or id-sorted parquet so
+    the semi-join prunes row groups) — the reference's deployment shape:
+    quantized codes resident, originals in the storage tier."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -459,8 +475,11 @@ def ivf_pq_search(
     # candidates can only come from probed clusters — keep the cluster
     # predicate on the rescore scan so it reads the same pruned partitions
     # as the coarse stage instead of re-opening the whole corpus
-    pruned = index.assigned.filter(F.col("__cluster").isin(probes))
-    candidates = pruned.join(cand_ids, index.id_col, "left_semi")
+    if rescore_with is not None:
+        src = rescore_with
+    else:
+        src = index.assigned.filter(F.col("__cluster").isin(probes))
+    candidates = src.join(cand_ids, index.id_col, "left_semi")
     return knn(
         candidates, query_vector, metric=metric, k=k,
         vec_col=index.vec_col, id_col=index.id_col,
@@ -531,27 +550,49 @@ def ivf_pq_search_batch(
     metric: str = "cosine",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    rescore_with: DataFrame | None = None,
+    mode: str = "auto",
+    fused_dispatch_bytes: int | None = None,
 ) -> DataFrame:
     """Batched IVF-PQ: the bulk 100-TB ANN shape — every query ADC-scores
-    only its ``nprobe`` probed clusters reading ONLY the code column, then
-    the per-query shortlists are exact-rescored.
+    only its ``nprobe`` probed clusters, then the per-query shortlists are
+    exact-rescored. Two physical strategies, size-dispatched like
+    :func:`qdrant_spark.operators.knn.knn` (the reference's
+    plain-vs-index dispatch, dispatch.rs:56-176):
 
-    Plan: the probe map and all per-query LUTs (dot LUT (Q, M, K), q·c
-    (Q, C), plus the shared norm tables) are broadcast; the corpus streams
-    through one Arrow pass emitting per-partition per-query top-n_coarse of
-    the ADC score — ≤ partitions·Q·n_coarse rows shuffle, never the codes.
-    The rescore joins the tiny (qid, id) shortlist back to the original
-    vectors (broadcast semi-join on the probed partitions) and finishes
-    with an exact per-query window, so full probe + ample oversampling
-    equals the exact batch scan."""
+    - ``coarse`` — the 100-TB plan: one Arrow pass over ONLY the code
+      columns (M+8 bytes/row, partition-pruned to probed clusters)
+      emitting per-partition per-query top-n_coarse ADC scores; a window
+      picks the global shortlist; the exact rescore broadcast-joins the
+      tiny (qid, id) shortlist back to the full vectors (``rescore_with``
+      or the probed partitions). Three stages — their fixed cost
+      amortizes when the corpus dwarfs it.
+    - ``fused`` — the small/cached-corpus plan: one Arrow pass reading
+      codes AND vectors; each cluster block ADC-shortlists in-worker and
+      exact-rescores only its shortlist rows immediately (small einsum,
+      never a full matmul), so the plan is a single python stage plus the
+      final window — the same stage count as the exact batch scan with a
+      fraction of its compute. Candidates are per-(partition, query)
+      ADC-top-n_coarse — a superset of the coarse path's global
+      shortlist, so recall is >= the coarse path's at equal settings.
+
+    ``mode="auto"`` fuses when the probed scan's Catalyst size estimate is
+    under ``fused_dispatch_bytes`` (default 1 GiB — roughly where an extra
+    full-width scan costs less than two extra python stages) and the
+    assigned table still carries the vector column; explicit
+    ``rescore_with`` implies the caller runs the storage-tier layout, so
+    auto picks coarse. Full probe + ample oversampling equals the exact
+    batch scan in either mode."""
     import pandas as pd  # noqa: F401  (Arrow path dependency)
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
-    from qdrant_spark.operators.knn import larger_is_better, score_order
+    from qdrant_spark.operators.knn import _plan_size_bytes, larger_is_better
 
     if metric not in ("cosine", "dot", "euclid"):
         raise ValueError(f"batched IVF-PQ supports cosine/dot/euclid, got {metric!r}")
+    if mode not in ("auto", "fused", "coarse"):
+        raise ValueError(f"mode must be auto/fused/coarse, got {mode!r}")
     q_rows = queries.select(qid_col, qvec_col).collect()
     qids = np.asarray([r[qid_col] for r in q_rows])
     Qm = np.array([list(r[qvec_col]) for r in q_rows], dtype=np.float64)
@@ -573,12 +614,31 @@ def ivf_pq_search_batch(
     l2q = np.linalg.norm(Qm, axis=1)
 
     sc = queries.sparkSession.sparkContext
-    b = sc.broadcast((qids, cluster_q, lut, qc, cnorm2, rnorm2, cross, l2q))
+    b = sc.broadcast((qids, cluster_q, lut, qc, cnorm2, rnorm2, cross, l2q, Qm))
     bigger = larger_is_better(metric)
     n_coarse = max(k, int(np.ceil(k * oversampling)))
     marange = np.arange(M)
 
     pruned = index.assigned.filter(F.col("__cluster").isin(used))
+    can_fuse = index.vec_col in index.assigned.columns and rescore_with is None
+    if mode == "fused":
+        if not can_fuse:
+            raise ValueError(
+                "fused mode needs the vector column in index.assigned "
+                "and no rescore_with")
+        use_fused = True
+    elif mode == "auto":
+        cutoff = (FUSED_PQ_DISPATCH_BYTES if fused_dispatch_bytes is None
+                  else fused_dispatch_bytes)
+        sz = _plan_size_bytes(pruned)
+        use_fused = can_fuse and 0 < sz < cutoff
+    else:
+        use_fused = False
+    if use_fused:
+        return _ivf_pq_fused_batch(
+            index, queries, pruned, b, k=k, n_coarse=n_coarse,
+            metric=metric, bigger=bigger, qid_col=qid_col,
+        )
     sel = pruned.select(index.id_col, "__pq", "__cluster")
     out_schema = T.StructType([
         T.StructField(qid_col, queries.schema[qid_col].dataType),
@@ -590,7 +650,15 @@ def ivf_pq_search_batch(
     def adc_batches(batches):
         import pyarrow as pa
 
-        qid_arr, cq, lut_, qc_, cn2, rn2, cross_, l2q_ = b.value
+        qid_arr, cq, lut_, qc_, cn2, rn2, cross_, l2q_, _Qm = b.value
+        # norm term tables combined once per task: ||x̂||² = ||c||² +
+        # Σ_m (2·cross[c,m,code] + rnorm2[m,code]) — fold the 2·cross+rn2
+        # into one (C, M, K) table so the per-row work is a single gather
+        nt_all = 2.0 * cross_ + rn2[None, :, :]
+        # per-cluster transposed dot-LUTs (M, K, q), built lazily: the
+        # contiguous last axis makes each code gather a q-float row copy
+        # instead of q strided scalar loads — ~4x over the (q, M, K) layout
+        lut_t_cache: dict = {}
         acc = []
         for batch in batches:
             n = batch.num_rows
@@ -612,20 +680,22 @@ def ivf_pq_search_batch(
                 mask = cl == c
                 cc = codes[mask]                      # (n_c, M)
                 nc = cc.shape[0]
-                # accumulate per subspace: M gathers of (q, n_c) instead of
-                # one (q, n_c, M) intermediate — same result, ~M x less
-                # transient memory, so batches stay cache-resident
-                lut_q = lut_[qidx]                     # (q, M, K)
-                dots = np.repeat(qc_[qidx, int(c)][:, None], nc, axis=1)
-                for m in range(M):
-                    dots += lut_q[:, m, cc[:, m]]
+                lut_t = lut_t_cache.get(int(c))
+                if lut_t is None:
+                    lut_t = np.ascontiguousarray(
+                        lut_[qidx].transpose(1, 2, 0))   # (M, K, q)
+                    lut_t_cache[int(c)] = lut_t
+                g = lut_t[0][cc[:, 0]]                   # (n_c, q)
+                for m in range(1, M):
+                    g += lut_t[m][cc[:, m]]
+                dots = g.T + qc_[qidx, int(c)][:, None]  # (q, n_c)
                 if metric == "dot":
                     S = dots
                 else:
+                    nt = nt_all[int(c)]                  # (M, K)
                     norm2 = np.full(nc, cn2[int(c)])
                     for m in range(M):
-                        norm2 += (2.0 * cross_[int(c)][m, cc[:, m]]
-                                  + rn2[m, cc[:, m]])
+                        norm2 += nt[m, cc[:, m]]
                     norm2 = np.maximum(norm2, 1e-24)
                     if metric == "cosine":
                         S = dots / (np.sqrt(norm2)[None, :]
@@ -651,9 +721,17 @@ def ivf_pq_search_batch(
         qi = np.concatenate([a[0] for a in acc])
         ii = np.concatenate([a[1] for a in acc])
         ss = np.concatenate([a[2] for a in acc])
+        # per-partition trim to per-query top-n_coarse before the shuffle —
+        # map-side combine of the shortlist window
+        key_s = -ss if bigger else ss
+        order = np.lexsort((ii, key_s, qi))
+        qi, ii, ss = qi[order], ii[order], ss[order]
+        uq, starts = np.unique(qi, return_index=True)
+        rank = np.arange(len(qi)) - starts[np.searchsorted(uq, qi)]
+        keep = rank < n_coarse
         yield pa.RecordBatch.from_arrays(
-            [pa.array(qid_arr[qi]), pa.array(ii),
-             pa.array(ss, type=pa.float64())],
+            [pa.array(qid_arr[qi[keep]]), pa.array(ii[keep]),
+             pa.array(ss[keep], type=pa.float64())],
             names=[qid_col, id_col, "__coarse"],
         )
 
@@ -667,38 +745,161 @@ def ivf_pq_search_batch(
     )
     # exact rescore: shortlist is tiny (Q * n_coarse rows) — broadcast it
     # onto the probed partitions, then score each (query, candidate) pair
-    # with exact column math and finish with the exact per-query window
-    cand = pruned.join(
+    # with the Arrow rowwise scorer (interpreted aggregate(zip_with) Column
+    # math on pair tables is ~60x slower — see rowwise_score_topk)
+    from qdrant_spark.operators.knn import rowwise_score_topk
+
+    src = rescore_with if rescore_with is not None else pruned
+    cand = src.join(
         F.broadcast(shortlist), id_col, "inner"
-    ).select(qid_col, id_col, F.col(index.vec_col).cast("array<double>").alias("__v"))
-    qdf = queries.select(
-        F.col(qid_col), F.col(qvec_col).cast("array<double>").alias("__qv")
-    )
+    ).select(qid_col, id_col, F.col(index.vec_col).alias("__v"))
+    qdf = queries.select(F.col(qid_col), F.col(qvec_col).alias("__qv"))
     pair = cand.join(F.broadcast(qdf), qid_col)
-    dot = F.aggregate(
-        F.zip_with(F.col("__v"), F.col("__qv"), lambda a, x: a * x),
-        F.lit(0.0), lambda acc2, x: acc2 + x,
+    return rowwise_score_topk(
+        pair, metric=metric, k=k, qid_col=qid_col, id_col=id_col,
+        vec_col="__v", qvec_col="__qv",
     )
-    nv = F.sqrt(F.aggregate(
-        F.zip_with(F.col("__v"), F.col("__v"), lambda a, x: a * x),
-        F.lit(0.0), lambda acc2, x: acc2 + x,
-    ))
-    nq_ = F.sqrt(F.aggregate(
-        F.zip_with(F.col("__qv"), F.col("__qv"), lambda a, x: a * x),
-        F.lit(0.0), lambda acc2, x: acc2 + x,
-    ))
-    if metric == "dot":
-        score = dot
-    elif metric == "cosine":
-        score = dot / (nv * nq_ + F.lit(1e-12))
-    else:
-        score = F.sqrt(F.greatest(
-            nv * nv + nq_ * nq_ - F.lit(2.0) * dot, F.lit(0.0)
-        ))
-    wf = Window.partitionBy(qid_col).orderBy(*score_order(metric, id_col=id_col))
+
+
+def _ivf_pq_fused_batch(
+    index: IvfPqIndex,
+    queries: DataFrame,
+    pruned: DataFrame,
+    b,  # broadcast: (qids, cluster_q, lut, qc, cnorm2, rnorm2, cross, l2q, Qm)
+    *,
+    k: int,
+    n_coarse: int,
+    metric: str,
+    bigger: bool,
+    qid_col: str,
+) -> DataFrame:
+    """Fused ADC-shortlist + in-worker exact rescore (see
+    :func:`ivf_pq_search_batch` ``mode`` docs). One python stage: each
+    cluster block computes ADC scores for all its rows (LUT gathers, no
+    matmul), takes per-query top-n_coarse, exact-scores ONLY those rows
+    against the broadcast query matrix (a (q, n_coarse, d) einsum), and
+    emits per-partition per-query top-k exact scores into the final
+    window."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from qdrant_spark.operators.knn import score_order
+
+    M = index.codebooks.shape[0]
+    sel = pruned.select(index.id_col, index.vec_col, "__pq", "__cluster")
+    out_schema = T.StructType([
+        T.StructField(qid_col, queries.schema[qid_col].dataType),
+        T.StructField(index.id_col, sel.schema[index.id_col].dataType),
+        T.StructField("score", T.DoubleType()),
+    ])
+    id_col = index.id_col
+
+    def fused_batches(batches):
+        import pyarrow as pa
+
+        qid_arr, cq, lut_, qc_, cn2, rn2, cross_, l2q_, Qm_ = b.value
+        nt_all = 2.0 * cross_ + rn2[None, :, :]
+        lut_t_cache: dict = {}
+        acc = []
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            vcol = batch.column(1)
+            if isinstance(vcol, pa.ChunkedArray):
+                vcol = vcol.combine_chunks()
+            V = (vcol.flatten().to_numpy(zero_copy_only=False)
+                 .reshape(n, -1).astype(np.float64, copy=False))
+            codes_col = batch.column(2)
+            if isinstance(codes_col, pa.ChunkedArray):
+                codes_col = codes_col.combine_chunks()
+            codes = (
+                codes_col.flatten().to_numpy(zero_copy_only=False)
+                .reshape(n, M).astype(np.int64) + 128
+            )
+            cl = batch.column(3).to_numpy(zero_copy_only=False)
+            for c in np.unique(cl):
+                qidx = cq.get(int(c))
+                if qidx is None or len(qidx) == 0:
+                    continue
+                mask = cl == c
+                cc = codes[mask]
+                nc = cc.shape[0]
+                lut_t = lut_t_cache.get(int(c))
+                if lut_t is None:
+                    lut_t = np.ascontiguousarray(
+                        lut_[qidx].transpose(1, 2, 0))   # (M, K, q)
+                    lut_t_cache[int(c)] = lut_t
+                g = lut_t[0][cc[:, 0]]
+                for m in range(1, M):
+                    g += lut_t[m][cc[:, m]]
+                dots = g.T + qc_[qidx, int(c)][:, None]  # (q, n_c)
+                if metric == "dot":
+                    S = dots
+                else:
+                    nt = nt_all[int(c)]
+                    norm2 = np.full(nc, cn2[int(c)])
+                    for m in range(M):
+                        norm2 += nt[m, cc[:, m]]
+                    norm2 = np.maximum(norm2, 1e-24)
+                    if metric == "cosine":
+                        S = dots / (np.sqrt(norm2)[None, :]
+                                    * np.maximum(l2q_[qidx], 1e-12)[:, None])
+                    else:  # euclid
+                        d2 = (norm2[None, :] + (l2q_[qidx] ** 2)[:, None]
+                              - 2.0 * dots)
+                        S = np.sqrt(np.maximum(d2, 0.0))
+                kk = min(n_coarse, nc)
+                if kk < nc:
+                    part = np.argpartition(
+                        -S if bigger else S, kk - 1, axis=1
+                    )[:, :kk]
+                else:
+                    part = np.tile(np.arange(nc)[None, :], (len(qidx), 1))
+                # exact rescore of the shortlist only: (q, kk, d) gather +
+                # one small einsum per cluster block
+                Vc = V[mask]
+                X = Vc[part]                              # (q, kk, d)
+                Qsub = Qm_[qidx]                          # (q, d)
+                edot = np.einsum("qkd,qd->qk", X, Qsub)
+                if metric == "dot":
+                    Se = edot
+                elif metric == "cosine":
+                    xn = np.linalg.norm(X, axis=2)
+                    Se = edot / (np.maximum(xn, 1e-12)
+                                 * np.maximum(l2q_[qidx], 1e-12)[:, None])
+                else:  # euclid
+                    xn2 = (X * X).sum(axis=2)
+                    d2 = xn2 + (l2q_[qidx] ** 2)[:, None] - 2.0 * edot
+                    Se = np.sqrt(np.maximum(d2, 0.0))
+                rows = part.ravel()
+                acc.append((np.repeat(qidx, part.shape[1]),
+                            ids[mask][rows], Se.ravel()))
+        if not acc:
+            return
+        import pyarrow as pa
+
+        qi = np.concatenate([a[0] for a in acc])
+        ii = np.concatenate([a[1] for a in acc])
+        ss = np.concatenate([a[2] for a in acc])
+        # per-partition trim to per-query top-k on the EXACT score —
+        # map-side combine of the final window
+        key_s = -ss if bigger else ss
+        order = np.lexsort((ii, key_s, qi))
+        qi, ii, ss = qi[order], ii[order], ss[order]
+        uq, starts = np.unique(qi, return_index=True)
+        rank = np.arange(len(qi)) - starts[np.searchsorted(uq, qi)]
+        keep = rank < k
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(qid_arr[qi[keep]]), pa.array(ii[keep]),
+             pa.array(ss[keep], type=pa.float64())],
+            names=[qid_col, id_col, "score"],
+        )
+
+    scored = sel.mapInArrow(fused_batches, out_schema)
+    w = Window.partitionBy(qid_col).orderBy(*score_order(metric, id_col=id_col))
     return (
-        pair.withColumn("score", score)
-        .select(qid_col, id_col, "score")
-        .withColumn("rank", F.row_number().over(wf))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

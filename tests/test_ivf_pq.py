@@ -215,3 +215,46 @@ def test_batch_pruned_recall(spark, embeddings, ivfpq):
             hits += 1
     total = sum(len(s) for s in by_q.values())
     assert hits / total >= 0.6
+
+
+@pytest.mark.parametrize("mode", ["coarse", "fused"])
+def test_batch_modes_match_exact_at_full_probe(spark, embeddings, ivfpq, mode):
+    # both physical strategies (narrow coarse scan + join rescore vs fused
+    # single-stage) must equal the exact batch at full probe — the
+    # size-dispatch may pick either, so each is pinned explicitly
+    from qdrant_spark.operators.ann import ivf_pq_search_batch
+    from qdrant_spark.operators.knn import knn_batch
+
+    queries = embeddings.where("vec_id < 4").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = [
+        (r.qid, r.vec_id, r.rank)
+        for r in ivf_pq_search_batch(
+            ivfpq, queries, k=5, nprobe=8, oversampling=24.0,
+            metric="cosine", mode=mode,
+        ).collect()
+    ]
+    want = [
+        (r.qid, r.vec_id, r.rank)
+        for r in knn_batch(
+            embeddings, queries, metric="cosine", k=5, vec_col="embedding",
+            id_col="vec_id", strategy="window",
+        ).select("qid", "vec_id", "rank").collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+
+def test_fused_mode_requires_vector_column(spark, embeddings, ivfpq):
+    from qdrant_spark.operators.ann import IvfPqIndex, ivf_pq_search_batch
+
+    narrow = IvfPqIndex(
+        assigned=ivfpq.assigned.select("vec_id", "__pq", "__cluster"),
+        centroids=ivfpq.centroids, codebooks=ivfpq.codebooks,
+        vec_col="embedding", id_col="vec_id",
+    )
+    queries = embeddings.where("vec_id < 2").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    with pytest.raises(ValueError, match="fused"):
+        ivf_pq_search_batch(narrow, queries, k=3, mode="fused")
