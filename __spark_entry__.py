@@ -1978,6 +1978,30 @@ def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return _r6(out, "score")
 
 
+def _q_knn_auto_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """Selectivity-aware filtered search (the reference's plain-vs-index
+    dispatch, query_estimator.rs + dispatch.rs:56-176): the ~20%-selective
+    label filter falls below the full-scan threshold, so the dispatcher
+    routes to the plain filtered scan — whose result is exactly the
+    brute-force filtered top-k the oracle computes."""
+    from qdrant_spark.catalog import FieldIndex, field_index_stats
+    from qdrant_spark.operators.ann import build_ivf
+    from qdrant_spark.operators.dispatch import auto_search, stats_from_index
+
+    emb = _emb(spark, sf)
+    idx = build_ivf(emb, n_clusters=8, vec_col="embedding", id_col="vec_id")
+    stats = stats_from_index(
+        field_index_stats(emb, [FieldIndex("label", "integer")]))
+    total = emb.count()
+    q = _vecs(spark, sf, [0])[0]
+    flt = {"must": [{"key": "label", "match": {"any": [2, 7]}}]}
+    out = auto_search(
+        idx, q, k=10, nprobe=2, metric="cosine", flt=flt, stats=stats,
+        total=total, full_scan_threshold=max(50, total // 2),
+    )
+    return _r6(out, "score")
+
+
 def _q_maxsim_knn(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-scale MaxSim scan (Arrow segment-max scorer) — same query
     construction and oracle as the Column-math maxsim entry."""
@@ -2392,69 +2416,65 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_universal_hybrid_sparse(spark, "/root/testdata/sf0.001")
 
 
-# The driver's correctness gate truncates at 50 entries per round
-# (CORRECTNESS_r01.json stopped at entry 50), so entries that have not yet
-# received a green driver row run FIRST. Round 1 gated the first 50 of the
-# old ordering; this list front-loads the 24 that were cut off, plus any
-# entries new this round. Rotate once everything has a driver row.
+# The driver's correctness gate truncates at 50 entries per round, so the
+# gate ROTATES: entries new this round run first, then entries whose most
+# recent driver row is oldest (r1 before r2; everything re-gated in r3
+# drops to the back). Keep rotating each round so no entry's driver row
+# goes more than ~2 rounds stale.
 _GATE_PRIORITY = [
-    # new in round 3 (curation) + the two entries fixed this round — none
-    # of these has a green driver row yet, so they go first (50-entry cap)
-    "dedup_components",
-    "dedup_resolve",
-    "ann_ivf_pq_batch",
-    "geo_indexed_radius",
-    "ann_ivf_pq_rescore",
-    "decontaminate",
-    "gopher_quality",
-    "pii_scan",
-    "chunk_docs",
-    "stratified_sample",
-    "stratified_quota",
-    "embedding_project",
-    "ngram_counts",
-    "weighted_sample",
-    "distance_matrix_offsets",
-    "field_index_stats",
-    # green in round 2
-    "shard_routed_knn",
-    "shard_fallback_route",
-    "sync",
-    "filter_text_stemmed",
-    "filter_jsonpath_array",
-    "quantized_pq_rescore",
-    "quantized_tq_rescore",
-    "query_batch",
-    "knn_uint8",
-    "recommend_multi_ids",
-    "filter_phrase_indexed",
-    "multimodal_wav",
-    "multimodal_ppm",
-    # driver-ungated after round 1 (entries 51-74 of the old ordering)
-    "filter_nested",
-    "filter_prefix",
-    "filter_is_empty",
-    "filter_is_null",
-    "filter_values_count",
-    "query_by_id",
-    "geo_radius",
-    "geo_bbox_wrap",
-    "geo_polygon",
-    "formula_rescore",
-    "universal_hybrid",
-    "universal_hybrid_sparse",
-    "universal_rescore",
-    "upsert",
-    "upsert_conditional",
-    "update_vectors",
-    "delete_by_filter",
-    "set_payload",
-    "mmr",
-    "ann_ivf_full_probe",
-    "ann_ivf",
+    # new in round 4 — no driver row yet
+    "knn_auto_filtered",
+    "quantized_bq2_rescore",
+    "mmr",  # oracle upgraded from rows-only this round
+    # last driver row r1 (39 entries)
+    "recommend_best_score",
+    "recommend_sum_scores",
+    "discover",
+    "context",
+    "relevance_feedback",
+    "fusion_rrf",
+    "fusion_dbsf",
+    "group_by",
+    "group_by_lookup",
+    "distance_matrix",
+    "maxsim",
+    "maxsim_knn",
+    "scroll_keyset",
+    "scroll_order_by",
+    "count_filtered",
+    "facet_lang",
+    "facet_event_type",
+    "unique_values",
+    "retrieve",
+    "filter_dsl_orders",
+    "filter_min_should",
+    "filter_text_all",
+    "filter_phrase",
+    "payload_json_path",
+    "text_quality",
+    "token_counts",
+    "lang_detect",
+    "fingerprint",
+    "sparse_knn",
+    "sparse_knn_batch",
+    "sparse_idf_knn",
+    "sparse_idf_corpus",
+    "bm25_search",
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "dedup_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding",
+    # last driver row r2 (head of the 14; the rest rotate in next round)
     "ann_ivf_batch",
     "quantized_sq_rescore",
     "quantized_bq_rescore",
+    "knn_cosine",
+    "knn_dot",
+    "knn_euclid",
+    "knn_manhattan",
+    "knn_filtered",
 ]
 
 
@@ -2565,6 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr": _q_mmr,
         "ann_ivf_full_probe": _q_ann_full_probe,
         "ann_ivf": _q_ann_ivf,
+        "knn_auto_filtered": _q_knn_auto_filtered,
         "ann_ivf_batch": _q_ann_ivf_batch,
         "quantized_sq_rescore": _q_sq_rescore,
         "quantized_pq_rescore": _q_pq_rescore,
@@ -2594,6 +2615,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_filtered": _knn_sql(
             "cosine", label_where="label IN (1, 2, 3)", threshold="WHERE s.score > 0.1"
         ),
+        "knn_auto_filtered": _knn_sql("cosine", label_where="label IN (2, 7)"),
         "knn_batch": _KNN_BATCH_SQL,
         "knn_batch_partial": _KNN_BATCH_SQL,
         "knn_batch_matmul": _KNN_BATCH_SQL,

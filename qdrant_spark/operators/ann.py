@@ -5,9 +5,11 @@ hnsw_index/, ~14k LoC). A graph walk is pointer-chasing — the wrong shape
 for Spark. The Spark-native ANN equivalent is IVF: cluster the corpus
 (MLlib KMeans), store cluster ids as a column (partition/Z-order by it at
 scale), and search only the ``nprobe`` nearest clusters — a partition-
-pruned exact scan. Selectivity heuristics mirror the reference's
-plain-vs-graph dispatch (full_scan_threshold, dispatch.rs:56-176): small
-filtered sets skip the index entirely.
+pruned exact scan. The selectivity-aware plain-vs-index dispatch that
+mirrors the reference's full_scan_threshold routing (dispatch.rs:56-176)
+lives in :mod:`qdrant_spark.operators.dispatch` (``auto_search``): small
+filtered sets skip the index entirely there; ``ivf_search(flt=...)``
+here applies the filter inside the probed clusters only.
 
 Recall is gated against the exact scan, mirroring the reference's
 ANN-vs-exact test pattern (lib/segment/tests/integration/

@@ -1,0 +1,308 @@
+"""Selectivity-aware filtered-search dispatch: estimator combination
+rules (query_estimator.rs semantics), Agresti-Coull sampled check
+(sample_estimation.rs), strategy routing (dispatch.rs:56-176), and the
+filtered-ANN recall gate (the filtrable_hnsw_test.rs pattern)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from qdrant_spark.operators.dispatch import (
+    CardinalityEstimation,
+    FieldCardStats,
+    agresti_coull_interval,
+    auto_search,
+    choose_filtered_strategy,
+    combine_min_should,
+    combine_must,
+    combine_should,
+    estimate_filter,
+    invert,
+    sample_check_cardinality,
+    stats_from_index,
+)
+
+TOTAL = 1000
+A = CardinalityEstimation(100, 200, 300)
+B = CardinalityEstimation(100, 150, 200)
+
+
+def _ok(e: CardinalityEstimation, total: int = TOTAL) -> None:
+    assert 0 <= e.min <= e.exp <= e.max <= total
+
+
+class TestCombinators:
+    def test_must_bounds(self):
+        e = combine_must([A, B], TOTAL)
+        _ok(e)
+        # independence product: 0.2 * 0.15 * 1000 = 30
+        assert e.exp == 30
+        assert e.max == 200  # min of maxima
+        assert e.min == 0    # 100 + 100 - 1000 < 0
+
+    def test_must_overlapping_min(self):
+        big = CardinalityEstimation(800, 850, 900)
+        e = combine_must([big, big], TOTAL)
+        assert e.min == 600  # 800 + 800 - 1000
+
+    def test_should_complement_rule(self):
+        e = combine_should([A, B], TOTAL)
+        _ok(e)
+        # 1 - (1-.2)(1-.15) = .32
+        assert e.exp == 320
+        assert e.min == 100  # max of minima
+        assert e.max == 500  # sum capped
+
+    def test_should_cap_at_total(self):
+        big = CardinalityEstimation(600, 700, 800)
+        e = combine_should([big, big], TOTAL)
+        assert e.max == TOTAL
+
+    def test_min_should_over_count_is_zero(self):
+        assert combine_min_should([A], 2, TOTAL) == CardinalityEstimation.exact(0)
+
+    def test_min_should_pairs(self):
+        e = combine_min_should([A, A, B], 2, TOTAL)
+        _ok(e)
+        # three pairwise intersections OR'd — strictly below any single leaf
+        assert 0 < e.exp < A.exp
+
+    def test_invert_roundtrip(self):
+        e = invert(A, TOTAL)
+        assert (e.min, e.exp, e.max) == (700, 800, 900)
+        assert invert(e, TOTAL) == A
+
+
+STATS = {
+    "label": FieldCardStats(n=950, nulls=50, n_distinct=10),
+    "price": FieldCardStats(n=1000, nulls=0, n_distinct=400,
+                            min_num=0.0, max_num=100.0),
+}
+
+
+class TestEstimateFilter:
+    def test_match_value(self):
+        e = estimate_filter(
+            {"must": [{"key": "label", "match": {"value": 3}}]}, STATS, TOTAL)
+        _ok(e)
+        assert e.exp == 95          # n / D
+        assert e.max == 941         # n - D + 1
+
+    def test_match_any_scales(self):
+        e1 = estimate_filter(
+            {"must": [{"key": "label", "match": {"any": [1]}}]}, STATS, TOTAL)
+        e3 = estimate_filter(
+            {"must": [{"key": "label", "match": {"any": [1, 2, 3]}}]}, STATS, TOTAL)
+        assert e1.exp < e3.exp <= 950
+
+    def test_range_uniform_fraction(self):
+        e = estimate_filter(
+            {"must": [{"key": "price", "range": {"gte": 0, "lt": 25}}]},
+            STATS, TOTAL)
+        assert e.exp == 250
+
+    def test_range_disjoint_is_zero(self):
+        e = estimate_filter(
+            {"must": [{"key": "price", "range": {"gt": 200}}]}, STATS, TOTAL)
+        assert e == CardinalityEstimation.exact(0)
+
+    def test_has_id_exact(self):
+        e = estimate_filter({"must": [{"has_id": [1, 2, 3]}]}, STATS, TOTAL)
+        assert e == CardinalityEstimation.exact(3)
+
+    def test_unindexed_field_unknown(self):
+        e = estimate_filter(
+            {"must": [{"key": "mystery", "match": {"value": 1}}]}, STATS, TOTAL)
+        assert (e.min, e.max) == (0, TOTAL)
+
+    def test_must_not_inverts(self):
+        e = estimate_filter(
+            {"must_not": [{"key": "label", "match": {"value": 3}}]}, STATS, TOTAL)
+        _ok(e)
+        assert e.exp > TOTAL // 2
+
+    def test_empty_filter_matches_all(self):
+        assert estimate_filter(None, STATS, TOTAL) == CardinalityEstimation.exact(TOTAL)
+        assert estimate_filter({}, STATS, TOTAL) == CardinalityEstimation.exact(TOTAL)
+
+    def test_nested_filter_condition_recurses(self):
+        e = estimate_filter(
+            {"must": [{"must": [{"key": "label", "match": {"value": 1}}]}]},
+            STATS, TOTAL)
+        assert e.exp == 95
+
+
+class TestSampledCheck:
+    def test_interval_shrinks_with_trials(self):
+        _, d1 = agresti_coull_interval(10, 5, 100_000)
+        _, d2 = agresti_coull_interval(1000, 500, 100_000)
+        assert d2 < d1
+
+    def test_reference_case(self):
+        # sample_estimation.rs test: 12 trials, half positive, total 100k,
+        # threshold 10k -> above
+        exp, _ = agresti_coull_interval(12, 6, 100_000)
+        assert exp > 10_000
+
+    def test_spark_sampled_check(self, spark):
+        df = spark.range(2000).withColumn(
+            "flag", (F.col("id") % 2 == 0).cast("boolean"))
+        flt = {"must": [{"key": "flag", "match": {"value": True}}]}
+        # true cardinality 1000
+        assert sample_check_cardinality(df, flt, 200, 2000)
+        assert not sample_check_cardinality(df, flt, 1800, 2000)
+
+
+class TestStrategyChoice:
+    def test_exact_small_filter_goes_plain(self):
+        s, _ = choose_filtered_strategy(
+            {"must": [{"has_id": [1, 2, 3]}]}, STATS, TOTAL,
+            full_scan_threshold=100)
+        assert s == "plain"
+
+    def test_certainly_large_goes_ivf(self):
+        s, _ = choose_filtered_strategy(
+            {"must_not": [{"has_id": [1]}]}, STATS, TOTAL,
+            full_scan_threshold=100)
+        assert s == "ivf"
+
+    def test_midband_asks_sampler(self):
+        calls = []
+
+        def sampler():
+            calls.append(1)
+            return True
+
+        s, _ = choose_filtered_strategy(
+            {"must": [{"key": "label", "match": {"value": 3}}]}, STATS, TOTAL,
+            full_scan_threshold=100, sampler=sampler)
+        assert calls and s == "ivf"
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: auto_search routing + filtered recall gate
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """4000 x 16-dim clustered corpus with a 30%-selective flag and a
+    2%-selective rare label — enough rows that cluster pruning is real."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 16)) * 4.0
+    rows = []
+    for i in range(4000):
+        c = i % 8
+        v = centers[c] + rng.normal(size=16)
+        rows.append((i, [float(x) for x in v], int(i % 10 < 3), i % 50))
+    return spark.createDataFrame(
+        rows, "id long, vec array<double>, flag int, bucket int")
+
+
+@pytest.fixture(scope="module")
+def ivf(corpus):
+    from qdrant_spark.operators.ann import build_ivf
+
+    return build_ivf(corpus, n_clusters=8, vec_col="vec", id_col="id", seed=1)
+
+
+@pytest.fixture(scope="module")
+def corpus_stats(corpus):
+    from qdrant_spark.catalog import FieldIndex, field_index_stats
+
+    return stats_from_index(field_index_stats(corpus, [
+        FieldIndex("flag", "integer"),
+        FieldIndex("bucket", "integer"),
+    ]))
+
+
+class TestAutoSearch:
+    Q = [0.5] * 16
+
+    def test_selective_filter_routes_plain_and_is_exact(
+            self, ivf, corpus, corpus_stats):
+        from qdrant_spark.operators.knn import knn
+
+        flt = {"must": [{"key": "bucket", "match": {"value": 7}}]}  # 2%
+        out, strategy, _ = auto_search(
+            ivf, self.Q, k=10, nprobe=2, flt=flt, stats=corpus_stats,
+            total=4000, full_scan_threshold=400, return_strategy=True)
+        assert strategy == "plain"
+        exact = knn(corpus, self.Q, k=10, vec_col="vec", id_col="id",
+                    flt=flt, select=["id", "score"])
+        assert [r["id"] for r in out.collect()] == \
+               [r["id"] for r in exact.collect()]
+
+    def test_broad_filter_routes_ivf(self, ivf, corpus_stats):
+        flt = {"must_not": [{"key": "bucket", "match": {"value": 7}}]}  # 98%
+        out, strategy, _ = auto_search(
+            ivf, self.Q, k=10, nprobe=8, flt=flt, stats=corpus_stats,
+            total=4000, full_scan_threshold=400, return_strategy=True)
+        assert strategy == "ivf"
+        assert out.count() == 10
+
+    def test_no_filter_small_corpus_plain(self, ivf, corpus_stats):
+        _, strategy, _ = auto_search(
+            ivf, self.Q, k=5, stats=corpus_stats, total=4000,
+            full_scan_threshold=5000, return_strategy=True)
+        assert strategy == "plain"
+
+    def test_exact_forces_plain(self, ivf, corpus_stats):
+        flt = {"must_not": [{"key": "bucket", "match": {"value": 7}}]}
+        _, strategy, _ = auto_search(
+            ivf, self.Q, flt=flt, stats=corpus_stats, total=4000,
+            full_scan_threshold=400, exact=True, return_strategy=True)
+        assert strategy == "plain"
+
+    def test_filtered_recall_gate(self, ivf, corpus, corpus_stats):
+        """filtrable_hnsw_test.rs pattern: ANN recall under a moderately
+        selective filter must stay high. The 30% flag filter routes to the
+        IVF path; the probe boost widens nprobe by ~1/0.3."""
+        from qdrant_spark.operators.knn import knn
+
+        rng = np.random.default_rng(11)
+        flt = {"must": [{"key": "flag", "match": {"value": 1}}]}
+        hits = total = 0
+        for _ in range(5):
+            q = [float(x) for x in rng.normal(size=16) * 3.0]
+            out, strategy, _ = auto_search(
+                ivf, q, k=10, nprobe=2, flt=flt, stats=corpus_stats,
+                total=4000, full_scan_threshold=200, sample=False,
+                return_strategy=True)
+            assert strategy == "ivf"
+            approx = {r["id"] for r in out.collect()}
+            exact = {r["id"] for r in knn(
+                corpus, q, k=10, vec_col="vec", id_col="id", flt=flt,
+                select=["id", "score"]).collect()}
+            hits += len(approx & exact)
+            total += len(exact)
+        assert hits / total >= 0.9
+
+    def test_probe_boost_caps_at_cluster_count(self, ivf, corpus_stats):
+        # 2%-selective filter forced down the ivf path: boost must clamp
+        flt = {"must": [{"key": "bucket", "match": {"value": 7}}]}
+        out, strategy, _ = auto_search(
+            ivf, self.Q, k=5, nprobe=4, flt=flt, stats=corpus_stats,
+            total=4000, full_scan_threshold=1, sample=False,
+            return_strategy=True)
+        assert strategy == "ivf"
+        assert out.count() == 5  # full-probe fallback found the rare rows
+
+    def test_plain_path_has_no_cluster_predicate(self, ivf, corpus_stats):
+        flt = {"must": [{"key": "bucket", "match": {"value": 7}}]}
+        out, strategy, _ = auto_search(
+            ivf, self.Q, k=5, flt=flt, stats=corpus_stats, total=4000,
+            full_scan_threshold=400, return_strategy=True)
+        assert strategy == "plain"
+        assert "__cluster" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_stats_from_index_roundtrip(spark):
+    from qdrant_spark.catalog import FieldIndex, field_index_stats
+
+    df = spark.range(100).withColumn("grp", (F.col("id") % 4).cast("int"))
+    st = stats_from_index(field_index_stats(df, [FieldIndex("grp", "integer")]))
+    assert st["grp"].n == 100 and st["grp"].n_distinct == 4
+    assert st["grp"].min_num == 0.0 and st["grp"].max_num == 3.0
