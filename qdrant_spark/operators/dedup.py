@@ -81,13 +81,24 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) via banded MinHash-LSH
     with exact-jaccard verification of the candidates.
 
     Shuffles: one on the band key (bucket join), one on the candidate pair
     for the verify. The full shingle sets are joined back only for
-    candidate ids — at 100 TB the candidate set is tiny vs the corpus."""
+    candidate ids — at 100 TB the candidate set is tiny vs the corpus.
+
+    ``max_bucket_size`` is the standard MinHashLSH degenerate-bucket guard
+    for boilerplate-heavy corpora: a bucket of B ids materializes as one
+    collect_list row and expands O(B^2) pairs, so one pathological bucket
+    (every page sharing a template hashes to the same band key) can blow
+    a single executor. Buckets above the cap are DROPPED — a recall/cost
+    knob: pairs only discoverable through an oversized bucket are lost,
+    which for near-dup dedup is usually acceptable (such buckets are
+    boilerplate collisions, and true near-dups still collide in other
+    bands). Default off: at test scale every bucket is small."""
     from qdrant_spark.functions.hashes import hashed_tokens, minhash_from_hashed_arrow
 
     rows_per_band = n_perms // bands
@@ -111,6 +122,8 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
     ids = F.col("ids")
     n = F.size(ids)
     pair_list = F.flatten(
@@ -301,10 +314,14 @@ def duplicate_components(
       dense, so diameter is small).
 
     This is the "which copy do we keep" completion of the pair-producing
-    dedup ops: group pairs into clusters, keep min-id per cluster."""
-    n_pairs = pairs.count()
-    if n_pairs <= driver_threshold:
-        rows = pairs.select(id_a, id_b).collect()
+    dedup ops: group pairs into clusters, keep min-id per cluster.
+
+    The strategy probe is a SINGLE job: ``limit(threshold + 1).collect()``
+    — ``pairs`` is typically the full LSH candidate pipeline, so a
+    separate ``count()`` before the collect would run the whole
+    shingle->minhash->bucket->verify chain twice."""
+    rows = pairs.select(id_a, id_b).limit(driver_threshold + 1).collect()
+    if len(rows) <= driver_threshold:
         parent: dict = {}
 
         def find(x):
@@ -341,6 +358,7 @@ def duplicate_components(
         .cache()
     )
     labels.count()
+    changed = 0
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.id)
@@ -370,6 +388,17 @@ def duplicate_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed:
+        import warnings
+
+        warnings.warn(
+            f"duplicate_components: min-label propagation still changed "
+            f"{changed} labels after max_iter={max_iter} rounds — components "
+            f"with graph diameter > max_iter are SPLIT (wrong keepers). "
+            f"Raise max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -33,10 +33,16 @@ def _n_lon(precision_deg: float) -> int:
 
 def geo_cell(lat: Column, lon: Column, precision_deg: float = 5.0) -> Column:
     """Grid cell id for a (lat, lon) pair: ``lat_idx * n_lon + lon_idx``
-    with ``precision_deg``-sized cells. Pure column math."""
+    with ``precision_deg``-sized cells. Pure column math.
+
+    Longitude is normalized into [-180, 180) via pmod so +180.0 and
+    -180.0 (the same physical meridian) land in the SAME cell — without
+    this, a covering range ending exactly at +180 could prune a point
+    stored with the opposite-signed boundary longitude, breaking the
+    "pruning is strictly a superset" contract."""
     n_lon = _n_lon(precision_deg)
     lat_idx = F.floor((lat + F.lit(90.0)) / F.lit(precision_deg))
-    lon_idx = F.floor((lon + F.lit(180.0)) / F.lit(precision_deg))
+    lon_idx = F.floor(F.pmod(lon + F.lit(180.0), F.lit(360.0)) / F.lit(precision_deg))
     return (lat_idx * F.lit(n_lon) + lon_idx).cast("long")
 
 
@@ -65,15 +71,26 @@ def _lat_range_idx(lat_min: float, lat_max: float, p: float) -> range:
 
 
 def _lon_range_idx(lon_min: float, lon_max: float, p: float) -> set[int]:
-    """Antimeridian-aware: lon_min > lon_max means the range wraps."""
-    def rng(a: float, b: float) -> range:
+    """Antimeridian-aware: lon_min > lon_max means the range wraps.
+
+    Seam handling: +180 and -180 are the same meridian, so a range that
+    touches either boundary includes BOTH cells that boundary can map to
+    (cell 0 for the normalized form, the last lon cell for tables whose
+    cell column predates the geo_cell pmod normalization) — a superset,
+    so pruning stays conservative."""
+    last = int(math.floor(360.0 / p))
+
+    def rng(a: float, b: float) -> set[int]:
         lo = int(math.floor((max(a, -180.0) + 180.0) / p))
         hi = int(math.floor((min(b, 180.0) + 180.0) / p))
-        return range(lo, hi + 1)
+        out = set(range(lo, hi + 1))
+        if min(b, 180.0) >= 180.0 or max(a, -180.0) <= -180.0:
+            out |= {0, last}
+        return out
 
     if lon_min <= lon_max:
-        return set(rng(lon_min, lon_max))
-    return set(rng(lon_min, 180.0)) | set(rng(-180.0, lon_max))
+        return rng(lon_min, lon_max)
+    return rng(lon_min, 180.0) | rng(-180.0, lon_max)
 
 
 def covering_cells(cond: dict[str, Any], precision_deg: float = 5.0) -> list[int] | None:

@@ -82,3 +82,31 @@ def test_partitioned_layout_prunes_files(spark, geo_points, tmp_path):
     exact = {r.event_id for r in
              apply_filter(geo_points, {"must": [RADIUS]}).select("event_id").collect()}
     assert {r.event_id for r in out.select("event_id").collect()} == exact
+
+
+def test_antimeridian_seam_not_pruned(spark):
+    """A point stored at lon=+180.0 and one at lon=-180.0 sit on the same
+    meridian; a bbox covering that meridian must keep both after pruning
+    (the 'pruning is strictly a superset' contract at the seam)."""
+    pts = spark.createDataFrame(
+        [(1, (10.0, 180.0)), (2, (10.0, -180.0)), (3, (10.0, 0.0))],
+        "id: long, location: struct<lat: double, lon: double>",
+    )
+    cells = add_geo_cells(pts, "location", precision_deg=5.0)
+    # normalization: +180 and -180 land in the SAME cell
+    got = {r["id"]: r["__geo_cell"] for r in cells.collect()}
+    assert got[1] == got[2]
+
+    # haversine is periodic in longitude: a radius from lon=178 crossing
+    # the meridian reaches the points stored at lon=+/-180 (~219 km away),
+    # and its covering range ends exactly at +180 without wrapping — the
+    # case where the old covering pruned the opposite-signed cell. Pruned
+    # result must equal the unindexed exact scan (superset contract).
+    for center_lon in (178.0, -178.0):
+        cond = {"key": "location", "geo_radius": {
+            "center": {"lat": 10.0, "lon": center_lon}, "radius": 250_000.0}}
+        pruned = {r["id"] for r in geo_pruned_filter(
+            cells, cond, precision_deg=5.0).collect()}
+        exact = {r["id"] for r in apply_filter(
+            cells, {"must": [cond]}).collect()}
+        assert pruned == exact == {1, 2}, (center_lon, pruned, exact)

@@ -216,3 +216,65 @@ def test_components_distributed_path_agrees_with_union_find(spark):
     dist = {(r.id, r.component)
             for r in duplicate_components(df, driver_threshold=0).collect()}
     assert fast == dist
+
+
+def test_lsh_bucket_cap_drops_degenerate_bucket(spark):
+    """max_bucket_size: a boilerplate corpus where every doc is identical
+    collapses into one giant bucket; the cap drops it (recall/cost knob),
+    while distinct small clusters survive."""
+    from qdrant_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = [(i, "the same exact boilerplate text repeated endlessly here")
+              for i in range(20)]
+    pair_ab = [(100, "a unique story about spark partitions and shuffles"),
+               (101, "a unique story about spark partitions and shuffle")]
+    df = spark.createDataFrame(boiler + pair_ab, "doc_id: long, text: string")
+
+    uncapped = minhash_lsh_pairs(df, jaccard_threshold=0.3)
+    assert uncapped.filter("id_a < 100").count() == 20 * 19 // 2
+
+    capped = minhash_lsh_pairs(df, jaccard_threshold=0.3, max_bucket_size=10)
+    rows = capped.collect()
+    # the 20-doc degenerate bucket is dropped entirely...
+    assert all(r.id_a >= 100 for r in rows)
+    # ...but the small genuine near-dup pair is still found
+    assert {(r.id_a, r.id_b) for r in rows} == {(100, 101)}
+
+
+def test_components_driver_probe_is_single_job(spark):
+    """The driver-path strategy probe must evaluate the pair pipeline ONCE
+    (limit+collect), not count()+collect(). An accumulator inside the
+    pipeline counts row evaluations."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from qdrant_spark.operators.dedup import duplicate_components
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf(T.LongType())
+    def tick(x):
+        acc.add(1)
+        return x
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a: long, id_b: long"
+    ).withColumn("id_a", tick(F.col("id_a")))
+    got = {r.id: r.component for r in duplicate_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert acc.value == 3  # one evaluation of the 3-row pipeline
+
+
+def test_components_nonconvergence_warns(spark):
+    """A chain longer than max_iter must not silently return split
+    components (ADVICE): the distributed path warns on non-convergence."""
+    import warnings
+
+    from qdrant_spark.operators.dedup import duplicate_components
+
+    chain = [(i, i + 1) for i in range(8)]
+    df = spark.createDataFrame(chain, "id_a: long, id_b: long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        duplicate_components(df, driver_threshold=0, max_iter=2).collect()
+    assert any("SPLIT" in str(x.message) for x in w)
