@@ -1943,6 +1943,41 @@ FROM embeddings WHERE vec_id < 20
 """
 
 
+_MMR_SQL = """
+WITH RECURSIVE
+q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) v,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+         (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[]))) *
+          sqrt(list_dot_product(q.qv, q.qv))) AS rel
+  FROM embeddings e, q
+  ORDER BY rel DESC, vec_id LIMIT 30
+),
+sel AS (
+  (SELECT 1 AS rank, vec_id, rel AS score, [vec_id] AS chosen
+   FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+  UNION ALL
+  (SELECT s.rank + 1, pick.vec_id, pick.rel, list_append(s.chosen, pick.vec_id)
+   FROM sel s, LATERAL (
+     SELECT c.vec_id, c.rel,
+       0.7 * c.rel - 0.3 * (
+         SELECT max(list_dot_product(c.v, c2.v) /
+                    (sqrt(list_dot_product(c.v, c.v)) *
+                     sqrt(list_dot_product(c2.v, c2.v))))
+         FROM cand c2 WHERE list_contains(s.chosen, c2.vec_id)
+       ) AS mmr
+     FROM cand c
+     WHERE NOT list_contains(s.chosen, c.vec_id)
+     ORDER BY mmr DESC, c.vec_id LIMIT 1
+   ) pick
+   WHERE s.rank < 10)
+)
+SELECT vec_id, round(score, 6) AS score, CAST(rank AS BIGINT) AS rank FROM sel
+"""
+
+
 def _q_mmr(spark: SparkSession, sf: str) -> DataFrame:
     from qdrant_spark.operators.knn import knn
     from qdrant_spark.operators.mmr import mmr
@@ -1952,7 +1987,11 @@ def _q_mmr(spark: SparkSession, sf: str) -> DataFrame:
         _emb(spark, sf), q, metric="cosine", k=30, vec_col="embedding",
         id_col="vec_id", select=["vec_id", "score", "embedding"],
     )
-    out = mmr(cand, lambda_=0.5, k=10, metric="cosine",
+    # lambda != 0.5: with the query itself in the candidate set, 0.5 makes
+    # every step-2 score exactly 0.5*rel - 0.5*cos(c, v0) = 0 — a
+    # mathematical tie that floating-point noise would break differently
+    # per engine; 0.7 keeps every step's argmax well-separated
+    out = mmr(cand, lambda_=0.7, k=10, metric="cosine",
               id_col="vec_id", vec_col="embedding")
     return _r6(out.select("vec_id", "score", "rank"), "score")
 
@@ -2131,6 +2170,24 @@ def _q_bq_rescore(spark: SparkSession, sf: str) -> DataFrame:
     idx = build_bq(emb, vec_col="embedding", id_col="vec_id")
     q = _vecs(spark, sf, [0])[0]
     out = bq_search(idx, q, k=10, oversampling=8.0, metric="cosine")
+    return _r6(out, "score")
+
+
+def _q_bq2_rescore(spark: SparkSession, sf: str) -> DataFrame:
+    """2-bit binary quantization (BinaryQuantizationEncoding::TwoBits,
+    types.rs:1036-1041; z-score zones encoded_vectors_binary.rs:624-671)
+    with hamming coarse stage + exact rescore. Oversampling spans the
+    whole corpus here, so the rescore equals the exact scan and the
+    oracle asserts equality — the recall value of the encoding itself is
+    gated at tighter oversampling in tests/test_quantize.py."""
+    from qdrant_spark.operators.quantize import build_bq, bq_search
+
+    emb = _emb(spark, sf)
+    idx = build_bq(emb, vec_col="embedding", id_col="vec_id",
+                   encoding="two_bits")
+    q = _vecs(spark, sf, [0])[0]
+    n = emb.count()
+    out = bq_search(idx, q, k=10, oversampling=n / 10.0, metric="cosine")
     return _r6(out, "score")
 
 
@@ -2594,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_indexed_radius": _q_geo_indexed_radius,
         "quantized_tq_rescore": _q_tq_rescore,
         "quantized_bq_rescore": _q_bq_rescore,
+        "quantized_bq2_rescore": _q_bq2_rescore,
     })
 
 
@@ -2750,7 +2808,9 @@ FROM documents
         "update_vectors": _UPDATE_VECTORS_SQL,
         "delete_by_filter": _DELETE_FILTER_SQL,
         "set_payload": _SET_PAYLOAD_SQL,
-        # mmr: sequential greedy selection — not SQL-expressible (rows-only)
+        # mmr: the greedy loop is deterministic — one selection per
+        # recursion step as a recursive CTE with a LATERAL argmax pick
+        "mmr": _MMR_SQL,
         "ann_ivf_full_probe": _knn_sql("cosine"),
         "ann_ivf_batch": _KNN_BATCH_SQL,
         "quantized_sq_rescore": _knn_sql("cosine"),
@@ -2759,6 +2819,8 @@ FROM documents
         "ann_ivf_pq_batch": _KNN_BATCH_SQL,
         "geo_indexed_radius": _geo_sql("radius"),
         "quantized_tq_rescore": _knn_sql("cosine"),
+        # corpus-wide oversampling makes the 2-bit BQ rescore exact
+        "quantized_bq2_rescore": _knn_sql("cosine"),
         # quantized_bq_rescore: hamming coarse stage is approximate by
         # design — rows-only check, recall gated in tests/test_quantize.py
         # ann_ivf (nprobe<k): approximate by design — gated by recall tests

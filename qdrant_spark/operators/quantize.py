@@ -152,20 +152,38 @@ def sq_search(
 
 
 # --------------------------------------------------------------------------
-# Binary quantization (1 bit/dim, packed into longs)
+# Binary quantization (1 / 1.5 / 2 bits per dim, packed into longs)
 # --------------------------------------------------------------------------
+
+#: z-score zone boundary for the 2-bit / 1.5-bit encodings
+#: (encoded_vectors_binary.rs:662 SIGMAS = 2/3)
+BQ_SIGMAS = 2.0 / 3.0
+
+BQ_ENCODINGS = ("one_bit", "two_bits", "one_and_half_bits")
+
 
 @dataclass
 class BqIndex:
-    """Bit-packed corpus: ``__bq`` is array<bigint>, 64 dims per word,
-    bit = vector component > per-dimension mean (the encoding the
-    reference's 1-bit BQ uses, types.rs:1036-1074). 32x smaller than
-    float32 — at scale the coarse scan is pure popcount over longs."""
+    """Bit-packed corpus: ``__bq`` is array<bigint>, 64 bits per word.
+    Three encodings (BinaryQuantizationEncoding, types.rs:1036-1041;
+    encoded_vectors_binary.rs:558-655):
+
+    - ``one_bit``: bit = component > per-dimension mean (dim bits).
+    - ``two_bits``: per-dimension z-score zones with SIGMAS = 2/3 —
+      (0,0) below -SIGMAS, (1,0) inside, (1,1) above; stored as
+      [b1 bits | b2 bits] (2*dim bits). Scoring stays XOR+popcount.
+    - ``one_and_half_bits``: 2-bit encoding with consecutive b2 bits
+      OR-merged pairwise — [b1 bits | ceil(dim/2) merged b2 bits].
+
+    Up to 32x smaller than float32 — at scale the coarse scan is pure
+    popcount over longs, whole-stage codegen'd."""
 
     packed: DataFrame
     means: np.ndarray
     vec_col: str
     id_col: str
+    stds: np.ndarray | None = None
+    encoding: str = "one_bit"
 
 
 def _pack_expr(bit_col, dim: int):
@@ -185,12 +203,56 @@ def _pack_expr(bit_col, dim: int):
     return F.array(*words)
 
 
+def _bq_zone_bits(vec, means: np.ndarray, stds: np.ndarray):
+    """(b1, b2) bit arrays as Columns — the z-score zones of
+    encoded_vectors_binary.rs:624-671: b1 = z > -SIGMAS, b2 = z >= SIGMAS;
+    zero-stddev dimensions degrade to plain mean-comparison BQ."""
+    mean_lit = F.lit(means.tolist())
+    std_lit = F.lit(stds.tolist())
+
+    def z_bit(v, i, cmp, fallback):
+        m = F.element_at(mean_lit, i + 1)
+        s = F.element_at(std_lit, i + 1)
+        z = (v.cast("double") - m) / s
+        return F.when(s > F.lit(1e-12), cmp(z)).otherwise(
+            fallback(v.cast("double"), m))
+
+    b1 = F.transform(
+        vec, lambda v, i: z_bit(v, i, _b1_cmp, lambda x, m: x > m).cast("int"))
+    b2 = F.transform(
+        vec, lambda v, i: z_bit(v, i, _b2_cmp,
+                                lambda x, m: F.lit(False)).cast("int"))
+    return b1, b2
+
+
+def _b1_cmp(z):
+    return z > F.lit(-BQ_SIGMAS)
+
+
+def _b2_cmp(z):
+    return z >= F.lit(BQ_SIGMAS)
+
+
+def _bq_ext_dim(dim: int, encoding: str) -> int:
+    if encoding == "one_bit":
+        return dim
+    if encoding == "two_bits":
+        return 2 * dim
+    return dim + (dim + 1) // 2  # one_and_half_bits
+
+
 def build_bq(
     points: DataFrame,
     *,
     vec_col: str = "vec",
     id_col: str = "id",
+    encoding: str = "one_bit",
 ) -> BqIndex:
+    """Fit per-dimension mean (and stddev for the multi-bit encodings) in
+    ONE aggregation pass, then bit-encode the corpus with pure column
+    math — no python workers; the pack folds into whole-stage codegen."""
+    if encoding not in BQ_ENCODINGS:
+        raise ValueError(f"encoding must be one of {BQ_ENCODINGS}, got {encoding!r}")
     base = points.filter(F.col(vec_col).isNotNull())
     first = base.select(F.size(vec_col).alias("d")).first()
     if first is None:
@@ -199,16 +261,37 @@ def build_bq(
     aggs = [
         F.avg(F.element_at(F.col(vec_col), d + 1).cast("double")).alias(f"m{d}")
         for d in range(dim)
+    ] + [
+        F.stddev_pop(F.element_at(F.col(vec_col), d + 1).cast("double")).alias(f"s{d}")
+        for d in range(dim)
     ]
     row = base.agg(*aggs).first()
     means = np.array([row[f"m{d}"] for d in range(dim)])
-    mean_lit = F.lit(means.tolist())
-    bits = F.transform(
-        F.col(vec_col),
-        lambda v, i: (v.cast("double") > F.element_at(mean_lit, i + 1)).cast("int"),
-    )
-    packed = base.withColumn("__bq", _pack_expr(bits, dim))
-    return BqIndex(packed=packed, means=means, vec_col=vec_col, id_col=id_col)
+    stds = np.array([row[f"s{d}"] or 0.0 for d in range(dim)])
+
+    if encoding == "one_bit":
+        mean_lit = F.lit(means.tolist())
+        bits = F.transform(
+            F.col(vec_col),
+            lambda v, i: (v.cast("double") > F.element_at(mean_lit, i + 1)).cast("int"),
+        )
+    else:
+        b1, b2 = _bq_zone_bits(F.col(vec_col), means, stds)
+        if encoding == "two_bits":
+            bits = F.concat(b1, b2)
+        else:  # one_and_half_bits: OR-merge consecutive b2 bits
+            n_pairs = (dim + 1) // 2
+            b2m = F.transform(
+                F.sequence(F.lit(0), F.lit(n_pairs - 1)),
+                lambda i: F.greatest(
+                    F.element_at(b2, i * 2 + 1),
+                    F.coalesce(F.element_at(b2, i * 2 + 2), F.lit(0)),
+                ),
+            )
+            bits = F.concat(b1, b2m)
+    packed = base.withColumn("__bq", _pack_expr(bits, _bq_ext_dim(dim, encoding)))
+    return BqIndex(packed=packed, means=means, vec_col=vec_col,
+                   id_col=id_col, stds=stds, encoding=encoding)
 
 
 # --------------------------------------------------------------------------
@@ -766,11 +849,26 @@ def bq_search(
     flt: dict[str, Any] | None = None,
     metric: str = "cosine",
 ) -> DataFrame:
-    """Coarse rank by Hamming distance between packed sign bits (JVM
+    """Coarse rank by Hamming distance between packed bit encodings (JVM
     ``bit_count`` over XOR-ed words — whole-stage codegen, no shuffle
-    beyond the top-k), then exact rescore of ``k*oversampling``."""
+    beyond the top-k), then exact rescore of ``k*oversampling``. The
+    query is encoded same-as-storage (QueryEncoding::SameAsStorage,
+    encoded_vectors_binary.rs:679-682), so scoring is identical across
+    the 1 / 1.5 / 2-bit encodings — only the bit layout differs."""
     q = np.asarray(query_vector, dtype=np.float64)
-    qbits = (q > index.means).astype(np.int64)
+    if index.encoding == "one_bit":
+        qbits = (q > index.means).astype(np.int64)
+    else:
+        sd = index.stds if index.stds is not None else np.zeros_like(q)
+        ok = sd > 1e-12
+        z = np.where(ok, (q - index.means) / np.where(ok, sd, 1.0), 0.0)
+        b1 = np.where(ok, z > -BQ_SIGMAS, q > index.means).astype(np.int64)
+        b2 = np.where(ok, z >= BQ_SIGMAS, False).astype(np.int64)
+        if index.encoding == "two_bits":
+            qbits = np.concatenate([b1, b2])
+        else:  # one_and_half_bits
+            pad = np.append(b2, 0) if len(b2) % 2 else b2
+            qbits = np.concatenate([b1, pad.reshape(-1, 2).max(axis=1)])
     dim = len(qbits)
     qwords = []
     for w in range((dim + 63) // 64):

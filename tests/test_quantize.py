@@ -271,3 +271,85 @@ def test_tq_plus_coarse_recall_not_worse_than_normal(embeddings):
         return len(exact & got)
 
     assert rec(True) >= rec(False) - 1
+
+
+# --- BQ 2-bit / 1.5-bit encodings (BinaryQuantizationEncoding,
+# types.rs:1036-1041; zones encoded_vectors_binary.rs:624-671) ------------
+
+
+@pytest.fixture(scope="module")
+def bq2(embeddings):
+    idx = build_bq(embeddings, vec_col="embedding", id_col="vec_id",
+                   encoding="two_bits")
+    idx.packed.cache().count()
+    return idx
+
+
+@pytest.fixture(scope="module")
+def bq15(embeddings):
+    idx = build_bq(embeddings, vec_col="embedding", id_col="vec_id",
+                   encoding="one_and_half_bits")
+    idx.packed.cache().count()
+    return idx
+
+
+def test_bq2_bit_layout_matches_zone_oracle(spark):
+    """Pin the 2-bit zone encoding on a hand-computed corpus: z-scores
+    against per-dim mean/stddev_pop, zones (-inf,-2/3] -> 00,
+    (-2/3, 2/3) -> 10, [2/3, inf) -> 11, layout [b1 bits | b2 bits]."""
+    import numpy as np
+
+    vecs = [[0.0, 10.0], [1.0, 10.0], [2.0, 10.0], [3.0, 10.0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id: long, vec: array<double>")
+    idx = build_bq(df, encoding="two_bits")
+    V = np.array(vecs)
+    mean, sd = V.mean(axis=0), V.std(axis=0)
+    rows = {r["id"]: r["__bq"][0] for r in idx.packed.collect()}
+    for i, v in enumerate(vecs):
+        bits = []
+        for d in range(2):  # b1 section
+            if sd[d] > 1e-12:
+                bits.append(int((v[d] - mean[d]) / sd[d] > -2.0 / 3.0))
+            else:
+                bits.append(int(v[d] > mean[d]))
+        for d in range(2):  # b2 section
+            bits.append(int(sd[d] > 1e-12
+                            and (v[d] - mean[d]) / sd[d] >= 2.0 / 3.0))
+        word = 0
+        for b in bits:
+            word = (word << 1) | b
+        assert rows[i] == word, (i, bits, rows[i])
+
+
+def test_bq15_width_and_self_query(embeddings, bq15):
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    ext = dim + (dim + 1) // 2
+    row = bq15.packed.select("__bq").first()
+    assert len(row["__bq"]) == (ext + 63) // 64
+    r = embeddings.first()
+    got = bq_search(bq15, list(r["embedding"]), k=3, oversampling=4.0).collect()
+    assert got[0]["vec_id"] == r["vec_id"]
+
+
+def test_bq2_recall_at_least_one_bit(embeddings, bq, bq2):
+    """The 2-bit zones carry more information than the sign bit: recall@10
+    at equal oversampling must at least match 1-bit (and clear the same
+    floor)."""
+    rows = embeddings.limit(5).collect()
+    hits1 = hits2 = 0
+    for r in rows:
+        q = list(r["embedding"])
+        exact = set(_exact_ids(embeddings, q, "cosine", 10))
+        got1 = {x["vec_id"] for x in bq_search(bq, q, k=10, oversampling=4.0).collect()}
+        got2 = {x["vec_id"] for x in bq_search(bq2, q, k=10, oversampling=4.0).collect()}
+        hits1 += len(exact & got1)
+        hits2 += len(exact & got2)
+    assert hits2 >= hits1 - 2  # parity within noise at tiny sf
+    assert hits2 / (10 * len(rows)) >= 0.5
+
+
+def test_bq_bad_encoding_rejected(embeddings):
+    with pytest.raises(ValueError, match="encoding"):
+        build_bq(embeddings, vec_col="embedding", id_col="vec_id",
+                 encoding="three_bits")
