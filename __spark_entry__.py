@@ -188,13 +188,20 @@ FROM r WHERE rn <= 5
 
 
 def _q_scroll_random(spark: SparkSession, sf: str) -> DataFrame:
-    """ScrollOrder::Random — seeded, deterministic within Spark but not
-    reproducible in SQL (rows-only check)."""
+    """ScrollOrder::Random — md5-hash random order, reproducible in any
+    engine with md5 (value-checked against the DuckDB oracle)."""
     from qdrant_spark.operators.points import scroll
 
     return scroll(_docs(spark, sf), limit=20, id_col="doc_id", random_seed=42).select(
         "doc_id"
     )
+
+
+_SCROLL_RANDOM_SQL = """
+SELECT doc_id FROM documents
+ORDER BY md5(concat('42', ':', CAST(doc_id AS VARCHAR))), doc_id
+LIMIT 20
+"""
 
 
 def _q_reco(kind: str):
@@ -2483,6 +2490,7 @@ _GATE_PRIORITY = [
     "knn_auto_filtered",
     "quantized_bq2_rescore",
     "mmr",  # oracle upgraded from rows-only this round
+    "scroll_random",  # oracle upgraded from rows-only this round
     # last driver row r1 (39 entries)
     "recommend_best_score",
     "recommend_sum_scores",
@@ -2678,7 +2686,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_batch_partial": _KNN_BATCH_SQL,
         "knn_batch_matmul": _KNN_BATCH_SQL,
         "similarity_join": _SIMILARITY_JOIN_SQL,
-        # scroll_random: seeded rand() not reproducible in DuckDB (rows-only)
+        "scroll_random": _SCROLL_RANDOM_SQL,
         "recommend_avg_vector": _reco_sql("avg"),
         "recommend_best_score": _reco_sql("best"),
         "recommend_sum_scores": _reco_sql("sum"),

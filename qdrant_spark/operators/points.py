@@ -90,7 +90,9 @@ def scroll(
     value-keyset. ``random_seed``: ScrollOrder::Random."""
     df = apply_filter(points, flt)
     if random_seed is not None:
-        return df.orderBy(F.rand(random_seed)).limit(limit)
+        return df.orderBy(
+            _sample_hash(F.col(id_col), random_seed), F.col(id_col).asc()
+        ).limit(limit)
     if order_by is not None:
         c = F.col(order_by)
         if start_from is not None:
@@ -143,15 +145,29 @@ def unique_values(
     return df.select(val.alias("value")).filter(F.col("value").isNotNull()).distinct()
 
 
+def _sample_hash(id_col: Column, seed: int) -> Column:
+    """md5(seed ':' id) — the random-order key. Hash-ordering instead of
+    ``rand()`` keeps the draw uniform while making it (a) reproducible in
+    any engine with md5 (the DuckDB oracle sorts the same strings) and
+    (b) a ``TakeOrderedAndProject`` map-side top-n instead of a seeded-rand
+    total sort — no shuffle of the corpus at scale."""
+    return F.md5(F.concat_ws(":", F.lit(str(seed)), id_col.cast("string")))
+
+
 def sample(
     points: DataFrame,
     n: int,
     *,
     flt: dict[str, Any] | None = None,
     seed: int = 42,
+    id_col: str | None = None,
 ) -> DataFrame:
-    """Uniform random sample of n points (deterministic under the seed)."""
-    return apply_filter(points, flt).orderBy(F.rand(seed)).limit(n)
+    """Uniform random sample of n points (deterministic under the seed,
+    reproducible cross-engine — see :func:`_sample_hash`). ``id_col``
+    defaults to the first column."""
+    df = apply_filter(points, flt)
+    key = id_col or df.columns[0]
+    return df.orderBy(_sample_hash(F.col(key), seed), F.col(key).asc()).limit(n)
 
 
 def slice_condition(id_col: Column, fraction_start: float, fraction_end: float, buckets: int = 1 << 16) -> Column:
