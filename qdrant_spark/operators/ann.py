@@ -390,6 +390,7 @@ def ivf_pq_search(
     flt: dict[str, Any] | None = None,
     rescore: bool = True,
     rescore_with: DataFrame | None = None,
+    mode: str = "auto",
 ) -> DataFrame:
     """Probe ``nprobe`` clusters, ADC-score the PQ codes inside them
     (asymmetric: full-precision query vs reconstructed ``centroid[c] +
@@ -433,6 +434,49 @@ def ivf_pq_search(
     cross = np.einsum("cmd,mkd->cmk", cents.reshape(-1, M, dsub), cb)
     l2_q = float(np.linalg.norm(q))
     marange = np.arange(M)
+
+    # Size-dispatched fused route (mirrors ivf_pq_search_batch mode=auto):
+    # when the probed scan is small/cached, ONE python stage that reads
+    # codes AND vectors, ADC-shortlists per cluster block and exact-
+    # rescores the shortlist in-worker beats the narrow coarse scan + a
+    # second rescore job (two python stages + a broadcast join of fixed
+    # cost). Large/disk-resident corpora keep the narrow two-stage plan.
+    if mode not in ("auto", "fused", "twostage"):
+        raise ValueError(f"mode must be auto/fused/twostage, got {mode!r}")
+    can_fuse = (
+        rescore and rescore_with is None and flt is None
+        and metric in ("cosine", "dot", "euclid")
+        and index.vec_col in index.assigned.columns
+    )
+    if mode == "fused" and not can_fuse:
+        raise ValueError("fused mode needs rescore=True, no flt/rescore_with, "
+                         "vector column present, metric cosine/dot/euclid")
+    use_fused = can_fuse and mode != "twostage"
+    if use_fused and mode == "auto":
+        from qdrant_spark.operators.knn import _plan_size_bytes
+
+        pruned_probe = index.assigned.filter(F.col("__cluster").isin(probes))
+        sz = _plan_size_bytes(pruned_probe)
+        use_fused = 0 < sz < FUSED_PQ_DISPATCH_BYTES
+    if use_fused:
+        from pyspark.sql import types as T
+
+        from qdrant_spark.operators.knn import score_order
+
+        n_coarse = max(k, int(np.ceil(k * oversampling)))
+        sc = index.assigned.sparkSession.sparkContext
+        b = sc.broadcast((
+            np.array([0]), {int(c): np.array([0]) for c in probes},
+            lut[None, :, :], qc[None, :], cnorm2, rnorm2, cross,
+            np.array([l2_q]), q[None, :],
+        ))
+        pruned = index.assigned.filter(F.col("__cluster").isin(probes))
+        out = _ivf_pq_fused_batch(
+            index, T.LongType(), pruned, b, k=k, n_coarse=n_coarse,
+            metric=metric, bigger=larger_is_better(metric), qid_col="__qid",
+        )
+        return (out.select(F.col(index.id_col), F.col("score"))
+                   .orderBy(*score_order(metric, id_col=index.id_col)))
 
     def _score(cl_s, codes_s):
         if len(cl_s) == 0:
@@ -638,8 +682,8 @@ def ivf_pq_search_batch(
         use_fused = False
     if use_fused:
         return _ivf_pq_fused_batch(
-            index, queries, pruned, b, k=k, n_coarse=n_coarse,
-            metric=metric, bigger=bigger, qid_col=qid_col,
+            index, queries.schema[qid_col].dataType, pruned, b, k=k,
+            n_coarse=n_coarse, metric=metric, bigger=bigger, qid_col=qid_col,
         )
     sel = pruned.select(index.id_col, "__pq", "__cluster")
     out_schema = T.StructType([
@@ -765,7 +809,7 @@ def ivf_pq_search_batch(
 
 def _ivf_pq_fused_batch(
     index: IvfPqIndex,
-    queries: DataFrame,
+    qid_dtype,  # Spark DataType of the qid column in the output
     pruned: DataFrame,
     b,  # broadcast: (qids, cluster_q, lut, qc, cnorm2, rnorm2, cross, l2q, Qm)
     *,
@@ -790,7 +834,7 @@ def _ivf_pq_fused_batch(
     M = index.codebooks.shape[0]
     sel = pruned.select(index.id_col, index.vec_col, "__pq", "__cluster")
     out_schema = T.StructType([
-        T.StructField(qid_col, queries.schema[qid_col].dataType),
+        T.StructField(qid_col, qid_dtype),
         T.StructField(index.id_col, sel.schema[index.id_col].dataType),
         T.StructField("score", T.DoubleType()),
     ])
@@ -811,8 +855,9 @@ def _ivf_pq_fused_batch(
             vcol = batch.column(1)
             if isinstance(vcol, pa.ChunkedArray):
                 vcol = vcol.combine_chunks()
-            V = (vcol.flatten().to_numpy(zero_copy_only=False)
-                 .reshape(n, -1).astype(np.float64, copy=False))
+            # keep float32 here — only the gathered shortlist rows are
+            # upcast for the exact rescore, not the whole block
+            V = vcol.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
             codes_col = batch.column(2)
             if isinstance(codes_col, pa.ChunkedArray):
                 codes_col = codes_col.combine_chunks()
@@ -862,7 +907,7 @@ def _ivf_pq_fused_batch(
                 # exact rescore of the shortlist only: (q, kk, d) gather +
                 # one small einsum per cluster block
                 Vc = V[mask]
-                X = Vc[part]                              # (q, kk, d)
+                X = Vc[part].astype(np.float64)           # (q, kk, d)
                 Qsub = Qm_[qidx]                          # (q, d)
                 edot = np.einsum("qkd,qd->qk", X, Qsub)
                 if metric == "dot":
