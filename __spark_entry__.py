@@ -2256,6 +2256,68 @@ def _q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
+    """Full Gopher repetition-filter set (dup-line chars, top-2/3/4-gram
+    chars, dup-5/10-gram chars) — per-row column expressions computed by a
+    single sorted-run fold per signal (curation._run_stats), zero
+    shuffles."""
+    from qdrant_spark.operators.curation import repetition_signals
+
+    return repetition_signals(_docs(spark, sf))
+
+
+_REPETITION_SQL = r"""
+WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') w,
+                  string_split(text, chr(10)) l FROM documents),
+lc AS (SELECT t.doc_id, v, count(*) c
+       FROM t, unnest(t.l) AS u(v) GROUP BY t.doc_id, v),
+ldup AS (SELECT doc_id, sum(c * length(v)) ch FROM lc WHERE c > 1 GROUP BY doc_id),
+g2 AS (SELECT doc_id, array_to_string(t.w[i.i : i.i + 1], ' ') gram
+       FROM t, unnest(range(1, len(t.w))) i(i)),
+g2c AS (SELECT doc_id, gram, count(*) cnt FROM g2 GROUP BY doc_id, gram),
+g2t AS (SELECT doc_id, cnt * length(gram) ch FROM (
+          SELECT doc_id, cnt, gram,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) rn
+          FROM g2c) WHERE rn = 1),
+g3 AS (SELECT doc_id, array_to_string(t.w[i.i : i.i + 2], ' ') gram
+       FROM t, unnest(range(1, len(t.w) - 1)) i(i) WHERE len(t.w) >= 3),
+g3c AS (SELECT doc_id, gram, count(*) cnt FROM g3 GROUP BY doc_id, gram),
+g3t AS (SELECT doc_id, cnt * length(gram) ch FROM (
+          SELECT doc_id, cnt, gram,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) rn
+          FROM g3c) WHERE rn = 1),
+g4 AS (SELECT doc_id, array_to_string(t.w[i.i : i.i + 3], ' ') gram
+       FROM t, unnest(range(1, len(t.w) - 2)) i(i) WHERE len(t.w) >= 4),
+g4c AS (SELECT doc_id, gram, count(*) cnt FROM g4 GROUP BY doc_id, gram),
+g4t AS (SELECT doc_id, cnt * length(gram) ch FROM (
+          SELECT doc_id, cnt, gram,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) rn
+          FROM g4c) WHERE rn = 1),
+g5 AS (SELECT doc_id, array_to_string(t.w[i.i : i.i + 4], ' ') gram
+       FROM t, unnest(range(1, len(t.w) - 3)) i(i) WHERE len(t.w) >= 5),
+g5c AS (SELECT doc_id, gram, count(*) cnt FROM g5 GROUP BY doc_id, gram),
+g5d AS (SELECT doc_id, sum(cnt * length(gram)) ch FROM g5c WHERE cnt > 1 GROUP BY doc_id),
+g10 AS (SELECT doc_id, array_to_string(t.w[i.i : i.i + 9], ' ') gram
+        FROM t, unnest(range(1, len(t.w) - 8)) i(i) WHERE len(t.w) >= 10),
+g10c AS (SELECT doc_id, gram, count(*) cnt FROM g10 GROUP BY doc_id, gram),
+g10d AS (SELECT doc_id, sum(cnt * length(gram)) ch FROM g10c WHERE cnt > 1 GROUP BY doc_id)
+SELECT t.doc_id,
+  CASE WHEN length(t.text) > 0 THEN round(least(coalesce(ldup.ch, 0) * 1.0 / length(t.text), 1.0), 6) ELSE 0.0 END AS dup_line_char_frac,
+  CASE WHEN length(t.text) > 0 THEN round(least(coalesce(g2t.ch, 0) * 1.0 / length(t.text), 1.0), 6) ELSE 0.0 END AS top_2gram_char_frac,
+  CASE WHEN length(t.text) > 0 THEN round(least(coalesce(g3t.ch, 0) * 1.0 / length(t.text), 1.0), 6) ELSE 0.0 END AS top_3gram_char_frac,
+  CASE WHEN length(t.text) > 0 THEN round(least(coalesce(g4t.ch, 0) * 1.0 / length(t.text), 1.0), 6) ELSE 0.0 END AS top_4gram_char_frac,
+  CASE WHEN length(t.text) > 0 THEN round(least(coalesce(g5d.ch, 0) * 1.0 / length(t.text), 1.0), 6) ELSE 0.0 END AS dup_5gram_char_frac,
+  CASE WHEN length(t.text) > 0 THEN round(least(coalesce(g10d.ch, 0) * 1.0 / length(t.text), 1.0), 6) ELSE 0.0 END AS dup_10gram_char_frac
+FROM t
+LEFT JOIN ldup ON t.doc_id = ldup.doc_id
+LEFT JOIN g2t ON t.doc_id = g2t.doc_id
+LEFT JOIN g3t ON t.doc_id = g3t.doc_id
+LEFT JOIN g4t ON t.doc_id = g4t.doc_id
+LEFT JOIN g5d ON t.doc_id = g5d.doc_id
+LEFT JOIN g10d ON t.doc_id = g10d.doc_id
+"""
+
+
 _GOPHER_SQL = r"""
 WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') w,
                   string_split(text, chr(10)) l FROM documents),
@@ -2487,6 +2549,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # goes more than ~2 rounds stale.
 _GATE_PRIORITY = [
     # new in round 4 — no driver row yet
+    "repetition_signals",
     "knn_auto_filtered",
     "quantized_bq2_rescore",
     "mmr",  # oracle upgraded from rows-only this round
@@ -2553,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _gate_order({
         "decontaminate": _q_decontaminate,
         "gopher_quality": _q_gopher_quality,
+        "repetition_signals": _q_repetition_signals,
         "pii_scan": _q_pii_scan,
         "chunk_docs": _q_chunk_docs,
         "stratified_sample": _q_stratified_sample,
@@ -2667,6 +2731,7 @@ def oracle_sql() -> dict[str, str]:
     return _gate_order({
         "decontaminate": _DECONTAMINATE_SQL,
         "gopher_quality": _GOPHER_SQL,
+        "repetition_signals": _REPETITION_SQL,
         "pii_scan": _pii_sql(),
         "chunk_docs": _CHUNK_SQL,
         "stratified_sample": _stratified_sample_sql(),

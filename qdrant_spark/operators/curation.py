@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "decontaminate",
     "gopher_quality",
+    "repetition_signals",
     "pii_counts",
     "pii_redact",
     "chunk_documents",
@@ -59,6 +60,100 @@ def _word_grams(words: Column, n: int) -> Column:
             lambda i: F.array_join(F.slice(words, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _run_stats(items: Column) -> Column:
+    """``struct(dup_chars, top_cnt, top_item)`` over an array of strings:
+    total characters in items whose value occurs >= 2 times (counting every
+    occurrence), plus the most frequent item (ties -> lexicographically
+    smallest) and its count.
+
+    One ``array_sort`` + one ``aggregate`` fold: duplicates are adjacent
+    after sorting, so a single O(g log g) in-row pass counts runs — no
+    per-distinct-item rescan (O(g²)) and no shuffle; the whole thing stays
+    a codegen'd column expression. Ascending order + strict ``>`` makes the
+    first max-count run win, which IS the smallest-item tiebreak."""
+    sorted_i = F.array_sort(items)
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("top_cnt"),
+        F.lit("").alias("top"),
+    )
+
+    def merge(acc: Column, g: Column) -> Column:
+        closing = (acc["prev"] != g) & (acc["run"] > 0)
+        dup2 = F.when(
+            closing & (acc["run"] > 1),
+            acc["dup"] + acc["run"] * F.length(acc["prev"]),
+        ).otherwise(acc["dup"])
+        better = closing & (acc["run"] > acc["top_cnt"])
+        return F.struct(
+            g.alias("prev"),
+            F.when(acc["prev"] != g, F.lit(1).cast("long"))
+            .otherwise(acc["run"] + 1).alias("run"),
+            dup2.alias("dup"),
+            F.when(better, acc["run"]).otherwise(acc["top_cnt"]).alias("top_cnt"),
+            F.when(better, acc["prev"]).otherwise(acc["top"]).alias("top"),
+        )
+
+    def finish(acc: Column) -> Column:
+        dup2 = F.when(
+            acc["run"] > 1, acc["dup"] + acc["run"] * F.length(acc["prev"])
+        ).otherwise(acc["dup"])
+        better = acc["run"] > acc["top_cnt"]
+        return F.struct(
+            dup2.alias("dup_chars"),
+            F.when(better, acc["run"]).otherwise(acc["top_cnt"]).alias("top_cnt"),
+            F.when(better, acc["prev"]).otherwise(acc["top"]).alias("top_item"),
+        )
+
+    return F.aggregate(sorted_i, zero, merge, finish)
+
+
+def repetition_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: Iterable[int] = (2, 3, 4),
+    dup_ns: Iterable[int] = (5, 10),
+) -> DataFrame:
+    """The full Gopher repetition-filter signal set (Rae et al. 2021 §A1.1),
+    per document, as pure column expressions — zero shuffles:
+
+    - ``dup_line_char_frac`` — fraction of characters in lines whose exact
+      text occurs >= 2 times in the document (every occurrence counted)
+    - ``top_{n}gram_char_frac`` (n in ``top_ns``) — characters covered by
+      the single most frequent word n-gram: ``cnt * len(gram) / len(text)``
+    - ``dup_{n}gram_char_frac`` (n in ``dup_ns``) — characters across all
+      occurrences of word n-grams that occur >= 2 times, capped at 1.0
+      (occurrence-count definition: overlapping occurrences each count
+      their characters, unlike the paper's union-of-positions — identical
+      formula on the oracle side, documented deviation)
+
+    Fractions are of ``len(text)`` and rounded to 6 decimals; empty or
+    sub-n docs yield 0.0. Complexity is O(g log g) per row via
+    :func:`_run_stats` — survives any corpus size Spark can scan."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    tlen = F.length(F.col(text_col))
+
+    def frac(chars: Column) -> Column:
+        return F.when(tlen > 0, F.round(
+            F.least(chars / tlen, F.lit(1.0)), 6)).otherwise(F.lit(0.0))
+
+    cols: list[Column] = [F.col(id_col)]
+    line_stats = _run_stats(F.split(F.col(text_col), "\n"))
+    cols.append(frac(line_stats["dup_chars"]).alias("dup_line_char_frac"))
+    for n in top_ns:
+        st = _run_stats(_word_grams(words, n))
+        cols.append(
+            frac(st["top_cnt"] * F.length(st["top_item"]))
+            .alias(f"top_{n}gram_char_frac"))
+    for n in dup_ns:
+        st = _run_stats(_word_grams(words, n))
+        cols.append(frac(st["dup_chars"]).alias(f"dup_{n}gram_char_frac"))
+    return docs.select(*cols)
 
 
 def decontaminate(
@@ -125,14 +220,9 @@ def gopher_quality(
       2-gram (count * len(gram) / len(text)); ties break to the
       lexicographically smallest gram
 
-    The top-2-gram argmax runs inside the row via ``array_sort`` with a
-    comparator over the distinct grams — O(g^2) in distinct grams per doc,
-    bounded by doc length, no cross-row state.
+    The top-2-gram argmax is one sorted-run fold per row
+    (:func:`_run_stats` — O(g log g), no per-distinct-gram rescan).
     """
-    # Materialize words/grams as real columns first: expressions referenced
-    # inside higher-order-function lambdas are NOT common-subexpression
-    # eliminated, so leaving `grams` inline recomputes the whole gram array
-    # per distinct gram (measured ~50x slower on sf0.01).
     docs = docs.select(
         F.col(id_col),
         F.col(text_col),
@@ -140,23 +230,7 @@ def gopher_quality(
         F.split(F.col(text_col), "\n").alias("__lines"),
     ).withColumn("__grams", _word_grams(F.col("__words"), 2))
     words, lines, grams = F.col("__words"), F.col("__lines"), F.col("__grams")
-    # (count, gram) per distinct gram, sorted count DESC then gram ASC
-    counted = F.transform(
-        F.array_distinct(grams),
-        lambda g: F.struct(
-            F.size(F.filter(grams, lambda x: x == g)).alias("cnt"),
-            g.alias("gram"),
-        ),
-    )
-    ranked = F.array_sort(
-        counted,
-        lambda l, r: F.when(l["cnt"] > r["cnt"], F.lit(-1))
-        .when(l["cnt"] < r["cnt"], F.lit(1))
-        .when(l["gram"] < r["gram"], F.lit(-1))
-        .when(l["gram"] > r["gram"], F.lit(1))
-        .otherwise(F.lit(0)),
-    )
-    top = F.element_at(ranked, 1)
+    top = _run_stats(grams)
     sw = F.array(*[F.lit(w) for w in stopwords])
     n_words = F.size(words)
     return docs.select(
@@ -179,7 +253,7 @@ def gopher_quality(
             "dup_line_frac"
         ),
         F.when(F.size(grams) > 0, F.round(
-            top["cnt"] * F.length(top["gram"]) / F.length(text_col), 6
+            top["top_cnt"] * F.length(top["top_item"]) / F.length(text_col), 6
         )).otherwise(F.lit(0.0)).alias("top_2gram_char_frac"),
     )
 

@@ -77,6 +77,75 @@ def test_gopher_quality_metrics(spark, toy_docs):
     assert out[5].n_words == 1 and out[5].mean_word_len == 1.0
 
 
+def _py_repetition(text, top_ns=(2, 3, 4), dup_ns=(5, 10)):
+    """Pure-Python reimplementation of repetition_signals (same
+    occurrence-count definitions, capped at 1.0)."""
+    import re
+    from collections import Counter
+
+    def grams(ws, n):
+        if len(ws) < n:
+            return []
+        return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+
+    tlen = len(text)
+
+    def frac(c):
+        return round(min(c / tlen, 1.0), 6) if tlen > 0 else 0.0
+
+    out = {}
+    lc = Counter(text.split("\n"))
+    out["dup_line_char_frac"] = frac(
+        sum(c * len(v) for v, c in lc.items() if c > 1))
+    ws = re.split(r"\s+", text.strip())
+    for n in top_ns:
+        gc = Counter(grams(ws, n))
+        if gc:
+            cnt, gram = sorted(((-c, g) for g, c in gc.items()))[0]
+            out[f"top_{n}gram_char_frac"] = frac(-cnt * len(gram))
+        else:
+            out[f"top_{n}gram_char_frac"] = 0.0
+    for n in dup_ns:
+        gc = Counter(grams(ws, n))
+        out[f"dup_{n}gram_char_frac"] = frac(
+            sum(c * len(v) for v, c in gc.items() if c > 1))
+    return out
+
+
+def test_repetition_signals_vs_python(spark):
+    from qdrant_spark.operators.curation import repetition_signals
+
+    texts = [
+        "the cat sat on the mat the cat sat on the rug",
+        "a a a a a a a a",                      # overlap-capped fractions
+        "hello world\nhello world\nunique line",
+        "",                                      # empty doc -> all zeros
+        "one two",                               # below every gram width
+        "x",
+        "repeat this phrase again repeat this phrase again "
+        "repeat this phrase again and more words here to pad",
+        "line1\nline1\nline1\nline2",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in repetition_signals(df).collect()}
+    for i, t in enumerate(texts):
+        exp = _py_repetition(t)
+        for k, v in exp.items():
+            assert got[i][k] == pytest.approx(v, abs=1e-9), (i, k, t)
+
+
+def test_repetition_signals_dup10_detects_long_repeats(spark):
+    from qdrant_spark.operators.curation import repetition_signals
+
+    block = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    df = spark.createDataFrame(
+        [(0, f"{block} {block}"), (1, block)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert out[0].dup_10gram_char_frac > 0.9   # repeated 10-word block
+    assert out[1].dup_10gram_char_frac == 0.0  # single occurrence
+
+
 def test_pii_counts_and_redact(spark, toy_docs):
     out = {r.doc_id: r for r in pii_counts(toy_docs).collect()}
     assert out[3].n_email == 1 and out[3].n_phone == 1
