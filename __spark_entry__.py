@@ -1238,6 +1238,33 @@ def _q_dedup_resolve(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "component", "is_duplicate")
 
 
+def _q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style corpus-level paragraph dedup: only the first occurrence
+    (by id, position) of each repeated line survives; documents are
+    reassembled. One shuffle on the paragraph value, one groupBy back."""
+    from qdrant_spark.operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(_docs(spark, sf), id_col="doc_id")
+
+
+_PARAGRAPH_DEDUP_SQL = r"""
+WITH t AS (SELECT doc_id, string_split(text, chr(10)) l FROM documents),
+p AS (SELECT doc_id, i AS pos, l[i] AS para
+      FROM t, unnest(range(1, len(l) + 1)) s(i)),
+f AS (SELECT doc_id, pos, para,
+             (length(para) < 1 OR
+              row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1)
+             AS kept
+      FROM p)
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN kept THEN para END, chr(10) ORDER BY pos), '')
+    AS text_clean,
+  count(*) AS n_paras,
+  count(CASE WHEN NOT kept THEN 1 END) AS n_removed
+FROM f GROUP BY doc_id
+"""
+
+
 def _resolve_sql() -> str:
     base = _components_sql().rstrip()
     comp = base.rsplit("SELECT id, min(comp)", 1)[0].rstrip()
@@ -2550,6 +2577,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_PRIORITY = [
     # new in round 4 — no driver row yet
     "repetition_signals",
+    "paragraph_dedup",
     "knn_auto_filtered",
     "quantized_bq2_rescore",
     "mmr",  # oracle upgraded from rows-only this round
@@ -2685,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": _q_lsh_pairs,
         "dedup_components": _q_dedup_components,
         "dedup_resolve": _q_dedup_resolve,
+        "paragraph_dedup": _q_paragraph_dedup,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash": _q_simhash,
         "dedup_embedding": _q_emb_dups,
@@ -2855,6 +2884,7 @@ FROM documents
         "dedup_lsh_pairs": _lsh_sql(),
         "dedup_components": "WITH RECURSIVE " + _components_sql().lstrip().removeprefix("WITH "),
         "dedup_resolve": "WITH RECURSIVE " + _resolve_sql().lstrip().removeprefix("WITH "),
+        "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": _EMB_DUPS_SQL,

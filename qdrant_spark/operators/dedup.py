@@ -421,3 +421,60 @@ def resolve_duplicates(
         .withColumn("component", F.coalesce("component", F.col(id_col)))
         .withColumn("is_duplicate", F.col("component") != F.col(id_col))
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level paragraph dedup (the C4 cleaning rule, Raffel et al.
+    2020 §2.2: any span occurring more than once in the corpus is kept
+    only at its first occurrence). Paragraphs are ``sep``-separated spans;
+    the first occurrence corpus-wide — ordered by (id, position) — wins;
+    every later occurrence is dropped from its document. Spans shorter
+    than ``min_chars`` (default: empty strings) bypass dedup entirely, so
+    blank lines are not collapsed across the corpus.
+
+    Returns ``(id, text_clean, n_paras, n_removed)`` — one row per input
+    document (documents whose every paragraph is removed keep an empty
+    ``text_clean``).
+
+    Scale shape: posexplode (map-only, partition-local) -> ONE shuffle on
+    the paragraph value for the first-occurrence window -> one groupBy(id)
+    to reassemble. No self-join, no pair materialization; the window state
+    per key is one running row_number. Skew note: a pathologically common
+    paragraph concentrates its occurrences in one window partition — at
+    100 TB pre-aggregate by (para, id, pos) min or raise ``min_chars`` to
+    keep boilerplate spans out of the shuffle.
+    """
+    from pyspark.sql import Window
+
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    w = Window.partitionBy("para").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    flagged = paras.withColumn(
+        "kept",
+        (F.length("para") < min_chars) | (F.row_number().over(w) == 1),
+    )
+    assembled = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "para", "kept"))
+                    ),
+                    lambda x: x["kept"],
+                ),
+                lambda x: x["para"],
+            ),
+            sep,
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_paras"),
+        F.count(F.when(~F.col("kept"), F.lit(1))).alias("n_removed"),
+    )
+    return assembled

@@ -278,3 +278,35 @@ def test_components_nonconvergence_warns(spark):
         warnings.simplefilter("always")
         duplicate_components(df, driver_threshold=0, max_iter=2).collect()
     assert any("SPLIT" in str(x.message) for x in w)
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from qdrant_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (0, "unique zero\nshared line\nalso zero"),
+        (1, "shared line\nunique one"),          # "shared line" seen in doc 0
+        (2, "shared line\nshared line\nunique two"),  # in-doc repeat too
+        (3, "\n\nunique three"),                 # blank lines bypass dedup
+    ]
+    out = {r.doc_id: r for r in
+           paragraph_dedup(spark.createDataFrame(rows, ["doc_id", "text"]))
+           .collect()}
+    assert out[0].text_clean == "unique zero\nshared line\nalso zero"
+    assert out[0].n_removed == 0
+    assert out[1].text_clean == "unique one" and out[1].n_removed == 1
+    assert out[2].text_clean == "unique two" and out[2].n_removed == 2
+    # blank paragraphs are kept everywhere (min_chars guard)
+    assert out[3].text_clean == "\n\nunique three" and out[3].n_removed == 0
+    assert out[2].n_paras == 3
+
+
+def test_paragraph_dedup_all_removed_doc_survives(spark):
+    from qdrant_spark.operators.dedup import paragraph_dedup
+
+    rows = [(0, "only line"), (1, "only line")]
+    out = {r.doc_id: r for r in
+           paragraph_dedup(spark.createDataFrame(rows, ["doc_id", "text"]))
+           .collect()}
+    assert out[0].text_clean == "only line"
+    assert out[1].text_clean == "" and out[1].n_removed == 1
