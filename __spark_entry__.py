@@ -2293,6 +2293,40 @@ def _q_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
     return repetition_signals(_docs(spark, sf))
 
 
+def _q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style unigram-LM scoring: smoothed log-probs over the top-500
+    corpus tokens (forcing real OOV traffic at test scale), self-scored.
+    Token counting is map-side combined; the vocab broadcasts."""
+    from qdrant_spark.operators.curation import lm_score
+
+    return lm_score(_docs(spark, sf), vocab_size=500, alpha=1.0)
+
+
+_LM_SCORE_SQL = r"""
+WITH tk AS (SELECT doc_id, t AS tok
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(trim(text)), '\s+') w
+                  FROM documents), unnest(w) AS u(t)
+            WHERE t <> ''),
+cnts AS (SELECT tok, count(*) cnt FROM tk GROUP BY tok),
+tot AS (SELECT sum(cnt) total FROM cnts),
+vocab AS (SELECT tok, ln((cnt + 1.0) / (tot.total + 501.0)) lp
+          FROM cnts, tot ORDER BY cnt DESC, tok LIMIT 500),
+oov AS (SELECT ln(1.0 / (total + 501.0)) lp FROM tot),
+agg AS (SELECT tk.doc_id,
+               count(*) n_tokens,
+               count(CASE WHEN v.lp IS NULL THEN 1 END) n_oov,
+               avg(coalesce(v.lp, oov.lp)) av
+        FROM tk LEFT JOIN vocab v USING (tok), oov
+        GROUP BY tk.doc_id)
+SELECT d.doc_id,
+  coalesce(agg.n_tokens, 0) AS n_tokens,
+  coalesce(round(agg.n_oov * 1.0 / agg.n_tokens, 6), 0.0) AS oov_frac,
+  coalesce(round(agg.av, 6), 0.0) AS avg_logprob
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
 _REPETITION_SQL = r"""
 WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') w,
                   string_split(text, chr(10)) l FROM documents),
@@ -2578,6 +2612,7 @@ _GATE_PRIORITY = [
     # new in round 4 — no driver row yet
     "repetition_signals",
     "paragraph_dedup",
+    "lm_score",
     "knn_auto_filtered",
     "quantized_bq2_rescore",
     "mmr",  # oracle upgraded from rows-only this round
@@ -2645,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "gopher_quality": _q_gopher_quality,
         "repetition_signals": _q_repetition_signals,
+        "lm_score": _q_lm_score,
         "pii_scan": _q_pii_scan,
         "chunk_docs": _q_chunk_docs,
         "stratified_sample": _q_stratified_sample,
@@ -2761,6 +2797,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAMINATE_SQL,
         "gopher_quality": _GOPHER_SQL,
         "repetition_signals": _REPETITION_SQL,
+        "lm_score": _LM_SCORE_SQL,
         "pii_scan": _pii_sql(),
         "chunk_docs": _CHUNK_SQL,
         "stratified_sample": _stratified_sample_sql(),

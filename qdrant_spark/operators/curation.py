@@ -39,6 +39,7 @@ __all__ = [
     "decontaminate",
     "gopher_quality",
     "repetition_signals",
+    "lm_score",
     "pii_counts",
     "pii_redact",
     "chunk_documents",
@@ -154,6 +155,82 @@ def repetition_signals(
         st = _run_stats(_word_grams(words, n))
         cols.append(frac(st["dup_chars"]).alias(f"dup_{n}gram_char_frac"))
     return docs.select(*cols)
+
+
+def lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    lm_docs: DataFrame | None = None,
+    vocab_size: int = 2000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Unigram language-model scoring — the CCNet-style perplexity proxy
+    (Wenzek et al. 2020: documents are ranked by LM score against a clean
+    reference corpus; here the LM is a smoothed unigram model).
+
+    Fits add-``alpha`` unigram log-probs over the ``vocab_size`` most
+    frequent lowercase whitespace tokens of ``lm_docs`` (default: ``docs``
+    itself — self-scoring ranks documents by how typical their vocabulary
+    is of the corpus); everything else scores as one shared OOV event.
+    Returns ``(id, n_tokens, oov_frac, avg_logprob)`` — higher
+    ``avg_logprob`` = more in-distribution; filter/rank on it the way
+    CCNet buckets head/middle/tail.
+
+    Scale shape: token counting is one map-side-combined aggregation keyed
+    on the token (bounded by vocabulary, not corpus size); the top-V table
+    broadcasts; scoring is explode -> broadcast join -> one groupBy(id).
+    No shuffle ever carries full text."""
+    def toks(col: Column) -> Column:
+        return F.filter(
+            F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != ""
+        )
+
+    src = lm_docs if lm_docs is not None else docs
+    tok_counts = (
+        src.select(F.explode(toks(F.col(text_col))).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total_row = tok_counts.agg(F.sum("cnt").alias("total")).collect()[0]
+    total = int(total_row["total"] or 0)
+    # top-V via orderBy+limit = map-side TakeOrdered, NOT a global window
+    # (a windowed row_number over all distinct tokens is a one-partition
+    # sort of the whole vocabulary)
+    vocab = (
+        tok_counts.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select(
+            "tok",
+            F.log((F.col("cnt") + F.lit(float(alpha)))
+                  / F.lit(total + alpha * (vocab_size + 1))).alias("lp"),
+        )
+    )
+    oov_lp = float(math.log(alpha / (total + alpha * (vocab_size + 1)))) \
+        if total > 0 else 0.0
+
+    ex = docs.select(
+        F.col(id_col),
+        F.explode_outer(toks(F.col(text_col))).alias("tok"),
+    )
+    scored = ex.join(F.broadcast(vocab), "tok", "left")
+    n_tok = F.count("tok")
+    n_oov = F.count(F.when(F.col("tok").isNotNull() & F.col("lp").isNull(),
+                           F.lit(1)))
+    return scored.groupBy(id_col).agg(
+        n_tok.alias("n_tokens"),
+        F.round(F.when(n_tok > 0, n_oov / n_tok).otherwise(F.lit(0.0)), 6)
+        .alias("oov_frac"),
+        F.round(
+            F.coalesce(
+                F.avg(F.coalesce(
+                    F.col("lp"),
+                    F.when(F.col("tok").isNotNull(), F.lit(oov_lp)),
+                )),
+                F.lit(0.0),
+            ), 6,
+        ).alias("avg_logprob"),
+    )
 
 
 def decontaminate(

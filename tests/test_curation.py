@@ -310,3 +310,41 @@ def test_weighted_sample_deterministic(spark, documents):
         documents.withColumn("__p", p2), "__p", id_col="doc_id"
     ).select("doc_id").collect()}
     assert got <= got2
+
+
+def test_lm_score_hand_computed(spark):
+    import math as m
+
+    from qdrant_spark.operators.curation import lm_score
+
+    # corpus: "a a b" + "a c" -> counts a=3, b=1, c=1, total=5
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c"), (2, "")], ["doc_id", "text"])
+    # vocab_size=2 keeps {a, b} (count desc, token asc tiebreak b < c);
+    # c is OOV. alpha=1, denom = total + 1*(V+1) = 5 + 3 = 8
+    out = {r.doc_id: r for r in
+           lm_score(df, vocab_size=2, alpha=1.0).collect()}
+    lp_a, lp_b, lp_oov = m.log(4 / 8), m.log(2 / 8), m.log(1 / 8)
+    assert out[0].n_tokens == 3 and out[0].oov_frac == 0.0
+    assert out[0].avg_logprob == pytest.approx(
+        round((2 * lp_a + lp_b) / 3, 6), abs=1e-9)
+    assert out[1].n_tokens == 2
+    assert out[1].oov_frac == pytest.approx(0.5, abs=1e-9)
+    assert out[1].avg_logprob == pytest.approx(
+        round((lp_a + lp_oov) / 2, 6), abs=1e-9)
+    # empty doc survives with zeros
+    assert out[2].n_tokens == 0 and out[2].avg_logprob == 0.0
+
+
+def test_lm_score_external_reference_corpus(spark):
+    from qdrant_spark.operators.curation import lm_score
+
+    ref = spark.createDataFrame(
+        [(0, "clean clean text text text")], ["doc_id", "text"])
+    tgt = spark.createDataFrame(
+        [(0, "clean text"), (1, "junk junk junk")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           lm_score(tgt, lm_docs=ref, vocab_size=10).collect()}
+    # in-vocab doc scores higher than the all-OOV doc
+    assert out[0].avg_logprob > out[1].avg_logprob
+    assert out[1].oov_frac == 1.0
