@@ -2293,6 +2293,35 @@ def _q_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
     return repetition_signals(_docs(spark, sf))
 
 
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
+
+
+def _q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Target-mixture (domain-balancing) sample over lang: feasible size
+    T = min(n_s/w_s) and per-stratum fractions computed in-plan, rows kept
+    by the deterministic md5 Bernoulli filter."""
+    from qdrant_spark.operators.curation import mixture_sample
+
+    return mixture_sample(_docs(spark, sf), "lang", _MIX_WEIGHTS).select(
+        "doc_id", "lang"
+    )
+
+
+_MIXTURE_SQL = r"""
+WITH w(lang, wt) AS (VALUES ('en', 0.4), ('de', 0.15), ('fr', 0.15),
+                            ('es', 0.15), ('zh', 0.15)),
+c AS (SELECT d.lang, CAST(count(*) AS DOUBLE) n, any_value(w.wt) wt
+      FROM documents d JOIN w ON d.lang = w.lang
+      WHERE w.wt > 0 GROUP BY d.lang),
+t AS (SELECT min(n / wt) tm FROM c)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c ON d.lang = c.lang, t
+WHERE substr(md5(concat(CAST(d.doc_id AS VARCHAR), ':', 'mix')), 1, 8)
+      < lpad(lower(to_hex(CAST(least(floor(c.wt * t.tm / c.n * 4294967296.0),
+                                     4294967295.0) AS BIGINT))), 8, '0')
+"""
+
+
 def _q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style unigram-LM scoring: smoothed log-probs over the top-500
     corpus tokens (forcing real OOV traffic at test scale), self-scored.
@@ -2613,6 +2642,7 @@ _GATE_PRIORITY = [
     "repetition_signals",
     "paragraph_dedup",
     "lm_score",
+    "mixture_sample",
     "knn_auto_filtered",
     "quantized_bq2_rescore",
     "mmr",  # oracle upgraded from rows-only this round
@@ -2681,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "repetition_signals": _q_repetition_signals,
         "lm_score": _q_lm_score,
+        "mixture_sample": _q_mixture_sample,
         "pii_scan": _q_pii_scan,
         "chunk_docs": _q_chunk_docs,
         "stratified_sample": _q_stratified_sample,
@@ -2798,6 +2829,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _GOPHER_SQL,
         "repetition_signals": _REPETITION_SQL,
         "lm_score": _LM_SCORE_SQL,
+        "mixture_sample": _MIXTURE_SQL,
         "pii_scan": _pii_sql(),
         "chunk_docs": _CHUNK_SQL,
         "stratified_sample": _stratified_sample_sql(),

@@ -45,6 +45,7 @@ __all__ = [
     "chunk_documents",
     "stratified_sample",
     "stratified_quota",
+    "mixture_sample",
     "random_sign_matrix",
     "project_embeddings",
 ]
@@ -478,6 +479,64 @@ def stratified_quota(
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= quota)
         .drop("__rn")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    weights: Mapping[str, float],
+    *,
+    total: int | None = None,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Target-mixture sampling (the Pile/DoReMi domain-balancing shape):
+    draw the LARGEST sample whose stratum proportions match ``weights``
+    (optionally capped at ``total`` rows in expectation), entirely
+    in-plan — no driver-side counting.
+
+    The feasible size is ``T = min_s(n_s / w_s)`` (the binding stratum is
+    taken whole); each stratum then keeps ``w_s * T / n_s`` of its rows
+    via the deterministic md5 Bernoulli filter (:func:`_hash_bucket`), so
+    the output is reproducible and oracle-checkable. Strata missing from
+    ``weights`` (or weighted 0) are dropped; strata named in ``weights``
+    but absent from the data are ignored in the min (you cannot sample
+    what is not there — the realized mixture then over-weights the rest).
+
+    Plan: one small groupBy(stratum) count -> broadcast; one broadcast
+    scalar for T; the corpus pass itself is a map-only filter. One
+    aggregation shuffle total, bounded by the number of strata."""
+    wmap = F.create_map(
+        *[F.lit(x) for k, v in weights.items() for x in (k, float(v))]
+    )
+    w_col = wmap[F.col(stratum_col)]
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("__n"))
+        .where(w_col.isNotNull() & (w_col > 0))
+    )
+    tmin = counts.select((F.col("__n") / w_col).alias("__cap")).agg(
+        F.min("__cap").alias("__T")
+    )
+    joined = (
+        df.join(F.broadcast(counts), stratum_col)
+        .crossJoin(F.broadcast(tmin))
+    )
+    T = F.least(F.col("__T"), F.lit(float(total))) if total is not None \
+        else F.col("__T")
+    frac = w_col * T / F.col("__n")
+    # 8-hex-char threshold from the fraction, computed in-plan (same
+    # truncation as fraction_threshold, portable to the SQL oracle)
+    th = F.lpad(
+        F.lower(F.hex(
+            F.least(F.floor(frac * F.lit(4294967296.0)),
+                    F.lit(4294967295.0)).cast("bigint")
+        )), 8, "0",
+    )
+    return (
+        joined.where(_hash_bucket(id_col, salt) < th)
+        .drop("__n", "__T")
     )
 
 

@@ -348,3 +348,40 @@ def test_lm_score_external_reference_corpus(spark):
     # in-vocab doc scores higher than the all-OOV doc
     assert out[0].avg_logprob > out[1].avg_logprob
     assert out[1].oov_frac == 1.0
+
+
+def test_mixture_sample_hits_target_proportions(spark):
+    from qdrant_spark.operators.curation import mixture_sample
+
+    rows = [(i, "a" if i < 800 else ("b" if i < 900 else "c"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    w = {"a": 0.5, "b": 0.3, "c": 0.2}
+    out = mixture_sample(df, "grp", w, id_col="doc_id").groupBy("grp").count()
+    got = {r.grp: r["count"] for r in out.collect()}
+    # binding stratum: b (100/0.3=333) -> T=333; expect a~167, b=100, c~67
+    assert got["b"] == pytest.approx(100, abs=2)      # taken ~whole
+    assert got["a"] == pytest.approx(167, rel=0.25)   # Bernoulli noise
+    assert got["c"] == pytest.approx(67, rel=0.3)
+    # realized mixture ~ targets
+    tot = sum(got.values())
+    assert got["a"] / tot == pytest.approx(0.5, abs=0.08)
+
+
+def test_mixture_sample_total_cap_and_determinism(spark):
+    from qdrant_spark.operators.curation import mixture_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    w = {"a": 0.5, "b": 0.5}
+    capped = mixture_sample(df, "grp", w, total=200, id_col="doc_id")
+    n = capped.count()
+    assert n == pytest.approx(200, rel=0.2)
+    a = sorted(r.doc_id for r in capped.collect())
+    b = sorted(r.doc_id for r in
+               mixture_sample(df, "grp", w, total=200, id_col="doc_id").collect())
+    assert a == b
+    # strata not in weights are dropped
+    w2 = {"a": 1.0}
+    only_a = mixture_sample(df, "grp", w2, id_col="doc_id")
+    assert only_a.where("grp = 'b'").count() == 0
