@@ -42,18 +42,42 @@ def main() -> None:
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     n_emb = emb.count()  # materialize cache before timing
 
-    # XL corpus: union-amplify the embeddings to ~128k distinct-id rows so
-    # the vector path is measured at a size where per-row cost dominates
-    # (the raw table is small at every sf)
-    xl = emb
-    while xl.count() < 128_000 // 2:
-        xl = xl.unionByName(xl)
+    # Corpus amplification: replicate the embeddings with DETERMINISTIC ids
+    # (orig_id * factor + replica). monotonically_increasing_id would
+    # assign different ids if the cached frame is ever evicted and
+    # recomputed mid-run — the persisted ANN indexes then hold stale ids
+    # and the recall lines compare mismatched id spaces.
+    def amplify(df, target_rows, n_src):
+        factor = max(1, -(-target_rows // n_src))
+        reps = spark.range(factor).withColumnRenamed("id", "__rep")
+        # jitter each replica (deterministic per-element hash, +-20%):
+        # exact duplicates would make every score a 256-way tie — "recall"
+        # then measures tie-order luck, and sub-quantization-noise
+        # perturbations make ANN recall measure luck among indistinguishable
+        # points. The jitter turns the amplified corpus into a realistic
+        # near-dup spread (cosine to the source ~0.98-0.99) that a residual
+        # PQ codebook can genuinely rank.
+        amped = (df.crossJoin(F.broadcast(reps))
+                   .withColumn("vec_id",
+                               F.col("vec_id") * factor + F.col("__rep"))
+                   .drop("__rep"))
+        jit = F.transform(
+            F.col("embedding"),
+            lambda x, i: (x * (
+                1.0
+                + (F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(1000))
+                   .cast("double") / 1000.0 - 0.5) * 0.4
+            )).cast("float"),
+        )
+        return amped.withColumn("embedding", jit)
+
+    # XL corpus: ~64k rows so the vector path is measured at a size where
+    # per-row cost dominates (the raw table is small at every sf).
     # 16 partitions, not 32: python scoring stages run a JVM task thread plus
     # a python worker per partition, so partition count == cores means 2x
     # oversubscription and erratic scheduling. At cluster scale the same
     # sizing falls out of spark.sql.files.maxPartitionBytes.
-    xl = (xl.withColumn("vec_id", F.monotonically_increasing_id())
-            .repartition(16).cache())
+    xl = amplify(emb, 64_000, n_emb).repartition(16).cache()
     n_xl = xl.count()
 
     qvecs = [list(r["embedding"]) for r in emb.limit(64).collect()]
@@ -106,11 +130,7 @@ def main() -> None:
 
     # XXL corpus (512k rows): past the dispatch crossover, so the same
     # call auto-routes through the Q=1 Arrow block-matmul scorer
-    xxl = xl
-    while xxl.count() < 512_000:
-        xxl = xxl.unionByName(xxl)
-    xxl = (xxl.withColumn("vec_id", F.monotonically_increasing_id())
-              .repartition(16).cache())
+    xxl = amplify(emb, 512_000, n_emb).repartition(16).cache()
     n_xxl = xxl.count()
 
     def q_knn_single_xxl():
@@ -367,6 +387,13 @@ def main() -> None:
             ivf_search(ivf_xxl, q0, k=10, nprobe=4, metric="cosine")),
         "ivf_pq_single_xxl": _recall(
             ivf_pq_search(ivfpq_xxl, q0, k=10, nprobe=4, oversampling=4.0,
+                          metric="cosine")),
+        # the amplified corpus is adversarial for ADC: every query sits in
+        # a ball of ~256 jittered siblings, so ranking inside the ball
+        # needs a shortlist wider than the ball is deep. oversampling is
+        # exactly that knob — report it alongside the timed setting.
+        "ivf_pq_single_xxl_os16": _recall(
+            ivf_pq_search(ivfpq_xxl, q0, k=10, nprobe=4, oversampling=16.0,
                           metric="cosine")),
     }
 

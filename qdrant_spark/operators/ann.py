@@ -950,3 +950,115 @@ def _ivf_pq_fused_batch(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def cluster_sizes(index: IvfIndex) -> DataFrame:
+    """(cluster, n) — one small aggregation; the skew diagnostic."""
+    return index.assigned.groupBy(F.col("__cluster").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def rebalance_ivf(
+    index: IvfIndex,
+    *,
+    max_cluster_size: int,
+    seed: int = 42,
+    sample_per_split: int = 50_000,
+    max_iter: int = 10,
+) -> IvfIndex:
+    """Split oversized clusters — the IVF skew guard. A skewed corpus (one
+    dense region, boilerplate embeddings) concentrates rows in few
+    clusters; probing such a cluster scans far more than corpus/K rows and
+    its parquet partition becomes a straggler file. Rebalancing restores
+    the partition-pruning math that makes IVF the 100-TB plan.
+
+    For each cluster over ``max_cluster_size``: fit a local sub-KMeans
+    (ceil(n/max) centroids) on a driver-side sample of that cluster only,
+    then reassign ONLY that cluster's rows to the sub-centroids with the
+    plan-time literal argmin (map-only, no python worker, no shuffle —
+    same expression as :func:`assign_to_ivf`). Healthy clusters keep
+    their ids and rows untouched; sub-centroids take fresh ids appended
+    after the existing ones, so persisted layouts only rewrite split
+    directories. One pass regardless of how many clusters split.
+
+    Size guarantee is statistical, not hard: sub-KMeans balances the
+    sample; re-check ``cluster_sizes`` and re-run if a split stayed hot.
+    """
+    import math as _math
+
+    from qdrant_spark.operators.quantize import _kmeans_np
+
+    sizes = {int(r["cluster"]): int(r["n"]) for r in cluster_sizes(index).collect()}
+    over = sorted(c for c, n in sizes.items() if n > max_cluster_size)
+    if not over:
+        return index
+    vec = F.col(index.vec_col).cast("array<double>")
+    cents = index.centroids
+    keep_ids = [c for c in range(len(cents)) if c not in set(over)]
+    new_cents: list[np.ndarray] = [cents[c] for c in keep_ids]
+    # stable remap: surviving clusters keep their position-order ids
+    remap = {old: new for new, old in enumerate(keep_ids)}
+    rng = np.random.default_rng(seed)
+
+    assigned = index.assigned
+    healthy = assigned.filter(~F.col("__cluster").isin(over))
+    if remap != {c: c for c in keep_ids}:
+        map_expr = F.create_map(
+            *[F.lit(x) for old, new in remap.items() for x in (old, new)]
+        )
+        healthy = healthy.withColumn(
+            "__cluster", map_expr[F.col("__cluster")].cast("int")
+        )
+
+    split_parts = []
+    for c in over:
+        n = sizes[c]
+        k_sub = max(2, int(_math.ceil(n / max_cluster_size)))
+        rows = assigned.filter(F.col("__cluster") == c).select(index.vec_col)
+        frac = min(1.0, sample_per_split / n)
+        sample = (rows.sample(frac, seed=seed) if frac < 1.0 else rows).collect()
+        V = np.array([list(r[0]) for r in sample], dtype=np.float64)
+        sub = _kmeans_np(V, k_sub, max_iter, rng)           # (k_sub, dim)
+        sub_ids = list(range(len(new_cents), len(new_cents) + len(sub)))
+        new_cents.extend(sub)
+        # literal argmin over the sub-centroids only (same folding trick as
+        # assign_to_ivf: the shared ||v||^2 cancels)
+        scores = [
+            (
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(x)) for x in sub[j]]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * F.lit(-2.0)
+                + F.lit(float((sub[j] * sub[j]).sum()))
+            ).alias(f"__s{j}")
+            for j in range(len(sub))
+        ]
+        ranked = F.array_sort(
+            F.array(*[
+                F.struct(F.col(f"__s{j}").alias("s"),
+                         F.lit(sub_ids[j]).cast("int").alias("c"))
+                for j in range(len(sub))
+            ])
+        )
+        part = (
+            assigned.filter(F.col("__cluster") == c)
+            .select("*", *scores)
+            .withColumn("__cluster", F.element_at(ranked, 1)["c"])
+            .drop(*[f"__s{j}" for j in range(len(sub))])
+        )
+        split_parts.append(part)
+
+    out = healthy
+    for p in split_parts:
+        out = out.unionByName(p.select(*healthy.columns))
+    return IvfIndex(
+        assigned=out, centroids=np.array(new_cents),
+        vec_col=index.vec_col, id_col=index.id_col,
+    )

@@ -258,3 +258,53 @@ def test_fused_mode_requires_vector_column(spark, embeddings, ivfpq):
     )
     with pytest.raises(ValueError, match="fused"):
         ivf_pq_search_batch(narrow, queries, k=3, mode="fused")
+
+
+def test_rebalance_ivf_splits_oversized_clusters(spark):
+    import numpy as np
+
+    from qdrant_spark.operators.ann import (
+        build_ivf, cluster_sizes, ivf_search, rebalance_ivf,
+    )
+    from qdrant_spark.operators.knn import knn
+
+    # skewed corpus: 400 points in one tight blob, 50 spread far away —
+    # KMeans with k=4 puts most of the blob in one or two hot clusters
+    rng = np.random.default_rng(7)
+    blob = rng.normal(0.0, 0.05, size=(400, 8))
+    far = rng.normal(5.0, 3.0, size=(50, 8))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([blob, far]))]
+    df = spark.createDataFrame(rows, "id: long, vec: array<float>")
+    idx = build_ivf(df, n_clusters=4, vec_col="vec", id_col="id", seed=1)
+    before = {r.cluster: r.n for r in cluster_sizes(idx).collect()}
+    assert max(before.values()) > 150  # skew exists
+
+    reb = rebalance_ivf(idx, max_cluster_size=150, seed=1)
+    after = {r.cluster: r.n for r in cluster_sizes(reb).collect()}
+    # same corpus, more clusters, hot cluster tamed
+    assert sum(after.values()) == sum(before.values()) == 450
+    assert len(after) > len(before)
+    assert max(after.values()) < max(before.values())
+    assert len(reb.centroids) == len(after) or len(reb.centroids) >= max(after) + 1
+
+    # search still exact at full probe after the split
+    q = rows[3][1]
+    exact = [r["id"] for r in knn(df, q, metric="euclid", k=5, vec_col="vec",
+                                  id_col="id", select=["id", "score"]).collect()]
+    got = [r["id"] for r in ivf_search(reb, q, k=5, nprobe=len(reb.centroids),
+                                       metric="euclid").collect()]
+    assert got == exact
+
+
+def test_rebalance_ivf_noop_when_balanced(spark):
+    import numpy as np
+
+    from qdrant_spark.operators.ann import build_ivf, rebalance_ivf
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in v])
+            for i, v in enumerate(rng.normal(0, 1, size=(100, 4)))]
+    df = spark.createDataFrame(rows, "id: long, vec: array<float>")
+    idx = build_ivf(df, n_clusters=4, vec_col="vec", id_col="id", seed=1)
+    reb = rebalance_ivf(idx, max_cluster_size=1000)
+    assert reb is idx
