@@ -2293,6 +2293,26 @@ def _q_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
     return repetition_signals(_docs(spark, sf))
 
 
+def _q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language corpus profile: counts, char sums/means, exact p50/p90
+    (interpolated), distinct sources. One agg shuffle on the stratum."""
+    from qdrant_spark.operators.curation import corpus_stats
+
+    return corpus_stats(_docs(spark, sf))
+
+
+_CORPUS_STATS_SQL = r"""
+SELECT lang,
+  count(*) AS n_docs,
+  sum(n_chars) AS sum_n_chars,
+  round(avg(n_chars), 6) AS avg_n_chars,
+  round(quantile_cont(n_chars, 0.5), 6) AS p50_n_chars,
+  round(quantile_cont(n_chars, 0.9), 6) AS p90_n_chars,
+  count(DISTINCT source) AS n_source
+FROM documents GROUP BY lang
+"""
+
+
 _MIX_WEIGHTS = {"en": 0.4, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
 
 
@@ -2643,6 +2663,7 @@ _GATE_PRIORITY = [
     "paragraph_dedup",
     "lm_score",
     "mixture_sample",
+    "corpus_stats",
     "knn_auto_filtered",
     "quantized_bq2_rescore",
     "mmr",  # oracle upgraded from rows-only this round
@@ -2712,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         "lm_score": _q_lm_score,
         "mixture_sample": _q_mixture_sample,
+        "corpus_stats": _q_corpus_stats,
         "pii_scan": _q_pii_scan,
         "chunk_docs": _q_chunk_docs,
         "stratified_sample": _q_stratified_sample,
@@ -2830,6 +2852,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _REPETITION_SQL,
         "lm_score": _LM_SCORE_SQL,
         "mixture_sample": _MIXTURE_SQL,
+        "corpus_stats": _CORPUS_STATS_SQL,
         "pii_scan": _pii_sql(),
         "chunk_docs": _CHUNK_SQL,
         "stratified_sample": _stratified_sample_sql(),

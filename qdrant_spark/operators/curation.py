@@ -46,6 +46,7 @@ __all__ = [
     "stratified_sample",
     "stratified_quota",
     "mixture_sample",
+    "corpus_stats",
     "random_sign_matrix",
     "project_embeddings",
 ]
@@ -538,6 +539,37 @@ def mixture_sample(
         joined.where(_hash_bucket(id_col, salt) < th)
         .drop("__n", "__T")
     )
+
+
+def corpus_stats(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    *,
+    num_col: str = "n_chars",
+    distinct_col: str | None = "source",
+    percentiles: Iterable[float] = (0.5, 0.9),
+) -> DataFrame:
+    """Per-stratum corpus profile: doc count, sum/mean and EXACT
+    interpolated percentiles of ``num_col``, distinct ``distinct_col``
+    values — the first look any curation run takes at a new corpus.
+
+    One aggregation shuffle on the stratum key; the exact percentile is
+    Spark's built-in ``percentile`` (sort within group — fine for bounded
+    strata; switch to ``percentile_approx`` when a single stratum is
+    billions of rows and 1% error is acceptable)."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(num_col).alias(f"sum_{num_col}"),
+        F.round(F.avg(num_col), 6).alias(f"avg_{num_col}"),
+    ]
+    for p in percentiles:
+        aggs.append(
+            F.round(F.percentile(num_col, F.lit(float(p))), 6)
+            .alias(f"p{int(p * 100)}_{num_col}")
+        )
+    if distinct_col:
+        aggs.append(F.countDistinct(distinct_col).alias(f"n_{distinct_col}"))
+    return docs.groupBy(stratum_col).agg(*aggs)
 
 
 def random_sign_matrix(in_dim: int, out_dim: int, seed: int = 0) -> list[list[int]]:

@@ -385,3 +385,19 @@ def test_mixture_sample_total_cap_and_determinism(spark):
     w2 = {"a": 1.0}
     only_a = mixture_sample(df, "grp", w2, id_col="doc_id")
     assert only_a.where("grp = 'b'").count() == 0
+
+
+def test_corpus_stats_percentiles_match_numpy(spark):
+    import numpy as np
+
+    from qdrant_spark.operators.curation import corpus_stats
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    rows = [(i, "en", v, f"s{i % 2}") for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars", "source"])
+    r = corpus_stats(df).collect()[0]
+    assert r.n_docs == 8 and r.sum_n_chars == sum(vals) and r.n_source == 2
+    assert r.p50_n_chars == pytest.approx(
+        round(float(np.percentile(vals, 50)), 6), abs=1e-9)
+    assert r.p90_n_chars == pytest.approx(
+        round(float(np.percentile(vals, 90)), 6), abs=1e-9)
