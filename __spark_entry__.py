@@ -2293,6 +2293,33 @@ def _q_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
     return repetition_signals(_docs(spark, sf))
 
 
+def _q_c4_line_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 line-level cleaning. The synthetic docs are single-line and
+    unpunctuated, so the gate pins the word-count floor (60 — splits the
+    corpus near its median) and the blocklist ('slow' occurs naturally);
+    terminal-punctuation is exercised in tests with punctuated fixtures."""
+    from qdrant_spark.operators.curation import c4_line_filter
+
+    return c4_line_filter(
+        _docs(spark, sf), min_words_per_line=60,
+        require_terminal_punct=False, blocklist=("javascript", "slow"),
+    )
+
+
+_C4_LINE_SQL = r"""
+WITH t AS (SELECT doc_id, string_split(text, chr(10)) l FROM documents),
+k AS (SELECT doc_id, l,
+  list_filter(l, x ->
+      len(list_filter(string_split_regex(trim(x), '\s+'), w -> w <> '')) >= 60
+      AND NOT contains(lower(x), 'javascript')
+      AND NOT contains(lower(x), 'slow')) AS kept
+  FROM t)
+SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+  len(l) AS n_lines, len(kept) AS n_kept, len(kept) < 1 AS dropped
+FROM k
+"""
+
+
 def _q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language corpus profile: counts, char sums/means, exact p50/p90
     (interpolated), distinct sources. One agg shuffle on the stratum."""
@@ -2664,6 +2691,7 @@ _GATE_PRIORITY = [
     "lm_score",
     "mixture_sample",
     "corpus_stats",
+    "c4_line_filter",
     "knn_auto_filtered",
     "quantized_bq2_rescore",
     "mmr",  # oracle upgraded from rows-only this round
@@ -2734,6 +2762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _q_lm_score,
         "mixture_sample": _q_mixture_sample,
         "corpus_stats": _q_corpus_stats,
+        "c4_line_filter": _q_c4_line_filter,
         "pii_scan": _q_pii_scan,
         "chunk_docs": _q_chunk_docs,
         "stratified_sample": _q_stratified_sample,
@@ -2853,6 +2882,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": _LM_SCORE_SQL,
         "mixture_sample": _MIXTURE_SQL,
         "corpus_stats": _CORPUS_STATS_SQL,
+        "c4_line_filter": _C4_LINE_SQL,
         "pii_scan": _pii_sql(),
         "chunk_docs": _CHUNK_SQL,
         "stratified_sample": _stratified_sample_sql(),

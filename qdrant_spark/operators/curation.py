@@ -47,6 +47,7 @@ __all__ = [
     "stratified_quota",
     "mixture_sample",
     "corpus_stats",
+    "c4_line_filter",
     "random_sign_matrix",
     "project_embeddings",
 ]
@@ -538,6 +539,51 @@ def mixture_sample(
     return (
         joined.where(_hash_bucket(id_col, salt) < th)
         .drop("__n", "__T")
+    )
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words_per_line: int = 3,
+    require_terminal_punct: bool = True,
+    blocklist: Iterable[str] = ("javascript", "lorem ipsum", "{"),
+    min_lines: int = 1,
+) -> DataFrame:
+    """C4's line-level cleaning (Raffel et al. 2020 §2.2), per document and
+    entirely in-row — zero shuffles:
+
+    a line survives iff it has >= ``min_words_per_line`` words, ends in
+    terminal punctuation (``. ! ? "``) when ``require_terminal_punct``,
+    and contains no blocklisted needle (case-insensitive; C4 drops
+    "javascript" / "lorem ipsum" / curly-brace lines). Documents keeping
+    fewer than ``min_lines`` lines are flagged ``dropped`` (C4 discards
+    pages with < 3 sentences; the caller filters on the flag so the
+    decision is auditable).
+
+    Returns ``(id, text_clean, n_lines, n_kept, dropped)``."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(line: Column) -> Column:
+        ok = F.size(F.filter(
+            F.split(F.trim(line), r"\s+"), lambda t: t != ""
+        )) >= min_words_per_line
+        if require_terminal_punct:
+            ok = ok & F.trim(line).rlike('[.!?"]$')
+        low = F.lower(line)
+        for needle in blocklist:
+            ok = ok & ~low.contains(needle.lower())
+        return ok
+
+    kept = F.filter(lines, keep)
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(kept) < min_lines).alias("dropped"),
     )
 
 

@@ -401,3 +401,27 @@ def test_corpus_stats_percentiles_match_numpy(spark):
         round(float(np.percentile(vals, 50)), 6), abs=1e-9)
     assert r.p90_n_chars == pytest.approx(
         round(float(np.percentile(vals, 90)), 6), abs=1e-9)
+
+
+def test_c4_line_filter_rules(spark):
+    from qdrant_spark.operators.curation import c4_line_filter
+
+    text = "\n".join([
+        "This line has enough words and ends properly.",   # kept
+        "Too short.",                                      # < 3 words
+        "This line has no terminal punctuation at all",    # no punct
+        "Enable javascript to view this page properly.",   # blocklist
+        'A quoted ending also counts as terminal."',       # kept
+        "Careful with {curly} brace template lines here.", # blocklist {
+    ])
+    df = spark.createDataFrame([(0, text), (1, "word")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           c4_line_filter(df, min_words_per_line=3, min_lines=2).collect()}
+    r = out[0]
+    assert r.n_lines == 6 and r.n_kept == 2 and not r.dropped
+    assert r.text_clean.split("\n") == [
+        "This line has enough words and ends properly.",
+        'A quoted ending also counts as terminal."',
+    ]
+    # single unpunctuated word: everything filtered, doc flagged dropped
+    assert out[1].n_kept == 0 and out[1].dropped and out[1].text_clean == ""
