@@ -2,11 +2,14 @@
 
 The composition a 100 TB corpus job would run, demonstrated at any SF:
 
-1. ingest documents + embeddings into one points table (id-aligned)
-2. drop exact and near duplicates (MinHash-LSH, then embedding cosine)
-3. quality-filter: Gopher/C4 signals + text heuristics, then redact PII
+1. profile the corpus (per-lang counts/percentiles), ingest documents +
+   embeddings into one points table (id-aligned)
+2. clean lines (C4 rules) and drop duplicated paragraphs corpus-wide,
+   then drop exact and near duplicates (MinHash-LSH, embedding cosine)
+3. quality-filter: Gopher/C4 signals + repetition filters + unigram-LM
+   score + text heuristics, then redact PII
 4. decontaminate against a held-out benchmark set (n-gram overlap)
-5. chunk into token windows and stratify-sample per language
+5. chunk into token windows and mixture-sample to a target lang mix
 6. build the BM25 postings index and the IVF ANN index (ingest-time cost)
 7. hybrid-retrieve per query: dense prefetch + sparse prefetch -> RRF
 8. diversify the final set per source with grouped search
@@ -36,7 +39,29 @@ def run(sf_dir: str = "/root/testdata/sf0.001", cpus: int = 8) -> dict:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
-    # -- 2. dedup: exact, then LSH near-dup, then embedding near-dup ------
+    # -- 1. corpus profile (what are we even looking at) ------------------
+    from qdrant_spark.operators.curation import corpus_stats
+
+    profile = {r["lang"]: r["n_docs"] for r in corpus_stats(docs).collect()}
+
+    # -- 2a. line-level cleaning + corpus-level paragraph dedup -----------
+    from qdrant_spark.operators.curation import c4_line_filter
+    from qdrant_spark.operators.dedup import paragraph_dedup
+
+    cleaned = (
+        c4_line_filter(docs, min_words_per_line=3,
+                       require_terminal_punct=False)
+        .where(~F.col("dropped"))
+        .select("doc_id", F.col("text_clean").alias("text"))
+    )
+    docs = (
+        paragraph_dedup(cleaned)
+        .where(F.length("text_clean") > 0)
+        .select("doc_id", F.col("text_clean").alias("text"))
+        .join(docs.select("doc_id", "lang", "source"), "doc_id")
+    )
+
+    # -- 2b. dedup: exact, then LSH near-dup, then embedding near-dup -----
     exact = exact_dedup(docs).filter(~F.col("is_duplicate")).select("doc_id")
     lsh_dups = minhash_lsh_pairs(docs, jaccard_threshold=0.5).select(
         F.col("id_b").alias("doc_id")
@@ -56,10 +81,20 @@ def run(sf_dir: str = "/root/testdata/sf0.001", cpus: int = 8) -> dict:
         stratified_sample,
     )
 
+    from qdrant_spark.operators.curation import lm_score, repetition_signals
+
     gq = gopher_quality(docs).where(
         (F.col("dup_word_frac") < 0.95) & (F.col("n_words") >= 5)
         & (F.col("top_2gram_char_frac") < 0.5)
     ).select("doc_id")
+    rep = repetition_signals(docs).where(
+        (F.col("dup_5gram_char_frac") < 0.6)
+        & (F.col("top_3gram_char_frac") < 0.4)
+    ).select("doc_id")
+    lm = lm_score(docs, vocab_size=2000).where(
+        F.col("oov_frac") < 0.5
+    ).select("doc_id")
+    gq = gq.join(rep, "doc_id").join(lm, "doc_id")
     toks = tokenize(F.col("text"))
     feats = quality_features("text", tokens=toks)
     quality = (
@@ -79,8 +114,13 @@ def run(sf_dir: str = "/root/testdata/sf0.001", cpus: int = 8) -> dict:
     )
     chunks = chunk_documents(quality, size=256, overlap=32)
     n_chunks = chunks.count()
-    sampled = stratified_sample(quality, "lang", 0.9, id_col="doc_id",
-                                default_fraction=0.9)
+    from qdrant_spark.operators.curation import mixture_sample
+
+    sampled = mixture_sample(
+        quality, "lang",
+        {"en": 0.4, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15},
+        id_col="doc_id",
+    )
     quality = sampled
     pts = quality.join(
         emb.select(F.col("vec_id").alias("doc_id"), "embedding", "label"),
@@ -106,6 +146,7 @@ def run(sf_dir: str = "/root/testdata/sf0.001", cpus: int = 8) -> dict:
                      id_col="doc_id")
     result = final.collect()
     out = {
+        "profile": profile,
         "n_chunks": n_chunks,
         "clean_docs": n_clean,
         "final_rows": len(result),
