@@ -241,3 +241,53 @@ def test_incremental_ivf_assignment_is_map_only(embeddings):
     new_branch = merged.assigned.where("vec_id >= 100")
     plan = _plan(new_branch, "simple")
     assert "EvalPython" not in plan
+
+
+def test_repetition_signals_zero_exchange(spark):
+    from qdrant_spark.operators.curation import repetition_signals
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(repetition_signals(df), "simple")
+    assert "Exchange" not in plan  # pure per-row column expressions
+
+
+def test_c4_line_filter_zero_exchange(spark):
+    from qdrant_spark.operators.curation import c4_line_filter
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(c4_line_filter(df), "simple")
+    assert "Exchange" not in plan
+
+
+def test_paragraph_dedup_two_shuffles_no_join(spark):
+    from qdrant_spark.operators.dedup import paragraph_dedup
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(paragraph_dedup(df), "simple")
+    # one hash exchange for the window on para, one for the groupBy(id);
+    # no self-join anywhere
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_mixture_sample_is_broadcast_plus_filter(spark):
+    from qdrant_spark.operators.curation import mixture_sample
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = mixture_sample(df, "lang", {"en": 0.5, "fr": 0.5}, id_col="doc_id")
+    plan = _plan(out, "simple")
+    # stratum stats and the scalar T reach the corpus via broadcast joins —
+    # never a sort-merge join of the corpus
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lm_score_vocab_broadcasts(spark):
+    from qdrant_spark.operators.curation import lm_score
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(lm_score(df, vocab_size=100), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # top-V is a TakeOrdered, not a single-partition global sort window
+    assert "TakeOrderedAndProject" in plan

@@ -108,3 +108,58 @@ def test_latest_version_stream(spark, tmp_path):
         payload_cols=["payload"])
     want = {r["id"]: (r["version"], r["payload"]) for r in batch.collect()}
     assert final == want == {1: (3, "a3"), 2: (5, "b5")}
+
+
+def test_streaming_ann_ingest_matches_batch_assignment(spark, tmp_path):
+    """Streaming ingest-time index maintenance: new embedding batches are
+    assigned to FIXED centroids inside foreachBatch (assign_to_ivf's
+    map-only argmin), accumulated in a parquet table partitioned by
+    cluster. After the stream drains, the streamed assignment must equal
+    assigning the whole corpus in one batch — stream == batch, the
+    exactly-once contract for index maintenance."""
+    import numpy as np
+
+    from qdrant_spark.operators.ann import IvfIndex, assign_to_ivf, build_ivf
+
+    rng = np.random.default_rng(11)
+    all_rows = [(i, [float(x) for x in v])
+                for i, v in enumerate(rng.normal(0, 1, size=(120, 8)))]
+    schema = "id long, vec array<float>"
+    full = spark.createDataFrame(all_rows, schema)
+    # centroids fitted once on the first slice (the live-corpus shape:
+    # periodic refit, fixed centroids between refits)
+    seed_df = spark.createDataFrame(all_rows[:40], schema)
+    base = build_ivf(seed_df, n_clusters=4, vec_col="vec", id_col="id", seed=5)
+
+    src = str(tmp_path / "stream_src")
+    out_dir = str(tmp_path / "streamed_assign")
+    spark.createDataFrame(all_rows[:40], schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(all_rows[40:80], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(all_rows[80:], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    empty = spark.createDataFrame([], schema)
+
+    def do_batch(batch_df, batch_id):
+        idx = IvfIndex(assigned=empty.withColumn("__cluster", F.lit(0).cast("int")).limit(0),
+                       centroids=base.centroids, vec_col="vec", id_col="id")
+        assigned = assign_to_ivf(idx, batch_df).assigned
+        assigned.write.mode("append").partitionBy("__cluster").parquet(out_dir)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(do_batch)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    streamed = {(r["id"], r["__cluster"])
+                for r in spark.read.parquet(out_dir).collect()}
+    expected = {(r["id"], r["__cluster"])
+                for r in assign_to_ivf(
+                    IvfIndex(assigned=empty.withColumn("__cluster", F.lit(0).cast("int")).limit(0),
+                             centroids=base.centroids, vec_col="vec", id_col="id"),
+                    full).assigned.collect()}
+    assert streamed == expected and len(streamed) == 120
