@@ -58,13 +58,27 @@ class QueryPlanner:
 
     def __init__(self, points: DataFrame, *, id_col: str = "id",
                  default_vec_col: str = "vec", metric: str = "cosine",
-                 collections: dict[str, DataFrame] | None = None):
+                 collections: dict[str, DataFrame] | None = None,
+                 ivf_index=None, index_stats=None,
+                 full_scan_threshold: int | None = None):
         self.points = points
         self.id_col = id_col
         self.default_vec_col = default_vec_col
         self.metric = metric
         self.collections = collections or {}
         self._vec_cache: dict[tuple, list] = {}
+        # optional ANN acceleration: when an IvfIndex is registered, dense
+        # `nearest` leaves route through the selectivity-aware dispatcher
+        # (operators/dispatch.auto_search — the reference runs EVERY search
+        # through its query_estimator the same way). index_stats is the
+        # dispatch.stats_from_index mapping; full_scan_threshold overrides
+        # the plain-vs-index crossover.
+        if ivf_index is not None and ivf_index.id_col != id_col:
+            raise ValueError("ivf_index.id_col must match the planner id_col")
+        self.ivf_index = ivf_index
+        self.index_stats = index_stats or {}
+        self.full_scan_threshold = full_scan_threshold
+        self._index_total: int | None = None
 
     # -- public ------------------------------------------------------------
 
@@ -216,6 +230,22 @@ class QueryPlanner:
                     id_col=self.id_col, flt=flt,
                 ).select(self.id_col, "score")
             target = self._resolve_vector_input(target, req)
+            if (self.ivf_index is not None and offset == 0
+                    and threshold is None
+                    and vec_col == self.ivf_index.vec_col):
+                from qdrant_spark.operators.dispatch import (
+                    FULL_SCAN_THRESHOLD, auto_search,
+                )
+
+                if self._index_total is None:
+                    self._index_total = self.ivf_index.assigned.count()
+                return auto_search(
+                    self.ivf_index, target, k=limit, flt=flt,
+                    metric=self.metric, stats=self.index_stats,
+                    total=self._index_total,
+                    full_scan_threshold=(self.full_scan_threshold
+                                         or FULL_SCAN_THRESHOLD),
+                )
             out = knn(self.points, target, metric=self.metric,
                       score_threshold=threshold, offset=offset,
                       select=[self.id_col, "score"], **kw)

@@ -306,3 +306,52 @@ def test_stats_from_index_roundtrip(spark):
     st = stats_from_index(field_index_stats(df, [FieldIndex("grp", "integer")]))
     assert st["grp"].n == 100 and st["grp"].n_distinct == 4
     assert st["grp"].min_num == 0.0 and st["grp"].max_num == 3.0
+
+
+def test_planner_routes_nearest_through_dispatcher(spark, embeddings):
+    """QueryPlanner with a registered IvfIndex: a filtered nearest leaf
+    must produce the same result as the exact planner (the dispatcher's
+    plain route under a selective filter), and an unfiltered leaf forced
+    onto the index (tiny full_scan_threshold, full probe) must also equal
+    exact — the reference's every-search-through-the-estimator shape."""
+    from qdrant_spark.operators.ann import build_ivf
+    from qdrant_spark.query import QueryPlanner
+
+    idx = build_ivf(embeddings, n_clusters=4, vec_col="embedding",
+                    id_col="vec_id", seed=2)
+    q0 = [float(x) for x in embeddings.limit(1).collect()[0]["embedding"]]
+    req = {
+        "query": {"nearest": q0},
+        "filter": {"must": [{"key": "label", "match": {"any": [1, 2]}}]},
+        "using": "embedding",
+        "limit": 5,
+    }
+    exact = QueryPlanner(embeddings, id_col="vec_id",
+                         default_vec_col="embedding")
+    accel = QueryPlanner(embeddings, id_col="vec_id",
+                         default_vec_col="embedding", ivf_index=idx)
+    a = [(r["vec_id"], round(r["score"], 6)) for r in exact.plan(req).collect()]
+    b = [(r["vec_id"], round(r["score"], 6)) for r in accel.plan(req).collect()]
+    assert a == b
+
+    # unfiltered + threshold 1 -> the index route; nprobe 4 == n_clusters
+    # is a full probe, so it still equals exact
+    req2 = {"query": {"nearest": q0}, "using": "embedding", "limit": 5}
+    forced = QueryPlanner(embeddings, id_col="vec_id",
+                          default_vec_col="embedding", ivf_index=idx,
+                          full_scan_threshold=1)
+    c = [(r["vec_id"], round(r["score"], 6)) for r in exact.plan(req2).collect()]
+    d = [(r["vec_id"], round(r["score"], 6)) for r in forced.plan(req2).collect()]
+    assert c == d
+
+    # offset / score_threshold / other vector names keep the exact path
+    req3 = dict(req2, offset=2)
+    e = [(r["vec_id"], round(r["score"], 6)) for r in exact.plan(req3).collect()]
+    f = [(r["vec_id"], round(r["score"], 6)) for r in
+         QueryPlanner(embeddings, id_col="vec_id", default_vec_col="embedding",
+                      ivf_index=idx).plan(req3).collect()]
+    assert e == f
+
+    # mismatched id_col is rejected up front
+    with pytest.raises(ValueError):
+        QueryPlanner(embeddings, id_col="other", ivf_index=idx)
