@@ -1238,6 +1238,30 @@ def _q_dedup_resolve(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "component", "is_duplicate")
 
 
+def _q_substring_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeated-passage detection: strided 64-char window hashes, a window
+    seen in >= 2 distinct docs marks a duplicated span. One fixed-width
+    shuffle on the span hash."""
+    from qdrant_spark.operators.dedup import substring_dup_spans
+
+    return substring_dup_spans(_docs(spark, sf))
+
+
+_SUBSTRING_SPANS_SQL = r"""
+WITH s AS (
+  SELECT doc_id, md5(substr(text, i * 32 + 1, 64)) h
+  FROM documents,
+       unnest(range(0, greatest(CAST(floor((length(text) - 64) / 32.0) AS INT), 0) + 1)) t(i)
+),
+c AS (SELECT h, count(DISTINCT doc_id) nd FROM s GROUP BY h)
+SELECT s.doc_id,
+  count(*) AS n_spans,
+  count(CASE WHEN c.nd >= 2 THEN 1 END) AS n_dup_spans,
+  round(count(CASE WHEN c.nd >= 2 THEN 1 END) * 1.0 / count(*), 6) AS dup_span_frac
+FROM s JOIN c USING (h) GROUP BY s.doc_id
+"""
+
+
 def _q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """C4-style corpus-level paragraph dedup: only the first occurrence
     (by id, position) of each repeated line survives; documents are
@@ -2692,6 +2716,7 @@ _GATE_PRIORITY = [
     "mixture_sample",
     "corpus_stats",
     "c4_line_filter",
+    "substring_dup_spans",
     "knn_auto_filtered",
     "quantized_bq2_rescore",
     "mmr",  # oracle upgraded from rows-only this round
@@ -2832,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_resolve": _q_dedup_resolve,
         "paragraph_dedup": _q_paragraph_dedup,
+        "substring_dup_spans": _q_substring_dup_spans,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash": _q_simhash,
         "dedup_embedding": _q_emb_dups,
@@ -3007,6 +3033,7 @@ FROM documents
         "dedup_components": "WITH RECURSIVE " + _components_sql().lstrip().removeprefix("WITH "),
         "dedup_resolve": "WITH RECURSIVE " + _resolve_sql().lstrip().removeprefix("WITH "),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
+        "substring_dup_spans": _SUBSTRING_SPANS_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": _EMB_DUPS_SQL,

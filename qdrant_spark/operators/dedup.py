@@ -423,6 +423,65 @@ def resolve_duplicates(
     )
 
 
+def substring_dup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 64,
+    stride: int = 32,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Repeated-passage detection — the streaming-friendly approximation of
+    exact-substring dedup (Lee et al. 2021 use a suffix array; a global
+    suffix array is the wrong shape for Spark). Every document is cut into
+    character windows of ``window`` chars at ``stride`` offsets; a window
+    whose md5 appears in >= ``min_docs`` DISTINCT documents marks a
+    duplicated span (cross-document boilerplate: licence blocks, headers,
+    templated passages). Stride < window guarantees any repeated passage
+    of >= window + stride chars shares at least one aligned window with
+    its other occurrences.
+
+    Returns ``(id, n_spans, n_dup_spans, dup_span_frac)`` — rank/filter on
+    ``dup_span_frac`` or join it back for span-level surgery.
+
+    Scale shape: posexplode is map-only; ONE shuffle on the 16-byte span
+    hash (count distinct docs, map-side combined); the dup-hash set comes
+    back as a broadcastable aggregate keyed per (id) — no shuffle ever
+    carries text beyond the window bytes themselves, and hashing to md5
+    first keeps the shuffle rows fixed-width."""
+    spans = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.floor((F.length(text_col) - window)
+                                / F.lit(stride)).cast("int"),
+                        F.lit(0),
+                    ),
+                ),
+                lambda i: F.md5(F.substring(
+                    F.col(text_col), i * stride + 1, window)),
+            )
+        ).alias("pos", "h"),
+    )
+    counts = spans.groupBy("h").agg(
+        F.countDistinct(id_col).alias("__nd")
+    )
+    flagged = spans.join(counts, "h").withColumn(
+        "__dup", F.col("__nd") >= min_docs
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count(F.when(F.col("__dup"), F.lit(1))).alias("n_dup_spans"),
+        F.round(
+            F.count(F.when(F.col("__dup"), F.lit(1))) / F.count(F.lit(1)), 6
+        ).alias("dup_span_frac"),
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame,
     text_col: str = "text",

@@ -310,3 +310,41 @@ def test_paragraph_dedup_all_removed_doc_survives(spark):
            .collect()}
     assert out[0].text_clean == "only line"
     assert out[1].text_clean == "" and out[1].n_removed == 1
+
+
+def test_substring_dup_spans_finds_shared_passages(spark):
+    from qdrant_spark.operators.dedup import substring_dup_spans
+
+    licence = ("this software is provided as is without warranty of any kind "
+               "express or implied including but not limited to the warranties "
+               "of merchantability fitness for a particular purpose and "
+               "noninfringement in no event shall the authors be liable")
+    rows = [
+        (0, licence + " document zero body text that is completely unique"),
+        (1, licence + " and a different continuation for document one here"),
+        (2, "entirely unrelated content with no shared passages at all "
+            "just some distinctive words nobody else repeats anywhere else "
+            "in the corpus so every window of this text must hash uniquely"),
+    ]
+    out = {r.doc_id: r for r in
+           substring_dup_spans(spark.createDataFrame(rows, ["doc_id", "text"]),
+                               window=64, stride=32).collect()}
+    # the shared licence header marks duplicated spans in docs 0 and 1
+    assert out[0].n_dup_spans > 0 and out[1].n_dup_spans > 0
+    assert out[2].n_dup_spans == 0 and out[2].dup_span_frac == 0.0
+    # the unique tails of docs 0/1 are NOT flagged
+    assert out[0].n_dup_spans < out[0].n_spans
+
+
+def test_substring_dup_spans_short_and_empty_docs(spark):
+    from qdrant_spark.operators.dedup import substring_dup_spans
+
+    rows = [(0, "short"), (1, "short"), (2, "other brief"), (3, "")]
+    out = {r.doc_id: r for r in
+           substring_dup_spans(spark.createDataFrame(rows, ["doc_id", "text"]),
+                               window=64, stride=32).collect()}
+    # identical short docs collapse to one window each and flag each other
+    assert out[0].n_spans == 1 and out[0].n_dup_spans == 1
+    assert out[1].n_dup_spans == 1
+    assert out[2].n_dup_spans == 0
+    assert out[3].n_spans == 1  # empty doc still yields its (empty) window
