@@ -86,3 +86,32 @@ def test_stratified_fraction_is_pure_function_of_id_salt(spark, ids, frac, salt)
         if hashlib.md5(f"{i}:{salt}".encode()).hexdigest()[:8] < thr
     }
     assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(items=st.lists(
+    st.text(alphabet="abc ", min_size=0, max_size=6), min_size=0, max_size=25))
+def test_run_stats_matches_counter(spark, items):
+    """_run_stats (sorted-run fold) == Counter semantics: dup_chars counts
+    every occurrence of any value seen >= 2 times; top is the max-count
+    value with smallest-value tiebreak."""
+    from pyspark.sql import functions as F
+
+    from qdrant_spark.operators.curation import _run_stats
+
+    df = spark.createDataFrame([(0,)], "id: long").select(
+        F.lit(0).alias("id"),
+        _run_stats(F.array(*[F.lit(x) for x in items]) if items
+                   else F.array().cast("array<string>")).alias("st"),
+    )
+    r = df.collect()[0]["st"]
+    c = Counter(items)
+    exp_dup = sum(n * len(v) for v, n in c.items() if n > 1)
+    assert r["dup_chars"] == exp_dup
+    if items:
+        exp_cnt, exp_top = max((n, v) for v, n in c.items())[0], \
+            min(v for v, n in c.items() if n == max(c.values()))
+        assert r["top_cnt"] == exp_cnt and r["top_item"] == exp_top
+    else:
+        assert r["top_cnt"] == 0
