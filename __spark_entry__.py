@@ -2761,7 +2761,12 @@ _GATE_PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding",
-    # last driver row r2 (head of the 14; the rest rotate in next round)
+    # last driver row r2 (head of the 14; the rest rotate in next round).
+    # ROTATION NOTE for round 5: the 11 new-in-r4 entries + the 39 r1 block
+    # above fill the driver's 50-row window this round; next round
+    # front-load the r2/r3 families (knn_*, quantized_*, ann_ivf_batch,
+    # filter_*, geo_*, universal_*, shard_*, mutate entries) so no entry's
+    # driver row goes >2 rounds stale.
     "ann_ivf_batch",
     "quantized_sq_rescore",
     "quantized_bq_rescore",
