@@ -229,3 +229,143 @@ class CollectionCatalog(Mapping):
 
     def __len__(self) -> int:
         return len(self._collections) + len(self._aliases)
+
+
+class StrictModeError(ValueError):
+    """A request violates the collection's strict-mode limits."""
+
+
+@dataclass(frozen=True)
+class StrictModeConfig:
+    """Per-collection request limits (StrictModeConfig,
+    lib/segment/src/types.rs:1323-1412). The engine-applicable knobs are
+    implemented; node-operational ones (timeouts, rate limits, memory /
+    storage-size caps) are accepted for config parity but not enforced —
+    resource governance belongs to the Spark cluster manager here.
+
+    ``None`` disables a check, matching the reference's Option fields."""
+
+    enabled: bool = True
+    max_query_limit: int | None = None
+    unindexed_filtering_retrieve: bool | None = None
+    unindexed_filtering_update: bool | None = None
+    search_allow_exact: bool | None = None
+    search_max_oversampling: float | None = None
+    search_max_batchsize: int | None = None
+    upsert_max_batchsize: int | None = None
+    max_points_count: int | None = None
+    filter_max_conditions: int | None = None
+    condition_max_size: int | None = None
+    max_payload_index_count: int | None = None
+    # accepted, not enforced (node-operational in the reference)
+    max_timeout: int | None = None
+    read_rate_limit: int | None = None
+    write_rate_limit: int | None = None
+
+
+def _walk_filter(flt: Mapping[str, Any] | None):
+    """Yield every leaf condition of a Filter (nested Filters recursed)."""
+    if not flt:
+        return
+    clauses = []
+    for key in ("must", "should", "must_not"):
+        v = flt.get(key)
+        if v:
+            clauses.extend(v if isinstance(v, list) else [v])
+    if ms := flt.get("min_should"):
+        clauses.extend(ms.get("conditions") or [])
+    for c in clauses:
+        if any(k in c for k in ("must", "should", "must_not", "min_should")):
+            yield from _walk_filter(c)
+        else:
+            yield c
+
+
+def _filter_keys(flt: Mapping[str, Any] | None) -> set[str]:
+    keys = set()
+    for c in _walk_filter(flt):
+        if "key" in c:
+            keys.add(c["key"])
+        for marker in ("is_empty", "is_null"):
+            if marker in c and isinstance(c[marker], Mapping):
+                keys.add(c[marker].get("key"))
+        if "nested" in c:
+            keys.add(c["nested"].get("key"))
+            keys |= _filter_keys(c["nested"].get("filter"))
+    keys.discard(None)
+    return keys
+
+
+def check_strict_mode(
+    request: Mapping[str, Any],
+    config: StrictModeConfig,
+    *,
+    indexed_fields: set[str] | None = None,
+    n_points: int | None = None,
+    is_update: bool = False,
+    batch: list | None = None,
+) -> None:
+    """Validate one request dict against strict-mode limits; raises
+    :class:`StrictModeError` on the first violation (the reference rejects
+    before planning — lib/collection/src/operations/verification).
+
+    ``indexed_fields`` comes from the catalog's registered field indexes;
+    ``batch`` is the request list for batch APIs; ``is_update`` applies the
+    update-side unindexed-filtering knob."""
+    if not config.enabled:
+        return
+    cfg = config
+
+    def fail(msg: str) -> None:
+        raise StrictModeError(f"strict mode: {msg}")
+
+    limit = request.get("limit")
+    if cfg.max_query_limit is not None and limit is not None \
+            and int(limit) > cfg.max_query_limit:
+        fail(f"limit {limit} > max_query_limit {cfg.max_query_limit}")
+    prefetches = request.get("prefetch") or []
+    if isinstance(prefetches, Mapping):
+        prefetches = [prefetches]
+    for p in prefetches:
+        check_strict_mode(p, config, indexed_fields=indexed_fields,
+                          n_points=n_points, is_update=is_update)
+
+    if cfg.search_allow_exact is False and request.get("exact"):
+        fail("exact search is disabled")
+    osamp = (request.get("params") or {}).get("quantization", {}) \
+        .get("oversampling") or request.get("oversampling")
+    if cfg.search_max_oversampling is not None and osamp is not None \
+            and float(osamp) > cfg.search_max_oversampling:
+        fail(f"oversampling {osamp} > max {cfg.search_max_oversampling}")
+
+    flt = request.get("filter")
+    conds = list(_walk_filter(flt))
+    if cfg.filter_max_conditions is not None \
+            and len(conds) > cfg.filter_max_conditions:
+        fail(f"filter has {len(conds)} conditions > "
+             f"max {cfg.filter_max_conditions}")
+    if cfg.condition_max_size is not None:
+        for c in conds:
+            m = c.get("match") or {}
+            for k in ("any", "except"):
+                vals = m.get(k)
+                if vals is not None and len(list(vals)) > cfg.condition_max_size:
+                    fail(f"match.{k} has {len(list(vals))} values > "
+                         f"condition_max_size {cfg.condition_max_size}")
+    allow_unindexed = (cfg.unindexed_filtering_update if is_update
+                      else cfg.unindexed_filtering_retrieve)
+    if allow_unindexed is False and flt:
+        missing = _filter_keys(flt) - (indexed_fields or set())
+        if missing:
+            fail(f"filter uses unindexed fields {sorted(missing)}")
+
+    if batch is not None:
+        cap = (cfg.upsert_max_batchsize if is_update
+               else cfg.search_max_batchsize)
+        if cap is not None and len(batch) > cap:
+            kind = "upsert" if is_update else "search"
+            fail(f"{kind} batch of {len(batch)} > max {cap}")
+    if cfg.max_points_count is not None and n_points is not None \
+            and n_points > cfg.max_points_count:
+        fail(f"collection has {n_points} points > "
+             f"max_points_count {cfg.max_points_count}")

@@ -164,3 +164,81 @@ def test_tenant_layout_partition_prunes(embeddings, tmp_path):
     assert "PartitionFilters" in plan
     assert "label" in plan.split("PartitionFilters", 1)[1][:200]
     assert got.count() == embeddings.filter(F.col("label") == 1).count()
+
+
+class TestStrictMode:
+    def _cfg(self, **kw):
+        from qdrant_spark.catalog import StrictModeConfig
+        return StrictModeConfig(**kw)
+
+    def test_disabled_is_noop(self):
+        from qdrant_spark.catalog import check_strict_mode
+        check_strict_mode({"limit": 10**9}, self._cfg(enabled=False,
+                                                     max_query_limit=1))
+
+    def test_limit_cap_applies_to_prefetch_tree(self):
+        import pytest as _pt
+
+        from qdrant_spark.catalog import StrictModeError, check_strict_mode
+        cfg = self._cfg(max_query_limit=100)
+        check_strict_mode({"limit": 100}, cfg)
+        with _pt.raises(StrictModeError):
+            check_strict_mode({"limit": 101}, cfg)
+        with _pt.raises(StrictModeError):
+            check_strict_mode(
+                {"limit": 10, "prefetch": [{"limit": 500}]}, cfg)
+
+    def test_filter_condition_counts_and_sizes(self):
+        import pytest as _pt
+
+        from qdrant_spark.catalog import StrictModeError, check_strict_mode
+        flt = {"must": [{"key": "a", "match": {"value": 1}},
+                        {"must_not": [{"key": "b", "match": {"any": [1, 2, 3]}}]}]}
+        check_strict_mode({"filter": flt}, self._cfg(filter_max_conditions=2))
+        with _pt.raises(StrictModeError):
+            check_strict_mode({"filter": flt},
+                              self._cfg(filter_max_conditions=1))
+        with _pt.raises(StrictModeError):
+            check_strict_mode({"filter": flt},
+                              self._cfg(condition_max_size=2))
+
+    def test_unindexed_filtering(self):
+        import pytest as _pt
+
+        from qdrant_spark.catalog import StrictModeError, check_strict_mode
+        flt = {"must": [{"key": "city", "match": {"value": "x"}},
+                        {"nested": {"key": "items",
+                                    "filter": {"must": [{"key": "qty",
+                                                         "range": {"gt": 1}}]}}}]}
+        cfg = self._cfg(unindexed_filtering_retrieve=False)
+        check_strict_mode({"filter": flt}, cfg,
+                          indexed_fields={"city", "items", "qty"})
+        with _pt.raises(StrictModeError) as e:
+            check_strict_mode({"filter": flt}, cfg, indexed_fields={"city"})
+        assert "unindexed" in str(e.value)
+
+    def test_batch_and_points_caps(self):
+        import pytest as _pt
+
+        from qdrant_spark.catalog import StrictModeError, check_strict_mode
+        with _pt.raises(StrictModeError):
+            check_strict_mode({}, self._cfg(search_max_batchsize=2),
+                              batch=[{}, {}, {}])
+        with _pt.raises(StrictModeError):
+            check_strict_mode({}, self._cfg(upsert_max_batchsize=1),
+                              batch=[{}, {}], is_update=True)
+        with _pt.raises(StrictModeError):
+            check_strict_mode({}, self._cfg(max_points_count=10), n_points=11)
+        check_strict_mode({}, self._cfg(max_points_count=10), n_points=10)
+
+    def test_exact_and_oversampling(self):
+        import pytest as _pt
+
+        from qdrant_spark.catalog import StrictModeError, check_strict_mode
+        with _pt.raises(StrictModeError):
+            check_strict_mode({"exact": True},
+                              self._cfg(search_allow_exact=False))
+        req = {"params": {"quantization": {"oversampling": 8.0}}}
+        with _pt.raises(StrictModeError):
+            check_strict_mode(req, self._cfg(search_max_oversampling=4.0))
+        check_strict_mode(req, self._cfg(search_max_oversampling=8.0))
