@@ -1814,6 +1814,37 @@ FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
 """
 
 
+def _q_universal_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """points/query/groups: universal query -> oversampled candidates ->
+    one-pass two-window grouping (QueryPlanner.plan_groups)."""
+    from qdrant_spark.query import QueryPlanner
+
+    q = _vecs(spark, sf, [0])[0]
+    planner = QueryPlanner(_emb(spark, sf), id_col="vec_id",
+                           default_vec_col="embedding", metric="cosine")
+    out = planner.plan_groups(
+        {"query": {"nearest": q}, "using": "embedding"},
+        group_by_field="label", groups=5, group_size=3, oversample=4,
+    ).select("group_value", "vec_id", "score", "rank_in_group", "group_rank")
+    return _long(_r6(out, "score"), "rank_in_group", "group_rank")
+
+
+_UNIVERSAL_GROUPS_SQL = f"""
+WITH {_Q_CTE}, {_E_CTE},
+c AS (SELECT e.vec_id, e.label, {_SQL_DIST['cosine']} AS score FROM e, q
+      ORDER BY score DESC, vec_id LIMIT 60),
+g AS (SELECT label AS group_value, vec_id, score,
+      row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id) rig
+      FROM c),
+g2 AS (SELECT *, max(CASE WHEN rig = 1 THEN score END)
+       OVER (PARTITION BY group_value) best FROM g WHERE rig <= 3),
+g3 AS (SELECT *, dense_rank() OVER (ORDER BY best DESC, group_value) gr FROM g2)
+SELECT group_value, vec_id, round(g3.score, 6) AS score,
+       CAST(rig AS BIGINT) AS rank_in_group, CAST(gr AS BIGINT) AS group_rank
+FROM g3 WHERE gr <= 5
+"""
+
+
 def _q_universal_hybrid(spark: SparkSession, sf: str) -> DataFrame:
     from qdrant_spark.query import universal_query
 
@@ -2717,6 +2748,7 @@ _GATE_PRIORITY = [
     "corpus_stats",
     "c4_line_filter",
     "substring_dup_spans",
+    "universal_groups",
     "knn_auto_filtered",
     "quantized_bq2_rescore",
     "mmr",  # oracle upgraded from rows-only this round
@@ -2881,6 +2913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_batch": _q_query_batch,
         "knn_uint8": _q_knn_uint8,
         "universal_hybrid": _q_universal_hybrid,
+        "universal_groups": _q_universal_groups,
         "universal_hybrid_sparse": _q_universal_hybrid_sparse,
         "universal_rescore": _q_universal_rescore,
         "upsert": _q_upsert,
@@ -3057,6 +3090,7 @@ FROM documents
         "query_batch": _QUERY_BATCH_SQL,
         "knn_uint8": _KNN_UINT8_SQL,
         "universal_hybrid": _UNIVERSAL_HYBRID_SQL,
+        "universal_groups": _UNIVERSAL_GROUPS_SQL,
         "universal_hybrid_sparse": _UNIVERSAL_HYBRID_SPARSE_SQL,
         "universal_rescore": _UNIVERSAL_RESCORE_SQL,
         "upsert": _UPSERT_SQL,

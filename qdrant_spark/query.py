@@ -87,6 +87,51 @@ class QueryPlanner:
         self._vec_cache = self._batch_resolve_ids(request)
         return self._node(request, depth=0)
 
+    def plan_groups(
+        self,
+        request: dict[str, Any],
+        *,
+        group_by_field: str,
+        groups: int = 10,
+        group_size: int = 3,
+        oversample: int = 4,
+        lookup: DataFrame | str | None = None,
+        lookup_cols: list[str] | None = None,
+        larger_better: bool | None = None,
+    ) -> DataFrame:
+        """``/points/query/groups`` (lib/collection/src/grouping/group_by.rs):
+        run the universal query with the candidate limit inflated to
+        ``groups * group_size * oversample``, join the group field back,
+        and apply the one-pass two-window grouping. The reference refills
+        underfilled groups with follow-up searches; the Spark shape is one
+        oversampled pass (documented deviation — raise ``oversample`` for
+        pathological group skew). ``lookup`` attaches payload columns from
+        another collection keyed by group value (WithLookup). Score
+        direction defaults to the planner metric; override
+        ``larger_better`` for ``order_by`` roots."""
+        from qdrant_spark.operators.groupby import group_by as _group_by
+        from qdrant_spark.operators.groupby import with_lookup as _with_lookup
+        from qdrant_spark.operators.knn import larger_is_better
+
+        req = dict(request)
+        req["limit"] = max(int(req.get("limit", 0) or 0),
+                           groups * group_size * oversample)
+        scored = self.plan(req)
+        lb = (larger_is_better(self.metric)
+              if larger_better is None else larger_better)
+        enriched = scored.join(
+            self.points.select(self.id_col, group_by_field),
+            self.id_col, "left",
+        )
+        out = _group_by(enriched, group_by_field, groups=groups,
+                        group_size=group_size, larger_better=lb,
+                        id_col=self.id_col)
+        if lookup is not None:
+            if isinstance(lookup, str):
+                lookup = self.collections[lookup]
+            out = _with_lookup(out, lookup, select=lookup_cols)
+        return out
+
     # -- internals ----------------------------------------------------------
 
     def _node(self, req: dict[str, Any], depth: int) -> DataFrame:

@@ -344,3 +344,48 @@ def test_query_batch_heterogeneous(embeddings):
             embeddings, req, id_col="vec_id", vec_col="embedding").collect()]
         assert sorted(by_req[i]) == sorted(solo), f"request {i}"
     assert len(by_req[0]) == 5 and by_req[0][0][0] == 0
+
+
+def test_plan_groups_with_lookup_and_direction(spark, embeddings):
+    """plan_groups == knn + group_by composition; lookup attaches the
+    dimension columns; smaller-is-better metrics group on ascending score."""
+    from pyspark.sql import functions as F
+
+    from qdrant_spark.operators.groupby import group_by
+    from qdrant_spark.operators.knn import knn
+    from qdrant_spark.query import QueryPlanner
+
+    q = [float(x) for x in embeddings.limit(1).collect()[0]["embedding"]]
+    planner = QueryPlanner(embeddings, id_col="vec_id",
+                           default_vec_col="embedding", metric="cosine")
+    got = planner.plan_groups(
+        {"query": {"nearest": q}, "using": "embedding"},
+        group_by_field="label", groups=3, group_size=2, oversample=4,
+    ).select("group_value", "vec_id", "rank_in_group", "group_rank").collect()
+
+    scored = knn(embeddings, q, metric="cosine", k=3 * 2 * 4,
+                 vec_col="embedding", id_col="vec_id",
+                 select=["vec_id", "label", "score"])
+    want = group_by(scored, "label", groups=3, group_size=2,
+                    id_col="vec_id").select(
+        "group_value", "vec_id", "rank_in_group", "group_rank").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    lk = embeddings.groupBy("label").agg(F.count("*").alias("n"))
+    with_lk = planner.plan_groups(
+        {"query": {"nearest": q}, "using": "embedding"},
+        group_by_field="label", groups=3, group_size=2,
+        lookup=lk.withColumnRenamed("label", "id"),
+    )
+    assert "lookup_n" in with_lk.columns
+
+    # euclid planner: groups must rank by ascending distance
+    pe = QueryPlanner(embeddings, id_col="vec_id",
+                      default_vec_col="embedding", metric="euclid")
+    ge = pe.plan_groups({"query": {"nearest": q}, "using": "embedding"},
+                        group_by_field="label", groups=2, group_size=2)
+    rows = ge.orderBy("group_rank", "rank_in_group").collect()
+    by_grp: dict = {}
+    for r in rows:
+        by_grp.setdefault(r["group_value"], []).append(r["score"])
+    assert all(vs == sorted(vs) for vs in by_grp.values())
