@@ -113,6 +113,46 @@ def count_df(points: DataFrame, flt: dict[str, Any] | None = None) -> DataFrame:
     return apply_filter(points, flt).agg(F.count("*").alias("count"))
 
 
+def count_estimate(
+    points: DataFrame,
+    flt: dict[str, Any] | None = None,
+    *,
+    total: int | None = None,
+    max_sample: int = 10_000,
+    seed: int = 42,
+) -> tuple[int, int]:
+    """``count(exact=false)`` — the reference estimates from index metadata
+    / sampling instead of scanning (CountRequest ``exact``,
+    lib/segment/src/index/sample_estimation.rs). Returns ``(estimate,
+    +-interval)`` from one seeded-sample job scored with the Agresti-Coull
+    interval (z=2): the corpus pass touches ~``max_sample`` rows whatever
+    the corpus size, vs the full filtered scan of :func:`count`.
+    ``total`` skips the corpus-count job when the caller already knows it
+    (cached table, catalog stats)."""
+    from qdrant_spark.filters import filter_column
+    from qdrant_spark.operators.dispatch import agresti_coull_interval
+
+    if total is None:
+        total = points.count()
+    if total == 0:
+        return 0, 0
+    if flt is None:
+        return total, 0
+    frac = min(1.0, 1.2 * max_sample / total)
+    sample = points if frac >= 1.0 else points.sample(fraction=frac, seed=seed)
+    cond = filter_column(points, dict(flt))
+    row = sample.limit(max_sample).agg(
+        F.count(F.lit(1)).alias("trials"),
+        F.count(F.when(cond, F.lit(1))).alias("positive"),
+    ).collect()[0]
+    trials, positive = int(row["trials"]), int(row["positive"])
+    if trials == 0:
+        return 0, 0
+    if trials >= total:  # the sample WAS the corpus — exact
+        return positive, 0
+    return agresti_coull_interval(trials, positive, total)
+
+
 def facet(
     points: DataFrame,
     key: str,

@@ -99,3 +99,18 @@ def test_retrieve_payload_selectors(points_basic):
 
     with pytest.raises(ValueError):
         retrieve(points_basic, ["1"], with_payload={"bogus": []})
+
+
+def test_count_estimate_brackets_exact(documents):
+    from qdrant_spark.operators.points import count, count_estimate
+
+    flt = {"must": [{"key": "lang", "match": {"value": "en"}}]}
+    exact = count(documents, flt)
+    est, interval = count_estimate(documents, flt, max_sample=200)
+    assert est - interval - 1 <= exact <= est + interval + 1
+    # small corpus: the sample covers everything -> exact with zero interval
+    est2, iv2 = count_estimate(documents, flt, max_sample=10_000)
+    assert (est2, iv2) == (exact, 0)
+    # no filter: the total is the answer
+    n = documents.count()
+    assert count_estimate(documents, None, total=n) == (n, 0)
