@@ -328,12 +328,18 @@ def build_ivf_pq(
     base = ivf.assigned
     n = base.count()
     frac = min(1.0, float(sample_size) / max(n, 1))
+    # sortWithinPartitions-free determinism: collect() row order depends on
+    # task scheduling, and _kmeans_np's result depends on data order — sort
+    # the (tiny) driver-side sample by id so codebooks are reproducible
+    # run-to-run, not just seed-to-seed
+    sel = base.select(id_col, vec_col, "__cluster")
     sample_rows = (
-        base.select(vec_col, "__cluster").sample(frac, seed=seed).collect()
-        or base.select(vec_col, "__cluster").limit(sample_size).collect()
+        sel.sample(frac, seed=seed).collect()
+        or sel.limit(sample_size).collect()
     )
-    V = np.array([list(r[0]) for r in sample_rows], dtype=np.float64)
-    R = V - centroids[np.array([r[1] for r in sample_rows], dtype=np.int64)]
+    sample_rows.sort(key=lambda r: r[0])
+    V = np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
+    R = V - centroids[np.array([r[2] for r in sample_rows], dtype=np.int64)]
     rng = np.random.default_rng(seed)
     codebooks = np.stack([
         _kmeans_np(R[:, m * dsub:(m + 1) * dsub], n_centroids, max_iter, rng)

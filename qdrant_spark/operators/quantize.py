@@ -368,15 +368,13 @@ def build_pq(
 
     n = base.count()
     frac = min(1.0, float(sample_size) / max(n, 1))
-    sample = np.array(
-        [list(r[0]) for r in base.select(vec_col).sample(frac, seed=seed).collect()],
-        dtype=np.float64,
-    )
-    if sample.size == 0:
-        sample = np.array(
-            [list(r[0]) for r in base.select(vec_col).limit(sample_size).collect()],
-            dtype=np.float64,
-        )
+    # id-sort the driver-side sample: collect() order depends on task
+    # scheduling and _kmeans_np depends on data order — sorting makes the
+    # codebooks reproducible run-to-run, not just seed-to-seed
+    rows = (base.select(id_col, vec_col).sample(frac, seed=seed).collect()
+            or base.select(id_col, vec_col).limit(sample_size).collect())
+    rows.sort(key=lambda r: r[0])
+    sample = np.array([list(r[1]) for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     codebooks = np.stack([
         _kmeans_np(sample[:, m * dsub:(m + 1) * dsub], n_centroids, max_iter, rng)
