@@ -379,6 +379,11 @@ def main() -> None:
     }
 
     def _recall(df):
+        # NOTE: the PQ recall lines fluctuate +-0.1 run-to-run: MLlib
+        # KMeans centroids drift with distributed fp-summation order even
+        # under a fixed seed (codebook training itself is id-sorted and
+        # deterministic). Correctness is gated by the exact-match oracles,
+        # not these lines.
         got = {r["vec_id"] for r in df.collect()}
         return round(len(exact10 & got) / len(exact10), 3)
 
