@@ -1155,6 +1155,32 @@ def _q_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return _r6(out, "jaccard")
 
 
+def _q_lsh_cross(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus doc-level contamination: LSH pairs between the two
+    halves of the corpus (id < 250 as 'train', >= 250 as 'benchmark')."""
+    from qdrant_spark.operators.dedup import minhash_lsh_pairs_cross
+
+    docs = _docs(spark, sf)
+    out = minhash_lsh_pairs_cross(
+        docs.where("doc_id < 250"), docs.where("doc_id >= 250"),
+        n_perms=16, bands=4, jaccard_threshold=0.2,
+    )
+    return _r6(out, "jaccard")
+
+
+def _lsh_cross_sql() -> str:
+    base = _lsh_sql()
+    # same pipeline; candidates pair the two id halves instead of a<b
+    return base.replace(
+        """cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+         WHERE a.doc_id < b.doc_id),""",
+        """cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+         WHERE a.doc_id < 250 AND b.doc_id >= 250),""",
+    )
+
+
 def _lsh_sql() -> str:
     from qdrant_spark.functions.hashes import minhash_params
 
@@ -2749,6 +2775,7 @@ _GATE_PRIORITY = [
     "c4_line_filter",
     "substring_dup_spans",
     "universal_groups",
+    "dedup_lsh_cross",
     "knn_auto_filtered",
     "quantized_bq2_rescore",
     "mmr",  # oracle upgraded from rows-only this round
@@ -2891,6 +2918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_exact_dedup,
         "dedup_minhash_sig": _q_minhash,
         "dedup_lsh_pairs": _q_lsh_pairs,
+        "dedup_lsh_cross": _q_lsh_cross,
         "dedup_components": _q_dedup_components,
         "dedup_resolve": _q_dedup_resolve,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -3068,6 +3096,7 @@ FROM documents
         "dedup_exact": _EXACT_DEDUP_SQL,
         "dedup_minhash_sig": _minhash_sql(),
         "dedup_lsh_pairs": _lsh_sql(),
+        "dedup_lsh_cross": _lsh_cross_sql(),
         "dedup_components": "WITH RECURSIVE " + _components_sql().lstrip().removeprefix("WITH "),
         "dedup_resolve": "WITH RECURSIVE " + _resolve_sql().lstrip().removeprefix("WITH "),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,

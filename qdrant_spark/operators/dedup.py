@@ -155,6 +155,67 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_cross(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_perms: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.3,
+) -> DataFrame:
+    """Cross-corpus near-duplicate pairs (id_a from ``df_a``, id_b from
+    ``df_b``): document-level train/test contamination detection — the
+    doc-granularity complement of :func:`~qdrant_spark.operators.curation.
+    decontaminate` (which flags n-gram overlap). Same banded MinHash-LSH
+    machinery as :func:`minhash_lsh_pairs`, but candidates come from an
+    equi-join of A-side band keys to B-side band keys, so the pair space
+    is A-collisions x B-collisions, never |A| x |B|.
+
+    Scale shape: each side is shingled/minhashed independently (one Arrow
+    pass per side); ONE shuffle joins the band keys; exact-jaccard verify
+    touches candidate ids only. When ``df_b`` is a small benchmark corpus
+    its band-key table broadcasts."""
+    from qdrant_spark.functions.hashes import (
+        hashed_tokens, minhash_from_hashed_arrow,
+    )
+
+    rows_per_band = n_perms // bands
+
+    def prep(df, side):
+        sh = with_shingles(df, text_col, id_col, shingle_n).cache()
+        sig = (
+            sh.withColumn("__hs", hashed_tokens(F.col("sh")))
+            .select(F.col(id_col),
+                    minhash_from_hashed_arrow(F.col("__hs"), n_perms)
+                    .alias("sig"))
+            .filter(F.col("sig").isNotNull())
+        )
+        bk = sig.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.explode(band_keys(F.col("sig"), bands, rows_per_band)).alias("b"),
+        ).select(f"id_{side}", F.col("b.band").alias("band"),
+                 F.col("b.key").alias("key"))
+        return sh, bk
+
+    sh_a, bk_a = prep(df_a, "a")
+    sh_b, bk_b = prep(df_b, "b")
+    cand = bk_a.join(bk_b, ["band", "key"]).select("id_a", "id_b").distinct()
+    lhs = sh_a.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    rhs = sh_b.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cand.join(lhs, "id_a")
+        .join(rhs, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -348,3 +348,24 @@ def test_substring_dup_spans_short_and_empty_docs(spark):
     assert out[1].n_dup_spans == 1
     assert out[2].n_dup_spans == 0
     assert out[3].n_spans == 1  # empty doc still yields its (empty) window
+
+
+def test_lsh_cross_finds_contamination_only_across_sides(spark):
+    from qdrant_spark.operators.dedup import minhash_lsh_pairs_cross
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the fence and birds sing in the morning light")
+    train = spark.createDataFrame(
+        [(0, base), (1, "completely different content about numerical "
+                        "linear algebra and matrix decompositions for "
+                        "solving large sparse systems of equations")],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, base + " extra tail words"),  # near-dup of train doc 0
+         (101, "unrelated benchmark question about geography and rivers "
+               "flowing through continental landmasses toward the ocean")],
+        ["doc_id", "text"])
+    pairs = minhash_lsh_pairs_cross(train, bench,
+                                    jaccard_threshold=0.3).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 100)}
+    assert all(r.jaccard >= 0.3 for r in pairs)
