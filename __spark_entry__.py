@@ -2412,7 +2412,7 @@ def _q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
 _CORPUS_STATS_SQL = r"""
 SELECT lang,
   count(*) AS n_docs,
-  sum(n_chars) AS sum_n_chars,
+  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
   round(avg(n_chars), 6) AS avg_n_chars,
   round(quantile_cont(n_chars, 0.5), 6) AS p50_n_chars,
   round(quantile_cont(n_chars, 0.9), 6) AS p90_n_chars,

@@ -102,6 +102,21 @@ class CollectionCatalog(Mapping):
         self._collections: dict[str, DataFrame | Callable[[], DataFrame]] = {}
         self._aliases: dict[str, str] = {}  # alias -> collection name
         self._field_indexes: dict[str, dict[str, FieldIndex]] = {}
+        self._strict_modes: dict[str, "StrictModeConfig"] = {}
+
+    # -- strict mode -------------------------------------------------------
+
+    def set_strict_mode(self, collection: str, config: "StrictModeConfig") -> None:
+        """Attach a strict-mode config to a collection (resolves aliases);
+        consulted by catalog-side operations such as create_field_index."""
+        name = self._aliases.get(collection, collection)
+        if name not in self._collections:
+            raise KeyError(f"unknown collection {collection!r}")
+        self._strict_modes[name] = config
+
+    def get_strict_mode(self, collection: str) -> "StrictModeConfig | None":
+        name = self._aliases.get(collection, collection)
+        return self._strict_modes.get(name)
 
     # -- collection ops ----------------------------------------------------
 
@@ -136,6 +151,17 @@ class CollectionCatalog(Mapping):
         name = self._aliases.get(collection, collection)
         if name not in self._collections:
             raise KeyError(f"unknown collection {collection!r}")
+        cfg = self._strict_modes.get(name)
+        if (cfg is not None and cfg.enabled
+                and cfg.max_payload_index_count is not None
+                and field not in self._field_indexes.get(name, {})
+                and len(self._field_indexes.get(name, {}))
+                >= cfg.max_payload_index_count):
+            raise StrictModeError(
+                f"strict mode: collection {collection!r} already has "
+                f"{len(self._field_indexes[name])} payload indexes "
+                f"(max_payload_index_count {cfg.max_payload_index_count})"
+            )
         fi = FieldIndex(field=field, schema_type=schema_type,
                         is_tenant=is_tenant, is_principal=is_principal,
                         params=dict(params))
@@ -332,7 +358,7 @@ def check_strict_mode(
 
     if cfg.search_allow_exact is False and request.get("exact"):
         fail("exact search is disabled")
-    osamp = (request.get("params") or {}).get("quantization", {}) \
+    osamp = ((request.get("params") or {}).get("quantization") or {}) \
         .get("oversampling") or request.get("oversampling")
     if cfg.search_max_oversampling is not None and osamp is not None \
             and float(osamp) > cfg.search_max_oversampling:

@@ -195,28 +195,39 @@ def lm_score(
         src.select(F.explode(toks(F.col(text_col))).alias("tok"))
         .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total_row = tok_counts.agg(F.sum("cnt").alias("total")).collect()[0]
-    total = int(total_row["total"] or 0)
+    # corpus token total stays IN-PLAN: a broadcast 1-row crossJoin instead
+    # of a driver-side collect — the plan stays lazy and the token agg runs
+    # once, not as a separate scalar job
+    denom = F.col("__total") + F.lit(float(alpha * (vocab_size + 1)))
+    total_df = tok_counts.agg(
+        F.coalesce(F.sum("cnt").cast("double"), F.lit(0.0)).alias("__total")
+    )
     # top-V via orderBy+limit = map-side TakeOrdered, NOT a global window
     # (a windowed row_number over all distinct tokens is a one-partition
     # sort of the whole vocabulary)
     vocab = (
         tok_counts.orderBy(F.col("cnt").desc(), F.col("tok").asc())
         .limit(vocab_size)
+        .crossJoin(F.broadcast(total_df))
         .select(
             "tok",
-            F.log((F.col("cnt") + F.lit(float(alpha)))
-                  / F.lit(total + alpha * (vocab_size + 1))).alias("lp"),
+            F.log((F.col("cnt") + F.lit(float(alpha))) / denom).alias("lp"),
         )
     )
-    oov_lp = float(math.log(alpha / (total + alpha * (vocab_size + 1)))) \
-        if total > 0 else 0.0
 
     ex = docs.select(
         F.col(id_col),
         F.explode_outer(toks(F.col(text_col))).alias("tok"),
     )
-    scored = ex.join(F.broadcast(vocab), "tok", "left")
+    scored = (
+        ex.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(total_df))
+        .withColumn(
+            "__oov_lp",
+            F.when(F.col("__total") > 0,
+                   F.log(F.lit(float(alpha)) / denom)).otherwise(F.lit(0.0)),
+        )
+    )
     n_tok = F.count("tok")
     n_oov = F.count(F.when(F.col("tok").isNotNull() & F.col("lp").isNull(),
                            F.lit(1)))
@@ -228,7 +239,7 @@ def lm_score(
             F.coalesce(
                 F.avg(F.coalesce(
                     F.col("lp"),
-                    F.when(F.col("tok").isNotNull(), F.lit(oov_lp)),
+                    F.when(F.col("tok").isNotNull(), F.col("__oov_lp")),
                 )),
                 F.lit(0.0),
             ), 6,
@@ -605,7 +616,9 @@ def corpus_stats(
     billions of rows and 1% error is acceptable)."""
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(num_col).alias(f"sum_{num_col}"),
+        # explicit BIGINT: DuckDB types integer sums as HUGEINT, Spark as
+        # LONG — pin both sides so value-hash comparison is type-stable
+        F.sum(num_col).cast("long").alias(f"sum_{num_col}"),
         F.round(F.avg(num_col), 6).alias(f"avg_{num_col}"),
     ]
     for p in percentiles:

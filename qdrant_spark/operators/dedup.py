@@ -102,7 +102,7 @@ def minhash_lsh_pairs(
     from qdrant_spark.functions.hashes import hashed_tokens, minhash_from_hashed_arrow
 
     rows_per_band = n_perms // bands
-    sh = with_shingles(df, text_col, id_col, shingle_n).cache()
+    sh = with_shingles(df, text_col, id_col, shingle_n)
     sig = (
         sh.withColumn("__hs", hashed_tokens(F.col("sh")))
         .select(F.col(id_col), minhash_from_hashed_arrow(F.col("__hs"), n_perms).alias("sig"))
@@ -142,8 +142,21 @@ def minhash_lsh_pairs(
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # verify-side shingles are re-derived from docs PRUNED to candidate ids
+    # (semi join — AQE broadcasts the tiny candidate set) instead of
+    # pinning the corpus-wide shingle table in executor storage with a
+    # .cache() that a lazy return can never unpersist: two cheap pruned
+    # scans beat a storage leak for the lifetime of the session
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shc = with_shingles(
+        df.join(cand_ids, id_col, "leftsemi"), text_col, id_col, shingle_n
+    )
+    sh_a = shc.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = shc.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
@@ -185,7 +198,7 @@ def minhash_lsh_pairs_cross(
     rows_per_band = n_perms // bands
 
     def prep(df, side):
-        sh = with_shingles(df, text_col, id_col, shingle_n).cache()
+        sh = with_shingles(df, text_col, id_col, shingle_n)
         sig = (
             sh.withColumn("__hs", hashed_tokens(F.col("sh")))
             .select(F.col(id_col),
@@ -198,13 +211,24 @@ def minhash_lsh_pairs_cross(
             F.explode(band_keys(F.col("sig"), bands, rows_per_band)).alias("b"),
         ).select(f"id_{side}", F.col("b.band").alias("band"),
                  F.col("b.key").alias("key"))
-        return sh, bk
+        return bk
 
-    sh_a, bk_a = prep(df_a, "a")
-    sh_b, bk_b = prep(df_b, "b")
+    bk_a = prep(df_a, "a")
+    bk_b = prep(df_b, "b")
     cand = bk_a.join(bk_b, ["band", "key"]).select("id_a", "id_b").distinct()
-    lhs = sh_a.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    rhs = sh_b.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # verify-side shingles re-derived from candidate-pruned docs (semi
+    # join) rather than a never-unpersisted .cache() of each side's full
+    # shingle table — see minhash_lsh_pairs for the rationale
+    lhs = with_shingles(
+        df_a.join(cand.select(F.col("id_a").alias(id_col)).distinct(),
+                  id_col, "leftsemi"),
+        text_col, id_col, shingle_n,
+    ).select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    rhs = with_shingles(
+        df_b.join(cand.select(F.col("id_b").alias(id_col)).distinct(),
+                  id_col, "leftsemi"),
+        text_col, id_col, shingle_n,
+    ).select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
@@ -562,24 +586,32 @@ def paragraph_dedup(
     document (documents whose every paragraph is removed keep an empty
     ``text_clean``).
 
-    Scale shape: posexplode (map-only, partition-local) -> ONE shuffle on
-    the paragraph value for the first-occurrence window -> one groupBy(id)
-    to reassemble. No self-join, no pair materialization; the window state
-    per key is one running row_number. Skew note: a pathologically common
-    paragraph concentrates its occurrences in one window partition — at
-    100 TB pre-aggregate by (para, id, pos) min or raise ``min_chars`` to
-    keep boilerplate spans out of the shuffle.
+    Scale shape: posexplode (map-only, partition-local) -> first-occurrence
+    winner per paragraph via ``min(struct(id, pos))`` grouped on a 16-byte
+    md5 of the span (map-side combine collapses a boilerplate paragraph to
+    <=1 row per input partition BEFORE the shuffle, and the text itself
+    never shuffles) -> winners joined back on the uniformly-distributed
+    (id, pos) key -> one groupBy(id) to reassemble. No window over the raw
+    paragraph value, so a pathologically common span cannot concentrate
+    its occurrences in one task; no self-join, no pair materialization.
     """
-    from pyspark.sql import Window
-
     paras = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
     )
-    w = Window.partitionBy("para").orderBy(F.col(id_col).asc(), F.col("pos").asc())
-    flagged = paras.withColumn(
+    winners = (
+        paras.where(F.length("para") >= min_chars)
+        .groupBy(F.md5(F.col("para")).alias("__ph"))
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w"))
+        .select(
+            F.col(f"__w.{id_col}").alias(id_col),
+            F.col("__w.pos").alias("pos"),
+            F.lit(True).alias("__win"),
+        )
+    )
+    flagged = paras.join(winners, [id_col, "pos"], "left").withColumn(
         "kept",
-        (F.length("para") < min_chars) | (F.row_number().over(w) == 1),
+        (F.length("para") < min_chars) | F.col("__win").isNotNull(),
     )
     assembled = flagged.groupBy(id_col).agg(
         F.array_join(

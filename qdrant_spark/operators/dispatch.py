@@ -296,10 +296,14 @@ def sample_check_cardinality(
     ``threshold``. One seeded-sample job counting trials and matches
     together; the iterative early-exit of the reference collapses to a
     single interval test because Spark prices per-job, not per-row."""
+    # no .limit() cap: LIMIT reads the first-scanned partitions only, which
+    # skews the positive rate whenever the filter correlates with layout —
+    # the Bernoulli fraction alone keeps the sample uniform (see
+    # points.count_estimate)
     frac = min(1.0, 1.2 * max_sample / max(total, 1))
     sample = df if frac >= 1.0 else df.sample(fraction=frac, seed=seed)
     cond = filter_column(df, dict(flt), text_params=text_params)
-    row = sample.limit(max_sample).agg(
+    row = sample.agg(
         F.count(F.lit(1)).alias("trials"),
         F.count(F.when(cond, F.lit(1))).alias("positive"),
     ).collect()[0]

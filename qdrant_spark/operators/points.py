@@ -138,10 +138,15 @@ def count_estimate(
         return 0, 0
     if flt is None:
         return total, 0
+    # Bernoulli sample WITHOUT a limit cap: LIMIT takes rows from the
+    # first-scanned partitions, so when the filtered field correlates with
+    # data layout (tables partitioned/sorted by it — the layout this repo
+    # recommends) a limited sample is unrepresentative and the interval is
+    # confidently wrong. The fraction alone bounds expected sample size.
     frac = min(1.0, 1.2 * max_sample / total)
     sample = points if frac >= 1.0 else points.sample(fraction=frac, seed=seed)
     cond = filter_column(points, dict(flt))
-    row = sample.limit(max_sample).agg(
+    row = sample.agg(
         F.count(F.lit(1)).alias("trials"),
         F.count(F.when(cond, F.lit(1))).alias("positive"),
     ).collect()[0]

@@ -79,6 +79,10 @@ class QueryPlanner:
         self.index_stats = index_stats or {}
         self.full_scan_threshold = full_scan_threshold
         self._index_total: int | None = None
+        #: diagnostics from the last plan(): how many sibling prefetch
+        #: groups were fused into a single shared scan (see _plan_children)
+        self.last_plan_info: dict[str, int] = {"fused_groups": 0,
+                                               "fused_legs": 0}
 
     # -- public ------------------------------------------------------------
 
@@ -143,9 +147,125 @@ class QueryPlanner:
         limit = int(req.get("limit", DEFAULT_LIMIT))
         query = req.get("query")
         if children:
-            child_dfs = [self._node(c, depth + 1) for c in children]
+            child_dfs = self._plan_children(children, depth)
             return self._rescore(query, child_dfs, req, limit)
         return self._leaf(query, req, limit)
+
+    # -- shared-scan prefetch fusion ----------------------------------------
+    #
+    # Sibling prefetch leaves that share (source, filter, vector column)
+    # would each run a full corpus scan; the reference batches exactly
+    # these into one leaf-search pass (PlannedQuery merges prefetches into
+    # a single batch, lib/shard/src/query/planned_query.rs:17-60). The
+    # Spark analogue: ONE knn_batch over the shared filtered scan with one
+    # query row per leg (block-matmul: every leg scored against each Arrow
+    # batch in one BLAS call), then the tiny per-leg top-k result set
+    # (<= legs * (limit+offset) rows) is split into per-child frames.
+    # The split materializes the batch result (a bounded collect, same
+    # class as _batch_resolve_ids) so the fused scan runs exactly once.
+
+    @staticmethod
+    def _leaf_exact(req: dict[str, Any]) -> bool:
+        """params.exact / request-level exact: per-request opt-out of ANN
+        routing (the reference honors SearchParams::exact, types.rs)."""
+        return bool((req.get("params") or {}).get("exact")
+                    or req.get("exact"))
+
+    def _fusable_leaf(self, req: dict[str, Any]) -> tuple | None:
+        """Group key when this child is a dense-nearest leaf eligible for
+        the shared-scan batch, else None. Leaves that would route through
+        the ANN dispatcher keep their own plan (fusing them would silently
+        upgrade approximate legs to exact ones)."""
+        if req.get("prefetch"):
+            return None
+        query = req.get("query")
+        if not isinstance(query, dict) or "nearest" not in query:
+            return None
+        target = query["nearest"]
+        if isinstance(target, dict) and "indices" in target:  # sparse
+            return None
+        vec_col = req.get("using", self.default_vec_col)
+        if (self.ivf_index is not None and vec_col == self.ivf_index.vec_col
+                and not self._leaf_exact(req)):
+            return None
+        import json
+
+        flt_key = json.dumps(req.get("filter"), sort_keys=True, default=str)
+        return (vec_col, flt_key)
+
+    def _plan_children(self, children: list[dict], depth: int) -> list[DataFrame]:
+        groups: dict[tuple, list[int]] = {}
+        for i, c in enumerate(children):
+            key = self._fusable_leaf(c)
+            if key is not None:
+                groups.setdefault(key, []).append(i)
+        out: list[DataFrame | None] = [None] * len(children)
+        fused_groups = fused_legs = 0
+        for key, idxs in groups.items():
+            if len(idxs) < 2:
+                continue
+            legs = self._fused_leaves([children[i] for i in idxs], key[0])
+            for i, df in zip(idxs, legs):
+                out[i] = df
+            fused_groups += 1
+            fused_legs += len(idxs)
+        self.last_plan_info = {"fused_groups": fused_groups,
+                               "fused_legs": fused_legs}
+        for i, c in enumerate(children):
+            if out[i] is None:
+                out[i] = self._node(c, depth + 1)
+        return out
+
+    def _fused_leaves(self, reqs: list[dict], vec_col: str) -> list[DataFrame]:
+        from pyspark.sql import types as T
+
+        from qdrant_spark.filters import apply_filter
+        from qdrant_spark.functions.distances import larger_is_better
+        from qdrant_spark.operators.knn import knn_batch
+
+        spark = self.points.sparkSession
+        flt = reqs[0].get("filter")
+        targets, needed, thresholds = [], [], []
+        for r in reqs:
+            t = self._resolve_vector_input(r["query"]["nearest"], r)
+            targets.append([float(x) for x in t])
+            limit = int(r.get("limit", DEFAULT_LIMIT))
+            needed.append(int(r.get("offset", 0)) + limit)
+            thresholds.append(r.get("score_threshold"))
+        qdf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(targets)],
+            "qid: long, qvec: array<double>",
+        )
+        res = knn_batch(
+            apply_filter(self.points, flt), qdf, metric=self.metric,
+            k=max(needed), vec_col=vec_col, id_col=self.id_col,
+            strategy="auto",
+        ).select("qid", self.id_col, "score")
+        rows = res.collect()  # bounded: <= legs * max(offset+limit)
+        lb = larger_is_better(self.metric)
+        id_type = self.points.schema[self.id_col].dataType
+        schema = T.StructType([
+            T.StructField(self.id_col, id_type),
+            T.StructField("score", T.DoubleType()),
+        ])
+        out = []
+        for i, r in enumerate(reqs):
+            hits = sorted(
+                ((row[self.id_col], float(row["score"]))
+                 for row in rows if row["qid"] == i),
+                key=lambda h: ((-h[1] if lb else h[1]), h[0]),
+            )
+            # threshold post-top-k is exact: every row outside the top-k
+            # scores strictly worse, so a failing top row implies all
+            # lower rows fail too (direction-aware)
+            th = thresholds[i]
+            if th is not None:
+                hits = [h for h in hits
+                        if (h[1] > th if lb else h[1] < th)]
+            off = int(r.get("offset", 0))
+            limit = int(r.get("limit", DEFAULT_LIMIT))
+            out.append(spark.createDataFrame(hits[off:off + limit], schema))
+        return out
 
     # -- VectorInput id resolution ------------------------------------------
 
@@ -277,7 +397,8 @@ class QueryPlanner:
             target = self._resolve_vector_input(target, req)
             if (self.ivf_index is not None and offset == 0
                     and threshold is None
-                    and vec_col == self.ivf_index.vec_col):
+                    and vec_col == self.ivf_index.vec_col
+                    and not self._leaf_exact(req)):
                 from qdrant_spark.operators.dispatch import (
                     FULL_SCAN_THRESHOLD, auto_search,
                 )

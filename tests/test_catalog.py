@@ -242,3 +242,56 @@ class TestStrictMode:
         with _pt.raises(StrictModeError):
             check_strict_mode(req, self._cfg(search_max_oversampling=4.0))
         check_strict_mode(req, self._cfg(search_max_oversampling=8.0))
+
+    def test_null_quantization_params_ignored(self):
+        from qdrant_spark.catalog import check_strict_mode
+
+        # explicit params: {"quantization": null} must be ignored, not
+        # AttributeError
+        check_strict_mode({"params": {"quantization": None}},
+                          self._cfg(search_max_oversampling=4.0))
+
+    def test_max_payload_index_count_enforced(self, spark):
+        import pytest as _pt
+
+        from qdrant_spark.catalog import (
+            CollectionCatalog, StrictModeError,
+        )
+
+        cat = CollectionCatalog()
+        df = spark.range(1)
+        cat.register("c", df)
+        cat.set_strict_mode("c", self._cfg(max_payload_index_count=2))
+        cat.create_field_index("c", "a")
+        cat.create_field_index("c", "b")
+        with _pt.raises(StrictModeError):
+            cat.create_field_index("c", "d")
+        # rebuilding an EXISTING index is idempotent, never capped
+        cat.create_field_index("c", "a", "integer")
+        # dropping one frees a slot
+        cat.delete_field_index("c", "b")
+        cat.create_field_index("c", "d")
+        # unknown collection still rejected before the strict check
+        with _pt.raises(KeyError):
+            cat.set_strict_mode("nope", self._cfg())
+
+    def test_every_config_field_enforced_or_documented(self):
+        """Every StrictModeConfig field is either exercised by a test in
+        this class or explicitly listed as node-operational (accepted for
+        config parity, enforced by the cluster manager, not the engine)."""
+        import dataclasses
+
+        from qdrant_spark.catalog import StrictModeConfig
+
+        enforced = {
+            "enabled", "max_query_limit", "unindexed_filtering_retrieve",
+            "unindexed_filtering_update", "search_allow_exact",
+            "search_max_oversampling", "search_max_batchsize",
+            "upsert_max_batchsize", "max_points_count",
+            "filter_max_conditions", "condition_max_size",
+            "max_payload_index_count",
+        }
+        node_operational = {"max_timeout", "read_rate_limit",
+                            "write_rate_limit"}
+        fields = {f.name for f in dataclasses.fields(StrictModeConfig)}
+        assert fields == enforced | node_operational

@@ -259,15 +259,18 @@ def test_c4_line_filter_zero_exchange(spark):
     assert "Exchange" not in plan
 
 
-def test_paragraph_dedup_two_shuffles_no_join(spark):
+def test_paragraph_dedup_no_window_over_para(spark):
     from qdrant_spark.operators.dedup import paragraph_dedup
 
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(paragraph_dedup(df), "simple")
-    # one hash exchange for the window on para, one for the groupBy(id);
-    # no self-join anywhere
-    assert plan.count("Exchange hashpartitioning") == 2
-    assert "Join" not in plan
+    # skew-safe shape: NO window over the raw paragraph value (a
+    # boilerplate span would pin all its occurrences on one task) — the
+    # first occurrence is a map-side-combined min() agg on md5(para),
+    # joined back on the uniformly-distributed (id, pos) key
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    assert "md5" in plan
 
 
 def test_mixture_sample_is_broadcast_plus_filter(spark):

@@ -389,3 +389,133 @@ def test_plan_groups_with_lookup_and_direction(spark, embeddings):
     for r in rows:
         by_grp.setdefault(r["group_value"], []).append(r["score"])
     assert all(vs == sorted(vs) for vs in by_grp.values())
+
+
+# --- shared-scan prefetch fusion -------------------------------------------
+
+
+def test_prefetch_shared_scan_fusion(embeddings):
+    """Sibling dense-nearest prefetch legs sharing (source, filter, vector
+    column) fuse into ONE batched leaf scan (the PlannedQuery analogue,
+    lib/shard/src/query/planned_query.rs:17-60) and the fused result is
+    value-identical to planning each leg separately."""
+    from qdrant_spark.operators.fusion import rrf
+    from qdrant_spark.operators.knn import knn
+    from qdrant_spark.query import QueryPlanner
+
+    rows = embeddings.filter(F.col("vec_id").isin([0, 3])).collect()
+    v = {r["vec_id"]: list(r["embedding"]) for r in rows}
+    req = {
+        "prefetch": [
+            {"query": {"nearest": v[0]}, "limit": 20},
+            {"query": {"nearest": v[3]}, "limit": 15, "offset": 2},
+        ],
+        "query": {"fusion": "rrf"},
+        "limit": 8,
+    }
+    p = QueryPlanner(embeddings, id_col="vec_id", default_vec_col="embedding")
+    fused = p.plan(req).collect()
+    assert p.last_plan_info == {"fused_groups": 1, "fused_legs": 2}
+
+    legs = [
+        knn(embeddings, v[0], metric="cosine", k=20, vec_col="embedding",
+            id_col="vec_id", select=["vec_id", "score"]),
+        knn(embeddings, v[3], metric="cosine", k=15, offset=2,
+            vec_col="embedding", id_col="vec_id", select=["vec_id", "score"]),
+    ]
+    want = rrf(legs, id_col="vec_id", limit=8).collect()
+    assert [(r["vec_id"], round(r["score"], 9)) for r in fused] == \
+        [(r["vec_id"], round(r["score"], 9)) for r in want]
+
+    # different per-leg filters -> different scans, no fusion
+    req2 = {
+        "prefetch": [
+            {"query": {"nearest": v[0]}, "limit": 10},
+            {"query": {"nearest": v[3]}, "limit": 10,
+             "filter": {"must": [{"key": "label", "range": {"lt": 5}}]}},
+        ],
+        "query": {"fusion": "rrf"},
+        "limit": 5,
+    }
+    p.plan(req2)
+    assert p.last_plan_info["fused_legs"] == 0
+
+
+def test_prefetch_fusion_with_threshold(embeddings):
+    """Per-leg score_threshold survives fusion (applied post-top-k, which
+    is exact because every non-top row scores strictly worse)."""
+    from qdrant_spark.operators.knn import knn
+    from qdrant_spark.query import QueryPlanner
+
+    rows = embeddings.filter(F.col("vec_id").isin([0, 3])).collect()
+    v = {r["vec_id"]: list(r["embedding"]) for r in rows}
+    solo = knn(embeddings, v[0], metric="cosine", k=20, vec_col="embedding",
+               id_col="vec_id", select=["vec_id", "score"]).collect()
+    th = float(solo[9]["score"])  # keeps scores strictly above row 10's
+    req = {
+        "prefetch": [
+            {"query": {"nearest": v[0]}, "limit": 20, "score_threshold": th},
+            {"query": {"nearest": v[3]}, "limit": 20},
+        ],
+        "query": {"fusion": "dbsf"},
+        "limit": 10,
+    }
+    p = QueryPlanner(embeddings, id_col="vec_id", default_vec_col="embedding")
+    p.plan(req).collect()
+    assert p.last_plan_info == {"fused_groups": 1, "fused_legs": 2}
+    # re-plan leg 0 alone through the planner and check the threshold held
+    leg0 = p.plan({"query": {"nearest": v[0]}, "limit": 20,
+                   "score_threshold": th}).collect()
+    want = [(r["vec_id"], round(r["score"], 9)) for r in solo
+            if r["score"] > th]
+    assert [(r["vec_id"], round(r["score"], 9)) for r in leg0] == want
+
+
+def test_planner_params_exact_opt_out(embeddings):
+    """params.exact forces the plain scan even when an ANN index is
+    registered (SearchParams::exact) — proven with a corrupt index whose
+    assignments point at a nonexistent cluster: the index route returns
+    nothing, the exact route returns the true top-k. Fusion also only
+    applies to exact legs, so the two-leg exact hybrid fuses while the
+    default (index-routed) hybrid does not."""
+    from qdrant_spark.operators.ann import IvfIndex, build_ivf
+    from qdrant_spark.query import QueryPlanner
+
+    idx = build_ivf(embeddings, n_clusters=4, vec_col="embedding",
+                    id_col="vec_id", seed=2)
+    bad = IvfIndex(
+        assigned=idx.assigned.withColumn("__cluster", F.lit(999)),
+        centroids=idx.centroids, vec_col="embedding", id_col="vec_id",
+    )
+    q0 = [float(x) for x in embeddings.limit(1).collect()[0]["embedding"]]
+    exact_p = QueryPlanner(embeddings, id_col="vec_id",
+                           default_vec_col="embedding")
+    accel = QueryPlanner(embeddings, id_col="vec_id",
+                         default_vec_col="embedding", ivf_index=bad,
+                         full_scan_threshold=1)
+    req = {"query": {"nearest": q0}, "using": "embedding", "limit": 5}
+    assert accel.plan(req).count() == 0  # corrupt index, index route
+    got = [(r["vec_id"], round(r["score"], 6)) for r in
+           accel.plan(dict(req, params={"exact": True})).collect()]
+    want = [(r["vec_id"], round(r["score"], 6)) for r in
+            exact_p.plan(req).collect()]
+    assert got == want and len(got) == 5
+
+    hybrid = {
+        "prefetch": [
+            {"query": {"nearest": q0}, "limit": 10},
+            {"query": {"nearest": q0}, "limit": 20},
+        ],
+        "query": {"fusion": "rrf"}, "limit": 5,
+    }
+    accel.plan(hybrid)
+    assert accel.last_plan_info["fused_legs"] == 0
+    exact_hybrid = {
+        "prefetch": [
+            {"query": {"nearest": q0}, "limit": 10, "params": {"exact": True}},
+            {"query": {"nearest": q0}, "limit": 20, "params": {"exact": True}},
+        ],
+        "query": {"fusion": "rrf"}, "limit": 5,
+    }
+    accel.plan(exact_hybrid)
+    assert accel.last_plan_info["fused_legs"] == 2
