@@ -704,6 +704,24 @@ def _q_filter_text_stemmed(spark: SparkSession, sf: str) -> DataFrame:
     return apply_filter(_docs(spark, sf), flt, text_params=tp).select("doc_id")
 
 
+def _q_filter_text_stemmed_de(spark: SparkSession, sf: str) -> DataFrame:
+    """match.text against a GERMAN-Snowball-stemmed text index on the
+    corpus' German stratum (SnowballLanguage::German, index.rs:354-420;
+    algorithm in functions/stemmers_i18n.py): 'values tables' stems to
+    (valu, tabl) under the German rules, matching docs that contain
+    'value'/'table'."""
+    from qdrant_spark.filters import apply_filter
+
+    tp = {"text": {"stemmer": {"type": "snowball", "language": "german"}}}
+    flt = {
+        "must": [
+            {"key": "lang", "match": {"value": "de"}},
+            {"key": "text", "match": {"text": "values tables"}},
+        ]
+    }
+    return apply_filter(_docs(spark, sf), flt, text_params=tp).select("doc_id")
+
+
 # Full token vocabulary of the synthetic documents corpus (stable across
 # scale factors — the generator draws from this word list). The oracle
 # can't run a stemmer (DuckDB's fts extension is unavailable offline), so
@@ -719,10 +737,11 @@ _DOC_VOCAB = [
 ]
 
 
-def _stem_map_sql() -> str:
-    from qdrant_spark.functions.stemmer import snowball_en
+def _stem_map_sql(language: str = "english") -> str:
+    from qdrant_spark.functions.stemmer import get_stemmer
 
-    pairs = ", ".join(f"('{w}', '{snowball_en(w)}')" for w in _DOC_VOCAB)
+    stem = get_stemmer(language)
+    pairs = ", ".join(f"('{w}', '{stem(w)}')" for w in _DOC_VOCAB)
     return f"sm(word, stem) AS (VALUES {pairs})"
 
 
@@ -2901,6 +2920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_min_should": _q_filter_min_should,
         "filter_text_all": _q_filter_text("text"),
         "filter_text_stemmed": _q_filter_text_stemmed,
+        "filter_text_stemmed_de": _q_filter_text_stemmed_de,
         "filter_phrase": _q_filter_text("phrase"),
         "filter_phrase_indexed": _q_filter_phrase_indexed,
         "payload_json_path": _q_events_json,
@@ -3057,6 +3077,15 @@ st AS (SELECT doc_id, coalesce(sm.stem, tk.tok) AS stem
        FROM tk LEFT JOIN sm ON tk.tok = sm.word)
 SELECT doc_id FROM st GROUP BY doc_id
 HAVING bool_or(stem = 'queri') AND bool_or(stem = 'merg')
+""",
+        "filter_text_stemmed_de": f"""
+WITH {_stem_map_sql("german")},
+tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+       WHERE lang = 'de'),
+st AS (SELECT doc_id, coalesce(sm.stem, tk.tok) AS stem
+       FROM tk LEFT JOIN sm ON tk.tok = sm.word)
+SELECT doc_id FROM st GROUP BY doc_id
+HAVING bool_or(stem = 'valu') AND bool_or(stem = 'tabl')
 """,
         "filter_phrase": f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)

@@ -7,10 +7,10 @@ backed by rust_stemmers, configured by ``StemmingAlgorithm``/``SnowballParams``
 published Snowball English algorithm from scratch (snowballstem.org spec);
 no code is derived from the reference.
 
-Only English is implemented — it is the reference's documented default for
-untyped corpora and the only language in the testdata. Other
-``SnowballLanguage`` values raise ``ValueError`` loudly rather than silently
-mis-stemming.
+English lives here; german/french/spanish/portuguese/italian/dutch/
+swedish/russian are in :mod:`qdrant_spark.functions.stemmers_i18n` (the
+reference's common SnowballLanguage set). Unsupported languages raise
+``ValueError`` loudly rather than silently mis-stemming.
 
 Used driver-side (query-token stemming, oracle dictionaries) and inside the
 Arrow-batched ``stem_tokens`` UDF (functions/text.py) for document tokens.
@@ -226,15 +226,40 @@ def snowball_en(word: str) -> str:
     return word.replace("Y", "y")
 
 
-_STEMMERS = {"english": snowball_en, "en": snowball_en}
+def _i18n(name: str):
+    """Lazy import so the (large) multilingual module only loads when a
+    non-English stemmer is actually requested."""
+    def resolve(word: str) -> str:
+        from qdrant_spark.functions import stemmers_i18n
+
+        return getattr(stemmers_i18n, name)(word)
+
+    resolve.__name__ = name
+    return resolve
+
+
+_STEMMERS = {
+    "english": snowball_en, "en": snowball_en,
+    "german": _i18n("snowball_de"), "de": _i18n("snowball_de"),
+    "french": _i18n("snowball_fr"), "fr": _i18n("snowball_fr"),
+    "spanish": _i18n("snowball_es"), "es": _i18n("snowball_es"),
+    "portuguese": _i18n("snowball_pt"), "pt": _i18n("snowball_pt"),
+    "italian": _i18n("snowball_it"), "it": _i18n("snowball_it"),
+    "dutch": _i18n("snowball_nl"), "nl": _i18n("snowball_nl"),
+    "swedish": _i18n("snowball_sv"), "sv": _i18n("snowball_sv"),
+    "russian": _i18n("snowball_ru"), "ru": _i18n("snowball_ru"),
+}
 
 
 def get_stemmer(language: str):
     """Resolve a SnowballLanguage name -> stem function; raises on
-    unsupported languages instead of silently passing tokens through."""
+    unsupported languages instead of silently passing tokens through
+    (SnowballLanguage, lib/segment/src/data_types/index.rs:354-420)."""
     fn = _STEMMERS.get(language.lower())
     if fn is None:
+        langs = sorted({k for k in _STEMMERS if len(k) > 2})
         raise ValueError(
-            f"unsupported snowball language {language!r}; supported: english"
+            f"unsupported snowball language {language!r}; "
+            f"supported: {', '.join(langs)}"
         )
     return fn

@@ -219,3 +219,26 @@ def test_stemmed_match_text_filter(spark):
     got = sorted(r["id"] for r in
                  df.filter(filter_column(df, flt, text_params=tp)).collect())
     assert got == [1, 2]  # 'valued'/'value'/'values' all stem to 'valu'
+
+
+def test_stemmed_match_text_filter_german(spark):
+    from qdrant_spark.filters import filter_column
+
+    df = spark.createDataFrame(
+        [(1, "die kinder laufen durch häuser"),
+         (2, "das kind läuft"), (3, "die bücher liegen im haus")],
+        "id: long, body: string",
+    )
+    tp = {"body": {"stemmer": {"type": "snowball", "language": "german"}}}
+    # 'kindes' and 'laufe' stem to (kind, lauf); doc 1 has kinder/laufen
+    # (same stems), doc 2 has kind but läuft (stems to 'lauft' — the
+    # published algorithm does not conflate the umlauted 3sg form)
+    flt = {"must": [{"key": "body", "match": {"text": "kindes laufen"}}]}
+    got = sorted(r["id"] for r in
+                 df.filter(filter_column(df, flt, text_params=tp)).collect())
+    assert got == [1]
+    # single-token stemmed match: häuser/haus conflate
+    flt2 = {"must": [{"key": "body", "match": {"text": "hauses"}}]}
+    got2 = sorted(r["id"] for r in
+                  df.filter(filter_column(df, flt2, text_params=tp)).collect())
+    assert got2 == [1, 3]
