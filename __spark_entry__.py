@@ -2175,6 +2175,33 @@ def _q_knn_auto_filtered(spark: SparkSession, sf: str) -> DataFrame:
     return _r6(out, "score")
 
 
+def _q_knn_acorn_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """Filtered ANN steered by the per-cluster payload histogram (the
+    IVF-native analogue of the reference's filter-aware ACORN traversal,
+    types.rs:629-650): the probe selector walks clusters in centroid
+    order and probes ONLY clusters that contain matches. At
+    nprobe == n_clusters the walk covers the full matching mass, so the
+    result is provably the exact filtered top-k — while the scan still
+    skips every cluster without a single match."""
+    from qdrant_spark.operators.ann import build_ivf
+    from qdrant_spark.operators.dispatch import (
+        auto_search, build_cluster_field_stats,
+    )
+
+    emb = _emb(spark, sf)
+    idx = build_ivf(emb, n_clusters=8, vec_col="embedding", id_col="vec_id")
+    cstats = build_cluster_field_stats(idx.assigned, ["label"])
+    total = emb.count()
+    q = _vecs(spark, sf, [0])[0]
+    flt = {"must": [{"key": "label", "match": {"any": [3, 8]}}]}
+    out = auto_search(
+        idx, q, k=10, nprobe=8, metric="cosine", flt=flt,
+        cluster_stats=cstats, total=total, full_scan_threshold=1,
+        sample=False,
+    )
+    return _r6(out, "score")
+
+
 def _q_maxsim_knn(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-scale MaxSim scan (Arrow segment-max scorer) — same query
     construction and oracle as the Column-math maxsim entry."""
@@ -2785,66 +2812,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # drops to the back). Keep rotating each round so no entry's driver row
 # goes more than ~2 rounds stale.
 _GATE_PRIORITY = [
-    # new in round 4 — no driver row yet
-    "repetition_signals",
-    "paragraph_dedup",
-    "lm_score",
-    "mixture_sample",
+    # new in round 5 — no driver row yet (+ corpus_stats, red in r4 from
+    # the HUGEINT/BIGINT hash-typing artifact, re-gated after the cast fix)
+    "filter_text_stemmed_de",
+    "knn_acorn_filtered",
     "corpus_stats",
-    "c4_line_filter",
-    "substring_dup_spans",
-    "universal_groups",
-    "dedup_lsh_cross",
-    "knn_auto_filtered",
-    "quantized_bq2_rescore",
-    "mmr",  # oracle upgraded from rows-only this round
-    "scroll_random",  # oracle upgraded from rows-only this round
-    # last driver row r1 (39 entries)
-    "recommend_best_score",
-    "recommend_sum_scores",
-    "discover",
-    "context",
-    "relevance_feedback",
-    "fusion_rrf",
-    "fusion_dbsf",
-    "group_by",
-    "group_by_lookup",
-    "distance_matrix",
-    "maxsim",
-    "maxsim_knn",
-    "scroll_keyset",
-    "scroll_order_by",
-    "count_filtered",
-    "facet_lang",
-    "facet_event_type",
-    "unique_values",
-    "retrieve",
-    "filter_dsl_orders",
-    "filter_min_should",
-    "filter_text_all",
-    "filter_phrase",
-    "payload_json_path",
-    "text_quality",
-    "token_counts",
-    "lang_detect",
-    "fingerprint",
-    "sparse_knn",
-    "sparse_knn_batch",
-    "sparse_idf_knn",
-    "sparse_idf_corpus",
-    "bm25_search",
-    "dedup_exact",
-    "dedup_minhash_sig",
-    "dedup_lsh_pairs",
-    "dedup_ngram_jaccard",
+    # last driver row r1 — stalest
     "dedup_simhash",
     "dedup_embedding",
-    # last driver row r2 (head of the 14; the rest rotate in next round).
-    # ROTATION NOTE for round 5: the 11 new-in-r4 entries + the 39 r1 block
-    # above fill the driver's 50-row window this round; next round
-    # front-load the r2/r3 families (knn_*, quantized_*, ann_ivf_batch,
-    # filter_*, geo_*, universal_*, shard_*, mutate entries) so no entry's
-    # driver row goes >2 rounds stale.
+    # last driver row r2 (missed the 50-slot window in r4)
     "ann_ivf_batch",
     "quantized_sq_rescore",
     "quantized_bq_rescore",
@@ -2853,6 +2829,46 @@ _GATE_PRIORITY = [
     "knn_euclid",
     "knn_manhattan",
     "knn_filtered",
+    "knn_batch",
+    "knn_batch_partial",
+    "knn_batch_matmul",
+    "similarity_join",
+    "recommend_avg_vector",
+    # last driver row r3 (head of the block; the remainder — knn_uint8,
+    # universal_*, mutate entries, ann_ivf_pq*, quantized_pq/tq,
+    # geo_indexed_radius — rotates in next round together with the r4 set)
+    "decontaminate",
+    "gopher_quality",
+    "pii_scan",
+    "chunk_docs",
+    "stratified_sample",
+    "stratified_quota",
+    "embedding_project",
+    "ngram_counts",
+    "weighted_sample",
+    "distance_matrix_offsets",
+    "field_index_stats",
+    "shard_routed_knn",
+    "shard_fallback_route",
+    "filter_text_stemmed",
+    "filter_phrase_indexed",
+    "multimodal_wav",
+    "multimodal_ppm",
+    "dedup_components",
+    "dedup_resolve",
+    "filter_nested",
+    "filter_jsonpath_array",
+    "filter_prefix",
+    "filter_is_empty",
+    "filter_is_null",
+    "filter_values_count",
+    "query_by_id",
+    "recommend_multi_ids",
+    "geo_radius",
+    "geo_bbox_wrap",
+    "geo_polygon",
+    "formula_rescore",
+    "query_batch",
 ]
 
 
@@ -2974,6 +2990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_full_probe": _q_ann_full_probe,
         "ann_ivf": _q_ann_ivf,
         "knn_auto_filtered": _q_knn_auto_filtered,
+        "knn_acorn_filtered": _q_knn_acorn_filtered,
         "ann_ivf_batch": _q_ann_ivf_batch,
         "quantized_sq_rescore": _q_sq_rescore,
         "quantized_pq_rescore": _q_pq_rescore,
@@ -3010,6 +3027,7 @@ def oracle_sql() -> dict[str, str]:
             "cosine", label_where="label IN (1, 2, 3)", threshold="WHERE s.score > 0.1"
         ),
         "knn_auto_filtered": _knn_sql("cosine", label_where="label IN (2, 7)"),
+        "knn_acorn_filtered": _knn_sql("cosine", label_where="label IN (3, 8)"),
         "knn_batch": _KNN_BATCH_SQL,
         "knn_batch_partial": _KNN_BATCH_SQL,
         "knn_batch_matmul": _KNN_BATCH_SQL,

@@ -103,15 +103,20 @@ def ivf_search(
     nprobe: int = 4,
     metric: str = "cosine",
     flt: dict[str, Any] | None = None,
+    probe_clusters: Sequence[int] | None = None,
 ) -> DataFrame:
     """Probe the ``nprobe`` centroid-nearest clusters, exact-score inside.
 
     The cluster filter is an ordinary column predicate — with the corpus
     partitioned by cluster it becomes partition pruning, reading nprobe/K
-    of the data."""
-    q = np.asarray(query_vector, dtype=np.float64)
-    d = ((index.centroids - q) ** 2).sum(axis=1)
-    probes = [int(c) for c in np.argsort(d)[:nprobe]]
+    of the data. ``probe_clusters`` pins an explicit probe set (the
+    filtered dispatcher's per-cluster-stats selection — dispatch.py)."""
+    if probe_clusters is not None:
+        probes = [int(c) for c in probe_clusters]
+    else:
+        q = np.asarray(query_vector, dtype=np.float64)
+        d = ((index.centroids - q) ** 2).sum(axis=1)
+        probes = [int(c) for c in np.argsort(d)[:nprobe]]
     pruned = index.assigned.filter(F.col("__cluster").isin(probes))
     return knn(
         pruned, query_vector, metric=metric, k=k, vec_col=index.vec_col,

@@ -319,6 +319,150 @@ def sample_check_cardinality(
 
 
 # ---------------------------------------------------------------------------
+# per-cluster filter stats (the IVF-native ACORN analogue)
+# ---------------------------------------------------------------------------
+#
+# The reference's filtered-HNSW traversal steers the graph walk by which
+# neighbors pass the filter (ACORN-style, types.rs:629-650 + the
+# hnsw_index graph traversal). The IVF-native analogue: an ingest-time
+# histogram (field, value, cluster) -> match count, so the filtered probe
+# selector can see WHERE the matching points live instead of assuming
+# they spread uniformly over clusters. A filter correlated with cluster
+# geometry (all matches in a few clusters — e.g. a tenant or label field
+# that also shaped the embedding space) makes the global-selectivity
+# nprobe boost arbitrarily wrong: it widens the probe ring around the
+# query while every match sits elsewhere. With the histogram the selector
+# walks clusters in centroid-distance order, skips zero-match clusters,
+# and stops once it has covered nprobe clusters' worth of matching mass.
+
+
+def _norm_stat_val(v: Any) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+@dataclass(frozen=True)
+class ClusterFieldStats:
+    """(field, normalized value) -> {cluster: count} — exact at build
+    time; rebuild with the index after bulk ingests (same staleness
+    contract as the centroids themselves)."""
+
+    counts: Mapping[tuple[str, str], Mapping[int, int]]
+    n_clusters: int
+
+
+def build_cluster_field_stats(
+    assigned: DataFrame,
+    fields: Sequence[str],
+    *,
+    cluster_col: str = "__cluster",
+    n_clusters: int | None = None,
+) -> ClusterFieldStats:
+    """One map-side-combined aggregation over the assigned corpus for ALL
+    fields (melted in-row), collected driver-side — bounded by
+    clusters x sum(distinct values), the same low-cardinality contract as
+    registering a keyword payload index."""
+    pairs = F.array(*[
+        F.struct(F.lit(f).alias("f"),
+                 F.col(f).cast("string").alias("v"))
+        for f in fields
+    ])
+    rows = (
+        assigned.select(F.col(cluster_col).alias("__c"),
+                        F.explode(pairs).alias("p"))
+        .where(F.col("p.v").isNotNull())
+        .groupBy("p.f", "p.v", "__c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts: dict[tuple[str, str], dict[int, int]] = {}
+    clusters = set()
+    for r in rows:
+        counts.setdefault((r["f"], r["v"]), {})[int(r["__c"])] = int(r["n"])
+        clusters.add(int(r["__c"]))
+    return ClusterFieldStats(
+        counts=counts,
+        n_clusters=n_clusters if n_clusters is not None
+        else (max(clusters) + 1 if clusters else 0),
+    )
+
+
+def per_cluster_matches(
+    flt: Mapping[str, Any] | None,
+    cstats: ClusterFieldStats | None,
+) -> dict[int, int] | None:
+    """Per-cluster match counts for filters the histogram can answer
+    EXACTLY: a single must condition with match.value / match.any on a
+    covered (field, value) set. Anything else returns None (the caller
+    falls back to the global-selectivity boost) — an AND of conditions
+    would only give a per-cluster upper bound, and stopping a probe walk
+    on an upper bound under-probes."""
+    if not flt or cstats is None:
+        return None
+    if set(flt) != {"must"}:
+        return None
+    must = flt["must"]
+    if isinstance(must, Mapping):
+        must = [must]
+    if len(must) != 1:
+        return None
+    cond = must[0]
+    key, m = cond.get("key"), cond.get("match")
+    if not key or not isinstance(m, Mapping):
+        return None
+    if "value" in m:
+        vals = [m["value"]]
+    elif "any" in m:
+        vals = list(m["any"])
+    else:
+        return None
+    covered_fields = {f for f, _ in cstats.counts}
+    if key not in covered_fields:
+        return None
+    per: dict[int, int] = {}
+    for v in vals:
+        # a scalar field matches one value per row -> value histograms
+        # are disjoint and their per-cluster sum is exact
+        for c, n in cstats.counts.get((key, _norm_stat_val(v)), {}).items():
+            per[c] = per.get(c, 0) + n
+    return per
+
+
+def select_probe_clusters(
+    centroids,
+    query_vector: Sequence[float],
+    matches: Mapping[int, int],
+    *,
+    nprobe: int,
+    k: int,
+) -> list[int]:
+    """Walk clusters in centroid-distance order, skipping zero-match
+    clusters, until the probed set covers ``nprobe`` clusters' worth of
+    matching mass (and at least ``k`` candidates when available)."""
+    import numpy as np
+
+    total_matches = sum(matches.values())
+    if total_matches == 0:
+        return []
+    n_clusters = len(centroids)
+    target = max(k, -(-nprobe * total_matches // n_clusters))
+    q = np.asarray(query_vector, dtype=np.float64)
+    order = np.argsort(((centroids - q) ** 2).sum(axis=1))
+    probes: list[int] = []
+    cum = 0
+    for c in order:
+        n = matches.get(int(c), 0)
+        if n == 0:
+            continue
+        probes.append(int(c))
+        cum += n
+        if cum >= target and len(probes) >= min(nprobe, len(matches)):
+            break
+    return probes
+
+
+# ---------------------------------------------------------------------------
 # the dispatcher
 # ---------------------------------------------------------------------------
 
@@ -366,6 +510,7 @@ def auto_search(
     filter_probe_boost: bool = True,
     exact: bool = False,
     return_strategy: bool = False,
+    cluster_stats: ClusterFieldStats | None = None,
 ):
     """Filtered ANN with the reference's strategy dispatch (module
     docstring). Returns the result DataFrame, or ``(df, strategy, est)``
@@ -377,7 +522,11 @@ def auto_search(
     the cluster count) on the index path, so a 30%-selective filter still
     surfaces ~``nprobe`` clusters' worth of matching candidates — the
     recall-preservation analogue of the reference's filter-aware graph
-    traversal."""
+    traversal. ``cluster_stats`` upgrades that GLOBAL boost to per-cluster
+    awareness for histogram-answerable filters: the probe set is chosen
+    by where the matches actually live (see the ACORN-analogue section
+    above), which both fixes recall when the filter correlates with
+    cluster geometry and skips zero-match clusters the boost would read."""
     from qdrant_spark.operators.ann import ivf_search
     from qdrant_spark.operators.knn import knn
 
@@ -406,13 +555,19 @@ def auto_search(
                   vec_col=index.vec_col, id_col=index.id_col, flt=flt,
                   select=[index.id_col, "score"])
     else:
+        probe_set = None
+        if flt is not None:
+            pc = per_cluster_matches(flt, cluster_stats)
+            if pc is not None:
+                probe_set = select_probe_clusters(
+                    index.centroids, query_vector, pc, nprobe=nprobe, k=k)
         np_eff = nprobe
-        if flt is not None and filter_probe_boost:
+        if probe_set is None and flt is not None and filter_probe_boost:
             sel = max(est.exp, 1) / max(total, 1)
             np_eff = min(len(index.centroids),
                          int(math.ceil(nprobe / max(sel, 1e-9))))
         out = ivf_search(index, query_vector, k=k, nprobe=np_eff,
-                         metric=metric, flt=flt)
+                         metric=metric, flt=flt, probe_clusters=probe_set)
     if return_strategy:
         return out, strategy, est
     return out

@@ -60,7 +60,8 @@ class QueryPlanner:
                  default_vec_col: str = "vec", metric: str = "cosine",
                  collections: dict[str, DataFrame] | None = None,
                  ivf_index=None, index_stats=None,
-                 full_scan_threshold: int | None = None):
+                 full_scan_threshold: int | None = None,
+                 cluster_stats=None):
         self.points = points
         self.id_col = id_col
         self.default_vec_col = default_vec_col
@@ -77,6 +78,9 @@ class QueryPlanner:
             raise ValueError("ivf_index.id_col must match the planner id_col")
         self.ivf_index = ivf_index
         self.index_stats = index_stats or {}
+        # optional dispatch.ClusterFieldStats: per-cluster filter
+        # histograms for the ACORN-analogue filtered probe selection
+        self.cluster_stats = cluster_stats
         self.full_scan_threshold = full_scan_threshold
         self._index_total: int | None = None
         #: diagnostics from the last plan(): how many sibling prefetch
@@ -411,6 +415,7 @@ class QueryPlanner:
                     total=self._index_total,
                     full_scan_threshold=(self.full_scan_threshold
                                          or FULL_SCAN_THRESHOLD),
+                    cluster_stats=self.cluster_stats,
                 )
             out = knn(self.points, target, metric=self.metric,
                       score_threshold=threshold, offset=offset,

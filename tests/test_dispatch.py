@@ -355,3 +355,73 @@ def test_planner_routes_nearest_through_dispatcher(spark, embeddings):
     # mismatched id_col is rejected up front
     with pytest.raises(ValueError):
         QueryPlanner(embeddings, id_col="other", ivf_index=idx)
+
+
+def test_cluster_stats_probe_geometry_correlated_filter(spark):
+    """The ACORN-analogue gate (types.rs:629-650): a filter correlated
+    with cluster geometry — all matches live in blobs FAR from the query.
+    The global-selectivity nprobe boost widens the probe ring around the
+    query and finds (almost) nothing; the per-cluster histogram walks
+    straight to the matching blobs. Gate: recall >= 0.95 where the global
+    boost scores < 0.5."""
+    import numpy as np
+
+    from qdrant_spark.operators.ann import build_ivf
+    from qdrant_spark.operators.dispatch import (
+        auto_search, build_cluster_field_stats, per_cluster_matches,
+        select_probe_clusters,
+    )
+    from qdrant_spark.operators.knn import knn
+
+    rng = np.random.default_rng(7)
+    n_blobs, per_blob, dim = 10, 200, 16
+    centers = rng.normal(size=(n_blobs, dim)) * 50.0  # far-apart blobs
+    rows = []
+    vid = 0
+    for b in range(n_blobs):
+        pts = centers[b] + rng.normal(size=(per_blob, dim))
+        for p in pts:
+            rows.append((vid, b, [float(x) for x in p]))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id: long, label: int, embedding: array<float>")
+    idx = build_ivf(df, n_clusters=n_blobs, vec_col="embedding",
+                    id_col="vec_id", seed=3, fit_fraction=1.0)
+    cstats = build_cluster_field_stats(idx.assigned, ["label"])
+
+    # query sits in blob 0; the filter matches blobs 7/8/9 only (sel=0.3)
+    q = [float(x) for x in centers[0] + rng.normal(size=dim) * 0.1]
+    flt = {"must": [{"key": "label", "match": {"any": [7, 8, 9]}}]}
+    exact = {r["vec_id"] for r in knn(
+        df, q, metric="cosine", k=10, vec_col="embedding", id_col="vec_id",
+        flt=flt, select=["vec_id", "score"]).collect()}
+
+    kw = dict(k=10, nprobe=1, metric="cosine", flt=flt,
+              total=n_blobs * per_blob, full_scan_threshold=1, sample=False)
+    got_global = {r["vec_id"] for r in
+                  auto_search(idx, q, **kw).collect()}
+    got_stats = {r["vec_id"] for r in
+                 auto_search(idx, q, cluster_stats=cstats, **kw).collect()}
+    recall_global = len(exact & got_global) / len(exact)
+    recall_stats = len(exact & got_stats) / len(exact)
+    assert recall_stats >= 0.95, (recall_stats, recall_global)
+    assert recall_global < 0.5, (recall_stats, recall_global)
+
+    # the stats probe set is also SMALLER than the boosted-global set:
+    # zero-match clusters are skipped entirely
+    pc = per_cluster_matches(flt, cstats)
+    probes = select_probe_clusters(idx.centroids, q, pc, nprobe=1, k=10)
+    assert 1 <= len(probes) <= 3
+    assert sum(pc.get(c, 0) for c in probes) >= 10
+
+    # unsupported filter shapes decline (fall back to the global boost)
+    assert per_cluster_matches(
+        {"must": [{"key": "label", "range": {"gt": 5}}]}, cstats) is None
+    assert per_cluster_matches(
+        {"should": [{"key": "label", "match": {"value": 1}}]}, cstats) is None
+    assert per_cluster_matches(
+        {"must": [{"key": "other", "match": {"value": 1}}]}, cstats) is None
+
+    # value-exactness: histogram totals equal true counts
+    true7 = per_blob
+    assert sum(cstats.counts[("label", "7")].values()) == true7
