@@ -103,6 +103,27 @@ def run(sf_dir: str = "/root/testdata/sf0.001", cpus: int = 8) -> dict:
     out["facet"] = {r["value"]: r["count"]
                     for r in facet(points, "label", limit=3).collect()}
 
+    # POST /points/query with params: {exact: true} — per-request ANN
+    # opt-out (SearchParams::exact): forces the plain scan even though an
+    # IVF index is registered
+    exact_hits = planner.plan({
+        "query": {"nearest": q0}, "using": "embedding",
+        "params": {"exact": True}, "limit": 5,
+    }).collect()
+    out["exact_top1"] = exact_hits[0]["id"]
+
+    # Stemmed full-text match in any of the 9 Snowball languages
+    # (match.text + field text-index params, as in PUT /collections/index
+    # with a text schema): German here
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from qdrant_spark.filters import apply_filter
+
+    tp = {"text": {"stemmer": {"type": "snowball", "language": "german"}}}
+    out["stemmed_de_hits"] = apply_filter(
+        docs, {"must": [{"key": "text", "match": {"text": "values"}}]},
+        text_params=tp,
+    ).count()
+
     # Strict mode: reject an over-limit request before planning
     cfg = StrictModeConfig(max_query_limit=100,
                            unindexed_filtering_retrieve=False)

@@ -559,23 +559,40 @@ def query_batch(
     and union the results tagged with ``request_idx``.
 
     Requests may differ arbitrarily (prefetch trees, filters, fusion), so
-    each compiles to its own sub-plan; the union lets Spark schedule the
-    scans together, and a cached corpus is read once per sub-plan stage
-    rather than once per round-trip. For the homogeneous
-    many-nearest-queries case prefer ``operators.knn.knn_batch`` — one
-    corpus scan total — which the reference's batch dispatch also
-    special-cases (dispatch.rs batch path)."""
+    each compiles to its own sub-plan — EXCEPT homogeneous dense-nearest
+    requests sharing (filter, vector column), which are auto-batched into
+    ONE ``knn_batch`` corpus scan (the reference's batch dispatch
+    special-cases exactly this, dispatch.rs batch path / the PlannedQuery
+    leaf merge). Per-request limit/offset/score_threshold are preserved;
+    the batched leg results are value-identical to planning each request
+    alone."""
     from functools import reduce
 
     planner = QueryPlanner(
         points, id_col=id_col, default_vec_col=vec_col, metric=metric,
         collections=collections,
     )
-    outs = [
-        planner.plan(req).withColumn("request_idx", F.lit(i))
-        for i, req in enumerate(requests)
-    ]
-    if not outs:
+    if not requests:
         raise ValueError("empty request batch")
-    return reduce(lambda a, b: a.unionByName(b), outs) \
-        .select("request_idx", *(c for c in outs[0].columns if c != "request_idx"))
+
+    # group fusable single-leaf nearest requests by (vec_col, filter)
+    planner._vec_cache = planner._batch_resolve_ids({"prefetch": list(requests)})
+    groups: dict[tuple, list[int]] = {}
+    for i, req in enumerate(requests):
+        key = planner._fusable_leaf(req)
+        if key is not None:
+            groups.setdefault(key, []).append(i)
+    outs: list[DataFrame | None] = [None] * len(requests)
+    for key, idxs in groups.items():
+        if len(idxs) < 2:
+            continue
+        legs = planner._fused_leaves([requests[i] for i in idxs], key[0])
+        for i, df in zip(idxs, legs):
+            outs[i] = df
+    for i, req in enumerate(requests):
+        if outs[i] is None:
+            outs[i] = planner.plan(req)
+    tagged = [df.withColumn("request_idx", F.lit(i))
+              for i, df in enumerate(outs)]
+    return reduce(lambda a, b: a.unionByName(b), tagged) \
+        .select("request_idx", *(c for c in tagged[0].columns if c != "request_idx"))

@@ -519,3 +519,33 @@ def test_planner_params_exact_opt_out(embeddings):
     }
     accel.plan(exact_hybrid)
     assert accel.last_plan_info["fused_legs"] == 2
+
+
+def test_query_batch_fuses_homogeneous_nearest(embeddings):
+    """Homogeneous dense-nearest batch requests sharing (filter, vector
+    column) auto-batch into one knn_batch scan; results stay identical to
+    planning each request alone (per-request limit/offset/threshold)."""
+    from qdrant_spark.query import query_batch, universal_query
+
+    rows = embeddings.filter(F.col("vec_id").isin([0, 3, 5])).collect()
+    v = {r["vec_id"]: list(r["embedding"]) for r in rows}
+    flt = {"must": [{"key": "label", "range": {"lt": 8}}]}
+    reqs = [
+        {"query": {"nearest": v[0]}, "limit": 7},
+        {"query": {"nearest": v[3]}, "limit": 4, "offset": 2},
+        {"query": {"nearest": v[5]}, "limit": 5, "filter": flt},
+        {"query": {"nearest": v[0]}, "limit": 5, "filter": flt},
+        # id-reference target resolves through the shared batch resolve
+        {"query": {"nearest": {"id": 3}}, "limit": 3},
+    ]
+    rows_out = query_batch(embeddings, reqs, id_col="vec_id",
+                           vec_col="embedding").collect()
+    by_req: dict = {}
+    for r in rows_out:
+        by_req.setdefault(r["request_idx"], []).append(
+            (r["vec_id"], round(r["score"], 9)))
+    for i, req in enumerate(reqs):
+        solo = [(r["vec_id"], round(r["score"], 9)) for r in universal_query(
+            embeddings, req, id_col="vec_id", vec_col="embedding").collect()]
+        assert sorted(by_req[i]) == sorted(solo), f"request {i}"
+    assert len(by_req[0]) == 7 and len(by_req[1]) == 4 and len(by_req[4]) == 3
