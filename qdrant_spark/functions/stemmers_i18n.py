@@ -503,10 +503,10 @@ _PT_STEP2 = (
     "aste", "este", "iste", "arei", "erei", "irei", "aram", "eram", "iram",
     "avam", "arem", "erem", "irem", "ando", "endo", "indo", "adas", "idas",
     "arás", "aras", "erás", "eras", "irás", "avas", "ares", "eres", "ires",
-    "íeis", "ados", "idos", "ámos", "amos", "emos", "imos", "iras", "ada",
-    "ida", "ará", "ara", "erá", "era", "irá", "ava", "iam", "ado", "ido",
-    "ias", "ais", "eis", "ira", "ia", "ei", "am", "em", "ar", "er", "ir",
-    "as", "es", "is", "eu", "iu", "ou",
+    "íamos", "íeis", "ados", "idos", "ámos", "amos", "emos", "imos",
+    "iras", "ada", "ida", "ará", "ara", "erá", "era", "irá", "ava",
+    "iam", "ado", "ido", "ias", "ais", "eis", "ira", "ia", "ei", "am",
+    "em", "ar", "er", "ir", "as", "es", "is", "eu", "iu", "ou",
 )
 
 
@@ -527,12 +527,10 @@ def snowball_pt(word: str) -> str:
     if m:
         cut = len(word) - len(m)
         if m in _PT_STEP1_DEL_R2:
+            # unlike Spanish, the Portuguese spec has NO 'ic' follow-up
+            # after the ador/ação/ante group — plain R2 delete
             if cut >= r2:
                 word = word[:cut]
-                if m in ("adora", "ador", "aça~o", "adoras", "adores",
-                         "aço~es", "ante", "antes", "ância") \
-                        and word.endswith("ic") and len(word) - 2 >= r2:
-                    word = word[:-2]
         elif m in ("logia", "logias"):
             if cut >= r2:
                 word = word[:cut] + "log"
@@ -633,17 +631,17 @@ _IT_STEP1_DEL_R2 = (
     "ico", "ici", "ica", "ice",
 )
 _IT_STEP2 = (
-    "erebbero", "irebbero", "assimo", "eranno", "erebbe", "eremmo",
-    "ereste", "eresti", "essero", "iranno", "irebbe", "iremmo", "ireste",
-    "iresti", "iscano", "iscono", "issero", "arono", "avamo", "avano",
-    "avate", "eremo", "erete", "erono", "evamo", "evano", "evate",
-    "iremo", "irete", "irono", "ivamo", "ivano", "ivate", "ammo", "ando",
-    "asse", "assi", "emmo", "enda", "ende", "endi", "endo", "erai",
-    "erei", "yamo", "iamo", "immo", "irai", "irei", "isca", "isce",
-    "isci", "isco", "ano", "are", "ata", "ate", "ati", "ato", "ava",
-    "avi", "avo", "erà", "ere", "erò", "ete", "eva", "evi", "evo", "irà",
-    "ire", "irò", "ita", "ite", "iti", "ito", "iva", "ivi", "ivo", "ono",
-    "uta", "ute", "uti", "uto", "ar", "ir",
+    "erebbero", "irebbero", "assero", "assimo", "eranno", "erebbe",
+    "eremmo", "ereste", "eresti", "essero", "iranno", "irebbe", "iremmo",
+    "ireste", "iresti", "iscano", "iscono", "issero", "arono", "avamo",
+    "avano", "avate", "eremo", "erete", "erono", "evamo", "evano",
+    "evate", "iremo", "irete", "irono", "ivamo", "ivano", "ivate",
+    "ammo", "ando", "asse", "assi", "emmo", "enda", "ende", "endi",
+    "endo", "erai", "erei", "iamo", "iate", "immo", "irai", "irei",
+    "isca", "isce", "isci", "isco", "ano", "are", "ata", "ate", "ati",
+    "ato", "ava", "avi", "avo", "erà", "ere", "erò", "ete", "eva", "evi",
+    "evo", "irà", "ire", "irò", "ita", "ite", "iti", "ito", "iva", "ivi",
+    "ivo", "ono", "uta", "ute", "uti", "uto", "ar", "ir",
 )
 
 
@@ -928,11 +926,12 @@ def snowball_fr(word: str) -> str:
         if not did2a:
             # ---- step 2b: other verb suffixes
             m = _longest(word, (
-                "eraIent", "erions", "assent", "assiez", "èrent", "erais",
-                "erait", "eriez", "erons", "eront", "aIent", "antes",
-                "asses", "ions", "erai", "eras", "erez", "âmes", "âtes",
-                "ante", "ants", "asse", "ées", "era", "iez", "ais", "ait",
-                "ant", "ée", "és", "er", "ez", "ât", "ai", "as", "é", "a",
+                "assions", "eraIent", "erions", "assent", "assiez",
+                "èrent", "erais", "erait", "eriez", "erons", "eront",
+                "aIent", "antes", "asses", "ions", "erai", "eras", "erez",
+                "âmes", "âtes", "ante", "ants", "asse", "ées", "era",
+                "iez", "ais", "ait", "ant", "ée", "és", "er", "ez", "ât",
+                "ai", "as", "é", "a",
             ))
             if m:
                 cut = len(word) - len(m)

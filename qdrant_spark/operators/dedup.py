@@ -82,13 +82,20 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.3,
     max_bucket_size: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) via banded MinHash-LSH
     with exact-jaccard verification of the candidates.
 
-    Shuffles: one on the band key (bucket join), one on the candidate pair
-    for the verify. The full shingle sets are joined back only for
-    candidate ids — at 100 TB the candidate set is tiny vs the corpus.
+    ``shingles`` optionally supplies a pre-built ``with_shingles`` frame
+    (id, sh) — callers that run repeatedly (iterative dedup, benchmarks)
+    can cache it ONCE with an explicit lifecycle they control, instead of
+    this function pinning executor storage behind a lazy return.
+
+    Shuffles: one on the band key (bucket join); the verify is a
+    broadcast of the (tiny) candidate set against two streaming shingle
+    scans — the full shingle table is never shuffled and only candidate
+    rows carry their shingle sets past the join.
 
     ``max_bucket_size`` is the standard MinHashLSH degenerate-bucket guard
     for boilerplate-heavy corpora: a bucket of B ids materializes as one
@@ -102,7 +109,8 @@ def minhash_lsh_pairs(
     from qdrant_spark.functions.hashes import hashed_tokens, minhash_from_hashed_arrow
 
     rows_per_band = n_perms // bands
-    sh = with_shingles(df, text_col, id_col, shingle_n)
+    sh = shingles if shingles is not None \
+        else with_shingles(df, text_col, id_col, shingle_n)
     sig = (
         sh.withColumn("__hs", hashed_tokens(F.col("sh")))
         .select(F.col(id_col), minhash_from_hashed_arrow(F.col("__hs"), n_perms).alias("sig"))
@@ -142,21 +150,16 @@ def minhash_lsh_pairs(
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
-    # verify-side shingles are re-derived from docs PRUNED to candidate ids
-    # (semi join — AQE broadcasts the tiny candidate set) instead of
-    # pinning the corpus-wide shingle table in executor storage with a
-    # .cache() that a lazy return can never unpersist: two cheap pruned
-    # scans beat a storage leak for the lifetime of the session
-    cand_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .union(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    shc = with_shingles(
-        df.join(cand_ids, id_col, "leftsemi"), text_col, id_col, shingle_n
-    )
-    sh_a = shc.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = shc.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # Verify side: the candidate set must appear ONCE in the plan — any
+    # pruning that re-derives ids FROM cand (semi-join etc.) makes the
+    # whole minhash pipeline a shared subtree that Spark recomputes per
+    # reference (measured 3x = ~20s at sf0.1). Instead the small cand set
+    # joins two fresh shingle passes: AQE broadcasts cand, so each join is
+    # a map-side hash probe over one streaming shingle scan — the full
+    # shingle table is never shuffled and never pinned in storage (the
+    # pre-r5 .cache() here leaked for the session lifetime).
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
@@ -216,19 +219,14 @@ def minhash_lsh_pairs_cross(
     bk_a = prep(df_a, "a")
     bk_b = prep(df_b, "b")
     cand = bk_a.join(bk_b, ["band", "key"]).select("id_a", "id_b").distinct()
-    # verify-side shingles re-derived from candidate-pruned docs (semi
-    # join) rather than a never-unpersisted .cache() of each side's full
-    # shingle table — see minhash_lsh_pairs for the rationale
-    lhs = with_shingles(
-        df_a.join(cand.select(F.col("id_a").alias(id_col)).distinct(),
-                  id_col, "leftsemi"),
-        text_col, id_col, shingle_n,
-    ).select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    rhs = with_shingles(
-        df_b.join(cand.select(F.col("id_b").alias(id_col)).distinct(),
-                  id_col, "leftsemi"),
-        text_col, id_col, shingle_n,
-    ).select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # cand appears ONCE in the plan; each side's verify shingles are a
+    # fresh one-pass scan that streams against the AQE-broadcast cand —
+    # no cache (the pre-r5 leak), no cand-derived pruning (which would
+    # recompute the minhash pipeline per reference)
+    lhs = with_shingles(df_a, text_col, id_col, shingle_n).select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    rhs = with_shingles(df_b, text_col, id_col, shingle_n).select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (

@@ -48,6 +48,17 @@ from pyspark.sql import functions as F
 DEFAULT_LIMIT = 10  # collection_query.rs:51
 MAX_DEPTH = 64
 
+#: Corpus-size cutoff (Catalyst plan stats) below which sibling-leg fusion
+#: is NOT worth it: the fused path adds ~2 fixed job round-trips (batched
+#: leaf job + local-relation fusion job), which only pay off once one
+#: SAVED corpus scan costs more than that. Measured on local[32]: a 2k-row
+#: cached corpus is ~1.3s WORSE fused (fixed overhead, nothing saved); a
+#: 512k-row parquet corpus saves a full ~1s scan per extra leg. NOTE the
+#: stat is COMPRESSED scan bytes for file sources (parquet compresses
+#: float vectors 2-6x), so the cutoff sits well below the raw-bytes
+#: crossover. Same dispatch pattern as knn.ARROW_DISPATCH_BYTES.
+FUSE_MIN_BYTES = 32 << 20
+
 
 class QueryPlanner:
     """Compiles a universal-query request against a points DataFrame.
@@ -61,7 +72,8 @@ class QueryPlanner:
                  collections: dict[str, DataFrame] | None = None,
                  ivf_index=None, index_stats=None,
                  full_scan_threshold: int | None = None,
-                 cluster_stats=None):
+                 cluster_stats=None,
+                 fuse_min_bytes: int | None = None):
         self.points = points
         self.id_col = id_col
         self.default_vec_col = default_vec_col
@@ -87,6 +99,9 @@ class QueryPlanner:
         #: groups were fused into a single shared scan (see _plan_children)
         self.last_plan_info: dict[str, int] = {"fused_groups": 0,
                                                "fused_legs": 0}
+        self.fuse_min_bytes = (FUSE_MIN_BYTES if fuse_min_bytes is None
+                               else fuse_min_bytes)
+        self._fuse_ok: bool | None = None
 
     # -- public ------------------------------------------------------------
 
@@ -197,12 +212,22 @@ class QueryPlanner:
         flt_key = json.dumps(req.get("filter"), sort_keys=True, default=str)
         return (vec_col, flt_key)
 
+    def _fusion_worthwhile(self) -> bool:
+        """Size-dispatch: fusing only pays once one saved corpus scan
+        outweighs the fused path's fixed job overhead (FUSE_MIN_BYTES)."""
+        if self._fuse_ok is None:
+            from qdrant_spark.operators.knn import _plan_size_bytes
+
+            self._fuse_ok = _plan_size_bytes(self.points) >= self.fuse_min_bytes
+        return self._fuse_ok
+
     def _plan_children(self, children: list[dict], depth: int) -> list[DataFrame]:
         groups: dict[tuple, list[int]] = {}
-        for i, c in enumerate(children):
-            key = self._fusable_leaf(c)
-            if key is not None:
-                groups.setdefault(key, []).append(i)
+        if self._fusion_worthwhile():
+            for i, c in enumerate(children):
+                key = self._fusable_leaf(c)
+                if key is not None:
+                    groups.setdefault(key, []).append(i)
         out: list[DataFrame | None] = [None] * len(children)
         fused_groups = fused_legs = 0
         for key, idxs in groups.items():
@@ -240,10 +265,19 @@ class QueryPlanner:
             [(i, t) for i, t in enumerate(targets)],
             "qid: long, qvec: array<double>",
         )
+        # strategy resolved driver-side from plan stats (len(targets) is
+        # known here) — saves the queries.count() job of strategy='auto'
+        from qdrant_spark.operators.knn import (
+            ARROW_DISPATCH_BYTES, _plan_size_bytes,
+        )
+
+        src = apply_filter(self.points, flt)
+        strategy = ("matmul" if _plan_size_bytes(src) * len(targets)
+                    >= ARROW_DISPATCH_BYTES else "window")
         res = knn_batch(
-            apply_filter(self.points, flt), qdf, metric=self.metric,
+            src, qdf, metric=self.metric,
             k=max(needed), vec_col=vec_col, id_col=self.id_col,
-            strategy="auto",
+            strategy=strategy,
         ).select("qid", self.id_col, "score")
         rows = res.collect()  # bounded: <= legs * max(offset+limit)
         lb = larger_is_better(self.metric)
@@ -552,6 +586,7 @@ def query_batch(
     vec_col: str = "vec",
     metric: str = "cosine",
     collections: dict[str, DataFrame] | None = None,
+    fuse_min_bytes: int | None = None,
 ) -> DataFrame:
     """Batch universal query (``POST /collections/{c}/points/query/batch``,
     reference src/actix/api/query_api.rs; per-request independence as in
@@ -570,18 +605,20 @@ def query_batch(
 
     planner = QueryPlanner(
         points, id_col=id_col, default_vec_col=vec_col, metric=metric,
-        collections=collections,
+        collections=collections, fuse_min_bytes=fuse_min_bytes,
     )
     if not requests:
         raise ValueError("empty request batch")
 
-    # group fusable single-leaf nearest requests by (vec_col, filter)
+    # group fusable single-leaf nearest requests by (vec_col, filter) —
+    # same size dispatch as prefetch fusion (small corpora plan lazily)
     planner._vec_cache = planner._batch_resolve_ids({"prefetch": list(requests)})
     groups: dict[tuple, list[int]] = {}
-    for i, req in enumerate(requests):
-        key = planner._fusable_leaf(req)
-        if key is not None:
-            groups.setdefault(key, []).append(i)
+    if planner._fusion_worthwhile():
+        for i, req in enumerate(requests):
+            key = planner._fusable_leaf(req)
+            if key is not None:
+                groups.setdefault(key, []).append(i)
     outs: list[DataFrame | None] = [None] * len(requests)
     for key, idxs in groups.items():
         if len(idxs) < 2:

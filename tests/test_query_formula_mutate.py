@@ -413,9 +413,18 @@ def test_prefetch_shared_scan_fusion(embeddings):
         "query": {"fusion": "rrf"},
         "limit": 8,
     }
-    p = QueryPlanner(embeddings, id_col="vec_id", default_vec_col="embedding")
+    p = QueryPlanner(embeddings, id_col="vec_id", default_vec_col="embedding",
+                     fuse_min_bytes=0)
     fused = p.plan(req).collect()
     assert p.last_plan_info == {"fused_groups": 1, "fused_legs": 2}
+
+    # default size dispatch: a tiny corpus plans lazily (no fusion)
+    p_dflt = QueryPlanner(embeddings, id_col="vec_id",
+                          default_vec_col="embedding")
+    lazy = p_dflt.plan(req).collect()
+    assert p_dflt.last_plan_info["fused_legs"] == 0
+    assert [(r["vec_id"], round(r["score"], 9)) for r in lazy] == \
+        [(r["vec_id"], round(r["score"], 9)) for r in fused]
 
     legs = [
         knn(embeddings, v[0], metric="cosine", k=20, vec_col="embedding",
@@ -460,7 +469,8 @@ def test_prefetch_fusion_with_threshold(embeddings):
         "query": {"fusion": "dbsf"},
         "limit": 10,
     }
-    p = QueryPlanner(embeddings, id_col="vec_id", default_vec_col="embedding")
+    p = QueryPlanner(embeddings, id_col="vec_id", default_vec_col="embedding",
+                     fuse_min_bytes=0)
     p.plan(req).collect()
     assert p.last_plan_info == {"fused_groups": 1, "fused_legs": 2}
     # re-plan leg 0 alone through the planner and check the threshold held
@@ -492,7 +502,7 @@ def test_planner_params_exact_opt_out(embeddings):
                            default_vec_col="embedding")
     accel = QueryPlanner(embeddings, id_col="vec_id",
                          default_vec_col="embedding", ivf_index=bad,
-                         full_scan_threshold=1)
+                         full_scan_threshold=1, fuse_min_bytes=0)
     req = {"query": {"nearest": q0}, "using": "embedding", "limit": 5}
     assert accel.plan(req).count() == 0  # corrupt index, index route
     got = [(r["vec_id"], round(r["score"], 6)) for r in
@@ -539,7 +549,7 @@ def test_query_batch_fuses_homogeneous_nearest(embeddings):
         {"query": {"nearest": {"id": 3}}, "limit": 3},
     ]
     rows_out = query_batch(embeddings, reqs, id_col="vec_id",
-                           vec_col="embedding").collect()
+                           vec_col="embedding", fuse_min_bytes=0).collect()
     by_req: dict = {}
     for r in rows_out:
         by_req.setdefault(r["request_idx"], []).append(
