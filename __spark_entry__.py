@@ -704,6 +704,29 @@ def _q_filter_text_stemmed(spark: SparkSession, sf: str) -> DataFrame:
     return apply_filter(_docs(spark, sf), flt, text_params=tp).select("doc_id")
 
 
+def _q_filter_text_any(spark: SparkSession, sf: str) -> DataFrame:
+    """match.text_any (MatchTextAny, types.rs:3021): at least one query
+    token present — arrays_overlap over the tokenized field."""
+    from qdrant_spark.filters import apply_filter
+
+    flt = {"must": [{"key": "text", "match": {"text_any": "dup vector"}}]}
+    return apply_filter(_docs(spark, sf), flt).select("doc_id")
+
+
+def _q_filter_has_id(spark: SparkSession, sf: str) -> DataFrame:
+    """has_id (HasIdCondition, types.rs:3808) combined with a payload
+    condition — the id column resolves to the table's *_id column."""
+    from qdrant_spark.filters import apply_filter
+
+    flt = {
+        "must": [
+            {"has_id": list(range(0, 200, 3))},
+            {"key": "label", "range": {"lt": 7}},
+        ]
+    }
+    return apply_filter(_emb(spark, sf), flt).select("vec_id", "label")
+
+
 def _q_filter_text_stemmed_de(spark: SparkSession, sf: str) -> DataFrame:
     """match.text against a GERMAN-Snowball-stemmed text index on the
     corpus' German stratum (SnowballLanguage::German, index.rs:354-420;
@@ -2816,6 +2839,8 @@ _GATE_PRIORITY = [
     # the HUGEINT/BIGINT hash-typing artifact, re-gated after the cast fix)
     "filter_text_stemmed_de",
     "knn_acorn_filtered",
+    "filter_text_any",
+    "filter_has_id",
     "corpus_stats",
     # last driver row r1 — stalest
     "dedup_simhash",
@@ -2937,6 +2962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_text_all": _q_filter_text("text"),
         "filter_text_stemmed": _q_filter_text_stemmed,
         "filter_text_stemmed_de": _q_filter_text_stemmed_de,
+        "filter_text_any": _q_filter_text_any,
+        "filter_has_id": _q_filter_has_id,
         "filter_phrase": _q_filter_text("phrase"),
         "filter_phrase_indexed": _q_filter_phrase_indexed,
         "payload_json_path": _q_events_json,
@@ -3104,6 +3131,15 @@ st AS (SELECT doc_id, coalesce(sm.stem, tk.tok) AS stem
        FROM tk LEFT JOIN sm ON tk.tok = sm.word)
 SELECT doc_id FROM st GROUP BY doc_id
 HAVING bool_or(stem = 'valu') AND bool_or(stem = 'tabl')
+""",
+        "filter_text_any": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id FROM t
+WHERE list_contains(toks, 'dup') OR list_contains(toks, 'vector')
+""",
+        "filter_has_id": """
+SELECT vec_id, label FROM embeddings
+WHERE vec_id % 3 = 0 AND vec_id < 200 AND label < 7
 """,
         "filter_phrase": f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)

@@ -95,11 +95,20 @@ class FieldResolver:
         self,
         schema: T.StructType,
         text_params: dict[str, dict[str, Any]] | None = None,
+        id_col: str | None = None,
     ):
         self.schema = schema
         # per-field TextIndexParams (tokenizer/stemmer/ascii_folding/... —
         # index.rs:260-360); the analogue of a declared text field index
         self.text_params = text_params or {}
+        # point-id column for has_id: explicit > literal "id" > the single
+        # "*_id" column (the test tables' doc_id/vec_id convention)
+        names = schema.fieldNames() if isinstance(schema, T.StructType) else []
+        if id_col is None:
+            id_like = [n for n in names if n == "id" or n.endswith("_id")]
+            id_col = "id" if "id" in names else (
+                id_like[0] if len(id_like) == 1 else "id")
+        self.id_col = id_col
 
     def _walk(self, key: str) -> tuple[Column, T.DataType | None]:
         parts = key.split(".")
@@ -331,7 +340,7 @@ def _point_in_polygon(c: Column, body: dict) -> Column:
 def _compile_condition(fr: FieldResolver, cond: dict[str, Any]) -> Column:
     if "has_id" in cond:
         ids = list(cond["has_id"])
-        return F.col("id").isin(ids) if ids else F.lit(False)
+        return F.col(fr.id_col).isin(ids) if ids else F.lit(False)
     if "has_vector" in cond:
         name = cond["has_vector"]
         col, typ = fr.resolve(f"vec_{name}" if f"vec_{name}" in fr.schema.fieldNames() else name)
@@ -477,12 +486,15 @@ def filter_column(
     flt: dict[str, Any] | None,
     *,
     text_params: dict[str, dict[str, Any]] | None = None,
+    id_col: str | None = None,
 ) -> Column:
     """Public entry: compile ``flt`` against ``df``'s schema.
     ``text_params`` declares per-field text-index options (tokenizer,
     stemmer, ascii_folding, stopwords, min/max token length) that full-text
-    conditions on that field honor — the declared-field-index analogue."""
-    return compile_filter(FieldResolver(df.schema, text_params), flt)
+    conditions on that field honor — the declared-field-index analogue.
+    ``id_col`` names the point-id column for has_id (default: "id", or the
+    single "*_id" column)."""
+    return compile_filter(FieldResolver(df.schema, text_params, id_col), flt)
 
 
 def apply_filter(
@@ -490,7 +502,9 @@ def apply_filter(
     flt: dict[str, Any] | None,
     *,
     text_params: dict[str, dict[str, Any]] | None = None,
+    id_col: str | None = None,
 ) -> DataFrame:
     if not flt:
         return df
-    return df.filter(filter_column(df, flt, text_params=text_params))
+    return df.filter(filter_column(df, flt, text_params=text_params,
+                                   id_col=id_col))
