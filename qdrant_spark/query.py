@@ -98,16 +98,23 @@ class QueryPlanner:
         #: diagnostics from the last plan(): how many sibling prefetch
         #: groups were fused into a single shared scan (see _plan_children)
         self.last_plan_info: dict[str, int] = {"fused_groups": 0,
-                                               "fused_legs": 0}
+                                               "fused_legs": 0,
+                                               "driver_fused_root": 0}
         self.fuse_min_bytes = (FUSE_MIN_BYTES if fuse_min_bytes is None
                                else fuse_min_bytes)
         self._fuse_ok: bool | None = None
+        #: id(leg DataFrame) -> its collected hits [(id, score)] best-first,
+        #: recorded by _fused_leaves so a fusion root over all-fused legs
+        #: can fuse DRIVER-SIDE (rrf_hits/dbsf_hits) instead of spending
+        #: ~1s of Spark job overhead on <=legs*limit local rows
+        self._fused_hits_by_df: dict[int, list] = {}
 
     # -- public ------------------------------------------------------------
 
     def plan(self, request: dict[str, Any]) -> DataFrame:
         """Returns (id, score) best-first, limited."""
         self._vec_cache = self._batch_resolve_ids(request)
+        self._fused_hits_by_df = {}
         return self._node(request, depth=0)
 
     def plan_groups(
@@ -239,7 +246,8 @@ class QueryPlanner:
             fused_groups += 1
             fused_legs += len(idxs)
         self.last_plan_info = {"fused_groups": fused_groups,
-                               "fused_legs": fused_legs}
+                               "fused_legs": fused_legs,
+                               "driver_fused_root": 0}
         for i, c in enumerate(children):
             if out[i] is None:
                 out[i] = self._node(c, depth + 1)
@@ -302,7 +310,10 @@ class QueryPlanner:
                         if (h[1] > th if lb else h[1] < th)]
             off = int(r.get("offset", 0))
             limit = int(r.get("limit", DEFAULT_LIMIT))
-            out.append(spark.createDataFrame(hits[off:off + limit], schema))
+            kept = hits[off:off + limit]
+            df = spark.createDataFrame(kept, schema)
+            self._fused_hits_by_df[id(df)] = kept
+            out.append(df)
         return out
 
     # -- VectorInput id resolution ------------------------------------------
@@ -501,6 +512,26 @@ class QueryPlanner:
         if query is None:
             query = {"fusion": "rrf"}
         if "fusion" in query:
+            from qdrant_spark.operators.fusion import dbsf_hits, rrf_hits
+            from qdrant_spark.operators.knn import larger_is_better
+
+            # Driver-side fast path: every child is a fused leg whose hits
+            # are already collected (bounded, best-first). Restricted to
+            # larger-is-better metrics so the ranking matches the Spark
+            # fusion operators bit-for-bit (they rank score-desc).
+            hits = [self._fused_hits_by_df.get(id(c)) for c in children]
+            if all(h is not None for h in hits) and larger_is_better(self.metric):
+                self.last_plan_info["driver_fused_root"] = 1
+                fused = {"rrf": rrf_hits, "dbsf": dbsf_hits}[query["fusion"]](
+                    hits, limit=limit)
+                from pyspark.sql import types as T
+
+                id_type = self.points.schema[self.id_col].dataType
+                schema = T.StructType([
+                    T.StructField(self.id_col, id_type),
+                    T.StructField("score", T.DoubleType()),
+                ])
+                return self.points.sparkSession.createDataFrame(fused, schema)
             fn = {"rrf": rrf, "dbsf": dbsf}[query["fusion"]]
             return fn(children, id_col=self.id_col, limit=limit)
         # merge children candidate ids (dedup), then re-score

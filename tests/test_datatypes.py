@@ -93,6 +93,32 @@ def test_packed_batch_and_filter(spark, embeddings, f16):
     assert len(got) == 5 and all(l <= 5 for l in labels)
 
 
+@pytest.fixture(scope="module")
+def f32(embeddings):
+    p = pack_vectors(embeddings, vec_col="embedding", id_col="vec_id",
+                     dtype="float32")
+    p.df = p.df.select("vec_id", "__packed").cache()
+    p.df.count()
+    return p
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclid", "dot"])
+def test_f32_lossless(embeddings, f32, metric):
+    """float32 packing is bit-lossless: ids AND scores match the plain
+    array<float> scan exactly (both decode the same f32 values to f64)."""
+    q = list(embeddings.limit(2).collect()[1]["embedding"])
+    exact = _exact(embeddings, q, metric, 10)
+    got = [(r["vec_id"], r["score"]) for r in
+           knn_packed(f32, q, metric=metric, k=10).collect()]
+    assert [g[0] for g in got] == [e[0] for e in exact]
+    assert all(abs(g[1] - e[1]) < 1e-12 for g, e in zip(got, exact))
+
+
+def test_f32_packed_width(f32):
+    row = f32.df.limit(1).collect()[0]
+    assert len(row["__packed"]) == 4 * f32.dim
+
+
 def test_self_query_top1(embeddings, u8, f16):
     r = embeddings.limit(3).collect()[2]
     for p in (u8, f16):

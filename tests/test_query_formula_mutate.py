@@ -416,7 +416,8 @@ def test_prefetch_shared_scan_fusion(embeddings):
     p = QueryPlanner(embeddings, id_col="vec_id", default_vec_col="embedding",
                      fuse_min_bytes=0)
     fused = p.plan(req).collect()
-    assert p.last_plan_info == {"fused_groups": 1, "fused_legs": 2}
+    assert p.last_plan_info == {"fused_groups": 1, "fused_legs": 2,
+                                "driver_fused_root": 1}
 
     # default size dispatch: a tiny corpus plans lazily (no fusion)
     p_dflt = QueryPlanner(embeddings, id_col="vec_id",
@@ -472,13 +473,68 @@ def test_prefetch_fusion_with_threshold(embeddings):
     p = QueryPlanner(embeddings, id_col="vec_id", default_vec_col="embedding",
                      fuse_min_bytes=0)
     p.plan(req).collect()
-    assert p.last_plan_info == {"fused_groups": 1, "fused_legs": 2}
+    assert p.last_plan_info == {"fused_groups": 1, "fused_legs": 2,
+                                "driver_fused_root": 1}
     # re-plan leg 0 alone through the planner and check the threshold held
     leg0 = p.plan({"query": {"nearest": v[0]}, "limit": 20,
                    "score_threshold": th}).collect()
     want = [(r["vec_id"], round(r["score"], 9)) for r in solo
             if r["score"] > th]
     assert [(r["vec_id"], round(r["score"], 9)) for r in leg0] == want
+
+
+def test_driver_side_fusion_matches_spark_path(embeddings):
+    """The driver-side fusion fast path (rrf_hits/dbsf_hits over the
+    already-collected fused-leg hits) is value-identical to the Spark
+    fusion operators, and is SKIPPED for smaller-is-better metrics where
+    the Spark operators' score-desc ranking would diverge."""
+    from qdrant_spark.operators.fusion import dbsf, rrf
+    from qdrant_spark.query import QueryPlanner
+
+    rows = embeddings.filter(F.col("vec_id").isin([1, 4, 7])).collect()
+    v = {r["vec_id"]: list(r["embedding"]) for r in rows}
+    for fusion in ("rrf", "dbsf"):
+        req = {
+            "prefetch": [
+                {"query": {"nearest": v[1]}, "limit": 25},
+                {"query": {"nearest": v[4]}, "limit": 12},
+                {"query": {"nearest": v[7]}, "limit": 18, "offset": 1},
+            ],
+            "query": {"fusion": fusion},
+            "limit": 10,
+        }
+        p = QueryPlanner(embeddings, id_col="vec_id",
+                         default_vec_col="embedding", fuse_min_bytes=0)
+        fast = p.plan(req).collect()
+        assert p.last_plan_info["driver_fused_root"] == 1
+        lazy_p = QueryPlanner(embeddings, id_col="vec_id",
+                              default_vec_col="embedding")
+        lazy = lazy_p.plan(req).collect()
+        assert lazy_p.last_plan_info["driver_fused_root"] == 0
+        assert [(r["vec_id"], round(r["score"], 9)) for r in fast] == \
+            [(r["vec_id"], round(r["score"], 9)) for r in lazy], fusion
+
+    # euclid (smaller-is-better): fused legs still share the scan, but the
+    # root fusion stays on the Spark operators (ranking-direction parity)
+    req_e = {
+        "prefetch": [
+            {"query": {"nearest": v[1]}, "limit": 15},
+            {"query": {"nearest": v[4]}, "limit": 15},
+        ],
+        "query": {"fusion": "rrf"},
+        "limit": 8,
+    }
+    pe = QueryPlanner(embeddings, id_col="vec_id",
+                      default_vec_col="embedding", metric="euclid",
+                      fuse_min_bytes=0)
+    out_e = pe.plan(req_e).collect()
+    assert pe.last_plan_info["fused_legs"] == 2
+    assert pe.last_plan_info["driver_fused_root"] == 0
+    lazy_e = QueryPlanner(embeddings, id_col="vec_id",
+                          default_vec_col="embedding",
+                          metric="euclid").plan(req_e).collect()
+    assert [(r["vec_id"], round(r["score"], 9)) for r in out_e] == \
+        [(r["vec_id"], round(r["score"], 9)) for r in lazy_e]
 
 
 def test_planner_params_exact_opt_out(embeddings):
