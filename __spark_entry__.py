@@ -624,6 +624,18 @@ def _q_facet(table: str, key: str):
     return run
 
 
+def _q_facet_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """facet(exact=false): scaled counts from the deterministic md5
+    quarter-sample — approximate yet exactly reproducible (the sample
+    membership and 4x scaling are pure md5/arithmetic, so DuckDB lands on
+    the identical estimate)."""
+    from qdrant_spark.operators.points import facet_estimate
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return facet_estimate(ev, "event_type", limit=10, fraction=0.25,
+                          seed=7, id_col="event_id")
+
+
 def _q_unique_source(spark: SparkSession, sf: str) -> DataFrame:
     from qdrant_spark.operators.points import unique_values
 
@@ -2553,6 +2565,77 @@ FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
 
 
+def _q_lm_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing: exact tercile thresholds of the
+    unigram-LM score, assigned in one map-only pass (thresholds stay
+    in-plan via a broadcast 1-row crossJoin)."""
+    from qdrant_spark.operators.curation import lm_buckets
+
+    return lm_buckets(_docs(spark, sf), vocab_size=500, alpha=1.0)
+
+
+_LM_BUCKETS_SQL = r"""
+WITH tk AS (SELECT doc_id, t AS tok
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(trim(text)), '\s+') w
+                  FROM documents), unnest(w) AS u(t)
+            WHERE t <> ''),
+cnts AS (SELECT tok, count(*) cnt FROM tk GROUP BY tok),
+tot AS (SELECT sum(cnt) total FROM cnts),
+vocab AS (SELECT tok, ln((cnt + 1.0) / (tot.total + 501.0)) lp
+          FROM cnts, tot ORDER BY cnt DESC, tok LIMIT 500),
+oov AS (SELECT ln(1.0 / (total + 501.0)) lp FROM tot),
+agg AS (SELECT tk.doc_id,
+               count(*) n_tokens,
+               count(CASE WHEN v.lp IS NULL THEN 1 END) n_oov,
+               avg(coalesce(v.lp, oov.lp)) av
+        FROM tk LEFT JOIN vocab v USING (tok), oov
+        GROUP BY tk.doc_id),
+scored AS (SELECT d.doc_id,
+             coalesce(agg.n_tokens, 0) AS n_tokens,
+             coalesce(round(agg.n_oov * 1.0 / agg.n_tokens, 6), 0.0) AS oov_frac,
+             coalesce(round(agg.av, 6), 0.0) AS avg_logprob
+           FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id),
+cuts AS (SELECT round(quantile_cont(avg_logprob, 1.0/3.0), 6) AS lo,
+                round(quantile_cont(avg_logprob, 2.0/3.0), 6) AS hi
+         FROM scored)
+SELECT s.doc_id, s.n_tokens, s.oov_frac, s.avg_logprob,
+       CASE WHEN s.avg_logprob >= cuts.hi THEN 'head'
+            WHEN s.avg_logprob >= cuts.lo THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s, cuts
+"""
+
+
+def _q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per md5-hash group, documents
+    lay end-to-end ordered by id and cut every 512 tokens; the cumsum
+    window partitions by group so every stream packs independently."""
+    from qdrant_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_docs(spark, sf), 512, n_groups=8)
+
+
+_PACK_SEQUENCES_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('pack' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INT) AS grp,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, grp AS "group", n_tokens,
+         sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS tok_start
+  FROM base)
+SELECT doc_id, "group", n_tokens, tok_start,
+       CAST(floor(tok_start / 512.0) AS BIGINT) AS start_seq,
+       CAST(floor((tok_start + greatest(n_tokens - 1, 0)) / 512.0) AS BIGINT) AS end_seq
+FROM cum
+"""
+
+
 _REPETITION_SQL = r"""
 WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') w,
                   string_split(text, chr(10)) l FROM documents),
@@ -2909,6 +2992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "repetition_signals": _q_repetition_signals,
         "lm_score": _q_lm_score,
+        "lm_buckets": _q_lm_buckets,
+        "pack_sequences": _q_pack_sequences,
         "mixture_sample": _q_mixture_sample,
         "corpus_stats": _q_corpus_stats,
         "c4_line_filter": _q_c4_line_filter,
@@ -2955,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_filtered": _q_count_events,
         "facet_lang": _q_facet("documents", "lang"),
         "facet_event_type": _q_facet("events", "event_type"),
+        "facet_estimate": _q_facet_estimate,
         "unique_values": _q_unique_source,
         "retrieve": _q_retrieve,
         "filter_dsl_orders": _q_filter_orders,
@@ -3036,6 +3122,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _GOPHER_SQL,
         "repetition_signals": _REPETITION_SQL,
         "lm_score": _LM_SCORE_SQL,
+        "lm_buckets": _LM_BUCKETS_SQL,
+        "pack_sequences": _PACK_SEQUENCES_SQL,
         "mixture_sample": _MIXTURE_SQL,
         "corpus_stats": _CORPUS_STATS_SQL,
         "c4_line_filter": _C4_LINE_SQL,
@@ -3096,6 +3184,15 @@ GROUP BY lang ORDER BY count(*) DESC, lang ASC LIMIT 10
         "facet_event_type": """
 SELECT event_type AS value, count(*) AS count FROM events WHERE event_type IS NOT NULL
 GROUP BY event_type ORDER BY count(*) DESC, event_type ASC LIMIT 10
+""",
+        "facet_estimate": """
+SELECT event_type AS value,
+       CAST(round(count(*) / 0.25) AS BIGINT) AS est_count
+FROM events
+WHERE substr(md5(CAST(event_id AS VARCHAR) || ':' || 'facet7'), 1, 8)
+      < '40000000'
+  AND event_type IS NOT NULL
+GROUP BY event_type ORDER BY est_count DESC, event_type ASC LIMIT 10
 """,
         "unique_values": "SELECT DISTINCT source AS value FROM documents WHERE source IS NOT NULL",
         "retrieve": "SELECT doc_id, lang, source FROM documents WHERE doc_id IN (1, 5, 17, 99)",

@@ -395,33 +395,41 @@ def main() -> None:
     run("ivf_pq_batch64_xxl_disk", q_ivf_pq_batch64_xxl_disk)
 
     # recall@10 vs the exact scan for the approximate lines (untimed) —
-    # BASELINE.md requires ANN numbers to carry their recall.
-    # NOTE: the PQ recall lines fluctuate +-0.1 run-to-run: MLlib KMeans
+    # BASELINE.md requires ANN numbers to carry their recall. Averaged
+    # over 8 query vectors: a single-query recall is a 10-sample
+    # statistic that flaps +-0.1-0.3 run-to-run because MLlib KMeans
     # centroids drift with distributed fp-summation order even under a
-    # fixed seed. Correctness is gated by the exact-match oracles.
-    exact10 = {
-        r["vec_id"]
-        for r in knn(xxl, q0, metric="cosine", k=10, vec_col="embedding",
-                     id_col="vec_id", select=["vec_id", "score"]).collect()
-    }
+    # fixed seed; the 80-sample mean is stable. Correctness is gated by
+    # the exact-match oracles, not here.
+    n_rq = 8
+    exact10 = {}
+    ex = knn_batch(xxl_disk, queries_df.filter(F.col("qid") < n_rq),
+                   metric="cosine", k=10, vec_col="embedding",
+                   id_col="vec_id", strategy="matmul").collect()
+    for r in ex:
+        exact10.setdefault(r["qid"], set()).add(r["vec_id"])
 
-    def _recall(df):
-        got = {r["vec_id"] for r in df.collect()}
-        return round(len(exact10 & got) / len(exact10), 3)
+    def _recall_one(fn):
+        hits = 0
+        for qi in range(n_rq):
+            got = {r["vec_id"] for r in fn(qvecs[qi]).collect()}
+            hits += len(exact10[qi] & got)
+        return round(hits / (10.0 * n_rq), 3)
 
     recall = {
-        "ann_ivf_single_xxl": _recall(
-            ivf_search(ivf_xxl, q0, k=10, nprobe=4, metric="cosine")),
-        "ivf_pq_single_xxl": _recall(
-            ivf_pq_search(ivfpq_xxl, q0, k=10, nprobe=4, oversampling=4.0,
-                          metric="cosine")),
+        "ann_ivf_single_xxl": _recall_one(
+            lambda q: ivf_search(ivf_xxl, q, k=10, nprobe=4,
+                                 metric="cosine")),
+        "ivf_pq_single_xxl": _recall_one(
+            lambda q: ivf_pq_search(ivfpq_xxl, q, k=10, nprobe=4,
+                                    oversampling=4.0, metric="cosine")),
         # the amplified corpus is adversarial for ADC: every query sits in
         # a ball of ~256 jittered siblings, so ranking inside the ball
         # needs a shortlist wider than the ball is deep — oversampling is
         # exactly that knob; report it alongside the timed setting.
-        "ivf_pq_single_xxl_os16": _recall(
-            ivf_pq_search(ivfpq_xxl, q0, k=10, nprobe=4, oversampling=16.0,
-                          metric="cosine")),
+        "ivf_pq_single_xxl_os16": _recall_one(
+            lambda q: ivf_pq_search(ivfpq_xxl, q, k=10, nprobe=4,
+                                    oversampling=16.0, metric="cosine")),
     }
 
     xxl_packed.df.unpersist()
@@ -540,6 +548,18 @@ def main() -> None:
         run_app("knn_batch64_xxxl_disk", lambda: knn_batch(
             xxxl_disk, queries_df, metric="cosine", k=10,
             vec_col="embedding", id_col="vec_id", strategy="matmul").count())
+        # the quantized narrow-scan path at 2M: coarse ADC reads 8 B/row of
+        # codes from the cluster-partitioned parquet vs 1536 B of floats —
+        # the second data point for where the 100-TB plan crosses over
+        ivfpq_xxxl = persist_ivf_pq(
+            build_ivf_pq(xxxl_disk, n_clusters=32, n_subspaces=8,
+                         n_centroids=256, vec_col="embedding",
+                         id_col="vec_id", fit_fraction=0.03),
+            f"{work}/xxxl_pq",
+        )
+        run_app("ivf_pq_batch64_xxxl_disk", lambda: ivf_pq_search_batch(
+            ivfpq_xxxl, queries_df, k=10, nprobe=4, oversampling=4.0,
+            metric="cosine", mode="coarse").count())
         appendix = {"n_rows": n_xxxl, "queries": app_times}
     except TimeoutError:
         pass

@@ -247,6 +247,112 @@ def lm_score(
     )
 
 
+def lm_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    lm_docs: DataFrame | None = None,
+    vocab_size: int = 2000,
+    alpha: float = 1.0,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): rank
+    documents by LM score and split the corpus at the ``cuts`` percentiles
+    — ``head`` = most in-distribution third, ``tail`` = least. Downstream
+    mixers weight buckets (head-heavy for quality, tail kept for
+    diversity); this is the canonical CCNet shape LLM pipelines reuse.
+
+    Built on :func:`lm_score` (the smoothed-unigram perplexity proxy);
+    thresholds are EXACT interpolated percentiles of ``avg_logprob``
+    computed in one corpus aggregation that stays in-plan (broadcast 1-row
+    crossJoin — no driver collect). Returns ``(id, n_tokens, oov_frac,
+    avg_logprob, bucket)``.
+
+    Scale shape: lm_score's vocab-bounded aggregations + ONE extra global
+    percentile agg (two doubles out) + a map-only bucket assignment. The
+    exact percentile sorts score values within the single agg group; at
+    corpora where that matters switch the caller to sampled thresholds —
+    the assignment logic is unchanged."""
+    scored = lm_score(docs, text_col, id_col, lm_docs=lm_docs,
+                      vocab_size=vocab_size, alpha=alpha)
+    lo_p, hi_p = float(cuts[0]), float(cuts[1])
+    cuts_df = scored.agg(
+        F.round(F.percentile("avg_logprob", F.lit(lo_p)), 6).alias("__lo"),
+        F.round(F.percentile("avg_logprob", F.lit(hi_p)), 6).alias("__hi"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts_df))
+        .withColumn(
+            "bucket",
+            F.when(F.col("avg_logprob") >= F.col("__hi"), F.lit("head"))
+            .when(F.col("avg_logprob") >= F.col("__lo"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("__lo", "__hi")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_tokens_col: str | None = None,
+    n_groups: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end-to-end in a
+    deterministic order and cut every ``seq_len`` tokens — the GPT-style
+    pretraining packing (each training sequence is a window over the
+    concatenated token stream; documents may span sequence boundaries).
+    Returns per doc: ``(id, group, n_tokens, tok_start, start_seq,
+    end_seq)`` where ``tok_start`` is the token offset of the doc within
+    its group's stream and ``start_seq``/``end_seq`` the first/last
+    sequence indices it touches — everything a sharded sequence writer
+    needs to emit fixed-length samples.
+
+    A single global concatenation order would serialize the cumsum (one
+    window over the whole corpus); real pipelines pack per output shard.
+    ``n_groups`` deterministic md5 hash-groups (same keying as
+    :func:`stratified_sample`) give independent streams that each pack in
+    parallel — the window partitions by group, so the sort is per-group.
+    Token counts default to whitespace tokens (``n_tokens_col`` supplies
+    a caller-tokenized count, e.g. BPE lengths from
+    ``functions.text.token_count``)."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    from pyspark.sql.window import Window
+
+    nt = (F.col(n_tokens_col) if n_tokens_col
+          else F.size(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                               lambda t: t != "")))
+    grp = F.pmod(
+        F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(n_groups),
+    ).cast("int")
+    base = docs.select(
+        F.col(id_col),
+        grp.alias("group"),
+        nt.cast("long").alias("n_tokens"),
+    )
+    w = (Window.partitionBy("group")
+         .orderBy(F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_start")
+    out = base.withColumn("tok_start", start)
+    return out.select(
+        id_col, "group", "n_tokens", "tok_start",
+        F.floor(F.col("tok_start") / seq_len).cast("long").alias("start_seq"),
+        F.floor((F.col("tok_start")
+                 + F.greatest(F.col("n_tokens") - 1, F.lit(0)))
+                / seq_len).cast("long").alias("end_seq"),
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

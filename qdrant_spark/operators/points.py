@@ -181,6 +181,52 @@ def facet(
     )
 
 
+def facet_estimate(
+    points: DataFrame,
+    key: str,
+    *,
+    limit: int = 10,
+    flt: dict[str, Any] | None = None,
+    fraction: float = 0.25,
+    seed: int = 42,
+    id_col: str = "id",
+) -> DataFrame:
+    """``facet(exact=false)`` — approximate facet counts from a bounded
+    sample, the batch analogue of the reference's approximate facet path
+    (``LocalShard::approx_facet`` merges cheap per-segment maps instead of
+    deduplicating exactly, facet.rs:24-95; FacetParams.exact facets.rs:24).
+
+    At 100 TB the exact facet shuffles every (value) row; this reads
+    ~``fraction`` of the corpus (map-only deterministic md5-Bernoulli on
+    the id — uniform across partitions, NO limit cap that would bias
+    toward first-scanned files) and scales counts by 1/fraction. Returns
+    (value, est_count) ordered est desc, value asc. Deterministic given
+    (seed, fraction) and reproducible in any engine with md5 — exact
+    oracle-checkable despite being an estimate."""
+    from qdrant_spark.operators.curation import fraction_threshold
+
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError("fraction must be in (0, 1]")
+    df = apply_filter(points, flt)
+    thr = fraction_threshold(fraction)
+    h = F.substring(
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                          F.lit(f"facet{seed}"))), 1, 8)
+    sample = df.filter(h < F.lit(thr))
+    typ = sample.schema[key].dataType if key in sample.columns else None
+    val = (F.explode(F.array_distinct(F.col(key)))
+           if isinstance(typ, T.ArrayType) else F.col(key))
+    return (
+        sample.select(val.alias("value"))
+        .filter(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.round(F.count("*") / F.lit(fraction)).cast("long")
+             .alias("est_count"))
+        .orderBy(F.col("est_count").desc(), F.col("value").asc())
+        .limit(limit)
+    )
+
+
 def unique_values(
     points: DataFrame, key: str, *, flt: dict[str, Any] | None = None
 ) -> DataFrame:

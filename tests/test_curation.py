@@ -425,3 +425,66 @@ def test_c4_line_filter_rules(spark):
     ]
     # single unpunctuated word: everything filtered, doc flagged dropped
     assert out[1].n_kept == 0 and out[1].dropped and out[1].text_clean == ""
+
+
+def test_lm_buckets_tercile_split(documents):
+    """head/middle/tail by exact terciles of avg_logprob: every head score
+    >= every middle score >= every tail score, buckets roughly n/3, and
+    the scored columns agree with lm_score itself."""
+    from qdrant_spark.operators.curation import lm_buckets, lm_score
+
+    docs = documents.limit(120)
+    out = lm_buckets(docs, vocab_size=300).collect()
+    n = len(out)
+    assert n == docs.count()
+    by = {}
+    for r in out:
+        by.setdefault(r["bucket"], []).append(r["avg_logprob"])
+    assert set(by) == {"head", "middle", "tail"}
+    assert min(by["head"]) >= max(by["middle"]) >= min(by["middle"])
+    assert min(by["middle"]) >= max(by["tail"])
+    # tercile cuts: each bucket within ~n/3 +- interpolation slack
+    for b in ("head", "middle", "tail"):
+        assert abs(len(by[b]) - n / 3) <= max(4, n * 0.1), (b, len(by[b]))
+    scored = {r["doc_id"]: r for r in
+              lm_score(docs, vocab_size=300).collect()}
+    for r in out:
+        assert r["avg_logprob"] == scored[r["doc_id"]]["avg_logprob"]
+
+
+def test_pack_sequences_invariants(spark, documents):
+    """Within each group, tok_start is the exact running token total in
+    id order, and seq indices are the floor-divisions of the stream."""
+    from qdrant_spark.operators.curation import pack_sequences
+
+    docs = documents.limit(60)
+    L = 128
+    out = pack_sequences(docs, L, n_groups=4).collect()
+    assert len(out) == docs.count()
+    groups = {}
+    for r in sorted(out, key=lambda r: (r["group"], r["doc_id"])):
+        groups.setdefault(r["group"], []).append(r)
+    assert len(groups) > 1  # hash-grouping actually spreads
+    for g, rows in groups.items():
+        cum = 0
+        for r in rows:
+            assert r["tok_start"] == cum
+            assert r["start_seq"] == cum // L
+            assert r["end_seq"] == (cum + max(r["n_tokens"] - 1, 0)) // L
+            assert r["end_seq"] >= r["start_seq"]
+            cum += r["n_tokens"]
+
+    # caller-supplied token counts (e.g. BPE lengths)
+    from pyspark.sql import functions as F
+
+    pre = docs.withColumn("bpe_len", F.length("text") / 4)
+    out2 = pack_sequences(pre, L, n_tokens_col="bpe_len", n_groups=2).collect()
+    assert all(r["n_tokens"] == int(len_ // 1) for r, len_ in
+               zip(sorted(out2, key=lambda r: r["doc_id"]),
+                   [int(x["bpe_len"]) for x in
+                    pre.select("doc_id", "bpe_len")
+                       .orderBy("doc_id").collect()]))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, 0)

@@ -114,3 +114,30 @@ def test_count_estimate_brackets_exact(documents):
     # no filter: the total is the answer
     n = documents.count()
     assert count_estimate(documents, None, total=n) == (n, 0)
+
+
+def test_facet_estimate_brackets_exact(documents):
+    """Scaled quarter-sample counts land within sampling error of the
+    exact facet, are deterministic, and keep (est desc, value asc) order."""
+    from qdrant_spark.operators.points import facet, facet_estimate
+
+    exact = {r["value"]: r["count"] for r in
+             facet(documents, "lang", limit=10).collect()}
+    est = facet_estimate(documents, "lang", limit=10, fraction=0.25,
+                         seed=7, id_col="doc_id").collect()
+    got = {r["value"]: r["est_count"] for r in est}
+    # deterministic md5 sample: second call identical
+    again = {r["value"]: r["est_count"] for r in
+             facet_estimate(documents, "lang", limit=10, fraction=0.25,
+                            seed=7, id_col="doc_id").collect()}
+    assert got == again
+    # each estimate within ~4 sigma of a binomial quarter-sample
+    for v, c in exact.items():
+        assert v in got, v
+        sigma = 4.0 * (c * 0.75 / 0.25) ** 0.5  # 4*sqrt(c*(1-f)/f)
+        assert abs(got[v] - c) <= max(sigma, 40), (v, c, got[v])
+    vals = [(r["est_count"], r["value"]) for r in est]
+    assert vals == sorted(vals, key=lambda t: (-t[0], t[1]))
+    import pytest as _p
+    with _p.raises(ValueError):
+        facet_estimate(documents, "lang", fraction=0.0, id_col="doc_id")
