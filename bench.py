@@ -531,7 +531,7 @@ def main() -> None:
         )
         app_times: dict[str, float] = {}
 
-        def run_app(name, fn, reps=1):
+        def run_app(name, fn, reps=2):
             fn()
             best = float("inf")
             for _ in range(reps):

@@ -264,10 +264,13 @@ class StrictModeError(ValueError):
 @dataclass(frozen=True)
 class StrictModeConfig:
     """Per-collection request limits (StrictModeConfig,
-    lib/segment/src/types.rs:1323-1412). The engine-applicable knobs are
-    implemented; node-operational ones (timeouts, rate limits, memory /
-    storage-size caps) are accepted for config parity but not enforced —
-    resource governance belongs to the Spark cluster manager here.
+    lib/segment/src/types.rs:1323-1412). Every engine-applicable knob is
+    enforced — request-shape caps in :func:`check_strict_mode` (including
+    sparse length, multivector count, search-breadth, and collection-size
+    caps when the caller supplies current sizes), index-count at
+    :meth:`CollectionCatalog.create_field_index`. Only timeouts and rate
+    limits remain accepted-but-unenforced: genuinely node-operational,
+    governed by the Spark cluster manager here.
 
     ``None`` disables a check, matching the reference's Option fields."""
 
@@ -283,6 +286,20 @@ class StrictModeConfig:
     filter_max_conditions: int | None = None
     condition_max_size: int | None = None
     max_payload_index_count: int | None = None
+    #: per-vector-name sparse length caps (StrictModeSparseConfig,
+    #: types.rs:1221-1234): {"text_sparse": 1000}
+    sparse_config: Mapping[str, int] | None = None
+    #: per-vector-name multivector count caps
+    #: (StrictModeMultivectorConfig, types.rs:1272-1285)
+    multivector_config: Mapping[str, int] | None = None
+    #: search-breadth cap (search_max_hnsw_ef, types.rs:1350): enforced
+    #: against params.hnsw_ef AND params.nprobe — nprobe is this engine's
+    #: IVF search-breadth knob, the hnsw_ef analogue
+    search_max_hnsw_ef: int | None = None
+    #: collection size caps (types.rs:1370,1384) — enforced like
+    #: max_points_count when the caller supplies the current sizes
+    max_collection_vector_size_bytes: int | None = None
+    max_collection_payload_size_bytes: int | None = None
     # accepted, not enforced (node-operational in the reference)
     max_timeout: int | None = None
     read_rate_limit: int | None = None
@@ -330,6 +347,8 @@ def check_strict_mode(
     n_points: int | None = None,
     is_update: bool = False,
     batch: list | None = None,
+    vector_size_bytes: int | None = None,
+    payload_size_bytes: int | None = None,
 ) -> None:
     """Validate one request dict against strict-mode limits; raises
     :class:`StrictModeError` on the first violation (the reference rejects
@@ -358,6 +377,47 @@ def check_strict_mode(
 
     if cfg.search_allow_exact is False and request.get("exact"):
         fail("exact search is disabled")
+    params = request.get("params") or {}
+    if cfg.search_max_hnsw_ef is not None:
+        # nprobe is this engine's search-breadth knob (IVF), the hnsw_ef
+        # analogue — cap both names so a migrated request is still governed
+        for knob in ("hnsw_ef", "nprobe"):
+            v = params.get(knob)
+            if v is not None and int(v) > cfg.search_max_hnsw_ef:
+                fail(f"params.{knob} {v} > "
+                     f"search_max_hnsw_ef {cfg.search_max_hnsw_ef}")
+
+    def _check_vec(name: str, vec: Any) -> None:
+        """Sparse length / multivector count caps for one vector value."""
+        if isinstance(vec, Mapping) and "indices" in vec:
+            cap = (cfg.sparse_config or {}).get(name)
+            if cap is not None and len(vec["indices"]) > cap:
+                fail(f"sparse vector {name!r} has {len(vec['indices'])} "
+                     f"indices > max_length {cap}")
+        elif (isinstance(vec, (list, tuple)) and vec
+              and isinstance(vec[0], (list, tuple))):
+            cap = (cfg.multivector_config or {}).get(name)
+            if cap is not None and len(vec) > cap:
+                fail(f"multivector {name!r} has {len(vec)} vectors > "
+                     f"max_vectors {cap}")
+
+    if cfg.sparse_config or cfg.multivector_config:
+        using = request.get("using", "")
+        q = request.get("query")
+        if isinstance(q, Mapping) and "nearest" in q:
+            _check_vec(using, q["nearest"])
+        elif "vector" in request:  # legacy search shape
+            _check_vec(using, request["vector"])
+        if is_update:
+            for pt in batch or []:
+                if not isinstance(pt, Mapping):
+                    continue
+                vecs = pt.get("vectors")
+                if isinstance(vecs, Mapping):
+                    for name, v in vecs.items():
+                        _check_vec(name, v)
+                elif pt.get("vector") is not None:
+                    _check_vec(using, pt["vector"])
     osamp = ((request.get("params") or {}).get("quantization") or {}) \
         .get("oversampling") or request.get("oversampling")
     if cfg.search_max_oversampling is not None and osamp is not None \
@@ -395,3 +455,13 @@ def check_strict_mode(
             and n_points > cfg.max_points_count:
         fail(f"collection has {n_points} points > "
              f"max_points_count {cfg.max_points_count}")
+    if cfg.max_collection_vector_size_bytes is not None \
+            and vector_size_bytes is not None \
+            and vector_size_bytes > cfg.max_collection_vector_size_bytes:
+        fail(f"collection vector data {vector_size_bytes} B > "
+             f"max {cfg.max_collection_vector_size_bytes}")
+    if cfg.max_collection_payload_size_bytes is not None \
+            and payload_size_bytes is not None \
+            and payload_size_bytes > cfg.max_collection_payload_size_bytes:
+        fail(f"collection payload data {payload_size_bytes} B > "
+             f"max {cfg.max_collection_payload_size_bytes}")

@@ -290,8 +290,76 @@ class TestStrictMode:
             "upsert_max_batchsize", "max_points_count",
             "filter_max_conditions", "condition_max_size",
             "max_payload_index_count",
+            # exercised in TestStrictModeExtended
+            "sparse_config", "multivector_config", "search_max_hnsw_ef",
+            "max_collection_vector_size_bytes",
+            "max_collection_payload_size_bytes",
         }
         node_operational = {"max_timeout", "read_rate_limit",
                             "write_rate_limit"}
         fields = {f.name for f in dataclasses.fields(StrictModeConfig)}
         assert fields == enforced | node_operational
+
+
+class TestStrictModeExtended:
+    def _cfg(self, **kw):
+        from qdrant_spark.catalog import StrictModeConfig
+        return StrictModeConfig(**kw)
+
+    def _check(self, req, cfg, **kw):
+        from qdrant_spark.catalog import check_strict_mode
+        check_strict_mode(req, cfg, **kw)
+
+    def _fails(self, req, cfg, **kw):
+        import pytest
+        from qdrant_spark.catalog import StrictModeError
+        with pytest.raises(StrictModeError):
+            self._check(req, cfg, **kw)
+
+    def test_search_breadth_cap_both_knobs(self):
+        cfg = self._cfg(search_max_hnsw_ef=64)
+        self._check({"params": {"nprobe": 64}}, cfg)
+        self._fails({"params": {"nprobe": 65}}, cfg)
+        self._fails({"params": {"hnsw_ef": 100}}, cfg)
+        self._check({"params": {}}, cfg)
+
+    def test_sparse_length_cap(self):
+        cfg = self._cfg(sparse_config={"txt": 3})
+        ok = {"using": "txt",
+              "query": {"nearest": {"indices": [1, 2], "values": [1.0, 2.0]}}}
+        self._check(ok, cfg)
+        bad = {"using": "txt",
+               "query": {"nearest": {"indices": [1, 2, 3, 4],
+                                     "values": [1.0] * 4}}}
+        self._fails(bad, cfg)
+        # other vector names uncapped
+        self._check(dict(bad, using="other"), cfg)
+
+    def test_multivector_count_cap(self):
+        cfg = self._cfg(multivector_config={"colbert": 2})
+        self._check({"using": "colbert",
+                     "query": {"nearest": [[1.0, 0.0], [0.0, 1.0]]}}, cfg)
+        self._fails({"using": "colbert",
+                     "query": {"nearest": [[1.0], [2.0], [3.0]]}}, cfg)
+
+    def test_upsert_batch_vector_caps(self):
+        cfg = self._cfg(sparse_config={"sp": 2},
+                        multivector_config={"mv": 2})
+        pts_ok = [{"id": 1, "vectors": {
+            "sp": {"indices": [5], "values": [0.5]},
+            "mv": [[1.0], [2.0]]}}]
+        self._check({}, cfg, is_update=True, batch=pts_ok)
+        pts_bad = [{"id": 2, "vectors": {
+            "sp": {"indices": [1, 2, 3], "values": [1.0] * 3}}}]
+        self._fails({}, cfg, is_update=True, batch=pts_bad)
+        pts_bad2 = [{"id": 3, "vectors": {"mv": [[1.0], [2.0], [3.0]]}}]
+        self._fails({}, cfg, is_update=True, batch=pts_bad2)
+
+    def test_collection_size_caps(self):
+        cfg = self._cfg(max_collection_vector_size_bytes=1000,
+                        max_collection_payload_size_bytes=500)
+        self._check({}, cfg, vector_size_bytes=1000, payload_size_bytes=500)
+        self._fails({}, cfg, vector_size_bytes=1001)
+        self._fails({}, cfg, payload_size_bytes=501)
+        # sizes unknown -> no enforcement (caller opted out)
+        self._check({}, cfg)
