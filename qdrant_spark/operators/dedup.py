@@ -42,6 +42,48 @@ def exact_dedup(
     )
 
 
+def lsh_params(n_perms: int, threshold: float,
+               *, fp_weight: float = 0.5) -> tuple[int, int]:
+    """Choose (bands, rows_per_band) for banded MinHash-LSH at a target
+    jaccard ``threshold`` — the standard S-curve parameter sweep (Leskovec
+    et al., Mining of Massive Datasets §3.4; same optimization datasketch
+    ships): collision probability at similarity s is ``1-(1-s^r)^b``, and
+    the chosen divisor pair of ``n_perms`` minimizes the integrated false-
+    positive area below the threshold (weight ``fp_weight``) plus false-
+    negative area above it (weight ``1-fp_weight``).
+
+    Feed the result straight into :func:`minhash_lsh_pairs`::
+
+        bands, rows = lsh_params(n_perms=128, threshold=0.5)
+        pairs = minhash_lsh_pairs(docs, n_perms=128, bands=bands,
+                                  jaccard_threshold=0.5)
+
+    Driver-side arithmetic only — nothing here touches Spark."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if n_perms < 2:
+        raise ValueError("n_perms must be >= 2")
+    best: tuple[float, int, int] | None = None
+    steps = 200
+    for b in range(1, n_perms + 1):
+        if n_perms % b:
+            continue
+        r = n_perms // b
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s ** r) ** b
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        err = fp_weight * (fp / steps) + (1.0 - fp_weight) * (fn / steps)
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]
+
+
 def with_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

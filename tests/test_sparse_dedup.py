@@ -369,3 +369,32 @@ def test_lsh_cross_finds_contamination_only_across_sides(spark):
                                     jaccard_threshold=0.3).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 100)}
     assert all(r.jaccard >= 0.3 for r in pairs)
+
+
+def test_lsh_params_s_curve_properties():
+    """Higher thresholds pick more rows per band (steeper curve further
+    right); the curve midpoint (1/b)^(1/r) lands near the threshold; and
+    invalid inputs raise."""
+    import pytest
+
+    from qdrant_spark.operators.dedup import lsh_params
+
+    picks = {}
+    for t in (0.2, 0.5, 0.8):
+        b, r = lsh_params(128, t)
+        assert b * r == 128
+        mid = (1.0 / b) ** (1.0 / r)
+        assert abs(mid - t) < 0.25, (t, b, r, mid)
+        picks[t] = r
+    assert picks[0.2] <= picks[0.5] <= picks[0.8]
+    assert picks[0.2] < picks[0.8]
+    # weighting false POSITIVES higher steepens the curve rightward:
+    # more rows per band than the balanced pick (and vice versa)
+    b_bal, r_bal = lsh_params(64, 0.5)
+    _, r_fp_averse = lsh_params(64, 0.5, fp_weight=0.9)
+    _, r_fn_averse = lsh_params(64, 0.5, fp_weight=0.1)
+    assert r_fn_averse <= r_bal <= r_fp_averse
+    with pytest.raises(ValueError):
+        lsh_params(128, 0.0)
+    with pytest.raises(ValueError):
+        lsh_params(1, 0.5)
