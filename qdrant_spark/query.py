@@ -269,24 +269,39 @@ class QueryPlanner:
             limit = int(r.get("limit", DEFAULT_LIMIT))
             needed.append(int(r.get("offset", 0)) + limit)
             thresholds.append(r.get("score_threshold"))
-        qdf = spark.createDataFrame(
-            [(i, t) for i, t in enumerate(targets)],
-            "qid: long, qvec: array<double>",
-        )
         # strategy resolved driver-side from plan stats (len(targets) is
         # known here) — saves the queries.count() job of strategy='auto'
         from qdrant_spark.operators.knn import (
-            ARROW_DISPATCH_BYTES, _plan_size_bytes,
+            ARROW_DISPATCH_BYTES, _matmul_knn, _plan_size_bytes,
         )
 
         src = apply_filter(self.points, flt)
         strategy = ("matmul" if _plan_size_bytes(src) * len(targets)
                     >= ARROW_DISPATCH_BYTES else "window")
-        res = knn_batch(
-            src, qdf, metric=self.metric,
-            k=max(needed), vec_col=vec_col, id_col=self.id_col,
-            strategy=strategy,
-        ).select("qid", self.id_col, "score")
+        if strategy == "matmul":
+            # the query set is already driver-side: hand it straight to
+            # the block-matmul scorer (q_data) instead of packing it into
+            # a local DataFrame the scorer would immediately collect back
+            # — saves a createDataFrame + one collect job per plan
+            import numpy as np
+
+            res = _matmul_knn(
+                src, None, metric=self.metric, k=max(needed),
+                vec_col=vec_col, id_col=self.id_col, qid_col="qid",
+                qvec_col="qvec", score_threshold=None,
+                q_data=(list(range(len(targets))),
+                        np.asarray(targets, dtype=np.float64)),
+            ).select("qid", self.id_col, "score")
+        else:
+            qdf = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(targets)],
+                "qid: long, qvec: array<double>",
+            )
+            res = knn_batch(
+                src, qdf, metric=self.metric,
+                k=max(needed), vec_col=vec_col, id_col=self.id_col,
+                strategy=strategy,
+            ).select("qid", self.id_col, "score")
         rows = res.collect()  # bounded: <= legs * max(offset+limit)
         lb = larger_is_better(self.metric)
         id_type = self.points.schema[self.id_col].dataType
