@@ -131,12 +131,44 @@ def sq_search(
     With ``rescore=False`` returns coarse scores directly (the reference's
     ``rescore: false`` fast path)."""
     n_coarse = max(k, int(np.ceil(k * oversampling)))
-    coarse_pts = index.codes.withColumn("__dec", index.decoded_col())
-    coarse = knn(
-        coarse_pts, query_vector, metric=metric, k=n_coarse,
-        vec_col="__dec", id_col=index.id_col, flt=flt,
-        select=[index.id_col, "score"],
+    from qdrant_spark.filters import apply_filter
+    from qdrant_spark.operators.knn import (
+        ARROW_DISPATCH_BYTES, _matmul_knn, _plan_size_bytes,
     )
+
+    src = apply_filter(index.codes, flt) if flt is not None else index.codes
+    if _plan_size_bytes(index.codes) >= ARROW_DISPATCH_BYTES:
+        # Arrow-side decode: the scan ships the int8 codes only (1 B/dim)
+        # and the affine decode happens on the flat Arrow buffer in the
+        # scorer — the JVM decode-transform path materializes 8 B/dim
+        # doubles through an interpreted HOF before conversion. Identical
+        # doubles: (c+128)*scale+lo is the same two IEEE ops either side.
+        lo = index.lo
+        scale = (index.hi - index.lo) / 255.0
+
+        def dec(vec, n):
+            import pyarrow as pa
+
+            if isinstance(vec, pa.ChunkedArray):
+                vec = vec.combine_chunks()
+            flat = vec.flatten().to_numpy(zero_copy_only=False)
+            M = flat.reshape(n, len(lo)).astype(np.float64)
+            return (M + 128.0) * scale + lo
+
+        coarse = _matmul_knn(
+            src, None, metric=metric, k=n_coarse, vec_col="__sq",
+            id_col=index.id_col, qid_col="__qid", qvec_col="__qvec",
+            score_threshold=None,
+            q_data=([0], np.asarray([[float(x) for x in query_vector]])),
+            vec_decode=dec,
+        ).select(index.id_col, "score")
+    else:
+        coarse_pts = src.withColumn("__dec", index.decoded_col())
+        coarse = knn(
+            coarse_pts, query_vector, metric=metric, k=n_coarse,
+            vec_col="__dec", id_col=index.id_col,
+            select=[index.id_col, "score"],
+        )
     if not rescore:
         return coarse.orderBy(
             F.col("score").desc() if larger_is_better(metric) else F.col("score"),
