@@ -2607,6 +2607,48 @@ FROM scored s, cuts
 """
 
 
+def _q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance log-ratios of the whole corpus against the English
+    subset as the target (hashed unigram+bigram models, 2000 buckets) —
+    both bucket models broadcast; the corpus is touched once."""
+    from qdrant_spark.operators.curation import dsir_weights
+
+    docs = _docs(spark, sf)
+    return dsir_weights(docs, docs.filter(F.col("lang") == "en"),
+                        n_buckets=2000)
+
+
+_DSIR_SQL = r"""
+WITH tw AS (SELECT doc_id, lang,
+                   list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               t -> t <> '') w
+            FROM documents),
+uni AS (SELECT doc_id, lang, t AS g FROM tw, unnest(w) AS u(t)),
+bi AS (SELECT doc_id, lang, array_to_string(tw.w[i.i : i.i + 1], ' ') g
+       FROM tw, unnest(range(1, len(tw.w))) i(i) WHERE len(tw.w) >= 2),
+feats AS (SELECT doc_id, lang,
+                 ('0x' || substring(md5(g), 1, 15))::BIGINT % 2000 AS bucket
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+ct AS (SELECT bucket, count(*) cnt FROM feats WHERE lang = 'en'
+       GROUP BY bucket),
+cr AS (SELECT bucket, count(*) cnt FROM feats GROUP BY bucket),
+tt AS (SELECT coalesce(sum(cnt), 0) + 2000.0 AS denom FROM ct),
+tr AS (SELECT coalesce(sum(cnt), 0) + 2000.0 AS denom FROM cr),
+scored AS (SELECT f.doc_id,
+                  ln((coalesce(ct.cnt, 0) + 1.0) / tt.denom)
+                  - ln((coalesce(cr.cnt, 0) + 1.0) / tr.denom) AS d
+           FROM feats f
+           LEFT JOIN ct USING (bucket)
+           LEFT JOIN cr USING (bucket), tt, tr),
+agg AS (SELECT doc_id, count(*) n_feats, round(sum(d), 6) lr
+        FROM scored GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(agg.n_feats, 0) AS n_feats,
+       coalesce(agg.lr, 0.0) AS log_ratio
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
 def _q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """Concat-and-chunk sequence packing: per md5-hash group, documents
     lay end-to-end ordered by id and cut every 512 tokens; the cumsum
@@ -2993,6 +3035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         "lm_score": _q_lm_score,
         "lm_buckets": _q_lm_buckets,
+        "dsir_weights": _q_dsir_weights,
         "pack_sequences": _q_pack_sequences,
         "mixture_sample": _q_mixture_sample,
         "corpus_stats": _q_corpus_stats,
@@ -3123,6 +3166,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _REPETITION_SQL,
         "lm_score": _LM_SCORE_SQL,
         "lm_buckets": _LM_BUCKETS_SQL,
+        "dsir_weights": _DSIR_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "mixture_sample": _MIXTURE_SQL,
         "corpus_stats": _CORPUS_STATS_SQL,

@@ -124,6 +124,17 @@ def run(sf_dir: str = "/root/testdata/sf0.001", cpus: int = 8) -> dict:
         text_params=tp,
     ).count()
 
+    # PUT /collections/{c} with vectors: {datatype: float16|uint8} — packed
+    # storage scored at storage precision (VectorParams.datatype); float32
+    # packing is the lossless RAM-resident cache layout (cache the flat
+    # binary, not array<float> rows)
+    from qdrant_spark.operators.datatypes import knn_packed, pack_vectors
+
+    p16 = pack_vectors(points, vec_col="embedding", id_col="id",
+                       dtype="float16")
+    out["f16_top1"] = knn_packed(p16, q0, metric="cosine",
+                                 k=1).collect()[0]["id"]
+
     # Strict mode: reject an over-limit request before planning
     cfg = StrictModeConfig(max_query_limit=100,
                            unindexed_filtering_retrieve=False)

@@ -353,6 +353,87 @@ def pack_sequences(
     )
 
 
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023): score
+    every raw document by the hashed-n-gram importance log-ratio
+    ``log p_target(x) - log p_raw(x)`` — the standard recipe for skewing a
+    pretraining mixture toward a small high-quality target corpus. Feed
+    the (positive-shifted, exponentiated) weight into
+    :func:`weighted_sample` to complete the resampling step.
+
+    Features are unigrams + bigrams of lowercase whitespace tokens hashed
+    into ``n_buckets`` buckets (md5-derived — reproducible cross-engine);
+    both corpus models are add-``alpha`` smoothed bucket distributions.
+    Returns ``(id, n_feats, log_ratio)`` where ``log_ratio`` is the SUM
+    over the doc's feature occurrences of the per-bucket log-ratio (the
+    bag-of-hashed-ngrams likelihood ratio), rounded to 6 places.
+
+    Scale shape: exactly :func:`lm_score` twice — the two bucket-count
+    aggregations are bounded by ``n_buckets`` (map-side combined), their
+    totals stay in-plan via broadcast 1-row crossJoins, the two bucket
+    tables broadcast, and the raw corpus is touched by ONE explode +
+    broadcast-join + groupBy(id). The target corpus is small by design
+    (that's the method's premise)."""
+    from qdrant_spark.functions.hashes import token_hash63
+
+    def toks(col: Column) -> Column:
+        return F.filter(
+            F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != ""
+        )
+
+    def feats(df: DataFrame, with_id: bool) -> DataFrame:
+        w = toks(F.col(text_col))
+        grams = F.concat(w, _word_grams(w, 2))
+        lead = [F.col(id_col)] if with_id else []
+        ex = df.select(*lead, F.explode_outer(grams).alias("__g"))
+        return ex.select(
+            *lead,
+            F.pmod(token_hash63(F.col("__g")), F.lit(n_buckets))
+            .alias("bucket"),
+        )
+
+    def model(df: DataFrame, name: str) -> DataFrame:
+        cnts = (feats(df, with_id=False).where(F.col("bucket").isNotNull())
+                .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")))
+        total = cnts.agg(
+            F.coalesce(F.sum("cnt").cast("double"), F.lit(0.0))
+            .alias(f"__tot_{name}"))
+        denom = F.col(f"__tot_{name}") + F.lit(float(alpha * n_buckets))
+        lp = (cnts.crossJoin(F.broadcast(total))
+              .select("bucket",
+                      F.log((F.col("cnt") + F.lit(float(alpha))) / denom)
+                      .alias(f"lp_{name}")))
+        return lp, total, denom
+
+    lp_t, tot_t, denom_t = model(target, "t")
+    lp_r, tot_r, denom_r = model(docs, "r")
+    oov_t = F.log(F.lit(float(alpha)) / denom_t)
+    oov_r = F.log(F.lit(float(alpha)) / denom_r)
+    scored = (
+        feats(docs, with_id=True)
+        .join(F.broadcast(lp_t), "bucket", "left")
+        .join(F.broadcast(lp_r), "bucket", "left")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .withColumn("__d",
+                    F.when(F.col("bucket").isNull(), F.lit(None)).otherwise(
+                        F.coalesce(F.col("lp_t"), oov_t)
+                        - F.coalesce(F.col("lp_r"), oov_r)))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("__d").alias("n_feats"),
+        F.round(F.coalesce(F.sum("__d"), F.lit(0.0)), 6).alias("log_ratio"),
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

@@ -488,3 +488,49 @@ def test_pack_sequences_invariants(spark, documents):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pack_sequences(docs, 0)
+
+
+def test_dsir_weights_hand_computed(spark):
+    """Importance log-ratio matches a pure-python mirror of the hashed
+    bigram models, and ranks the target-like doc above the off-target."""
+    import hashlib
+    import math as m
+
+    from qdrant_spark.operators.curation import dsir_weights
+
+    raw = [(0, "apple banana apple"), (1, "xylo zumba"), (2, "")]
+    tgt = [(10, "apple banana")]
+    docs = spark.createDataFrame(raw, ["doc_id", "text"])
+    target = spark.createDataFrame(tgt, ["doc_id", "text"])
+    B, alpha = 50, 1.0
+
+    def feats(text):
+        w = [t for t in text.lower().strip().split() if t]
+        grams = w + [" ".join(w[i:i + 2]) for i in range(len(w) - 1)]
+        return [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+                for g in grams]
+
+    def model(texts):
+        cnt = {}
+        for t in texts:
+            for b in feats(t):
+                cnt[b] = cnt.get(b, 0) + 1
+        tot = sum(cnt.values())
+        return cnt, tot + alpha * B
+
+    ct, dt = model([t for _, t in tgt])
+    cr, dr = model([t for _, t in raw])
+    want = {}
+    for i, t in raw:
+        d = sum(m.log((ct.get(b, 0) + alpha) / dt)
+                - m.log((cr.get(b, 0) + alpha) / dr) for b in feats(t))
+        want[i] = (len(feats(t)), round(d, 6))
+    got = {r["doc_id"]: (r["n_feats"], r["log_ratio"]) for r in
+           dsir_weights(docs, target, n_buckets=B).collect()}
+    assert set(got) == {0, 1, 2}
+    for i in (0, 1, 2):
+        assert got[i][0] == want[i][0], i
+        assert abs(got[i][1] - want[i][1]) < 1e-6, (i, got[i], want[i])
+    # the target-like doc outranks the off-target one; empty doc scores 0
+    assert got[0][1] > got[1][1]
+    assert got[2] == (0, 0.0)
