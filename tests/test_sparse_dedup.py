@@ -398,3 +398,23 @@ def test_lsh_params_s_curve_properties():
         lsh_params(128, 0.0)
     with pytest.raises(ValueError):
         lsh_params(1, 0.5)
+
+
+def test_lsh_prebuilt_signatures_identical(documents):
+    """Supplying ingest-time signatures (and shingles) yields the same
+    pairs as the self-contained pipeline."""
+    from qdrant_spark.operators.dedup import (
+        minhash_lsh_pairs, minhash_signatures, with_shingles,
+    )
+
+    docs = documents.limit(150)
+    base = sorted((r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in
+                  minhash_lsh_pairs(docs, n_perms=16, bands=4,
+                                    jaccard_threshold=0.2).collect())
+    sh = with_shingles(docs)
+    sig = minhash_signatures(docs, n_perms=16)
+    pre = sorted((r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in
+                 minhash_lsh_pairs(docs, n_perms=16, bands=4,
+                                   jaccard_threshold=0.2,
+                                   shingles=sh, signatures=sig).collect())
+    assert base == pre and len(base) > 0
