@@ -325,7 +325,7 @@ def main() -> None:
                                 metric="cosine").count()
 
     def q_ivf_pq_single_xxl():
-        return ivf_pq_search(ivfpq_xxl, q0, k=10, nprobe=4, oversampling=4.0,
+        return ivf_pq_search(ivfpq_xxl, q0, k=10, nprobe=4, oversampling=8.0,
                              metric="cosine").collect()
 
     def q_ivf_pq_batch64_xxl():
@@ -334,14 +334,14 @@ def main() -> None:
         # the shortlist in-worker — compare knn_batch64_xxl (full matmul
         # over the same cached corpus, same stage count, ~30x the compute)
         return ivf_pq_search_batch(ivfpq_xxl_ram, queries_df, k=10, nprobe=4,
-                                   oversampling=4.0, metric="cosine").count()
+                                   oversampling=8.0, metric="cosine").count()
 
     def q_ivf_pq_batch64_xxl_disk():
         # mode="coarse" pinned: the 100-TB narrow-scan plan over the
         # cluster-partitioned parquet — the ADC pass reads 8 bytes/row of
         # codes vs 256 of floats; compare knn_batch64_xxl_disk
         return ivf_pq_search_batch(ivfpq_xxl, queries_df, k=10, nprobe=4,
-                                   oversampling=4.0, metric="cosine",
+                                   oversampling=8.0, metric="cosine",
                                    mode="coarse").count()
 
     mark("group3: xxl queries")
@@ -422,7 +422,7 @@ def main() -> None:
                                  metric="cosine")),
         "ivf_pq_single_xxl": _recall_one(
             lambda q: ivf_pq_search(ivfpq_xxl, q, k=10, nprobe=4,
-                                    oversampling=4.0, metric="cosine")),
+                                    oversampling=8.0, metric="cosine")),
         # the amplified corpus is adversarial for ADC: every query sits in
         # a ball of ~256 jittered siblings, so ranking inside the ball
         # needs a shortlist wider than the ball is deep — oversampling is
@@ -565,7 +565,7 @@ def main() -> None:
             f"{work}/xxxl_pq",
         )
         run_app("ivf_pq_batch64_xxxl_disk", lambda: ivf_pq_search_batch(
-            ivfpq_xxxl, queries_df, k=10, nprobe=4, oversampling=4.0,
+            ivfpq_xxxl, queries_df, k=10, nprobe=4, oversampling=8.0,
             metric="cosine", mode="coarse").count())
         appendix = {"n_rows": n_xxxl, "queries": app_times}
     except TimeoutError:
