@@ -9,7 +9,9 @@ The composition a 100 TB corpus job would run, demonstrated at any SF:
 3. quality-filter: Gopher/C4 signals + repetition filters + unigram-LM
    score + text heuristics, then redact PII
 4. decontaminate against a held-out benchmark set (n-gram overlap)
-5. chunk into token windows and mixture-sample to a target lang mix
+5. chunk into token windows and mixture-sample to a target lang mix;
+   bucket CCNet-style (head/middle/tail), weight DSIR-style toward a
+   target subset, and pack training sequences concat-and-chunk
 6. build the BM25 postings index and the IVF ANN index (ingest-time cost)
 7. hybrid-retrieve per query: dense prefetch + sparse prefetch -> RRF
 8. diversify the final set per source with grouped search
@@ -122,6 +124,25 @@ def run(sf_dir: str = "/root/testdata/sf0.001", cpus: int = 8) -> dict:
         id_col="doc_id",
     )
     quality = sampled
+
+    # -- 5b. CCNet buckets + DSIR re-weighting + sequence packing --------
+    # (the round-5 additions: bucket the mixture CCNet-style, weight it
+    # toward the English subset DSIR-style, and lay out training
+    # sequences concat-and-chunk)
+    from qdrant_spark.operators.curation import (
+        dsir_weights, lm_buckets, pack_sequences,
+    )
+
+    buckets = {r["bucket"]: r["cnt"] for r in
+               lm_buckets(quality, vocab_size=1000)
+               .groupBy("bucket").agg(F.count("*").alias("cnt")).collect()}
+    dsir_top = (dsir_weights(quality,
+                             quality.filter(F.col("lang") == "en"),
+                             n_buckets=2000)
+                .orderBy(F.col("log_ratio").desc()).limit(1).collect())
+    packed_seqs = pack_sequences(quality, 512, n_groups=4)
+    n_train_seqs = int(packed_seqs.agg(
+        F.sum(F.col("end_seq") - F.col("start_seq") + 1)).collect()[0][0])
     pts = quality.join(
         emb.select(F.col("vec_id").alias("doc_id"), "embedding", "label"),
         "doc_id",
@@ -149,6 +170,9 @@ def run(sf_dir: str = "/root/testdata/sf0.001", cpus: int = 8) -> dict:
         "profile": profile,
         "n_chunks": n_chunks,
         "clean_docs": n_clean,
+        "lm_buckets": buckets,
+        "dsir_top_doc": dsir_top[0]["doc_id"] if dsir_top else None,
+        "n_train_seqs": n_train_seqs,
         "final_rows": len(result),
         "sources": sorted({r["group_value"] for r in result}),
     }
