@@ -2960,65 +2960,83 @@ def entry(spark: SparkSession) -> DataFrame:
 # drops to the back). Keep rotating each round so no entry's driver row
 # goes more than ~2 rounds stale.
 _GATE_PRIORITY = [
-    # new in round 5 — no driver row yet (+ corpus_stats, red in r4 from
-    # the HUGEINT/BIGINT hash-typing artifact, re-gated after the cast fix)
-    "filter_text_stemmed_de",
-    "knn_acorn_filtered",
-    "filter_text_any",
-    "filter_has_id",
-    "corpus_stats",
-    # last driver row r1 — stalest
-    "dedup_simhash",
-    "dedup_embedding",
-    # last driver row r2 (missed the 50-slot window in r4)
-    "ann_ivf_batch",
-    "quantized_sq_rescore",
-    "quantized_bq_rescore",
-    "knn_cosine",
-    "knn_dot",
-    "knn_euclid",
-    "knn_manhattan",
-    "knn_filtered",
-    "knn_batch",
-    "knn_batch_partial",
-    "knn_batch_matmul",
-    "similarity_join",
-    "recommend_avg_vector",
-    # last driver row r3 (head of the block; the remainder — knn_uint8,
-    # universal_*, mutate entries, ann_ivf_pq*, quantized_pq/tq,
-    # geo_indexed_radius — rotates in next round together with the r4 set)
-    "decontaminate",
-    "gopher_quality",
-    "pii_scan",
-    "chunk_docs",
-    "stratified_sample",
-    "stratified_quota",
-    "embedding_project",
-    "ngram_counts",
-    "weighted_sample",
-    "distance_matrix_offsets",
-    "field_index_stats",
-    "shard_routed_knn",
-    "shard_fallback_route",
-    "filter_text_stemmed",
-    "filter_phrase_indexed",
-    "multimodal_wav",
-    "multimodal_ppm",
-    "dedup_components",
-    "dedup_resolve",
-    "filter_nested",
-    "filter_jsonpath_array",
-    "filter_prefix",
-    "filter_is_empty",
-    "filter_is_null",
-    "filter_values_count",
-    "query_by_id",
-    "recommend_multi_ids",
-    "geo_radius",
-    "geo_bbox_wrap",
-    "geo_polygon",
+    # round-6 head: the 23 entries that have NEVER had a driver row (only
+    # local check_oracle sweeps) — r5 VERDICT item 4 names the first four.
+    "dsir_weights",
+    "lm_buckets",
+    "pack_sequences",
+    "facet_estimate",
     "formula_rescore",
     "query_batch",
+    "knn_uint8",
+    "universal_hybrid",
+    "universal_hybrid_sparse",
+    "universal_rescore",
+    "upsert",
+    "sync",
+    "upsert_conditional",
+    "update_vectors",
+    "delete_by_filter",
+    "set_payload",
+    "ann_ivf_full_probe",
+    "ann_ivf",
+    "quantized_pq_rescore",
+    "quantized_tq_rescore",
+    "ann_ivf_pq_rescore",
+    "ann_ivf_pq_batch",
+    "geo_indexed_radius",
+    # then entries whose last driver row is r4 (missed the r5 window) —
+    # 27 more fill the 50-slot gate; the remainder of the r4 block plus
+    # everything greened in r5 rotates in next round.
+    "repetition_signals",
+    "lm_score",
+    "mixture_sample",
+    "c4_line_filter",
+    "scroll_random",
+    "recommend_best_score",
+    "recommend_sum_scores",
+    "discover",
+    "context",
+    "relevance_feedback",
+    "fusion_rrf",
+    "fusion_dbsf",
+    "group_by",
+    "group_by_lookup",
+    "distance_matrix",
+    "maxsim",
+    "maxsim_knn",
+    "scroll_keyset",
+    "scroll_order_by",
+    "count_filtered",
+    "facet_lang",
+    "facet_event_type",
+    "unique_values",
+    "retrieve",
+    "filter_dsl_orders",
+    "filter_min_should",
+    "filter_text_all",
+    "filter_phrase",
+    "payload_json_path",
+    "text_quality",
+    "token_counts",
+    "lang_detect",
+    "fingerprint",
+    "sparse_knn",
+    "sparse_knn_batch",
+    "sparse_idf_knn",
+    "sparse_idf_corpus",
+    "bm25_search",
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "dedup_lsh_pairs",
+    "dedup_lsh_cross",
+    "paragraph_dedup",
+    "substring_dup_spans",
+    "dedup_ngram_jaccard",
+    "universal_groups",
+    "mmr",
+    "knn_auto_filtered",
+    "quantized_bq2_rescore",
 ]
 
 

@@ -104,11 +104,31 @@ class FieldResolver:
         # point-id column for has_id: explicit > literal "id" > the single
         # "*_id" column (the test tables' doc_id/vec_id convention)
         names = schema.fieldNames() if isinstance(schema, T.StructType) else []
+        self._id_ambiguous: list[str] | None = None
         if id_col is None:
             id_like = [n for n in names if n == "id" or n.endswith("_id")]
-            id_col = "id" if "id" in names else (
-                id_like[0] if len(id_like) == 1 else "id")
+            if "id" in names:
+                id_col = "id"
+            elif len(id_like) == 1:
+                id_col = id_like[0]
+            else:
+                # no "id" column and zero-or-several *_id candidates:
+                # remember why so a has_id condition raises a clear error
+                # instead of an unresolved-column AnalysisException
+                self._id_ambiguous = id_like
+                id_col = "id"
         self.id_col = id_col
+
+    def id_column(self) -> str:
+        """The point-id column for has_id; raises a descriptive error when
+        inference was ambiguous (r5 ADVICE: filters.py id_col fallback)."""
+        if self._id_ambiguous is not None:
+            cand = ", ".join(self._id_ambiguous) or "none"
+            raise ValueError(
+                "has_id: cannot infer the point-id column — no 'id' column "
+                f"and {len(self._id_ambiguous)} '*_id' candidates ({cand}); "
+                "pass id_col= explicitly")
+        return self.id_col
 
     def _walk(self, key: str) -> tuple[Column, T.DataType | None]:
         parts = key.split(".")
@@ -340,7 +360,7 @@ def _point_in_polygon(c: Column, body: dict) -> Column:
 def _compile_condition(fr: FieldResolver, cond: dict[str, Any]) -> Column:
     if "has_id" in cond:
         ids = list(cond["has_id"])
-        return F.col(fr.id_col).isin(ids) if ids else F.lit(False)
+        return F.col(fr.id_column()).isin(ids) if ids else F.lit(False)
     if "has_vector" in cond:
         name = cond["has_vector"]
         col, typ = fr.resolve(f"vec_{name}" if f"vec_{name}" in fr.schema.fieldNames() else name)

@@ -801,11 +801,20 @@ def corpus_stats(
     Spark's built-in ``percentile`` (sort within group — fine for bounded
     strata; switch to ``percentile_approx`` when a single stratum is
     billions of rows and 1% error is acceptable)."""
+    # explicit BIGINT for INTEGRAL inputs only: DuckDB types integer sums
+    # as HUGEINT, Spark as LONG — pin both sides so value-hash comparison
+    # is type-stable. A fractional num_col must keep its double sum (the
+    # long cast would silently truncate it).
+    from pyspark.sql import types as T
+
+    num_dt = docs.schema[num_col].dataType
+    sum_col = F.sum(num_col)
+    if isinstance(num_dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+        sum_col = sum_col.cast("long")
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
-        # explicit BIGINT: DuckDB types integer sums as HUGEINT, Spark as
-        # LONG — pin both sides so value-hash comparison is type-stable
-        F.sum(num_col).cast("long").alias(f"sum_{num_col}"),
+        sum_col.alias(f"sum_{num_col}"),
         F.round(F.avg(num_col), 6).alias(f"avg_{num_col}"),
     ]
     for p in percentiles:

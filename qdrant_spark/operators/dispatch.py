@@ -336,20 +336,58 @@ def sample_check_cardinality(
 # and stops once it has covered nprobe clusters' worth of matching mass.
 
 
-def _norm_stat_val(v: Any) -> str:
+def _norm_stat_val(v: Any, ftype: str | None = None) -> str | None:
+    """Normalize a filter value to its histogram key for a field of type
+    ``ftype`` ('bool'/'int'/'float'/'string'); None = cannot normalize
+    confidently (type mismatch) — the caller must fall back rather than
+    claim an exact zero."""
+    if ftype is None:  # legacy untyped stats (hand-built in tests)
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+    if ftype == "bool":
+        return ("true" if v else "false") if isinstance(v, bool) else None
     if isinstance(v, bool):
-        return "true" if v else "false"
-    return str(v)
+        return None
+    if ftype == "int":
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, float) and v.is_integer():
+            return str(int(v))  # filter 3.0 matches stored int 3
+        return None
+    if ftype == "float":
+        # Spark renders double->string via Java Double.toString; Python's
+        # repr agrees for plain decimals ("3.0", "0.1") but not exponent
+        # forms ("1e+20" vs "1.0E20"). Unmatched keys are caught by the
+        # caller's seen-value check, so a rendering miss degrades to a
+        # safe fallback, never a wrong zero.
+        return str(float(v)) if isinstance(v, (int, float)) else None
+    if ftype == "string":
+        return v if isinstance(v, str) else None
+    return None
 
 
 @dataclass(frozen=True)
 class ClusterFieldStats:
     """(field, normalized value) -> {cluster: count} — exact at build
     time; rebuild with the index after bulk ingests (same staleness
-    contract as the centroids themselves)."""
+    contract as the centroids themselves). ``field_types`` records each
+    covered field's scalar type ('bool'/'int'/'float'/'string'); array
+    fields are exploded element-wise at build (array_distinct first, so a
+    value's histogram counts ROWS containing it) and carry an 'array_'
+    prefix. None = legacy untyped stats."""
 
     counts: Mapping[tuple[str, str], Mapping[int, int]]
     n_clusters: int
+    field_types: Mapping[str, str] | None = None
+
+
+_STAT_TYPE_TAGS = {
+    "boolean": "bool",
+    "byte": "int", "short": "int", "integer": "int", "long": "int",
+    "float": "float", "double": "float",
+    "string": "string",
+}
 
 
 def build_cluster_field_stats(
@@ -362,20 +400,54 @@ def build_cluster_field_stats(
     """One map-side-combined aggregation over the assigned corpus for ALL
     fields (melted in-row), collected driver-side — bounded by
     clusters x sum(distinct values), the same low-cardinality contract as
-    registering a keyword payload index."""
-    pairs = F.array(*[
-        F.struct(F.lit(f).alias("f"),
-                 F.col(f).cast("string").alias("v"))
-        for f in fields
-    ])
-    rows = (
-        assigned.select(F.col(cluster_col).alias("__c"),
-                        F.explode(pairs).alias("p"))
-        .where(F.col("p.v").isNotNull())
-        .groupBy("p.f", "p.v", "__c")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
+    registering a keyword payload index. Array-typed fields are exploded
+    (distinct elements per row, so per-value counts = rows containing the
+    value); unsupported types (struct/map/nested array) are skipped and
+    recorded as uncovered."""
+    from pyspark.sql import types as T
+
+    field_types: dict[str, str] = {}
+    pair_arrays = []  # each: array<struct<f:string, v:string>> per row
+    for f in fields:
+        dt = assigned.schema[f].dataType
+        if isinstance(dt, T.ArrayType):
+            tag = _STAT_TYPE_TAGS.get(dt.elementType.typeName())
+            if tag is None:
+                continue  # nested/unsupported element type: not covered
+            field_types[f] = f"array_{tag}"
+
+            def _tag_elem(fname):
+                # closure factory: a default-arg lambda would look
+                # two-parameter to F.transform, which then passes the
+                # array INDEX as the second argument
+                return lambda x: F.struct(F.lit(fname).alias("f"),
+                                          x.alias("v"))
+
+            pair_arrays.append(F.coalesce(
+                F.transform(
+                    F.array_distinct(F.col(f).cast("array<string>")),
+                    _tag_elem(f),
+                ),
+                F.array().cast("array<struct<f:string,v:string>>"),
+            ))
+        else:
+            tag = _STAT_TYPE_TAGS.get(dt.typeName())
+            if tag is None:
+                continue
+            field_types[f] = tag
+            pair_arrays.append(F.array(
+                F.struct(F.lit(f).alias("f"),
+                         F.col(f).cast("string").alias("v"))))
+    rows = []
+    if pair_arrays:
+        rows = (
+            assigned.select(F.col(cluster_col).alias("__c"),
+                            F.explode(F.concat(*pair_arrays)).alias("p"))
+            .where(F.col("p.v").isNotNull())
+            .groupBy("p.f", "p.v", "__c")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
     counts: dict[tuple[str, str], dict[int, int]] = {}
     clusters = set()
     for r in rows:
@@ -385,6 +457,7 @@ def build_cluster_field_stats(
         counts=counts,
         n_clusters=n_clusters if n_clusters is not None
         else (max(clusters) + 1 if clusters else 0),
+        field_types=field_types,
     )
 
 
@@ -417,15 +490,42 @@ def per_cluster_matches(
         vals = list(m["any"])
     else:
         return None
-    covered_fields = {f for f, _ in cstats.counts}
-    if key not in covered_fields:
-        return None
+    if cstats.field_types is not None:
+        ftype = cstats.field_types.get(key)
+        if ftype is None:
+            return None  # field not covered (or unsupported type)
+        if ftype.startswith("array_"):
+            # element histograms count rows-containing-value, which is
+            # exact for ONE value; multiple values over-count rows that
+            # contain several of them (upper bound -> would under-probe)
+            if len(vals) != 1:
+                return None
+            ftype = ftype[len("array_"):]
+    else:
+        ftype = None  # legacy untyped stats: normalize by python type
+        if key not in {f for f, _ in cstats.counts}:
+            return None
     per: dict[int, int] = {}
+    seen_any = False
     for v in vals:
+        nv = _norm_stat_val(v, ftype)
+        if nv is None:
+            return None  # value not confidently normalizable for ftype
+        hist = cstats.counts.get((key, nv))
+        if hist is None:
+            continue  # value never observed: contributes zero matches
+        seen_any = True
         # a scalar field matches one value per row -> value histograms
         # are disjoint and their per-cluster sum is exact
-        for c, n in cstats.counts.get((key, _norm_stat_val(v)), {}).items():
+        for c, n in hist.items():
             per[c] = per.get(c, 0) + n
+    if not seen_any:
+        # No requested value was ever observed under any key. Either the
+        # filter truly matches nothing, or the value->string rendering
+        # disagrees with Spark's cast (e.g. exponent-form doubles) — we
+        # cannot tell which, so refuse to answer rather than return an
+        # exact-zero that silently empties the search.
+        return None
     return per
 
 

@@ -59,6 +59,12 @@ MAX_DEPTH = 64
 #: crossover. Same dispatch pattern as knn.ARROW_DISPATCH_BYTES.
 FUSE_MIN_BYTES = 32 << 20
 
+#: Hit-count ceiling for the driver-side fused-leg collect: above
+#: legs * max(offset+limit) > this, leg splitting falls back to DataFrame
+#: windows over the (persisted) shared-scan result — the scan still runs
+#: once, but nothing funnels through the driver (r5 VERDICT item 5).
+FUSED_COLLECT_MAX = 100_000
+
 
 class QueryPlanner:
     """Compiles a universal-query request against a points DataFrame.
@@ -73,7 +79,8 @@ class QueryPlanner:
                  ivf_index=None, index_stats=None,
                  full_scan_threshold: int | None = None,
                  cluster_stats=None,
-                 fuse_min_bytes: int | None = None):
+                 fuse_min_bytes: int | None = None,
+                 fused_collect_max: int | None = None):
         self.points = points
         self.id_col = id_col
         self.default_vec_col = default_vec_col
@@ -102,12 +109,17 @@ class QueryPlanner:
                                                "driver_fused_root": 0}
         self.fuse_min_bytes = (FUSE_MIN_BYTES if fuse_min_bytes is None
                                else fuse_min_bytes)
+        self.fused_collect_max = (FUSED_COLLECT_MAX if fused_collect_max
+                                  is None else fused_collect_max)
         self._fuse_ok: bool | None = None
         #: id(leg DataFrame) -> its collected hits [(id, score)] best-first,
         #: recorded by _fused_leaves so a fusion root over all-fused legs
         #: can fuse DRIVER-SIDE (rrf_hits/dbsf_hits) instead of spending
         #: ~1s of Spark job overhead on <=legs*limit local rows
         self._fused_hits_by_df: dict[int, list] = {}
+        #: shared-scan results persisted by the DataFrame fallback; freed
+        #: at the next plan() so the leak is bounded to one request
+        self._fused_persisted: list[DataFrame] = []
 
     # -- public ------------------------------------------------------------
 
@@ -115,6 +127,14 @@ class QueryPlanner:
         """Returns (id, score) best-first, limited."""
         self._vec_cache = self._batch_resolve_ids(request)
         self._fused_hits_by_df = {}
+        for df in self._fused_persisted:
+            df.unpersist()
+        self._fused_persisted = []
+        # reset ONCE per plan; _plan_children accumulates (+=) so the
+        # diagnostics cover every prefetch level of a nested tree, not
+        # just the innermost one (r5 ADVICE)
+        self.last_plan_info = {"fused_groups": 0, "fused_legs": 0,
+                               "driver_fused_root": 0}
         return self._node(request, depth=0)
 
     def plan_groups(
@@ -245,9 +265,8 @@ class QueryPlanner:
                 out[i] = df
             fused_groups += 1
             fused_legs += len(idxs)
-        self.last_plan_info = {"fused_groups": fused_groups,
-                               "fused_legs": fused_legs,
-                               "driver_fused_root": 0}
+        self.last_plan_info["fused_groups"] += fused_groups
+        self.last_plan_info["fused_legs"] += fused_legs
         for i, c in enumerate(children):
             if out[i] is None:
                 out[i] = self._node(c, depth + 1)
@@ -302,8 +321,40 @@ class QueryPlanner:
                 k=max(needed), vec_col=vec_col, id_col=self.id_col,
                 strategy=strategy,
             ).select("qid", self.id_col, "score")
-        rows = res.collect()  # bounded: <= legs * max(offset+limit)
         lb = larger_is_better(self.metric)
+        if len(reqs) * max(needed) > self.fused_collect_max:
+            # Unconditional guard (strict mode or not): a 64-leg x 10^6
+            # limit request must not funnel through the driver. Keep the
+            # shared scan (res is already per-leg top-k, <= legs *
+            # max(needed) rows), persist it so the leg split doesn't
+            # re-run the scan, and slice legs with DataFrame windows; the
+            # fusion root then also stays a DataFrame op (these legs are
+            # deliberately NOT registered in _fused_hits_by_df).
+            from pyspark.sql import Window
+
+            self.last_plan_info["fused_df_fallback"] = \
+                self.last_plan_info.get("fused_df_fallback", 0) + 1
+            res = res.persist()
+            self._fused_persisted.append(res)
+            order = ((F.col("score").desc() if lb else F.col("score").asc()),
+                     F.col(self.id_col).asc())
+            w = Window.partitionBy("qid").orderBy(*order)
+            out = []
+            for i, r in enumerate(reqs):
+                leg = res.where(F.col("qid") == i)
+                th = thresholds[i]
+                if th is not None:  # threshold BEFORE offset, as below
+                    leg = leg.where(F.col("score") > th if lb
+                                    else F.col("score") < th)
+                off = int(r.get("offset", 0))
+                limit = int(r.get("limit", DEFAULT_LIMIT))
+                leg = (leg.withColumn("__rnk", F.row_number().over(w))
+                       .where((F.col("__rnk") > off)
+                              & (F.col("__rnk") <= off + limit))
+                       .select(self.id_col, "score"))
+                out.append(leg)
+            return out
+        rows = res.collect()  # bounded: <= legs * max(offset+limit)
         id_type = self.points.schema[self.id_col].dataType
         schema = T.StructType([
             T.StructField(self.id_col, id_type),

@@ -534,3 +534,19 @@ def test_dsir_weights_hand_computed(spark):
     # the target-like doc outranks the off-target one; empty doc scores 0
     assert got[0][1] > got[1][1]
     assert got[2] == (0, 0.0)
+
+
+def test_corpus_stats_double_num_col_keeps_double_sum(spark):
+    """r5 ADVICE: the BIGINT cast (DuckDB HUGEINT parity) must apply to
+    integral num_cols only — a fractional column keeps its double sum."""
+    from qdrant_spark.operators.curation import corpus_stats
+
+    rows = [(i, "en", 0.5 + i, "s") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "score", "source"])
+    out = corpus_stats(df, num_col="score")
+    assert dict(out.dtypes)["sum_score"] == "double"
+    assert out.collect()[0]["sum_score"] == pytest.approx(8.0)
+
+    df_i = spark.createDataFrame(
+        [(0, "en", 3, "s")], ["doc_id", "lang", "n_chars", "source"])
+    assert dict(corpus_stats(df_i).dtypes)["sum_n_chars"] == "bigint"

@@ -425,3 +425,49 @@ def test_cluster_stats_probe_geometry_correlated_filter(spark):
     # value-exactness: histogram totals equal true counts
     true7 = per_blob
     assert sum(cstats.counts[("label", "7")].values()) == true7
+
+
+def test_cluster_stats_typed_values_and_arrays(spark):
+    """r5 ADVICE: the histogram must not answer 'exact zero' for values
+    whose stringification disagrees with the stored type — int-vs-float
+    literal alignment, array-typed payload fields, unseen values."""
+    from qdrant_spark.operators.dispatch import (
+        build_cluster_field_stats, per_cluster_matches,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0, 3, 2.5, ["a", "b"], [3, 8]),
+         (1, 0, 3, 3.0, ["b"], [8]),
+         (2, 1, 4, 2.5, ["a", "a"], [3]),
+         (3, 1, 4, 4.5, [], None)],
+        "vec_id: long, __cluster: int, li: int, ld: double, "
+        "tags: array<string>, nums: array<int>",
+    )
+    cs = build_cluster_field_stats(
+        df, ["li", "ld", "tags", "nums"], n_clusters=2)
+    assert cs.field_types == {"li": "int", "ld": "float",
+                              "tags": "array_string", "nums": "array_int"}
+
+    def pc(key, **m):
+        return per_cluster_matches({"must": [{"key": key, "match": m}]}, cs)
+
+    # float literal 3.0 matches stored int 3 (was: silent zero-match)
+    assert pc("li", value=3.0) == {0: 2}
+    assert pc("li", value=3) == {0: 2}
+    # int literal 3 matches stored double 3.0
+    assert pc("ld", value=3) == {0: 1}
+    assert pc("ld", value=2.5) == {0: 1, 1: 1}
+    # array membership: counts ROWS containing the value, dups collapsed
+    assert pc("tags", value="a") == {0: 1, 1: 1}
+    assert pc("nums", value=8) == {0: 2}
+    # multi-value any on an array field would over-count -> decline
+    assert pc("nums", any=[3, 8]) is None
+    # value never observed anywhere -> cannot distinguish true-zero from
+    # a stringification miss -> decline (fall back to global boost)
+    assert pc("li", value=99) is None
+    # mixed: one seen + one unseen value stays answerable (unseen adds 0)
+    assert pc("li", any=[3, 99]) == {0: 2}
+    # type mismatch (string literal on int field) -> decline
+    assert pc("li", value="3") is None
+    # uncovered field -> decline
+    assert pc("missing", value=1) is None

@@ -297,3 +297,23 @@ def test_jsonpath_is_empty_and_unknown(spark):
     assert _ids(df, {"must": [{"is_empty": {"key": "a[].c[]"}}]}) == [2, 3, 4]
     # unknown path segment -> never matches
     assert _ids(df, {"must": [{"key": "a[].zz", "match": {"value": 1}}]}) == []
+
+
+def test_has_id_ambiguous_id_column_raises(spark):
+    """r5 ADVICE: multiple *_id columns and no "id" column -> has_id gives
+    a descriptive error (not an unresolved-column AnalysisException);
+    other conditions on the same frame stay usable."""
+    import pytest
+
+    from qdrant_spark.filters import apply_filter
+
+    df = spark.createDataFrame(
+        [(1, 2, "x")], ["doc_id", "vec_id", "val"])
+    with pytest.raises(ValueError, match="pass id_col="):
+        apply_filter(df, {"must": [{"has_id": [1]}]})
+    # non-has_id filters don't touch id inference
+    assert apply_filter(
+        df, {"must": [{"key": "val", "match": {"value": "x"}}]}).count() == 1
+    # explicit id_col resolves it
+    assert apply_filter(df, {"must": [{"has_id": [2]}]},
+                        id_col="vec_id").count() == 1

@@ -641,3 +641,46 @@ def test_query_batch_fuses_homogeneous_nearest(embeddings):
             embeddings, req, id_col="vec_id", vec_col="embedding").collect()]
         assert sorted(by_req[i]) == sorted(solo), f"request {i}"
     assert len(by_req[0]) == 7 and len(by_req[1]) == 4 and len(by_req[4]) == 3
+
+
+def test_fused_collect_guard_falls_back_to_dataframe_fusion(embeddings):
+    """r5 VERDICT item 5: above the fused-collect hit ceiling the leg
+    split stays a DataFrame op (persisted shared scan + window slices) —
+    no driver-side hit collection, value-identical results."""
+    from qdrant_spark.query import QueryPlanner
+
+    rows = embeddings.filter(F.col("vec_id").isin([0, 3, 5, 7])).collect()
+    v = {r["vec_id"]: list(r["embedding"]) for r in rows}
+    req = {
+        "prefetch": [
+            {"query": {"nearest": v[0]}, "limit": 20},
+            {"query": {"nearest": v[3]}, "limit": 15, "offset": 2},
+            {"query": {"nearest": v[5]}, "limit": 20,
+             "score_threshold": 0.1},
+            {"query": {"nearest": v[7]}, "limit": 20},
+        ],
+        "query": {"fusion": "rrf"},
+        "limit": 8,
+    }
+    # ceiling of 10 forces the fallback (4 legs * 22 needed = 88 > 10)
+    p = QueryPlanner(embeddings, id_col="vec_id",
+                     default_vec_col="embedding", fuse_min_bytes=0,
+                     fused_collect_max=10)
+    got = p.plan(req).collect()
+    assert p.last_plan_info["fused_legs"] == 4
+    assert p.last_plan_info["fused_df_fallback"] == 1
+    assert p.last_plan_info["driver_fused_root"] == 0  # DataFrame fusion
+    assert not p._fused_hits_by_df  # nothing funneled through the driver
+    assert len(p._fused_persisted) == 1  # shared scan cached, split lazily
+
+    # reference: the ordinary driver-side fused path
+    p_ref = QueryPlanner(embeddings, id_col="vec_id",
+                         default_vec_col="embedding", fuse_min_bytes=0)
+    want = p_ref.plan(req).collect()
+    assert p_ref.last_plan_info["driver_fused_root"] == 1
+    assert [(r["vec_id"], round(r["score"], 9)) for r in got] == \
+        [(r["vec_id"], round(r["score"], 9)) for r in want]
+
+    # the persisted shared scan is freed at the next plan()
+    p.plan({"query": {"nearest": v[0]}, "limit": 3})
+    assert p._fused_persisted == []
