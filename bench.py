@@ -8,13 +8,22 @@ batch KNN (batch_search_bench.rs), filtered search (conditional_search.rs),
 facets (facets.rs), fusion/universal-query (batch_query_bench.rs), plus the
 scale-path operators (grouped search, text pipeline).
 
+Timing discipline (the round-5 lesson): each line is timed BACK-TO-BACK in
+isolation — idle check, one untimed warm rep, then 3-5 timed reps, report
+the MEDIAN. The previous interleaved-cycles min could not filter contention
+that persisted for a whole run (a pathological demo line churning scans
+next to 22 other queries poisoned four lines' recorded numbers while each
+measured healthy in isolation). The median-of-consecutive-reps tolerates
+the box's short noise bursts; the idle check keeps a burst from landing on
+a line's whole window. The deliberately-pathological lazy-hybrid contrast
+is now an UNTIMED diagnostic reporting bytes-read (the honest fused-scan
+metric at 100 TB), not a headline line.
+
 Cache hygiene (the round-4 lesson): every amplified corpus is MATERIALIZED
 to parquet before anything caches it, and what gets cached is the parquet
 READ — if storage pressure evicts a cached partition mid-measurement, the
 recompute is a column-pruned file read, never the crossJoin+jitter
-amplification lineage. All caches together are ~3 GB (far under storage
-memory); they stay resident through the interleaved timed cycles and are
-unpersisted before the scale appendix.
+amplification lineage.
 """
 
 from __future__ import annotations
@@ -25,6 +34,7 @@ import shutil
 import sys
 import tempfile
 import time
+import urllib.request
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
@@ -44,7 +54,12 @@ def main() -> None:
     from qdrant_spark.operators.knn import knn, knn_batch
     from qdrant_spark.operators.points import facet
 
-    spark = get_spark(app_name="qdrant-spark-bench", cpus=cpus)
+    # UI enabled ONLY for the REST metrics API (the fused-scan bytes-read
+    # diagnostic); everything else runs exactly as in the library default
+    spark = get_spark(app_name="qdrant-spark-bench", cpus=cpus,
+                      extra_conf={"spark.ui.enabled": "true",
+                                  "spark.ui.port": "4047"})
+    sc = spark.sparkContext
     work = tempfile.mkdtemp(prefix="bench_work_")
     t_start = time.time()
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "520"))
@@ -52,6 +67,73 @@ def main() -> None:
     def mark(phase: str) -> None:
         print(f"[bench +{time.time() - t_start:7.1f}s] {phase}",
               file=sys.stderr, flush=True)
+
+    # ------------------------------------------------------------------
+    # timing core: idle-check -> warm rep -> median of consecutive reps
+    # ------------------------------------------------------------------
+    def _idle_probe() -> float:
+        t0 = time.time()
+        spark.range(20_000_000).selectExpr("sum(id)").collect()
+        return time.time() - t0
+
+    _idle_probe()  # codegen for the probe itself
+    probe_base = min(_idle_probe() for _ in range(3))
+    idle_thresh = max(0.3, 3.0 * probe_base)
+
+    def wait_idle(max_tries: int = 4) -> None:
+        """A trivial JVM-only job should run at its baseline speed; if it
+        doesn't, something else is using the box — back off briefly so a
+        noise burst doesn't span a line's whole timing window."""
+        for _ in range(max_tries):
+            if _idle_probe() < idle_thresh:
+                return
+            time.sleep(1.0)
+
+    times: dict[str, float] = {}
+
+    def measure(name: str, fn) -> None:
+        wait_idle()
+        fn()  # untimed warm rep: plan + codegen + python worker pool
+        samples = []
+        t0 = time.time()
+        fn()
+        samples.append(time.time() - t0)
+        # fast lines afford 5 reps; slow lines take 3 (median still
+        # tolerates one poisoned rep) so the budget holds
+        reps = 5 if samples[0] < 2.0 else 3
+        for _ in range(reps - 1):
+            t0 = time.time()
+            fn()
+            samples.append(time.time() - t0)
+        samples.sort()
+        times[name] = round(samples[len(samples) // 2], 3)
+        mark(f"  {name}: {times[name]}s (n={len(samples)})")
+
+    # ------------------------------------------------------------------
+    # bytes-read via the UI REST API (per-stage inputMetrics totals)
+    # ------------------------------------------------------------------
+    def total_input_bytes() -> int | None:
+        try:
+            url = sc.uiWebUrl
+            app = sc.applicationId
+            with urllib.request.urlopen(
+                    f"{url}/api/v1/applications/{app}/stages", timeout=5) as r:
+                stages = json.load(r)
+            return sum(int(s.get("inputBytes", 0)) for s in stages
+                       if s.get("status") == "COMPLETE")
+        except Exception:
+            return None
+
+    def bytes_and_wall(fn) -> tuple[int | None, float]:
+        wait_idle()
+        time.sleep(0.5)  # let the listener drain before the baseline read
+        b0 = total_input_bytes()
+        t0 = time.time()
+        fn()
+        wall = round(time.time() - t0, 3)
+        time.sleep(0.5)
+        b1 = total_input_bytes()
+        return (None if b0 is None or b1 is None else b1 - b0), wall
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -80,52 +162,29 @@ def main() -> None:
         )
         return amped.withColumn("embedding", jit)
 
-    def materialize(df, name, n_parts=16):
+    def materialize(df, name):
         """Amplified corpus -> parquet -> read. The jitter lineage runs
         exactly once (at write time); all timed work reads files.
         16 partitions, not 32: python scoring stages run a JVM task thread
         plus a python worker per partition, so partition count == cores
         means 2x oversubscription. At cluster scale the same sizing falls
-        out of spark.sql.files.maxPartitionBytes."""
+        out of spark.sql.files.maxPartitionBytes. The repartition happens
+        on the SOURCE (pre-amplification, small) so the amplified rows
+        never shuffle — they flow map-side from jitter straight to the
+        writer tasks."""
         path = f"{work}/{name}"
-        df.repartition(n_parts).write.mode("overwrite").parquet(path)
+        df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
+
+    def amplify_to(target_rows, name, n_parts=16):
+        src = emb.repartition(n_parts)  # small pre-amplification shuffle
+        return materialize(amplify(src, target_rows, n_emb), name)
 
     qvecs = [list(r["embedding"]) for r in emb.limit(64).collect()]
     q0, q1 = qvecs[0], qvecs[1]
     queries_df = spark.createDataFrame(
         [(i, qvecs[i]) for i in range(64)], "qid: long, qvec: array<float>"
     )
-
-    # Steady-state timing (criterion-style): one warm-up pass, then the
-    # minimum over three timed CYCLES of the whole query list. The
-    # python-heavy paths need ~2-3 iterations before the JVM's C2 JIT
-    # compiles the columnar->Arrow conversion and the worker pool is fully
-    # forked — one-off costs a long-running cluster never sees again, so
-    # the min is the honest per-query steady state. Cycles are
-    # INTERLEAVED (q1 q2 ... qN, three times) rather than back-to-back
-    # per query: the box shows periodic multi-second noise bursts, and a
-    # burst that spans one query's three consecutive reps poisons its min,
-    # while under interleaving it lands on different queries each cycle
-    # and the per-line min filters it.
-    times: dict[str, float] = {}
-    queries: list = []
-
-    def run(name, fn, reps=None):
-        """Register a timed query (executed in the cycle phase)."""
-        queries.append((name, fn))
-
-    def run_cycles(n_cycles=3):
-        mark("warmup cycle")
-        for _, fn in queries:
-            fn()  # plan + cache + python worker pool + codegen
-        for c in range(n_cycles):
-            mark(f"timed cycle {c + 1}/{n_cycles}")
-            for name, fn in queries:
-                t0 = time.time()
-                fn()
-                dt = time.time() - t0
-                times[name] = round(min(times.get(name, float("inf")), dt), 3)
 
     # ------------------------------------------------------------------
     # group 1: base corpus (RAM-cached raw embeddings table)
@@ -149,7 +208,8 @@ def main() -> None:
     # RAM-cached corpus the planner's size dispatch keeps the legs LAZY
     # (two cheap cached scans beat the fused path's fixed job overhead);
     # the fused shared-scan variant is measured where it pays — over the
-    # 512k-row parquet corpus in group 3 (fusion_hybrid_xxl_disk pair).
+    # 512k-row parquet corpus in group 3 (fusion_hybrid_xxl_disk) with the
+    # fused-vs-lazy contrast as an untimed bytes-read diagnostic.
     from qdrant_spark.query import QueryPlanner
 
     hybrid_planner = QueryPlanner(emb, id_col="vec_id",
@@ -180,11 +240,11 @@ def main() -> None:
                         id_col="vec_id").count()
 
     mark("group1: base corpus")
-    run("knn_single", q_knn_single)
-    run("knn_batch64", q_knn_batch64)
-    run("knn_filtered", q_knn_filtered)
-    run("fusion_hybrid", q_fusion_hybrid)
-    run("grouped_search", q_grouped)
+    measure("knn_single", q_knn_single)
+    measure("knn_batch64", q_knn_batch64)
+    measure("knn_filtered", q_knn_filtered)
+    measure("fusion_hybrid", q_fusion_hybrid)
+    measure("grouped_search", q_grouped)
 
     # ------------------------------------------------------------------
     # group 2: XL corpus (~64k rows) — vector path at a size where per-row
@@ -199,7 +259,7 @@ def main() -> None:
     )
 
     mark("group2: xl build")
-    xl = materialize(amplify(emb, 64_000, n_emb), "xl").cache()
+    xl = amplify_to(64_000, "xl").cache()
     n_xl = xl.count()
     ivf_xl = persist_ivf(
         build_ivf(xl, n_clusters=32, vec_col="embedding", id_col="vec_id",
@@ -237,14 +297,14 @@ def main() -> None:
                          metric="cosine").count()
 
     mark("group2: xl queries")
-    run("knn_batch64_xl", q_knn_batch64_xl)
-    run("knn_single_xl", q_knn_single_xl)
-    run("ann_ivf_batch64_xl", q_ann_ivf_batch64_xl)
-    run("sq_rescore_xl", q_sq_rescore_xl)
-    run("tq_rescore_xl", q_tq_rescore_xl)
-
-    # (caches stay alive through the interleaved cycles; all corpora
-    # together are ~3 GB — far under storage memory — and unpersist after)
+    measure("knn_batch64_xl", q_knn_batch64_xl)
+    measure("knn_single_xl", q_knn_single_xl)
+    measure("ann_ivf_batch64_xl", q_ann_ivf_batch64_xl)
+    measure("sq_rescore_xl", q_sq_rescore_xl)
+    measure("tq_rescore_xl", q_tq_rescore_xl)
+    xl.unpersist()
+    sq_xl.codes.unpersist()
+    tq_xl.codes.unpersist()
 
     # ------------------------------------------------------------------
     # group 3: XXL corpus (512k rows) — past the Arrow dispatch crossover.
@@ -257,16 +317,13 @@ def main() -> None:
     )
 
     mark("group3: xxl build")
-    xxl_disk = materialize(amplify(emb, 512_000, n_emb), "xxl")
+    xxl_disk = amplify_to(512_000, "xxl")
     n_xxl = xxl_disk.count()
     # RAM-resident corpus = PACKED f32 binary, cached (lossless — identical
-    # scores to the array column). Spark's deserialized cache stores
-    # array<float> as per-row objects whose cache->Arrow conversion is
-    # SLOWER than re-reading parquet (measured here: 1.7-2.3s cached vs
-    # 1.3-1.5s disk for the 64-query matmul); a flat binary column converts
-    # straight from the cached buffers (1.6s, faster than disk — the
-    # ordering a RAM line must show). This is also the reference's actual
-    # RAM layout: qdrant holds contiguous f32 blobs, not boxed arrays.
+    # scores to the array column). The packed layout converts straight
+    # from the cached byte buffers into the Arrow block matmul (this is
+    # also the reference's RAM layout: contiguous f32 blobs, not boxed
+    # arrays); see datatypes.py for the measured cache-format orderings.
     from qdrant_spark.operators.datatypes import (
         knn_batch_packed, knn_packed, pack_vectors,
     )
@@ -299,6 +356,13 @@ def main() -> None:
         assigned=pq_ram_xxl, centroids=ivfpq_xxl.centroids,
         codebooks=ivfpq_xxl.codebooks, vec_col="embedding", id_col="vec_id",
     )
+
+    # Timed IVF-PQ setting: oversampling=16 — the setting whose recall@10
+    # is 1.0 on this corpus (the amplified corpus is adversarial for ADC:
+    # every query sits in a ball of ~256 jittered siblings, so the
+    # shortlist must be wider than the ball is deep). A timed ANN line
+    # must meet its own recall target; the floor is asserted below.
+    PQ_OS = 16.0
 
     def q_knn_single_xxl():
         # exact single-query scan over the RAM-resident (packed) corpus
@@ -339,8 +403,8 @@ def main() -> None:
                                 metric="cosine").count()
 
     def q_ivf_pq_single_xxl():
-        return ivf_pq_search(ivfpq_xxl, q0, k=10, nprobe=4, oversampling=8.0,
-                             metric="cosine").collect()
+        return ivf_pq_search(ivfpq_xxl, q0, k=10, nprobe=4,
+                             oversampling=PQ_OS, metric="cosine").collect()
 
     def q_ivf_pq_batch64_xxl():
         # RAM-resident index, auto -> fused: ONE python stage that
@@ -348,25 +412,30 @@ def main() -> None:
         # the shortlist in-worker — compare knn_batch64_xxl (full matmul
         # over the same cached corpus, same stage count, ~30x the compute)
         return ivf_pq_search_batch(ivfpq_xxl_ram, queries_df, k=10, nprobe=4,
-                                   oversampling=8.0, metric="cosine").count()
+                                   oversampling=PQ_OS,
+                                   metric="cosine").count()
 
     def q_ivf_pq_batch64_xxl_disk():
         # mode="coarse" pinned: the 100-TB narrow-scan plan over the
         # cluster-partitioned parquet — the ADC pass reads 8 bytes/row of
         # codes vs 256 of floats; compare knn_batch64_xxl_disk
         return ivf_pq_search_batch(ivfpq_xxl, queries_df, k=10, nprobe=4,
-                                   oversampling=8.0, metric="cosine",
+                                   oversampling=PQ_OS, metric="cosine",
                                    mode="coarse").count()
 
     mark("group3: xxl queries")
-    # The fused-hybrid proof pair: FOUR dense legs over the SAME 512k-row
-    # parquet corpus (multi-vector query expansion — a realistic hybrid).
-    # Lazy = one full corpus scan per leg (4 scans; Spark runs them
-    # concurrently, so with idle cores a 2-leg pair would hide the extra
-    # scan's wall-clock — 4 legs saturate local[32] and the cost shows);
-    # fused = the planner's shared-scan batch: ONE scan scoring all legs.
-    # At 100 TB the scan is the dominant cost and executors are never
-    # idle, so bytes-read is the honest metric — the fused plan reads 1/4.
+    measure("knn_single_xxl", q_knn_single_xxl)
+    measure("knn_single_xxl_disk", q_knn_single_xxl_disk)
+    measure("ann_ivf_single_xxl", q_ann_ivf_single_xxl)
+    measure("knn_batch64_xxl", q_knn_batch64_xxl)
+    measure("knn_batch64_xxl_disk", q_knn_batch64_xxl_disk)
+    measure("ann_ivf_batch64_xxl", q_ann_ivf_batch64_xxl)
+    measure("ivf_pq_single_xxl", q_ivf_pq_single_xxl)
+    measure("ivf_pq_batch64_xxl", q_ivf_pq_batch64_xxl)
+    measure("ivf_pq_batch64_xxl_disk", q_ivf_pq_batch64_xxl_disk)
+
+    # The 4-leg hybrid over the same 512k parquet corpus: the TIMED line
+    # is the fused shared-scan plan (the plan a user gets by default).
     import sys as _sys
 
     hyb4_req = {
@@ -391,30 +460,48 @@ def main() -> None:
         assert hyb_disk_fused.last_plan_info["driver_fused_root"] == 1
         return out
 
+    measure("fusion_hybrid_xxl_disk", q_fusion_hybrid_xxl_disk)
+
+    # UNTIMED diagnostic (r5 VERDICT item 1): the unfused twin runs one
+    # full corpus scan per leg. Wall-clock on an idle local[32] box hides
+    # most of that (concurrent scans share idle cores), so the honest
+    # contrast at 100 TB — where the scan is the dominant cost and
+    # executors are never idle — is BYTES READ: the fused plan reads ~1/4.
+    # Run each side ONCE; nothing here enters the headline total.
+    mark("fused-scan bytes-read diagnostic")
+    fused_bytes, fused_wall = bytes_and_wall(q_fusion_hybrid_xxl_disk)
+
     def q_fusion_hybrid_xxl_disk_lazy():
         out = hyb_disk_lazy.plan(hyb4_req).collect()
         assert hyb_disk_lazy.last_plan_info["fused_legs"] == 0
         return out
 
-    run("knn_single_xxl", q_knn_single_xxl)
-    run("knn_single_xxl_disk", q_knn_single_xxl_disk)
-    run("fusion_hybrid_xxl_disk", q_fusion_hybrid_xxl_disk)
-    run("fusion_hybrid_xxl_disk_lazy", q_fusion_hybrid_xxl_disk_lazy)
-    run("ann_ivf_single_xxl", q_ann_ivf_single_xxl)
-    run("knn_batch64_xxl", q_knn_batch64_xxl)
-    run("knn_batch64_xxl_disk", q_knn_batch64_xxl_disk)
-    run("ann_ivf_batch64_xxl", q_ann_ivf_batch64_xxl)
-    run("ivf_pq_single_xxl", q_ivf_pq_single_xxl)
-    run("ivf_pq_batch64_xxl", q_ivf_pq_batch64_xxl)
-    run("ivf_pq_batch64_xxl_disk", q_ivf_pq_batch64_xxl_disk)
+    lazy_bytes, lazy_wall = bytes_and_wall(q_fusion_hybrid_xxl_disk_lazy)
+    fused_scan_diagnostic = {
+        "fused_bytes_read": fused_bytes,
+        "lazy_bytes_read": lazy_bytes,
+        "bytes_ratio": (round(lazy_bytes / fused_bytes, 2)
+                        if fused_bytes and lazy_bytes else None),
+        "fused_wall_s": fused_wall,
+        "lazy_wall_s": lazy_wall,
+        "note": "single-shot, untimed; lazy plan scans the corpus once "
+                "per leg (4 legs), fused plan scans once total",
+    }
+    mark(f"  fused={fused_bytes} lazy={lazy_bytes} "
+         f"walls {fused_wall}/{lazy_wall}")
+    # the RAM-resident vector caches are only used by group-3 timed lines
+    xxl_packed.df.unpersist()
+    pq_ram_xxl.unpersist()
 
-    # recall@10 vs the exact scan for the approximate lines (untimed) —
-    # BASELINE.md requires ANN numbers to carry their recall. Averaged
-    # over 8 query vectors: a single-query recall is a 10-sample
-    # statistic that flaps +-0.1-0.3 run-to-run because MLlib KMeans
-    # centroids drift with distributed fp-summation order even under a
-    # fixed seed; the 80-sample mean is stable. Correctness is gated by
-    # the exact-match oracles, not here.
+    # recall@10 vs the exact scan for the approximate lines, at the TIMED
+    # settings (untimed itself) — BASELINE.md requires ANN numbers to
+    # carry their recall, and r5 VERDICT item 3 requires the timed
+    # configuration to meet a stated floor. Averaged over 8 query vectors:
+    # a single-query recall is a 10-sample statistic that flaps +-0.1-0.3
+    # run-to-run because MLlib KMeans centroids drift with distributed
+    # fp-summation order even under a fixed seed; the 80-sample mean is
+    # stable. Correctness is gated by the exact-match oracles, not here.
+    RECALL_FLOOR = 0.95
     n_rq = 8
     exact10 = {}
     ex = knn_batch(xxl_disk, queries_df.filter(F.col("qid") < n_rq),
@@ -430,22 +517,26 @@ def main() -> None:
             hits += len(exact10[qi] & got)
         return round(hits / (10.0 * n_rq), 3)
 
+    mark("recall at timed settings")
     recall = {
         "ann_ivf_single_xxl": _recall_one(
             lambda q: ivf_search(ivf_xxl, q, k=10, nprobe=4,
                                  metric="cosine")),
         "ivf_pq_single_xxl": _recall_one(
             lambda q: ivf_pq_search(ivfpq_xxl, q, k=10, nprobe=4,
-                                    oversampling=8.0, metric="cosine")),
-        # the amplified corpus is adversarial for ADC: every query sits in
-        # a ball of ~256 jittered siblings, so ranking inside the ball
-        # needs a shortlist wider than the ball is deep — oversampling is
-        # exactly that knob; report it alongside the timed setting.
-        "ivf_pq_single_xxl_os16": _recall_one(
+                                    oversampling=PQ_OS, metric="cosine")),
+        # diagnostic: the os=8 setting trades recall for sub-linear
+        # shortlist width — reported, never timed
+        "ivf_pq_single_xxl_os8_untimed": _recall_one(
             lambda q: ivf_pq_search(ivfpq_xxl, q, k=10, nprobe=4,
-                                    oversampling=16.0, metric="cosine")),
+                                    oversampling=8.0, metric="cosine")),
     }
-
+    recall_violations = {
+        k: v for k, v in recall.items()
+        if not k.endswith("_untimed") and v < RECALL_FLOOR
+    }
+    if recall_violations:
+        mark(f"RECALL FLOOR VIOLATED (<{RECALL_FLOOR}): {recall_violations}")
 
     # ------------------------------------------------------------------
     # group 4: documents / lineitem (text + filter paths)
@@ -512,21 +603,13 @@ def main() -> None:
                                size=64, overlap=8).count()
 
     mark("group4: docs queries")
-    run("bm25", q_bm25)
-    run("filter_scan", q_filter_scan)
-    run("facet", q_facet)
-    run("text_pipeline", q_text_pipeline)
-    run("dedup_lsh", q_dedup_lsh)
-    run("curation_pipeline", q_curation_pipeline)
+    measure("bm25", q_bm25)
+    measure("filter_scan", q_filter_scan)
+    measure("facet", q_facet)
+    measure("text_pipeline", q_text_pipeline)
+    measure("dedup_lsh", q_dedup_lsh)
+    measure("curation_pipeline", q_curation_pipeline)
 
-    # everything is registered — execute the interleaved timed cycles
-    run_cycles()
-
-    xl.unpersist()
-    sq_xl.codes.unpersist()
-    tq_xl.codes.unpersist()
-    xxl_packed.df.unpersist()
-    pq_ram_xxl.unpersist()
     bm25_idx.postings.unpersist()
     dedup_sh.unpersist()
     dedup_sig.unpersist()
@@ -548,8 +631,7 @@ def main() -> None:
     try:
         if elapsed > budget:
             raise TimeoutError("budget")
-        xxxl_disk = materialize(amplify(emb, 2_000_000, n_emb), "xxxl",
-                                n_parts=32)
+        xxxl_disk = amplify_to(2_000_000, "xxxl", n_parts=32)
         n_xxxl = xxxl_disk.count()
         ivf_xxxl = persist_ivf(
             build_ivf(xxxl_disk, n_clusters=32, vec_col="embedding",
@@ -558,14 +640,17 @@ def main() -> None:
         )
         app_times: dict[str, float] = {}
 
-        def run_app(name, fn, reps=2):
+        def run_app(name, fn, reps=3):
+            wait_idle()
             fn()
-            best = float("inf")
+            samples = []
             for _ in range(reps):
                 t0 = time.time()
                 fn()
-                best = min(best, time.time() - t0)
-            app_times[name] = round(best, 3)
+                samples.append(time.time() - t0)
+            samples.sort()
+            app_times[name] = round(samples[len(samples) // 2], 3)
+            mark(f"  appendix {name}: {app_times[name]}s")
 
         run_app("knn_single_xxxl_disk", lambda: knn(
             xxxl_disk, q0, metric="cosine", k=10, vec_col="embedding",
@@ -585,7 +670,7 @@ def main() -> None:
             f"{work}/xxxl_pq",
         )
         run_app("ivf_pq_batch64_xxxl_disk", lambda: ivf_pq_search_batch(
-            ivfpq_xxxl, queries_df, k=10, nprobe=4, oversampling=8.0,
+            ivfpq_xxxl, queries_df, k=10, nprobe=4, oversampling=PQ_OS,
             metric="cosine", mode="coarse").count())
         appendix = {"n_rows": n_xxxl, "queries": app_times}
     except TimeoutError:
@@ -601,6 +686,9 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "recall_at_10": recall,
+        "recall_floor": RECALL_FLOOR,
+        "recall_violations": recall_violations,
+        "fused_scan_diagnostic": fused_scan_diagnostic,
         "sf": sf,
         "n_embeddings": n_emb,
         "n_embeddings_xl": n_xl,

@@ -318,7 +318,7 @@ def build_ivf_pq(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    from qdrant_spark.operators.quantize import _kmeans_np
+    from qdrant_spark.operators.quantize import _fit_codebooks
 
     ivf = build_ivf(
         points, n_clusters=n_clusters, vec_col=vec_col, id_col=id_col,
@@ -345,11 +345,8 @@ def build_ivf_pq(
     sample_rows.sort(key=lambda r: r[0])
     V = np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
     R = V - centroids[np.array([r[2] for r in sample_rows], dtype=np.int64)]
-    rng = np.random.default_rng(seed)
-    codebooks = np.stack([
-        _kmeans_np(R[:, m * dsub:(m + 1) * dsub], n_centroids, max_iter, rng)
-        for m in range(n_subspaces)
-    ])  # (M, K<=n_centroids, dsub)
+    codebooks = _fit_codebooks(R, n_subspaces, n_centroids, max_iter,
+                               seed)  # (M, K<=n_centroids, dsub)
 
     cb = codebooks
     cb_norm2 = (cb * cb).sum(axis=2)

@@ -357,17 +357,59 @@ class PqIndex:
 def _kmeans_np(X: np.ndarray, k: int, iters: int, rng: np.random.Generator) -> np.ndarray:
     """Seeded Lloyd's on a driver-side sample. The reference trains PQ
     codebooks on a bounded sample too (encoded_vectors_pq.rs KMeans over
-    a capped training set); sample size bounds driver cost at 100 TB."""
-    n = X.shape[0]
+    a capped training set); sample size bounds driver cost at 100 TB.
+
+    Vectorized update (bincount scatter-adds, no per-centroid masks),
+    early stop on a fixed assignment, float32 compute with BLOCKED
+    assignment (the full n x k f64 distance matrix is ~200 MB at 100k x
+    256 — pure memory traffic; 16k-row blocks stay cache-resident and f32
+    halves the bandwidth). Centroid means accumulate in f64; the fit is
+    on jittered samples, so f32 distance rounding is noise."""
+    n, d = X.shape
     k = min(k, n)
-    C = X[rng.choice(n, size=k, replace=False)].copy()
+    Xf = np.ascontiguousarray(X, dtype=np.float32)
+    C = Xf[rng.choice(n, size=k, replace=False)].copy()
+    assign = np.empty(n, dtype=np.int32)
+    prev = None
+    block = 16384
     for _ in range(iters):
-        d = (C * C).sum(axis=1)[None, :] - 2.0 * X @ C.T
-        assign = d.argmin(axis=1)
-        for j in range(k):
-            mask = assign == j
-            C[j] = X[mask].mean(axis=0) if mask.any() else X[rng.integers(n)]
-    return C
+        cn = (C * C).sum(axis=1)
+        for s in range(0, n, block):
+            e = min(n, s + block)
+            dist = cn[None, :] - 2.0 * (Xf[s:e] @ C.T)
+            assign[s:e] = dist.argmin(axis=1)
+        if prev is not None and np.array_equal(assign, prev):
+            break
+        prev = assign.copy()
+        counts = np.bincount(assign, minlength=k)
+        sums = np.empty((k, d), dtype=np.float64)
+        for j in range(d):
+            sums[:, j] = np.bincount(assign, weights=Xf[:, j], minlength=k)
+        C = (sums / np.maximum(counts, 1)[:, None]).astype(np.float32)
+        empty = counts == 0
+        if empty.any():
+            C[empty] = Xf[rng.choice(n, size=int(empty.sum()))]
+    return C.astype(np.float64)
+
+
+def _fit_codebooks(sample: np.ndarray, n_subspaces: int, n_centroids: int,
+                   max_iter: int, seed: int) -> np.ndarray:
+    """Fit per-subspace codebooks CONCURRENTLY: each subspace gets its own
+    deterministic rng (so results don't depend on thread scheduling) and
+    one BLAS thread (the session pins BLAS to 1), and numpy releases the
+    GIL in the matmuls — M-way parallel on the driver for the ingest-time
+    fit, M x faster than the sequential loop."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    dsub = sample.shape[1] // n_subspaces
+
+    def _fit(m: int) -> np.ndarray:
+        rng = np.random.default_rng([seed, m])
+        return _kmeans_np(sample[:, m * dsub:(m + 1) * dsub],
+                          n_centroids, max_iter, rng)
+
+    with ThreadPoolExecutor(max_workers=n_subspaces) as ex:
+        return np.stack(list(ex.map(_fit, range(n_subspaces))))
 
 
 def build_pq(
@@ -407,11 +449,8 @@ def build_pq(
             or base.select(id_col, vec_col).limit(sample_size).collect())
     rows.sort(key=lambda r: r[0])
     sample = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    rng = np.random.default_rng(seed)
-    codebooks = np.stack([
-        _kmeans_np(sample[:, m * dsub:(m + 1) * dsub], n_centroids, max_iter, rng)
-        for m in range(n_subspaces)
-    ])  # (M, K, dsub) with K = min(n_centroids, sample rows)
+    codebooks = _fit_codebooks(sample, n_subspaces, n_centroids, max_iter,
+                               seed)  # (M, K, dsub), K = min(k, sample rows)
 
     cb = codebooks
     cb_norm2 = (cb * cb).sum(axis=2)  # (M, K)
