@@ -2671,7 +2671,8 @@ cum AS (
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            - n_tokens AS tok_start
   FROM base)
-SELECT doc_id, "group", n_tokens, tok_start,
+SELECT doc_id, "group", n_tokens,
+       CAST(tok_start AS BIGINT) AS tok_start,
        CAST(floor(tok_start / 512.0) AS BIGINT) AS start_seq,
        CAST(floor((tok_start + greatest(n_tokens - 1, 0)) / 512.0) AS BIGINT) AS end_seq
 FROM cum

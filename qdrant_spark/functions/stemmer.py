@@ -226,16 +226,21 @@ def snowball_en(word: str) -> str:
     return word.replace("Y", "y")
 
 
-def _i18n(name: str):
-    """Lazy import so the (large) multilingual module only loads when a
+def _i18n(name: str, module: str = "stemmers_i18n"):
+    """Lazy import so the (large) multilingual modules only load when a
     non-English stemmer is actually requested."""
     def resolve(word: str) -> str:
-        from qdrant_spark.functions import stemmers_i18n
+        import importlib
 
-        return getattr(stemmers_i18n, name)(word)
+        mod = importlib.import_module(f"qdrant_spark.functions.{module}")
+        return getattr(mod, name)(word)
 
     resolve.__name__ = name
     return resolve
+
+
+def _i18n2(name: str):
+    return _i18n(name, module="stemmers_i18n2")
 
 
 _STEMMERS = {
@@ -248,6 +253,13 @@ _STEMMERS = {
     "dutch": _i18n("snowball_nl"), "nl": _i18n("snowball_nl"),
     "swedish": _i18n("snowball_sv"), "sv": _i18n("snowball_sv"),
     "russian": _i18n("snowball_ru"), "ru": _i18n("snowball_ru"),
+    "danish": _i18n2("snowball_da"), "da": _i18n2("snowball_da"),
+    "norwegian": _i18n2("snowball_no"), "no": _i18n2("snowball_no"),
+    "finnish": _i18n2("snowball_fi"), "fi": _i18n2("snowball_fi"),
+    "romanian": _i18n2("snowball_ro"), "ro": _i18n2("snowball_ro"),
+    "hungarian": _i18n2("snowball_hu"), "hu": _i18n2("snowball_hu"),
+    "turkish": _i18n2("snowball_tr"), "tr": _i18n2("snowball_tr"),
+    "greek": _i18n2("snowball_el"), "el": _i18n2("snowball_el"),
 }
 
 

@@ -1,10 +1,11 @@
 """Snowball stemmers, second batch: danish, norwegian, finnish, romanian,
-hungarian, turkish, greek, arabic, tamil — completing the reference's
-``SnowballLanguage`` set (lib/segment/src/data_types/index.rs:354-420,
-dispatch in lib/segment/src/index/field_index/full_text_index/tokenizers/
-stemmer.rs). Each function implements the corresponding published
-snowballstem.org algorithm specification from scratch (public documents);
-no code is derived from the reference or from any stemming library.
+hungarian, turkish, greek (the reference's ``SnowballLanguage`` set,
+lib/segment/src/data_types/index.rs:354-420, dispatch in
+lib/segment/src/index/field_index/full_text_index/tokenizers/stemmer.rs;
+arabic and tamil live in :mod:`stemmers_i18n3`). Each function implements
+the corresponding published snowballstem.org algorithm specification from
+scratch (public documents); no code is derived from the reference or from
+any stemming library.
 
 Conventions follow :mod:`qdrant_spark.functions.stemmers_i18n`:
 ``_r_standard``/``_longest`` helpers, tokens arrive lowercased, longest

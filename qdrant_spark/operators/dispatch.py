@@ -513,7 +513,15 @@ def per_cluster_matches(
             return None  # value not confidently normalizable for ftype
         hist = cstats.counts.get((key, nv))
         if hist is None:
-            continue  # value never observed: contributes zero matches
+            # Value never observed. For exactly-rendered types (bool/int/
+            # string) that's a true zero contribution; for floats an
+            # "unseen" key can be a Python-vs-Spark string-rendering miss
+            # (e.g. exponent-form doubles), so a mixed any-list would
+            # silently undercount matching mass and under-probe — decline
+            # instead and let the caller fall back.
+            if ftype == "float":
+                return None
+            continue  # exact-rendered value truly unseen: zero matches
         seen_any = True
         # a scalar field matches one value per row -> value histograms
         # are disjoint and their per-cluster sum is exact

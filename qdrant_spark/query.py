@@ -123,6 +123,20 @@ class QueryPlanner:
 
     # -- public ------------------------------------------------------------
 
+    def close(self) -> None:
+        """Release any shared-scan DataFrames persisted by the fused
+        DataFrame fallback. plan() frees the previous request's persists
+        automatically, but that only bounds the leak for LONG-LIVED
+        planners — a planner used once would otherwise leave its cached
+        blocks resident for the application lifetime (r6 ADVICE). Call
+        after the returned DataFrames have materialized; calling earlier
+        is safe but re-runs the shared scan per leg on materialization."""
+        for df in self._fused_persisted:
+            df.unpersist()
+        self._fused_persisted = []
+
+    unpersist_all = close
+
     def plan(self, request: dict[str, Any]) -> DataFrame:
         """Returns (id, score) best-first, limited."""
         self._vec_cache = self._batch_resolve_ids(request)
@@ -669,10 +683,29 @@ def universal_query(
         selector = request["shard_key"]
         request = {k: v for k, v in request.items() if k != "shard_key"}
         points = select_shards(points, selector, col="shard_key")
-    return QueryPlanner(
+    planner = QueryPlanner(
         points, id_col=id_col, default_vec_col=vec_col, metric=metric,
         collections=collections,
-    ).plan(request)
+    )
+    out = planner.plan(request)
+    return _release_one_shot(planner, out)
+
+
+def _release_one_shot(planner: "QueryPlanner", out: DataFrame) -> DataFrame:
+    """One-shot entries discard the planner, so a shared scan persisted by
+    the fused DataFrame fallback would stay cached forever (r6 ADVICE).
+    Materialize the root (small: <= the request's limit rows — the output
+    the caller is about to collect, NOT the legs*need-row scan the
+    fallback exists to keep off the driver) through the cache once, then
+    free the scan and hand back a rebuilt local DataFrame. No-op on the
+    common non-fallback paths; localCheckpoint is avoided because its
+    blocks would themselves stay resident for the application lifetime."""
+    if planner._fused_persisted:
+        rows = out.collect()
+        spark = planner.points.sparkSession
+        out = spark.createDataFrame(rows, schema=out.schema)
+        planner.close()
+    return out
 
 
 def query_batch(
@@ -723,10 +756,17 @@ def query_batch(
         legs = planner._fused_leaves([requests[i] for i in idxs], key[0])
         for i, df in zip(idxs, legs):
             outs[i] = df
+    # stash fallback persists from the fused legs: the per-request plan()
+    # calls below free planner._fused_persisted at entry, which would
+    # evict the shared scan before the batch union materializes
+    fused_persists = planner._fused_persisted
+    planner._fused_persisted = []
     for i, req in enumerate(requests):
         if outs[i] is None:
             outs[i] = planner.plan(req)
+    planner._fused_persisted.extend(fused_persists)
     tagged = [df.withColumn("request_idx", F.lit(i))
               for i, df in enumerate(outs)]
-    return reduce(lambda a, b: a.unionByName(b), tagged) \
+    out = reduce(lambda a, b: a.unionByName(b), tagged) \
         .select("request_idx", *(c for c in tagged[0].columns if c != "request_idx"))
+    return _release_one_shot(planner, out)

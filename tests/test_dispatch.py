@@ -467,6 +467,11 @@ def test_cluster_stats_typed_values_and_arrays(spark):
     assert pc("li", value=99) is None
     # mixed: one seen + one unseen value stays answerable (unseen adds 0)
     assert pc("li", any=[3, 99]) == {0: 2}
+    # ...but NOT for float fields: an unseen float key can be a rendering
+    # miss (exponent-form doubles), so a mixed any-list declines rather
+    # than undercounting matching mass (r6 ADVICE)
+    assert pc("ld", any=[2.5, 99.25]) is None
+    assert pc("ld", any=[2.5, 3.0]) == {0: 2, 1: 1}
     # type mismatch (string literal on int field) -> decline
     assert pc("li", value="3") is None
     # uncovered field -> decline

@@ -684,3 +684,47 @@ def test_fused_collect_guard_falls_back_to_dataframe_fusion(embeddings):
     # the persisted shared scan is freed at the next plan()
     p.plan({"query": {"nearest": v[0]}, "limit": 3})
     assert p._fused_persisted == []
+
+    # close() frees eagerly for single-use planners (r6 ADVICE)
+    p2 = QueryPlanner(embeddings, id_col="vec_id",
+                      default_vec_col="embedding", fuse_min_bytes=0,
+                      fused_collect_max=10)
+    p2.plan(req).collect()
+    assert len(p2._fused_persisted) == 1
+    assert p2._fused_persisted[0].storageLevel.useMemory
+    cached = p2._fused_persisted[0]
+    p2.close()
+    assert p2._fused_persisted == []
+    assert not cached.storageLevel.useMemory  # actually unpersisted
+
+
+def test_one_shot_universal_query_leaves_no_persisted_scan(embeddings):
+    """r6 ADVICE: the one-shot entry must not leave the fused-fallback
+    shared scan cached for the application lifetime."""
+    import qdrant_spark.query as Q
+
+    rows = embeddings.filter(F.col("vec_id").isin([0, 3, 5, 7])).collect()
+    v = {r["vec_id"]: list(r["embedding"]) for r in rows}
+    req = {
+        "prefetch": [
+            {"query": {"nearest": v[0]}, "limit": 20},
+            {"query": {"nearest": v[3]}, "limit": 20},
+            {"query": {"nearest": v[5]}, "limit": 20},
+        ],
+        "query": {"fusion": "rrf"},
+        "limit": 8,
+    }
+    # route through universal_query with the fallback forced: patch the
+    # module ceiling (universal_query doesn't expose fused_collect_max)
+    old_max, old_bytes = Q.FUSED_COLLECT_MAX, Q.FUSE_MIN_BYTES
+    Q.FUSED_COLLECT_MAX, Q.FUSE_MIN_BYTES = 10, 0
+    try:
+        sc = embeddings.sparkSession.sparkContext
+        before = sc._jsc.getPersistentRDDs().size()
+        out = Q.universal_query(embeddings, req, id_col="vec_id",
+                                vec_col="embedding")
+        assert out.count() == 8
+        after = sc._jsc.getPersistentRDDs().size()
+        assert after == before  # scan unpersisted once the root landed
+    finally:
+        Q.FUSED_COLLECT_MAX, Q.FUSE_MIN_BYTES = old_max, old_bytes
