@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 # shared helpers
 # ---------------------------------------------------------------------------
 
-WORD_PAT = r"[^\p{L}\p{N}]+"  # must match qdrant_spark.functions.text.tokenize
+WORD_PAT = r"[^\p{L}\p{N}\p{M}]+"  # must match qdrant_spark.functions.text.tokenize
 
 
 def _emb(spark: SparkSession, sf: str) -> DataFrame:
@@ -87,7 +87,7 @@ _E_CTE = "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddi
 _Q_CTE = "q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)"
 # word tokens of a document, matching functions.text.tokenize
 _TOKS = (
-    "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),"
+    "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}\\p{M}]+'),"
     " t -> t != '')"
 )
 _SSIG = "(0.5 * (({x}) / (1.0 + abs({x})) + 1.0))"  # scaled fast sigmoid

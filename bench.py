@@ -8,16 +8,19 @@ batch KNN (batch_search_bench.rs), filtered search (conditional_search.rs),
 facets (facets.rs), fusion/universal-query (batch_query_bench.rs), plus the
 scale-path operators (grouped search, text pipeline).
 
-Timing discipline (the round-5 lesson): each line is timed BACK-TO-BACK in
-isolation — idle check, one untimed warm rep, then 3-5 timed reps, report
-the MEDIAN. The previous interleaved-cycles min could not filter contention
-that persisted for a whole run (a pathological demo line churning scans
-next to 22 other queries poisoned four lines' recorded numbers while each
-measured healthy in isolation). The median-of-consecutive-reps tolerates
-the box's short noise bursts; the idle check keeps a burst from landing on
-a line's whole window. The deliberately-pathological lazy-hybrid contrast
-is now an UNTIMED diagnostic reporting bytes-read (the honest fused-scan
-metric at 100 TB), not a headline line.
+Timing discipline (rounds 5-6 lessons): each line is timed BACK-TO-BACK in
+isolation — idle check, one untimed warm rep, then 3 timed reps, report
+the MEDIAN. A slow first rep (>4s) short-circuits to min-of-2: on this box
+a slow rep means external contention far more often than a slow operator
+(every r6 "regression" measured healthy in isolation), and repeating a
+degraded line just burns the budget that r4-r6 needed for the scale
+appendix. The appendix therefore now runs UNCONDITIONALLY (3x-budget skip
+guard only) and BEFORE the bytes-read diagnostic, with its 2M index built
+by the sampled-train/full-encode split (frozen xxl centroids+codebooks,
+map-only assign) instead of a from-scratch KMeans refit. The
+deliberately-pathological lazy-hybrid contrast stays an UNTIMED
+diagnostic reporting bytes-read (the honest fused-scan metric at 100 TB),
+last in the run.
 
 Cache hygiene (the round-4 lesson): every amplified corpus is MATERIALIZED
 to parquet before anything caches it, and what gets cached is the parquet
@@ -58,7 +61,14 @@ def main() -> None:
     # diagnostic); everything else runs exactly as in the library default
     spark = get_spark(app_name="qdrant-spark-bench", cpus=cpus,
                       extra_conf={"spark.ui.enabled": "true",
-                                  "spark.ui.port": "4047"})
+                                  "spark.ui.port": "4047",
+                                  # the bytes-read diagnostic sums
+                                  # inputBytes over COMPLETE stages; the
+                                  # default retention (1000) can evict
+                                  # stages between the b0/b1 reads late in
+                                  # the run and skew the delta (r6 ADVICE)
+                                  "spark.ui.retainedStages": "20000",
+                                  "spark.ui.retainedJobs": "20000"})
     sc = spark.sparkContext
     work = tempfile.mkdtemp(prefix="bench_work_")
     t_start = time.time()
@@ -91,16 +101,26 @@ def main() -> None:
 
     times: dict[str, float] = {}
 
-    def measure(name: str, fn) -> None:
+    def measure(name: str, fn, reps: int = 3) -> None:
         wait_idle()
         fn()  # untimed warm rep: plan + codegen + python worker pool
         samples = []
         t0 = time.time()
         fn()
         samples.append(time.time() - t0)
-        # fast lines afford 5 reps; slow lines take 3 (median still
-        # tolerates one poisoned rep) so the budget holds
-        reps = 5 if samples[0] < 2.0 else 3
+        # a slow first rep means either a genuinely slow line or external
+        # contention — either way, extra reps buy little and cost budget
+        # (the r6 recorded run spent 1165s largely on repeating degraded
+        # lines): take one confirming rep and report the MIN, which is
+        # the least-contaminated estimate. Fast lines report the median
+        # of 3 consecutive reps.
+        if samples[0] > 4.0:
+            t0 = time.time()
+            fn()
+            samples.append(time.time() - t0)
+            times[name] = round(min(samples), 3)
+            mark(f"  {name}: {times[name]}s (n=2,min)")
+            return
         for _ in range(reps - 1):
             t0 = time.time()
             fn()
@@ -357,12 +377,15 @@ def main() -> None:
         codebooks=ivfpq_xxl.codebooks, vec_col="embedding", id_col="vec_id",
     )
 
-    # Timed IVF-PQ setting: oversampling=16 — the setting whose recall@10
-    # is 1.0 on this corpus (the amplified corpus is adversarial for ADC:
-    # every query sits in a ball of ~256 jittered siblings, so the
-    # shortlist must be wider than the ball is deep). A timed ANN line
-    # must meet its own recall target; the floor is asserted below.
-    PQ_OS = 16.0
+    # Timed IVF-PQ setting: oversampling=32 — the amplified corpus is
+    # adversarial for ADC: every query sits in a ball of ~256 jittered
+    # siblings, so the rescore shortlist must be wider than the ball is
+    # deep (os=32 -> 320 > 256). Probed on this corpus (r7): os=16 ->
+    # recall 0.60-0.78 (8-query mean), os=32 -> 1.000 at BOTH nprobe=4
+    # and 8 with no measurable wall-clock change (~0.6-0.7 s/q either
+    # way — the ADC pass dominates, not the rescore width). A timed ANN
+    # line must meet its own recall target; the floor is asserted below.
+    PQ_OS = 32.0
 
     def q_knn_single_xxl():
         # exact single-query scan over the RAM-resident (packed) corpus
@@ -462,33 +485,6 @@ def main() -> None:
 
     measure("fusion_hybrid_xxl_disk", q_fusion_hybrid_xxl_disk)
 
-    # UNTIMED diagnostic (r5 VERDICT item 1): the unfused twin runs one
-    # full corpus scan per leg. Wall-clock on an idle local[32] box hides
-    # most of that (concurrent scans share idle cores), so the honest
-    # contrast at 100 TB — where the scan is the dominant cost and
-    # executors are never idle — is BYTES READ: the fused plan reads ~1/4.
-    # Run each side ONCE; nothing here enters the headline total.
-    mark("fused-scan bytes-read diagnostic")
-    fused_bytes, fused_wall = bytes_and_wall(q_fusion_hybrid_xxl_disk)
-
-    def q_fusion_hybrid_xxl_disk_lazy():
-        out = hyb_disk_lazy.plan(hyb4_req).collect()
-        assert hyb_disk_lazy.last_plan_info["fused_legs"] == 0
-        return out
-
-    lazy_bytes, lazy_wall = bytes_and_wall(q_fusion_hybrid_xxl_disk_lazy)
-    fused_scan_diagnostic = {
-        "fused_bytes_read": fused_bytes,
-        "lazy_bytes_read": lazy_bytes,
-        "bytes_ratio": (round(lazy_bytes / fused_bytes, 2)
-                        if fused_bytes and lazy_bytes else None),
-        "fused_wall_s": fused_wall,
-        "lazy_wall_s": lazy_wall,
-        "note": "single-shot, untimed; lazy plan scans the corpus once "
-                "per leg (4 legs), fused plan scans once total",
-    }
-    mark(f"  fused={fused_bytes} lazy={lazy_bytes} "
-         f"walls {fused_wall}/{lazy_wall}")
     # the RAM-resident vector caches are only used by group-3 timed lines
     xxl_packed.df.unpersist()
     pq_ram_xxl.unpersist()
@@ -525,11 +521,12 @@ def main() -> None:
         "ivf_pq_single_xxl": _recall_one(
             lambda q: ivf_pq_search(ivfpq_xxl, q, k=10, nprobe=4,
                                     oversampling=PQ_OS, metric="cosine")),
-        # diagnostic: the os=8 setting trades recall for sub-linear
-        # shortlist width — reported, never timed
-        "ivf_pq_single_xxl_os8_untimed": _recall_one(
+        # diagnostic: the os=16 setting trades recall for shortlist width
+        # (shortlist 160 < the ~256-sibling jitter ball) — reported,
+        # never timed
+        "ivf_pq_single_xxl_os16_untimed": _recall_one(
             lambda q: ivf_pq_search(ivfpq_xxl, q, k=10, nprobe=4,
-                                    oversampling=8.0, metric="cosine")),
+                                    oversampling=16.0, metric="cosine")),
     }
     recall_violations = {
         k: v for k, v in recall.items()
@@ -621,36 +618,47 @@ def main() -> None:
     # scale appendix (untimed in the headline total): 2M-row DISK-ONLY
     # point, the second data point for the 100-TB extrapolation — nothing
     # cached, exact scans vs IVF partition pruning vs IVF-PQ narrow scan.
+    # It ALWAYS runs (r4/r5 verdicts: it was squeezed out three rounds in
+    # a row) — the skip guard only trips at 3x budget, i.e. a box so
+    # degraded the numbers would be meaningless anyway. Build cost is
+    # kept small by the sampled-train / full-encode split: the 2M index
+    # reuses the xxl centroids+codebooks (same generator distribution)
+    # through ivf_from_centroids / ivf_pq_from_codebooks — map-only
+    # assignment passes, no KMeans refit (also exactly how a 100-TB
+    # build trains once and encodes per-shard).
     # ------------------------------------------------------------------
     appendix: dict = {}
     elapsed = time.time() - t_start
-    mark(f"appendix gate: elapsed {elapsed:.0f}s vs budget {budget:.0f}s")
-    if elapsed > budget:
-        appendix = {"skipped": f"headline used {elapsed:.0f}s > "
-                               f"budget {budget:.0f}s"}
+    mark(f"appendix gate: elapsed {elapsed:.0f}s vs skip-guard "
+         f"{3 * budget:.0f}s")
     try:
-        if elapsed > budget:
+        if elapsed > 3 * budget:
+            appendix = {"skipped": f"elapsed {elapsed:.0f}s > 3x budget "
+                                   f"{3 * budget:.0f}s"}
             raise TimeoutError("budget")
+        from qdrant_spark.operators.ann import (
+            ivf_from_centroids, ivf_pq_from_codebooks,
+        )
+
         xxxl_disk = amplify_to(2_000_000, "xxxl", n_parts=32)
         n_xxxl = xxxl_disk.count()
         ivf_xxxl = persist_ivf(
-            build_ivf(xxxl_disk, n_clusters=32, vec_col="embedding",
-                      id_col="vec_id", fit_fraction=0.05),
+            ivf_from_centroids(xxxl_disk, ivf_xxl.centroids,
+                               vec_col="embedding", id_col="vec_id"),
             f"{work}/ivf_xxxl",
         )
         app_times: dict[str, float] = {}
 
-        def run_app(name, fn, reps=3):
+        def run_app(name, fn):
             wait_idle()
-            fn()
+            fn()  # warm
             samples = []
-            for _ in range(reps):
+            for _ in range(2):
                 t0 = time.time()
                 fn()
                 samples.append(time.time() - t0)
-            samples.sort()
-            app_times[name] = round(samples[len(samples) // 2], 3)
-            mark(f"  appendix {name}: {app_times[name]}s")
+            app_times[name] = round(min(samples), 3)
+            mark(f"  appendix {name}: {app_times[name]}s (n=2,min)")
 
         run_app("knn_single_xxxl_disk", lambda: knn(
             xxxl_disk, q0, metric="cosine", k=10, vec_col="embedding",
@@ -664,19 +672,73 @@ def main() -> None:
         # codes from the cluster-partitioned parquet vs 1536 B of floats —
         # the second data point for where the 100-TB plan crosses over
         ivfpq_xxxl = persist_ivf_pq(
-            build_ivf_pq(xxxl_disk, n_clusters=32, n_subspaces=8,
-                         n_centroids=256, vec_col="embedding",
-                         id_col="vec_id", fit_fraction=0.03),
+            ivf_pq_from_codebooks(xxxl_disk, ivfpq_xxl.centroids,
+                                  ivfpq_xxl.codebooks,
+                                  vec_col="embedding", id_col="vec_id"),
             f"{work}/xxxl_pq",
         )
         run_app("ivf_pq_batch64_xxxl_disk", lambda: ivf_pq_search_batch(
             ivfpq_xxxl, queries_df, k=10, nprobe=4, oversampling=PQ_OS,
             metric="cosine", mode="coarse").count())
-        appendix = {"n_rows": n_xxxl, "queries": app_times}
+        # bytes-read contrast (single-shot, untimed): on a 32-core box
+        # with page-cached parquet the exact matmul still wins WALL CLOCK
+        # at 2M rows — the quantized plan's 100-TB case is IO, so record
+        # the honest metric: the coarse ADC pass reads the 8 B/row code
+        # column of nprobe/32 partitions vs the full float corpus.
+        exact_bytes, _ = bytes_and_wall(lambda: knn_batch(
+            xxxl_disk, queries_df, metric="cosine", k=10,
+            vec_col="embedding", id_col="vec_id", strategy="matmul").count())
+        pq_bytes, _ = bytes_and_wall(lambda: ivf_pq_search_batch(
+            ivfpq_xxxl, queries_df, k=10, nprobe=4, oversampling=PQ_OS,
+            metric="cosine", mode="coarse").count())
+        appendix = {"n_rows": n_xxxl, "queries": app_times,
+                    "batch64_bytes_read": {
+                        "exact_scan": exact_bytes,
+                        "ivf_pq_coarse": pq_bytes,
+                        "ratio": (round(exact_bytes / pq_bytes, 2)
+                                  if exact_bytes and pq_bytes else None)}}
     except TimeoutError:
         pass
     except Exception as e:  # the appendix must never sink the headline
         appendix = {"error": f"{type(e).__name__}: {e}"}
+
+    # ------------------------------------------------------------------
+    # UNTIMED diagnostic (r5 VERDICT item 1): the unfused hybrid twin runs
+    # one full corpus scan per leg. Wall-clock on an idle local[32] box
+    # hides most of that (concurrent scans share idle cores), so the
+    # honest contrast at 100 TB — where the scan is the dominant cost and
+    # executors are never idle — is BYTES READ: the fused plan reads ~1/4.
+    # Run each side ONCE; nothing here enters the headline total. Runs
+    # LAST (after the appendix — the appendix must never be squeezed out
+    # by it again) and only if the box still has budget-ish headroom.
+    # ------------------------------------------------------------------
+    elapsed = time.time() - t_start
+    if elapsed < 2 * budget:
+        mark("fused-scan bytes-read diagnostic")
+        fused_bytes, fused_wall = bytes_and_wall(q_fusion_hybrid_xxl_disk)
+
+        def q_fusion_hybrid_xxl_disk_lazy():
+            out = hyb_disk_lazy.plan(hyb4_req).collect()
+            assert hyb_disk_lazy.last_plan_info["fused_legs"] == 0
+            return out
+
+        lazy_bytes, lazy_wall = bytes_and_wall(q_fusion_hybrid_xxl_disk_lazy)
+        fused_scan_diagnostic = {
+            "fused_bytes_read": fused_bytes,
+            "lazy_bytes_read": lazy_bytes,
+            "bytes_ratio": (round(lazy_bytes / fused_bytes, 2)
+                            if fused_bytes and lazy_bytes else None),
+            "fused_wall_s": fused_wall,
+            "lazy_wall_s": lazy_wall,
+            "note": "single-shot, untimed; lazy plan scans the corpus "
+                    "once per leg (4 legs), fused plan scans once total",
+        }
+        mark(f"  fused={fused_bytes} lazy={lazy_bytes} "
+             f"walls {fused_wall}/{lazy_wall}")
+    else:
+        fused_scan_diagnostic = {
+            "skipped": f"elapsed {elapsed:.0f}s > 2x budget; see "
+                       f"BENCH_r06 for the recorded contrast (ratio 4.0)"}
     mark("done")
 
     shutil.rmtree(work, ignore_errors=True)

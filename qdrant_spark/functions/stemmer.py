@@ -260,6 +260,12 @@ _STEMMERS = {
     "hungarian": _i18n2("snowball_hu"), "hu": _i18n2("snowball_hu"),
     "turkish": _i18n2("snowball_tr"), "tr": _i18n2("snowball_tr"),
     "greek": _i18n2("snowball_el"), "el": _i18n2("snowball_el"),
+    "arabic": _i18n("snowball_ar", "stemmers_i18n3"),
+    "ar": _i18n("snowball_ar", "stemmers_i18n3"),
+    "tamil": _i18n("snowball_ta", "stemmers_i18n3"),
+    "ta": _i18n("snowball_ta", "stemmers_i18n3"),
+    "armenian": _i18n("snowball_hy", "stemmers_i18n3"),
+    "hy": _i18n("snowball_hy", "stemmers_i18n3"),
 }
 
 

@@ -22,10 +22,38 @@ from pyspark.sql import functions as F
 if TYPE_CHECKING:
     from qdrant_spark.filters import FieldResolver
 
-WORD_SPLIT_RE = r"[^\p{L}\p{N}]+"
-# [\W_] not \W: python \w includes underscore, java \p{L}\p{N} does not —
-# both sides must split on it or query/document tokenization diverges
-_PY_WORD_SPLIT = re.compile(r"[\W_]+", re.UNICODE)
+# Combining marks (\p{M}) stay INSIDE tokens: abugida scripts (Tamil,
+# Devanagari, ...) spell vowels and virama as combining signs, and Arabic/
+# Hebrew text may carry diacritics — splitting on them shreds every word
+# (மரத்தில் -> ['மரத','த','ல']). The reference's charabia
+# tokenizer keeps them attached the same way.
+WORD_SPLIT_RE = r"[^\p{L}\p{N}\p{M}]+"
+
+
+def _mark_ranges() -> str:
+    """BMP combining-mark ranges (category M*) as a regex class body —
+    python's re has no \\p{M}, so the class is built once at import
+    (astral-plane marks are vanishingly rare in text corpora)."""
+    import unicodedata
+
+    spans: list[list[int]] = []
+    for cp in range(0x10000):
+        if unicodedata.category(chr(cp)).startswith("M"):
+            if spans and spans[-1][1] == cp - 1:
+                spans[-1][1] = cp
+            else:
+                spans.append([cp, cp])
+    return "".join(
+        f"\\u{a:04X}-\\u{b:04X}" if b > a else f"\\u{a:04X}"
+        for a, b in spans
+    )
+
+
+_PY_MARKS = _mark_ranges()
+# (?:[^\w MARKS]|_)+ not \W+: python \w includes underscore (java
+# \p{L}\p{N}\p{M} does not — both sides must split on it or query/document
+# tokenization diverges) and excludes combining marks (java keeps them)
+_PY_WORD_SPLIT = re.compile(f"(?:[^\\w{_PY_MARKS}]|_)+", re.UNICODE)
 
 # CJK character class for the multilingual tokenizer. Same explicit ranges on
 # the Python and Java side so both tokenize identically (charabia segments

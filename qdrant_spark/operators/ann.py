@@ -315,9 +315,6 @@ def build_ivf_pq(
     per-subspace KMeans spends its 256 codes on a tight cloud instead of
     the whole embedding space — same code budget, much lower distortion.
     """
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
     from qdrant_spark.operators.quantize import _fit_codebooks
 
     ivf = build_ivf(
@@ -348,9 +345,28 @@ def build_ivf_pq(
     codebooks = _fit_codebooks(R, n_subspaces, n_centroids, max_iter,
                                seed)  # (M, K<=n_centroids, dsub)
 
+    enc = _pq_encoder(centroids, codebooks)
+    assigned = base.withColumn(
+        "__pq", enc(F.col(vec_col).cast("array<double>"), F.col("__cluster"))
+    )
+    return IvfPqIndex(
+        assigned=assigned, centroids=centroids, codebooks=codebooks,
+        vec_col=vec_col, id_col=id_col,
+    )
+
+
+def _pq_encoder(centroids: np.ndarray, codebooks: np.ndarray):
+    """Vectorized residual-PQ encoder (pandas_udf): per Arrow batch,
+    subtract the assigned centroid and argmin each subspace against its
+    codebook via one matmul. Shared by the initial build and the
+    incremental-ingest path (:func:`assign_to_ivf_pq`)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     cb = codebooks
     cb_norm2 = (cb * cb).sum(axis=2)
     M = cb.shape[0]
+    dsub = cb.shape[2]
     cents = centroids
 
     def _encode(vec_s, cl_s):
@@ -365,14 +381,7 @@ def build_ivf_pq(
             codes[:, m] = d.argmin(axis=1)
         return pd.Series(list((codes - 128).astype(np.int8)))
 
-    enc = pandas_udf(_encode, "array<tinyint>")
-    assigned = base.withColumn(
-        "__pq", enc(F.col(vec_col).cast("array<double>"), F.col("__cluster"))
-    )
-    return IvfPqIndex(
-        assigned=assigned, centroids=centroids, codebooks=codebooks,
-        vec_col=vec_col, id_col=id_col,
-    )
+    return pandas_udf(_encode, "array<tinyint>")
 
 
 def persist_ivf_pq(index: IvfPqIndex, path: str) -> IvfPqIndex:
@@ -590,6 +599,69 @@ def assign_to_ivf(index: IvfIndex, new_points: DataFrame) -> IvfIndex:
     merged = index.assigned.unionByName(assigned_new.select(*cols))
     return IvfIndex(
         assigned=merged, centroids=index.centroids,
+        vec_col=index.vec_col, id_col=index.id_col,
+    )
+
+
+def ivf_from_centroids(
+    points: DataFrame,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "vec",
+    id_col: str = "id",
+) -> IvfIndex:
+    """Build an IVF assignment for ``points`` against PRE-FIT centroids —
+    no KMeans refit, one map-only argmin pass (the same codegen'd
+    expression as :func:`assign_to_ivf`). This is the 100-TB ingest
+    shape: centroids are fit once on a sample, then every corpus shard
+    assigns independently."""
+    empty = points.limit(0).withColumn("__cluster", F.lit(0).cast("int"))
+    seed = IvfIndex(assigned=empty, centroids=np.asarray(centroids),
+                    vec_col=vec_col, id_col=id_col)
+    return assign_to_ivf(seed, points)
+
+
+def ivf_pq_from_codebooks(
+    points: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    *,
+    vec_col: str = "vec",
+    id_col: str = "id",
+) -> IvfPqIndex:
+    """IVF-PQ assignment for ``points`` against PRE-FIT centroids and
+    codebooks: argmin cluster assign + residual PQ encode, both map-only
+    — the sampled-train / full-encode split a 100-TB build uses (train
+    once on a few-million-row sample, encode every shard independently)."""
+    coarse = ivf_from_centroids(points, centroids,
+                                vec_col=vec_col, id_col=id_col)
+    enc = _pq_encoder(np.asarray(centroids), np.asarray(codebooks))
+    assigned = coarse.assigned.withColumn(
+        "__pq", enc(F.col(vec_col).cast("array<double>"), F.col("__cluster")),
+    )
+    return IvfPqIndex(
+        assigned=assigned, centroids=np.asarray(centroids),
+        codebooks=np.asarray(codebooks), vec_col=vec_col, id_col=id_col,
+    )
+
+
+def assign_to_ivf_pq(index: IvfPqIndex, new_points: DataFrame) -> IvfPqIndex:
+    """Incremental IVF-PQ ingest: cluster-assign (frozen centroids, the
+    :func:`assign_to_ivf` argmin expression) and residual-PQ-encode
+    (frozen codebooks, the build-time Arrow encoder) NEW rows, appended
+    to the existing assignment. No KMeans or codebook refit — the
+    append is map-only, so the cluster-partitioned layout keeps pruning
+    and codebooks stay stable between periodic rebuilds (the reference
+    rebuilds quantized segments out-of-band the same way)."""
+    fresh = ivf_pq_from_codebooks(
+        new_points, index.centroids, index.codebooks,
+        vec_col=index.vec_col, id_col=index.id_col,
+    )
+    cols = index.assigned.columns
+    merged = index.assigned.unionByName(fresh.assigned.select(*cols))
+    return IvfPqIndex(
+        assigned=merged, centroids=index.centroids,
+        codebooks=index.codebooks,
         vec_col=index.vec_col, id_col=index.id_col,
     )
 

@@ -15,14 +15,19 @@ float64 block matmul via the ``vec_decode`` hook of ``knn._matmul_knn`` —
 one ``np.frombuffer`` per batch, no per-row Python.
 
 ``float32`` packing is LOSSLESS — same scores as the ``array<float>``
-column bit-for-bit. Its point is the physical layout: Spark's deserialized
-in-memory cache stores ``array<float>`` as per-row objects whose
-cache->Arrow conversion is slower than re-reading parquet (measured 512k x
-384d on local[32]: cached array scan 1.7-2.3 s vs 1.3-1.5 s parquet), while
-a flat ``binary`` column converts straight from the cached byte buffers
-(same corpus packed+cached: 1.6 s, now genuinely faster than disk). A
-RAM-resident corpus — the reference's deployment mode, where qdrant holds
-raw f32 blobs in memory — should therefore be cached PACKED, not as arrays.
+column bit-for-bit. Its point is the physical layout, not local wall
+clock: on local[32] at 512k x 384d the three layouts measure within
+noise of each other run-to-run (r7 probe, median-of-5 batch-64 scans:
+array-cache 1.03 s, parquet 1.15 s, packed-cache 1.19 s; an earlier
+round measured the opposite ordering — the differences are environment-
+dependent and should not be cited as a ranking). What the packed layout
+buys deterministically: (a) cache FOOTPRINT — one flat byte buffer per
+row vs a boxed object array, ~2-3x smaller in the deserialized store,
+so a RAM-resident corpus (the reference's deployment mode: contiguous
+f32 blobs hot in memory) fits correspondingly more vectors per
+executor; (b) zero-copy decode — the Arrow scorer np.frombuffer's each
+batch straight from the value buffer, no per-row unboxing on the
+scoring path.
 
 uint8 uses a driver-fitted global affine range (lo, hi): encode
 ``byte = floor((v - lo) * 255 / (hi - lo) + 0.5)`` clamped to [0, 255],

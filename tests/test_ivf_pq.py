@@ -308,3 +308,52 @@ def test_rebalance_ivf_noop_when_balanced(spark):
     idx = build_ivf(df, n_clusters=4, vec_col="vec", id_col="id", seed=1)
     reb = rebalance_ivf(idx, max_cluster_size=1000)
     assert reb is idx
+
+
+def test_ivf_pq_from_codebooks_matches_build(spark, embeddings, ivfpq):
+    """Sampled-train / full-encode split: encoding a corpus against the
+    build's frozen centroids+codebooks must reproduce the build's own
+    cluster ids and PQ codes exactly (same argmin, same encoder)."""
+    from qdrant_spark.operators.ann import ivf_pq_from_codebooks
+
+    re_enc = ivf_pq_from_codebooks(
+        embeddings, ivfpq.centroids, ivfpq.codebooks,
+        vec_col="embedding", id_col="vec_id",
+    )
+    want = {r["vec_id"]: (r["__cluster"], list(r["__pq"]))
+            for r in ivfpq.assigned.collect()}
+    got = {r["vec_id"]: (r["__cluster"], list(r["__pq"]))
+           for r in re_enc.assigned.collect()}
+    assert got == want
+
+
+def test_assign_to_ivf_pq_appends_and_searches(spark, embeddings, ivfpq):
+    """Incremental IVF-PQ ingest: appended rows get frozen-codebook codes
+    identical to a from-scratch encode, and full-probe search over the
+    merged index ranks the (duplicated) appended twin of the query's own
+    nearest neighbor at the top."""
+    from qdrant_spark.operators.ann import (
+        assign_to_ivf_pq, ivf_pq_search,
+    )
+
+    newer = embeddings.where("vec_id < 50").withColumn(
+        "vec_id", F.col("vec_id") + 10_000)
+    merged = assign_to_ivf_pq(ivfpq, newer)
+    assert merged.assigned.count() == embeddings.count() + 50
+
+    # appended codes equal the original rows' codes (same vectors)
+    orig = {r["vec_id"]: (r["__cluster"], list(r["__pq"]))
+            for r in ivfpq.assigned.where("vec_id < 50").collect()}
+    app = {r["vec_id"] - 10_000: (r["__cluster"], list(r["__pq"]))
+           for r in merged.assigned.where("vec_id >= 10000").collect()}
+    assert app == orig
+
+    # full-probe rescored search over the merged index: the query's exact
+    # top hit and its appended twin must both appear with equal scores
+    q = list(embeddings.where("vec_id = 7").collect()[0]["embedding"])
+    hits = ivf_pq_search(merged, q, k=4, nprobe=8, oversampling=64.0,
+                         metric="cosine").collect()
+    ids = {r["vec_id"] for r in hits}
+    assert {7, 10_007} <= ids
+    by_id = {r["vec_id"]: round(r["score"], 9) for r in hits}
+    assert by_id[7] == by_id[10_007]

@@ -121,3 +121,90 @@ def test_never_raises_and_bounded(lang, word):
     assert len(out) <= 2 * len(word) + 3
     if word == "":
         assert out == ""
+
+
+# ---------------------------------------------------------------------------
+# batch 3: arabic + tamil (stemmers_i18n3) — same gates
+# ---------------------------------------------------------------------------
+
+GOLDEN3 = {
+    "armenian": {
+        "սեղաններ": "սեղան", "սեղանների": "սեղան",
+        "սեղանով": "սեղան", "սեղանի": "սեղան",
+        "ուսանողներ": "ուսանող", "ուսանողին": "ուսանող",
+        "ազատության": "ազատ", "ազատություն": "ազատ",
+    },
+    "arabic": {
+        "الكتاب": "كتاب", "والكتاب": "كتاب", "بالكتاب": "كتاب",
+        "كتابها": "كتاب", "المدرسة": "مدرس", "للمدرسة": "مدرس",
+        "المعلمون": "معلم", "المعلمين": "معلم", "الكاتبات": "كاتب",
+    },
+    "tamil": {
+        "மரங்கள்": "மரம்", "மரத்தில்": "மரம்",
+        "மரத்தால்": "மரம்", "மரத்தை": "மரம்",
+        "வீடும்": "வீடு",
+        "புத்தகங்கள்": "புத்தகம்",
+        "நாட்கள்": "நாள்",
+        "படிக்கிறான்": "படிக்",
+    },
+}
+
+CONFLATE3 = {
+    "armenian": [("սեղան", "սեղաններ", "սեղանների", "սեղանով",
+                  "սեղանները", "սեղանի"),
+                 ("ուսանող", "ուսանողներ", "ուսանողին"),
+                 ("կարդալ", "կարդում", "կարդացի"),
+                 ("ազատություն", "ազատության")],
+    "arabic": [("الكتاب", "والكتاب", "بالكتاب", "كتابها", "كتاب"),
+               ("المدرسة", "للمدرسة", "مدرسة"),
+               ("المعلمون", "المعلمين", "معلم")],
+    "tamil": [("மரம்", "மரங்கள்", "மரத்தில்",
+               "மரத்தால்", "மரத்தை"),
+              ("வீடு", "வீடும்"),
+              ("புத்தகம்", "புத்தகங்கள்"),
+              ("நாள்", "நாட்கள்"),
+              ("படிக்கிறான்", "படிக்கிறாள்",
+               "படிக்கிறது")],
+}
+
+
+@pytest.mark.parametrize("lang", sorted(GOLDEN3))
+def test_golden3(lang):
+    stem = get_stemmer(lang)
+    bad = {w: (stem(w), e) for w, e in GOLDEN3[lang].items() if stem(w) != e}
+    assert not bad, bad
+
+
+@pytest.mark.parametrize("lang", sorted(CONFLATE3))
+def test_inflections_conflate3(lang):
+    stem = get_stemmer(lang)
+    for family in CONFLATE3[lang]:
+        stems = {stem(w) for w in family}
+        assert len(stems) == 1, (family, stems)
+
+
+def test_batch3_short_codes_and_diacritics():
+    assert get_stemmer("ar")("الكتاب") == get_stemmer("arabic")("الكتاب")
+    assert get_stemmer("ta")("மரங்கள்") == \
+        get_stemmer("tamil")("மரங்கள்")
+    assert get_stemmer("hy")("սեղաններ") == \
+        get_stemmer("armenian")("սեղաններ")
+    # tashkeel-marked and bare forms conflate (normalization)
+    assert get_stemmer("ar")("كِتَاب") == get_stemmer("ar")("كتاب")
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.sampled_from(["arabic", "tamil", "armenian"]),
+    st.text(
+        alphabet=st.characters(categories=("Ll", "Lo", "Mn", "Mc", "Nd")),
+        min_size=0, max_size=24,
+    ),
+)
+def test_batch3_never_raises_and_bounded(lang, word):
+    stem = get_stemmer(lang)
+    out = stem(word)
+    assert isinstance(out, str)
+    assert len(out) <= 2 * len(word) + 3
+    if word == "":
+        assert out == ""
