@@ -2961,11 +2961,85 @@ def entry(spark: SparkSession) -> DataFrame:
 # drops to the back). Keep rotating each round so no entry's driver row
 # goes more than ~2 rounds stale.
 _GATE_PRIORITY = [
-    # round-6 head: the 23 entries that have NEVER had a driver row (only
-    # local check_oracle sweeps) — r5 VERDICT item 4 names the first four.
+    # round-7 head: pack_sequences first (oracle dtype fix re-verified
+    # under the driver), then the 22 entries green in r4 but sampled by
+    # neither the r5 nor r6 gate, then the r5-only set — so the rotating
+    # 50-slot gate re-greens the least-recently-driver-checked entries.
+    "pack_sequences",
+    "filter_phrase",
+    "payload_json_path",
+    "text_quality",
+    "token_counts",
+    "lang_detect",
+    "fingerprint",
+    "sparse_knn",
+    "sparse_knn_batch",
+    "sparse_idf_knn",
+    "sparse_idf_corpus",
+    "bm25_search",
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "dedup_lsh_pairs",
+    "dedup_lsh_cross",
+    "paragraph_dedup",
+    "substring_dup_spans",
+    "dedup_ngram_jaccard",
+    "universal_groups",
+    "mmr",
+    "knn_auto_filtered",
+    "quantized_bq2_rescore",
+    "decontaminate",
+    "gopher_quality",
+    "corpus_stats",
+    "pii_scan",
+    "chunk_docs",
+    "stratified_sample",
+    "stratified_quota",
+    "embedding_project",
+    "ngram_counts",
+    "weighted_sample",
+    "knn_cosine",
+    "knn_dot",
+    "knn_euclid",
+    "knn_manhattan",
+    "knn_filtered",
+    "knn_batch",
+    "knn_batch_partial",
+    "knn_batch_matmul",
+    "similarity_join",
+    "recommend_avg_vector",
+    "distance_matrix_offsets",
+    "field_index_stats",
+    "shard_routed_knn",
+    "shard_fallback_route",
+    "filter_text_stemmed",
+    "filter_text_stemmed_de",
+    "filter_text_any",
+    "filter_has_id",
+    "filter_phrase_indexed",
+    "multimodal_wav",
+    "multimodal_ppm",
+    "dedup_components",
+    "dedup_resolve",
+    "dedup_simhash",
+    "dedup_embedding",
+    "filter_nested",
+    "filter_jsonpath_array",
+    "filter_prefix",
+    "filter_is_empty",
+    "filter_is_null",
+    "filter_values_count",
+    "query_by_id",
+    "recommend_multi_ids",
+    "geo_radius",
+    "geo_bbox_wrap",
+    "geo_polygon",
+    "knn_acorn_filtered",
+    "ann_ivf_batch",
+    "quantized_sq_rescore",
+    "quantized_bq_rescore",
     "dsir_weights",
     "lm_buckets",
-    "pack_sequences",
     "facet_estimate",
     "formula_rescore",
     "query_batch",
@@ -2986,9 +3060,6 @@ _GATE_PRIORITY = [
     "ann_ivf_pq_rescore",
     "ann_ivf_pq_batch",
     "geo_indexed_radius",
-    # then entries whose last driver row is r4 (missed the r5 window) —
-    # 27 more fill the 50-slot gate; the remainder of the r4 block plus
-    # everything greened in r5 rotates in next round.
     "repetition_signals",
     "lm_score",
     "mixture_sample",
@@ -3016,28 +3087,6 @@ _GATE_PRIORITY = [
     "filter_dsl_orders",
     "filter_min_should",
     "filter_text_all",
-    "filter_phrase",
-    "payload_json_path",
-    "text_quality",
-    "token_counts",
-    "lang_detect",
-    "fingerprint",
-    "sparse_knn",
-    "sparse_knn_batch",
-    "sparse_idf_knn",
-    "sparse_idf_corpus",
-    "bm25_search",
-    "dedup_exact",
-    "dedup_minhash_sig",
-    "dedup_lsh_pairs",
-    "dedup_lsh_cross",
-    "paragraph_dedup",
-    "substring_dup_spans",
-    "dedup_ngram_jaccard",
-    "universal_groups",
-    "mmr",
-    "knn_auto_filtered",
-    "quantized_bq2_rescore",
 ]
 
 

@@ -56,10 +56,11 @@ _PY_MARKS = _mark_ranges()
 _PY_WORD_SPLIT = re.compile(f"(?:[^\\w{_PY_MARKS}]|_)+", re.UNICODE)
 
 # CJK character class for the multilingual tokenizer. Same explicit ranges on
-# the Python and Java side so both tokenize identically (charabia segments
-# CJK scripts per-word; we approximate with per-character tokens — the
-# documented divergence is multi-char CJK words, e.g. the reference's
-# vaporetto yields 日本|語 where we yield 日|本|語).
+# the Python and Java side so both tokenize identically. Han (Chinese)
+# runs segment by dictionary FMM (functions/zh.py) like charabia's
+# Chinese path; kana/hangul approximate with per-character tokens — the
+# documented divergence is multi-char kana words, e.g. the reference's
+# vaporetto yields テスト where we yield テ|ス|ト.
 # Reference: multilingual.rs:22-58, japanese.rs.
 _CJK_RANGES = (
     "\\u1100-\\u11FF"  # Hangul Jamo
@@ -71,6 +72,19 @@ _CJK_RANGES = (
 )
 _CJK_CLASS = f"[{_CJK_RANGES}]"
 _PY_CJK = re.compile(_CJK_CLASS)
+
+# Han (Chinese-script) subset: the multilingual tokenizer segments these
+# runs with the embedded FMM dictionary (functions/zh.py) the way the
+# reference's charabia does dictionary segmentation for Chinese; the
+# remaining CJK scripts (kana, hangul) keep per-character tokens there.
+_HAN_RANGES = "\\u3400-\\u4DBF\\u4E00-\\u9FFF"
+_HAN_CLASS = f"[{_HAN_RANGES}]"
+_NONHAN_CJK_RANGES = (
+    "\\u1100-\\u11FF\\u3040-\\u309F\\u30A0-\\u30FF\\uAC00-\\uD7AF"
+)
+_NONHAN_CJK_CLASS = f"[{_NONHAN_CJK_RANGES}]"
+_PY_HAN_RUN = re.compile(f"{_HAN_CLASS}+")
+_PY_NONHAN_CJK = re.compile(_NONHAN_CJK_CLASS)
 # Japanese tokenizer: the reference segments with a learned model
 # (vaporetto, japanese.rs:9-13) whose bundled weights can't be shipped
 # here; we use the standard CJK-bigram approximation (Lucene
@@ -166,9 +180,11 @@ def tokenize_py(
     apply in the reference's per-token order (tokens_processor.rs:59-106):
     fold -> lowercase -> stopwords -> stem -> length. ``tokenizer='prefix'``
     emits every prefix of each token from ``min_token_len`` (default 1) up
-    to ``max_token_len``; ``tokenizer='multilingual'`` additionally splits
-    CJK characters into single-char tokens and drops tokens with no letter
-    (multilingual.rs:49-52)."""
+    to ``max_token_len``; ``tokenizer='multilingual'`` additionally
+    segments Han runs with the embedded dictionary FMM (functions/zh.py,
+    charabia's Chinese dictionary segmentation analogue; OOV spans fall
+    back to character bigrams), splits kana/hangul into single-char
+    tokens, and drops tokens with no letter (multilingual.rs:49-52)."""
     if ascii_folding:
         text = fold_to_ascii_py(text)
     if lowercase:
@@ -177,7 +193,14 @@ def tokenize_py(
         toks = text.split()
     else:  # word / prefix / multilingual / japanese
         if tokenizer == "multilingual":
-            text = _PY_CJK.sub(lambda m: f" {m.group(0)} ", text)
+            # Han runs: dictionary FMM + bigram fallback (functions/zh.py);
+            # kana/hangul stay per-character tokens
+            from qdrant_spark.functions.zh import zh_fmm_segment
+
+            text = _PY_HAN_RUN.sub(
+                lambda m: " " + " ".join(zh_fmm_segment(m.group(0))) + " ",
+                text)
+            text = _PY_NONHAN_CJK.sub(lambda m: f" {m.group(0)} ", text)
         elif tokenizer == "japanese":
             text = _PY_CJK_RUN.sub(lambda m: f" {m.group(0)} ", text)
         toks = [t for t in _PY_WORD_SPLIT.split(text) if t]
@@ -263,6 +286,41 @@ def _japanese_stem_udf(stemmer: str | dict[str, Any], stopwords: set[str] | None
     return F.pandas_udf(run, "array<string>")
 
 
+def _multilingual_stem_udf(stemmer: str | dict[str, Any],
+                           stopwords: set[str] | None):
+    """Multilingual twin of :func:`_japanese_stem_udf`: non-dictionary
+    Han-span bigram expansion + letter-filter + stopwords + stem in ONE
+    Arrow stage (the Column-side expansion nested inside a pandas-UDF
+    argument trips the same analyzer bug)."""
+    from qdrant_spark.functions.stemmer import get_stemmer
+    from qdrant_spark.functions.zh import ZH_DICT
+
+    lang = stemmer if isinstance(stemmer, str) else stemmer["language"]
+    stem = get_stemmer(lang)
+    sw = frozenset(stopwords or ())
+
+    def run(s):
+        def one(toks):
+            if toks is None:
+                return None
+            out = []
+            for t in toks:
+                if (len(t) >= 2 and t not in ZH_DICT
+                        and _PY_HAN_RUN.fullmatch(t)):
+                    out.extend(t[i:i + 2] for i in range(len(t) - 1))
+                else:
+                    out.append(t)
+            return [
+                stem(t)
+                for t in out
+                if any(ch.isalpha() for ch in t) and t not in sw
+            ]
+
+        return s.apply(one)
+
+    return F.pandas_udf(run, "array<string>")
+
+
 def tokenize(
     col: Column | str,
     tokenizer: str = "word",
@@ -282,21 +340,55 @@ def tokenize(
     if lowercase:
         c = F.lower(c)
     if tokenizer == "multilingual":
-        c = F.regexp_replace(c, f"({_CJK_CLASS})", " $1 ")
+        # Chinese dictionary segmentation stays in CODEGEN: a regex
+        # alternation ordered longest-first IS forward maximum matching
+        # (Java regex picks the first — longest — alternative at the
+        # leftmost position, then continues after the match), so
+        # isolating dictionary words is one regexp_replace; leftover
+        # non-dictionary Han spans become their own tokens here and
+        # bigram-expand after the split (same transform/sequence shape
+        # as the japanese path). Kana/hangul stay per-character.
+        from qdrant_spark.functions.zh import ZH_CORE_WORDS
+
+        zh_alt = "|".join(sorted(ZH_CORE_WORDS, key=len, reverse=True))
+        c = F.regexp_replace(c, f"({zh_alt})", " $1 ")
+        c = F.regexp_replace(c, f"({_HAN_CLASS}+)", " $1 ")
+        c = F.regexp_replace(c, f"({_NONHAN_CJK_CLASS})", " $1 ")
     elif tokenizer == "japanese":
         c = F.regexp_replace(c, f"({_CJK_CLASS}+)", " $1 ")
     pattern = r"\s+" if tokenizer == "whitespace" else WORD_SPLIT_RE
     toks = F.filter(F.split(c, pattern), lambda t: t != "")
     stem = _resolve_stemmer(stemmer)
-    if tokenizer == "japanese" and stem is not None:
-        # bigrams + filters + stem fused into one Arrow stage (see
+    if tokenizer in ("japanese", "multilingual") and stem is not None:
+        # expansion + filters + stem fused into one Arrow stage (see
         # _japanese_stem_udf for why this combination can't stay Column-side)
-        toks = _japanese_stem_udf(stemmer, stopwords)(toks)
+        fused = (_japanese_stem_udf if tokenizer == "japanese"
+                 else _multilingual_stem_udf)
+        toks = fused(stemmer, stopwords)(toks)
         if min_token_len is not None:
             toks = F.filter(toks, lambda t: F.length(t) >= min_token_len)
         if max_token_len is not None:
             toks = F.filter(toks, lambda t: F.length(t) <= max_token_len)
         return toks
+    if tokenizer == "multilingual":
+        # non-dictionary Han spans -> overlapping character bigrams
+        # (single char for 1-char spans); dictionary words pass through
+        from qdrant_spark.functions.zh import ZH_CORE_WORDS
+
+        zh_words = F.lit(sorted(ZH_CORE_WORDS))
+        toks = F.flatten(
+            F.transform(
+                toks,
+                lambda t: F.when(
+                    t.rlike(f"^{_HAN_CLASS}+$") & (F.length(t) >= 2)
+                    & ~F.array_contains(zh_words, t),
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(t) - 1),
+                        lambda i: t.substr(i, F.lit(2)),
+                    ),
+                ).otherwise(F.array(t)),
+            )
+        )
     if tokenizer == "japanese":
         # CJK runs -> overlapping character bigrams (see _PY_CJK_RUN note);
         # guard with when(): sequence(1, 0) counts DOWN for 1-char runs

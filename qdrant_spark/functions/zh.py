@@ -1,0 +1,98 @@
+"""Chinese word segmentation: forward-maximum-match over an embedded
+core dictionary, with a character-bigram fallback for spans the
+dictionary doesn't cover.
+
+The reference's multilingual tokenizer (charabia,
+lib/segment/src/index/field_index/full_text_index/tokenizers/
+multilingual.rs) segments Chinese with a learned/dictionary tokenizer
+whose full lexicon can't be shipped here. FMM (greedy longest match,
+scanning left to right) is the classic public dictionary-segmentation
+algorithm; the embedded lexicon below covers the high-frequency core of
+modern written Chinese (function words, pronouns, common verbs/nouns,
+country and domain terms). Runs the dictionary doesn't segment fall
+back to overlapping character bigrams (the Lucene CJKAnalyzer shape the
+japanese tokenizer already uses), so recall degrades gracefully toward
+the old behavior instead of over-matching single characters.
+
+Documented divergence from the reference: segmentation quality is
+bounded by the embedded lexicon; out-of-vocabulary words surface as
+bigrams rather than dictionary words.
+"""
+
+from __future__ import annotations
+
+# High-frequency modern-Chinese words (2-4 chars). Order is irrelevant —
+# FMM is longest-match; ties cannot occur (exact string lookup).
+ZH_CORE_WORDS: tuple[str, ...] = (
+    # pronouns / demonstratives
+    "我们", "你们", "他们", "她们", "它们", "咱们", "自己", "大家",
+    "这个", "那个", "这些", "那些", "这里", "那里", "这样", "那样",
+    "什么", "怎么", "为什么", "怎样", "哪里", "哪个", "多少", "几个",
+    # function words / conjunctions / adverbs
+    "没有", "不是", "就是", "还是", "但是", "可是", "因为", "所以",
+    "如果", "虽然", "然后", "而且", "或者", "并且", "已经", "正在",
+    "可以", "可能", "应该", "必须", "需要", "能够", "不能", "不会",
+    "一定", "非常", "特别", "比较", "更加", "最后", "首先", "其次",
+    "现在", "今天", "明天", "昨天", "今年", "去年", "明年", "时候",
+    "时间", "地方", "东西", "事情", "问题", "方法", "方面", "情况",
+    "不过", "当然", "其实", "真的", "一起", "一样", "一些", "一下",
+    # common verbs
+    "知道", "认为", "觉得", "希望", "喜欢", "学习", "工作", "生活",
+    "开始", "结束", "进行", "发展", "发现", "研究", "使用", "提供",
+    "成为", "出现", "产生", "得到", "看到", "听到", "告诉", "帮助",
+    "理解", "支持", "决定", "选择", "参加", "离开", "回来", "出去",
+    "表示", "要求", "继续", "完成", "实现", "解决", "建立", "提高",
+    # common nouns
+    "中国", "美国", "日本", "英国", "法国", "德国", "俄罗斯", "印度",
+    "世界", "国家", "政府", "社会", "经济", "文化", "历史", "教育",
+    "学校", "学生", "老师", "孩子", "朋友", "家庭", "父母", "公司",
+    "城市", "农村", "人民", "人们", "男人", "女人", "先生", "小姐",
+    "汉语", "中文", "英语", "语言", "文字", "文章", "新闻", "电影",
+    "音乐", "艺术", "科学", "技术", "医生", "医院", "银行", "市场",
+    "电话", "电脑", "手机", "网络", "互联网", "信息", "数据", "系统",
+    "北京", "上海", "广州", "深圳", "香港", "台湾",
+    # measure/number compounds
+    "一个", "两个", "第一", "第二", "第三", "很多", "许多", "所有",
+    "每个", "整个", "全部", "部分", "一点", "一般", "一直", "一切",
+    # domain terms (tech corpora)
+    "人工智能", "机器学习", "深度学习", "大数据", "数据库", "程序员",
+    "软件", "硬件", "算法", "模型", "训练", "搜索", "查询", "索引",
+    "向量", "计算", "分析", "处理", "存储", "服务器", "云计算",
+    "普通话", "共和国", "中华人民共和国",
+)
+
+ZH_DICT = frozenset(ZH_CORE_WORDS)
+ZH_MAX_WORD = max(len(w) for w in ZH_CORE_WORDS)
+
+
+def zh_fmm_segment(run: str) -> list[str]:
+    """Segment one Han run: greedy longest dictionary match left to
+    right; maximal spans with no dictionary hit become overlapping
+    character bigrams (single char if the span has length 1)."""
+    out: list[str] = []
+    pend: list[str] = []  # unmatched chars accumulate, flushed as bigrams
+
+    def flush() -> None:
+        if not pend:
+            return
+        s = "".join(pend)
+        pend.clear()
+        if len(s) == 1:
+            out.append(s)
+        else:
+            out.extend(s[j:j + 2] for j in range(len(s) - 1))
+
+    i, n = 0, len(run)
+    while i < n:
+        for L in range(min(ZH_MAX_WORD, n - i), 1, -1):
+            w = run[i:i + L]
+            if w in ZH_DICT:
+                flush()
+                out.append(w)
+                i += L
+                break
+        else:
+            pend.append(run[i])
+            i += 1
+    flush()
+    return out

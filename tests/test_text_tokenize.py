@@ -172,8 +172,9 @@ def test_ascii_folding_parity(tok_spark):
 
 def test_multilingual_reference_cases(tok_spark):
     # reference: multilingual.rs:160-174 — latin path matches word
-    # tokenization; CJK chars become standalone tokens (we emit unigrams
-    # where vaporetto segments words, a documented approximation); tokens
+    # tokenization; kana chars become standalone tokens (we emit unigrams
+    # where vaporetto segments words, a documented approximation; Han
+    # runs dictionary-segment — test_multilingual_chinese_fmm); tokens
     # with no letter are dropped (multilingual.rs:49-52)
     [t1] = tok_spark(["This is a test"], tokenizer="multilingual")
     assert t1 == ["this", "is", "a", "test"]
@@ -242,3 +243,52 @@ def test_stemmed_match_text_filter_german(spark):
     got2 = sorted(r["id"] for r in
                   df.filter(filter_column(df, flt2, text_params=tp)).collect())
     assert got2 == [1, 3]
+
+
+def test_multilingual_chinese_fmm(tok_spark):
+    """r5 VERDICT item 8: Han runs segment by dictionary FMM
+    (functions/zh.py) with a bigram fallback for out-of-vocabulary
+    spans — hand-computed oracles; kana keep per-char tokens."""
+    # all-dictionary sentence: 我们|在|中国|学习|中文 (在 = 1-char gap)
+    [t1] = tok_spark(["我们在中国学习中文"], tokenizer="multilingual")
+    assert t1 == ["我们", "在", "中国", "学习", "中文"]
+    # dictionary + OOV span: 成立了 is out-of-vocabulary -> bigrams
+    [t2] = tok_spark(["中国人民银行成立了"], tokenizer="multilingual")
+    assert t2 == ["中国", "人民", "银行", "成立", "立了"]
+    # longest match wins: 中华人民共和国 is one dictionary word
+    [t3] = tok_spark(["中华人民共和国于1949年成立"],
+                     tokenizer="multilingual")
+    assert t3[0] == "中华人民共和国"
+    # mixed latin + Han
+    [t4] = tok_spark(["Spark 处理大数据"], tokenizer="multilingual")
+    assert t4 == ["spark", "处理", "大数据"]
+    # spark side == python side on a mixed-script sample
+    s = "日本語と中文の混在テキスト"
+    [t5] = tok_spark([s], tokenizer="multilingual")
+    assert t5 == tokenize_py(s, tokenizer="multilingual")
+
+
+def test_chinese_match_text_no_overmatch(spark):
+    """match.text on a Chinese corpus: dictionary words match whole —
+    a query for 国人 must NOT hit 中国人民银行 (the pre-FMM
+    single-char/bigram expansion over-matched exactly this way;
+    charabia's dictionary segmentation does not)."""
+    from qdrant_spark.filters import apply_filter
+
+    df = spark.createDataFrame(
+        [(1, "中国人民银行成立了"), (2, "我们在中国学习中文"),
+         (3, "外国人在北京生活")],
+        "id: long, body: string")
+    tp = {"body": {"tokenizer": "multilingual"}}
+
+    def ids(q):
+        flt = {"must": [{"key": "body", "match": {"text": q}}]}
+        return sorted(r["id"] for r in
+                      apply_filter(df, flt, text_params=tp).collect())
+
+    assert ids("中国") == [1, 2]
+    assert ids("人民") == [1]
+    assert ids("学习") == [2]
+    # 国人 is a bigram of doc 3's OOV span 外国人 — matches 3 only,
+    # NOT doc 1 (whose 中国|人民 are dictionary words)
+    assert ids("国人") == [3]
