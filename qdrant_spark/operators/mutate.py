@@ -242,3 +242,76 @@ def delete_vectors(
     for c in vec_cols:
         out = out.withColumn(c, F.when(cond, F.lit(None)).otherwise(F.col(c)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Delta Lake twins (SURVEY §2.1's preferred mapping where a transactional
+# table format is available): the same upsert semantics expressed as a
+# MERGE INTO, so the mutation rewrites only the touched files instead of
+# snapshotting the whole table. Env-gated — delta-spark is optional; the
+# pure-DataFrame transforms above remain the portable path and the
+# oracle-gated source of truth for semantics.
+# ---------------------------------------------------------------------------
+
+
+def prepare_upsert_batch(
+    updates: DataFrame,
+    *,
+    id_col: str = "id",
+    version_col: str | None = None,
+) -> DataFrame:
+    """Collapse an upsert batch to ONE row per id — MERGE requires a
+    unique source key. With ``version_col`` the highest version wins
+    (same resolution as :func:`upsert_points`); without, duplicates
+    collapse arbitrarily (a DataFrame batch has no order)."""
+    if version_col is None:
+        return updates.dropDuplicates([id_col])
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col(version_col).desc())
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert_merge_condition(
+    id_col: str = "id",
+    version_col: str | None = None,
+) -> tuple[str, str | None]:
+    """(match condition, update gate) SQL strings for the upsert MERGE:
+    match on id; with versions, update only strictly-newer sources — the
+    stale-op skip (collection_updater.rs:41) becomes a WHEN MATCHED AND
+    guard, and ties keep the existing row exactly like upsert_points."""
+    cond = f"t.{id_col} = s.{id_col}"
+    gate = (f"s.{version_col} > t.{version_col}"
+            if version_col is not None else None)
+    return cond, gate
+
+
+def upsert_points_delta(
+    delta_table,
+    updates: DataFrame,
+    *,
+    id_col: str = "id",
+    version_col: str | None = None,
+) -> None:
+    """MERGE INTO twin of :func:`upsert_points`: insert-or-replace by id
+    with the versioned stale-skip, applied transactionally to a
+    ``delta.tables.DeltaTable``. At 100 TB this rewrites only the files
+    containing matched ids (plus data-skipping pruning on the join key)
+    instead of the full-snapshot overwrite the parquet path needs.
+
+    Raises ImportError when delta-spark isn't on the classpath."""
+    from delta.tables import DeltaTable  # noqa: F401  (env gate)
+
+    if not hasattr(delta_table, "alias"):
+        raise TypeError("delta_table must be a delta.tables.DeltaTable")
+    src = prepare_upsert_batch(updates, id_col=id_col,
+                               version_col=version_col)
+    cond, gate = upsert_merge_condition(id_col, version_col)
+    m = delta_table.alias("t").merge(src.alias("s"), cond)
+    m = (m.whenMatchedUpdateAll(condition=gate) if gate
+         else m.whenMatchedUpdateAll())
+    m.whenNotMatchedInsertAll().execute()

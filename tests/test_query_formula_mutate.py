@@ -728,3 +728,52 @@ def test_one_shot_universal_query_leaves_no_persisted_scan(embeddings):
         assert after == before  # scan unpersisted once the root landed
     finally:
         Q.FUSED_COLLECT_MAX, Q.FUSE_MIN_BYTES = old_max, old_bytes
+
+
+def test_delta_upsert_building_blocks(spark, table):
+    """The Delta MERGE twin's pure pieces (r5 VERDICT item 9): batch
+    collapse matches upsert_points' resolution, and the merge condition
+    carries the versioned stale-skip as a WHEN MATCHED gate. The MERGE
+    execution itself is env-gated below."""
+    from qdrant_spark.operators.mutate import (
+        prepare_upsert_batch, upsert_merge_condition,
+    )
+
+    ups = spark.createDataFrame(
+        [("3", 1, "STALE", 0.0), ("3", 9, "fresh", 9.0), ("4", 2, "d", 4.0)],
+        "id: string, version: long, tag: string, val: double",
+    )
+    got = {r["id"]: r["tag"] for r in prepare_upsert_batch(
+        ups, id_col="id", version_col="version").collect()}
+    assert got == {"3": "fresh", "4": "d"}  # one row per id, max version
+
+    assert upsert_merge_condition("id") == ("t.id = s.id", None)
+    cond, gate = upsert_merge_condition("id", "version")
+    assert cond == "t.id = s.id"
+    assert gate == "s.version > t.version"  # strict: ties keep existing
+
+
+def test_delta_upsert_merge_env_gated(spark, table, tmp_path):
+    """With delta-spark present, the MERGE path must reproduce
+    upsert_points exactly; skipped where delta isn't installed."""
+    pytest.importorskip("delta")
+    from delta.tables import DeltaTable
+
+    from qdrant_spark.operators.mutate import (
+        upsert_points, upsert_points_delta,
+    )
+
+    path = str(tmp_path / "t")
+    table.write.format("delta").save(path)
+    ups = spark.createDataFrame(
+        [("2", 5, "B", 20.0), ("3", 1, "STALE", 0.0), ("4", 1, "d", 4.0)],
+        "id: string, version: long, tag: string, val: double",
+    )
+    dt = DeltaTable.forPath(spark, path)
+    upsert_points_delta(dt, ups, id_col="id", version_col="version")
+    got = {r["id"]: (r["version"], r["tag"])
+           for r in spark.read.format("delta").load(path).collect()}
+    want = {r["id"]: (r["version"], r["tag"])
+            for r in upsert_points(table, ups, id_col="id",
+                                   version_col="version").collect()}
+    assert got == want
