@@ -2321,6 +2321,30 @@ def _q_ivf_pq_rescore(spark: SparkSession, sf: str) -> DataFrame:
     return _r6(out, "score")
 
 
+def _q_ivf_pq_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental IVF-PQ ingest (r7): train on the even-id half, encode
+    the odd-id half with the FROZEN centroids+codebooks
+    (ann.assign_to_ivf_pq — the sampled-train/full-encode split of a
+    100-TB build), then full-probe + ample-oversample search over the
+    merged index; equals the exact scan over the whole corpus, so the
+    oracle asserts equality."""
+    from qdrant_spark.operators.ann import (
+        assign_to_ivf_pq, build_ivf_pq, ivf_pq_search,
+    )
+
+    emb = _emb(spark, sf)
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    newer = emb.where(F.col("vec_id") % 2 == 1)
+    idx = build_ivf_pq(base, n_clusters=8, n_subspaces=8, n_centroids=256,
+                       vec_col="embedding", id_col="vec_id", seed=3)
+    merged = assign_to_ivf_pq(idx, newer)
+    q = _vecs(spark, sf, [0])[0]
+    n = emb.count()
+    out = ivf_pq_search(merged, q, k=10, nprobe=8,
+                        oversampling=max(16.0, n / 40.0), metric="cosine")
+    return _r6(out, "score")
+
+
 def _q_ivf_pq_batch(spark: SparkSession, sf: str) -> DataFrame:
     """Batched IVF-PQ (bulk compressed ANN): per-query cluster probing +
     ADC over code columns + exact rescore. Full probe + corpus-scaled
@@ -2966,6 +2990,7 @@ _GATE_PRIORITY = [
     # neither the r5 nor r6 gate, then the r5-only set — so the rotating
     # 50-slot gate re-greens the least-recently-driver-checked entries.
     "pack_sequences",
+    "ann_ivf_pq_incremental",
     "filter_phrase",
     "payload_json_path",
     "text_quality",
@@ -3219,6 +3244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_sq_rescore": _q_sq_rescore,
         "quantized_pq_rescore": _q_pq_rescore,
         "ann_ivf_pq_rescore": _q_ivf_pq_rescore,
+        "ann_ivf_pq_incremental": _q_ivf_pq_incremental,
         "ann_ivf_pq_batch": _q_ivf_pq_batch,
         "geo_indexed_radius": _q_geo_indexed_radius,
         "quantized_tq_rescore": _q_tq_rescore,
@@ -3428,6 +3454,7 @@ FROM documents
         "quantized_sq_rescore": _knn_sql("cosine"),
         "quantized_pq_rescore": _knn_sql("cosine"),
         "ann_ivf_pq_rescore": _knn_sql("cosine"),
+        "ann_ivf_pq_incremental": _knn_sql("cosine"),
         "ann_ivf_pq_batch": _KNN_BATCH_SQL,
         "geo_indexed_radius": _geo_sql("radius"),
         "quantized_tq_rescore": _knn_sql("cosine"),
