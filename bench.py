@@ -100,6 +100,12 @@ def main() -> None:
             time.sleep(1.0)
 
     times: dict[str, float] = {}
+    # One retry-after-backoff budget for externally-contended lines: the
+    # box occasionally runs something else for a couple of minutes, and a
+    # line whose every rep lands inside the burst records garbage no
+    # statistic can fix (r6: four lines recorded 5-10x their isolated
+    # values). Bounded so a permanently-contended box can't stall the run.
+    salvage_left = [120.0]
 
     def measure(name: str, fn, reps: int = 3) -> None:
         wait_idle()
@@ -118,8 +124,21 @@ def main() -> None:
             t0 = time.time()
             fn()
             samples.append(time.time() - t0)
-            times[name] = round(min(samples), 3)
-            mark(f"  {name}: {times[name]}s (n=2,min)")
+            best = min(samples)
+            n = 2
+            if best > 4.0 and salvage_left[0] > 0:
+                # both reps slow: back off past a short noise burst and
+                # try once more; min() keeps the honest lower envelope
+                t_s = time.time()
+                time.sleep(8.0)
+                wait_idle()
+                t0 = time.time()
+                fn()
+                best = min(best, time.time() - t0)
+                salvage_left[0] -= time.time() - t_s
+                n = 3
+            times[name] = round(best, 3)
+            mark(f"  {name}: {times[name]}s (n={n},min)")
             return
         for _ in range(reps - 1):
             t0 = time.time()
@@ -130,30 +149,64 @@ def main() -> None:
         mark(f"  {name}: {times[name]}s (n={len(samples)})")
 
     # ------------------------------------------------------------------
-    # bytes-read via the UI REST API (per-stage inputMetrics totals)
+    # bytes-read via the UI REST API. NOT per-stage inputMetrics: Spark's
+    # vectorized parquet reader under-reports task inputBytes (a 780 KiB
+    # scan shows ~2 KiB — measured on this build), which made earlier
+    # deltas garbage. The SQL-execution endpoint's Scan-node metric
+    # "size of files read" is the real per-query figure, so we sum it
+    # over the executions each side triggers.
     # ------------------------------------------------------------------
-    def total_input_bytes() -> int | None:
+    import re as _re
+
+    _SIZE_RE = _re.compile(r"([\d.,]+)\s*(B|KiB|MiB|GiB|TiB)")
+    _SIZE_MULT = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20,
+                  "GiB": 1 << 30, "TiB": 1 << 40}
+
+    def _sql_executions():
+        url = sc.uiWebUrl
+        app = sc.applicationId
+        with urllib.request.urlopen(
+                f"{url}/api/v1/applications/{app}/sql"
+                f"?details=true&planDescription=false&length=100000",
+                timeout=10) as r:
+            return json.load(r)
+
+    def _max_sql_id() -> int:
         try:
-            url = sc.uiWebUrl
-            app = sc.applicationId
-            with urllib.request.urlopen(
-                    f"{url}/api/v1/applications/{app}/stages", timeout=5) as r:
-                stages = json.load(r)
-            return sum(int(s.get("inputBytes", 0)) for s in stages
-                       if s.get("status") == "COMPLETE")
+            return max((q.get("id", -1) for q in _sql_executions()),
+                       default=-1)
+        except Exception:
+            return -1
+
+    def _scan_bytes_after(floor_id: int) -> int | None:
+        try:
+            total = 0
+            for q in _sql_executions():
+                if q.get("id", -1) <= floor_id:
+                    continue
+                for n in q.get("nodes", []):
+                    if "Scan" not in n.get("nodeName", ""):
+                        continue
+                    for m in n.get("metrics", []):
+                        if m.get("name") == "size of files read":
+                            mt = _SIZE_RE.match(m.get("value", "").strip())
+                            if mt:
+                                total += int(
+                                    float(mt.group(1).replace(",", ""))
+                                    * _SIZE_MULT[mt.group(2)])
+            return total
         except Exception:
             return None
 
     def bytes_and_wall(fn) -> tuple[int | None, float]:
         wait_idle()
         time.sleep(0.5)  # let the listener drain before the baseline read
-        b0 = total_input_bytes()
+        b0 = _max_sql_id()
         t0 = time.time()
         fn()
         wall = round(time.time() - t0, 3)
         time.sleep(0.5)
-        b1 = total_input_bytes()
-        return (None if b0 is None or b1 is None else b1 - b0), wall
+        return _scan_bytes_after(b0), wall
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -453,6 +506,10 @@ def main() -> None:
     measure("knn_batch64_xxl", q_knn_batch64_xxl)
     measure("knn_batch64_xxl_disk", q_knn_batch64_xxl_disk)
     measure("ann_ivf_batch64_xxl", q_ann_ivf_batch64_xxl)
+    # the packed corpus has no further users — free it before the PQ
+    # lines so they run against pq_ram only (co-resident caches measured
+    # ~2x on the fused ADC line in r6/r7 probes)
+    xxl_packed.df.unpersist()
     measure("ivf_pq_single_xxl", q_ivf_pq_single_xxl)
     measure("ivf_pq_batch64_xxl", q_ivf_pq_batch64_xxl)
     measure("ivf_pq_batch64_xxl_disk", q_ivf_pq_batch64_xxl_disk)
@@ -485,8 +542,7 @@ def main() -> None:
 
     measure("fusion_hybrid_xxl_disk", q_fusion_hybrid_xxl_disk)
 
-    # the RAM-resident vector caches are only used by group-3 timed lines
-    xxl_packed.df.unpersist()
+    # the remaining RAM-resident cache is only used by group-3 timed lines
     pq_ram_xxl.unpersist()
 
     # recall@10 vs the exact scan for the approximate lines, at the TIMED
@@ -680,23 +736,44 @@ def main() -> None:
         run_app("ivf_pq_batch64_xxxl_disk", lambda: ivf_pq_search_batch(
             ivfpq_xxxl, queries_df, k=10, nprobe=4, oversampling=PQ_OS,
             metric="cosine", mode="coarse").count())
-        # bytes-read contrast (single-shot, untimed): on a 32-core box
-        # with page-cached parquet the exact matmul still wins WALL CLOCK
-        # at 2M rows — the quantized plan's 100-TB case is IO, so record
-        # the honest metric: the coarse ADC pass reads the 8 B/row code
-        # column of nprobe/32 partitions vs the full float corpus.
-        exact_bytes, _ = bytes_and_wall(lambda: knn_batch(
-            xxxl_disk, queries_df, metric="cosine", k=10,
-            vec_col="embedding", id_col="vec_id", strategy="matmul").count())
-        pq_bytes, _ = bytes_and_wall(lambda: ivf_pq_search_batch(
-            ivfpq_xxxl, queries_df, k=10, nprobe=4, oversampling=PQ_OS,
-            metric="cosine", mode="coarse").count())
+        # IO contrast (static, from parquet footers): on a 32-core box
+        # with page-cached files the exact matmul still wins WALL CLOCK
+        # at 2M rows — the quantized plan's 100-TB case is IO. The
+        # honest column-level figure is the compressed bytes the pruned
+        # scan actually decodes: the ADC pass reads the ~8 B/row code
+        # column, the exact scan the 1.5 KB/row float column. (The UI's
+        # "size of files read" counts whole files, so column pruning is
+        # invisible to it — footer metadata is the accurate source.)
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        def _col_bytes(pattern: str, cols: set[str]) -> int:
+            total = 0
+            for fpath in _glob.glob(pattern):
+                md = _pq.ParquetFile(fpath).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        if col.path_in_schema.split(".")[0] in cols:
+                            total += col.total_compressed_size
+            return total
+
+        exact_col_bytes = _col_bytes(f"{work}/xxxl/*.parquet",
+                                     {"vec_id", "embedding"})
+        # 64 queries x 4 probes cover all 32 cluster dirs, so the coarse
+        # pass decodes the code column of every partition — still ~100x
+        # less than the float column
+        code_col_bytes = _col_bytes(f"{work}/xxxl_pq/*/*.parquet",
+                                    {"vec_id", "__pq"})
         appendix = {"n_rows": n_xxxl, "queries": app_times,
-                    "batch64_bytes_read": {
-                        "exact_scan": exact_bytes,
-                        "ivf_pq_coarse": pq_bytes,
-                        "ratio": (round(exact_bytes / pq_bytes, 2)
-                                  if exact_bytes and pq_bytes else None)}}
+                    "batch64_scan_column_bytes": {
+                        "exact_scan_floats": exact_col_bytes,
+                        "ivf_pq_coarse_codes": code_col_bytes,
+                        "ratio": (round(exact_col_bytes / code_col_bytes, 1)
+                                  if exact_col_bytes and code_col_bytes
+                                  else None)}}
     except TimeoutError:
         pass
     except Exception as e:  # the appendix must never sink the headline
@@ -724,14 +801,17 @@ def main() -> None:
 
         lazy_bytes, lazy_wall = bytes_and_wall(q_fusion_hybrid_xxl_disk_lazy)
         fused_scan_diagnostic = {
-            "fused_bytes_read": fused_bytes,
-            "lazy_bytes_read": lazy_bytes,
+            "fused_file_bytes_read": fused_bytes,
+            "lazy_file_bytes_read": lazy_bytes,
             "bytes_ratio": (round(lazy_bytes / fused_bytes, 2)
                             if fused_bytes and lazy_bytes else None),
             "fused_wall_s": fused_wall,
             "lazy_wall_s": lazy_wall,
-            "note": "single-shot, untimed; lazy plan scans the corpus "
-                    "once per leg (4 legs), fused plan scans once total",
+            "note": "single-shot, untimed; Scan-node 'size of files "
+                    "read' summed over each side's SQL executions — "
+                    "both sides touch the same files, so the ratio "
+                    "counts corpus scans: lazy scans once per leg "
+                    "(4 legs), fused scans once total",
         }
         mark(f"  fused={fused_bytes} lazy={lazy_bytes} "
              f"walls {fused_wall}/{lazy_wall}")

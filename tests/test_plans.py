@@ -294,3 +294,17 @@ def test_lm_score_vocab_broadcasts(spark):
     assert "SortMergeJoin" not in plan
     # top-V is a TakeOrdered, not a single-partition global sort window
     assert "TakeOrderedAndProject" in plan
+
+
+def test_multilingual_fmm_tokenize_stays_jvm_side(documents):
+    """Chinese dictionary segmentation (r7): the multilingual tokenizer
+    without a stemmer compiles to pure Column expressions — the FMM is a
+    longest-first regex alternation and the OOV bigram fallback a
+    transform/sequence HOF, so there must be NO python worker stage."""
+    from qdrant_spark.functions.text import tokenize
+
+    df = documents.select(
+        tokenize("text", tokenizer="multilingual").alias("toks"))
+    plan = _plan(df, "simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "mapInArrow" not in plan
