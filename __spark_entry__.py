@@ -94,6 +94,66 @@ _SSIG = "(0.5 * (({x}) / (1.0 + abs({x})) + 1.0))"  # scaled fast sigmoid
 _FSIG = "(({x}) / (1.0 + abs({x})))"  # fast sigmoid
 
 
+def _ann_ivf_sql() -> str:
+    """Value oracle for the pinned-centroid IVF probe (nprobe=2 of K=8):
+    centroids are the embeddings of vec_id 0..7, so nearest-centroid
+    assignment (argmin of -2 v.c + ||c||^2, ties by centroid index — the
+    exact comparison assign_to_ivf codegens), the probe set (2 nearest
+    centroids to the query), and the exact cosine top-k inside the probed
+    clusters are all recomputable in SQL."""
+    lin = "-2*list_dot_product({v}, c.cv) + list_dot_product(c.cv, c.cv)"
+    cos = (
+        "list_dot_product(a.v, q.qv) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    return f"""
+WITH {_Q_CTE},
+c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) cv
+      FROM embeddings WHERE vec_id < 8),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+a AS (SELECT e.vec_id, e.v,
+             (SELECT c.cid FROM c
+              ORDER BY {lin.format(v='e.v')}, c.cid LIMIT 1) AS cl
+      FROM e),
+p AS (SELECT c.cid FROM c, q
+      ORDER BY {lin.format(v='q.qv')}, c.cid LIMIT 2),
+s AS (SELECT a.vec_id, {cos} AS score FROM a, q
+      WHERE a.cl IN (SELECT cid FROM p))
+SELECT vec_id, round(score, 6) AS score FROM s
+ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+def _bq_rescore_sql() -> str:
+    """Value oracle for 1-bit BQ + rescore: the encoding is bit_d =
+    v[d] > corpus-mean_d — a deterministic function of the corpus — and
+    XOR+popcount over the packed words equals the count of differing
+    bits, so the hamming coarse stage (top 80 = k*oversampling, ties by
+    id) and the exact cosine rescore replay exactly in SQL."""
+    cos = (
+        "list_dot_product(t.v, q.qv) / "
+        "(sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    return f"""
+WITH {_Q_CTE},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+m AS (SELECT list(mv ORDER BY d) AS means FROM (
+        SELECT g.d AS d, AVG(v[g.d]) AS mv
+        FROM e, (SELECT unnest(generate_series(1, (SELECT len(v) FROM e LIMIT 1))) AS d) g
+        GROUP BY g.d)),
+h AS (SELECT e.vec_id, e.v,
+             list_aggregate(list_transform(
+                 generate_series(1, len(e.v)),
+                 i -> CASE WHEN (e.v[i] > m.means[i]) = (q.qv[i] > m.means[i])
+                      THEN 0 ELSE 1 END), 'sum') AS ham
+      FROM e, m, q),
+coarse AS (SELECT vec_id, v FROM h ORDER BY ham, vec_id LIMIT 80),
+s AS (SELECT t.vec_id, {cos} AS score FROM coarse t, q)
+SELECT vec_id, round(score, 6) AS score FROM s
+ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
 def _knn_sql(metric: str, k: int = 10, label_where: str = "", threshold: str = "") -> str:
     e_cte = _E_CTE
     if label_where:
@@ -716,6 +776,25 @@ def _q_filter_text_stemmed(spark: SparkSession, sf: str) -> DataFrame:
     return apply_filter(_docs(spark, sf), flt, text_params=tp).select("doc_id")
 
 
+def _q_filter_text_stopworded(spark: SparkSession, sf: str) -> DataFrame:
+    """match.text against a text index declaring BUILT-IN language
+    stopwords (StopwordsInterface::Language, data_types/index.rs:438;
+    resolution stop_words/mod.rs:74-101; english list stop_words/
+    english.rs) plus an English Snowball stemmer. The query 'the queries
+    a merged' keeps only its content tokens after stopword removal —
+    ('the', 'a' are in the built-in english set) — so it requires
+    exactly the stems (queri, merg); document tokens pass the same
+    stopword stage before stemming."""
+    from qdrant_spark.filters import apply_filter
+
+    tp = {"text": {
+        "stemmer": {"type": "snowball", "language": "english"},
+        "stopwords": {"language": "english"},
+    }}
+    flt = {"must": [{"key": "text", "match": {"text": "the queries a merged"}}]}
+    return apply_filter(_docs(spark, sf), flt, text_params=tp).select("doc_id")
+
+
 def _q_filter_text_any(spark: SparkSession, sf: str) -> DataFrame:
     """match.text_any (MatchTextAny, types.rs:3021): at least one query
     token present — arrays_overlap over the tokenized field."""
@@ -770,6 +849,15 @@ _DOC_VOCAB = [
     "order", "part", "query", "row", "scan", "slow", "small", "sort",
     "spark", "stream", "table", "the", "value", "vector", "window",
 ]
+
+
+def _stopword_values(language: str) -> str:
+    """The built-in stopword list as SQL VALUES rows (quotes doubled)."""
+    from qdrant_spark.functions.stopwords import STOPWORDS
+
+    return ", ".join(
+        "('{}')".format(w.replace("'", "''")) for w in sorted(STOPWORDS[language])
+    )
 
 
 def _stem_map_sql(language: str = "english") -> str:
@@ -2177,12 +2265,22 @@ def _q_ann_full_probe(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    from qdrant_spark.operators.ann import build_ivf, ivf_search
+    """IVF probe with nprobe < K — genuinely approximate semantics, yet
+    fully value-oracled: centroids are PINNED to the embeddings of
+    vec_id 0..7 (the ``ivf_from_centroids`` 100-TB ingest shape — fit
+    elsewhere, assign map-only), so the nearest-centroid assignment, the
+    2-cluster probe set, and therefore the exact-scored result are all
+    deterministic functions the oracle recomputes in SQL. Closes the
+    last ``no_oracle`` ANN row (r7 verdict #2)."""
+    import numpy as np
+
+    from qdrant_spark.operators.ann import ivf_from_centroids, ivf_search
 
     emb = _emb(spark, sf)
-    idx = build_ivf(emb, n_clusters=8, vec_col="embedding", id_col="vec_id")
-    q = _vecs(spark, sf, [0])[0]
-    out = ivf_search(idx, q, k=10, nprobe=2, metric="cosine")
+    seeds = _vecs(spark, sf, list(range(8)))
+    cents = np.array([seeds[i] for i in range(8)], dtype=np.float64)
+    idx = ivf_from_centroids(emb, cents, vec_col="embedding", id_col="vec_id")
+    out = ivf_search(idx, seeds[0], k=10, nprobe=2, metric="cosine")
     return _r6(out, "score")
 
 
@@ -2383,7 +2481,11 @@ def _q_tq_rescore(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_bq_rescore(spark: SparkSession, sf: str) -> DataFrame:
     """Binary (1-bit) quantization: hamming coarse stage + exact rescore.
-    Approximate by design (rows-only check; recall gated in tests)."""
+    Approximate semantics (the 80-candidate coarse stage can miss true
+    top-k members), but fully deterministic — the oracle replays the
+    mean-threshold bits, hamming ranking and rescore in SQL, so this is
+    value-checked; recall of the encoding is additionally gated in
+    tests/test_quantize.py."""
     from qdrant_spark.operators.quantize import build_bq, bq_search
 
     emb = _emb(spark, sf)
@@ -2985,10 +3087,85 @@ def entry(spark: SparkSession) -> DataFrame:
 # drops to the back). Keep rotating each round so no entry's driver row
 # goes more than ~2 rounds stale.
 _GATE_PRIORITY = [
-    # round-7 head: pack_sequences first (oracle dtype fix re-verified
-    # under the driver), then the 22 entries green in r4 but sampled by
-    # neither the r5 nor r6 gate, then the r5-only set — so the rotating
-    # 50-slot gate re-greens the least-recently-driver-checked entries.
+    # round-8 head: the two freshly value-oracled entries first (their
+    # first-ever driver value check), then the 23 entries whose newest
+    # driver row is r05 (three rounds stale — r7 verdict #3), then the
+    # r06 cohort, then the entries the r07 gate just re-greened. The
+    # 50-slot gate thus leaves no entry older than r06 after this round.
+    "filter_text_stopworded",
+    "ann_ivf",
+    "quantized_bq_rescore",
+    "multimodal_wav",
+    "multimodal_ppm",
+    "geo_radius",
+    "geo_bbox_wrap",
+    "geo_polygon",
+    "filter_is_empty",
+    "filter_is_null",
+    "filter_has_id",
+    "filter_values_count",
+    "filter_nested",
+    "filter_jsonpath_array",
+    "filter_prefix",
+    "filter_text_any",
+    "filter_phrase_indexed",
+    "query_by_id",
+    "recommend_multi_ids",
+    "knn_acorn_filtered",
+    "dedup_simhash",
+    "dedup_components",
+    "dedup_resolve",
+    "dedup_embedding",
+    "ann_ivf_batch",
+    "quantized_sq_rescore",
+    "ann_ivf_full_probe",
+    "ann_ivf_pq_batch",
+    "ann_ivf_pq_rescore",
+    "c4_line_filter",
+    "context",
+    "count_filtered",
+    "delete_by_filter",
+    "discover",
+    "distance_matrix",
+    "dsir_weights",
+    "facet_estimate",
+    "facet_event_type",
+    "facet_lang",
+    "filter_dsl_orders",
+    "filter_min_should",
+    "filter_text_all",
+    "formula_rescore",
+    "fusion_dbsf",
+    "fusion_rrf",
+    "geo_indexed_radius",
+    "group_by",
+    "group_by_lookup",
+    "knn_uint8",
+    "lm_buckets",
+    "lm_score",
+    "maxsim",
+    "maxsim_knn",
+    "mixture_sample",
+    "quantized_pq_rescore",
+    "quantized_tq_rescore",
+    "query_batch",
+    "recommend_best_score",
+    "recommend_sum_scores",
+    "relevance_feedback",
+    "repetition_signals",
+    "retrieve",
+    "scroll_keyset",
+    "scroll_order_by",
+    "scroll_random",
+    "set_payload",
+    "sync",
+    "unique_values",
+    "universal_hybrid",
+    "universal_hybrid_sparse",
+    "universal_rescore",
+    "update_vectors",
+    "upsert",
+    "upsert_conditional",
     "pack_sequences",
     "ann_ivf_pq_incremental",
     "filter_phrase",
@@ -3039,79 +3216,6 @@ _GATE_PRIORITY = [
     "shard_fallback_route",
     "filter_text_stemmed",
     "filter_text_stemmed_de",
-    "filter_text_any",
-    "filter_has_id",
-    "filter_phrase_indexed",
-    "multimodal_wav",
-    "multimodal_ppm",
-    "dedup_components",
-    "dedup_resolve",
-    "dedup_simhash",
-    "dedup_embedding",
-    "filter_nested",
-    "filter_jsonpath_array",
-    "filter_prefix",
-    "filter_is_empty",
-    "filter_is_null",
-    "filter_values_count",
-    "query_by_id",
-    "recommend_multi_ids",
-    "geo_radius",
-    "geo_bbox_wrap",
-    "geo_polygon",
-    "knn_acorn_filtered",
-    "ann_ivf_batch",
-    "quantized_sq_rescore",
-    "quantized_bq_rescore",
-    "dsir_weights",
-    "lm_buckets",
-    "facet_estimate",
-    "formula_rescore",
-    "query_batch",
-    "knn_uint8",
-    "universal_hybrid",
-    "universal_hybrid_sparse",
-    "universal_rescore",
-    "upsert",
-    "sync",
-    "upsert_conditional",
-    "update_vectors",
-    "delete_by_filter",
-    "set_payload",
-    "ann_ivf_full_probe",
-    "ann_ivf",
-    "quantized_pq_rescore",
-    "quantized_tq_rescore",
-    "ann_ivf_pq_rescore",
-    "ann_ivf_pq_batch",
-    "geo_indexed_radius",
-    "repetition_signals",
-    "lm_score",
-    "mixture_sample",
-    "c4_line_filter",
-    "scroll_random",
-    "recommend_best_score",
-    "recommend_sum_scores",
-    "discover",
-    "context",
-    "relevance_feedback",
-    "fusion_rrf",
-    "fusion_dbsf",
-    "group_by",
-    "group_by_lookup",
-    "distance_matrix",
-    "maxsim",
-    "maxsim_knn",
-    "scroll_keyset",
-    "scroll_order_by",
-    "count_filtered",
-    "facet_lang",
-    "facet_event_type",
-    "unique_values",
-    "retrieve",
-    "filter_dsl_orders",
-    "filter_min_should",
-    "filter_text_all",
 ]
 
 
@@ -3183,6 +3287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_min_should": _q_filter_min_should,
         "filter_text_all": _q_filter_text("text"),
         "filter_text_stemmed": _q_filter_text_stemmed,
+        "filter_text_stopworded": _q_filter_text_stopworded,
         "filter_text_stemmed_de": _q_filter_text_stemmed_de,
         "filter_text_any": _q_filter_text_any,
         "filter_has_id": _q_filter_has_id,
@@ -3358,6 +3463,17 @@ st AS (SELECT doc_id, coalesce(sm.stem, tk.tok) AS stem
 SELECT doc_id FROM st GROUP BY doc_id
 HAVING bool_or(stem = 'queri') AND bool_or(stem = 'merg')
 """,
+        "filter_text_stopworded": f"""
+WITH {_stem_map_sql()},
+sw(word) AS (VALUES {_stopword_values("english")}),
+tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+ns AS (SELECT tk.doc_id, tk.tok FROM tk
+       WHERE tk.tok NOT IN (SELECT word FROM sw)),
+st AS (SELECT doc_id, coalesce(sm.stem, ns.tok) AS stem
+       FROM ns LEFT JOIN sm ON ns.tok = sm.word)
+SELECT doc_id FROM st GROUP BY doc_id
+HAVING bool_or(stem = 'queri') AND bool_or(stem = 'merg')
+""",
         "filter_text_stemmed_de": f"""
 WITH {_stem_map_sql("german")},
 tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
@@ -3460,7 +3576,10 @@ FROM documents
         "quantized_tq_rescore": _knn_sql("cosine"),
         # corpus-wide oversampling makes the 2-bit BQ rescore exact
         "quantized_bq2_rescore": _knn_sql("cosine"),
-        # quantized_bq_rescore: hamming coarse stage is approximate by
-        # design — rows-only check, recall gated in tests/test_quantize.py
-        # ann_ivf (nprobe<k): approximate by design — gated by recall tests
+        # both formerly rows-only entries are now value-oracled (r7
+        # verdict #2): ann_ivf pins its centroids to vec_id 0..7 so the
+        # nprobe=2 result is deterministic; quantized_bq_rescore's 1-bit
+        # coarse stage is a pure function of the corpus means
+        "quantized_bq_rescore": _bq_rescore_sql(),
+        "ann_ivf": _ann_ivf_sql(),
     })

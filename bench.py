@@ -100,12 +100,16 @@ def main() -> None:
             time.sleep(1.0)
 
     times: dict[str, float] = {}
+    #: every raw rep per line, in run order — recorded in the JSON so a
+    #: contaminated line is visible as such post hoc and a regression on
+    #: a slow line can't hide behind min-of-n (r7 ADVICE + verdict #1)
+    rep_samples: dict[str, list[float]] = {}
     # One retry-after-backoff budget for externally-contended lines: the
     # box occasionally runs something else for a couple of minutes, and a
     # line whose every rep lands inside the burst records garbage no
     # statistic can fix (r6: four lines recorded 5-10x their isolated
     # values). Bounded so a permanently-contended box can't stall the run.
-    salvage_left = [120.0]
+    salvage_left = [180.0]
 
     def measure(name: str, fn, reps: int = 3) -> None:
         wait_idle()
@@ -114,36 +118,43 @@ def main() -> None:
         t0 = time.time()
         fn()
         samples.append(time.time() - t0)
-        # a slow first rep means either a genuinely slow line or external
-        # contention — either way, extra reps buy little and cost budget
-        # (the r6 recorded run spent 1165s largely on repeating degraded
-        # lines): take one confirming rep and report the MIN, which is
-        # the least-contaminated estimate. Fast lines report the median
-        # of 3 consecutive reps.
+        # Slow first rep: either a genuinely slow line or external
+        # contention. This box's variance is 2-4x run to run, so two reps
+        # can BOTH land inside a noise burst (r7: recorded 5.15s on a
+        # line whose idle min is ~1.5s). Keep sampling, with a short
+        # backoff between reps, until the two FASTEST reps agree within
+        # 25% (cap 5 reps, bounded by the salvage budget); report the
+        # min of the agreeing pair. If no agreement at the cap the line
+        # is contended end-to-end — report the min and let the recorded
+        # spread say so. Fast lines report the median of 3.
         if samples[0] > 4.0:
             t0 = time.time()
             fn()
             samples.append(time.time() - t0)
-            best = min(samples)
-            n = 2
-            if best > 4.0 and salvage_left[0] > 0:
-                # both reps slow: back off past a short noise burst and
-                # try once more; min() keeps the honest lower envelope
+            while len(samples) < 5:
+                two = sorted(samples)[:2]
+                if two[1] <= two[0] * 1.25 or salvage_left[0] <= 0:
+                    break
                 t_s = time.time()
-                time.sleep(8.0)
+                time.sleep(4.0)
                 wait_idle()
                 t0 = time.time()
                 fn()
-                best = min(best, time.time() - t0)
+                samples.append(time.time() - t0)
                 salvage_left[0] -= time.time() - t_s
-                n = 3
-            times[name] = round(best, 3)
-            mark(f"  {name}: {times[name]}s (n={n},min)")
+            two = sorted(samples)[:2]
+            agreed = two[1] <= two[0] * 1.25
+            times[name] = round(two[0], 3)
+            rep_samples[name] = [round(s, 3) for s in samples]
+            mark(f"  {name}: {times[name]}s (n={len(samples)},min,"
+                 f"{'agreed' if agreed else 'CONTENDED'} "
+                 f"spread=[{min(samples):.2f}..{max(samples):.2f}])")
             return
         for _ in range(reps - 1):
             t0 = time.time()
             fn()
             samples.append(time.time() - t0)
+        rep_samples[name] = [round(s, 3) for s in samples]
         samples.sort()
         times[name] = round(samples[len(samples) // 2], 3)
         mark(f"  {name}: {times[name]}s (n={len(samples)})")
@@ -827,6 +838,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "rep_samples": rep_samples,
         "recall_at_10": recall,
         "recall_floor": RECALL_FLOOR,
         "recall_violations": recall_violations,

@@ -49,11 +49,21 @@ def _mark_ranges() -> str:
     )
 
 
-_PY_MARKS = _mark_ranges()
 # (?:[^\w MARKS]|_)+ not \W+: python \w includes underscore (java
 # \p{L}\p{N}\p{M} does not — both sides must split on it or query/document
-# tokenization diverges) and excludes combining marks (java keeps them)
-_PY_WORD_SPLIT = re.compile(f"(?:[^\\w{_PY_MARKS}]|_)+", re.UNICODE)
+# tokenization diverges) and excludes combining marks (java keeps them).
+# Built LAZILY: _mark_ranges() walks 65,536 codepoints through
+# unicodedata.category, which at import time would tax every Python
+# worker that loads this module for an unrelated UDF stage (r7 ADVICE);
+# only the py-tokenize path pays, once per process, on first use.
+_PY_WORD_SPLIT_CACHE: list[re.Pattern] = []
+
+
+def _py_word_split() -> re.Pattern:
+    if not _PY_WORD_SPLIT_CACHE:
+        _PY_WORD_SPLIT_CACHE.append(
+            re.compile(f"(?:[^\\w{_mark_ranges()}]|_)+", re.UNICODE))
+    return _PY_WORD_SPLIT_CACHE[0]
 
 # CJK character class for the multilingual tokenizer. Same explicit ranges on
 # the Python and Java side so both tokenize identically. Han (Chinese)
@@ -170,7 +180,7 @@ def tokenize_py(
     lowercase: bool = True,
     min_token_len: int | None = None,
     max_token_len: int | None = None,
-    stopwords: set[str] | None = None,
+    stopwords: Any = None,
     ascii_folding: bool = False,
     stemmer: str | dict[str, Any] | None = None,
 ) -> list[str]:
@@ -184,7 +194,16 @@ def tokenize_py(
     segments Han runs with the embedded dictionary FMM (functions/zh.py,
     charabia's Chinese dictionary segmentation analogue; OOV spans fall
     back to character bigrams), splits kana/hangul into single-char
-    tokens, and drops tokens with no letter (multilingual.rs:49-52)."""
+    tokens, and drops tokens with no letter (multilingual.rs:49-52).
+
+    ``stopwords`` accepts every ``StopwordsInterface`` form the reference
+    does (stop_words/mod.rs:74-101): a built-in language name
+    (``"english"``), ``{"language": ...}``, ``{"languages": [...],
+    "custom": [...]}``, or a plain word collection — see
+    :mod:`qdrant_spark.functions.stopwords`."""
+    from qdrant_spark.functions.stopwords import resolve_stopwords
+
+    stopwords = resolve_stopwords(stopwords)
     if ascii_folding:
         text = fold_to_ascii_py(text)
     if lowercase:
@@ -203,7 +222,7 @@ def tokenize_py(
             text = _PY_NONHAN_CJK.sub(lambda m: f" {m.group(0)} ", text)
         elif tokenizer == "japanese":
             text = _PY_CJK_RUN.sub(lambda m: f" {m.group(0)} ", text)
-        toks = [t for t in _PY_WORD_SPLIT.split(text) if t]
+        toks = [t for t in _py_word_split().split(text) if t]
         if tokenizer == "japanese":
             toks = [
                 b
@@ -327,13 +346,19 @@ def tokenize(
     lowercase: bool = True,
     min_token_len: int | None = None,
     max_token_len: int | None = None,
-    stopwords: set[str] | None = None,
+    stopwords: Any = None,
     ascii_folding: bool = False,
     stemmer: str | dict[str, Any] | None = None,
 ) -> Column:
     """Tokenize a string column -> array<string>, JVM-side (split/filter/
     flatten stay in whole-stage codegen; stemming, when enabled, is the one
-    Arrow-batched stage). Same options and ordering as :func:`tokenize_py`."""
+    Arrow-batched stage). Same options and ordering as :func:`tokenize_py`,
+    including the ``StopwordsInterface`` spec forms for ``stopwords`` —
+    the resolved set becomes an array literal, so removal stays in
+    codegen."""
+    from qdrant_spark.functions.stopwords import resolve_stopwords
+
+    stopwords = resolve_stopwords(stopwords)
     c = F.col(col) if isinstance(col, str) else col
     if ascii_folding:
         c = fold_to_ascii(c)

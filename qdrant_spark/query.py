@@ -676,7 +676,15 @@ def universal_query(
     (shard_holder resolves ShardSelectorInternal above the per-shard query,
     shard_holder/mod.rs:663): the whole prefetch tree then runs against the
     selected shards only, and the filter prunes partitions when the shard
-    column is a partition column."""
+    column is a partition column.
+
+    When the large-corpus prefetch-fusion fallback engages (shared scan
+    persisted as a DataFrame), the result is materialized EAGERLY here —
+    at most ``limit`` rows are collected to the driver and returned as a
+    local DataFrame — so the cached scan can be freed before this
+    one-shot planner is discarded. Consequence: on that path the returned
+    DataFrame is a snapshot and does NOT recompute against later
+    mutations of ``points``; the common non-fallback paths stay lazy."""
     if request.get("shard_key") is not None:
         from qdrant_spark.operators.sharding import select_shards
 
@@ -730,7 +738,13 @@ def query_batch(
     special-cases exactly this, dispatch.rs batch path / the PlannedQuery
     leaf merge). Per-request limit/offset/score_threshold are preserved;
     the batched leg results are value-identical to planning each request
-    alone."""
+    alone.
+
+    Like :func:`universal_query`, if any request engages the fused
+    DataFrame fallback the whole batch result is materialized eagerly
+    (≤ ``sum(limit_i)`` rows collected, returned as a local snapshot
+    DataFrame that does not recompute against later ``points``
+    mutations); otherwise the result is lazy as usual."""
     from functools import reduce
 
     planner = QueryPlanner(
@@ -764,6 +778,13 @@ def query_batch(
     for i, req in enumerate(requests):
         if outs[i] is None:
             outs[i] = planner.plan(req)
+            # a per-request plan() can itself hit the fused DataFrame
+            # fallback; move its persists into the stash immediately or
+            # the NEXT plan() call unpersists them at entry — before the
+            # batch union materializes — silently re-running the shared
+            # scan per leg at collect
+            fused_persists.extend(planner._fused_persisted)
+            planner._fused_persisted = []
     planner._fused_persisted.extend(fused_persists)
     tagged = [df.withColumn("request_idx", F.lit(i))
               for i, df in enumerate(outs)]
