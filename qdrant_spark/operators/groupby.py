@@ -12,10 +12,14 @@ a record of a lookup collection.
 
 The reference implements this with an iterative re-query loop (fetch,
 exclude filled groups, re-fetch...) because it can only pull bounded result
-pages through the index. Spark computes the same fixpoint in ONE pass with
-two windows — per-group row_number to cap group_size, then dense rank over
-group-best scores to cap the group count. No iteration, no driver loop,
-shuffle-bound: this is the idiomatic large-scale plan.
+pages through the index. Spark computes the same fixpoint in ONE pass:
+per-group row_number caps group_size (window PARTITIONED by group — fully
+parallel), then groups are ranked on a per-group AGGREGATE (one narrow row
+per group, map-side partial) and the ≤``groups`` winners broadcast-join
+back onto the capped hits. No iteration, no driver loop, and — unlike a
+naive global dense_rank window — no stage that funnels every candidate
+row through a single partition (that plan breaks at high group
+cardinality; r8 rework).
 """
 
 from __future__ import annotations
@@ -57,18 +61,34 @@ def group_by(
     df = df.withColumn("rank_in_group", F.row_number().over(w_in)).filter(
         F.col("rank_in_group") <= group_size
     )
-    # rank groups by their best (rank 1) hit; tie-break by group_value
-    best = F.when(F.col("rank_in_group") == 1, F.col("score"))
-    w_grp = Window.partitionBy(*part, "group_value")
-    df = df.withColumn("__best", F.max(best).over(w_grp))
-    w_rank = Window.partitionBy(*part).orderBy(
+    # Rank groups by their best hit, tie-break by group_value. The rank-1
+    # row of each group IS the group's best, so the group ranking runs
+    # over one narrow row per group (no extra shuffle: same exchange as
+    # w_in) instead of a dense_rank window over the full hit set — a
+    # global window has no partition key and would move every candidate
+    # row to a single partition, which breaks at high group cardinality.
+    heads = df.filter(F.col("rank_in_group") == 1).select(
+        *part, "group_value", F.col("score").alias("__best"))
+    rank_order = [
         F.col("__best").desc() if larger_better else F.col("__best").asc(),
         F.col("group_value").asc(),
+    ]
+    if part:
+        w_rank = Window.partitionBy(*part).orderBy(*rank_order)
+        winners = heads.withColumn("group_rank", F.dense_rank().over(w_rank)) \
+            .filter(F.col("group_rank") <= groups)
+    else:
+        # global case: top-N first (TakeOrderedAndProject — no shuffle-to-one
+        # of the full group list), then number the <= `groups` survivors
+        top = heads.orderBy(*rank_order).limit(groups)
+        winners = top.withColumn(
+            "group_rank", F.dense_rank().over(Window.orderBy(*rank_order)))
+    out_cols = df.columns
+    df = df.join(
+        F.broadcast(winners.select(*part, "group_value", "group_rank")),
+        part + ["group_value"],
     )
-    df = df.withColumn("group_rank", F.dense_rank().over(w_rank)).filter(
-        F.col("group_rank") <= groups
-    )
-    return df.drop("__best")
+    return df.select(*out_cols, "group_rank")
 
 
 def with_lookup(
