@@ -747,6 +747,44 @@ def main() -> None:
         run_app("ivf_pq_batch64_xxxl_disk", lambda: ivf_pq_search_batch(
             ivfpq_xxxl, queries_df, k=10, nprobe=4, oversampling=PQ_OS,
             metric="cosine", mode="coarse").count())
+        # --------------------------------------------------------------
+        # multitenant pruning (catalog layout hints: tenant -> partition
+        # column). Same tenant-filtered KNN against (a) the
+        # tenant-partitioned layout — the filter becomes directory
+        # pruning, reading ~1/64 of the corpus — vs (b) the flat layout,
+        # where it's a row filter over a full scan. Bytes-read from the
+        # SQL UI Scan metric; this is the artifact the layout hints
+        # promise (r7 verdict stretch #8).
+        # --------------------------------------------------------------
+        tenant_col = F.pmod(F.xxhash64("vec_id"), F.lit(64)).cast("int")
+        tenant_path = f"{work}/xxxl_tenant"
+        (xxxl_disk.withColumn("tenant", tenant_col)
+            .repartition(64, F.col("tenant"))
+            .write.mode("overwrite").partitionBy("tenant")
+            .parquet(tenant_path))
+        tenant_tbl = spark.read.parquet(tenant_path)
+
+        def _knn_one_tenant(tbl):
+            return knn(tbl.filter(F.col("tenant") == 7), q0,
+                       metric="cosine", k=10, vec_col="embedding",
+                       id_col="vec_id", select=["vec_id", "score"]).collect()
+
+        _knn_one_tenant(tenant_tbl)  # warm (plan + codegen)
+        pruned_bytes, pruned_wall = bytes_and_wall(
+            lambda: _knn_one_tenant(tenant_tbl))
+        flat = xxxl_disk.withColumn("tenant", tenant_col)
+        _knn_one_tenant(flat)  # warm
+        flat_bytes, flat_wall = bytes_and_wall(lambda: _knn_one_tenant(flat))
+        app_times["knn_tenant_pruned_xxxl_disk"] = pruned_wall
+        app_times["knn_tenant_flat_xxxl_disk"] = flat_wall
+        appendix_tenant = {
+            "tenants": 64,
+            "pruned_scan_bytes": pruned_bytes,
+            "flat_scan_bytes": flat_bytes,
+            "pruning_ratio": (round(flat_bytes / pruned_bytes, 1)
+                              if flat_bytes and pruned_bytes else None),
+        }
+        mark(f"  tenant pruning: {appendix_tenant}")
         # IO contrast (static, from parquet footers): on a 32-core box
         # with page-cached files the exact matmul still wins WALL CLOCK
         # at 2M rows — the quantized plan's 100-TB case is IO. The
@@ -779,6 +817,7 @@ def main() -> None:
         code_col_bytes = _col_bytes(f"{work}/xxxl_pq/*/*.parquet",
                                     {"vec_id", "__pq"})
         appendix = {"n_rows": n_xxxl, "queries": app_times,
+                    "tenant_pruning": appendix_tenant,
                     "batch64_scan_column_bytes": {
                         "exact_scan_floats": exact_col_bytes,
                         "ivf_pq_coarse_codes": code_col_bytes,
@@ -839,6 +878,14 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "rep_samples": rep_samples,
+        "notes": {
+            "grouped_search": (
+                "r8: group ranking reworked to per-group heads + broadcast "
+                "join (the old global dense_rank window funneled all capped "
+                "hits through one partition — wrong at high group "
+                "cardinality); adds ~0.1s of fixed stage overhead at this "
+                "toy scale, see groupby.py"),
+        },
         "recall_at_10": recall,
         "recall_floor": RECALL_FLOOR,
         "recall_violations": recall_violations,

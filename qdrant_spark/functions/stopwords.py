@@ -555,7 +555,7 @@ STOPWORDS: dict[str, frozenset[str]] = {
 }
 
 
-def resolve_stopwords(spec: Any) -> frozenset[str] | None:
+def resolve_stopwords(spec: Any, *, lowercase: bool = True) -> frozenset[str] | None:
     """Resolve any ``StopwordsInterface`` spec form to a frozen word set.
 
     Mirrors ``StopwordsFilter::new`` (stop_words/mod.rs:74-101): a bare
@@ -564,11 +564,20 @@ def resolve_stopwords(spec: Any) -> frozenset[str] | None:
     the custom words), or a plain iterable of custom words. ``None``
     stays ``None``. Unknown language names raise — silently indexing
     without stopword removal would diverge from a reference-built index.
+
+    ``lowercase`` is the text index's lowercase flag: custom words are
+    lowercased only when the tokens they must match are
+    (``add_stopword``, stop_words/mod.rs:108-114). The built-in lists
+    are stored lowercase either way, as in the reference's arrays.
     """
     if spec is None:
         return None
     if isinstance(spec, str):
         return _language(spec)
+
+    def _custom(word: Any) -> str:
+        return str(word).lower() if lowercase else str(word)
+
     if isinstance(spec, dict):
         out: set[str] = set()
         if "language" in spec:
@@ -576,14 +585,14 @@ def resolve_stopwords(spec: Any) -> frozenset[str] | None:
         for lang in spec.get("languages") or ():
             out |= _language(lang)
         for word in spec.get("custom") or ():
-            out.add(str(word).lower())
+            out.add(_custom(word))
         if not out and not ("language" in spec or "languages" in spec
                             or "custom" in spec):
             raise ValueError(
                 f"stopwords spec {spec!r} has none of language/languages/custom")
         return frozenset(out)
     if isinstance(spec, (set, frozenset, list, tuple)):
-        return frozenset(str(w).lower() for w in spec)
+        return frozenset(_custom(w) for w in spec)
     raise TypeError(f"unsupported stopwords spec: {type(spec).__name__}")
 
 

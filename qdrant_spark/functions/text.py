@@ -203,7 +203,7 @@ def tokenize_py(
     :mod:`qdrant_spark.functions.stopwords`."""
     from qdrant_spark.functions.stopwords import resolve_stopwords
 
-    stopwords = resolve_stopwords(stopwords)
+    stopwords = resolve_stopwords(stopwords, lowercase=lowercase)
     if ascii_folding:
         text = fold_to_ascii_py(text)
     if lowercase:
@@ -358,7 +358,7 @@ def tokenize(
     codegen."""
     from qdrant_spark.functions.stopwords import resolve_stopwords
 
-    stopwords = resolve_stopwords(stopwords)
+    stopwords = resolve_stopwords(stopwords, lowercase=lowercase)
     c = F.col(col) if isinstance(col, str) else col
     if ascii_folding:
         c = fold_to_ascii(c)

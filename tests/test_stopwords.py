@@ -102,6 +102,17 @@ def test_spec_forms():
         resolve_stopwords(42)
 
 
+def test_custom_respects_lowercase_flag():
+    # StopwordsFilter::new lowercases custom words only when the index
+    # lowercases tokens (add_stopword, stop_words/mod.rs:108-114)
+    from qdrant_spark.functions.text import tokenize_py
+
+    assert tokenize_py("Foo bar", lowercase=False, stopwords=["Foo"]) == ["bar"]
+    assert tokenize_py("foo bar", lowercase=False, stopwords=["Foo"]) == ["foo", "bar"]
+    assert tokenize_py("Foo bar", lowercase=True, stopwords=["Foo"]) == ["bar"]
+    assert resolve_stopwords(["Foo"], lowercase=False) == frozenset({"Foo"})
+
+
 def test_custom_unions_with_language():
     sw = resolve_stopwords({"language": "english", "custom": ["spark"]})
     assert tokenize_py("the spark table", stopwords=sw) == ["table"]
