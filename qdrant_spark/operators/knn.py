@@ -140,11 +140,20 @@ def _knn_single_arrow(
         qid_col="__q", qvec_col="__qv", score_threshold=score_threshold,
         q_data=([0], np.asarray([[float(x) for x in query_vector]])),
     ).select(F.col(id_col).alias("__hit_id"), "score")
-    joined = df.join(
-        F.broadcast(top), df[id_col] == F.col("__hit_id"), "inner"
-    ).drop("__hit_id")
     out_cols = select if select is not None else [c for c in df.columns if c != vec_col] + ["score"]
-    out = joined.select(*out_cols).orderBy(*score_order(metric, id_col=id_col))
+    if set(out_cols) <= {id_col, "score"}:
+        # the scorer's output already carries (id, score) — joining back
+        # would re-scan the whole corpus a second time just to re-project
+        # columns we have. One scan total for the common id+score shape.
+        out = top.select(
+            *[F.col("__hit_id").alias(id_col) if c == id_col else F.col(c)
+              for c in out_cols]
+        ).orderBy(*score_order(metric, id_col=id_col))
+    else:
+        joined = df.join(
+            F.broadcast(top), df[id_col] == F.col("__hit_id"), "inner"
+        ).drop("__hit_id")
+        out = joined.select(*out_cols).orderBy(*score_order(metric, id_col=id_col))
     if offset:
         return out.limit(offset + k).offset(offset)
     return out.limit(k)

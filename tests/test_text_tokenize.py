@@ -29,7 +29,9 @@ options = st.fixed_dictionaries(
         "lowercase": st.booleans(),
         "min_token_len": st.sampled_from([None, 1, 2, 3]),
         "max_token_len": st.sampled_from([None, 3, 5]),
-        "stopwords": st.sampled_from([None, STOPWORDS]),
+        "stopwords": st.sampled_from(
+            [None, STOPWORDS, "english",
+             {"languages": ["english"], "custom": ["ab", "THE"]}]),
         "ascii_folding": st.booleans(),
         "stemmer": st.sampled_from([None, "english", {"type": "none"}]),
     }
