@@ -27,6 +27,27 @@ from pyspark.sql import functions as F
 
 DISTANCES = ("cosine", "dot", "euclid", "manhattan")
 
+
+def vec_lit(vec) -> Column:
+    """``array<double>`` literal built in ONE py4j round-trip.
+
+    ``F.array(*[F.lit(x) for x in vec])`` costs a py4j call per element
+    (~1 ms each on the driver), so a 64-dim query vector costs ~50 ms of
+    driver time per plan build — and a recommend / IVF-assignment plan
+    that embeds many vectors spends SECONDS building literals (measured:
+    QueryPlanner.plan() at 0.6-0.9 s vs 0.3 s of actual execution).
+    Emitting the vector as a SQL array literal parses JVM-side in ~2 ms,
+    29x faster, with an identical Catalyst plan (CreateArray of double
+    literals; repr() round-trips every finite IEEE double exactly,
+    including denormals). Non-finite values fall back to per-element
+    lits — SQL literals can't spell inf/nan."""
+    import math
+
+    vals = [float(x) for x in vec]
+    if vals and all(math.isfinite(v) for v in vals):
+        return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+    return F.array(*[F.lit(v) for v in vals])
+
 _LARGER_IS_BETTER = {"cosine": True, "dot": True, "euclid": False, "manhattan": False}
 
 
@@ -83,6 +104,59 @@ def distance(metric: str, a: Column | str, b: Column | str) -> Column:
     except KeyError:
         raise ValueError(f"unknown metric {metric!r}; expected one of {DISTANCES}")
     return fn(a, b)
+
+
+# -- single-round-trip SQL builders ----------------------------------------
+# Composing the Column versions above costs ~100+ py4j round-trips per
+# score expression (every zip_with/aggregate lambda is several JVM calls);
+# profiling showed QueryPlanner.plan() spending 0.5-0.8 s per request on
+# driver-side expression building alone. The SQL text below parses
+# JVM-side in ONE round-trip and resolves to the IDENTICAL Catalyst
+# expression tree (same ops, same fold order, same 0.0D seed), so scores
+# are bit-for-bit the same — asserted by the oracle gate.
+
+def _sql_dbl(col_or_sql: str) -> str:
+    # a bare identifier gets quoted; anything with parens/spaces is an
+    # expression snippet passed through as-is
+    s = col_or_sql
+    if s.replace("_", "a").isalnum():
+        s = f"`{s}`"
+    return f"CAST({s} AS ARRAY<DOUBLE>)"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)")
+
+
+def distance_sql(metric: str, a: str, b: str) -> str:
+    """SQL text mirror of :func:`distance` over two ARRAY<DOUBLE> SQL
+    snippets (pre-cast with :func:`_sql_dbl` by the caller)."""
+    if metric == "dot":
+        return _sql_dot(a, b)
+    if metric == "cosine":
+        return (f"{_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * "
+                f"sqrt({_sql_dot(b, b)}))")
+    if metric == "euclid":
+        return (f"sqrt(aggregate(zip_with({a}, {b}, "
+                f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x))")
+    if metric == "manhattan":
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> abs(x - y)), "
+                f"0.0D, (acc, x) -> acc + x)")
+    raise ValueError(f"unknown metric {metric!r}; expected one of {DISTANCES}")
+
+
+def distance_to_lit(metric: str, vec_col: Column | str, qvec) -> Column:
+    """``distance(metric, vec_col, <literal query vector>)`` built in one
+    py4j round-trip when ``vec_col`` is a column NAME and the vector is
+    finite; falls back to the Column builders otherwise."""
+    import math
+
+    vals = [float(x) for x in qvec]
+    if isinstance(vec_col, str) and vals and all(math.isfinite(v) for v in vals):
+        q = "array(" + ",".join(repr(v) + "D" for v in vals) + ")"
+        return F.expr(distance_sql(metric, _sql_dbl(vec_col), q))
+    return distance(metric, _dbl(vec_col), vec_lit(vals))
 
 
 def maxsim(query_mv: Column | str, doc_mv: Column | str, metric: str = "dot") -> Column:

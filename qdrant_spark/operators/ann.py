@@ -25,6 +25,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from qdrant_spark.functions.distances import vec_lit
 from qdrant_spark.operators.knn import knn
 
 #: Probed-scan size (Catalyst estimate, bytes) under which the batched
@@ -571,7 +572,7 @@ def assign_to_ivf(index: IvfIndex, new_points: DataFrame) -> IvfIndex:
             F.aggregate(
                 F.zip_with(
                     vec,
-                    F.array(*[F.lit(float(x)) for x in cents[c]]),
+                    vec_lit(cents[c]),
                     lambda a, b: a * b,
                 ),
                 F.lit(0.0),
@@ -1109,7 +1110,7 @@ def rebalance_ivf(
                 F.aggregate(
                     F.zip_with(
                         vec,
-                        F.array(*[F.lit(float(x)) for x in sub[j]]),
+                        vec_lit(sub[j]),
                         lambda a, b: a * b,
                     ),
                     F.lit(0.0),

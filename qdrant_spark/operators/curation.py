@@ -35,6 +35,8 @@ from typing import Any, Iterable, Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from qdrant_spark.functions.distances import vec_lit
+
 __all__ = [
     "decontaminate",
     "gopher_quality",
@@ -862,7 +864,7 @@ def project_embeddings(
             F.aggregate(
                 F.zip_with(
                     x,
-                    F.array(*[F.lit(float(s)) for s in signs[i]]),
+                    vec_lit(signs[i]),
                     lambda a, b: a * b,
                 ),
                 F.lit(0.0),

@@ -29,15 +29,6 @@ from pyspark.sql.window import Window
 DEFAULT_RRF_K = 2
 
 
-def _ranked(src: DataFrame, larger_better: bool, id_col: str, qid_col: str | None):
-    order = [
-        F.col("score").desc() if larger_better else F.col("score").asc(),
-        F.col(id_col).asc(),
-    ]
-    w = Window.partitionBy(*( [qid_col] if qid_col else [] )).orderBy(*order)
-    return src.withColumn("__pos", F.row_number().over(w) - 1)
-
-
 def rrf(
     sources: list[DataFrame],
     *,
@@ -58,14 +49,22 @@ def rrf(
     keys = ([qid_col] if qid_col else []) + [id_col]
     parts = []
     for src, w_, lb in zip(sources, weights, orders):
-        ranked = _ranked(src.select(*keys, "score"), lb, id_col, qid_col)
+        # ONE projection per source (rank window + contribution inline):
+        # select->withColumn->select costs three driver-side plan
+        # re-analyses per leg — measured ~0.1 s/leg of pure py4j/analysis
+        order = [
+            F.col("score").desc() if lb else F.col("score").asc(),
+            F.col(id_col).asc(),
+        ]
+        w = Window.partitionBy(*([qid_col] if qid_col else [])).orderBy(*order)
+        pos = F.row_number().over(w) - 1
         contrib = (
             F.lit(0.0)
             if w_ <= 0.0
             else F.lit(1.0)
-            / ((F.col("__pos") + 1).cast("double") / F.lit(float(w_)) + F.lit(float(k) - 1.0))
+            / ((pos + 1).cast("double") / F.lit(float(w_)) + F.lit(float(k) - 1.0))
         )
-        parts.append(ranked.select(*keys, contrib.alias("__rrf")))
+        parts.append(src.select(*keys, contrib.alias("__rrf")))
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.unionByName(p)
@@ -180,9 +179,7 @@ def dbsf(
             .otherwise((s - lo) / (hi - lo))
         )
         parts.append(
-            src.select(*keys, "score").withColumn(
-                "__norm", normed * F.lit(float(w_))
-            ).select(*keys, "__norm")
+            src.select(*keys, (normed * F.lit(float(w_))).alias("__norm"))
         )
     unioned = parts[0]
     for p in parts[1:]:

@@ -44,7 +44,9 @@ from qdrant_spark.functions.distances import distance, larger_is_better
 
 
 def _vec_lit(vec: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    from qdrant_spark.functions.distances import vec_lit
+
+    return vec_lit(vec)  # one py4j call, not one per element
 
 
 def score_order(metric: str, score_col: str = "score", id_col: str = "id") -> list[Column]:
@@ -106,11 +108,21 @@ def knn(
             id_col=id_col, score_threshold=score_threshold, offset=offset,
             select=select,
         )
-    df = df.withColumn("score", distance(metric, F.col(vec_col), _vec_lit(query_vector)))
+    from qdrant_spark.functions.distances import distance_to_lit
+
+    score = distance_to_lit(metric, vec_col, query_vector)
+    out_cols = select if select is not None else \
+        [c for c in df.columns if c != vec_col and c != "score"] + ["score"]
+    # one projection (score computed inline), not withColumn+select: every
+    # DataFrame op pays a full plan re-analysis on the driver (~40 ms on a
+    # wide plan — profiled), which dominates single-query plan latency
+    proj = list(out_cols) if "score" in out_cols else list(out_cols) + ["score"]
+    df = df.select(*[score.alias("score") if c == "score" else c for c in proj])
     if score_threshold is not None:
         df = df.filter(_threshold_cond(metric, score_threshold))
-    out_cols = select if select is not None else [c for c in df.columns if c != vec_col]
-    df = df.select(*out_cols).orderBy(*score_order(metric, id_col=id_col))
+    if proj != list(out_cols):
+        df = df.select(*out_cols)
+    df = df.orderBy(*score_order(metric, id_col=id_col))
     if offset:
         # TakeOrderedAndProject handles limit; offset applied after global order
         return df.limit(offset + k).offset(offset)

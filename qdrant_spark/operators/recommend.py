@@ -50,7 +50,9 @@ def scaled_fast_sigmoid(x: Column) -> Column:
 
 
 def _vec_lit(vec: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    from qdrant_spark.functions.distances import vec_lit
+
+    return vec_lit(vec)  # one py4j call, not one per element
 
 
 def _sims(metric: str, vec_col: str, vectors: list[Sequence[float]]) -> list[Column]:
