@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from qdrant_spark.filters import apply_filter
-from qdrant_spark.functions.distances import distance, larger_is_better
+from qdrant_spark.functions.distances import distance, distance_to_lit, larger_is_better
 from qdrant_spark.operators.knn import knn, score_order
 
 F32_EPSILON = float(np.finfo(np.float32).eps)
@@ -56,7 +56,7 @@ def _vec_lit(vec: Sequence[float]) -> Column:
 
 
 def _sims(metric: str, vec_col: str, vectors: list[Sequence[float]]) -> list[Column]:
-    return [distance(metric, F.col(vec_col), _vec_lit(v)) for v in vectors]
+    return [distance_to_lit(metric, vec_col, v) for v in vectors]
 
 
 def _topk(df: DataFrame, metric_like_larger_better: bool, k: int, id_col: str,
@@ -156,10 +156,10 @@ def discover(
     df = apply_filter(points, flt).filter(F.col(vec_col).isNotNull())
     rank = F.lit(0)
     for pos, neg in pairs:
-        ps = distance(metric, F.col(vec_col), _vec_lit(pos))
-        ns = distance(metric, F.col(vec_col), _vec_lit(neg))
+        ps = distance_to_lit(metric, vec_col, pos)
+        ns = distance_to_lit(metric, vec_col, neg)
         rank = rank + F.when(ps > ns, 1).when(ps < ns, -1).otherwise(0)
-    target_sim = distance(metric, F.col(vec_col), _vec_lit(target))
+    target_sim = distance_to_lit(metric, vec_col, target)
     df = df.withColumn("score", rank.cast("double") + scaled_fast_sigmoid(target_sim))
     return _topk(df, True, k, id_col, vec_col)
 
@@ -177,8 +177,8 @@ def context(
     df = apply_filter(points, flt).filter(F.col(vec_col).isNotNull())
     score = F.lit(0.0)
     for pos, neg in pairs:
-        ps = distance(metric, F.col(vec_col), _vec_lit(pos))
-        ns = distance(metric, F.col(vec_col), _vec_lit(neg))
+        ps = distance_to_lit(metric, vec_col, pos)
+        ns = distance_to_lit(metric, vec_col, neg)
         diff = ps - ns - F.lit(F32_EPSILON)
         score = score + fast_sigmoid(F.least(diff, F.lit(0.0)))
     df = df.withColumn("score", score)
@@ -199,10 +199,10 @@ def relevance_feedback(
 ) -> DataFrame:
     """pairs: (positive_vec, negative_vec, weight) with weight = conf^b * c."""
     df = apply_filter(points, flt).filter(F.col(vec_col).isNotNull())
-    score = F.lit(a) * distance(metric, F.col(vec_col), _vec_lit(target))
+    score = F.lit(a) * distance_to_lit(metric, vec_col, target)
     for pos, neg, w in pairs:
-        ps = distance(metric, F.col(vec_col), _vec_lit(pos))
-        ns = distance(metric, F.col(vec_col), _vec_lit(neg))
+        ps = distance_to_lit(metric, vec_col, pos)
+        ns = distance_to_lit(metric, vec_col, neg)
         score = score + F.lit(float(w)) * (ps - ns)
     df = df.withColumn("score", score)
     return _topk(df, True, k, id_col, vec_col)
