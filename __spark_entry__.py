@@ -1597,6 +1597,25 @@ def _q_filter_prefix(spark: SparkSession, sf: str) -> DataFrame:
 _FILTER_PREFIX_SQL = "SELECT doc_id, source FROM documents WHERE source LIKE 'src1%'"
 
 
+def _q_filter_slice(spark: SparkSession, sf: str) -> DataFrame:
+    """SliceCondition (types.rs:3905-3911): ``hash(id) % total == index``,
+    composed with a payload match inside the same must-clause."""
+    from qdrant_spark.filters import apply_filter
+
+    flt = {"must": [
+        {"slice": {"total": 5, "index": 2}},
+        {"key": "lang", "match": {"any": ["en", "de"]}},
+    ]}
+    return apply_filter(_docs(spark, sf), flt).select("doc_id", "lang")
+
+
+_FILTER_SLICE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 = 2
+  AND lang IN ('en', 'de')
+"""
+
+
 def _docs_with_tags(spark: SparkSession, sf: str) -> DataFrame:
     """Synthesized array payload with the reference's three-way missing /
     empty / null semantics (types.rs:3780-3806)."""
@@ -3095,6 +3114,7 @@ _GATE_PRIORITY = [
     "filter_text_stopworded",
     "ann_ivf",
     "quantized_bq_rescore",
+    "filter_slice",
     "multimodal_wav",
     "multimodal_ppm",
     "geo_radius",
@@ -3319,6 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_nested": _q_filter_nested,
         "filter_jsonpath_array": _q_filter_jsonpath,
         "filter_prefix": _q_filter_prefix,
+        "filter_slice": _q_filter_slice,
         "filter_is_empty": _q_filter_is_empty,
         "filter_is_null": _q_filter_is_null,
         "filter_values_count": _q_values_count,
@@ -3541,6 +3562,7 @@ FROM documents
         "filter_nested": _FILTER_NESTED_SQL,
         "filter_jsonpath_array": _FILTER_JSONPATH_SQL,
         "filter_prefix": _FILTER_PREFIX_SQL,
+        "filter_slice": _FILTER_SLICE_SQL,
         "filter_is_empty": _FILTER_IS_EMPTY_SQL,
         "filter_is_null": _FILTER_IS_NULL_SQL,
         "filter_values_count": _VALUES_COUNT_SQL,

@@ -209,7 +209,12 @@ def main() -> None:
         except Exception:
             return None
 
-    def bytes_and_wall(fn) -> tuple[int | None, float]:
+    def bytes_and_wall(fn, wall_reps: int = 2) -> tuple[int | None, float]:
+        """Bytes from ONE execution window (deterministic — counting two
+        runs would double them); wall = min over ``wall_reps`` runs, since
+        a single-shot wall on this box can record a 10x contention burst
+        as if it were the plan (r8: a one-shot lazy wall read 30.6s vs
+        2.6s the round before, same plan)."""
         wait_idle()
         time.sleep(0.5)  # let the listener drain before the baseline read
         b0 = _max_sql_id()
@@ -217,7 +222,13 @@ def main() -> None:
         fn()
         wall = round(time.time() - t0, 3)
         time.sleep(0.5)
-        return _scan_bytes_after(b0), wall
+        nbytes = _scan_bytes_after(b0)
+        for _ in range(wall_reps - 1):
+            wait_idle()
+            t0 = time.time()
+            fn()
+            wall = min(wall, round(time.time() - t0, 3))
+        return nbytes, wall
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -857,7 +868,8 @@ def main() -> None:
                             if fused_bytes and lazy_bytes else None),
             "fused_wall_s": fused_wall,
             "lazy_wall_s": lazy_wall,
-            "note": "single-shot, untimed; Scan-node 'size of files "
+            "note": "untimed diagnostic (walls are min-of-2, bytes from "
+                    "one run); Scan-node 'size of files "
                     "read' summed over each side's SQL executions — "
                     "both sides touch the same files, so the ratio "
                     "counts corpus scans: lazy scans once per leg "

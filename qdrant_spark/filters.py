@@ -357,6 +357,36 @@ def _point_in_polygon(c: Column, body: dict) -> Column:
     return inside
 
 
+def slice_membership(id_col: Column, total: int, index: int) -> Column:
+    """One of ``total`` disjoint deterministic slices of the id space
+    (``SliceCondition`` types.rs:3905-3911; ``Slice::check``
+    types.rs:3879-3885): membership is ``hash(id) % total == index``.
+
+    The reference hashes with SipHash-2-4 (zero key) over the canonical
+    id bytes (``slice_point_id_hash`` types.rs:3894-3902); SipHash exists
+    in neither Spark nor DuckDB, so we substitute the repo's standard
+    cross-engine md5-derived 60-bit hash over the id's string form (same
+    documented substitution as the BM25 token ids,
+    ``functions/hashes.py``). The reference's contract carries over: for
+    a fixed ``total`` the slices are disjoint and cover all points, and
+    the hash is unsalted, so slice 0 of ``total`` 4 is a strict subset of
+    slice 0 of ``total`` 2 (types.rs:3867-3869).
+
+    DuckDB mirror:
+    ``('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT
+    % total = index``.
+    """
+    if total <= 0:
+        raise ValueError("Slice total must be positive")
+    if not 0 <= index < total:
+        # validate_slice_condition types.rs:3917-3928
+        raise ValueError(
+            "Slice index must be less than the total number of slices")
+    from qdrant_spark.functions.hashes import token_hash63
+
+    return F.pmod(token_hash63(id_col.cast("string")), F.lit(total)) == index
+
+
 def _compile_condition(fr: FieldResolver, cond: dict[str, Any]) -> Column:
     if "has_id" in cond:
         ids = list(cond["has_id"])
@@ -378,6 +408,10 @@ def _compile_condition(fr: FieldResolver, cond: dict[str, Any]) -> Column:
             return _false_if_null(marker)
         col, _ = fr.resolve(key)
         return col.isNull()
+    if "slice" in cond:
+        body = cond["slice"]
+        return slice_membership(
+            F.col(fr.id_column()), int(body["total"]), int(body["index"]))
     if "nested" in cond:
         return _compile_nested(fr, cond["nested"])
     if "key" in cond:

@@ -261,8 +261,11 @@ def sample(
     return df.orderBy(_sample_hash(F.col(key), seed), F.col(key).asc()).limit(n)
 
 
-def slice_condition(id_col: Column, fraction_start: float, fraction_end: float, buckets: int = 1 << 16) -> Column:
-    """Deterministic id-space slice (SliceCondition types.rs:3871-3907):
-    stable-hash the id into [0,1) buckets."""
-    h = F.pmod(F.xxhash64(id_col), F.lit(buckets)) / F.lit(float(buckets))
-    return (h >= fraction_start) & (h < fraction_end)
+def slice_condition(id_col: Column, total: int, index: int) -> Column:
+    """Deterministic id-space slice, ``hash(id) % total == index``
+    (``SliceCondition`` types.rs:3905-3911). Delegates to
+    :func:`qdrant_spark.filters.slice_membership` — the same predicate the
+    filter DSL compiles for ``{"slice": {"total": t, "index": i}}``."""
+    from qdrant_spark.filters import slice_membership
+
+    return slice_membership(id_col, total, index)

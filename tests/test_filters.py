@@ -317,3 +317,38 @@ def test_has_id_ambiguous_id_column_raises(spark):
     # explicit id_col resolves it
     assert apply_filter(df, {"must": [{"has_id": [2]}]},
                         id_col="vec_id").count() == 1
+
+
+# --- SliceCondition (types.rs:3856-3928) ------------------------------------
+
+
+def test_slice_disjoint_cover_and_nesting(spark):
+    """For fixed total the slices are disjoint and cover all points; the
+    hash is unsalted so slice 0 of total 4 is a subset of slice 0 of
+    total 2 (types.rs:3867-3869)."""
+    df = spark.range(0, 400).withColumnRenamed("id", "pid")
+    seen = []
+    for idx in range(4):
+        flt = {"must": [{"slice": {"total": 4, "index": idx}}]}
+        part = sorted(
+            r["pid"] for r in apply_filter(df, flt, id_col="pid").collect())
+        assert part, f"slice {idx}/4 of 400 uniform ids is empty"
+        seen.extend(part)
+    assert sorted(seen) == list(range(400))  # disjoint + covering
+    s0of4 = {r["pid"] for r in apply_filter(
+        df, {"must": [{"slice": {"total": 4, "index": 0}}]},
+        id_col="pid").collect()}
+    s0of2 = {r["pid"] for r in apply_filter(
+        df, {"must": [{"slice": {"total": 2, "index": 0}}]},
+        id_col="pid").collect()}
+    assert s0of4 < s0of2  # strict subset: smaller sample nests in larger
+
+
+def test_slice_composes_and_validates(points_basic):
+    both = ids(points_basic, {"must": [{"slice": {"total": 1, "index": 0}},
+                                       {"key": "city", "match": {"value": "Berlin"}}]})
+    assert both == ["1", "2", "3"]  # total=1 selects everything
+    with pytest.raises(ValueError, match="less than the total"):
+        ids(points_basic, {"must": [{"slice": {"total": 3, "index": 3}}]})
+    with pytest.raises(ValueError, match="positive"):
+        ids(points_basic, {"must": [{"slice": {"total": 0, "index": 0}}]})
