@@ -1,0 +1,140 @@
+"""Continuous query serving and index-maintaining ingest.
+
+Reference: qdrant's query path is a long-lived server loop — requests
+arrive continuously and are answered against the live collection
+(src/actix/api/query_api.rs; update visibility through proxy segments,
+lib/collection/src/update_handler.rs:88-191). Spark has no serving
+daemon, so the Spark-first analogue inverts the roles: the REQUESTS are
+the stream. ``readStream`` over arriving (qid, qvec) rows →
+``foreachBatch`` answering the whole micro-batch with ONE ``knn_batch``
+plan against the corpus snapshot current at batch start → append the
+ranked hits to a results table. The checkpoint gives exactly-once per
+request batch; visibility is read-your-acknowledged-writes, the same
+contract as the ingest side (streaming/ingest.py).
+
+Batching requests this way is also the right 100-TB shape: one block-
+matmul scan of the corpus amortized over every request in the trigger
+interval, instead of one scan per request — the same reason the batch
+API (``knn_batch``, ann.ivf_search_batch) exists at all.
+
+The ingest twin keeps the ANN index fresh while points stream in:
+``start_ivf_upsert_stream`` cluster-assigns each micro-batch against
+FROZEN centroids (``ivf_from_centroids`` — a codegen'd argmin, map-only,
+no KMeans refit) before the upsert, so the live snapshot always carries
+``__cluster`` and ``ivf_search`` over it prunes exactly like a batch-built
+index. Centroids refit out-of-band, the same way the reference rebuilds
+quantized/HNSW segments outside the update path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qdrant_spark.operators.knn import knn_batch
+from qdrant_spark.streaming.ingest import ParquetPointsSink, start_upsert_stream
+
+
+def start_search_stream(
+    queries_stream: DataFrame,
+    corpus: DataFrame | Callable[[], DataFrame | None],
+    *,
+    results_dir: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    flt: dict[str, Any] | None = None,
+    search_fn: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
+    trigger: dict[str, Any] | None = None,
+):
+    """Answer a stream of search requests; returns the StreamingQuery.
+
+    ``corpus`` is either a static DataFrame or a zero-arg callable
+    returning the current snapshot (e.g. ``ParquetPointsSink.read`` — a
+    LIVE corpus: each micro-batch re-resolves it, so requests see every
+    batch the ingest stream has committed). ``search_fn`` overrides the
+    default exact ``knn_batch`` with any (corpus, request_batch) →
+    DataFrame plan — e.g. ``ivf_search_batch`` over a streamed index, or
+    a ``universal_query`` hybrid. Results land in ``results_dir`` as
+    (qid, id, score, rank, __batch_id) appends: an at-least-once results
+    log keyed by qid, replay-safe because reruns of a batch rewrite the
+    same deterministic hits.
+    """
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        corpus_df = corpus() if callable(corpus) else corpus
+        if corpus_df is None:  # requests before the first ingest commit
+            return
+        if search_fn is not None:
+            res = search_fn(corpus_df, batch_df)
+        else:
+            res = knn_batch(
+                corpus_df, batch_df, metric=metric, k=k,
+                id_col=id_col, vec_col=vec_col,
+                qid_col=qid_col, qvec_col=qvec_col, flt=flt,
+            )
+        (res.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(results_dir))
+
+    writer = (
+        queries_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(do_batch)
+    )
+    writer = writer.trigger(**trigger) if trigger else writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_ivf_upsert_stream(
+    stream_df: DataFrame,
+    sink: ParquetPointsSink,
+    centroids: np.ndarray,
+    *,
+    checkpoint_dir: str,
+    vec_col: str = "vec",
+    trigger: dict[str, Any] | None = None,
+):
+    """Upsert stream whose snapshot stays IVF-indexed: each micro-batch is
+    cluster-assigned against the frozen ``centroids`` (map-only argmin,
+    ann.ivf_from_centroids) before the versioned upsert, so
+    ``live_ivf_index(sink, centroids)`` is always searchable and prunes
+    like a batch-built index. Returns the StreamingQuery."""
+    from qdrant_spark.operators.ann import ivf_from_centroids
+
+    cents = np.asarray(centroids)
+
+    def assign(batch_df: DataFrame) -> DataFrame:
+        return ivf_from_centroids(
+            batch_df, cents, vec_col=vec_col, id_col=sink.id_col,
+        ).assigned
+
+    return start_upsert_stream(
+        stream_df, sink, checkpoint_dir=checkpoint_dir,
+        trigger=trigger, transform=assign,
+    )
+
+
+def live_ivf_index(
+    sink: ParquetPointsSink,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "vec",
+):
+    """The current snapshot as a searchable ``IvfIndex`` (None before the
+    first commit). Pair with ``ivf_search`` / ``ivf_search_batch``."""
+    from qdrant_spark.operators.ann import IvfIndex
+
+    snap = sink.read()
+    if snap is None:
+        return None
+    return IvfIndex(
+        assigned=snap, centroids=np.asarray(centroids),
+        vec_col=vec_col, id_col=sink.id_col,
+    )

@@ -1,0 +1,134 @@
+"""Continuous query serving + IVF-maintaining ingest (streaming/serve.py):
+a streamed request log must produce exactly the batch knn_batch answers,
+a live corpus must be visible to requests arriving after its commit, and
+a streamed-in IVF index must equal the batch-built one."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from qdrant_spark.operators.knn import knn, knn_batch
+from qdrant_spark.streaming.ingest import ParquetPointsSink
+from qdrant_spark.streaming.serve import (
+    live_ivf_index, start_ivf_upsert_stream, start_search_stream,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def requests_df(spark, emb):
+    """6 requests: the first 6 corpus vectors, re-keyed as qids."""
+    return (emb.filter(F.col("vec_id") < 6)
+            .select(F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("qvec"))
+            .cache())
+
+
+def _hits(spark, results_dir):
+    rows = spark.read.parquet(results_dir).collect()
+    return sorted((r["qid"], r["rank"], r["vec_id"], round(r["score"], 6))
+                  for r in rows)
+
+
+def test_search_stream_equals_batch(spark, emb, requests_df, tmp_path):
+    req_dir = str(tmp_path / "requests")
+    requests_df.repartitionByRange(3, "qid").write.parquet(req_dir)
+    stream = (spark.readStream.schema(requests_df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(req_dir))
+    res_dir, ckpt = str(tmp_path / "results"), str(tmp_path / "ckpt")
+    q = start_search_stream(
+        stream, emb, results_dir=res_dir, checkpoint_dir=ckpt,
+        k=5, metric="cosine", id_col="vec_id", vec_col="embedding",
+    )
+    q.awaitTermination()
+    want = knn_batch(emb, requests_df, metric="cosine", k=5,
+                     id_col="vec_id", vec_col="embedding").collect()
+    assert _hits(spark, res_dir) == sorted(
+        (r["qid"], r["rank"], r["vec_id"], round(r["score"], 6)) for r in want)
+
+
+def test_search_stream_sees_committed_ingest(spark, emb, tmp_path):
+    """Requests answered after an ingest commit see the new points —
+    read-your-acknowledged-writes across the two streams; the request
+    checkpoint processes each request file exactly once."""
+    table_dir = str(tmp_path / "table")
+    sink = ParquetPointsSink(spark, table_dir, id_col="vec_id")
+    first = emb.filter(F.col("vec_id") < 400)
+    sink.apply_batch(first, 0)
+
+    probe = emb.filter(F.col("vec_id") == 450).collect()[0]["embedding"]
+    req_dir = str(tmp_path / "requests")
+    os.makedirs(req_dir)
+    one = spark.createDataFrame([(0, probe)], "qid long, qvec array<float>")
+    one.coalesce(1).write.mode("append").parquet(req_dir)
+
+    res_dir, ckpt = str(tmp_path / "results"), str(tmp_path / "ckpt")
+
+    def serve_available():
+        stream = (spark.readStream.schema(one.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(req_dir))
+        q = start_search_stream(
+            stream, sink.read, results_dir=res_dir, checkpoint_dir=ckpt,
+            k=1, metric="cosine", id_col="vec_id", vec_col="embedding",
+        )
+        q.awaitTermination()
+
+    serve_available()
+    got1 = spark.read.parquet(res_dir).collect()
+    assert len(got1) == 1 and got1[0]["vec_id"] != 450  # 450 not ingested yet
+
+    sink.apply_batch(emb.filter(F.col("vec_id") >= 400), 1)
+    two = spark.createDataFrame([(1, probe)], "qid long, qvec array<float>")
+    two.coalesce(1).write.mode("append").parquet(req_dir)
+    serve_available()  # checkpoint resume: only the new request file runs
+    by_qid = {r["qid"]: r for r in spark.read.parquet(res_dir).collect()}
+    assert len(by_qid) == 2  # qid 0 was NOT re-answered
+    assert by_qid[1]["vec_id"] == 450  # the new point is its own top-1
+
+
+def test_ivf_ingest_stream_matches_batch_index(spark, emb, tmp_path):
+    from qdrant_spark.operators.ann import build_ivf, ivf_from_centroids, ivf_search
+
+    cents = build_ivf(emb, n_clusters=8, vec_col="embedding",
+                      id_col="vec_id").centroids
+
+    src_dir = str(tmp_path / "points_src")
+    emb.repartitionByRange(2, "vec_id").write.parquet(src_dir)
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    sink = ParquetPointsSink(spark, str(tmp_path / "table"), id_col="vec_id")
+    q = start_ivf_upsert_stream(
+        stream, sink, cents,
+        checkpoint_dir=str(tmp_path / "ckpt"), vec_col="embedding",
+    )
+    q.awaitTermination()
+
+    index = live_ivf_index(sink, cents, vec_col="embedding")
+    snap = index.assigned
+    assert snap.count() == emb.count() and "__cluster" in snap.columns
+
+    # streamed assignment == batch assignment against the same centroids
+    batch = ivf_from_centroids(emb, cents, vec_col="embedding",
+                               id_col="vec_id").assigned
+    diff = (snap.select("vec_id", "__cluster")
+            .exceptAll(batch.select("vec_id", "__cluster")))
+    assert diff.count() == 0
+
+    # full probe over the streamed index == exact knn over the raw corpus
+    probe = emb.filter(F.col("vec_id") == 123).collect()[0]["embedding"]
+    got = [(r["vec_id"], round(r["score"], 6))
+           for r in ivf_search(index, probe, k=5, nprobe=8,
+                               metric="cosine").collect()]
+    want = [(r["vec_id"], round(r["score"], 6))
+            for r in knn(emb, probe, k=5, metric="cosine",
+                         id_col="vec_id", vec_col="embedding").collect()]
+    assert got == want
