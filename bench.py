@@ -796,6 +796,79 @@ def main() -> None:
                               if flat_bytes and pruned_bytes else None),
         }
         mark(f"  tenant pruning: {appendix_tenant}")
+        # --------------------------------------------------------------
+        # text at scale: BM25 over 100x-amplified documents (500k docs,
+        # ~27M posting rows). The postings persist TERM-BUCKET-partitioned
+        # (persist_bm25_index) so a query's terms become directory
+        # pruning — the parquet analogue of the reference's inverted
+        # index touching only its own terms' posting lists. Contrast vs
+        # the same postings written flat (query = full postings scan).
+        # Replicas share the real vocabulary (query-term postings grow
+        # 100x — the quantity under test) but carry one distinct
+        # replica token so rows aren't bit-identical.
+        # --------------------------------------------------------------
+        from qdrant_spark.operators.sparse import (
+            Bm25Index, bm25_search_index, build_bm25_index,
+            persist_bm25_index,
+        )
+
+        doc_factor = 100
+        reps_d = spark.range(doc_factor).withColumnRenamed("id", "__rep")
+        docs_xxl = (docs.crossJoin(F.broadcast(reps_d))
+                    .withColumn("doc_id",
+                                F.col("doc_id") * doc_factor + F.col("__rep"))
+                    .withColumn("text",
+                                F.concat_ws(" ", F.col("text"),
+                                            F.concat(F.lit("r"),
+                                                     F.col("__rep"))))
+                    .drop("__rep")
+                    # documents.parquet is one small file -> 1 input
+                    # partition; without this the 500k-doc tokenize+agg
+                    # map side runs as a single task
+                    .repartition(64, F.col("doc_id")))
+        mem_idx = build_bm25_index(docs_xxl)
+        bucketed_idx = persist_bm25_index(mem_idx, f"{work}/bm25_xxl",
+                                          buckets=256)
+        flat_posts_path = f"{work}/bm25_xxl_flat"
+        (spark.read.parquet(f"{work}/bm25_xxl/postings").drop("__tb")
+            .write.mode("overwrite").parquet(flat_posts_path))
+        flat_idx = Bm25Index(
+            postings=spark.read.parquet(flat_posts_path),
+            n_docs=bucketed_idx.n_docs, id_col=bucketed_idx.id_col)
+        bm25_q = "fast hash join sort"
+        # the pruning floor: the query terms' own posting lists must be
+        # read by ANY inverted index (common terms own long lists — the
+        # same reality WAND/max-score exist for in the reference); the
+        # ratio can't beat posting_rows/query_term_rows
+        from qdrant_spark.functions.text import tokenize_py as _tok_py
+        _qterms = sorted(set(_tok_py(bm25_q)))
+        _floor = bucketed_idx.postings.agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("term").isin(_qterms), 1)).alias("q"),
+        ).collect()[0]
+
+        def _bm25_500k(idx):
+            return bm25_search_index(idx, bm25_q, k=10).collect()
+
+        _bm25_500k(bucketed_idx)  # warm
+        bm_pruned_bytes, bm_pruned_wall = bytes_and_wall(
+            lambda: _bm25_500k(bucketed_idx))
+        _bm25_500k(flat_idx)  # warm
+        bm_flat_bytes, bm_flat_wall = bytes_and_wall(
+            lambda: _bm25_500k(flat_idx))
+        app_times["bm25_bucketed_500k_docs"] = bm_pruned_wall
+        app_times["bm25_flat_500k_docs"] = bm_flat_wall
+        appendix_bm25 = {
+            "n_docs": bucketed_idx.n_docs,
+            "term_buckets": 256,
+            "posting_rows": int(_floor["n"]),
+            "query_term_posting_rows": int(_floor["q"]),
+            "pruned_scan_bytes": bm_pruned_bytes,
+            "flat_scan_bytes": bm_flat_bytes,
+            "pruning_ratio": (round(bm_flat_bytes / bm_pruned_bytes, 1)
+                              if bm_flat_bytes and bm_pruned_bytes else None),
+        }
+        mark(f"  bm25 postings pruning: {appendix_bm25}")
         # IO contrast (static, from parquet footers): on a 32-core box
         # with page-cached files the exact matmul still wins WALL CLOCK
         # at 2M rows — the quantized plan's 100-TB case is IO. The
@@ -829,6 +902,7 @@ def main() -> None:
                                     {"vec_id", "__pq"})
         appendix = {"n_rows": n_xxxl, "queries": app_times,
                     "tenant_pruning": appendix_tenant,
+                    "bm25_postings_pruning": appendix_bm25,
                     "batch64_scan_column_bytes": {
                         "exact_scan_floats": exact_col_bytes,
                         "ivf_pq_coarse_codes": code_col_bytes,

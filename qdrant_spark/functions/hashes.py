@@ -23,8 +23,18 @@ def token_hash63(c: Column) -> Column:
     """Stable 60-bit integer hash of a string: first 15 hex chars of md5.
 
     DuckDB mirror: ``('0x' || substring(md5(x), 1, 15))::BIGINT``.
+    Python mirror: :func:`token_hash63_py`.
     """
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def token_hash63_py(s: str) -> int:
+    """Driver-side twin of :func:`token_hash63` — lets a query plan turn
+    known literals (e.g. query terms) into partition predicates without a
+    Spark job."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
 def minhash_params(n_perms: int) -> list[tuple[int, int]]:

@@ -210,6 +210,9 @@ class Bm25Index:
     postings: DataFrame
     n_docs: int
     id_col: str
+    #: set when the postings carry a ``__tb`` term-bucket partition column
+    #: (persist_bm25_index): queries prune to their own terms' buckets
+    term_buckets: int | None = None
 
 
 def build_bm25_index(
@@ -236,6 +239,45 @@ def build_bm25_index(
     return Bm25Index(postings=postings, n_docs=df.count(), id_col=id_col)
 
 
+def persist_bm25_index(
+    index: Bm25Index, path: str, *, buckets: int = 64,
+) -> Bm25Index:
+    """Write the postings TERM-BUCKET-PARTITIONED and reload.
+
+    The reference's inverted index keys its storage by term, so a query
+    touches only its own terms' posting lists
+    (lib/sparse/src/index/inverted_index/, full_text_index postings). The
+    parquet equivalent: partition the postings by a term-hash bucket
+    column; :func:`bm25_search_index` turns the query's terms into an
+    ``__tb IN (...)`` predicate driver-side (the md5-60bit python twin),
+    which Spark resolves as PartitionFilters — a Q-term query opens at
+    most Q of ``buckets`` directories, never the whole index. At 100 TB
+    this is the difference between scanning the corpus vocabulary and
+    scanning a fixed few-GB slice per query."""
+    spark = index.postings.sparkSession
+    from qdrant_spark.functions.hashes import token_hash63
+
+    posts = index.postings.withColumn(
+        "__tb", F.pmod(token_hash63(F.col("term")), F.lit(buckets)).cast("int"))
+    (posts.repartition(buckets, "__tb")
+        .write.mode("overwrite").partitionBy("__tb")
+        .parquet(f"{path}/postings"))
+    meta = spark.createDataFrame(
+        [(int(index.n_docs), index.id_col, int(buckets))],
+        "n_docs long, id_col string, buckets int")
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return load_bm25_index(spark, path)
+
+
+def load_bm25_index(spark, path: str) -> Bm25Index:
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    return Bm25Index(
+        postings=spark.read.parquet(f"{path}/postings"),
+        n_docs=int(m["n_docs"]), id_col=m["id_col"],
+        term_buckets=int(m["buckets"]),
+    )
+
+
 def bm25_search_index(
     index: Bm25Index,
     query_text: str,
@@ -254,7 +296,18 @@ def bm25_search_index(
 
     spark = index.postings.sparkSession
     q_tokens = _query_terms_df(spark, query_text)
-    cand = index.postings.join(F.broadcast(q_tokens), "term")
+    posts = index.postings
+    if index.term_buckets:
+        # the query's terms are driver-side literals, so their buckets
+        # are too: the IN-list lands in PartitionFilters and only the
+        # query terms' directories are opened (persist_bm25_index)
+        from qdrant_spark.functions.hashes import token_hash63_py
+        from qdrant_spark.functions.text import tokenize_py
+
+        tbs = sorted({token_hash63_py(t) % index.term_buckets
+                      for t in set(tokenize_py(query_text))})
+        posts = posts.filter(F.col("__tb").isin(tbs))
+    cand = posts.join(F.broadcast(q_tokens), "term")
     if avg_doc_len is None:
         avg_doc_len = index.postings.select(index.id_col, "dl").distinct() \
             .agg(F.avg("dl")).collect()[0][0]

@@ -418,3 +418,44 @@ def test_lsh_prebuilt_signatures_identical(documents):
                                    jaccard_threshold=0.2,
                                    shingles=sh, signatures=sig).collect())
     assert base == pre and len(base) > 0
+
+
+def test_bm25_persisted_bucketed_index_equals_in_memory(spark, documents, tmp_path):
+    """persist_bm25_index: the term-bucket-partitioned on-disk index must
+    return the exact in-memory results, the query plan must prune to the
+    query terms' buckets (PartitionFilters), and the python bucket twin
+    must agree with the Spark column."""
+    from qdrant_spark.functions.hashes import token_hash63, token_hash63_py
+    from qdrant_spark.operators.sparse import (
+        bm25_search_index, build_bm25_index, load_bm25_index,
+        persist_bm25_index)
+
+    docs = documents.filter(F.col("doc_id") < 300)
+    mem_idx = build_bm25_index(docs)
+    disk_idx = persist_bm25_index(mem_idx, str(tmp_path / "bm25"), buckets=16)
+    assert disk_idx.term_buckets == 16 and disk_idx.n_docs == mem_idx.n_docs
+
+    q = "fast hash join"
+    want = [(r["doc_id"], round(r["score"], 6))
+            for r in bm25_search_index(mem_idx, q, k=8).collect()]
+    got_df = bm25_search_index(disk_idx, q, k=8)
+    got = [(r["doc_id"], round(r["score"], 6)) for r in got_df.collect()]
+    assert got == want
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "__tb" in plan
+
+    # reload path round-trips the meta
+    re_idx = load_bm25_index(spark, str(tmp_path / "bm25"))
+    got2 = [(r["doc_id"], round(r["score"], 6))
+            for r in bm25_search_index(re_idx, q, k=8).collect()]
+    assert got2 == want
+
+    # python twin == Spark column (the pruning predicate's correctness)
+    terms = [r["term"] for r in
+             mem_idx.postings.select("term").distinct().limit(50).collect()]
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    spark_h = {r["term"]: r["h"] for r in
+               tdf.select("term", token_hash63(F.col("term")).alias("h")).collect()}
+    for t in terms:
+        assert token_hash63_py(t) == spark_h[t]
