@@ -1146,6 +1146,40 @@ FROM r WHERE rn <= 10
 """
 
 
+def _q_sparse_knn_persisted(spark: SparkSession, sf: str) -> DataFrame:
+    """Sparse KNN over a PERSISTED dim-bucket-partitioned inverted index
+    (the parquet analogue of the reference's per-dimension posting lists,
+    lib/sparse/src/index/inverted_index/): build → persist → load →
+    search; the query's dims prune partitions, the scores are identical
+    to the in-memory :func:`sparse_knn` the oracle mirrors."""
+    import tempfile
+
+    from qdrant_spark.functions.hashes import token_hash63
+    from qdrant_spark.operators.sparse import (
+        build_sparse_index, doc_terms, persist_sparse_index,
+        sparse_knn_index)
+
+    docs = _docs(spark, sf)
+    h = doc_terms(docs).withColumn("dim", token_hash63(F.col("term")))
+    sv = (
+        h.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("dim", "tf"))).alias("ps"))
+        .select(
+            "doc_id",
+            F.col("ps.dim").alias("sparse_indices"),
+            F.col("ps.tf").cast("array<double>").alias("sparse_values"),
+        )
+    )
+    q_row = sv.filter(F.col("doc_id") == 0).collect()[0]
+    idx = persist_sparse_index(
+        build_sparse_index(sv, id_col="doc_id"),
+        tempfile.mkdtemp(prefix="sparse_idx_"), buckets=64)
+    out = sparse_knn_index(
+        idx, list(q_row["sparse_indices"]), list(q_row["sparse_values"]),
+        k=10)
+    return _r6(out, "score")
+
+
 def _q_sparse_idf(spark: SparkSession, sf: str) -> DataFrame:
     """Modifier::Idf (modifier.rs:13-17): query values are rescaled by the
     corpus IDF at search time; documents keep raw tf."""
@@ -3115,6 +3149,7 @@ _GATE_PRIORITY = [
     "ann_ivf",
     "quantized_bq_rescore",
     "filter_slice",
+    "sparse_knn_persisted",
     "multimodal_wav",
     "multimodal_ppm",
     "geo_radius",
@@ -3321,6 +3356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_wav": _q_multimodal_wav,
         "multimodal_ppm": _q_multimodal_ppm,
         "sparse_knn": _q_sparse_knn,
+        "sparse_knn_persisted": _q_sparse_knn_persisted,
         "sparse_knn_batch": _q_sparse_knn_batch,
         "sparse_idf_knn": _q_sparse_idf,
         "sparse_idf_corpus": _q_sparse_idf_corpus,
@@ -3544,6 +3580,7 @@ SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
 FROM documents
 """,
         "sparse_knn": _SPARSE_KNN_SQL,
+        "sparse_knn_persisted": _SPARSE_KNN_SQL,
         "sparse_knn_batch": _SPARSE_KNN_BATCH_SQL,
         "sparse_idf_knn": _SPARSE_IDF_SQL,
         "sparse_idf_corpus": _SPARSE_IDF_CORPUS_SQL,

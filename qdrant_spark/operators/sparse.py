@@ -109,7 +109,42 @@ def sparse_knn(
     — the qdrant SparseVector layout. Explodes to the inverted-index shape
     and joins with the query terms (lib/sparse/src/common/sparse_vector.rs)."""
     df = apply_filter(points, flt)
-    pairs = df.select(
+    pairs = _explode_pairs(df, id_col, indices_col, values_col)
+    spark = points.sparkSession
+    q = spark.createDataFrame(
+        list(zip([int(i) for i in query_indices], [float(v) for v in query_values])),
+        "dim: long, qv: double",
+    )
+    scored = (
+        pairs.join(F.broadcast(q), "dim")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("v") * F.col("qv")).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+@dataclass
+class SparseIndex:
+    """Persisted inverted index over sparse vectors: the exploded
+    (id, dim, v) pairs table, optionally DIM-BUCKET-partitioned on disk.
+
+    The reference stores one posting list per dimension and a search
+    touches only the query's dimensions
+    (lib/sparse/src/index/inverted_index/inverted_index_ram.rs,
+    inverted_index_mmap.rs). The parquet analogue: partition the pairs
+    by ``dim % buckets``; the query's dims are driver-side literals, so
+    :func:`sparse_knn_index` emits a ``__db IN (...)`` predicate that
+    Spark resolves as PartitionFilters — only the query dims' directories
+    are opened."""
+
+    pairs: DataFrame
+    id_col: str
+    dim_buckets: int | None = None
+
+
+def _explode_pairs(df: DataFrame, id_col: str, indices_col: str,
+                   values_col: str) -> DataFrame:
+    return df.select(
         F.col(id_col),
         F.explode(
             F.arrays_zip(
@@ -117,19 +152,79 @@ def sparse_knn(
                 F.col(values_col).cast("array<double>").alias("v"),
             )
         ).alias("p"),
-    ).select(id_col, F.col("p.dim").alias("dim"), F.col("p.v").alias("v"))
-    spark = points.sparkSession
+    ).select(id_col, F.col("p.dim").cast("long").alias("dim"),
+             F.col("p.v").alias("v"))
+
+
+def build_sparse_index(
+    points: DataFrame,
+    *,
+    id_col: str = "id",
+    indices_col: str = "sparse_indices",
+    values_col: str = "sparse_values",
+    flt: dict[str, Any] | None = None,
+) -> SparseIndex:
+    """One explode pass over the (indices, values) columns — the
+    ingest-time cost the reference pays building its inverted index."""
+    df = apply_filter(points, flt)
+    return SparseIndex(
+        pairs=_explode_pairs(df, id_col, indices_col, values_col),
+        id_col=id_col,
+    )
+
+
+def persist_sparse_index(
+    index: SparseIndex, path: str, *, buckets: int = 256,
+) -> SparseIndex:
+    """Write the pairs dim-bucket-partitioned and reload (see
+    :class:`SparseIndex`)."""
+    spark = index.pairs.sparkSession
+    pairs = index.pairs.withColumn(
+        "__db", F.pmod(F.col("dim"), F.lit(buckets)).cast("int"))
+    (pairs.repartition(buckets, "__db")
+        .write.mode("overwrite").partitionBy("__db")
+        .parquet(f"{path}/pairs"))
+    meta = spark.createDataFrame(
+        [(index.id_col, int(buckets))], "id_col string, buckets int")
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return load_sparse_index(spark, path)
+
+
+def load_sparse_index(spark, path: str) -> SparseIndex:
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    return SparseIndex(
+        pairs=spark.read.parquet(f"{path}/pairs"),
+        id_col=m["id_col"], dim_buckets=int(m["buckets"]),
+    )
+
+
+def sparse_knn_index(
+    index: SparseIndex,
+    query_indices: list[int],
+    query_values: list[float],
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Sparse dot-product top-k over a prebuilt (optionally persisted)
+    inverted index; identical results to :func:`sparse_knn` on the source
+    table. On a persisted index the query dims prune partitions."""
+    spark = index.pairs.sparkSession
+    pairs = index.pairs
+    if index.dim_buckets:
+        dbs = sorted({int(i) % index.dim_buckets for i in query_indices})
+        pairs = pairs.filter(F.col("__db").isin(dbs))
     q = spark.createDataFrame(
-        list(zip([int(i) for i in query_indices], [float(v) for v in query_values])),
+        list(zip([int(i) for i in query_indices],
+                 [float(v) for v in query_values])),
         "dim: long, qv: double",
     )
     scored = (
-        pairs.withColumn("dim", F.col("dim").cast("long"))
-        .join(F.broadcast(q), "dim")
-        .groupBy(id_col)
+        pairs.join(F.broadcast(q), "dim")
+        .groupBy(index.id_col)
         .agg(F.sum(F.col("v") * F.col("qv")).alias("score"))
     )
-    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    return scored.orderBy(F.col("score").desc(),
+                          F.col(index.id_col).asc()).limit(k)
 
 
 def sparse_knn_batch(

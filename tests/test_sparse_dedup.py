@@ -459,3 +459,31 @@ def test_bm25_persisted_bucketed_index_equals_in_memory(spark, documents, tmp_pa
                tdf.select("term", token_hash63(F.col("term")).alias("h")).collect()}
     for t in terms:
         assert token_hash63_py(t) == spark_h[t]
+
+
+def test_sparse_persisted_index_equals_inline(spark, documents, tmp_path):
+    """Persisted dim-bucketed sparse index: same scores as sparse_knn on
+    the source table; the query's dims become PartitionFilters."""
+    from qdrant_spark.functions.hashes import token_hash63
+    from qdrant_spark.operators.sparse import (
+        build_sparse_index, doc_terms, persist_sparse_index, sparse_knn,
+        sparse_knn_index)
+
+    docs = documents.filter(F.col("doc_id") < 300)
+    h = doc_terms(docs).withColumn("dim", token_hash63(F.col("term")))
+    sv = (h.groupBy("doc_id")
+          .agg(F.sort_array(F.collect_list(F.struct("dim", "tf"))).alias("ps"))
+          .select("doc_id", F.col("ps.dim").alias("sparse_indices"),
+                  F.col("ps.tf").cast("array<double>").alias("sparse_values")))
+    q = sv.filter(F.col("doc_id") == 5).collect()[0]
+    qi, qv = list(q["sparse_indices"]), list(q["sparse_values"])
+
+    want = [(r["doc_id"], round(r["score"], 6))
+            for r in sparse_knn(sv, qi, qv, k=7, id_col="doc_id").collect()]
+    idx = persist_sparse_index(build_sparse_index(sv, id_col="doc_id"),
+                               str(tmp_path / "sx"), buckets=32)
+    out = sparse_knn_index(idx, qi, qv, k=7)
+    got = [(r["doc_id"], round(r["score"], 6)) for r in out.collect()]
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "__db" in plan
