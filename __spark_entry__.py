@@ -1709,7 +1709,9 @@ SELECT doc_id FROM t WHERE len(toks) >= 30 AND len(toks) < 40
 
 
 def _q_query_by_id(spark: SparkSession, sf: str) -> DataFrame:
-    """VectorInput::Id — the query vector is point id 7, resolved first."""
+    """VectorInput::Id — the query vector is point id 7, resolved first;
+    the referenced point itself is excluded from results
+    (exclude_referenced_ids, collection_query.rs:523,705)."""
     from qdrant_spark.query import universal_query
 
     req = {"query": {"nearest": {"id": 7}}, "limit": 10}
@@ -1760,7 +1762,8 @@ SELECT vec_id, round(s.score, 6) AS score FROM s ORDER BY s.score DESC, vec_id L
 
 _QUERY_BY_ID_SQL = """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 7),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+      WHERE vec_id <> 7),
 s AS (SELECT e.vec_id,
       list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS score
       FROM e, q)

@@ -1,0 +1,1110 @@
+"""qdrant-compatible client facade over the Spark engine.
+
+A user of the reference talks to it through ``qdrant_client.QdrantClient``
+(or the REST API it mirrors): ``create_collection`` / ``upsert`` /
+``query_points`` / ``scroll`` / ``count`` / ``facet`` / payload-index and
+alias management. This module provides the same surface — same method
+names, same request shapes (plain dicts in the REST JSON forms), same
+response fields — composed from the engine's operators:
+
+- collection + alias + payload-index bookkeeping: ``catalog.CollectionCatalog``
+- point mutations: ``operators.mutate`` (anti-join + union MERGE rewrites)
+- reads: ``operators.points`` (retrieve/scroll/count/facet)
+- queries: ``query.QueryPlanner`` (universal prefetch-tree planner)
+- strict mode: ``catalog.check_strict_mode``
+
+Reference surface being mirrored: REST handlers in
+``/root/reference/src/actix/api/{collections_api,update_api,query_api,
+retrieve_api,count_api,facet_api}.rs`` and the request/response types in
+``lib/api/src/rest/schema.rs`` (PointStruct, ScoredPoint, Record,
+UpdateResult, ScrollResult, CountResult, FacetResponse).
+
+Storage model: one DataFrame per collection —
+``(id, version, vec_<name>..., <payload field columns>...)``. The unnamed
+vector is column ``vec``; named vectors ``vec_<name>``; sparse vectors a
+``{indices, values}`` struct column. Payload fields are typed top-level
+columns inferred from the upserted values (dict payload values become
+structs so JsonPath filters resolve; lists stay arrays with
+scalar-or-array match semantics preserved by the filter compiler).
+
+Scale shape: every method returns bounded driver-side results (limits are
+request-bounded, as in the reference API), while the underlying corpus
+stays a distributed DataFrame. Pass ``root=`` to persist each collection
+as parquet after mutations — that both bounds query lineage and gives
+scans real file pruning; without it collections live as in-memory lazy
+plans (fine for tests, not for 100 TB).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from qdrant_spark.catalog import (
+    CollectionCatalog,
+    StrictModeConfig,
+    check_strict_mode,
+)
+from qdrant_spark.filters import apply_filter
+from qdrant_spark.operators import mutate as M
+from qdrant_spark.operators import points as P
+from qdrant_spark.query import QueryPlanner
+from qdrant_spark.schema import VectorConfig
+
+# REST distance names (types.rs Distance enum) -> engine metric names
+_DISTANCE = {"cosine": "cosine", "dot": "dot", "euclid": "euclid",
+             "manhattan": "manhattan"}
+
+
+def _metric(name: str) -> str:
+    try:
+        return _DISTANCE[str(name).lower()]
+    except KeyError:
+        raise ValueError(f"unknown distance {name!r}") from None
+
+
+# ---------------------------------------------------------------------------
+# response shapes (the qdrant-client result objects, as plain dataclasses)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ScoredPoint:
+    id: Any
+    score: float
+    version: int | None = None
+    payload: dict[str, Any] | None = None
+    vector: Any = None
+
+
+@dataclass(frozen=True)
+class Record:
+    id: Any
+    payload: dict[str, Any] | None = None
+    vector: Any = None
+
+
+@dataclass(frozen=True)
+class QueryResponse:
+    points: list[ScoredPoint]
+
+
+@dataclass(frozen=True)
+class PointGroup:
+    id: Any
+    hits: list[ScoredPoint]
+    lookup: dict[str, Any] | None = None
+
+
+@dataclass(frozen=True)
+class GroupsResult:
+    groups: list[PointGroup]
+
+
+@dataclass(frozen=True)
+class UpdateResult:
+    operation_id: int
+    status: str = "completed"
+
+
+@dataclass(frozen=True)
+class CountResult:
+    count: int
+
+
+@dataclass(frozen=True)
+class FacetValueHit:
+    value: Any
+    count: int
+
+
+@dataclass(frozen=True)
+class FacetResponse:
+    hits: list[FacetValueHit]
+
+
+# ---------------------------------------------------------------------------
+# payload type inference: python values -> Spark types (deterministic,
+# batch-merged; the reference infers payload JSON the same lazily-typed way)
+# ---------------------------------------------------------------------------
+
+
+def _merge_type(a: T.DataType | None, b: T.DataType | None) -> T.DataType | None:
+    if a is None:
+        return b
+    if b is None:
+        return a
+    if a == b:
+        return a
+    numeric = (T.LongType, T.DoubleType)
+    if isinstance(a, numeric) and isinstance(b, numeric):
+        return T.DoubleType()
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        el = _merge_type(a.elementType, b.elementType)
+        return T.ArrayType(el if el is not None else T.StringType())
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        names = list(dict.fromkeys([f.name for f in a.fields]
+                                   + [f.name for f in b.fields]))
+        out = []
+        for n in names:
+            ta = a[n].dataType if n in a.fieldNames() else None
+            tb = b[n].dataType if n in b.fieldNames() else None
+            m = _merge_type(ta, tb)
+            out.append(T.StructField(n, m if m is not None else T.StringType()))
+        return T.StructType(out)
+    raise ValueError(
+        f"payload type conflict: {a.simpleString()} vs {b.simpleString()}")
+
+
+def _infer_type(v: Any) -> T.DataType | None:
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    if isinstance(v, str):
+        return T.StringType()
+    if isinstance(v, _dt.datetime):
+        return T.TimestampType()
+    if isinstance(v, dict):
+        st: T.DataType | None = T.StructType([])
+        for k, x in v.items():
+            tx = _infer_type(x)
+            st = _merge_type(st, T.StructType(
+                [T.StructField(k, tx if tx is not None else T.StringType())]))
+        return st
+    if isinstance(v, (list, tuple)):
+        el: T.DataType | None = None
+        for x in v:
+            el = _merge_type(el, _infer_type(x))
+        return T.ArrayType(el if el is not None else T.StringType())
+    raise ValueError(f"unsupported payload value type: {type(v).__name__}")
+
+
+def _conform(v: Any, t: T.DataType) -> Any:
+    """Convert a python value to the tuple/list shape createDataFrame
+    expects for ``t`` (structs become tuples in field order)."""
+    if v is None:
+        return None
+    if isinstance(t, T.DoubleType):
+        return float(v)
+    if isinstance(t, T.ArrayType):
+        return [_conform(x, t.elementType) for x in v]
+    if isinstance(t, T.StructType):
+        if not isinstance(v, dict):
+            raise ValueError(f"expected object for {t.simpleString()}, got {v!r}")
+        return tuple(_conform(v.get(f.name), f.dataType) for f in t.fields)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# per-collection state
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Collection:
+    name: str
+    vectors: dict[str, VectorConfig]            # "" = unnamed dense vector
+    sparse: dict[str, dict[str, Any]] = field(default_factory=dict)
+    df: DataFrame | None = None
+    id_type: T.DataType | None = None
+    op_counter: int = 0
+    text_params: dict[str, dict[str, Any]] = field(default_factory=dict)
+
+    def vec_col(self, name: str = "") -> str:
+        return f"vec_{name}" if name else "vec"
+
+    def vec_cols(self) -> list[str]:
+        return [self.vec_col(n) for n in list(self.vectors) + list(self.sparse)]
+
+    def payload_cols(self) -> list[str]:
+        if self.df is None:
+            return []
+        reserved = {"id", "version", *self.vec_cols()}
+        return [c for c in self.df.columns if c not in reserved]
+
+    def metric_for(self, using: str | None) -> str:
+        name = using or ""
+        if name in self.vectors:
+            return self.vectors[name].distance
+        if name in self.sparse:
+            return "dot"
+        # "using" may name a raw column of an externally-registered frame
+        return "cosine"
+
+
+class QdrantSparkClient:
+    """Drop-in facade: the qdrant-client method surface over Spark.
+
+    Responses are the qdrant-client result shapes (``ScoredPoint`` /
+    ``Record`` / ``UpdateResult`` / ...), driver-local and bounded by the
+    request limits. Documented divergences from the reference client:
+
+    - ``wait=`` / ``ordering=`` / ``timeout=`` parameters are accepted and
+      ignored (every mutation here is synchronous and atomic).
+    - consistency/replication parameters don't exist (Spark's storage is
+      the replication layer).
+    - vector names must be declared at ``create_collection`` (as in the
+      reference); payload fields need no declaration.
+    """
+
+    def __init__(self, spark: SparkSession, *, root: str | None = None):
+        self.spark = spark
+        self.root = root
+        self.catalog = CollectionCatalog()
+        self._colls: dict[str, _Collection] = {}
+
+    # -- helpers -------------------------------------------------------------
+
+    def _coll(self, name: str) -> _Collection:
+        resolved = self.catalog._aliases.get(name, name)
+        try:
+            return self._colls[resolved]
+        except KeyError:
+            raise KeyError(f"collection {name!r} not found") from None
+
+    def _commit(self, col: _Collection, df: DataFrame) -> UpdateResult:
+        """Install the post-mutation state; parquet round-trip when a root
+        directory is configured (bounds lineage, enables file pruning)."""
+        col.op_counter += 1
+        if self.root is not None:
+            path = os.path.join(self.root, col.name, "points")
+            tmp = path + "__new"
+            df.write.mode("overwrite").parquet(tmp)
+            # the new state may read the old files (anti-join lineage):
+            # land in a side dir first, then swap
+            import shutil
+
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.replace(tmp, path)
+            df = self.spark.read.parquet(path)
+        col.df = df
+        self.catalog._collections[col.name] = df
+        return UpdateResult(operation_id=col.op_counter)
+
+    def _indexed_fields(self, name: str) -> set[str]:
+        return set(self.catalog.list_field_indexes(name))
+
+    def _check_strict(self, name: str, request: dict[str, Any], *,
+                      is_update: bool = False,
+                      batch: list | None = None) -> None:
+        cfg = self.catalog.get_strict_mode(name)
+        if cfg is None:
+            return
+        check_strict_mode(request, cfg,
+                          indexed_fields=self._indexed_fields(name),
+                          is_update=is_update, batch=batch)
+
+    # -- collections ---------------------------------------------------------
+
+    def create_collection(
+        self,
+        collection_name: str,
+        *,
+        vectors_config: dict[str, Any] | None = None,
+        sparse_vectors_config: dict[str, Any] | None = None,
+        strict_mode_config: dict[str, Any] | StrictModeConfig | None = None,
+        **_ignored: Any,
+    ) -> bool:
+        """REST ``PUT /collections/{name}``. ``vectors_config`` is either
+        the unnamed form ``{"size": d, "distance": "Cosine"}`` or a
+        ``{name: {...}}`` map; a per-name ``multivector_config`` selects
+        the multivector (MaxSim) layout."""
+        if collection_name in self._colls:
+            raise ValueError(f"collection {collection_name!r} already exists")
+        vectors: dict[str, VectorConfig] = {}
+        if vectors_config:
+            cfgs = ({"": vectors_config} if "size" in vectors_config
+                    else dict(vectors_config))
+            for vname, c in cfgs.items():
+                kind = "multi" if c.get("multivector_config") else "dense"
+                vectors[vname] = VectorConfig(
+                    dim=int(c["size"]), distance=_metric(c.get("distance", "Cosine")),
+                    kind=kind)
+        col = _Collection(name=collection_name, vectors=vectors,
+                          sparse=dict(sparse_vectors_config or {}))
+        self._colls[collection_name] = col
+        # registered lazily so alias checks see it; real df arrives on upsert
+        self.catalog.register(collection_name, lambda: col.df)
+        if strict_mode_config is not None:
+            if not isinstance(strict_mode_config, StrictModeConfig):
+                strict_mode_config = StrictModeConfig(**strict_mode_config)
+            self.catalog.set_strict_mode(collection_name, strict_mode_config)
+        return True
+
+    def delete_collection(self, collection_name: str, **_ignored: Any) -> bool:
+        existed = collection_name in self._colls
+        self._colls.pop(collection_name, None)
+        self.catalog.drop(collection_name)
+        return existed
+
+    def collection_exists(self, collection_name: str) -> bool:
+        return self.catalog._aliases.get(collection_name, collection_name) \
+            in self._colls
+
+    def get_collections(self) -> list[str]:
+        return sorted(self._colls)
+
+    def get_collection(self, collection_name: str) -> dict[str, Any]:
+        col = self._coll(collection_name)
+        n = col.df.count() if col.df is not None else 0
+        return {
+            "status": "green",
+            "points_count": n,
+            "config": {
+                "params": {
+                    "vectors": {nm: {"size": vc.dim, "distance": vc.distance,
+                                     "kind": vc.kind}
+                                for nm, vc in col.vectors.items()},
+                    "sparse_vectors": dict(col.sparse),
+                },
+            },
+            "payload_schema": {
+                f: {"data_type": fi.schema_type, "params": fi.params}
+                for f, fi in self.catalog.list_field_indexes(col.name).items()
+            },
+        }
+
+    # -- aliases -------------------------------------------------------------
+
+    def update_collection_aliases(self, change_aliases_operations: list[dict],
+                                  **_ignored: Any) -> bool:
+        for op in change_aliases_operations:
+            if "create_alias" in op:
+                a = op["create_alias"]
+                self.catalog.create_alias(a["alias_name"], a["collection_name"])
+            elif "delete_alias" in op:
+                self.catalog.delete_alias(op["delete_alias"]["alias_name"])
+            elif "rename_alias" in op:
+                a = op["rename_alias"]
+                self.catalog.rename_alias(a["old_alias_name"], a["new_alias_name"])
+            else:
+                raise ValueError(f"unknown alias operation: {op!r}")
+        return True
+
+    # -- payload indexes -------------------------------------------------------
+
+    def create_payload_index(self, collection_name: str, field_name: str,
+                             field_schema: str | dict[str, Any] = "keyword",
+                             **_ignored: Any) -> UpdateResult:
+        col = self._coll(collection_name)
+        if isinstance(field_schema, str):
+            schema_type, params = field_schema, {}
+        else:
+            fs = dict(field_schema)
+            schema_type = fs.pop("type")
+            params = fs
+        self.catalog.create_field_index(collection_name, field_name,
+                                        schema_type, **params)
+        if schema_type == "text":
+            col.text_params[field_name] = dict(params)
+        col.op_counter += 1
+        return UpdateResult(operation_id=col.op_counter)
+
+    def delete_payload_index(self, collection_name: str, field_name: str,
+                             **_ignored: Any) -> UpdateResult:
+        col = self._coll(collection_name)
+        self.catalog.delete_field_index(collection_name, field_name)
+        col.text_params.pop(field_name, None)
+        col.op_counter += 1
+        return UpdateResult(operation_id=col.op_counter)
+
+    # -- point ingestion -------------------------------------------------------
+
+    def _vector_map(self, col: _Collection, vector: Any) -> dict[str, Any]:
+        if isinstance(vector, dict) and not (
+                "indices" in vector and "values" in vector):
+            return dict(vector)
+        return {"": vector}
+
+    def _points_to_df(self, col: _Collection,
+                      points: list[dict[str, Any]]) -> DataFrame:
+        if not points:
+            raise ValueError("empty points batch")
+        # id type: decided by the first batch, enforced thereafter
+        ids = [p["id"] for p in points]
+        batch_id_t: T.DataType = (
+            T.LongType() if all(isinstance(i, int) for i in ids)
+            else T.StringType())
+        if col.id_type is None:
+            col.id_type = batch_id_t
+        if isinstance(col.id_type, T.StringType):
+            ids = [str(i) for i in ids]
+        elif not all(isinstance(i, int) for i in ids):
+            raise ValueError("collection has integer ids; got non-integer id")
+
+        # vector columns from the declared configs
+        vec_fields: list[T.StructField] = []
+        for vname, vc in col.vectors.items():
+            vec_fields.append(T.StructField(col.vec_col(vname), vc.spark_type))
+        for sname in col.sparse:
+            vec_fields.append(T.StructField(
+                col.vec_col(sname),
+                VectorConfig(dim=0, distance="dot", kind="sparse").spark_type))
+
+        # payload schema: merged inference across the batch
+        payload_types: dict[str, T.DataType | None] = {}
+        for p in points:
+            for k, v in (p.get("payload") or {}).items():
+                if k in ("id", "version") or k.startswith("vec"):
+                    raise ValueError(f"reserved payload key: {k!r}")
+                payload_types[k] = _merge_type(payload_types.get(k),
+                                               _infer_type(v))
+        payload_fields = [
+            T.StructField(k, t if t is not None else T.StringType())
+            for k, t in payload_types.items()
+        ]
+        schema = T.StructType(
+            [T.StructField("id", col.id_type, False),
+             T.StructField("version", T.LongType(), False)]
+            + vec_fields + payload_fields)
+
+        version = col.op_counter + 1
+        rows = []
+        for pid, p in zip(ids, points):
+            row: list[Any] = [pid, version]
+            vm = self._vector_map(col, p.get("vector") or {})
+            declared = set(col.vectors) | set(col.sparse)
+            unknown = set(vm) - declared
+            if unknown:
+                raise ValueError(
+                    f"undeclared vector name(s) {sorted(unknown)}; declared: "
+                    f"{sorted(declared) or ['<none>']}")
+            for vname, vc in col.vectors.items():
+                v = vm.get(vname)
+                if v is None:
+                    row.append(None)
+                elif vc.kind == "multi":
+                    row.append([[float(x) for x in sub] for sub in v])
+                else:
+                    if len(v) != vc.dim:
+                        raise ValueError(
+                            f"vector {vname or '<default>'!r} has dim "
+                            f"{len(v)}, expected {vc.dim}")
+                    row.append([float(x) for x in v])
+            for sname in col.sparse:
+                v = vm.get(sname)
+                if v is None:
+                    row.append(None)
+                else:
+                    pairs = sorted(zip(v["indices"], v["values"]))
+                    row.append(([int(i) for i, _ in pairs],
+                                [float(x) for _, x in pairs]))
+            payload = p.get("payload") or {}
+            for f_ in payload_fields:
+                row.append(_conform(payload.get(f_.name), f_.dataType))
+            rows.append(tuple(row))
+        return self.spark.createDataFrame(rows, schema)
+
+    @staticmethod
+    def _evolve(table: DataFrame, updates: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Schema evolution both ways: new payload columns appear on the
+        table as NULL; shared columns are widened to the merged type."""
+        t_types = {f_.name: f_.dataType for f_ in table.schema.fields}
+        u_types = {f_.name: f_.dataType for f_ in updates.schema.fields}
+        for name, ut in u_types.items():
+            if name not in t_types:
+                table = table.withColumn(name, F.lit(None).cast(ut))
+            elif t_types[name] != ut:
+                m = _merge_type(t_types[name], ut)
+                if m != t_types[name]:
+                    table = table.withColumn(name, F.col(name).cast(m))
+                if m != ut:
+                    updates = updates.withColumn(name, F.col(name).cast(m))
+        return table, updates
+
+    def upsert(self, collection_name: str, points: list[dict[str, Any]],
+               **_ignored: Any) -> UpdateResult:
+        """REST ``PUT /collections/{name}/points``. Points are PointStruct
+        dicts: ``{"id": ..., "vector": [...] | {name: ...} |
+        {"indices": [...], "values": [...]}, "payload": {...}}``."""
+        col = self._coll(collection_name)
+        self._check_strict(col.name, {}, is_update=True, batch=points)
+        updates = self._points_to_df(col, points)
+        if col.df is None:
+            return self._commit(col, updates)
+        table, updates = self._evolve(col.df, updates)
+        return self._commit(
+            col, M.upsert_points(table, updates, id_col="id",
+                                 version_col="version"))
+
+    def _selector(self, points_selector: Any) -> tuple[list | None, dict | None]:
+        """REST PointsSelector: bare id list, {"points": [...]}, or
+        {"filter": {...}}."""
+        if isinstance(points_selector, dict):
+            if "points" in points_selector:
+                return list(points_selector["points"]), None
+            if "filter" in points_selector:
+                return None, points_selector["filter"]
+            raise ValueError("points selector needs 'points' or 'filter'")
+        return list(points_selector), None
+
+    def _norm_ids(self, col: _Collection, ids: list | None) -> list | None:
+        if ids is None:
+            return None
+        if isinstance(col.id_type, T.StringType):
+            return [str(i) for i in ids]
+        return ids
+
+    def delete(self, collection_name: str, points_selector: Any,
+               **_ignored: Any) -> UpdateResult:
+        col = self._coll(collection_name)
+        if col.df is None:
+            return UpdateResult(operation_id=col.op_counter)
+        ids, flt = self._selector(points_selector)
+        if flt is not None:
+            self._check_strict(col.name, {"filter": flt}, is_update=True)
+        return self._commit(col, M.delete_points(
+            col.df, ids=self._norm_ids(col, ids), flt=flt, id_col="id"))
+
+    def set_payload(self, collection_name: str, payload: dict[str, Any], *,
+                    points: list | None = None, filter: dict | None = None,
+                    **_ignored: Any) -> UpdateResult:
+        col = self._coll(collection_name)
+        table = col.df
+        # new payload keys appear as typed columns first
+        new_cols = {k: v for k, v in payload.items() if k not in table.columns}
+        for k, v in new_cols.items():
+            table = table.withColumn(k, F.lit(None).cast(_infer_type(v)))
+        return self._commit(col, M.set_payload(
+            table, payload, ids=self._norm_ids(col, points), flt=filter,
+            id_col="id"))
+
+    def overwrite_payload(self, collection_name: str, payload: dict[str, Any],
+                          *, points: list | None = None,
+                          filter: dict | None = None,
+                          **_ignored: Any) -> UpdateResult:
+        col = self._coll(collection_name)
+        table = col.df
+        for k, v in payload.items():
+            if k not in table.columns:
+                table = table.withColumn(k, F.lit(None).cast(_infer_type(v)))
+        cols = [c for c in col.payload_cols() if c in table.columns] + [
+            k for k in payload if k not in col.payload_cols()]
+        return self._commit(col, M.overwrite_payload(
+            table, payload, cols, ids=self._norm_ids(col, points),
+            flt=filter, id_col="id"))
+
+    def delete_payload(self, collection_name: str, keys: list[str], *,
+                       points: list | None = None, filter: dict | None = None,
+                       **_ignored: Any) -> UpdateResult:
+        col = self._coll(collection_name)
+        keys = [k for k in keys if k in col.df.columns]
+        if not keys:
+            return UpdateResult(operation_id=col.op_counter)
+        return self._commit(col, M.delete_payload(
+            col.df, keys, ids=self._norm_ids(col, points), flt=filter,
+            id_col="id"))
+
+    def clear_payload(self, collection_name: str, points_selector: Any,
+                      **_ignored: Any) -> UpdateResult:
+        col = self._coll(collection_name)
+        ids, flt = self._selector(points_selector)
+        return self._commit(col, M.clear_payload(
+            col.df, col.payload_cols(), ids=self._norm_ids(col, ids),
+            flt=flt, id_col="id"))
+
+    def _vec_value(self, col: _Collection, vname: str, v: Any) -> Any:
+        if v is None:
+            return None
+        if vname in col.sparse:
+            pairs = sorted(zip(v["indices"], v["values"]))
+            return ([int(i) for i, _ in pairs], [float(x) for _, x in pairs])
+        if col.vectors[vname].kind == "multi":
+            return [[float(x) for x in sub] for sub in v]
+        return [float(x) for x in v]
+
+    def update_vectors(self, collection_name: str,
+                       points: list[dict[str, Any]],
+                       **_ignored: Any) -> UpdateResult:
+        """PointVectors updates: ``{"id": ..., "vector": ...}`` — named
+        vectors not mentioned keep their value (one broadcast join, not
+        per-point plan nodes)."""
+        col = self._coll(collection_name)
+        mentioned: list[str] = []
+        maps = []
+        for p in points:
+            vm = self._vector_map(col, p["vector"])
+            maps.append(vm)
+            for n in vm:
+                if n not in mentioned:
+                    mentioned.append(n)
+        sparse_t = VectorConfig(dim=0, distance="dot", kind="sparse").spark_type
+        schema = T.StructType(
+            [T.StructField("id", col.id_type, False)]
+            + [T.StructField(col.vec_col(n),
+                             sparse_t if n in col.sparse
+                             else col.vectors[n].spark_type)
+               for n in mentioned])
+        rows = []
+        for p, vm in zip(points, maps):
+            pid = str(p["id"]) if isinstance(col.id_type, T.StringType) \
+                else p["id"]
+            rows.append(tuple([pid] + [
+                self._vec_value(col, n, vm.get(n)) for n in mentioned]))
+        updates = self.spark.createDataFrame(rows, schema)
+        return self._commit(col, M.update_vectors(
+            col.df, updates, [col.vec_col(n) for n in mentioned],
+            id_col="id"))
+
+    def delete_vectors(self, collection_name: str, vectors: list[str],
+                       points_selector: Any, **_ignored: Any) -> UpdateResult:
+        col = self._coll(collection_name)
+        ids, flt = self._selector(points_selector)
+        return self._commit(col, M.delete_vectors(
+            col.df, [col.vec_col(v) for v in vectors],
+            ids=self._norm_ids(col, ids), flt=flt, id_col="id"))
+
+    # -- point reads -----------------------------------------------------------
+
+    def _vector_out(self, col: _Collection, row: dict,
+                    with_vectors: bool | list[str]) -> Any:
+        if with_vectors is False:
+            return None
+        names = (list(col.vectors) + list(col.sparse) if with_vectors is True
+                 else list(with_vectors))
+        out: dict[str, Any] = {}
+        for n in names:
+            v = row.get(col.vec_col(n))
+            if v is None:
+                continue
+            if n in col.sparse:
+                v = {"indices": list(v["indices"]), "values": list(v["values"])}
+            out[n] = v
+        if set(out) == {""}:
+            return out[""]
+        return out or None
+
+    def _payload_out(self, col: _Collection, row: dict,
+                     with_payload: bool | list[str] | dict) -> dict | None:
+        if with_payload is False:
+            return None
+        cols = col.payload_cols()
+        if isinstance(with_payload, dict):
+            if "include" in with_payload:
+                cols = [c for c in cols if c in set(with_payload["include"])]
+            elif "exclude" in with_payload:
+                cols = [c for c in cols if c not in set(with_payload["exclude"])]
+        elif isinstance(with_payload, list):
+            cols = [c for c in cols if c in set(with_payload)]
+        return {c: row[c] for c in cols if c in row and row[c] is not None}
+
+    def _rows_as_dicts(self, df: DataFrame) -> list[dict]:
+        return [r.asDict(recursive=True) for r in df.collect()]
+
+    def retrieve(self, collection_name: str, ids: list, *,
+                 with_payload: bool | list[str] | dict = True,
+                 with_vectors: bool | list[str] = False,
+                 **_ignored: Any) -> list[Record]:
+        col = self._coll(collection_name)
+        if col.df is None:
+            return []
+        ids = self._norm_ids(col, ids)
+        rows = {r["id"]: r for r in self._rows_as_dicts(
+            col.df.filter(F.col("id").isin(ids)))}
+        return [
+            Record(id=i,
+                   payload=self._payload_out(col, rows[i], with_payload),
+                   vector=self._vector_out(col, rows[i], with_vectors))
+            for i in ids if i in rows
+        ]
+
+    def scroll(self, collection_name: str, *,
+               scroll_filter: dict | None = None, limit: int = 10,
+               offset: Any | None = None, order_by: Any | None = None,
+               with_payload: bool | list[str] | dict = True,
+               with_vectors: bool | list[str] = False,
+               **_ignored: Any) -> tuple[list[Record], Any | None]:
+        """Returns (records, next_page_offset) — qdrant-client's scroll
+        contract (keyset pagination; pass the returned offset back in)."""
+        col = self._coll(collection_name)
+        if col.df is None:
+            return [], None
+        self._check_strict(col.name, {"filter": scroll_filter,
+                                      "limit": limit})
+        df = col.df
+        flt = scroll_filter
+        if flt is not None and col.text_params:
+            df = apply_filter(df, flt, text_params=col.text_params,
+                              id_col="id")
+            flt = None
+        ob_key = direction = start_from = None
+        if order_by is not None:
+            if isinstance(order_by, str):
+                ob_key = order_by
+            else:
+                ob_key = order_by["key"]
+                direction = order_by.get("direction")
+                start_from = order_by.get("start_from")
+        page = P.scroll(df, limit=limit + 1, flt=flt, id_col="id",
+                        offset_id=(None if offset is None
+                                   else self._norm_ids(col, [offset])[0]),
+                        order_by=ob_key, direction=direction or "asc",
+                        start_from=start_from)
+        rows = self._rows_as_dicts(page)
+        nxt = rows[limit]["id"] if len(rows) > limit and ob_key is None \
+            else None
+        rows = rows[:limit]
+        recs = [Record(id=r["id"],
+                       payload=self._payload_out(col, r, with_payload),
+                       vector=self._vector_out(col, r, with_vectors))
+                for r in rows]
+        return recs, nxt
+
+    def count(self, collection_name: str, *,
+              count_filter: dict | None = None, exact: bool = True,
+              **_ignored: Any) -> CountResult:
+        col = self._coll(collection_name)
+        if col.df is None:
+            return CountResult(count=0)
+        df = col.df
+        flt = count_filter
+        if flt is not None and col.text_params:
+            df = apply_filter(df, flt, text_params=col.text_params,
+                              id_col="id")
+            flt = None
+        if exact:
+            return CountResult(count=P.count(df, flt))
+        est, _interval = P.count_estimate(df, flt)
+        return CountResult(count=est)
+
+    def facet(self, collection_name: str, key: str, *,
+              facet_filter: dict | None = None, limit: int = 10,
+              exact: bool = True, **_ignored: Any) -> FacetResponse:
+        col = self._coll(collection_name)
+        if col.df is None:
+            return FacetResponse(hits=[])
+        fn = P.facet if exact else P.facet_estimate
+        rows = fn(col.df, key, limit=limit, flt=facet_filter).collect()
+        cnt = "count" if exact else "est_count"
+        return FacetResponse(hits=[
+            FacetValueHit(value=r["value"], count=r[cnt]) for r in rows])
+
+    # -- queries ---------------------------------------------------------------
+
+    @staticmethod
+    def _norm_vec_input(t: Any) -> Any:
+        """REST VectorInput: point id | dense vector | sparse vector."""
+        if isinstance(t, (int, str)):
+            return {"id": t}
+        if isinstance(t, dict):
+            return t
+        return [float(x) for x in t]
+
+    @classmethod
+    def _norm_query(cls, query: Any) -> Any:
+        """REST QueryInterface -> planner query node."""
+        if query is None:
+            return None
+        if isinstance(query, (int, str)):
+            return {"nearest": {"id": query}}             # query by point id
+        if isinstance(query, dict):
+            if "indices" in query and "values" in query:
+                return {"nearest": query}                 # bare sparse vector
+            out = dict(query)
+            if "nearest" in out:
+                out["nearest"] = cls._norm_vec_input(out["nearest"])
+            if "recommend" in out:
+                r = dict(out["recommend"])
+                for side in ("positive", "negative"):
+                    r[side] = [cls._norm_vec_input(t)
+                               for t in (r.get(side) or [])]
+                out["recommend"] = r
+            if "discover" in out:
+                d = dict(out["discover"])
+                d["target"] = cls._norm_vec_input(d["target"])
+                d["context"] = [
+                    {"positive": cls._norm_vec_input(p["positive"]),
+                     "negative": cls._norm_vec_input(p["negative"])}
+                    for p in d.get("context") or []]
+                out["discover"] = d
+            if "context" in out:
+                out["context"] = [
+                    {"positive": cls._norm_vec_input(p["positive"]),
+                     "negative": cls._norm_vec_input(p["negative"])}
+                    for p in out["context"] or []]
+            return out
+        return {"nearest": [float(x) for x in query]}     # bare dense vector
+
+    @classmethod
+    def _norm_request(cls, req: dict[str, Any]) -> dict[str, Any]:
+        out = dict(req)
+        if "query" in out:
+            out["query"] = cls._norm_query(out["query"])
+        pf = out.get("prefetch")
+        if pf:
+            pf = pf if isinstance(pf, list) else [pf]
+            out["prefetch"] = [cls._norm_request(p) for p in pf]
+        return out
+
+    def _planner(self, col: _Collection, using: str | None) -> QueryPlanner:
+        registry = {n: (c.df if isinstance(c, _Collection) else c)
+                    for n, c in self._colls.items() if c.df is not None}
+        return QueryPlanner(
+            col.df, id_col="id",
+            default_vec_col=col.vec_col(using or ""),
+            metric=col.metric_for(using),
+            collections=registry,
+            text_params=col.text_params or None,
+        )
+
+    def _hydrate(self, col: _Collection, scored: DataFrame, *,
+                 with_payload: bool | list[str] | dict,
+                 with_vectors: bool | list[str]) -> list[ScoredPoint]:
+        hits = scored.collect()
+        if not hits:
+            return []
+        rows: dict[Any, dict] = {}
+        if with_payload is not False or with_vectors is not False:
+            ids = [h["id"] for h in hits]
+            rows = {r["id"]: r for r in self._rows_as_dicts(
+                col.df.filter(F.col("id").isin(ids)))}
+        out = []
+        for h in hits:
+            r = rows.get(h["id"], {})
+            out.append(ScoredPoint(
+                id=h["id"], score=float(h["score"]),
+                version=r.get("version"),
+                payload=self._payload_out(col, r, with_payload) if r else None,
+                vector=self._vector_out(col, r, with_vectors) if r else None))
+        return out
+
+    def query_points(self, collection_name: str, *,
+                     query: Any = None, using: str | None = None,
+                     prefetch: list[dict] | dict | None = None,
+                     query_filter: dict | None = None,
+                     limit: int = 10, offset: int = 0,
+                     score_threshold: float | None = None,
+                     with_payload: bool | list[str] | dict = True,
+                     with_vectors: bool | list[str] = False,
+                     lookup_from: dict | str | None = None,
+                     shard_key_selector: Any = None,
+                     **_ignored: Any) -> QueryResponse:
+        """REST ``POST /collections/{name}/points/query`` — the universal
+        query API: bare vector / point id / sparse vector / recommend /
+        discover / context / order_by / sample leaves, fusion / formula /
+        mmr roots over ``prefetch`` trees."""
+        col = self._coll(collection_name)
+        if col.df is None:
+            return QueryResponse(points=[])
+        req: dict[str, Any] = {"query": self._norm_query(query),
+                               "limit": limit}
+        if using:
+            req["using"] = col.vec_col(using)
+        if prefetch is not None:
+            pf = prefetch if isinstance(prefetch, list) else [prefetch]
+            pf = [self._norm_request(p) for p in pf]
+            for p in pf:
+                if "using" in p:
+                    p["using"] = col.vec_col(p["using"])
+            req["prefetch"] = pf
+        if query_filter is not None:
+            req["filter"] = query_filter
+        if offset:
+            req["offset"] = offset
+        if score_threshold is not None:
+            req["score_threshold"] = score_threshold
+        if lookup_from is not None:
+            req["lookup_from"] = lookup_from
+        self._check_strict(col.name, req)
+        points = col.df
+        if shard_key_selector is not None:
+            from qdrant_spark.operators.sharding import select_shards
+
+            points = select_shards(points, shard_key_selector,
+                                   col="shard_key")
+        planner = self._planner(col, using)
+        planner.points = points
+        scored = planner.plan(req)
+        out = self._hydrate(col, scored, with_payload=with_payload,
+                            with_vectors=with_vectors)
+        planner.close()
+        return QueryResponse(points=out)
+
+    def query_points_groups(self, collection_name: str, *, group_by: str,
+                            query: Any = None, using: str | None = None,
+                            prefetch: list[dict] | dict | None = None,
+                            query_filter: dict | None = None,
+                            limit: int = 10, group_size: int = 3,
+                            with_payload: bool | list[str] | dict = True,
+                            with_vectors: bool | list[str] = False,
+                            with_lookup: dict | str | None = None,
+                            **_ignored: Any) -> GroupsResult:
+        """REST ``POST /collections/{name}/points/query/groups``; ``limit``
+        counts groups (as in the reference)."""
+        col = self._coll(collection_name)
+        if col.df is None:
+            return GroupsResult(groups=[])
+        req: dict[str, Any] = {"query": self._norm_query(query)}
+        if using:
+            req["using"] = col.vec_col(using)
+        if prefetch is not None:
+            pf = prefetch if isinstance(prefetch, list) else [prefetch]
+            req["prefetch"] = [self._norm_request(p) for p in pf]
+        if query_filter is not None:
+            req["filter"] = query_filter
+        self._check_strict(col.name, {**req, "limit": limit})
+        planner = self._planner(col, using)
+        lookup = lookup_cols = None
+        if with_lookup is not None:
+            if isinstance(with_lookup, str):
+                lookup = with_lookup
+            else:
+                lookup = with_lookup["collection"]
+                wp = with_lookup.get("with_payload")
+                if isinstance(wp, list):
+                    lookup_cols = wp
+        grouped = planner.plan_groups(
+            req, group_by_field=group_by, groups=limit,
+            group_size=group_size, lookup=lookup, lookup_cols=lookup_cols)
+        rows = self._rows_as_dicts(grouped)
+        planner.close()
+        groups: dict[Any, PointGroup] = {}
+        hydr = {p.id: p for p in self._hydrate(
+            col,
+            self.spark.createDataFrame(
+                [(r["id"], r["score"]) for r in rows],
+                col.df.select("id").withColumn("score", F.lit(0.0)).schema),
+            with_payload=with_payload, with_vectors=with_vectors)}
+        lookup_keys = [k for k in (rows[0].keys() if rows else [])
+                       if k.startswith("lookup_")]
+        for r in rows:
+            gv = r["group_value"]
+            if gv not in groups:
+                lk = {k[len("lookup_"):]: r[k] for k in lookup_keys} \
+                    if lookup_keys else None
+                groups[gv] = PointGroup(id=gv, hits=[], lookup=lk)
+            sp = hydr[r["id"]]
+            groups[gv].hits.append(ScoredPoint(
+                id=sp.id, score=float(r["score"]), version=sp.version,
+                payload=sp.payload, vector=sp.vector))
+        return GroupsResult(groups=list(groups.values()))
+
+    def query_batch_points(self, collection_name: str,
+                           requests: list[dict[str, Any]],
+                           **_ignored: Any) -> list[QueryResponse]:
+        """REST ``POST /collections/{name}/points/query/batch``."""
+        col = self._coll(collection_name)
+        if col.df is None:
+            return [QueryResponse(points=[]) for _ in requests]
+        cfg = self.catalog.get_strict_mode(col.name)
+        if cfg is not None:
+            check_strict_mode({}, cfg,
+                              indexed_fields=self._indexed_fields(col.name),
+                              batch=requests)
+        from qdrant_spark.query import query_batch
+
+        norm = []
+        for r in requests:
+            n = self._norm_request(r)
+            if "using" in n:
+                n["using"] = col.vec_col(n["using"])
+            self._check_strict(col.name, n)
+            norm.append(n)
+        tagged = query_batch(col.df, norm, id_col="id",
+                             vec_col=col.vec_col(""),
+                             metric=col.metric_for(None))
+        by_idx: dict[int, list] = {}
+        for r in tagged.collect():
+            by_idx.setdefault(r["request_idx"], []).append(r)
+        out = []
+        for i, req in enumerate(norm):
+            hits = by_idx.get(i, [])
+            wp = requests[i].get("with_payload", True)
+            wv = requests[i].get("with_vector",
+                                 requests[i].get("with_vectors", False))
+            if not hits:
+                out.append(QueryResponse(points=[]))
+                continue
+            scored = self.spark.createDataFrame(
+                [(h["id"], float(h["score"])) for h in hits],
+                schema=T.StructType([
+                    T.StructField("id", col.id_type),
+                    T.StructField("score", T.DoubleType())]))
+            out.append(QueryResponse(points=self._hydrate(
+                col, scored, with_payload=wp, with_vectors=wv)))
+        return out
+
+    # -- distance matrix ---------------------------------------------------------
+
+    def search_matrix_pairs(self, collection_name: str, *,
+                            query_filter: dict | None = None,
+                            sample: int = 10, limit: int = 3,
+                            using: str | None = None,
+                            **_ignored: Any) -> list[dict[str, Any]]:
+        from qdrant_spark.operators.matrix import distance_matrix
+
+        col = self._coll(collection_name)
+        rows = distance_matrix(
+            col.df, sample_size=sample, limit_per_sample=limit,
+            metric=col.metric_for(using), vec_col=col.vec_col(using or ""),
+            id_col="id", flt=query_filter).collect()
+        return [{"a": r["id_a"], "b": r["id_b"], "score": float(r["score"])}
+                for r in rows]
+
+    def search_matrix_offsets(self, collection_name: str, *,
+                              query_filter: dict | None = None,
+                              sample: int = 10, limit: int = 3,
+                              using: str | None = None,
+                              **_ignored: Any) -> dict[str, Any]:
+        from qdrant_spark.operators.matrix import distance_matrix_offsets
+
+        col = self._coll(collection_name)
+        row = distance_matrix_offsets(
+            col.df, sample_size=sample, limit_per_sample=limit,
+            metric=col.metric_for(using), vec_col=col.vec_col(using or ""),
+            id_col="id", flt=query_filter).collect()
+        if not row:
+            return {"ids": [], "offsets_row": [], "offsets_col": [],
+                    "scores": []}
+        r = row[0]
+        return {"ids": list(r["ids"]),
+                "offsets_row": list(r["offsets_row"]),
+                "offsets_col": list(r["offsets_col"]),
+                "scores": [float(s) for s in r["scores"]]}
+
+    # -- legacy client methods (pre-universal-query API, still in qdrant-client)
+
+    def search(self, collection_name: str, query_vector: Any, *,
+               query_filter: dict | None = None, limit: int = 10,
+               offset: int = 0, score_threshold: float | None = None,
+               with_payload: bool | list[str] | dict = True,
+               with_vectors: bool | list[str] = False,
+               **_ignored: Any) -> list[ScoredPoint]:
+        """Legacy ``search``: named vectors via the ``(name, vector)``
+        tuple form."""
+        using = None
+        if isinstance(query_vector, tuple) and len(query_vector) == 2 \
+                and isinstance(query_vector[0], str):
+            using, query_vector = query_vector
+        return self.query_points(
+            collection_name, query=query_vector, using=using,
+            query_filter=query_filter, limit=limit, offset=offset,
+            score_threshold=score_threshold, with_payload=with_payload,
+            with_vectors=with_vectors).points
+
+    def recommend(self, collection_name: str, *, positive: list | None = None,
+                  negative: list | None = None, strategy: str = "average_vector",
+                  query_filter: dict | None = None, limit: int = 10,
+                  using: str | None = None,
+                  with_payload: bool | list[str] | dict = True,
+                  **_ignored: Any) -> list[ScoredPoint]:
+        return self.query_points(
+            collection_name,
+            query={"recommend": {"positive": positive or [],
+                                 "negative": negative or [],
+                                 "strategy": strategy}},
+            using=using, query_filter=query_filter, limit=limit,
+            with_payload=with_payload).points

@@ -95,6 +95,11 @@ def scroll(
         ).limit(limit)
     if order_by is not None:
         c = F.col(order_by)
+        # points without a value for the key are skipped entirely
+        # (OrderBy reads values from the payload index; a point absent
+        # from the index never enters the ordered stream —
+        # lib/segment/src/index/field_index/..., REST docs "order_by")
+        df = df.filter(c.isNotNull())
         if start_from is not None:
             df = df.filter(c >= start_from if direction == "asc" else c <= start_from)
         order = [c.asc() if direction == "asc" else c.desc(), F.col(id_col).asc()]

@@ -66,6 +66,17 @@ FUSE_MIN_BYTES = 32 << 20
 FUSED_COLLECT_MAX = 100_000
 
 
+def merge_filters(a: dict | None, b: dict | None) -> dict | None:
+    """``Filter::merge`` — AND of two filter objects. A Filter is itself a
+    valid Condition (Condition::Filter, types.rs:3981), so the merge is one
+    must-list of the two."""
+    if not a:
+        return b or None
+    if not b:
+        return a
+    return {"must": [a, b]}
+
+
 class QueryPlanner:
     """Compiles a universal-query request against a points DataFrame.
 
@@ -80,12 +91,20 @@ class QueryPlanner:
                  full_scan_threshold: int | None = None,
                  cluster_stats=None,
                  fuse_min_bytes: int | None = None,
-                 fused_collect_max: int | None = None):
+                 fused_collect_max: int | None = None,
+                 text_params: dict[str, dict[str, Any]] | None = None):
         self.points = points
         self.id_col = id_col
         self.default_vec_col = default_vec_col
         self.metric = metric
         self.collections = collections or {}
+        self._self_refs: set = set()
+        # per-field TextIndexParams honored by full-text filter conditions
+        # (the declared-text-index analogue; see filters.filter_column).
+        # Leaves with a filter pre-apply it against the corpus so the
+        # params reach the tokenizer; such leaves skip ANN dispatch and
+        # shared-scan fusion (both key on the raw filter dict).
+        self.text_params = text_params or {}
         self._vec_cache: dict[tuple, list] = {}
         # optional ANN acceleration: when an IvfIndex is registered, dense
         # `nearest` leaves route through the selectivity-aware dispatcher
@@ -140,6 +159,19 @@ class QueryPlanner:
     def plan(self, request: dict[str, Any]) -> DataFrame:
         """Returns (id, score) best-first, limited."""
         self._vec_cache = self._batch_resolve_ids(request)
+        # Exclude all same-collection referenced point ids (root and
+        # nested) by merging a must_not/has_id into the ROOT filter —
+        # exactly exclude_referenced_ids (collection_query.rs:523,705).
+        # Ids resolved via lookup_from are NOT excluded (the reference
+        # keeps other-collection ids in, collection_query.rs:550-553); the
+        # root filter then propagates into every prefetch (see _node /
+        # recurse_prefetches planned_query.rs:310-340), so the exclusion
+        # reaches every leaf.
+        if self._self_refs:
+            request = dict(request)
+            request["filter"] = merge_filters(
+                {"must_not": [{"has_id": sorted(self._self_refs, key=str)}]},
+                request.get("filter"))
         self._fused_hits_by_df = {}
         for df in self._fused_persisted:
             df.unpersist()
@@ -207,6 +239,16 @@ class QueryPlanner:
         limit = int(req.get("limit", DEFAULT_LIMIT))
         query = req.get("query")
         if children:
+            if req.get("filter"):
+                # a node's filter propagates into ALL its prefetches,
+                # merged with each child's own filter (recurse_prefetches
+                # planned_query.rs:310-340: Filter::merge_opts(propagate,
+                # own)); recursion composes it down the tree
+                children = [
+                    dict(c, filter=merge_filters(req["filter"],
+                                                 c.get("filter")))
+                    for c in children
+                ]
             child_dfs = self._plan_children(children, depth)
             return self._rescore(query, child_dfs, req, limit)
         return self._leaf(query, req, limit)
@@ -238,11 +280,15 @@ class QueryPlanner:
         upgrade approximate legs to exact ones)."""
         if req.get("prefetch"):
             return None
+        if self.text_params and req.get("filter"):
+            return None  # leaf pre-applies the filter with text_params
         query = req.get("query")
         if not isinstance(query, dict) or "nearest" not in query:
             return None
         target = query["nearest"]
-        if isinstance(target, dict) and "indices" in target:  # sparse
+        if isinstance(target, dict) and ("indices" in target  # sparse
+                                         or "id" in target):  # id target:
+            # plan() handles its referenced-id exclusion; keep it unfused
             return None
         vec_col = req.get("using", self.default_vec_col)
         if (self.ivf_index is not None and vec_col == self.ivf_index.vec_col
@@ -440,6 +486,7 @@ class QueryPlanner:
         reference batches identically: fetch_vectors.rs resolves every
         referenced id of a request in one retrieve)."""
         wanted: dict[tuple, tuple] = {}  # key -> (df, vec_col, set(ids))
+        self._self_refs: set = set()  # same-collection refs, for exclusion
 
         def walk(req: dict[str, Any]) -> None:
             key, df, vc = self._node_lookup(req)
@@ -448,6 +495,8 @@ class QueryPlanner:
             def add(t: Any) -> None:
                 if isinstance(t, dict) and "id" in t:
                     wanted.setdefault((key, vc), (df, vc, set()))[2].add(t["id"])
+                    if key is None:
+                        self._self_refs.add(t["id"])
 
             if isinstance(query, dict):
                 if "nearest" in query and not (
@@ -509,23 +558,40 @@ class QueryPlanner:
         vec_col = req.get("using", self.default_vec_col)
         offset = int(req.get("offset", 0))
         threshold = req.get("score_threshold")
+        pts = self.points
+        pre_filtered = False
+        if flt and self.text_params:
+            # apply the filter HERE so declared text-index params reach the
+            # tokenizer (knn/scroll/recommend compile flt without them)
+            from qdrant_spark.filters import apply_filter
+
+            pts = apply_filter(pts, flt, text_params=self.text_params,
+                               id_col=self.id_col)
+            flt = None
+            pre_filtered = True
         kw = dict(vec_col=vec_col, id_col=self.id_col, k=limit, flt=flt)
 
         if query is None:  # scroll by id
-            out = scroll(self.points, limit=limit, flt=flt, id_col=self.id_col)
+            out = scroll(pts, limit=limit, flt=flt, id_col=self.id_col)
             return out.select(self.id_col).withColumn("score", F.lit(0.0))
         if "nearest" in query:
             target = query["nearest"]
             if isinstance(target, dict) and "indices" in target:  # sparse vector
                 from qdrant_spark.operators.sparse import sparse_knn
 
+                skw = {}
+                if "using" in req:
+                    # named sparse vector: struct column vec_<name>
+                    # {indices, values} (qdrant SparseVector layout)
+                    skw = dict(indices_col=f"{vec_col}.indices",
+                               values_col=f"{vec_col}.values")
                 return sparse_knn(
-                    self.points, target["indices"], target["values"], k=limit,
-                    id_col=self.id_col, flt=flt,
+                    pts, target["indices"], target["values"], k=limit,
+                    id_col=self.id_col, flt=flt, **skw,
                 ).select(self.id_col, "score")
             target = self._resolve_vector_input(target, req)
             if (self.ivf_index is not None and offset == 0
-                    and threshold is None
+                    and threshold is None and not pre_filtered
                     and vec_col == self.ivf_index.vec_col
                     and not self._leaf_exact(req)):
                 from qdrant_spark.operators.dispatch import (
@@ -542,7 +608,7 @@ class QueryPlanner:
                                          or FULL_SCAN_THRESHOLD),
                     cluster_stats=self.cluster_stats,
                 )
-            out = knn(self.points, target, metric=self.metric,
+            out = knn(pts, target, metric=self.metric,
                       score_threshold=threshold, offset=offset,
                       select=[self.id_col, "score"], **kw)
             return out
@@ -560,28 +626,28 @@ class QueryPlanner:
             kw2 = dict(kw)
             if strat == "average_vector":
                 kw2["score_threshold"] = threshold
-            out = fn(self.points, pos, neg, metric=self.metric, **kw2)
+            out = fn(pts, pos, neg, metric=self.metric, **kw2)
             return out.select(self.id_col, "score")
         if "discover" in query:
             d = query["discover"]
             pairs = [(rv(p["positive"]), rv(p["negative"])) for p in d["context"]]
-            return R.discover(self.points, rv(d["target"]), pairs,
+            return R.discover(pts, rv(d["target"]), pairs,
                               metric=self.metric, **kw).select(self.id_col, "score")
         if "context" in query:
             pairs = [(rv(p["positive"]), rv(p["negative"])) for p in query["context"]]
-            return R.context(self.points, pairs, metric=self.metric, **kw).select(
+            return R.context(pts, pairs, metric=self.metric, **kw).select(
                 self.id_col, "score")
         if "order_by" in query:
             ob = query["order_by"]
             key, direction = ob["key"], ob.get("direction", "asc")
-            out = scroll(self.points, limit=limit, flt=flt, id_col=self.id_col,
+            out = scroll(pts, limit=limit, flt=flt, id_col=self.id_col,
                          order_by=key, direction=direction,
                          start_from=ob.get("start_from"))
             return out.select(
                 self.id_col, F.col(key).cast("double").alias("score")
             )
         if "sample" in query:
-            out = sample_points(self.points, limit, flt=flt)
+            out = sample_points(pts, limit, flt=flt)
             return out.select(self.id_col).withColumn("score", F.lit(0.0))
         raise ValueError(f"unsupported leaf query: {query!r}")
 

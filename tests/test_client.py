@@ -1,0 +1,471 @@
+"""End-to-end conformance tests for the qdrant-client-compatible facade.
+
+Modeled on the reference's REST black-box suite (tests/openapi/*): the
+canonical small collection is built through the PUBLIC client surface
+(create_collection + upsert with PointStruct dicts), then every API family
+is exercised against hand-computed or NumPy oracles.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from qdrant_spark.catalog import StrictModeError
+from qdrant_spark.client import QdrantSparkClient
+
+VECS = {
+    1: [0.05, 0.61, 0.76, 0.74],
+    2: [0.19, 0.81, 0.75, 0.11],
+    3: [0.36, 0.55, 0.47, 0.94],
+    4: [0.18, 0.01, 0.85, 0.80],
+    5: [0.24, 0.18, 0.22, 0.44],
+    6: [0.35, 0.08, 0.11, 0.44],
+    7: [0.25, 0.98, 0.14, 0.43],
+    8: [0.79, 0.53, 0.72, 0.15],
+}
+PAYLOADS = {
+    1: {"city": ["Berlin"], "price": 10.0},
+    2: {"city": ["Berlin", "London"], "price": 11.0},
+    3: {"city": ["Berlin", "Moscow"], "price": 9.5},
+    4: {"city": ["London", "Moscow"], "price": 9.0},
+    5: {"count": [0]},
+    6: {},
+    7: {},
+    8: {"city": [], "price": None},
+}
+SPARSE = {
+    9: {"indices": [66, 12], "values": [0.5, 0.5]},
+    10: {"indices": [1, 2, 3], "values": [0.1, 0.2, 0.3]},
+}
+
+
+def _cosine(a, b):
+    num = sum(x * y for x, y in zip(a, b))
+    return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def _exact_knn(q, k, ids=None):
+    cands = [(i, _cosine(q, v)) for i, v in VECS.items()
+             if ids is None or i in ids]
+    cands.sort(key=lambda t: (-t[1], t[0]))
+    return cands[:k]
+
+
+@pytest.fixture(scope="module")
+def client(spark):
+    c = QdrantSparkClient(spark)
+    c.create_collection(
+        "test_collection",
+        vectors_config={"size": 4, "distance": "Cosine"},
+        sparse_vectors_config={"text": {}},
+    )
+    points = [
+        {"id": i, "vector": VECS[i],
+         "payload": {k: v for k, v in PAYLOADS[i].items() if v is not None}}
+        for i in VECS
+    ] + [{"id": i, "vector": {"text": SPARSE[i]}} for i in SPARSE]
+    c.upsert("test_collection", points)
+    return c
+
+
+class TestCollections:
+    def test_exists_and_info(self, client):
+        assert client.collection_exists("test_collection")
+        assert not client.collection_exists("nope")
+        info = client.get_collection("test_collection")
+        assert info["points_count"] == 10
+        assert info["config"]["params"]["vectors"][""]["size"] == 4
+        assert "text" in info["config"]["params"]["sparse_vectors"]
+
+    def test_duplicate_create_raises(self, client):
+        with pytest.raises(ValueError):
+            client.create_collection("test_collection",
+                                     vectors_config={"size": 4,
+                                                     "distance": "Cosine"})
+
+    def test_create_delete_roundtrip(self, client):
+        client.create_collection("tmp", vectors_config={"size": 2,
+                                                        "distance": "Dot"})
+        assert client.delete_collection("tmp")
+        assert not client.collection_exists("tmp")
+
+    def test_undeclared_vector_name_rejected(self, client):
+        with pytest.raises(ValueError, match="undeclared vector name"):
+            client.upsert("test_collection",
+                          [{"id": 99, "vector": {"other": [1.0] * 4}}])
+
+    def test_wrong_dim_rejected(self, client):
+        with pytest.raises(ValueError, match="dim"):
+            client.upsert("test_collection", [{"id": 99, "vector": [1.0, 2.0]}])
+
+
+class TestRetrieveScrollCount:
+    def test_retrieve(self, client):
+        recs = client.retrieve("test_collection", [2, 5, 42],
+                               with_vectors=True)
+        assert [r.id for r in recs] == [2, 5]
+        r2 = recs[0]
+        assert r2.payload == {"city": ["Berlin", "London"], "price": 11.0}
+        assert r2.vector == pytest.approx(VECS[2], abs=1e-6)
+        r5 = recs[1]
+        assert r5.payload == {"count": [0]}
+
+    def test_retrieve_payload_selectors(self, client):
+        (rec,) = client.retrieve("test_collection", [2],
+                                 with_payload={"include": ["city"]})
+        assert rec.payload == {"city": ["Berlin", "London"]}
+        (rec,) = client.retrieve("test_collection", [2],
+                                 with_payload={"exclude": ["city"]})
+        assert rec.payload == {"price": 11.0}
+        (rec,) = client.retrieve("test_collection", [2], with_payload=False)
+        assert rec.payload is None
+
+    def test_retrieve_sparse_vector(self, client):
+        (rec,) = client.retrieve("test_collection", [9], with_vectors=True)
+        assert rec.vector == {"text": {"indices": [12, 66],
+                                       "values": [0.5, 0.5]}}
+
+    def test_scroll_keyset(self, client):
+        page1, nxt = client.scroll("test_collection", limit=4)
+        assert [r.id for r in page1] == [1, 2, 3, 4]
+        assert nxt == 5
+        page2, nxt2 = client.scroll("test_collection", limit=4, offset=nxt)
+        assert [r.id for r in page2] == [5, 6, 7, 8]
+        page3, nxt3 = client.scroll("test_collection", limit=4, offset=nxt2)
+        assert [r.id for r in page3] == [9, 10]
+        assert nxt3 is None
+
+    def test_scroll_filtered(self, client):
+        recs, _ = client.scroll(
+            "test_collection",
+            scroll_filter={"must": [{"key": "city",
+                                     "match": {"value": "Berlin"}}]},
+            limit=10)
+        assert [r.id for r in recs] == [1, 2, 3]
+
+    def test_scroll_order_by(self, client):
+        recs, _ = client.scroll("test_collection", limit=10,
+                                order_by={"key": "price",
+                                          "direction": "desc"})
+        assert [r.id for r in recs][:4] == [2, 1, 3, 4]
+
+    def test_count(self, client):
+        assert client.count("test_collection").count == 10
+        res = client.count(
+            "test_collection",
+            count_filter={"must": [{"key": "city",
+                                    "match": {"value": "London"}}]})
+        assert res.count == 2
+
+    def test_facet(self, client):
+        hits = client.facet("test_collection", "city").hits
+        assert [(h.value, h.count) for h in hits] == [
+            ("Berlin", 3), ("London", 2), ("Moscow", 2)]
+
+
+class TestQueryPoints:
+    def test_bare_vector_matches_numpy(self, client):
+        q = [0.2, 0.1, 0.9, 0.7]
+        res = client.query_points("test_collection", query=q, limit=3)
+        exp = _exact_knn(q, 3)
+        assert [p.id for p in res.points] == [i for i, _ in exp]
+        for p, (_, s) in zip(res.points, exp):
+            assert p.score == pytest.approx(s, abs=1e-5)
+        assert res.points[0].payload is not None
+
+    def test_query_by_point_id(self, client):
+        res = client.query_points("test_collection", query=1, limit=3)
+        # nearest to point 1's vector; the referenced point itself is
+        # excluded (exclude_referenced_ids, collection_query.rs:523)
+        exp = [i for i, _ in _exact_knn(VECS[1], 4) if i != 1][:3]
+        assert [p.id for p in res.points] == exp
+        assert 1 not in [p.id for p in res.points]
+
+    def test_filtered_query(self, client):
+        q = [0.2, 0.1, 0.9, 0.7]
+        res = client.query_points(
+            "test_collection", query=q,
+            query_filter={"must": [{"key": "city",
+                                    "match": {"value": "London"}}]},
+            limit=10)
+        exp = _exact_knn(q, 10, ids={2, 4})
+        assert [p.id for p in res.points] == [i for i, _ in exp]
+
+    def test_score_threshold_and_offset(self, client):
+        q = [0.2, 0.1, 0.9, 0.7]
+        full = _exact_knn(q, 8)
+        thr = (full[2][1] + full[3][1]) / 2
+        res = client.query_points("test_collection", query=q, limit=10,
+                                  score_threshold=thr)
+        assert [p.id for p in res.points] == [i for i, _ in full[:3]]
+        res = client.query_points("test_collection", query=q, limit=2,
+                                  offset=2)
+        assert [p.id for p in res.points] == [i for i, _ in full[2:4]]
+
+    def test_sparse_query(self, client):
+        res = client.query_points(
+            "test_collection",
+            query={"indices": [12, 66, 3], "values": [1.0, 1.0, 1.0]},
+            using="text", limit=10)
+        scores = {p.id: p.score for p in res.points}
+        assert scores[9] == pytest.approx(1.0, abs=1e-6)
+        assert scores[10] == pytest.approx(0.3, abs=1e-6)
+        assert list(scores)[0] == 9
+
+    def test_recommend(self, client):
+        res = client.recommend("test_collection", positive=[1, 2], limit=3)
+        avg = [sum(c) / 2 for c in zip(VECS[1], VECS[2])]
+        exp = [i for i, _ in _exact_knn(avg, 5) if i not in (1, 2)][:3]
+        assert [p.id for p in res] == exp
+
+    def test_prefetch_rrf_fusion(self, client):
+        q1 = VECS[1]
+        q2 = VECS[4]
+        res = client.query_points(
+            "test_collection",
+            prefetch=[{"query": q1, "limit": 5},
+                      {"query": q2, "limit": 5}],
+            query={"fusion": "rrf"}, limit=5)
+        ids = [p.id for p in res.points]
+        assert 1 in ids and 4 in ids  # each leg's own top hit survives rrf
+
+    def test_order_by_query(self, client):
+        res = client.query_points(
+            "test_collection",
+            query={"order_by": {"key": "price", "direction": "asc"}},
+            limit=3)
+        assert [p.id for p in res.points] == [4, 3, 1]
+
+    def test_groups(self, client):
+        q = [0.2, 0.1, 0.9, 0.7]
+        res = client.query_points_groups(
+            "test_collection", group_by="city", query=q, limit=2,
+            group_size=2)
+        assert len(res.groups) == 2
+        for g in res.groups:
+            assert 1 <= len(g.hits) <= 2
+            for h in g.hits:
+                assert g.id in (h.payload or {}).get("city", [])
+
+    def test_batch(self, client):
+        q = [0.2, 0.1, 0.9, 0.7]
+        reqs = [
+            {"query": q, "limit": 2},
+            {"query": q, "limit": 3,
+             "filter": {"must": [{"key": "city",
+                                  "match": {"value": "Berlin"}}]}},
+        ]
+        out = client.query_batch_points("test_collection", reqs)
+        assert [p.id for p in out[0].points] == [i for i, _ in _exact_knn(q, 2)]
+        assert [p.id for p in out[1].points] == \
+            [i for i, _ in _exact_knn(q, 3, ids={1, 2, 3})]
+
+    def test_matrix_pairs(self, client):
+        pairs = client.search_matrix_pairs("test_collection", sample=6,
+                                           limit=2)
+        assert pairs and all(p["a"] != p["b"] for p in pairs)
+        offs = client.search_matrix_offsets("test_collection", sample=6,
+                                            limit=2)
+        assert len(offs["scores"]) == len(offs["offsets_row"]) \
+            == len(offs["offsets_col"])
+
+
+class TestMutations:
+    @pytest.fixture()
+    def mut(self, spark):
+        c = QdrantSparkClient(spark)
+        c.create_collection("mut", vectors_config={"size": 4,
+                                                   "distance": "Cosine"})
+        c.upsert("mut", [
+            {"id": i, "vector": VECS[i],
+             "payload": {k: v for k, v in PAYLOADS[i].items()
+                         if v is not None}}
+            for i in VECS])
+        return c
+
+    def test_upsert_replaces(self, mut):
+        mut.upsert("mut", [{"id": 1, "vector": [1.0, 0.0, 0.0, 0.0],
+                            "payload": {"city": ["Paris"]}}])
+        (rec,) = mut.retrieve("mut", [1], with_vectors=True)
+        assert rec.vector == pytest.approx([1.0, 0.0, 0.0, 0.0])
+        assert rec.payload == {"city": ["Paris"]}  # full replace, price gone
+        assert mut.count("mut").count == 8
+
+    def test_payload_schema_evolution(self, mut):
+        mut.upsert("mut", [{"id": 11, "vector": VECS[1],
+                            "payload": {"brand_new": "yes"}}])
+        (rec,) = mut.retrieve("mut", [11])
+        assert rec.payload == {"brand_new": "yes"}
+        (r1,) = mut.retrieve("mut", [1])
+        assert "brand_new" not in (r1.payload or {})
+
+    def test_set_payload(self, mut):
+        mut.set_payload("mut", {"flagged": True}, points=[1, 2])
+        recs = mut.retrieve("mut", [1, 2, 3])
+        assert recs[0].payload["flagged"] is True
+        assert recs[1].payload["flagged"] is True
+        assert "flagged" not in recs[2].payload
+
+    def test_set_payload_by_filter(self, mut):
+        mut.set_payload("mut", {"zone": "eu"},
+                        filter={"must": [{"key": "city",
+                                          "match": {"value": "Berlin"}}]})
+        assert mut.count("mut", count_filter={"must": [
+            {"key": "zone", "match": {"value": "eu"}}]}).count == 3
+
+    def test_overwrite_payload(self, mut):
+        mut.overwrite_payload("mut", {"city": ["Rome"]}, points=[2])
+        (rec,) = mut.retrieve("mut", [2])
+        assert rec.payload == {"city": ["Rome"]}  # price cleared
+
+    def test_delete_and_clear_payload(self, mut):
+        mut.delete_payload("mut", ["price"], points=[1])
+        (rec,) = mut.retrieve("mut", [1])
+        assert rec.payload == {"city": ["Berlin"]}
+        mut.clear_payload("mut", [2])
+        (rec,) = mut.retrieve("mut", [2])
+        assert rec.payload == {}
+
+    def test_delete_points(self, mut):
+        mut.delete("mut", [7, 8])
+        assert mut.count("mut").count == 6
+        mut.delete("mut", {"filter": {"must": [
+            {"key": "city", "match": {"value": "Moscow"}}]}})
+        assert mut.count("mut").count == 4
+
+    def test_update_and_delete_vectors(self, mut):
+        mut.update_vectors("mut", [{"id": 5,
+                                    "vector": [0.0, 1.0, 0.0, 0.0]}])
+        (rec,) = mut.retrieve("mut", [5], with_vectors=True)
+        assert rec.vector == pytest.approx([0.0, 1.0, 0.0, 0.0])
+        (r6,) = mut.retrieve("mut", [6], with_vectors=True)
+        assert r6.vector == pytest.approx(VECS[6], abs=1e-6)
+        mut.delete_vectors("mut", [""], [5])
+        (rec,) = mut.retrieve("mut", [5], with_vectors=True)
+        assert rec.vector is None
+
+    def test_versioned_stale_skip(self, mut):
+        """Later upserts (higher internal version) win; the replaced row's
+        payload columns null out (full-point replace, as the reference)."""
+        mut.upsert("mut", [{"id": 3, "vector": VECS[3],
+                            "payload": {"gen": 2}}])
+        mut.upsert("mut", [{"id": 3, "vector": VECS[3],
+                            "payload": {"gen": 3}}])
+        (rec,) = mut.retrieve("mut", [3])
+        assert rec.payload["gen"] == 3
+
+
+class TestAliasesIndexesStrict:
+    def test_aliases(self, spark):
+        c = QdrantSparkClient(spark)
+        c.create_collection("base", vectors_config={"size": 4,
+                                                    "distance": "Cosine"})
+        c.upsert("base", [{"id": 1, "vector": [1.0, 0.0, 0.0, 0.0]}])
+        c.update_collection_aliases([
+            {"create_alias": {"collection_name": "base",
+                              "alias_name": "prod"}}])
+        assert c.count("prod").count == 1
+        res = c.query_points("prod", query=[1.0, 0.0, 0.0, 0.0], limit=1)
+        assert res.points[0].id == 1
+        c.update_collection_aliases([
+            {"rename_alias": {"old_alias_name": "prod",
+                              "new_alias_name": "live"}}])
+        assert c.count("live").count == 1
+        c.update_collection_aliases([
+            {"delete_alias": {"alias_name": "live"}}])
+        with pytest.raises(KeyError):
+            c.count("live")
+
+    def test_strict_mode_limit_and_unindexed(self, spark):
+        c = QdrantSparkClient(spark)
+        c.create_collection(
+            "strictc", vectors_config={"size": 4, "distance": "Cosine"},
+            strict_mode_config={"enabled": True, "max_query_limit": 5,
+                                "unindexed_filtering_retrieve": False})
+        c.upsert("strictc", [{"id": 1, "vector": [1.0, 0.0, 0.0, 0.0],
+                              "payload": {"lang": "en"}}])
+        with pytest.raises(StrictModeError):
+            c.query_points("strictc", query=[1.0, 0.0, 0.0, 0.0], limit=50)
+        flt = {"must": [{"key": "lang", "match": {"value": "en"}}]}
+        with pytest.raises(StrictModeError):
+            c.query_points("strictc", query=[1.0, 0.0, 0.0, 0.0],
+                           query_filter=flt, limit=5)
+        c.create_payload_index("strictc", "lang", "keyword")
+        res = c.query_points("strictc", query=[1.0, 0.0, 0.0, 0.0],
+                             query_filter=flt, limit=5)
+        assert [p.id for p in res.points] == [1]
+
+    def test_text_index_params_reach_full_text_filters(self, spark):
+        """A declared text index with stemming changes match.text semantics
+        — the StopwordsInterface/TextIndexParams analogue wired end-to-end
+        through the client (index.rs:260-360)."""
+        c = QdrantSparkClient(spark)
+        c.create_collection("fts", vectors_config={"size": 2,
+                                                   "distance": "Dot"})
+        c.upsert("fts", [
+            {"id": 1, "vector": [1.0, 0.0],
+             "payload": {"body": "the running foxes jumped"}},
+            {"id": 2, "vector": [0.0, 1.0],
+             "payload": {"body": "a sleeping cat"}},
+        ])
+        flt = {"must": [{"key": "body", "match": {"text": "run fox"}}]}
+        # without a text index: plain word tokens, no stemming -> no match
+        assert c.count("fts", count_filter=flt).count == 0
+        c.create_payload_index(
+            "fts", "body",
+            {"type": "text", "tokenizer": "word", "stemmer": "english",
+             "stopwords": "english"})
+        assert c.count("fts", count_filter=flt).count == 1
+        res = c.query_points("fts", query=[1.0, 0.0], query_filter=flt,
+                             limit=10)
+        assert [p.id for p in res.points] == [1]
+
+    def test_named_vectors_two_distances(self, spark):
+        c = QdrantSparkClient(spark)
+        c.create_collection("named", vectors_config={
+            "img": {"size": 2, "distance": "Euclid"},
+            "txt": {"size": 3, "distance": "Dot"},
+        })
+        c.upsert("named", [
+            {"id": 1, "vector": {"img": [0.0, 0.0], "txt": [1.0, 0.0, 0.0]}},
+            {"id": 2, "vector": {"img": [3.0, 4.0], "txt": [0.0, 2.0, 0.0]}},
+        ])
+        res = c.query_points("named", query=[0.0, 0.1], using="img", limit=2)
+        assert [p.id for p in res.points] == [1, 2]
+        assert res.points[1].score == pytest.approx(
+            math.sqrt(3.0**2 + 3.9**2), abs=1e-4)
+        res = c.query_points("named", query=[0.0, 5.0, 0.0], using="txt",
+                             limit=2)
+        assert [p.id for p in res.points] == [2, 1]
+        assert res.points[0].score == pytest.approx(10.0, abs=1e-5)
+
+
+class TestPersistence:
+    def test_root_backed_collection(self, spark, tmp_path):
+        c = QdrantSparkClient(spark, root=str(tmp_path))
+        c.create_collection("disk", vectors_config={"size": 4,
+                                                    "distance": "Cosine"})
+        c.upsert("disk", [{"id": i, "vector": VECS[i],
+                           "payload": PAYLOADS[i]} for i in (1, 2, 3)])
+        assert (tmp_path / "disk" / "points").exists()
+        c.delete("disk", [2])
+        assert c.count("disk").count == 2
+        q = [0.2, 0.1, 0.9, 0.7]
+        res = c.query_points("disk", query=q, limit=2)
+        assert [p.id for p in res.points] == \
+            [i for i, _ in _exact_knn(q, 2, ids={1, 3})]
+
+
+def test_integer_vs_string_ids(spark):
+    c = QdrantSparkClient(spark)
+    c.create_collection("uuids", vectors_config={"size": 2,
+                                                 "distance": "Dot"})
+    u1 = "550e8400-e29b-41d4-a716-446655440000"
+    c.upsert("uuids", [{"id": u1, "vector": [1.0, 0.0]}])
+    (rec,) = c.retrieve("uuids", [u1])
+    assert rec.id == u1
+    res = c.query_points("uuids", query=[1.0, 0.0], limit=1)
+    assert res.points[0].id == u1
