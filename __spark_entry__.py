@@ -2102,6 +2102,43 @@ SELECT vec_id, round(f.score, 6) AS score FROM f ORDER BY f.score DESC, vec_id L
 """
 
 
+def _q_client_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """The client-facade flagship: a migrating qdrant user's literal call
+    sequence — create_collection, upsert PointStruct dicts, filtered
+    query_points by POINT ID (qdrant_spark/client.py; reference REST
+    surface src/actix/api/query_api.rs). Exercises payload type inference,
+    hydration, and the referenced-id exclusion
+    (exclude_referenced_ids, collection_query.rs:523,705)."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    rows = _emb(spark, sf).orderBy("vec_id").limit(500).collect()
+    dim = len(rows[0]["embedding"])
+    c = QdrantSparkClient(spark)
+    c.create_collection("entry_corpus",
+                        vectors_config={"size": dim, "distance": "Dot"})
+    c.upsert("entry_corpus", [
+        {"id": int(r["vec_id"]),
+         "vector": [float(x) for x in r["embedding"]],
+         "payload": {"label": int(r["label"])}}
+        for r in rows])
+    res = c.query_points(
+        "entry_corpus", query=7,
+        query_filter={"must": [{"key": "label", "match": {"value": 1}}]},
+        limit=10, with_payload=False)
+    return spark.createDataFrame(
+        [(p.id, round(p.score, 6)) for p in res.points],
+        "vec_id long, score double")
+
+
+_CLIENT_E2E_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 7),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+      WHERE vec_id < 500 AND vec_id <> 7 AND label = 1)
+SELECT e.vec_id, round(list_dot_product(e.v, q.qv), 6) AS score
+FROM e, q ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
 def _q_universal_rescore(spark: SparkSession, sf: str) -> DataFrame:
     from qdrant_spark.query import universal_query
 
@@ -3148,6 +3185,7 @@ _GATE_PRIORITY = [
     # driver row is r05 (three rounds stale — r7 verdict #3), then the
     # r06 cohort, then the entries the r07 gate just re-greened. The
     # 50-slot gate thus leaves no entry older than r06 after this round.
+    "client_query_points",
     "filter_text_stopworded",
     "ann_ivf",
     "quantized_bq_rescore",
@@ -3394,6 +3432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "universal_groups": _q_universal_groups,
         "universal_hybrid_sparse": _q_universal_hybrid_sparse,
         "universal_rescore": _q_universal_rescore,
+        "client_query_points": _q_client_e2e,
         "upsert": _q_upsert,
         "sync": _q_sync,
         "upsert_conditional": _q_upsert_conditional,
@@ -3618,6 +3657,7 @@ FROM documents
         "universal_groups": _UNIVERSAL_GROUPS_SQL,
         "universal_hybrid_sparse": _UNIVERSAL_HYBRID_SPARSE_SQL,
         "universal_rescore": _UNIVERSAL_RESCORE_SQL,
+        "client_query_points": _CLIENT_E2E_SQL,
         "upsert": _UPSERT_SQL,
         "sync": _SYNC_SQL,
         "upsert_conditional": _UPSERT_COND_SQL,
