@@ -221,6 +221,8 @@ class _Collection:
     id_type: T.DataType | None = None
     op_counter: int = 0
     text_params: dict[str, dict[str, Any]] = field(default_factory=dict)
+    sharding: str | None = None                 # "custom" | None
+    shard_keys: list = field(default_factory=list)
 
     def vec_col(self, name: str = "") -> str:
         return f"vec_{name}" if name else "vec"
@@ -231,7 +233,7 @@ class _Collection:
     def payload_cols(self) -> list[str]:
         if self.df is None:
             return []
-        reserved = {"id", "version", *self.vec_cols()}
+        reserved = {"id", "version", "shard_key", *self.vec_cols()}
         return [c for c in self.df.columns if c not in reserved]
 
     def metric_for(self, using: str | None) -> str:
@@ -281,7 +283,12 @@ class QdrantSparkClient:
         if self.root is not None:
             path = os.path.join(self.root, col.name, "points")
             tmp = path + "__new"
-            df.write.mode("overwrite").parquet(tmp)
+            w = df.write.mode("overwrite")
+            if col.sharding == "custom":
+                # a shard is a partition directory: shard-key selectors
+                # become directory pruning (operators/sharding.py)
+                w = w.partitionBy("shard_key")
+            w.parquet(tmp)
             # the new state may read the old files (anti-join lineage):
             # land in a side dir first, then swap
             import shutil
@@ -316,14 +323,20 @@ class QdrantSparkClient:
         vectors_config: dict[str, Any] | None = None,
         sparse_vectors_config: dict[str, Any] | None = None,
         strict_mode_config: dict[str, Any] | StrictModeConfig | None = None,
+        sharding_method: str | None = None,
         **_ignored: Any,
     ) -> bool:
         """REST ``PUT /collections/{name}``. ``vectors_config`` is either
         the unnamed form ``{"size": d, "distance": "Cosine"}`` or a
         ``{name: {...}}`` map; a per-name ``multivector_config`` selects
-        the multivector (MaxSim) layout."""
+        the multivector (MaxSim) layout. ``sharding_method="custom"``
+        enables user shard keys (create_shard_key + per-request
+        shard_key_selector; points land in per-key partition
+        directories)."""
         if collection_name in self._colls:
             raise ValueError(f"collection {collection_name!r} already exists")
+        if sharding_method not in (None, "auto", "custom"):
+            raise ValueError(f"unknown sharding_method {sharding_method!r}")
         vectors: dict[str, VectorConfig] = {}
         if vectors_config:
             cfgs = ({"": vectors_config} if "size" in vectors_config
@@ -334,7 +347,9 @@ class QdrantSparkClient:
                     dim=int(c["size"]), distance=_metric(c.get("distance", "Cosine")),
                     kind=kind)
         col = _Collection(name=collection_name, vectors=vectors,
-                          sparse=dict(sparse_vectors_config or {}))
+                          sparse=dict(sparse_vectors_config or {}),
+                          sharding=("custom" if sharding_method == "custom"
+                                    else None))
         self._colls[collection_name] = col
         # registered lazily so alias checks see it; real df arrives on upsert
         self.catalog.register(collection_name, lambda: col.df)
@@ -394,6 +409,45 @@ class QdrantSparkClient:
                 raise ValueError(f"unknown alias operation: {op!r}")
         return True
 
+    # -- shard keys (custom sharding; PUT/DELETE /collections/{c}/shards) ----
+
+    def create_shard_key(self, collection_name: str, shard_key: Any,
+                         **_ignored: Any) -> bool:
+        """Declare a shard key (ShardKey::Keyword | Number, types.rs:6309).
+        Points are placed under it via ``shard_key_selector`` on upsert."""
+        col = self._coll(collection_name)
+        if col.sharding != "custom":
+            raise ValueError("collection was not created with "
+                             "sharding_method='custom'")
+        if col.shard_keys and not isinstance(shard_key,
+                                             type(col.shard_keys[0])):
+            raise ValueError("shard keys must share one type per collection")
+        if shard_key not in col.shard_keys:
+            col.shard_keys.append(shard_key)
+        return True
+
+    def delete_shard_key(self, collection_name: str, shard_key: Any,
+                         **_ignored: Any) -> bool:
+        """Drop a shard key AND its points (deleting a shard deletes the
+        data it holds)."""
+        col = self._coll(collection_name)
+        if shard_key not in col.shard_keys:
+            return False
+        col.shard_keys.remove(shard_key)
+        if col.df is not None:
+            self._commit(col, col.df.filter(
+                F.col("shard_key") != F.lit(shard_key)))
+        return True
+
+    def _route(self, col: _Collection, df: DataFrame,
+               selector: Any) -> DataFrame:
+        if selector is None:
+            return df
+        from qdrant_spark.operators.sharding import select_shards
+
+        return select_shards(df, selector, col="shard_key",
+                             existing_keys=col.shard_keys or None)
+
     # -- payload indexes -------------------------------------------------------
 
     def create_payload_index(self, collection_name: str, field_name: str,
@@ -429,10 +483,17 @@ class QdrantSparkClient:
             return dict(vector)
         return {"": vector}
 
-    def _points_to_df(self, col: _Collection,
-                      points: list[dict[str, Any]]) -> DataFrame:
+    def _points_to_df(self, col: _Collection, points: list[dict[str, Any]],
+                      shard_key: Any = None) -> DataFrame:
         if not points:
             raise ValueError("empty points batch")
+        if col.sharding == "custom":
+            if shard_key is None:
+                raise ValueError("custom-sharded collection: upsert needs "
+                                 "shard_key_selector")
+            if shard_key not in col.shard_keys:
+                raise ValueError(f"unknown shard key {shard_key!r}; "
+                                 "create_shard_key first")
         # id type: decided by the first batch, enforced thereafter
         ids = [p["id"] for p in points]
         batch_id_t: T.DataType = (
@@ -466,15 +527,21 @@ class QdrantSparkClient:
             T.StructField(k, t if t is not None else T.StringType())
             for k, t in payload_types.items()
         ]
-        schema = T.StructType(
-            [T.StructField("id", col.id_type, False),
-             T.StructField("version", T.LongType(), False)]
-            + vec_fields + payload_fields)
+        head = [T.StructField("id", col.id_type, False),
+                T.StructField("version", T.LongType(), False)]
+        if col.sharding == "custom":
+            head.append(T.StructField(
+                "shard_key",
+                T.LongType() if isinstance(shard_key, int)
+                else T.StringType(), False))
+        schema = T.StructType(head + vec_fields + payload_fields)
 
         version = col.op_counter + 1
         rows = []
         for pid, p in zip(ids, points):
             row: list[Any] = [pid, version]
+            if col.sharding == "custom":
+                row.append(shard_key)
             vm = self._vector_map(col, p.get("vector") or {})
             declared = set(col.vectors) | set(col.sparse)
             unknown = set(vm) - declared
@@ -526,13 +593,16 @@ class QdrantSparkClient:
         return table, updates
 
     def upsert(self, collection_name: str, points: list[dict[str, Any]],
+               *, shard_key_selector: Any = None,
                **_ignored: Any) -> UpdateResult:
         """REST ``PUT /collections/{name}/points``. Points are PointStruct
         dicts: ``{"id": ..., "vector": [...] | {name: ...} |
-        {"indices": [...], "values": [...]}, "payload": {...}}``."""
+        {"indices": [...], "values": [...]}, "payload": {...}}``. On a
+        custom-sharded collection ``shard_key_selector`` names the (single,
+        pre-created) shard key the batch lands in."""
         col = self._coll(collection_name)
         self._check_strict(col.name, {}, is_update=True, batch=points)
-        updates = self._points_to_df(col, points)
+        updates = self._points_to_df(col, points, shard_key=shard_key_selector)
         if col.df is None:
             return self._commit(col, updates)
         table, updates = self._evolve(col.df, updates)
@@ -707,13 +777,15 @@ class QdrantSparkClient:
     def retrieve(self, collection_name: str, ids: list, *,
                  with_payload: bool | list[str] | dict = True,
                  with_vectors: bool | list[str] = False,
+                 shard_key_selector: Any = None,
                  **_ignored: Any) -> list[Record]:
         col = self._coll(collection_name)
         if col.df is None:
             return []
         ids = self._norm_ids(col, ids)
+        src = self._route(col, col.df, shard_key_selector)
         rows = {r["id"]: r for r in self._rows_as_dicts(
-            col.df.filter(F.col("id").isin(ids)))}
+            src.filter(F.col("id").isin(ids)))}
         return [
             Record(id=i,
                    payload=self._payload_out(col, rows[i], with_payload),
@@ -726,6 +798,7 @@ class QdrantSparkClient:
                offset: Any | None = None, order_by: Any | None = None,
                with_payload: bool | list[str] | dict = True,
                with_vectors: bool | list[str] = False,
+               shard_key_selector: Any = None,
                **_ignored: Any) -> tuple[list[Record], Any | None]:
         """Returns (records, next_page_offset) — qdrant-client's scroll
         contract (keyset pagination; pass the returned offset back in)."""
@@ -734,7 +807,7 @@ class QdrantSparkClient:
             return [], None
         self._check_strict(col.name, {"filter": scroll_filter,
                                       "limit": limit})
-        df = col.df
+        df = self._route(col, col.df, shard_key_selector)
         flt = scroll_filter
         if flt is not None and col.text_params:
             df = apply_filter(df, flt, text_params=col.text_params,
@@ -765,11 +838,12 @@ class QdrantSparkClient:
 
     def count(self, collection_name: str, *,
               count_filter: dict | None = None, exact: bool = True,
+              shard_key_selector: Any = None,
               **_ignored: Any) -> CountResult:
         col = self._coll(collection_name)
         if col.df is None:
             return CountResult(count=0)
-        df = col.df
+        df = self._route(col, col.df, shard_key_selector)
         flt = count_filter
         if flt is not None and col.text_params:
             df = apply_filter(df, flt, text_params=col.text_params,
@@ -782,12 +856,14 @@ class QdrantSparkClient:
 
     def facet(self, collection_name: str, key: str, *,
               facet_filter: dict | None = None, limit: int = 10,
-              exact: bool = True, **_ignored: Any) -> FacetResponse:
+              exact: bool = True, shard_key_selector: Any = None,
+              **_ignored: Any) -> FacetResponse:
         col = self._coll(collection_name)
         if col.df is None:
             return FacetResponse(hits=[])
+        src = self._route(col, col.df, shard_key_selector)
         fn = P.facet if exact else P.facet_estimate
-        rows = fn(col.df, key, limit=limit, flt=facet_filter).collect()
+        rows = fn(src, key, limit=limit, flt=facet_filter).collect()
         cnt = "count" if exact else "est_count"
         return FacetResponse(hits=[
             FacetValueHit(value=r["value"], count=r[cnt]) for r in rows])
@@ -919,12 +995,7 @@ class QdrantSparkClient:
         if lookup_from is not None:
             req["lookup_from"] = lookup_from
         self._check_strict(col.name, req)
-        points = col.df
-        if shard_key_selector is not None:
-            from qdrant_spark.operators.sharding import select_shards
-
-            points = select_shards(points, shard_key_selector,
-                                   col="shard_key")
+        points = self._route(col, col.df, shard_key_selector)
         planner = self._planner(col, using)
         planner.points = points
         scored = planner.plan(req)
@@ -1094,6 +1165,41 @@ class QdrantSparkClient:
             query_filter=query_filter, limit=limit, offset=offset,
             score_threshold=score_threshold, with_payload=with_payload,
             with_vectors=with_vectors).points
+
+    # -- snapshots (POST/GET/DELETE /collections/{c}/snapshots) ---------------
+
+    def _table(self, col: _Collection):
+        from qdrant_spark.sources.parquet import PointsTable
+
+        if self.root is None:
+            raise ValueError("snapshots need a root-backed client "
+                             "(QdrantSparkClient(spark, root=...))")
+        return PointsTable(self.spark,
+                           os.path.join(self.root, col.name, "points"))
+
+    def create_snapshot(self, collection_name: str,
+                        **_ignored: Any) -> dict[str, Any]:
+        col = self._coll(collection_name)
+        t = self._table(col)
+        name = t.create_snapshot()
+        return next(m for m in t.list_snapshots() if m["name"] == name)
+
+    def list_snapshots(self, collection_name: str,
+                       **_ignored: Any) -> list[dict[str, Any]]:
+        return self._table(self._coll(collection_name)).list_snapshots()
+
+    def recover_snapshot(self, collection_name: str, name: str,
+                         **_ignored: Any) -> bool:
+        col = self._coll(collection_name)
+        t = self._table(col)
+        t.restore_snapshot(name)
+        # _commit restores the declared layout (shard partitioning) too
+        self._commit(col, t.read())
+        return True
+
+    def delete_snapshot(self, collection_name: str, name: str,
+                        **_ignored: Any) -> bool:
+        return self._table(self._coll(collection_name)).delete_snapshot(name)
 
     def recommend(self, collection_name: str, *, positive: list | None = None,
                   negative: list | None = None, strategy: str = "average_vector",

@@ -459,6 +459,123 @@ class TestPersistence:
             [i for i, _ in _exact_knn(q, 2, ids={1, 3})]
 
 
+class TestCustomSharding:
+    def test_shard_lifecycle_and_pruning(self, spark, tmp_path):
+        c = QdrantSparkClient(spark, root=str(tmp_path))
+        c.create_collection("multi", vectors_config={"size": 4,
+                                                     "distance": "Cosine"},
+                            sharding_method="custom")
+        with pytest.raises(ValueError, match="shard_key_selector"):
+            c.upsert("multi", [{"id": 1, "vector": VECS[1]}])
+        c.create_shard_key("multi", "tenant_a")
+        c.create_shard_key("multi", "tenant_b")
+        with pytest.raises(ValueError, match="unknown shard key"):
+            c.upsert("multi", [{"id": 1, "vector": VECS[1]}],
+                     shard_key_selector="tenant_c")
+        c.upsert("multi", [{"id": i, "vector": VECS[i]} for i in (1, 2, 3)],
+                 shard_key_selector="tenant_a")
+        c.upsert("multi", [{"id": i, "vector": VECS[i]} for i in (4, 5)],
+                 shard_key_selector="tenant_b")
+        # shard = partition directory (selector -> directory pruning)
+        assert (tmp_path / "multi" / "points"
+                / "shard_key=tenant_a").exists()
+        assert c.count("multi").count == 5
+        assert c.count("multi", shard_key_selector="tenant_a").count == 3
+        q = [0.2, 0.1, 0.9, 0.7]
+        res = c.query_points("multi", query=q, limit=10,
+                             shard_key_selector="tenant_b")
+        assert sorted(p.id for p in res.points) == [4, 5]
+        # fallback selector: missing target routes to fallback
+        res = c.query_points("multi", query=q, limit=10,
+                             shard_key_selector={"target": "tenant_z",
+                                                 "fallback": "tenant_a"})
+        assert sorted(p.id for p in res.points) == [1, 2, 3]
+        # deleting a shard key drops its points
+        assert c.delete_shard_key("multi", "tenant_b")
+        assert c.count("multi").count == 3
+
+    def test_snapshots(self, spark, tmp_path):
+        c = QdrantSparkClient(spark, root=str(tmp_path))
+        c.create_collection("snap", vectors_config={"size": 4,
+                                                    "distance": "Cosine"})
+        c.upsert("snap", [{"id": i, "vector": VECS[i]} for i in (1, 2, 3)])
+        meta = c.create_snapshot("snap")
+        assert meta["rows"] == 3
+        c.delete("snap", [1, 2])
+        assert c.count("snap").count == 1
+        assert [m["name"] for m in c.list_snapshots("snap")] == [meta["name"]]
+        assert c.recover_snapshot("snap", meta["name"])
+        assert c.count("snap").count == 3
+        assert c.delete_snapshot("snap", meta["name"])
+        assert c.list_snapshots("snap") == []
+
+    def test_snapshot_requires_root(self, spark):
+        c = QdrantSparkClient(spark)
+        c.create_collection("mem", vectors_config={"size": 4,
+                                                   "distance": "Cosine"})
+        with pytest.raises(ValueError, match="root-backed"):
+            c.create_snapshot("mem")
+
+
+class TestConformanceEdges:
+    """Edge cases mirrored from the reference's openapi suite
+    (test_match_any_empty.py, geo/datetime filter tests)."""
+
+    def test_match_any_empty_matches_nothing(self, client):
+        res = client.count(
+            "test_collection",
+            count_filter={"must": [{"key": "city", "match": {"any": []}}]})
+        assert res.count == 0
+
+    def test_match_except_includes_missing_semantics(self, client):
+        res = client.count(
+            "test_collection",
+            count_filter={"must": [{"key": "city",
+                                    "match": {"except": ["Berlin"]}}]})
+        # except = at least one present value NOT in the list:
+        # 2 -> {Berlin, London}, 3 -> {Berlin, Moscow}, 4 -> {London,
+        # Moscow} qualify; 1 -> {Berlin} does not
+        assert res.count == 3
+
+    def test_geo_payload_struct(self, spark):
+        c = QdrantSparkClient(spark)
+        c.create_collection("geo", vectors_config={"size": 2,
+                                                   "distance": "Dot"})
+        c.upsert("geo", [
+            {"id": 1, "vector": [1.0, 0.0],
+             "payload": {"loc": {"lon": 13.4, "lat": 52.5}}},   # Berlin
+            {"id": 2, "vector": [0.0, 1.0],
+             "payload": {"loc": {"lon": -0.13, "lat": 51.5}}},  # London
+        ])
+        res = c.count("geo", count_filter={"must": [{
+            "key": "loc",
+            "geo_radius": {"center": {"lon": 13.5, "lat": 52.6},
+                           "radius": 50_000.0}}]})
+        assert res.count == 1
+        recs, _ = c.scroll("geo", scroll_filter={"must": [{
+            "key": "loc",
+            "geo_bounding_box": {"top_left": {"lon": -1.0, "lat": 52.0},
+                                 "bottom_right": {"lon": 1.0, "lat": 51.0}}}]})
+        assert [r.id for r in recs] == [2]
+
+    def test_nested_payload_jsonpath(self, spark):
+        c = QdrantSparkClient(spark)
+        c.create_collection("nested", vectors_config={"size": 2,
+                                                      "distance": "Dot"})
+        c.upsert("nested", [
+            {"id": 1, "vector": [1.0, 0.0],
+             "payload": {"meta": {"author": "alice", "stars": 5}}},
+            {"id": 2, "vector": [0.0, 1.0],
+             "payload": {"meta": {"author": "bob", "stars": 2}}},
+        ])
+        assert c.count("nested", count_filter={"must": [
+            {"key": "meta.author", "match": {"value": "alice"}}]}).count == 1
+        assert c.count("nested", count_filter={"must": [
+            {"key": "meta.stars", "range": {"gte": 3}}]}).count == 1
+        (rec,) = c.retrieve("nested", [1])
+        assert rec.payload["meta"] == {"author": "alice", "stars": 5}
+
+
 def test_integer_vs_string_ids(spark):
     c = QdrantSparkClient(spark)
     c.create_collection("uuids", vectors_config={"size": 2,
