@@ -737,6 +737,52 @@ class QdrantSparkClient:
             col.df, [col.vec_col(v) for v in vectors],
             ids=self._norm_ids(col, ids), flt=flt, id_col="id"))
 
+    def batch_update_points(self, collection_name: str,
+                            update_operations: list[dict[str, Any]],
+                            **_ignored: Any) -> list[UpdateResult]:
+        """REST ``POST /collections/{name}/points/batch`` — heterogeneous
+        update operations applied IN ORDER (UpdateOperations,
+        lib/api/src/rest/schema.rs; order is the semantics the reference
+        guarantees within one batch request)."""
+        results = []
+        for op in update_operations:
+            if len(op) != 1:
+                raise ValueError(f"one operation per entry, got {op!r}")
+            kind, body = next(iter(op.items()))
+            if kind == "upsert":
+                results.append(self.upsert(
+                    collection_name, body["points"],
+                    shard_key_selector=body.get("shard_key")))
+            elif kind == "delete":
+                sel = {"points": body["points"]} if "points" in body \
+                    else {"filter": body["filter"]}
+                results.append(self.delete(collection_name, sel))
+            elif kind == "set_payload":
+                results.append(self.set_payload(
+                    collection_name, body["payload"],
+                    points=body.get("points"), filter=body.get("filter")))
+            elif kind == "overwrite_payload":
+                results.append(self.overwrite_payload(
+                    collection_name, body["payload"],
+                    points=body.get("points"), filter=body.get("filter")))
+            elif kind == "delete_payload":
+                results.append(self.delete_payload(
+                    collection_name, body["keys"],
+                    points=body.get("points"), filter=body.get("filter")))
+            elif kind == "clear_payload":
+                results.append(self.clear_payload(collection_name, body))
+            elif kind == "update_vectors":
+                results.append(self.update_vectors(
+                    collection_name, body["points"]))
+            elif kind == "delete_vectors":
+                sel = {"points": body["points"]} if "points" in body \
+                    else {"filter": body["filter"]}
+                results.append(self.delete_vectors(
+                    collection_name, body["vector"], sel))
+            else:
+                raise ValueError(f"unknown update operation {kind!r}")
+        return results
+
     # -- point reads -----------------------------------------------------------
 
     def _vector_out(self, col: _Collection, row: dict,
@@ -1214,3 +1260,58 @@ class QdrantSparkClient:
                                  "strategy": strategy}},
             using=using, query_filter=query_filter, limit=limit,
             with_payload=with_payload).points
+
+    def discover(self, collection_name: str, *, target: Any = None,
+                 context: list[dict] | None = None,
+                 query_filter: dict | None = None, limit: int = 10,
+                 using: str | None = None,
+                 with_payload: bool | list[str] | dict = True,
+                 **_ignored: Any) -> list[ScoredPoint]:
+        """Legacy discover / context search: with a target it's discover,
+        without it pure context scoring."""
+        if target is not None:
+            query = {"discover": {"target": target,
+                                  "context": context or []}}
+        else:
+            query = {"context": context or []}
+        return self.query_points(
+            collection_name, query=query, using=using,
+            query_filter=query_filter, limit=limit,
+            with_payload=with_payload).points
+
+    def search_groups(self, collection_name: str, query_vector: Any, *,
+                      group_by: str, limit: int = 10, group_size: int = 3,
+                      query_filter: dict | None = None,
+                      with_lookup: dict | str | None = None,
+                      **_ignored: Any) -> GroupsResult:
+        using = None
+        if isinstance(query_vector, tuple) and len(query_vector) == 2 \
+                and isinstance(query_vector[0], str):
+            using, query_vector = query_vector
+        return self.query_points_groups(
+            collection_name, group_by=group_by, query=query_vector,
+            using=using, query_filter=query_filter, limit=limit,
+            group_size=group_size, with_lookup=with_lookup)
+
+    def search_batch(self, collection_name: str,
+                     requests: list[dict[str, Any]],
+                     **_ignored: Any) -> list[list[ScoredPoint]]:
+        """Legacy batch search: [{"vector": [...], "filter": ...,
+        "limit": n}, ...]."""
+        norm = []
+        for r in requests:
+            n = {"query": r.get("vector"), "limit": r.get("limit", 10)}
+            if r.get("filter") is not None:
+                n["filter"] = r["filter"]
+            if r.get("score_threshold") is not None:
+                n["score_threshold"] = r["score_threshold"]
+            norm.append(n)
+        return [resp.points
+                for resp in self.query_batch_points(collection_name, norm)]
+
+    def get_aliases(self) -> dict[str, str]:
+        """alias -> collection, across all collections."""
+        return dict(self.catalog._aliases)
+
+    def get_collection_aliases(self, collection_name: str) -> dict[str, str]:
+        return self.catalog.list_aliases(collection_name)

@@ -358,6 +358,53 @@ class TestMutations:
         assert rec.payload["gen"] == 3
 
 
+class TestBatchAndLegacy:
+    def test_batch_update_points_in_order(self, spark):
+        c = QdrantSparkClient(spark)
+        c.create_collection("bup", vectors_config={"size": 4,
+                                                   "distance": "Cosine"})
+        results = c.batch_update_points("bup", [
+            {"upsert": {"points": [
+                {"id": i, "vector": VECS[i], "payload": {"n": i}}
+                for i in (1, 2, 3, 4)]}},
+            {"set_payload": {"payload": {"flag": True}, "points": [1, 2]}},
+            {"delete": {"points": [4]}},
+            {"delete_payload": {"keys": ["n"], "points": [3]}},
+        ])
+        assert len(results) == 4
+        assert c.count("bup").count == 3
+        recs = {r.id: r for r in c.retrieve("bup", [1, 2, 3])}
+        assert recs[1].payload == {"n": 1, "flag": True}
+        assert recs[3].payload == {}
+
+    def test_legacy_search_batch_and_groups(self, client):
+        q = [0.2, 0.1, 0.9, 0.7]
+        outs = client.search_batch("test_collection", [
+            {"vector": q, "limit": 2},
+            {"vector": q, "limit": 1,
+             "filter": {"must": [{"key": "city",
+                                  "match": {"value": "Berlin"}}]}},
+        ])
+        assert [p.id for p in outs[0]] == [i for i, _ in _exact_knn(q, 2)]
+        assert [p.id for p in outs[1]] == \
+            [i for i, _ in _exact_knn(q, 1, ids={1, 2, 3})]
+        g = client.search_groups("test_collection", q, group_by="city",
+                                 limit=2, group_size=1)
+        assert len(g.groups) == 2
+
+    def test_legacy_discover_and_context(self, client):
+        hits = client.discover(
+            "test_collection", target=VECS[1],
+            context=[{"positive": 2, "negative": 4}], limit=3)
+        assert len(hits) == 3
+        # referenced ids 2 and 4 are excluded from results
+        assert not {2, 4} & {h.id for h in hits}
+        ctx = client.discover(
+            "test_collection",
+            context=[{"positive": VECS[1], "negative": VECS[4]}], limit=3)
+        assert len(ctx) == 3
+
+
 class TestAliasesIndexesStrict:
     def test_aliases(self, spark):
         c = QdrantSparkClient(spark)
