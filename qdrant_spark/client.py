@@ -554,6 +554,10 @@ class QdrantSparkClient:
                 if v is None:
                     row.append(None)
                 elif vc.kind == "multi":
+                    if any(len(sub) != vc.dim for sub in v):
+                        raise ValueError(
+                            f"multivector {vname or '<default>'!r} rows "
+                            f"must have dim {vc.dim}")
                     row.append([[float(x) for x in sub] for sub in v])
                 else:
                     if len(v) != vc.dim:
@@ -918,11 +922,15 @@ class QdrantSparkClient:
 
     @staticmethod
     def _norm_vec_input(t: Any) -> Any:
-        """REST VectorInput: point id | dense vector | sparse vector."""
+        """REST VectorInput: point id | dense vector | multivector |
+        sparse vector."""
         if isinstance(t, (int, str)):
             return {"id": t}
         if isinstance(t, dict):
             return t
+        t = list(t)
+        if t and isinstance(t[0], (list, tuple)):
+            return [[float(x) for x in sub] for sub in t]
         return [float(x) for x in t]
 
     @classmethod
@@ -958,7 +966,7 @@ class QdrantSparkClient:
                      "negative": cls._norm_vec_input(p["negative"])}
                     for p in out["context"] or []]
             return out
-        return {"nearest": [float(x) for x in query]}     # bare dense vector
+        return {"nearest": cls._norm_vec_input(query)}    # bare dense/multi
 
     @classmethod
     def _norm_request(cls, req: dict[str, Any]) -> dict[str, Any]:

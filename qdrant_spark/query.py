@@ -290,6 +290,9 @@ class QueryPlanner:
                                          or "id" in target):  # id target:
             # plan() handles its referenced-id exclusion; keep it unfused
             return None
+        if isinstance(target, (list, tuple)) and target \
+                and isinstance(target[0], (list, tuple)):
+            return None  # multivector MaxSim leg: own Arrow scan
         vec_col = req.get("using", self.default_vec_col)
         if (self.ivf_index is not None and vec_col == self.ivf_index.vec_col
                 and not self._leaf_exact(req)):
@@ -590,6 +593,28 @@ class QueryPlanner:
                     id_col=self.id_col, flt=flt, **skw,
                 ).select(self.id_col, "score")
             target = self._resolve_vector_input(target, req)
+            if target and isinstance(target[0], (list, tuple)):
+                # multivector query -> MaxSim over an array<array<float>>
+                # column (multivector config, types.rs MultiVectorConfig;
+                # scoring operators/multivec.py). dot/cosine only, like
+                # the reference.
+                from pyspark.sql.window import Window
+
+                from qdrant_spark.filters import apply_filter as _af
+                from qdrant_spark.operators.multivec import maxsim_knn
+
+                src = _af(pts, flt, id_col=self.id_col) if flt else pts
+                out = maxsim_knn(src, target, k=limit + offset,
+                                 metric=self.metric, mv_col=vec_col,
+                                 id_col=self.id_col)
+                if threshold is not None:
+                    out = out.filter(F.col("score") >= float(threshold))
+                if offset:
+                    w = Window.orderBy(F.col("score").desc(),
+                                       F.col(self.id_col).asc())
+                    out = (out.withColumn("__rn", F.row_number().over(w))
+                           .filter(F.col("__rn") > offset).drop("__rn"))
+                return out.select(self.id_col, "score")
             if (self.ivf_index is not None and offset == 0
                     and threshold is None and not pre_filtered
                     and vec_col == self.ivf_index.vec_col

@@ -490,6 +490,63 @@ class TestAliasesIndexesStrict:
         assert res.points[0].score == pytest.approx(10.0, abs=1e-5)
 
 
+class TestAdvancedQueries:
+    def test_multivector_maxsim(self, spark):
+        """Multivector (ColBERT-style) collection queried through the
+        facade; oracle = hand-computed MaxSim (sum over query rows of the
+        max dot against the doc rows)."""
+        c = QdrantSparkClient(spark)
+        c.create_collection("mv", vectors_config={
+            "late": {"size": 3, "distance": "Dot",
+                     "multivector_config": {"comparator": "max_sim"}}})
+        docs = {
+            1: [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+            2: [[0.0, 0.0, 1.0], [0.5, 0.5, 0.0]],
+            3: [[0.2, 0.2, 0.2]],
+        }
+        c.upsert("mv", [{"id": i, "vector": {"late": m}}
+                        for i, m in docs.items()])
+        q = [[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]]
+
+        def maxsim(m):
+            return sum(max(sum(a * b for a, b in zip(qr, dr)) for dr in m)
+                       for qr in q)
+
+        res = c.query_points("mv", query=q, using="late", limit=3,
+                             with_payload=False)
+        exp = sorted(docs, key=lambda i: (-maxsim(docs[i]), i))
+        assert [p.id for p in res.points] == exp
+        for p in res.points:
+            assert p.score == pytest.approx(maxsim(docs[p.id]), abs=1e-6)
+
+    def test_formula_rescore_through_client(self, client):
+        q = [0.2, 0.1, 0.9, 0.7]
+        res = client.query_points(
+            "test_collection",
+            prefetch=[{"query": q, "limit": 8}],
+            query={"formula": {"sum": ["$score", "price"]},
+                   "defaults": {"price": 0.0}},
+            limit=5, with_payload=False)
+        base = _exact_knn(q, 8)
+        prices = {1: 10.0, 2: 11.0, 3: 9.5, 4: 9.0}
+        exp = sorted(((i, s + prices.get(i, 0.0)) for i, s in base),
+                     key=lambda t: (-t[1], t[0]))[:5]
+        assert [p.id for p in res.points] == [i for i, _ in exp]
+        for p, (_, s) in zip(res.points, exp):
+            assert p.score == pytest.approx(s, abs=1e-5)
+
+    def test_mmr_through_client(self, client):
+        q = [0.2, 0.1, 0.9, 0.7]
+        res = client.query_points(
+            "test_collection",
+            prefetch=[{"query": q, "limit": 8}],
+            query={"mmr": {"diversity": 0.5}},
+            limit=4, with_payload=False)
+        assert len(res.points) == 4
+        # first MMR pick is always the top relevance hit
+        assert res.points[0].id == _exact_knn(q, 1)[0][0]
+
+
 class TestPersistence:
     def test_root_backed_collection(self, spark, tmp_path):
         c = QdrantSparkClient(spark, root=str(tmp_path))
