@@ -259,6 +259,16 @@ class QdrantSparkClient:
       the replication layer).
     - vector names must be declared at ``create_collection`` (as in the
       reference); payload fields need no declaration.
+    - payload fields are typed COLUMNS, inferred per upsert batch and
+      schema-evolved across batches: a field keeps one value kind per
+      collection (int/float widen to double; a kind conflict such as
+      string-vs-bool on the same key raises a clear error instead of
+      storing mixed types). The reference's payload is schemaless JSON;
+      typed columns are what make filters pushable/prunable at 100 TB.
+    - root-backed mutations rewrite the collection's parquet snapshot
+      (bounded lineage, real file pruning). At large scale use the Delta
+      MERGE twin (operators/mutate.upsert_points_delta) so a mutation
+      rewrites only touched files.
     """
 
     def __init__(self, spark: SparkSession, *, root: str | None = None):
@@ -853,6 +863,11 @@ class QdrantSparkClient:
         """Returns (records, next_page_offset) — qdrant-client's scroll
         contract (keyset pagination; pass the returned offset back in)."""
         col = self._coll(collection_name)
+        if order_by is not None and offset is not None:
+            # 400 in the reference: order_by paginates with start_from
+            # (openapi test_order_by.py::test_cannot_use_offset_with_order_by)
+            raise ValueError("order_by does not support offset; "
+                             "paginate with order_by.start_from")
         if col.df is None:
             return [], None
         self._check_strict(col.name, {"filter": scroll_filter,
