@@ -157,6 +157,36 @@ def run(sf_dir: str = "/root/testdata/sf0.001", cpus: int = 8) -> dict:
     out["search_groups_rows"] = group_by(
         scored, "label", groups=3, group_size=2, id_col="id").count()
 
+    # ------------------------------------------------------------------
+    # Zero-rewrite path: qdrant_client call sites run unchanged against
+    # QdrantSparkClient (qdrant_spark/client.py) — same method names,
+    # same request dicts, same result shapes.
+    # ------------------------------------------------------------------
+    from qdrant_spark.client import QdrantSparkClient
+
+    client = QdrantSparkClient(spark)
+    client.create_collection(
+        "mycoll", vectors_config={"size": 4, "distance": "Cosine"})
+    client.upsert("mycoll", [
+        {"id": 1, "vector": [0.9, 0.1, 0.1, 0.1],
+         "payload": {"city": "Berlin", "price": 10.0}},
+        {"id": 2, "vector": [0.1, 0.9, 0.1, 0.1],
+         "payload": {"city": "London", "price": 12.5}},
+        {"id": 3, "vector": [0.1, 0.1, 0.9, 0.1],
+         "payload": {"city": "Berlin"}},
+    ])
+    hits = client.query_points(
+        "mycoll", query=[1.0, 0.0, 0.0, 0.0],
+        query_filter={"must": [{"key": "city",
+                                "match": {"value": "Berlin"}}]},
+        limit=2).points
+    out["client_query_points"] = [(p.id, round(p.score, 3)) for p in hits]
+    out["client_count"] = client.count("mycoll").count
+    out["client_facet"] = [(h.value, h.count)
+                           for h in client.facet("mycoll", "city").hits]
+    recs, _next = client.scroll("mycoll", limit=10)
+    out["client_scroll_ids"] = [r.id for r in recs]
+
     spark.stop()
     return out
 

@@ -594,6 +594,14 @@ class TestCustomSharding:
                              shard_key_selector={"target": "tenant_z",
                                                  "fallback": "tenant_a"})
         assert sorted(p.id for p in res.points) == [1, 2, 3]
+        # the selector compiles to directory-level partition pruning on
+        # the root-backed table (the 100-TB shape: one tenant scanned,
+        # not the fleet)
+        col = c._coll("multi")
+        routed = c._route(col, col.df, "tenant_a")
+        plan = routed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "shard_key" in plan.split("PartitionFilters", 1)[1][:250]
         # deleting a shard key drops its points
         assert c.delete_shard_key("multi", "tenant_b")
         assert c.count("multi").count == 3
