@@ -141,6 +141,12 @@ def _merge_type(a: T.DataType | None, b: T.DataType | None) -> T.DataType | None
         return b
     if b is None:
         return a
+    # NullType marks "no element seen yet" (empty list / null-only field):
+    # it defers to any typed side instead of conflicting
+    if isinstance(a, T.NullType):
+        return b
+    if isinstance(b, T.NullType):
+        return a
     if a == b:
         return a
     numeric = (T.LongType, T.DoubleType)
@@ -181,14 +187,30 @@ def _infer_type(v: Any) -> T.DataType | None:
         for k, x in v.items():
             tx = _infer_type(x)
             st = _merge_type(st, T.StructType(
-                [T.StructField(k, tx if tx is not None else T.StringType())]))
+                [T.StructField(k, tx if tx is not None else T.NullType())]))
         return st
     if isinstance(v, (list, tuple)):
         el: T.DataType | None = None
         for x in v:
             el = _merge_type(el, _infer_type(x))
-        return T.ArrayType(el if el is not None else T.StringType())
+        return T.ArrayType(el if el is not None else T.NullType())
     raise ValueError(f"unsupported payload value type: {type(v).__name__}")
+
+
+def _finalize_type(t: T.DataType) -> T.DataType:
+    """Replace any leftover NullType sentinel (a field/element never seen
+    with a typed value in this batch) with string — the widest writable
+    scalar; a later batch with real values widens the table column via
+    _evolve only if types agree, so null-only columns default to string."""
+    if isinstance(t, T.NullType):
+        return T.StringType()
+    if isinstance(t, T.ArrayType):
+        return T.ArrayType(_finalize_type(t.elementType))
+    if isinstance(t, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, _finalize_type(f.dataType))
+            for f in t.fields])
+    return t
 
 
 def _conform(v: Any, t: T.DataType) -> Any:
@@ -534,7 +556,8 @@ class QdrantSparkClient:
                 payload_types[k] = _merge_type(payload_types.get(k),
                                                _infer_type(v))
         payload_fields = [
-            T.StructField(k, t if t is not None else T.StringType())
+            T.StructField(k, _finalize_type(t) if t is not None
+                          else T.StringType())
             for k, t in payload_types.items()
         ]
         head = [T.StructField("id", col.id_type, False),
@@ -661,7 +684,8 @@ class QdrantSparkClient:
         # new payload keys appear as typed columns first
         new_cols = {k: v for k, v in payload.items() if k not in table.columns}
         for k, v in new_cols.items():
-            table = table.withColumn(k, F.lit(None).cast(_infer_type(v)))
+            table = table.withColumn(
+                k, F.lit(None).cast(_finalize_type(_infer_type(v))))
         return self._commit(col, M.set_payload(
             table, payload, ids=self._norm_ids(col, points), flt=filter,
             id_col="id"))
@@ -674,7 +698,8 @@ class QdrantSparkClient:
         table = col.df
         for k, v in payload.items():
             if k not in table.columns:
-                table = table.withColumn(k, F.lit(None).cast(_infer_type(v)))
+                table = table.withColumn(
+                k, F.lit(None).cast(_finalize_type(_infer_type(v))))
         cols = [c for c in col.payload_cols() if c in table.columns] + [
             k for k in payload if k not in col.payload_cols()]
         return self._commit(col, M.overwrite_payload(
