@@ -154,10 +154,29 @@ def main() -> None:
             t0 = time.time()
             fn()
             samples.append(time.time() - t0)
+        # fast line hit by a mid-run noise burst (3-rep spread > 2.5x):
+        # buy up to 2 extra reps from the salvage budget so the median
+        # isn't a contaminated rep (r8: ann_ivf_batch64_xl recorded 2.29s
+        # off samples [2.29, 8.0, 1.69] — true line ~1.7s)
+        while (len(samples) < reps + 2 and salvage_left[0] > 0
+               and max(samples) > 2.5 * min(samples)):
+            t_s = time.time()
+            wait_idle()
+            t0 = time.time()
+            fn()
+            samples.append(time.time() - t0)
+            salvage_left[0] -= time.time() - t_s
         rep_samples[name] = [round(s, 3) for s in samples]
-        samples.sort()
-        times[name] = round(samples[len(samples) // 2], 3)
-        mark(f"  {name}: {times[name]}s (n={len(samples)})")
+        ordered = sorted(samples)
+        noisy = max(samples) > 2.5 * min(samples)
+        if noisy:
+            # median over the 3 fastest: robust when up to half the reps
+            # are contaminated; a GENUINE slowdown has min ~ median so
+            # this can't hide a real regression (raw samples recorded)
+            ordered = ordered[:3]
+        times[name] = round(ordered[len(ordered) // 2], 3)
+        mark(f"  {name}: {times[name]}s (n={len(samples)}"
+             f"{',NOISY-trimmed' if noisy else ''})")
 
     # ------------------------------------------------------------------
     # bytes-read via the UI REST API. NOT per-stage inputMetrics: Spark's
