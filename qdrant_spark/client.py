@@ -680,6 +680,8 @@ class QdrantSparkClient:
                     points: list | None = None, filter: dict | None = None,
                     **_ignored: Any) -> UpdateResult:
         col = self._coll(collection_name)
+        if filter is not None:
+            self._check_strict(col.name, {"filter": filter}, is_update=True)
         table = col.df
         # new payload keys appear as typed columns first
         new_cols = {k: v for k, v in payload.items() if k not in table.columns}
@@ -695,6 +697,8 @@ class QdrantSparkClient:
                           filter: dict | None = None,
                           **_ignored: Any) -> UpdateResult:
         col = self._coll(collection_name)
+        if filter is not None:
+            self._check_strict(col.name, {"filter": filter}, is_update=True)
         table = col.df
         for k, v in payload.items():
             if k not in table.columns:
@@ -710,6 +714,8 @@ class QdrantSparkClient:
                        points: list | None = None, filter: dict | None = None,
                        **_ignored: Any) -> UpdateResult:
         col = self._coll(collection_name)
+        if filter is not None:
+            self._check_strict(col.name, {"filter": filter}, is_update=True)
         keys = [k for k in keys if k in col.df.columns]
         if not keys:
             return UpdateResult(operation_id=col.op_counter)

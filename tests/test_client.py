@@ -431,7 +431,8 @@ class TestAliasesIndexesStrict:
         c.create_collection(
             "strictc", vectors_config={"size": 4, "distance": "Cosine"},
             strict_mode_config={"enabled": True, "max_query_limit": 5,
-                                "unindexed_filtering_retrieve": False})
+                                "unindexed_filtering_retrieve": False,
+                                "unindexed_filtering_update": False})
         c.upsert("strictc", [{"id": 1, "vector": [1.0, 0.0, 0.0, 0.0],
                               "payload": {"lang": "en"}}])
         with pytest.raises(StrictModeError):
@@ -440,6 +441,11 @@ class TestAliasesIndexesStrict:
         with pytest.raises(StrictModeError):
             c.query_points("strictc", query=[1.0, 0.0, 0.0, 0.0],
                            query_filter=flt, limit=5)
+        # update-side unindexed filtering is checked too
+        with pytest.raises(StrictModeError):
+            c.set_payload("strictc", {"seen": True},
+                          filter={"must": [{"key": "other",
+                                            "match": {"value": "x"}}]})
         c.create_payload_index("strictc", "lang", "keyword")
         res = c.query_points("strictc", query=[1.0, 0.0, 0.0, 0.0],
                              query_filter=flt, limit=5)
