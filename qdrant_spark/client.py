@@ -245,6 +245,9 @@ class _Collection:
     text_params: dict[str, dict[str, Any]] = field(default_factory=dict)
     sharding: str | None = None                 # "custom" | None
     shard_keys: list = field(default_factory=list)
+    #: per-vector-name IVF indexes (ensure_vector_index); invalidated by
+    #: every mutation — rebuilt/reloaded on the next ensure call
+    ivf: dict[str, Any] = field(default_factory=dict)
 
     def vec_col(self, name: str = "") -> str:
         return f"vec_{name}" if name else "vec"
@@ -330,6 +333,7 @@ class QdrantSparkClient:
             os.replace(tmp, path)
             df = self.spark.read.parquet(path)
         col.df = df
+        col.ivf.clear()  # indexes describe the pre-mutation corpus
         self.catalog._collections[col.name] = df
         return UpdateResult(operation_id=col.op_counter)
 
@@ -1025,6 +1029,49 @@ class QdrantSparkClient:
             out["prefetch"] = [cls._norm_request(p) for p in pf]
         return out
 
+    def ensure_vector_index(self, collection_name: str, *,
+                            using: str = "", n_clusters: int = 16,
+                            indexing_threshold: int | None = None,
+                            **_ignored: Any) -> str:
+        """Idempotent vector-index maintenance for one named vector — the
+        reference's automatic past-threshold indexing surfaced as the
+        explicit command a Spark job scheduler would run after ingest
+        (plans/maintenance.ensure_ann_index: skip below threshold, build +
+        persist, reload on matching meta, rebuild on drift/param change).
+        Once built, dense `nearest` queries route through the
+        selectivity-aware dispatcher (exact below the plain-scan
+        crossover, cluster-pruned above; per-request ``params.exact``
+        opts out). Returns the action taken."""
+        from qdrant_spark.operators.dispatch import FULL_SCAN_THRESHOLD
+        from qdrant_spark.plans.maintenance import ensure_ann_index
+
+        col = self._coll(collection_name)
+        if col.df is None:
+            return "skipped"
+        vc = col.vectors.get(using)
+        if vc is None or vc.kind != "dense":
+            raise ValueError("vector index needs a declared dense vector")
+        thr = (FULL_SCAN_THRESHOLD if indexing_threshold is None
+               else indexing_threshold)
+        if self.root is not None:
+            path = os.path.join(self.root, col.name,
+                                f"index_{using or 'default'}")
+            idx, action = ensure_ann_index(
+                col.df, path, n_clusters=n_clusters,
+                vec_col=col.vec_col(using), id_col="id",
+                indexing_threshold=thr)
+        else:
+            if col.df.count() < thr:
+                return "skipped"
+            from qdrant_spark.operators.ann import build_ivf
+
+            idx, action = build_ivf(
+                col.df, n_clusters=n_clusters, vec_col=col.vec_col(using),
+                id_col="id"), "built"
+        if idx is not None:
+            col.ivf[using] = idx
+        return action
+
     def _planner(self, col: _Collection, using: str | None) -> QueryPlanner:
         registry = {n: (c.df if isinstance(c, _Collection) else c)
                     for n, c in self._colls.items() if c.df is not None}
@@ -1034,6 +1081,7 @@ class QdrantSparkClient:
             metric=col.metric_for(using),
             collections=registry,
             text_params=col.text_params or None,
+            ivf_index=col.ivf.get(using or ""),
         )
 
     def _hydrate(self, col: _Collection, scored: DataFrame, *,

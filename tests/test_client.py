@@ -553,6 +553,38 @@ class TestAdvancedQueries:
         assert res.points[0].id == _exact_knn(q, 1)[0][0]
 
 
+class TestVectorIndex:
+    def test_ensure_vector_index_lifecycle(self, spark, tmp_path):
+        import numpy as np
+
+        c = QdrantSparkClient(spark, root=str(tmp_path))
+        c.create_collection("ivfc", vectors_config={"size": 8,
+                                                    "distance": "Cosine"})
+        rng = np.random.default_rng(3)
+        pts = [{"id": i, "vector": rng.normal(size=8).astype(float).tolist()}
+               for i in range(300)]
+        c.upsert("ivfc", pts)
+        # below the default threshold: no index
+        assert c.ensure_vector_index("ivfc") == "skipped"
+        # explicit low threshold: build, then reload on re-ensure
+        assert c.ensure_vector_index("ivfc", n_clusters=4,
+                                     indexing_threshold=100) == "built"
+        assert c.ensure_vector_index("ivfc", n_clusters=4,
+                                     indexing_threshold=100) == "loaded"
+        # with the index registered, results still match exact (the
+        # dispatcher keeps the plain route below the scan crossover)
+        q = pts[0]["vector"]
+        with_idx = [p.id for p in
+                    c.query_points("ivfc", query=q, limit=5,
+                                   with_payload=False).points]
+        # mutation invalidates; exact search still serves
+        c.upsert("ivfc", [{"id": 999, "vector": q}])
+        after = c.query_points("ivfc", query=q, limit=5,
+                               with_payload=False).points
+        assert after[0].id in (0, 999)
+        assert with_idx[0] == 0
+
+
 class TestPersistence:
     def test_root_backed_collection(self, spark, tmp_path):
         c = QdrantSparkClient(spark, root=str(tmp_path))
