@@ -395,6 +395,20 @@ class QdrantSparkClient:
             self.catalog.set_strict_mode(collection_name, strict_mode_config)
         return True
 
+    def update_collection(self, collection_name: str, *,
+                          strict_mode_config: dict[str, Any] |
+                          StrictModeConfig | None = None,
+                          **_ignored: Any) -> bool:
+        """REST ``PATCH /collections/{name}``: the engine-applicable knob
+        is strict mode (optimizer/HNSW params are node-operational in the
+        reference and accepted-ignored here)."""
+        col = self._coll(collection_name)
+        if strict_mode_config is not None:
+            if not isinstance(strict_mode_config, StrictModeConfig):
+                strict_mode_config = StrictModeConfig(**strict_mode_config)
+            self.catalog.set_strict_mode(col.name, strict_mode_config)
+        return True
+
     def delete_collection(self, collection_name: str, **_ignored: Any) -> bool:
         existed = collection_name in self._colls
         self._colls.pop(collection_name, None)

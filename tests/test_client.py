@@ -451,6 +451,23 @@ class TestAliasesIndexesStrict:
                              query_filter=flt, limit=5)
         assert [p.id for p in res.points] == [1]
 
+    def test_update_collection_strict_mode(self, spark):
+        c = QdrantSparkClient(spark)
+        c.create_collection("upd", vectors_config={"size": 4,
+                                                   "distance": "Cosine"})
+        c.upsert("upd", [{"id": 1, "vector": VECS[1]}])
+        assert c.query_points("upd", query=VECS[1], limit=50).points
+        c.update_collection("upd", strict_mode_config={"enabled": True,
+                                                       "max_query_limit": 5})
+        with pytest.raises(StrictModeError):
+            c.query_points("upd", query=VECS[1], limit=50)
+        c.update_collection("upd", strict_mode_config={"enabled": False})
+        assert c.query_points("upd", query=VECS[1], limit=50).points
+
+    def test_count_estimate_through_client(self, client):
+        approx = client.count("test_collection", exact=False).count
+        assert approx == 10  # small corpus: the sample IS the corpus
+
     def test_text_index_params_reach_full_text_filters(self, spark):
         """A declared text index with stemming changes match.text semantics
         — the StopwordsInterface/TextIndexParams analogue wired end-to-end
