@@ -1155,6 +1155,18 @@ class QdrantSparkClient:
         if score_threshold is not None:
             req["score_threshold"] = score_threshold
         if lookup_from is not None:
+            if isinstance(lookup_from, dict) and lookup_from.get("vector") \
+                    is not None:
+                # LookupLocation carries a vector NAME; the planner wants
+                # the column — translate via the target collection's
+                # naming convention
+                tgt = self._colls.get(self.catalog._aliases.get(
+                    lookup_from.get("collection"),
+                    lookup_from.get("collection")))
+                lookup_from = dict(lookup_from)
+                lookup_from["vector"] = (
+                    tgt.vec_col(lookup_from["vector"]) if tgt is not None
+                    else lookup_from["vector"])
             req["lookup_from"] = lookup_from
         self._check_strict(col.name, req)
         points = self._route(col, col.df, shard_key_selector)

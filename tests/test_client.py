@@ -493,6 +493,28 @@ class TestAliasesIndexesStrict:
                              limit=10)
         assert [p.id for p in res.points] == [1]
 
+    def test_lookup_from_other_collection(self, spark):
+        """Recommend by ids resolved through ANOTHER collection's named
+        vector (LookupLocation, collection_query.rs:147-152); ids resolved
+        via lookup_from are NOT excluded from results."""
+        c = QdrantSparkClient(spark)
+        c.create_collection("seeds", vectors_config={
+            "emb": {"size": 4, "distance": "Cosine"}})
+        c.upsert("seeds", [{"id": 100 + i, "vector": {"emb": VECS[i]}}
+                           for i in (1, 2)])
+        c.create_collection("corpus2", vectors_config={"size": 4,
+                                                       "distance": "Cosine"})
+        c.upsert("corpus2", [{"id": i, "vector": VECS[i]} for i in VECS])
+        res = c.query_points(
+            "corpus2",
+            query={"recommend": {"positive": [101, 102],
+                                 "strategy": "average_vector"}},
+            lookup_from={"collection": "seeds", "vector": "emb"},
+            limit=3, with_payload=False)
+        avg = [sum(x) / 2 for x in zip(VECS[1], VECS[2])]
+        exp = [i for i, _ in _exact_knn(avg, 3)]
+        assert [p.id for p in res.points] == exp
+
     def test_named_vectors_two_distances(self, spark):
         c = QdrantSparkClient(spark)
         c.create_collection("named", vectors_config={
