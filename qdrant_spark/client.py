@@ -1437,6 +1437,69 @@ class QdrantSparkClient:
         return [resp.points
                 for resp in self.query_batch_points(collection_name, norm)]
 
+    def get_point(self, collection_name: str, point_id: Any,
+                  **_ignored: Any) -> Record:
+        """GET /collections/{c}/points/{id} — single-point retrieve with
+        payload and vectors (404-equivalent: KeyError)."""
+        recs = self.retrieve(collection_name, [point_id],
+                             with_payload=True, with_vectors=True)
+        if not recs:
+            raise KeyError(f"point {point_id!r} not found")
+        return recs[0]
+
+    def recommend_batch(self, collection_name: str,
+                        requests: list[dict[str, Any]],
+                        **_ignored: Any) -> list[list[ScoredPoint]]:
+        """Legacy /points/recommend/batch: [{"positive": [...],
+        "negative": [...], "strategy": ..., "filter": ..., "limit": n}]."""
+        norm = []
+        for r in requests:
+            n: dict[str, Any] = {
+                "query": {"recommend": {
+                    "positive": r.get("positive") or [],
+                    "negative": r.get("negative") or [],
+                    "strategy": r.get("strategy", "average_vector")}},
+                "limit": r.get("limit", 10)}
+            if r.get("filter") is not None:
+                n["filter"] = r["filter"]
+            norm.append(n)
+        return [resp.points
+                for resp in self.query_batch_points(collection_name, norm)]
+
+    def recommend_groups(self, collection_name: str, *, group_by: str,
+                         positive: list | None = None,
+                         negative: list | None = None,
+                         strategy: str = "average_vector",
+                         query_filter: dict | None = None,
+                         limit: int = 10, group_size: int = 3,
+                         with_lookup: dict | str | None = None,
+                         **_ignored: Any) -> GroupsResult:
+        return self.query_points_groups(
+            collection_name, group_by=group_by,
+            query={"recommend": {"positive": positive or [],
+                                 "negative": negative or [],
+                                 "strategy": strategy}},
+            query_filter=query_filter, limit=limit, group_size=group_size,
+            with_lookup=with_lookup)
+
+    def discover_batch(self, collection_name: str,
+                       requests: list[dict[str, Any]],
+                       **_ignored: Any) -> list[list[ScoredPoint]]:
+        """Legacy /points/discover/batch."""
+        norm = []
+        for r in requests:
+            if r.get("target") is not None:
+                q = {"discover": {"target": r["target"],
+                                  "context": r.get("context") or []}}
+            else:
+                q = {"context": r.get("context") or []}
+            n: dict[str, Any] = {"query": q, "limit": r.get("limit", 10)}
+            if r.get("filter") is not None:
+                n["filter"] = r["filter"]
+            norm.append(n)
+        return [resp.points
+                for resp in self.query_batch_points(collection_name, norm)]
+
     def get_aliases(self) -> dict[str, str]:
         """alias -> collection, across all collections."""
         return dict(self.catalog._aliases)

@@ -392,6 +392,30 @@ class TestBatchAndLegacy:
                                  limit=2, group_size=1)
         assert len(g.groups) == 2
 
+    def test_get_point_and_recommend_batch(self, client):
+        rec = client.get_point("test_collection", 2)
+        assert rec.payload["price"] == 11.0 and rec.vector is not None
+        with pytest.raises(KeyError):
+            client.get_point("test_collection", 424242)
+        outs = client.recommend_batch("test_collection", [
+            {"positive": [VECS[1]], "limit": 2},
+            {"positive": [VECS[4]], "limit": 2,
+             "filter": {"must": [{"key": "city",
+                                  "match": {"value": "London"}}]}},
+        ])
+        assert [p.id for p in outs[0]] == [i for i, _ in _exact_knn(VECS[1], 2)]
+        assert [p.id for p in outs[1]] == \
+            [i for i, _ in _exact_knn(VECS[4], 2, ids={2, 4})]
+        g = client.recommend_groups("test_collection", group_by="city",
+                                    positive=[VECS[1]], limit=2,
+                                    group_size=1)
+        assert len(g.groups) == 2
+        d = client.discover_batch("test_collection", [
+            {"target": VECS[1],
+             "context": [{"positive": VECS[2], "negative": VECS[4]}],
+             "limit": 2}])
+        assert len(d[0]) == 2
+
     def test_legacy_discover_and_context(self, client):
         hits = client.discover(
             "test_collection", target=VECS[1],
