@@ -566,10 +566,11 @@ class QdrantSparkClient:
                 VectorConfig(dim=0, distance="dot", kind="sparse").spark_type))
 
         # payload schema: merged inference across the batch
+        reserved = {"id", "version", "shard_key", *col.vec_cols()}
         payload_types: dict[str, T.DataType | None] = {}
         for p in points:
             for k, v in (p.get("payload") or {}).items():
-                if k in ("id", "version") or k.startswith("vec"):
+                if k in reserved:
                     raise ValueError(f"reserved payload key: {k!r}")
                 payload_types[k] = _merge_type(payload_types.get(k),
                                                _infer_type(v))
@@ -698,6 +699,8 @@ class QdrantSparkClient:
                     points: list | None = None, filter: dict | None = None,
                     **_ignored: Any) -> UpdateResult:
         col = self._coll(collection_name)
+        if col.df is None:
+            return UpdateResult(operation_id=col.op_counter)
         if filter is not None:
             self._check_strict(col.name, {"filter": filter}, is_update=True)
         table = col.df
@@ -715,6 +718,8 @@ class QdrantSparkClient:
                           filter: dict | None = None,
                           **_ignored: Any) -> UpdateResult:
         col = self._coll(collection_name)
+        if col.df is None:
+            return UpdateResult(operation_id=col.op_counter)
         if filter is not None:
             self._check_strict(col.name, {"filter": filter}, is_update=True)
         table = col.df
@@ -732,6 +737,8 @@ class QdrantSparkClient:
                        points: list | None = None, filter: dict | None = None,
                        **_ignored: Any) -> UpdateResult:
         col = self._coll(collection_name)
+        if col.df is None:
+            return UpdateResult(operation_id=col.op_counter)
         if filter is not None:
             self._check_strict(col.name, {"filter": filter}, is_update=True)
         keys = [k for k in keys if k in col.df.columns]
@@ -744,6 +751,8 @@ class QdrantSparkClient:
     def clear_payload(self, collection_name: str, points_selector: Any,
                       **_ignored: Any) -> UpdateResult:
         col = self._coll(collection_name)
+        if col.df is None:
+            return UpdateResult(operation_id=col.op_counter)
         ids, flt = self._selector(points_selector)
         return self._commit(col, M.clear_payload(
             col.df, col.payload_cols(), ids=self._norm_ids(col, ids),
@@ -766,10 +775,18 @@ class QdrantSparkClient:
         vectors not mentioned keep their value (one broadcast join, not
         per-point plan nodes)."""
         col = self._coll(collection_name)
+        if col.df is None:
+            return UpdateResult(operation_id=col.op_counter)
+        declared = set(col.vectors) | set(col.sparse)
         mentioned: list[str] = []
         maps = []
         for p in points:
             vm = self._vector_map(col, p["vector"])
+            unknown = set(vm) - declared
+            if unknown:
+                raise ValueError(
+                    f"undeclared vector name(s) {sorted(unknown)}; "
+                    f"declared: {sorted(declared) or ['<none>']}")
             maps.append(vm)
             for n in vm:
                 if n not in mentioned:
@@ -795,6 +812,8 @@ class QdrantSparkClient:
     def delete_vectors(self, collection_name: str, vectors: list[str],
                        points_selector: Any, **_ignored: Any) -> UpdateResult:
         col = self._coll(collection_name)
+        if col.df is None:
+            return UpdateResult(operation_id=col.op_counter)
         ids, flt = self._selector(points_selector)
         return self._commit(col, M.delete_vectors(
             col.df, [col.vec_col(v) for v in vectors],
