@@ -1191,6 +1191,11 @@ class QdrantSparkClient:
         points = self._route(col, col.df, shard_key_selector)
         planner = self._planner(col, using)
         planner.points = points
+        if shard_key_selector is not None:
+            # a registered IVF index covers the WHOLE corpus; routing
+            # through it would leak other shards' points — shard-scoped
+            # requests stay exact over the routed partition directories
+            planner.ivf_index = None
         scored = planner.plan(req)
         out = self._hydrate(col, scored, with_payload=with_payload,
                             with_vectors=with_vectors)
@@ -1216,7 +1221,11 @@ class QdrantSparkClient:
             req["using"] = col.vec_col(using)
         if prefetch is not None:
             pf = prefetch if isinstance(prefetch, list) else [prefetch]
-            req["prefetch"] = [self._norm_request(p) for p in pf]
+            pf = [self._norm_request(p) for p in pf]
+            for p in pf:
+                if "using" in p:
+                    p["using"] = col.vec_col(p["using"])
+            req["prefetch"] = pf
         if query_filter is not None:
             req["filter"] = query_filter
         self._check_strict(col.name, {**req, "limit": limit})

@@ -707,6 +707,32 @@ class TestCustomSharding:
         assert c.delete_shard_key("multi", "tenant_b")
         assert c.count("multi").count == 3
 
+    def test_shard_selector_bypasses_full_corpus_index(self, spark):
+        """A registered IVF index covers the whole corpus; a shard-scoped
+        query must NOT route through it (it would leak other shards)."""
+        import numpy as np
+
+        c = QdrantSparkClient(spark)
+        c.create_collection("shidx", vectors_config={"size": 4,
+                                                     "distance": "Cosine"},
+                            sharding_method="custom")
+        c.create_shard_key("shidx", "a")
+        c.create_shard_key("shidx", "b")
+        rng = np.random.default_rng(5)
+        c.upsert("shidx", [
+            {"id": i, "vector": rng.normal(size=4).astype(float).tolist()}
+            for i in range(100)], shard_key_selector="a")
+        c.upsert("shidx", [
+            {"id": 100 + i,
+             "vector": rng.normal(size=4).astype(float).tolist()}
+            for i in range(100)], shard_key_selector="b")
+        assert c.ensure_vector_index("shidx", n_clusters=2,
+                                     indexing_threshold=50) == "built"
+        res = c.query_points("shidx", query=[1.0, 0.0, 0.0, 0.0],
+                             limit=20, shard_key_selector="b",
+                             with_payload=False)
+        assert res.points and all(p.id >= 100 for p in res.points)
+
     def test_snapshots(self, spark, tmp_path):
         c = QdrantSparkClient(spark, root=str(tmp_path))
         c.create_collection("snap", vectors_config={"size": 4,
