@@ -1320,6 +1320,8 @@ class QdrantSparkClient:
         from qdrant_spark.operators.matrix import distance_matrix
 
         col = self._coll(collection_name)
+        if col.df is None:
+            return []
         rows = distance_matrix(
             col.df, sample_size=sample, limit_per_sample=limit,
             metric=col.metric_for(using), vec_col=col.vec_col(using or ""),
@@ -1335,6 +1337,9 @@ class QdrantSparkClient:
         from qdrant_spark.operators.matrix import distance_matrix_offsets
 
         col = self._coll(collection_name)
+        if col.df is None:
+            return {"ids": [], "offsets_row": [], "offsets_col": [],
+                    "scores": []}
         row = distance_matrix_offsets(
             col.df, sample_size=sample, limit_per_sample=limit,
             metric=col.metric_for(using), vec_col=col.vec_col(using or ""),
