@@ -56,12 +56,15 @@ def run(sf_dir: str = "/root/testdata/sf0.001", cpus: int = 8) -> dict:
         .where(~F.col("dropped"))
         .select("doc_id", F.col("text_clean").alias("text"))
     )
+    # cache: steps 2b-3 each branch off this frame (exact/LSH/gopher/
+    # repetition/LM all re-read it) — without a cache every branch
+    # recomputes the paragraph-dedup window chain
     docs = (
         paragraph_dedup(cleaned)
         .where(F.length("text_clean") > 0)
         .select("doc_id", F.col("text_clean").alias("text"))
         .join(docs.select("doc_id", "lang", "source"), "doc_id")
-    )
+    ).cache()
 
     # -- 2b. dedup: exact, then LSH near-dup, then embedding near-dup -----
     exact = exact_dedup(docs).filter(~F.col("is_duplicate")).select("doc_id")
@@ -123,7 +126,9 @@ def run(sf_dir: str = "/root/testdata/sf0.001", cpus: int = 8) -> dict:
         {"en": 0.4, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15},
         id_col="doc_id",
     )
-    quality = sampled
+    # cache: 5b runs four separate actions (buckets, DSIR, packing, count)
+    # over this frame — uncached, each replays the full filter chain
+    quality = sampled.cache()
 
     # -- 5b. CCNet buckets + DSIR re-weighting + sequence packing --------
     # (the round-5 additions: bucket the mixture CCNet-style, weight it
