@@ -902,6 +902,35 @@ class QdrantSparkClient:
     def _rows_as_dicts(self, df: DataFrame) -> list[dict]:
         return [r.asDict(recursive=True) for r in df.collect()]
 
+    def _needed_cols(self, col: _Collection,
+                     with_payload: bool | list[str] | dict,
+                     with_vectors: bool | list[str]) -> list[str]:
+        """Projection for hydration lookups: only the selected payload and
+        vector columns reach the scan — a payload-only request must not
+        read the (much wider) vector columns (column pruning is the point
+        of the columnar layout)."""
+        pcols = col.payload_cols()
+        if with_payload is False:
+            pcols = []
+        elif isinstance(with_payload, dict):
+            if "include" in with_payload:
+                pcols = [c for c in pcols
+                         if c in set(with_payload["include"])]
+            elif "exclude" in with_payload:
+                pcols = [c for c in pcols
+                         if c not in set(with_payload["exclude"])]
+        elif isinstance(with_payload, list):
+            pcols = [c for c in pcols if c in set(with_payload)]
+        if with_vectors is False:
+            vcols = []
+        elif with_vectors is True:
+            vcols = col.vec_cols()
+        else:
+            vcols = [col.vec_col(n) for n in with_vectors]
+        return ["id", "version"] + pcols + \
+            [c for c in vcols if c in (col.df.columns if col.df is not None
+                                       else [])]
+
     def retrieve(self, collection_name: str, ids: list, *,
                  with_payload: bool | list[str] | dict = True,
                  with_vectors: bool | list[str] = False,
@@ -912,8 +941,9 @@ class QdrantSparkClient:
             return []
         ids = self._norm_ids(col, ids)
         src = self._route(col, col.df, shard_key_selector)
+        need = self._needed_cols(col, with_payload, with_vectors)
         rows = {r["id"]: r for r in self._rows_as_dicts(
-            src.filter(F.col("id").isin(ids)))}
+            src.select(*need).filter(F.col("id").isin(ids)))}
         return [
             Record(id=i,
                    payload=self._payload_out(col, rows[i], with_payload),
@@ -959,6 +989,10 @@ class QdrantSparkClient:
                                    else self._norm_ids(col, [offset])[0]),
                         order_by=ob_key, direction=direction or "asc",
                         start_from=start_from)
+        # project AFTER scroll (order/filter keys stay available to it);
+        # pruning pushes through the sort+limit to the scan
+        page = page.select(*self._needed_cols(col, with_payload,
+                                              with_vectors))
         rows = self._rows_as_dicts(page)
         nxt = rows[limit]["id"] if len(rows) > limit and ob_key is None \
             else None
@@ -1126,8 +1160,9 @@ class QdrantSparkClient:
         rows: dict[Any, dict] = {}
         if with_payload is not False or with_vectors is not False:
             ids = [h["id"] for h in hits]
+            need = self._needed_cols(col, with_payload, with_vectors)
             rows = {r["id"]: r for r in self._rows_as_dicts(
-                col.df.filter(F.col("id").isin(ids)))}
+                col.df.select(*need).filter(F.col("id").isin(ids)))}
         out = []
         for h in hits:
             r = rows.get(h["id"], {})

@@ -815,6 +815,24 @@ class TestConformanceEdges:
         assert rec.payload["meta"] == {"author": "alice", "stars": 5}
 
 
+def test_payload_only_hydration_prunes_vectors(spark, tmp_path):
+    """A payload-only hydration lookup must not read the (wide) vector
+    columns — the projection has to reach the parquet scan."""
+    c = QdrantSparkClient(spark, root=str(tmp_path))
+    c.create_collection("prune", vectors_config={"size": 4,
+                                                 "distance": "Cosine"})
+    c.upsert("prune", [{"id": i, "vector": VECS[i],
+                        "payload": {"city": ["x"]}} for i in (1, 2, 3)])
+    col = c._coll("prune")
+    need = c._needed_cols(col, True, False)
+    assert "vec" not in need
+    df = col.df.select(*need).filter(__import__(
+        "pyspark.sql.functions", fromlist=["col"]).col("id").isin([1, 2]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read = plan.split("ReadSchema", 1)[1][:200]
+    assert "vec" not in read, read
+
+
 def test_integer_vs_string_ids(spark):
     c = QdrantSparkClient(spark)
     c.create_collection("uuids", vectors_config={"size": 2,
