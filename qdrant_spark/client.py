@@ -197,6 +197,18 @@ def _infer_type(v: Any) -> T.DataType | None:
     raise ValueError(f"unsupported payload value type: {type(v).__name__}")
 
 
+def _is_untyped(t: T.DataType | None) -> bool:
+    """True when inference never saw a typed value (None, NullType, or
+    containers of only NullType) — the field's real type is still open."""
+    if t is None or isinstance(t, T.NullType):
+        return True
+    if isinstance(t, T.ArrayType):
+        return _is_untyped(t.elementType)
+    if isinstance(t, T.StructType):
+        return not t.fields or all(_is_untyped(f.dataType) for f in t.fields)
+    return False
+
+
 def _finalize_type(t: T.DataType) -> T.DataType:
     """Replace any leftover NullType sentinel (a field/element never seen
     with a typed value in this batch) with string — the widest writable
@@ -248,6 +260,10 @@ class _Collection:
     #: per-vector-name IVF indexes (ensure_vector_index); invalidated by
     #: every mutation — rebuilt/reloaded on the next ensure call
     ivf: dict[str, Any] = field(default_factory=dict)
+    #: payload columns stored before any batch supplied a typed value
+    #: (null-only / empty-list fields finalized to string); a later typed
+    #: batch re-casts them instead of conflicting
+    null_typed: set = field(default_factory=set)
 
     def vec_col(self, name: str = "") -> str:
         return f"vec_{name}" if name else "vec"
@@ -574,6 +590,10 @@ class QdrantSparkClient:
                     raise ValueError(f"reserved payload key: {k!r}")
                 payload_types[k] = _merge_type(payload_types.get(k),
                                                _infer_type(v))
+        #: fields this batch never really typed — upsert() tracks them so
+        #: a LATER typed batch re-casts the column instead of conflicting
+        self._last_untyped = {k for k, t in payload_types.items()
+                              if _is_untyped(t)}
         payload_fields = [
             T.StructField(k, _finalize_type(t) if t is not None
                           else T.StringType())
@@ -659,9 +679,33 @@ class QdrantSparkClient:
         col = self._coll(collection_name)
         self._check_strict(col.name, {}, is_update=True, batch=points)
         updates = self._points_to_df(col, points, shard_key=shard_key_selector)
+        untyped = self._last_untyped
         if col.df is None:
+            col.null_typed = set(untyped)
             return self._commit(col, updates)
-        table, updates = self._evolve(col.df, updates)
+        # a column stored before any batch typed it (null-only /
+        # empty-list, finalized to string) re-types to this batch's real
+        # type: its stored values are all null/empty, so the cast is safe
+        table = col.df
+        t_types = {f_.name: f_.dataType for f_ in table.schema.fields}
+        for k in sorted(col.null_typed):
+            if k in updates.columns and k not in untyped:
+                ut = updates.schema[k].dataType
+                tt = t_types[k]
+                if tt != ut:
+                    if isinstance(ut, T.StructType):
+                        # struct<> can't cast to struct<fields...>: keep
+                        # "was an (empty) object" as all-null fields
+                        empty = F.struct(*[
+                            F.lit(None).cast(f_.dataType).alias(f_.name)
+                            for f_ in ut.fields])
+                        table = table.withColumn(
+                            k, F.when(F.col(k).isNotNull(), empty))
+                    else:
+                        table = table.withColumn(k, F.col(k).cast(ut))
+                col.null_typed.discard(k)
+        col.null_typed |= {k for k in untyped if k not in table.columns}
+        table, updates = self._evolve(table, updates)
         return self._commit(
             col, M.upsert_points(table, updates, id_col="id",
                                  version_col="version"))

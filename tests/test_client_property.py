@@ -90,6 +90,30 @@ def test_payload_roundtrip(client, p1, p2):
         client.delete_collection(name)
 
 
+def test_cross_batch_widening_of_untyped_columns(client):
+    """A column first stored from null-only / empty-list values re-types
+    when a later batch supplies real values (no conflict error)."""
+    client.create_collection("widen", vectors_config={"size": 2,
+                                                      "distance": "Dot"})
+    try:
+        client.upsert("widen", [
+            {"id": 1, "vector": [1.0, 0.0], "payload": {"li": [], "d": {}}}])
+        client.upsert("widen", [
+            {"id": 2, "vector": [0.0, 1.0],
+             "payload": {"li": [4, 5], "d": {"x": 7}}}])
+        recs = {r.id: r for r in client.retrieve("widen", [1, 2])}
+        assert recs[2].payload["li"] == [4, 5]
+        assert recs[2].payload["d"] == {"x": 7}
+        assert recs[1].payload["li"] == []      # empty array preserved
+        # a third batch on the now-typed column stays typed
+        client.upsert("widen", [
+            {"id": 3, "vector": [1.0, 1.0], "payload": {"li": [9]}}])
+        (r3,) = client.retrieve("widen", [3])
+        assert r3.payload["li"] == [9]
+    finally:
+        client.delete_collection("widen")
+
+
 def test_kind_conflict_raises_clearly(client):
     client.create_collection("conflict", vectors_config={"size": 2,
                                                          "distance": "Dot"})
