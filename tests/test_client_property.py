@@ -3,10 +3,11 @@ payload a user upserts comes back value-identical through retrieve, and
 scalar fields stay filterable.
 
 Documented divergence from the reference's schemaless JSON payloads: a
-field must keep ONE value kind per collection (int/float mix to double);
-a kind conflict (e.g. string vs bool on the same key) raises a clear
-error instead of storing mixed types — typed columns are what make the
-filters pushable at scale (see client._merge_type)."""
+field must keep ONE value kind per collection (int/float mix to double;
+null-only / empty-list columns re-type once a batch supplies real
+values); a genuine kind conflict (e.g. string vs bool on the same key)
+raises a clear error instead of storing mixed types — typed columns are
+what make the filters pushable at scale (see client._merge_type)."""
 
 from __future__ import annotations
 
