@@ -1197,7 +1197,28 @@ class QdrantSparkClient:
 
     def _hydrate(self, col: _Collection, scored: DataFrame, *,
                  with_payload: bool | list[str] | dict,
-                 with_vectors: bool | list[str]) -> list[ScoredPoint]:
+                 with_vectors: bool | list[str],
+                 direction: bool | None = None) -> list[ScoredPoint]:
+        """Attach payload/vectors to a scored frame. When ``direction``
+        says the result order is (score direction, id asc) — the planner's
+        last_plan_direction — hydration is ONE job: join before the
+        collect and re-sort driver-side. Otherwise the plan's order is
+        authoritative and hydration is a second bounded id-lookup job."""
+        if direction is not None and (with_payload is not False
+                                      or with_vectors is not False):
+            need = self._needed_cols(col, with_payload, with_vectors)
+            if "score" not in need:  # a payload column named "score"
+                joined = scored.join(          # would collide with the
+                    col.df.select(*need), "id", "left")  # query score
+                rows = self._rows_as_dicts(joined)
+                rows.sort(key=lambda r: (
+                    -r["score"] if direction else r["score"], r["id"]))
+                return [ScoredPoint(
+                    id=r["id"], score=float(r["score"]),
+                    version=r.get("version"),
+                    payload=self._payload_out(col, r, with_payload),
+                    vector=self._vector_out(col, r, with_vectors))
+                    for r in rows]
         hits = scored.collect()
         if not hits:
             return []
@@ -1277,7 +1298,8 @@ class QdrantSparkClient:
             planner.ivf_index = None
         scored = planner.plan(req)
         out = self._hydrate(col, scored, with_payload=with_payload,
-                            with_vectors=with_vectors)
+                            with_vectors=with_vectors,
+                            direction=planner.last_plan_direction)
         planner.close()
         return QueryResponse(points=out)
 

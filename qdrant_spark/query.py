@@ -126,6 +126,8 @@ class QueryPlanner:
         self.last_plan_info: dict[str, int] = {"fused_groups": 0,
                                                "fused_legs": 0,
                                                "driver_fused_root": 0}
+        #: root result-order contract of the last plan() (see _node)
+        self.last_plan_direction: bool | None = None
         self.fuse_min_bytes = (FUSE_MIN_BYTES if fuse_min_bytes is None
                                else fuse_min_bytes)
         self.fused_collect_max = (FUSED_COLLECT_MAX if fused_collect_max
@@ -250,8 +252,44 @@ class QueryPlanner:
                     for c in children
                 ]
             child_dfs = self._plan_children(children, depth)
-            return self._rescore(query, child_dfs, req, limit)
-        return self._leaf(query, req, limit)
+            out = self._rescore(query, child_dfs, req, limit)
+            # record the root's result-order contract AFTER the recursion
+            # (plan() is depth-first: the last assignment is the root's).
+            # True/False = result is sortable by (score direction, id
+            # asc); None = the order exists only in the plan (MMR pick
+            # order, sample hash order, order_by key ordering).
+            self.last_plan_direction = self._direction_of(query, leaf=False)
+            return out
+        out = self._leaf(query, req, limit)
+        self.last_plan_direction = self._direction_of(query, leaf=True)
+        return out
+
+    def _direction_of(self, query: Any, *, leaf: bool) -> bool | None:
+        """Whether the node's output order equals sort-by-(score, id):
+        True = score desc, False = score asc, None = not score-ordered.
+        Must mirror the ordering each _leaf/_rescore path actually emits
+        (knn/_topk: metric direction; sparse dot, MaxSim, discover/
+        context, fusion, formula, best_score/sum_scores: score desc)."""
+        from qdrant_spark.operators.knn import larger_is_better
+
+        if query is None:
+            return None if leaf else True  # scroll (id order) | default rrf
+        if "nearest" in query:
+            t = query["nearest"]
+            if isinstance(t, dict) and "indices" in t:
+                return True  # sparse dot product
+            if isinstance(t, (list, tuple)) and t \
+                    and isinstance(t[0], (list, tuple)):
+                return True  # MaxSim
+            return larger_is_better(self.metric)
+        if "recommend" in query:
+            strat = query["recommend"].get("strategy", "average_vector")
+            return (larger_is_better(self.metric)
+                    if strat == "average_vector" else True)
+        if any(k in query for k in ("discover", "context", "fusion",
+                                    "formula")):
+            return True
+        return None  # mmr / order_by / sample
 
     # -- shared-scan prefetch fusion ----------------------------------------
     #
