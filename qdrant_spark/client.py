@@ -286,6 +286,15 @@ class _Collection:
         # "using" may name a raw column of an externally-registered frame
         return "cosine"
 
+    def metrics_map(self) -> dict[str, str]:
+        """vec COLUMN -> declared distance, for QueryPlanner(metrics=...):
+        every leaf/leg then scores and sorts by ITS `using` vector's
+        declared distance, not the collection default (the reference
+        resolves distance per named vector, VectorDataConfig.distance)."""
+        out = {self.vec_col(n): v.distance for n, v in self.vectors.items()}
+        out.update({self.vec_col(n): "dot" for n in self.sparse})
+        return out
+
 
 class QdrantSparkClient:
     """Drop-in facade: the qdrant-client method surface over Spark.
@@ -798,6 +807,8 @@ class QdrantSparkClient:
         if col.df is None:
             return UpdateResult(operation_id=col.op_counter)
         ids, flt = self._selector(points_selector)
+        if flt is not None:
+            self._check_strict(col.name, {"filter": flt}, is_update=True)
         return self._commit(col, M.clear_payload(
             col.df, col.payload_cols(), ids=self._norm_ids(col, ids),
             flt=flt, id_col="id"))
@@ -1073,6 +1084,13 @@ class QdrantSparkClient:
         if col.df is None:
             return FacetResponse(hits=[])
         src = self._route(col, col.df, shard_key_selector)
+        if facet_filter is not None and col.text_params:
+            # mirror count()/scroll(): pre-apply the filter so declared
+            # text-index tokenizer/stemmer/stopword params reach full-text
+            # match conditions
+            src = apply_filter(src, facet_filter,
+                               text_params=col.text_params, id_col="id")
+            facet_filter = None
         fn = P.facet if exact else P.facet_estimate
         rows = fn(src, key, limit=limit, flt=facet_filter).collect()
         cnt = "count" if exact else "est_count"
@@ -1140,6 +1158,29 @@ class QdrantSparkClient:
             out["prefetch"] = [cls._norm_request(p) for p in pf]
         return out
 
+    def _norm_lookup_from(self, lookup_from: dict | str) -> dict | str:
+        """LookupLocation carries a vector NAME; the planner wants the
+        column — translate via the target collection's naming convention."""
+        if isinstance(lookup_from, dict) and lookup_from.get("vector") \
+                is not None:
+            tgt = self._colls.get(self.catalog._aliases.get(
+                lookup_from.get("collection"), lookup_from.get("collection")))
+            lookup_from = dict(lookup_from)
+            lookup_from["vector"] = (
+                tgt.vec_col(lookup_from["vector"]) if tgt is not None
+                else lookup_from["vector"])
+        return lookup_from
+
+    @staticmethod
+    def _translate_using(col: _Collection, req: dict[str, Any]) -> None:
+        """In-place vector-NAME -> vec-COLUMN translation for ``using``,
+        through the whole prefetch tree (query_points does this for its
+        own top level + prefetches; batch requests arrive fully nested)."""
+        if "using" in req:
+            req["using"] = col.vec_col(req["using"])
+        for p in req.get("prefetch") or []:
+            QdrantSparkClient._translate_using(col, p)
+
     def ensure_vector_index(self, collection_name: str, *,
                             using: str = "", n_clusters: int = 16,
                             indexing_threshold: int | None = None,
@@ -1193,6 +1234,7 @@ class QdrantSparkClient:
             collections=registry,
             text_params=col.text_params or None,
             ivf_index=col.ivf.get(using or ""),
+            metrics=col.metrics_map(),
         )
 
     def _hydrate(self, col: _Collection, scored: DataFrame, *,
@@ -1264,8 +1306,7 @@ class QdrantSparkClient:
             pf = prefetch if isinstance(prefetch, list) else [prefetch]
             pf = [self._norm_request(p) for p in pf]
             for p in pf:
-                if "using" in p:
-                    p["using"] = col.vec_col(p["using"])
+                self._translate_using(col, p)
             req["prefetch"] = pf
         if query_filter is not None:
             req["filter"] = query_filter
@@ -1274,19 +1315,7 @@ class QdrantSparkClient:
         if score_threshold is not None:
             req["score_threshold"] = score_threshold
         if lookup_from is not None:
-            if isinstance(lookup_from, dict) and lookup_from.get("vector") \
-                    is not None:
-                # LookupLocation carries a vector NAME; the planner wants
-                # the column — translate via the target collection's
-                # naming convention
-                tgt = self._colls.get(self.catalog._aliases.get(
-                    lookup_from.get("collection"),
-                    lookup_from.get("collection")))
-                lookup_from = dict(lookup_from)
-                lookup_from["vector"] = (
-                    tgt.vec_col(lookup_from["vector"]) if tgt is not None
-                    else lookup_from["vector"])
-            req["lookup_from"] = lookup_from
+            req["lookup_from"] = self._norm_lookup_from(lookup_from)
         self._check_strict(col.name, req)
         points = self._route(col, col.df, shard_key_selector)
         planner = self._planner(col, using)
@@ -1324,8 +1353,7 @@ class QdrantSparkClient:
             pf = prefetch if isinstance(prefetch, list) else [prefetch]
             pf = [self._norm_request(p) for p in pf]
             for p in pf:
-                if "using" in p:
-                    p["using"] = col.vec_col(p["using"])
+                self._translate_using(col, p)
             req["prefetch"] = pf
         if query_filter is not None:
             req["filter"] = query_filter
@@ -1383,13 +1411,15 @@ class QdrantSparkClient:
         norm = []
         for r in requests:
             n = self._norm_request(r)
-            if "using" in n:
-                n["using"] = col.vec_col(n["using"])
+            self._translate_using(col, n)
+            if n.get("lookup_from") is not None:
+                n["lookup_from"] = self._norm_lookup_from(n["lookup_from"])
             self._check_strict(col.name, n)
             norm.append(n)
         tagged = query_batch(col.df, norm, id_col="id",
                              vec_col=col.vec_col(""),
-                             metric=col.metric_for(None))
+                             metric=col.metric_for(None),
+                             metrics=col.metrics_map())
         by_idx: dict[int, list] = {}
         for r in tagged.collect():
             by_idx.setdefault(r["request_idx"], []).append(r)
@@ -1559,14 +1589,29 @@ class QdrantSparkClient:
                      requests: list[dict[str, Any]],
                      **_ignored: Any) -> list[list[ScoredPoint]]:
         """Legacy batch search: [{"vector": [...], "filter": ...,
-        "limit": n}, ...]."""
+        "limit": n}, ...]. The vector accepts the named forms too —
+        ``("name", [...])`` / ``{"name": ..., "vector": [...]}``
+        (NamedVector) — which set ``using`` so the leg searches and ranks
+        by that vector's declared distance."""
         norm = []
         for r in requests:
-            n = {"query": r.get("vector"), "limit": r.get("limit", 10)}
-            if r.get("filter") is not None:
-                n["filter"] = r["filter"]
-            if r.get("score_threshold") is not None:
-                n["score_threshold"] = r["score_threshold"]
+            vec = r.get("vector")
+            using = r.get("using")
+            if isinstance(vec, tuple) and len(vec) == 2 \
+                    and isinstance(vec[0], str):
+                using, vec = vec
+            elif isinstance(vec, dict) and "name" in vec \
+                    and not ("indices" in vec or "values" in vec):
+                using, vec = vec["name"], vec["vector"]
+            n: dict[str, Any] = {"query": vec, "limit": r.get("limit", 10)}
+            if using:
+                n["using"] = using
+            for k_in, k_out in (("filter", "filter"), ("offset", "offset"),
+                                ("score_threshold", "score_threshold"),
+                                ("with_payload", "with_payload"),
+                                ("with_vector", "with_vector")):
+                if r.get(k_in) is not None:
+                    n[k_out] = r[k_in]
             norm.append(n)
         return [resp.points
                 for resp in self.query_batch_points(collection_name, norm)]
@@ -1585,7 +1630,8 @@ class QdrantSparkClient:
                         requests: list[dict[str, Any]],
                         **_ignored: Any) -> list[list[ScoredPoint]]:
         """Legacy /points/recommend/batch: [{"positive": [...],
-        "negative": [...], "strategy": ..., "filter": ..., "limit": n}]."""
+        "negative": [...], "strategy": ..., "using": ..., "filter": ...,
+        "limit": n}]."""
         norm = []
         for r in requests:
             n: dict[str, Any] = {
@@ -1594,8 +1640,10 @@ class QdrantSparkClient:
                     "negative": r.get("negative") or [],
                     "strategy": r.get("strategy", "average_vector")}},
                 "limit": r.get("limit", 10)}
-            if r.get("filter") is not None:
-                n["filter"] = r["filter"]
+            for k in ("using", "filter", "offset", "score_threshold",
+                      "with_payload", "with_vector", "lookup_from"):
+                if r.get(k) is not None:
+                    n[k] = r[k]
             norm.append(n)
         return [resp.points
                 for resp in self.query_batch_points(collection_name, norm)]
@@ -1628,8 +1676,10 @@ class QdrantSparkClient:
             else:
                 q = {"context": r.get("context") or []}
             n: dict[str, Any] = {"query": q, "limit": r.get("limit", 10)}
-            if r.get("filter") is not None:
-                n["filter"] = r["filter"]
+            for k in ("using", "filter", "offset", "with_payload",
+                      "with_vector", "lookup_from"):
+                if r.get(k) is not None:
+                    n[k] = r[k]
             norm.append(n)
         return [resp.points
                 for resp in self.query_batch_points(collection_name, norm)]

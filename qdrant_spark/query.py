@@ -92,11 +92,27 @@ class QueryPlanner:
                  cluster_stats=None,
                  fuse_min_bytes: int | None = None,
                  fused_collect_max: int | None = None,
-                 text_params: dict[str, dict[str, Any]] | None = None):
+                 text_params: dict[str, dict[str, Any]] | None = None,
+                 metrics: dict[str, str] | None = None,
+                 sparse_indexes: dict[str, Any] | None = None):
         self.points = points
         self.id_col = id_col
         self.default_vec_col = default_vec_col
         self.metric = metric
+        # per-vector-column distance overrides (vec column name -> metric):
+        # a leaf's score direction follows ITS `using` vector's declared
+        # distance, not the collection default (the reference resolves
+        # distance per named vector, segment VectorDataConfig.distance) —
+        # without this a prefetch/batch leg on a Euclid named vector would
+        # silently rank by the default metric's direction
+        self.metrics = metrics or {}
+        # persisted sparse/BM25 inverted indexes (vec column name ->
+        # SparseIndex | Bm25Index): a sparse `nearest` leaf on a column
+        # with a registered index routes through its dim-/term-bucketed
+        # search instead of re-exploding the corpus's sparse columns per
+        # query — the reference ALWAYS searches sparse through its
+        # inverted index (lib/sparse/src/index/search_context.rs:37-91)
+        self.sparse_indexes = sparse_indexes or {}
         self.collections = collections or {}
         self._self_refs: set = set()
         # per-field TextIndexParams honored by full-text filter conditions
@@ -143,6 +159,13 @@ class QueryPlanner:
         self._fused_persisted: list[DataFrame] = []
 
     # -- public ------------------------------------------------------------
+
+    def metric_for(self, vec_col: str | None) -> str:
+        """Distance for a given vector COLUMN (not qdrant vector name):
+        the per-column override when declared, else the planner default."""
+        if vec_col is None:
+            return self.metric
+        return self.metrics.get(vec_col, self.metric)
 
     def close(self) -> None:
         """Release any shared-scan DataFrames persisted by the fused
@@ -215,8 +238,14 @@ class QueryPlanner:
         req["limit"] = max(int(req.get("limit", 0) or 0),
                            groups * group_size * oversample)
         scored = self.plan(req)
-        lb = (larger_is_better(self.metric)
-              if larger_better is None else larger_better)
+        if larger_better is not None:
+            lb = larger_better
+        elif self.last_plan_direction is not None:
+            # the root's actual score direction (per-`using` metric aware)
+            lb = self.last_plan_direction
+        else:
+            lb = larger_is_better(
+                self.metric_for(req.get("using", self.default_vec_col)))
         enriched = scored.join(
             self.points.select(self.id_col, group_by_field),
             self.id_col, "left",
@@ -258,13 +287,17 @@ class QueryPlanner:
             # True/False = result is sortable by (score direction, id
             # asc); None = the order exists only in the plan (MMR pick
             # order, sample hash order, order_by key ordering).
-            self.last_plan_direction = self._direction_of(query, leaf=False)
+            self.last_plan_direction = self._direction_of(
+                query, leaf=False,
+                vec_col=req.get("using", self.default_vec_col))
             return out
         out = self._leaf(query, req, limit)
-        self.last_plan_direction = self._direction_of(query, leaf=True)
+        self.last_plan_direction = self._direction_of(
+            query, leaf=True, vec_col=req.get("using", self.default_vec_col))
         return out
 
-    def _direction_of(self, query: Any, *, leaf: bool) -> bool | None:
+    def _direction_of(self, query: Any, *, leaf: bool,
+                      vec_col: str | None = None) -> bool | None:
         """Whether the node's output order equals sort-by-(score, id):
         True = score desc, False = score asc, None = not score-ordered.
         Must mirror the ordering each _leaf/_rescore path actually emits
@@ -274,6 +307,7 @@ class QueryPlanner:
 
         if query is None:
             return None if leaf else True  # scroll (id order) | default rrf
+        metric = self.metric_for(vec_col)
         if "nearest" in query:
             t = query["nearest"]
             if isinstance(t, dict) and "indices" in t:
@@ -281,10 +315,10 @@ class QueryPlanner:
             if isinstance(t, (list, tuple)) and t \
                     and isinstance(t[0], (list, tuple)):
                 return True  # MaxSim
-            return larger_is_better(self.metric)
+            return larger_is_better(metric)
         if "recommend" in query:
             strat = query["recommend"].get("strategy", "average_vector")
-            return (larger_is_better(self.metric)
+            return (larger_is_better(metric)
                     if strat == "average_vector" else True)
         if any(k in query for k in ("discover", "context", "fusion",
                                     "formula")):
@@ -382,6 +416,7 @@ class QueryPlanner:
 
         spark = self.points.sparkSession
         flt = reqs[0].get("filter")
+        metric = self.metric_for(vec_col)
         targets, needed, thresholds = [], [], []
         for r in reqs:
             t = self._resolve_vector_input(r["query"]["nearest"], r)
@@ -406,7 +441,7 @@ class QueryPlanner:
             import numpy as np
 
             res = _matmul_knn(
-                src, None, metric=self.metric, k=max(needed),
+                src, None, metric=metric, k=max(needed),
                 vec_col=vec_col, id_col=self.id_col, qid_col="qid",
                 qvec_col="qvec", score_threshold=None,
                 q_data=(list(range(len(targets))),
@@ -418,11 +453,11 @@ class QueryPlanner:
                 "qid: long, qvec: array<double>",
             )
             res = knn_batch(
-                src, qdf, metric=self.metric,
+                src, qdf, metric=metric,
                 k=max(needed), vec_col=vec_col, id_col=self.id_col,
                 strategy=strategy,
             ).select("qid", self.id_col, "score")
-        lb = larger_is_better(self.metric)
+        lb = larger_is_better(metric)
         if len(reqs) * max(needed) > self.fused_collect_max:
             # Unconditional guard (strict mode or not): a 64-leg x 10^6
             # limit request must not funnel through the driver. Keep the
@@ -479,7 +514,10 @@ class QueryPlanner:
             limit = int(r.get("limit", DEFAULT_LIMIT))
             kept = hits[off:off + limit]
             df = spark.createDataFrame(kept, schema)
-            self._fused_hits_by_df[id(df)] = kept
+            if lb:
+                # only larger-is-better legs register for the driver-side
+                # fusion fast path: rrf_hits/dbsf_hits rank score-desc
+                self._fused_hits_by_df[id(df)] = kept
             out.append(df)
         return out
 
@@ -597,6 +635,7 @@ class QueryPlanner:
 
         flt = req.get("filter")
         vec_col = req.get("using", self.default_vec_col)
+        metric = self.metric_for(vec_col)
         offset = int(req.get("offset", 0))
         threshold = req.get("score_threshold")
         pts = self.points
@@ -643,7 +682,7 @@ class QueryPlanner:
 
                 src = _af(pts, flt, id_col=self.id_col) if flt else pts
                 out = maxsim_knn(src, target, k=limit + offset,
-                                 metric=self.metric, mv_col=vec_col,
+                                 metric=metric, mv_col=vec_col,
                                  id_col=self.id_col)
                 if threshold is not None:
                     out = out.filter(F.col("score") >= float(threshold))
@@ -665,13 +704,13 @@ class QueryPlanner:
                     self._index_total = self.ivf_index.assigned.count()
                 return auto_search(
                     self.ivf_index, target, k=limit, flt=flt,
-                    metric=self.metric, stats=self.index_stats,
+                    metric=metric, stats=self.index_stats,
                     total=self._index_total,
                     full_scan_threshold=(self.full_scan_threshold
                                          or FULL_SCAN_THRESHOLD),
                     cluster_stats=self.cluster_stats,
                 )
-            out = knn(pts, target, metric=self.metric,
+            out = knn(pts, target, metric=metric,
                       score_threshold=threshold, offset=offset,
                       select=[self.id_col, "score"], **kw)
             return out
@@ -689,16 +728,16 @@ class QueryPlanner:
             kw2 = dict(kw)
             if strat == "average_vector":
                 kw2["score_threshold"] = threshold
-            out = fn(pts, pos, neg, metric=self.metric, **kw2)
+            out = fn(pts, pos, neg, metric=metric, **kw2)
             return out.select(self.id_col, "score")
         if "discover" in query:
             d = query["discover"]
             pairs = [(rv(p["positive"]), rv(p["negative"])) for p in d["context"]]
             return R.discover(pts, rv(d["target"]), pairs,
-                              metric=self.metric, **kw).select(self.id_col, "score")
+                              metric=metric, **kw).select(self.id_col, "score")
         if "context" in query:
             pairs = [(rv(p["positive"]), rv(p["negative"])) for p in query["context"]]
-            return R.context(pts, pairs, metric=self.metric, **kw).select(
+            return R.context(pts, pairs, metric=metric, **kw).select(
                 self.id_col, "score")
         if "order_by" in query:
             ob = query["order_by"]
@@ -729,7 +768,10 @@ class QueryPlanner:
             # larger-is-better metrics so the ranking matches the Spark
             # fusion operators bit-for-bit (they rank score-desc).
             hits = [self._fused_hits_by_df.get(id(c)) for c in children]
-            if all(h is not None for h in hits) and larger_is_better(self.metric):
+            # every registered leg is larger-is-better by construction
+            # (_fused_leaves only registers those), matching the Spark
+            # fusion operators' score-desc ranking bit-for-bit
+            if hits and all(h is not None for h in hits):
                 self.last_plan_info["driver_fused_root"] = 1
                 fused = {"rrf": rrf_hits, "dbsf": dbsf_hits}[query["fusion"]](
                     hits, limit=limit)
@@ -753,7 +795,8 @@ class QueryPlanner:
 
             vec_col = req.get("using", self.default_vec_col)
             cand = self.points.join(merged, self.id_col, "left_semi")
-            return knn(cand, query["nearest"], metric=self.metric, k=limit,
+            return knn(cand, query["nearest"], metric=self.metric_for(vec_col),
+                       k=limit,
                        vec_col=vec_col, id_col=self.id_col,
                        score_threshold=req.get("score_threshold"),
                        select=[self.id_col, "score"])
@@ -775,8 +818,8 @@ class QueryPlanner:
                 self.points.select(self.id_col, vec_col), self.id_col, "left"
             )
             out = mmr(cand, lambda_=1.0 - float(m.get("diversity", 0.5)),
-                      k=limit, metric=self.metric, id_col=self.id_col,
-                      vec_col=vec_col)
+                      k=limit, metric=self.metric_for(vec_col),
+                      id_col=self.id_col, vec_col=vec_col)
             return out.select(self.id_col, "score")
         if "order_by" in query:
             ob = query["order_by"]
@@ -854,6 +897,7 @@ def query_batch(
     metric: str = "cosine",
     collections: dict[str, DataFrame] | None = None,
     fuse_min_bytes: int | None = None,
+    metrics: dict[str, str] | None = None,
 ) -> DataFrame:
     """Batch universal query (``POST /collections/{c}/points/query/batch``,
     reference src/actix/api/query_api.rs; per-request independence as in
@@ -879,6 +923,7 @@ def query_batch(
     planner = QueryPlanner(
         points, id_col=id_col, default_vec_col=vec_col, metric=metric,
         collections=collections, fuse_min_bytes=fuse_min_bytes,
+        metrics=metrics,
     )
     if not requests:
         raise ValueError("empty request batch")

@@ -516,6 +516,11 @@ class TestAliasesIndexesStrict:
         res = c.query_points("fts", query=[1.0, 0.0], query_filter=flt,
                              limit=10)
         assert [p.id for p in res.points] == [1]
+        # facet under the same text filter honors the declared params too
+        # (r8 ADVICE: facet() must pre-apply text_params like count())
+        c.set_payload("fts", payload={"lang": "en"}, points=[1, 2])
+        hits = c.facet("fts", "lang", facet_filter=flt).hits
+        assert [(h.value, h.count) for h in hits] == [("en", 1)]
 
     def test_lookup_from_other_collection(self, spark):
         """Recommend by ids resolved through ANOTHER collection's named
@@ -557,6 +562,50 @@ class TestAliasesIndexesStrict:
                              limit=2)
         assert [p.id for p in res.points] == [2, 1]
         assert res.points[0].score == pytest.approx(10.0, abs=1e-5)
+
+    def test_batch_honors_per_request_distance(self, spark):
+        """r8 ADVICE repro: query_batch_points / search_batch must rank
+        each request by ITS `using` vector's declared distance — a Euclid
+        named vector must not be cosine-ranked just because the batch
+        planner was built with the collection-default metric."""
+        c = QdrantSparkClient(spark)
+        c.create_collection("named_b", vectors_config={
+            "eu": {"size": 2, "distance": "Euclid"},
+            "dp": {"size": 2, "distance": "Dot"},
+        })
+        c.upsert("named_b", [
+            {"id": 1, "vector": {"eu": [0.0, 1.0], "dp": [0.0, 1.0]}},
+            {"id": 2, "vector": {"eu": [0.0, 2.0], "dp": [0.0, 2.0]}},
+            {"id": 3, "vector": {"eu": [0.0, 9.0], "dp": [0.0, 9.0]}},
+        ])
+        q = [0.0, 0.1]
+        single_eu = c.query_points("named_b", query=q, using="eu", limit=3)
+        single_dp = c.query_points("named_b", query=q, using="dp", limit=3)
+        assert [p.id for p in single_eu.points] == [1, 2, 3]  # nearest first
+        assert [p.id for p in single_dp.points] == [3, 2, 1]  # largest dot
+        batch = c.query_batch_points("named_b", [
+            {"query": q, "using": "eu", "limit": 3},
+            {"query": q, "using": "dp", "limit": 3},
+        ])
+        assert [p.id for p in batch[0].points] == [1, 2, 3]
+        assert [p.id for p in batch[1].points] == [3, 2, 1]
+        for got, want in zip(batch, (single_eu, single_dp)):
+            assert [(p.id, pytest.approx(p.score)) for p in got.points] == \
+                [(p.id, p.score) for p in want.points]
+        # legacy search_batch named forms route `using` too
+        legacy = c.search_batch("named_b", [
+            {"vector": ("eu", q), "limit": 3},
+            {"vector": {"name": "dp", "vector": q}, "limit": 3},
+        ])
+        assert [p.id for p in legacy[0]] == [1, 2, 3]
+        assert [p.id for p in legacy[1]] == [3, 2, 1]
+        # legacy recommend_batch propagates using
+        rec = c.recommend_batch("named_b", [
+            {"positive": [1], "using": "eu", "limit": 2},
+            {"positive": [1], "using": "dp", "limit": 2},
+        ])
+        assert [p.id for p in rec[0]] == [2, 3]  # nearest-to-[0,1] first
+        assert [p.id for p in rec[1]] == [3, 2]
 
 
 class TestAdvancedQueries:
