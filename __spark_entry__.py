@@ -1180,6 +1180,46 @@ def _q_sparse_knn_persisted(spark: SparkSession, sf: str) -> DataFrame:
     return _r6(out, "score")
 
 
+def _q_sparse_knn_planned(spark: SparkSession, sf: str) -> DataFrame:
+    """The r9 planner-routing path: a sparse `nearest` request through
+    QueryPlanner with a registered persisted SparseIndex — the planner
+    routes the leaf through the dim-bucketed inverted index (the query's
+    dims become PartitionFilters) instead of re-exploding the corpus
+    (lib/sparse/src/index/search_context.rs:37-91: the reference always
+    searches sparse through its inverted index). Same oracle as the
+    direct-operator entries."""
+    import tempfile
+
+    from qdrant_spark.functions.hashes import token_hash63
+    from qdrant_spark.operators.sparse import (
+        build_sparse_index, doc_terms, persist_sparse_index)
+    from qdrant_spark.query import QueryPlanner
+
+    docs = _docs(spark, sf)
+    h = doc_terms(docs).withColumn("dim", token_hash63(F.col("term")))
+    sv = (
+        h.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("dim", "tf"))).alias("ps"))
+        .select(
+            "doc_id",
+            F.col("ps.dim").alias("sparse_indices"),
+            F.col("ps.tf").cast("array<double>").alias("sparse_values"),
+        )
+    )
+    q_row = sv.filter(F.col("doc_id") == 0).collect()[0]
+    idx = persist_sparse_index(
+        build_sparse_index(sv, id_col="doc_id"),
+        tempfile.mkdtemp(prefix="sparse_idx_pl_"), buckets=64)
+    planner = QueryPlanner(sv, id_col="doc_id",
+                           sparse_indexes={"vec": idx})
+    out = planner.plan({
+        "query": {"nearest": {"indices": list(q_row["sparse_indices"]),
+                              "values": list(q_row["sparse_values"])}},
+        "limit": 10})
+    assert planner.last_plan_info.get("sparse_index_leaves") == 1
+    return _r6(out, "score")
+
+
 def _q_sparse_idf(spark: SparkSession, sf: str) -> DataFrame:
     """Modifier::Idf (modifier.rs:13-17): query values are rescaled by the
     corpus IDF at search time; documents keep raw tf."""
@@ -3180,11 +3220,80 @@ def entry(spark: SparkSession) -> DataFrame:
 # drops to the back). Keep rotating each round so no entry's driver row
 # goes more than ~2 rounds stale.
 _GATE_PRIORITY = [
-    # round-8 head: the two freshly value-oracled entries first (their
-    # first-ever driver value check), then the 23 entries whose newest
-    # driver row is r05 (three rounds stale — r7 verdict #3), then the
-    # r06 cohort, then the entries the r07 gate just re-greened. The
-    # 50-slot gate thus leaves no entry older than r06 after this round.
+    # round-9 head: the new planner-routed sparse entry (first-ever
+    # driver value check), then the 27-entry r06 cohort (two rounds
+    # stale after r8 — r8 VERDICT item 3), then the r07 cohort to
+    # fill the 50-slot gate; the r08-greened entries go last. After
+    # r9 no entry's latest driver row should be older than r07.
+    "sparse_knn_planned",
+    "group_by_lookup",
+    "maxsim",
+    "maxsim_knn",
+    "recommend_best_score",
+    "recommend_sum_scores",
+    "relevance_feedback",
+    "retrieve",
+    "scroll_keyset",
+    "scroll_order_by",
+    "scroll_random",
+    "set_payload",
+    "sync",
+    "universal_hybrid",
+    "universal_hybrid_sparse",
+    "universal_rescore",
+    "upsert",
+    "upsert_conditional",
+    "update_vectors",
+    "knn_uint8",
+    "quantized_pq_rescore",
+    "quantized_tq_rescore",
+    "lm_score",
+    "lm_buckets",
+    "mixture_sample",
+    "query_batch",
+    "repetition_signals",
+    "unique_values",
+    "knn_cosine",
+    "knn_dot",
+    "knn_euclid",
+    "knn_manhattan",
+    "knn_filtered",
+    "knn_batch",
+    "knn_batch_matmul",
+    "knn_batch_partial",
+    "sparse_knn",
+    "sparse_knn_batch",
+    "sparse_idf_knn",
+    "sparse_idf_corpus",
+    "bm25_search",
+    "recommend_avg_vector",
+    "similarity_join",
+    "distance_matrix_offsets",
+    "field_index_stats",
+    "shard_routed_knn",
+    "shard_fallback_route",
+    "filter_text_stemmed",
+    "filter_text_stemmed_de",
+    "mmr",
+    "knn_auto_filtered",
+    "universal_groups",
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "dedup_lsh_pairs",
+    "dedup_lsh_cross",
+    "dedup_ngram_jaccard",
+    "paragraph_dedup",
+    "substring_dup_spans",
+    "decontaminate",
+    "gopher_quality",
+    "ann_ivf_pq_incremental",
+    "filter_phrase",
+    "payload_json_path",
+    "text_quality",
+    "token_counts",
+    "lang_detect",
+    "fingerprint",
+    "pack_sequences",
     "client_query_points",
     "filter_text_stopworded",
     "ann_ivf",
@@ -3235,59 +3344,7 @@ _GATE_PRIORITY = [
     "fusion_rrf",
     "geo_indexed_radius",
     "group_by",
-    "group_by_lookup",
-    "knn_uint8",
-    "lm_buckets",
-    "lm_score",
-    "maxsim",
-    "maxsim_knn",
-    "mixture_sample",
-    "quantized_pq_rescore",
-    "quantized_tq_rescore",
-    "query_batch",
-    "recommend_best_score",
-    "recommend_sum_scores",
-    "relevance_feedback",
-    "repetition_signals",
-    "retrieve",
-    "scroll_keyset",
-    "scroll_order_by",
-    "scroll_random",
-    "set_payload",
-    "sync",
-    "unique_values",
-    "universal_hybrid",
-    "universal_hybrid_sparse",
-    "universal_rescore",
-    "update_vectors",
-    "upsert",
-    "upsert_conditional",
-    "pack_sequences",
-    "ann_ivf_pq_incremental",
-    "filter_phrase",
-    "payload_json_path",
-    "text_quality",
-    "token_counts",
-    "lang_detect",
-    "fingerprint",
-    "sparse_knn",
-    "sparse_knn_batch",
-    "sparse_idf_knn",
-    "sparse_idf_corpus",
-    "bm25_search",
-    "dedup_exact",
-    "dedup_minhash_sig",
-    "dedup_lsh_pairs",
-    "dedup_lsh_cross",
-    "paragraph_dedup",
-    "substring_dup_spans",
-    "dedup_ngram_jaccard",
-    "universal_groups",
-    "mmr",
-    "knn_auto_filtered",
     "quantized_bq2_rescore",
-    "decontaminate",
-    "gopher_quality",
     "corpus_stats",
     "pii_scan",
     "chunk_docs",
@@ -3296,22 +3353,6 @@ _GATE_PRIORITY = [
     "embedding_project",
     "ngram_counts",
     "weighted_sample",
-    "knn_cosine",
-    "knn_dot",
-    "knn_euclid",
-    "knn_manhattan",
-    "knn_filtered",
-    "knn_batch",
-    "knn_batch_partial",
-    "knn_batch_matmul",
-    "similarity_join",
-    "recommend_avg_vector",
-    "distance_matrix_offsets",
-    "field_index_stats",
-    "shard_routed_knn",
-    "shard_fallback_route",
-    "filter_text_stemmed",
-    "filter_text_stemmed_de",
 ]
 
 
@@ -3398,6 +3439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_ppm": _q_multimodal_ppm,
         "sparse_knn": _q_sparse_knn,
         "sparse_knn_persisted": _q_sparse_knn_persisted,
+        "sparse_knn_planned": _q_sparse_knn_planned,
         "sparse_knn_batch": _q_sparse_knn_batch,
         "sparse_idf_knn": _q_sparse_idf,
         "sparse_idf_corpus": _q_sparse_idf_corpus,
@@ -3623,6 +3665,7 @@ FROM documents
 """,
         "sparse_knn": _SPARSE_KNN_SQL,
         "sparse_knn_persisted": _SPARSE_KNN_SQL,
+        "sparse_knn_planned": _SPARSE_KNN_SQL,
         "sparse_knn_batch": _SPARSE_KNN_BATCH_SQL,
         "sparse_idf_knn": _SPARSE_IDF_SQL,
         "sparse_idf_corpus": _SPARSE_IDF_CORPUS_SQL,

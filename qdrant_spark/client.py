@@ -260,6 +260,9 @@ class _Collection:
     #: per-vector-name IVF indexes (ensure_vector_index); invalidated by
     #: every mutation — rebuilt/reloaded on the next ensure call
     ivf: dict[str, Any] = field(default_factory=dict)
+    #: per-sparse-vector-name inverted indexes (ensure_vector_index on a
+    #: declared sparse vector); invalidated like `ivf`
+    sparse_idx: dict[str, Any] = field(default_factory=dict)
     #: payload columns stored before any batch supplied a typed value
     #: (null-only / empty-list fields finalized to string); a later typed
     #: batch re-casts them instead of conflicting
@@ -359,6 +362,7 @@ class QdrantSparkClient:
             df = self.spark.read.parquet(path)
         col.df = df
         col.ivf.clear()  # indexes describe the pre-mutation corpus
+        col.sparse_idx.clear()
         self.catalog._collections[col.name] = df
         return UpdateResult(operation_id=col.op_counter)
 
@@ -1200,11 +1204,13 @@ class QdrantSparkClient:
         col = self._coll(collection_name)
         if col.df is None:
             return "skipped"
+        thr = (FULL_SCAN_THRESHOLD if indexing_threshold is None
+               else indexing_threshold)
+        if using in col.sparse:
+            return self._ensure_sparse_index(col, using, thr)
         vc = col.vectors.get(using)
         if vc is None or vc.kind != "dense":
             raise ValueError("vector index needs a declared dense vector")
-        thr = (FULL_SCAN_THRESHOLD if indexing_threshold is None
-               else indexing_threshold)
         if self.root is not None:
             path = os.path.join(self.root, col.name,
                                 f"index_{using or 'default'}")
@@ -1224,6 +1230,34 @@ class QdrantSparkClient:
             col.ivf[using] = idx
         return action
 
+    def _ensure_sparse_index(self, col: _Collection, using: str,
+                             thr: int) -> str:
+        """Sparse analogue of the dense ensure: one explode pass over the
+        named sparse struct column builds the (id, dim, v) inverted index;
+        with a storage root it is persisted dim-bucket-partitioned so the
+        query's dims become PartitionFilters. Once registered, sparse
+        `nearest` legs route through it instead of re-exploding the corpus
+        per query — the reference ALWAYS searches sparse through its
+        inverted index (lib/sparse/src/index/search_context.rs:37-91,
+        inverted_index_ram.rs; it has no sparse full-scan path at all,
+        hence the low default threshold here)."""
+        from qdrant_spark.operators.sparse import (
+            build_sparse_index, persist_sparse_index)
+
+        if using in col.sparse_idx:
+            return "exists"
+        if col.df.count() < thr:
+            return "skipped"
+        vc = col.vec_col(using)
+        idx = build_sparse_index(
+            col.df, id_col="id",
+            indices_col=f"{vc}.indices", values_col=f"{vc}.values")
+        if self.root is not None:
+            path = os.path.join(self.root, col.name, f"sparse_index_{using}")
+            idx = persist_sparse_index(idx, path)
+        col.sparse_idx[using] = idx
+        return "built"
+
     def _planner(self, col: _Collection, using: str | None) -> QueryPlanner:
         registry = {n: (c.df if isinstance(c, _Collection) else c)
                     for n, c in self._colls.items() if c.df is not None}
@@ -1235,6 +1269,8 @@ class QdrantSparkClient:
             text_params=col.text_params or None,
             ivf_index=col.ivf.get(using or ""),
             metrics=col.metrics_map(),
+            sparse_indexes={col.vec_col(n): idx
+                            for n, idx in col.sparse_idx.items()},
         )
 
     def _hydrate(self, col: _Collection, scored: DataFrame, *,
@@ -1325,6 +1361,7 @@ class QdrantSparkClient:
             # through it would leak other shards' points — shard-scoped
             # requests stay exact over the routed partition directories
             planner.ivf_index = None
+            planner.sparse_indexes = {}
         scored = planner.plan(req)
         out = self._hydrate(col, scored, with_payload=with_payload,
                             with_vectors=with_vectors,
@@ -1419,7 +1456,10 @@ class QdrantSparkClient:
         tagged = query_batch(col.df, norm, id_col="id",
                              vec_col=col.vec_col(""),
                              metric=col.metric_for(None),
-                             metrics=col.metrics_map())
+                             metrics=col.metrics_map(),
+                             sparse_indexes={col.vec_col(n): idx
+                                             for n, idx
+                                             in col.sparse_idx.items()})
         by_idx: dict[int, list] = {}
         for r in tagged.collect():
             by_idx.setdefault(r["request_idx"], []).append(r)

@@ -204,15 +204,25 @@ def sparse_knn_index(
     query_values: list[float],
     *,
     k: int = 10,
+    cand: DataFrame | None = None,
 ) -> DataFrame:
     """Sparse dot-product top-k over a prebuilt (optionally persisted)
     inverted index; identical results to :func:`sparse_knn` on the source
-    table. On a persisted index the query dims prune partitions."""
+    table. On a persisted index the query dims prune partitions.
+
+    ``cand`` restricts scoring to a candidate id frame (one column named
+    like ``index.id_col``): the filtered-search path — posting lists are
+    still pruned to the query dims first, then semi-joined against the
+    candidates, the same order the reference's filtered sparse search
+    applies (search_context.rs: posting iterators + filter check per id)."""
     spark = index.pairs.sparkSession
     pairs = index.pairs
     if index.dim_buckets:
         dbs = sorted({int(i) % index.dim_buckets for i in query_indices})
         pairs = pairs.filter(F.col("__db").isin(dbs))
+    if cand is not None:
+        pairs = pairs.join(cand.select(index.id_col), index.id_col,
+                           "left_semi")
     q = spark.createDataFrame(
         list(zip([int(i) for i in query_indices],
                  [float(v) for v in query_values])),

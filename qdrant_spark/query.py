@@ -657,6 +657,30 @@ class QueryPlanner:
         if "nearest" in query:
             target = query["nearest"]
             if isinstance(target, dict) and "indices" in target:  # sparse vector
+                sp_idx = self.sparse_indexes.get(vec_col)
+                if sp_idx is not None and not self._leaf_exact(req):
+                    # registered inverted index: posting lists of the
+                    # query's dims only (dim-bucket PartitionFilters on a
+                    # persisted index) instead of re-exploding the
+                    # corpus's sparse columns — the reference always
+                    # searches sparse through its inverted index
+                    # (lib/sparse/src/index/search_context.rs:37-91)
+                    from qdrant_spark.filters import apply_filter as _af
+                    from qdrant_spark.operators.sparse import sparse_knn_index
+
+                    cand = None
+                    if flt is not None or pre_filtered:
+                        src = _af(pts, flt, id_col=self.id_col) \
+                            if flt is not None else pts
+                        cand = src.select(
+                            F.col(self.id_col).alias(sp_idx.id_col))
+                    self.last_plan_info["sparse_index_leaves"] = \
+                        self.last_plan_info.get("sparse_index_leaves", 0) + 1
+                    return sparse_knn_index(
+                        sp_idx, target["indices"], target["values"],
+                        k=limit, cand=cand,
+                    ).select(F.col(sp_idx.id_col).alias(self.id_col),
+                             "score")
                 from qdrant_spark.operators.sparse import sparse_knn
 
                 skw = {}
@@ -898,6 +922,7 @@ def query_batch(
     collections: dict[str, DataFrame] | None = None,
     fuse_min_bytes: int | None = None,
     metrics: dict[str, str] | None = None,
+    sparse_indexes: dict[str, Any] | None = None,
 ) -> DataFrame:
     """Batch universal query (``POST /collections/{c}/points/query/batch``,
     reference src/actix/api/query_api.rs; per-request independence as in
@@ -923,7 +948,7 @@ def query_batch(
     planner = QueryPlanner(
         points, id_col=id_col, default_vec_col=vec_col, metric=metric,
         collections=collections, fuse_min_bytes=fuse_min_bytes,
-        metrics=metrics,
+        metrics=metrics, sparse_indexes=sparse_indexes,
     )
     if not requests:
         raise ValueError("empty request batch")

@@ -215,6 +215,44 @@ class TestQueryPoints:
         assert scores[10] == pytest.approx(0.3, abs=1e-6)
         assert list(scores)[0] == 9
 
+    def test_sparse_query_routes_through_inverted_index(self, spark):
+        """ensure_vector_index on a declared sparse vector builds the
+        inverted index and the planner routes sparse `nearest` legs
+        through it (the reference always searches sparse through its
+        inverted index, search_context.rs) — results identical to the
+        scan path, filters respected, mutations invalidate."""
+        c = QdrantSparkClient(spark)
+        c.create_collection("spidx", vectors_config={"size": 2,
+                                                     "distance": "Dot"},
+                            sparse_vectors_config={"text": {}})
+        c.upsert("spidx", [
+            {"id": i, "vector": {"": [float(i), 0.0],
+                                 "text": {"indices": [i, 100],
+                                          "values": [1.0, 0.5 * i]}},
+             "payload": {"tag": "a" if i % 2 else "b"}}
+            for i in range(1, 7)
+        ])
+        q = {"indices": [100, 3], "values": [2.0, 1.0]}
+        before = c.query_points("spidx", query=q, using="text", limit=6)
+        assert c.ensure_vector_index("spidx", using="text",
+                                     indexing_threshold=1) == "built"
+        assert c.ensure_vector_index("spidx", using="text",
+                                     indexing_threshold=1) == "exists"
+        after = c.query_points("spidx", query=q, using="text", limit=6)
+        assert [(p.id, p.score) for p in after.points] == \
+            [(p.id, p.score) for p in before.points]
+        # filtered search through the index
+        flt = {"must": [{"key": "tag", "match": {"value": "a"}}]}
+        f_after = c.query_points("spidx", query=q, using="text",
+                                 query_filter=flt, limit=6)
+        assert [p.id for p in f_after.points] == [5, 3, 1]
+        # a mutation invalidates; the fallback scan path stays correct
+        c.upsert("spidx", [{"id": 9, "vector": {
+            "": [9.0, 0.0], "text": {"indices": [100], "values": [9.0]}}}])
+        assert not c._coll("spidx").sparse_idx
+        post = c.query_points("spidx", query=q, using="text", limit=1)
+        assert post.points[0].id == 9
+
     def test_recommend(self, client):
         res = client.recommend("test_collection", positive=[1, 2], limit=3)
         avg = [sum(c) / 2 for c in zip(VECS[1], VECS[2])]

@@ -487,3 +487,40 @@ def test_sparse_persisted_index_equals_inline(spark, documents, tmp_path):
     assert got == want
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "__db" in plan
+
+
+def test_planner_routes_sparse_leaf_through_index(spark):
+    """A sparse `nearest` leaf on a column with a registered SparseIndex
+    routes through the inverted index (search_context.rs:37-91): identical
+    (id, score) to the scan path, filters become a candidate semi-join,
+    and params.exact opts back out to the scan."""
+    from qdrant_spark.operators.sparse import build_sparse_index
+    from qdrant_spark.query import QueryPlanner
+
+    rows = [(i, [i % 4, 50], [1.0, 0.1 * i], "a" if i % 2 else "b")
+            for i in range(1, 21)]
+    df = spark.createDataFrame(
+        rows, "id: long, sparse_indices: array<int>, "
+              "sparse_values: array<double>, tag: string")
+    idx = build_sparse_index(df, id_col="id")
+    req = {"query": {"nearest": {"indices": [2, 50],
+                                 "values": [1.0, 2.0]}}, "limit": 8}
+    plain = QueryPlanner(df, id_col="id")
+    routed = QueryPlanner(df, id_col="id",
+                          sparse_indexes={"vec": idx})
+    want = [(r["id"], round(r["score"], 9)) for r in plain.plan(req).collect()]
+    got = [(r["id"], round(r["score"], 9)) for r in routed.plan(req).collect()]
+    assert got == want
+    assert routed.last_plan_info.get("sparse_index_leaves") == 1
+
+    freq = {**req, "filter": {"must": [{"key": "tag",
+                                        "match": {"value": "a"}}]}}
+    fwant = [(r["id"], round(r["score"], 9))
+             for r in plain.plan(freq).collect()]
+    fgot = [(r["id"], round(r["score"], 9))
+            for r in routed.plan(freq).collect()]
+    assert fgot == fwant and all(i % 2 for i, _ in fgot)
+
+    exact = {**req, "params": {"exact": True}}
+    routed.plan(exact)
+    assert not routed.last_plan_info.get("sparse_index_leaves")
