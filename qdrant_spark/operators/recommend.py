@@ -59,6 +59,92 @@ def _sims(metric: str, vec_col: str, vectors: list[Sequence[float]]) -> list[Col
     return [distance_to_lit(metric, vec_col, v) for v in vectors]
 
 
+def _np_fast_sigmoid(x):
+    return x / (1.0 + np.abs(x))
+
+
+def _np_scaled_fast_sigmoid(x):
+    return 0.5 * (_np_fast_sigmoid(x) + 1.0)
+
+
+def _arrow_compose_topk(df: DataFrame, vectors, compose, *, metric: str,
+                        k: int, vec_col: str, id_col: str,
+                        arrow_dispatch_bytes: int | None = None):
+    """Arrow fast path shared by the best_score/sum_scores/discover/
+    context/feedback scorers: ONE ``mapInArrow`` pass scores every example
+    vector against each Arrow batch in a single BLAS call
+    (:func:`~qdrant_spark.operators.knn.score_block`), then ``compose``
+    folds the per-example sims matrix into the operator's score in NumPy
+    — the same per-example composition the reference applies after its
+    batched sim computation (reco_query.rs:64-133, discover_query.rs:
+    44-73). Returns None below the dispatch cutoff (the interpreted
+    Column path wins on small corpora, exactly like ``knn()``); cutoff
+    scales with the example count because the interpreted cost does.
+
+    ``compose(S)``: (n, m) sims -> (n,) scores, larger-is-better (every
+    operator in this family ranks score-desc).
+    """
+    from qdrant_spark.operators.knn import (
+        ARROW_DISPATCH_BYTES, _plan_size_bytes)
+
+    cutoff = (ARROW_DISPATCH_BYTES if arrow_dispatch_bytes is None
+              else arrow_dispatch_bytes)
+    m = max(1, len(vectors))
+    if _plan_size_bytes(df) * m < cutoff:
+        return None
+    from pyspark.sql import types as T
+
+    Vm = np.asarray(vectors, dtype=np.float64)
+    dim = Vm.shape[1]
+    bV = df.sparkSession.sparkContext.broadcast(Vm)
+    src = df.select(id_col, vec_col)
+    out_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def run(batches):
+        import pyarrow as pa
+
+        from qdrant_spark.operators.knn import score_block
+
+        V = bV.value
+        vnorm = np.linalg.norm(V, axis=1) if metric == "cosine" else None
+        acc_i, acc_s = [], []
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            vec = batch.column(1)
+            if isinstance(vec, pa.ChunkedArray):
+                vec = vec.combine_chunks()
+            flat = vec.flatten().to_numpy(zero_copy_only=False)
+            M = flat.reshape(n, dim).astype(np.float64, copy=False)
+            scores = compose(score_block(M, V, metric, qnorm=vnorm))
+            # tie-AWARE per-batch top-k: composed scores tie heavily
+            # (context clamps to 0.0 for most points), so an argpartition
+            # cut would drop tied low-id candidates before the final
+            # (score desc, id asc) ranking ever sees them
+            part = np.lexsort((ids, -scores))[:min(k, n)]
+            acc_i.append(ids[part])
+            acc_s.append(scores[part])
+        if not acc_i:
+            return
+        ids = np.concatenate(acc_i)
+        scores = np.concatenate(acc_s)
+        order = np.lexsort((ids, -scores))[:k]  # per-partition exact top-k
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids[order]), pa.array(scores[order],
+                                            type=pa.float64())],
+            names=[id_col, "score"],
+        )
+
+    cand = src.mapInArrow(run, out_schema)
+    # global re-rank over <= partitions*k candidates only
+    return cand.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
 def _topk(df: DataFrame, metric_like_larger_better: bool, k: int, id_col: str,
           vec_col: str, score_threshold: float | None = None) -> DataFrame:
     s = F.col("score").desc() if metric_like_larger_better else F.col("score").asc()
@@ -108,8 +194,25 @@ def recommend_best_score(
     vec_col: str = "vec",
     id_col: str = "id",
     flt: dict[str, Any] | None = None,
+    arrow_dispatch_bytes: int | None = None,
 ) -> DataFrame:
     df = apply_filter(points, flt).filter(F.col(vec_col).isNotNull())
+    n_pos = len(positives)
+
+    def compose(S):
+        mp = S[:, :n_pos].max(axis=1)
+        if S.shape[1] > n_pos:
+            mn = S[:, n_pos:].max(axis=1)
+            return np.where(mp > mn, _np_scaled_fast_sigmoid(mp),
+                            -_np_scaled_fast_sigmoid(mn))
+        return _np_scaled_fast_sigmoid(mp)
+
+    out = _arrow_compose_topk(
+        df, list(positives) + list(negatives or []), compose,
+        metric=metric, k=k, vec_col=vec_col, id_col=id_col,
+        arrow_dispatch_bytes=arrow_dispatch_bytes)
+    if out is not None:
+        return out
     max_pos = F.greatest(*_sims(metric, vec_col, positives)) if len(positives) > 1 else _sims(metric, vec_col, positives)[0]
     if negatives:
         neg_sims = _sims(metric, vec_col, negatives)
@@ -133,8 +236,20 @@ def recommend_sum_scores(
     vec_col: str = "vec",
     id_col: str = "id",
     flt: dict[str, Any] | None = None,
+    arrow_dispatch_bytes: int | None = None,
 ) -> DataFrame:
     df = apply_filter(points, flt).filter(F.col(vec_col).isNotNull())
+    n_pos = len(positives)
+
+    def compose(S):
+        return S[:, :n_pos].sum(axis=1) - S[:, n_pos:].sum(axis=1)
+
+    out = _arrow_compose_topk(
+        df, list(positives) + list(negatives or []), compose,
+        metric=metric, k=k, vec_col=vec_col, id_col=id_col,
+        arrow_dispatch_bytes=arrow_dispatch_bytes)
+    if out is not None:
+        return out
     score = sum(_sims(metric, vec_col, positives), F.lit(0.0))
     for s in _sims(metric, vec_col, negatives or []):
         score = score - s
@@ -152,8 +267,23 @@ def discover(
     vec_col: str = "vec",
     id_col: str = "id",
     flt: dict[str, Any] | None = None,
+    arrow_dispatch_bytes: int | None = None,
 ) -> DataFrame:
     df = apply_filter(points, flt).filter(F.col(vec_col).isNotNull())
+    n_pairs = len(pairs)
+
+    def compose(S):
+        rank = np.zeros(S.shape[0])
+        for i in range(n_pairs):
+            rank += np.sign(S[:, 1 + 2 * i] - S[:, 2 + 2 * i])
+        return rank + _np_scaled_fast_sigmoid(S[:, 0])
+
+    vecs = [target] + [v for p in pairs for v in p]
+    out = _arrow_compose_topk(
+        df, vecs, compose, metric=metric, k=k, vec_col=vec_col,
+        id_col=id_col, arrow_dispatch_bytes=arrow_dispatch_bytes)
+    if out is not None:
+        return out
     rank = F.lit(0)
     for pos, neg in pairs:
         ps = distance_to_lit(metric, vec_col, pos)
@@ -173,8 +303,24 @@ def context(
     vec_col: str = "vec",
     id_col: str = "id",
     flt: dict[str, Any] | None = None,
+    arrow_dispatch_bytes: int | None = None,
 ) -> DataFrame:
     df = apply_filter(points, flt).filter(F.col(vec_col).isNotNull())
+    n_pairs = len(pairs)
+
+    def compose(S):
+        score = np.zeros(S.shape[0])
+        for i in range(n_pairs):
+            diff = S[:, 2 * i] - S[:, 2 * i + 1] - F32_EPSILON
+            score += _np_fast_sigmoid(np.minimum(diff, 0.0))
+        return score
+
+    out = _arrow_compose_topk(
+        df, [v for p in pairs for v in p], compose, metric=metric, k=k,
+        vec_col=vec_col, id_col=id_col,
+        arrow_dispatch_bytes=arrow_dispatch_bytes)
+    if out is not None:
+        return out
     score = F.lit(0.0)
     for pos, neg in pairs:
         ps = distance_to_lit(metric, vec_col, pos)
@@ -196,9 +342,24 @@ def relevance_feedback(
     vec_col: str = "vec",
     id_col: str = "id",
     flt: dict[str, Any] | None = None,
+    arrow_dispatch_bytes: int | None = None,
 ) -> DataFrame:
     """pairs: (positive_vec, negative_vec, weight) with weight = conf^b * c."""
     df = apply_filter(points, flt).filter(F.col(vec_col).isNotNull())
+    weights = [float(w) for _, _, w in pairs]
+
+    def compose(S):
+        score = float(a) * S[:, 0]
+        for i, w in enumerate(weights):
+            score = score + w * (S[:, 1 + 2 * i] - S[:, 2 + 2 * i])
+        return score
+
+    vecs = [target] + [v for pos, neg, _ in pairs for v in (pos, neg)]
+    out = _arrow_compose_topk(
+        df, vecs, compose, metric=metric, k=k, vec_col=vec_col,
+        id_col=id_col, arrow_dispatch_bytes=arrow_dispatch_bytes)
+    if out is not None:
+        return out
     score = F.lit(a) * distance_to_lit(metric, vec_col, target)
     for pos, neg, w in pairs:
         ps = distance_to_lit(metric, vec_col, pos)

@@ -212,3 +212,51 @@ def test_distance_matrix_offsets_csr_consistency(embeddings):
         by_row.setdefault(r["offsets_row"][i], []).append(r["scores"][i])
     for scores in by_row.values():
         assert scores == sorted(scores, reverse=True)
+
+
+def test_arrow_dispatch_matches_column_path(embeddings, emb):
+    """Forced Arrow dispatch (arrow_dispatch_bytes=0): the one-pass
+    score_block + NumPy composition must reproduce the interpreted Column
+    path bit-for-bit on ids and to fp tolerance on scores, for every
+    operator in the family and both a larger-is-better and cosine metric."""
+    ids, mat = emb
+    pos = [mat[1].tolist(), mat[2].tolist()]
+    neg = [mat[3].tolist()]
+    pairs = [(mat[1].tolist(), mat[2].tolist()),
+             (mat[3].tolist(), mat[4].tolist())]
+    wpairs = [(mat[1].tolist(), mat[2].tolist(), 0.5),
+              (mat[3].tolist(), mat[4].tolist(), 2.0)]
+    kw = dict(k=9, vec_col="embedding", id_col="vec_id")
+    cases = [
+        (recommend_best_score, (embeddings, pos, neg), {"metric": "cosine"}),
+        (recommend_best_score, (embeddings, pos, None), {"metric": "dot"}),
+        (recommend_sum_scores, (embeddings, pos, neg), {"metric": "dot"}),
+        (discover, (embeddings, mat[0].tolist(), pairs), {"metric": "dot"}),
+        (context, (embeddings, pairs), {"metric": "cosine"}),
+        (relevance_feedback, (embeddings, mat[0].tolist(), wpairs),
+         {"metric": "dot", "a": 2.0}),
+    ]
+    for fn, args, extra in cases:
+        col_path = fn(*args, **kw, **extra).select("vec_id", "score")
+        arrow = fn(*args, **kw, **extra,
+                   arrow_dispatch_bytes=0).select("vec_id", "score")
+        want = [(r[0], r[1]) for r in col_path.collect()]
+        got = [(r[0], r[1]) for r in arrow.collect()]
+        assert [g[0] for g in got] == [w[0] for w in want], fn.__name__
+        for g, w in zip(got, want):
+            assert g[1] == pytest.approx(w[1], rel=1e-9, abs=1e-12), fn.__name__
+
+
+def test_arrow_dispatch_respects_filter(embeddings, emb):
+    ids, mat = emb
+    pos = [mat[1].tolist()]
+    flt = {"must": [{"key": "vec_id", "range": {"lt": 200}}]}
+    kw = dict(k=5, vec_col="embedding", id_col="vec_id", flt=flt,
+              metric="dot")
+    want = [(r[0], r[1]) for r in recommend_sum_scores(
+        embeddings, pos, **kw).select("vec_id", "score").collect()]
+    got = [(r[0], r[1]) for r in recommend_sum_scores(
+        embeddings, pos, arrow_dispatch_bytes=0,
+        **kw).select("vec_id", "score").collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert all(i < 200 for i, _ in got)
