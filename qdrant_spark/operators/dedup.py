@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 from qdrant_spark.functions.hashes import band_keys
 from qdrant_spark.functions.text import fingerprint, shingles
 
+#: embedding_near_dups without a block column is a full cross join —
+#: quadratic in the corpus. Refuse above this plan-stat input size
+#: (64 MiB of embeddings ~ a few hundred-k rows -> ~10^10+ pairs).
+_CROSS_JOIN_MAX_BYTES = 64 << 20
+
 
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -397,7 +402,21 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Cosine near-duplicate pairs (SemDeDup-style). ``block_col`` (e.g. an
     IVF cluster id or label) turns the O(n^2) self-join into per-block
-    joins — the scale path; without it this is a full cross join."""
+    joins — the scale path; without it this is a full cross join, REFUSED
+    above ``_CROSS_JOIN_MAX_BYTES`` of plan-stat input (pass a block
+    column — e.g. assign IVF clusters first, the SemDeDup shape — or
+    slice the corpus explicitly to opt in to the quadratic path)."""
+    if block_col is None:
+        from qdrant_spark.operators.knn import _plan_size_bytes
+
+        nbytes = _plan_size_bytes(emb)
+        if nbytes > _CROSS_JOIN_MAX_BYTES:
+            raise ValueError(
+                f"embedding_near_dups without block_col is an O(n^2) cross "
+                f"join; the input's plan-stat size ({nbytes >> 20} MiB) "
+                f"exceeds {_CROSS_JOIN_MAX_BYTES >> 20} MiB. Pass "
+                f"block_col= (e.g. an IVF cluster assignment — the "
+                f"SemDeDup shape) or pre-slice the corpus.")
     cols = [F.col(id_col), F.col(vec_col)] + (
         [F.col(block_col)] if block_col else []
     )
