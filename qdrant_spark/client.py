@@ -1276,27 +1276,43 @@ class QdrantSparkClient:
     def _hydrate(self, col: _Collection, scored: DataFrame, *,
                  with_payload: bool | list[str] | dict,
                  with_vectors: bool | list[str],
-                 direction: bool | None = None) -> list[ScoredPoint]:
+                 direction: bool | None = None,
+                 rank_col: str | None = None) -> list[ScoredPoint]:
         """Attach payload/vectors to a scored frame. When ``direction``
         says the result order is (score direction, id asc) — the planner's
-        last_plan_direction — hydration is ONE job: join before the
-        collect and re-sort driver-side. Otherwise the plan's order is
-        authoritative and hydration is a second bounded id-lookup job."""
-        if direction is not None and (with_payload is not False
-                                      or with_vectors is not False):
+        last_plan_direction — or ``rank_col`` carries an explicit plan
+        order (the planner's last_plan_rank_col for MMR/sample roots),
+        hydration is ONE job: join before the collect and re-sort
+        driver-side. Otherwise the plan's order is authoritative and
+        hydration is a second bounded id-lookup job."""
+        if rank_col is not None and rank_col not in scored.columns:
+            rank_col = None
+        if (direction is not None or rank_col is not None) \
+                and (with_payload is not False or with_vectors is not False):
             need = self._needed_cols(col, with_payload, with_vectors)
-            if "score" not in need:  # a payload column named "score"
-                joined = scored.join(          # would collide with the
-                    col.df.select(*need), "id", "left")  # query score
+            if not {"score", rank_col} & set(need):  # a payload column
+                joined = scored.join(          # named "score"/rank would
+                    col.df.select(*need), "id", "left")  # collide
                 rows = self._rows_as_dicts(joined)
-                rows.sort(key=lambda r: (
-                    -r["score"] if direction else r["score"], r["id"]))
+                if rank_col is not None:
+                    rows.sort(key=lambda r: r[rank_col])
+                else:
+                    rows.sort(key=lambda r: (
+                        -r["score"] if direction else r["score"], r["id"]))
                 return [ScoredPoint(
                     id=r["id"], score=float(r["score"]),
                     version=r.get("version"),
                     payload=self._payload_out(col, r, with_payload),
                     vector=self._vector_out(col, r, with_vectors))
                     for r in rows]
+        if rank_col is not None and with_payload is False \
+                and with_vectors is False:
+            # bare collect (no payload/vectors): still one job — sort the
+            # collected rows by the explicit rank
+            hits = sorted(scored.collect(), key=lambda r: r[rank_col])
+            return [ScoredPoint(id=h["id"], score=float(h["score"]),
+                                version=None, payload=None, vector=None)
+                    for h in hits]
         hits = scored.collect()
         if not hits:
             return []
@@ -1356,6 +1372,9 @@ class QdrantSparkClient:
         points = self._route(col, col.df, shard_key_selector)
         planner = self._planner(col, using)
         planner.points = points
+        # MMR/sample roots attach an explicit plan-order rank so
+        # hydration below stays a single job (r8 VERDICT item 5)
+        planner.emit_rank = True
         if shard_key_selector is not None:
             # a registered IVF index covers the WHOLE corpus; routing
             # through it would leak other shards' points — shard-scoped
@@ -1365,7 +1384,8 @@ class QdrantSparkClient:
         scored = planner.plan(req)
         out = self._hydrate(col, scored, with_payload=with_payload,
                             with_vectors=with_vectors,
-                            direction=planner.last_plan_direction)
+                            direction=planner.last_plan_direction,
+                            rank_col=planner.last_plan_rank_col)
         planner.close()
         return QueryResponse(points=out)
 

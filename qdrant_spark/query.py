@@ -144,6 +144,12 @@ class QueryPlanner:
                                                "driver_fused_root": 0}
         #: root result-order contract of the last plan() (see _node)
         self.last_plan_direction: bool | None = None
+        #: opt-in: when True, roots whose order exists only in the plan
+        #: (MMR pick order, sample hash order) attach an explicit
+        #: ``__rank`` column so callers can join/hydrate in ONE job and
+        #: restore the order driver-side; ``last_plan_rank_col`` names it
+        self.emit_rank = False
+        self.last_plan_rank_col: str | None = None
         self.fuse_min_bytes = (FUSE_MIN_BYTES if fuse_min_bytes is None
                                else fuse_min_bytes)
         self.fused_collect_max = (FUSED_COLLECT_MAX if fused_collect_max
@@ -206,6 +212,7 @@ class QueryPlanner:
         # just the innermost one (r5 ADVICE)
         self.last_plan_info = {"fused_groups": 0, "fused_legs": 0,
                                "driver_fused_root": 0}
+        self.last_plan_rank_col = None
         return self._node(request, depth=0)
 
     def plan_groups(
@@ -281,7 +288,7 @@ class QueryPlanner:
                     for c in children
                 ]
             child_dfs = self._plan_children(children, depth)
-            out = self._rescore(query, child_dfs, req, limit)
+            out = self._rescore(query, child_dfs, req, limit, depth=depth)
             # record the root's result-order contract AFTER the recursion
             # (plan() is depth-first: the last assignment is the root's).
             # True/False = result is sortable by (score direction, id
@@ -291,7 +298,7 @@ class QueryPlanner:
                 query, leaf=False,
                 vec_col=req.get("using", self.default_vec_col))
             return out
-        out = self._leaf(query, req, limit)
+        out = self._leaf(query, req, limit, depth=depth)
         self.last_plan_direction = self._direction_of(
             query, leaf=True, vec_col=req.get("using", self.default_vec_col))
         return out
@@ -306,7 +313,9 @@ class QueryPlanner:
         from qdrant_spark.operators.knn import larger_is_better
 
         if query is None:
-            return None if leaf else True  # scroll (id order) | default rrf
+            # scroll leaf: id asc with score pinned 0.0 — all-ties, so a
+            # (score, id asc) sort reproduces it | parent default = rrf
+            return False if leaf else True
         metric = self.metric_for(vec_col)
         if "nearest" in query:
             t = query["nearest"]
@@ -323,7 +332,14 @@ class QueryPlanner:
         if any(k in query for k in ("discover", "context", "fusion",
                                     "formula")):
             return True
-        return None  # mmr / order_by / sample
+        if "order_by" in query:
+            # both the leaf and the rescore root emit score = the key
+            # cast to double (value-less points skipped) with ties broken
+            # id asc: the plan order IS (score direction, id asc)
+            ob = query["order_by"]
+            return (ob.get("direction", "asc") if isinstance(ob, dict)
+                    else "asc") == "desc"
+        return None  # mmr / sample: order exists only in the plan
 
     # -- shared-scan prefetch fusion ----------------------------------------
     #
@@ -627,7 +643,8 @@ class QueryPlanner:
                 raise ValueError(f"vector id {target['id']!r} not found")
         return target
 
-    def _leaf(self, query: Any, req: dict[str, Any], limit: int) -> DataFrame:
+    def _leaf(self, query: Any, req: dict[str, Any], limit: int,
+              depth: int = 0) -> DataFrame:
         from qdrant_spark.operators import recommend as R
         from qdrant_spark.operators.knn import knn
         from qdrant_spark.operators.points import sample as sample_points
@@ -774,11 +791,24 @@ class QueryPlanner:
             )
         if "sample" in query:
             out = sample_points(pts, limit, flt=flt)
-            return out.select(self.id_col).withColumn("score", F.lit(0.0))
+            out = out.select(self.id_col).withColumn("score", F.lit(0.0))
+            if self.emit_rank and depth == 0:
+                # the sample's hash order, as an explicit rank: the
+                # window re-sorts only the <= limit sampled rows
+                from pyspark.sql.window import Window
+
+                from qdrant_spark.operators.points import _sample_hash
+
+                w = Window.orderBy(_sample_hash(F.col(self.id_col), 42),
+                                   F.col(self.id_col).asc())
+                out = out.withColumn("__rank", F.row_number().over(w))
+                self.last_plan_rank_col = "__rank"
+            return out
         raise ValueError(f"unsupported leaf query: {query!r}")
 
     def _rescore(self, query: Any, children: list[DataFrame],
-                 req: dict[str, Any], limit: int) -> DataFrame:
+                 req: dict[str, Any], limit: int,
+                 depth: int = 0) -> DataFrame:
         from qdrant_spark.operators.fusion import dbsf, rrf
 
         if query is None:
@@ -844,6 +874,12 @@ class QueryPlanner:
             out = mmr(cand, lambda_=1.0 - float(m.get("diversity", 0.5)),
                       k=limit, metric=self.metric_for(vec_col),
                       id_col=self.id_col, vec_col=vec_col)
+            if self.emit_rank and depth == 0:
+                # carry the pick order as an explicit column so the
+                # caller can hydrate in ONE job and re-sort driver-side
+                self.last_plan_rank_col = "__rank"
+                return out.select(self.id_col, "score",
+                                  F.col("rank").alias("__rank"))
             return out.select(self.id_col, "score")
         if "order_by" in query:
             ob = query["order_by"]

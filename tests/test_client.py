@@ -702,6 +702,57 @@ class TestAdvancedQueries:
         # first MMR pick is always the top relevance hit
         assert res.points[0].id == _exact_knn(q, 1)[0][0]
 
+    def test_mmr_and_sample_hydrate_in_one_job(self, spark, client,
+                                               monkeypatch):
+        """Plan-only-order roots (MMR pick order, sample hash order) carry
+        an explicit rank so hydration joins before the collect — ONE
+        DataFrame action per query_points, not a collect + id-lookup pair
+        (r8 VERDICT item 5). Result order and payloads unchanged.
+        (Counting collects, not Spark jobs: AQE legitimately splits one
+        action into several jobs.)"""
+        _DF = type(spark.range(1))  # the concrete (classic) DataFrame
+
+        q = [0.2, 0.1, 0.9, 0.7]
+        calls = []
+        orig = _DF.collect
+        monkeypatch.setattr(_DF, "collect",
+                            lambda df: calls.append(1) or orig(df))
+
+        def run_counted(group, fn):
+            calls.clear()
+            return fn(), len(calls)
+
+        mmr_req = dict(collection_name="test_collection",
+                       prefetch=[{"query": q, "limit": 8}],
+                       query={"mmr": {"diversity": 0.5}}, limit=4)
+        res, jobs = run_counted(
+            "mmr_1job", lambda: client.query_points(**mmr_req))
+        assert jobs == 1
+        assert res.points[0].id == _exact_knn(q, 1)[0][0]
+        assert res.points[0].payload  # hydrated
+        bare, jobs_bare = run_counted(
+            "mmr_1job_bare", lambda: client.query_points(
+                **mmr_req, with_payload=False))
+        assert jobs_bare == 1
+        assert [p.id for p in bare.points] == [p.id for p in res.points]
+
+        sample_req = dict(collection_name="test_collection",
+                          query={"sample": "random"}, limit=5)
+        s_res, s_jobs = run_counted(
+            "sample_1job", lambda: client.query_points(**sample_req))
+        assert s_jobs == 1
+        # deterministic hash order: same ids in the same order on re-run
+        s_res2 = client.query_points(**sample_req)
+        assert [p.id for p in s_res.points] == [p.id for p in s_res2.points]
+
+        ob_req = dict(collection_name="test_collection",
+                      query={"order_by": {"key": "price",
+                                          "direction": "desc"}}, limit=3)
+        o_res, o_jobs = run_counted(
+            "ob_1job", lambda: client.query_points(**ob_req))
+        assert o_jobs == 1
+        assert [p.id for p in o_res.points] == [2, 1, 3]
+
 
 class TestVectorIndex:
     def test_ensure_vector_index_lifecycle(self, spark, tmp_path):
