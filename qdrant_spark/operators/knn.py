@@ -223,8 +223,13 @@ def knn_batch(
         F.col("__qid").alias(qid_col), F.col(id_col), F.col("score"), *keep
     )
 
-    if strategy == "partial":
-        scored = _partial_topk(scored, metric, k, qid_col=qid_col, id_col=id_col)
+    # map-side top-k combine, UNCONDITIONAL (r8 VERDICT item 8): the
+    # per-qid window below would otherwise shuffle all n*Q scored rows
+    # partitioned by qid — with few queries over a huge corpus a single
+    # qid partition is the whole corpus. After the combine the window
+    # sees <= partitions*Q*k candidate rows. ('partial' is kept as an
+    # accepted alias of 'window'.)
+    scored = _partial_topk(scored, metric, k, qid_col=qid_col, id_col=id_col)
 
     w = Window.partitionBy(qid_col).orderBy(*score_order(metric, id_col=id_col))
     return (
