@@ -913,6 +913,61 @@ def main() -> None:
                               if bm_flat_bytes and bm_pruned_bytes else None),
         }
         mark(f"  bm25 postings pruning: {appendix_bm25}")
+        # --------------------------------------------------------------
+        # sparse through the PLANNER at 500k docs (r9 VERDICT item 1):
+        # the same postings re-keyed as (doc_id, dim, v) pairs, persisted
+        # dim-bucket-partitioned; QueryPlanner(sparse_indexes=...) routes
+        # the sparse nearest leaf through the index so the query's dims
+        # become PartitionFilters. Contrast vs the SAME planner routed at
+        # an unbucketed view of the pairs (query = full pairs scan).
+        # --------------------------------------------------------------
+        from qdrant_spark.functions.hashes import token_hash63
+        from qdrant_spark.operators.sparse import (
+            SparseIndex, persist_sparse_index)
+        from qdrant_spark.query import QueryPlanner as _QP
+
+        sp_pairs = bucketed_idx.postings.select(
+            F.col("doc_id"),
+            token_hash63(F.col("term")).alias("dim"),
+            F.col("tf").cast("double").alias("v"))
+        sp_idx = persist_sparse_index(
+            SparseIndex(pairs=sp_pairs, id_col="doc_id"),
+            f"{work}/sparse_xxl", buckets=256)
+        flat_sp = SparseIndex(pairs=sp_idx.pairs.drop("__db"),
+                              id_col="doc_id")
+        # the same 4-term query as the bm25 contrast, hashed to dims
+        sp_qdims = [r["dim"] for r in spark.createDataFrame(
+            [(t,) for t in _qterms], "term: string"
+        ).select(token_hash63(F.col("term")).alias("dim")).collect()]
+        sp_req = {"query": {"nearest": {
+            "indices": sp_qdims,
+            "values": [1.0] * len(sp_qdims)}}, "limit": 10}
+
+        def _sp_500k(idx):
+            pl = _QP(docs_xxl, id_col="doc_id", sparse_indexes={"vec": idx})
+            out = pl.plan(sp_req).collect()
+            assert pl.last_plan_info.get("sparse_index_leaves") == 1
+            return out
+
+        _sp_500k(sp_idx)  # warm
+        sp_pruned_bytes, sp_pruned_wall = bytes_and_wall(
+            lambda: _sp_500k(sp_idx))
+        _sp_500k(flat_sp)  # warm
+        sp_flat_bytes, sp_flat_wall = bytes_and_wall(
+            lambda: _sp_500k(flat_sp))
+        app_times["sparse_planner_bucketed_500k"] = sp_pruned_wall
+        app_times["sparse_planner_flat_500k"] = sp_flat_wall
+        appendix_sparse = {
+            "n_docs": bucketed_idx.n_docs,
+            "dim_buckets": 256,
+            "query_dims": len(sp_qdims),
+            "pruned_scan_bytes": sp_pruned_bytes,
+            "flat_scan_bytes": sp_flat_bytes,
+            "pruning_ratio": (round(sp_flat_bytes / sp_pruned_bytes, 1)
+                              if sp_flat_bytes and sp_pruned_bytes
+                              else None),
+        }
+        mark(f"  sparse planner-routed pruning: {appendix_sparse}")
         # IO contrast (static, from parquet footers): on a 32-core box
         # with page-cached files the exact matmul still wins WALL CLOCK
         # at 2M rows — the quantized plan's 100-TB case is IO. The
@@ -947,6 +1002,7 @@ def main() -> None:
         appendix = {"n_rows": n_xxxl, "queries": app_times,
                     "tenant_pruning": appendix_tenant,
                     "bm25_postings_pruning": appendix_bm25,
+                    "sparse_planner_pruning": appendix_sparse,
                     "batch64_scan_column_bytes": {
                         "exact_scan_floats": exact_col_bytes,
                         "ivf_pq_coarse_codes": code_col_bytes,
