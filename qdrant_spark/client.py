@@ -329,6 +329,10 @@ class QdrantSparkClient:
         self.root = root
         self.catalog = CollectionCatalog()
         self._colls: dict[str, _Collection] = {}
+        #: (collection, sparse name, op_counter) -> {dim: idf} for the
+        #: Modifier::Idf query rescale; keyed on op_counter so any
+        #: mutation naturally invalidates
+        self._idf_cache: dict[tuple, dict[int, float]] = {}
 
     # -- helpers -------------------------------------------------------------
 
@@ -1185,6 +1189,68 @@ class QdrantSparkClient:
         for p in req.get("prefetch") or []:
             QdrantSparkClient._translate_using(col, p)
 
+    def _sparse_idf(self, col: _Collection, name: str,
+                    dims: list) -> dict[int, float]:
+        """Per-dim corpus IDF, BM25 convention (sparse.idf_df /
+        lib/sparse: ln((N - n_d + 0.5) / (n_d + 0.5) + 1)), N = points
+        carrying this sparse vector. Cached per (collection, vector,
+        op_counter) so mutations invalidate."""
+        import math
+
+        key = (col.name, name, col.op_counter)
+        cache = self._idf_cache.setdefault(key, {})
+        missing = sorted({int(d) for d in dims} - set(cache))
+        if missing:
+            vc = col.vec_col(name)
+            src = col.df.filter(F.col(vc).isNotNull())
+            n_docs = src.count()
+            rows = (src.select(F.explode(F.col(f"{vc}.indices"))
+                               .alias("dim"))
+                    .filter(F.col("dim").isin(missing))
+                    .groupBy("dim").count().collect())
+            nd = {int(r["dim"]): int(r["count"]) for r in rows}
+            for d in missing:
+                n = nd.get(d, 0)
+                cache[d] = math.log((n_docs - n + 0.5) / (n + 0.5) + 1.0)
+        return cache
+
+    def _apply_sparse_modifiers(self, col: _Collection,
+                                req: dict[str, Any]) -> None:
+        """``Modifier::Idf`` on a declared sparse vector
+        (SparseVectorParams.modifier, lib/segment/src/types.rs /
+        modifier semantics in lib/collection query preprocessing):
+        EXPLICIT sparse query values are rescaled by the corpus IDF at
+        query time; stored document values stay raw — the same convention
+        the ``sparse_idf_knn`` oracle entry pins. Walks the whole
+        prefetch tree (call AFTER ``_translate_using``). Id-referenced
+        sparse queries resolve planner-side and are not rescaled
+        (documented divergence)."""
+        idf_names = {
+            col.vec_col(n): n for n, cfg in col.sparse.items()
+            if isinstance(cfg, dict)
+            and str(cfg.get("modifier", "")).lower() == "idf"}
+        if not idf_names:
+            return
+
+        def walk(node: dict[str, Any]) -> None:
+            q = node.get("query")
+            u = node.get("using")
+            if isinstance(q, dict):
+                t = q.get("nearest")
+                if isinstance(t, dict) and "indices" in t \
+                        and u in idf_names:
+                    idf = self._sparse_idf(col, idf_names[u],
+                                           list(t["indices"]))
+                    node["query"] = dict(q, nearest={
+                        "indices": list(t["indices"]),
+                        "values": [float(v) * idf[int(d)]
+                                   for d, v in zip(t["indices"],
+                                                   t["values"])]})
+            for p in node.get("prefetch") or []:
+                walk(p)
+
+        walk(req)
+
     def ensure_vector_index(self, collection_name: str, *,
                             using: str = "", n_clusters: int = 16,
                             indexing_threshold: int | None = None,
@@ -1368,6 +1434,7 @@ class QdrantSparkClient:
             req["score_threshold"] = score_threshold
         if lookup_from is not None:
             req["lookup_from"] = self._norm_lookup_from(lookup_from)
+        self._apply_sparse_modifiers(col, req)
         self._check_strict(col.name, req)
         points = self._route(col, col.df, shard_key_selector)
         planner = self._planner(col, using)
@@ -1414,6 +1481,7 @@ class QdrantSparkClient:
             req["prefetch"] = pf
         if query_filter is not None:
             req["filter"] = query_filter
+        self._apply_sparse_modifiers(col, req)
         self._check_strict(col.name, {**req, "limit": limit})
         planner = self._planner(col, using)
         lookup = lookup_cols = None
@@ -1469,6 +1537,7 @@ class QdrantSparkClient:
         for r in requests:
             n = self._norm_request(r)
             self._translate_using(col, n)
+            self._apply_sparse_modifiers(col, n)
             if n.get("lookup_from") is not None:
                 n["lookup_from"] = self._norm_lookup_from(n["lookup_from"])
             self._check_strict(col.name, n)

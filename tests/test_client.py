@@ -981,3 +981,52 @@ def test_integer_vs_string_ids(spark):
     assert rec.id == u1
     res = c.query_points("uuids", query=[1.0, 0.0], limit=1)
     assert res.points[0].id == u1
+
+
+class TestSparseModifier:
+    def test_idf_modifier_rescales_query_values(self, spark):
+        """sparse_vectors_config={"modifier": "idf"}: explicit sparse
+        query values are rescaled by the corpus BM25-convention IDF at
+        query time (documents keep raw values); a plain sparse vector
+        config is untouched. Mutations invalidate the cached IDF."""
+        import math
+
+        c = QdrantSparkClient(spark)
+        c.create_collection("idfc", vectors_config={"size": 2,
+                                                    "distance": "Dot"},
+                            sparse_vectors_config={
+                                "txt": {"modifier": "idf"},
+                                "raw": {}})
+        # dim 1 is common (3 docs), dim 2 rare (1 doc)
+        sv = {1: ([1, 2], [1.0, 1.0]), 2: ([1], [1.0]), 3: ([1], [2.0])}
+        c.upsert("idfc", [
+            {"id": i, "vector": {"": [float(i), 0.0],
+                                 "txt": {"indices": ix, "values": vs},
+                                 "raw": {"indices": ix, "values": vs}}}
+            for i, (ix, vs) in sv.items()])
+
+        def idf(n_d, n=3):
+            return math.log((n - n_d + 0.5) / (n_d + 0.5) + 1.0)
+
+        q = {"indices": [1, 2], "values": [1.0, 1.0]}
+        res = c.query_points("idfc", query=q, using="txt", limit=3)
+        i1, i2 = idf(3), idf(1)
+        exp = {1: 1.0 * i1 + 1.0 * i2, 2: 1.0 * i1, 3: 2.0 * i1}
+        got = {p.id: p.score for p in res.points}
+        assert got == {k: pytest.approx(v, abs=1e-9) for k, v in exp.items()}
+        # doc 1 carries the rare dim: with IDF it outranks doc 3
+        assert [p.id for p in res.points][0] == 1
+        # un-modified sparse vector: raw dot products, doc 3 wins
+        raw = c.query_points("idfc", query=q, using="raw", limit=3)
+        assert {p.id: p.score for p in raw.points} == \
+            {1: pytest.approx(2.0), 2: pytest.approx(1.0),
+             3: pytest.approx(2.0)}
+        # mutation invalidates: dim 2 becomes common -> its idf drops
+        c.upsert("idfc", [{"id": 4, "vector": {
+            "": [4.0, 0.0], "txt": {"indices": [2], "values": [1.0]},
+            "raw": {"indices": [2], "values": [1.0]}}}])
+        res2 = c.query_points("idfc", query=q, using="txt", limit=4)
+        i1b, i2b = idf(3, 4), idf(2, 4)
+        got2 = {p.id: p.score for p in res2.points}
+        assert got2[4] == pytest.approx(1.0 * i2b, abs=1e-9)
+        assert got2[1] == pytest.approx(i1b + i2b, abs=1e-9)
