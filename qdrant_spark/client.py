@@ -1552,22 +1552,45 @@ class QdrantSparkClient:
         by_idx: dict[int, list] = {}
         for r in tagged.collect():
             by_idx.setdefault(r["request_idx"], []).append(r)
-        out = []
-        for i, req in enumerate(norm):
-            hits = by_idx.get(i, [])
+        # ONE hydration lookup for the whole batch (not one id-lookup scan
+        # per request): the union of all hit ids against the union of the
+        # requested columns, assembled per request driver-side in each
+        # request's own plan order / payload selection
+        selections = []
+        for i in range(len(norm)):
             wp = requests[i].get("with_payload", True)
             wv = requests[i].get("with_vector",
                                  requests[i].get("with_vectors", False))
+            selections.append((wp, wv))
+        all_ids = {h["id"] for hits in by_idx.values() for h in hits}
+        rows: dict[Any, dict] = {}
+        if all_ids and any(wp is not False or wv is not False
+                           for wp, wv in selections):
+            need: list[str] = []
+            for i, (wp, wv) in enumerate(selections):
+                if not by_idx.get(i):
+                    continue
+                for c in self._needed_cols(col, wp, wv):
+                    if c not in need:
+                        need.append(c)
+            rows = {r["id"]: r for r in self._rows_as_dicts(
+                col.df.select(*need).filter(F.col("id").isin(list(all_ids))))}
+        out = []
+        for i, req in enumerate(norm):
+            hits = by_idx.get(i, [])
             if not hits:
                 out.append(QueryResponse(points=[]))
                 continue
-            scored = self.spark.createDataFrame(
-                [(h["id"], float(h["score"])) for h in hits],
-                schema=T.StructType([
-                    T.StructField("id", col.id_type),
-                    T.StructField("score", T.DoubleType())]))
-            out.append(QueryResponse(points=self._hydrate(
-                col, scored, with_payload=wp, with_vectors=wv)))
+            wp, wv = selections[i]
+            pts = []
+            for h in hits:
+                r = rows.get(h["id"], {})
+                pts.append(ScoredPoint(
+                    id=h["id"], score=float(h["score"]),
+                    version=r.get("version"),
+                    payload=self._payload_out(col, r, wp) if r else None,
+                    vector=self._vector_out(col, r, wv) if r else None))
+            out.append(QueryResponse(points=pts))
         return out
 
     # -- distance matrix ---------------------------------------------------------

@@ -1030,3 +1030,32 @@ class TestSparseModifier:
         got2 = {p.id: p.score for p in res2.points}
         assert got2[4] == pytest.approx(1.0 * i2b, abs=1e-9)
         assert got2[1] == pytest.approx(i1b + i2b, abs=1e-9)
+
+
+class TestBatchHydration:
+    def test_batch_hydrates_in_one_lookup(self, spark, client, monkeypatch):
+        """query_batch_points hydrates the whole batch with ONE id-lookup
+        scan (union of hit ids x union of needed columns), honoring each
+        request's own with_payload/with_vector selection."""
+        lookups = []
+        orig = QdrantSparkClient._rows_as_dicts
+        monkeypatch.setattr(
+            QdrantSparkClient, "_rows_as_dicts",
+            lambda self, df: lookups.append(1) or orig(self, df))
+        q1, q2 = VECS[1], VECS[4]
+        res = client.query_batch_points("test_collection", [
+            {"query": q1, "limit": 3, "with_payload": True},
+            {"query": q2, "limit": 3, "with_payload": False,
+             "with_vector": True},
+            {"query": q2, "limit": 2,
+             "with_payload": {"include": ["city"]}},
+        ])
+        assert len(lookups) == 1  # one hydration scan for all 3 requests
+        assert [p.id for p in res[0].points] == \
+            [i for i, _ in _exact_knn(q1, 3)]
+        assert res[0].points[0].payload is not None
+        assert res[1].points[0].payload is None
+        assert res[1].points[0].vector == pytest.approx(
+            VECS[res[1].points[0].id], abs=1e-6)
+        for p in res[2].points:
+            assert set(p.payload or {}) <= {"city"}
