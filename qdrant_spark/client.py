@@ -1408,6 +1408,8 @@ class QdrantSparkClient:
                      with_vectors: bool | list[str] = False,
                      lookup_from: dict | str | None = None,
                      shard_key_selector: Any = None,
+                     search_params: dict | None = None,
+                     params: dict | None = None,
                      **_ignored: Any) -> QueryResponse:
         """REST ``POST /collections/{name}/points/query`` — the universal
         query API: bare vector / point id / sparse vector / recommend /
@@ -1434,6 +1436,12 @@ class QdrantSparkClient:
             req["score_threshold"] = score_threshold
         if lookup_from is not None:
             req["lookup_from"] = self._norm_lookup_from(lookup_from)
+        if params or search_params:
+            # SearchParams (params/search_params in qdrant-client): the
+            # engine-applicable knob is `exact` — a per-request opt-out of
+            # ANN/index routing (SearchParams::exact, types.rs); the
+            # HNSW-internals knobs have no analogue here
+            req["params"] = dict(search_params or {}, **(params or {}))
         self._apply_sparse_modifiers(col, req)
         self._check_strict(col.name, req)
         points = self._route(col, col.df, shard_key_selector)
@@ -1654,7 +1662,8 @@ class QdrantSparkClient:
             collection_name, query=query_vector, using=using,
             query_filter=query_filter, limit=limit, offset=offset,
             score_threshold=score_threshold, with_payload=with_payload,
-            with_vectors=with_vectors).points
+            with_vectors=with_vectors,
+            search_params=_ignored.get("search_params")).points
 
     # -- snapshots (POST/GET/DELETE /collections/{c}/snapshots) ---------------
 

@@ -106,12 +106,15 @@ class QueryPlanner:
         # without this a prefetch/batch leg on a Euclid named vector would
         # silently rank by the default metric's direction
         self.metrics = metrics or {}
-        # persisted sparse/BM25 inverted indexes (vec column name ->
-        # SparseIndex | Bm25Index): a sparse `nearest` leaf on a column
-        # with a registered index routes through its dim-/term-bucketed
-        # search instead of re-exploding the corpus's sparse columns per
-        # query — the reference ALWAYS searches sparse through its
-        # inverted index (lib/sparse/src/index/search_context.rs:37-91)
+        # persisted sparse inverted indexes (vec column name ->
+        # SparseIndex): a sparse `nearest` leaf on a column with a
+        # registered index routes through its dim-bucketed search instead
+        # of re-exploding the corpus's sparse columns per query — the
+        # reference ALWAYS searches sparse through its inverted index
+        # (lib/sparse/src/index/search_context.rs:37-91). BM25 text
+        # search has no universal-query leaf (qdrant models it as
+        # client-side sparse vectors), so Bm25Index stays operator-level
+        # (sparse.bm25_search_index).
         self.sparse_indexes = sparse_indexes or {}
         self.collections = collections or {}
         self._self_refs: set = set()

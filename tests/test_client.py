@@ -1059,3 +1059,27 @@ class TestBatchHydration:
             VECS[res[1].points[0].id], abs=1e-6)
         for p in res[2].points:
             assert set(p.payload or {}) <= {"city"}
+
+
+def test_search_params_reach_planner(spark, monkeypatch):
+    """SearchParams (params= / search_params=) were silently dropped by
+    query_points — params.exact (the per-request ANN opt-out the planner
+    honors in _leaf_exact) must reach the planner request."""
+    from qdrant_spark.query import QueryPlanner
+
+    c = QdrantSparkClient(spark)
+    c.create_collection("sp", vectors_config={"size": 2, "distance": "Dot"})
+    c.upsert("sp", [{"id": i, "vector": [float(i), 1.0]} for i in range(4)])
+    captured = {}
+    orig = QueryPlanner.plan
+    monkeypatch.setattr(
+        QueryPlanner, "plan",
+        lambda self, req: captured.update(req) or orig(self, req))
+    c.query_points("sp", query=[1.0, 0.0], limit=2,
+                   search_params={"exact": True})
+    assert captured.get("params") == {"exact": True}
+    captured.clear()
+    res = c.search("sp", [1.0, 0.0], limit=2,
+                   search_params={"exact": True})
+    assert captured.get("params") == {"exact": True}
+    assert [p.id for p in res] == [3, 2]
