@@ -1556,7 +1556,11 @@ class QdrantSparkClient:
                              metrics=col.metrics_map(),
                              sparse_indexes={col.vec_col(n): idx
                                              for n, idx
-                                             in col.sparse_idx.items()})
+                                             in col.sparse_idx.items()},
+                             # default-vector ANN index: leaves on other
+                             # named vectors stay exact (the planner
+                             # routes only its own vec_col)
+                             ivf_index=col.ivf.get(""))
         by_idx: dict[int, list] = {}
         for r in tagged.collect():
             by_idx.setdefault(r["request_idx"], []).append(r)

@@ -962,6 +962,7 @@ def query_batch(
     fuse_min_bytes: int | None = None,
     metrics: dict[str, str] | None = None,
     sparse_indexes: dict[str, Any] | None = None,
+    ivf_index=None,
 ) -> DataFrame:
     """Batch universal query (``POST /collections/{c}/points/query/batch``,
     reference src/actix/api/query_api.rs; per-request independence as in
@@ -988,6 +989,7 @@ def query_batch(
         points, id_col=id_col, default_vec_col=vec_col, metric=metric,
         collections=collections, fuse_min_bytes=fuse_min_bytes,
         metrics=metrics, sparse_indexes=sparse_indexes,
+        ivf_index=ivf_index,
     )
     if not requests:
         raise ValueError("empty request batch")

@@ -1083,3 +1083,37 @@ def test_search_params_reach_planner(spark, monkeypatch):
                    search_params={"exact": True})
     assert captured.get("params") == {"exact": True}
     assert [p.id for p in res] == [3, 2]
+
+
+def test_batch_routes_default_vector_through_ivf(spark, tmp_path,
+                                                 monkeypatch):
+    """query_batch_points routes default-vector nearest requests through
+    a registered IVF index like query_points does (exact otherwise);
+    params.exact opts a single batch request back out."""
+    import numpy as np
+
+    from qdrant_spark.operators import dispatch as DSP
+
+    c = QdrantSparkClient(spark, root=str(tmp_path))
+    c.create_collection("bivf", vectors_config={"size": 8,
+                                                "distance": "Cosine"})
+    rng = np.random.default_rng(7)
+    c.upsert("bivf", [
+        {"id": i, "vector": rng.normal(size=8).astype(float).tolist()}
+        for i in range(400)])
+    assert c.ensure_vector_index("bivf", n_clusters=4,
+                                 indexing_threshold=1) in ("built",
+                                                           "exists")
+    calls = []
+    orig = DSP.auto_search
+    monkeypatch.setattr(DSP, "auto_search",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    q = rng.normal(size=8).astype(float).tolist()
+    res = c.query_batch_points("bivf", [
+        {"query": q, "limit": 5},
+        {"query": q, "limit": 5, "params": {"exact": True}},
+    ])
+    assert len(calls) == 1  # first request dispatched, second exact
+    # the dispatcher is selectivity-aware: either way results stay exact
+    # at this scale, so both requests agree
+    assert [p.id for p in res[0].points] == [p.id for p in res[1].points]
