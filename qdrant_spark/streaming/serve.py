@@ -121,6 +121,73 @@ def start_ivf_upsert_stream(
     )
 
 
+class SparsePairsSink(ParquetPointsSink):
+    """Maintains the EXPLODED ``(id, dim, v)`` inverted-index pairs
+    snapshot under streaming upserts. A point upsert REPLACES its whole
+    posting set — remove every old pair of the batch's ids, append the
+    new pairs — exactly how the reference's sparse inverted index applies
+    an update (lib/sparse/src/index/inverted_index: old posting elements
+    of the point are dropped, new ones inserted). ``upsert_points`` can't
+    do this (it keeps one row per id); hence the dedicated merge keyed on
+    the PRE-explode batch ids, so a point re-upserted with an empty
+    sparse vector correctly clears its postings."""
+
+    def apply_pairs(self, pairs_df: DataFrame, ids_df: DataFrame,
+                    batch_id: int) -> None:
+        current = self.read()
+        if current is None:
+            merged = pairs_df
+        else:
+            kept = current.join(ids_df, on=self.id_col, how="left_anti")
+            merged = kept.unionByName(pairs_df)
+        self._commit(merged, batch_id)
+
+
+def start_sparse_index_stream(
+    points_stream: DataFrame,
+    pairs_sink: SparsePairsSink,
+    *,
+    checkpoint_dir: str,
+    indices_col: str = "sparse_indices",
+    values_col: str = "sparse_values",
+    trigger: dict[str, Any] | None = None,
+):
+    """Ingest stream that keeps the sparse inverted index fresh: each
+    micro-batch of points explodes to its ``(id, dim, v)`` pairs (the
+    map-only ingest-time cost the reference pays in its sparse indexer)
+    and replaces those ids' posting sets in the pairs snapshot.
+    ``live_sparse_index(pairs_sink)`` is then always searchable with
+    ``sparse_knn_index`` / registrable as ``QueryPlanner(sparse_indexes=)``
+    — the streaming twin of ``start_ivf_upsert_stream``. Returns the
+    StreamingQuery."""
+    from qdrant_spark.operators.sparse import _explode_pairs
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ids = batch_df.select(pairs_sink.id_col).distinct()
+        pairs = _explode_pairs(batch_df, pairs_sink.id_col,
+                               indices_col, values_col)
+        pairs_sink.apply_pairs(pairs, ids, batch_id)
+
+    writer = (
+        points_stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(do_batch)
+    )
+    writer = writer.trigger(**trigger) if trigger else writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def live_sparse_index(pairs_sink: SparsePairsSink):
+    """The current pairs snapshot as a searchable ``SparseIndex`` (None
+    before the first commit)."""
+    from qdrant_spark.operators.sparse import SparseIndex
+
+    snap = pairs_sink.read()
+    if snap is None:
+        return None
+    return SparseIndex(pairs=snap, id_col=pairs_sink.id_col)
+
+
 def live_ivf_index(
     sink: ParquetPointsSink,
     centroids: np.ndarray,

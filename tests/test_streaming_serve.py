@@ -132,3 +132,48 @@ def test_ivf_ingest_stream_matches_batch_index(spark, emb, tmp_path):
             for r in knn(emb, probe, k=5, metric="cosine",
                          id_col="vec_id", vec_col="embedding").collect()]
     assert got == want
+
+
+def test_sparse_index_stream_equals_batch(spark, tmp_path):
+    """Streamed-in sparse inverted index == the batch-built one: after the
+    stream drains, sparse_knn_index over the live pairs snapshot must
+    equal sparse_knn over the final corpus; a re-upsert replaces the
+    point's whole posting set (incl. clearing it on an empty vector)."""
+    from qdrant_spark.operators.sparse import sparse_knn, sparse_knn_index
+    from qdrant_spark.streaming.serve import (
+        SparsePairsSink, live_sparse_index, start_sparse_index_stream,
+    )
+
+    schema = ("id long, sparse_indices array<long>, "
+              "sparse_values array<double>")
+    batch1 = spark.createDataFrame(
+        [(1, [1, 2], [1.0, 2.0]), (2, [2, 3], [1.0, 1.0])], schema)
+    # batch2 re-upserts id 1 (new postings) and clears id 2
+    batch2 = spark.createDataFrame(
+        [(1, [3], [5.0]), (2, [], []), (3, [1, 3], [2.0, 1.0])], schema)
+    src = str(tmp_path / "pts")
+    sink = SparsePairsSink(spark, str(tmp_path / "pairs"), id_col="id")
+
+    # two sequential availableNow drains on ONE checkpoint pin the commit
+    # order (the checkpoint resumes past batch1's file — the WAL contract)
+    for batch in (batch1, batch2):
+        batch.coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema(batch1.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = start_sparse_index_stream(
+            stream, sink, checkpoint_dir=str(tmp_path / "ckpt"))
+        q.awaitTermination()
+
+    idx = live_sparse_index(sink)
+    final = batch2
+    want = [(r["id"], round(r["score"], 9)) for r in sparse_knn(
+        final, [1, 3], [1.0, 1.0], k=5).collect()]
+    got = [(r["id"], round(r["score"], 9)) for r in sparse_knn_index(
+        idx, [1, 3], [1.0, 1.0], k=5).collect()]
+    assert got == want
+    # id 2's postings were cleared by the empty re-upsert
+    assert idx.pairs.filter(F.col("id") == 2).count() == 0
+    # exactly the final posting sets remain
+    assert sorted((r["id"], r["dim"], r["v"])
+                  for r in idx.pairs.collect()) == [
+        (1, 3, 5.0), (3, 1, 2.0), (3, 3, 1.0)]
