@@ -371,6 +371,8 @@ class QueryPlanner:
         upgrade approximate legs to exact ones)."""
         if req.get("prefetch"):
             return None
+        if req.get("shard_key") is not None:
+            return None  # shard-routed request: scans its own partitions
         if self.text_params and req.get("filter"):
             return None  # leaf pre-applies the filter with text_params
         query = req.get("query")
@@ -1017,7 +1019,28 @@ def query_batch(
     planner._fused_persisted = []
     for i, req in enumerate(requests):
         if outs[i] is None:
-            outs[i] = planner.plan(req)
+            if req.get("shard_key") is not None:
+                # per-request shard routing (ShardKeySelector on batch
+                # requests, shard_holder resolves it above the per-shard
+                # query): the sub-plan runs against the selected
+                # partition directories only; whole-corpus indexes are
+                # bypassed — they would leak other shards' points
+                from qdrant_spark.operators.sharding import select_shards
+
+                sub = {k: v for k, v in req.items() if k != "shard_key"}
+                saved = (planner.points, planner.ivf_index,
+                         planner.sparse_indexes)
+                planner.points = select_shards(
+                    points, req["shard_key"], col="shard_key")
+                planner.ivf_index = None
+                planner.sparse_indexes = {}
+                try:
+                    outs[i] = planner.plan(sub)
+                finally:
+                    (planner.points, planner.ivf_index,
+                     planner.sparse_indexes) = saved
+            else:
+                outs[i] = planner.plan(req)
             # a per-request plan() can itself hit the fused DataFrame
             # fallback; move its persists into the stash immediately or
             # the NEXT plan() call unpersists them at entry — before the

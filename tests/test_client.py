@@ -1117,3 +1117,34 @@ def test_batch_routes_default_vector_through_ivf(spark, tmp_path,
     # the dispatcher is selectivity-aware: either way results stay exact
     # at this scale, so both requests agree
     assert [p.id for p in res[0].points] == [p.id for p in res[1].points]
+
+
+def test_batch_per_request_shard_key(spark, tmp_path):
+    """query_batch_points honors a per-request shard_key selector: each
+    request's sub-plan scans only its shard's partition directories
+    (previously the field was silently ignored and every request searched
+    the whole collection)."""
+    c = QdrantSparkClient(spark, root=str(tmp_path))
+    c.create_collection("shb", vectors_config={"size": 4,
+                                               "distance": "Cosine"},
+                        sharding_method="custom")
+    c.create_shard_key("shb", "ta")
+    c.create_shard_key("shb", "tb")
+    c.upsert("shb", [{"id": i, "vector": VECS[i]} for i in (1, 2, 3)],
+             shard_key_selector="ta")
+    c.upsert("shb", [{"id": i, "vector": VECS[i]} for i in (4, 5)],
+             shard_key_selector="tb")
+    q = [0.2, 0.1, 0.9, 0.7]
+    res = c.query_batch_points("shb", [
+        {"query": q, "limit": 10, "shard_key": "ta"},
+        {"query": q, "limit": 10, "shard_key": "tb"},
+        {"query": q, "limit": 10},
+    ])
+    assert sorted(p.id for p in res[0].points) == [1, 2, 3]
+    assert sorted(p.id for p in res[1].points) == [4, 5]
+    assert sorted(p.id for p in res[2].points) == [1, 2, 3, 4, 5]
+    # scores match the single-request shard-routed path
+    single = c.query_points("shb", query=q, limit=10,
+                            shard_key_selector="tb")
+    assert [(p.id, p.score) for p in res[1].points] == \
+        [(p.id, p.score) for p in single.points]
