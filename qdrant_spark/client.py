@@ -1334,6 +1334,8 @@ class QdrantSparkClient:
             collections=registry,
             text_params=col.text_params or None,
             ivf_index=col.ivf.get(using or ""),
+            ivf_indexes={col.vec_col(n): idx
+                         for n, idx in col.ivf.items()},
             metrics=col.metrics_map(),
             sparse_indexes={col.vec_col(n): idx
                             for n, idx in col.sparse_idx.items()},
@@ -1455,6 +1457,7 @@ class QdrantSparkClient:
             # through it would leak other shards' points — shard-scoped
             # requests stay exact over the routed partition directories
             planner.ivf_index = None
+            planner.ivf_indexes = {}
             planner.sparse_indexes = {}
         scored = planner.plan(req)
         out = self._hydrate(col, scored, with_payload=with_payload,
@@ -1557,10 +1560,9 @@ class QdrantSparkClient:
                              sparse_indexes={col.vec_col(n): idx
                                              for n, idx
                                              in col.sparse_idx.items()},
-                             # default-vector ANN index: leaves on other
-                             # named vectors stay exact (the planner
-                             # routes only its own vec_col)
-                             ivf_index=col.ivf.get(""))
+                             ivf_index=col.ivf.get(""),
+                             ivf_indexes={col.vec_col(n): idx
+                                          for n, idx in col.ivf.items()})
         by_idx: dict[int, list] = {}
         for r in tagged.collect():
             by_idx.setdefault(r["request_idx"], []).append(r)

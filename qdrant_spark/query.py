@@ -94,7 +94,8 @@ class QueryPlanner:
                  fused_collect_max: int | None = None,
                  text_params: dict[str, dict[str, Any]] | None = None,
                  metrics: dict[str, str] | None = None,
-                 sparse_indexes: dict[str, Any] | None = None):
+                 sparse_indexes: dict[str, Any] | None = None,
+                 ivf_indexes: dict[str, Any] | None = None):
         self.points = points
         self.id_col = id_col
         self.default_vec_col = default_vec_col
@@ -134,12 +135,22 @@ class QueryPlanner:
         if ivf_index is not None and ivf_index.id_col != id_col:
             raise ValueError("ivf_index.id_col must match the planner id_col")
         self.ivf_index = ivf_index
+        # additional per-vector-column IVF indexes (named vectors); the
+        # primary `ivf_index` keeps its index_stats/cluster_stats tuning,
+        # the dict entries dispatch with defaults
+        self.ivf_indexes = ivf_indexes or {}
+        for vc, ix in self.ivf_indexes.items():
+            if ix.id_col != id_col:
+                raise ValueError(
+                    f"ivf_indexes[{vc!r}].id_col must match the planner "
+                    f"id_col")
         self.index_stats = index_stats or {}
         # optional dispatch.ClusterFieldStats: per-cluster filter
         # histograms for the ACORN-analogue filtered probe selection
         self.cluster_stats = cluster_stats
         self.full_scan_threshold = full_scan_threshold
         self._index_total: int | None = None
+        self._index_totals: dict[str, int] = {}
         #: diagnostics from the last plan(): how many sibling prefetch
         #: groups were fused into a single shared scan (see _plan_children)
         self.last_plan_info: dict[str, int] = {"fused_groups": 0,
@@ -168,6 +179,14 @@ class QueryPlanner:
         self._fused_persisted: list[DataFrame] = []
 
     # -- public ------------------------------------------------------------
+
+    def _ivf_for(self, vec_col: str):
+        """The IVF index covering a vector COLUMN: the primary
+        ``ivf_index`` when its vec_col matches, else the ``ivf_indexes``
+        registry entry."""
+        if self.ivf_index is not None and vec_col == self.ivf_index.vec_col:
+            return self.ivf_index
+        return self.ivf_indexes.get(vec_col)
 
     def metric_for(self, vec_col: str | None) -> str:
         """Distance for a given vector COLUMN (not qdrant vector name):
@@ -387,8 +406,7 @@ class QueryPlanner:
                 and isinstance(target[0], (list, tuple)):
             return None  # multivector MaxSim leg: own Arrow scan
         vec_col = req.get("using", self.default_vec_col)
-        if (self.ivf_index is not None and vec_col == self.ivf_index.vec_col
-                and not self._leaf_exact(req)):
+        if self._ivf_for(vec_col) is not None and not self._leaf_exact(req):
             return None
         import json
 
@@ -738,23 +756,26 @@ class QueryPlanner:
                     out = (out.withColumn("__rn", F.row_number().over(w))
                            .filter(F.col("__rn") > offset).drop("__rn"))
                 return out.select(self.id_col, "score")
-            if (self.ivf_index is not None and offset == 0
+            ivf = self._ivf_for(vec_col)
+            if (ivf is not None and offset == 0
                     and threshold is None and not pre_filtered
-                    and vec_col == self.ivf_index.vec_col
                     and not self._leaf_exact(req)):
                 from qdrant_spark.operators.dispatch import (
                     FULL_SCAN_THRESHOLD, auto_search,
                 )
 
-                if self._index_total is None:
-                    self._index_total = self.ivf_index.assigned.count()
+                primary = ivf is self.ivf_index
+                if vec_col not in self._index_totals:
+                    self._index_totals[vec_col] = ivf.assigned.count()
                 return auto_search(
-                    self.ivf_index, target, k=limit, flt=flt,
-                    metric=metric, stats=self.index_stats,
-                    total=self._index_total,
+                    ivf, target, k=limit, flt=flt,
+                    metric=metric,
+                    stats=self.index_stats if primary else {},
+                    total=self._index_totals[vec_col],
                     full_scan_threshold=(self.full_scan_threshold
                                          or FULL_SCAN_THRESHOLD),
-                    cluster_stats=self.cluster_stats,
+                    cluster_stats=(self.cluster_stats if primary
+                                   else None),
                 )
             out = knn(pts, target, metric=metric,
                       score_threshold=threshold, offset=offset,
@@ -965,6 +986,7 @@ def query_batch(
     metrics: dict[str, str] | None = None,
     sparse_indexes: dict[str, Any] | None = None,
     ivf_index=None,
+    ivf_indexes: dict[str, Any] | None = None,
 ) -> DataFrame:
     """Batch universal query (``POST /collections/{c}/points/query/batch``,
     reference src/actix/api/query_api.rs; per-request independence as in
@@ -991,7 +1013,7 @@ def query_batch(
         points, id_col=id_col, default_vec_col=vec_col, metric=metric,
         collections=collections, fuse_min_bytes=fuse_min_bytes,
         metrics=metrics, sparse_indexes=sparse_indexes,
-        ivf_index=ivf_index,
+        ivf_index=ivf_index, ivf_indexes=ivf_indexes,
     )
     if not requests:
         raise ValueError("empty request batch")
@@ -1029,16 +1051,17 @@ def query_batch(
 
                 sub = {k: v for k, v in req.items() if k != "shard_key"}
                 saved = (planner.points, planner.ivf_index,
-                         planner.sparse_indexes)
+                         planner.ivf_indexes, planner.sparse_indexes)
                 planner.points = select_shards(
                     points, req["shard_key"], col="shard_key")
                 planner.ivf_index = None
+                planner.ivf_indexes = {}
                 planner.sparse_indexes = {}
                 try:
                     outs[i] = planner.plan(sub)
                 finally:
                     (planner.points, planner.ivf_index,
-                     planner.sparse_indexes) = saved
+                     planner.ivf_indexes, planner.sparse_indexes) = saved
             else:
                 outs[i] = planner.plan(req)
             # a per-request plan() can itself hit the fused DataFrame

@@ -1148,3 +1148,44 @@ def test_batch_per_request_shard_key(spark, tmp_path):
                             shard_key_selector="tb")
     assert [(p.id, p.score) for p in res[1].points] == \
         [(p.id, p.score) for p in single.points]
+
+
+def test_named_vector_ivf_routes_in_batch_and_prefetch(spark, tmp_path,
+                                                       monkeypatch):
+    """Every named vector's own IVF index routes its leaves — in batch
+    requests and prefetch legs, not just the top-level `using` of
+    query_points (planner ivf_indexes registry)."""
+    import numpy as np
+
+    from qdrant_spark.operators import dispatch as DSP
+
+    c = QdrantSparkClient(spark, root=str(tmp_path))
+    c.create_collection("nivf", vectors_config={
+        "a": {"size": 8, "distance": "Cosine"},
+        "b": {"size": 8, "distance": "Cosine"}})
+    rng = np.random.default_rng(11)
+    c.upsert("nivf", [
+        {"id": i, "vector": {"a": rng.normal(size=8).astype(float).tolist(),
+                             "b": rng.normal(size=8).astype(float).tolist()}}
+        for i in range(300)])
+    for name in ("a", "b"):
+        assert c.ensure_vector_index("nivf", using=name, n_clusters=4,
+                                     indexing_threshold=1) == "built"
+    calls = []
+    orig = DSP.auto_search
+    monkeypatch.setattr(DSP, "auto_search",
+                        lambda *a, **k: calls.append(a[0].vec_col)
+                        or orig(*a, **k))
+    q = rng.normal(size=8).astype(float).tolist()
+    c.query_batch_points("nivf", [
+        {"query": q, "using": "a", "limit": 3},
+        {"query": q, "using": "b", "limit": 3},
+    ])
+    assert sorted(calls) == ["vec_a", "vec_b"]
+    calls.clear()
+    res = c.query_points("nivf", prefetch=[
+        {"query": q, "using": "a", "limit": 10},
+        {"query": q, "using": "b", "limit": 10},
+    ], query={"fusion": "rrf"}, limit=5, with_payload=False)
+    assert sorted(calls) == ["vec_a", "vec_b"]
+    assert len(res.points) == 5
