@@ -292,6 +292,41 @@ def sparse_knn_batch(
     )
 
 
+def sparse_knn_index_batch(
+    index: SparseIndex,
+    queries: list[tuple[Any, list[int], list[float]]],
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Batched sparse top-k over a prebuilt inverted index: ONE scan of
+    the union of every query's dim buckets answers the whole batch (the
+    reference's batch dispatch walks its posting lists once per term for
+    the whole request set). ``queries`` is driver-side
+    ``[(qid, indices, values), ...]``; returns (qid, id, score) rows,
+    per-qid top-k ranked score desc, id asc — identical per query to
+    :func:`sparse_knn_index`."""
+    spark = index.pairs.sparkSession
+    pairs = index.pairs
+    if index.dim_buckets:
+        dbs = sorted({int(d) % index.dim_buckets
+                      for _, dims, _ in queries for d in dims})
+        pairs = pairs.filter(F.col("__db").isin(dbs))
+    q = spark.createDataFrame(
+        [(qid, int(d), float(v)) for qid, dims, vals in queries
+         for d, v in zip(dims, vals)],
+        "qid: long, dim: long, qv: double",
+    )
+    scored = (
+        pairs.join(F.broadcast(q), "dim")
+        .groupBy("qid", index.id_col)
+        .agg(F.sum(F.col("v") * F.col("qv")).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col(index.id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k).drop("rank"))
+
+
 def bm25_tf(tf: Column, dl: Column, k1: float = BM25_K1, b: float = BM25_B,
             avg_doc_len: float = BM25_AVG_DOC_LEN) -> Column:
     """BM25 tf component (lib/bm25/src/lib.rs:19-50)."""

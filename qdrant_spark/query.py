@@ -974,6 +974,64 @@ def _release_one_shot(planner: "QueryPlanner", out: DataFrame) -> DataFrame:
     return out
 
 
+def _batch_sparse_indexed(planner: "QueryPlanner",
+                          requests: list[dict[str, Any]],
+                          outs: list) -> None:
+    """Batch-side sparse grouping: unfiltered single-leaf sparse nearest
+    requests whose vector column has a registered inverted index are
+    answered by ONE :func:`~qdrant_spark.operators.sparse.
+    sparse_knn_index_batch` scan over the union of their dim buckets (the
+    reference walks its posting lists once for the whole batch), then
+    split into per-request local frames — value-identical per request to
+    planning each alone. Requests with filters / exact / shard routing
+    keep their own plan."""
+    sparse_groups: dict[str, list[int]] = {}
+    for i, req in enumerate(requests):
+        if outs[i] is not None or req.get("prefetch") \
+                or req.get("shard_key") is not None \
+                or req.get("filter") is not None:
+            continue
+        q = req.get("query")
+        if not (isinstance(q, dict) and isinstance(q.get("nearest"), dict)
+                and "indices" in q["nearest"]):
+            continue
+        vc = req.get("using", planner.default_vec_col)
+        if planner.sparse_indexes.get(vc) is None \
+                or planner._leaf_exact(req):
+            continue
+        sparse_groups.setdefault(vc, []).append(i)
+    from pyspark.sql import types as T
+
+    for vc, idxs in sparse_groups.items():
+        if len(idxs) < 2:
+            continue
+        limits = {i: int(requests[i].get("limit", DEFAULT_LIMIT))
+                  for i in idxs}
+        if len(idxs) * max(limits.values()) > planner.fused_collect_max:
+            continue  # keep per-request plans; nothing funnels the driver
+        from qdrant_spark.operators.sparse import sparse_knn_index_batch
+
+        idx = planner.sparse_indexes[vc]
+        qs = [(i, [int(d) for d in requests[i]["query"]["nearest"]["indices"]],
+               [float(v) for v in requests[i]["query"]["nearest"]["values"]])
+              for i in idxs]
+        rows = sparse_knn_index_batch(
+            idx, qs, k=max(limits.values())).collect()
+        id_type = planner.points.schema[planner.id_col].dataType
+        schema = T.StructType([
+            T.StructField(planner.id_col, id_type),
+            T.StructField("score", T.DoubleType()),
+        ])
+        spark = planner.points.sparkSession
+        for i in idxs:
+            hits = sorted(
+                ((r[idx.id_col], float(r["score"]))
+                 for r in rows if r["qid"] == i),
+                key=lambda h: (-h[1], h[0]),
+            )[: limits[i]]
+            outs[i] = spark.createDataFrame(hits, schema)
+
+
 def query_batch(
     points: DataFrame,
     requests: list[dict[str, Any]],
@@ -1034,6 +1092,7 @@ def query_batch(
         legs = planner._fused_leaves([requests[i] for i in idxs], key[0])
         for i, df in zip(idxs, legs):
             outs[i] = df
+    _batch_sparse_indexed(planner, requests, outs)
     # stash fallback persists from the fused legs: the per-request plan()
     # calls below free planner._fused_persisted at entry, which would
     # evict the shared scan before the batch union materializes

@@ -545,3 +545,43 @@ def test_embedding_near_dups_unblocked_guard(spark, embeddings, monkeypatch):
         small.withColumn("blk", F.col("vec_id") % 4),
         threshold=0.0, block_col="blk")
     assert blocked.count() > 0
+
+
+def test_query_batch_groups_sparse_through_index(spark):
+    """query_batch answers >=2 unfiltered sparse requests on an indexed
+    column with ONE sparse_knn_index_batch scan; per-request results are
+    value-identical to planning each alone (and to the unrouted scans)."""
+    from qdrant_spark.operators import sparse as SP
+    from qdrant_spark.operators.sparse import build_sparse_index
+    from qdrant_spark.query import query_batch
+
+    rows = [(i, [i % 5, 77], [1.0, 0.2 * i]) for i in range(1, 31)]
+    df = spark.createDataFrame(
+        rows, "id: long, sparse_indices: array<long>, "
+              "sparse_values: array<double>")
+    idx = build_sparse_index(df, id_col="id")
+    reqs = [
+        {"query": {"nearest": {"indices": [1, 77], "values": [1.0, 1.0]}},
+         "limit": 4},
+        {"query": {"nearest": {"indices": [2, 77], "values": [2.0, 0.5]}},
+         "limit": 3},
+        {"query": {"nearest": {"indices": [3], "values": [1.0]}},
+         "limit": 5},
+    ]
+    want = query_batch(df, [dict(r) for r in reqs], id_col="id").collect()
+
+    calls = []
+    orig = SP.sparse_knn_index_batch
+    SP.sparse_knn_index_batch = \
+        lambda *a, **k: calls.append(1) or orig(*a, **k)
+    try:
+        got = query_batch(df, [dict(r) for r in reqs], id_col="id",
+                          sparse_indexes={"vec": idx}).collect()
+    finally:
+        SP.sparse_knn_index_batch = orig
+    assert len(calls) == 1  # one batched index scan for all 3 requests
+    key = lambda r: (r["request_idx"], r["id"])  # noqa: E731
+    assert sorted(((r["request_idx"], r["id"], round(r["score"], 9))
+                   for r in got)) == \
+        sorted(((r["request_idx"], r["id"], round(r["score"], 9))
+                for r in want))
