@@ -1130,6 +1130,45 @@ def _q_sparse_knn_batch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_sparse_knn_batch_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """r9: the whole batch answered by ONE inverted-index scan over the
+    union of the queries' dim buckets (sparse_knn_index_batch — the
+    reference walks its posting lists once for the batch); per-query
+    results identical to sparse_knn_batch, and the same DuckDB oracle."""
+    import tempfile
+
+    from qdrant_spark.functions.hashes import token_hash63
+    from qdrant_spark.operators.sparse import (
+        build_sparse_index, doc_terms, persist_sparse_index,
+        sparse_knn_index_batch)
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf)
+    h = doc_terms(docs).withColumn("dim", token_hash63(F.col("term")))
+    sv = (
+        h.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("dim", "tf"))).alias("ps"))
+        .select(
+            "doc_id",
+            F.col("ps.dim").alias("sparse_indices"),
+            F.col("ps.tf").cast("array<double>").alias("sparse_values"),
+        )
+    )
+    qs = [(int(r["doc_id"]), list(r["sparse_indices"]),
+           list(r["sparse_values"]))
+          for r in sv.filter(F.col("doc_id") < 3).collect()]
+    idx = persist_sparse_index(
+        build_sparse_index(sv, id_col="doc_id"),
+        tempfile.mkdtemp(prefix="sparse_idx_b_"), buckets=64)
+    out = sparse_knn_index_batch(idx, qs, k=10)
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(),
+                                          F.col("doc_id").asc())
+    out = out.withColumn("rank", F.row_number().over(w))
+    return _long(
+        _r6(out.select("qid", "doc_id", "score", "rank"), "score"), "rank"
+    )
+
+
 _SPARSE_KNN_BATCH_SQL = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 terms AS (SELECT doc_id, term, count(*) AS tf
@@ -3226,6 +3265,7 @@ _GATE_PRIORITY = [
     # fill the 50-slot gate; the r08-greened entries go last. After
     # r9 no entry's latest driver row should be older than r07.
     "sparse_knn_planned",
+    "sparse_knn_batch_indexed",
     "group_by_lookup",
     "maxsim",
     "maxsim_knn",
@@ -3441,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_knn_persisted": _q_sparse_knn_persisted,
         "sparse_knn_planned": _q_sparse_knn_planned,
         "sparse_knn_batch": _q_sparse_knn_batch,
+        "sparse_knn_batch_indexed": _q_sparse_knn_batch_indexed,
         "sparse_idf_knn": _q_sparse_idf,
         "sparse_idf_corpus": _q_sparse_idf_corpus,
         "bm25_search": _q_bm25,
@@ -3667,6 +3708,7 @@ FROM documents
         "sparse_knn_persisted": _SPARSE_KNN_SQL,
         "sparse_knn_planned": _SPARSE_KNN_SQL,
         "sparse_knn_batch": _SPARSE_KNN_BATCH_SQL,
+        "sparse_knn_batch_indexed": _SPARSE_KNN_BATCH_SQL,
         "sparse_idf_knn": _SPARSE_IDF_SQL,
         "sparse_idf_corpus": _SPARSE_IDF_CORPUS_SQL,
         "bm25_search": _BM25_SQL,
