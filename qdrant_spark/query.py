@@ -1056,7 +1056,11 @@ def query_batch(
     requests sharing (filter, vector column), which are auto-batched into
     ONE ``knn_batch`` corpus scan (the reference's batch dispatch
     special-cases exactly this, dispatch.rs batch path / the PlannedQuery
-    leaf merge). Per-request limit/offset/score_threshold are preserved;
+    leaf merge), and unfiltered sparse-nearest requests on an indexed
+    column, which are answered by ONE inverted-index scan
+    (:func:`_batch_sparse_indexed`). Requests carrying a ``shard_key``
+    selector route to their shard's partition directories before
+    planning. Per-request limit/offset/score_threshold are preserved;
     the batched leg results are value-identical to planning each request
     alone.
 

@@ -585,3 +585,25 @@ def test_query_batch_groups_sparse_through_index(spark):
                    for r in got)) == \
         sorted(((r["request_idx"], r["id"], round(r["score"], 9))
                 for r in want))
+
+
+def test_sparse_index_batch_prunes_partitions(spark, tmp_path):
+    """The batched index scan reads only the union of the queries' dim
+    buckets (PartitionFilters on __db), like the single-query path."""
+    from qdrant_spark.operators.sparse import (
+        build_sparse_index, persist_sparse_index, sparse_knn_index_batch)
+
+    rows = [(i, [i % 7, 99], [1.0, float(i)]) for i in range(1, 50)]
+    df = spark.createDataFrame(
+        rows, "id: long, sparse_indices: array<long>, "
+              "sparse_values: array<double>")
+    idx = persist_sparse_index(build_sparse_index(df, id_col="id"),
+                               str(tmp_path / "sx"), buckets=16)
+    out = sparse_knn_index_batch(
+        idx, [(0, [1, 99], [1.0, 1.0]), (1, [2], [1.0])], k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "__db" in plan
+    import re
+    pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan).group(0)
+    # union of dims {1, 99, 2} % 16 = {1, 3, 2}
+    assert "1,2,3" in pf.replace(" ", "")
