@@ -716,11 +716,12 @@ class QueryPlanner:
                             F.col(self.id_col).alias(sp_idx.id_col))
                     self.last_plan_info["sparse_index_leaves"] = \
                         self.last_plan_info.get("sparse_index_leaves", 0) + 1
-                    return sparse_knn_index(
+                    out = sparse_knn_index(
                         sp_idx, target["indices"], target["values"],
-                        k=limit, cand=cand,
+                        k=limit + offset, cand=cand,
                     ).select(F.col(sp_idx.id_col).alias(self.id_col),
                              "score")
+                    return out.offset(offset) if offset else out
                 from qdrant_spark.operators.sparse import sparse_knn
 
                 skw = {}
@@ -729,10 +730,12 @@ class QueryPlanner:
                     # {indices, values} (qdrant SparseVector layout)
                     skw = dict(indices_col=f"{vec_col}.indices",
                                values_col=f"{vec_col}.values")
-                return sparse_knn(
-                    pts, target["indices"], target["values"], k=limit,
+                out = sparse_knn(
+                    pts, target["indices"], target["values"],
+                    k=limit + offset,
                     id_col=self.id_col, flt=flt, **skw,
                 ).select(self.id_col, "score")
+                return out.offset(offset) if offset else out
             target = self._resolve_vector_input(target, req)
             if target and isinstance(target[0], (list, tuple)):
                 # multivector query -> MaxSim over an array<array<float>>

@@ -607,3 +607,24 @@ def test_sparse_index_batch_prunes_partitions(spark, tmp_path):
     pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan).group(0)
     # union of dims {1, 99, 2} % 16 = {1, 3, 2}
     assert "1,2,3" in pf.replace(" ", "")
+
+
+def test_planner_sparse_leaf_applies_offset(spark):
+    """offset on a sparse nearest request skips the first rows of the
+    ranking (both the scan path and the index-routed path ignored it
+    before r9)."""
+    from qdrant_spark.operators.sparse import build_sparse_index
+    from qdrant_spark.query import QueryPlanner
+
+    rows = [(i, [5], [float(i)]) for i in range(1, 11)]
+    df = spark.createDataFrame(
+        rows, "id: long, sparse_indices: array<long>, "
+              "sparse_values: array<double>")
+    req = {"query": {"nearest": {"indices": [5], "values": [1.0]}},
+           "limit": 3, "offset": 2}
+    for pl in (QueryPlanner(df, id_col="id"),
+               QueryPlanner(df, id_col="id",
+                            sparse_indexes={
+                                "vec": build_sparse_index(df, id_col="id")})):
+        got = [(r["id"], r["score"]) for r in pl.plan(req).collect()]
+        assert got == [(8, 8.0), (7, 7.0), (6, 6.0)]
