@@ -1472,6 +1472,7 @@ class QdrantSparkClient:
                             prefetch: list[dict] | dict | None = None,
                             query_filter: dict | None = None,
                             limit: int = 10, group_size: int = 3,
+                            score_threshold: float | None = None,
                             with_payload: bool | list[str] | dict = True,
                             with_vectors: bool | list[str] = False,
                             with_lookup: dict | str | None = None,
@@ -1492,6 +1493,8 @@ class QdrantSparkClient:
             req["prefetch"] = pf
         if query_filter is not None:
             req["filter"] = query_filter
+        if score_threshold is not None:
+            req["score_threshold"] = score_threshold
         self._apply_sparse_modifiers(col, req)
         self._check_strict(col.name, {**req, "limit": limit})
         planner = self._planner(col, using)
@@ -1718,7 +1721,11 @@ class QdrantSparkClient:
                                  "negative": negative or [],
                                  "strategy": strategy}},
             using=using, query_filter=query_filter, limit=limit,
-            with_payload=with_payload).points
+            with_payload=with_payload,
+            offset=_ignored.get("offset", 0),
+            score_threshold=_ignored.get("score_threshold"),
+            with_vectors=_ignored.get("with_vectors", False),
+            lookup_from=_ignored.get("lookup_from")).points
 
     def discover(self, collection_name: str, *, target: Any = None,
                  context: list[dict] | None = None,
@@ -1736,7 +1743,10 @@ class QdrantSparkClient:
         return self.query_points(
             collection_name, query=query, using=using,
             query_filter=query_filter, limit=limit,
-            with_payload=with_payload).points
+            with_payload=with_payload,
+            offset=_ignored.get("offset", 0),
+            with_vectors=_ignored.get("with_vectors", False),
+            lookup_from=_ignored.get("lookup_from")).points
 
     def search_groups(self, collection_name: str, query_vector: Any, *,
                       group_by: str, limit: int = 10, group_size: int = 3,

@@ -795,20 +795,25 @@ class QueryPlanner:
                 "best_score": R.recommend_best_score,
                 "sum_scores": R.recommend_sum_scores,
             }[strat]
-            kw2 = dict(kw)
+            kw2 = dict(kw, k=limit + offset)
             if strat == "average_vector":
                 kw2["score_threshold"] = threshold
             out = fn(pts, pos, neg, metric=metric, **kw2)
-            return out.select(self.id_col, "score")
+            out = out.select(self.id_col, "score")
+            return out.offset(offset) if offset else out
+        kw_off = dict(kw, k=limit + offset)
         if "discover" in query:
             d = query["discover"]
             pairs = [(rv(p["positive"]), rv(p["negative"])) for p in d["context"]]
-            return R.discover(pts, rv(d["target"]), pairs,
-                              metric=metric, **kw).select(self.id_col, "score")
+            out = R.discover(pts, rv(d["target"]), pairs,
+                             metric=metric,
+                             **kw_off).select(self.id_col, "score")
+            return out.offset(offset) if offset else out
         if "context" in query:
             pairs = [(rv(p["positive"]), rv(p["negative"])) for p in query["context"]]
-            return R.context(pts, pairs, metric=metric, **kw).select(
+            out = R.context(pts, pairs, metric=metric, **kw_off).select(
                 self.id_col, "score")
+            return out.offset(offset) if offset else out
         if "order_by" in query:
             ob = query["order_by"]
             key, direction = ob["key"], ob.get("direction", "asc")

@@ -1189,3 +1189,22 @@ def test_named_vector_ivf_routes_in_batch_and_prefetch(spark, tmp_path,
     ], query={"fusion": "rrf"}, limit=5, with_payload=False)
     assert sorted(calls) == ["vec_a", "vec_b"]
     assert len(res.points) == 5
+
+
+def test_groups_and_legacy_kwargs_forwarded(client):
+    """score_threshold on query_points_groups and offset/score_threshold
+    on legacy recommend() were silently dropped."""
+    q = [0.2, 0.1, 0.9, 0.7]
+    full = _exact_knn(q, 8)
+    thr = (full[2][1] + full[3][1]) / 2
+    res = client.query_points_groups(
+        "test_collection", group_by="city", query=q, limit=10,
+        group_size=4, score_threshold=thr)
+    for g in res.groups:
+        for h in g.hits:
+            assert h.score > thr
+    # legacy recommend with offset: skips the first hit
+    base = client.recommend("test_collection", positive=[1], limit=3)
+    shifted = client.recommend("test_collection", positive=[1], limit=2,
+                               offset=1)
+    assert [p.id for p in shifted] == [p.id for p in base][1:3]
