@@ -758,21 +758,26 @@ class QdrantSparkClient:
 
     def set_payload(self, collection_name: str, payload: dict[str, Any], *,
                     points: list | None = None, filter: dict | None = None,
+                    key: str | None = None,
                     **_ignored: Any) -> UpdateResult:
+        """``key=`` (SetPayloadOp.key): set the payload keys UNDER a
+        dotted struct path, preserving sibling subfields."""
         col = self._coll(collection_name)
         if col.df is None:
             return UpdateResult(operation_id=col.op_counter)
         if filter is not None:
             self._check_strict(col.name, {"filter": filter}, is_update=True)
         table = col.df
-        # new payload keys appear as typed columns first
-        new_cols = {k: v for k, v in payload.items() if k not in table.columns}
-        for k, v in new_cols.items():
-            table = table.withColumn(
-                k, F.lit(None).cast(_finalize_type(_infer_type(v))))
+        if key is None:
+            # new payload keys appear as typed columns first
+            new_cols = {k: v for k, v in payload.items()
+                        if k not in table.columns}
+            for k, v in new_cols.items():
+                table = table.withColumn(
+                    k, F.lit(None).cast(_finalize_type(_infer_type(v))))
         return self._commit(col, M.set_payload(
             table, payload, ids=self._norm_ids(col, points), flt=filter,
-            id_col="id"))
+            id_col="id", key=key))
 
     def overwrite_payload(self, collection_name: str, payload: dict[str, Any],
                           *, points: list | None = None,

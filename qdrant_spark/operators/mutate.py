@@ -142,6 +142,90 @@ def _target_cond(table: DataFrame, ids, flt, id_col):
     return F.lit(True)
 
 
+def _infer_dtype(v: Any):
+    """Spark type for a payload literal (the same shapes the client's
+    upsert inference produces for payload columns)."""
+    from pyspark.sql import types as T
+
+    if isinstance(v, dict):
+        return T.StructType(
+            [T.StructField(k, _infer_dtype(x)) for k, x in v.items()])
+    if isinstance(v, (list, tuple)):
+        return T.ArrayType(_infer_dtype(v[0]) if v else T.StringType())
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    return T.StringType()
+
+
+def _merge_dtype(old, new):
+    """Widen ``old`` with any struct fields only ``new`` has; on a scalar
+    type conflict the STORED type wins (other rows already hold it —
+    values are cast, like the client's cross-batch payload typing)."""
+    from pyspark.sql import types as T
+
+    if isinstance(old, T.StructType) and isinstance(new, T.StructType):
+        newmap = {f.name: f.dataType for f in new.fields}
+        fields = [
+            T.StructField(f.name, _merge_dtype(f.dataType,
+                                               newmap.pop(f.name))
+                          if f.name in [g.name for g in new.fields]
+                          else f.dataType)
+            for f in old.fields
+        ]
+        fields += [T.StructField(k, dt) for k, dt in newmap.items()]
+        return T.StructType(fields)
+    if isinstance(old, T.ArrayType) and isinstance(new, T.ArrayType):
+        return T.ArrayType(_merge_dtype(old.elementType, new.elementType))
+    return old
+
+
+def _shape(v: Any, dtype):
+    """Column literal for ``v`` shaped EXACTLY to ``dtype`` (struct field
+    order and all) — ``F.lit`` alone cannot build dict/list literals."""
+    from pyspark.sql import types as T
+
+    if v is None:
+        return F.lit(None).cast(dtype)
+    if isinstance(dtype, T.StructType):
+        v = v if isinstance(v, dict) else {}
+        return F.struct(*[
+            _shape(v.get(f.name), f.dataType).alias(f.name)
+            for f in dtype.fields])
+    if isinstance(dtype, T.ArrayType):
+        if not isinstance(v, (list, tuple)) or not v:
+            return F.lit(None).cast(dtype) if not isinstance(
+                v, (list, tuple)) else F.array().cast(dtype)
+        return F.array(*[_shape(x, dtype.elementType) for x in v])
+    try:
+        return F.lit(v).cast(dtype)
+    except Exception:
+        return F.lit(None).cast(dtype)
+
+
+def _evolve(col, old, target):
+    """Rebuild ``col`` (typed ``old``) as ``target`` — identical values,
+    new struct fields nulled in. Cast-free for unchanged subtrees."""
+    from pyspark.sql import types as T
+
+    if old == target:
+        return col
+    if isinstance(old, T.StructType) and isinstance(target, T.StructType):
+        have = {f.name: f.dataType for f in old.fields}
+        return F.struct(*[
+            (_evolve(col[f.name], have[f.name], f.dataType)
+             if f.name in have else F.lit(None).cast(f.dataType)).alias(
+                 f.name)
+            for f in target.fields])
+    if isinstance(old, T.ArrayType) and isinstance(target, T.ArrayType):
+        return F.transform(
+            col, lambda x: _evolve(x, old.elementType, target.elementType))
+    return col.cast(target)
+
+
 def set_payload(
     table: DataFrame,
     payload: dict[str, Any],
@@ -149,15 +233,96 @@ def set_payload(
     ids: list | None = None,
     flt: dict[str, Any] | None = None,
     id_col: str = "id",
+    key: str | None = None,
 ) -> DataFrame:
     """SetPayload (payload_ops.rs:16-28): per-key merge — listed keys are
-    set on matching rows, other columns untouched."""
+    REPLACED on matching rows, other columns untouched. Values may be
+    arbitrarily nested dicts/lists; a struct column schema-evolves (new
+    subfields appear nulled on non-matching rows), and on a scalar type
+    conflict the stored type wins (value cast, like cross-batch payload
+    typing on upsert).
+
+    ``key`` (SetPayloadOp.key, a dotted path): the payload keys are set
+    UNDER that path instead, preserving sibling subfields — e.g.
+    ``payload={"c": 1}, key="meta"`` sets ``meta.c`` only. Array steps
+    (``a[0]``) are not supported in this typed columnar layout."""
     cond = _target_cond(table, ids, flt, id_col)
+    if key is not None:
+        return _set_payload_at(table, payload, key, cond)
     out = table
-    for key, value in payload.items():
-        base = F.col(key) if key in table.columns else F.lit(None)
-        out = out.withColumn(key, F.when(cond, F.lit(value)).otherwise(base))
+    for k, value in payload.items():
+        inferred = _infer_dtype(value)
+        if k in out.columns:
+            old = out.schema[k].dataType
+            target = _merge_dtype(old, inferred)
+            if target != old:
+                out = out.withColumn(k, _evolve(F.col(k), old, target))
+            base = F.col(k)
+        else:
+            target = inferred
+            base = F.lit(None).cast(target)
+        out = out.withColumn(
+            k, F.when(cond, _shape(value, target)).otherwise(base))
     return out
+
+
+def _set_payload_at(table: DataFrame, payload: dict[str, Any],
+                    key: str, cond) -> DataFrame:
+    from pyspark.sql import types as T
+
+    if "[" in key:
+        raise ValueError(
+            f"set_payload key={key!r}: array steps are not supported in "
+            f"the typed columnar layout (dotted struct paths only)")
+    segs = key.split(".")
+    col_name = segs[0]
+    # the value written at the path is the payload OBJECT merged into
+    # whatever struct lives there
+    inferred = _infer_dtype(payload)
+    for seg in reversed(segs[1:]):
+        inferred = T.StructType([T.StructField(seg, inferred)])
+    if col_name in table.columns:
+        old = table.schema[col_name].dataType
+        if segs[1:] and not isinstance(old, T.StructType):
+            raise ValueError(
+                f"set_payload key={key!r}: column {col_name!r} is "
+                f"{old.simpleString()}, not a struct")
+        target = _merge_dtype(old, inferred) if isinstance(
+            old, T.StructType) else inferred
+        out = table
+        if target != old:
+            out = out.withColumn(
+                col_name, _evolve(F.col(col_name), old, target)
+                if isinstance(old, T.StructType)
+                else F.lit(None).cast(target))
+        base = F.col(col_name)
+    else:
+        target = inferred
+        out = table
+        base = F.lit(None).cast(target)
+
+    def set_under(base_col, dtype, rest: list[str]):
+        if not rest:
+            new = base_col
+            for k, v in payload.items():
+                sub = next(f.dataType for f in dtype.fields if f.name == k)
+                new = new.withField(k, _shape(v, sub))
+            return new
+        head = rest[0]
+        sub = next(f.dataType for f in dtype.fields if f.name == head)
+        if not isinstance(sub, T.StructType):
+            raise ValueError(
+                f"set_payload key: path step {head!r} is "
+                f"{sub.simpleString()}, not a struct")
+        inner = F.when(base_col[head].isNotNull(), base_col[head]) \
+            .otherwise(F.lit(None).cast(sub))
+        return base_col.withField(head, set_under(inner, sub, rest[1:]))
+
+    # base may be NULL on rows where the struct was never set: seed an
+    # all-null struct so withField has something to build on
+    seeded = F.coalesce(base, _shape({}, target))
+    new = set_under(seeded, target, segs[1:])
+    return out.withColumn(col_name, F.when(cond, new).otherwise(base))
 
 
 def overwrite_payload(
@@ -174,8 +339,18 @@ def overwrite_payload(
     cond = _target_cond(table, ids, flt, id_col)
     out = table
     for key in payload_cols:
-        new = F.lit(payload[key]) if key in payload else F.lit(None)
-        base = F.col(key) if key in table.columns else F.lit(None)
+        if key in table.columns:
+            old = table.schema[key].dataType
+            target = _merge_dtype(old, _infer_dtype(payload[key])) \
+                if key in payload else old
+            if target != old:
+                out = out.withColumn(key, _evolve(F.col(key), old, target))
+            base = F.col(key)
+        else:
+            target = _infer_dtype(payload.get(key))
+            base = F.lit(None).cast(target)
+        new = _shape(payload[key], target) if key in payload \
+            else F.lit(None).cast(target)
         out = out.withColumn(key, F.when(cond, new).otherwise(base))
     return out
 

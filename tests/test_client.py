@@ -1208,3 +1208,51 @@ def test_groups_and_legacy_kwargs_forwarded(client):
     shifted = client.recommend("test_collection", positive=[1], limit=2,
                                offset=1)
     assert [p.id for p in shifted] == [p.id for p in base][1:3]
+
+
+class TestNestedPayloadMutation:
+    def test_nested_set_overwrite_and_key(self, spark):
+        """Nested dict/list payload values through set/overwrite_payload
+        (F.lit cannot build them — typed struct/array literals), struct
+        schema evolution on new subfields, and SetPayloadOp.key: set the
+        payload keys UNDER a dotted path preserving siblings."""
+        c = QdrantSparkClient(spark)
+        c.create_collection("np", vectors_config={"size": 2,
+                                                  "distance": "Dot"})
+        c.upsert("np", [
+            {"id": 1, "vector": [1.0, 0.0],
+             "payload": {"meta": {"a": 1, "b": "x"}, "plain": 5}},
+            {"id": 2, "vector": [0.0, 1.0], "payload": {"plain": 7}},
+        ])
+        # top-level key = wholesale replace
+        c.set_payload("np", {"meta": {"a": 2, "b": "y"}}, points=[1])
+        assert c.retrieve("np", [1])[0].payload["meta"] == \
+            {"a": 2, "b": "y"}
+        # new subfield evolves the struct; b replaced away -> null
+        c.set_payload("np", {"meta": {"a": 3, "c": True}}, points=[1])
+        m = c.retrieve("np", [1])[0].payload["meta"]
+        assert (m["a"], m["c"]) == (3, True) and m["b"] is None
+        # key= merges under the path, preserving siblings
+        c.set_payload("np", {"b": "z"}, points=[1], key="meta")
+        m = c.retrieve("np", [1])[0].payload["meta"]
+        assert (m["a"], m["b"], m["c"]) == (3, "z", True)
+        # key= on a row whose struct is NULL seeds it; other rows keep
+        # theirs
+        c.set_payload("np", {"a": 9}, points=[2], key="meta")
+        assert c.retrieve("np", [2])[0].payload["meta"]["a"] == 9
+        assert c.retrieve("np", [1])[0].payload["meta"]["a"] == 3
+        # scalar type conflict: stored type wins, value cast
+        c.set_payload("np", {"plain": 8.9}, points=[2])
+        assert c.retrieve("np", [2])[0].payload["plain"] == 8
+        # overwrite with nested dict + new list column
+        c.overwrite_payload("np", {"meta": {"a": 4, "b": "w"},
+                                   "tags": ["r", "s"]}, points=[2])
+        p2 = c.retrieve("np", [2])[0].payload
+        assert p2["meta"]["a"] == 4 and p2["tags"] == ["r", "s"]
+        assert "plain" not in p2  # overwrite clears unlisted keys
+        # array path steps rejected with a clear error
+        with pytest.raises(ValueError, match="array steps"):
+            c.set_payload("np", {"x": 1}, points=[1], key="meta[0]")
+        # non-struct path step rejected
+        with pytest.raises(ValueError, match="not a struct"):
+            c.set_payload("np", {"x": 1}, points=[1], key="plain.x")
