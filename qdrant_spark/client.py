@@ -807,7 +807,9 @@ class QdrantSparkClient:
             return UpdateResult(operation_id=col.op_counter)
         if filter is not None:
             self._check_strict(col.name, {"filter": filter}, is_update=True)
-        keys = [k for k in keys if k in col.df.columns]
+        # keep dotted struct paths ("meta.b") — the operator nulls the
+        # subfield; only keys whose ROOT column is missing are no-ops
+        keys = [k for k in keys if k.split(".")[0] in col.df.columns]
         if not keys:
             return UpdateResult(operation_id=col.op_counter)
         return self._commit(col, M.delete_payload(

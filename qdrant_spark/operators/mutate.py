@@ -363,11 +363,42 @@ def delete_payload(
     flt: dict[str, Any] | None = None,
     id_col: str = "id",
 ) -> DataFrame:
-    """DeletePayload: remove listed keys (NULL the columns) on matches."""
+    """DeletePayload: remove listed keys (NULL the columns) on matches.
+    Keys may be dotted struct paths ("meta.b": the subfield is nulled,
+    siblings kept); missing keys/paths are no-ops (as in the reference —
+    previously a dotted key CREATED a corrupt literal-dot column and a
+    missing key raised)."""
+    from pyspark.sql import types as T
+
+    def null_at(col, dtype, segs):
+        fld = next((f for f in dtype.fields if f.name == segs[0]), None)
+        if fld is None:
+            return None
+        if len(segs) == 1:
+            return col.withField(segs[0],
+                                 F.lit(None).cast(fld.dataType))
+        if not isinstance(fld.dataType, T.StructType):
+            return None
+        inner = null_at(col[segs[0]], fld.dataType, segs[1:])
+        return None if inner is None else col.withField(segs[0], inner)
+
     cond = _target_cond(table, ids, flt, id_col)
     out = table
     for key in keys:
-        out = out.withColumn(key, F.when(cond, F.lit(None)).otherwise(F.col(key)))
+        segs = key.split(".")
+        if segs[0] not in table.columns:
+            continue
+        dtype = table.schema[segs[0]].dataType
+        if len(segs) == 1:
+            new = F.lit(None).cast(dtype)
+        else:
+            if not isinstance(dtype, T.StructType):
+                continue
+            new = null_at(F.col(segs[0]), dtype, segs[1:])
+            if new is None:
+                continue
+        out = out.withColumn(
+            segs[0], F.when(cond, new).otherwise(F.col(segs[0])))
     return out
 
 

@@ -1256,3 +1256,25 @@ class TestNestedPayloadMutation:
         # non-struct path step rejected
         with pytest.raises(ValueError, match="not a struct"):
             c.set_payload("np", {"x": 1}, points=[1], key="plain.x")
+
+    def test_delete_payload_nested_and_missing_keys(self, spark):
+        c = QdrantSparkClient(spark)
+        c.create_collection("dp", vectors_config={"size": 2,
+                                                  "distance": "Dot"})
+        c.upsert("dp", [
+            {"id": 1, "vector": [1.0, 0.0],
+             "payload": {"meta": {"a": 1, "b": "x"}, "plain": 5}},
+            {"id": 2, "vector": [0.0, 1.0],
+             "payload": {"meta": {"a": 2, "b": "y"}, "plain": 7}},
+        ])
+        # nested path: null the subfield, keep siblings, other rows intact
+        c.delete_payload("dp", ["meta.b"], points=[1])
+        p1 = c.retrieve("dp", [1])[0].payload
+        assert p1["meta"]["a"] == 1 and p1["meta"]["b"] is None
+        assert c.retrieve("dp", [2])[0].payload["meta"]["b"] == "y"
+        # missing key / missing path / non-struct step: no-ops, no crash
+        c.delete_payload("dp", ["nope", "meta.zzz", "plain.x"], points=[1])
+        assert c.retrieve("dp", [1])[0].payload["plain"] == 5
+        # top-level delete still works
+        c.delete_payload("dp", ["plain"], points=[1])
+        assert "plain" not in c.retrieve("dp", [1])[0].payload
