@@ -1278,3 +1278,45 @@ class TestNestedPayloadMutation:
         # top-level delete still works
         c.delete_payload("dp", ["plain"], points=[1])
         assert "plain" not in c.retrieve("dp", [1])[0].payload
+
+
+def test_client_batch_sparse_uses_index_group(spark, monkeypatch):
+    """Through the client: >=2 sparse batch requests on an ensured index
+    are answered by one batched index scan, results equal to the
+    unindexed collection's answers."""
+    import qdrant_spark.operators.sparse as SP
+
+    def mk(name):
+        c = QdrantSparkClient(spark)
+        c.create_collection(name, vectors_config={"size": 2,
+                                                  "distance": "Dot"},
+                            sparse_vectors_config={"text": {}})
+        c.upsert(name, [
+            {"id": i, "vector": {"": [float(i), 0.0],
+                                 "text": {"indices": [i % 3, 9],
+                                          "values": [1.0, 0.1 * i]}}}
+            for i in range(1, 13)])
+        return c
+    reqs = [
+        {"query": {"indices": [0, 9], "values": [1.0, 1.0]}, "using": "text",
+         "limit": 4, "with_payload": False},
+        {"query": {"indices": [1], "values": [2.0]}, "using": "text",
+         "limit": 3, "with_payload": False},
+    ]
+    plain = mk("sbp_plain")
+    want = [[(p.id, p.score) for p in r.points]
+            for r in plain.query_batch_points("sbp_plain", reqs)]
+    c = mk("sbp_idx")
+    assert c.ensure_vector_index("sbp_idx", using="text",
+                                 indexing_threshold=1) == "built"
+    calls = []
+    orig = SP.sparse_knn_index_batch
+    monkeypatch.setattr(SP, "sparse_knn_index_batch",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    got = [[(p.id, p.score) for p in r.points]
+           for r in c.query_batch_points("sbp_idx", reqs)]
+    assert len(calls) == 1
+    for g, w in zip(got, want):
+        assert [x[0] for x in g] == [x[0] for x in w]
+        for (gi, gs), (wi, ws) in zip(g, w):
+            assert gs == pytest.approx(ws, abs=1e-9)
