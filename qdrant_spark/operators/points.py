@@ -163,6 +163,19 @@ def count_estimate(
     return agresti_coull_interval(trials, positive, total)
 
 
+
+def _key_dtype(schema, key: str):
+    """Data type at a (possibly dotted) payload path, or None — facet /
+    unique_values accept nested struct paths like the reference's
+    JsonPath facet keys."""
+    dt = schema
+    for seg in key.split("."):
+        if isinstance(dt, T.StructType) and seg in dt.names:
+            dt = dt[seg].dataType
+        else:
+            return None
+    return dt
+
 def facet(
     points: DataFrame,
     key: str,
@@ -174,7 +187,7 @@ def facet(
     (FacetParams facets.rs:16-30). Array fields: each distinct value of a
     point counts once."""
     df = apply_filter(points, flt)
-    typ = df.schema[key].dataType if key in df.columns else None
+    typ = _key_dtype(df.schema, key)
     val = F.explode(F.array_distinct(F.col(key))) if isinstance(typ, T.ArrayType) else F.col(key)
     return (
         df.select(val.alias("value"))
@@ -218,7 +231,7 @@ def facet_estimate(
         F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
                           F.lit(f"facet{seed}"))), 1, 8)
     sample = df.filter(h < F.lit(thr))
-    typ = sample.schema[key].dataType if key in sample.columns else None
+    typ = _key_dtype(sample.schema, key)
     val = (F.explode(F.array_distinct(F.col(key)))
            if isinstance(typ, T.ArrayType) else F.col(key))
     return (
@@ -236,7 +249,7 @@ def unique_values(
     points: DataFrame, key: str, *, flt: dict[str, Any] | None = None
 ) -> DataFrame:
     df = apply_filter(points, flt)
-    typ = df.schema[key].dataType if key in df.columns else None
+    typ = _key_dtype(df.schema, key)
     val = F.explode(F.col(key)) if isinstance(typ, T.ArrayType) else F.col(key)
     return df.select(val.alias("value")).filter(F.col("value").isNotNull()).distinct()
 

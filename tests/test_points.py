@@ -141,3 +141,21 @@ def test_facet_estimate_brackets_exact(documents):
     import pytest as _p
     with _p.raises(ValueError):
         facet_estimate(documents, "lang", fraction=0.0, id_col="doc_id")
+
+
+def test_facet_and_unique_values_on_nested_path(spark):
+    """Facet keys may be dotted struct paths (JsonPath facet keys in the
+    reference); nested ARRAY subfields count each distinct value once."""
+    from qdrant_spark.operators.points import facet, unique_values
+
+    df = spark.createDataFrame(
+        [(1, {"lang": "en", "tags": ["a", "b", "a"]}),
+         (2, {"lang": "de", "tags": ["b"]}),
+         (3, {"lang": "en", "tags": None})],
+        "id: long, meta: struct<lang: string, tags: array<string>>")
+    hits = facet(df, "meta.lang").collect()
+    assert [(r["value"], r["count"]) for r in hits] == [("en", 2), ("de", 1)]
+    arr = facet(df, "meta.tags").collect()
+    assert [(r["value"], r["count"]) for r in arr] == [("b", 2), ("a", 1)]
+    uv = unique_values(df, "meta.lang").collect()
+    assert sorted(r[0] for r in uv) == ["de", "en"]
