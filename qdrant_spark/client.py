@@ -775,6 +775,26 @@ class QdrantSparkClient:
             for k, v in new_cols.items():
                 table = table.withColumn(
                     k, F.lit(None).cast(_finalize_type(_infer_type(v))))
+            # a never-typed column (null-only / empty-list, finalized to
+            # string) re-types to this payload's real type, exactly like
+            # the cross-batch upsert path: stored values are all
+            # null/empty, so the cast is safe
+            for k in sorted(col.null_typed & set(payload)):
+                v = payload[k]
+                if v in (None, [], {}):
+                    continue
+                want = _finalize_type(_infer_type(v))
+                have = table.schema[k].dataType
+                if want != have:
+                    if isinstance(want, T.StructType):
+                        empty = F.struct(*[
+                            F.lit(None).cast(f_.dataType).alias(f_.name)
+                            for f_ in want.fields])
+                        table = table.withColumn(
+                            k, F.when(F.col(k).isNotNull(), empty))
+                    else:
+                        table = table.withColumn(k, F.col(k).cast(want))
+                col.null_typed.discard(k)
         return self._commit(col, M.set_payload(
             table, payload, ids=self._norm_ids(col, points), flt=filter,
             id_col="id", key=key))

@@ -146,3 +146,33 @@ def test_offset_with_order_by_rejected(client):
             client.scroll("ob_reject", order_by="n", offset=1)
     finally:
         client.delete_collection("ob_reject")
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(p1=_payloads, p2=_payloads)
+def test_set_payload_nested_roundtrip(client, p1, p2):
+    """set_payload with arbitrary nested values: upsert p1, then set p2 —
+    every key listed in p2 reads back as p2's value (modulo the
+    documented widenings and null-subfield representation), unlisted p1
+    keys survive untouched."""
+    _counter[0] += 1
+    name = f"prop_sp_{_counter[0]}"
+    client.create_collection(name, vectors_config={"size": 2,
+                                                   "distance": "Dot"})
+    try:
+        client.upsert(name, [{"id": 1, "vector": [1.0, 0.0],
+                              "payload": p1}])
+        client.set_payload(name, p2, points=[1])
+        got = client.retrieve(name, [1])[0].payload or {}
+        for k, v in p2.items():
+            if v is None or v == [] or v == {}:
+                continue
+            assert _same(got.get(k), v), (k, got.get(k), v)
+        for k, v in p1.items():
+            if k in p2 or v is None or v == [] or v == {}:
+                continue
+            assert _same(got.get(k), v), (k, got.get(k), v)
+    finally:
+        client.delete_collection(name)
