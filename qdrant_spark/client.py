@@ -756,6 +756,30 @@ class QdrantSparkClient:
         return self._commit(col, M.delete_points(
             col.df, ids=self._norm_ids(col, ids), flt=flt, id_col="id"))
 
+    def _retype_never_typed(self, col: _Collection, table: DataFrame,
+                            payload: dict[str, Any]) -> DataFrame:
+        """A column stored before any batch typed it (null-only /
+        empty-list, finalized to string) re-types to this payload's real
+        type — the cross-batch upsert rule applied on the payload
+        mutation paths. Stored values are all null/empty: cast is safe."""
+        for k in sorted(col.null_typed & set(payload)):
+            v = payload[k]
+            if v in (None, [], {}):
+                continue
+            want = _finalize_type(_infer_type(v))
+            have = table.schema[k].dataType
+            if want != have:
+                if isinstance(want, T.StructType):
+                    empty = F.struct(*[
+                        F.lit(None).cast(f_.dataType).alias(f_.name)
+                        for f_ in want.fields])
+                    table = table.withColumn(
+                        k, F.when(F.col(k).isNotNull(), empty))
+                else:
+                    table = table.withColumn(k, F.col(k).cast(want))
+            col.null_typed.discard(k)
+        return table
+
     def set_payload(self, collection_name: str, payload: dict[str, Any], *,
                     points: list | None = None, filter: dict | None = None,
                     key: str | None = None,
@@ -775,26 +799,7 @@ class QdrantSparkClient:
             for k, v in new_cols.items():
                 table = table.withColumn(
                     k, F.lit(None).cast(_finalize_type(_infer_type(v))))
-            # a never-typed column (null-only / empty-list, finalized to
-            # string) re-types to this payload's real type, exactly like
-            # the cross-batch upsert path: stored values are all
-            # null/empty, so the cast is safe
-            for k in sorted(col.null_typed & set(payload)):
-                v = payload[k]
-                if v in (None, [], {}):
-                    continue
-                want = _finalize_type(_infer_type(v))
-                have = table.schema[k].dataType
-                if want != have:
-                    if isinstance(want, T.StructType):
-                        empty = F.struct(*[
-                            F.lit(None).cast(f_.dataType).alias(f_.name)
-                            for f_ in want.fields])
-                        table = table.withColumn(
-                            k, F.when(F.col(k).isNotNull(), empty))
-                    else:
-                        table = table.withColumn(k, F.col(k).cast(want))
-                col.null_typed.discard(k)
+            table = self._retype_never_typed(col, table, payload)
         return self._commit(col, M.set_payload(
             table, payload, ids=self._norm_ids(col, points), flt=filter,
             id_col="id", key=key))
@@ -813,6 +818,7 @@ class QdrantSparkClient:
             if k not in table.columns:
                 table = table.withColumn(
                 k, F.lit(None).cast(_finalize_type(_infer_type(v))))
+        table = self._retype_never_typed(col, table, payload)
         cols = [c for c in col.payload_cols() if c in table.columns] + [
             k for k in payload if k not in col.payload_cols()]
         return self._commit(col, M.overwrite_payload(
