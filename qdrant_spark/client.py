@@ -1124,6 +1124,10 @@ class QdrantSparkClient:
         col = self._coll(collection_name)
         if col.df is None:
             return FacetResponse(hits=[])
+        # StrictModeVerification for FacetParams: limit + indexed filter
+        # read + exact (verification/facet.rs)
+        self._check_strict(col.name, {"filter": facet_filter,
+                                      "limit": limit, "exact": exact})
         src = self._route(col, col.df, shard_key_selector)
         if facet_filter is not None and col.text_params:
             # mirror count()/scroll(): pre-apply the filter so declared

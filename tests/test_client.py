@@ -1320,3 +1320,25 @@ def test_client_batch_sparse_uses_index_group(spark, monkeypatch):
         assert [x[0] for x in g] == [x[0] for x in w]
         for (gi, gs), (wi, ws) in zip(g, w):
             assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_facet_strict_mode_checks(spark):
+    """Facet runs the StrictModeVerification checks (verification/
+    facet.rs): limit cap and unindexed-filter read."""
+    c = QdrantSparkClient(spark)
+    c.create_collection("fsm", vectors_config={"size": 2,
+                                               "distance": "Dot"},
+                        strict_mode_config={
+                            "enabled": True, "max_query_limit": 5,
+                            "unindexed_filtering_retrieve": False})
+    c.upsert("fsm", [{"id": 1, "vector": [1.0, 0.0],
+                      "payload": {"lang": "en"}}])
+    with pytest.raises(StrictModeError):
+        c.facet("fsm", "lang", limit=50)
+    with pytest.raises(StrictModeError):
+        c.facet("fsm", "lang", facet_filter={"must": [
+            {"key": "lang", "match": {"value": "en"}}]})
+    c.create_payload_index("fsm", "lang", "keyword")
+    hits = c.facet("fsm", "lang", limit=5, facet_filter={"must": [
+        {"key": "lang", "match": {"value": "en"}}]}).hits
+    assert [(h.value, h.count) for h in hits] == [("en", 1)]
