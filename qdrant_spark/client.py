@@ -1659,6 +1659,11 @@ class QdrantSparkClient:
         col = self._coll(collection_name)
         if col.df is None:
             return []
+        # StrictModeVerification for CollectionSearchMatrixRequest:
+        # query_limit = limit_per_sample * sample_size + indexed filter
+        # read (verification/matrix.rs)
+        self._check_strict(col.name, {"filter": query_filter,
+                                      "limit": limit * sample})
         rows = distance_matrix(
             col.df, sample_size=sample, limit_per_sample=limit,
             metric=col.metric_for(using), vec_col=col.vec_col(using or ""),
@@ -1677,6 +1682,8 @@ class QdrantSparkClient:
         if col.df is None:
             return {"ids": [], "offsets_row": [], "offsets_col": [],
                     "scores": []}
+        self._check_strict(col.name, {"filter": query_filter,
+                                      "limit": limit * sample})
         row = distance_matrix_offsets(
             col.df, sample_size=sample, limit_per_sample=limit,
             metric=col.metric_for(using), vec_col=col.vec_col(using or ""),
