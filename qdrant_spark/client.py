@@ -1106,6 +1106,9 @@ class QdrantSparkClient:
         col = self._coll(collection_name)
         if col.df is None:
             return CountResult(count=0)
+        # CountRequestInternal verification: indexed filter read + exact
+        self._check_strict(col.name, {"filter": count_filter,
+                                      "exact": exact})
         df = self._route(col, col.df, shard_key_selector)
         flt = count_filter
         if flt is not None and col.text_params:
