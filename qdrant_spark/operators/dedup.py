@@ -447,6 +447,31 @@ def embedding_near_dups(
     ).withColumnRenamed("score", "cos")
 
 
+def embedding_near_dups_ivf(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_clusters: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup proper: cluster the embeddings (sampled-train KMeans,
+    map-only assignment — ann.build_ivf) and compare pairs only WITHIN a
+    cluster. This is the auto-blocking escape hatch the unblocked
+    :func:`embedding_near_dups` guard points at: O(sum of cluster sizes
+    squared) work instead of O(n^2), at the cost of missing near-dup
+    pairs that straddle a cluster boundary (the SemDeDup trade — raise
+    ``n_clusters`` for tighter clusters, lower it for higher recall)."""
+    from qdrant_spark.operators.ann import build_ivf
+
+    idx = build_ivf(emb, n_clusters=n_clusters, vec_col=vec_col,
+                    id_col=id_col, seed=seed)
+    return embedding_near_dups(
+        idx.assigned, vec_col=vec_col, id_col=id_col,
+        threshold=threshold, block_col="__cluster")
+
+
 def duplicate_components(
     pairs: DataFrame,
     id_a: str = "id_a",

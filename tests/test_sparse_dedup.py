@@ -628,3 +628,33 @@ def test_planner_sparse_leaf_applies_offset(spark):
                                 "vec": build_sparse_index(df, id_col="id")})):
         got = [(r["id"], r["score"]) for r in pl.plan(req).collect()]
         assert got == [(8, 8.0), (7, 7.0), (6, 6.0)]
+
+
+def test_embedding_near_dups_ivf_autoblocks(spark):
+    """SemDeDup shape: IVF clusters as the block column. Two well-
+    separated groups with planted near-identical pairs inside each — the
+    pairs are found, and no cross-group pair is ever emitted (cosine of
+    orthogonal-ish groups would fail the threshold anyway; the point is
+    the plan never compares them)."""
+    import numpy as np
+
+    from qdrant_spark.operators.dedup import embedding_near_dups_ivf
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for g, base_dir in enumerate((np.array([1.0, 0, 0, 0]),
+                                  np.array([0, 0, 0, 1.0]))):
+        first = None
+        for i in range(30):
+            v = base_dir * 10 + rng.normal(scale=0.5, size=4)
+            if first is None:
+                first = v
+            rows.append((g * 100 + i, [float(x) for x in v]))
+        # planted near-dup of the group's first member
+        rows.append((g * 100 + 90, [float(x) for x in first * 1.001]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    pairs = embedding_near_dups_ivf(df, threshold=0.9999, n_clusters=2,
+                                    id_col="vec_id", vec_col="embedding")
+    got = {(r["vec_id_a"], r["vec_id_b"]) for r in pairs.collect()}
+    assert (0, 90) in got and (100, 190) in got
+    assert all((a < 100) == (b < 100) for a, b in got)  # never cross-group
