@@ -415,8 +415,9 @@ def embedding_near_dups(
                 f"embedding_near_dups without block_col is an O(n^2) cross "
                 f"join; the input's plan-stat size ({nbytes >> 20} MiB) "
                 f"exceeds {_CROSS_JOIN_MAX_BYTES >> 20} MiB. Pass "
-                f"block_col= (e.g. an IVF cluster assignment — the "
-                f"SemDeDup shape) or pre-slice the corpus.")
+                f"block_col=, use embedding_near_dups_ivf (IVF "
+                f"auto-blocking — the SemDeDup shape), or pre-slice "
+                f"the corpus.")
     cols = [F.col(id_col), F.col(vec_col)] + (
         [F.col(block_col)] if block_col else []
     )
