@@ -149,7 +149,6 @@ class QueryPlanner:
         # histograms for the ACORN-analogue filtered probe selection
         self.cluster_stats = cluster_stats
         self.full_scan_threshold = full_scan_threshold
-        self._index_total: int | None = None
         self._index_totals: dict[str, int] = {}
         #: diagnostics from the last plan(): how many sibling prefetch
         #: groups were fused into a single shared scan (see _plan_children)
