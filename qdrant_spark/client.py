@@ -367,6 +367,11 @@ class QdrantSparkClient:
         col.df = df
         col.ivf.clear()  # indexes describe the pre-mutation corpus
         col.sparse_idx.clear()
+        # stale op_counter generations would otherwise pile up forever on
+        # a long-lived client interleaving mutations with Modifier::Idf
+        # queries (r9 ADVICE): evict this collection's old keys
+        for k in [k for k in self._idf_cache if k[0] == col.name]:
+            self._idf_cache.pop(k, None)
         self.catalog._collections[col.name] = df
         return UpdateResult(operation_id=col.op_counter)
 

@@ -283,18 +283,21 @@ def _set_payload_at(table: DataFrame, payload: dict[str, Any],
         inferred = T.StructType([T.StructField(seg, inferred)])
     if col_name in table.columns:
         old = table.schema[col_name].dataType
-        if segs[1:] and not isinstance(old, T.StructType):
+        if not isinstance(old, T.StructType):
+            # also guards the single-segment case: replacing a scalar
+            # column with a struct would have to NULL the scalar on
+            # UNSELECTED rows too (the typed columnar layout can't hold
+            # both), silently losing their values — the reference keeps
+            # other points' payloads untouched on set_payload
+            # (lib/collection/src/collection/payload_ops), so refuse.
             raise ValueError(
                 f"set_payload key={key!r}: column {col_name!r} is "
                 f"{old.simpleString()}, not a struct")
-        target = _merge_dtype(old, inferred) if isinstance(
-            old, T.StructType) else inferred
+        target = _merge_dtype(old, inferred)
         out = table
         if target != old:
             out = out.withColumn(
-                col_name, _evolve(F.col(col_name), old, target)
-                if isinstance(old, T.StructType)
-                else F.lit(None).cast(target))
+                col_name, _evolve(F.col(col_name), old, target))
         base = F.col(col_name)
     else:
         target = inferred

@@ -720,6 +720,14 @@ class QueryPlanner:
                         k=limit + offset, cand=cand,
                     ).select(F.col(sp_idx.id_col).alias(self.id_col),
                              "score")
+                    if threshold is not None:
+                        # score_threshold applies to sparse search like any
+                        # other (the reference thresholds after scoring,
+                        # segment search_with_threshold); filtering AFTER
+                        # the top-(limit+offset) cut is value-identical to
+                        # filtering before it because the cut keeps the
+                        # highest scores.
+                        out = out.filter(F.col("score") >= float(threshold))
                     return out.offset(offset) if offset else out
                 from qdrant_spark.operators.sparse import sparse_knn
 
@@ -734,6 +742,8 @@ class QueryPlanner:
                     k=limit + offset,
                     id_col=self.id_col, flt=flt, **skw,
                 ).select(self.id_col, "score")
+                if threshold is not None:
+                    out = out.filter(F.col("score") >= float(threshold))
                 return out.offset(offset) if offset else out
             target = self._resolve_vector_input(target, req)
             if target and isinstance(target[0], (list, tuple)):
@@ -990,8 +1000,10 @@ def _batch_sparse_indexed(planner: "QueryPlanner",
     sparse_knn_index_batch` scan over the union of their dim buckets (the
     reference walks its posting lists once for the whole batch), then
     split into per-request local frames — value-identical per request to
-    planning each alone. Requests with filters / exact / shard routing
-    keep their own plan."""
+    planning each alone (offset and score_threshold are applied per
+    request after the shared scan, mirroring the single-request leaf's
+    k=limit+offset / threshold-filter / offset order). Requests with
+    filters / exact / shard routing keep their own plan."""
     sparse_groups: dict[str, list[int]] = {}
     for i, req in enumerate(requests):
         if outs[i] is not None or req.get("prefetch") \
@@ -1014,7 +1026,9 @@ def _batch_sparse_indexed(planner: "QueryPlanner",
             continue
         limits = {i: int(requests[i].get("limit", DEFAULT_LIMIT))
                   for i in idxs}
-        if len(idxs) * max(limits.values()) > planner.fused_collect_max:
+        offsets = {i: int(requests[i].get("offset", 0)) for i in idxs}
+        ks = {i: limits[i] + offsets[i] for i in idxs}
+        if len(idxs) * max(ks.values()) > planner.fused_collect_max:
             continue  # keep per-request plans; nothing funnels the driver
         from qdrant_spark.operators.sparse import sparse_knn_index_batch
 
@@ -1023,7 +1037,7 @@ def _batch_sparse_indexed(planner: "QueryPlanner",
                [float(v) for v in requests[i]["query"]["nearest"]["values"]])
               for i in idxs]
         rows = sparse_knn_index_batch(
-            idx, qs, k=max(limits.values())).collect()
+            idx, qs, k=max(ks.values())).collect()
         id_type = planner.points.schema[planner.id_col].dataType
         schema = T.StructType([
             T.StructField(planner.id_col, id_type),
@@ -1031,11 +1045,13 @@ def _batch_sparse_indexed(planner: "QueryPlanner",
         ])
         spark = planner.points.sparkSession
         for i in idxs:
+            thr = requests[i].get("score_threshold")
             hits = sorted(
                 ((r[idx.id_col], float(r["score"]))
-                 for r in rows if r["qid"] == i),
+                 for r in rows if r["qid"] == i
+                 and (thr is None or float(r["score"]) >= float(thr))),
                 key=lambda h: (-h[1], h[0]),
-            )[: limits[i]]
+            )[offsets[i]: offsets[i] + limits[i]]
             outs[i] = spark.createDataFrame(hits, schema)
 
 

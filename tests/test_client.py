@@ -1030,6 +1030,11 @@ class TestSparseModifier:
         got2 = {p.id: p.score for p in res2.points}
         assert got2[4] == pytest.approx(1.0 * i2b, abs=1e-9)
         assert got2[1] == pytest.approx(i1b + i2b, abs=1e-9)
+        # the pre-mutation generation's cache entries were evicted in
+        # _commit (r9 ADVICE low: the cache grew without bound on a
+        # long-lived client interleaving mutations with IDF queries)
+        gens = {k[2] for k in c._idf_cache if k[0] == "idfc"}
+        assert len(gens) <= 1
 
 
 class TestBatchHydration:
@@ -1256,6 +1261,12 @@ class TestNestedPayloadMutation:
         # non-struct path step rejected
         with pytest.raises(ValueError, match="not a struct"):
             c.set_payload("np", {"x": 1}, points=[1], key="plain.x")
+        # single-segment key over an existing NON-struct column rejected
+        # too (r9 ADVICE medium: it used to NULL the scalar on ALL rows,
+        # silently losing unselected points' values)
+        with pytest.raises(ValueError, match="not a struct"):
+            c.set_payload("np", {"x": 1}, points=[2], key="plain")
+        assert c.retrieve("np", [1])[0].payload["plain"] == 5
 
     def test_delete_payload_nested_and_missing_keys(self, spark):
         c = QdrantSparkClient(spark)

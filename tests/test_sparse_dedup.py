@@ -587,6 +587,74 @@ def test_query_batch_groups_sparse_through_index(spark):
                 for r in want))
 
 
+def test_query_batch_sparse_group_offset_threshold(spark):
+    """Per-request offset and score_threshold survive the batched
+    index-scan grouping (r9 ADVICE high: eligibility checked prefetch/
+    shard_key/filter/exact but not offset, so offset>0 requests got rows
+    from rank 0). Results must match planning each request alone."""
+    from qdrant_spark.operators import sparse as SP
+    from qdrant_spark.operators.sparse import build_sparse_index
+    from qdrant_spark.query import query_batch
+
+    rows = [(i, [5, 77], [float(i), 0.1]) for i in range(1, 21)]
+    df = spark.createDataFrame(
+        rows, "id: long, sparse_indices: array<long>, "
+              "sparse_values: array<double>")
+    idx = build_sparse_index(df, id_col="id")
+    reqs = [
+        {"query": {"nearest": {"indices": [5], "values": [1.0]}},
+         "limit": 3, "offset": 4},
+        {"query": {"nearest": {"indices": [5], "values": [1.0]}},
+         "limit": 3},
+        {"query": {"nearest": {"indices": [5], "values": [1.0]}},
+         "limit": 10, "score_threshold": 15.0},
+    ]
+    # single-request plans through the SAME index routing = ground truth
+    want = query_batch(df, [dict(reqs[0])], id_col="id",
+                       sparse_indexes={"vec": idx}).collect()
+    assert sorted((r["id"], r["score"]) for r in want) == \
+        [(14, 14.0), (15, 15.0), (16, 16.0)]  # ranks 5..7 of 20..1
+
+    calls = []
+    orig = SP.sparse_knn_index_batch
+    SP.sparse_knn_index_batch = \
+        lambda *a, **k: calls.append(k.get("k") or a[-1]) or orig(*a, **k)
+    try:
+        got = query_batch(df, [dict(r) for r in reqs], id_col="id",
+                          sparse_indexes={"vec": idx}).collect()
+    finally:
+        SP.sparse_knn_index_batch = orig
+    assert len(calls) == 1  # still ONE batched scan for all 3 requests
+    by_req = {}
+    for r in got:
+        by_req.setdefault(r["request_idx"], []).append((r["id"], r["score"]))
+    assert sorted(by_req[0]) == [(14, 14.0), (15, 15.0), (16, 16.0)]
+    assert sorted(by_req[1]) == [(18, 18.0), (19, 19.0), (20, 20.0)]
+    # threshold 15.0 keeps scores >= 15 only: ids 15..20
+    assert sorted(by_req[2]) == [(i, float(i)) for i in range(15, 21)]
+
+
+def test_planner_sparse_leaf_score_threshold(spark):
+    """score_threshold applies to sparse nearest leaves on BOTH the
+    exploded-scan path and the index-routed path (r9 ADVICE low: it was
+    silently dropped; the reference thresholds sparse like dense)."""
+    from qdrant_spark.operators.sparse import build_sparse_index
+    from qdrant_spark.query import QueryPlanner
+
+    rows = [(i, [5], [float(i)]) for i in range(1, 11)]
+    df = spark.createDataFrame(
+        rows, "id: long, sparse_indices: array<long>, "
+              "sparse_values: array<double>")
+    req = {"query": {"nearest": {"indices": [5], "values": [1.0]}},
+           "limit": 8, "score_threshold": 7.0}
+    for pl in (QueryPlanner(df, id_col="id"),
+               QueryPlanner(df, id_col="id",
+                            sparse_indexes={
+                                "vec": build_sparse_index(df, id_col="id")})):
+        got = sorted((r["id"], r["score"]) for r in pl.plan(req).collect())
+        assert got == [(7, 7.0), (8, 8.0), (9, 9.0), (10, 10.0)]
+
+
 def test_sparse_index_batch_prunes_partitions(spark, tmp_path):
     """The batched index scan reads only the union of the queries' dim
     buckets (PartitionFilters on __db), like the single-query path."""
