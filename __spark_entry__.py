@@ -2218,6 +2218,53 @@ FROM e, q ORDER BY score DESC, vec_id LIMIT 10
 """
 
 
+def _q_quantized_planned(spark: SparkSession, sf: str) -> DataFrame:
+    """Declared quantization through the full client+planner stack (r10):
+    create_collection(quantization_config={"scalar": ...}) +
+    ensure_vector_index builds the int8 codes, and query_points then
+    transparently runs the coarse+rescore two-stage plan, per-request
+    tuned via SearchParams.quantization (QuantizationSearchParams,
+    types.rs:573-628; storage quantized from the config exactly as
+    lib/segment/src/vector_storage/quantized/quantized_vectors.rs).
+    Rescore is exact, so with ample oversampling the answer equals the
+    exact cosine scan and the oracle asserts equality."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    rows = _emb(spark, sf).orderBy("vec_id").limit(500).collect()
+    dim = len(rows[0]["embedding"])
+    c = QdrantSparkClient(spark)
+    c.create_collection(
+        "entry_quant",
+        vectors_config={"size": dim, "distance": "Cosine"},
+        quantization_config={"scalar": {"type": "int8", "quantile": 0.99}})
+    c.upsert("entry_quant", [
+        {"id": int(r["vec_id"]),
+         "vector": [float(x) for x in r["embedding"]]}
+        for r in rows])
+    assert c.ensure_vector_index("entry_quant", indexing_threshold=0) \
+        == "built"
+    q = [float(x) for x in rows[0]["embedding"]]
+    res = c.query_points(
+        "entry_quant", query=q, limit=10, with_payload=False,
+        search_params={"quantization": {"rescore": True,
+                                        "oversampling": 8.0}})
+    return spark.createDataFrame(
+        [(p.id, round(p.score, 6)) for p in res.points],
+        "vec_id long, score double")
+
+
+_QUANT_PLANNED_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+      WHERE vec_id < 500)
+SELECT e.vec_id,
+       round(list_dot_product(e.v, q.qv) /
+             (sqrt(list_dot_product(e.v, e.v)) *
+              sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+FROM e, q ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
 def _q_universal_rescore(spark: SparkSession, sf: str) -> DataFrame:
     from qdrant_spark.query import universal_query
 
@@ -3516,6 +3563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "universal_hybrid_sparse": _q_universal_hybrid_sparse,
         "universal_rescore": _q_universal_rescore,
         "client_query_points": _q_client_e2e,
+        "quantized_planned": _q_quantized_planned,
         "upsert": _q_upsert,
         "sync": _q_sync,
         "upsert_conditional": _q_upsert_conditional,
@@ -3743,6 +3791,7 @@ FROM documents
         "universal_hybrid_sparse": _UNIVERSAL_HYBRID_SPARSE_SQL,
         "universal_rescore": _UNIVERSAL_RESCORE_SQL,
         "client_query_points": _CLIENT_E2E_SQL,
+        "quantized_planned": _QUANT_PLANNED_SQL,
         "upsert": _UPSERT_SQL,
         "sync": _SYNC_SQL,
         "upsert_conditional": _UPSERT_COND_SQL,

@@ -263,6 +263,10 @@ class _Collection:
     #: per-sparse-vector-name inverted indexes (ensure_vector_index on a
     #: declared sparse vector); invalidated like `ivf`
     sparse_idx: dict[str, Any] = field(default_factory=dict)
+    #: per-vector-name quantized indexes (quantize.QuantHandle) built by
+    #: ensure_vector_index from the declared quantization_config;
+    #: invalidated like `ivf`
+    quant: dict[str, Any] = field(default_factory=dict)
     #: payload columns stored before any batch supplied a typed value
     #: (null-only / empty-list fields finalized to string); a later typed
     #: batch re-casts them instead of conflicting
@@ -367,6 +371,7 @@ class QdrantSparkClient:
         col.df = df
         col.ivf.clear()  # indexes describe the pre-mutation corpus
         col.sparse_idx.clear()
+        col.quant.clear()
         # stale op_counter generations would otherwise pile up forever on
         # a long-lived client interleaving mutations with Modifier::Idf
         # queries (r9 ADVICE): evict this collection's old keys
@@ -398,28 +403,45 @@ class QdrantSparkClient:
         sparse_vectors_config: dict[str, Any] | None = None,
         strict_mode_config: dict[str, Any] | StrictModeConfig | None = None,
         sharding_method: str | None = None,
+        quantization_config: dict[str, Any] | None = None,
         **_ignored: Any,
     ) -> bool:
         """REST ``PUT /collections/{name}``. ``vectors_config`` is either
         the unnamed form ``{"size": d, "distance": "Cosine"}`` or a
         ``{name: {...}}`` map; a per-name ``multivector_config`` selects
-        the multivector (MaxSim) layout. ``sharding_method="custom"``
-        enables user shard keys (create_shard_key + per-request
+        the multivector (MaxSim) layout; a ``quantization_config`` (per
+        name, or collection-level — the reference accepts both,
+        CollectionParams/VectorParams) declares scalar/product/binary/
+        turbo quantized storage built by ``ensure_vector_index`` and
+        searched coarse+rescore. ``sharding_method="custom"`` enables
+        user shard keys (create_shard_key + per-request
         shard_key_selector; points land in per-key partition
         directories)."""
+        from qdrant_spark.operators.quantize import quant_kind
+
         if collection_name in self._colls:
             raise ValueError(f"collection {collection_name!r} already exists")
         if sharding_method not in (None, "auto", "custom"):
             raise ValueError(f"unknown sharding_method {sharding_method!r}")
+        if quantization_config is not None:
+            quant_kind(quantization_config)  # validate the shape early
         vectors: dict[str, VectorConfig] = {}
         if vectors_config:
             cfgs = ({"": vectors_config} if "size" in vectors_config
                     else dict(vectors_config))
             for vname, c in cfgs.items():
                 kind = "multi" if c.get("multivector_config") else "dense"
+                qc = c.get("quantization_config")
+                if qc is not None and kind != "dense":
+                    raise ValueError(
+                        "quantization_config needs a dense vector")
+                if qc is None and kind == "dense":
+                    qc = quantization_config  # collection-level default
+                if qc is not None:
+                    quant_kind(qc)
                 vectors[vname] = VectorConfig(
                     dim=int(c["size"]), distance=_metric(c.get("distance", "Cosine")),
-                    kind=kind)
+                    kind=kind, quantization=qc)
         col = _Collection(name=collection_name, vectors=vectors,
                           sparse=dict(sparse_vectors_config or {}),
                           sharding=("custom" if sharding_method == "custom"
@@ -436,15 +458,31 @@ class QdrantSparkClient:
     def update_collection(self, collection_name: str, *,
                           strict_mode_config: dict[str, Any] |
                           StrictModeConfig | None = None,
+                          quantization_config: dict[str, Any] | None = None,
                           **_ignored: Any) -> bool:
-        """REST ``PATCH /collections/{name}``: the engine-applicable knob
-        is strict mode (optimizer/HNSW params are node-operational in the
-        reference and accepted-ignored here)."""
+        """REST ``PATCH /collections/{name}``: the engine-applicable knobs
+        are strict mode and ``quantization_config`` (the reference lets
+        PATCH change it and rebuilds on mismatch,
+        QuantizationConfig::mismatch_requires_rebuild, types.rs:1143-1151
+        — here the built codes are dropped and the next
+        ``ensure_vector_index`` rebuilds); optimizer/HNSW params are
+        node-operational in the reference and accepted-ignored here."""
+        from dataclasses import replace
+
+        from qdrant_spark.operators.quantize import quant_kind
+
         col = self._coll(collection_name)
         if strict_mode_config is not None:
             if not isinstance(strict_mode_config, StrictModeConfig):
                 strict_mode_config = StrictModeConfig(**strict_mode_config)
             self.catalog.set_strict_mode(col.name, strict_mode_config)
+        if quantization_config is not None:
+            quant_kind(quantization_config)
+            col.vectors = {
+                n: (replace(v, quantization=quantization_config)
+                    if v.kind == "dense" else v)
+                for n, v in col.vectors.items()}
+            col.quant.clear()
         return True
 
     def delete_collection(self, collection_name: str, **_ignored: Any) -> bool:
@@ -469,7 +507,10 @@ class QdrantSparkClient:
             "config": {
                 "params": {
                     "vectors": {nm: {"size": vc.dim, "distance": vc.distance,
-                                     "kind": vc.kind}
+                                     "kind": vc.kind,
+                                     **({"quantization_config":
+                                         vc.quantization}
+                                        if vc.quantization else {})}
                                 for nm, vc in col.vectors.items()},
                     "sparse_vectors": dict(col.sparse),
                 },
@@ -1322,6 +1363,8 @@ class QdrantSparkClient:
         vc = col.vectors.get(using)
         if vc is None or vc.kind != "dense":
             raise ValueError("vector index needs a declared dense vector")
+        if vc.quantization is not None:
+            return self._ensure_quant_index(col, using, vc, thr)
         if self.root is not None:
             path = os.path.join(self.root, col.name,
                                 f"index_{using or 'default'}")
@@ -1340,6 +1383,33 @@ class QdrantSparkClient:
         if idx is not None:
             col.ivf[using] = idx
         return action
+
+    def _ensure_quant_index(self, col: _Collection, using: str,
+                            vc: "VectorConfig", thr: int) -> str:
+        """Quantized analogue of the dense ensure: build the codes the
+        declared ``quantization_config`` describes (build_quant dispatches
+        scalar/product/binary/turbo — the reference quantizes segment
+        storage from the same config, quantized_vectors.rs). With a
+        storage root the (id, code) columns are persisted as their own
+        narrow parquet (persist_quant), so the coarse stage scans 1-4
+        B/dim instead of recomputing codes from the float column. Once
+        registered, dense `nearest` queries run coarse+rescore through it
+        (per-request SearchParams.quantization opts out/tunes)."""
+        from qdrant_spark.operators.quantize import build_quant, persist_quant
+
+        if using in col.quant:
+            return "exists"
+        if col.df.count() < thr:
+            return "skipped"
+        handle = build_quant(col.df, vc.quantization,
+                             vec_col=col.vec_col(using), id_col="id",
+                             dim=vc.dim)
+        if self.root is not None:
+            path = os.path.join(self.root, col.name,
+                                f"quant_index_{using or 'default'}")
+            handle = persist_quant(handle, path)
+        col.quant[using] = handle
+        return "built"
 
     def _ensure_sparse_index(self, col: _Collection, using: str,
                              thr: int) -> str:
@@ -1384,6 +1454,8 @@ class QdrantSparkClient:
             metrics=col.metrics_map(),
             sparse_indexes={col.vec_col(n): idx
                             for n, idx in col.sparse_idx.items()},
+            quant_indexes={col.vec_col(n): h
+                           for n, h in col.quant.items()},
         )
 
     def _hydrate(self, col: _Collection, scored: DataFrame, *,

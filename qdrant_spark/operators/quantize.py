@@ -48,6 +48,11 @@ class SqIndex:
     hi: np.ndarray        # per-dimension upper clip bound
     vec_col: str
     id_col: str
+    #: split storage (persist_quant): when set, ``codes`` holds only
+    #: (id, code) columns — the coarse stage scans the narrow persisted
+    #: parquet — and ``full`` is the full-precision frame used for the
+    #: exact rescore and for payload filters (id semi-join into coarse)
+    full: DataFrame | None = None
 
     def decoded_col(self):
         """Column decoding ``__sq`` back to approximate floats, evaluated
@@ -114,6 +119,22 @@ def build_sq(
     return SqIndex(codes=codes, lo=lo, hi=hi, vec_col=vec_col, id_col=id_col)
 
 
+def _coarse_src(codes: DataFrame, full: DataFrame | None, flt,
+                id_col: str) -> DataFrame:
+    """Filtered coarse-stage frame. With split storage the payload
+    columns live in ``full``, so the filter is evaluated there and
+    reaches the coarse scan as an id semi-join — the narrow code scan
+    stays narrow."""
+    if flt is None:
+        return codes
+    from qdrant_spark.filters import apply_filter
+
+    if full is None:
+        return apply_filter(codes, flt)
+    return codes.join(apply_filter(full, flt).select(id_col),
+                      id_col, "left_semi")
+
+
 def sq_search(
     index: SqIndex,
     query_vector: Sequence[float],
@@ -131,12 +152,11 @@ def sq_search(
     With ``rescore=False`` returns coarse scores directly (the reference's
     ``rescore: false`` fast path)."""
     n_coarse = max(k, int(np.ceil(k * oversampling)))
-    from qdrant_spark.filters import apply_filter
     from qdrant_spark.operators.knn import (
         ARROW_DISPATCH_BYTES, _matmul_knn, _plan_size_bytes,
     )
 
-    src = apply_filter(index.codes, flt) if flt is not None else index.codes
+    src = _coarse_src(index.codes, index.full, flt, index.id_col)
     if _plan_size_bytes(index.codes) >= ARROW_DISPATCH_BYTES:
         # Arrow-side decode: the scan ships the int8 codes only (1 B/dim)
         # and the affine decode happens on the flat Arrow buffer in the
@@ -175,7 +195,8 @@ def sq_search(
             F.col(index.id_col),
         ).limit(k)
     cand_ids = F.broadcast(coarse.select(index.id_col))
-    candidates = index.codes.join(cand_ids, index.id_col, "left_semi")
+    rescore_src = index.full if index.full is not None else index.codes
+    candidates = rescore_src.join(cand_ids, index.id_col, "left_semi")
     return knn(
         candidates, query_vector, metric=metric, k=k,
         vec_col=index.vec_col, id_col=index.id_col,
@@ -216,6 +237,7 @@ class BqIndex:
     id_col: str
     stds: np.ndarray | None = None
     encoding: str = "one_bit"
+    full: DataFrame | None = None  # split storage, see SqIndex.full
 
 
 def _pack_expr(bit_col, dim: int):
@@ -344,6 +366,7 @@ class PqIndex:
     codebooks: np.ndarray
     vec_col: str
     id_col: str
+    full: DataFrame | None = None  # split storage, see SqIndex.full
 
     @property
     def n_subspaces(self) -> int:
@@ -506,11 +529,7 @@ def pq_search(
     M, K, dsub = cb.shape
     qsub = q.reshape(M, dsub)
 
-    pts = index.codes
-    if flt is not None:
-        from qdrant_spark.filters import apply_filter
-
-        pts = apply_filter(pts, flt)
+    pts = _coarse_src(index.codes, index.full, flt, index.id_col)
 
     if metric == "dot":
         lut = np.einsum("md,mkd->mk", qsub, cb)
@@ -544,7 +563,8 @@ def pq_search(
             .select(F.col(index.id_col), F.col("__coarse").alias("score"))
         )
     cand_ids = F.broadcast(coarse.select(index.id_col))
-    candidates = index.codes.join(cand_ids, index.id_col, "left_semi")
+    rescore_src = index.full if index.full is not None else index.codes
+    candidates = rescore_src.join(cand_ids, index.id_col, "left_semi")
     return knn(
         candidates, query_vector, metric=metric, k=k,
         vec_col=index.vec_col, id_col=index.id_col,
@@ -699,6 +719,7 @@ class TqIndex:
     # (equivalent to shift=0, scale=1).
     ec_shift: np.ndarray | None = None
     ec_scale: np.ndarray | None = None
+    full: DataFrame | None = None  # split storage, see SqIndex.full
 
     @property
     def bits_per_code(self) -> int:
@@ -880,11 +901,7 @@ def tq_search(
         return pd.Series(np.sqrt(np.maximum(d2, 0.0)))
 
     score_udf = pandas_udf(_score, "double")
-    pts = index.codes
-    if flt is not None:
-        from qdrant_spark.filters import apply_filter
-
-        pts = apply_filter(pts, flt)
+    pts = _coarse_src(index.codes, index.full, flt, index.id_col)
     n_coarse = max(k, int(np.ceil(k * oversampling)))
     order = F.col("__coarse").desc() if larger_is_better(metric) else F.col("__coarse")
     coarse = (
@@ -901,7 +918,8 @@ def tq_search(
             .select(F.col(index.id_col), F.col("__coarse").alias("score"))
         )
     cand_ids = F.broadcast(coarse.select(index.id_col))
-    candidates = index.codes.join(cand_ids, index.id_col, "left_semi")
+    rescore_src = index.full if index.full is not None else index.codes
+    candidates = rescore_src.join(cand_ids, index.id_col, "left_semi")
     return knn(
         candidates, query_vector, metric=metric, k=k,
         vec_col=index.vec_col, id_col=index.id_col,
@@ -917,13 +935,19 @@ def bq_search(
     oversampling: float = 4.0,
     flt: dict[str, Any] | None = None,
     metric: str = "cosine",
+    rescore: bool = True,
 ) -> DataFrame:
     """Coarse rank by Hamming distance between packed bit encodings (JVM
     ``bit_count`` over XOR-ed words — whole-stage codegen, no shuffle
     beyond the top-k), then exact rescore of ``k*oversampling``. The
     query is encoded same-as-storage (QueryEncoding::SameAsStorage,
     encoded_vectors_binary.rs:679-682), so scoring is identical across
-    the 1 / 1.5 / 2-bit encodings — only the bit layout differs."""
+    the 1 / 1.5 / 2-bit encodings — only the bit layout differs.
+
+    With ``rescore=False`` the coarse ranking is returned directly and
+    ``score`` is the ±1-representation dot estimate ``ext_dim - 2*ham``
+    (matching-bits minus differing-bits — the same quantity the
+    reference's XOR scorer ranks by), NOT the true metric's scale."""
     q = np.asarray(query_vector, dtype=np.float64)
     if index.encoding == "one_bit":
         qbits = (q > index.means).astype(np.int64)
@@ -957,20 +981,189 @@ def bq_search(
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    pts = index.packed
-    if flt is not None:
-        from qdrant_spark.filters import apply_filter
-
-        pts = apply_filter(pts, flt)
+    pts = _coarse_src(index.packed, index.full, flt, index.id_col)
     coarse = (
         pts.withColumn("__ham", hamming)
         .orderBy(F.col("__ham"), F.col(index.id_col))
         .limit(n_coarse)
     )
+    if not rescore:
+        return coarse.limit(k).select(
+            F.col(index.id_col),
+            (F.lit(float(dim)) - 2.0 * F.col("__ham").cast("double"))
+            .alias("score"),
+        )
     cand_ids = F.broadcast(coarse.select(index.id_col))
-    candidates = index.packed.join(cand_ids, index.id_col, "left_semi")
+    rescore_src = index.full if index.full is not None else index.packed
+    candidates = rescore_src.join(cand_ids, index.id_col, "left_semi")
     return knn(
         candidates, query_vector, metric=metric, k=k,
         vec_col=index.vec_col, id_col=index.id_col,
         select=[index.id_col, "score"],
     )
+
+
+# --------------------------------------------------------------------------
+# Config-driven dispatch: the reference's QuantizationConfig surface
+# --------------------------------------------------------------------------
+
+#: PQ CompressionRatio (types.rs:920-926) -> bytes-divisor vs float32.
+#: xR means the codes are R times smaller: n_subspaces = dim * 4 / R.
+_PQ_COMPRESSION = {"x4": 4, "x8": 8, "x16": 16, "x32": 32, "x64": 64}
+
+#: TurboQuantBitSize (types.rs TurboQuantBitSize) -> build_tq bits
+_TQ_BITS = {"bits1": 1, "bits1_5": 1.5, "bits2": 2, "bits4": 4}
+
+#: per-kind default oversampling used when neither the config nor the
+#: request sets one — the "qdrant decides automatically" posture
+#: (QuantizationSearchParams.oversampling default None, types.rs:573-628).
+#: A flat coarse scan has no HNSW recall cushion, so these match the
+#: operators' tuned defaults rather than the reference's 1.0.
+_QUANT_OVERSAMPLING = {"scalar": 3.0, "product": 4.0, "binary": 4.0,
+                       "turbo": 4.0}
+
+
+@dataclass
+class QuantHandle:
+    """A built quantized index tagged with its config kind, as registered
+    on ``QueryPlanner(quant_indexes=...)`` — the engine-side analogue of a
+    collection's declared ``quantization_config`` (QuantizationConfig,
+    types.rs:1123-1129: Scalar | Product | Binary | Turbo)."""
+
+    kind: str        # "scalar" | "product" | "binary" | "turbo"
+    index: Any       # SqIndex | PqIndex | BqIndex | TqIndex
+    oversampling: float
+
+    @property
+    def id_col(self) -> str:
+        return self.index.id_col
+
+    @property
+    def vec_col(self) -> str:
+        return self.index.vec_col
+
+    def codes_frame(self) -> DataFrame:
+        return self.index.packed if self.kind == "binary" \
+            else self.index.codes
+
+    def code_cols(self) -> list[str]:
+        return {"scalar": ["__sq"], "product": ["__pq"],
+                "binary": ["__bq"],
+                "turbo": ["__tq", "__tq_l2", "__tq_cn"]}[self.kind]
+
+
+def quant_kind(config: dict[str, Any]) -> str:
+    """The config's kind key ("scalar"/"product"/"binary"/"turbo"),
+    validating there is exactly one (the untagged QuantizationConfig
+    enum)."""
+    kinds = [k for k in ("scalar", "product", "binary", "turbo")
+             if k in config]
+    if len(kinds) != 1:
+        raise ValueError(
+            f"quantization_config needs exactly one of scalar/product/"
+            f"binary/turbo, got {sorted(config)!r}")
+    return kinds[0]
+
+
+def build_quant(
+    points: DataFrame,
+    config: dict[str, Any],
+    *,
+    vec_col: str = "vec",
+    id_col: str = "id",
+    dim: int | None = None,
+) -> QuantHandle:
+    """Build the quantized index a declared ``quantization_config``
+    describes (the reference quantizes segment storage from the same
+    config, lib/segment/src/vector_storage/quantized/quantized_vectors.rs):
+
+    - ``{"scalar": {"type": "int8", "quantile": q}}`` -> :func:`build_sq`
+    - ``{"product": {"compression": "x4".."x64"}}`` -> :func:`build_pq`
+      (n_subspaces = dim*4/ratio, clamped down to a divisor of dim)
+    - ``{"binary": {"encoding": "one_bit"|"two_bits"|
+      "one_and_half_bits"}}`` -> :func:`build_bq`
+    - ``{"turbo": {"bits": "bits1"|"bits1_5"|"bits2"|"bits4"}}`` ->
+      :func:`build_tq`
+
+    ``always_ram`` / ``memory`` placement knobs are accepted and ignored
+    (Spark's storage levels replace them)."""
+    kind = quant_kind(config)
+    cfg = config[kind] or {}
+    if kind == "scalar":
+        if cfg.get("type", "int8") != "int8":
+            raise ValueError(f"unknown scalar type {cfg.get('type')!r}")
+        idx = build_sq(points, vec_col=vec_col, id_col=id_col,
+                       quantile=float(cfg.get("quantile", 0.99)))
+    elif kind == "product":
+        ratio = _PQ_COMPRESSION.get(str(cfg.get("compression", "x16")))
+        if ratio is None:
+            raise ValueError(
+                f"unknown PQ compression {cfg.get('compression')!r}")
+        if dim is None:
+            row = points.select(F.size(vec_col)).filter(
+                F.col(vec_col).isNotNull()).first()
+            dim = int(row[0])
+        m = max(1, dim * 4 // ratio)
+        while dim % m:  # q.reshape(M, dsub) needs M | dim
+            m -= 1
+        idx = build_pq(points, vec_col=vec_col, id_col=id_col,
+                       n_subspaces=m)
+    elif kind == "binary":
+        enc = cfg.get("encoding", "one_bit")
+        idx = build_bq(points, vec_col=vec_col, id_col=id_col,
+                       encoding=enc)
+    else:  # turbo
+        bits = _TQ_BITS.get(str(cfg.get("bits", "bits4")))
+        if bits is None:
+            raise ValueError(f"unknown turbo bits {cfg.get('bits')!r}")
+        idx = build_tq(points, vec_col=vec_col, id_col=id_col, bits=bits)
+    over = float(cfg.get("oversampling", _QUANT_OVERSAMPLING[kind]))
+    return QuantHandle(kind=kind, index=idx, oversampling=over)
+
+
+def quant_search(
+    handle: QuantHandle,
+    query_vector: Sequence[float],
+    *,
+    k: int = 10,
+    metric: str = "cosine",
+    flt: dict[str, Any] | None = None,
+    rescore: bool | None = None,
+    oversampling: float | None = None,
+) -> DataFrame:
+    """Two-stage search through a :class:`QuantHandle`, honoring the
+    per-request QuantizationSearchParams (types.rs:573-628): ``rescore``
+    None means "decide automatically" (= rescore, the reference's on-disk
+    default), ``oversampling`` None falls back to the handle's config
+    default. ``ignore`` is the CALLER's branch — an ignoring request
+    should not reach this function."""
+    fn = {"scalar": sq_search, "product": pq_search,
+          "binary": bq_search, "turbo": tq_search}[handle.kind]
+    return fn(
+        handle.index, query_vector, k=k, metric=metric, flt=flt,
+        rescore=(True if rescore is None else bool(rescore)),
+        oversampling=(handle.oversampling if oversampling is None
+                      else float(oversampling)),
+    )
+
+
+def persist_quant(handle: QuantHandle, path: str) -> QuantHandle:
+    """Split the handle's storage: write ONLY (id, code) columns to
+    ``path`` as the coarse table and keep the in-memory frame (minus the
+    code columns, i.e. the original corpus lineage) as ``full`` for the
+    exact rescore — the layout SqIndex's docstring prescribes at scale.
+    The coarse scan then reads 1-4 B/dim parquet instead of recomputing
+    codes from the float column on every query."""
+    from dataclasses import replace
+
+    frame = handle.codes_frame()
+    cols = [handle.id_col, *handle.code_cols()]
+    frame.select(*cols).write.mode("overwrite").parquet(path)
+    codes = frame.sparkSession.read.parquet(path)
+    base = frame.drop(*handle.code_cols())
+    if handle.kind == "binary":
+        idx = replace(handle.index, packed=codes, full=base)
+    else:
+        idx = replace(handle.index, codes=codes, full=base)
+    return QuantHandle(kind=handle.kind, index=idx,
+                       oversampling=handle.oversampling)

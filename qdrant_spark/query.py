@@ -95,7 +95,8 @@ class QueryPlanner:
                  text_params: dict[str, dict[str, Any]] | None = None,
                  metrics: dict[str, str] | None = None,
                  sparse_indexes: dict[str, Any] | None = None,
-                 ivf_indexes: dict[str, Any] | None = None):
+                 ivf_indexes: dict[str, Any] | None = None,
+                 quant_indexes: dict[str, Any] | None = None):
         self.points = points
         self.id_col = id_col
         self.default_vec_col = default_vec_col
@@ -143,6 +144,21 @@ class QueryPlanner:
             if ix.id_col != id_col:
                 raise ValueError(
                     f"ivf_indexes[{vc!r}].id_col must match the planner "
+                    f"id_col")
+        # declared quantization (vec column name -> quantize.QuantHandle):
+        # dense `nearest` leaves on a column with a registered quantized
+        # index run the two-stage coarse+rescore plan — the reference
+        # searches through quantized storage transparently once a
+        # collection declares quantization_config (quantized_vectors.rs),
+        # per-request tunable via SearchParams.quantization {ignore,
+        # rescore, oversampling} (types.rs:573-628). A registered IVF
+        # index for the same column wins (cluster pruning subsumes the
+        # coarse scan; the combined form is operators/ann.py IVF-PQ).
+        self.quant_indexes = quant_indexes or {}
+        for vc, qh in self.quant_indexes.items():
+            if qh.id_col != id_col:
+                raise ValueError(
+                    f"quant_indexes[{vc!r}].id_col must match the planner "
                     f"id_col")
         self.index_stats = index_stats or {}
         # optional dispatch.ClusterFieldStats: per-cluster filter
@@ -722,12 +738,13 @@ class QueryPlanner:
                              "score")
                     if threshold is not None:
                         # score_threshold applies to sparse search like any
-                        # other (the reference thresholds after scoring,
-                        # segment search_with_threshold); filtering AFTER
-                        # the top-(limit+offset) cut is value-identical to
+                        # other, with the reference's STRICT direction-aware
+                        # check (check_threshold, types.rs:364-369; sparse is
+                        # always larger-better dot). Filtering AFTER the
+                        # top-(limit+offset) cut is value-identical to
                         # filtering before it because the cut keeps the
                         # highest scores.
-                        out = out.filter(F.col("score") >= float(threshold))
+                        out = out.filter(F.col("score") > float(threshold))
                     return out.offset(offset) if offset else out
                 from qdrant_spark.operators.sparse import sparse_knn
 
@@ -743,7 +760,7 @@ class QueryPlanner:
                     id_col=self.id_col, flt=flt, **skw,
                 ).select(self.id_col, "score")
                 if threshold is not None:
-                    out = out.filter(F.col("score") >= float(threshold))
+                    out = out.filter(F.col("score") > float(threshold))
                 return out.offset(offset) if offset else out
             target = self._resolve_vector_input(target, req)
             if target and isinstance(target[0], (list, tuple)):
@@ -761,7 +778,9 @@ class QueryPlanner:
                                  metric=metric, mv_col=vec_col,
                                  id_col=self.id_col)
                 if threshold is not None:
-                    out = out.filter(F.col("score") >= float(threshold))
+                    # strict check like dense knn (check_threshold,
+                    # types.rs:364-369; maxsim is larger-better dot/cosine)
+                    out = out.filter(F.col("score") > float(threshold))
                 if offset:
                     w = Window.orderBy(F.col("score").desc(),
                                        F.col(self.id_col).asc())
@@ -789,6 +808,34 @@ class QueryPlanner:
                     cluster_stats=(self.cluster_stats if primary
                                    else None),
                 )
+            qh = self.quant_indexes.get(vec_col)
+            qp = (req.get("params") or {}).get("quantization") or {}
+            if (qh is not None and ivf is None and not qp.get("ignore")
+                    and not pre_filtered and not self._leaf_exact(req)):
+                # declared quantization: coarse scan over the code column
+                # + oversampled exact rescore (QuantizationSearchParams
+                # semantics, types.rs:573-628). `ignore: true` and
+                # params.exact fall through to the exact scan below, like
+                # the reference's raw-scorer fallback.
+                from qdrant_spark.operators.knn import _threshold_cond
+                from qdrant_spark.operators.quantize import quant_search
+
+                self.last_plan_info["quant_leaves"] = \
+                    self.last_plan_info.get("quant_leaves", 0) + 1
+                out = quant_search(
+                    qh, target, k=limit + offset, metric=metric, flt=flt,
+                    rescore=qp.get("rescore"),
+                    oversampling=qp.get("oversampling"),
+                ).select(F.col(qh.id_col).alias(self.id_col), "score")
+                if threshold is not None:
+                    if qp.get("rescore") is False:
+                        raise ValueError(
+                            "score_threshold with quantization "
+                            "rescore=false would threshold coarse scores; "
+                            "set rescore or drop the threshold")
+                    out = out.filter(
+                        _threshold_cond(metric, float(threshold)))
+                return out.offset(offset) if offset else out
             out = knn(pts, target, metric=metric,
                       score_threshold=threshold, offset=offset,
                       select=[self.id_col, "score"], **kw)
@@ -1049,7 +1096,7 @@ def _batch_sparse_indexed(planner: "QueryPlanner",
             hits = sorted(
                 ((r[idx.id_col], float(r["score"]))
                  for r in rows if r["qid"] == i
-                 and (thr is None or float(r["score"]) >= float(thr))),
+                 and (thr is None or float(r["score"]) > float(thr))),
                 key=lambda h: (-h[1], h[0]),
             )[offsets[i]: offsets[i] + limits[i]]
             outs[i] = spark.createDataFrame(hits, schema)

@@ -43,6 +43,11 @@ class VectorConfig:
     dim: int
     distance: str = "cosine"
     kind: str = "dense"  # dense | sparse | multi
+    #: declared quantization_config (QuantizationConfig, types.rs:1123:
+    #: {"scalar": {...}} | {"product": {...}} | {"binary": {...}} |
+    #: {"turbo": {...}}); ensure_vector_index builds the configured codes
+    #: and dense searches then run coarse+rescore through them
+    quantization: dict | None = None
 
     def __post_init__(self):
         if self.distance not in DISTANCES:

@@ -353,3 +353,248 @@ def test_bq_bad_encoding_rejected(embeddings):
     with pytest.raises(ValueError, match="encoding"):
         build_bq(embeddings, vec_col="embedding", id_col="vec_id",
                  encoding="three_bits")
+
+
+# ---------------------------------------------------------------------------
+# Config-driven dispatch (QuantizationConfig -> QuantHandle) + split storage
+# ---------------------------------------------------------------------------
+
+from qdrant_spark.operators.quantize import (  # noqa: E402
+    QuantHandle, build_quant, persist_quant, quant_search,
+)
+
+
+@pytest.mark.parametrize("config, kind", [
+    ({"scalar": {"type": "int8", "quantile": 0.99}}, "scalar"),
+    ({"product": {"compression": "x16"}}, "product"),
+    ({"binary": {"encoding": "two_bits"}}, "binary"),
+    ({"turbo": {"bits": "bits2"}}, "turbo"),
+])
+def test_build_quant_dispatch(embeddings, config, kind):
+    """build_quant maps each QuantizationConfig variant (types.rs:1123)
+    to its encoder, and quant_search returns the rescored exact top-k."""
+    h = build_quant(embeddings, config, vec_col="embedding",
+                    id_col="vec_id")
+    assert isinstance(h, QuantHandle) and h.kind == kind
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    got = [r["vec_id"] for r in quant_search(
+        h, q, k=10, metric="cosine", oversampling=8.0).collect()]
+    exact = _exact_ids(embeddings, q, "cosine", 10)
+    # rescore=on: exact scores, so equal whenever the coarse cut keeps
+    # the true top-k — require >=8/10 for the lossier encoders
+    assert len(set(got) & set(exact)) >= (10 if kind == "scalar" else 8)
+
+
+def test_build_quant_rejects_bad_configs(embeddings):
+    with pytest.raises(ValueError, match="exactly one"):
+        build_quant(embeddings, {}, vec_col="embedding", id_col="vec_id")
+    with pytest.raises(ValueError, match="exactly one"):
+        build_quant(embeddings, {"scalar": {}, "binary": {}},
+                    vec_col="embedding", id_col="vec_id")
+    with pytest.raises(ValueError, match="compression"):
+        build_quant(embeddings, {"product": {"compression": "x3"}},
+                    vec_col="embedding", id_col="vec_id")
+    with pytest.raises(ValueError, match="bits"):
+        build_quant(embeddings, {"turbo": {"bits": "bits3"}},
+                    vec_col="embedding", id_col="vec_id")
+
+
+def test_pq_compression_ratio_sets_subspaces(embeddings):
+    """x16 over a 64-dim corpus = 64*4/16 = 16 one-byte codes/row."""
+    h = build_quant(embeddings, {"product": {"compression": "x16"}},
+                    vec_col="embedding", id_col="vec_id")
+    dim = len(embeddings.limit(1).collect()[0]["embedding"])
+    assert h.index.n_subspaces == dim * 4 // 16
+
+
+def test_persist_quant_split_storage(embeddings, tmp_path, spark):
+    """persist_quant writes ONLY (id, code) columns; searches through the
+    split handle match the in-memory handle, the coarse scan's parquet
+    read schema holds no float vectors, and payload filters reach the
+    coarse stage as an id semi-join."""
+    cfg = {"scalar": {"type": "int8"}}
+    h_mem = build_quant(embeddings, cfg, vec_col="embedding",
+                        id_col="vec_id")
+    h = persist_quant(h_mem, str(tmp_path / "qx"))
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+
+    # persisted parquet holds only the narrow columns
+    cols = spark.read.parquet(str(tmp_path / "qx")).columns
+    assert sorted(cols) == ["__sq", "vec_id"]
+
+    want = [(r["vec_id"], round(r["score"], 9))
+            for r in quant_search(h_mem, q, k=10, metric="cosine").collect()]
+    got_df = quant_search(h, q, k=10, metric="cosine")
+    got = [(r["vec_id"], round(r["score"], 9)) for r in got_df.collect()]
+    assert got == want
+
+    # filtered: evaluated on `full`, semi-joined into the coarse scan
+    flt = {"must": [{"key": "label", "range": {"lte": 5}}]}
+    fgot = quant_search(h, q, k=10, metric="cosine", flt=flt).collect()
+    labels = {r["vec_id"]: r["label"]
+              for r in embeddings.select("vec_id", "label").collect()}
+    assert fgot and all(labels[r["vec_id"]] <= 5 for r in fgot)
+
+
+def test_persist_quant_coarse_plan_reads_codes_only(embeddings, tmp_path):
+    """The no-rescore plan over a split handle scans ONLY the persisted
+    code parquet (ReadSchema has __sq, no embedding column read)."""
+    h = persist_quant(
+        build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+                    id_col="vec_id"),
+        str(tmp_path / "qp"))
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    out = quant_search(h, q, k=10, metric="cosine", rescore=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__sq" in plan
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("embedding" not in ln for ln in scans)
+
+
+# ---------------------------------------------------------------------------
+# Planner + client routing (quantization_config -> transparent coarse+rescore)
+# ---------------------------------------------------------------------------
+
+
+def test_planner_routes_quantized(embeddings):
+    """A dense nearest leaf on a column with a registered QuantHandle runs
+    coarse+rescore (quant_leaves counted) and returns the exact top-k;
+    params.quantization.ignore and params.exact fall back to the exact
+    scan (no quant leaf)."""
+    from qdrant_spark.query import QueryPlanner
+
+    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+                    id_col="vec_id")
+    pl = QueryPlanner(embeddings, id_col="vec_id",
+                      default_vec_col="embedding",
+                      quant_indexes={"embedding": h})
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    exact = _exact_ids(embeddings, q, "cosine", 10)
+
+    got = [r["vec_id"]
+           for r in pl.plan({"query": {"nearest": q}, "limit": 10}).collect()]
+    assert got == exact
+    assert pl.last_plan_info.get("quant_leaves") == 1
+
+    for params in ({"quantization": {"ignore": True}}, {"exact": True}):
+        pl2 = QueryPlanner(embeddings, id_col="vec_id",
+                           default_vec_col="embedding",
+                           quant_indexes={"embedding": h})
+        got2 = [r["vec_id"] for r in pl2.plan(
+            {"query": {"nearest": q}, "limit": 10,
+             "params": params}).collect()]
+        assert got2 == exact
+        assert not pl2.last_plan_info.get("quant_leaves")
+
+
+def test_planner_quantized_offset_threshold_filter(embeddings):
+    """offset / score_threshold / filter compose with the quant leaf the
+    same way they do with the exact scan."""
+    from qdrant_spark.operators.knn import knn
+    from qdrant_spark.query import QueryPlanner
+
+    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+                    id_col="vec_id")
+    pl = QueryPlanner(embeddings, id_col="vec_id",
+                      default_vec_col="embedding",
+                      quant_indexes={"embedding": h})
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    base = knn(embeddings, q, metric="cosine", k=12, vec_col="embedding",
+               id_col="vec_id", select=["vec_id", "score"]).collect()
+
+    off = [r["vec_id"] for r in pl.plan(
+        {"query": {"nearest": q}, "limit": 5, "offset": 3}).collect()]
+    assert off == [r["vec_id"] for r in base][3:8]
+    assert pl.last_plan_info.get("quant_leaves") == 1
+
+    thr = float(base[4]["score"])  # strict: keeps scores > base[4]
+    tgot = pl.plan({"query": {"nearest": q}, "limit": 10,
+                    "score_threshold": thr}).collect()
+    assert [r["vec_id"] for r in tgot] == \
+        [r["vec_id"] for r in base if r["score"] > thr]
+
+    flt = {"must": [{"key": "label", "range": {"lte": 5}}]}
+    fgot = pl.plan({"query": {"nearest": q}, "limit": 10,
+                    "filter": flt}).collect()
+    labels = {r["vec_id"]: r["label"]
+              for r in embeddings.select("vec_id", "label").collect()}
+    assert fgot and all(labels[r["vec_id"]] <= 5 for r in fgot)
+
+
+def test_client_quantization_config_end_to_end(spark, tmp_path):
+    """create_collection(quantization_config=...) + ensure_vector_index
+    builds + persists the codes; query_points transparently runs
+    coarse+rescore (same answers as exact), SearchParams.quantization
+    tunes per request, and mutations invalidate the built index."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    c = QdrantSparkClient(spark, root=str(tmp_path))
+    c.create_collection(
+        "qc", vectors_config={"size": 8, "distance": "Cosine"},
+        quantization_config={"scalar": {"type": "int8", "quantile": 0.99}})
+    info = c.get_collection("qc")
+    assert info["config"]["params"]["vectors"][""][
+        "quantization_config"] == {"scalar": {"type": "int8",
+                                              "quantile": 0.99}}
+    import random
+
+    rng = random.Random(3)
+    pts = [{"id": i, "vector": [rng.uniform(-1, 1) for _ in range(8)],
+            "payload": {"g": i % 3}} for i in range(200)]
+    c.upsert("qc", pts)
+    assert c.ensure_vector_index("qc", indexing_threshold=0) == "built"
+    assert c.ensure_vector_index("qc", indexing_threshold=0) == "exists"
+    # persisted narrow codes parquet exists
+    import os
+
+    assert os.path.isdir(str(tmp_path / "qc" / "quant_index_default"))
+
+    q = pts[7]["vector"]
+    exact = c.query_points("qc", query=q, limit=10,
+                           search_params={"exact": True})
+    quant = c.query_points("qc", query=q, limit=10)
+    assert [p.id for p in quant.points] == [p.id for p in exact.points]
+    for a, b in zip(quant.points, exact.points):
+        assert abs(a.score - b.score) < 1e-9  # rescore is exact
+
+    # per-request tuning accepted: ignore + custom oversampling
+    ig = c.query_points("qc", query=q, limit=10,
+                        search_params={"quantization": {"ignore": True}})
+    assert [p.id for p in ig.points] == [p.id for p in exact.points]
+    ov = c.query_points(
+        "qc", query=q, limit=10,
+        search_params={"quantization": {"oversampling": 10.0,
+                                        "rescore": True}})
+    assert [p.id for p in ov.points] == [p.id for p in exact.points]
+
+    # filtered quantized search respects the filter
+    fres = c.query_points("qc", query=q, limit=10,
+                          query_filter={"must": [
+                              {"key": "g", "match": {"value": 1}}]})
+    assert fres.points and all(p.id % 3 == 1 for p in fres.points)
+
+    # mutation invalidates; next ensure rebuilds
+    c.upsert("qc", [{"id": 999, "vector": pts[0]["vector"],
+                     "payload": {"g": 0}}])
+    assert c._coll("qc").quant == {}
+    assert c.ensure_vector_index("qc", indexing_threshold=0) == "built"
+
+
+def test_client_update_collection_quantization(spark):
+    """PATCH-style quantization_config swap drops built codes (rebuild on
+    next ensure), mirroring mismatch_requires_rebuild."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    c = QdrantSparkClient(spark)
+    c.create_collection("qu", vectors_config={"size": 4,
+                                              "distance": "Dot"})
+    c.upsert("qu", [{"id": i, "vector": [float(i), 1.0, 0.0, 0.0]}
+                    for i in range(50)])
+    # no quantization declared: ensure builds a plain IVF path instead
+    assert c._coll("qu").vectors[""].quantization is None
+    c.update_collection("qu", quantization_config={"binary": {}})
+    assert c._coll("qu").vectors[""].quantization == {"binary": {}}
+    assert c.ensure_vector_index("qu", indexing_threshold=0) == "built"
+    assert "" in c._coll("qu").quant
+    c.update_collection("qu", quantization_config={"scalar": {}})
+    assert c._coll("qu").quant == {}  # mismatch drops the built codes

@@ -630,8 +630,9 @@ def test_query_batch_sparse_group_offset_threshold(spark):
         by_req.setdefault(r["request_idx"], []).append((r["id"], r["score"]))
     assert sorted(by_req[0]) == [(14, 14.0), (15, 15.0), (16, 16.0)]
     assert sorted(by_req[1]) == [(18, 18.0), (19, 19.0), (20, 20.0)]
-    # threshold 15.0 keeps scores >= 15 only: ids 15..20
-    assert sorted(by_req[2]) == [(i, float(i)) for i in range(15, 21)]
+    # threshold 15.0 keeps scores STRICTLY > 15 (check_threshold,
+    # types.rs:364-369): ids 16..20
+    assert sorted(by_req[2]) == [(i, float(i)) for i in range(16, 21)]
 
 
 def test_planner_sparse_leaf_score_threshold(spark):
@@ -652,7 +653,8 @@ def test_planner_sparse_leaf_score_threshold(spark):
                             sparse_indexes={
                                 "vec": build_sparse_index(df, id_col="id")})):
         got = sorted((r["id"], r["score"]) for r in pl.plan(req).collect())
-        assert got == [(7, 7.0), (8, 8.0), (9, 9.0), (10, 10.0)]
+        # strict threshold (check_threshold, types.rs:364-369): 7.0 excluded
+        assert got == [(8, 8.0), (9, 9.0), (10, 10.0)]
 
 
 def test_sparse_index_batch_prunes_partitions(spark, tmp_path):
