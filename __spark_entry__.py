@@ -2265,6 +2265,62 @@ FROM e, q ORDER BY score DESC, vec_id LIMIT 10
 """
 
 
+def _q_sparse_idf_by_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Id-referenced sparse query against a Modifier::Idf vector (r10):
+    the client resolves the referenced point's stored sparse vector FIRST
+    and THEN applies the IDF rescale — the reference's
+    resolve-then-preprocess order (fetch_vectors.rs resolves VectorInput
+    ids before query preprocessing applies the modifier) — and excludes
+    the referenced id (exclude_referenced_ids,
+    collection_query.rs:523,705). Sparse vectors derive deterministically
+    from the embeddings table: point i carries dims {i % 5, 50} with
+    values {label_i + 1, (i % 11) + 1}, so the oracle replays the whole
+    BM25-convention IDF pipeline in SQL."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    rows = (_emb(spark, sf).select("vec_id", "label")
+            .filter(F.col("vec_id") < 300).orderBy("vec_id").collect())
+    c = QdrantSparkClient(spark)
+    c.create_collection(
+        "entry_idf_by_id",
+        vectors_config={"size": 2, "distance": "Dot"},
+        sparse_vectors_config={"t": {"modifier": "idf"}})
+    c.upsert("entry_idf_by_id", [
+        {"id": int(r["vec_id"]),
+         "vector": {"": [1.0, 0.0],
+                    "t": {"indices": [int(r["vec_id"]) % 5, 50],
+                          "values": [float(r["label"]) + 1.0,
+                                     float(int(r["vec_id"]) % 11) + 1.0]}}}
+        for r in rows])
+    res = c.query_points("entry_idf_by_id", query=7, using="t",
+                         limit=10, with_payload=False)
+    return spark.createDataFrame(
+        [(p.id, round(p.score, 6)) for p in res.points],
+        "vec_id long, score double")
+
+
+# BM25-convention IDF (sparse.idf_df): ln((N - n_d + 0.5)/(n_d + 0.5) + 1)
+# over N=300 docs; the query is point 7's stored vector (dims {2, 50},
+# values {label_7 + 1, 8}), rescaled per dim, with point 7 excluded.
+_SPARSE_IDF_BY_ID_SQL = """
+WITH e AS (SELECT vec_id, label FROM embeddings WHERE vec_id < 300),
+n AS (SELECT
+        CAST((SELECT count(*) FROM e) AS DOUBLE) AS nd,
+        CAST((SELECT count(*) FROM e WHERE vec_id % 5 = 2) AS DOUBLE) AS n2),
+idf AS (SELECT ln((nd - n2 + 0.5) / (n2 + 0.5) + 1) AS i2,
+               ln(0.5 / (nd + 0.5) + 1) AS i50 FROM n),
+q AS (SELECT (SELECT label FROM e WHERE vec_id = 7) + 1.0 AS q2,
+             8.0 AS q50),
+s AS (SELECT e.vec_id,
+             CASE WHEN e.vec_id % 5 = 2
+                  THEN q.q2 * idf.i2 * (e.label + 1.0) ELSE 0.0 END
+             + q.q50 * idf.i50 * (e.vec_id % 11 + 1.0) AS score
+      FROM e, q, idf WHERE e.vec_id <> 7)
+SELECT vec_id, round(score, 6) AS score FROM s
+ORDER BY s.score DESC, vec_id LIMIT 10
+"""
+
+
 def _q_universal_rescore(spark: SparkSession, sf: str) -> DataFrame:
     from qdrant_spark.query import universal_query
 
@@ -3564,6 +3620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "universal_rescore": _q_universal_rescore,
         "client_query_points": _q_client_e2e,
         "quantized_planned": _q_quantized_planned,
+        "sparse_idf_by_id": _q_sparse_idf_by_id,
         "upsert": _q_upsert,
         "sync": _q_sync,
         "upsert_conditional": _q_upsert_conditional,
@@ -3792,6 +3849,7 @@ FROM documents
         "universal_rescore": _UNIVERSAL_RESCORE_SQL,
         "client_query_points": _CLIENT_E2E_SQL,
         "quantized_planned": _QUANT_PLANNED_SQL,
+        "sparse_idf_by_id": _SPARSE_IDF_BY_ID_SQL,
         "upsert": _UPSERT_SQL,
         "sync": _SYNC_SQL,
         "upsert_conditional": _UPSERT_COND_SQL,

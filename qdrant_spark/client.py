@@ -1308,21 +1308,43 @@ class QdrantSparkClient:
         EXPLICIT sparse query values are rescaled by the corpus IDF at
         query time; stored document values stay raw — the same convention
         the ``sparse_idf_knn`` oracle entry pins. Walks the whole
-        prefetch tree (call AFTER ``_translate_using``). Id-referenced
-        sparse queries resolve planner-side and are not rescaled
-        (documented divergence)."""
+        prefetch tree (call AFTER ``_translate_using``). ID-REFERENCED
+        sparse queries on an IDF-modified vector are resolved to the
+        stored sparse vector HERE and then rescaled — the reference's
+        resolve-then-preprocess order (fetch_vectors.rs resolves
+        VectorInput ids before query preprocessing applies the modifier)
+        — with the referenced id excluded from results at the root, the
+        same exclude_referenced_ids contract the planner applies to ids
+        it resolves itself (collection_query.rs:523,705). Id references
+        through ``lookup_from`` stay planner-resolved and unrescaled
+        (documented divergence: other-collection stats don't define this
+        collection's IDF)."""
         idf_names = {
             col.vec_col(n): n for n, cfg in col.sparse.items()
             if isinstance(cfg, dict)
             and str(cfg.get("modifier", "")).lower() == "idf"}
         if not idf_names:
             return
+        resolved_refs: list = []
 
         def walk(node: dict[str, Any]) -> None:
             q = node.get("query")
             u = node.get("using")
             if isinstance(q, dict):
                 t = q.get("nearest")
+                if isinstance(t, dict) and "id" in t and u in idf_names \
+                        and not node.get("lookup_from"):
+                    pid = self._norm_ids(col, [t["id"]])[0]
+                    row = col.df.filter(
+                        F.col("id") == pid).select(u).first()
+                    if row is None or row[0] is None:
+                        raise ValueError(
+                            f"vector id {t['id']!r} not found")
+                    resolved_refs.append(t["id"])
+                    t = {"indices": [int(d) for d in row[0]["indices"]],
+                         "values": [float(v) for v in row[0]["values"]]}
+                    q = dict(q, nearest=t)
+                    node["query"] = q
                 if isinstance(t, dict) and "indices" in t \
                         and u in idf_names:
                     idf = self._sparse_idf(col, idf_names[u],
@@ -1336,6 +1358,12 @@ class QdrantSparkClient:
                 walk(p)
 
         walk(req)
+        if resolved_refs:
+            from qdrant_spark.query import merge_filters
+
+            req["filter"] = merge_filters(
+                {"must_not": [{"has_id": sorted(resolved_refs, key=str)}]},
+                req.get("filter"))
 
     def ensure_vector_index(self, collection_name: str, *,
                             using: str = "", n_clusters: int = 16,

@@ -711,6 +711,22 @@ class QueryPlanner:
             return out.select(self.id_col).withColumn("score", F.lit(0.0))
         if "nearest" in query:
             target = query["nearest"]
+            if isinstance(target, dict) and "id" in target:
+                from pyspark.sql import types as T
+
+                _, src_df, lookup_vc = self._node_lookup(req)
+                dt = src_df.schema[lookup_vc].dataType \
+                    if lookup_vc in src_df.columns else None
+                if isinstance(dt, T.StructType) and \
+                        {"indices", "values"} <= {f.name for f in dt.fields}:
+                    # id-referenced SPARSE query: resolve the stored
+                    # sparse vector and continue as an explicit sparse
+                    # target (VectorInputInternal::Id resolution,
+                    # fetch_vectors.rs — without this the [indices,
+                    # values] pair fell into the multivector branch)
+                    resolved = self._resolve_vector_input(target, req)
+                    target = {"indices": [int(d) for d in resolved[0]],
+                              "values": [float(v) for v in resolved[1]]}
             if isinstance(target, dict) and "indices" in target:  # sparse vector
                 sp_idx = self.sparse_indexes.get(vec_col)
                 if sp_idx is not None and not self._leaf_exact(req):

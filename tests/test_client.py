@@ -1036,6 +1036,53 @@ class TestSparseModifier:
         gens = {k[2] for k in c._idf_cache if k[0] == "idfc"}
         assert len(gens) <= 1
 
+    def test_sparse_query_by_id_resolves(self, spark):
+        """query=point_id on a plain sparse vector resolves the stored
+        sparse vector planner-side and excludes the referenced id (it
+        used to fall into the multivector branch and crash)."""
+        c = QdrantSparkClient(spark)
+        c.create_collection("sbid", vectors_config={"size": 2,
+                                                    "distance": "Dot"},
+                            sparse_vectors_config={"t": {}})
+        c.upsert("sbid", [
+            {"id": i, "vector": {"": [1.0, 0.0],
+                                 "t": {"indices": [1, 7],
+                                       "values": [float(i), 1.0]}}}
+            for i in range(1, 6)])
+        r = c.query_points("sbid", query=3, using="t", limit=5)
+        # q = point 3's vector [3, 1] on dims (1, 7): doc i scores 3i+1;
+        # id 3 itself excluded (exclude_referenced_ids)
+        assert [(p.id, p.score) for p in r.points] == \
+            [(5, 16.0), (4, 13.0), (2, 7.0), (1, 4.0)]
+
+    def test_sparse_query_by_id_idf_rescaled(self, spark):
+        """query=point_id against a Modifier::Idf sparse vector ranks
+        identically to the equivalent explicit query — the reference's
+        resolve-then-preprocess order (fetch_vectors.rs); before r10 the
+        referenced vector skipped the IDF rescale entirely."""
+        c = QdrantSparkClient(spark)
+        c.create_collection("sbidf", vectors_config={"size": 2,
+                                                     "distance": "Dot"},
+                            sparse_vectors_config={"t": {"modifier": "idf"}})
+        c.upsert("sbidf", [
+            {"id": 1, "vector": {"": [1.0, 0.0], "t": {
+                "indices": [1, 2], "values": [1.0, 1.0]}}},
+            {"id": 2, "vector": {"": [1.0, 0.0], "t": {
+                "indices": [1], "values": [2.0]}}},
+            {"id": 3, "vector": {"": [1.0, 0.0], "t": {
+                "indices": [2], "values": [3.0]}}},
+        ])
+        exp = c.query_points("sbidf", query={"indices": [1, 2],
+                                             "values": [1.0, 1.0]},
+                             using="t", limit=3)
+        byid = c.query_points("sbidf", query=1, using="t", limit=3)
+        want = [(p.id, pytest.approx(p.score)) for p in exp.points
+                if p.id != 1]
+        assert [(p.id, p.score) for p in byid.points] == want
+        # hand math: both dims appear in 2 of 3 docs
+        i = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+        assert byid.points[0].score == pytest.approx(3.0 * i)
+
 
 class TestBatchHydration:
     def test_batch_hydrates_in_one_lookup(self, spark, client, monkeypatch):
