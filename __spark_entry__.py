@@ -2148,6 +2148,58 @@ FROM g3 WHERE gr <= 5
 """
 
 
+def _q_universal_groups_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """points/query/groups with the leaf ROUTED through a registered
+    sparse inverted index (r10: groups x routed-index had no driver
+    entry): the oversampled candidate pass reads posting lists instead of
+    re-exploding the corpus, then the one-pass two-window grouping runs
+    unchanged (grouping sits ABOVE leaf dispatch in the reference too,
+    group_by.rs over a regular shard query). Sparse vectors derive
+    deterministically from the embeddings table (dims {vec_id % 5, 50},
+    values {label + 1, vec_id % 11 + 1}), so the oracle replays the index
+    search exactly — the inverted index is an exact structure."""
+    from qdrant_spark.operators.sparse import build_sparse_index
+    from qdrant_spark.query import QueryPlanner
+
+    df = (_emb(spark, sf).select("vec_id", "label")
+          .withColumn("sparse_indices",
+                      F.array((F.col("vec_id") % 5).cast("long"),
+                              F.lit(50).cast("long")))
+          .withColumn("sparse_values",
+                      F.array(F.col("label").cast("double") + 1.0,
+                              (F.col("vec_id") % 11).cast("double") + 1.0)))
+    idx = build_sparse_index(df, id_col="vec_id")
+    planner = QueryPlanner(df, id_col="vec_id", metric="dot",
+                           sparse_indexes={"vec": idx})
+    out = planner.plan_groups(
+        {"query": {"nearest": {"indices": [2, 50], "values": [1.0, 0.5]}}},
+        group_by_field="label", groups=5, group_size=3, oversample=4,
+    ).select("group_value", "vec_id", "score", "rank_in_group",
+             "group_rank")
+    assert planner.last_plan_info.get("sparse_index_leaves") == 1
+    return _long(_r6(out, "score"), "rank_in_group", "group_rank")
+
+
+_UNIVERSAL_GROUPS_INDEXED_SQL = """
+WITH e AS (SELECT vec_id, label,
+                  CASE WHEN vec_id % 5 = 2 THEN 1.0 * (label + 1.0)
+                       ELSE 0.0 END
+                  + 0.5 * (vec_id % 11 + 1.0) AS score
+           FROM embeddings),
+c AS (SELECT vec_id, label, score FROM e
+      ORDER BY score DESC, vec_id LIMIT 60),
+g AS (SELECT label AS group_value, vec_id, score,
+      row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id) rig
+      FROM c),
+g2 AS (SELECT *, max(CASE WHEN rig = 1 THEN score END)
+       OVER (PARTITION BY group_value) best FROM g WHERE rig <= 3),
+g3 AS (SELECT *, dense_rank() OVER (ORDER BY best DESC, group_value) gr FROM g2)
+SELECT group_value, vec_id, round(g3.score, 6) AS score,
+       CAST(rig AS BIGINT) AS rank_in_group, CAST(gr AS BIGINT) AS group_rank
+FROM g3 WHERE gr <= 5
+"""
+
+
 def _q_universal_hybrid(spark: SparkSession, sf: str) -> DataFrame:
     from qdrant_spark.query import universal_query
 
@@ -2624,6 +2676,30 @@ def _q_maxsim_knn(spark: SparkSession, sf: str) -> DataFrame:
     )
     pts = emb.select("vec_id", d_mv.alias("mv"))
     out = maxsim_knn(pts, q_mv, k=10, metric="dot", mv_col="mv", id_col="vec_id")
+    return _r6(out.select("vec_id", "score"), "score")
+
+
+def _q_maxsim_knn_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """Pruned MaxSim through the token-level IVF (r10): query tokens
+    probe token-space centroids, candidate docs semi-join into the exact
+    Arrow MaxSim scan — the coarse stage the reference gets from building
+    HNSW over multivector storage (multivector_hnsw_test.rs). Full probe
+    (nprobe == n_clusters) makes every doc a candidate, so the result
+    equals the exact scan and shares its oracle."""
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_ivf, maxsim_knn_ivf,
+    )
+
+    emb = _emb(spark, sf)
+    q = _vecs(spark, sf, [0])[0]
+    q_mv = [q[i * 8:(i + 1) * 8] for i in range(8)]
+    d_mv = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.slice(F.col("embedding").cast("array<double>"), i * 8 + 1, 8),
+    )
+    pts = emb.select("vec_id", d_mv.alias("mv"))
+    idx = build_maxsim_ivf(pts, n_clusters=8, mv_col="mv", id_col="vec_id")
+    out = maxsim_knn_ivf(idx, q_mv, k=10, nprobe=8, metric="dot")
     return _r6(out.select("vec_id", "score"), "score")
 
 
@@ -3555,6 +3631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_fallback_route": _q_shard_fallback,
         "maxsim": _q_maxsim,
         "maxsim_knn": _q_maxsim_knn,
+        "maxsim_knn_indexed": _q_maxsim_knn_indexed,
         "scroll_keyset": _q_scroll_docs,
         "scroll_order_by": _q_scroll_events,
         "count_filtered": _q_count_events,
@@ -3621,6 +3698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "client_query_points": _q_client_e2e,
         "quantized_planned": _q_quantized_planned,
         "sparse_idf_by_id": _q_sparse_idf_by_id,
+        "universal_groups_indexed": _q_universal_groups_indexed,
         "upsert": _q_upsert,
         "sync": _q_sync,
         "upsert_conditional": _q_upsert_conditional,
@@ -3695,6 +3773,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_fallback_route": _SHARD_FALLBACK_SQL,
         "maxsim": _MAXSIM_SQL,
         "maxsim_knn": _MAXSIM_SQL,
+        "maxsim_knn_indexed": _MAXSIM_SQL,
         "scroll_keyset": """
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE lang = 'en' AND doc_id >= 100 ORDER BY doc_id LIMIT 20
@@ -3850,6 +3929,7 @@ FROM documents
         "client_query_points": _CLIENT_E2E_SQL,
         "quantized_planned": _QUANT_PLANNED_SQL,
         "sparse_idf_by_id": _SPARSE_IDF_BY_ID_SQL,
+        "universal_groups_indexed": _UNIVERSAL_GROUPS_INDEXED_SQL,
         "upsert": _UPSERT_SQL,
         "sync": _SYNC_SQL,
         "upsert_conditional": _UPSERT_COND_SQL,

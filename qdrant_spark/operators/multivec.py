@@ -97,3 +97,85 @@ def maxsim_knn(
     scored = sel.mapInArrow(score_batches, out_schema)
     # single global top-k: TakeOrderedAndProject, no shuffle of scored rows
     return scored.orderBy(*score_order(metric, id_col=id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Coarse stage: token-level IVF (PLAID-style) + exact MaxSim over candidates
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass
+class MaxSimIvf:
+    """Token-cluster index for pruned MaxSim. ``tokens`` is the exploded
+    (id, __cluster) frame — one row per stored token vector, clustered in
+    TOKEN space; ``points`` is the original multivector corpus for the
+    exact rescore. At scale persist ``tokens`` partitioned by
+    ``__cluster`` (only the id column is ever read from it) and the probe
+    becomes directory pruning."""
+
+    tokens: DataFrame      # (id, __cluster), one row per token
+    centroids: np.ndarray  # (n_clusters, dim) token-space centroids
+    points: DataFrame
+    mv_col: str
+    id_col: str
+
+
+def build_maxsim_ivf(
+    points: DataFrame,
+    *,
+    n_clusters: int = 16,
+    mv_col: str = "mv",
+    id_col: str = "id",
+    seed: int = 42,
+) -> MaxSimIvf:
+    """Cluster the corpus's TOKEN vectors (explode + KMeans) — the
+    ColBERTv2/PLAID centroid structure. The reference reaches the same
+    goal by building HNSW over the multivector storage
+    (multivector_hnsw_test.rs; MaxSim comparator types.rs:2080-2084):
+    either way a ColBERT-style query prunes instead of scanning every
+    doc's tokens. A doc is a candidate iff it owns at least one token in
+    a probed cluster, which is exactly the condition under which it can
+    contribute a large per-query-token max — so recall tracks nprobe far
+    better than pooled-vector blocking."""
+    from qdrant_spark.operators.ann import build_ivf
+
+    exploded = points.filter(
+        F.col(mv_col).isNotNull() & (F.size(mv_col) > 0)
+    ).select(id_col, F.explode(mv_col).alias("__tok"))
+    ivf = build_ivf(exploded, n_clusters=n_clusters, vec_col="__tok",
+                    id_col=id_col, seed=seed)
+    return MaxSimIvf(
+        tokens=ivf.assigned.select(id_col, "__cluster"),
+        centroids=ivf.centroids, points=points,
+        mv_col=mv_col, id_col=id_col)
+
+
+def maxsim_knn_ivf(
+    index: MaxSimIvf,
+    query_multivector: Sequence[Sequence[float]],
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    metric: str = "dot",
+) -> DataFrame:
+    """Pruned MaxSim: each QUERY token probes its ``nprobe`` nearest
+    token-space centroids (a driver-side argsort over the small centroid
+    matrix); candidate docs = distinct ids owning a token in the probed
+    union (a scan of the narrow (id, __cluster) frame — partition-pruned
+    when persisted by cluster); the exact Arrow MaxSim scan then runs
+    over ONLY the candidates via a broadcast-free semi-join. With
+    ``nprobe == n_clusters`` every doc is a candidate and the result
+    equals the full scan exactly."""
+    Qm = np.asarray([list(t) for t in query_multivector], dtype=np.float64)
+    # (tq, n_clusters) squared distances, top-nprobe per query token
+    d2 = ((Qm[:, None, :] - index.centroids[None, :, :]) ** 2).sum(axis=2)
+    per_tok = np.argsort(d2, axis=1)[:, :nprobe]
+    probes = sorted({int(c) for row in per_tok for c in row})
+    cand_ids = (index.tokens
+                .filter(F.col("__cluster").isin(probes))
+                .select(index.id_col).distinct())
+    cand = index.points.join(cand_ids, index.id_col, "left_semi")
+    return maxsim_knn(cand, query_multivector, k=k, metric=metric,
+                      mv_col=index.mv_col, id_col=index.id_col)
