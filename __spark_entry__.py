@@ -3438,61 +3438,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # drops to the back). Keep rotating each round so no entry's driver row
 # goes more than ~2 rounds stale.
 _GATE_PRIORITY = [
-    # round-9 head: the new planner-routed sparse entry (first-ever
-    # driver value check), then the 27-entry r06 cohort (two rounds
-    # stale after r8 — r8 VERDICT item 3), then the r07 cohort to
-    # fill the 50-slot gate; the r08-greened entries go last. After
-    # r9 no entry's latest driver row should be older than r07.
-    "sparse_knn_planned",
-    "sparse_knn_batch_indexed",
-    "group_by_lookup",
-    "maxsim",
-    "maxsim_knn",
-    "recommend_best_score",
-    "recommend_sum_scores",
-    "relevance_feedback",
-    "retrieve",
-    "scroll_keyset",
-    "scroll_order_by",
-    "scroll_random",
-    "set_payload",
-    "sync",
-    "universal_hybrid",
-    "universal_hybrid_sparse",
-    "universal_rescore",
-    "upsert",
-    "upsert_conditional",
-    "update_vectors",
-    "knn_uint8",
-    "quantized_pq_rescore",
-    "quantized_tq_rescore",
-    "lm_score",
-    "lm_buckets",
-    "mixture_sample",
-    "query_batch",
-    "repetition_signals",
-    "unique_values",
-    "knn_cosine",
-    "knn_dot",
-    "knn_euclid",
-    "knn_manhattan",
-    "knn_filtered",
-    "knn_batch",
-    "knn_batch_matmul",
-    "knn_batch_partial",
-    "sparse_knn",
-    "sparse_knn_batch",
-    "sparse_idf_knn",
-    "sparse_idf_corpus",
-    "bm25_search",
-    "recommend_avg_vector",
-    "similarity_join",
-    "distance_matrix_offsets",
-    "field_index_stats",
-    "shard_routed_knn",
-    "shard_fallback_route",
-    "filter_text_stemmed",
-    "filter_text_stemmed_de",
+    # round-10 head: the 4 entries new this round (first-ever driver
+    # value check), then the 29-entry r07 cohort (three rounds stale
+    # after r9 — r9 VERDICT item 3), then the r08 cohort ordered oldest
+    # first to fill the 50-slot gate; the r09-greened entries go last.
+    # After r10 no entry's latest driver row should be older than r08.
+    "maxsim_knn_indexed",
+    "quantized_planned",
+    "sparse_idf_by_id",
+    "universal_groups_indexed",
     "mmr",
     "knn_auto_filtered",
     "universal_groups",
@@ -3513,6 +3467,15 @@ _GATE_PRIORITY = [
     "lang_detect",
     "fingerprint",
     "pack_sequences",
+    "quantized_bq2_rescore",
+    "corpus_stats",
+    "pii_scan",
+    "chunk_docs",
+    "stratified_sample",
+    "stratified_quota",
+    "embedding_project",
+    "ngram_counts",
+    "weighted_sample",
     "client_query_points",
     "filter_text_stopworded",
     "ann_ivf",
@@ -3563,15 +3526,56 @@ _GATE_PRIORITY = [
     "fusion_rrf",
     "geo_indexed_radius",
     "group_by",
-    "quantized_bq2_rescore",
-    "corpus_stats",
-    "pii_scan",
-    "chunk_docs",
-    "stratified_sample",
-    "stratified_quota",
-    "embedding_project",
-    "ngram_counts",
-    "weighted_sample",
+    "sparse_knn_planned",
+    "sparse_knn_batch_indexed",
+    "group_by_lookup",
+    "maxsim",
+    "maxsim_knn",
+    "recommend_best_score",
+    "recommend_sum_scores",
+    "relevance_feedback",
+    "retrieve",
+    "scroll_keyset",
+    "scroll_order_by",
+    "scroll_random",
+    "set_payload",
+    "sync",
+    "universal_hybrid",
+    "universal_hybrid_sparse",
+    "universal_rescore",
+    "upsert",
+    "upsert_conditional",
+    "update_vectors",
+    "knn_uint8",
+    "quantized_pq_rescore",
+    "quantized_tq_rescore",
+    "lm_score",
+    "lm_buckets",
+    "mixture_sample",
+    "query_batch",
+    "repetition_signals",
+    "unique_values",
+    "knn_cosine",
+    "knn_dot",
+    "knn_euclid",
+    "knn_manhattan",
+    "knn_filtered",
+    "knn_batch",
+    "knn_batch_matmul",
+    "knn_batch_partial",
+    "sparse_knn",
+    "sparse_knn_batch",
+    "sparse_idf_knn",
+    "sparse_idf_corpus",
+    "bm25_search",
+    "recommend_avg_vector",
+    "similarity_join",
+    "distance_matrix_offsets",
+    "field_index_stats",
+    "shard_routed_knn",
+    "shard_fallback_route",
+    "filter_text_stemmed",
+    "filter_text_stemmed_de",
 ]
 
 

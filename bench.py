@@ -114,13 +114,47 @@ def main() -> None:
     # values). Bounded so a permanently-contended box can't stall the run.
     salvage_left = [180.0]
 
-    def measure(name: str, fn, reps: int = 3) -> None:
+    def measure(name: str, fn, reps: int = 3, strict: bool = False) -> None:
         wait_idle()
         fn()  # untimed warm rep: plan + codegen + python worker pool
         samples = []
         t0 = time.time()
         fn()
         samples.append(time.time() - t0)
+        if strict:
+            # Agreeing-pair protocol for the packed-code Arrow-decode
+            # family (r9 verdict #5: knn_batch64_xxl / ivf_pq_batch64_*
+            # swung 1.7-2.4x between full runs while r8-judge + r9-artifact
+            # agreed — external bursts land inside a 3-rep median). Sample
+            # with short backoffs until the two FASTEST reps agree within
+            # 25% (cap 6, bounded by the salvage budget) and report the
+            # min of the agreeing pair — the same statistic the
+            # slow-first-rep path already uses.
+            while len(samples) < 3:
+                t0 = time.time()
+                fn()
+                samples.append(time.time() - t0)
+            while len(samples) < 6:
+                two = sorted(samples)[:2]
+                if two[1] <= two[0] * 1.25 or salvage_left[0] <= 0:
+                    break
+                t_s = time.time()
+                time.sleep(4.0)
+                wait_idle()
+                t0 = time.time()
+                fn()
+                samples.append(time.time() - t0)
+                salvage_left[0] -= time.time() - t_s
+            two = sorted(samples)[:2]
+            agreed = two[1] <= two[0] * 1.25
+            if not agreed:
+                noisy_unconfirmed.append(name)
+            times[name] = round(two[0], 3)
+            rep_samples[name] = [round(s, 3) for s in samples]
+            mark(f"  {name}: {times[name]}s (n={len(samples)},min,strict,"
+                 f"{'agreed' if agreed else 'CONTENDED'} "
+                 f"spread=[{min(samples):.2f}..{max(samples):.2f}])")
+            return
         # Slow first rep: either a genuinely slow line or external
         # contention. This box's variance is 2-4x run to run, so two reps
         # can BOTH land inside a noise burst (r7: recorded 5.15s on a
@@ -555,16 +589,16 @@ def main() -> None:
     measure("knn_single_xxl", q_knn_single_xxl)
     measure("knn_single_xxl_disk", q_knn_single_xxl_disk)
     measure("ann_ivf_single_xxl", q_ann_ivf_single_xxl)
-    measure("knn_batch64_xxl", q_knn_batch64_xxl)
-    measure("knn_batch64_xxl_disk", q_knn_batch64_xxl_disk)
+    measure("knn_batch64_xxl", q_knn_batch64_xxl, strict=True)
+    measure("knn_batch64_xxl_disk", q_knn_batch64_xxl_disk, strict=True)
     measure("ann_ivf_batch64_xxl", q_ann_ivf_batch64_xxl)
     # the packed corpus has no further users — free it before the PQ
     # lines so they run against pq_ram only (co-resident caches measured
     # ~2x on the fused ADC line in r6/r7 probes)
     xxl_packed.df.unpersist()
     measure("ivf_pq_single_xxl", q_ivf_pq_single_xxl)
-    measure("ivf_pq_batch64_xxl", q_ivf_pq_batch64_xxl)
-    measure("ivf_pq_batch64_xxl_disk", q_ivf_pq_batch64_xxl_disk)
+    measure("ivf_pq_batch64_xxl", q_ivf_pq_batch64_xxl, strict=True)
+    measure("ivf_pq_batch64_xxl_disk", q_ivf_pq_batch64_xxl_disk, strict=True)
 
     # The 4-leg hybrid over the same 512k parquet corpus: the TIMED line
     # is the fused shared-scan plan (the plan a user gets by default).
@@ -608,6 +642,61 @@ def main() -> None:
 
     measure("reco_best_xxl", q_reco_best_xxl)
 
+    # r10: declared-quantization ROUTED search — the plan a user gets by
+    # declaring quantization_config and calling query_points. The coarse
+    # stage scans the persisted int8 codes (384 B/row vs 1536 B of f32 =
+    # 4x narrower), the rescore semi-joins ~30 rows of floats. Contrast
+    # knn_single_xxl_disk: the same corpus, exact floats from parquet.
+    from qdrant_spark.operators.quantize import build_quant, persist_quant
+
+    quant_xxl = persist_quant(
+        build_quant(xxl_disk, {"scalar": {"type": "int8"}},
+                    vec_col="embedding", id_col="vec_id"),
+        f"{work}/quant_sq_xxl")
+    quant_planner = QueryPlanner(xxl_disk, id_col="vec_id",
+                                 default_vec_col="embedding",
+                                 quant_indexes={"embedding": quant_xxl})
+
+    def q_sq_planned_xxl_disk():
+        out = quant_planner.plan(
+            {"query": {"nearest": q0}, "limit": 10}).collect()
+        assert quant_planner.last_plan_info.get("quant_leaves")
+        return out
+
+    measure("sq_planned_xxl_disk", q_sq_planned_xxl_disk)
+
+    # r10: multivector MaxSim with the token-level IVF coarse stage.
+    # Corpus: the same 512k rows as 8 tokens x 48 dims. The exact line
+    # scans every token (4M x 48d BLAS per batch); the pruned line probes
+    # 4/64 token clusters per query token and MaxSims only candidate docs.
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_ivf, maxsim_knn, maxsim_knn_ivf, persist_maxsim_ivf,
+    )
+
+    _tok_d = len(q0) // 8  # 8 tokens per doc at any sf's embedding dim
+    d_mv = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.slice(F.col("embedding").cast("array<double>"),
+                          i * _tok_d + 1, _tok_d))
+    mv_xxl = materialize(xxl_disk.select("vec_id", d_mv.alias("mv")),
+                         "xxl_mv")
+    msivf_xxl = persist_maxsim_ivf(
+        build_maxsim_ivf(mv_xxl, n_clusters=64, mv_col="mv",
+                         id_col="vec_id", fit_fraction=0.05),
+        f"{work}/maxsim_ivf_xxl")
+    q0_mv = [q0[i * _tok_d:(i + 1) * _tok_d] for i in range(8)]
+
+    def q_maxsim_xxl_disk():
+        return maxsim_knn(mv_xxl, q0_mv, k=10, metric="dot",
+                          mv_col="mv", id_col="vec_id").collect()
+
+    def q_maxsim_ivf_xxl_disk():
+        return maxsim_knn_ivf(msivf_xxl, q0_mv, k=10, nprobe=4,
+                              metric="dot").collect()
+
+    measure("maxsim_xxl_disk", q_maxsim_xxl_disk)
+    measure("maxsim_ivf_xxl_disk", q_maxsim_ivf_xxl_disk)
+
     # the remaining RAM-resident cache is only used by group-3 timed lines
     pq_ram_xxl.unpersist()
 
@@ -650,6 +739,18 @@ def main() -> None:
             lambda q: ivf_pq_search(ivfpq_xxl, q, k=10, nprobe=4,
                                     oversampling=16.0, metric="cosine")),
     }
+    # pruned-MaxSim recall at the timed setting, vs the exact MaxSim scan
+    # (its own ground truth — dense exact10 ranks a different score)
+    ms_hits = 0
+    for qi in range(4):
+        qmv = [qvecs[qi][i * _tok_d:(i + 1) * _tok_d] for i in range(8)]
+        ms_exact = {r["vec_id"] for r in maxsim_knn(
+            mv_xxl, qmv, k=10, metric="dot",
+            mv_col="mv", id_col="vec_id").collect()}
+        ms_got = {r["vec_id"] for r in maxsim_knn_ivf(
+            msivf_xxl, qmv, k=10, nprobe=4, metric="dot").collect()}
+        ms_hits += len(ms_exact & ms_got)
+    recall["maxsim_ivf_xxl_disk"] = round(ms_hits / 40.0, 3)
     recall_violations = {
         k: v for k, v in recall.items()
         if not k.endswith("_untimed") and v < RECALL_FLOOR
@@ -779,8 +880,21 @@ def main() -> None:
                 t0 = time.time()
                 fn()
                 samples.append(time.time() - t0)
+            # r9 verdict #5: ivf_pq_batch64_xxxl_disk swung 1.86->4.49
+            # between runs on min-of-2 — buy up to 2 extra reps until the
+            # two fastest agree within 25%, same protocol as the strict
+            # headline lines
+            while len(samples) < 4:
+                two = sorted(samples)[:2]
+                if two[1] <= two[0] * 1.25:
+                    break
+                wait_idle()
+                t0 = time.time()
+                fn()
+                samples.append(time.time() - t0)
             app_times[name] = round(min(samples), 3)
-            mark(f"  appendix {name}: {app_times[name]}s (n=2,min)")
+            mark(f"  appendix {name}: {app_times[name]}s "
+                 f"(n={len(samples)},min)")
 
         run_app("knn_single_xxxl_disk", lambda: knn(
             xxxl_disk, q0, metric="cosine", k=10, vec_col="embedding",

@@ -1423,20 +1423,27 @@ class QdrantSparkClient:
         B/dim instead of recomputing codes from the float column. Once
         registered, dense `nearest` queries run coarse+rescore through it
         (per-request SearchParams.quantization opts out/tunes)."""
-        from qdrant_spark.operators.quantize import build_quant, persist_quant
-
         if using in col.quant:
             return "exists"
-        if col.df.count() < thr:
-            return "skipped"
-        handle = build_quant(col.df, vc.quantization,
-                             vec_col=col.vec_col(using), id_col="id",
-                             dim=vc.dim)
         if self.root is not None:
+            from qdrant_spark.plans.maintenance import ensure_quant_index
+
             path = os.path.join(self.root, col.name,
                                 f"quant_index_{using or 'default'}")
-            handle = persist_quant(handle, path)
-        col.quant[using] = handle
+            handle, action = ensure_quant_index(
+                col.df, path, vc.quantization,
+                vec_col=col.vec_col(using), id_col="id", dim=vc.dim,
+                indexing_threshold=thr)
+            if handle is not None:
+                col.quant[using] = handle
+            return action
+        from qdrant_spark.operators.quantize import build_quant
+
+        if col.df.count() < thr:
+            return "skipped"
+        col.quant[using] = build_quant(
+            col.df, vc.quantization, vec_col=col.vec_col(using),
+            id_col="id", dim=vc.dim)
         return "built"
 
     def _ensure_sparse_index(self, col: _Collection, using: str,

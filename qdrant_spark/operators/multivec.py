@@ -129,6 +129,7 @@ def build_maxsim_ivf(
     mv_col: str = "mv",
     id_col: str = "id",
     seed: int = 42,
+    fit_fraction: float | None = None,
 ) -> MaxSimIvf:
     """Cluster the corpus's TOKEN vectors (explode + KMeans) — the
     ColBERTv2/PLAID centroid structure. The reference reaches the same
@@ -145,11 +146,26 @@ def build_maxsim_ivf(
         F.col(mv_col).isNotNull() & (F.size(mv_col) > 0)
     ).select(id_col, F.explode(mv_col).alias("__tok"))
     ivf = build_ivf(exploded, n_clusters=n_clusters, vec_col="__tok",
-                    id_col=id_col, seed=seed)
+                    id_col=id_col, seed=seed, fit_fraction=fit_fraction)
     return MaxSimIvf(
         tokens=ivf.assigned.select(id_col, "__cluster"),
         centroids=ivf.centroids, points=points,
         mv_col=mv_col, id_col=id_col)
+
+
+def persist_maxsim_ivf(index: MaxSimIvf, path: str) -> MaxSimIvf:
+    """Materialize the (id, __cluster) token frame parquet-partitioned by
+    ``__cluster`` — probing then reads only the probed clusters' FILES
+    of an id-only table (the multivector analogue of ann.persist_ivf;
+    lazily-computed assignments would re-run the assignment UDF over
+    every token on every query)."""
+    index.tokens.write.mode("overwrite").partitionBy("__cluster") \
+        .parquet(path)
+    spark = index.tokens.sparkSession
+    return MaxSimIvf(
+        tokens=spark.read.parquet(path),
+        centroids=index.centroids, points=index.points,
+        mv_col=index.mv_col, id_col=index.id_col)
 
 
 def maxsim_knn_ivf(

@@ -157,7 +157,14 @@ def sq_search(
     )
 
     src = _coarse_src(index.codes, index.full, flt, index.id_col)
-    if _plan_size_bytes(index.codes) >= ARROW_DISPATCH_BYTES:
+    # Split storage (persist_quant) exists only for the scale path, and
+    # its narrow int8 plan-stat is 4-16x smaller than the decoded work it
+    # implies — the byte dispatch under-triggers and the interpreted JVM
+    # decode-transform ran 8x slower on the 512k bench corpus. Split
+    # storage therefore always scores Arrow-side; in-memory handles keep
+    # the size dispatch (tiny corpora stay JVM-side, no worker startup).
+    if index.full is not None \
+            or _plan_size_bytes(index.codes) >= ARROW_DISPATCH_BYTES:
         # Arrow-side decode: the scan ships the int8 codes only (1 B/dim)
         # and the affine decode happens on the flat Arrow buffer in the
         # scorer — the JVM decode-transform path materializes 8 B/dim
@@ -1167,3 +1174,65 @@ def persist_quant(handle: QuantHandle, path: str) -> QuantHandle:
         idx = replace(handle.index, codes=codes, full=base)
     return QuantHandle(kind=handle.kind, index=idx,
                        oversampling=handle.oversampling)
+
+
+def quant_state(handle: QuantHandle) -> tuple[dict[str, np.ndarray],
+                                              dict[str, Any]]:
+    """(arrays, scalars) fully describing the encoder apart from its
+    DataFrames — what a maintenance job persists next to the codes so a
+    later session reloads without re-training (the reference stores
+    quantized data + meta inside the segment the same way)."""
+    idx = handle.index
+    if handle.kind == "scalar":
+        return {"lo": idx.lo, "hi": idx.hi}, {}
+    if handle.kind == "product":
+        return {"codebooks": idx.codebooks}, {}
+    if handle.kind == "binary":
+        arrays = {"means": idx.means}
+        if idx.stds is not None:
+            arrays["stds"] = idx.stds
+        return arrays, {"encoding": idx.encoding}
+    arrays = {}
+    if idx.ec_shift is not None:
+        arrays["ec_shift"] = idx.ec_shift
+        arrays["ec_scale"] = idx.ec_scale
+    return arrays, {"bits": idx.bits, "dim": idx.dim,
+                    "padded_dim": idx.padded_dim, "seed": idx.seed}
+
+
+def quant_from_state(
+    kind: str,
+    codes: DataFrame,
+    full: DataFrame,
+    *,
+    vec_col: str,
+    id_col: str,
+    arrays: dict[str, np.ndarray],
+    scalars: dict[str, Any],
+    oversampling: float,
+) -> QuantHandle:
+    """Rebuild a :class:`QuantHandle` from persisted codes + state —
+    the load half of :func:`quant_state`. ``codes`` is the narrow
+    (id, code) frame; ``full`` the full-precision corpus."""
+    if kind == "scalar":
+        idx = SqIndex(codes=codes, lo=arrays["lo"], hi=arrays["hi"],
+                      vec_col=vec_col, id_col=id_col, full=full)
+    elif kind == "product":
+        idx = PqIndex(codes=codes, codebooks=arrays["codebooks"],
+                      vec_col=vec_col, id_col=id_col, full=full)
+    elif kind == "binary":
+        idx = BqIndex(packed=codes, means=arrays["means"],
+                      stds=arrays.get("stds"),
+                      encoding=scalars["encoding"],
+                      vec_col=vec_col, id_col=id_col, full=full)
+    elif kind == "turbo":
+        idx = TqIndex(codes=codes, bits=scalars["bits"],
+                      dim=int(scalars["dim"]),
+                      padded_dim=int(scalars["padded_dim"]),
+                      seed=int(scalars["seed"]),
+                      ec_shift=arrays.get("ec_shift"),
+                      ec_scale=arrays.get("ec_scale"),
+                      vec_col=vec_col, id_col=id_col, full=full)
+    else:
+        raise ValueError(f"unknown quantization kind {kind!r}")
+    return QuantHandle(kind=kind, index=idx, oversampling=oversampling)

@@ -122,3 +122,97 @@ def ensure_ann_index(
         json.dump({**requested, "n_rows": n, "dim": index.centroids.shape[1],
                    "centroids": index.centroids.tolist()}, f)
     return index, action
+
+
+# ---------------------------------------------------------------------------
+# Quantized-storage maintenance (config_mismatch + indexing optimizers for
+# a declared quantization_config — quantized_vectors.rs builds/loads the
+# same way from segment meta)
+# ---------------------------------------------------------------------------
+
+_QMETA = "quant_meta.json"
+_QDATA = "codes"
+_QPARAMS = "quant_params.npz"
+
+
+def read_quant_meta(path: str) -> dict[str, Any] | None:
+    try:
+        with open(os.path.join(path, _QMETA)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def load_quant_index(points: DataFrame, path: str):
+    """Re-open persisted quantized storage: narrow (id, code) parquet +
+    the encoder state npz; ``points`` becomes the full-precision frame
+    for the exact rescore. No corpus pass, no re-training."""
+    from qdrant_spark.operators.quantize import quant_from_state
+
+    meta = read_quant_meta(path)
+    if meta is None:
+        raise FileNotFoundError(f"no quant meta at {path}")
+    arrays = dict(np.load(os.path.join(path, _QPARAMS), allow_pickle=False))
+    codes = points.sparkSession.read.parquet(os.path.join(path, _QDATA))
+    return quant_from_state(
+        meta["kind"], codes, points,
+        vec_col=meta["vec_col"], id_col=meta["id_col"],
+        arrays=arrays, scalars=meta["scalars"],
+        oversampling=float(meta["oversampling"]))
+
+
+def ensure_quant_index(
+    points: DataFrame,
+    path: str,
+    config: dict[str, Any],
+    *,
+    vec_col: str = "vec",
+    id_col: str = "id",
+    dim: int | None = None,
+    indexing_threshold: int = FULL_SCAN_THRESHOLD,
+    stale_fraction: float = 0.2,
+    total: int | None = None,
+):
+    """Idempotent quantized-storage maintenance; returns
+    ``(QuantHandle | None, action)`` with action in ``{"skipped",
+    "loaded", "built", "rebuilt"}`` — the quantization twin of
+    :func:`ensure_ann_index`: skip below threshold, LOAD when the stored
+    meta matches the requested config and the corpus hasn't drifted past
+    ``stale_fraction``, REBUILD on config mismatch
+    (QuantizationConfig::mismatch_requires_rebuild, types.rs:1143-1151)
+    or drift, BUILD otherwise. The persisted layout is the
+    :func:`~qdrant_spark.operators.quantize.persist_quant` split: narrow
+    (id, code) parquet for the coarse scan, encoder state in an npz."""
+    from qdrant_spark.operators.quantize import (
+        build_quant, quant_state,
+    )
+
+    n = points.count() if total is None else int(total)
+    if n < indexing_threshold:
+        return None, "skipped"
+
+    requested = {"config": config, "vec_col": vec_col, "id_col": id_col}
+    meta = read_quant_meta(path)
+    action = "built"
+    if meta is not None:
+        stored = {k: meta.get(k) for k in requested}
+        if stored != requested:
+            action = "rebuilt"
+        elif abs(n - meta["n_rows"]) > stale_fraction * max(meta["n_rows"], 1):
+            action = "rebuilt"
+        else:
+            return load_quant_index(points, path), "loaded"
+
+    handle = build_quant(points, config, vec_col=vec_col, id_col=id_col,
+                         dim=dim)
+    frame = handle.codes_frame()
+    cols = [id_col, *handle.code_cols()]
+    frame.select(*cols).write.mode("overwrite").parquet(
+        os.path.join(path, _QDATA))
+    arrays, scalars = quant_state(handle)
+    os.makedirs(path, exist_ok=True)
+    np.savez(os.path.join(path, _QPARAMS), **arrays)
+    with open(os.path.join(path, _QMETA), "w") as f:
+        json.dump({**requested, "kind": handle.kind, "scalars": scalars,
+                   "oversampling": handle.oversampling, "n_rows": n}, f)
+    return load_quant_index(points, path), action

@@ -573,11 +573,29 @@ def test_client_quantization_config_end_to_end(spark, tmp_path):
                               {"key": "g", "match": {"value": 1}}]})
     assert fres.points and all(p.id % 3 == 1 for p in fres.points)
 
-    # mutation invalidates; next ensure rebuilds
+    # mutation invalidates the registered handle; the next ensure RELOADS
+    # the persisted codes (row drift 1/200 < stale_fraction — the same
+    # serve-until-drift contract ensure_ann_index has; rows missing from
+    # the loaded codes don't participate in the coarse stage until the
+    # drift trigger rebuilds)
     c.upsert("qc", [{"id": 999, "vector": pts[0]["vector"],
                      "payload": {"g": 0}}])
     assert c._coll("qc").quant == {}
-    assert c.ensure_vector_index("qc", indexing_threshold=0) == "built"
+    assert c.ensure_vector_index("qc", indexing_threshold=0) == "loaded"
+
+    # a NEW client session over the same root reloads without retraining
+    c2 = QdrantSparkClient(spark, root=str(tmp_path))
+    c2.create_collection(
+        "qc", vectors_config={"size": 8, "distance": "Cosine"},
+        quantization_config={"scalar": {"type": "int8", "quantile": 0.99}})
+    c2.upsert("qc", pts)
+    assert c2.ensure_vector_index("qc", indexing_threshold=0) == "loaded"
+    q2 = c2.query_points("qc", query=q, limit=10)
+    assert [p.id for p in q2.points] == [p.id for p in exact.points]
+
+    # config mismatch rebuilds (mismatch_requires_rebuild)
+    c2.update_collection("qc", quantization_config={"binary": {}})
+    assert c2.ensure_vector_index("qc", indexing_threshold=0) == "rebuilt"
 
 
 def test_client_update_collection_quantization(spark):
