@@ -99,9 +99,16 @@ def build_sq(
     hi = np.quantile(sample, quantile, axis=0)
     hi = np.where(hi - lo < 1e-12, lo + 1e-12, hi)  # constant dims
 
+    codes = base.withColumn("__sq", _sq_code_expr(lo, hi, vec_col))
+    return SqIndex(codes=codes, lo=lo, hi=hi, vec_col=vec_col, id_col=id_col)
+
+
+def _sq_code_expr(lo: np.ndarray, hi: np.ndarray, vec_col: str):
+    """int8 code Column for FROZEN clip bounds — shared by the build pass
+    and the incremental encode of new rows (encode_quant)."""
     lo_lit = F.lit(lo.tolist())
     scale_lit = F.lit((255.0 / (hi - lo)).tolist())
-    code = F.transform(
+    return F.transform(
         F.col(vec_col),
         lambda v, i: F.least(
             F.lit(255.0),
@@ -115,8 +122,6 @@ def build_sq(
         )
         - F.lit(128.0),
     ).cast("array<tinyint>")
-    codes = base.withColumn("__sq", code)
-    return SqIndex(codes=codes, lo=lo, hi=hi, vec_col=vec_col, id_col=id_col)
 
 
 def _coarse_src(codes: DataFrame, full: DataFrame | None, flt,
@@ -330,6 +335,16 @@ def build_bq(
     means = np.array([row[f"m{d}"] for d in range(dim)])
     stds = np.array([row[f"s{d}"] or 0.0 for d in range(dim)])
 
+    packed = base.withColumn(
+        "__bq", _bq_code_expr(means, stds, encoding, vec_col, dim))
+    return BqIndex(packed=packed, means=means, vec_col=vec_col,
+                   id_col=id_col, stds=stds, encoding=encoding)
+
+
+def _bq_code_expr(means: np.ndarray, stds: np.ndarray | None, encoding: str,
+                  vec_col: str, dim: int):
+    """Packed-words Column for FROZEN means/stds — shared by the build
+    pass and the incremental encode of new rows (encode_quant)."""
     if encoding == "one_bit":
         mean_lit = F.lit(means.tolist())
         bits = F.transform(
@@ -350,9 +365,7 @@ def build_bq(
                 ),
             )
             bits = F.concat(b1, b2m)
-    packed = base.withColumn("__bq", _pack_expr(bits, _bq_ext_dim(dim, encoding)))
-    return BqIndex(packed=packed, means=means, vec_col=vec_col,
-                   id_col=id_col, stds=stds, encoding=encoding)
+    return _pack_expr(bits, _bq_ext_dim(dim, encoding))
 
 
 # --------------------------------------------------------------------------
@@ -482,9 +495,20 @@ def build_pq(
     codebooks = _fit_codebooks(sample, n_subspaces, n_centroids, max_iter,
                                seed)  # (M, K, dsub), K = min(k, sample rows)
 
+    codes = base.withColumn("__pq", _pq_encode_udf(codebooks)(F.col(vec_col)))
+    return PqIndex(codes=codes, codebooks=codebooks, vec_col=vec_col, id_col=id_col)
+
+
+def _pq_encode_udf(codebooks: np.ndarray):
+    """ADC-encode pandas_udf for FROZEN codebooks — shared by the build
+    pass and the incremental encode of new rows (encode_quant); the PQ
+    analogue of ann.assign_to_ivf_pq's frozen-codebook encode."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     cb = codebooks
     cb_norm2 = (cb * cb).sum(axis=2)  # (M, K)
-    M = cb.shape[0]
+    M, _, dsub = cb.shape
 
     def _encode_batch(s):
         if len(s) == 0:
@@ -497,9 +521,7 @@ def build_pq(
             codes[:, m] = d.argmin(axis=1)
         return pd.Series(list((codes - 128).astype(np.int8)))
 
-    _encode = pandas_udf(_encode_batch, "array<tinyint>")
-    codes = base.withColumn("__pq", _encode(F.col(vec_col)))
-    return PqIndex(codes=codes, codebooks=codebooks, vec_col=vec_col, id_col=id_col)
+    return pandas_udf(_encode_batch, "array<tinyint>")
 
 
 def _pq_lut_sum(lut: np.ndarray) -> Any:
@@ -809,6 +831,28 @@ def build_tq(
         S[:, :dim] = np.array([list(r[0]) for r in rows], dtype=np.float64)
         S, _ = _tq_preprocess(S, _tq_rotation_params(padded_dim, seed), sqrt_d)
         ec_shift, ec_scale = _fit_tq_plus(S, float(centroids[-1]))
+    codes = _tq_encode_columns(base, vec_col, bits=bits, dim=dim,
+                               padded_dim=padded_dim, seed=seed,
+                               ec_shift=ec_shift, ec_scale=ec_scale)
+    return TqIndex(codes=codes, bits=bits, dim=dim, padded_dim=padded_dim,
+                   seed=seed, vec_col=vec_col, id_col=id_col,
+                   ec_shift=ec_shift, ec_scale=ec_scale)
+
+
+def _tq_encode_columns(base: DataFrame, vec_col: str, *, bits: float,
+                       dim: int, padded_dim: int, seed: int,
+                       ec_shift: np.ndarray | None,
+                       ec_scale: np.ndarray | None) -> DataFrame:
+    """Attach ``__tq/__tq_l2/__tq_cn`` for FROZEN rotation + EC state —
+    shared by the build pass and the incremental encode of new rows
+    (encode_quant). One Arrow-batched pass, no training."""
+    from pyspark.sql.functions import pandas_udf
+
+    bpc = 1 if bits in (1, 1.5) else int(bits)
+    centroids = _TQ_CENTROIDS[bpc]
+    boundaries = _tq_boundaries(bpc)
+    sqrt_d = float(np.sqrt(padded_dim))
+    pd_, dim_, seed_ = padded_dim, dim, seed
     shift_b = ec_shift if ec_shift is not None else np.zeros(padded_dim)
     scale_b = ec_scale if ec_scale is not None else np.ones(padded_dim)
 
@@ -835,16 +879,13 @@ def build_tq(
         })
 
     enc = pandas_udf(_encode, "codes binary, l2 double, cn double")
-    codes = (
+    return (
         base.withColumn("__t", enc(F.col(vec_col)))
         .withColumn("__tq", F.col("__t.codes"))
         .withColumn("__tq_l2", F.col("__t.l2"))
         .withColumn("__tq_cn", F.col("__t.cn"))
         .drop("__t")
     )
-    return TqIndex(codes=codes, bits=bits, dim=dim, padded_dim=padded_dim,
-                   seed=seed, vec_col=vec_col, id_col=id_col,
-                   ec_shift=ec_shift, ec_scale=ec_scale)
 
 
 def tq_search(
@@ -1236,3 +1277,29 @@ def quant_from_state(
     else:
         raise ValueError(f"unknown quantization kind {kind!r}")
     return QuantHandle(kind=kind, index=idx, oversampling=oversampling)
+
+
+def encode_quant(handle: QuantHandle, points: DataFrame) -> DataFrame:
+    """Encode NEW rows with the handle's FROZEN encoder state — no
+    re-training, map-only (the quantization analogue of
+    ann.assign_to_ivf's frozen-centroid assign; the reference appends to
+    quantized storage with the stored parameters the same way). Returns
+    ``points`` (non-null vectors) with the handle's code column(s)
+    attached — append ``select(id, *code_cols)`` to a persisted codes
+    table to extend a split-storage index."""
+    idx = handle.index
+    base = points.filter(F.col(handle.vec_col).isNotNull())
+    if handle.kind == "scalar":
+        return base.withColumn(
+            "__sq", _sq_code_expr(idx.lo, idx.hi, handle.vec_col))
+    if handle.kind == "product":
+        return base.withColumn(
+            "__pq", _pq_encode_udf(idx.codebooks)(F.col(handle.vec_col)))
+    if handle.kind == "binary":
+        return base.withColumn(
+            "__bq", _bq_code_expr(idx.means, idx.stds, idx.encoding,
+                                  handle.vec_col, len(idx.means)))
+    return _tq_encode_columns(base, handle.vec_col, bits=idx.bits,
+                              dim=idx.dim, padded_dim=idx.padded_dim,
+                              seed=idx.seed, ec_shift=idx.ec_shift,
+                              ec_scale=idx.ec_scale)

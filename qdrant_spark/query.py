@@ -423,6 +423,13 @@ class QueryPlanner:
         vec_col = req.get("using", self.default_vec_col)
         if self._ivf_for(vec_col) is not None and not self._leaf_exact(req):
             return None
+        qp = (req.get("params") or {}).get("quantization") or {}
+        if self.quant_indexes.get(vec_col) is not None \
+                and not qp.get("ignore") and not self._leaf_exact(req):
+            # quant-routed leaf: fusing would bypass the declared
+            # coarse+rescore plan (and change VALUES for rescore=false
+            # requests, which return coarse scores)
+            return None
         import json
 
         flt_key = json.dumps(req.get("filter"), sort_keys=True, default=str)

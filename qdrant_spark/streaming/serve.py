@@ -205,3 +205,48 @@ def live_ivf_index(
         assigned=snap, centroids=np.asarray(centroids),
         vec_col=vec_col, id_col=sink.id_col,
     )
+
+
+def start_quant_upsert_stream(
+    stream_df: DataFrame,
+    sink: ParquetPointsSink,
+    handle,
+    *,
+    checkpoint_dir: str,
+    trigger: dict[str, Any] | None = None,
+):
+    """Upsert stream whose snapshot stays QUANTIZED: each micro-batch is
+    encoded with the handle's FROZEN encoder state (quantize.encode_quant
+    — map-only, no re-training; the quantization twin of
+    start_ivf_upsert_stream's frozen-centroid assign), so
+    ``live_quant_handle(sink, handle)`` is always searchable
+    coarse+rescore like a batch-built index. The handle is only the
+    encoder-state carrier here; its own frames are not touched. Returns
+    the StreamingQuery."""
+    from qdrant_spark.operators.quantize import encode_quant
+
+    def encode(batch_df: DataFrame) -> DataFrame:
+        return encode_quant(handle, batch_df)
+
+    return start_upsert_stream(
+        stream_df, sink, checkpoint_dir=checkpoint_dir,
+        trigger=trigger, transform=encode,
+    )
+
+
+def live_quant_handle(sink: ParquetPointsSink, handle):
+    """The current snapshot as a searchable QuantHandle (None before the
+    first commit): codes AND full-precision vectors live in the snapshot,
+    so the coarse stage column-prunes to the code column and the rescore
+    reads the floats from the same table. Pair with quant_search."""
+    from dataclasses import replace
+
+    from qdrant_spark.operators.quantize import QuantHandle
+
+    snap = sink.read()
+    if snap is None:
+        return None
+    idx = replace(handle.index, full=None, **(
+        {"packed": snap} if handle.kind == "binary" else {"codes": snap}))
+    return QuantHandle(kind=handle.kind, index=idx,
+                       oversampling=handle.oversampling)

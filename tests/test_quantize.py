@@ -616,3 +616,33 @@ def test_client_update_collection_quantization(spark):
     assert "" in c._coll("qu").quant
     c.update_collection("qu", quantization_config={"scalar": {}})
     assert c._coll("qu").quant == {}  # mismatch drops the built codes
+
+
+def test_quant_leaves_not_fused(embeddings):
+    """Sibling dense legs on a quant-registered column keep their own
+    coarse+rescore plans instead of being fused into one exact shared
+    scan (the same opt-out IVF-routed leaves have — fusing would bypass
+    the declared plan and change values for rescore=false requests)."""
+    from qdrant_spark.query import QueryPlanner
+
+    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+                    id_col="vec_id")
+    rows = embeddings.limit(2).collect()
+    q1, q2 = (list(r["embedding"]) for r in rows)
+    req = {"prefetch": [
+        {"query": {"nearest": q1}, "limit": 20},
+        {"query": {"nearest": q2}, "limit": 20},
+    ], "query": {"fusion": "rrf"}, "limit": 10}
+    pl = QueryPlanner(embeddings, id_col="vec_id",
+                      default_vec_col="embedding",
+                      fuse_min_bytes=0,  # force fusion-eligible size
+                      quant_indexes={"embedding": h})
+    out = pl.plan(req)
+    assert out.count() > 0
+    assert pl.last_plan_info["fused_legs"] == 0
+    assert pl.last_plan_info.get("quant_leaves") == 2
+    # same request without quant fuses (sanity that the gate is the cause)
+    pl2 = QueryPlanner(embeddings, id_col="vec_id",
+                       default_vec_col="embedding", fuse_min_bytes=0)
+    pl2.plan(req).count()
+    assert pl2.last_plan_info["fused_legs"] == 2

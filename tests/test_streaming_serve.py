@@ -177,3 +177,48 @@ def test_sparse_index_stream_equals_batch(spark, tmp_path):
     assert sorted((r["id"], r["dim"], r["v"])
                   for r in idx.pairs.collect()) == [
         (1, 3, 5.0), (3, 1, 2.0), (3, 3, 1.0)]
+
+
+def test_quant_ingest_stream_matches_batch_codes(spark, emb, tmp_path):
+    """stream==batch gate for the quant-maintaining ingest: the snapshot's
+    frozen-state codes equal a batch encode, and quant_search over the
+    live handle equals the exact scan (rescore is exact)."""
+    from qdrant_spark.operators.knn import knn
+    from qdrant_spark.operators.quantize import (
+        build_quant, encode_quant, quant_search,
+    )
+    from qdrant_spark.streaming.serve import (
+        live_quant_handle, start_quant_upsert_stream,
+    )
+
+    handle = build_quant(emb, {"scalar": {"type": "int8"}},
+                         vec_col="embedding", id_col="vec_id")
+    src_dir = str(tmp_path / "qpoints_src")
+    emb.repartitionByRange(2, "vec_id").write.parquet(src_dir)
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    sink = ParquetPointsSink(spark, str(tmp_path / "qtable"),
+                             id_col="vec_id")
+    q = start_quant_upsert_stream(
+        stream, sink, handle, checkpoint_dir=str(tmp_path / "qckpt"))
+    q.awaitTermination()
+
+    live = live_quant_handle(sink, handle)
+    snap = live.index.codes
+    assert snap.count() == emb.count() and "__sq" in snap.columns
+
+    # streamed frozen-state codes == batch encode with the same state
+    batch = encode_quant(handle, emb).select("vec_id", "__sq")
+    diff = snap.select("vec_id", "__sq").exceptAll(batch)
+    assert diff.count() == 0
+
+    # coarse+rescore over the live handle == exact scan
+    probe = list(emb.filter(F.col("vec_id") == 123).first()["embedding"])
+    got = [(r["vec_id"], round(r["score"], 6))
+           for r in quant_search(live, probe, k=5, metric="cosine",
+                                 oversampling=8.0).collect()]
+    want = [(r["vec_id"], round(r["score"], 6))
+            for r in knn(emb, probe, metric="cosine", k=5,
+                         vec_col="embedding", id_col="vec_id",
+                         select=["vec_id", "score"]).collect()]
+    assert got == want
