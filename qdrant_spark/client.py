@@ -1717,7 +1717,9 @@ class QdrantSparkClient:
                                              in col.sparse_idx.items()},
                              ivf_index=col.ivf.get(""),
                              ivf_indexes={col.vec_col(n): idx
-                                          for n, idx in col.ivf.items()})
+                                          for n, idx in col.ivf.items()},
+                             quant_indexes={col.vec_col(n): h
+                                            for n, h in col.quant.items()})
         by_idx: dict[int, list] = {}
         for r in tagged.collect():
             by_idx.setdefault(r["request_idx"], []).append(r)

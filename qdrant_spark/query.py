@@ -1125,6 +1125,150 @@ def _batch_sparse_indexed(planner: "QueryPlanner",
             outs[i] = spark.createDataFrame(hits, schema)
 
 
+def _batch_quant_indexed(planner: "QueryPlanner",
+                         requests: list[dict[str, Any]],
+                         outs: list) -> None:
+    """Batch-side quantized grouping: unfiltered single-leaf dense
+    nearest requests on a column with a registered SCALAR QuantHandle
+    are answered by ONE coarse Arrow scan over the int8 codes (all
+    queries score per batch via the block matmul) plus ONE pair-scored
+    rescore over the union of candidate floats — value-identical per
+    request to planning each alone (per-request oversampling, rescore,
+    score_threshold, offset and limit applied after the shared scans).
+    The quantized twin of :func:`_batch_sparse_indexed`; the reference's
+    batch dispatch walks quantized storage once for the whole batch the
+    same way. Requests with filters / exact / shard routing / ignore /
+    an IVF-registered column keep their own plan."""
+    import numpy as np
+
+    groups: dict[str, list[int]] = {}
+    for i, req in enumerate(requests):
+        if outs[i] is not None or req.get("prefetch") \
+                or req.get("shard_key") is not None \
+                or req.get("filter") is not None:
+            continue
+        q = req.get("query")
+        if not (isinstance(q, dict) and isinstance(q.get("nearest"),
+                                                   (list, tuple))):
+            continue
+        t = q["nearest"]
+        if not t or isinstance(t[0], (list, tuple)):
+            continue  # multivector
+        vc = req.get("using", planner.default_vec_col)
+        qh = planner.quant_indexes.get(vc)
+        qp = (req.get("params") or {}).get("quantization") or {}
+        if qh is None or qh.kind != "scalar" or qp.get("ignore") \
+                or planner._ivf_for(vc) is not None \
+                or planner._leaf_exact(req):
+            continue
+        if qp.get("rescore") is False and \
+                req.get("score_threshold") is not None:
+            continue  # the single-request plan raises; keep that path
+        groups.setdefault(vc, []).append(i)
+
+    from pyspark.sql import types as T
+
+    for vc, idxs in groups.items():
+        if len(idxs) < 2:
+            continue
+        qh = planner.quant_indexes[vc]
+        metric = planner.metric_for(vc)
+        ks, cs, overs, rescores = {}, {}, {}, {}
+        for i in idxs:
+            req = requests[i]
+            qp = (req.get("params") or {}).get("quantization") or {}
+            ks[i] = int(req.get("limit", DEFAULT_LIMIT)) \
+                + int(req.get("offset", 0))
+            overs[i] = float(qp.get("oversampling", qh.oversampling))
+            cs[i] = max(ks[i], int(np.ceil(ks[i] * overs[i])))
+            rescores[i] = qp.get("rescore") is not False
+        if len(idxs) * max(cs.values()) > planner.fused_collect_max:
+            continue
+        from qdrant_spark.operators.knn import (
+            _matmul_knn, _threshold_cond, larger_is_better,
+            rowwise_score_topk,
+        )
+
+        idx = qh.index
+        lo, scale = idx.lo, (idx.hi - idx.lo) / 255.0
+
+        def dec(vec, n, lo=lo, scale=scale):
+            import pyarrow as pa
+
+            if isinstance(vec, pa.ChunkedArray):
+                vec = vec.combine_chunks()
+            flat = vec.flatten().to_numpy(zero_copy_only=False)
+            M = flat.reshape(n, len(lo)).astype(np.float64)
+            return (M + 128.0) * scale + lo
+
+        Q = np.asarray(
+            [[float(x) for x in requests[i]["query"]["nearest"]]
+             for i in idxs])
+        coarse = _matmul_knn(
+            idx.codes, None, metric=metric, k=max(cs.values()),
+            vec_col="__sq", id_col=idx.id_col, qid_col="__qid",
+            qvec_col="__qvec", score_threshold=None,
+            q_data=(idxs, Q), vec_decode=dec,
+        ).collect()
+        planner.last_plan_info["quant_batch_groups"] = \
+            planner.last_plan_info.get("quant_batch_groups", 0) + 1
+        by_req: dict[int, list] = {i: [] for i in idxs}
+        for r in coarse:  # already ranked (score dir, id) per query
+            if r["rank"] <= cs[r["__qid"]]:
+                by_req[r["__qid"]].append((r[idx.id_col],
+                                           float(r["score"])))
+        spark = planner.points.sparkSession
+        id_type = planner.points.schema[planner.id_col].dataType
+        schema = T.StructType([
+            T.StructField(planner.id_col, id_type),
+            T.StructField("score", T.DoubleType()),
+        ])
+        larger = larger_is_better(metric)
+
+        def finish(i: int, hits: list) -> None:
+            req = requests[i]
+            # the single-request plan cuts to k = limit+offset BEFORE the
+            # threshold filter (quant_search(k=...) then the leaf filter)
+            hits = hits[:ks[i]]
+            thr = req.get("score_threshold")
+            if thr is not None:
+                keep = (lambda s: s > float(thr)) if larger \
+                    else (lambda s: s < float(thr))
+                hits = [h for h in hits if keep(h[1])]
+            off = int(req.get("offset", 0))
+            lim = int(req.get("limit", DEFAULT_LIMIT))
+            outs[i] = spark.createDataFrame(hits[off:off + lim], schema)
+
+        need_rescore = [i for i in idxs if rescores[i]]
+        if need_rescore:
+            pairs = spark.createDataFrame(
+                [(int(i), h[0]) for i in need_rescore
+                 for h in by_req[i]],
+                T.StructType([T.StructField("__qid", T.LongType()),
+                              T.StructField(idx.id_col, id_type)]))
+            full = idx.full if idx.full is not None else idx.codes
+            qdf = spark.createDataFrame(
+                [(int(i), [float(x) for x in requests[i]["query"]["nearest"]])
+                 for i in need_rescore],
+                "__qid long, __qvec array<double>")
+            joined = (full.select(idx.id_col, idx.vec_col)
+                      .join(F.broadcast(pairs), idx.id_col)
+                      .join(F.broadcast(qdf), "__qid"))
+            scored = rowwise_score_topk(
+                joined, metric=metric, k=max(ks[i] for i in need_rescore),
+                qid_col="__qid", id_col=idx.id_col, vec_col=idx.vec_col,
+                qvec_col="__qvec")
+            rows = scored.collect()
+            exact: dict[int, list] = {i: [] for i in need_rescore}
+            for r in sorted(rows, key=lambda r: (r["__qid"], r["rank"])):
+                exact[r["__qid"]].append((r[idx.id_col], float(r["score"])))
+            for i in need_rescore:
+                finish(i, exact[i])
+        for i in idxs:
+            if not rescores[i]:
+                finish(i, by_req[i])
+
+
 def query_batch(
     points: DataFrame,
     requests: list[dict[str, Any]],
@@ -1138,6 +1282,7 @@ def query_batch(
     sparse_indexes: dict[str, Any] | None = None,
     ivf_index=None,
     ivf_indexes: dict[str, Any] | None = None,
+    quant_indexes: dict[str, Any] | None = None,
 ) -> DataFrame:
     """Batch universal query (``POST /collections/{c}/points/query/batch``,
     reference src/actix/api/query_api.rs; per-request independence as in
@@ -1151,7 +1296,9 @@ def query_batch(
     special-cases exactly this, dispatch.rs batch path / the PlannedQuery
     leaf merge), and unfiltered sparse-nearest requests on an indexed
     column, which are answered by ONE inverted-index scan
-    (:func:`_batch_sparse_indexed`). Requests carrying a ``shard_key``
+    (:func:`_batch_sparse_indexed`), and unfiltered dense requests on a
+    scalar-quantized column, answered by ONE coarse code scan + ONE pair
+    rescore (:func:`_batch_quant_indexed`). Requests carrying a ``shard_key``
     selector route to their shard's partition directories before
     planning. Per-request limit/offset/score_threshold are preserved;
     the batched leg results are value-identical to planning each request
@@ -1169,6 +1316,7 @@ def query_batch(
         collections=collections, fuse_min_bytes=fuse_min_bytes,
         metrics=metrics, sparse_indexes=sparse_indexes,
         ivf_index=ivf_index, ivf_indexes=ivf_indexes,
+        quant_indexes=quant_indexes,
     )
     if not requests:
         raise ValueError("empty request batch")
@@ -1190,6 +1338,7 @@ def query_batch(
         for i, df in zip(idxs, legs):
             outs[i] = df
     _batch_sparse_indexed(planner, requests, outs)
+    _batch_quant_indexed(planner, requests, outs)
     # stash fallback persists from the fused legs: the per-request plan()
     # calls below free planner._fused_persisted at entry, which would
     # evict the shared scan before the batch union materializes

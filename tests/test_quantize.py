@@ -646,3 +646,48 @@ def test_quant_leaves_not_fused(embeddings):
                        default_vec_col="embedding", fuse_min_bytes=0)
     pl2.plan(req).count()
     assert pl2.last_plan_info["fused_legs"] == 2
+
+
+def test_query_batch_groups_quant_through_codes(embeddings):
+    """query_batch answers >=2 unfiltered dense requests on a
+    scalar-quantized column with ONE coarse code scan + ONE pair rescore;
+    per-request offset / score_threshold / oversampling / rescore=False
+    results are value-identical to planning each request alone."""
+    from qdrant_spark.operators import knn as K
+    from qdrant_spark.query import query_batch
+
+    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+                    id_col="vec_id")
+    rows = embeddings.limit(3).collect()
+    q1, q2, q3 = (list(r["embedding"]) for r in rows)
+    reqs = [
+        {"query": {"nearest": q1}, "limit": 5, "offset": 2},
+        {"query": {"nearest": q2}, "limit": 5,
+         "params": {"quantization": {"oversampling": 6.0}}},
+        {"query": {"nearest": q3}, "limit": 5,
+         "params": {"quantization": {"rescore": False}}},
+        {"query": {"nearest": q1}, "limit": 8, "score_threshold": 0.1},
+    ]
+    kw = dict(id_col="vec_id", vec_col="embedding",
+              quant_indexes={"embedding": h})
+    want = [query_batch(embeddings, [dict(r)], **kw).collect()
+            for r in reqs]
+
+    calls = []
+    orig = K._matmul_knn
+    K._matmul_knn = lambda *a, **k2: calls.append(1) or orig(*a, **k2)
+    try:
+        got = query_batch(embeddings, [dict(r) for r in reqs],
+                          **kw).collect()
+    finally:
+        K._matmul_knn = orig
+    by_req: dict = {}
+    for r in got:
+        by_req.setdefault(r["request_idx"], []).append(
+            (r["vec_id"], round(r["score"], 6)))
+    for i, w in enumerate(want):
+        exp = sorted((r["vec_id"], round(r["score"], 6)) for r in w)
+        assert sorted(by_req.get(i, [])) == exp, i
+    # the whole batch ran ONE coarse matmul scan (single-request plans in
+    # `want` each ran their own, so count only the grouped run)
+    assert len(calls) == 1
