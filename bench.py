@@ -691,8 +691,17 @@ def main() -> None:
                           mv_col="mv", id_col="vec_id").collect()
 
     def q_maxsim_ivf_xxl_disk():
+        # PLAID shape: per-token probes 4/64 clusters, centroid-resolution
+        # candidate cap 4096 (0.8% of the corpus) bounds the exact stage —
+        # membership alone barely prunes when every doc's 8 tokens spread
+        # across clusters. NOTE the crossover: at 512k rows the exact
+        # Arrow BLAS scan (maxsim_xxl_disk) wins — candidate generation
+        # costs two narrow aggregations that only pay once the corpus
+        # dwarfs memory bandwidth (the exact line scales with corpus
+        # bytes, this line with the token table + 0.8% of the corpus).
+        # Reported as the scale-plan datapoint, recall-gated below.
         return maxsim_knn_ivf(msivf_xxl, q0_mv, k=10, nprobe=4,
-                              metric="dot").collect()
+                              metric="dot", candidates=4096).collect()
 
     measure("maxsim_xxl_disk", q_maxsim_xxl_disk)
     measure("maxsim_ivf_xxl_disk", q_maxsim_ivf_xxl_disk)
@@ -748,7 +757,8 @@ def main() -> None:
             mv_xxl, qmv, k=10, metric="dot",
             mv_col="mv", id_col="vec_id").collect()}
         ms_got = {r["vec_id"] for r in maxsim_knn_ivf(
-            msivf_xxl, qmv, k=10, nprobe=4, metric="dot").collect()}
+            msivf_xxl, qmv, k=10, nprobe=4, metric="dot",
+            candidates=4096).collect()}
         ms_hits += len(ms_exact & ms_got)
     recall["maxsim_ivf_xxl_disk"] = round(ms_hits / 40.0, 3)
     recall_violations = {

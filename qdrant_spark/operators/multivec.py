@@ -175,23 +175,62 @@ def maxsim_knn_ivf(
     k: int = 10,
     nprobe: int = 2,
     metric: str = "dot",
+    candidates: int | None = None,
 ) -> DataFrame:
     """Pruned MaxSim: each QUERY token probes its ``nprobe`` nearest
     token-space centroids (a driver-side argsort over the small centroid
     matrix); candidate docs = distinct ids owning a token in the probed
     union (a scan of the narrow (id, __cluster) frame — partition-pruned
     when persisted by cluster); the exact Arrow MaxSim scan then runs
-    over ONLY the candidates via a broadcast-free semi-join. With
-    ``nprobe == n_clusters`` every doc is a candidate and the result
-    equals the full scan exactly."""
+    over ONLY the candidates via a semi-join. With
+    ``nprobe == n_clusters`` and ``candidates=None`` every doc is a
+    candidate and the result equals the full scan exactly.
+
+    ``candidates`` adds the PLAID stage-2 cap: probed token rows are
+    scored at CENTROID resolution (each row contributes the max over
+    query tokens of q·centroid — one literal-array lookup per row,
+    codegen'd), docs rank by their summed approximate contribution, and
+    only the top ``candidates`` docs reach the exact scan. This is what
+    makes the probe pay when corpora have many tokens per doc spread
+    across clusters: membership alone barely prunes, the cap bounds the
+    exact stage to candidates/N of the corpus regardless."""
     Qm = np.asarray([list(t) for t in query_multivector], dtype=np.float64)
+    if metric == "cosine":
+        n = np.linalg.norm(Qm, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        Qm = Qm / n
     # (tq, n_clusters) squared distances, top-nprobe per query token
     d2 = ((Qm[:, None, :] - index.centroids[None, :, :]) ** 2).sum(axis=2)
     per_tok = np.argsort(d2, axis=1)[:, :nprobe]
     probes = sorted({int(c) for row in per_tok for c in row})
-    cand_ids = (index.tokens
-                .filter(F.col("__cluster").isin(probes))
-                .select(index.id_col).distinct())
+    matched = index.tokens.filter(F.col("__cluster").isin(probes))
+    if candidates is None:
+        cand_ids = matched.select(index.id_col).distinct()
+    else:
+        # centroid-resolution MaxSim (ColBERTv2/PLAID candidate scoring):
+        # approx(doc) = sum over QUERY tokens of max over the doc's
+        # probed token rows of q_i · centroid(row). The per-cluster
+        # q-score arrays ship as ONE map literal over the <=tq*nprobe
+        # probed clusters; the (doc, q_i) max and the doc sum are two
+        # narrow aggregations keyed on id.
+        S = Qm @ index.centroids.T  # (tq, n_clusters)
+        flat = []
+        for c in probes:
+            flat.append(F.lit(int(c)))
+            flat.append(F.lit([float(x) for x in S[:, c]]))
+        score_arr = F.element_at(F.create_map(*flat),
+                                 F.col("__cluster").cast("int"))
+        pairs = matched.select(
+            index.id_col, F.posexplode(score_arr).alias("__qi", "__s"))
+        cand_ids = (pairs
+                    .groupBy(index.id_col, "__qi")
+                    .agg(F.max("__s").alias("__m"))
+                    .groupBy(index.id_col)
+                    .agg(F.sum("__m").alias("__s"))
+                    .orderBy(F.col("__s").desc(),
+                             F.col(index.id_col).asc())
+                    .limit(int(candidates))
+                    .select(index.id_col))
     cand = index.points.join(cand_ids, index.id_col, "left_semi")
     return maxsim_knn(cand, query_multivector, k=k, metric=metric,
                       mv_col=index.mv_col, id_col=index.id_col)

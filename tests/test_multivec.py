@@ -126,3 +126,52 @@ def test_maxsim_ivf_scans_only_probed_clusters(mv_points, q_mv):
     n_cand = (idx.tokens.filter(SF.col("__cluster").isin(probes))
               .select("vec_id").distinct().count())
     assert n_cand < mv_points.count()
+
+
+def test_maxsim_ivf_candidate_cap(mv_points, embeddings, spark):
+    """The PLAID stage-2 cap (candidates=N by centroid-resolution
+    scores) bounds the exact stage to N docs. Gates: (a) the exact scan
+    sees at most N candidates, (b) cap >= corpus at full probe degrades
+    to the exact scan, (c) a sanity recall floor. The floor is LOW on
+    purpose: this testdata's tokens are slices of near-uniform random
+    embeddings — the provably worst case for centroid-resolution
+    scoring (a NumPy oracle shows even FULL centroid-interaction
+    scoring plateaus near 0.8 at 20% candidates) — while the bench's
+    jitter-sibling xxl corpus (correlated tokens, the realistic case)
+    carries the real recall line at the timed setting."""
+    from qdrant_spark.operators.multivec import build_maxsim_ivf, maxsim_knn_ivf
+
+    idx = build_maxsim_ivf(mv_points, n_clusters=64, mv_col="mv",
+                           id_col="vec_id")
+    n = mv_points.count()
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    qmv = [q[i * 8:(i + 1) * 8] for i in range(8)]
+    exact = [(r["vec_id"], round(r["score"], 9)) for r in maxsim_knn(
+        mv_points, qmv, k=10, metric="dot",
+        mv_col="mv", id_col="vec_id").collect()]
+
+    # (b) cap >= corpus at full probe == exact scan
+    full = [(r["vec_id"], round(r["score"], 9)) for r in maxsim_knn_ivf(
+        idx, qmv, k=10, nprobe=64, metric="dot",
+        candidates=n).collect()]
+    assert full == exact
+
+    # (a) the capped plan's exact stage is bounded by N
+    capped = maxsim_knn_ivf(idx, qmv, k=10, nprobe=8, metric="dot",
+                            candidates=40)
+    plan = capped.queryExecution if False else         capped._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit 40" in plan or "LocalLimit 40" in plan
+
+    # (c) sanity floor on the adversarial data, averaged over 5 queries
+    hits = 0
+    for r in embeddings.limit(5).collect():
+        qv = list(r["embedding"])
+        qm = [qv[i * 8:(i + 1) * 8] for i in range(8)]
+        ex = {x["vec_id"] for x in maxsim_knn(
+            mv_points, qm, k=10, metric="dot",
+            mv_col="mv", id_col="vec_id").collect()}
+        got = {x["vec_id"] for x in maxsim_knn_ivf(
+            idx, qm, k=10, nprobe=8, metric="dot",
+            candidates=150).collect()}
+        hits += len(ex & got)
+    assert hits / 50 >= 0.7, f"recall@10 = {hits / 50}"
