@@ -2703,6 +2703,58 @@ def _q_maxsim_knn_indexed(spark: SparkSession, sf: str) -> DataFrame:
     return _r6(out.select("vec_id", "score"), "score")
 
 
+def _q_maxsim_planned(spark: SparkSession, sf: str) -> DataFrame:
+    """Declared multivector index through the full client stack (r10):
+    ensure_vector_index on a multivector builds + registers the
+    token-level coarse index (the reference's HNSW-over-multivector
+    analogue) and query_points routes MaxSim through it. Full probe
+    (nprobe == n_clusters, no candidate cap) makes the routed plan equal
+    the exact scan, so it shares the exact MaxSim oracle (over the
+    500-row slice)."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    rows = _emb(spark, sf).orderBy("vec_id").limit(500).collect()
+    dim = len(rows[0]["embedding"])
+    td = dim // 8
+    c = QdrantSparkClient(spark)
+    c.create_collection("entry_mv_planned", vectors_config={
+        "late": {"size": td, "distance": "Dot",
+                 "multivector_config": {"comparator": "max_sim"}}})
+    c.upsert("entry_mv_planned", [
+        {"id": int(r["vec_id"]),
+         "vector": {"late": [
+             [float(x) for x in r["embedding"][i * td:(i + 1) * td]]
+             for i in range(8)]}}
+        for r in rows])
+    assert c.ensure_vector_index(
+        "entry_mv_planned", using="late", n_clusters=8, nprobe=8,
+        indexing_threshold=0) == "built"
+    q = [[float(x) for x in rows[0]["embedding"][i * td:(i + 1) * td]]
+         for i in range(8)]
+    res = c.query_points("entry_mv_planned", query=q, using="late",
+                         limit=10, with_payload=False)
+    return spark.createDataFrame(
+        [(p.id, round(p.score, 6)) for p in res.points],
+        "vec_id long, score double")
+
+
+_MAXSIM_PLANNED_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+      WHERE vec_id < 500),
+d AS (SELECT len(v) // 8 AS td FROM e LIMIT 1),
+s AS (SELECT e.vec_id,
+  list_aggregate(list_transform(generate_series(0, 7), qi ->
+    list_aggregate(list_transform(generate_series(0, 7), di ->
+      list_dot_product(q.qv[qi*d.td+1:qi*d.td+d.td],
+                       e.v[di*d.td+1:di*d.td+d.td])), 'max')),
+    'sum') AS score
+  FROM e, q, d)
+SELECT vec_id, round(score, 6) AS score FROM s
+ORDER BY s.score DESC, vec_id LIMIT 10
+"""
+
+
 def _q_ann_ivf_batch(spark: SparkSession, sf: str) -> DataFrame:
     """Bulk ANN: per-query cluster probing via a (qid, cluster) pairs join.
     nprobe == n_clusters probes everything, so results equal the exact
@@ -3444,6 +3496,7 @@ _GATE_PRIORITY = [
     # first to fill the 50-slot gate; the r09-greened entries go last.
     # After r10 no entry's latest driver row should be older than r08.
     "maxsim_knn_indexed",
+    "maxsim_planned",
     "quantized_planned",
     "sparse_idf_by_id",
     "universal_groups_indexed",
@@ -3636,6 +3689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim": _q_maxsim,
         "maxsim_knn": _q_maxsim_knn,
         "maxsim_knn_indexed": _q_maxsim_knn_indexed,
+        "maxsim_planned": _q_maxsim_planned,
         "scroll_keyset": _q_scroll_docs,
         "scroll_order_by": _q_scroll_events,
         "count_filtered": _q_count_events,
@@ -3778,6 +3832,7 @@ def oracle_sql() -> dict[str, str]:
         "maxsim": _MAXSIM_SQL,
         "maxsim_knn": _MAXSIM_SQL,
         "maxsim_knn_indexed": _MAXSIM_SQL,
+        "maxsim_planned": _MAXSIM_PLANNED_SQL,
         "scroll_keyset": """
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE lang = 'en' AND doc_id >= 100 ORDER BY doc_id LIMIT 20

@@ -267,6 +267,9 @@ class _Collection:
     #: ensure_vector_index from the declared quantization_config;
     #: invalidated like `ivf`
     quant: dict[str, Any] = field(default_factory=dict)
+    #: per-multivector-name token-level coarse indexes
+    #: (multivec.MaxSimRoute); invalidated like `ivf`
+    mv_idx: dict[str, Any] = field(default_factory=dict)
     #: payload columns stored before any batch supplied a typed value
     #: (null-only / empty-list fields finalized to string); a later typed
     #: batch re-casts them instead of conflicting
@@ -372,6 +375,7 @@ class QdrantSparkClient:
         col.ivf.clear()  # indexes describe the pre-mutation corpus
         col.sparse_idx.clear()
         col.quant.clear()
+        col.mv_idx.clear()
         # stale op_counter generations would otherwise pile up forever on
         # a long-lived client interleaving mutations with Modifier::Idf
         # queries (r9 ADVICE): evict this collection's old keys
@@ -1389,6 +1393,10 @@ class QdrantSparkClient:
         if using in col.sparse:
             return self._ensure_sparse_index(col, using, thr)
         vc = col.vectors.get(using)
+        if vc is not None and vc.kind == "multi":
+            return self._ensure_maxsim_index(col, using, thr,
+                                             n_clusters=n_clusters,
+                                             **_ignored)
         if vc is None or vc.kind != "dense":
             raise ValueError("vector index needs a declared dense vector")
         if vc.quantization is not None:
@@ -1446,6 +1454,37 @@ class QdrantSparkClient:
             id_col="id", dim=vc.dim)
         return "built"
 
+    def _ensure_maxsim_index(self, col: _Collection, using: str,
+                             thr: int, *, n_clusters: int = 16,
+                             nprobe: int = 4,
+                             candidates: int | None = None,
+                             **_ignored: Any) -> str:
+        """Multivector analogue of the dense ensure: cluster the corpus's
+        token vectors (multivec.build_maxsim_ivf — the coarse structure
+        the reference gets from HNSW over multivector storage,
+        multivector_hnsw_test.rs); with a storage root the narrow
+        (id, cluster) token frame persists cluster-partitioned. Once
+        registered, MaxSim queries route through the pruned plan with
+        the declared ``nprobe`` / ``candidates``; per-request
+        ``params.exact`` and filtered requests keep the exact scan."""
+        from qdrant_spark.operators.multivec import (
+            MaxSimRoute, build_maxsim_ivf, persist_maxsim_ivf,
+        )
+
+        if using in col.mv_idx:
+            return "exists"
+        if col.df.count() < thr:
+            return "skipped"
+        idx = build_maxsim_ivf(col.df, n_clusters=n_clusters,
+                               mv_col=col.vec_col(using), id_col="id")
+        if self.root is not None:
+            path = os.path.join(self.root, col.name,
+                                f"maxsim_index_{using or 'default'}")
+            idx = persist_maxsim_ivf(idx, path)
+        col.mv_idx[using] = MaxSimRoute(index=idx, nprobe=nprobe,
+                                        candidates=candidates)
+        return "built"
+
     def _ensure_sparse_index(self, col: _Collection, using: str,
                              thr: int) -> str:
         """Sparse analogue of the dense ensure: one explode pass over the
@@ -1491,6 +1530,8 @@ class QdrantSparkClient:
                             for n, idx in col.sparse_idx.items()},
             quant_indexes={col.vec_col(n): h
                            for n, h in col.quant.items()},
+            maxsim_indexes={col.vec_col(n): rt
+                            for n, rt in col.mv_idx.items()},
         )
 
     def _hydrate(self, col: _Collection, scored: DataFrame, *,

@@ -122,6 +122,23 @@ class MaxSimIvf:
     id_col: str
 
 
+@dataclass
+class MaxSimRoute:
+    """A registered multivector coarse index plus its routing knobs, as
+    passed to ``QueryPlanner(maxsim_indexes={vec_col: route})`` — the
+    declared-index analogue the reference gets from building HNSW over
+    multivector storage (multivector_hnsw_test.rs). ``nprobe ==
+    n_clusters`` with ``candidates=None`` reproduces the exact scan."""
+
+    index: MaxSimIvf
+    nprobe: int = 4
+    candidates: int | None = None
+
+    @property
+    def id_col(self) -> str:
+        return self.index.id_col
+
+
 def build_maxsim_ivf(
     points: DataFrame,
     *,

@@ -96,7 +96,8 @@ class QueryPlanner:
                  metrics: dict[str, str] | None = None,
                  sparse_indexes: dict[str, Any] | None = None,
                  ivf_indexes: dict[str, Any] | None = None,
-                 quant_indexes: dict[str, Any] | None = None):
+                 quant_indexes: dict[str, Any] | None = None,
+                 maxsim_indexes: dict[str, Any] | None = None):
         self.points = points
         self.id_col = id_col
         self.default_vec_col = default_vec_col
@@ -159,6 +160,18 @@ class QueryPlanner:
             if qh.id_col != id_col:
                 raise ValueError(
                     f"quant_indexes[{vc!r}].id_col must match the planner "
+                    f"id_col")
+        # multivector coarse indexes (vec column name ->
+        # multivec.MaxSimRoute): MaxSim leaves on a registered column run
+        # the token-level-IVF pruned plan instead of the full Arrow scan
+        # — the reference builds HNSW over multivector storage for the
+        # same purpose (multivector_hnsw_test.rs). Filtered / params.exact
+        # leaves keep the exact scan.
+        self.maxsim_indexes = maxsim_indexes or {}
+        for vc, rt in self.maxsim_indexes.items():
+            if rt.id_col != id_col:
+                raise ValueError(
+                    f"maxsim_indexes[{vc!r}].id_col must match the planner "
                     f"id_col")
         self.index_stats = index_stats or {}
         # optional dispatch.ClusterFieldStats: per-cluster filter
@@ -794,12 +807,26 @@ class QueryPlanner:
                 from pyspark.sql.window import Window
 
                 from qdrant_spark.filters import apply_filter as _af
-                from qdrant_spark.operators.multivec import maxsim_knn
+                from qdrant_spark.operators.multivec import (
+                    maxsim_knn, maxsim_knn_ivf,
+                )
 
-                src = _af(pts, flt, id_col=self.id_col) if flt else pts
-                out = maxsim_knn(src, target, k=limit + offset,
-                                 metric=metric, mv_col=vec_col,
-                                 id_col=self.id_col)
+                route = self.maxsim_indexes.get(vec_col)
+                if (route is not None and flt is None and not pre_filtered
+                        and not self._leaf_exact(req)):
+                    # registered token-level coarse index: probe per
+                    # query token, exact MaxSim over candidates only
+                    self.last_plan_info["maxsim_index_leaves"] = \
+                        self.last_plan_info.get("maxsim_index_leaves", 0) + 1
+                    out = maxsim_knn_ivf(
+                        route.index, target, k=limit + offset,
+                        nprobe=route.nprobe, metric=metric,
+                        candidates=route.candidates)
+                else:
+                    src = _af(pts, flt, id_col=self.id_col) if flt else pts
+                    out = maxsim_knn(src, target, k=limit + offset,
+                                     metric=metric, mv_col=vec_col,
+                                     id_col=self.id_col)
                 if threshold is not None:
                     # strict check like dense knn (check_threshold,
                     # types.rs:364-369; maxsim is larger-better dot/cosine)

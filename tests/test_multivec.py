@@ -175,3 +175,74 @@ def test_maxsim_ivf_candidate_cap(mv_points, embeddings, spark):
             candidates=150).collect()}
         hits += len(ex & got)
     assert hits / 50 >= 0.7, f"recall@10 = {hits / 50}"
+
+
+def test_planner_routes_maxsim_index(mv_points, q_mv):
+    """A MaxSim leaf on a column with a registered MaxSimRoute runs the
+    token-IVF pruned plan (counter set); full probe equals the exact
+    scan; params.exact and filtered requests keep the exact path."""
+    from qdrant_spark.operators.multivec import MaxSimRoute, build_maxsim_ivf
+    from qdrant_spark.query import QueryPlanner
+
+    idx = build_maxsim_ivf(mv_points, n_clusters=8, mv_col="mv",
+                           id_col="vec_id")
+    route = MaxSimRoute(index=idx, nprobe=8)  # full probe = exact
+    pl = QueryPlanner(mv_points, id_col="vec_id", default_vec_col="mv",
+                      metric="dot", maxsim_indexes={"mv": route})
+    exact = [(r["vec_id"], round(r["score"], 9)) for r in maxsim_knn(
+        mv_points, q_mv, k=10, metric="dot",
+        mv_col="mv", id_col="vec_id").collect()]
+    got = [(r["vec_id"], round(r["score"], 9)) for r in pl.plan(
+        {"query": {"nearest": [list(t) for t in q_mv]},
+         "limit": 10}).collect()]
+    assert got == exact
+    assert pl.last_plan_info.get("maxsim_index_leaves") == 1
+
+    ex = pl.plan({"query": {"nearest": [list(t) for t in q_mv]},
+                  "limit": 10, "params": {"exact": True}})
+    assert [(r["vec_id"], round(r["score"], 9))
+            for r in ex.collect()] == exact
+    assert pl.last_plan_info.get("maxsim_index_leaves") is None
+
+    half = mv_points.count() // 2
+    flt = {"must": [{"key": "vec_id", "range": {"lt": half}}]}
+    fgot = pl.plan({"query": {"nearest": [list(t) for t in q_mv]},
+                    "limit": 10, "filter": flt}).collect()
+    assert fgot and all(r["vec_id"] < half for r in fgot)
+    assert pl.last_plan_info.get("maxsim_index_leaves") is None
+
+
+def test_client_ensure_multivector_index(spark, embeddings):
+    """ensure_vector_index on a declared multivector builds + registers
+    the token-level coarse index; query_points then routes through it
+    (full probe here, so answers equal the exact scan)."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    rows = embeddings.limit(120).collect()
+    c = QdrantSparkClient(spark)
+    c.create_collection("mvi", vectors_config={
+        "late": {"size": 8, "distance": "Dot",
+                 "multivector_config": {"comparator": "max_sim"}}})
+    c.upsert("mvi", [
+        {"id": int(r["vec_id"]),
+         "vector": {"late": [list(map(float, r["embedding"][i * 8:
+                                                            (i + 1) * 8]))
+                             for i in range(8)]}}
+        for r in rows])
+    assert c.ensure_vector_index("mvi", using="late", n_clusters=8,
+                                 nprobe=8, indexing_threshold=0) == "built"
+    assert c.ensure_vector_index("mvi", using="late",
+                                 indexing_threshold=0) == "exists"
+    q = [list(map(float, rows[4]["embedding"][i * 8:(i + 1) * 8]))
+         for i in range(8)]
+    routed = c.query_points("mvi", query=q, using="late", limit=5,
+                            with_payload=False)
+    exact = c.query_points("mvi", query=q, using="late", limit=5,
+                           with_payload=False,
+                           search_params={"exact": True})
+    assert [(p.id, round(p.score, 9)) for p in routed.points] == \
+        [(p.id, round(p.score, 9)) for p in exact.points]
+    assert routed.points[0].id == rows[4]["vec_id"]
+    # mutation invalidates
+    c.upsert("mvi", [{"id": 9999, "vector": {"late": q}}])
+    assert c._coll("mvi").mv_idx == {}
