@@ -2703,6 +2703,58 @@ def _q_maxsim_knn_indexed(spark: SparkSession, sf: str) -> DataFrame:
     return _r6(out.select("vec_id", "score"), "score")
 
 
+def _q_quantized_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched quantized search through the client (r10): >=2 unfiltered
+    dense requests on the scalar-quantized default vector are answered
+    by ONE coarse int8 scan + ONE pair rescore (_batch_quant_indexed —
+    the quantized twin of the batched sparse index scan). Rescore is
+    exact and oversampling ample, so each request's rows equal its exact
+    cosine top-k over the 500-row slice."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    rows = _emb(spark, sf).orderBy("vec_id").limit(500).collect()
+    dim = len(rows[0]["embedding"])
+    c = QdrantSparkClient(spark)
+    c.create_collection(
+        "entry_quant_batch",
+        vectors_config={"size": dim, "distance": "Cosine"},
+        quantization_config={"scalar": {"type": "int8"}})
+    c.upsert("entry_quant_batch", [
+        {"id": int(r["vec_id"]),
+         "vector": [float(x) for x in r["embedding"]]}
+        for r in rows])
+    assert c.ensure_vector_index("entry_quant_batch",
+                                 indexing_threshold=0) == "built"
+    qs = [[float(x) for x in rows[i]["embedding"]] for i in (0, 3, 9)]
+    res = c.query_batch_points("entry_quant_batch", [
+        {"query": q, "limit": 10, "with_payload": False,
+         "params": {"quantization": {"oversampling": 8.0}}}
+        for q in qs])
+    out = [(qi, p.id, round(p.score, 6))
+           for qi, r in enumerate(res) for p in r.points]
+    return spark.createDataFrame(
+        out, "qid long, vec_id long, score double")
+
+
+_QUANT_BATCH_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+           WHERE vec_id < 500),
+qs AS (SELECT * FROM (VALUES (0, 0), (1, 3), (2, 9)) AS t(qid, src)),
+q AS (SELECT qs.qid, e.v AS qv FROM qs JOIN e ON e.vec_id = qs.src),
+s AS (SELECT q.qid, e.vec_id,
+             list_dot_product(e.v, q.qv) /
+             (sqrt(list_dot_product(e.v, e.v)) *
+              sqrt(list_dot_product(q.qv, q.qv))) AS score,
+             row_number() OVER (PARTITION BY q.qid
+                                ORDER BY list_dot_product(e.v, q.qv) /
+                                (sqrt(list_dot_product(e.v, e.v)) *
+                                 sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                                e.vec_id) AS rn
+      FROM e, q)
+SELECT qid, vec_id, round(score, 6) AS score FROM s WHERE rn <= 10
+"""
+
+
 def _q_maxsim_planned(spark: SparkSession, sf: str) -> DataFrame:
     """Declared multivector index through the full client stack (r10):
     ensure_vector_index on a multivector builds + registers the
@@ -3498,6 +3550,7 @@ _GATE_PRIORITY = [
     "maxsim_knn_indexed",
     "maxsim_planned",
     "quantized_planned",
+    "quantized_batch",
     "sparse_idf_by_id",
     "universal_groups_indexed",
     "mmr",
@@ -3755,6 +3808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "universal_rescore": _q_universal_rescore,
         "client_query_points": _q_client_e2e,
         "quantized_planned": _q_quantized_planned,
+        "quantized_batch": _q_quantized_batch,
         "sparse_idf_by_id": _q_sparse_idf_by_id,
         "universal_groups_indexed": _q_universal_groups_indexed,
         "upsert": _q_upsert,
@@ -3987,6 +4041,7 @@ FROM documents
         "universal_rescore": _UNIVERSAL_RESCORE_SQL,
         "client_query_points": _CLIENT_E2E_SQL,
         "quantized_planned": _QUANT_PLANNED_SQL,
+        "quantized_batch": _QUANT_BATCH_SQL,
         "sparse_idf_by_id": _SPARSE_IDF_BY_ID_SQL,
         "universal_groups_indexed": _UNIVERSAL_GROUPS_INDEXED_SQL,
         "upsert": _UPSERT_SQL,

@@ -1156,8 +1156,8 @@ def _batch_quant_indexed(planner: "QueryPlanner",
                          requests: list[dict[str, Any]],
                          outs: list) -> None:
     """Batch-side quantized grouping: unfiltered single-leaf dense
-    nearest requests on a column with a registered SCALAR QuantHandle
-    are answered by ONE coarse Arrow scan over the int8 codes (all
+    nearest requests on a column with a registered SCALAR or PRODUCT
+    QuantHandle are answered by ONE coarse Arrow scan over the codes (all
     queries score per batch via the block matmul) plus ONE pair-scored
     rescore over the union of candidate floats — value-identical per
     request to planning each alone (per-request oversampling, rescore,
@@ -1184,7 +1184,8 @@ def _batch_quant_indexed(planner: "QueryPlanner",
         vc = req.get("using", planner.default_vec_col)
         qh = planner.quant_indexes.get(vc)
         qp = (req.get("params") or {}).get("quantization") or {}
-        if qh is None or qh.kind != "scalar" or qp.get("ignore") \
+        if qh is None or qh.kind not in ("scalar", "product") \
+                or qp.get("ignore") \
                 or planner._ivf_for(vc) is not None \
                 or planner._leaf_exact(req):
             continue
@@ -1217,23 +1218,47 @@ def _batch_quant_indexed(planner: "QueryPlanner",
         )
 
         idx = qh.index
-        lo, scale = idx.lo, (idx.hi - idx.lo) / 255.0
+        if qh.kind == "scalar":
+            lo, scale = idx.lo, (idx.hi - idx.lo) / 255.0
 
-        def dec(vec, n, lo=lo, scale=scale):
-            import pyarrow as pa
+            def dec(vec, n, lo=lo, scale=scale):
+                import pyarrow as pa
 
-            if isinstance(vec, pa.ChunkedArray):
-                vec = vec.combine_chunks()
-            flat = vec.flatten().to_numpy(zero_copy_only=False)
-            M = flat.reshape(n, len(lo)).astype(np.float64)
-            return (M + 128.0) * scale + lo
+                if isinstance(vec, pa.ChunkedArray):
+                    vec = vec.combine_chunks()
+                flat = vec.flatten().to_numpy(zero_copy_only=False)
+                M = flat.reshape(n, len(lo)).astype(np.float64)
+                return (M + 128.0) * scale + lo
+
+            code_col = "__sq"
+        else:
+            # PQ: the ADC LUT sum IS the metric against the reconstructed
+            # vector (per-subspace codebooks are orthogonal coordinate
+            # blocks: dot/cosine/euclid/manhattan all decompose exactly),
+            # so reconstructing x_hat per batch makes the shared matmul
+            # scan score-identical to pq_search's per-query LUT columns.
+            cb = idx.codebooks  # (M, K, dsub)
+
+            def dec(vec, n, cb=cb):
+                import pyarrow as pa
+
+                if isinstance(vec, pa.ChunkedArray):
+                    vec = vec.combine_chunks()
+                flat = vec.flatten().to_numpy(zero_copy_only=False)
+                codes = (flat.reshape(n, cb.shape[0]).astype(np.int16)
+                         + 128)
+                return np.concatenate(
+                    [cb[m][codes[:, m]] for m in range(cb.shape[0])],
+                    axis=1)
+
+            code_col = "__pq"
 
         Q = np.asarray(
             [[float(x) for x in requests[i]["query"]["nearest"]]
              for i in idxs])
         coarse = _matmul_knn(
             idx.codes, None, metric=metric, k=max(cs.values()),
-            vec_col="__sq", id_col=idx.id_col, qid_col="__qid",
+            vec_col=code_col, id_col=idx.id_col, qid_col="__qid",
             qvec_col="__qvec", score_threshold=None,
             q_data=(idxs, Q), vec_decode=dec,
         ).collect()

@@ -691,3 +691,43 @@ def test_query_batch_groups_quant_through_codes(embeddings):
     # the whole batch ran ONE coarse matmul scan (single-request plans in
     # `want` each ran their own, so count only the grouped run)
     assert len(calls) == 1
+
+
+def test_query_batch_groups_pq_through_codes(embeddings):
+    """The batched quant grouping covers PRODUCT handles too: the shared
+    Arrow scan reconstructs x_hat from the codes (ADC decomposes exactly
+    into the metric against the reconstruction), value-identical per
+    request to planning each alone."""
+    from qdrant_spark.operators import knn as K
+    from qdrant_spark.query import query_batch
+
+    h = build_quant(embeddings, {"product": {"compression": "x8"}},
+                    vec_col="embedding", id_col="vec_id")
+    rows = embeddings.limit(2).collect()
+    q1, q2 = (list(r["embedding"]) for r in rows)
+    reqs = [
+        {"query": {"nearest": q1}, "limit": 5,
+         "params": {"quantization": {"oversampling": 8.0}}},
+        {"query": {"nearest": q2}, "limit": 4, "offset": 1,
+         "params": {"quantization": {"oversampling": 8.0}}},
+    ]
+    kw = dict(id_col="vec_id", vec_col="embedding",
+              quant_indexes={"embedding": h})
+    want = [query_batch(embeddings, [dict(r)], **kw).collect()
+            for r in reqs]
+    calls = []
+    orig = K._matmul_knn
+    K._matmul_knn = lambda *a, **k2: calls.append(1) or orig(*a, **k2)
+    try:
+        got = query_batch(embeddings, [dict(r) for r in reqs],
+                          **kw).collect()
+    finally:
+        K._matmul_knn = orig
+    assert len(calls) == 1
+    by_req: dict = {}
+    for r in got:
+        by_req.setdefault(r["request_idx"], []).append(
+            (r["vec_id"], round(r["score"], 6)))
+    for i, w in enumerate(want):
+        assert sorted(by_req.get(i, [])) == \
+            sorted((r["vec_id"], round(r["score"], 6)) for r in w), i
