@@ -1132,7 +1132,19 @@ def main() -> None:
                         "ivf_pq_coarse_codes": code_col_bytes,
                         "ratio": (round(exact_col_bytes / code_col_bytes, 1)
                                   if exact_col_bytes and code_col_bytes
-                                  else None)}}
+                                  else None)},
+                    # r10: the declared-quantization routed plan
+                    # (sq_planned_xxl_disk) — coarse decodes the int8
+                    # column of the persisted codes table vs the float
+                    # column of the same 512k corpus
+                    "sq_planned_scan_column_bytes": (lambda f, c: {
+                        "exact_scan_floats": f,
+                        "sq_coarse_codes": c,
+                        "ratio": (round(f / c, 1) if f and c else None)})(
+                        _col_bytes(f"{work}/xxl/*.parquet",
+                                   {"embedding"}),
+                        _col_bytes(f"{work}/quant_sq_xxl/*.parquet",
+                                   {"__sq"}))}
     except TimeoutError:
         pass
     except Exception as e:  # the appendix must never sink the headline

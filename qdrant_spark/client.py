@@ -1652,6 +1652,8 @@ class QdrantSparkClient:
             planner.ivf_index = None
             planner.ivf_indexes = {}
             planner.sparse_indexes = {}
+            planner.quant_indexes = {}
+            planner.maxsim_indexes = {}
         scored = planner.plan(req)
         out = self._hydrate(col, scored, with_payload=with_payload,
                             with_vectors=with_vectors,

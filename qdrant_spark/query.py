@@ -1408,17 +1408,23 @@ def query_batch(
 
                 sub = {k: v for k, v in req.items() if k != "shard_key"}
                 saved = (planner.points, planner.ivf_index,
-                         planner.ivf_indexes, planner.sparse_indexes)
+                         planner.ivf_indexes, planner.sparse_indexes,
+                         planner.quant_indexes, planner.maxsim_indexes)
                 planner.points = select_shards(
                     points, req["shard_key"], col="shard_key")
                 planner.ivf_index = None
                 planner.ivf_indexes = {}
                 planner.sparse_indexes = {}
+                # whole-corpus quant/maxsim indexes would leak other
+                # shards' points the same way IVF would
+                planner.quant_indexes = {}
+                planner.maxsim_indexes = {}
                 try:
                     outs[i] = planner.plan(sub)
                 finally:
                     (planner.points, planner.ivf_index,
-                     planner.ivf_indexes, planner.sparse_indexes) = saved
+                     planner.ivf_indexes, planner.sparse_indexes,
+                     planner.quant_indexes, planner.maxsim_indexes) = saved
             else:
                 outs[i] = planner.plan(req)
             # a per-request plan() can itself hit the fused DataFrame

@@ -731,3 +731,32 @@ def test_query_batch_groups_pq_through_codes(embeddings):
     for i, w in enumerate(want):
         assert sorted(by_req.get(i, [])) == \
             sorted((r["vec_id"], round(r["score"], 6)) for r in w), i
+
+
+def test_shard_scoped_query_bypasses_quant_index(spark):
+    """A shard-scoped request must NOT route through the whole-corpus
+    quantized index — it would leak other shards' points (same contract
+    as the IVF/sparse bypass)."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    c = QdrantSparkClient(spark)
+    c.create_collection(
+        "qshard", vectors_config={"size": 4, "distance": "Dot"},
+        sharding_method="custom",
+        quantization_config={"scalar": {}})
+    c.create_shard_key("qshard", "a")
+    c.create_shard_key("qshard", "b")
+    for key, base in (("a", 0), ("b", 100)):
+        c.upsert("qshard",
+                 [{"id": base + i, "vector": [float(base + i), 1.0, 0.0, 0.0]}
+                  for i in range(20)],
+                 shard_key_selector=key)
+    assert c.ensure_vector_index("qshard", indexing_threshold=0) == "built"
+    # unscoped: routed through quant, best dot lives in shard b
+    allr = c.query_points("qshard", query=[1.0, 0.0, 0.0, 0.0], limit=5)
+    assert all(p.id >= 100 for p in allr.points)
+    # shard-scoped: only shard a's points, despite the whole-corpus codes
+    scoped = c.query_points("qshard", query=[1.0, 0.0, 0.0, 0.0], limit=5,
+                            shard_key_selector="a")
+    assert scoped.points and all(p.id < 100 for p in scoped.points)
+    assert [p.id for p in scoped.points] == [19, 18, 17, 16, 15]
