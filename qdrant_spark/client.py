@@ -1671,9 +1671,13 @@ class QdrantSparkClient:
                             with_payload: bool | list[str] | dict = True,
                             with_vectors: bool | list[str] = False,
                             with_lookup: dict | str | None = None,
+                            shard_key_selector: Any = None,
                             **_ignored: Any) -> GroupsResult:
         """REST ``POST /collections/{name}/points/query/groups``; ``limit``
-        counts groups (as in the reference)."""
+        counts groups (as in the reference). ``shard_key_selector`` scopes
+        the whole grouped query to the selected shards (ShardSelector on
+        the groups API), bypassing whole-corpus indexes like every other
+        shard-scoped request."""
         col = self._coll(collection_name)
         if col.df is None:
             return GroupsResult(groups=[])
@@ -1693,6 +1697,13 @@ class QdrantSparkClient:
         self._apply_sparse_modifiers(col, req)
         self._check_strict(col.name, {**req, "limit": limit})
         planner = self._planner(col, using)
+        if shard_key_selector is not None:
+            planner.points = self._route(col, col.df, shard_key_selector)
+            planner.ivf_index = None
+            planner.ivf_indexes = {}
+            planner.sparse_indexes = {}
+            planner.quant_indexes = {}
+            planner.maxsim_indexes = {}
         lookup = lookup_cols = None
         if with_lookup is not None:
             if isinstance(with_lookup, str):

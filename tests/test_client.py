@@ -1400,3 +1400,34 @@ def test_facet_strict_mode_checks(spark):
     hits = c.facet("fsm", "lang", limit=5, facet_filter={"must": [
         {"key": "lang", "match": {"value": "en"}}]}).hits
     assert [(h.value, h.count) for h in hits] == [("en", 1)]
+
+
+class TestGroupsShardScoped:
+    def test_groups_shard_key_selector(self, spark):
+        """query_points_groups with a shard selector scopes the grouped
+        query to the selected shard's partition directories, bypassing
+        whole-corpus indexes (ShardSelector on the groups API)."""
+        c = QdrantSparkClient(spark)
+        c.create_collection("gshard",
+                            vectors_config={"size": 2, "distance": "Dot"},
+                            sharding_method="custom",
+                            quantization_config={"scalar": {}})
+        c.create_shard_key("gshard", "a")
+        c.create_shard_key("gshard", "b")
+        for key, base in (("a", 0), ("b", 100)):
+            c.upsert("gshard",
+                     [{"id": base + i, "vector": [float(base + i), 1.0],
+                       "payload": {"g": i % 2}} for i in range(12)],
+                     shard_key_selector=key)
+        c.ensure_vector_index("gshard", indexing_threshold=0)
+        res = c.query_points_groups(
+            "gshard", group_by="g", query=[1.0, 0.0], limit=2,
+            group_size=3, shard_key_selector="a", with_payload=False)
+        ids = [p.id for g in res.groups for p in g.hits]
+        assert ids and all(i < 100 for i in ids)
+        # unscoped sees shard b's larger dots first
+        res2 = c.query_points_groups(
+            "gshard", group_by="g", query=[1.0, 0.0], limit=2,
+            group_size=3, with_payload=False)
+        ids2 = [p.id for g in res2.groups for p in g.hits]
+        assert ids2 and all(i >= 100 for i in ids2)
