@@ -1320,9 +1320,10 @@ class QdrantSparkClient:
         — with the referenced id excluded from results at the root, the
         same exclude_referenced_ids contract the planner applies to ids
         it resolves itself (collection_query.rs:523,705). Id references
-        through ``lookup_from`` stay planner-resolved and unrescaled
-        (documented divergence: other-collection stats don't define this
-        collection's IDF)."""
+        through ``lookup_from`` resolve from the LOOKUP collection and
+        rescale by THIS collection's IDF — resolve-then-preprocess again
+        — but are NOT excluded from results (the reference keeps
+        other-collection ids in, collection_query.rs:550-553)."""
         idf_names = {
             col.vec_col(n): n for n, cfg in col.sparse.items()
             if isinstance(cfg, dict)
@@ -1336,19 +1337,29 @@ class QdrantSparkClient:
             u = node.get("using")
             if isinstance(q, dict):
                 t = q.get("nearest")
-                if isinstance(t, dict) and "id" in t and u in idf_names \
-                        and not node.get("lookup_from"):
-                    pid = self._norm_ids(col, [t["id"]])[0]
-                    row = col.df.filter(
-                        F.col("id") == pid).select(u).first()
+                if isinstance(t, dict) and "id" in t and u in idf_names:
+                    lf = node.get("lookup_from")
+                    if lf is None:
+                        src_col, src_df, src_vc = col, col.df, u
+                    else:
+                        if isinstance(lf, str):
+                            lf = {"collection": lf}
+                        src_col = self._coll(lf["collection"])
+                        src_df = src_col.df
+                        src_vc = lf.get("vector") or u
+                    pid = self._norm_ids(src_col, [t["id"]])[0]
+                    row = src_df.filter(
+                        F.col("id") == pid).select(src_vc).first()
                     if row is None or row[0] is None:
                         raise ValueError(
                             f"vector id {t['id']!r} not found")
-                    resolved_refs.append(t["id"])
+                    if lf is None:
+                        resolved_refs.append(t["id"])
                     t = {"indices": [int(d) for d in row[0]["indices"]],
                          "values": [float(v) for v in row[0]["values"]]}
                     q = dict(q, nearest=t)
                     node["query"] = q
+                    node.pop("lookup_from", None)
                 if isinstance(t, dict) and "indices" in t \
                         and u in idf_names:
                     idf = self._sparse_idf(col, idf_names[u],

@@ -1083,6 +1083,40 @@ class TestSparseModifier:
         i = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
         assert byid.points[0].score == pytest.approx(3.0 * i)
 
+    def test_sparse_by_id_lookup_from_idf_rescaled(self, spark):
+        """query=point_id + lookup_from on a Modifier::Idf sparse vector:
+        the vector resolves from the LOOKUP collection and is rescaled by
+        the QUERIED collection's IDF (resolve-then-preprocess), with the
+        referenced id NOT excluded (other-collection ids stay in,
+        collection_query.rs:550-553)."""
+        c = QdrantSparkClient(spark)
+        c.create_collection("idf_main", vectors_config={
+            "size": 2, "distance": "Dot"},
+            sparse_vectors_config={"t": {"modifier": "idf"}})
+        c.upsert("idf_main", [
+            {"id": 1, "vector": {"": [1.0, 0.0], "t": {
+                "indices": [1, 2], "values": [1.0, 1.0]}}},
+            {"id": 2, "vector": {"": [1.0, 0.0], "t": {
+                "indices": [1], "values": [2.0]}}},
+            {"id": 3, "vector": {"": [1.0, 0.0], "t": {
+                "indices": [2], "values": [3.0]}}},
+        ])
+        c.create_collection("idf_src", vectors_config={
+            "size": 2, "distance": "Dot"},
+            sparse_vectors_config={"t": {}})
+        c.upsert("idf_src", [{"id": 7, "vector": {
+            "": [1.0, 0.0], "t": {"indices": [1, 2],
+                                  "values": [1.0, 1.0]}}}])
+        explicit = c.query_points(
+            "idf_main", query={"indices": [1, 2], "values": [1.0, 1.0]},
+            using="t", limit=3)
+        byref = c.query_points(
+            "idf_main", query=7, using="t", limit=3,
+            lookup_from={"collection": "idf_src", "vector": "t"})
+        assert [(p.id, round(p.score, 9)) for p in byref.points] == \
+            [(p.id, round(p.score, 9)) for p in explicit.points]
+        assert len(byref.points) == 3  # nothing excluded
+
 
 class TestBatchHydration:
     def test_batch_hydrates_in_one_lookup(self, spark, client, monkeypatch):
