@@ -434,8 +434,10 @@ class QdrantSparkClient:
             cfgs = ({"": vectors_config} if "size" in vectors_config
                     else dict(vectors_config))
             for vname, c in cfgs.items():
-                kind = "multi" if c.get("multivector_config") else "dense"
+                mvc = c.get("multivector_config")
+                kind = "multi" if mvc else "dense"
                 qc = c.get("quantization_config")
+                own = qc is not None
                 if qc is not None and kind != "dense":
                     raise ValueError(
                         "quantization_config needs a dense vector")
@@ -443,9 +445,21 @@ class QdrantSparkClient:
                     qc = quantization_config  # collection-level default
                 if qc is not None:
                     quant_kind(qc)
+                # declared coarse-index params (per-vector hnsw_config
+                # analogue): an explicit "index" block, plus any routing
+                # knobs carried inside multivector_config beyond the
+                # comparator — ensure_vector_index reads them like it
+                # reads quantization_config
+                ip = dict(c.get("index") or {})
+                if isinstance(mvc, dict):
+                    for kk in ("n_clusters", "nprobe", "candidates",
+                               "full_scan_threshold"):
+                        if kk in mvc and kk not in ip:
+                            ip[kk] = mvc[kk]
                 vectors[vname] = VectorConfig(
                     dim=int(c["size"]), distance=_metric(c.get("distance", "Cosine")),
-                    kind=kind, quantization=qc)
+                    kind=kind, quantization=qc, quant_own=own,
+                    index_params=ip or None)
         col = _Collection(name=collection_name, vectors=vectors,
                           sparse=dict(sparse_vectors_config or {}),
                           sharding=("custom" if sharding_method == "custom"
@@ -470,7 +484,15 @@ class QdrantSparkClient:
         QuantizationConfig::mismatch_requires_rebuild, types.rs:1143-1151
         — here the built codes are dropped and the next
         ``ensure_vector_index`` rebuilds); optimizer/HNSW params are
-        node-operational in the reference and accepted-ignored here."""
+        node-operational in the reference and accepted-ignored here.
+
+        A collection-level PATCH follows the reference's precedence:
+        vectors that declared their OWN per-name quantization_config at
+        create time keep it (VectorParams wins over CollectionParams).
+        ``quantization_config={"disabled": True}`` (or the string
+        "disabled" — QuantizationConfigDiff's Disabled variant) clears
+        quantization from EVERY dense vector, per-name configs included —
+        disabling is an explicit request, not a default."""
         from dataclasses import replace
 
         from qdrant_spark.operators.quantize import quant_kind
@@ -481,12 +503,29 @@ class QdrantSparkClient:
                 strict_mode_config = StrictModeConfig(**strict_mode_config)
             self.catalog.set_strict_mode(col.name, strict_mode_config)
         if quantization_config is not None:
+            disabled = (
+                (isinstance(quantization_config, str)
+                 and quantization_config.lower() == "disabled")
+                or (isinstance(quantization_config, dict)
+                    and quantization_config.get("disabled") is True))
+            if disabled:
+                col.vectors = {
+                    n: (replace(v, quantization=None, quant_own=False)
+                        if v.kind == "dense" else v)
+                    for n, v in col.vectors.items()}
+                col.quant.clear()
+                return True
             quant_kind(quantization_config)
             col.vectors = {
                 n: (replace(v, quantization=quantization_config)
-                    if v.kind == "dense" else v)
+                    if v.kind == "dense" and not v.quant_own else v)
                 for n, v in col.vectors.items()}
-            col.quant.clear()
+            # only the vectors whose config actually changed lose their
+            # built codes; per-name-configured vectors keep theirs
+            for n in list(col.quant):
+                vc = col.vectors.get(n)
+                if vc is None or not vc.quant_own:
+                    col.quant.pop(n, None)
         return True
 
     def delete_collection(self, collection_name: str, **_ignored: Any) -> bool:
@@ -1269,6 +1308,18 @@ class QdrantSparkClient:
                 else lookup_from["vector"])
         return lookup_from
 
+    def _norm_lookup_tree(self, req: dict[str, Any]) -> None:
+        """Normalize ``lookup_from`` vector NAMES to columns in-place at
+        EVERY node of the request tree (top level + nested prefetches).
+        Must run BEFORE ``_apply_sparse_modifiers``: the modifier walk
+        resolves id-referenced sparse queries through lookup_from and
+        would otherwise select the raw vector NAME as a column
+        (AnalysisException on batched/nested requests — r10 ADVICE)."""
+        if req.get("lookup_from") is not None:
+            req["lookup_from"] = self._norm_lookup_from(req["lookup_from"])
+        for p in req.get("prefetch") or []:
+            self._norm_lookup_tree(p)
+
     @staticmethod
     def _translate_using(col: _Collection, req: dict[str, Any]) -> None:
         """In-place vector-NAME -> vec-COLUMN translation for ``using``,
@@ -1641,13 +1692,14 @@ class QdrantSparkClient:
         if score_threshold is not None:
             req["score_threshold"] = score_threshold
         if lookup_from is not None:
-            req["lookup_from"] = self._norm_lookup_from(lookup_from)
+            req["lookup_from"] = lookup_from
         if params or search_params:
             # SearchParams (params/search_params in qdrant-client): the
             # engine-applicable knob is `exact` — a per-request opt-out of
             # ANN/index routing (SearchParams::exact, types.rs); the
             # HNSW-internals knobs have no analogue here
             req["params"] = dict(search_params or {}, **(params or {}))
+        self._norm_lookup_tree(req)
         self._apply_sparse_modifiers(col, req)
         self._check_strict(col.name, req)
         points = self._route(col, col.df, shard_key_selector)
@@ -1705,6 +1757,7 @@ class QdrantSparkClient:
             req["filter"] = query_filter
         if score_threshold is not None:
             req["score_threshold"] = score_threshold
+        self._norm_lookup_tree(req)
         self._apply_sparse_modifiers(col, req)
         self._check_strict(col.name, {**req, "limit": limit})
         planner = self._planner(col, using)
@@ -1768,14 +1821,20 @@ class QdrantSparkClient:
         for r in requests:
             n = self._norm_request(r)
             self._translate_using(col, n)
+            # lookup_from normalizes BEFORE the modifier walk — the walk
+            # resolves id-referenced sparse queries through it (r10
+            # ADVICE: the old after-order selected the raw vector NAME
+            # as a column on batched IDF requests)
+            self._norm_lookup_tree(n)
             self._apply_sparse_modifiers(col, n)
-            if n.get("lookup_from") is not None:
-                n["lookup_from"] = self._norm_lookup_from(n["lookup_from"])
             self._check_strict(col.name, n)
             norm.append(n)
+        registry = {n: cc.df for n, cc in self._colls.items()
+                    if cc.df is not None}
         tagged = query_batch(col.df, norm, id_col="id",
                              vec_col=col.vec_col(""),
                              metric=col.metric_for(None),
+                             collections=registry,
                              metrics=col.metrics_map(),
                              sparse_indexes={col.vec_col(n): idx
                                              for n, idx
@@ -1784,7 +1843,9 @@ class QdrantSparkClient:
                              ivf_indexes={col.vec_col(n): idx
                                           for n, idx in col.ivf.items()},
                              quant_indexes={col.vec_col(n): h
-                                            for n, h in col.quant.items()})
+                                            for n, h in col.quant.items()},
+                             maxsim_indexes={col.vec_col(n): rt
+                                             for n, rt in col.mv_idx.items()})
         by_idx: dict[int, list] = {}
         for r in tagged.collect():
             by_idx.setdefault(r["request_idx"], []).append(r)

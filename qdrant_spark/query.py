@@ -878,13 +878,17 @@ class QueryPlanner:
                     oversampling=qp.get("oversampling"),
                 ).select(F.col(qh.id_col).alias(self.id_col), "score")
                 if threshold is not None:
-                    if qp.get("rescore") is False:
-                        raise ValueError(
-                            "score_threshold with quantization "
-                            "rescore=false would threshold coarse scores; "
-                            "set rescore or drop the threshold")
+                    # with rescore=false this thresholds the returned
+                    # QUANTIZED scores — the reference accepts the
+                    # combination and applies check_threshold to the
+                    # scores it returns (types.rs:364-369; r10 ADVICE —
+                    # previously raised). Binary coarse scores are the
+                    # ±1-dot estimate (larger-better whatever the
+                    # metric), so they threshold in that direction.
+                    cond_metric = ("dot" if qp.get("rescore") is False
+                                   and qh.kind == "binary" else metric)
                     out = out.filter(
-                        _threshold_cond(metric, float(threshold)))
+                        _threshold_cond(cond_metric, float(threshold)))
                 return out.offset(offset) if offset else out
             out = knn(pts, target, metric=metric,
                       score_threshold=threshold, offset=offset,
@@ -1189,9 +1193,6 @@ def _batch_quant_indexed(planner: "QueryPlanner",
                 or planner._ivf_for(vc) is not None \
                 or planner._leaf_exact(req):
             continue
-        if qp.get("rescore") is False and \
-                req.get("score_threshold") is not None:
-            continue  # the single-request plan raises; keep that path
         groups.setdefault(vc, []).append(i)
 
     from pyspark.sql import types as T
@@ -1335,6 +1336,7 @@ def query_batch(
     ivf_index=None,
     ivf_indexes: dict[str, Any] | None = None,
     quant_indexes: dict[str, Any] | None = None,
+    maxsim_indexes: dict[str, Any] | None = None,
 ) -> DataFrame:
     """Batch universal query (``POST /collections/{c}/points/query/batch``,
     reference src/actix/api/query_api.rs; per-request independence as in
@@ -1368,7 +1370,7 @@ def query_batch(
         collections=collections, fuse_min_bytes=fuse_min_bytes,
         metrics=metrics, sparse_indexes=sparse_indexes,
         ivf_index=ivf_index, ivf_indexes=ivf_indexes,
-        quant_indexes=quant_indexes,
+        quant_indexes=quant_indexes, maxsim_indexes=maxsim_indexes,
     )
     if not requests:
         raise ValueError("empty request batch")

@@ -48,6 +48,19 @@ class VectorConfig:
     #: {"turbo": {...}}); ensure_vector_index builds the configured codes
     #: and dense searches then run coarse+rescore through them
     quantization: dict | None = None
+    #: True when ``quantization`` was declared PER VECTOR NAME (not
+    #: inherited from the collection-level default) — a collection-level
+    #: PATCH leaves such vectors untouched, like the reference's
+    #: per-vector config precedence (VectorParams.quantization_config
+    #: wins over CollectionParams.quantization_config)
+    quant_own: bool = False
+    #: declared coarse-index params for this vector (the engine-side
+    #: analogue of the reference's per-vector HNSW config,
+    #: VectorParams.hnsw_config): for multivectors
+    #: {"n_clusters", "nprobe", "candidates", "full_scan_threshold"},
+    #: for dense {"n_clusters"}; ensure_vector_index reads these the
+    #: way it reads quantization_config, explicit kwargs win
+    index_params: dict | None = None
 
     def __post_init__(self):
         if self.distance not in DISTANCES:

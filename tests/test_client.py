@@ -1465,3 +1465,131 @@ class TestGroupsShardScoped:
             group_size=3, with_payload=False)
         ids2 = [p.id for g in res2.groups for p in g.hits]
         assert ids2 and all(i >= 100 for i in ids2)
+
+
+class TestLookupFromNormalization:
+    def _idf_pair(self, c, main: str, src: str) -> None:
+        c.create_collection(main, vectors_config={"size": 2,
+                                                  "distance": "Dot"},
+                            sparse_vectors_config={"t": {"modifier": "idf"}})
+        c.upsert(main, [
+            {"id": 1, "vector": {"": [1.0, 0.0], "t": {
+                "indices": [1, 2], "values": [1.0, 1.0]}}},
+            {"id": 2, "vector": {"": [1.0, 0.0], "t": {
+                "indices": [1], "values": [2.0]}}},
+            {"id": 3, "vector": {"": [1.0, 0.0], "t": {
+                "indices": [2], "values": [3.0]}}},
+        ])
+        c.create_collection(src, vectors_config={"size": 2,
+                                                 "distance": "Dot"},
+                            sparse_vectors_config={"t": {}})
+        c.upsert(src, [{"id": 7, "vector": {
+            "": [1.0, 0.0], "t": {"indices": [1, 2],
+                                  "values": [1.0, 1.0]}}}])
+
+    def test_batched_sparse_by_id_lookup_from_idf(self, spark):
+        """query_batch_points normalizes lookup_from BEFORE the sparse
+        modifier walk (r10 ADVICE, medium): a batched id-referenced
+        sparse query with lookup_from={'collection', 'vector': NAME} on
+        a Modifier::Idf vector previously resolved the raw vector NAME
+        as a column (AnalysisException). Must equal the single-request
+        query_points result."""
+        c = QdrantSparkClient(spark)
+        self._idf_pair(c, "blf_main", "blf_src")
+        single = c.query_points(
+            "blf_main", query=7, using="t", limit=3,
+            lookup_from={"collection": "blf_src", "vector": "t"})
+        [batch] = c.query_batch_points("blf_main", [
+            {"query": 7, "using": "t", "limit": 3,
+             "lookup_from": {"collection": "blf_src", "vector": "t"}}])
+        assert [(p.id, round(p.score, 9)) for p in batch.points] == \
+            [(p.id, round(p.score, 9)) for p in single.points]
+        assert len(batch.points) == 3
+
+    def test_prefetch_lookup_from_normalized(self, spark):
+        """lookup_from inside a PREFETCH node has its vector NAME
+        normalized to the column on BOTH the query_points and the batch
+        path (previously neither path walked the tree)."""
+        c = QdrantSparkClient(spark)
+        c.create_collection("plf_main", vectors_config={"size": 2,
+                                                        "distance": "Dot"})
+        c.upsert("plf_main", [{"id": i, "vector": [float(i), 1.0]}
+                              for i in range(5)])
+        c.create_collection("plf_src", vectors_config={
+            "emb": {"size": 2, "distance": "Dot"}})
+        c.upsert("plf_src", [{"id": 7, "vector": {"emb": [1.0, 0.5]}}])
+        pf = {"query": 7, "limit": 5,
+              "lookup_from": {"collection": "plf_src", "vector": "emb"}}
+        res = c.query_points("plf_main", prefetch=dict(pf),
+                             query={"fusion": "rrf"}, limit=5,
+                             with_payload=False)
+        assert res.points and res.points[0].id == 4
+        [bres] = c.query_batch_points("plf_main", [
+            {"prefetch": [dict(pf)], "query": {"fusion": "rrf"},
+             "limit": 5}])
+        assert [p.id for p in bres.points] == [p.id for p in res.points]
+
+    def test_idf_sparse_prefetch_lookup_from_in_batch(self, spark):
+        """An id-referenced IDF sparse query inside a batched PREFETCH
+        node resolves through its normalized lookup_from (the modifier
+        walk sees the column, not the raw name)."""
+        c = QdrantSparkClient(spark)
+        self._idf_pair(c, "plfb_main", "plfb_src")
+        single = c.query_points(
+            "plfb_main", query=7, using="t", limit=3,
+            lookup_from={"collection": "plfb_src", "vector": "t"})
+        [batch] = c.query_batch_points("plfb_main", [
+            {"prefetch": [{"query": 7, "using": "t", "limit": 3,
+                           "lookup_from": {"collection": "plfb_src",
+                                           "vector": "t"}}],
+             "query": {"fusion": "rrf"}, "limit": 3}])
+        # rrf over one leg preserves the leg's ranking
+        assert [p.id for p in batch.points] == [p.id for p in single.points]
+
+
+class TestQuantizationPatch:
+    def test_update_collection_quantization_disable(self, spark):
+        """quantization_config={'disabled': True} (QuantizationConfigDiff
+        Disabled) clears quantization from every dense vector and drops
+        built codes (r10 ADVICE: disabling was impossible)."""
+        c = QdrantSparkClient(spark)
+        c.create_collection("qdis", vectors_config={"size": 4,
+                                                    "distance": "Dot"},
+                            quantization_config={"scalar": {}})
+        c.upsert("qdis", [{"id": i, "vector": [float(i), 1.0, 0.0, 0.0]}
+                          for i in range(30)])
+        assert c.ensure_vector_index("qdis", indexing_threshold=0) == "built"
+        assert "" in c._coll("qdis").quant
+        c.update_collection("qdis", quantization_config={"disabled": True})
+        assert c._coll("qdis").vectors[""].quantization is None
+        assert c._coll("qdis").quant == {}
+        # the string form works too
+        c.update_collection("qdis", quantization_config={"binary": {}})
+        c.update_collection("qdis", quantization_config="Disabled")
+        assert c._coll("qdis").vectors[""].quantization is None
+
+    def test_update_collection_keeps_per_vector_config(self, spark):
+        """A collection-level PATCH leaves vectors that declared their OWN
+        per-name quantization_config untouched (VectorParams precedence,
+        r10 ADVICE), while vectors on the collection default follow."""
+        c = QdrantSparkClient(spark)
+        c.create_collection("qown", vectors_config={
+            "a": {"size": 4, "distance": "Dot",
+                  "quantization_config": {"binary": {}}},
+            "b": {"size": 4, "distance": "Dot"},
+        }, quantization_config={"scalar": {}})
+        col = c._coll("qown")
+        assert col.vectors["a"].quantization == {"binary": {}}
+        assert col.vectors["b"].quantization == {"scalar": {}}
+        c.update_collection("qown",
+                            quantization_config={"product":
+                                                 {"compression": "x8"}})
+        col = c._coll("qown")
+        assert col.vectors["a"].quantization == {"binary": {}}  # kept
+        assert col.vectors["b"].quantization == \
+            {"product": {"compression": "x8"}}
+        # explicit disable clears BOTH (disabling is an explicit request)
+        c.update_collection("qown", quantization_config={"disabled": True})
+        col = c._coll("qown")
+        assert col.vectors["a"].quantization is None
+        assert col.vectors["b"].quantization is None

@@ -246,3 +246,32 @@ def test_client_ensure_multivector_index(spark, embeddings):
     # mutation invalidates
     c.upsert("mvi", [{"id": 9999, "vector": {"late": q}}])
     assert c._coll("mvi").mv_idx == {}
+
+
+def test_query_batch_routes_maxsim_index(mv_points, q_mv, monkeypatch):
+    """query_batch plumbs maxsim_indexes like quant_indexes (r10 ADVICE):
+    batched MaxSim requests on a registered multivector column route
+    through the token-IVF pruned plan, value-identical at full probe."""
+    from qdrant_spark.operators import multivec as MV
+    from qdrant_spark.operators.multivec import MaxSimRoute, build_maxsim_ivf
+    from qdrant_spark.query import query_batch
+
+    idx = build_maxsim_ivf(mv_points, n_clusters=8, mv_col="mv",
+                           id_col="vec_id")
+    route = MaxSimRoute(index=idx, nprobe=8)
+    exact = [(r["vec_id"], round(r["score"], 9)) for r in maxsim_knn(
+        mv_points, q_mv, k=5, metric="dot",
+        mv_col="mv", id_col="vec_id").collect()]
+    calls = []
+    orig = MV.maxsim_knn_ivf
+    monkeypatch.setattr(MV, "maxsim_knn_ivf",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    got = query_batch(
+        mv_points, [{"query": {"nearest": [list(t) for t in q_mv]},
+                     "limit": 5}] * 2,
+        id_col="vec_id", vec_col="mv", metric="dot",
+        maxsim_indexes={"mv": route}).collect()
+    assert len(calls) == 2
+    for i in (0, 1):
+        assert [(r["vec_id"], round(r["score"], 9))
+                for r in got if r["request_idx"] == i] == exact

@@ -760,3 +760,52 @@ def test_shard_scoped_query_bypasses_quant_index(spark):
                             shard_key_selector="a")
     assert scoped.points and all(p.id < 100 for p in scoped.points)
     assert [p.id for p in scoped.points] == [19, 18, 17, 16, 15]
+
+
+def test_quant_threshold_with_rescore_false_thresholds_coarse(embeddings):
+    """score_threshold + quantization rescore=false is ACCEPTED and
+    thresholds the returned quantized scores (the reference applies
+    check_threshold to whatever scores it returns, types.rs:364-369;
+    r10 ADVICE — previously raised ValueError)."""
+    from qdrant_spark.query import QueryPlanner
+
+    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+                    id_col="vec_id")
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    pl = QueryPlanner(embeddings, id_col="vec_id",
+                      default_vec_col="embedding", metric="cosine",
+                      quant_indexes={"embedding": h})
+    base = pl.plan({"query": {"nearest": q}, "limit": 10,
+                    "params": {"quantization": {"rescore": False}}})
+    rows = [(r["vec_id"], r["score"]) for r in base.collect()]
+    thr = sorted((s for _, s in rows), reverse=True)[4]  # keep top ~5
+    got = pl.plan({"query": {"nearest": q}, "limit": 10,
+                   "score_threshold": thr,
+                   "params": {"quantization": {"rescore": False}}})
+    want = sorted(((i, round(s, 9)) for i, s in rows if s > thr))
+    assert sorted((r["vec_id"], round(r["score"], 9))
+                  for r in got.collect()) == want
+    assert pl.last_plan_info.get("quant_leaves") == 1
+
+
+def test_quant_threshold_rescore_false_binary_direction(embeddings):
+    """Binary coarse scores are the ±1-dot estimate (larger-better
+    whatever the metric) — the threshold applies in THAT direction."""
+    from qdrant_spark.query import QueryPlanner
+
+    h = build_quant(embeddings, {"binary": {}}, vec_col="embedding",
+                    id_col="vec_id")
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    pl = QueryPlanner(embeddings, id_col="vec_id",
+                      default_vec_col="embedding", metric="euclid",
+                      quant_indexes={"embedding": h})
+    base = pl.plan({"query": {"nearest": q}, "limit": 10,
+                    "params": {"quantization": {"rescore": False}}})
+    rows = [(r["vec_id"], r["score"]) for r in base.collect()]
+    thr = sorted((s for _, s in rows), reverse=True)[4]
+    got = pl.plan({"query": {"nearest": q}, "limit": 10,
+                   "score_threshold": thr,
+                   "params": {"quantization": {"rescore": False}}})
+    want = sorted(((i, round(s, 9)) for i, s in rows if s > thr))
+    assert sorted((r["vec_id"], round(r["score"], 9))
+                  for r in got.collect()) == want
