@@ -2317,6 +2317,56 @@ FROM e, q ORDER BY score DESC, vec_id LIMIT 10
 """
 
 
+def _q_quantized_ivf_planned(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed quantization x IVF through the full client+planner stack
+    (r11): create_collection(quantization_config={"scalar": ...}) +
+    ensure_vector_index(n_clusters=8, nprobe=8) builds ONE
+    cluster-partitioned (id, __cluster, int8-code) storage, and
+    query_points routes probe-clusters -> score-codes -> exact-rescore —
+    the reference's flagship ANN deployment, HNSW search over quantized
+    codes with raw-vector rescore (lib/segment/src/index/hnsw_index/
+    hnsw.rs quantized scorer path; integration test
+    hnsw_quantized_search_test.rs). Full probe + ample oversampling makes
+    the answer equal the exact cosine scan, which the oracle recomputes;
+    a partial-probe plan test lives in tests/test_quant_ivf.py."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    rows = _emb(spark, sf).orderBy("vec_id").limit(500).collect()
+    dim = len(rows[0]["embedding"])
+    c = QdrantSparkClient(spark)
+    c.create_collection(
+        "entry_qivf",
+        vectors_config={"size": dim, "distance": "Cosine"},
+        quantization_config={"scalar": {"type": "int8", "quantile": 0.99}})
+    c.upsert("entry_qivf", [
+        {"id": int(r["vec_id"]),
+         "vector": [float(x) for x in r["embedding"]]}
+        for r in rows])
+    assert c.ensure_vector_index("entry_qivf", n_clusters=8, nprobe=8,
+                                 indexing_threshold=0) == "built"
+    assert "" in c._coll("entry_qivf").quant_ivf  # composed, not codes-only
+    q = [float(x) for x in rows[5]["embedding"]]
+    res = c.query_points(
+        "entry_qivf", query=q, limit=10, with_payload=False,
+        search_params={"quantization": {"rescore": True,
+                                        "oversampling": 8.0}})
+    return spark.createDataFrame(
+        [(p.id, round(p.score, 6)) for p in res.points],
+        "vec_id long, score double")
+
+
+_QUANT_IVF_PLANNED_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 5),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+      WHERE vec_id < 500)
+SELECT e.vec_id,
+       round(list_dot_product(e.v, q.qv) /
+             (sqrt(list_dot_product(e.v, e.v)) *
+              sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+FROM e, q ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
 def _q_sparse_idf_by_id(spark: SparkSession, sf: str) -> DataFrame:
     """Id-referenced sparse query against a Modifier::Idf vector (r10):
     the client resolves the referenced point's stored sparse vector FIRST
@@ -3808,6 +3858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "universal_rescore": _q_universal_rescore,
         "client_query_points": _q_client_e2e,
         "quantized_planned": _q_quantized_planned,
+        "quantized_ivf_planned": _q_quantized_ivf_planned,
         "quantized_batch": _q_quantized_batch,
         "sparse_idf_by_id": _q_sparse_idf_by_id,
         "universal_groups_indexed": _q_universal_groups_indexed,
@@ -4041,6 +4092,7 @@ FROM documents
         "universal_rescore": _UNIVERSAL_RESCORE_SQL,
         "client_query_points": _CLIENT_E2E_SQL,
         "quantized_planned": _QUANT_PLANNED_SQL,
+        "quantized_ivf_planned": _QUANT_IVF_PLANNED_SQL,
         "quantized_batch": _QUANT_BATCH_SQL,
         "sparse_idf_by_id": _SPARSE_IDF_BY_ID_SQL,
         "universal_groups_indexed": _UNIVERSAL_GROUPS_INDEXED_SQL,

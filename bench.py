@@ -665,6 +665,34 @@ def main() -> None:
 
     measure("sq_planned_xxl_disk", q_sq_planned_xxl_disk)
 
+    # r11: the COMPOSED plan — probe clusters AND scan int8 codes
+    # (planner rule quant_ivf_leaves; the reference's quantized-HNSW
+    # deployment, hnsw.rs quantized scorer path). The coarse stage reads
+    # nprobe/32 of the FILES x 1/4 the bytes/row: both prunings compound
+    # on disk. Contrast sq_planned_xxl_disk (all files, narrow column)
+    # and ann_ivf_single_xxl (4/32 files, full floats); recall-gated
+    # below like every timed ANN line.
+    from qdrant_spark.operators.quantize import (
+        compose_quant_ivf, persist_quant_ivf, quant_ivf_search,
+    )
+
+    qivf_xxl = persist_quant_ivf(
+        compose_quant_ivf(quant_xxl, ivf_xxl, nprobe=4),
+        f"{work}/quant_ivf_sq_xxl")
+    qivf_planner = QueryPlanner(xxl_disk, id_col="vec_id",
+                                default_vec_col="embedding",
+                                ivf_indexes={"embedding": ivf_xxl},
+                                quant_indexes={"embedding": quant_xxl},
+                                quant_ivf_indexes={"embedding": qivf_xxl})
+
+    def q_sq_ivf_planned_xxl_disk():
+        out = qivf_planner.plan(
+            {"query": {"nearest": q0}, "limit": 10}).collect()
+        assert qivf_planner.last_plan_info.get("quant_ivf_leaves")
+        return out
+
+    measure("sq_ivf_planned_xxl_disk", q_sq_ivf_planned_xxl_disk)
+
     # r10: multivector MaxSim with the token-level IVF coarse stage.
     # Corpus: the same 512k rows as 8 tokens x 48 dims. The exact line
     # scans every token (4M x 48d BLAS per batch); the pruned line probes
@@ -747,6 +775,12 @@ def main() -> None:
         "ivf_pq_single_xxl_os16_untimed": _recall_one(
             lambda q: ivf_pq_search(ivfpq_xxl, q, k=10, nprobe=4,
                                     oversampling=16.0, metric="cosine")),
+        # the composed quant x IVF plan at its timed setting (nprobe=4,
+        # SQ default oversampling): int8 coarse ranking is precise enough
+        # that the 30-row rescore shortlist recovers the exact top-10
+        "sq_ivf_planned_xxl_disk": _recall_one(
+            lambda q: quant_ivf_search(qivf_xxl, q, k=10,
+                                       metric="cosine")),
     }
     # pruned-MaxSim recall at the timed setting, vs the exact MaxSim scan
     # (its own ground truth — dense exact10 ranks a different score)

@@ -267,6 +267,10 @@ class _Collection:
     #: ensure_vector_index from the declared quantization_config;
     #: invalidated like `ivf`
     quant: dict[str, Any] = field(default_factory=dict)
+    #: per-vector-name COMPOSED quantization x IVF handles
+    #: (quantize.QuantIvfHandle) built when a quantized vector is ensured
+    #: with explicit clustering params; invalidated like `ivf`
+    quant_ivf: dict[str, Any] = field(default_factory=dict)
     #: per-multivector-name token-level coarse indexes
     #: (multivec.MaxSimRoute); invalidated like `ivf`
     mv_idx: dict[str, Any] = field(default_factory=dict)
@@ -375,6 +379,7 @@ class QdrantSparkClient:
         col.ivf.clear()  # indexes describe the pre-mutation corpus
         col.sparse_idx.clear()
         col.quant.clear()
+        col.quant_ivf.clear()
         col.mv_idx.clear()
         # stale op_counter generations would otherwise pile up forever on
         # a long-lived client interleaving mutations with Modifier::Idf
@@ -514,6 +519,7 @@ class QdrantSparkClient:
                         if v.kind == "dense" else v)
                     for n, v in col.vectors.items()}
                 col.quant.clear()
+                col.quant_ivf.clear()
                 return True
             quant_kind(quantization_config)
             col.vectors = {
@@ -522,10 +528,11 @@ class QdrantSparkClient:
                 for n, v in col.vectors.items()}
             # only the vectors whose config actually changed lose their
             # built codes; per-name-configured vectors keep theirs
-            for n in list(col.quant):
+            for n in list(col.quant) + list(col.quant_ivf):
                 vc = col.vectors.get(n)
                 if vc is None or not vc.quant_own:
                     col.quant.pop(n, None)
+                    col.quant_ivf.pop(n, None)
         return True
 
     def delete_collection(self, collection_name: str, **_ignored: Any) -> bool:
@@ -1432,7 +1439,7 @@ class QdrantSparkClient:
                 req.get("filter"))
 
     def ensure_vector_index(self, collection_name: str, *,
-                            using: str = "", n_clusters: int = 16,
+                            using: str = "", n_clusters: int | None = None,
                             indexing_threshold: int | None = None,
                             **_ignored: Any) -> str:
         """Idempotent vector-index maintenance for one named vector — the
@@ -1455,19 +1462,33 @@ class QdrantSparkClient:
         if using in col.sparse:
             return self._ensure_sparse_index(col, using, thr)
         vc = col.vectors.get(using)
+        declared = dict((vc.index_params if vc is not None else None) or {})
+        if n_clusters is None:
+            n_clusters = declared.get("n_clusters")
+        for kk in ("nprobe", "candidates", "full_scan_threshold"):
+            if kk in declared and kk not in _ignored:
+                _ignored[kk] = declared[kk]
         if vc is not None and vc.kind == "multi":
             return self._ensure_maxsim_index(col, using, thr,
-                                             n_clusters=n_clusters,
+                                             n_clusters=n_clusters or 16,
                                              **_ignored)
         if vc is None or vc.kind != "dense":
             raise ValueError("vector index needs a declared dense vector")
         if vc.quantization is not None:
-            return self._ensure_quant_index(col, using, vc, thr)
+            # explicit clustering params (kwarg or declared per-vector
+            # index config) compose the cluster structure WITH the codes
+            # — probe clusters, score codes, rescore floats, the
+            # reference's quantized-HNSW posture; without them the codes
+            # alone are built (pure byte-width pruning, exact modulo
+            # oversampling)
+            return self._ensure_quant_index(
+                col, using, vc, thr, n_clusters=n_clusters,
+                nprobe=_ignored.get("nprobe", 4))
         if self.root is not None:
             path = os.path.join(self.root, col.name,
                                 f"index_{using or 'default'}")
             idx, action = ensure_ann_index(
-                col.df, path, n_clusters=n_clusters,
+                col.df, path, n_clusters=n_clusters or 16,
                 vec_col=col.vec_col(using), id_col="id",
                 indexing_threshold=thr)
         else:
@@ -1476,14 +1497,17 @@ class QdrantSparkClient:
             from qdrant_spark.operators.ann import build_ivf
 
             idx, action = build_ivf(
-                col.df, n_clusters=n_clusters, vec_col=col.vec_col(using),
+                col.df, n_clusters=n_clusters or 16,
+                vec_col=col.vec_col(using),
                 id_col="id"), "built"
         if idx is not None:
             col.ivf[using] = idx
         return action
 
     def _ensure_quant_index(self, col: _Collection, using: str,
-                            vc: "VectorConfig", thr: int) -> str:
+                            vc: "VectorConfig", thr: int,
+                            n_clusters: int | None = None,
+                            nprobe: int = 4) -> str:
         """Quantized analogue of the dense ensure: build the codes the
         declared ``quantization_config`` describes (build_quant dispatches
         scalar/product/binary/turbo — the reference quantizes segment
@@ -1492,7 +1516,48 @@ class QdrantSparkClient:
         narrow parquet (persist_quant), so the coarse stage scans 1-4
         B/dim instead of recomputing codes from the float column. Once
         registered, dense `nearest` queries run coarse+rescore through it
-        (per-request SearchParams.quantization opts out/tunes)."""
+        (per-request SearchParams.quantization opts out/tunes).
+
+        With ``n_clusters`` (explicit kwarg or the vector's declared
+        index params) the ensure builds the COMPOSED index instead —
+        cluster-partitioned (id, __cluster, code) storage searched
+        probe-clusters -> score-codes -> exact-rescore, the reference's
+        HNSW-over-quantized-codes deployment
+        (hnsw_quantized_search_test.rs). The coarse handle registers too
+        so `quantization.ignore` / filtered requests keep their planned
+        routes."""
+        if n_clusters is not None:
+            if using in col.quant_ivf:
+                return "exists"
+            from qdrant_spark.plans.maintenance import ensure_quant_ivf_index
+
+            if self.root is not None:
+                path = os.path.join(self.root, col.name,
+                                    f"quant_ivf_index_{using or 'default'}")
+                qih, action = ensure_quant_ivf_index(
+                    col.df, path, vc.quantization,
+                    n_clusters=int(n_clusters), nprobe=int(nprobe),
+                    vec_col=col.vec_col(using), id_col="id", dim=vc.dim,
+                    indexing_threshold=thr)
+            else:
+                if col.df.count() < thr:
+                    return "skipped"
+                from qdrant_spark.operators.quantize import (
+                    build_quant, compose_quant_ivf,
+                )
+                from qdrant_spark.operators.ann import build_ivf
+
+                handle = build_quant(
+                    col.df, vc.quantization, vec_col=col.vec_col(using),
+                    id_col="id", dim=vc.dim)
+                ivf = build_ivf(col.df, n_clusters=int(n_clusters),
+                                vec_col=col.vec_col(using), id_col="id")
+                qih, action = compose_quant_ivf(
+                    handle, ivf, nprobe=int(nprobe)), "built"
+            if qih is not None:
+                col.quant_ivf[using] = qih
+                col.quant[using] = qih.handle
+            return action
         if using in col.quant:
             return "exists"
         if self.root is not None:
@@ -1594,6 +1659,8 @@ class QdrantSparkClient:
                            for n, h in col.quant.items()},
             maxsim_indexes={col.vec_col(n): rt
                             for n, rt in col.mv_idx.items()},
+            quant_ivf_indexes={col.vec_col(n): qih
+                               for n, qih in col.quant_ivf.items()},
         )
 
     def _hydrate(self, col: _Collection, scored: DataFrame, *,
@@ -1717,6 +1784,7 @@ class QdrantSparkClient:
             planner.sparse_indexes = {}
             planner.quant_indexes = {}
             planner.maxsim_indexes = {}
+            planner.quant_ivf_indexes = {}
         scored = planner.plan(req)
         out = self._hydrate(col, scored, with_payload=with_payload,
                             with_vectors=with_vectors,
@@ -1768,6 +1836,7 @@ class QdrantSparkClient:
             planner.sparse_indexes = {}
             planner.quant_indexes = {}
             planner.maxsim_indexes = {}
+            planner.quant_ivf_indexes = {}
         lookup = lookup_cols = None
         if with_lookup is not None:
             if isinstance(with_lookup, str):
@@ -1845,7 +1914,10 @@ class QdrantSparkClient:
                              quant_indexes={col.vec_col(n): h
                                             for n, h in col.quant.items()},
                              maxsim_indexes={col.vec_col(n): rt
-                                             for n, rt in col.mv_idx.items()})
+                                             for n, rt in col.mv_idx.items()},
+                             quant_ivf_indexes={col.vec_col(n): qih
+                                                for n, qih
+                                                in col.quant_ivf.items()})
         by_idx: dict[int, list] = {}
         for r in tagged.collect():
             by_idx.setdefault(r["request_idx"], []).append(r)

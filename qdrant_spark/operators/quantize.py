@@ -1303,3 +1303,104 @@ def encode_quant(handle: QuantHandle, points: DataFrame) -> DataFrame:
                               dim=idx.dim, padded_dim=idx.padded_dim,
                               seed=idx.seed, ec_shift=idx.ec_shift,
                               ec_scale=idx.ec_scale)
+
+# --------------------------------------------------------------------------
+# Quantization x IVF composition: probe clusters, score codes, rescore floats
+# --------------------------------------------------------------------------
+
+@dataclass
+class QuantIvfHandle:
+    """A quantized index COMPOSED with an IVF cluster structure — the
+    planner-level analogue of the reference's flagship ANN deployment:
+    HNSW search reading quantized codes with exact rescore over originals
+    (lib/segment/src/index/hnsw_index/hnsw.rs quantized scorer path;
+    hnsw_quantized_search_test.rs). ``coded`` is the (id, __cluster,
+    code...) frame; persisted cluster-partitioned, a probe reads
+    nprobe/K of a 1-4 B/dim table — BOTH prunings at once, which is what
+    a 100 TB deployment wants (cluster pruning cuts rows, code width
+    cuts bytes/row, the rescore touches only the oversampled candidate
+    floats)."""
+
+    handle: QuantHandle     # encoder state + full-precision rescore frame
+    centroids: np.ndarray   # (n_clusters, dim) from the IVF index
+    coded: DataFrame        # (id, __cluster, *code_cols)
+    nprobe: int = 4
+
+    @property
+    def id_col(self) -> str:
+        return self.handle.id_col
+
+    @property
+    def vec_col(self) -> str:
+        return self.handle.vec_col
+
+
+def compose_quant_ivf(handle: QuantHandle, ivf, *,
+                      nprobe: int = 4) -> QuantIvfHandle:
+    """Join the quantized codes with the IVF cluster assignment into one
+    (id, __cluster, code) frame. ``ivf`` is an ann.IvfIndex over the same
+    corpus/id space. One shuffle at compose time; persist with
+    :func:`persist_quant_ivf` so queries read partition-pruned parquet
+    instead of re-running the join."""
+    cols = [handle.id_col, *handle.code_cols()]
+    codes = handle.codes_frame().select(*cols)
+    assign = ivf.assigned.select(ivf.id_col, "__cluster")
+    if ivf.id_col != handle.id_col:
+        assign = assign.withColumnRenamed(ivf.id_col, handle.id_col)
+    coded = codes.join(assign, handle.id_col)
+    return QuantIvfHandle(handle=handle, centroids=ivf.centroids,
+                          coded=coded, nprobe=nprobe)
+
+
+def persist_quant_ivf(qih: QuantIvfHandle, path: str) -> QuantIvfHandle:
+    """Materialize ``coded`` parquet-partitioned by ``__cluster`` — the
+    probe becomes directory pruning over a codes-only table (the
+    quantized twin of ann.persist_ivf)."""
+    from dataclasses import replace
+
+    qih.coded.write.mode("overwrite").partitionBy("__cluster").parquet(path)
+    spark = qih.coded.sparkSession
+    return replace(qih, coded=spark.read.parquet(path))
+
+
+def quant_ivf_search(
+    qih: QuantIvfHandle,
+    query_vector: Sequence[float],
+    *,
+    k: int = 10,
+    metric: str = "cosine",
+    flt: dict[str, Any] | None = None,
+    rescore: bool | None = None,
+    oversampling: float | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Three-stage search: probe the ``nprobe`` centroid-nearest clusters
+    (driver-side argsort over the small centroid matrix, same probe as
+    ann.ivf_search), run the handle-kind's coarse scan over ONLY the
+    probed clusters' code rows, exact-rescore the oversampled candidates
+    on the original vectors. With ``nprobe == n_clusters`` the cluster
+    stage is a no-op and the result equals the plain quantized search
+    exactly. QuantizationSearchParams semantics as in
+    :func:`quant_search`."""
+    from dataclasses import replace
+
+    q = np.asarray(query_vector, dtype=np.float64)
+    npb = qih.nprobe if nprobe is None else int(nprobe)
+    d = ((qih.centroids - q) ** 2).sum(axis=1)
+    probes = [int(c) for c in np.argsort(d)[:npb]]
+    pruned = qih.coded.filter(F.col("__cluster").isin(probes)) \
+        .drop("__cluster")
+    idx = qih.handle.index
+    # point the kind's coarse frame at the cluster-pruned codes; `full`
+    # stays the whole corpus (exact rescore + payload filters reach the
+    # narrow scan as id semi-joins, _coarse_src)
+    if qih.handle.kind == "binary":
+        idx2 = replace(idx, packed=pruned,
+                       full=idx.full if idx.full is not None else idx.packed)
+    else:
+        idx2 = replace(idx, codes=pruned,
+                       full=idx.full if idx.full is not None else idx.codes)
+    h2 = QuantHandle(kind=qih.handle.kind, index=idx2,
+                     oversampling=qih.handle.oversampling)
+    return quant_search(h2, query_vector, k=k, metric=metric, flt=flt,
+                        rescore=rescore, oversampling=oversampling)

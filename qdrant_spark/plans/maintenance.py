@@ -216,3 +216,118 @@ def ensure_quant_index(
         json.dump({**requested, "kind": handle.kind, "scalars": scalars,
                    "oversampling": handle.oversampling, "n_rows": n}, f)
     return load_quant_index(points, path), action
+
+
+# ---------------------------------------------------------------------------
+# Composed quantization x IVF maintenance (the reference's quantized-HNSW
+# posture: the graph is built over quantized codes and loads from segment
+# meta — hnsw.rs quantized scorer path, hnsw_quantized_search_test.rs)
+# ---------------------------------------------------------------------------
+
+_QIMETA = "quant_ivf_meta.json"
+_QICODED = "coded"
+_QIPARAMS = "quant_params.npz"
+
+
+def read_quant_ivf_meta(path: str) -> dict[str, Any] | None:
+    try:
+        with open(os.path.join(path, _QIMETA)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def load_quant_ivf_index(points: DataFrame, path: str):
+    """Re-open a persisted composed index: cluster-partitioned
+    (id, __cluster, code) parquet + encoder state npz + centroid matrix
+    from meta; ``points`` becomes the full-precision rescore frame. No
+    corpus pass, no re-training, no re-clustering."""
+    from qdrant_spark.operators.quantize import (
+        QuantIvfHandle, quant_from_state,
+    )
+
+    meta = read_quant_ivf_meta(path)
+    if meta is None:
+        raise FileNotFoundError(f"no quant-ivf meta at {path}")
+    arrays = dict(np.load(os.path.join(path, _QIPARAMS), allow_pickle=False))
+    coded = points.sparkSession.read.parquet(os.path.join(path, _QICODED))
+    handle = quant_from_state(
+        meta["kind"], coded.drop("__cluster"), points,
+        vec_col=meta["vec_col"], id_col=meta["id_col"],
+        arrays=arrays, scalars=meta["scalars"],
+        oversampling=float(meta["oversampling"]))
+    return QuantIvfHandle(
+        handle=handle,
+        centroids=np.asarray(meta["centroids"], dtype=np.float64),
+        coded=coded, nprobe=int(meta["nprobe"]))
+
+
+def ensure_quant_ivf_index(
+    points: DataFrame,
+    path: str,
+    config: dict[str, Any],
+    *,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "vec",
+    id_col: str = "id",
+    dim: int | None = None,
+    seed: int = 42,
+    fit_fraction: float | None = None,
+    indexing_threshold: int = FULL_SCAN_THRESHOLD,
+    stale_fraction: float = 0.2,
+    total: int | None = None,
+):
+    """Idempotent composed-index maintenance; returns
+    ``(QuantIvfHandle | None, action)`` with the same skip/LOAD/REBUILD
+    contract as :func:`ensure_ann_index` / :func:`ensure_quant_index`.
+    ONE build does everything the composed plan needs: encode the
+    declared quantization, KMeans-cluster the corpus, join, and persist
+    the (id, __cluster, code) frame partitioned by cluster — so a query
+    probe reads nprobe/K of a 1-4 B/dim table and nothing else until the
+    bounded exact rescore. The build passes are one sampled KMeans fit,
+    one assignment scan, one encode scan, and the compose join."""
+    from qdrant_spark.operators.quantize import (
+        build_quant, compose_quant_ivf, quant_state,
+    )
+
+    n = points.count() if total is None else int(total)
+    if n < indexing_threshold:
+        return None, "skipped"
+
+    requested = {"config": config, "vec_col": vec_col, "id_col": id_col,
+                 "n_clusters": int(n_clusters), "seed": int(seed),
+                 "fit_fraction": fit_fraction}
+    meta = read_quant_ivf_meta(path)
+    action = "built"
+    if meta is not None:
+        stored = {k: meta.get(k) for k in requested}
+        if stored != requested:
+            action = "rebuilt"
+        elif abs(n - meta["n_rows"]) > stale_fraction * max(meta["n_rows"], 1):
+            action = "rebuilt"
+        else:
+            qih = load_quant_ivf_index(points, path)
+            if int(meta["nprobe"]) != int(nprobe):
+                from dataclasses import replace
+
+                qih = replace(qih, nprobe=int(nprobe))  # routing knob only
+            return qih, "loaded"
+
+    handle = build_quant(points, config, vec_col=vec_col, id_col=id_col,
+                         dim=dim)
+    from qdrant_spark.operators.ann import build_ivf
+
+    ivf = build_ivf(points, n_clusters=n_clusters, vec_col=vec_col,
+                    id_col=id_col, seed=seed, fit_fraction=fit_fraction)
+    qih = compose_quant_ivf(handle, ivf, nprobe=nprobe)
+    qih.coded.write.mode("overwrite").partitionBy("__cluster").parquet(
+        os.path.join(path, _QICODED))
+    arrays, scalars = quant_state(handle)
+    os.makedirs(path, exist_ok=True)
+    np.savez(os.path.join(path, _QIPARAMS), **arrays)
+    with open(os.path.join(path, _QIMETA), "w") as f:
+        json.dump({**requested, "kind": handle.kind, "scalars": scalars,
+                   "oversampling": handle.oversampling, "nprobe": int(nprobe),
+                   "centroids": ivf.centroids.tolist(), "n_rows": n}, f)
+    return load_quant_ivf_index(points, path), action

@@ -97,7 +97,8 @@ class QueryPlanner:
                  sparse_indexes: dict[str, Any] | None = None,
                  ivf_indexes: dict[str, Any] | None = None,
                  quant_indexes: dict[str, Any] | None = None,
-                 maxsim_indexes: dict[str, Any] | None = None):
+                 maxsim_indexes: dict[str, Any] | None = None,
+                 quant_ivf_indexes: dict[str, Any] | None = None):
         self.points = points
         self.id_col = id_col
         self.default_vec_col = default_vec_col
@@ -173,6 +174,14 @@ class QueryPlanner:
                 raise ValueError(
                     f"maxsim_indexes[{vc!r}].id_col must match the planner "
                     f"id_col")
+        # composed quantization x IVF handles (vec column name ->
+        # quantize.QuantIvfHandle): persisted cluster-partitioned codes
+        # (plans/maintenance.ensure_quant_ivf_index). When a column has
+        # BOTH an IVF and a quant registration but no composed entry,
+        # the planner composes lazily on first use (one cached join) —
+        # either way dense `nearest` runs probe-clusters -> score-codes
+        # -> exact-rescore, the reference's quantized-HNSW shape.
+        self.quant_ivf_indexes = quant_ivf_indexes or {}
         self.index_stats = index_stats or {}
         # optional dispatch.ClusterFieldStats: per-cluster filter
         # histograms for the ACORN-analogue filtered probe selection
@@ -215,6 +224,19 @@ class QueryPlanner:
         if self.ivf_index is not None and vec_col == self.ivf_index.vec_col:
             return self.ivf_index
         return self.ivf_indexes.get(vec_col)
+
+    def _quant_ivf_for(self, vec_col: str, qh, ivf):
+        """The composed quant x IVF handle for a column: the registered
+        entry when one was ensured/persisted, else a lazily composed (and
+        cached) join of the two registrations — so planner users who
+        registered both indexes separately still get both prunings."""
+        qih = self.quant_ivf_indexes.get(vec_col)
+        if qih is None:
+            from qdrant_spark.operators.quantize import compose_quant_ivf
+
+            qih = compose_quant_ivf(qh, ivf)
+            self.quant_ivf_indexes[vec_col] = qih
+        return qih
 
     def metric_for(self, vec_col: str | None) -> str:
         """Distance for a given vector COLUMN (not qdrant vector name):
@@ -838,6 +860,37 @@ class QueryPlanner:
                            .filter(F.col("__rn") > offset).drop("__rn"))
                 return out.select(self.id_col, "score")
             ivf = self._ivf_for(vec_col)
+            qh = self.quant_indexes.get(vec_col)
+            qp = (req.get("params") or {}).get("quantization") or {}
+            quant_ok = (qh is not None and not qp.get("ignore")
+                        and not pre_filtered and not self._leaf_exact(req))
+            if quant_ok and ivf is not None and flt is None:
+                # BOTH a cluster structure and quantized codes are
+                # declared for this column: compose them — probe
+                # clusters, score codes, exact-rescore floats — the
+                # reference's quantized-HNSW posture (hnsw.rs quantized
+                # scorer; hnsw_quantized_search_test.rs). Previously the
+                # IVF-wins rule silently dropped the code-width pruning.
+                # Filtered requests keep the IVF dispatcher below (its
+                # selectivity/ACORN logic preserves recall under
+                # filters; cluster pruning alone would not).
+                from qdrant_spark.operators.knn import _threshold_cond
+                from qdrant_spark.operators.quantize import quant_ivf_search
+
+                qih = self._quant_ivf_for(vec_col, qh, ivf)
+                self.last_plan_info["quant_ivf_leaves"] = \
+                    self.last_plan_info.get("quant_ivf_leaves", 0) + 1
+                out = quant_ivf_search(
+                    qih, target, k=limit + offset, metric=metric,
+                    rescore=qp.get("rescore"),
+                    oversampling=qp.get("oversampling"),
+                ).select(F.col(qih.id_col).alias(self.id_col), "score")
+                if threshold is not None:
+                    cond_metric = ("dot" if qp.get("rescore") is False
+                                   and qh.kind == "binary" else metric)
+                    out = out.filter(
+                        _threshold_cond(cond_metric, float(threshold)))
+                return out.offset(offset) if offset else out
             if (ivf is not None and offset == 0
                     and threshold is None and not pre_filtered
                     and not self._leaf_exact(req)):
@@ -858,10 +911,7 @@ class QueryPlanner:
                     cluster_stats=(self.cluster_stats if primary
                                    else None),
                 )
-            qh = self.quant_indexes.get(vec_col)
-            qp = (req.get("params") or {}).get("quantization") or {}
-            if (qh is not None and ivf is None and not qp.get("ignore")
-                    and not pre_filtered and not self._leaf_exact(req)):
+            if quant_ok and ivf is None:
                 # declared quantization: coarse scan over the code column
                 # + oversampled exact rescore (QuantizationSearchParams
                 # semantics, types.rs:573-628). `ignore: true` and
@@ -1337,6 +1387,7 @@ def query_batch(
     ivf_indexes: dict[str, Any] | None = None,
     quant_indexes: dict[str, Any] | None = None,
     maxsim_indexes: dict[str, Any] | None = None,
+    quant_ivf_indexes: dict[str, Any] | None = None,
 ) -> DataFrame:
     """Batch universal query (``POST /collections/{c}/points/query/batch``,
     reference src/actix/api/query_api.rs; per-request independence as in
@@ -1371,6 +1422,7 @@ def query_batch(
         metrics=metrics, sparse_indexes=sparse_indexes,
         ivf_index=ivf_index, ivf_indexes=ivf_indexes,
         quant_indexes=quant_indexes, maxsim_indexes=maxsim_indexes,
+        quant_ivf_indexes=quant_ivf_indexes,
     )
     if not requests:
         raise ValueError("empty request batch")
@@ -1411,22 +1463,25 @@ def query_batch(
                 sub = {k: v for k, v in req.items() if k != "shard_key"}
                 saved = (planner.points, planner.ivf_index,
                          planner.ivf_indexes, planner.sparse_indexes,
-                         planner.quant_indexes, planner.maxsim_indexes)
+                         planner.quant_indexes, planner.maxsim_indexes,
+                         planner.quant_ivf_indexes)
                 planner.points = select_shards(
                     points, req["shard_key"], col="shard_key")
                 planner.ivf_index = None
                 planner.ivf_indexes = {}
                 planner.sparse_indexes = {}
-                # whole-corpus quant/maxsim indexes would leak other
-                # shards' points the same way IVF would
+                # whole-corpus quant/maxsim/composed indexes would leak
+                # other shards' points the same way IVF would
                 planner.quant_indexes = {}
                 planner.maxsim_indexes = {}
+                planner.quant_ivf_indexes = {}
                 try:
                     outs[i] = planner.plan(sub)
                 finally:
                     (planner.points, planner.ivf_index,
                      planner.ivf_indexes, planner.sparse_indexes,
-                     planner.quant_indexes, planner.maxsim_indexes) = saved
+                     planner.quant_indexes, planner.maxsim_indexes,
+                     planner.quant_ivf_indexes) = saved
             else:
                 outs[i] = planner.plan(req)
             # a per-request plan() can itself hit the fused DataFrame

@@ -1,0 +1,288 @@
+"""Composed quantization x IVF search (r11): probe clusters, score codes,
+exact-rescore floats — the reference's quantized-HNSW deployment (HNSW
+search reads quantized codes, rescore reads originals:
+lib/segment/src/index/hnsw_index/hnsw.rs quantized scorer path, test
+lib/segment/tests/integration/hnsw_quantized_search_test.rs). Gates:
+
+- full probe == plain quantized search EXACTLY, per quantization kind;
+- partial probe keeps recall while the coarse stage reads only the
+  probed clusters' code rows (PartitionFilters once persisted);
+- the planner composes when BOTH an IVF and a quant registration exist
+  (previously the IVF-wins rule dropped the code-width pruning);
+- maintenance lifecycle: build / load-on-matching-meta / rebuild-on-
+  config-change, through the client too.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from qdrant_spark.operators.ann import build_ivf
+from qdrant_spark.operators.quantize import (
+    build_quant,
+    compose_quant_ivf,
+    persist_quant_ivf,
+    quant_ivf_search,
+    quant_search,
+)
+
+
+def _rows(df):
+    return [(r[0], round(r[1], 9)) for r in df.collect()]
+
+
+@pytest.fixture(scope="module")
+def ivf8(embeddings):
+    return build_ivf(embeddings, n_clusters=8, vec_col="embedding",
+                     id_col="vec_id")
+
+
+@pytest.mark.parametrize("config", [
+    {"scalar": {}},
+    {"product": {"compression": "x8"}},
+    {"binary": {}},
+    {"turbo": {"bits": "bits4"}},
+])
+def test_quant_ivf_full_probe_matches_quant_search(embeddings, ivf8, config):
+    """nprobe == n_clusters makes the cluster stage a no-op: the composed
+    search equals the plain quantized two-stage search bit-for-bit, for
+    every quantization kind."""
+    h = build_quant(embeddings, config, vec_col="embedding",
+                    id_col="vec_id")
+    qih = compose_quant_ivf(h, ivf8, nprobe=8)
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    want = _rows(quant_search(h, q, k=10, metric="cosine",
+                              oversampling=6.0))
+    got = _rows(quant_ivf_search(qih, q, k=10, metric="cosine",
+                                 oversampling=6.0))
+    assert got == want
+
+
+def test_quant_ivf_pruned_recall_and_scan(embeddings, ivf8, tmp_path):
+    """Partial probe: the coarse stage scans only the probed clusters'
+    (id, code) rows — PartitionFilters on the persisted layout — and
+    recall@10 vs the exact scan stays high at nprobe=4/8."""
+    from qdrant_spark.operators.knn import knn
+
+    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+                    id_col="vec_id")
+    qih = persist_quant_ivf(compose_quant_ivf(h, ivf8, nprobe=4),
+                            str(tmp_path / "coded"))
+    qs = [list(r["embedding"]) for r in embeddings.limit(8).collect()]
+    hits = 0
+    for q in qs:
+        exact = {r[0] for r in knn(
+            embeddings, q, metric="cosine", k=10, vec_col="embedding",
+            id_col="vec_id", select=["vec_id", "score"]).collect()}
+        got = {r[0] for r in quant_ivf_search(
+            qih, q, k=10, metric="cosine", oversampling=6.0).collect()}
+        hits += len(exact & got)
+    assert hits / (10 * len(qs)) >= 0.85
+    # plan: the probe is a partition filter on the persisted coded table,
+    # and that coarse scan reads the code column only — the float vector
+    # column appears in the rescore scan, never the coarse one
+    out = quant_ivf_search(qih, qs[0], k=10, metric="cosine")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    coarse_scans = [s for s in plan.split("FileScan")[1:]
+                    if "__sq" in s.split("ReadSchema", 1)[0] + s[:1200]]
+    assert coarse_scans
+    for s in coarse_scans:
+        head = s[:1200]
+        assert "PartitionFilters: [" in head
+        assert "__cluster" in head.split("PartitionFilters", 1)[1][:200]
+        assert "embedding" not in head.split("ReadSchema", 1)[1][:200]
+
+
+def test_planner_composes_when_both_registered(embeddings, ivf8):
+    """A column with BOTH ivf_indexes and quant_indexes entries routes
+    dense `nearest` through the composed plan (quant_ivf_leaves) instead
+    of the old IVF-wins rule; ignore/exact/filtered keep their existing
+    routes."""
+    from qdrant_spark.query import QueryPlanner
+
+    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+                    id_col="vec_id")
+    pl = QueryPlanner(embeddings, id_col="vec_id",
+                      default_vec_col="embedding", metric="cosine",
+                      ivf_indexes={"embedding": ivf8},
+                      quant_indexes={"embedding": h})
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    out = pl.plan({"query": {"nearest": q}, "limit": 10,
+                   "params": {"quantization": {"oversampling": 6.0}}})
+    # full-probe composed handle not requested -> lazy compose at nprobe=4
+    got = [(r["vec_id"], round(r["score"], 9)) for r in out.collect()]
+    assert len(got) == 10
+    assert pl.last_plan_info.get("quant_ivf_leaves") == 1
+    # the lazily composed handle is cached for subsequent plans
+    assert "embedding" in pl.quant_ivf_indexes
+
+    # values match the operator-level composed search exactly
+    qih = pl.quant_ivf_indexes["embedding"]
+    want = _rows(quant_ivf_search(qih, q, k=10, metric="cosine",
+                                  oversampling=6.0))
+    assert got == want
+
+    # quantization.ignore falls back to the IVF dispatcher
+    pl.plan({"query": {"nearest": q}, "limit": 10,
+             "params": {"quantization": {"ignore": True}}}).collect()
+    assert pl.last_plan_info.get("quant_ivf_leaves") is None
+    # params.exact bypasses everything
+    ex = pl.plan({"query": {"nearest": q}, "limit": 10,
+                  "params": {"exact": True}})
+    from qdrant_spark.operators.knn import knn
+
+    assert _rows(ex) == _rows(knn(
+        embeddings, q, metric="cosine", k=10, vec_col="embedding",
+        id_col="vec_id", select=["vec_id", "score"]))
+    assert pl.last_plan_info.get("quant_ivf_leaves") is None
+    # a filtered request keeps the IVF dispatcher's selectivity logic
+    half = embeddings.count() // 2
+    fout = pl.plan({"query": {"nearest": q}, "limit": 10,
+                    "filter": {"must": [{"key": "vec_id",
+                                         "range": {"lt": half}}]}})
+    rows = fout.collect()
+    assert rows and all(r["vec_id"] < half for r in rows)
+    assert pl.last_plan_info.get("quant_ivf_leaves") is None
+
+    # offset + threshold are handled by the composed leaf
+    base = pl.plan({"query": {"nearest": q}, "limit": 10,
+                    "params": {"quantization": {"oversampling": 6.0}}})
+    brows = [(r["vec_id"], round(r["score"], 9)) for r in base.collect()]
+    off = pl.plan({"query": {"nearest": q}, "limit": 5, "offset": 2,
+                   "params": {"quantization": {"oversampling": 6.0}}})
+    assert [(r["vec_id"], round(r["score"], 9))
+            for r in off.collect()] == brows[2:7]
+    assert pl.last_plan_info.get("quant_ivf_leaves") == 1
+
+
+def test_ensure_quant_ivf_lifecycle(embeddings, tmp_path):
+    """skip / build / load / rebuild for the composed index — the
+    config_mismatch + indexing optimizer contract of ensure_ann_index,
+    with the quant state and centroids reloading from meta (no KMeans,
+    no re-encode on a matching load)."""
+    from qdrant_spark.plans.maintenance import ensure_quant_ivf_index
+
+    path = str(tmp_path / "qivf")
+    small = embeddings.limit(50)
+    qih, action = ensure_quant_ivf_index(
+        small, path, {"scalar": {}}, n_clusters=4,
+        vec_col="embedding", id_col="vec_id", indexing_threshold=10_000)
+    assert (qih, action) == (None, "skipped")
+
+    qih, action = ensure_quant_ivf_index(
+        embeddings, path, {"scalar": {}}, n_clusters=8, nprobe=8,
+        vec_col="embedding", id_col="vec_id", indexing_threshold=0)
+    assert action == "built"
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    built = _rows(quant_ivf_search(qih, q, k=10, metric="cosine",
+                                   oversampling=6.0))
+
+    loaded, action = ensure_quant_ivf_index(
+        embeddings, path, {"scalar": {}}, n_clusters=8, nprobe=8,
+        vec_col="embedding", id_col="vec_id", indexing_threshold=0)
+    assert action == "loaded"
+    assert _rows(quant_ivf_search(loaded, q, k=10, metric="cosine",
+                                  oversampling=6.0)) == built
+    # nprobe is a routing knob, not a rebuild trigger
+    loaded2, action = ensure_quant_ivf_index(
+        embeddings, path, {"scalar": {}}, n_clusters=8, nprobe=2,
+        vec_col="embedding", id_col="vec_id", indexing_threshold=0)
+    assert action == "loaded" and loaded2.nprobe == 2
+
+    _, action = ensure_quant_ivf_index(
+        embeddings, path, {"binary": {}}, n_clusters=8,
+        vec_col="embedding", id_col="vec_id", indexing_threshold=0)
+    assert action == "rebuilt"  # config mismatch
+    _, action = ensure_quant_ivf_index(
+        embeddings, path, {"binary": {}}, n_clusters=4,
+        vec_col="embedding", id_col="vec_id", indexing_threshold=0)
+    assert action == "rebuilt"  # cluster-count mismatch
+
+
+def test_client_quantized_ivf_composed(spark, embeddings, tmp_path):
+    """create_collection(quantization_config) + ensure_vector_index with
+    explicit clustering params = the composed route through
+    client.query_points; a NEW session over the same root reloads
+    without re-clustering; ensure without clustering params keeps the
+    r10 codes-only behavior."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    rows = embeddings.orderBy("vec_id").limit(300).collect()
+    dim = len(rows[0]["embedding"])
+    pts = [{"id": int(r["vec_id"]),
+            "vector": [float(x) for x in r["embedding"]]} for r in rows]
+    q = [float(x) for x in rows[2]["embedding"]]
+
+    c = QdrantSparkClient(spark, root=str(tmp_path))
+    c.create_collection(
+        "qivf", vectors_config={"size": dim, "distance": "Cosine"},
+        quantization_config={"scalar": {}})
+    c.upsert("qivf", pts)
+    assert c.ensure_vector_index("qivf", n_clusters=8, nprobe=8,
+                                 indexing_threshold=0) == "built"
+    assert "" in c._coll("qivf").quant_ivf
+    assert "" in c._coll("qivf").quant  # coarse handle registers too
+    exact = c.query_points("qivf", query=q, limit=10, with_payload=False,
+                           search_params={"exact": True})
+    got = c.query_points("qivf", query=q, limit=10, with_payload=False,
+                         search_params={"quantization":
+                                        {"oversampling": 8.0}})
+    # full probe + ample oversampling == exact scan
+    assert [(p.id, round(p.score, 6)) for p in got.points] == \
+        [(p.id, round(p.score, 6)) for p in exact.points]
+
+    # new session over the same root: loaded, same answers
+    c2 = QdrantSparkClient(spark, root=str(tmp_path))
+    c2.create_collection(
+        "qivf", vectors_config={"size": dim, "distance": "Cosine"},
+        quantization_config={"scalar": {}})
+    c2.upsert("qivf", pts)
+    assert c2.ensure_vector_index("qivf", n_clusters=8, nprobe=8,
+                                  indexing_threshold=0) == "loaded"
+    got2 = c2.query_points("qivf", query=q, limit=10, with_payload=False,
+                           search_params={"quantization":
+                                          {"oversampling": 8.0}})
+    assert [(p.id, round(p.score, 6)) for p in got2.points] == \
+        [(p.id, round(p.score, 6)) for p in exact.points]
+
+    # no clustering params -> codes-only (r10 behavior preserved)
+    c3 = QdrantSparkClient(spark)
+    c3.create_collection(
+        "qplain", vectors_config={"size": dim, "distance": "Cosine"},
+        quantization_config={"scalar": {}})
+    c3.upsert("qplain", pts)
+    assert c3.ensure_vector_index("qplain", indexing_threshold=0) == "built"
+    assert c3._coll("qplain").quant_ivf == {}
+    assert "" in c3._coll("qplain").quant
+
+
+def test_client_declared_index_params_compose(spark, embeddings):
+    """Clustering params declared in the vector config at create time
+    (the per-vector hnsw_config analogue) are read by a bare
+    ensure_vector_index — create -> ensure -> query routes composed with
+    the declared n_clusters/nprobe."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    rows = embeddings.orderBy("vec_id").limit(200).collect()
+    dim = len(rows[0]["embedding"])
+    c = QdrantSparkClient(spark)
+    c.create_collection("qdecl", vectors_config={
+        "size": dim, "distance": "Cosine",
+        "quantization_config": {"scalar": {}},
+        "index": {"n_clusters": 8, "nprobe": 8}})
+    c.upsert("qdecl", [{"id": int(r["vec_id"]),
+                        "vector": [float(x) for x in r["embedding"]]}
+                       for r in rows])
+    assert c.ensure_vector_index("qdecl", indexing_threshold=0) == "built"
+    qih = c._coll("qdecl").quant_ivf[""]
+    assert len(qih.centroids) == 8 and qih.nprobe == 8
+    q = [float(x) for x in rows[0]["embedding"]]
+    got = c.query_points("qdecl", query=q, limit=5, with_payload=False,
+                         search_params={"quantization":
+                                        {"oversampling": 8.0}})
+    exact = c.query_points("qdecl", query=q, limit=5, with_payload=False,
+                           search_params={"exact": True})
+    assert [(p.id, round(p.score, 6)) for p in got.points] == \
+        [(p.id, round(p.score, 6)) for p in exact.points]
