@@ -734,6 +734,27 @@ def main() -> None:
     measure("maxsim_xxl_disk", q_maxsim_xxl_disk)
     measure("maxsim_ivf_xxl_disk", q_maxsim_ivf_xxl_disk)
 
+    # r11: the ROUTED plan — a registered MaxSimRoute now carries the
+    # exact-vs-pruned crossover (multivec.MAXSIM_FULL_SCAN_THRESHOLD,
+    # calibrated from the two lines above: pruned was 3.4x slower at
+    # 512k docs). At this scale the planner must pick the exact scan
+    # despite the registered index — asserted, so a mis-dispatch fails
+    # the bench rather than silently re-inflating the line.
+    from qdrant_spark.operators.multivec import MaxSimRoute
+
+    ms_route = MaxSimRoute(index=msivf_xxl, nprobe=4, candidates=4096)
+    ms_planner = QueryPlanner(mv_xxl, id_col="vec_id",
+                              default_vec_col="mv", metric="dot",
+                              maxsim_indexes={"mv": ms_route})
+
+    def q_maxsim_planned_xxl_disk():
+        out = ms_planner.plan(
+            {"query": {"nearest": q0_mv}, "limit": 10}).collect()
+        assert ms_planner.last_plan_info.get("maxsim_index_leaves") is None
+        return out
+
+    measure("maxsim_planned_xxl_disk", q_maxsim_planned_xxl_disk)
+
     # the remaining RAM-resident cache is only used by group-3 timed lines
     pq_ram_xxl.unpersist()
 

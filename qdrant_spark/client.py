@@ -1585,32 +1585,49 @@ class QdrantSparkClient:
                              thr: int, *, n_clusters: int = 16,
                              nprobe: int = 4,
                              candidates: int | None = None,
+                             full_scan_threshold: int | None = None,
                              **_ignored: Any) -> str:
         """Multivector analogue of the dense ensure: cluster the corpus's
         token vectors (multivec.build_maxsim_ivf — the coarse structure
         the reference gets from HNSW over multivector storage,
-        multivector_hnsw_test.rs); with a storage root the narrow
-        (id, cluster) token frame persists cluster-partitioned. Once
-        registered, MaxSim queries route through the pruned plan with
-        the declared ``nprobe`` / ``candidates``; per-request
+        multivector_hnsw_test.rs); with a storage root the ensure is
+        meta-matched (plans/maintenance.ensure_maxsim_index): a restarted
+        session LOADS the cluster-partitioned token frame + centroids
+        instead of re-clustering, and rebuilds on param change or corpus
+        drift — the same lifecycle the quant/dense ensures have. Once
+        registered, MaxSim queries route through the pruned plan with the
+        declared ``nprobe`` / ``candidates`` — but ONLY above the
+        exact-vs-pruned crossover (``full_scan_threshold`` docs, default
+        multivec.MAXSIM_FULL_SCAN_THRESHOLD; the bench measured the
+        pruned path 3.4x slower at 512k docs). Per-request
         ``params.exact`` and filtered requests keep the exact scan."""
         from qdrant_spark.operators.multivec import (
-            MaxSimRoute, build_maxsim_ivf, persist_maxsim_ivf,
+            MaxSimRoute, build_maxsim_ivf,
         )
 
         if using in col.mv_idx:
             return "exists"
-        if col.df.count() < thr:
-            return "skipped"
-        idx = build_maxsim_ivf(col.df, n_clusters=n_clusters,
-                               mv_col=col.vec_col(using), id_col="id")
+        n = col.df.count()
         if self.root is not None:
+            from qdrant_spark.plans.maintenance import ensure_maxsim_index
+
             path = os.path.join(self.root, col.name,
                                 f"maxsim_index_{using or 'default'}")
-            idx = persist_maxsim_ivf(idx, path)
-        col.mv_idx[using] = MaxSimRoute(index=idx, nprobe=nprobe,
-                                        candidates=candidates)
-        return "built"
+            idx, action = ensure_maxsim_index(
+                col.df, path, n_clusters=n_clusters,
+                mv_col=col.vec_col(using), id_col="id",
+                indexing_threshold=thr, total=n)
+        else:
+            if n < thr:
+                return "skipped"
+            idx, action = build_maxsim_ivf(
+                col.df, n_clusters=n_clusters,
+                mv_col=col.vec_col(using), id_col="id"), "built"
+        if idx is not None:
+            col.mv_idx[using] = MaxSimRoute(
+                index=idx, nprobe=nprobe, candidates=candidates,
+                full_scan_threshold=full_scan_threshold, n_docs=n)
+        return action
 
     def _ensure_sparse_index(self, col: _Collection, using: str,
                              thr: int) -> str:

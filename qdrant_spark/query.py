@@ -834,8 +834,28 @@ class QueryPlanner:
                 )
 
                 route = self.maxsim_indexes.get(vec_col)
-                if (route is not None and flt is None and not pre_filtered
-                        and not self._leaf_exact(req)):
+                use_pruned = (route is not None and flt is None
+                              and not pre_filtered
+                              and not self._leaf_exact(req))
+                if use_pruned:
+                    # exact-vs-pruned crossover (the MaxSim analogue of
+                    # the dense full_scan_threshold dispatch): below the
+                    # calibrated doc count the exact one-pass BLAS scan
+                    # beats the candidate stage it would avoid — the
+                    # bench measured pruned 3.4x SLOWER at 512k docs
+                    # (multivec.MAXSIM_FULL_SCAN_THRESHOLD)
+                    from qdrant_spark.operators.multivec import (
+                        MAXSIM_FULL_SCAN_THRESHOLD,
+                    )
+
+                    ms_thr = (MAXSIM_FULL_SCAN_THRESHOLD
+                              if route.full_scan_threshold is None
+                              else route.full_scan_threshold)
+                    if ms_thr:
+                        if route.n_docs is None:
+                            route.n_docs = route.index.points.count()
+                        use_pruned = route.n_docs >= ms_thr
+                if use_pruned:
                     # registered token-level coarse index: probe per
                     # query token, exact MaxSim over candidates only
                     self.last_plan_info["maxsim_index_leaves"] = \

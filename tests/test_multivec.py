@@ -186,7 +186,9 @@ def test_planner_routes_maxsim_index(mv_points, q_mv):
 
     idx = build_maxsim_ivf(mv_points, n_clusters=8, mv_col="mv",
                            id_col="vec_id")
-    route = MaxSimRoute(index=idx, nprobe=8)  # full probe = exact
+    # full probe = exact; threshold 0 pins the pruned route (the corpus
+    # sits far below the exact-vs-pruned crossover)
+    route = MaxSimRoute(index=idx, nprobe=8, full_scan_threshold=0)
     pl = QueryPlanner(mv_points, id_col="vec_id", default_vec_col="mv",
                       metric="dot", maxsim_indexes={"mv": route})
     exact = [(r["vec_id"], round(r["score"], 9)) for r in maxsim_knn(
@@ -258,7 +260,7 @@ def test_query_batch_routes_maxsim_index(mv_points, q_mv, monkeypatch):
 
     idx = build_maxsim_ivf(mv_points, n_clusters=8, mv_col="mv",
                            id_col="vec_id")
-    route = MaxSimRoute(index=idx, nprobe=8)
+    route = MaxSimRoute(index=idx, nprobe=8, full_scan_threshold=0)
     exact = [(r["vec_id"], round(r["score"], 9)) for r in maxsim_knn(
         mv_points, q_mv, k=5, metric="dot",
         mv_col="mv", id_col="vec_id").collect()]
@@ -275,3 +277,106 @@ def test_query_batch_routes_maxsim_index(mv_points, q_mv, monkeypatch):
     for i in (0, 1):
         assert [(r["vec_id"], round(r["score"], 9))
                 for r in got if r["request_idx"] == i] == exact
+
+
+def test_maxsim_route_crossover(mv_points, q_mv):
+    """Exact-vs-pruned dispatch (r10 VERDICT #1: the route was
+    unconditional and 3.4x slower than the exact scan at 512k docs): a
+    corpus below MaxSimRoute.full_scan_threshold takes the exact Arrow
+    scan even with a registered route; 0 pins the pruned path; the
+    corpus count memoizes on the route."""
+    from qdrant_spark.operators.multivec import (
+        MAXSIM_FULL_SCAN_THRESHOLD, MaxSimRoute, build_maxsim_ivf,
+    )
+    from qdrant_spark.query import QueryPlanner
+
+    assert MAXSIM_FULL_SCAN_THRESHOLD > 512_000  # measured break-even side
+    idx = build_maxsim_ivf(mv_points, n_clusters=8, mv_col="mv",
+                           id_col="vec_id")
+    req = {"query": {"nearest": [list(t) for t in q_mv]}, "limit": 10}
+    exact = [(r["vec_id"], round(r["score"], 9)) for r in maxsim_knn(
+        mv_points, q_mv, k=10, metric="dot",
+        mv_col="mv", id_col="vec_id").collect()]
+
+    # default threshold: ~1k docs -> exact scan despite the route
+    route = MaxSimRoute(index=idx, nprobe=8)
+    pl = QueryPlanner(mv_points, id_col="vec_id", default_vec_col="mv",
+                      metric="dot", maxsim_indexes={"mv": route})
+    got = [(r["vec_id"], round(r["score"], 9))
+           for r in pl.plan(req).collect()]
+    assert got == exact
+    assert pl.last_plan_info.get("maxsim_index_leaves") is None
+    assert route.n_docs == mv_points.count()  # counted once, memoized
+
+    # explicit low threshold -> pruned path
+    route2 = MaxSimRoute(index=idx, nprobe=8, full_scan_threshold=100)
+    pl2 = QueryPlanner(mv_points, id_col="vec_id", default_vec_col="mv",
+                       metric="dot", maxsim_indexes={"mv": route2})
+    got2 = [(r["vec_id"], round(r["score"], 9))
+            for r in pl2.plan(req).collect()]
+    assert got2 == exact  # full probe
+    assert pl2.last_plan_info.get("maxsim_index_leaves") == 1
+
+
+def test_ensure_maxsim_reload(spark, embeddings, tmp_path):
+    """A restarted session LOADS the persisted token index from meta
+    instead of re-clustering (r10 ADVICE/VERDICT #2): build -> loaded ->
+    rebuilt-on-param-change, and the loaded route answers identically."""
+    from qdrant_spark.client import QdrantSparkClient
+    from qdrant_spark.plans.maintenance import ensure_maxsim_index
+
+    rows = embeddings.limit(150).collect()
+    dim = len(rows[0]["embedding"])
+    td = dim // 8
+    pts = [{"id": int(r["vec_id"]),
+            "vector": {"late": [[float(x) for x in
+                                 r["embedding"][i * td:(i + 1) * td]]
+                                for i in range(8)]}} for r in rows]
+    q = pts[3]["vector"]["late"]
+
+    def mk(root):
+        c = QdrantSparkClient(spark, root=root)
+        c.create_collection("msr", vectors_config={
+            "late": {"size": td, "distance": "Dot",
+                     "multivector_config": {"comparator": "max_sim"}}})
+        c.upsert("msr", pts)
+        return c
+
+    c = mk(str(tmp_path))
+    assert c.ensure_vector_index("msr", using="late", n_clusters=8,
+                                 nprobe=8, indexing_threshold=0) == "built"
+    want = [(p.id, round(p.score, 9)) for p in c.query_points(
+        "msr", query=q, using="late", limit=5, with_payload=False).points]
+
+    c2 = mk(str(tmp_path))
+    assert c2.ensure_vector_index("msr", using="late", n_clusters=8,
+                                  nprobe=8, indexing_threshold=0) == "loaded"
+    got = [(p.id, round(p.score, 9)) for p in c2.query_points(
+        "msr", query=q, using="late", limit=5, with_payload=False).points]
+    assert got == want
+
+    # param change rebuilds (config_mismatch_optimizer)
+    c3 = mk(str(tmp_path))
+    assert c3.ensure_vector_index("msr", using="late", n_clusters=4,
+                                  indexing_threshold=0) == "rebuilt"
+
+    # operator-level drift trigger (independent frame — the client dfs
+    # above share one parquet path that each upsert rewrites)
+    d_mv = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.slice(F.col("embedding").cast("array<double>"),
+                          i * td + 1, td))
+    mv = embeddings.select("vec_id", d_mv.alias("mv"))
+    _, act = ensure_maxsim_index(
+        mv, str(tmp_path / "op"), n_clusters=4, mv_col="mv",
+        id_col="vec_id", indexing_threshold=0)
+    assert act == "built"
+    _, act = ensure_maxsim_index(
+        mv, str(tmp_path / "op"), n_clusters=4, mv_col="mv",
+        id_col="vec_id", indexing_threshold=0)
+    assert act == "loaded"
+    grown = mv.unionByName(mv)  # 2x rows > stale_fraction
+    _, act = ensure_maxsim_index(
+        grown, str(tmp_path / "op"), n_clusters=4, mv_col="mv",
+        id_col="vec_id", indexing_threshold=0)
+    assert act == "rebuilt"
