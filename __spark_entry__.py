@@ -2786,6 +2786,77 @@ def _q_quantized_batch(spark: SparkSession, sf: str) -> DataFrame:
         out, "qid long, vec_id long, score double")
 
 
+def _q_quantized_batch_kinds(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched quantized search covers ALL FOUR kinds (r11; the
+    reference batches every quantized kind through one storage walk,
+    lib/segment/src/vector_storage/quantized/): four named vectors on
+    one collection — scalar / product / binary / turbo — each carrying
+    its own quantization_config; two requests per vector fuse into one
+    coarse scan per kind (binary's shared scan unpacks words to ±1 so
+    the dot reproduces the XOR/hamming order; turbo's rebuilds the
+    renormed rotated reconstruction). Oversampling spans enough of the
+    500-row slice that every request's exact top-10 survives its coarse
+    cut, so all eight results equal the exact cosine top-10 the oracle
+    recomputes per query."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    rows = _emb(spark, sf).orderBy("vec_id").limit(500).collect()
+    dim = len(rows[0]["embedding"])
+    kinds = [("s", {"scalar": {"type": "int8"}}, 8.0),
+             ("p", {"product": {"compression": "x8"}}, 8.0),
+             ("b", {"binary": {"encoding": "two_bits"}}, 50.0),
+             ("t", {"turbo": {"bits": "bits4"}}, 50.0)]
+    c = QdrantSparkClient(spark)
+    c.create_collection(
+        "entry_quant_kinds",
+        vectors_config={n: {"size": dim, "distance": "Cosine",
+                            "quantization_config": cfg}
+                        for n, cfg, _ in kinds})
+    c.upsert("entry_quant_kinds", [
+        {"id": int(r["vec_id"]),
+         "vector": {n: [float(x) for x in r["embedding"]]
+                    for n, _, _ in kinds}}
+        for r in rows])
+    for n, _, _ in kinds:
+        assert c.ensure_vector_index("entry_quant_kinds", using=n,
+                                     indexing_threshold=0) == "built"
+    srcs = [0, 3, 5, 9, 11, 2, 7, 4]  # 2 per kind, see oracle VALUES
+    reqs = []
+    for ki, (n, _, over) in enumerate(kinds):
+        for s in srcs[ki * 2: ki * 2 + 2]:
+            reqs.append({"query": [float(x) for x in
+                                   rows[s]["embedding"]],
+                         "using": n, "limit": 10, "with_payload": False,
+                         "params": {"quantization":
+                                    {"oversampling": over}}})
+    res = c.query_batch_points("entry_quant_kinds", reqs)
+    out = [(qi, p.id, round(p.score, 6))
+           for qi, r in enumerate(res) for p in r.points]
+    return spark.createDataFrame(
+        out, "qid long, vec_id long, score double")
+
+
+_QUANT_BATCH_KINDS_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+           WHERE vec_id < 500),
+qs AS (SELECT * FROM (VALUES (0, 0), (1, 3), (2, 5), (3, 9), (4, 11),
+                             (5, 2), (6, 7), (7, 4)) AS t(qid, src)),
+q AS (SELECT qs.qid, e.v AS qv FROM qs JOIN e ON e.vec_id = qs.src),
+s AS (SELECT q.qid, e.vec_id,
+             list_dot_product(e.v, q.qv) /
+             (sqrt(list_dot_product(e.v, e.v)) *
+              sqrt(list_dot_product(q.qv, q.qv))) AS score,
+             row_number() OVER (PARTITION BY q.qid
+                                ORDER BY list_dot_product(e.v, q.qv) /
+                                (sqrt(list_dot_product(e.v, e.v)) *
+                                 sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                                e.vec_id) AS rn
+      FROM e, q)
+SELECT qid, vec_id, round(score, 6) AS score FROM s WHERE rn <= 10
+ORDER BY qid, rn
+"""
+
+
 _QUANT_BATCH_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
            WHERE vec_id < 500),
@@ -3860,6 +3931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_planned": _q_quantized_planned,
         "quantized_ivf_planned": _q_quantized_ivf_planned,
         "quantized_batch": _q_quantized_batch,
+        "quantized_batch_kinds": _q_quantized_batch_kinds,
         "sparse_idf_by_id": _q_sparse_idf_by_id,
         "universal_groups_indexed": _q_universal_groups_indexed,
         "upsert": _q_upsert,
@@ -4094,6 +4166,7 @@ FROM documents
         "quantized_planned": _QUANT_PLANNED_SQL,
         "quantized_ivf_planned": _QUANT_IVF_PLANNED_SQL,
         "quantized_batch": _QUANT_BATCH_SQL,
+        "quantized_batch_kinds": _QUANT_BATCH_KINDS_SQL,
         "sparse_idf_by_id": _SPARSE_IDF_BY_ID_SQL,
         "universal_groups_indexed": _UNIVERSAL_GROUPS_INDEXED_SQL,
         "upsert": _UPSERT_SQL,

@@ -975,6 +975,25 @@ def tq_search(
     )
 
 
+def bq_query_bits(index: BqIndex, query_vector: Sequence[float]) -> np.ndarray:
+    """Encode a query same-as-storage (QueryEncoding::SameAsStorage,
+    encoded_vectors_binary.rs:679-682): the ext_dim-long 0/1 bit vector
+    the packed words hold — shared by the single-query XOR scan and the
+    batched ±1 matmul scan (ham = (ext_dim - dot±)/2)."""
+    q = np.asarray(query_vector, dtype=np.float64)
+    if index.encoding == "one_bit":
+        return (q > index.means).astype(np.int64)
+    sd = index.stds if index.stds is not None else np.zeros_like(q)
+    ok = sd > 1e-12
+    z = np.where(ok, (q - index.means) / np.where(ok, sd, 1.0), 0.0)
+    b1 = np.where(ok, z > -BQ_SIGMAS, q > index.means).astype(np.int64)
+    b2 = np.where(ok, z >= BQ_SIGMAS, False).astype(np.int64)
+    if index.encoding == "two_bits":
+        return np.concatenate([b1, b2])
+    pad = np.append(b2, 0) if len(b2) % 2 else b2  # one_and_half_bits
+    return np.concatenate([b1, pad.reshape(-1, 2).max(axis=1)])
+
+
 def bq_search(
     index: BqIndex,
     query_vector: Sequence[float],
@@ -996,20 +1015,7 @@ def bq_search(
     ``score`` is the ±1-representation dot estimate ``ext_dim - 2*ham``
     (matching-bits minus differing-bits — the same quantity the
     reference's XOR scorer ranks by), NOT the true metric's scale."""
-    q = np.asarray(query_vector, dtype=np.float64)
-    if index.encoding == "one_bit":
-        qbits = (q > index.means).astype(np.int64)
-    else:
-        sd = index.stds if index.stds is not None else np.zeros_like(q)
-        ok = sd > 1e-12
-        z = np.where(ok, (q - index.means) / np.where(ok, sd, 1.0), 0.0)
-        b1 = np.where(ok, z > -BQ_SIGMAS, q > index.means).astype(np.int64)
-        b2 = np.where(ok, z >= BQ_SIGMAS, False).astype(np.int64)
-        if index.encoding == "two_bits":
-            qbits = np.concatenate([b1, b2])
-        else:  # one_and_half_bits
-            pad = np.append(b2, 0) if len(b2) % 2 else b2
-            qbits = np.concatenate([b1, pad.reshape(-1, 2).max(axis=1)])
+    qbits = bq_query_bits(index, query_vector)
     dim = len(qbits)
     qwords = []
     for w in range((dim + 63) // 64):

@@ -1230,16 +1230,25 @@ def _batch_quant_indexed(planner: "QueryPlanner",
                          requests: list[dict[str, Any]],
                          outs: list) -> None:
     """Batch-side quantized grouping: unfiltered single-leaf dense
-    nearest requests on a column with a registered SCALAR or PRODUCT
-    QuantHandle are answered by ONE coarse Arrow scan over the codes (all
-    queries score per batch via the block matmul) plus ONE pair-scored
-    rescore over the union of candidate floats — value-identical per
-    request to planning each alone (per-request oversampling, rescore,
+    nearest requests on a quantized column — ALL FOUR kinds since r11 —
+    are answered by ONE coarse Arrow scan over the codes (all queries
+    score per batch via the block matmul) plus ONE pair-scored rescore
+    over the union of candidate floats — value-identical per request to
+    planning each alone (per-request oversampling, rescore,
     score_threshold, offset and limit applied after the shared scans).
-    The quantized twin of :func:`_batch_sparse_indexed`; the reference's
-    batch dispatch walks quantized storage once for the whole batch the
-    same way. Requests with filters / exact / shard routing / ignore /
-    an IVF-registered column keep their own plan."""
+    Per kind the shared scan decodes to the exact quantity the
+    single-request coarse stage ranks: scalar decodes the int8 affine,
+    product reconstructs x_hat (ADC decomposes exactly), binary unpacks
+    the words to ±1 so the dot IS ``ext_dim - 2*hamming`` (same ranking
+    as the XOR scan, same rescore=False score), turbo rebuilds the
+    renormed rotated reconstruction (dot/cosine/euclid score in rotated
+    space — the rotation is orthonormal — manhattan un-rotates, the
+    reference's L1 slow path). The quantized twin of
+    :func:`_batch_sparse_indexed`; the reference's batch dispatch walks
+    quantized storage once for the whole batch the same way
+    (lib/segment/src/vector_storage/quantized/). Requests with filters /
+    exact / shard routing / ignore / an IVF-registered column keep their
+    own plan."""
     import numpy as np
 
     groups: dict[str, list[int]] = {}
@@ -1258,8 +1267,7 @@ def _batch_quant_indexed(planner: "QueryPlanner",
         vc = req.get("using", planner.default_vec_col)
         qh = planner.quant_indexes.get(vc)
         qp = (req.get("params") or {}).get("quantization") or {}
-        if qh is None or qh.kind not in ("scalar", "product") \
-                or qp.get("ignore") \
+        if qh is None or qp.get("ignore") \
                 or planner._ivf_for(vc) is not None \
                 or planner._leaf_exact(req):
             continue
@@ -1289,6 +1297,12 @@ def _batch_quant_indexed(planner: "QueryPlanner",
         )
 
         idx = qh.index
+        Qraw = np.asarray(
+            [[float(x) for x in requests[i]["query"]["nearest"]]
+             for i in idxs])
+        Q = Qraw
+        scan_src = qh.codes_frame()
+        scan_metric = metric
         if qh.kind == "scalar":
             lo, scale = idx.lo, (idx.hi - idx.lo) / 255.0
 
@@ -1302,7 +1316,7 @@ def _batch_quant_indexed(planner: "QueryPlanner",
                 return (M + 128.0) * scale + lo
 
             code_col = "__sq"
-        else:
+        elif qh.kind == "product":
             # PQ: the ADC LUT sum IS the metric against the reconstructed
             # vector (per-subspace codebooks are orthogonal coordinate
             # blocks: dot/cosine/euclid/manhattan all decompose exactly),
@@ -1323,12 +1337,88 @@ def _batch_quant_indexed(planner: "QueryPlanner",
                     axis=1)
 
             code_col = "__pq"
+        elif qh.kind == "binary":
+            # BQ: unpack the words to ±1 rows; dot(±1 doc, ±1 query) =
+            # ext_dim - 2*hamming, so ranking by dot DESC (ties id asc)
+            # is bq_search's (hamming ASC, id asc) coarse order exactly,
+            # and the dot itself is the rescore=False output scale.
+            from qdrant_spark.operators.quantize import (
+                _bq_ext_dim, bq_query_bits,
+            )
 
-        Q = np.asarray(
-            [[float(x) for x in requests[i]["query"]["nearest"]]
-             for i in idxs])
+            ext_dim = _bq_ext_dim(len(idx.means), idx.encoding)
+            Q = np.asarray([bq_query_bits(idx, q) for q in Qraw],
+                           dtype=np.float64) * 2.0 - 1.0
+            scan_metric = "dot"
+
+            def dec(vec, n, ext_dim=ext_dim):
+                import pyarrow as pa
+
+                if isinstance(vec, pa.ChunkedArray):
+                    vec = vec.combine_chunks()
+                W = vec.flatten().to_numpy(zero_copy_only=False) \
+                    .astype(np.int64).reshape(n, -1).view(np.uint64)
+                bits = np.empty((n, ext_dim), dtype=np.float64)
+                col = 0
+                for w in range(W.shape[1]):
+                    nb = min(64, ext_dim - col)
+                    sh = np.arange(nb - 1, -1, -1, dtype=np.uint64)
+                    bits[:, col:col + nb] = \
+                        ((W[:, w:w + 1] >> sh) & np.uint64(1))
+                    col += nb
+                return bits * 2.0 - 1.0
+
+            code_col = "__bq"
+        else:
+            # TQ: rebuild the renormed rotated reconstruction x_hat =
+            # (centroids[codes]*scale + shift) * (l2/cn); its norm is l2
+            # and the rotation is orthonormal, so dot/cosine/euclid of
+            # (x_hat, rotated query) equal tq_search's renorm formulas
+            # exactly; manhattan un-rotates and scores against the raw
+            # query (the reference's L1 slow path, mod.rs:110-112).
+            from qdrant_spark.operators.quantize import (
+                _TQ_CENTROIDS, _tq_rotation_params, _tq_preprocess,
+                _tq_unpack, _tq_unrotate,
+            )
+
+            bpc = idx.bits_per_code
+            cents = _TQ_CENTROIDS[bpc]
+            pd_, dim_, seed_ = idx.padded_dim, idx.dim, idx.seed
+            params = _tq_rotation_params(pd_, seed_)
+            ecs, ecsh = idx.ec_scale, idx.ec_shift
+            if metric != "manhattan":
+                Qpad = np.zeros((len(Qraw), pd_), dtype=np.float64)
+                Qpad[:, :dim_] = Qraw
+                from qdrant_spark.operators.quantize import _tq_rotate
+
+                Q = _tq_rotate(Qpad, params)
+
+            def dec(vec, n, cents=cents, params=params):
+                import pyarrow as pa
+
+                if isinstance(vec, pa.ChunkedArray):
+                    vec = vec.combine_chunks()
+                raw = np.frombuffer(
+                    b"".join(vec.field("__tq").to_pylist()),
+                    dtype=np.uint8).reshape(n, -1)
+                l2 = vec.field("__tq_l2").to_numpy(zero_copy_only=False)
+                cn = np.maximum(
+                    vec.field("__tq_cn").to_numpy(zero_copy_only=False),
+                    1e-12)
+                C = cents[_tq_unpack(raw, bpc, pd_)]
+                if ecs is not None:
+                    C = C * ecs + ecsh
+                X = C * (l2 / cn)[:, None]
+                if metric == "manhattan":
+                    return _tq_unrotate(X, params)[:, :dim_]
+                return X
+
+            scan_src = scan_src.withColumn(
+                "__tqz", F.struct("__tq", "__tq_l2", "__tq_cn"))
+            code_col = "__tqz"
+
         coarse = _matmul_knn(
-            idx.codes, None, metric=metric, k=max(cs.values()),
+            scan_src, None, metric=scan_metric, k=max(cs.values()),
             vec_col=code_col, id_col=idx.id_col, qid_col="__qid",
             qvec_col="__qvec", score_threshold=None,
             q_data=(idxs, Q), vec_decode=dec,
@@ -1355,7 +1445,12 @@ def _batch_quant_indexed(planner: "QueryPlanner",
             hits = hits[:ks[i]]
             thr = req.get("score_threshold")
             if thr is not None:
-                keep = (lambda s: s > float(thr)) if larger \
+                # binary coarse scores (rescore=False) are the ±1-dot
+                # estimate — larger-better whatever the metric, same
+                # direction rule as the single-request leaf
+                lg = (True if not rescores[i] and qh.kind == "binary"
+                      else larger)
+                keep = (lambda s: s > float(thr)) if lg \
                     else (lambda s: s < float(thr))
                 hits = [h for h in hits if keep(h[1])]
             off = int(req.get("offset", 0))
@@ -1369,7 +1464,7 @@ def _batch_quant_indexed(planner: "QueryPlanner",
                  for h in by_req[i]],
                 T.StructType([T.StructField("__qid", T.LongType()),
                               T.StructField(idx.id_col, id_type)]))
-            full = idx.full if idx.full is not None else idx.codes
+            full = idx.full if idx.full is not None else qh.codes_frame()
             qdf = spark.createDataFrame(
                 [(int(i), [float(x) for x in requests[i]["query"]["nearest"]])
                  for i in need_rescore],
