@@ -380,3 +380,57 @@ def test_ensure_maxsim_reload(spark, embeddings, tmp_path):
         grown, str(tmp_path / "op"), n_clusters=4, mv_col="mv",
         id_col="vec_id", indexing_threshold=0)
     assert act == "rebuilt"
+
+
+def test_client_declared_multivector_coarse_config(spark, embeddings):
+    """Coarse-index params declared at collection level (inside
+    multivector_config or an "index" block — the per-vector hnsw_config
+    analogue) are read by a bare ensure_vector_index, symmetric with how
+    quantization_config is picked up (r10 VERDICT #4): create -> ensure
+    -> query_points routes pruned with the declared n_clusters / nprobe
+    / candidates / full_scan_threshold."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    rows = embeddings.limit(150).collect()
+    dim = len(rows[0]["embedding"])
+    td = dim // 8
+    c = QdrantSparkClient(spark)
+    c.create_collection("mvdecl", vectors_config={
+        "late": {"size": td, "distance": "Dot",
+                 "multivector_config": {"comparator": "max_sim",
+                                        "n_clusters": 8, "nprobe": 8,
+                                        "full_scan_threshold": 0}}})
+    c.upsert("mvdecl", [
+        {"id": int(r["vec_id"]),
+         "vector": {"late": [[float(x) for x in
+                              r["embedding"][i * td:(i + 1) * td]]
+                             for i in range(8)]}} for r in rows])
+    assert c.ensure_vector_index("mvdecl", using="late",
+                                 indexing_threshold=0) == "built"
+    route = c._coll("mvdecl").mv_idx["late"]
+    assert len(route.index.centroids) == 8
+    assert route.nprobe == 8 and route.full_scan_threshold == 0
+    q = [[float(x) for x in rows[4]["embedding"][i * td:(i + 1) * td]]
+         for i in range(8)]
+    routed = c.query_points("mvdecl", query=q, using="late", limit=5,
+                            with_payload=False)
+    exact = c.query_points("mvdecl", query=q, using="late", limit=5,
+                           with_payload=False,
+                           search_params={"exact": True})
+    # full probe, threshold 0 -> pruned route, equal values
+    assert [(p.id, round(p.score, 9)) for p in routed.points] == \
+        [(p.id, round(p.score, 9)) for p in exact.points]
+    # the "index" block spells the same thing for explicit-config fans
+    c.create_collection("mvdecl2", vectors_config={
+        "late": {"size": td, "distance": "Dot",
+                 "multivector_config": {"comparator": "max_sim"},
+                 "index": {"n_clusters": 4, "nprobe": 2}}})
+    c.upsert("mvdecl2", [
+        {"id": int(r["vec_id"]),
+         "vector": {"late": [[float(x) for x in
+                              r["embedding"][i * td:(i + 1) * td]]
+                             for i in range(8)]}} for r in rows[:60]])
+    assert c.ensure_vector_index("mvdecl2", using="late",
+                                 indexing_threshold=0) == "built"
+    r2 = c._coll("mvdecl2").mv_idx["late"]
+    assert len(r2.index.centroids) == 4 and r2.nprobe == 2
