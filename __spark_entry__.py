@@ -3663,11 +3663,102 @@ def entry(spark: SparkSession) -> DataFrame:
 # drops to the back). Keep rotating each round so no entry's driver row
 # goes more than ~2 rounds stale.
 _GATE_PRIORITY = [
-    # round-10 head: the 4 entries new this round (first-ever driver
-    # value check), then the 29-entry r07 cohort (three rounds stale
-    # after r9 — r9 VERDICT item 3), then the r08 cohort ordered oldest
-    # first to fill the 50-slot gate; the r09-greened entries go last.
-    # After r10 no entry's latest driver row should be older than r08.
+    # round-11 head: the 2 entries new this round (first-ever driver
+    # value check), then the 35-entry r08 cohort (stale since r08 —
+    # r10 VERDICT item 4), filling the 50-slot gate with the 13 oldest
+    # r09 entries. After r11 no entry's latest driver row should be
+    # older than r09; the r10-greened cohort goes last.
+    "quantized_ivf_planned",
+    "quantized_batch_kinds",
+    # --- r08 cohort (35) ---
+    "filter_nested",
+    "filter_jsonpath_array",
+    "filter_prefix",
+    "filter_text_any",
+    "filter_phrase_indexed",
+    "query_by_id",
+    "recommend_multi_ids",
+    "knn_acorn_filtered",
+    "dedup_simhash",
+    "dedup_components",
+    "dedup_resolve",
+    "dedup_embedding",
+    "ann_ivf_batch",
+    "quantized_sq_rescore",
+    "ann_ivf_full_probe",
+    "ann_ivf_pq_batch",
+    "ann_ivf_pq_rescore",
+    "c4_line_filter",
+    "context",
+    "count_filtered",
+    "delete_by_filter",
+    "discover",
+    "distance_matrix",
+    "dsir_weights",
+    "facet_estimate",
+    "facet_event_type",
+    "facet_lang",
+    "filter_dsl_orders",
+    "filter_min_should",
+    "filter_text_all",
+    "formula_rescore",
+    "fusion_dbsf",
+    "fusion_rrf",
+    "geo_indexed_radius",
+    "group_by",
+    # --- oldest r09 entries filling the gate to 50 ---
+    "sparse_knn_planned",
+    "sparse_knn_batch_indexed",
+    "group_by_lookup",
+    "maxsim",
+    "maxsim_knn",
+    "recommend_best_score",
+    "recommend_sum_scores",
+    "relevance_feedback",
+    "retrieve",
+    "scroll_keyset",
+    "scroll_order_by",
+    "scroll_random",
+    "set_payload",
+    # --- below the 50-slot line: remaining r09-greened entries ---
+    "sync",
+    "universal_hybrid",
+    "universal_hybrid_sparse",
+    "universal_rescore",
+    "upsert",
+    "upsert_conditional",
+    "update_vectors",
+    "knn_uint8",
+    "quantized_pq_rescore",
+    "quantized_tq_rescore",
+    "lm_score",
+    "lm_buckets",
+    "mixture_sample",
+    "query_batch",
+    "repetition_signals",
+    "unique_values",
+    "knn_cosine",
+    "knn_dot",
+    "knn_euclid",
+    "knn_manhattan",
+    "knn_filtered",
+    "knn_batch",
+    "knn_batch_matmul",
+    "knn_batch_partial",
+    "sparse_knn",
+    "sparse_knn_batch",
+    "sparse_idf_knn",
+    "sparse_idf_corpus",
+    "bm25_search",
+    "recommend_avg_vector",
+    "similarity_join",
+    "distance_matrix_offsets",
+    "field_index_stats",
+    "shard_routed_knn",
+    "shard_fallback_route",
+    "filter_text_stemmed",
+    "filter_text_stemmed_de",
+    # --- r10-greened cohort (freshest driver rows) goes last ---
     "maxsim_knn_indexed",
     "maxsim_planned",
     "quantized_planned",
@@ -3718,91 +3809,6 @@ _GATE_PRIORITY = [
     "filter_is_null",
     "filter_has_id",
     "filter_values_count",
-    "filter_nested",
-    "filter_jsonpath_array",
-    "filter_prefix",
-    "filter_text_any",
-    "filter_phrase_indexed",
-    "query_by_id",
-    "recommend_multi_ids",
-    "knn_acorn_filtered",
-    "dedup_simhash",
-    "dedup_components",
-    "dedup_resolve",
-    "dedup_embedding",
-    "ann_ivf_batch",
-    "quantized_sq_rescore",
-    "ann_ivf_full_probe",
-    "ann_ivf_pq_batch",
-    "ann_ivf_pq_rescore",
-    "c4_line_filter",
-    "context",
-    "count_filtered",
-    "delete_by_filter",
-    "discover",
-    "distance_matrix",
-    "dsir_weights",
-    "facet_estimate",
-    "facet_event_type",
-    "facet_lang",
-    "filter_dsl_orders",
-    "filter_min_should",
-    "filter_text_all",
-    "formula_rescore",
-    "fusion_dbsf",
-    "fusion_rrf",
-    "geo_indexed_radius",
-    "group_by",
-    "sparse_knn_planned",
-    "sparse_knn_batch_indexed",
-    "group_by_lookup",
-    "maxsim",
-    "maxsim_knn",
-    "recommend_best_score",
-    "recommend_sum_scores",
-    "relevance_feedback",
-    "retrieve",
-    "scroll_keyset",
-    "scroll_order_by",
-    "scroll_random",
-    "set_payload",
-    "sync",
-    "universal_hybrid",
-    "universal_hybrid_sparse",
-    "universal_rescore",
-    "upsert",
-    "upsert_conditional",
-    "update_vectors",
-    "knn_uint8",
-    "quantized_pq_rescore",
-    "quantized_tq_rescore",
-    "lm_score",
-    "lm_buckets",
-    "mixture_sample",
-    "query_batch",
-    "repetition_signals",
-    "unique_values",
-    "knn_cosine",
-    "knn_dot",
-    "knn_euclid",
-    "knn_manhattan",
-    "knn_filtered",
-    "knn_batch",
-    "knn_batch_matmul",
-    "knn_batch_partial",
-    "sparse_knn",
-    "sparse_knn_batch",
-    "sparse_idf_knn",
-    "sparse_idf_corpus",
-    "bm25_search",
-    "recommend_avg_vector",
-    "similarity_join",
-    "distance_matrix_offsets",
-    "field_index_stats",
-    "shard_routed_knn",
-    "shard_fallback_route",
-    "filter_text_stemmed",
-    "filter_text_stemmed_de",
 ]
 
 
