@@ -2876,6 +2876,69 @@ SELECT qid, vec_id, round(score, 6) AS score FROM s WHERE rn <= 10
 """
 
 
+def _q_maxsim_sq(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantized multivector storage (r11): the coarse MaxSim scan reads
+    int8 token codes (1 B/dim; shared per-dimension clip bounds fitted
+    on a token sample) and only the oversampled candidate docs touch the
+    full-precision tokens — the reference quantizes multivector segments
+    with the same QuantizationConfig machinery as dense ones
+    (quantized_vectors.rs is vector-kind-agnostic; its HNSW reads codes
+    and rescores originals). Ample oversampling makes the rescored
+    result equal the exact MaxSim scan, sharing its oracle."""
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_sq, maxsim_knn_sq,
+    )
+
+    emb = _emb(spark, sf)
+    q = _vecs(spark, sf, [0])[0]
+    q_mv = [q[i * 8:(i + 1) * 8] for i in range(8)]
+    d_mv = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.slice(F.col("embedding").cast("array<double>"), i * 8 + 1, 8),
+    )
+    pts = emb.select("vec_id", d_mv.alias("mv"))
+    idx = build_maxsim_sq(pts, mv_col="mv", id_col="vec_id")
+    out = maxsim_knn_sq(idx, q_mv, k=10, oversampling=8.0, metric="dot")
+    return _r6(out.select("vec_id", "score"), "score")
+
+
+def _q_maxsim_sq_planned(spark: SparkSession, sf: str) -> DataFrame:
+    """Multivector quantization through the full client stack (r11):
+    quantization_config declared ON the multivector (the reference's
+    quantized_vectors.rs handles every vector kind with the same config)
+    + ensure_vector_index builds the int8 token storage, and
+    query_points runs the coarse-over-codes + exact-rescore MaxSim plan.
+    Ample oversampling makes the answer equal the exact MaxSim scan over
+    the 500-row slice (same oracle as maxsim_planned)."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    rows = _emb(spark, sf).orderBy("vec_id").limit(500).collect()
+    dim = len(rows[0]["embedding"])
+    td = dim // 8
+    c = QdrantSparkClient(spark)
+    c.create_collection("entry_mv_sq", vectors_config={
+        "late": {"size": td, "distance": "Dot",
+                 "multivector_config": {"comparator": "max_sim"},
+                 "quantization_config": {"scalar": {"quantile": 0.99}}}})
+    c.upsert("entry_mv_sq", [
+        {"id": int(r["vec_id"]),
+         "vector": {"late": [
+             [float(x) for x in r["embedding"][i * td:(i + 1) * td]]
+             for i in range(8)]}}
+        for r in rows])
+    assert c.ensure_vector_index(
+        "entry_mv_sq", using="late", indexing_threshold=0) == "built"
+    q = [[float(x) for x in rows[0]["embedding"][i * td:(i + 1) * td]]
+         for i in range(8)]
+    res = c.query_points(
+        "entry_mv_sq", query=q, using="late", limit=10,
+        with_payload=False,
+        search_params={"quantization": {"oversampling": 10.0}})
+    return spark.createDataFrame(
+        [(p.id, round(p.score, 6)) for p in res.points],
+        "vec_id long, score double")
+
+
 def _q_maxsim_planned(spark: SparkSession, sf: str) -> DataFrame:
     """Declared multivector index through the full client stack (r10):
     ensure_vector_index on a multivector builds + registers the
@@ -3670,6 +3733,8 @@ _GATE_PRIORITY = [
     # older than r09; the r10-greened cohort goes last.
     "quantized_ivf_planned",
     "quantized_batch_kinds",
+    "maxsim_sq",
+    "maxsim_sq_planned",
     # --- r08 cohort (35) ---
     "filter_nested",
     "filter_jsonpath_array",
@@ -3870,6 +3935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_knn": _q_maxsim_knn,
         "maxsim_knn_indexed": _q_maxsim_knn_indexed,
         "maxsim_planned": _q_maxsim_planned,
+        "maxsim_sq": _q_maxsim_sq,
+        "maxsim_sq_planned": _q_maxsim_sq_planned,
         "scroll_keyset": _q_scroll_docs,
         "scroll_order_by": _q_scroll_events,
         "count_filtered": _q_count_events,
@@ -4015,7 +4082,9 @@ def oracle_sql() -> dict[str, str]:
         "maxsim": _MAXSIM_SQL,
         "maxsim_knn": _MAXSIM_SQL,
         "maxsim_knn_indexed": _MAXSIM_SQL,
+        "maxsim_sq": _MAXSIM_SQL,
         "maxsim_planned": _MAXSIM_PLANNED_SQL,
+        "maxsim_sq_planned": _MAXSIM_PLANNED_SQL,
         "scroll_keyset": """
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE lang = 'en' AND doc_id >= 100 ORDER BY doc_id LIMIT 20

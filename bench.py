@@ -755,6 +755,24 @@ def main() -> None:
 
     measure("maxsim_planned_xxl_disk", q_maxsim_planned_xxl_disk)
 
+    # r11: quantized multivector STORAGE — the coarse MaxSim scan reads
+    # int8 token codes (48 B/doc-token vs 384 of f64 = 8x narrower here;
+    # 4x vs f32 storage) and only the oversampled candidates touch the
+    # float tokens. Contrast maxsim_xxl_disk (same corpus, full floats).
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_sq, maxsim_knn_sq, persist_maxsim_sq,
+    )
+
+    msq_xxl = persist_maxsim_sq(
+        build_maxsim_sq(mv_xxl, mv_col="mv", id_col="vec_id"),
+        f"{work}/maxsim_sq_xxl")
+
+    def q_maxsim_sq_xxl_disk():
+        return maxsim_knn_sq(msq_xxl, q0_mv, k=10, oversampling=4.0,
+                             metric="dot").collect()
+
+    measure("maxsim_sq_xxl_disk", q_maxsim_sq_xxl_disk)
+
     # the remaining RAM-resident cache is only used by group-3 timed lines
     pq_ram_xxl.unpersist()
 
@@ -806,6 +824,7 @@ def main() -> None:
     # pruned-MaxSim recall at the timed setting, vs the exact MaxSim scan
     # (its own ground truth — dense exact10 ranks a different score)
     ms_hits = 0
+    msq_hits = 0
     for qi in range(4):
         qmv = [qvecs[qi][i * _tok_d:(i + 1) * _tok_d] for i in range(8)]
         ms_exact = {r["vec_id"] for r in maxsim_knn(
@@ -815,7 +834,12 @@ def main() -> None:
             msivf_xxl, qmv, k=10, nprobe=4, metric="dot",
             candidates=4096).collect()}
         ms_hits += len(ms_exact & ms_got)
+        msq_got = {r["vec_id"] for r in maxsim_knn_sq(
+            msq_xxl, qmv, k=10, oversampling=4.0,
+            metric="dot").collect()}
+        msq_hits += len(ms_exact & msq_got)
     recall["maxsim_ivf_xxl_disk"] = round(ms_hits / 40.0, 3)
+    recall["maxsim_sq_xxl_disk"] = round(msq_hits / 40.0, 3)
     recall_violations = {
         k: v for k, v in recall.items()
         if not k.endswith("_untimed") and v < RECALL_FLOOR

@@ -274,6 +274,9 @@ class _Collection:
     #: per-multivector-name token-level coarse indexes
     #: (multivec.MaxSimRoute); invalidated like `ivf`
     mv_idx: dict[str, Any] = field(default_factory=dict)
+    #: per-multivector-name quantized token storage (multivec.MaxSimSq)
+    #: built from a declared quantization_config; invalidated like `ivf`
+    mv_sq: dict[str, Any] = field(default_factory=dict)
     #: payload columns stored before any batch supplied a typed value
     #: (null-only / empty-list fields finalized to string); a later typed
     #: batch re-casts them instead of conflicting
@@ -381,6 +384,7 @@ class QdrantSparkClient:
         col.quant.clear()
         col.quant_ivf.clear()
         col.mv_idx.clear()
+        col.mv_sq.clear()
         # stale op_counter generations would otherwise pile up forever on
         # a long-lived client interleaving mutations with Modifier::Idf
         # queries (r9 ADVICE): evict this collection's old keys
@@ -443,11 +447,16 @@ class QdrantSparkClient:
                 kind = "multi" if mvc else "dense"
                 qc = c.get("quantization_config")
                 own = qc is not None
-                if qc is not None and kind != "dense":
-                    raise ValueError(
-                        "quantization_config needs a dense vector")
                 if qc is None and kind == "dense":
                     qc = quantization_config  # collection-level default
+                if qc is not None and kind == "multi" \
+                        and quant_kind(qc) != "scalar":
+                    # the reference's quantized_vectors.rs is
+                    # vector-kind-agnostic; the engine supports the
+                    # scalar kind for multivector token storage
+                    raise ValueError(
+                        "multivector quantization supports the scalar "
+                        "kind only")
                 if qc is not None:
                     quant_kind(qc)
                 # declared coarse-index params (per-vector hnsw_config
@@ -1469,6 +1478,8 @@ class QdrantSparkClient:
             if kk in declared and kk not in _ignored:
                 _ignored[kk] = declared[kk]
         if vc is not None and vc.kind == "multi":
+            if vc.quantization is not None:
+                return self._ensure_maxsim_sq_index(col, using, vc, thr)
             return self._ensure_maxsim_index(col, using, thr,
                                              n_clusters=n_clusters or 16,
                                              **_ignored)
@@ -1629,6 +1640,39 @@ class QdrantSparkClient:
                 full_scan_threshold=full_scan_threshold, n_docs=n)
         return action
 
+    def _ensure_maxsim_sq_index(self, col: _Collection, using: str,
+                                vc: "VectorConfig", thr: int) -> str:
+        """Quantized multivector storage from a declared
+        ``quantization_config`` (scalar kind; quantized_vectors.rs treats
+        multivectors like any other kind): int8 token codes for the
+        coarse MaxSim scan, float tokens only for the oversampled
+        rescore. Meta-matched ensure with a storage root; per-request
+        ``SearchParams.quantization`` tunes/ignores."""
+        if using in col.mv_sq:
+            return "exists"
+        if self.root is not None:
+            from qdrant_spark.plans.maintenance import ensure_maxsim_sq_index
+
+            path = os.path.join(self.root, col.name,
+                                f"maxsim_sq_index_{using or 'default'}")
+            idx, action = ensure_maxsim_sq_index(
+                col.df, path, vc.quantization,
+                mv_col=col.vec_col(using), id_col="id",
+                indexing_threshold=thr)
+        else:
+            if col.df.count() < thr:
+                return "skipped"
+            from qdrant_spark.operators.multivec import build_maxsim_sq
+
+            cfg = vc.quantization["scalar"] or {}
+            idx, action = build_maxsim_sq(
+                col.df, mv_col=col.vec_col(using), id_col="id",
+                quantile=float(cfg.get("quantile", 0.99)),
+                oversampling=float(cfg.get("oversampling", 4.0))), "built"
+        if idx is not None:
+            col.mv_sq[using] = idx
+        return action
+
     def _ensure_sparse_index(self, col: _Collection, using: str,
                              thr: int) -> str:
         """Sparse analogue of the dense ensure: one explode pass over the
@@ -1678,6 +1722,8 @@ class QdrantSparkClient:
                             for n, rt in col.mv_idx.items()},
             quant_ivf_indexes={col.vec_col(n): qih
                                for n, qih in col.quant_ivf.items()},
+            maxsim_sq_indexes={col.vec_col(n): h
+                               for n, h in col.mv_sq.items()},
         )
 
     def _hydrate(self, col: _Collection, scored: DataFrame, *,
@@ -1802,6 +1848,7 @@ class QdrantSparkClient:
             planner.quant_indexes = {}
             planner.maxsim_indexes = {}
             planner.quant_ivf_indexes = {}
+            planner.maxsim_sq_indexes = {}
         scored = planner.plan(req)
         out = self._hydrate(col, scored, with_payload=with_payload,
                             with_vectors=with_vectors,
@@ -1854,6 +1901,7 @@ class QdrantSparkClient:
             planner.quant_indexes = {}
             planner.maxsim_indexes = {}
             planner.quant_ivf_indexes = {}
+            planner.maxsim_sq_indexes = {}
         lookup = lookup_cols = None
         if with_lookup is not None:
             if isinstance(with_lookup, str):
@@ -1934,7 +1982,10 @@ class QdrantSparkClient:
                                              for n, rt in col.mv_idx.items()},
                              quant_ivf_indexes={col.vec_col(n): qih
                                                 for n, qih
-                                                in col.quant_ivf.items()})
+                                                in col.quant_ivf.items()},
+                             maxsim_sq_indexes={col.vec_col(n): h
+                                                for n, h
+                                                in col.mv_sq.items()})
         by_idx: dict[int, list] = {}
         for r in tagged.collect():
             by_idx.setdefault(r["request_idx"], []).append(r)

@@ -275,3 +275,163 @@ def maxsim_knn_ivf(
     cand = index.points.join(cand_ids, index.id_col, "left_semi")
     return maxsim_knn(cand, query_multivector, k=k, metric=metric,
                       mv_col=index.mv_col, id_col=index.id_col)
+
+
+# ---------------------------------------------------------------------------
+# Quantized multivector storage: SQ-coded tokens + exact MaxSim rescore
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MaxSimSq:
+    """Scalar-quantized multivector storage — the reference quantizes
+    multivector segments with the same QuantizationConfig machinery as
+    dense ones (quantized_vectors.rs is vector-kind-agnostic; the HNSW
+    searches quantized codes and rescores originals). ``codes`` holds
+    ``__msq`` (array<array<tinyint>>): each token int8-affine-encoded
+    with shared per-dimension clip bounds — the coarse MaxSim scan reads
+    1 B/dim instead of 4, and only the oversampled candidate docs touch
+    the full-precision tokens."""
+
+    codes: DataFrame       # (id, __msq)
+    lo: np.ndarray
+    hi: np.ndarray
+    points: DataFrame      # full-precision mv corpus for the rescore
+    mv_col: str
+    id_col: str
+    #: default oversampling when neither the declared config nor the
+    #: per-request SearchParams.quantization sets one (same posture as
+    #: quantize._QUANT_OVERSAMPLING["scalar"])
+    oversampling: float = 4.0
+
+
+def build_maxsim_sq(
+    points: DataFrame,
+    *,
+    mv_col: str = "mv",
+    id_col: str = "id",
+    quantile: float = 0.99,
+    sample_tokens: int = 100_000,
+    seed: int = 7,
+    oversampling: float = 4.0,
+) -> MaxSimSq:
+    """Fit per-dimension clip bounds on a seeded TOKEN sample (same
+    quantile scheme as quantize.build_sq), then encode every token with
+    one codegen'd nested transform — no python workers, no training
+    state beyond (lo, hi)."""
+    from qdrant_spark.operators.quantize import _sq_code_expr
+
+    base = points.filter(
+        F.col(mv_col).isNotNull() & (F.size(mv_col) > 0))
+    tok = base.select(F.explode(mv_col).alias("__tok"))
+    n = tok.count()
+    if n == 0:
+        raise ValueError("empty multivector corpus")
+    frac = min(1.0, float(sample_tokens) / n)
+    sample = np.array(
+        [list(r[0]) for r in tok.sample(frac, seed=seed).collect()],
+        dtype=np.float64)
+    if sample.size == 0:
+        sample = np.array(
+            [list(r[0]) for r in tok.limit(10_000).collect()],
+            dtype=np.float64)
+    lo = np.quantile(sample, 1.0 - quantile, axis=0)
+    hi = np.quantile(sample, quantile, axis=0)
+    hi = np.where(hi - lo < 1e-12, lo + 1e-12, hi)
+    codes = base.select(
+        id_col,
+        F.transform(F.col(mv_col),
+                    lambda t: _sq_code_expr(lo, hi, t)).alias("__msq"))
+    return MaxSimSq(codes=codes, lo=lo, hi=hi, points=points,
+                    mv_col=mv_col, id_col=id_col,
+                    oversampling=float(oversampling))
+
+
+def persist_maxsim_sq(index: MaxSimSq, path: str) -> MaxSimSq:
+    """Materialize the narrow (id, __msq) table — the coarse scan then
+    reads 1 B/dim parquet (the multivector twin of quantize.persist_quant
+    split storage)."""
+    from dataclasses import replace
+
+    index.codes.write.mode("overwrite").parquet(path)
+    spark = index.codes.sparkSession
+    return replace(index, codes=spark.read.parquet(path))
+
+
+def maxsim_knn_sq(
+    index: MaxSimSq,
+    query_multivector: Sequence[Sequence[float]],
+    *,
+    k: int = 10,
+    oversampling: float = 4.0,
+    metric: str = "dot",
+    rescore: bool = True,
+) -> DataFrame:
+    """Two-stage MaxSim: coarse Arrow scan over the int8 token codes
+    (decode is one affine on the flat buffer, then the same one-BLAS-call
+    segment-max scoring as maxsim_knn) keeps ``ceil(k*oversampling)``
+    docs; the exact MaxSim rescore touches only those docs' float tokens
+    via a broadcast semi-join — QuantizationSearchParams semantics
+    applied to multivectors (the reference's quantized multivector
+    storage + raw rescore)."""
+    if metric not in ("dot", "cosine"):
+        raise ValueError("maxsim supports dot/cosine")
+    Qm = np.asarray([list(t) for t in query_multivector], dtype=np.float64)
+    if metric == "cosine":
+        nq = np.linalg.norm(Qm, axis=1, keepdims=True)
+        nq[nq == 0] = 1.0
+        Qm = Qm / nq
+    lo = index.lo
+    scale = (index.hi - index.lo) / 255.0
+    dim = len(lo)
+    sc = index.codes.sparkSession.sparkContext
+    bq = sc.broadcast((Qm, lo, scale))
+
+    sel = index.codes.select(index.id_col, "__msq")
+    id_col = index.id_col
+    out_schema = T.StructType([
+        T.StructField(id_col, sel.schema[id_col].dataType),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def score_batches(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        Q, lo_, scale_ = bq.value
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            mv = batch.column(1)
+            if isinstance(mv, pa.ChunkedArray):
+                mv = mv.combine_chunks()
+            inner = mv.flatten()                   # list<int8> per token
+            outer_off = mv.offsets.to_numpy(zero_copy_only=False)
+            tok_counts = np.diff(outer_off)
+            vals = inner.flatten().to_numpy(zero_copy_only=False)
+            Tm = vals.reshape(-1, dim).astype(np.float64)
+            Tm = (Tm + 128.0) * scale_ + lo_       # affine decode
+            if metric == "cosine":
+                norms = np.linalg.norm(Tm, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                Tm = Tm / norms
+            S = Tm @ Q.T
+            starts = outer_off[:-1] - outer_off[0]
+            assert (tok_counts > 0).all()  # empties filtered at build
+            M = np.maximum.reduceat(S, starts, axis=0)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids),
+                 pa.array(M.sum(axis=1), type=pa.float64())],
+                names=[id_col, "score"],
+            )
+
+    scored = sel.mapInArrow(score_batches, out_schema)
+    n_coarse = max(k, int(np.ceil(k * oversampling)))
+    coarse = scored.orderBy(*score_order(metric, id_col=id_col)) \
+        .limit(n_coarse)
+    if not rescore:
+        return coarse.limit(k)
+    cand_ids = F.broadcast(coarse.select(id_col))
+    cand = index.points.join(cand_ids, id_col, "left_semi")
+    return maxsim_knn(cand, query_multivector, k=k, metric=metric,
+                      mv_col=index.mv_col, id_col=id_col)

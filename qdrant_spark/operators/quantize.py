@@ -103,13 +103,15 @@ def build_sq(
     return SqIndex(codes=codes, lo=lo, hi=hi, vec_col=vec_col, id_col=id_col)
 
 
-def _sq_code_expr(lo: np.ndarray, hi: np.ndarray, vec_col: str):
+def _sq_code_expr(lo: np.ndarray, hi: np.ndarray, vec_col):
     """int8 code Column for FROZEN clip bounds — shared by the build pass
-    and the incremental encode of new rows (encode_quant)."""
+    and the incremental encode of new rows (encode_quant); accepts a
+    column name or a Column (multivec token encoding maps it over the
+    token arrays)."""
     lo_lit = F.lit(lo.tolist())
     scale_lit = F.lit((255.0 / (hi - lo)).tolist())
     return F.transform(
-        F.col(vec_col),
+        F.col(vec_col) if isinstance(vec_col, str) else vec_col,
         lambda v, i: F.least(
             F.lit(255.0),
             F.greatest(

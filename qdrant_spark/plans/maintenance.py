@@ -417,3 +417,91 @@ def ensure_maxsim_index(
         json.dump({**requested, "n_rows": n,
                    "centroids": idx.centroids.tolist()}, f)
     return idx, action
+
+
+# ---------------------------------------------------------------------------
+# Quantized multivector storage maintenance (the reference's
+# quantized_vectors.rs handles multivector segments with the same config
+# machinery and loads from segment meta)
+# ---------------------------------------------------------------------------
+
+_MSQMETA = "maxsim_sq_meta.json"
+_MSQDATA = "codes"
+_MSQPARAMS = "maxsim_sq_params.npz"
+
+
+def read_maxsim_sq_meta(path: str) -> dict[str, Any] | None:
+    try:
+        with open(os.path.join(path, _MSQMETA)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def load_maxsim_sq_index(points: DataFrame, path: str):
+    """Re-open persisted int8 token codes + clip bounds; ``points`` is
+    the full-precision multivector corpus for the exact rescore."""
+    from qdrant_spark.operators.multivec import MaxSimSq
+
+    meta = read_maxsim_sq_meta(path)
+    if meta is None:
+        raise FileNotFoundError(f"no maxsim-sq meta at {path}")
+    arrays = np.load(os.path.join(path, _MSQPARAMS), allow_pickle=False)
+    return MaxSimSq(
+        codes=points.sparkSession.read.parquet(os.path.join(path, _MSQDATA)),
+        lo=arrays["lo"], hi=arrays["hi"], points=points,
+        mv_col=meta["mv_col"], id_col=meta["id_col"],
+        oversampling=float(meta["oversampling"]))
+
+
+def ensure_maxsim_sq_index(
+    points: DataFrame,
+    path: str,
+    config: dict[str, Any],
+    *,
+    mv_col: str = "mv",
+    id_col: str = "id",
+    indexing_threshold: int = FULL_SCAN_THRESHOLD,
+    stale_fraction: float = 0.2,
+    total: int | None = None,
+):
+    """Idempotent quantized-multivector maintenance; skip/LOAD/REBUILD
+    contract of the other ensures. ``config`` is the declared
+    quantization_config — scalar only for multivectors here (the int8
+    affine encode maps cleanly over token arrays; PQ/BQ/TQ token codes
+    would need per-kind nested scorers — documented subset)."""
+    from qdrant_spark.operators.multivec import build_maxsim_sq
+    from qdrant_spark.operators.quantize import quant_kind
+
+    if quant_kind(config) != "scalar":
+        raise ValueError(
+            "multivector quantization supports the scalar kind only")
+    cfg = config["scalar"] or {}
+
+    n = points.count() if total is None else int(total)
+    if n < indexing_threshold:
+        return None, "skipped"
+
+    requested = {"config": config, "mv_col": mv_col, "id_col": id_col}
+    meta = read_maxsim_sq_meta(path)
+    action = "built"
+    if meta is not None:
+        stored = {k: meta.get(k) for k in requested}
+        if stored != requested:
+            action = "rebuilt"
+        elif abs(n - meta["n_rows"]) > stale_fraction * max(meta["n_rows"], 1):
+            action = "rebuilt"
+        else:
+            return load_maxsim_sq_index(points, path), "loaded"
+
+    idx = build_maxsim_sq(
+        points, mv_col=mv_col, id_col=id_col,
+        quantile=float(cfg.get("quantile", 0.99)),
+        oversampling=float(cfg.get("oversampling", 4.0)))
+    idx.codes.write.mode("overwrite").parquet(os.path.join(path, _MSQDATA))
+    os.makedirs(path, exist_ok=True)
+    np.savez(os.path.join(path, _MSQPARAMS), lo=idx.lo, hi=idx.hi)
+    with open(os.path.join(path, _MSQMETA), "w") as f:
+        json.dump({**requested, "oversampling": idx.oversampling,
+                   "n_rows": n}, f)
+    return load_maxsim_sq_index(points, path), action

@@ -98,7 +98,8 @@ class QueryPlanner:
                  ivf_indexes: dict[str, Any] | None = None,
                  quant_indexes: dict[str, Any] | None = None,
                  maxsim_indexes: dict[str, Any] | None = None,
-                 quant_ivf_indexes: dict[str, Any] | None = None):
+                 quant_ivf_indexes: dict[str, Any] | None = None,
+                 maxsim_sq_indexes: dict[str, Any] | None = None):
         self.points = points
         self.id_col = id_col
         self.default_vec_col = default_vec_col
@@ -182,6 +183,11 @@ class QueryPlanner:
         # either way dense `nearest` runs probe-clusters -> score-codes
         # -> exact-rescore, the reference's quantized-HNSW shape.
         self.quant_ivf_indexes = quant_ivf_indexes or {}
+        # quantized multivector storage (vec column name ->
+        # multivec.MaxSimSq): MaxSim leaves run coarse-over-int8-codes +
+        # exact rescore (quantized_vectors.rs treats multivectors like
+        # any other kind); per-request SearchParams.quantization applies.
+        self.maxsim_sq_indexes = maxsim_sq_indexes or {}
         self.index_stats = index_stats or {}
         # optional dispatch.ClusterFieldStats: per-cluster filter
         # histograms for the ACORN-analogue filtered probe selection
@@ -459,11 +465,12 @@ class QueryPlanner:
         if self._ivf_for(vec_col) is not None and not self._leaf_exact(req):
             return None
         qp = (req.get("params") or {}).get("quantization") or {}
-        if self.quant_indexes.get(vec_col) is not None \
+        if (self.quant_indexes.get(vec_col) is not None
+                or self.quant_ivf_indexes.get(vec_col) is not None) \
                 and not qp.get("ignore") and not self._leaf_exact(req):
-            # quant-routed leaf: fusing would bypass the declared
-            # coarse+rescore plan (and change VALUES for rescore=false
-            # requests, which return coarse scores)
+            # quant-routed leaf (plain or composed): fusing would bypass
+            # the declared coarse+rescore plan (and change VALUES for
+            # rescore=false requests, which return coarse scores)
             return None
         import json
 
@@ -830,12 +837,17 @@ class QueryPlanner:
 
                 from qdrant_spark.filters import apply_filter as _af
                 from qdrant_spark.operators.multivec import (
-                    maxsim_knn, maxsim_knn_ivf,
+                    maxsim_knn, maxsim_knn_ivf, maxsim_knn_sq,
                 )
 
+                mvq = (req.get("params") or {}).get("quantization") or {}
+                sqh = self.maxsim_sq_indexes.get(vec_col)
+                use_sq = (sqh is not None and flt is None
+                          and not pre_filtered and not mvq.get("ignore")
+                          and not self._leaf_exact(req))
                 route = self.maxsim_indexes.get(vec_col)
-                use_pruned = (route is not None and flt is None
-                              and not pre_filtered
+                use_pruned = (not use_sq and route is not None
+                              and flt is None and not pre_filtered
                               and not self._leaf_exact(req))
                 if use_pruned:
                     # exact-vs-pruned crossover (the MaxSim analogue of
@@ -855,7 +867,21 @@ class QueryPlanner:
                         if route.n_docs is None:
                             route.n_docs = route.index.points.count()
                         use_pruned = route.n_docs >= ms_thr
-                if use_pruned:
+                if use_sq:
+                    # declared multivector quantization: the coarse
+                    # MaxSim scan reads int8 token codes, the exact
+                    # rescore touches only the oversampled candidates'
+                    # float tokens (quantized_vectors.rs is
+                    # vector-kind-agnostic; SearchParams.quantization
+                    # semantics apply as for dense)
+                    self.last_plan_info["maxsim_sq_leaves"] = \
+                        self.last_plan_info.get("maxsim_sq_leaves", 0) + 1
+                    out = maxsim_knn_sq(
+                        sqh, target, k=limit + offset, metric=metric,
+                        oversampling=float(mvq.get("oversampling")
+                                           or sqh.oversampling),
+                        rescore=mvq.get("rescore") is not False)
+                elif use_pruned:
                     # registered token-level coarse index: probe per
                     # query token, exact MaxSim over candidates only
                     self.last_plan_info["maxsim_index_leaves"] = \
@@ -880,11 +906,17 @@ class QueryPlanner:
                            .filter(F.col("__rn") > offset).drop("__rn"))
                 return out.select(self.id_col, "score")
             ivf = self._ivf_for(vec_col)
+            qih_reg = self.quant_ivf_indexes.get(vec_col)
             qh = self.quant_indexes.get(vec_col)
+            if qh is None and qih_reg is not None:
+                # composed-only registration still carries the coarse
+                # handle — ignore/exact fallbacks work the same
+                qh = qih_reg.handle
             qp = (req.get("params") or {}).get("quantization") or {}
             quant_ok = (qh is not None and not qp.get("ignore")
                         and not pre_filtered and not self._leaf_exact(req))
-            if quant_ok and ivf is not None and flt is None:
+            if quant_ok and (qih_reg is not None or ivf is not None) \
+                    and flt is None:
                 # BOTH a cluster structure and quantized codes are
                 # declared for this column: compose them — probe
                 # clusters, score codes, exact-rescore floats — the
@@ -897,7 +929,8 @@ class QueryPlanner:
                 from qdrant_spark.operators.knn import _threshold_cond
                 from qdrant_spark.operators.quantize import quant_ivf_search
 
-                qih = self._quant_ivf_for(vec_col, qh, ivf)
+                qih = (qih_reg if qih_reg is not None
+                       else self._quant_ivf_for(vec_col, qh, ivf))
                 self.last_plan_info["quant_ivf_leaves"] = \
                     self.last_plan_info.get("quant_ivf_leaves", 0) + 1
                 out = quant_ivf_search(
@@ -1269,7 +1302,11 @@ def _batch_quant_indexed(planner: "QueryPlanner",
         qp = (req.get("params") or {}).get("quantization") or {}
         if qh is None or qp.get("ignore") \
                 or planner._ivf_for(vc) is not None \
+                or planner.quant_ivf_indexes.get(vc) is not None \
                 or planner._leaf_exact(req):
+            # composed/IVF columns keep their per-request cluster-pruned
+            # plans — a shared whole-codes scan would change results at
+            # partial probe (batch must stay value-identical to single)
             continue
         groups.setdefault(vc, []).append(i)
 
@@ -1503,6 +1540,7 @@ def query_batch(
     quant_indexes: dict[str, Any] | None = None,
     maxsim_indexes: dict[str, Any] | None = None,
     quant_ivf_indexes: dict[str, Any] | None = None,
+    maxsim_sq_indexes: dict[str, Any] | None = None,
 ) -> DataFrame:
     """Batch universal query (``POST /collections/{c}/points/query/batch``,
     reference src/actix/api/query_api.rs; per-request independence as in
@@ -1538,6 +1576,7 @@ def query_batch(
         ivf_index=ivf_index, ivf_indexes=ivf_indexes,
         quant_indexes=quant_indexes, maxsim_indexes=maxsim_indexes,
         quant_ivf_indexes=quant_ivf_indexes,
+        maxsim_sq_indexes=maxsim_sq_indexes,
     )
     if not requests:
         raise ValueError("empty request batch")
@@ -1579,7 +1618,8 @@ def query_batch(
                 saved = (planner.points, planner.ivf_index,
                          planner.ivf_indexes, planner.sparse_indexes,
                          planner.quant_indexes, planner.maxsim_indexes,
-                         planner.quant_ivf_indexes)
+                         planner.quant_ivf_indexes,
+                         planner.maxsim_sq_indexes)
                 planner.points = select_shards(
                     points, req["shard_key"], col="shard_key")
                 planner.ivf_index = None
@@ -1590,13 +1630,15 @@ def query_batch(
                 planner.quant_indexes = {}
                 planner.maxsim_indexes = {}
                 planner.quant_ivf_indexes = {}
+                planner.maxsim_sq_indexes = {}
                 try:
                     outs[i] = planner.plan(sub)
                 finally:
                     (planner.points, planner.ivf_index,
                      planner.ivf_indexes, planner.sparse_indexes,
                      planner.quant_indexes, planner.maxsim_indexes,
-                     planner.quant_ivf_indexes) = saved
+                     planner.quant_ivf_indexes,
+                     planner.maxsim_sq_indexes) = saved
             else:
                 outs[i] = planner.plan(req)
             # a per-request plan() can itself hit the fused DataFrame

@@ -434,3 +434,138 @@ def test_client_declared_multivector_coarse_config(spark, embeddings):
                                  indexing_threshold=0) == "built"
     r2 = c._coll("mvdecl2").mv_idx["late"]
     assert len(r2.index.centroids) == 4 and r2.nprobe == 2
+
+
+class TestMaxSimSq:
+    """Quantized multivector storage (r11 stretch): int8 token codes for
+    the coarse MaxSim scan + exact rescore — the reference quantizes
+    multivector segments with the same config machinery as dense ones
+    (quantized_vectors.rs is vector-kind-agnostic)."""
+
+    @pytest.fixture(scope="class")
+    def msq(self, mv_points):
+        from qdrant_spark.operators.multivec import build_maxsim_sq
+
+        return build_maxsim_sq(mv_points, mv_col="mv", id_col="vec_id")
+
+    @pytest.mark.parametrize("metric", ["dot", "cosine"])
+    def test_rescore_matches_exact(self, mv_points, q_mv, msq, metric):
+        """Ample oversampling: the exact top-k survives the int8 coarse
+        cut, rescore recovers the exact MaxSim ranking bit-for-bit."""
+        from qdrant_spark.operators.multivec import maxsim_knn_sq
+
+        exact = [(r["vec_id"], round(r["score"], 9)) for r in maxsim_knn(
+            mv_points, q_mv, k=10, metric=metric,
+            mv_col="mv", id_col="vec_id").collect()]
+        got = [(r["vec_id"], round(r["score"], 9)) for r in maxsim_knn_sq(
+            msq, q_mv, k=10, oversampling=8.0, metric=metric).collect()]
+        assert got == exact
+
+    def test_coarse_no_rescore_close(self, mv_points, q_mv, msq):
+        """rescore=False returns int8-resolution MaxSim scores: right
+        row count, solid overlap with exact. The floor is modest on
+        purpose — this testdata's tokens are 8-dim slices of
+        near-uniform random embeddings with near-tie MaxSim scores, the
+        worst case for 8-bit resolution; the bench's correlated jitter
+        corpus carries the real recall line at the timed setting."""
+        from qdrant_spark.operators.multivec import maxsim_knn_sq
+
+        coarse = maxsim_knn_sq(msq, q_mv, k=10, metric="dot",
+                               rescore=False).collect()
+        assert len(coarse) == 10
+        exact = {r["vec_id"] for r in maxsim_knn(
+            mv_points, q_mv, k=10, metric="dot",
+            mv_col="mv", id_col="vec_id").collect()}
+        assert len(exact & {r["vec_id"] for r in coarse}) >= 6
+
+    def test_codes_narrow_and_persisted(self, msq, tmp_path):
+        """Codes are array<array<tinyint>> (1 B/dim vs 8 of the double
+        mv fixture); the persisted narrow table serves the coarse scan
+        with identical results."""
+        from qdrant_spark.operators.multivec import (
+            maxsim_knn_sq, persist_maxsim_sq,
+        )
+
+        f = dict(zip(msq.codes.schema.fieldNames(),
+                     msq.codes.schema.fields))
+        assert f["__msq"].dataType.simpleString() == \
+            "array<array<tinyint>>"
+        q = [list(t) for t in
+             msq.points.limit(1).collect()[0]["mv"]]
+        want = [(r["vec_id"], round(r["score"], 9)) for r in
+                maxsim_knn_sq(msq, q, k=5, oversampling=8.0).collect()]
+        p = persist_maxsim_sq(msq, str(tmp_path / "msq"))
+        got = [(r["vec_id"], round(r["score"], 9)) for r in
+               maxsim_knn_sq(p, q, k=5, oversampling=8.0).collect()]
+        assert got == want
+
+
+def test_client_multivector_quantization(spark, embeddings, tmp_path):
+    """quantization_config declared on a MULTIVECTOR (the reference's
+    quantized_vectors.rs is vector-kind-agnostic): ensure builds the
+    int8 token storage, query_points routes MaxSim coarse+rescore
+    through it with SearchParams.quantization semantics, a new session
+    reloads from meta, and non-scalar kinds are rejected up front."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    rows = embeddings.limit(200).collect()
+    dim = len(rows[0]["embedding"])
+    td = dim // 8
+    pts = [{"id": int(r["vec_id"]),
+            "vector": {"late": [[float(x) for x in
+                                 r["embedding"][i * td:(i + 1) * td]]
+                                for i in range(8)]}} for r in rows]
+    q = pts[6]["vector"]["late"]
+
+    def mk():
+        c = QdrantSparkClient(spark, root=str(tmp_path))
+        c.create_collection("mvsq", vectors_config={
+            "late": {"size": td, "distance": "Dot",
+                     "multivector_config": {"comparator": "max_sim"},
+                     "quantization_config": {"scalar":
+                                             {"quantile": 0.99}}}})
+        c.upsert("mvsq", pts)
+        return c
+
+    c = mk()
+    assert c.ensure_vector_index("mvsq", using="late",
+                                 indexing_threshold=0) == "built"
+    assert "late" in c._coll("mvsq").mv_sq
+    exact = c.query_points("mvsq", query=q, using="late", limit=5,
+                           with_payload=False,
+                           search_params={"exact": True})
+    got = c.query_points("mvsq", query=q, using="late", limit=5,
+                         with_payload=False,
+                         search_params={"quantization":
+                                        {"oversampling": 10.0}})
+    assert [(p.id, round(p.score, 9)) for p in got.points] == \
+        [(p.id, round(p.score, 9)) for p in exact.points]
+    # the planner really takes the quantized route
+    pl = c._planner(c._coll("mvsq"), "late")
+    pl.plan({"query": {"nearest": [list(t) for t in q]}, "limit": 5,
+             "using": "vec_late"}).collect()
+    assert pl.last_plan_info.get("maxsim_sq_leaves") == 1
+    # ignore falls back to the exact scan
+    pl.plan({"query": {"nearest": [list(t) for t in q]}, "limit": 5,
+             "using": "vec_late",
+             "params": {"quantization": {"ignore": True}}}).collect()
+    assert pl.last_plan_info.get("maxsim_sq_leaves") is None
+
+    # a new session LOADS the persisted codes + bounds
+    c2 = mk()
+    assert c2.ensure_vector_index("mvsq", using="late",
+                                  indexing_threshold=0) == "loaded"
+    got2 = c2.query_points("mvsq", query=q, using="late", limit=5,
+                           with_payload=False,
+                           search_params={"quantization":
+                                          {"oversampling": 10.0}})
+    assert [(p.id, round(p.score, 9)) for p in got2.points] == \
+        [(p.id, round(p.score, 9)) for p in exact.points]
+
+    # non-scalar kinds rejected at create time
+    c3 = QdrantSparkClient(spark)
+    with pytest.raises(ValueError, match="scalar"):
+        c3.create_collection("mvsq_bad", vectors_config={
+            "late": {"size": td, "distance": "Dot",
+                     "multivector_config": {"comparator": "max_sim"},
+                     "quantization_config": {"binary": {}}}})

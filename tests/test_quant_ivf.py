@@ -232,6 +232,11 @@ def test_client_quantized_ivf_composed(spark, embeddings, tmp_path):
     # full probe + ample oversampling == exact scan
     assert [(p.id, round(p.score, 6)) for p in got.points] == \
         [(p.id, round(p.score, 6)) for p in exact.points]
+    # and the client's planner really takes the COMPOSED route (the
+    # registered handle, no ivf_indexes entry needed)
+    pl = c._planner(c._coll("qivf"), None)
+    pl.plan({"query": {"nearest": q}, "limit": 5}).collect()
+    assert pl.last_plan_info.get("quant_ivf_leaves") == 1
 
     # new session over the same root: loaded, same answers
     c2 = QdrantSparkClient(spark, root=str(tmp_path))
