@@ -2916,10 +2916,15 @@ def _q_maxsim_sq_planned(spark: SparkSession, sf: str) -> DataFrame:
     dim = len(rows[0]["embedding"])
     td = dim // 8
     c = QdrantSparkClient(spark)
+    # full_scan_threshold 0 pins the quantized route: the 500-row slice
+    # sits far below the exact-vs-quantized crossover the planner
+    # otherwise applies (multivec.MAXSIM_FULL_SCAN_THRESHOLD)
     c.create_collection("entry_mv_sq", vectors_config={
         "late": {"size": td, "distance": "Dot",
                  "multivector_config": {"comparator": "max_sim"},
-                 "quantization_config": {"scalar": {"quantile": 0.99}}}})
+                 "quantization_config": {"scalar":
+                                         {"quantile": 0.99,
+                                          "full_scan_threshold": 0}}}})
     c.upsert("entry_mv_sq", [
         {"id": int(r["vec_id"]),
          "vector": {"late": [

@@ -686,8 +686,14 @@ def main() -> None:
                                 quant_ivf_indexes={"embedding": qivf_xxl})
 
     def q_sq_ivf_planned_xxl_disk():
+        # oversampling matches PQ_OS: the jittered corpus puts ~256
+        # near-tie siblings around every query, so the rescore shortlist
+        # must be wider than the ball (os=32 -> 320 > 256; the SQ
+        # default 3.0 measured recall 0.76 here). Rescoring 320 instead
+        # of 30 float rows is wall-clock noise.
         out = qivf_planner.plan(
-            {"query": {"nearest": q0}, "limit": 10}).collect()
+            {"query": {"nearest": q0}, "limit": 10,
+             "params": {"quantization": {"oversampling": PQ_OS}}}).collect()
         assert qivf_planner.last_plan_info.get("quant_ivf_leaves")
         return out
 
@@ -768,7 +774,14 @@ def main() -> None:
         f"{work}/maxsim_sq_xxl")
 
     def q_maxsim_sq_xxl_disk():
-        return maxsim_knn_sq(msq_xxl, q0_mv, k=10, oversampling=4.0,
+        # os=32 for the same jitter-ball reason as PQ_OS / the composed
+        # dense line; the 320-doc exact rescore is bounded. NOTE the
+        # crossover: at 512k page-cached docs the one-pass exact scan
+        # (maxsim_xxl_disk) wins — the rescore re-reads float tokens —
+        # so the PLANNER routes exact below MAXSIM_FULL_SCAN_THRESHOLD;
+        # this line pins the quantized plan as the scale datapoint
+        # (8x fewer coarse bytes), recall-gated below.
+        return maxsim_knn_sq(msq_xxl, q0_mv, k=10, oversampling=PQ_OS,
                              metric="dot").collect()
 
     measure("maxsim_sq_xxl_disk", q_maxsim_sq_xxl_disk)
@@ -815,10 +828,11 @@ def main() -> None:
             lambda q: ivf_pq_search(ivfpq_xxl, q, k=10, nprobe=4,
                                     oversampling=16.0, metric="cosine")),
         # the composed quant x IVF plan at its timed setting (nprobe=4,
-        # SQ default oversampling): int8 coarse ranking is precise enough
-        # that the 30-row rescore shortlist recovers the exact top-10
+        # os=32 — the rescore shortlist must clear the ~256 jitter ball,
+        # same rationale as PQ_OS; SQ's default 3.0 measured 0.76 here)
         "sq_ivf_planned_xxl_disk": _recall_one(
             lambda q: quant_ivf_search(qivf_xxl, q, k=10,
+                                       oversampling=PQ_OS,
                                        metric="cosine")),
     }
     # pruned-MaxSim recall at the timed setting, vs the exact MaxSim scan
@@ -835,7 +849,7 @@ def main() -> None:
             candidates=4096).collect()}
         ms_hits += len(ms_exact & ms_got)
         msq_got = {r["vec_id"] for r in maxsim_knn_sq(
-            msq_xxl, qmv, k=10, oversampling=4.0,
+            msq_xxl, qmv, k=10, oversampling=PQ_OS,
             metric="dot").collect()}
         msq_hits += len(ms_exact & msq_got)
     recall["maxsim_ivf_xxl_disk"] = round(ms_hits / 40.0, 3)
@@ -1223,7 +1237,31 @@ def main() -> None:
                         _col_bytes(f"{work}/xxl/*.parquet",
                                    {"embedding"}),
                         _col_bytes(f"{work}/quant_sq_xxl/*.parquet",
-                                   {"__sq"}))}
+                                   {"__sq"})),
+                    # r11: the COMPOSED plan (sq_ivf_planned_xxl_disk) —
+                    # the coarse stage reads the code column of ONLY the
+                    # nprobe/32 probed cluster directories; both
+                    # prunings compound vs the full float scan
+                    "sq_ivf_scan_column_bytes": (lambda f, a: {
+                        "exact_scan_floats": f,
+                        "all_cluster_codes": a,
+                        "probed_4_of_32_codes_mean": a // 8,
+                        "ratio_vs_floats": (round(f / (a // 8), 1)
+                                            if f and a else None)})(
+                        _col_bytes(f"{work}/xxl/*.parquet",
+                                   {"embedding"}),
+                        _col_bytes(f"{work}/quant_ivf_sq_xxl/*/*.parquet",
+                                   {"__sq"})),
+                    # r11: quantized multivector storage
+                    # (maxsim_sq_xxl_disk) — int8 token codes vs the
+                    # float token arrays of the same 512k-doc corpus
+                    "maxsim_sq_scan_column_bytes": (lambda f, c: {
+                        "exact_scan_float_tokens": f,
+                        "sq_token_codes": c,
+                        "ratio": (round(f / c, 1) if f and c else None)})(
+                        _col_bytes(f"{work}/xxl_mv/*.parquet", {"mv"}),
+                        _col_bytes(f"{work}/maxsim_sq_xxl/*.parquet",
+                                   {"__msq"}))}
     except TimeoutError:
         pass
     except Exception as e:  # the appendix must never sink the headline

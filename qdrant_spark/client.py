@@ -1660,15 +1660,21 @@ class QdrantSparkClient:
                 mv_col=col.vec_col(using), id_col="id",
                 indexing_threshold=thr)
         else:
-            if col.df.count() < thr:
+            n = col.df.count()
+            if n < thr:
                 return "skipped"
+            from dataclasses import replace
+
             from qdrant_spark.operators.multivec import build_maxsim_sq
 
             cfg = vc.quantization["scalar"] or {}
-            idx, action = build_maxsim_sq(
+            idx = build_maxsim_sq(
                 col.df, mv_col=col.vec_col(using), id_col="id",
                 quantile=float(cfg.get("quantile", 0.99)),
-                oversampling=float(cfg.get("oversampling", 4.0))), "built"
+                oversampling=float(cfg.get("oversampling", 4.0)))
+            idx, action = replace(
+                idx, full_scan_threshold=cfg.get("full_scan_threshold"),
+                n_docs=n), "built"
         if idx is not None:
             col.mv_sq[using] = idx
         return action

@@ -302,6 +302,14 @@ class MaxSimSq:
     #: per-request SearchParams.quantization sets one (same posture as
     #: quantize._QUANT_OVERSAMPLING["scalar"])
     oversampling: float = 4.0
+    #: exact-vs-quantized dispatch crossover in DOCS, same semantics as
+    #: MaxSimRoute.full_scan_threshold: the coarse+rescore plan reads 8x
+    #: fewer bytes but pays a second (float-token) scan for the rescore
+    #: — at 512k page-cached docs the bench measured it ~2.5x slower
+    #: than the exact one-pass scan; its win is the IO-bound regime.
+    #: None = MAXSIM_FULL_SCAN_THRESHOLD, 0 = always quantized.
+    full_scan_threshold: int | None = None
+    n_docs: int | None = None
 
 
 def build_maxsim_sq(

@@ -451,7 +451,9 @@ def load_maxsim_sq_index(points: DataFrame, path: str):
         codes=points.sparkSession.read.parquet(os.path.join(path, _MSQDATA)),
         lo=arrays["lo"], hi=arrays["hi"], points=points,
         mv_col=meta["mv_col"], id_col=meta["id_col"],
-        oversampling=float(meta["oversampling"]))
+        oversampling=float(meta["oversampling"]),
+        full_scan_threshold=meta.get("full_scan_threshold"),
+        n_docs=meta.get("n_rows"))
 
 
 def ensure_maxsim_sq_index(
@@ -501,7 +503,8 @@ def ensure_maxsim_sq_index(
     idx.codes.write.mode("overwrite").parquet(os.path.join(path, _MSQDATA))
     os.makedirs(path, exist_ok=True)
     np.savez(os.path.join(path, _MSQPARAMS), lo=idx.lo, hi=idx.hi)
+    fst = cfg.get("full_scan_threshold")
     with open(os.path.join(path, _MSQMETA), "w") as f:
         json.dump({**requested, "oversampling": idx.oversampling,
-                   "n_rows": n}, f)
+                   "full_scan_threshold": fst, "n_rows": n}, f)
     return load_maxsim_sq_index(points, path), action

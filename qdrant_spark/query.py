@@ -845,6 +845,21 @@ class QueryPlanner:
                 use_sq = (sqh is not None and flt is None
                           and not pre_filtered and not mvq.get("ignore")
                           and not self._leaf_exact(req))
+                if use_sq:
+                    # same exact-vs-routed crossover as the token-IVF
+                    # route: the rescore's second (float-token) scan
+                    # only pays once the corpus outgrows page cache
+                    from qdrant_spark.operators.multivec import (
+                        MAXSIM_FULL_SCAN_THRESHOLD,
+                    )
+
+                    sq_thr = (MAXSIM_FULL_SCAN_THRESHOLD
+                              if sqh.full_scan_threshold is None
+                              else sqh.full_scan_threshold)
+                    if sq_thr:
+                        if sqh.n_docs is None:
+                            sqh.n_docs = sqh.points.count()
+                        use_sq = sqh.n_docs >= sq_thr
                 route = self.maxsim_indexes.get(vec_col)
                 use_pruned = (not use_sq and route is not None
                               and flt is None and not pre_filtered

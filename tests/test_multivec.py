@@ -522,8 +522,11 @@ def test_client_multivector_quantization(spark, embeddings, tmp_path):
         c.create_collection("mvsq", vectors_config={
             "late": {"size": td, "distance": "Dot",
                      "multivector_config": {"comparator": "max_sim"},
+                     # threshold 0 pins the quantized route (200 docs
+                     # sit far below the exact-vs-quantized crossover)
                      "quantization_config": {"scalar":
-                                             {"quantile": 0.99}}}})
+                                             {"quantile": 0.99,
+                                              "full_scan_threshold": 0}}}})
         c.upsert("mvsq", pts)
         return c
 
@@ -569,3 +572,22 @@ def test_client_multivector_quantization(spark, embeddings, tmp_path):
             "late": {"size": td, "distance": "Dot",
                      "multivector_config": {"comparator": "max_sim"},
                      "quantization_config": {"binary": {}}}})
+
+    # WITHOUT the threshold override a 200-doc corpus takes the exact
+    # scan despite the declared quantization (the same crossover the
+    # token-IVF route has — the rescore's second float-token scan only
+    # pays in the IO-bound regime)
+    c4 = QdrantSparkClient(spark)
+    c4.create_collection("mvsq_def", vectors_config={
+        "late": {"size": td, "distance": "Dot",
+                 "multivector_config": {"comparator": "max_sim"},
+                 "quantization_config": {"scalar": {}}}})
+    c4.upsert("mvsq_def", pts)
+    assert c4.ensure_vector_index("mvsq_def", using="late",
+                                  indexing_threshold=0) == "built"
+    pl4 = c4._planner(c4._coll("mvsq_def"), "late")
+    out4 = pl4.plan({"query": {"nearest": [list(t) for t in q]},
+                     "limit": 5, "using": "vec_late"})
+    got4 = [(r["id"], round(r["score"], 9)) for r in out4.collect()]
+    assert got4 == [(p.id, round(p.score, 9)) for p in exact.points]
+    assert pl4.last_plan_info.get("maxsim_sq_leaves") is None
