@@ -818,6 +818,69 @@ def _q_filter_has_id(spark: SparkSession, sf: str) -> DataFrame:
     return apply_filter(_emb(spark, sf), flt).select("vec_id", "label")
 
 
+def _q_filter_has_vector(spark: SparkSession, sf: str) -> DataFrame:
+    """has_vector condition (HasVectorCondition, types.rs; filter at
+    filters.py:394): points missing a NAMED vector — a NULL ``vec_<name>``
+    column here, the reference's absent named vector — are excluded,
+    combined with a payload condition. The corpus derives a nullable
+    named vector from embeddings deterministically (vec_id % 3 == 0 rows
+    lack it), so the oracle is plain SQL."""
+    from qdrant_spark.filters import apply_filter
+
+    pts = _emb(spark, sf).select(
+        "vec_id", "label",
+        F.when(F.col("vec_id") % 3 != 0,
+               F.col("embedding")).alias("vec_img"))
+    flt = {"must": [{"has_vector": "img"},
+                    {"key": "label", "match": {"any": [1, 4]}}]}
+    out = apply_filter(pts, flt, id_col="vec_id")
+    return out.select("vec_id", "label").orderBy("vec_id").limit(300)
+
+
+_FILTER_HAS_VECTOR_SQL = """
+SELECT vec_id, label FROM embeddings
+WHERE vec_id % 3 <> 0 AND label IN (1, 4)
+ORDER BY vec_id LIMIT 300
+"""
+
+
+def _q_count_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """count(exact=false) value-oracled (r11): the estimate comes from a
+    DETERMINISTIC md5-Bernoulli sample of the id (the facet_estimate
+    sampler — uniform, no first-partition bias) scored with the
+    reference's Agresti-Coull interval at z=2 (sample_estimation.rs:9-18)
+    — every step is plain math DuckDB replays exactly, so even the
+    approximate count carries a value oracle, not just a bracket test."""
+    from qdrant_spark.operators.points import count_estimate
+
+    emb = _emb(spark, sf)
+    est, interval = count_estimate(
+        emb, {"must": [{"key": "label", "range": {"lt": 4}}]},
+        fraction=0.25, seed=42, id_col="vec_id")
+    return spark.createDataFrame([(est, interval)],
+                                 "estimate long, interval long")
+
+
+# frac 0.25 -> hex threshold 40000000; n_hat = trials + 4,
+# p_hat = (positive + 2)/n_hat, interval = 2*sqrt(p_hat/n_hat*(1-p_hat));
+# int() truncation == floor for the positive quantities here
+_COUNT_APPROX_SQL = """
+WITH s AS (SELECT label FROM embeddings
+           WHERE substring(md5(CAST(vec_id AS VARCHAR) || ':count42'),
+                           1, 8) < '40000000'),
+a AS (SELECT count(*) AS trials,
+             count(*) FILTER (WHERE label < 4) AS positive FROM s),
+t AS (SELECT (SELECT count(*) FROM embeddings) AS total),
+m AS (SELECT a.trials + 4.0 AS n_hat,
+             (a.positive + 2.0) / (a.trials + 4.0) AS p_hat,
+             t.total FROM a, t)
+SELECT CAST(floor(p_hat * total) AS BIGINT) AS estimate,
+       CAST(floor(2.0 * sqrt((p_hat / n_hat) * (1.0 - p_hat)) * total)
+            AS BIGINT) AS interval
+FROM m
+"""
+
+
 def _q_filter_text_stemmed_de(spark: SparkSession, sf: str) -> DataFrame:
     """match.text against a GERMAN-Snowball-stemmed text index on the
     corpus' German stratum (SnowballLanguage::German, index.rs:354-420;
@@ -3740,6 +3803,8 @@ _GATE_PRIORITY = [
     "quantized_batch_kinds",
     "maxsim_sq",
     "maxsim_sq_planned",
+    "filter_has_vector",
+    "count_approx",
     # --- r08 cohort (35) ---
     "filter_nested",
     "filter_jsonpath_array",
@@ -3958,6 +4023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_text_stemmed_de": _q_filter_text_stemmed_de,
         "filter_text_any": _q_filter_text_any,
         "filter_has_id": _q_filter_has_id,
+        "filter_has_vector": _q_filter_has_vector,
+        "count_approx": _q_count_approx,
         "filter_phrase": _q_filter_text("phrase"),
         "filter_phrase_indexed": _q_filter_phrase_indexed,
         "payload_json_path": _q_events_json,
@@ -4174,6 +4241,8 @@ WHERE list_contains(toks, 'dup') OR list_contains(toks, 'vector')
 SELECT vec_id, label FROM embeddings
 WHERE vec_id % 3 = 0 AND vec_id < 200 AND label < 7
 """,
+        "filter_has_vector": _FILTER_HAS_VECTOR_SQL,
+        "count_approx": _COUNT_APPROX_SQL,
         "filter_phrase": f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
 SELECT doc_id FROM t

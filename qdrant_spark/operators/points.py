@@ -125,6 +125,8 @@ def count_estimate(
     total: int | None = None,
     max_sample: int = 10_000,
     seed: int = 42,
+    fraction: float | None = None,
+    id_col: str | None = None,
 ) -> tuple[int, int]:
     """``count(exact=false)`` — the reference estimates from index metadata
     / sampling instead of scanning (CountRequest ``exact``,
@@ -133,8 +135,16 @@ def count_estimate(
     interval (z=2): the corpus pass touches ~``max_sample`` rows whatever
     the corpus size, vs the full filtered scan of :func:`count`.
     ``total`` skips the corpus-count job when the caller already knows it
-    (cached table, catalog stats)."""
+    (cached table, catalog stats). ``fraction`` pins the sample fraction
+    explicitly (otherwise ~``max_sample``/total).
+
+    The sample is a deterministic md5-Bernoulli on the id (the same
+    sampler facet_estimate uses): uniform across partitions, NO limit cap
+    that would bias toward first-scanned files when the filtered field
+    correlates with layout, identical run-to-run, and reproducible in any
+    engine with md5 — so the estimate itself is exact-oracle-checkable."""
     from qdrant_spark.filters import filter_column
+    from qdrant_spark.operators.curation import fraction_threshold
     from qdrant_spark.operators.dispatch import agresti_coull_interval
 
     if total is None:
@@ -143,13 +153,20 @@ def count_estimate(
         return 0, 0
     if flt is None:
         return total, 0
-    # Bernoulli sample WITHOUT a limit cap: LIMIT takes rows from the
-    # first-scanned partitions, so when the filtered field correlates with
-    # data layout (tables partitioned/sorted by it — the layout this repo
-    # recommends) a limited sample is unrepresentative and the interval is
-    # confidently wrong. The fraction alone bounds expected sample size.
-    frac = min(1.0, 1.2 * max_sample / total)
-    sample = points if frac >= 1.0 else points.sample(fraction=frac, seed=seed)
+    if id_col is None:  # auto-detect the table's id column
+        names = points.schema.fieldNames()
+        id_col = ("id" if "id" in names
+                  else next((n for n in names if n.endswith("_id")),
+                            names[0]))
+    frac = (min(1.0, 1.2 * max_sample / total) if fraction is None
+            else float(fraction))
+    if frac >= 1.0:
+        sample = points
+    else:
+        h = F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                              F.lit(f"count{seed}"))), 1, 8)
+        sample = points.filter(h < F.lit(fraction_threshold(frac)))
     cond = filter_column(points, dict(flt))
     row = sample.agg(
         F.count(F.lit(1)).alias("trials"),
