@@ -187,6 +187,27 @@ def run(sf_dir: str = "/root/testdata/sf0.001", cpus: int = 8) -> dict:
     recs, _next = client.scroll("mycoll", limit=10)
     out["client_scroll_ids"] = [r.id for r in recs]
 
+    # PUT /collections/{c} with quantization_config — the reference's
+    # quantized-HNSW deployment: declare scalar int8 quantization, build
+    # ONE composed index (cluster-partitioned codes), and query_points
+    # runs probe-clusters -> score-codes -> exact-rescore, per-request
+    # tunable via SearchParams.quantization {ignore, rescore,
+    # oversampling} (types.rs:573-628)
+    dim = len(q0)
+    client.create_collection(
+        "quantized", vectors_config={"size": dim, "distance": "Cosine"},
+        quantization_config={"scalar": {"type": "int8", "quantile": 0.99}})
+    client.upsert("quantized", [
+        {"id": int(r["id"]), "vector": [float(x) for x in r["embedding"]]}
+        for r in points.limit(300).collect()])
+    out["quant_ensure"] = client.ensure_vector_index(
+        "quantized", n_clusters=8, nprobe=8, indexing_threshold=0)
+    qhits = client.query_points(
+        "quantized", query=q0, limit=3, with_payload=False,
+        search_params={"quantization": {"rescore": True,
+                                        "oversampling": 4.0}}).points
+    out["quantized_top1"] = qhits[0].id
+
     spark.stop()
     return out
 

@@ -252,8 +252,11 @@ def maxsim_knn_ivf(
         # approx(doc) = sum over QUERY tokens of max over the doc's
         # probed token rows of q_i · centroid(row). The per-cluster
         # q-score arrays ship as ONE map literal over the <=tq*nprobe
-        # probed clusters; the (doc, q_i) max and the doc sum are two
-        # narrow aggregations keyed on id.
+        # probed clusters; the per-(doc, q_i) maxes compute as tq max
+        # aggregates in ONE groupBy on id — r11: was posexplode + two
+        # aggregations, which shuffled tq x the probed token rows and
+        # made the candidate stage the measured bottleneck of this plan.
+        tq = Qm.shape[0]
         S = Qm @ index.centroids.T  # (tq, n_clusters)
         flat = []
         for c in probes:
@@ -261,13 +264,16 @@ def maxsim_knn_ivf(
             flat.append(F.lit([float(x) for x in S[:, c]]))
         score_arr = F.element_at(F.create_map(*flat),
                                  F.col("__cluster").cast("int"))
-        pairs = matched.select(
-            index.id_col, F.posexplode(score_arr).alias("__qi", "__s"))
-        cand_ids = (pairs
-                    .groupBy(index.id_col, "__qi")
-                    .agg(F.max("__s").alias("__m"))
+        per_q = [F.max(F.element_at(F.col("__qs"), i + 1)).alias(f"__m{i}")
+                 for i in range(tq)]
+        total = per_q and sum(
+            (F.col(f"__m{i}") for i in range(1, tq)),
+            F.col("__m0"))
+        cand_ids = (matched
+                    .select(index.id_col, score_arr.alias("__qs"))
                     .groupBy(index.id_col)
-                    .agg(F.sum("__m").alias("__s"))
+                    .agg(*per_q)
+                    .select(index.id_col, total.alias("__s"))
                     .orderBy(F.col("__s").desc(),
                              F.col(index.id_col).asc())
                     .limit(int(candidates))
