@@ -1274,32 +1274,215 @@ def _batch_sparse_indexed(planner: "QueryPlanner",
             outs[i] = spark.createDataFrame(hits, schema)
 
 
-def _batch_quant_indexed(planner: "QueryPlanner",
-                         requests: list[dict[str, Any]],
-                         outs: list) -> None:
-    """Batch-side quantized grouping: unfiltered single-leaf dense
-    nearest requests on a quantized column — ALL FOUR kinds since r11 —
-    are answered by ONE coarse Arrow scan over the codes (all queries
-    score per batch via the block matmul) plus ONE pair-scored rescore
-    over the union of candidate floats — value-identical per request to
-    planning each alone (per-request oversampling, rescore,
-    score_threshold, offset and limit applied after the shared scans).
-    Per kind the shared scan decodes to the exact quantity the
-    single-request coarse stage ranks: scalar decodes the int8 affine,
-    product reconstructs x_hat (ADC decomposes exactly), binary unpacks
-    the words to ±1 so the dot IS ``ext_dim - 2*hamming`` (same ranking
-    as the XOR scan, same rescore=False score), turbo rebuilds the
-    renormed rotated reconstruction (dot/cosine/euclid score in rotated
-    space — the rotation is orthonormal — manhattan un-rotates, the
-    reference's L1 slow path). The quantized twin of
-    :func:`_batch_sparse_indexed`; the reference's batch dispatch walks
-    quantized storage once for the whole batch the same way
-    (lib/segment/src/vector_storage/quantized/). Requests with filters /
-    exact / shard routing / ignore / an IVF-registered column keep their
-    own plan."""
+def _quant_scan_setup(qh, metric: str, Qraw):
+    """Per-kind shared-scan pieces for a batched quantized group: a
+    ``prep`` hook deriving the scan frame from the codes table (turbo
+    packs its three columns into one struct), the scanned column, the
+    Arrow decode hook producing the matrix whose ``scan_metric`` scoring
+    equals the kind's single-request coarse quantity, and the (possibly
+    re-encoded) query matrix. Scalar decodes the int8 affine; product
+    reconstructs x_hat (ADC decomposes exactly); binary unpacks words to
+    ±1 so the dot IS ``ext_dim - 2*hamming`` (the XOR scan's order and
+    rescore=False scale); turbo rebuilds the renormed rotated
+    reconstruction (manhattan un-rotates — the reference's L1 slow
+    path, mod.rs:110-112)."""
     import numpy as np
 
-    groups: dict[str, list[int]] = {}
+    idx = qh.index
+    Q = Qraw
+    scan_metric = metric
+    prep = lambda f: f  # noqa: E731
+    if qh.kind == "scalar":
+        lo, scale = idx.lo, (idx.hi - idx.lo) / 255.0
+
+        def dec(vec, n, lo=lo, scale=scale):
+            import pyarrow as pa
+
+            if isinstance(vec, pa.ChunkedArray):
+                vec = vec.combine_chunks()
+            flat = vec.flatten().to_numpy(zero_copy_only=False)
+            M = flat.reshape(n, len(lo)).astype(np.float64)
+            return (M + 128.0) * scale + lo
+
+        code_col = "__sq"
+    elif qh.kind == "product":
+        cb = idx.codebooks  # (M, K, dsub)
+
+        def dec(vec, n, cb=cb):
+            import pyarrow as pa
+
+            if isinstance(vec, pa.ChunkedArray):
+                vec = vec.combine_chunks()
+            flat = vec.flatten().to_numpy(zero_copy_only=False)
+            codes = (flat.reshape(n, cb.shape[0]).astype(np.int16)
+                     + 128)
+            return np.concatenate(
+                [cb[m][codes[:, m]] for m in range(cb.shape[0])],
+                axis=1)
+
+        code_col = "__pq"
+    elif qh.kind == "binary":
+        from qdrant_spark.operators.quantize import (
+            _bq_ext_dim, bq_query_bits,
+        )
+
+        ext_dim = _bq_ext_dim(len(idx.means), idx.encoding)
+        Q = np.asarray([bq_query_bits(idx, q) for q in Qraw],
+                       dtype=np.float64) * 2.0 - 1.0
+        scan_metric = "dot"
+
+        def dec(vec, n, ext_dim=ext_dim):
+            import pyarrow as pa
+
+            if isinstance(vec, pa.ChunkedArray):
+                vec = vec.combine_chunks()
+            W = vec.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.int64).reshape(n, -1).view(np.uint64)
+            bits = np.empty((n, ext_dim), dtype=np.float64)
+            col = 0
+            for w in range(W.shape[1]):
+                nb = min(64, ext_dim - col)
+                sh = np.arange(nb - 1, -1, -1, dtype=np.uint64)
+                bits[:, col:col + nb] = \
+                    ((W[:, w:w + 1] >> sh) & np.uint64(1))
+                col += nb
+            return bits * 2.0 - 1.0
+
+        code_col = "__bq"
+    else:  # turbo
+        from qdrant_spark.operators.quantize import (
+            _TQ_CENTROIDS, _tq_rotate, _tq_rotation_params, _tq_unpack,
+            _tq_unrotate,
+        )
+
+        bpc = idx.bits_per_code
+        cents = _TQ_CENTROIDS[bpc]
+        pd_, dim_, seed_ = idx.padded_dim, idx.dim, idx.seed
+        params = _tq_rotation_params(pd_, seed_)
+        ecs, ecsh = idx.ec_scale, idx.ec_shift
+        if metric != "manhattan":
+            Qpad = np.zeros((len(Qraw), pd_), dtype=np.float64)
+            Qpad[:, :dim_] = Qraw
+            Q = _tq_rotate(Qpad, params)
+
+        def dec(vec, n, cents=cents, params=params):
+            import pyarrow as pa
+
+            if isinstance(vec, pa.ChunkedArray):
+                vec = vec.combine_chunks()
+            raw = np.frombuffer(
+                b"".join(vec.field("__tq").to_pylist()),
+                dtype=np.uint8).reshape(n, -1)
+            l2 = vec.field("__tq_l2").to_numpy(zero_copy_only=False)
+            cn = np.maximum(
+                vec.field("__tq_cn").to_numpy(zero_copy_only=False),
+                1e-12)
+            C = cents[_tq_unpack(raw, bpc, pd_)]
+            if ecs is not None:
+                C = C * ecs + ecsh
+            X = C * (l2 / cn)[:, None]
+            if metric == "manhattan":
+                return _tq_unrotate(X, params)[:, :dim_]
+            return X
+
+        prep = lambda f: f.withColumn(  # noqa: E731
+            "__tqz", F.struct("__tq", "__tq_l2", "__tq_cn"))
+        code_col = "__tqz"
+    return prep, code_col, dec, Q, scan_metric
+
+
+def _quant_batch_params(planner, requests, idxs, qh):
+    """Per-request (k, coarse width, rescore?) for a quantized batch
+    group — the same arithmetic as the single-request leaf."""
+    import numpy as np
+
+    ks, cs, rescores = {}, {}, {}
+    for i in idxs:
+        req = requests[i]
+        qp = (req.get("params") or {}).get("quantization") or {}
+        ks[i] = int(req.get("limit", DEFAULT_LIMIT)) \
+            + int(req.get("offset", 0))
+        over = float(qp.get("oversampling", qh.oversampling))
+        cs[i] = max(ks[i], int(np.ceil(ks[i] * over)))
+        rescores[i] = qp.get("rescore") is not False
+    return ks, cs, rescores
+
+
+def _finish_quant_group(planner, requests, idxs, outs, qh, metric,
+                        ks, rescores, by_req) -> None:
+    """Shared tail of the batched quantized paths: per-request cut to
+    k = limit+offset, rescore the union of candidates with ONE
+    pair-scored job, apply score_threshold in the direction of the
+    returned score scale, slice offset/limit — value-identical to the
+    single-request leaf's post-processing."""
+    from pyspark.sql import types as T
+
+    from qdrant_spark.operators.knn import (
+        larger_is_better, rowwise_score_topk,
+    )
+
+    idx = qh.index
+    spark = planner.points.sparkSession
+    id_type = planner.points.schema[planner.id_col].dataType
+    schema = T.StructType([
+        T.StructField(planner.id_col, id_type),
+        T.StructField("score", T.DoubleType()),
+    ])
+    larger = larger_is_better(metric)
+
+    def finish(i: int, hits: list) -> None:
+        req = requests[i]
+        # the single-request plan cuts to k = limit+offset BEFORE the
+        # threshold filter (quant_search(k=...) then the leaf filter)
+        hits = hits[:ks[i]]
+        thr = req.get("score_threshold")
+        if thr is not None:
+            # binary coarse scores (rescore=False) are the ±1-dot
+            # estimate — larger-better whatever the metric, same
+            # direction rule as the single-request leaf
+            lg = (True if not rescores[i] and qh.kind == "binary"
+                  else larger)
+            keep = (lambda s: s > float(thr)) if lg \
+                else (lambda s: s < float(thr))
+            hits = [h for h in hits if keep(h[1])]
+        off = int(req.get("offset", 0))
+        lim = int(req.get("limit", DEFAULT_LIMIT))
+        outs[i] = spark.createDataFrame(hits[off:off + lim], schema)
+
+    need_rescore = [i for i in idxs if rescores[i]]
+    if need_rescore:
+        pairs = spark.createDataFrame(
+            [(int(i), h[0]) for i in need_rescore
+             for h in by_req[i]],
+            T.StructType([T.StructField("__qid", T.LongType()),
+                          T.StructField(idx.id_col, id_type)]))
+        full = idx.full if idx.full is not None else qh.codes_frame()
+        qdf = spark.createDataFrame(
+            [(int(i), [float(x) for x in requests[i]["query"]["nearest"]])
+             for i in need_rescore],
+            "__qid long, __qvec array<double>")
+        joined = (full.select(idx.id_col, idx.vec_col)
+                  .join(F.broadcast(pairs), idx.id_col)
+                  .join(F.broadcast(qdf), "__qid"))
+        scored = rowwise_score_topk(
+            joined, metric=metric, k=max(ks[i] for i in need_rescore),
+            qid_col="__qid", id_col=idx.id_col, vec_col=idx.vec_col,
+            qvec_col="__qvec")
+        rows = scored.collect()
+        exact: dict[int, list] = {i: [] for i in need_rescore}
+        for r in sorted(rows, key=lambda r: (r["__qid"], r["rank"])):
+            exact[r["__qid"]].append((r[idx.id_col], float(r["score"])))
+        for i in need_rescore:
+            finish(i, exact[i])
+    for i in idxs:
+        if not rescores[i]:
+            finish(i, by_req[i])
+
+
+def _quant_batch_eligible(planner, requests, outs):
+    """(request index, vec_col) pairs of unfiltered single-leaf dense
+    nearest requests on a quantized column — the shared eligibility test
+    of both batched quantized paths."""
     for i, req in enumerate(requests):
         if outs[i] is not None or req.get("prefetch") \
                 or req.get("shard_key") is not None \
@@ -1313,164 +1496,58 @@ def _batch_quant_indexed(planner: "QueryPlanner",
         if not t or isinstance(t[0], (list, tuple)):
             continue  # multivector
         vc = req.get("using", planner.default_vec_col)
-        qh = planner.quant_indexes.get(vc)
         qp = (req.get("params") or {}).get("quantization") or {}
-        if qh is None or qp.get("ignore") \
+        if qp.get("ignore") or planner._leaf_exact(req):
+            continue
+        yield i, vc
+
+
+def _batch_quant_indexed(planner: "QueryPlanner",
+                         requests: list[dict[str, Any]],
+                         outs: list) -> None:
+    """Batch-side quantized grouping: unfiltered single-leaf dense
+    nearest requests on a quantized column — ALL FOUR kinds since r11 —
+    are answered by ONE coarse Arrow scan over the codes (all queries
+    score per batch via the block matmul, per-kind decode in
+    :func:`_quant_scan_setup`) plus ONE pair-scored rescore over the
+    union of candidate floats — value-identical per request to planning
+    each alone (per-request oversampling, rescore, score_threshold,
+    offset and limit applied after the shared scans). The quantized twin
+    of :func:`_batch_sparse_indexed`; the reference's batch dispatch
+    walks quantized storage once for the whole batch the same way
+    (lib/segment/src/vector_storage/quantized/). Requests with filters /
+    exact / shard routing / ignore keep their own plan; columns with a
+    cluster structure batch through :func:`_batch_quant_ivf_indexed`
+    instead."""
+    import numpy as np
+
+    groups: dict[str, list[int]] = {}
+    for i, vc in _quant_batch_eligible(planner, requests, outs):
+        if planner.quant_indexes.get(vc) is None \
                 or planner._ivf_for(vc) is not None \
-                or planner.quant_ivf_indexes.get(vc) is not None \
-                or planner._leaf_exact(req):
-            # composed/IVF columns keep their per-request cluster-pruned
-            # plans — a shared whole-codes scan would change results at
-            # partial probe (batch must stay value-identical to single)
+                or planner.quant_ivf_indexes.get(vc) is not None:
             continue
         groups.setdefault(vc, []).append(i)
-
-    from pyspark.sql import types as T
 
     for vc, idxs in groups.items():
         if len(idxs) < 2:
             continue
         qh = planner.quant_indexes[vc]
         metric = planner.metric_for(vc)
-        ks, cs, overs, rescores = {}, {}, {}, {}
-        for i in idxs:
-            req = requests[i]
-            qp = (req.get("params") or {}).get("quantization") or {}
-            ks[i] = int(req.get("limit", DEFAULT_LIMIT)) \
-                + int(req.get("offset", 0))
-            overs[i] = float(qp.get("oversampling", qh.oversampling))
-            cs[i] = max(ks[i], int(np.ceil(ks[i] * overs[i])))
-            rescores[i] = qp.get("rescore") is not False
+        ks, cs, rescores = _quant_batch_params(planner, requests, idxs, qh)
         if len(idxs) * max(cs.values()) > planner.fused_collect_max:
             continue
-        from qdrant_spark.operators.knn import (
-            _matmul_knn, _threshold_cond, larger_is_better,
-            rowwise_score_topk,
-        )
+        from qdrant_spark.operators.knn import _matmul_knn
 
         idx = qh.index
         Qraw = np.asarray(
             [[float(x) for x in requests[i]["query"]["nearest"]]
              for i in idxs])
-        Q = Qraw
-        scan_src = qh.codes_frame()
-        scan_metric = metric
-        if qh.kind == "scalar":
-            lo, scale = idx.lo, (idx.hi - idx.lo) / 255.0
-
-            def dec(vec, n, lo=lo, scale=scale):
-                import pyarrow as pa
-
-                if isinstance(vec, pa.ChunkedArray):
-                    vec = vec.combine_chunks()
-                flat = vec.flatten().to_numpy(zero_copy_only=False)
-                M = flat.reshape(n, len(lo)).astype(np.float64)
-                return (M + 128.0) * scale + lo
-
-            code_col = "__sq"
-        elif qh.kind == "product":
-            # PQ: the ADC LUT sum IS the metric against the reconstructed
-            # vector (per-subspace codebooks are orthogonal coordinate
-            # blocks: dot/cosine/euclid/manhattan all decompose exactly),
-            # so reconstructing x_hat per batch makes the shared matmul
-            # scan score-identical to pq_search's per-query LUT columns.
-            cb = idx.codebooks  # (M, K, dsub)
-
-            def dec(vec, n, cb=cb):
-                import pyarrow as pa
-
-                if isinstance(vec, pa.ChunkedArray):
-                    vec = vec.combine_chunks()
-                flat = vec.flatten().to_numpy(zero_copy_only=False)
-                codes = (flat.reshape(n, cb.shape[0]).astype(np.int16)
-                         + 128)
-                return np.concatenate(
-                    [cb[m][codes[:, m]] for m in range(cb.shape[0])],
-                    axis=1)
-
-            code_col = "__pq"
-        elif qh.kind == "binary":
-            # BQ: unpack the words to ±1 rows; dot(±1 doc, ±1 query) =
-            # ext_dim - 2*hamming, so ranking by dot DESC (ties id asc)
-            # is bq_search's (hamming ASC, id asc) coarse order exactly,
-            # and the dot itself is the rescore=False output scale.
-            from qdrant_spark.operators.quantize import (
-                _bq_ext_dim, bq_query_bits,
-            )
-
-            ext_dim = _bq_ext_dim(len(idx.means), idx.encoding)
-            Q = np.asarray([bq_query_bits(idx, q) for q in Qraw],
-                           dtype=np.float64) * 2.0 - 1.0
-            scan_metric = "dot"
-
-            def dec(vec, n, ext_dim=ext_dim):
-                import pyarrow as pa
-
-                if isinstance(vec, pa.ChunkedArray):
-                    vec = vec.combine_chunks()
-                W = vec.flatten().to_numpy(zero_copy_only=False) \
-                    .astype(np.int64).reshape(n, -1).view(np.uint64)
-                bits = np.empty((n, ext_dim), dtype=np.float64)
-                col = 0
-                for w in range(W.shape[1]):
-                    nb = min(64, ext_dim - col)
-                    sh = np.arange(nb - 1, -1, -1, dtype=np.uint64)
-                    bits[:, col:col + nb] = \
-                        ((W[:, w:w + 1] >> sh) & np.uint64(1))
-                    col += nb
-                return bits * 2.0 - 1.0
-
-            code_col = "__bq"
-        else:
-            # TQ: rebuild the renormed rotated reconstruction x_hat =
-            # (centroids[codes]*scale + shift) * (l2/cn); its norm is l2
-            # and the rotation is orthonormal, so dot/cosine/euclid of
-            # (x_hat, rotated query) equal tq_search's renorm formulas
-            # exactly; manhattan un-rotates and scores against the raw
-            # query (the reference's L1 slow path, mod.rs:110-112).
-            from qdrant_spark.operators.quantize import (
-                _TQ_CENTROIDS, _tq_rotation_params, _tq_preprocess,
-                _tq_unpack, _tq_unrotate,
-            )
-
-            bpc = idx.bits_per_code
-            cents = _TQ_CENTROIDS[bpc]
-            pd_, dim_, seed_ = idx.padded_dim, idx.dim, idx.seed
-            params = _tq_rotation_params(pd_, seed_)
-            ecs, ecsh = idx.ec_scale, idx.ec_shift
-            if metric != "manhattan":
-                Qpad = np.zeros((len(Qraw), pd_), dtype=np.float64)
-                Qpad[:, :dim_] = Qraw
-                from qdrant_spark.operators.quantize import _tq_rotate
-
-                Q = _tq_rotate(Qpad, params)
-
-            def dec(vec, n, cents=cents, params=params):
-                import pyarrow as pa
-
-                if isinstance(vec, pa.ChunkedArray):
-                    vec = vec.combine_chunks()
-                raw = np.frombuffer(
-                    b"".join(vec.field("__tq").to_pylist()),
-                    dtype=np.uint8).reshape(n, -1)
-                l2 = vec.field("__tq_l2").to_numpy(zero_copy_only=False)
-                cn = np.maximum(
-                    vec.field("__tq_cn").to_numpy(zero_copy_only=False),
-                    1e-12)
-                C = cents[_tq_unpack(raw, bpc, pd_)]
-                if ecs is not None:
-                    C = C * ecs + ecsh
-                X = C * (l2 / cn)[:, None]
-                if metric == "manhattan":
-                    return _tq_unrotate(X, params)[:, :dim_]
-                return X
-
-            scan_src = scan_src.withColumn(
-                "__tqz", F.struct("__tq", "__tq_l2", "__tq_cn"))
-            code_col = "__tqz"
-
+        prep, code_col, dec, Q, scan_metric = _quant_scan_setup(
+            qh, metric, Qraw)
         coarse = _matmul_knn(
-            scan_src, None, metric=scan_metric, k=max(cs.values()),
+            prep(qh.codes_frame()), None, metric=scan_metric,
+            k=max(cs.values()),
             vec_col=code_col, id_col=idx.id_col, qid_col="__qid",
             qvec_col="__qvec", score_threshold=None,
             q_data=(idxs, Q), vec_decode=dec,
@@ -1482,61 +1559,151 @@ def _batch_quant_indexed(planner: "QueryPlanner",
             if r["rank"] <= cs[r["__qid"]]:
                 by_req[r["__qid"]].append((r[idx.id_col],
                                            float(r["score"])))
-        spark = planner.points.sparkSession
-        id_type = planner.points.schema[planner.id_col].dataType
-        schema = T.StructType([
-            T.StructField(planner.id_col, id_type),
-            T.StructField("score", T.DoubleType()),
-        ])
-        larger = larger_is_better(metric)
+        _finish_quant_group(planner, requests, idxs, outs, qh, metric,
+                            ks, rescores, by_req)
 
-        def finish(i: int, hits: list) -> None:
-            req = requests[i]
-            # the single-request plan cuts to k = limit+offset BEFORE the
-            # threshold filter (quant_search(k=...) then the leaf filter)
-            hits = hits[:ks[i]]
-            thr = req.get("score_threshold")
-            if thr is not None:
-                # binary coarse scores (rescore=False) are the ±1-dot
-                # estimate — larger-better whatever the metric, same
-                # direction rule as the single-request leaf
-                lg = (True if not rescores[i] and qh.kind == "binary"
-                      else larger)
-                keep = (lambda s: s > float(thr)) if lg \
-                    else (lambda s: s < float(thr))
-                hits = [h for h in hits if keep(h[1])]
-            off = int(req.get("offset", 0))
-            lim = int(req.get("limit", DEFAULT_LIMIT))
-            outs[i] = spark.createDataFrame(hits[off:off + lim], schema)
 
-        need_rescore = [i for i in idxs if rescores[i]]
-        if need_rescore:
-            pairs = spark.createDataFrame(
-                [(int(i), h[0]) for i in need_rescore
-                 for h in by_req[i]],
-                T.StructType([T.StructField("__qid", T.LongType()),
-                              T.StructField(idx.id_col, id_type)]))
-            full = idx.full if idx.full is not None else qh.codes_frame()
-            qdf = spark.createDataFrame(
-                [(int(i), [float(x) for x in requests[i]["query"]["nearest"]])
-                 for i in need_rescore],
-                "__qid long, __qvec array<double>")
-            joined = (full.select(idx.id_col, idx.vec_col)
-                      .join(F.broadcast(pairs), idx.id_col)
-                      .join(F.broadcast(qdf), "__qid"))
-            scored = rowwise_score_topk(
-                joined, metric=metric, k=max(ks[i] for i in need_rescore),
-                qid_col="__qid", id_col=idx.id_col, vec_col=idx.vec_col,
-                qvec_col="__qvec")
-            rows = scored.collect()
-            exact: dict[int, list] = {i: [] for i in need_rescore}
-            for r in sorted(rows, key=lambda r: (r["__qid"], r["rank"])):
-                exact[r["__qid"]].append((r[idx.id_col], float(r["score"])))
-            for i in need_rescore:
-                finish(i, exact[i])
-        for i in idxs:
-            if not rescores[i]:
-                finish(i, by_req[i])
+def _masked_code_topk(frame, *, code_col, id_col, qids, Q, cluster_q,
+                      k, metric, vec_decode):
+    """Cluster-masked batched coarse scan: ONE pass over the (already
+    probe-union-pruned) coded frame in which each cluster block scores
+    against ONLY the queries that probed it (the ann.ivf_search_batch
+    kernel, generalized with the per-kind decode hook). Exact per-query
+    (score direction, id) ranking via the final window, so candidates
+    match the single-request composed plan bit-for-bit."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    from qdrant_spark.operators.knn import (
+        larger_is_better, score_block, score_order,
+    )
+
+    sc = frame.sparkSession.sparkContext
+    bq = sc.broadcast((np.asarray(qids), Q, cluster_q))
+    bigger = larger_is_better(metric)
+    sel = frame.select(id_col, code_col, "__cluster")
+    out_schema = T.StructType([
+        T.StructField("__qid", T.LongType()),
+        T.StructField(id_col, sel.schema[id_col].dataType),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def score_batches(batches):
+        import pyarrow as pa
+
+        qid_arr, Qm, cq = bq.value
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            vec = batch.column(1)
+            if isinstance(vec, pa.ChunkedArray):
+                vec = vec.combine_chunks()
+            M = vec_decode(vec, n)
+            cl = batch.column(2).to_numpy(zero_copy_only=False)
+            acc_q, acc_i, acc_s = [], [], []
+            for c in np.unique(cl):
+                qidx = cq.get(int(c))
+                if qidx is None or len(qidx) == 0:
+                    continue
+                mask = cl == c
+                S = score_block(M[mask], Qm[qidx], metric)
+                nb = S.shape[0]
+                kk = min(k, nb)
+                if kk < nb:
+                    part = np.argpartition(
+                        -S if bigger else S, kk - 1, axis=0)[:kk]
+                else:
+                    part = np.tile(np.arange(nb)[:, None],
+                                   (1, len(qidx)))
+                rows = part.ravel(order="F")
+                acc_q.append(np.repeat(qidx, part.shape[0]))
+                acc_i.append(ids[mask][rows])
+                acc_s.append(S[rows, np.repeat(np.arange(len(qidx)),
+                                               part.shape[0])])
+            if not acc_q:
+                continue
+            qi = np.concatenate(acc_q)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qid_arr[qi]),
+                 pa.array(np.concatenate(acc_i)),
+                 pa.array(np.concatenate(acc_s), type=pa.float64())],
+                names=["__qid", id_col, "score"],
+            )
+
+    scored = sel.mapInArrow(score_batches, out_schema)
+    w = Window.partitionBy("__qid").orderBy(
+        *score_order(metric, id_col=id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def _batch_quant_ivf_indexed(planner: "QueryPlanner",
+                             requests: list[dict[str, Any]],
+                             outs: list) -> None:
+    """Batched COMPOSED quantized search (r11): unfiltered dense nearest
+    requests on a column with both cluster and code structure are
+    answered by ONE cluster-masked coarse scan over the probed union of
+    the (id, __cluster, code) frame — each query scored only inside ITS
+    probed clusters, so candidates equal the per-request composed plan —
+    plus the shared pair-scored rescore. The reference batches quantized
+    search through one storage walk with the graph doing the pruning;
+    here partition pruning covers the probe union and the mask keeps
+    per-query semantics exact."""
+    import numpy as np
+
+    groups: dict[str, list[int]] = {}
+    for i, vc in _quant_batch_eligible(planner, requests, outs):
+        qih = planner.quant_ivf_indexes.get(vc)
+        qh = planner.quant_indexes.get(vc)
+        ivf = planner._ivf_for(vc)
+        if qih is None and (qh is None or ivf is None):
+            continue
+        groups.setdefault(vc, []).append(i)
+
+    for vc, idxs in groups.items():
+        if len(idxs) < 2:
+            continue
+        qh = planner.quant_indexes.get(vc)
+        qih = planner.quant_ivf_indexes.get(vc)
+        if qih is None:
+            qih = planner._quant_ivf_for(vc, qh, planner._ivf_for(vc))
+        if qh is None:
+            qh = qih.handle
+        metric = planner.metric_for(vc)
+        ks, cs, rescores = _quant_batch_params(planner, requests, idxs, qh)
+        if len(idxs) * max(cs.values()) > planner.fused_collect_max:
+            continue
+        Qraw = np.asarray(
+            [[float(x) for x in requests[i]["query"]["nearest"]]
+             for i in idxs])
+        prep, code_col, dec, Q, scan_metric = _quant_scan_setup(
+            qh, metric, Qraw)
+        # per-query probes in RAW vector space (same argsort as the
+        # single-request quant_ivf_search), masks keyed by cluster
+        d = ((Qraw[:, None, :] - qih.centroids[None, :, :]) ** 2).sum(axis=2)
+        probes = np.argsort(d, axis=1)[:, :qih.nprobe]
+        used = sorted({int(c) for row in probes for c in row})
+        cluster_q = {int(c): np.where((probes == c).any(axis=1))[0]
+                     for c in used}
+        pruned = prep(qih.coded.filter(F.col("__cluster").isin(used)))
+        coarse = _masked_code_topk(
+            pruned, code_col=code_col, id_col=qih.id_col, qids=idxs,
+            Q=Q, cluster_q=cluster_q, k=max(cs.values()),
+            metric=scan_metric, vec_decode=dec,
+        ).collect()
+        planner.last_plan_info["quant_ivf_batch_groups"] = \
+            planner.last_plan_info.get("quant_ivf_batch_groups", 0) + 1
+        by_req: dict[int, list] = {i: [] for i in idxs}
+        for r in coarse:
+            if r["rank"] <= cs[r["__qid"]]:
+                by_req[r["__qid"]].append((r[qih.id_col],
+                                           float(r["score"])))
+        _finish_quant_group(planner, requests, idxs, outs, qh, metric,
+                            ks, rescores, by_req)
 
 
 def query_batch(
@@ -1614,6 +1781,7 @@ def query_batch(
             outs[i] = df
     _batch_sparse_indexed(planner, requests, outs)
     _batch_quant_indexed(planner, requests, outs)
+    _batch_quant_ivf_indexed(planner, requests, outs)
     # stash fallback persists from the fused legs: the per-request plan()
     # calls below free planner._fused_persisted at entry, which would
     # evict the shared scan before the batch union materializes

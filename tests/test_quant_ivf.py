@@ -291,3 +291,83 @@ def test_client_declared_index_params_compose(spark, embeddings):
                            search_params={"exact": True})
     assert [(p.id, round(p.score, 6)) for p in got.points] == \
         [(p.id, round(p.score, 6)) for p in exact.points]
+
+
+def test_query_batch_composed_quant_ivf(embeddings, ivf8, monkeypatch):
+    """Batched COMPOSED search (r11): >=2 unfiltered dense requests on a
+    column with both cluster and code structure run ONE cluster-masked
+    coarse scan (each query scored only inside ITS probed clusters) +
+    ONE pair rescore — value-identical per request to the per-request
+    composed plans, including offset / rescore=False / threshold."""
+    from qdrant_spark import query as QM
+    from qdrant_spark.query import query_batch
+
+    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+                    id_col="vec_id")
+    qih = compose_quant_ivf(h, ivf8, nprobe=3)
+    rows = embeddings.limit(3).collect()
+    q1, q2, q3 = (list(r["embedding"]) for r in rows)
+    reqs = [
+        {"query": {"nearest": q1}, "limit": 5,
+         "params": {"quantization": {"oversampling": 6.0}}},
+        {"query": {"nearest": q2}, "limit": 4, "offset": 1},
+        {"query": {"nearest": q3}, "limit": 5,
+         "params": {"quantization": {"rescore": False}}},
+        {"query": {"nearest": q1}, "limit": 8, "score_threshold": 0.1},
+    ]
+    kw = dict(id_col="vec_id", vec_col="embedding",
+              quant_indexes={"embedding": h},
+              quant_ivf_indexes={"embedding": qih})
+    want = [query_batch(embeddings, [dict(r)], **kw).collect()
+            for r in reqs]
+    calls = []
+    orig = QM._masked_code_topk
+    monkeypatch.setattr(
+        QM, "_masked_code_topk",
+        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    got = query_batch(embeddings, [dict(r) for r in reqs],
+                      **kw).collect()
+    assert len(calls) == 1  # ONE masked coarse scan for the batch
+    by_req: dict = {}
+    for r in got:
+        by_req.setdefault(r["request_idx"], []).append(
+            (r["vec_id"], round(r["score"], 6)))
+    for i, w in enumerate(want):
+        assert sorted(by_req.get(i, [])) == \
+            sorted((r["vec_id"], round(r["score"], 6)) for r in w), i
+
+
+@pytest.mark.parametrize("config,metric", [
+    ({"product": {"compression": "x8"}}, "cosine"),
+    ({"binary": {}}, "cosine"),
+    ({"turbo": {"bits": "bits4"}}, "euclid"),
+])
+def test_query_batch_composed_all_kinds(embeddings, ivf8, config, metric):
+    """The masked composed batch covers every quantization kind — the
+    per-kind decode hooks are shared with the plain batched path."""
+    from qdrant_spark.query import query_batch
+
+    h = build_quant(embeddings, config, vec_col="embedding",
+                    id_col="vec_id")
+    qih = compose_quant_ivf(h, ivf8, nprobe=3)
+    rows = embeddings.limit(2).collect()
+    q1, q2 = (list(r["embedding"]) for r in rows)
+    reqs = [
+        {"query": {"nearest": q1}, "limit": 5,
+         "params": {"quantization": {"oversampling": 8.0}}},
+        {"query": {"nearest": q2}, "limit": 4,
+         "params": {"quantization": {"oversampling": 8.0}}},
+    ]
+    kw = dict(id_col="vec_id", vec_col="embedding", metric=metric,
+              quant_indexes={"embedding": h},
+              quant_ivf_indexes={"embedding": qih})
+    want = [query_batch(embeddings, [dict(r)], **kw).collect()
+            for r in reqs]
+    got = query_batch(embeddings, [dict(r) for r in reqs], **kw).collect()
+    by_req: dict = {}
+    for r in got:
+        by_req.setdefault(r["request_idx"], []).append(
+            (r["vec_id"], round(r["score"], 6)))
+    for i, w in enumerate(want):
+        assert sorted(by_req.get(i, [])) == \
+            sorted((r["vec_id"], round(r["score"], 6)) for r in w), i
