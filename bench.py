@@ -699,6 +699,25 @@ def main() -> None:
 
     measure("sq_ivf_planned_xxl_disk", q_sq_ivf_planned_xxl_disk)
 
+    # r11: 64 requests on the composed column fuse into ONE
+    # cluster-masked coarse scan (each query scored only inside ITS
+    # probed clusters — candidates identical to the per-request composed
+    # plans, pytest-gated) + ONE pair rescore. Contrast
+    # ivf_pq_batch64_xxl_disk (the operator-level analogue) and
+    # knn_batch64_xxl_disk (exact floats).
+    from qdrant_spark.query import query_batch as _qb
+
+    def q_sq_ivf_batch64_xxl_disk():
+        reqs = [{"query": {"nearest": qvecs[i]}, "limit": 10,
+                 "params": {"quantization": {"oversampling": PQ_OS}}}
+                for i in range(64)]
+        return _qb(xxl_disk, reqs, id_col="vec_id", vec_col="embedding",
+                   quant_indexes={"embedding": quant_xxl},
+                   quant_ivf_indexes={"embedding": qivf_xxl}).count()
+
+    measure("sq_ivf_batch64_xxl_disk", q_sq_ivf_batch64_xxl_disk,
+            strict=True)
+
     # r10: multivector MaxSim with the token-level IVF coarse stage.
     # Corpus: the same 512k rows as 8 tokens x 48 dims. The exact line
     # scans every token (4M x 48d BLAS per batch); the pruned line probes
