@@ -162,11 +162,18 @@ def _infer_dtype(v: Any):
 
 
 def _merge_dtype(old, new):
-    """Widen ``old`` with any struct fields only ``new`` has; on a scalar
-    type conflict the STORED type wins (other rows already hold it —
-    values are cast, like the client's cross-batch payload typing)."""
+    """Widen ``old`` with any struct fields only ``new`` has; mixed
+    long/double widens to double (the client's cross-batch upsert rule —
+    without it a float set over an int-typed column TRUNCATED, while the
+    reference's schemaless JSON payload never would); on any other
+    scalar conflict the STORED type wins (other rows already hold it —
+    values are cast)."""
     from pyspark.sql import types as T
 
+    numeric = (T.LongType, T.DoubleType)
+    if isinstance(old, numeric) and isinstance(new, numeric) \
+            and old != new:
+        return T.DoubleType()
     if isinstance(old, T.StructType) and isinstance(new, T.StructType):
         newmap = {f.name: f.dataType for f in new.fields}
         fields = [

@@ -1593,3 +1593,22 @@ class TestQuantizationPatch:
         col = c._coll("qown")
         assert col.vectors["a"].quantization is None
         assert col.vectors["b"].quantization is None
+
+
+def test_set_payload_widens_int_column_to_double(spark):
+    """set_payload with a float over an int-typed payload column widens
+    the column to double instead of truncating the value (the client's
+    cross-batch upsert rule applied on the mutation path; the
+    reference's schemaless JSON payload never truncates). Found by the
+    nested-roundtrip property test: p1={'num': 0}, p2={'num': 0.5}."""
+    c = QdrantSparkClient(spark)
+    c.create_collection("widen", vectors_config={"size": 2,
+                                                 "distance": "Dot"})
+    c.upsert("widen", [{"id": 1, "vector": [1.0, 0.0],
+                        "payload": {"num": 0}},
+                       {"id": 2, "vector": [0.0, 1.0],
+                        "payload": {"num": 7}}])
+    c.set_payload("widen", {"num": 0.5}, points=[1])
+    got = {p.id: p.payload["num"] for p in c.retrieve("widen", [1, 2])}
+    assert got[1] == 0.5       # the float survives
+    assert got[2] == 7.0       # untouched rows widen losslessly
