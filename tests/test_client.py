@@ -1327,9 +1327,12 @@ class TestNestedPayloadMutation:
         c.set_payload("np", {"a": 9}, points=[2], key="meta")
         assert c.retrieve("np", [2])[0].payload["meta"]["a"] == 9
         assert c.retrieve("np", [1])[0].payload["meta"]["a"] == 3
-        # scalar type conflict: stored type wins, value cast
+        # numeric type conflict: the int-typed column widens to double
+        # (schemaless JSON payload never truncates); other rows' stored
+        # longs survive losslessly
         c.set_payload("np", {"plain": 8.9}, points=[2])
-        assert c.retrieve("np", [2])[0].payload["plain"] == 8
+        assert c.retrieve("np", [2])[0].payload["plain"] == 8.9
+        assert c.retrieve("np", [1])[0].payload["plain"] == 5
         # overwrite with nested dict + new list column
         c.overwrite_payload("np", {"meta": {"a": 4, "b": "w"},
                                    "tags": ["r", "s"]}, points=[2])
