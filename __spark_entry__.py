@@ -3202,6 +3202,62 @@ def _q_bq_rescore(spark: SparkSession, sf: str) -> DataFrame:
     return _r6(out, "score")
 
 
+def _q_bq_asym(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric binary quantization
+    (BinaryQuantizationQueryEncoding::Scalar8Bits, types.rs:1188-1201;
+    encoded_vectors_binary.rs:673-760): storage stays 1-bit, the QUERY
+    keeps 8-bit scalar precision — scored as bits_count XOR+popcount
+    passes over the packed words, shift-summed (the arXiv:2405.12497
+    bit-plane trick). rescore=False returns the coarse estimate
+    ext_dim - 2*xor/255 directly, so the oracle replays the whole
+    asymmetric quantity in SQL: per-dimension code where the stored bit
+    is 0, 255-code where it is 1."""
+    from qdrant_spark.operators.quantize import build_bq, bq_search
+
+    emb = _emb(spark, sf)
+    idx = build_bq(emb, vec_col="embedding", id_col="vec_id",
+                   query_encoding="scalar8bits")
+    q = _vecs(spark, sf, [0])[0]
+    out = bq_search(idx, q, k=10, oversampling=8.0, metric="cosine",
+                    rescore=False)
+    return _r6(out, "score")
+
+
+def _bq_asym_sql() -> str:
+    """Value oracle for the asymmetric 1-bit BQ coarse scan: the storage
+    bit is v[d] > corpus-mean_d, the query codes are the uniform scalar
+    quantization floor((q_d + max_abs)/delta + 0.5) % 256 over
+    [-max_abs, +max_abs] with delta = 2*max_abs/255, and the ranked
+    quantity is xor = sum_d (code_d if bit=0 else 255-code_d) — every
+    step is double arithmetic DuckDB replays exactly."""
+    return f"""
+WITH {_Q_CTE},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+m AS (SELECT list(mv ORDER BY d) AS means FROM (
+        SELECT g.d AS d, AVG(v[g.d]) AS mv
+        FROM e, (SELECT unnest(generate_series(1, (SELECT len(v) FROM e LIMIT 1))) AS d) g
+        GROUP BY g.d)),
+p AS (SELECT qv, list_aggregate(list_transform(qv, x -> abs(x)), 'max') AS mab
+      FROM q),
+c AS (SELECT len(qv) AS dim,
+             list_transform(generate_series(1, len(qv)),
+                 i -> CAST(floor((qv[i] + mab) / (2.0 * mab / 255.0)
+                                 + 0.5) AS BIGINT) % 256) AS codes
+      FROM p),
+h AS (SELECT e.vec_id,
+             list_aggregate(list_transform(
+                 generate_series(1, len(e.v)),
+                 i -> CASE WHEN e.v[i] > m.means[i]
+                      THEN 255 - c.codes[i] ELSE c.codes[i] END),
+                 'sum') AS x
+      FROM e, m, c)
+SELECT vec_id,
+       round(CAST((SELECT dim FROM c) AS DOUBLE) - (2.0 / 255.0) * x, 6)
+           AS score
+FROM h ORDER BY x, vec_id LIMIT 10
+"""
+
+
 def _q_bq2_rescore(spark: SparkSession, sf: str) -> DataFrame:
     """2-bit binary quantization (BinaryQuantizationEncoding::TwoBits,
     types.rs:1036-1041; z-score zones encoded_vectors_binary.rs:624-671)
@@ -3799,6 +3855,7 @@ _GATE_PRIORITY = [
     # r10 VERDICT item 4), filling the 50-slot gate with the 13 oldest
     # r09 entries. After r11 no entry's latest driver row should be
     # older than r09; the r10-greened cohort goes last.
+    "quantized_bq_asym",
     "quantized_ivf_planned",
     "quantized_batch_kinds",
     "maxsim_sq",
@@ -4100,6 +4157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_tq_rescore": _q_tq_rescore,
         "quantized_bq_rescore": _q_bq_rescore,
         "quantized_bq2_rescore": _q_bq2_rescore,
+        "quantized_bq_asym": _q_bq_asym,
     })
 
 
@@ -4343,5 +4401,6 @@ FROM documents
         # nprobe=2 result is deterministic; quantized_bq_rescore's 1-bit
         # coarse stage is a pure function of the corpus means
         "quantized_bq_rescore": _bq_rescore_sql(),
+        "quantized_bq_asym": _bq_asym_sql(),
         "ann_ivf": _ann_ivf_sql(),
     })

@@ -228,6 +228,16 @@ BQ_SIGMAS = 2.0 / 3.0
 
 BQ_ENCODINGS = ("one_bit", "two_bits", "one_and_half_bits")
 
+#: BinaryQuantizationQueryEncoding (types.rs:1188-1201) — "default" and
+#: "binary" both mean SameAsStorage (quantized_vectors.rs:164-180 maps
+#: them identically); the scalar kinds keep the QUERY at 4/8-bit scalar
+#: precision against 1-bit storage (asymmetric scoring,
+#: encoded_vectors_binary.rs:673-760).
+BQ_QUERY_ENCODINGS = ("default", "binary", "scalar4bits", "scalar8bits")
+
+#: query-side bit width of the asymmetric encodings
+_BQ_QUERY_BITS = {"scalar4bits": 4, "scalar8bits": 8}
+
 
 @dataclass
 class BqIndex:
@@ -252,6 +262,10 @@ class BqIndex:
     stds: np.ndarray | None = None
     encoding: str = "one_bit"
     full: DataFrame | None = None  # split storage, see SqIndex.full
+    #: BinaryQuantizationQueryEncoding — storage codes are IDENTICAL
+    #: across values; only query encoding + scoring change, so this is
+    #: search-time state, not a code-layout property.
+    query_encoding: str = "default"
 
 
 def _pack_expr(bit_col, dim: int):
@@ -315,12 +329,17 @@ def build_bq(
     vec_col: str = "vec",
     id_col: str = "id",
     encoding: str = "one_bit",
+    query_encoding: str = "default",
 ) -> BqIndex:
     """Fit per-dimension mean (and stddev for the multi-bit encodings) in
     ONE aggregation pass, then bit-encode the corpus with pure column
     math — no python workers; the pack folds into whole-stage codegen."""
     if encoding not in BQ_ENCODINGS:
         raise ValueError(f"encoding must be one of {BQ_ENCODINGS}, got {encoding!r}")
+    if query_encoding not in BQ_QUERY_ENCODINGS:
+        raise ValueError(
+            f"query_encoding must be one of {BQ_QUERY_ENCODINGS}, "
+            f"got {query_encoding!r}")
     base = points.filter(F.col(vec_col).isNotNull())
     first = base.select(F.size(vec_col).alias("d")).first()
     if first is None:
@@ -340,7 +359,8 @@ def build_bq(
     packed = base.withColumn(
         "__bq", _bq_code_expr(means, stds, encoding, vec_col, dim))
     return BqIndex(packed=packed, means=means, vec_col=vec_col,
-                   id_col=id_col, stds=stds, encoding=encoding)
+                   id_col=id_col, stds=stds, encoding=encoding,
+                   query_encoding=query_encoding)
 
 
 def _bq_code_expr(means: np.ndarray, stds: np.ndarray | None, encoding: str,
@@ -996,6 +1016,101 @@ def bq_query_bits(index: BqIndex, query_vector: Sequence[float]) -> np.ndarray:
     return np.concatenate([b1, pad.reshape(-1, 2).max(axis=1)])
 
 
+def _pack_words(bits: Sequence[int]) -> list[int]:
+    """Pack a 0/1 bit sequence into signed-long words with the SAME
+    layout as :func:`_pack_expr` (first element highest; a trailing
+    partial word keeps its bits in the LOW positions), two's-complement
+    wrapped to match Spark's signed longs."""
+    words = []
+    for w in range((len(bits) + 63) // 64):
+        word = 0
+        for b in bits[w * 64: w * 64 + 64]:
+            word = (word << 1) | int(b)
+        if word >= 1 << 63:
+            word -= 1 << 64
+        words.append(word)
+    return words
+
+
+def bq_scalar_query_planes(
+    index: BqIndex, query_vector: Sequence[float],
+) -> tuple[list[list[int]], int]:
+    """Asymmetric query encoding (QueryEncoding::Scalar4bits/Scalar8bits,
+    encoded_vectors_binary.rs:673-760): the query is uniformly scalar-
+    quantized over [-max_abs, +max_abs] into ``bits`` levels per
+    dimension and laid out as ``bits`` BIT-PLANES, each word-packed like
+    the storage — scoring is then ``bits`` XOR+popcounts shift-summed
+    (the trick of arXiv:2405.12497 Fig. 2 the reference cites), never
+    unpacking a stored bit. Returns ``(planes, ranges)`` with
+    ``planes[b]`` the packed words of plane ``b`` and
+    ``ranges = 2**bits - 1`` the scale of the summed quantity.
+
+    The query is first EXTENDED to the storage's bit layout
+    (encoded_vectors_binary.rs:695-721): duplicated for two_bits,
+    appended with pairwise maxima for one_and_half_bits."""
+    bits_count = _BQ_QUERY_BITS[index.query_encoding]
+    codes, ranges = bq_scalar_query_codes(index, query_vector)
+    return [
+        _pack_words(((codes >> b) & 1).tolist()) for b in range(bits_count)
+    ], ranges
+
+
+def bq_scalar_query_codes(
+    index: BqIndex, query_vector: Sequence[float],
+) -> tuple[np.ndarray, int]:
+    """The raw per-dimension scalar codes of an asymmetric query (before
+    plane packing): extend to the storage bit layout, uniformly quantize
+    over [-max_abs, +max_abs] into ``2**bits`` levels
+    (encoded_vectors_binary.rs:723-755). Returns ``(codes, ranges)``.
+
+    Quantizes in float64 — the engine's vector precision — where the
+    reference uses f32 (it stores f32 vectors); pure precision headroom,
+    and it makes the arithmetic exactly replayable in SQL."""
+    bits_count = _BQ_QUERY_BITS[index.query_encoding]
+    q = np.asarray(query_vector, dtype=np.float64)
+    if index.encoding == "two_bits":
+        ext = np.concatenate([q, q])
+    elif index.encoding == "one_and_half_bits":
+        pad = np.append(q, q[-1]) if len(q) % 2 else q
+        ext = np.concatenate([q, pad.reshape(-1, 2).max(axis=1)])
+    else:
+        ext = q
+    ranges = (1 << bits_count) - 1
+    max_abs = float(np.max(np.abs(ext))) if ext.size else 0.0
+    delta = 2.0 * max_abs / ranges
+    if delta > np.finfo(np.float32).eps:
+        # round half AWAY FROM ZERO on non-negative values (Rust
+        # f32::round), not numpy's banker's rounding
+        codes = np.floor((ext + max_abs) / delta + 0.5).astype(np.int64) \
+            % (ranges + 1)
+    else:
+        codes = np.zeros(ext.shape, dtype=np.int64)
+    return codes, ranges
+
+
+def bq_asym_xor_expr(index: BqIndex, query_vector: Sequence[float]):
+    """Column: the scaled asymmetric XOR quantity
+    ``sum_b 2^b * popcount(__bq XOR plane_b)`` — per dimension it equals
+    ``q_i`` where the stored bit is 0 and ``ranges - q_i`` where it is 1
+    (encoded_vectors_binary.rs:767-795 xor_popcnt_scalar); dividing by
+    ``ranges`` gives the fractional Hamming distance the reference ranks
+    by. Stays in whole-stage codegen: ``bits`` bit_count passes over the
+    packed words, zero unpacking."""
+    planes, ranges = bq_scalar_query_planes(index, query_vector)
+    total = None
+    for b, plane in enumerate(planes):
+        part = F.aggregate(
+            F.zip_with(
+                F.col("__bq"), F.lit(plane),
+                lambda a, w: F.bit_count(a.bitwiseXOR(w)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ) * F.lit(1 << b)
+        total = part if total is None else total + part
+    return total, ranges
+
+
 def bq_search(
     index: BqIndex,
     query_vector: Sequence[float],
@@ -1016,37 +1131,44 @@ def bq_search(
     With ``rescore=False`` the coarse ranking is returned directly and
     ``score`` is the ±1-representation dot estimate ``ext_dim - 2*ham``
     (matching-bits minus differing-bits — the same quantity the
-    reference's XOR scorer ranks by), NOT the true metric's scale."""
-    qbits = bq_query_bits(index, query_vector)
-    dim = len(qbits)
-    qwords = []
-    for w in range((dim + 63) // 64):
-        word = 0
-        for b in qbits[w * 64: w * 64 + 64]:
-            word = (word << 1) | int(b)
-        if word >= 1 << 63:  # two's-complement wrap to match signed longs
-            word -= 1 << 64
-        qwords.append(word)
+    reference's XOR scorer ranks by), NOT the true metric's scale.
+
+    With an asymmetric ``query_encoding`` ("scalar4bits"/"scalar8bits",
+    encoded_vectors_binary.rs:673-760) the query keeps 4/8-bit scalar
+    precision: the coarse rank is the fractional Hamming distance
+    ``xor/ranges`` (:func:`bq_asym_xor_expr`) and the rescore=False
+    score is ``ext_dim - 2*xor/ranges`` — the same ±1-dot scale as the
+    symmetric path (exactly it when every query code saturates), so
+    thresholds behave identically across encodings."""
+    if index.query_encoding in _BQ_QUERY_BITS:
+        ham, ranges = bq_asym_xor_expr(index, query_vector)
+        dim = _bq_ext_dim(len(index.means), index.encoding)
+        scale = 2.0 / ranges
+    else:
+        qbits = bq_query_bits(index, query_vector)
+        dim = len(qbits)
+        qwords = _pack_words(qbits)
+        ham = F.aggregate(
+            F.zip_with(
+                F.col("__bq"), F.lit(qwords),
+                lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        scale = 2.0
 
     n_coarse = max(k, int(np.ceil(k * oversampling)))
-    hamming = F.aggregate(
-        F.zip_with(
-            F.col("__bq"), F.lit(qwords),
-            lambda a, b: F.bit_count(a.bitwiseXOR(b)),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
     pts = _coarse_src(index.packed, index.full, flt, index.id_col)
     coarse = (
-        pts.withColumn("__ham", hamming)
+        pts.withColumn("__ham", ham)
         .orderBy(F.col("__ham"), F.col(index.id_col))
         .limit(n_coarse)
     )
     if not rescore:
         return coarse.limit(k).select(
             F.col(index.id_col),
-            (F.lit(float(dim)) - 2.0 * F.col("__ham").cast("double"))
+            (F.lit(float(dim)) - scale * F.col("__ham").cast("double"))
             .alias("score"),
         )
     cand_ids = F.broadcast(coarse.select(index.id_col))
@@ -1118,6 +1240,18 @@ def quant_kind(config: dict[str, Any]) -> str:
         raise ValueError(
             f"quantization_config needs exactly one of scalar/product/"
             f"binary/turbo, got {sorted(config)!r}")
+    if kinds[0] == "binary":
+        cfg = config["binary"] or {}
+        enc = cfg.get("encoding", "one_bit")
+        if enc not in BQ_ENCODINGS:
+            raise ValueError(
+                f"binary encoding must be one of {BQ_ENCODINGS}, "
+                f"got {enc!r}")
+        qenc = str(cfg.get("query_encoding", "default")).lower()
+        if qenc not in BQ_QUERY_ENCODINGS:
+            raise ValueError(
+                f"binary query_encoding must be one of "
+                f"{BQ_QUERY_ENCODINGS}, got {qenc!r}")
     return kinds[0]
 
 
@@ -1137,7 +1271,11 @@ def build_quant(
     - ``{"product": {"compression": "x4".."x64"}}`` -> :func:`build_pq`
       (n_subspaces = dim*4/ratio, clamped down to a divisor of dim)
     - ``{"binary": {"encoding": "one_bit"|"two_bits"|
-      "one_and_half_bits"}}`` -> :func:`build_bq`
+      "one_and_half_bits", "query_encoding": "default"|"binary"|
+      "scalar4bits"|"scalar8bits"}}`` -> :func:`build_bq` ("default"
+      and "binary" both mean same-as-storage,
+      quantized_vectors.rs:164-180; the scalar kinds score
+      asymmetrically)
     - ``{"turbo": {"bits": "bits1"|"bits1_5"|"bits2"|"bits4"}}`` ->
       :func:`build_tq`
 
@@ -1166,8 +1304,9 @@ def build_quant(
                        n_subspaces=m)
     elif kind == "binary":
         enc = cfg.get("encoding", "one_bit")
+        qenc = str(cfg.get("query_encoding", "default")).lower()
         idx = build_bq(points, vec_col=vec_col, id_col=id_col,
-                       encoding=enc)
+                       encoding=enc, query_encoding=qenc)
     else:  # turbo
         bits = _TQ_BITS.get(str(cfg.get("bits", "bits4")))
         if bits is None:
@@ -1240,7 +1379,8 @@ def quant_state(handle: QuantHandle) -> tuple[dict[str, np.ndarray],
         arrays = {"means": idx.means}
         if idx.stds is not None:
             arrays["stds"] = idx.stds
-        return arrays, {"encoding": idx.encoding}
+        return arrays, {"encoding": idx.encoding,
+                        "query_encoding": idx.query_encoding}
     arrays = {}
     if idx.ec_shift is not None:
         arrays["ec_shift"] = idx.ec_shift
@@ -1273,6 +1413,8 @@ def quant_from_state(
         idx = BqIndex(packed=codes, means=arrays["means"],
                       stds=arrays.get("stds"),
                       encoding=scalars["encoding"],
+                      query_encoding=scalars.get("query_encoding",
+                                                 "default"),
                       vec_col=vec_col, id_col=id_col, full=full)
     elif kind == "turbo":
         idx = TqIndex(codes=codes, bits=scalars["bits"],

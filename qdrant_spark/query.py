@@ -1323,12 +1323,23 @@ def _quant_scan_setup(qh, metric: str, Qraw):
         code_col = "__pq"
     elif qh.kind == "binary":
         from qdrant_spark.operators.quantize import (
-            _bq_ext_dim, bq_query_bits,
+            _BQ_QUERY_BITS, _bq_ext_dim, bq_query_bits,
+            bq_scalar_query_codes,
         )
 
         ext_dim = _bq_ext_dim(len(idx.means), idx.encoding)
-        Q = np.asarray([bq_query_bits(idx, q) for q in Qraw],
-                       dtype=np.float64) * 2.0 - 1.0
+        if idx.query_encoding in _BQ_QUERY_BITS:
+            # asymmetric query encoding: with query rows (2q - R)/R the
+            # ±1-bit dot equals ext_dim - 2*xor/ranges — the single-
+            # request asym path's exact rescore=False scale
+            rows = []
+            for q in Qraw:
+                codes, ranges = bq_scalar_query_codes(idx, q)
+                rows.append((2.0 * codes - ranges) / ranges)
+            Q = np.asarray(rows, dtype=np.float64)
+        else:
+            Q = np.asarray([bq_query_bits(idx, q) for q in Qraw],
+                           dtype=np.float64) * 2.0 - 1.0
         scan_metric = "dot"
 
         def dec(vec, n, ext_dim=ext_dim):

@@ -871,3 +871,175 @@ def test_query_batch_groups_tq_through_codes(embeddings, metric):
         {"query": {"nearest": q2}, "limit": 4,
          "params": {"quantization": {"rescore": False}}},
     ], metric=metric)
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric binary query encoding (BinaryQuantizationQueryEncoding,
+# types.rs:1188-1201; encoded_vectors_binary.rs:673-760): the query keeps
+# 4/8-bit scalar precision against 1/1.5/2-bit storage
+# ---------------------------------------------------------------------------
+
+
+def _asym_mirror_scores(index, rows, q):
+    """Pure-python reference mirror of the asymmetric scorer: per doc,
+    xor = sum_i (q_i where s_i=0 else ranges-q_i), score =
+    ext_dim - (2/ranges)*xor — storage bits via the same-as-storage
+    encoder (encode_vector is shared by storage and symmetric queries)."""
+    from qdrant_spark.operators.quantize import (
+        _bq_ext_dim, bq_query_bits, bq_scalar_query_codes,
+    )
+
+    codes, ranges = bq_scalar_query_codes(index, q)
+    ext = _bq_ext_dim(len(index.means), index.encoding)
+    scale = 2.0 / ranges
+    out = {}
+    for vid, v in rows:
+        s = bq_query_bits(index, v)
+        xor = int(np.where(s == 1, ranges - codes, codes).sum())
+        out[vid] = float(ext) - scale * xor
+    return out
+
+
+@pytest.mark.parametrize("encoding", ["one_bit", "two_bits",
+                                      "one_and_half_bits"])
+@pytest.mark.parametrize("qenc", ["scalar4bits", "scalar8bits"])
+def test_bq_asym_scores_match_mirror(embeddings, encoding, qenc):
+    """The plane-packed XOR scan (bits_count popcounts shift-summed)
+    reproduces the reference's per-dimension asymmetric quantity exactly
+    for every storage encoding x query width."""
+    sub = embeddings.limit(40).cache()
+    idx = build_bq(sub, vec_col="embedding", id_col="vec_id",
+                   encoding=encoding, query_encoding=qenc)
+    rows = [(r["vec_id"], list(r["embedding"])) for r in sub.collect()]
+    q = rows[3][1]
+    want = _asym_mirror_scores(idx, rows, q)
+    got = {r["vec_id"]: r["score"]
+           for r in bq_search(idx, q, k=len(rows), oversampling=1.0,
+                              rescore=False).collect()}
+    assert got == {k: want[k] for k in got}
+    assert len(got) == len(rows)
+    sub.unpersist()
+
+
+def test_bq_asym_rescore_recovers_exact(embeddings):
+    """Ample oversampling + rescore: the asymmetric coarse stage feeds
+    the exact scorer, recovering the true top-k like every other kind;
+    8-bit queries should rank at least as well as 1-bit ones."""
+    idx = build_bq(embeddings, vec_col="embedding", id_col="vec_id",
+                   query_encoding="scalar8bits")
+    r = embeddings.first()
+    q = list(r["embedding"])
+    exact = _exact_ids(embeddings, q, "cosine", 10)
+    got = [x["vec_id"] for x in
+           bq_search(idx, q, k=10, oversampling=8.0).collect()]
+    assert got[0] == r["vec_id"]
+    assert len(set(got) & set(exact)) >= 6
+
+
+def test_bq_asym_state_roundtrip(embeddings):
+    """quant_state/quant_from_state carry query_encoding, so a reloaded
+    session scores asymmetrically without re-fitting."""
+    from qdrant_spark.operators.quantize import (
+        quant_from_state, quant_state,
+    )
+
+    h = build_quant(embeddings,
+                    {"binary": {"encoding": "two_bits",
+                                "query_encoding": "scalar4bits"}},
+                    vec_col="embedding", id_col="vec_id")
+    arrays, scalars = quant_state(h)
+    assert scalars["query_encoding"] == "scalar4bits"
+    h2 = quant_from_state(
+        "binary", h.codes_frame(), embeddings, vec_col="embedding",
+        id_col="vec_id", arrays=arrays, scalars=scalars,
+        oversampling=h.oversampling)
+    assert h2.index.query_encoding == "scalar4bits"
+    q = list(embeddings.first()["embedding"])
+    a = [(r["vec_id"], round(r["score"], 9)) for r in quant_search(
+        h, q, k=8, metric="cosine", rescore=False).collect()]
+    b = [(r["vec_id"], round(r["score"], 9)) for r in quant_search(
+        h2, q, k=8, metric="cosine", rescore=False).collect()]
+    assert a == b
+
+
+def test_bq_asym_bad_query_encoding_rejected(embeddings):
+    from qdrant_spark.operators.quantize import quant_kind
+
+    with pytest.raises(ValueError, match="query_encoding"):
+        build_bq(embeddings, vec_col="embedding", id_col="vec_id",
+                 query_encoding="scalar2bits")
+    with pytest.raises(ValueError, match="query_encoding"):
+        quant_kind({"binary": {"query_encoding": "nope"}})
+    # "default" and "binary" mean same-as-storage — both accepted
+    assert quant_kind({"binary": {"query_encoding": "Binary"}}) == "binary"
+
+
+def test_query_batch_groups_bq_asym_through_codes(embeddings):
+    """Asymmetric requests fuse into the same ONE ±1 scan — the query
+    rows (2q - R)/R make the dot equal ext_dim - 2*xor/ranges, so batch
+    == single per request including rescore=False and its threshold."""
+    rows = embeddings.limit(3).collect()
+    q1, q2, q3 = (list(r["embedding"]) for r in rows)
+    _batch_vs_single(
+        embeddings,
+        {"binary": {"encoding": "one_and_half_bits",
+                    "query_encoding": "scalar8bits"}}, [
+            {"query": {"nearest": q1}, "limit": 5,
+             "params": {"quantization": {"oversampling": 8.0}}},
+            {"query": {"nearest": q2}, "limit": 4, "offset": 1},
+            {"query": {"nearest": q3}, "limit": 6,
+             "params": {"quantization": {"rescore": False}}},
+            {"query": {"nearest": q1}, "limit": 8, "score_threshold": 10.0,
+             "params": {"quantization": {"rescore": False}}},
+        ])
+
+
+def test_client_bq_asym_end_to_end(spark, tmp_path):
+    """Declared asymmetric binary quantization through the full client
+    stack: create_collection accepts query_encoding, the built index
+    scores asymmetrically, a new session RELOADS it (query_encoding in
+    the persisted scalars), and changing only query_encoding is a config
+    mismatch that REBUILDS (the reference hashes the whole
+    BinaryQuantizationConfig, types.rs:1143-1151)."""
+    import random
+
+    from qdrant_spark.client import QdrantSparkClient
+
+    cfg = {"binary": {"encoding": "one_bit",
+                      "query_encoding": "scalar8bits"}}
+    c = QdrantSparkClient(spark, root=str(tmp_path))
+    c.create_collection("ab", vectors_config={"size": 8,
+                                              "distance": "Cosine"},
+                        quantization_config=cfg)
+    rng = random.Random(5)
+    pts = [{"id": i, "vector": [rng.uniform(-1, 1) for _ in range(8)]}
+           for i in range(150)]
+    c.upsert("ab", pts)
+    assert c.ensure_vector_index("ab", indexing_threshold=0) == "built"
+    assert c._coll("ab").quant[""].index.query_encoding == "scalar8bits"
+
+    q = pts[11]["vector"]
+    exact = c.query_points("ab", query=q, limit=10,
+                           search_params={"exact": True})
+    got = c.query_points(
+        "ab", query=q, limit=10,
+        search_params={"quantization": {"oversampling": 10.0}})
+    assert len(set(p.id for p in got.points)
+               & set(p.id for p in exact.points)) >= 8
+    assert got.points[0].id == 11
+
+    # new session over the same root: loaded, still asymmetric
+    c2 = QdrantSparkClient(spark, root=str(tmp_path))
+    c2.create_collection("ab", vectors_config={"size": 8,
+                                               "distance": "Cosine"},
+                         quantization_config=cfg)
+    c2.upsert("ab", pts)
+    assert c2.ensure_vector_index("ab", indexing_threshold=0) == "loaded"
+    assert c2._coll("ab").quant[""].index.query_encoding == "scalar8bits"
+
+    # flipping ONLY query_encoding rebuilds
+    c2.update_collection(
+        "ab", quantization_config={"binary": {
+            "encoding": "one_bit", "query_encoding": "default"}})
+    assert c2.ensure_vector_index("ab", indexing_threshold=0) == "rebuilt"
+    assert c2._coll("ab").quant[""].index.query_encoding == "default"
