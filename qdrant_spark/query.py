@@ -758,6 +758,38 @@ class QueryPlanner:
         if query is None:  # scroll by id
             out = scroll(pts, limit=limit, flt=flt, id_col=self.id_col)
             return out.select(self.id_col).withColumn("score", F.lit(0.0))
+        if "recommend" in query:
+            r = query["recommend"]
+            if r.get("strategy", "average_vector") == "average_vector" \
+                    and r.get("positive"):
+                # avg_vector reduces to a PLAIN dense nearest on the
+                # merged vector — rewrite the leaf so it inherits every
+                # indexed route (IVF / quantized / composed / exact
+                # crossover), exactly the reference's reduction
+                # (lib/collection/src/recommendations.rs
+                # recommend_by_avg_vector -> CoreSearchRequest; the
+                # HNSW+quantization path then serves it like any
+                # search). Sparse / multivector inputs fall through to
+                # the dedicated operator below.
+                import numpy as np
+
+                try:
+                    pos = np.asarray(
+                        [self._resolve_vector_input(t, req)
+                         for t in r.get("positive") or []],
+                        dtype=np.float64)
+                    neg = np.asarray(
+                        [self._resolve_vector_input(t, req)
+                         for t in r.get("negative") or []],
+                        dtype=np.float64)
+                except (TypeError, ValueError):
+                    pos = neg = None
+                if pos is not None and pos.ndim == 2 and \
+                        (neg.size == 0 or neg.ndim == 2):
+                    avg_pos = pos.mean(axis=0)
+                    merged = avg_pos if neg.size == 0 \
+                        else avg_pos + avg_pos - neg.mean(axis=0)
+                    query = {"nearest": [float(x) for x in merged]}
         if "nearest" in query:
             target = query["nearest"]
             if isinstance(target, dict) and "id" in target:
@@ -1490,6 +1522,36 @@ def _finish_quant_group(planner, requests, idxs, outs, qh, metric,
             finish(i, by_req[i])
 
 
+def _avg_recommend_merged(r: dict[str, Any]) -> list[float] | None:
+    """Merged avg_vector query for a recommend node whose examples are
+    ALL literal flat dense vectors — the driver-side half of the
+    reference's reduction (recommendations.rs recommend_by_avg_vector:
+    avg(pos) or avg(pos) + (avg(pos) - avg(neg))). Returns None when any
+    example is an id reference / sparse / multivector — those need
+    leaf-side resolution and root-filter exclusion."""
+    import numpy as np
+
+    if r.get("strategy", "average_vector") != "average_vector" \
+            or not r.get("positive"):
+        return None
+    pos_in, neg_in = r.get("positive") or [], r.get("negative") or []
+    for t in [*pos_in, *neg_in]:
+        if not (isinstance(t, (list, tuple)) and t
+                and not isinstance(t[0], (list, tuple, dict))):
+            return None
+    try:
+        pos = np.asarray(pos_in, dtype=np.float64)
+        neg = np.asarray(neg_in, dtype=np.float64)
+    except ValueError:
+        return None
+    if pos.ndim != 2 or (neg.size and neg.ndim != 2):
+        return None
+    avg_pos = pos.mean(axis=0)
+    merged = avg_pos if neg.size == 0 \
+        else avg_pos + avg_pos - neg.mean(axis=0)
+    return [float(x) for x in merged]
+
+
 def _quant_batch_eligible(planner, requests, outs):
     """(request index, vec_col) pairs of unfiltered single-leaf dense
     nearest requests on a quantized column — the shared eligibility test
@@ -1773,6 +1835,20 @@ def query_batch(
     )
     if not requests:
         raise ValueError("empty request batch")
+
+    # avg_vector recommends whose examples are all literal dense vectors
+    # reduce to plain nearest requests BEFORE grouping, so they join the
+    # fused / indexed batch paths (the reference's batch dispatch sees
+    # them as core searches after the same reduction,
+    # recommendations.rs); id-referenced examples keep their own plan —
+    # the leaf rewrite handles resolution + exclusion
+    requests = list(requests)
+    for i, req in enumerate(requests):
+        q = req.get("query")
+        if isinstance(q, dict) and isinstance(q.get("recommend"), dict):
+            merged = _avg_recommend_merged(q["recommend"])
+            if merged is not None:
+                requests[i] = {**req, "query": {"nearest": merged}}
 
     # group fusable single-leaf nearest requests by (vec_col, filter) —
     # same size dispatch as prefetch fusion (small corpora plan lazily)

@@ -1043,3 +1043,91 @@ def test_client_bq_asym_end_to_end(spark, tmp_path):
             "encoding": "one_bit", "query_encoding": "default"}})
     assert c2.ensure_vector_index("ab", indexing_threshold=0) == "rebuilt"
     assert c2._coll("ab").quant[""].index.query_encoding == "default"
+
+
+def test_planner_routes_recommend_avg_through_quant(embeddings):
+    """avg_vector recommend reduces to a dense nearest on the merged
+    vector (recommendations.rs recommend_by_avg_vector ->
+    CoreSearchRequest), so it inherits the quantized route — and the
+    values equal the exact avg_vector operator. best_score keeps its
+    dedicated scorer (no quant leaf). Id-referenced examples stay
+    excluded (the root-filter exclusion runs before the rewrite)."""
+    from qdrant_spark.operators.recommend import recommend_avg_vector
+    from qdrant_spark.query import QueryPlanner
+
+    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+                    id_col="vec_id")
+    rows = embeddings.limit(2).collect()
+    p1, p2 = (list(r["embedding"]) for r in rows)
+    pl = QueryPlanner(embeddings, id_col="vec_id",
+                      default_vec_col="embedding",
+                      quant_indexes={"embedding": h})
+    got = pl.plan({"query": {"recommend": {"positive": [p1, p2]}},
+                   "limit": 10}).collect()
+    assert pl.last_plan_info.get("quant_leaves") == 1
+    want = recommend_avg_vector(
+        embeddings, [p1, p2], metric="cosine", k=10,
+        vec_col="embedding", id_col="vec_id").collect()
+    assert [(r["vec_id"], round(r["score"], 9)) for r in got] == \
+        [(r["vec_id"], round(r["score"], 9)) for r in want]
+
+    # id-referenced: the examples never appear in the output
+    pl2 = QueryPlanner(embeddings, id_col="vec_id",
+                       default_vec_col="embedding",
+                       quant_indexes={"embedding": h})
+    ids = [rows[0]["vec_id"], rows[1]["vec_id"]]
+    got2 = pl2.plan({"query": {"recommend": {
+        "positive": [{"id": ids[0]}, {"id": ids[1]}]}},
+        "limit": 10}).collect()
+    assert pl2.last_plan_info.get("quant_leaves") == 1
+    assert not set(ids) & {r["vec_id"] for r in got2}
+
+    # best_score keeps its dedicated multi-target scorer
+    pl3 = QueryPlanner(embeddings, id_col="vec_id",
+                       default_vec_col="embedding",
+                       quant_indexes={"embedding": h})
+    got3 = pl3.plan({"query": {"recommend": {
+        "positive": [p1], "negative": [p2],
+        "strategy": "best_score"}}, "limit": 5}).collect()
+    assert len(got3) == 5
+    assert not pl3.last_plan_info.get("quant_leaves")
+
+
+def test_query_batch_fuses_literal_avg_recommends(embeddings):
+    """avg_vector recommends with literal dense examples reduce to
+    nearest BEFORE batch grouping, so >=2 of them on a quantized column
+    share the ONE coarse scan — values identical to planning each
+    request alone."""
+    from qdrant_spark.query import query_batch
+
+    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+                    id_col="vec_id")
+    rows = embeddings.limit(3).collect()
+    p1, p2, p3 = (list(r["embedding"]) for r in rows)
+    reqs = [
+        {"query": {"recommend": {"positive": [p1, p2]}}, "limit": 5},
+        {"query": {"recommend": {"positive": [p3], "negative": [p1]}},
+         "limit": 5},
+    ]
+    kw = dict(id_col="vec_id", vec_col="embedding", metric="cosine",
+              quant_indexes={"embedding": h})
+    want = [query_batch(embeddings, [dict(r)], **kw).collect()
+            for r in reqs]
+    from qdrant_spark.operators import knn as K
+
+    calls = []
+    orig = K._matmul_knn
+    K._matmul_knn = lambda *a, **k2: calls.append(1) or orig(*a, **k2)
+    try:
+        got = query_batch(embeddings, [dict(r) for r in reqs], **kw)
+        rows_out = got.collect()
+    finally:
+        K._matmul_knn = orig
+    assert len(calls) == 1  # ONE shared coarse scan for both recommends
+    by_req: dict = {}
+    for r in rows_out:
+        by_req.setdefault(r["request_idx"], []).append(
+            (r["vec_id"], round(r["score"], 9)))
+    for i, w in enumerate(want):
+        assert by_req[i] == [(r["vec_id"], round(r["score"], 9))
+                             for r in w], i
