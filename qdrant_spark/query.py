@@ -616,7 +616,7 @@ class QueryPlanner:
             off = int(r.get("offset", 0))
             limit = int(r.get("limit", DEFAULT_LIMIT))
             kept = hits[off:off + limit]
-            df = spark.createDataFrame(kept, schema)
+            df = _local_result_df(spark, kept, schema)
             if lb:
                 # only larger-is-better legs register for the driver-side
                 # fusion fast path: rrf_hits/dbsf_hits rank score-desc
@@ -1130,7 +1130,8 @@ class QueryPlanner:
                     T.StructField(self.id_col, id_type),
                     T.StructField("score", T.DoubleType()),
                 ])
-                return self.points.sparkSession.createDataFrame(fused, schema)
+                return _local_result_df(
+                    self.points.sparkSession, fused, schema)
             fn = {"rrf": rrf, "dbsf": dbsf}[query["fusion"]]
             return fn(children, id_col=self.id_col, limit=limit)
         # merge children candidate ids (dedup), then re-score
@@ -1303,7 +1304,17 @@ def _batch_sparse_indexed(planner: "QueryPlanner",
                  and (thr is None or float(r["score"]) > float(thr))),
                 key=lambda h: (-h[1], h[0]),
             )[offsets[i]: offsets[i] + limits[i]]
-            outs[i] = spark.createDataFrame(hits, schema)
+            outs[i] = _local_result_df(spark, hits, schema)
+
+
+def _local_result_df(spark, rows: list, schema) -> DataFrame:
+    """A ≤limit-row local result as a SINGLE-partition DataFrame.
+    ``spark.createDataFrame(list)`` defaults to defaultParallelism
+    slices, so a 64-request batch unioned ~2048 near-empty tasks —
+    ~10s of pure scheduler overhead on the batched-composed bench line
+    before this."""
+    sc = spark.sparkContext
+    return spark.createDataFrame(sc.parallelize(rows, 1), schema)
 
 
 def _quant_scan_setup(qh, metric: str, Qraw):
@@ -1490,7 +1501,7 @@ def _finish_quant_group(planner, requests, idxs, outs, qh, metric,
             hits = [h for h in hits if keep(h[1])]
         off = int(req.get("offset", 0))
         lim = int(req.get("limit", DEFAULT_LIMIT))
-        outs[i] = spark.createDataFrame(hits[off:off + lim], schema)
+        outs[i] = _local_result_df(spark, hits[off:off + lim], schema)
 
     need_rescore = [i for i in idxs if rescores[i]]
     if need_rescore:
