@@ -2965,6 +2965,35 @@ def _q_maxsim_sq(spark: SparkSession, sf: str) -> DataFrame:
     return _r6(out.select("vec_id", "score"), "score")
 
 
+def _q_maxsim_bq(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-quantized multivector storage (late r11): the coarse
+    MaxSim scan reads 1-BIT packed token words (32x fewer bytes than
+    float tokens, 8x fewer than the int8 codes) — each token bit-encoded
+    against shared per-dimension token statistics, per-token-pair score
+    = ext_dim - 2*hamming via one BLAS call over the unpacked ±1
+    matrices (quantized_vectors.rs applies BinaryQuantization to
+    multivector segments like any other kind). Corpus-wide oversampling
+    makes the rescored result equal the exact MaxSim scan, sharing its
+    oracle."""
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_bq, maxsim_knn_bq,
+    )
+
+    emb = _emb(spark, sf)
+    q = _vecs(spark, sf, [0])[0]
+    q_mv = [q[i * 8:(i + 1) * 8] for i in range(8)]
+    d_mv = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.slice(F.col("embedding").cast("array<double>"), i * 8 + 1, 8),
+    )
+    pts = emb.select("vec_id", d_mv.alias("mv"))
+    idx = build_maxsim_bq(pts, mv_col="mv", id_col="vec_id")
+    n = pts.count()
+    out = maxsim_knn_bq(idx, q_mv, k=10, oversampling=n / 10.0,
+                        metric="dot")
+    return _r6(out.select("vec_id", "score"), "score")
+
+
 def _q_maxsim_sq_planned(spark: SparkSession, sf: str) -> DataFrame:
     """Multivector quantization through the full client stack (r11):
     quantization_config declared ON the multivector (the reference's
@@ -3850,12 +3879,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # drops to the back). Keep rotating each round so no entry's driver row
 # goes more than ~2 rounds stale.
 _GATE_PRIORITY = [
-    # round-11 head: the 2 entries new this round (first-ever driver
-    # value check), then the 35-entry r08 cohort (stale since r08 —
-    # r10 VERDICT item 4), filling the 50-slot gate with the 13 oldest
-    # r09 entries. After r11 no entry's latest driver row should be
-    # older than r09; the r10-greened cohort goes last.
+    # round-11 head: the 8 entries new this round (first-ever driver
+    # value check; quantized_bq_asym + maxsim_bq landed late), then the
+    # 35-entry r08 cohort (stale since r08 — r10 VERDICT item 4),
+    # filling the 50-slot gate with the oldest r09 entries. After r11
+    # no entry's latest driver row should be older than r09; the
+    # r10-greened cohort goes last.
     "quantized_bq_asym",
+    "maxsim_bq",
     "quantized_ivf_planned",
     "quantized_batch_kinds",
     "maxsim_sq",
@@ -4063,6 +4094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_knn_indexed": _q_maxsim_knn_indexed,
         "maxsim_planned": _q_maxsim_planned,
         "maxsim_sq": _q_maxsim_sq,
+        "maxsim_bq": _q_maxsim_bq,
         "maxsim_sq_planned": _q_maxsim_sq_planned,
         "scroll_keyset": _q_scroll_docs,
         "scroll_order_by": _q_scroll_events,
@@ -4213,6 +4245,7 @@ def oracle_sql() -> dict[str, str]:
         "maxsim_knn": _MAXSIM_SQL,
         "maxsim_knn_indexed": _MAXSIM_SQL,
         "maxsim_sq": _MAXSIM_SQL,
+        "maxsim_bq": _MAXSIM_SQL,
         "maxsim_planned": _MAXSIM_PLANNED_SQL,
         "maxsim_sq_planned": _MAXSIM_PLANNED_SQL,
         "scroll_keyset": """

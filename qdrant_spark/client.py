@@ -450,13 +450,16 @@ class QdrantSparkClient:
                 if qc is None and kind == "dense":
                     qc = quantization_config  # collection-level default
                 if qc is not None and kind == "multi" \
-                        and quant_kind(qc) != "scalar":
+                        and quant_kind(qc) not in ("scalar", "binary"):
                     # the reference's quantized_vectors.rs is
                     # vector-kind-agnostic; the engine supports the
-                    # scalar kind for multivector token storage
+                    # scalar (int8 token codes) and binary (1-bit packed
+                    # token words) kinds for multivector token storage —
+                    # PQ/TQ token codes would need per-kind nested
+                    # scorers (documented subset)
                     raise ValueError(
                         "multivector quantization supports the scalar "
-                        "kind only")
+                        "and binary kinds only")
                 if qc is not None:
                     quant_kind(qc)
                 # declared coarse-index params (per-vector hnsw_config
@@ -1643,11 +1646,14 @@ class QdrantSparkClient:
     def _ensure_maxsim_sq_index(self, col: _Collection, using: str,
                                 vc: "VectorConfig", thr: int) -> str:
         """Quantized multivector storage from a declared
-        ``quantization_config`` (scalar kind; quantized_vectors.rs treats
-        multivectors like any other kind): int8 token codes for the
-        coarse MaxSim scan, float tokens only for the oversampled
-        rescore. Meta-matched ensure with a storage root; per-request
-        ``SearchParams.quantization`` tunes/ignores."""
+        ``quantization_config`` (scalar or binary kind;
+        quantized_vectors.rs treats multivectors like any other kind):
+        int8 token codes (scalar) or 1-bit packed token words (binary)
+        for the coarse MaxSim scan, float tokens only for the
+        oversampled rescore. Meta-matched ensure with a storage root;
+        per-request ``SearchParams.quantization`` tunes/ignores."""
+        from qdrant_spark.operators.quantize import quant_kind
+
         if using in col.mv_sq:
             return "exists"
         if self.root is not None:
@@ -1665,13 +1671,23 @@ class QdrantSparkClient:
                 return "skipped"
             from dataclasses import replace
 
-            from qdrant_spark.operators.multivec import build_maxsim_sq
+            qk = quant_kind(vc.quantization)
+            if qk == "binary":
+                from qdrant_spark.operators.multivec import build_maxsim_bq
 
-            cfg = vc.quantization["scalar"] or {}
-            idx = build_maxsim_sq(
-                col.df, mv_col=col.vec_col(using), id_col="id",
-                quantile=float(cfg.get("quantile", 0.99)),
-                oversampling=float(cfg.get("oversampling", 4.0)))
+                cfg = vc.quantization["binary"] or {}
+                idx = build_maxsim_bq(
+                    col.df, mv_col=col.vec_col(using), id_col="id",
+                    encoding=cfg.get("encoding", "one_bit"),
+                    oversampling=float(cfg.get("oversampling", 4.0)))
+            else:
+                from qdrant_spark.operators.multivec import build_maxsim_sq
+
+                cfg = vc.quantization["scalar"] or {}
+                idx = build_maxsim_sq(
+                    col.df, mv_col=col.vec_col(using), id_col="id",
+                    quantile=float(cfg.get("quantile", 0.99)),
+                    oversampling=float(cfg.get("oversampling", 4.0)))
             idx, action = replace(
                 idx, full_scan_threshold=cfg.get("full_scan_threshold"),
                 n_docs=n), "built"

@@ -364,17 +364,20 @@ def build_bq(
 
 
 def _bq_code_expr(means: np.ndarray, stds: np.ndarray | None, encoding: str,
-                  vec_col: str, dim: int):
+                  vec_col, dim: int):
     """Packed-words Column for FROZEN means/stds — shared by the build
-    pass and the incremental encode of new rows (encode_quant)."""
+    pass, the incremental encode of new rows (encode_quant), and the
+    per-token multivector encode (``vec_col`` may be a Column there,
+    e.g. a transform() lambda variable)."""
+    vcol = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     if encoding == "one_bit":
         mean_lit = F.lit(means.tolist())
         bits = F.transform(
-            F.col(vec_col),
+            vcol,
             lambda v, i: (v.cast("double") > F.element_at(mean_lit, i + 1)).cast("int"),
         )
     else:
-        b1, b2 = _bq_zone_bits(F.col(vec_col), means, stds)
+        b1, b2 = _bq_zone_bits(vcol, means, stds)
         if encoding == "two_bits":
             bits = F.concat(b1, b2)
         else:  # one_and_half_bits: OR-merge consecutive b2 bits
@@ -1002,15 +1005,25 @@ def bq_query_bits(index: BqIndex, query_vector: Sequence[float]) -> np.ndarray:
     encoded_vectors_binary.rs:679-682): the ext_dim-long 0/1 bit vector
     the packed words hold — shared by the single-query XOR scan and the
     batched ±1 matmul scan (ham = (ext_dim - dot±)/2)."""
-    q = np.asarray(query_vector, dtype=np.float64)
-    if index.encoding == "one_bit":
-        return (q > index.means).astype(np.int64)
-    sd = index.stds if index.stds is not None else np.zeros_like(q)
+    return bq_bits_np(query_vector, index.means, index.stds,
+                      index.encoding)
+
+
+def bq_bits_np(vector: Sequence[float], means: np.ndarray,
+               stds: np.ndarray | None, encoding: str) -> np.ndarray:
+    """NumPy mirror of :func:`_bq_code_expr`'s bit derivation for a
+    single vector — the same function encodes storage rows and
+    same-as-storage queries (encode_vector, encoded_vectors_binary.rs);
+    also used to encode multivector query TOKENS (maxsim_knn_bq)."""
+    q = np.asarray(vector, dtype=np.float64)
+    if encoding == "one_bit":
+        return (q > means).astype(np.int64)
+    sd = stds if stds is not None else np.zeros_like(q)
     ok = sd > 1e-12
-    z = np.where(ok, (q - index.means) / np.where(ok, sd, 1.0), 0.0)
-    b1 = np.where(ok, z > -BQ_SIGMAS, q > index.means).astype(np.int64)
+    z = np.where(ok, (q - means) / np.where(ok, sd, 1.0), 0.0)
+    b1 = np.where(ok, z > -BQ_SIGMAS, q > means).astype(np.int64)
     b2 = np.where(ok, z >= BQ_SIGMAS, False).astype(np.int64)
-    if index.encoding == "two_bits":
+    if encoding == "two_bits":
         return np.concatenate([b1, b2])
     pad = np.append(b2, 0) if len(b2) % 2 else b2  # one_and_half_bits
     return np.concatenate([b1, pad.reshape(-1, 2).max(axis=1)])

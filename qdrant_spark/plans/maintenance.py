@@ -439,21 +439,27 @@ def read_maxsim_sq_meta(path: str) -> dict[str, Any] | None:
 
 
 def load_maxsim_sq_index(points: DataFrame, path: str):
-    """Re-open persisted int8 token codes + clip bounds; ``points`` is
-    the full-precision multivector corpus for the exact rescore."""
-    from qdrant_spark.operators.multivec import MaxSimSq
+    """Re-open persisted quantized token codes + encoder state;
+    ``points`` is the full-precision multivector corpus for the exact
+    rescore. ``meta["kind"]`` picks the index class (absent = scalar,
+    the pre-binary layout)."""
+    from qdrant_spark.operators.multivec import MaxSimBq, MaxSimSq
 
     meta = read_maxsim_sq_meta(path)
     if meta is None:
         raise FileNotFoundError(f"no maxsim-sq meta at {path}")
     arrays = np.load(os.path.join(path, _MSQPARAMS), allow_pickle=False)
-    return MaxSimSq(
-        codes=points.sparkSession.read.parquet(os.path.join(path, _MSQDATA)),
-        lo=arrays["lo"], hi=arrays["hi"], points=points,
-        mv_col=meta["mv_col"], id_col=meta["id_col"],
-        oversampling=float(meta["oversampling"]),
-        full_scan_threshold=meta.get("full_scan_threshold"),
-        n_docs=meta.get("n_rows"))
+    codes = points.sparkSession.read.parquet(os.path.join(path, _MSQDATA))
+    common = dict(codes=codes, points=points, mv_col=meta["mv_col"],
+                  id_col=meta["id_col"],
+                  oversampling=float(meta["oversampling"]),
+                  full_scan_threshold=meta.get("full_scan_threshold"),
+                  n_docs=meta.get("n_rows"))
+    if meta.get("kind", "scalar") == "binary":
+        return MaxSimBq(means=arrays["means"], stds=arrays["stds"],
+                        encoding=meta.get("encoding", "one_bit"),
+                        **common)
+    return MaxSimSq(lo=arrays["lo"], hi=arrays["hi"], **common)
 
 
 def ensure_maxsim_sq_index(
@@ -469,16 +475,20 @@ def ensure_maxsim_sq_index(
 ):
     """Idempotent quantized-multivector maintenance; skip/LOAD/REBUILD
     contract of the other ensures. ``config`` is the declared
-    quantization_config — scalar only for multivectors here (the int8
-    affine encode maps cleanly over token arrays; PQ/BQ/TQ token codes
-    would need per-kind nested scorers — documented subset)."""
-    from qdrant_spark.operators.multivec import build_maxsim_sq
+    quantization_config — scalar (int8 token codes) or binary (1-bit
+    packed token words) for multivectors here (PQ/TQ token codes would
+    need per-kind nested scorers — documented subset)."""
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_bq, build_maxsim_sq,
+    )
     from qdrant_spark.operators.quantize import quant_kind
 
-    if quant_kind(config) != "scalar":
+    qk = quant_kind(config)
+    if qk not in ("scalar", "binary"):
         raise ValueError(
-            "multivector quantization supports the scalar kind only")
-    cfg = config["scalar"] or {}
+            "multivector quantization supports the scalar and binary "
+            "kinds only")
+    cfg = config[qk] or {}
 
     n = points.count() if total is None else int(total)
     if n < indexing_threshold:
@@ -496,15 +506,26 @@ def ensure_maxsim_sq_index(
         else:
             return load_maxsim_sq_index(points, path), "loaded"
 
-    idx = build_maxsim_sq(
-        points, mv_col=mv_col, id_col=id_col,
-        quantile=float(cfg.get("quantile", 0.99)),
-        oversampling=float(cfg.get("oversampling", 4.0)))
+    extra: dict[str, Any] = {"kind": qk}
+    if qk == "binary":
+        idx = build_maxsim_bq(
+            points, mv_col=mv_col, id_col=id_col,
+            encoding=cfg.get("encoding", "one_bit"),
+            oversampling=float(cfg.get("oversampling", 4.0)))
+        arrays = {"means": idx.means, "stds": idx.stds}
+        extra["encoding"] = idx.encoding
+    else:
+        idx = build_maxsim_sq(
+            points, mv_col=mv_col, id_col=id_col,
+            quantile=float(cfg.get("quantile", 0.99)),
+            oversampling=float(cfg.get("oversampling", 4.0)))
+        arrays = {"lo": idx.lo, "hi": idx.hi}
     idx.codes.write.mode("overwrite").parquet(os.path.join(path, _MSQDATA))
     os.makedirs(path, exist_ok=True)
-    np.savez(os.path.join(path, _MSQPARAMS), lo=idx.lo, hi=idx.hi)
+    np.savez(os.path.join(path, _MSQPARAMS), **arrays)
     fst = cfg.get("full_scan_threshold")
     with open(os.path.join(path, _MSQMETA), "w") as f:
-        json.dump({**requested, "oversampling": idx.oversampling,
+        json.dump({**requested, **extra,
+                   "oversampling": idx.oversampling,
                    "full_scan_threshold": fst, "n_rows": n}, f)
     return load_maxsim_sq_index(points, path), action

@@ -916,14 +916,21 @@ class QueryPlanner:
                         use_pruned = route.n_docs >= ms_thr
                 if use_sq:
                     # declared multivector quantization: the coarse
-                    # MaxSim scan reads int8 token codes, the exact
-                    # rescore touches only the oversampled candidates'
-                    # float tokens (quantized_vectors.rs is
+                    # MaxSim scan reads int8 token codes (scalar) or
+                    # 1-bit packed words (binary), the exact rescore
+                    # touches only the oversampled candidates' float
+                    # tokens (quantized_vectors.rs is
                     # vector-kind-agnostic; SearchParams.quantization
                     # semantics apply as for dense)
+                    from qdrant_spark.operators.multivec import (
+                        MaxSimBq, maxsim_knn_bq,
+                    )
+
                     self.last_plan_info["maxsim_sq_leaves"] = \
                         self.last_plan_info.get("maxsim_sq_leaves", 0) + 1
-                    out = maxsim_knn_sq(
+                    ms_fn = maxsim_knn_bq if isinstance(sqh, MaxSimBq) \
+                        else maxsim_knn_sq
+                    out = ms_fn(
                         sqh, target, k=limit + offset, metric=metric,
                         oversampling=float(mvq.get("oversampling")
                                            or sqh.oversampling),

@@ -565,13 +565,15 @@ def test_client_multivector_quantization(spark, embeddings, tmp_path):
     assert [(p.id, round(p.score, 9)) for p in got2.points] == \
         [(p.id, round(p.score, 9)) for p in exact.points]
 
-    # non-scalar kinds rejected at create time
+    # kinds without a token scorer (PQ/TQ) rejected at create time;
+    # binary is supported since late r11 (MaxSimBq)
     c3 = QdrantSparkClient(spark)
-    with pytest.raises(ValueError, match="scalar"):
+    with pytest.raises(ValueError, match="scalar and binary"):
         c3.create_collection("mvsq_bad", vectors_config={
             "late": {"size": td, "distance": "Dot",
                      "multivector_config": {"comparator": "max_sim"},
-                     "quantization_config": {"binary": {}}}})
+                     "quantization_config": {"product":
+                                             {"compression": "x8"}}}})
 
     # WITHOUT the threshold override a 200-doc corpus takes the exact
     # scan despite the declared quantization (the same crossover the
@@ -591,3 +593,155 @@ def test_client_multivector_quantization(spark, embeddings, tmp_path):
     got4 = [(r["id"], round(r["score"], 9)) for r in out4.collect()]
     assert got4 == [(p.id, round(p.score, 9)) for p in exact.points]
     assert pl4.last_plan_info.get("maxsim_sq_leaves") is None
+
+
+class TestMaxSimBq:
+    """Binary-quantized multivector storage (late r11): 1-bit packed
+    token words for the coarse MaxSim scan + exact rescore — 32x fewer
+    coarse bytes than float tokens, 8x fewer than the int8 codes
+    (quantized_vectors.rs applies BinaryQuantization to multivector
+    segments like any other kind)."""
+
+    @pytest.fixture(scope="class")
+    def mbq(self, mv_points):
+        from qdrant_spark.operators.multivec import build_maxsim_bq
+
+        return build_maxsim_bq(mv_points, mv_col="mv", id_col="vec_id")
+
+    @pytest.mark.parametrize("metric", ["dot", "cosine"])
+    def test_rescore_matches_exact(self, mv_points, q_mv, mbq, metric):
+        """Corpus-wide oversampling: every doc survives the coarse cut,
+        so the rescore equals the exact MaxSim ranking bit-for-bit."""
+        from qdrant_spark.operators.multivec import maxsim_knn_bq
+
+        n = mv_points.count()
+        exact = [(r["vec_id"], round(r["score"], 9)) for r in maxsim_knn(
+            mv_points, q_mv, k=10, metric=metric,
+            mv_col="mv", id_col="vec_id").collect()]
+        got = [(r["vec_id"], round(r["score"], 9)) for r in maxsim_knn_bq(
+            mbq, q_mv, k=10, oversampling=n / 10.0,
+            metric=metric).collect()]
+        assert got == exact
+
+    def test_coarse_scores_match_numpy_mirror(self, mv_points, q_mv, mbq):
+        """The coarse estimate is sum_q max_t (ext_dim - 2*hamming) over
+        the SAME bit derivation as dense BQ — pinned against a pure
+        NumPy mirror (storage and query tokens both via bq_bits_np)."""
+        import numpy as np
+
+        from qdrant_spark.operators.multivec import maxsim_knn_bq
+        from qdrant_spark.operators.quantize import (
+            _bq_ext_dim, bq_bits_np,
+        )
+
+        n = mv_points.count()
+        got = {r["vec_id"]: r["score"] for r in maxsim_knn_bq(
+            mbq, q_mv, k=n, oversampling=1.0, metric="dot",
+            rescore=False).collect()}
+        ext = _bq_ext_dim(len(mbq.means), mbq.encoding)
+        Qb = np.array([bq_bits_np(list(t), mbq.means, mbq.stds,
+                                  mbq.encoding) for t in q_mv])
+        rows = mv_points.select("vec_id", "mv").collect()
+        assert len(got) == n
+        for r in rows:
+            Tb = np.array([bq_bits_np(list(t), mbq.means, mbq.stds,
+                                      mbq.encoding) for t in r["mv"]])
+            ham = (Tb[:, None, :] != Qb[None, :, :]).sum(axis=2)
+            want = float((ext - 2 * ham).max(axis=0).sum())
+            assert got[r["vec_id"]] == want, r["vec_id"]
+
+    def test_codes_are_packed_words_and_persist(self, mbq, tmp_path):
+        """Codes are array<array<bigint>> with ceil(ext/64) words per
+        token; the persisted narrow table serves identical results."""
+        from qdrant_spark.operators.multivec import (
+            maxsim_knn_bq, persist_maxsim_bq,
+        )
+        from qdrant_spark.operators.quantize import _bq_ext_dim
+
+        f = dict(zip(mbq.codes.schema.fieldNames(),
+                     mbq.codes.schema.fields))
+        assert f["__mbq"].dataType.simpleString() == \
+            "array<array<bigint>>"
+        ext = _bq_ext_dim(len(mbq.means), mbq.encoding)
+        row = mbq.codes.select("__mbq").first()
+        assert all(len(t) == (ext + 63) // 64 for t in row["__mbq"])
+        q = [list(t) for t in mbq.points.limit(1).collect()[0]["mv"]]
+        want = [(r["vec_id"], round(r["score"], 9)) for r in
+                maxsim_knn_bq(mbq, q, k=5, oversampling=16.0).collect()]
+        p = persist_maxsim_bq(mbq, str(tmp_path / "mbq"))
+        got = [(r["vec_id"], round(r["score"], 9)) for r in
+               maxsim_knn_bq(p, q, k=5, oversampling=16.0).collect()]
+        assert got == want
+
+    def test_two_bit_encoding_self_query(self, mv_points, q_mv):
+        from qdrant_spark.operators.multivec import (
+            build_maxsim_bq, maxsim_knn_bq,
+        )
+
+        idx = build_maxsim_bq(mv_points, mv_col="mv", id_col="vec_id",
+                              encoding="two_bits")
+        r = mv_points.limit(1).collect()[0]
+        q = [list(t) for t in r["mv"]]
+        got = maxsim_knn_bq(idx, q, k=3, oversampling=16.0).collect()
+        assert got[0]["vec_id"] == r["vec_id"]
+
+
+def test_client_multivector_binary_quantization(spark, embeddings,
+                                                tmp_path):
+    """Binary quantization_config declared on a multivector: ensure
+    builds the 1-bit token storage, query_points routes MaxSim
+    coarse+rescore through it, and a new session reloads (kind + means/
+    stds in the persisted meta)."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    rows = embeddings.limit(150).collect()
+    dim = len(rows[0]["embedding"])
+    td = dim // 8
+    pts = [{"id": int(r["vec_id"]),
+            "vector": {"late": [[float(x) for x in
+                                 r["embedding"][i * td:(i + 1) * td]]
+                                for i in range(8)]}} for r in rows]
+    q = pts[4]["vector"]["late"]
+
+    def mk():
+        c = QdrantSparkClient(spark, root=str(tmp_path))
+        c.create_collection("mvbq", vectors_config={
+            "late": {"size": td, "distance": "Dot",
+                     "multivector_config": {"comparator": "max_sim"},
+                     "quantization_config": {"binary":
+                                             {"encoding": "one_bit",
+                                              "full_scan_threshold": 0}}}})
+        c.upsert("mvbq", pts)
+        return c
+
+    c = mk()
+    assert c.ensure_vector_index("mvbq", using="late",
+                                 indexing_threshold=0) == "built"
+    from qdrant_spark.operators.multivec import MaxSimBq
+
+    assert isinstance(c._coll("mvbq").mv_sq["late"], MaxSimBq)
+    exact = c.query_points("mvbq", query=q, using="late", limit=5,
+                           with_payload=False,
+                           search_params={"exact": True})
+    got = c.query_points("mvbq", query=q, using="late", limit=5,
+                         with_payload=False,
+                         search_params={"quantization":
+                                        {"oversampling": 30.0}})
+    assert [(p.id, round(p.score, 9)) for p in got.points] == \
+        [(p.id, round(p.score, 9)) for p in exact.points]
+    pl = c._planner(c._coll("mvbq"), "late")
+    pl.plan({"query": {"nearest": [list(t) for t in q]}, "limit": 5,
+             "using": "vec_late"}).collect()
+    assert pl.last_plan_info.get("maxsim_sq_leaves") == 1
+
+    # a new session LOADS the persisted codes + stats, still binary
+    c2 = mk()
+    assert c2.ensure_vector_index("mvbq", using="late",
+                                  indexing_threshold=0) == "loaded"
+    assert isinstance(c2._coll("mvbq").mv_sq["late"], MaxSimBq)
+    got2 = c2.query_points("mvbq", query=q, using="late", limit=5,
+                           with_payload=False,
+                           search_params={"quantization":
+                                          {"oversampling": 30.0}})
+    assert [(p.id, round(p.score, 9)) for p in got2.points] == \
+        [(p.id, round(p.score, 9)) for p in exact.points]
