@@ -614,3 +614,29 @@ def maxsim_knn_bq(
     cand = index.points.join(cand_ids, id_col, "left_semi")
     return maxsim_knn(cand, query_multivector, k=k, metric=metric,
                       mv_col=index.mv_col, id_col=id_col)
+
+
+def encode_maxsim(index, points: DataFrame) -> DataFrame:
+    """Encode NEW multivector rows with the index's FROZEN encoder state
+    — the quantized-multivector twin of quantize.encode_quant: map-only,
+    no re-fitting (the reference appends to quantized multivector
+    storage with the stored parameters the same way). Accepts either a
+    :class:`MaxSimSq` (int8 codes, ``__msq``) or a :class:`MaxSimBq`
+    (packed 1-bit words, ``__mbq``). Returns ``points`` (non-null,
+    non-empty multivectors) with the code column attached."""
+    from qdrant_spark.operators.quantize import _bq_code_expr, _sq_code_expr
+
+    base = points.filter(
+        F.col(index.mv_col).isNotNull() & (F.size(index.mv_col) > 0))
+    if isinstance(index, MaxSimBq):
+        dim = len(index.means)
+        return base.withColumn(
+            "__mbq",
+            F.transform(
+                F.col(index.mv_col),
+                lambda t: _bq_code_expr(index.means, index.stds,
+                                        index.encoding, t, dim)))
+    return base.withColumn(
+        "__msq",
+        F.transform(F.col(index.mv_col),
+                    lambda t: _sq_code_expr(index.lo, index.hi, t)))

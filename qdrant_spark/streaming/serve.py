@@ -250,3 +250,43 @@ def live_quant_handle(sink: ParquetPointsSink, handle):
         {"packed": snap} if handle.kind == "binary" else {"codes": snap}))
     return QuantHandle(kind=handle.kind, index=idx,
                        oversampling=handle.oversampling)
+
+
+def start_maxsim_quant_upsert_stream(
+    stream_df: DataFrame,
+    sink: ParquetPointsSink,
+    index,
+    *,
+    checkpoint_dir: str,
+    trigger: dict[str, Any] | None = None,
+):
+    """Upsert stream whose snapshot stays MULTIVECTOR-QUANTIZED: each
+    micro-batch's tokens are encoded with the index's FROZEN state
+    (multivec.encode_maxsim — map-only, no re-fitting; works for the
+    scalar and binary token codes alike), so
+    ``live_maxsim_quant_index(sink, index)`` is always searchable
+    coarse+rescore like a batch-built index. The index is only the
+    encoder-state carrier here; its own frames are not touched."""
+    from qdrant_spark.operators.multivec import encode_maxsim
+
+    def encode(batch_df: DataFrame) -> DataFrame:
+        return encode_maxsim(index, batch_df)
+
+    return start_upsert_stream(
+        stream_df, sink, checkpoint_dir=checkpoint_dir,
+        trigger=trigger, transform=encode,
+    )
+
+
+def live_maxsim_quant_index(sink: ParquetPointsSink, index):
+    """The current snapshot as a searchable quantized-multivector index
+    (None before the first commit): token codes AND float tokens live in
+    the snapshot, so the coarse stage column-prunes to the code column
+    and the rescore reads the floats from the same table. Pair with
+    maxsim_knn_sq / maxsim_knn_bq."""
+    from dataclasses import replace
+
+    snap = sink.read()
+    if snap is None:
+        return None
+    return replace(index, codes=snap, points=snap)
