@@ -414,7 +414,7 @@ def main() -> None:
         build_ivf, ivf_search, ivf_search_batch, persist_ivf,
     )
     from qdrant_spark.operators.quantize import (
-        build_sq, build_tq, sq_search, tq_search,
+        build_bq, build_sq, build_tq, bq_search, sq_search, tq_search,
     )
 
     mark("group2: xl build")
@@ -431,6 +431,13 @@ def main() -> None:
     tq_xl = build_tq(xl, vec_col="embedding", id_col="vec_id", bits=2)
     tq_xl.codes = tq_xl.codes.cache()
     tq_xl.codes.count()
+    bq_xl = build_bq(xl, vec_col="embedding", id_col="vec_id")
+    bq_xl.packed = bq_xl.packed.cache()
+    bq_xl.packed.count()
+    from dataclasses import replace as _dc_replace
+
+    # SAME packed 1-bit codes, asymmetric 8-bit query scoring
+    bq_asym_xl = _dc_replace(bq_xl, query_encoding="scalar8bits")
 
     def q_knn_batch64_xl():
         return knn_batch(xl, queries_df, metric="cosine", k=10,
@@ -455,15 +462,59 @@ def main() -> None:
         return tq_search(tq_xl, q0, k=10, oversampling=3.0,
                          metric="cosine").count()
 
+    def q_bq_asym_rescore_xl():
+        # asymmetric query encoding (scalar8bits): the coarse stage is 8
+        # XOR+popcount passes over the SAME 1-bit packed words — no extra
+        # storage bytes vs plain BQ — then exact rescore
+        return bq_search(bq_asym_xl, q0, k=10, oversampling=4.0,
+                         metric="cosine").count()
+
     mark("group2: xl queries")
     measure("knn_batch64_xl", q_knn_batch64_xl)
     measure("knn_single_xl", q_knn_single_xl)
     measure("ann_ivf_batch64_xl", q_ann_ivf_batch64_xl)
     measure("sq_rescore_xl", q_sq_rescore_xl)
     measure("tq_rescore_xl", q_tq_rescore_xl)
+    measure("bq_asym_rescore_xl", q_bq_asym_rescore_xl)
+
+    # untimed diagnostic: what the 8-bit query buys at IDENTICAL storage
+    # bytes — recall@10 vs the exact scan, symmetric vs asymmetric (the
+    # reference motivates query_encoding exactly this way: accuracy at
+    # the cost of scoring work, types.rs:1056-1061). Measured on the
+    # BASE corpus (distinct vectors) with no oversampling cushion
+    # (rescore=False, coarse order only): on the amplified xl corpus
+    # every jitter sibling shares the same storage BITS, so every coarse
+    # ranking ties identically and the contrast is unreadable there
+    from dataclasses import replace as _dcr
+
+    bq_base = build_bq(emb, vec_col="embedding", id_col="vec_id")
+    bq_base.packed = bq_base.packed.cache()
+    bq_base.packed.count()
+    bq_asym_base = _dcr(bq_base, query_encoding="scalar8bits")
+    ex_b: dict = {}
+    for r in knn_batch(emb, queries_df.filter(F.col("qid") < 8),
+                       metric="cosine", k=10, vec_col="embedding",
+                       id_col="vec_id", strategy="matmul").collect():
+        ex_b.setdefault(r["qid"], set()).add(r["vec_id"])
+    sym_h = asym_h = 0
+    for qi in range(8):
+        sym_h += len(ex_b[qi] & {r["vec_id"] for r in bq_search(
+            bq_base, qvecs[qi], k=10, oversampling=1.0,
+            rescore=False).collect()})
+        asym_h += len(ex_b[qi] & {r["vec_id"] for r in bq_search(
+            bq_asym_base, qvecs[qi], k=10, oversampling=1.0,
+            rescore=False).collect()})
+    recall_extra = {
+        "bq_sym_base_untimed": round(sym_h / 80.0, 3),
+        "bq_asym8_base_untimed": round(asym_h / 80.0, 3),
+    }
+    mark(f"  bq query-encoding recall contrast: {recall_extra}")
+    bq_base.packed.unpersist()
+
     xl.unpersist()
     sq_xl.codes.unpersist()
     tq_xl.codes.unpersist()
+    bq_xl.packed.unpersist()
 
     # ------------------------------------------------------------------
     # group 3: XXL corpus (512k rows) — past the Arrow dispatch crossover.
@@ -873,6 +924,7 @@ def main() -> None:
         msq_hits += len(ms_exact & msq_got)
     recall["maxsim_ivf_xxl_disk"] = round(ms_hits / 40.0, 3)
     recall["maxsim_sq_xxl_disk"] = round(msq_hits / 40.0, 3)
+    recall.update(recall_extra)  # group-2 bq query-encoding contrast
     recall_violations = {
         k: v for k, v in recall.items()
         if not k.endswith("_untimed") and v < RECALL_FLOOR
