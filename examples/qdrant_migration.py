@@ -208,6 +208,22 @@ def run(sf_dir: str = "/root/testdata/sf0.001", cpus: int = 8) -> dict:
                                         "oversampling": 4.0}}).points
     out["quantized_top1"] = qhits[0].id
 
+    # Binary quantization with an ASYMMETRIC query encoding
+    # (BinaryQuantizationQueryEncoding, types.rs:1188-1201): storage
+    # stays 1 bit/dim, queries keep 8-bit scalar precision
+    client.create_collection(
+        "bq_asym", vectors_config={"size": dim, "distance": "Cosine"},
+        quantization_config={"binary": {"encoding": "one_bit",
+                                        "query_encoding": "scalar8bits"}})
+    client.upsert("bq_asym", [
+        {"id": int(r["id"]), "vector": [float(x) for x in r["embedding"]]}
+        for r in points.limit(300).collect()])
+    client.ensure_vector_index("bq_asym", indexing_threshold=0)
+    out["bq_asym_top1"] = client.query_points(
+        "bq_asym", query=q0, limit=3, with_payload=False,
+        search_params={"quantization": {"oversampling": 8.0}}
+    ).points[0].id
+
     spark.stop()
     return out
 

@@ -371,3 +371,46 @@ def test_query_batch_composed_all_kinds(embeddings, ivf8, config, metric):
     for i, w in enumerate(want):
         assert sorted(by_req.get(i, [])) == \
             sorted((r["vec_id"], round(r["score"], 6)) for r in w), i
+
+
+def test_quant_ivf_binary_asym_composes(embeddings, ivf8):
+    """Binary quantization with an asymmetric query_encoding composes
+    with IVF like any other kind: full probe == the plain asymmetric
+    two-stage search bit-for-bit (the query_encoding lives on the
+    BqIndex, so the cluster-pruned replica scores identically), and
+    batched asym requests fuse through the masked composed scan."""
+    from qdrant_spark.query import query_batch
+
+    cfg = {"binary": {"encoding": "one_bit",
+                      "query_encoding": "scalar8bits"}}
+    h = build_quant(embeddings, cfg, vec_col="embedding",
+                    id_col="vec_id")
+    qih = compose_quant_ivf(h, ivf8, nprobe=8)
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    want = _rows(quant_search(h, q, k=10, metric="cosine",
+                              oversampling=6.0))
+    got = _rows(quant_ivf_search(qih, q, k=10, metric="cosine",
+                                 oversampling=6.0))
+    assert got == want
+
+    rows = embeddings.limit(2).collect()
+    q1, q2 = (list(r["embedding"]) for r in rows)
+    reqs = [{"query": {"nearest": q1}, "limit": 5,
+             "params": {"quantization": {"oversampling": 8.0}}},
+            {"query": {"nearest": q2}, "limit": 4,
+             "params": {"quantization": {"rescore": False}}}]
+    kw = dict(id_col="vec_id", vec_col="embedding", metric="cosine",
+              quant_indexes={"embedding": h},
+              quant_ivf_indexes={"embedding": compose_quant_ivf(
+                  h, ivf8, nprobe=3)})
+    want_b = [query_batch(embeddings, [dict(r)], **kw).collect()
+              for r in reqs]
+    got_b = query_batch(embeddings, [dict(r) for r in reqs],
+                        **kw).collect()
+    by_req: dict = {}
+    for r in got_b:
+        by_req.setdefault(r["request_idx"], []).append(
+            (r["vec_id"], round(r["score"], 6)))
+    for i, w in enumerate(want_b):
+        assert sorted(by_req.get(i, [])) == \
+            sorted((r["vec_id"], round(r["score"], 6)) for r in w), i
