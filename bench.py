@@ -854,7 +854,27 @@ def main() -> None:
         return maxsim_knn_sq(msq_xxl, q0_mv, k=10, oversampling=PQ_OS,
                              metric="dot").collect()
 
+    def q_maxsim_sq_batch64_xxl_disk():
+        # late r11: 64 MaxSim requests over the quantized token storage
+        # fuse into ONE coarse scan (all query multivectors in one token
+        # matrix) + ONE pair-scored exact rescore — the multivector twin
+        # of sq_ivf_batch64; contrast 64x the single line (~45s
+        # sequential)
+        from dataclasses import replace as _dcr
+
+        from qdrant_spark.query import query_batch as _qb2
+
+        idx = _dcr(msq_xxl, full_scan_threshold=0)
+        reqs = [{"query": {"nearest": [qvecs[i][t * _tok_d:(t + 1) * _tok_d]
+                                       for t in range(8)]},
+                 "limit": 10,
+                 "params": {"quantization": {"oversampling": PQ_OS}}}
+                for i in range(64)]
+        return _qb2(mv_xxl, reqs, id_col="vec_id", vec_col="mv",
+                    metric="dot", maxsim_sq_indexes={"mv": idx}).count()
+
     measure("maxsim_sq_xxl_disk", q_maxsim_sq_xxl_disk)
+    measure("maxsim_sq_batch64_xxl_disk", q_maxsim_sq_batch64_xxl_disk)
 
     # the remaining RAM-resident cache is only used by group-3 timed lines
     pq_ram_xxl.unpersist()

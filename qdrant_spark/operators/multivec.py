@@ -640,3 +640,201 @@ def encode_maxsim(index, points: DataFrame) -> DataFrame:
         "__msq",
         F.transform(F.col(index.mv_col),
                     lambda t: _sq_code_expr(index.lo, index.hi, t)))
+
+
+def maxsim_quant_coarse_batch(index, queries: Sequence[Sequence[Sequence[float]]],
+                              k: int, *, metric: str = "dot") -> DataFrame:
+    """ONE coarse scan answering a BATCH of multivector queries over
+    quantized token storage (:class:`MaxSimSq` int8 codes or
+    :class:`MaxSimBq` packed bits): all query multivectors' tokens
+    concatenate into a single matrix, each Arrow batch runs ONE BLAS
+    call against it, and two ``reduceat`` passes compute per-(doc,
+    query) MaxSim — per-doc segment max over doc tokens, per-query sum
+    over its token columns. Per-batch per-query top-k bounds the
+    shuffle; the final window makes the per-query (score desc, id)
+    ranking exact. Returns (__qid, id, score, rank<=k). The reference's
+    batch dispatch walks quantized storage once for the whole batch the
+    same way (lib/segment/src/vector_storage/quantized/)."""
+    from pyspark.sql.window import Window
+
+    from qdrant_spark.operators.quantize import _bq_ext_dim, bq_bits_np
+
+    binary = isinstance(index, MaxSimBq)
+    if binary:
+        Qtoks = [np.asarray(
+            [bq_bits_np(list(t), index.means, index.stds, index.encoding)
+             for t in q], dtype=np.float64) * 2.0 - 1.0 for q in queries]
+        ext_dim = _bq_ext_dim(len(index.means), index.encoding)
+        lo = scale = None
+        # like the single-request binary path, the coarse rank is
+        # metric-blind (±1-dot); the rescore applies the metric
+        code_col, cosine = "__mbq", False
+    else:
+        cosine = metric == "cosine"
+        Qtoks = []
+        for q in queries:
+            Qm = np.asarray([list(t) for t in q], dtype=np.float64)
+            if cosine:
+                nq = np.linalg.norm(Qm, axis=1, keepdims=True)
+                nq[nq == 0] = 1.0
+                Qm = Qm / nq
+            Qtoks.append(Qm)
+        lo = index.lo
+        scale = (index.hi - index.lo) / 255.0
+        ext_dim = len(lo)
+        code_col = "__msq"
+    Qall = np.concatenate(Qtoks, axis=0)
+    # per-query token column offsets for the reduceat over columns
+    qstarts = np.cumsum([0] + [len(t) for t in Qtoks[:-1]])
+    nq = len(Qtoks)
+
+    sc = index.codes.sparkSession.sparkContext
+    bq = sc.broadcast((Qall, qstarts, lo, scale))
+    sel = index.codes.select(index.id_col, code_col)
+    id_col = index.id_col
+    out_schema = T.StructType([
+        T.StructField("__qid", T.LongType()),
+        T.StructField(id_col, sel.schema[id_col].dataType),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def score_batches(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        Qm, qs, lo_, scale_ = bq.value
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            mv = batch.column(1)
+            if isinstance(mv, pa.ChunkedArray):
+                mv = mv.combine_chunks()
+            inner = mv.flatten()
+            outer_off = mv.offsets.to_numpy(zero_copy_only=False)
+            tok_counts = np.diff(outer_off)
+            flat = inner.flatten().to_numpy(zero_copy_only=False)
+            if binary:
+                words = flat.astype(np.int64) \
+                    .reshape(-1, (ext_dim + 63) // 64).view(np.uint64)
+                Tm = np.empty((words.shape[0], ext_dim), dtype=np.float64)
+                col = 0
+                for w in range(words.shape[1]):
+                    nb = min(64, ext_dim - col)
+                    sh = np.arange(nb - 1, -1, -1, dtype=np.uint64)
+                    Tm[:, col:col + nb] = \
+                        ((words[:, w:w + 1] >> sh) & np.uint64(1))
+                    col += nb
+                Tm = Tm * 2.0 - 1.0
+            else:
+                Tm = flat.reshape(-1, ext_dim).astype(np.float64)
+                Tm = (Tm + 128.0) * scale_ + lo_
+                if cosine:
+                    norms = np.linalg.norm(Tm, axis=1, keepdims=True)
+                    norms[norms == 0] = 1.0
+                    Tm = Tm / norms
+            S = Tm @ Qm.T                       # (tokens, all qtokens)
+            starts = outer_off[:-1] - outer_off[0]
+            assert (tok_counts > 0).all()
+            M = np.maximum.reduceat(S, starts, axis=0)  # (docs, qtokens)
+            scores = np.add.reduceat(M, qs, axis=1)     # (docs, queries)
+            kk = min(k, n)
+            if kk < n:
+                part = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+            else:
+                part = np.tile(np.arange(n)[:, None], (1, nq))
+            rows = part.ravel(order="F")
+            qid = np.repeat(np.arange(nq, dtype=np.int64), part.shape[0])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qid), pa.array(ids[rows]),
+                 pa.array(scores[rows, qid], type=pa.float64())],
+                names=["__qid", id_col, "score"],
+            )
+
+    scored = sel.mapInArrow(score_batches, out_schema)
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def maxsim_pair_topk(points: DataFrame, pairs: DataFrame,
+                     queries: Sequence[Sequence[Sequence[float]]],
+                     *, metric: str = "dot", k: int,
+                     mv_col: str = "mv", id_col: str = "id") -> DataFrame:
+    """Exact MaxSim over a (qid, id) candidate PAIR set — the rescore
+    half of the batched quantized MaxSim path: the float corpus is
+    semi-joined to the candidate union once, each Arrow batch groups its
+    rows by qid and runs one BLAS call per (qid group) against that
+    query's token matrix. Returns per-qid (score desc, id) top-k."""
+    from pyspark.sql.window import Window
+
+    Qtoks = []
+    for q in queries:
+        Qm = np.asarray([list(t) for t in q], dtype=np.float64)
+        if metric == "cosine":
+            nq = np.linalg.norm(Qm, axis=1, keepdims=True)
+            nq[nq == 0] = 1.0
+            Qm = Qm / nq
+        Qtoks.append(Qm)
+    sc = points.sparkSession.sparkContext
+    bq = sc.broadcast(Qtoks)
+
+    joined = points.select(id_col, mv_col) \
+        .join(F.broadcast(pairs), id_col) \
+        .select("__qid", id_col, mv_col)
+    out_schema = T.StructType([
+        T.StructField("__qid", T.LongType()),
+        T.StructField(id_col, joined.schema[id_col].dataType),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def score_batches(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        Qs = bq.value
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            qids = batch.column(0).to_numpy(zero_copy_only=False)
+            ids = batch.column(1).to_numpy(zero_copy_only=False)
+            mv = batch.column(2)
+            if isinstance(mv, pa.ChunkedArray):
+                mv = mv.combine_chunks()
+            inner = mv.flatten()
+            outer_off = mv.offsets.to_numpy(zero_copy_only=False)
+            flat = inner.flatten().to_numpy(zero_copy_only=False)
+            dim = Qs[0].shape[1]
+            Tm = flat.reshape(-1, dim).astype(np.float64)
+            if metric == "cosine":
+                norms = np.linalg.norm(Tm, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                Tm = Tm / norms
+            starts = outer_off[:-1] - outer_off[0]
+            out = np.empty(n, dtype=np.float64)
+            for qi in np.unique(qids):
+                mask = np.where(qids == qi)[0]
+                Qm = Qs[int(qi)]
+                # token rows of just this qid's docs
+                segs = [np.arange(starts[i],
+                                  starts[i] + (outer_off[i + 1]
+                                               - outer_off[i]))
+                        for i in mask]
+                rows = np.concatenate(segs)
+                S = Tm[rows] @ Qm.T
+                lens = np.array([len(s) for s in segs])
+                st = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                M = np.maximum.reduceat(S, st, axis=0)
+                out[mask] = M.sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qids), pa.array(ids),
+                 pa.array(out, type=pa.float64())],
+                names=["__qid", id_col, "score"],
+            )
+
+    scored = joined.mapInArrow(score_batches, out_schema)
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k).drop("rank"))

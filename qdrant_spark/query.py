@@ -1314,6 +1314,124 @@ def _batch_sparse_indexed(planner: "QueryPlanner",
             outs[i] = _local_result_df(spark, hits, schema)
 
 
+def _batch_maxsim_quant(planner: "QueryPlanner",
+                        requests: list[dict[str, Any]],
+                        outs: list) -> None:
+    """Batched quantized-MULTIVECTOR grouping (late r11): unfiltered
+    single-leaf MaxSim requests on a column with quantized token storage
+    are answered by ONE coarse scan over the codes (all query
+    multivectors concatenated into one token matrix,
+    multivec.maxsim_quant_coarse_batch) plus ONE pair-scored exact
+    MaxSim rescore over the union of candidates — value-identical per
+    request to planning each alone. The same exact-vs-quantized
+    crossover as the single-request leaf applies to the whole group."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from qdrant_spark.operators.multivec import (
+        MAXSIM_FULL_SCAN_THRESHOLD, maxsim_pair_topk,
+        maxsim_quant_coarse_batch,
+    )
+
+    groups: dict[str, list[int]] = {}
+    for i, req in enumerate(requests):
+        if outs[i] is not None or req.get("prefetch") \
+                or req.get("shard_key") is not None \
+                or req.get("filter") is not None:
+            continue
+        q = req.get("query")
+        if not (isinstance(q, dict) and isinstance(q.get("nearest"),
+                                                   (list, tuple))):
+            continue
+        t = q["nearest"]
+        if not (t and isinstance(t[0], (list, tuple))):
+            continue  # dense / sparse keep their own groups
+        vc = req.get("using", planner.default_vec_col)
+        if planner.maxsim_sq_indexes.get(vc) is None:
+            continue
+        if planner.metric_for(vc) not in ("dot", "cosine"):
+            continue
+        qp = (req.get("params") or {}).get("quantization") or {}
+        if qp.get("ignore") or planner._leaf_exact(req):
+            continue
+        groups.setdefault(vc, []).append(i)
+
+    for vc, idxs in groups.items():
+        if len(idxs) < 2:
+            continue
+        sqh = planner.maxsim_sq_indexes[vc]
+        thr = (MAXSIM_FULL_SCAN_THRESHOLD
+               if sqh.full_scan_threshold is None
+               else sqh.full_scan_threshold)
+        if thr:
+            if sqh.n_docs is None:
+                sqh.n_docs = sqh.points.count()
+            if sqh.n_docs < thr:
+                continue  # per-request plans take the exact scan
+        metric = planner.metric_for(vc)
+        ks, cs, rescores = {}, {}, {}
+        for i in idxs:
+            req = requests[i]
+            qp = (req.get("params") or {}).get("quantization") or {}
+            ks[i] = int(req.get("limit", DEFAULT_LIMIT)) \
+                + int(req.get("offset", 0))
+            over = float(qp.get("oversampling") or sqh.oversampling)
+            cs[i] = max(ks[i], int(np.ceil(ks[i] * over)))
+            rescores[i] = qp.get("rescore") is not False
+        if len(idxs) * max(cs.values()) > planner.fused_collect_max:
+            continue
+        queries = [requests[i]["query"]["nearest"] for i in idxs]
+        coarse = maxsim_quant_coarse_batch(
+            sqh, queries, max(cs.values()), metric=metric).collect()
+        planner.last_plan_info["maxsim_quant_batch_groups"] = \
+            planner.last_plan_info.get("maxsim_quant_batch_groups", 0) + 1
+        by_req: dict[int, list] = {i: [] for i in idxs}
+        for r in coarse:  # local qid 0..len(idxs)-1, ranked
+            gi = idxs[r["__qid"]]
+            if r["rank"] <= cs[gi]:
+                by_req[gi].append((r[sqh.id_col], float(r["score"])))
+        for i in idxs:  # collect order is not the window order
+            by_req[i].sort(key=lambda h: (-h[1], h[0]))
+
+        spark = planner.points.sparkSession
+        id_type = planner.points.schema[planner.id_col].dataType
+        schema = T.StructType([
+            T.StructField(planner.id_col, id_type),
+            T.StructField("score", T.DoubleType()),
+        ])
+        need_rescore = [i for i in idxs if rescores[i]]
+        if need_rescore:
+            pairs = spark.createDataFrame(
+                [(int(idxs.index(i)), h[0]) for i in need_rescore
+                 for h in by_req[i]],
+                T.StructType([T.StructField("__qid", T.LongType()),
+                              T.StructField(sqh.id_col, id_type)]))
+            rescored = maxsim_pair_topk(
+                sqh.points, pairs, queries,
+                metric=metric, k=max(ks[i] for i in need_rescore),
+                mv_col=sqh.mv_col, id_col=sqh.id_col).collect()
+            re_by: dict[int, list] = {i: [] for i in need_rescore}
+            for r in rescored:
+                gi = idxs[r["__qid"]]
+                if gi in re_by:
+                    re_by[gi].append((r[sqh.id_col], float(r["score"])))
+            for i in need_rescore:
+                by_req[i] = sorted(re_by[i], key=lambda h: (-h[1], h[0]))
+
+        for i in idxs:
+            req = requests[i]
+            hits = by_req[i][:ks[i]]
+            t = req.get("score_threshold")
+            if t is not None:
+                # maxsim is larger-better (dot/cosine; binary coarse
+                # scores are the ±1-dot estimate — also larger-better)
+                hits = [h for h in hits if h[1] > float(t)]
+            off = int(req.get("offset", 0))
+            lim = int(req.get("limit", DEFAULT_LIMIT))
+            outs[i] = _local_result_df(spark, hits[off:off + lim], schema)
+
+
 def _local_result_df(spark, rows: list, schema) -> DataFrame:
     """A ≤limit-row local result as a SINGLE-partition DataFrame.
     ``spark.createDataFrame(list)`` defaults to defaultParallelism
@@ -1887,6 +2005,7 @@ def query_batch(
     _batch_sparse_indexed(planner, requests, outs)
     _batch_quant_indexed(planner, requests, outs)
     _batch_quant_ivf_indexed(planner, requests, outs)
+    _batch_maxsim_quant(planner, requests, outs)
     # stash fallback persists from the fused legs: the per-request plan()
     # calls below free planner._fused_persisted at entry, which would
     # evict the shared scan before the batch union materializes

@@ -745,3 +745,60 @@ def test_client_multivector_binary_quantization(spark, embeddings,
                                           {"oversampling": 30.0}})
     assert [(p.id, round(p.score, 9)) for p in got2.points] == \
         [(p.id, round(p.score, 9)) for p in exact.points]
+
+
+@pytest.mark.parametrize("kind", ["scalar", "binary"])
+@pytest.mark.parametrize("metric", ["dot", "cosine"])
+def test_query_batch_fuses_quantized_maxsim(mv_points, embeddings, kind,
+                                            metric):
+    """>=2 unfiltered MaxSim requests on a quantized multivector column
+    fuse into ONE coarse scan (all query multivectors in one token
+    matrix) + ONE pair-scored exact rescore — batch == single per
+    request, including rescore=False, score_threshold, and offset."""
+    from dataclasses import replace
+
+    from qdrant_spark.operators import multivec as MV
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_bq, build_maxsim_sq,
+    )
+    from qdrant_spark.query import query_batch
+
+    if kind == "binary" and metric == "cosine":
+        pytest.skip("binary coarse is metric-blind; dot covers it")
+    build = build_maxsim_bq if kind == "binary" else build_maxsim_sq
+    idx = replace(build(mv_points, mv_col="mv", id_col="vec_id"),
+                  full_scan_threshold=0)  # pin the quantized route
+    rows = embeddings.limit(3).collect()
+    qs = []
+    for r in rows:
+        q = list(r["embedding"])
+        qs.append([q[i * 8:(i + 1) * 8] for i in range(8)])
+    reqs = [
+        {"query": {"nearest": qs[0]}, "limit": 5,
+         "params": {"quantization": {"oversampling": 8.0}}},
+        {"query": {"nearest": qs[1]}, "limit": 4, "offset": 1},
+        {"query": {"nearest": qs[2]}, "limit": 6,
+         "params": {"quantization": {"rescore": False}}},
+        {"query": {"nearest": qs[0]}, "limit": 8, "score_threshold": 0.0},
+    ]
+    kw = dict(id_col="vec_id", vec_col="mv", metric=metric,
+              maxsim_sq_indexes={"mv": idx})
+    want = [query_batch(mv_points, [dict(r)], **kw).collect()
+            for r in reqs]
+    calls = []
+    orig = MV.maxsim_quant_coarse_batch
+    MV.maxsim_quant_coarse_batch = \
+        lambda *a, **k2: calls.append(1) or orig(*a, **k2)
+    try:
+        got = query_batch(mv_points, [dict(r) for r in reqs],
+                          **kw).collect()
+    finally:
+        MV.maxsim_quant_coarse_batch = orig
+    assert len(calls) == 1  # ONE shared coarse scan for the batch
+    by_req: dict = {}
+    for r in got:
+        by_req.setdefault(r["request_idx"], []).append(
+            (r["vec_id"], round(r["score"], 6)))
+    for i, w in enumerate(want):
+        assert sorted(by_req.get(i, [])) == \
+            sorted((r["vec_id"], round(r["score"], 6)) for r in w), i
