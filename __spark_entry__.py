@@ -2939,6 +2939,66 @@ SELECT qid, vec_id, round(score, 6) AS score FROM s WHERE rn <= 10
 """
 
 
+def _q_maxsim_sq_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched quantized-MULTIVECTOR search through the client (late
+    r11): >=2 unfiltered MaxSim requests on a scalar-quantized
+    multivector fuse into ONE coarse token scan (all query multivectors
+    in one matrix) + ONE pair-scored exact rescore
+    (_batch_maxsim_quant). Rescore is exact and oversampling ample, so
+    each request's rows equal its exact MaxSim top-10 over the 500-row
+    slice — the oracle recomputes that per query in SQL."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    rows = _emb(spark, sf).orderBy("vec_id").limit(500).collect()
+    dim = len(rows[0]["embedding"])
+    td = dim // 8
+    c = QdrantSparkClient(spark)
+    c.create_collection(
+        "entry_msq_batch", vectors_config={
+            "late": {"size": td, "distance": "Dot",
+                     "multivector_config": {"comparator": "max_sim"},
+                     "quantization_config": {"scalar":
+                                             {"full_scan_threshold": 0}}}})
+    c.upsert("entry_msq_batch", [
+        {"id": int(r["vec_id"]),
+         "vector": {"late": [[float(x) for x in
+                              r["embedding"][i * td:(i + 1) * td]]
+                             for i in range(8)]}} for r in rows])
+    assert c.ensure_vector_index("entry_msq_batch", using="late",
+                                 indexing_threshold=0) == "built"
+    qs = [[[float(x) for x in rows[i]["embedding"][t * td:(t + 1) * td]]
+           for t in range(8)] for i in (0, 3, 9)]
+    res = c.query_batch_points("entry_msq_batch", [
+        {"query": {"nearest": q}, "using": "late", "limit": 10,
+         "with_payload": False,
+         "params": {"quantization": {"oversampling": 50.0}}}
+        for q in qs])
+    out = [(qi, p.id, round(p.score, 6))
+           for qi, r in enumerate(res) for p in r.points]
+    return spark.createDataFrame(
+        out, "qid long, vec_id long, score double")
+
+
+_MAXSIM_BATCH_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+           WHERE vec_id < 500),
+qs AS (SELECT * FROM (VALUES (0, 0), (1, 3), (2, 9)) AS t(qid, src)),
+q AS (SELECT qs.qid, e.v AS qv FROM qs JOIN e ON e.vec_id = qs.src),
+m AS (
+  SELECT q.qid, e.vec_id, qi.i AS qi,
+         max(list_dot_product(q.qv[qi.i * 8 + 1 : qi.i * 8 + 8],
+                              e.v[di.i * 8 + 1 : di.i * 8 + 8])) AS mx
+  FROM e, q, generate_series(0, 7) qi(i), generate_series(0, 7) di(i)
+  GROUP BY q.qid, e.vec_id, qi.i),
+t AS (SELECT qid, vec_id, sum(mx) AS score FROM m GROUP BY qid, vec_id),
+r AS (SELECT qid, vec_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id) AS rn
+      FROM t)
+SELECT qid, vec_id, round(score, 6) AS score FROM r WHERE rn <= 10
+"""
+
+
 def _q_maxsim_sq(spark: SparkSession, sf: str) -> DataFrame:
     """Quantized multivector storage (r11): the coarse MaxSim scan reads
     int8 token codes (1 B/dim; shared per-dimension clip bounds fitted
@@ -3879,7 +3939,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # drops to the back). Keep rotating each round so no entry's driver row
 # goes more than ~2 rounds stale.
 _GATE_PRIORITY = [
-    # round-11 head: the 8 entries new this round (first-ever driver
+    # round-11 head: the 9 entries new this round (first-ever driver
     # value check; quantized_bq_asym + maxsim_bq landed late), then the
     # 35-entry r08 cohort (stale since r08 — r10 VERDICT item 4),
     # filling the 50-slot gate with the oldest r09 entries. After r11
@@ -3887,6 +3947,7 @@ _GATE_PRIORITY = [
     # r10-greened cohort goes last.
     "quantized_bq_asym",
     "maxsim_bq",
+    "maxsim_sq_batch",
     "quantized_ivf_planned",
     "quantized_batch_kinds",
     "maxsim_sq",
@@ -4095,6 +4156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_planned": _q_maxsim_planned,
         "maxsim_sq": _q_maxsim_sq,
         "maxsim_bq": _q_maxsim_bq,
+        "maxsim_sq_batch": _q_maxsim_sq_batch,
         "maxsim_sq_planned": _q_maxsim_sq_planned,
         "scroll_keyset": _q_scroll_docs,
         "scroll_order_by": _q_scroll_events,
@@ -4246,6 +4308,7 @@ def oracle_sql() -> dict[str, str]:
         "maxsim_knn_indexed": _MAXSIM_SQL,
         "maxsim_sq": _MAXSIM_SQL,
         "maxsim_bq": _MAXSIM_SQL,
+        "maxsim_sq_batch": _MAXSIM_BATCH_SQL,
         "maxsim_planned": _MAXSIM_PLANNED_SQL,
         "maxsim_sq_planned": _MAXSIM_PLANNED_SQL,
         "scroll_keyset": """

@@ -854,12 +854,16 @@ def main() -> None:
         return maxsim_knn_sq(msq_xxl, q0_mv, k=10, oversampling=PQ_OS,
                              metric="dot").collect()
 
-    def q_maxsim_sq_batch64_xxl_disk():
-        # late r11: 64 MaxSim requests over the quantized token storage
+    def q_maxsim_sq_batch16_xxl_disk():
+        # late r11: 16 MaxSim requests over the quantized token storage
         # fuse into ONE coarse scan (all query multivectors in one token
         # matrix) + ONE pair-scored exact rescore — the multivector twin
-        # of sq_ivf_batch64; contrast 64x the single line (~45s
-        # sequential)
+        # of sq_ivf_batch64; contrast 16x the single line (~14s
+        # sequential). Unlike the dense batches, MaxSim's coarse matmul
+        # work grows linearly with fused queries x tokens (the 64-query
+        # variant measured ~14s of irreducible BLAS — the fuse's win is
+        # the single storage walk, ~3.5x over sequential at 64), so the
+        # timed line pins the 16-query point.
         from dataclasses import replace as _dcr
 
         from qdrant_spark.query import query_batch as _qb2
@@ -869,12 +873,12 @@ def main() -> None:
                                        for t in range(8)]},
                  "limit": 10,
                  "params": {"quantization": {"oversampling": PQ_OS}}}
-                for i in range(64)]
+                for i in range(16)]
         return _qb2(mv_xxl, reqs, id_col="vec_id", vec_col="mv",
                     metric="dot", maxsim_sq_indexes={"mv": idx}).count()
 
     measure("maxsim_sq_xxl_disk", q_maxsim_sq_xxl_disk)
-    measure("maxsim_sq_batch64_xxl_disk", q_maxsim_sq_batch64_xxl_disk)
+    measure("maxsim_sq_batch16_xxl_disk", q_maxsim_sq_batch16_xxl_disk)
 
     # the remaining RAM-resident cache is only used by group-3 timed lines
     pq_ram_xxl.unpersist()

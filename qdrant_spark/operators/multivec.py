@@ -733,10 +733,20 @@ def maxsim_quant_coarse_batch(index, queries: Sequence[Sequence[Sequence[float]]
                     norms = np.linalg.norm(Tm, axis=1, keepdims=True)
                     norms[norms == 0] = 1.0
                     Tm = Tm / norms
-            S = Tm @ Qm.T                       # (tokens, all qtokens)
             starts = outer_off[:-1] - outer_off[0]
             assert (tok_counts > 0).all()
-            M = np.maximum.reduceat(S, starts, axis=0)  # (docs, qtokens)
+            # chunk the query-token columns: the full (batch_tokens x
+            # all_qtokens) score matrix would be ~100s of MB per worker
+            # at 64 queries (first-rep GC thrash measured 40s); per-doc
+            # segment max reduces each chunk to (docs, chunk) before the
+            # next chunk's BLAS call
+            CHUNK = 128
+            blocks = []
+            for c0 in range(0, Qm.shape[0], CHUNK):
+                S = Tm @ Qm[c0:c0 + CHUNK].T    # (tokens, <=CHUNK)
+                blocks.append(np.maximum.reduceat(S, starts, axis=0))
+            M = blocks[0] if len(blocks) == 1 \
+                else np.concatenate(blocks, axis=1)     # (docs, qtokens)
             scores = np.add.reduceat(M, qs, axis=1)     # (docs, queries)
             kk = min(k, n)
             if kk < n:
