@@ -848,3 +848,94 @@ def maxsim_pair_topk(points: DataFrame, pairs: DataFrame,
         F.col("score").desc(), F.col(id_col).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k).drop("rank"))
+
+
+def maxsim_knn_batch(points: DataFrame,
+                     queries: Sequence[Sequence[Sequence[float]]],
+                     *, k: int = 10, metric: str = "dot",
+                     mv_col: str = "mv", id_col: str = "id") -> DataFrame:
+    """Exact MaxSim for a BATCH of query multivectors in ONE corpus scan
+    — the multivector analogue of knn_batch's shared matmul: all query
+    tokens concatenate into one matrix, each Arrow batch runs chunked
+    BLAS + two reduceat passes (per-doc segment max, per-query token
+    sum), per-batch per-query top-k bounds the shuffle, and the final
+    window makes the per-query (score desc, id) ranking exact. Returns
+    (__qid, id, score, rank<=k); scores are EXACT MaxSim (no rescore
+    stage). 64 sequential maxsim_knn calls read the corpus 64 times;
+    this reads it once."""
+    from pyspark.sql.window import Window
+
+    if metric not in ("dot", "cosine"):
+        raise ValueError("maxsim supports dot/cosine")
+    Qtoks = []
+    for q in queries:
+        Qm = np.asarray([list(t) for t in q], dtype=np.float64)
+        if metric == "cosine":
+            nq = np.linalg.norm(Qm, axis=1, keepdims=True)
+            nq[nq == 0] = 1.0
+            Qm = Qm / nq
+        Qtoks.append(Qm)
+    Qall = np.concatenate(Qtoks, axis=0)
+    qstarts = np.cumsum([0] + [len(t) for t in Qtoks[:-1]])
+    nq = len(Qtoks)
+    dim = Qall.shape[1]
+    sc = points.sparkSession.sparkContext
+    bq = sc.broadcast((Qall, qstarts))
+
+    base = points.filter(
+        F.col(mv_col).isNotNull() & (F.size(mv_col) > 0))
+    sel = base.select(id_col, mv_col)
+    out_schema = T.StructType([
+        T.StructField("__qid", T.LongType()),
+        T.StructField(id_col, sel.schema[id_col].dataType),
+        T.StructField("score", T.DoubleType()),
+    ])
+    cosine = metric == "cosine"
+
+    def score_batches(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        Qm, qs = bq.value
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            mv = batch.column(1)
+            if isinstance(mv, pa.ChunkedArray):
+                mv = mv.combine_chunks()
+            inner = mv.flatten()
+            outer_off = mv.offsets.to_numpy(zero_copy_only=False)
+            flat = inner.flatten().to_numpy(zero_copy_only=False)
+            Tm = flat.reshape(-1, dim).astype(np.float64, copy=False)
+            if cosine:
+                norms = np.linalg.norm(Tm, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                Tm = Tm / norms
+            starts = outer_off[:-1] - outer_off[0]
+            CHUNK = 128
+            blocks = []
+            for c0 in range(0, Qm.shape[0], CHUNK):
+                S = Tm @ Qm[c0:c0 + CHUNK].T
+                blocks.append(np.maximum.reduceat(S, starts, axis=0))
+            M = blocks[0] if len(blocks) == 1 \
+                else np.concatenate(blocks, axis=1)
+            scores = np.add.reduceat(M, qs, axis=1)
+            kk = min(k, n)
+            if kk < n:
+                part = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+            else:
+                part = np.tile(np.arange(n)[:, None], (1, nq))
+            rows = part.ravel(order="F")
+            qid = np.repeat(np.arange(nq, dtype=np.int64), part.shape[0])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qid), pa.array(ids[rows]),
+                 pa.array(scores[rows, qid], type=pa.float64())],
+                names=["__qid", id_col, "score"],
+            )
+
+    scored = sel.mapInArrow(score_batches, out_schema)
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -1432,6 +1432,102 @@ def _batch_maxsim_quant(planner: "QueryPlanner",
             outs[i] = _local_result_df(spark, hits[off:off + lim], schema)
 
 
+def _batch_maxsim_exact(planner: "QueryPlanner",
+                        requests: list[dict[str, Any]],
+                        outs: list) -> None:
+    """Batched EXACT MaxSim grouping (late r11): unfiltered single-leaf
+    multivector requests that the quantized / token-IVF routes do NOT
+    own (no index registered, below its crossover, or per-request
+    ignore/exact) previously scanned the float-token corpus once PER
+    REQUEST — now >=2 of them share ONE scan
+    (multivec.maxsim_knn_batch; scores are exact, no rescore stage).
+    The dense analogue is the _fused_leaves knn_batch grouping."""
+    from qdrant_spark.operators.multivec import (
+        MAXSIM_FULL_SCAN_THRESHOLD, maxsim_knn_batch,
+    )
+
+    groups: dict[str, list[int]] = {}
+    for i, req in enumerate(requests):
+        if outs[i] is not None or req.get("prefetch") \
+                or req.get("shard_key") is not None \
+                or req.get("filter") is not None:
+            continue
+        q = req.get("query")
+        if not (isinstance(q, dict) and isinstance(q.get("nearest"),
+                                                   (list, tuple))):
+            continue
+        t = q["nearest"]
+        if not (t and isinstance(t[0], (list, tuple))):
+            continue
+        vc = req.get("using", planner.default_vec_col)
+        if planner.metric_for(vc) not in ("dot", "cosine"):
+            continue
+        # mirror the leaf's routing: fuse only requests that would take
+        # the exact scan there
+        exact = planner._leaf_exact(req)
+        qp = (req.get("params") or {}).get("quantization") or {}
+        sqh = planner.maxsim_sq_indexes.get(vc)
+        use_sq = sqh is not None and not qp.get("ignore") and not exact
+        if use_sq:
+            thr = (MAXSIM_FULL_SCAN_THRESHOLD
+                   if sqh.full_scan_threshold is None
+                   else sqh.full_scan_threshold)
+            if thr:
+                if sqh.n_docs is None:
+                    sqh.n_docs = sqh.points.count()
+                use_sq = sqh.n_docs >= thr
+        route = planner.maxsim_indexes.get(vc)
+        use_pruned = not use_sq and route is not None and not exact
+        if use_pruned:
+            thr = (MAXSIM_FULL_SCAN_THRESHOLD
+                   if route.full_scan_threshold is None
+                   else route.full_scan_threshold)
+            if thr:
+                if route.n_docs is None:
+                    route.n_docs = route.index.points.count()
+                use_pruned = route.n_docs >= thr
+        if use_sq or use_pruned:
+            continue
+        groups.setdefault(vc, []).append(i)
+
+    from pyspark.sql import types as T
+
+    for vc, idxs in groups.items():
+        if len(idxs) < 2:
+            continue
+        metric = planner.metric_for(vc)
+        ks = {i: int(requests[i].get("limit", DEFAULT_LIMIT))
+              + int(requests[i].get("offset", 0)) for i in idxs}
+        if len(idxs) * max(ks.values()) > planner.fused_collect_max:
+            continue
+        queries = [requests[i]["query"]["nearest"] for i in idxs]
+        rows = maxsim_knn_batch(
+            planner.points, queries, k=max(ks.values()), metric=metric,
+            mv_col=vc, id_col=planner.id_col).collect()
+        planner.last_plan_info["maxsim_batch_groups"] = \
+            planner.last_plan_info.get("maxsim_batch_groups", 0) + 1
+        by_req: dict[int, list] = {i: [] for i in idxs}
+        for r in rows:
+            gi = idxs[r["__qid"]]
+            if r["rank"] <= ks[gi]:
+                by_req[gi].append((r[planner.id_col], float(r["score"])))
+        spark = planner.points.sparkSession
+        id_type = planner.points.schema[planner.id_col].dataType
+        schema = T.StructType([
+            T.StructField(planner.id_col, id_type),
+            T.StructField("score", T.DoubleType()),
+        ])
+        for i in idxs:
+            req = requests[i]
+            hits = sorted(by_req[i], key=lambda h: (-h[1], h[0]))[:ks[i]]
+            t = req.get("score_threshold")
+            if t is not None:
+                hits = [h for h in hits if h[1] > float(t)]
+            off = int(req.get("offset", 0))
+            lim = int(req.get("limit", DEFAULT_LIMIT))
+            outs[i] = _local_result_df(spark, hits[off:off + lim], schema)
+
+
 def _local_result_df(spark, rows: list, schema) -> DataFrame:
     """A ≤limit-row local result as a SINGLE-partition DataFrame.
     ``spark.createDataFrame(list)`` defaults to defaultParallelism
@@ -2006,6 +2102,7 @@ def query_batch(
     _batch_quant_indexed(planner, requests, outs)
     _batch_quant_ivf_indexed(planner, requests, outs)
     _batch_maxsim_quant(planner, requests, outs)
+    _batch_maxsim_exact(planner, requests, outs)
     # stash fallback persists from the fused legs: the per-request plan()
     # calls below free planner._fused_persisted at entry, which would
     # evict the shared scan before the batch union materializes

@@ -802,3 +802,87 @@ def test_query_batch_fuses_quantized_maxsim(mv_points, embeddings, kind,
     for i, w in enumerate(want):
         assert sorted(by_req.get(i, [])) == \
             sorted((r["vec_id"], round(r["score"], 6)) for r in w), i
+
+
+def test_query_batch_fuses_exact_maxsim(mv_points, embeddings):
+    """>=2 unfiltered MaxSim requests with NO registered route (or below
+    the crossover) share ONE exact corpus scan instead of scanning the
+    float tokens once per request — batch == single, including
+    threshold, offset, cosine, and params.exact requests joining the
+    fused group."""
+    from qdrant_spark.operators import multivec as MV
+    from qdrant_spark.query import query_batch
+
+    rows = embeddings.limit(3).collect()
+    qs = []
+    for r in rows:
+        q = list(r["embedding"])
+        qs.append([q[i * 8:(i + 1) * 8] for i in range(8)])
+    reqs = [
+        {"query": {"nearest": qs[0]}, "limit": 5},
+        {"query": {"nearest": qs[1]}, "limit": 4, "offset": 1},
+        {"query": {"nearest": qs[2]}, "limit": 6, "score_threshold": 0.0},
+        {"query": {"nearest": qs[0]}, "limit": 3,
+         "params": {"exact": True}},
+    ]
+    kw = dict(id_col="vec_id", vec_col="mv", metric="cosine")
+    want = [query_batch(mv_points, [dict(r)], **kw).collect()
+            for r in reqs]
+    calls = []
+    orig = MV.maxsim_knn_batch
+    MV.maxsim_knn_batch = \
+        lambda *a, **k2: calls.append(1) or orig(*a, **k2)
+    try:
+        got = query_batch(mv_points, [dict(r) for r in reqs],
+                          **kw).collect()
+    finally:
+        MV.maxsim_knn_batch = orig
+    assert len(calls) == 1  # ONE shared exact scan
+    by_req: dict = {}
+    for r in got:
+        by_req.setdefault(r["request_idx"], []).append(
+            (r["vec_id"], round(r["score"], 6)))
+    for i, w in enumerate(want):
+        assert sorted(by_req.get(i, [])) == \
+            sorted((r["vec_id"], round(r["score"], 6)) for r in w), i
+
+
+def test_query_batch_maxsim_routing_split(mv_points, embeddings):
+    """A mixed batch splits correctly: quantized-route requests fuse
+    through the quant group, ignore/exact requests fuse through the
+    exact group — results equal per-request plans either way."""
+    from dataclasses import replace
+
+    from qdrant_spark.operators.multivec import build_maxsim_sq
+    from qdrant_spark.query import query_batch
+
+    idx = replace(build_maxsim_sq(mv_points, mv_col="mv",
+                                  id_col="vec_id"),
+                  full_scan_threshold=0)
+    rows = embeddings.limit(2).collect()
+    qs = []
+    for r in rows:
+        q = list(r["embedding"])
+        qs.append([q[i * 8:(i + 1) * 8] for i in range(8)])
+    reqs = [
+        {"query": {"nearest": qs[0]}, "limit": 5,
+         "params": {"quantization": {"oversampling": 8.0}}},
+        {"query": {"nearest": qs[1]}, "limit": 5,
+         "params": {"quantization": {"oversampling": 8.0}}},
+        {"query": {"nearest": qs[0]}, "limit": 5,
+         "params": {"quantization": {"ignore": True}}},
+        {"query": {"nearest": qs[1]}, "limit": 5,
+         "params": {"exact": True}},
+    ]
+    kw = dict(id_col="vec_id", vec_col="mv", metric="dot",
+              maxsim_sq_indexes={"mv": idx})
+    want = [query_batch(mv_points, [dict(r)], **kw).collect()
+            for r in reqs]
+    got = query_batch(mv_points, [dict(r) for r in reqs], **kw).collect()
+    by_req: dict = {}
+    for r in got:
+        by_req.setdefault(r["request_idx"], []).append(
+            (r["vec_id"], round(r["score"], 6)))
+    for i, w in enumerate(want):
+        assert sorted(by_req.get(i, [])) == \
+            sorted((r["vec_id"], round(r["score"], 6)) for r in w), i
