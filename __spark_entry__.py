@@ -2348,10 +2348,14 @@ def _q_quantized_planned(spark: SparkSession, sf: str) -> DataFrame:
     rows = _emb(spark, sf).orderBy("vec_id").limit(500).collect()
     dim = len(rows[0]["embedding"])
     c = QdrantSparkClient(spark)
+    # full_scan_threshold 0 pins the quantized route: 500 rows sit far
+    # below the exact-vs-quantized crossover the planner applies by
+    # default (quantize.QUANT_FULL_SCAN_THRESHOLD)
     c.create_collection(
         "entry_quant",
         vectors_config={"size": dim, "distance": "Cosine"},
-        quantization_config={"scalar": {"type": "int8", "quantile": 0.99}})
+        quantization_config={"scalar": {"type": "int8", "quantile": 0.99,
+                                        "full_scan_threshold": 0}})
     c.upsert("entry_quant", [
         {"id": int(r["vec_id"]),
          "vector": [float(x) for x in r["embedding"]]}
@@ -2400,7 +2404,8 @@ def _q_quantized_ivf_planned(spark: SparkSession, sf: str) -> DataFrame:
     c.create_collection(
         "entry_qivf",
         vectors_config={"size": dim, "distance": "Cosine"},
-        quantization_config={"scalar": {"type": "int8", "quantile": 0.99}})
+        quantization_config={"scalar": {"type": "int8", "quantile": 0.99,
+                                        "full_scan_threshold": 0}})
     c.upsert("entry_qivf", [
         {"id": int(r["vec_id"]),
          "vector": [float(x) for x in r["embedding"]]}
@@ -2831,7 +2836,8 @@ def _q_quantized_batch(spark: SparkSession, sf: str) -> DataFrame:
     c.create_collection(
         "entry_quant_batch",
         vectors_config={"size": dim, "distance": "Cosine"},
-        quantization_config={"scalar": {"type": "int8"}})
+        quantization_config={"scalar": {"type": "int8",
+                                        "full_scan_threshold": 0}})
     c.upsert("entry_quant_batch", [
         {"id": int(r["vec_id"]),
          "vector": [float(x) for x in r["embedding"]]}
@@ -2865,10 +2871,14 @@ def _q_quantized_batch_kinds(spark: SparkSession, sf: str) -> DataFrame:
 
     rows = _emb(spark, sf).orderBy("vec_id").limit(500).collect()
     dim = len(rows[0]["embedding"])
-    kinds = [("s", {"scalar": {"type": "int8"}}, 8.0),
-             ("p", {"product": {"compression": "x8"}}, 8.0),
-             ("b", {"binary": {"encoding": "two_bits"}}, 50.0),
-             ("t", {"turbo": {"bits": "bits4"}}, 50.0)]
+    kinds = [("s", {"scalar": {"type": "int8",
+                               "full_scan_threshold": 0}}, 8.0),
+             ("p", {"product": {"compression": "x8",
+                                "full_scan_threshold": 0}}, 8.0),
+             ("b", {"binary": {"encoding": "two_bits",
+                               "full_scan_threshold": 0}}, 50.0),
+             ("t", {"turbo": {"bits": "bits4",
+                              "full_scan_threshold": 0}}, 50.0)]
     c = QdrantSparkClient(spark)
     c.create_collection(
         "entry_quant_kinds",

@@ -1213,6 +1213,17 @@ _TQ_BITS = {"bits1": 1, "bits1_5": 1.5, "bits2": 2, "bits4": 4}
 _QUANT_OVERSAMPLING = {"scalar": 3.0, "product": 4.0, "binary": 4.0,
                        "turbo": 4.0}
 
+#: Exact-vs-quantized dispatch crossover in ROWS for planner-routed dense
+#: search, same semantics as multivec.MAXSIM_FULL_SCAN_THRESHOLD: the
+#: coarse+rescore plan reads 4-32x fewer bytes but pays a second
+#: (candidate-float) scan for the rescore, and the batched variant pays it
+#: per fused group — at 512k page-cached rows the bench measured the fused
+#: exact one-matmul scan at 1.00 s vs the fused coarse+rescore at 4.07 s
+#: (BENCH_r11 knn_batch64_xxl_disk vs sq_ivf_batch64_xxl_disk). The code
+#: width only wins once the corpus outgrows page cache and the scan is
+#: IO-bound. None on the handle = this default; 0 = always quantized.
+QUANT_FULL_SCAN_THRESHOLD = 2_000_000
+
 
 @dataclass
 class QuantHandle:
@@ -1224,6 +1235,11 @@ class QuantHandle:
     kind: str        # "scalar" | "product" | "binary" | "turbo"
     index: Any       # SqIndex | PqIndex | BqIndex | TqIndex
     oversampling: float
+    #: exact-vs-quantized planner crossover in rows (None =
+    #: :data:`QUANT_FULL_SCAN_THRESHOLD`, 0 = always quantized) — only the
+    #: planner consults it; direct quant_search calls always run quantized
+    full_scan_threshold: int | None = None
+    n_docs: int | None = None  # cached corpus rows for the crossover
 
     @property
     def id_col(self) -> str:
@@ -1326,7 +1342,9 @@ def build_quant(
             raise ValueError(f"unknown turbo bits {cfg.get('bits')!r}")
         idx = build_tq(points, vec_col=vec_col, id_col=id_col, bits=bits)
     over = float(cfg.get("oversampling", _QUANT_OVERSAMPLING[kind]))
-    return QuantHandle(kind=kind, index=idx, oversampling=over)
+    fst = cfg.get("full_scan_threshold")
+    return QuantHandle(kind=kind, index=idx, oversampling=over,
+                       full_scan_threshold=None if fst is None else int(fst))
 
 
 def quant_search(
@@ -1374,7 +1392,9 @@ def persist_quant(handle: QuantHandle, path: str) -> QuantHandle:
     else:
         idx = replace(handle.index, codes=codes, full=base)
     return QuantHandle(kind=handle.kind, index=idx,
-                       oversampling=handle.oversampling)
+                       oversampling=handle.oversampling,
+                       full_scan_threshold=handle.full_scan_threshold,
+                       n_docs=handle.n_docs)
 
 
 def quant_state(handle: QuantHandle) -> tuple[dict[str, np.ndarray],
@@ -1412,6 +1432,7 @@ def quant_from_state(
     arrays: dict[str, np.ndarray],
     scalars: dict[str, Any],
     oversampling: float,
+    full_scan_threshold: int | None = None,
 ) -> QuantHandle:
     """Rebuild a :class:`QuantHandle` from persisted codes + state —
     the load half of :func:`quant_state`. ``codes`` is the narrow
@@ -1439,7 +1460,8 @@ def quant_from_state(
                       vec_col=vec_col, id_col=id_col, full=full)
     else:
         raise ValueError(f"unknown quantization kind {kind!r}")
-    return QuantHandle(kind=kind, index=idx, oversampling=oversampling)
+    return QuantHandle(kind=kind, index=idx, oversampling=oversampling,
+                       full_scan_threshold=full_scan_threshold)
 
 
 def encode_quant(handle: QuantHandle, points: DataFrame) -> DataFrame:
@@ -1564,6 +1586,7 @@ def quant_ivf_search(
         idx2 = replace(idx, codes=pruned,
                        full=idx.full if idx.full is not None else idx.codes)
     h2 = QuantHandle(kind=qih.handle.kind, index=idx2,
-                     oversampling=qih.handle.oversampling)
+                     oversampling=qih.handle.oversampling,
+                     full_scan_threshold=qih.handle.full_scan_threshold)
     return quant_search(h2, query_vector, k=k, metric=metric, flt=flt,
                         rescore=rescore, oversampling=oversampling)

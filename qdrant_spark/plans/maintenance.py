@@ -154,11 +154,13 @@ def load_quant_index(points: DataFrame, path: str):
         raise FileNotFoundError(f"no quant meta at {path}")
     arrays = dict(np.load(os.path.join(path, _QPARAMS), allow_pickle=False))
     codes = points.sparkSession.read.parquet(os.path.join(path, _QDATA))
+    fst = (meta["config"].get(meta["kind"]) or {}).get("full_scan_threshold")
     return quant_from_state(
         meta["kind"], codes, points,
         vec_col=meta["vec_col"], id_col=meta["id_col"],
         arrays=arrays, scalars=meta["scalars"],
-        oversampling=float(meta["oversampling"]))
+        oversampling=float(meta["oversampling"]),
+        full_scan_threshold=None if fst is None else int(fst))
 
 
 def ensure_quant_index(
@@ -251,11 +253,13 @@ def load_quant_ivf_index(points: DataFrame, path: str):
         raise FileNotFoundError(f"no quant-ivf meta at {path}")
     arrays = dict(np.load(os.path.join(path, _QIPARAMS), allow_pickle=False))
     coded = points.sparkSession.read.parquet(os.path.join(path, _QICODED))
+    fst = (meta["config"].get(meta["kind"]) or {}).get("full_scan_threshold")
     handle = quant_from_state(
         meta["kind"], coded.drop("__cluster"), points,
         vec_col=meta["vec_col"], id_col=meta["id_col"],
         arrays=arrays, scalars=meta["scalars"],
-        oversampling=float(meta["oversampling"]))
+        oversampling=float(meta["oversampling"]),
+        full_scan_threshold=None if fst is None else int(fst))
     return QuantIvfHandle(
         handle=handle,
         centroids=np.asarray(meta["centroids"], dtype=np.float64),

@@ -439,6 +439,35 @@ class QueryPlanner:
         return bool((req.get("params") or {}).get("exact")
                     or req.get("exact"))
 
+    def _quant_crossover_ok(self, vec_col: str) -> bool:
+        """Exact-vs-quantized corpus-size dispatch for the dense quant
+        routes (single-leaf AND batched), mirroring the MaxSim guard: the
+        coarse+rescore plan reads 4-32x fewer bytes but pays a second
+        candidate-float scan, which only wins past the page-cache scale
+        (quantize.QUANT_FULL_SCAN_THRESHOLD; the r11 bench measured the
+        fused coarse route 4x SLOWER than the fused exact matmul at 512k
+        rows). Below the threshold the planner takes the exact scan — a
+        declared threshold of 0 pins the quantized route. n_docs caches
+        on the handle, a metadata-only parquet count."""
+        from qdrant_spark.operators.quantize import (
+            QUANT_FULL_SCAN_THRESHOLD,
+        )
+
+        qh = self.quant_indexes.get(vec_col)
+        qih = self.quant_ivf_indexes.get(vec_col)
+        if qh is None and qih is not None:
+            qh = qih.handle
+        if qh is None:
+            return False
+        thr = (QUANT_FULL_SCAN_THRESHOLD
+               if qh.full_scan_threshold is None
+               else qh.full_scan_threshold)
+        if not thr:
+            return True
+        if qh.n_docs is None:
+            qh.n_docs = qh.codes_frame().count()
+        return qh.n_docs >= thr
+
     def _fusable_leaf(self, req: dict[str, Any]) -> tuple | None:
         """Group key when this child is a dense-nearest leaf eligible for
         the shared-scan batch, else None. Leaves that would route through
@@ -467,10 +496,14 @@ class QueryPlanner:
         qp = (req.get("params") or {}).get("quantization") or {}
         if (self.quant_indexes.get(vec_col) is not None
                 or self.quant_ivf_indexes.get(vec_col) is not None) \
-                and not qp.get("ignore") and not self._leaf_exact(req):
+                and not qp.get("ignore") and not self._leaf_exact(req) \
+                and self._quant_crossover_ok(vec_col):
             # quant-routed leaf (plain or composed): fusing would bypass
             # the declared coarse+rescore plan (and change VALUES for
-            # rescore=false requests, which return coarse scores)
+            # rescore=false requests, which return coarse scores). Below
+            # the corpus-size crossover the quant route stands down
+            # everywhere (single-leaf too), so the leaf IS fusable into
+            # the exact shared matmul — the r11-verdict batch fix.
             return None
         import json
 
@@ -968,7 +1001,8 @@ class QueryPlanner:
                 qh = qih_reg.handle
             qp = (req.get("params") or {}).get("quantization") or {}
             quant_ok = (qh is not None and not qp.get("ignore")
-                        and not pre_filtered and not self._leaf_exact(req))
+                        and not pre_filtered and not self._leaf_exact(req)
+                        and self._quant_crossover_ok(vec_col))
             if quant_ok and (qih_reg is not None or ivf is not None) \
                     and flt is None:
                 # BOTH a cluster structure and quantized codes are
@@ -1804,6 +1838,12 @@ def _quant_batch_eligible(planner, requests, outs):
         qp = (req.get("params") or {}).get("quantization") or {}
         if qp.get("ignore") or planner._leaf_exact(req):
             continue
+        if not planner._quant_crossover_ok(vc):
+            # below the exact-vs-quantized corpus crossover the whole
+            # quant family stands down; these requests joined the exact
+            # fused matmul group in _fusable_leaf (or plan exact alone),
+            # mirroring _batch_maxsim_quant's full_scan_threshold guard
+            continue
         yield i, vc
 
 
@@ -2098,6 +2138,8 @@ def query_batch(
         legs = planner._fused_leaves([requests[i] for i in idxs], key[0])
         for i, df in zip(idxs, legs):
             outs[i] = df
+        planner.last_plan_info["fused_groups"] += 1
+        planner.last_plan_info["fused_legs"] += len(idxs)
     _batch_sparse_indexed(planner, requests, outs)
     _batch_quant_indexed(planner, requests, outs)
     _batch_quant_ivf_indexed(planner, requests, outs)

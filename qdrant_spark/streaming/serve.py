@@ -249,7 +249,8 @@ def live_quant_handle(sink: ParquetPointsSink, handle):
     idx = replace(handle.index, full=None, **(
         {"packed": snap} if handle.kind == "binary" else {"codes": snap}))
     return QuantHandle(kind=handle.kind, index=idx,
-                       oversampling=handle.oversampling)
+                       oversampling=handle.oversampling,
+                       full_scan_threshold=handle.full_scan_threshold)
 
 
 def start_maxsim_quant_upsert_stream(

@@ -102,7 +102,7 @@ def test_planner_composes_when_both_registered(embeddings, ivf8):
     routes."""
     from qdrant_spark.query import QueryPlanner
 
-    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+    h = build_quant(embeddings, {"scalar": {"full_scan_threshold": 0}}, vec_col="embedding",
                     id_col="vec_id")
     pl = QueryPlanner(embeddings, id_col="vec_id",
                       default_vec_col="embedding", metric="cosine",
@@ -218,7 +218,7 @@ def test_client_quantized_ivf_composed(spark, embeddings, tmp_path):
     c = QdrantSparkClient(spark, root=str(tmp_path))
     c.create_collection(
         "qivf", vectors_config={"size": dim, "distance": "Cosine"},
-        quantization_config={"scalar": {}})
+        quantization_config={"scalar": {"full_scan_threshold": 0}})
     c.upsert("qivf", pts)
     assert c.ensure_vector_index("qivf", n_clusters=8, nprobe=8,
                                  indexing_threshold=0) == "built"
@@ -242,7 +242,7 @@ def test_client_quantized_ivf_composed(spark, embeddings, tmp_path):
     c2 = QdrantSparkClient(spark, root=str(tmp_path))
     c2.create_collection(
         "qivf", vectors_config={"size": dim, "distance": "Cosine"},
-        quantization_config={"scalar": {}})
+        quantization_config={"scalar": {"full_scan_threshold": 0}})
     c2.upsert("qivf", pts)
     assert c2.ensure_vector_index("qivf", n_clusters=8, nprobe=8,
                                   indexing_threshold=0) == "loaded"
@@ -302,8 +302,8 @@ def test_query_batch_composed_quant_ivf(embeddings, ivf8, monkeypatch):
     from qdrant_spark import query as QM
     from qdrant_spark.query import query_batch
 
-    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
-                    id_col="vec_id")
+    h = build_quant(embeddings, {"scalar": {"full_scan_threshold": 0}},
+                    vec_col="embedding", id_col="vec_id")
     qih = compose_quant_ivf(h, ivf8, nprobe=3)
     rows = embeddings.limit(3).collect()
     q1, q2, q3 = (list(r["embedding"]) for r in rows)

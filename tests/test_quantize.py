@@ -463,7 +463,7 @@ def test_planner_routes_quantized(embeddings):
     scan (no quant leaf)."""
     from qdrant_spark.query import QueryPlanner
 
-    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+    h = build_quant(embeddings, {"scalar": {"full_scan_threshold": 0}}, vec_col="embedding",
                     id_col="vec_id")
     pl = QueryPlanner(embeddings, id_col="vec_id",
                       default_vec_col="embedding",
@@ -493,7 +493,7 @@ def test_planner_quantized_offset_threshold_filter(embeddings):
     from qdrant_spark.operators.knn import knn
     from qdrant_spark.query import QueryPlanner
 
-    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+    h = build_quant(embeddings, {"scalar": {"full_scan_threshold": 0}}, vec_col="embedding",
                     id_col="vec_id")
     pl = QueryPlanner(embeddings, id_col="vec_id",
                       default_vec_col="embedding",
@@ -625,7 +625,7 @@ def test_quant_leaves_not_fused(embeddings):
     the declared plan and change values for rescore=false requests)."""
     from qdrant_spark.query import QueryPlanner
 
-    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+    h = build_quant(embeddings, {"scalar": {"full_scan_threshold": 0}}, vec_col="embedding",
                     id_col="vec_id")
     rows = embeddings.limit(2).collect()
     q1, q2 = (list(r["embedding"]) for r in rows)
@@ -656,7 +656,7 @@ def test_query_batch_groups_quant_through_codes(embeddings):
     from qdrant_spark.operators import knn as K
     from qdrant_spark.query import query_batch
 
-    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+    h = build_quant(embeddings, {"scalar": {"full_scan_threshold": 0}}, vec_col="embedding",
                     id_col="vec_id")
     rows = embeddings.limit(3).collect()
     q1, q2, q3 = (list(r["embedding"]) for r in rows)
@@ -701,7 +701,8 @@ def test_query_batch_groups_pq_through_codes(embeddings):
     from qdrant_spark.operators import knn as K
     from qdrant_spark.query import query_batch
 
-    h = build_quant(embeddings, {"product": {"compression": "x8"}},
+    h = build_quant(embeddings, {"product": {"compression": "x8",
+                                             "full_scan_threshold": 0}},
                     vec_col="embedding", id_col="vec_id")
     rows = embeddings.limit(2).collect()
     q1, q2 = (list(r["embedding"]) for r in rows)
@@ -769,7 +770,7 @@ def test_quant_threshold_with_rescore_false_thresholds_coarse(embeddings):
     r10 ADVICE — previously raised ValueError)."""
     from qdrant_spark.query import QueryPlanner
 
-    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+    h = build_quant(embeddings, {"scalar": {"full_scan_threshold": 0}}, vec_col="embedding",
                     id_col="vec_id")
     q = list(embeddings.limit(1).collect()[0]["embedding"])
     pl = QueryPlanner(embeddings, id_col="vec_id",
@@ -793,8 +794,8 @@ def test_quant_threshold_rescore_false_binary_direction(embeddings):
     whatever the metric) — the threshold applies in THAT direction."""
     from qdrant_spark.query import QueryPlanner
 
-    h = build_quant(embeddings, {"binary": {}}, vec_col="embedding",
-                    id_col="vec_id")
+    h = build_quant(embeddings, {"binary": {"full_scan_threshold": 0}},
+                    vec_col="embedding", id_col="vec_id")
     q = list(embeddings.limit(1).collect()[0]["embedding"])
     pl = QueryPlanner(embeddings, id_col="vec_id",
                       default_vec_col="embedding", metric="euclid",
@@ -817,6 +818,9 @@ def _batch_vs_single(embeddings, config, reqs, metric="cosine"):
 
     h = build_quant(embeddings, config, vec_col="embedding",
                     id_col="vec_id")
+    # pin the quantized route: the tiny fixture sits below the planner's
+    # exact-vs-quantized crossover (quantize.QUANT_FULL_SCAN_THRESHOLD)
+    h.full_scan_threshold = 0
     kw = dict(id_col="vec_id", vec_col="embedding", metric=metric,
               quant_indexes={"embedding": h})
     want = [query_batch(embeddings, [dict(r)], **kw).collect()
@@ -1055,7 +1059,7 @@ def test_planner_routes_recommend_avg_through_quant(embeddings):
     from qdrant_spark.operators.recommend import recommend_avg_vector
     from qdrant_spark.query import QueryPlanner
 
-    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+    h = build_quant(embeddings, {"scalar": {"full_scan_threshold": 0}}, vec_col="embedding",
                     id_col="vec_id")
     rows = embeddings.limit(2).collect()
     p1, p2 = (list(r["embedding"]) for r in rows)
@@ -1100,7 +1104,7 @@ def test_query_batch_fuses_literal_avg_recommends(embeddings):
     request alone."""
     from qdrant_spark.query import query_batch
 
-    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+    h = build_quant(embeddings, {"scalar": {"full_scan_threshold": 0}}, vec_col="embedding",
                     id_col="vec_id")
     rows = embeddings.limit(3).collect()
     p1, p2, p3 = (list(r["embedding"]) for r in rows)
@@ -1131,3 +1135,124 @@ def test_query_batch_fuses_literal_avg_recommends(embeddings):
     for i, w in enumerate(want):
         assert by_req[i] == [(r["vec_id"], round(r["score"], 9))
                              for r in w], i
+
+
+# ---------------------------------------------------------------------------
+# Exact-vs-quantized corpus-size crossover (r12): below the threshold the
+# planner stands the quant routes down — single leaf AND batch — and takes
+# the exact scan / exact fused matmul instead (the dense twin of the MaxSim
+# full_scan_threshold guard; BENCH_r11 measured the fused coarse route 4x
+# slower than the fused exact matmul at 512k page-cached rows)
+# ---------------------------------------------------------------------------
+
+
+def test_quant_crossover_single_leaf(embeddings):
+    """With the DEFAULT threshold (2M docs) a small corpus plans the
+    exact scan (no quant leaf); full_scan_threshold=0 pins the quantized
+    route; a threshold at/below the corpus size engages it too."""
+    from qdrant_spark.query import QueryPlanner
+
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    exact = _exact_ids(embeddings, q, "cosine", 10)
+
+    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+                    id_col="vec_id")  # default threshold
+    pl = QueryPlanner(embeddings, id_col="vec_id",
+                      default_vec_col="embedding",
+                      quant_indexes={"embedding": h})
+    got = [r["vec_id"]
+           for r in pl.plan({"query": {"nearest": q}, "limit": 10}).collect()]
+    assert got == exact
+    assert not pl.last_plan_info.get("quant_leaves")
+
+    # declared threshold <= corpus size -> quant route engages
+    n = embeddings.count()
+    h2 = build_quant(embeddings, {"scalar": {"full_scan_threshold": n}},
+                     vec_col="embedding", id_col="vec_id")
+    pl2 = QueryPlanner(embeddings, id_col="vec_id",
+                       default_vec_col="embedding",
+                       quant_indexes={"embedding": h2})
+    got2 = [r["vec_id"] for r in
+            pl2.plan({"query": {"nearest": q}, "limit": 10}).collect()]
+    assert got2 == exact
+    assert pl2.last_plan_info.get("quant_leaves") == 1
+    assert h2.n_docs == n  # cached on the handle, counted once
+
+
+def test_quant_crossover_batch_falls_back_to_fused_exact(embeddings):
+    """Below the crossover a >=2-request dense batch on a
+    quant-registered column joins the exact fused matmul group (ONE
+    shared scan, no quant_batch_groups) instead of the coarse code scan
+    — the r11-verdict batch fix. Values equal the exact per-request
+    plans."""
+    from qdrant_spark.query import query_batch
+
+    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+                    id_col="vec_id")  # default threshold, corpus far below
+    rows = embeddings.limit(3).collect()
+    qs = [list(r["embedding"]) for r in rows]
+    reqs = [{"query": {"nearest": q}, "limit": 5} for q in qs]
+    kw = dict(id_col="vec_id", vec_col="embedding",
+              quant_indexes={"embedding": h}, fuse_min_bytes=0)
+
+    from qdrant_spark import query as QM
+
+    seen = {}
+    orig_qb = QM._batch_quant_indexed
+
+    def spy(planner, requests, outs):
+        orig_qb(planner, requests, outs)
+        seen["info"] = dict(planner.last_plan_info)
+        seen["planner"] = planner
+
+    QM._batch_quant_indexed = spy
+    try:
+        got = query_batch(embeddings, [dict(r) for r in reqs],
+                          **kw).collect()
+    finally:
+        QM._batch_quant_indexed = orig_qb
+    info = seen["planner"].last_plan_info
+    assert not info.get("quant_batch_groups")   # coarse grouping stood down
+    assert info.get("fused_legs") == 3          # exact fused group took it
+    # values == exact per-request scans
+    for i, q in enumerate(qs):
+        exp = _exact_ids(embeddings, q, "cosine", 5)
+        got_i = [r["vec_id"] for r in got if r["request_idx"] == i]
+        assert got_i == exp, i
+
+
+def test_quant_crossover_batch_composed_falls_back(embeddings, spark):
+    """The composed (quant x IVF) batch grouping honours the same
+    crossover: below it, no quant_ivf_batch_groups form."""
+    from qdrant_spark.operators.ann import build_ivf
+    from qdrant_spark.operators.quantize import compose_quant_ivf
+    from qdrant_spark import query as QM
+    from qdrant_spark.query import query_batch
+
+    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+                    id_col="vec_id")  # default threshold
+    ivf = build_ivf(embeddings, n_clusters=4, vec_col="embedding",
+                    id_col="vec_id", seed=1)
+    qih = compose_quant_ivf(h, ivf, nprobe=4)
+    rows = embeddings.limit(2).collect()
+    qs = [list(r["embedding"]) for r in rows]
+    reqs = [{"query": {"nearest": q}, "limit": 5} for q in qs]
+    seen = {}
+    orig_qb = QM._batch_quant_ivf_indexed
+
+    def spy(planner, requests, outs):
+        orig_qb(planner, requests, outs)
+        seen["planner"] = planner
+
+    QM._batch_quant_ivf_indexed = spy
+    try:
+        got = query_batch(
+            embeddings, reqs, id_col="vec_id", vec_col="embedding",
+            quant_indexes={"embedding": h},
+            quant_ivf_indexes={"embedding": qih}).collect()
+    finally:
+        QM._batch_quant_ivf_indexed = orig_qb
+    assert not seen["planner"].last_plan_info.get("quant_ivf_batch_groups")
+    for i, q in enumerate(qs):
+        exp = _exact_ids(embeddings, q, "cosine", 5)
+        assert [r["vec_id"] for r in got if r["request_idx"] == i] == exp, i
