@@ -3064,6 +3064,63 @@ def _q_maxsim_bq(spark: SparkSession, sf: str) -> DataFrame:
     return _r6(out.select("vec_id", "score"), "score")
 
 
+def _q_maxsim_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantized multivector storage (r12 — the third kind of
+    the vector-kind-agnostic quantized_vectors.rs posture): each token
+    splits into M subspaces encoded as one u8 codebook index each, the
+    coarse MaxSim scan reconstructs x_hat by codebook gather (the dense
+    batch-ADC decomposition, encoded_vectors_pq.rs) and reads M bytes
+    per token. Corpus-wide oversampling keeps every doc through the
+    coarse cut, so the exact rescore equals the exact MaxSim scan and
+    shares its oracle."""
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_pq, maxsim_knn_pq,
+    )
+
+    emb = _emb(spark, sf)
+    q = _vecs(spark, sf, [0])[0]
+    q_mv = [q[i * 8:(i + 1) * 8] for i in range(8)]
+    d_mv = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.slice(F.col("embedding").cast("array<double>"), i * 8 + 1, 8),
+    )
+    pts = emb.select("vec_id", d_mv.alias("mv"))
+    idx = build_maxsim_pq(pts, mv_col="mv", id_col="vec_id",
+                          n_subspaces=4, sample_tokens=20_000)
+    n = pts.count()
+    out = maxsim_knn_pq(idx, q_mv, k=10, oversampling=n / 10.0,
+                        metric="dot")
+    return _r6(out.select("vec_id", "score"), "score")
+
+
+def _q_maxsim_tq(spark: SparkSession, sf: str) -> DataFrame:
+    """TurboQuant multivector storage (r12 — the fourth kind): each
+    token rotated with the seeded orthonormal rotation, Lloyd-Max-coded
+    at 4 bits/coordinate and renorm-reconstructed in rotated space for
+    the coarse scan (turboquant/{lloyd_max,quantization}.rs; rotation
+    preserves dot products so the query tokens rotate once driver-side).
+    Corpus-wide oversampling keeps every doc through the coarse cut, so
+    the exact rescore equals the exact MaxSim scan and shares its
+    oracle."""
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_tq, maxsim_knn_tq,
+    )
+
+    emb = _emb(spark, sf)
+    q = _vecs(spark, sf, [0])[0]
+    q_mv = [q[i * 8:(i + 1) * 8] for i in range(8)]
+    d_mv = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.slice(F.col("embedding").cast("array<double>"), i * 8 + 1, 8),
+    )
+    pts = emb.select("vec_id", d_mv.alias("mv"))
+    idx = build_maxsim_tq(pts, mv_col="mv", id_col="vec_id", bits=4)
+    n = pts.count()
+    out = maxsim_knn_tq(idx, q_mv, k=10, oversampling=n / 10.0,
+                        metric="dot")
+    return _r6(out.select("vec_id", "score"), "score")
+
+
 def _q_maxsim_sq_planned(spark: SparkSession, sf: str) -> DataFrame:
     """Multivector quantization through the full client stack (r11):
     quantization_config declared ON the multivector (the reference's
@@ -4166,6 +4223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_planned": _q_maxsim_planned,
         "maxsim_sq": _q_maxsim_sq,
         "maxsim_bq": _q_maxsim_bq,
+        "maxsim_pq": _q_maxsim_pq,
+        "maxsim_tq": _q_maxsim_tq,
         "maxsim_sq_batch": _q_maxsim_sq_batch,
         "maxsim_sq_planned": _q_maxsim_sq_planned,
         "scroll_keyset": _q_scroll_docs,
@@ -4318,6 +4377,8 @@ def oracle_sql() -> dict[str, str]:
         "maxsim_knn_indexed": _MAXSIM_SQL,
         "maxsim_sq": _MAXSIM_SQL,
         "maxsim_bq": _MAXSIM_SQL,
+        "maxsim_pq": _MAXSIM_SQL,
+        "maxsim_tq": _MAXSIM_SQL,
         "maxsim_sq_batch": _MAXSIM_BATCH_SQL,
         "maxsim_planned": _MAXSIM_PLANNED_SQL,
         "maxsim_sq_planned": _MAXSIM_PLANNED_SQL,

@@ -449,17 +449,6 @@ class QdrantSparkClient:
                 own = qc is not None
                 if qc is None and kind == "dense":
                     qc = quantization_config  # collection-level default
-                if qc is not None and kind == "multi" \
-                        and quant_kind(qc) not in ("scalar", "binary"):
-                    # the reference's quantized_vectors.rs is
-                    # vector-kind-agnostic; the engine supports the
-                    # scalar (int8 token codes) and binary (1-bit packed
-                    # token words) kinds for multivector token storage —
-                    # PQ/TQ token codes would need per-kind nested
-                    # scorers (documented subset)
-                    raise ValueError(
-                        "multivector quantization supports the scalar "
-                        "and binary kinds only")
                 if qc is not None:
                     quant_kind(qc)
                 # declared coarse-index params (per-vector hnsw_config
@@ -1646,13 +1635,14 @@ class QdrantSparkClient:
     def _ensure_maxsim_sq_index(self, col: _Collection, using: str,
                                 vc: "VectorConfig", thr: int) -> str:
         """Quantized multivector storage from a declared
-        ``quantization_config`` (scalar or binary kind;
+        ``quantization_config`` (ANY kind since r12 —
         quantized_vectors.rs treats multivectors like any other kind):
-        int8 token codes (scalar) or 1-bit packed token words (binary)
+        int8 token codes (scalar), 1-bit packed token words (binary),
+        codebook indices (product) or rotated Lloyd-Max codes (turbo)
         for the coarse MaxSim scan, float tokens only for the
         oversampled rescore. Meta-matched ensure with a storage root;
         per-request ``SearchParams.quantization`` tunes/ignores."""
-        from qdrant_spark.operators.quantize import quant_kind
+        from qdrant_spark.operators.quantize import _TQ_BITS, quant_kind
 
         if using in col.mv_sq:
             return "exists"
@@ -1672,22 +1662,40 @@ class QdrantSparkClient:
             from dataclasses import replace
 
             qk = quant_kind(vc.quantization)
+            cfg = vc.quantization[qk] or {}
+            over = float(cfg.get("oversampling", 4.0))
+            mvc, idc = col.vec_col(using), "id"
             if qk == "binary":
                 from qdrant_spark.operators.multivec import build_maxsim_bq
 
-                cfg = vc.quantization["binary"] or {}
                 idx = build_maxsim_bq(
-                    col.df, mv_col=col.vec_col(using), id_col="id",
+                    col.df, mv_col=mvc, id_col=idc,
                     encoding=cfg.get("encoding", "one_bit"),
-                    oversampling=float(cfg.get("oversampling", 4.0)))
+                    oversampling=over)
+            elif qk == "product":
+                from qdrant_spark.operators.multivec import build_maxsim_pq
+
+                idx = build_maxsim_pq(
+                    col.df, mv_col=mvc, id_col=idc,
+                    compression=str(cfg.get("compression", "x8")),
+                    oversampling=over)
+            elif qk == "turbo":
+                from qdrant_spark.operators.multivec import build_maxsim_tq
+
+                bits = _TQ_BITS.get(str(cfg.get("bits", "bits4")))
+                if bits is None:
+                    raise ValueError(
+                        f"unknown turbo bits {cfg.get('bits')!r}")
+                idx = build_maxsim_tq(
+                    col.df, mv_col=mvc, id_col=idc, bits=bits,
+                    oversampling=over)
             else:
                 from qdrant_spark.operators.multivec import build_maxsim_sq
 
-                cfg = vc.quantization["scalar"] or {}
                 idx = build_maxsim_sq(
-                    col.df, mv_col=col.vec_col(using), id_col="id",
+                    col.df, mv_col=mvc, id_col=idc,
                     quantile=float(cfg.get("quantile", 0.99)),
-                    oversampling=float(cfg.get("oversampling", 4.0)))
+                    oversampling=over)
             idx, action = replace(
                 idx, full_scan_threshold=cfg.get("full_scan_threshold"),
                 n_docs=n), "built"

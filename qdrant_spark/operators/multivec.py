@@ -616,14 +616,421 @@ def maxsim_knn_bq(
                       mv_col=index.mv_col, id_col=id_col)
 
 
+@dataclass
+class MaxSimPq:
+    """Product-quantized multivector storage — the PQ sibling of
+    :class:`MaxSimSq` (quantized_vectors.rs is vector-kind-agnostic:
+    the reference quantizes multivector segments with ANY configured
+    kind, including Product). ``codes`` holds ``__mpq``
+    (array<array<tinyint>>): each token split into M subspaces and
+    encoded as one u8 centroid index per subspace against codebooks
+    trained on a token sample — the coarse MaxSim scan reads M bytes
+    per token (x4-x64 less than float32), reconstructs x_hat by
+    codebook gather (the dense batch-ADC decomposition), and only the
+    oversampled candidate docs touch the full-precision tokens."""
+
+    codes: DataFrame       # (id, __mpq)
+    codebooks: np.ndarray  # (M, K, dsub)
+    points: DataFrame      # full-precision mv corpus for the rescore
+    mv_col: str
+    id_col: str
+    oversampling: float = 4.0
+    #: same exact-vs-quantized crossover semantics as MaxSimSq
+    full_scan_threshold: int | None = None
+    n_docs: int | None = None
+
+
+def build_maxsim_pq(
+    points: DataFrame,
+    *,
+    mv_col: str = "mv",
+    id_col: str = "id",
+    n_subspaces: int | None = None,
+    compression: str = "x8",
+    n_centroids: int = 256,
+    sample_tokens: int = 100_000,
+    seed: int = 7,
+    max_iter: int = 20,
+    oversampling: float = 4.0,
+) -> MaxSimPq:
+    """Train per-subspace codebooks on a seeded TOKEN sample (the same
+    KMeans fit as quantize.build_pq, over exploded tokens), then encode
+    every token of every doc in one Arrow-batched pass. ``compression``
+    maps to M like the dense CompressionRatio (n_subspaces overrides)."""
+    from qdrant_spark.operators.quantize import (
+        _PQ_COMPRESSION, _fit_codebooks,
+    )
+
+    base = points.filter(
+        F.col(mv_col).isNotNull() & (F.size(mv_col) > 0))
+    tok = base.select(F.explode(mv_col).alias("__tok"))
+    first = tok.select(F.size("__tok").alias("d")).first()
+    if first is None:
+        raise ValueError("empty multivector corpus")
+    dim = int(first["d"])
+    if n_subspaces is None:
+        ratio = _PQ_COMPRESSION.get(str(compression))
+        if ratio is None:
+            raise ValueError(f"unknown PQ compression {compression!r}")
+        m = max(1, dim * 4 // ratio)
+        while dim % m:  # reshape(M, dsub) needs M | dim
+            m -= 1
+        n_subspaces = m
+    if dim % n_subspaces:
+        raise ValueError(
+            f"token dim {dim} not divisible by n_subspaces {n_subspaces}")
+    n = tok.count()
+    frac = min(1.0, float(sample_tokens) / max(n, 1))
+    rows = tok.sample(frac, seed=seed).collect() \
+        or tok.limit(sample_tokens).collect()
+    sample = np.array(sorted(list(r[0]) for r in rows), dtype=np.float64)
+    codebooks = _fit_codebooks(sample, n_subspaces, n_centroids, max_iter,
+                               seed)
+
+    codes = base.select(
+        id_col, _mpq_encode_udf(codebooks)(F.col(mv_col)).alias("__mpq"))
+    return MaxSimPq(codes=codes, codebooks=codebooks, points=points,
+                    mv_col=mv_col, id_col=id_col,
+                    oversampling=float(oversampling))
+
+
+def _mpq_encode_udf(codebooks: np.ndarray):
+    """Token-PQ-encode pandas_udf for FROZEN codebooks — shared by the
+    build pass and the incremental encode of new rows (encode_maxsim;
+    the multivector twin of quantize._pq_encode_udf)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = codebooks
+    cb_norm2 = (cb * cb).sum(axis=2)
+    M, _, dsub = cb.shape
+
+    def _encode_mv(s):
+        import pandas as pd
+
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        out = []
+        # flatten every doc's tokens into ONE matrix, one argmin pass
+        # per subspace for the whole Arrow batch, then split back
+        counts = [len(doc) for doc in s]
+        V = np.array([t for doc in s for t in doc], dtype=np.float64)
+        codes = np.empty((V.shape[0], M), dtype=np.int16)
+        for m in range(M):
+            sub = V[:, m * dsub:(m + 1) * dsub]
+            d = cb_norm2[m][None, :] - 2.0 * sub @ cb[m].T
+            codes[:, m] = d.argmin(axis=1)
+        codes = (codes - 128).astype(np.int8)
+        pos = 0
+        for c in counts:
+            out.append(list(codes[pos:pos + c]))
+            pos += c
+        return pd.Series(out)
+
+    return pandas_udf(_encode_mv, "array<array<tinyint>>")
+
+
+@dataclass
+class MaxSimTq:
+    """TurboQuant multivector storage — the TQ sibling of
+    :class:`MaxSimSq` (quantized_vectors.rs is vector-kind-agnostic).
+    ``codes`` holds three parallel token arrays: ``__mtq``
+    (array<binary>, per-token bit-packed Lloyd-Max indices over the
+    seeded rotation), ``__mtq_l2`` / ``__mtq_cn`` (array<double>, the
+    renorm extras — original token length and chosen-centroid norm,
+    quantization.rs:290-316). The coarse scan reconstructs each token
+    in ROTATED space (rotation preserves dot products, so the query
+    tokens rotate once driver-side) and reads 1-4 bits/dim."""
+
+    codes: DataFrame       # (id, __mtq, __mtq_l2, __mtq_cn)
+    bits: float
+    dim: int
+    padded_dim: int
+    seed: int
+    points: DataFrame      # full-precision mv corpus for the rescore
+    mv_col: str
+    id_col: str
+    oversampling: float = 4.0
+    #: same exact-vs-quantized crossover semantics as MaxSimSq
+    full_scan_threshold: int | None = None
+    n_docs: int | None = None
+
+    @property
+    def bits_per_code(self) -> int:
+        return 1 if self.bits in (1, 1.5) else int(self.bits)
+
+
+def build_maxsim_tq(
+    points: DataFrame,
+    *,
+    mv_col: str = "mv",
+    id_col: str = "id",
+    bits: float = 2,
+    seed: int = 7,
+    oversampling: float = 4.0,
+) -> MaxSimTq:
+    """Encode every token with the dense TurboQuant scheme (seeded
+    rotation + shared Lloyd-Max N(0,1) codebook,
+    turboquant/{lloyd_max,quantization}.rs) in one Arrow-batched pass —
+    no training state beyond the seed (Normal mode; the TQ+ per-
+    coordinate pre-pass is a dense-only option here)."""
+    from qdrant_spark.operators.quantize import _next_pow2
+
+    if bits not in (1, 1.5, 2, 4):
+        raise ValueError(f"bits must be one of 1, 1.5, 2, 4 — got {bits}")
+    base = points.filter(
+        F.col(mv_col).isNotNull() & (F.size(mv_col) > 0))
+    tok = base.select(F.explode(mv_col).alias("__tok"))
+    first = tok.select(F.size("__tok").alias("d")).first()
+    if first is None:
+        raise ValueError("empty multivector corpus")
+    dim = int(first["d"])
+    target = int(np.ceil(dim * 1.5)) if bits == 1.5 else dim
+    padded_dim = _next_pow2(target)
+    codes = _mtq_encode_columns(base, mv_col, id_col, bits=bits, dim=dim,
+                                padded_dim=padded_dim, seed=seed) \
+        .select(id_col, "__mtq", "__mtq_l2", "__mtq_cn")
+    return MaxSimTq(codes=codes, bits=bits, dim=dim, padded_dim=padded_dim,
+                    seed=seed, points=points, mv_col=mv_col, id_col=id_col,
+                    oversampling=float(oversampling))
+
+
+def _mtq_encode_columns(base: DataFrame, mv_col: str, id_col: str, *,
+                        bits: float, dim: int, padded_dim: int,
+                        seed: int) -> DataFrame:
+    """Attach ``__mtq/__mtq_l2/__mtq_cn`` for a FROZEN rotation seed —
+    shared by the build pass and the incremental encode of new rows
+    (encode_maxsim; the multivector twin of quantize._tq_encode_columns).
+    One Arrow-batched pass, no training."""
+    from pyspark.sql.functions import pandas_udf
+
+    from qdrant_spark.operators.quantize import (
+        _TQ_CENTROIDS, _tq_boundaries, _tq_pack, _tq_preprocess,
+        _tq_rotation_params,
+    )
+
+    bpc = 1 if bits in (1, 1.5) else int(bits)
+    centroids = _TQ_CENTROIDS[bpc]
+    boundaries = _tq_boundaries(bpc)
+    sqrt_d = float(np.sqrt(padded_dim))
+    pd_, dim_, seed_ = padded_dim, dim, seed
+
+    def _encode_mv(s):
+        import pandas as pd
+
+        if len(s) == 0:
+            return pd.DataFrame({"codes": pd.Series([], dtype=object),
+                                 "l2": pd.Series([], dtype=object),
+                                 "cn": pd.Series([], dtype=object)})
+        params = _tq_rotation_params(pd_, seed_)
+        counts = [len(doc) for doc in s]
+        V = np.zeros((sum(counts), pd_), dtype=np.float64)
+        V[:, :dim_] = np.array([t for doc in s for t in doc],
+                               dtype=np.float64)
+        V, l2 = _tq_preprocess(V, params, sqrt_d)
+        idx = np.searchsorted(boundaries, V).astype(np.uint8)
+        cn = np.linalg.norm(centroids[idx], axis=1)
+        packed = _tq_pack(idx, bpc)
+        out_c, out_l, out_n, pos = [], [], [], 0
+        for c in counts:
+            out_c.append([row.tobytes() for row in packed[pos:pos + c]])
+            out_l.append(list(l2[pos:pos + c]))
+            out_n.append(list(cn[pos:pos + c]))
+            pos += c
+        return pd.DataFrame({"codes": out_c, "l2": out_l, "cn": out_n})
+
+    enc = pandas_udf(
+        _encode_mv,
+        "codes array<binary>, l2 array<double>, cn array<double>")
+    return (base.withColumn("__t", enc(F.col(mv_col)))
+            .withColumn("__mtq", F.col("__t.codes"))
+            .withColumn("__mtq_l2", F.col("__t.l2"))
+            .withColumn("__mtq_cn", F.col("__t.cn"))
+            .drop("__t"))
+
+
+def persist_maxsim_quant(index, path: str):
+    """Materialize the narrow token-code table of ANY quantized
+    multivector index kind (the split-storage layout of
+    persist_maxsim_sq, generalized)."""
+    from dataclasses import replace
+
+    index.codes.write.mode("overwrite").parquet(path)
+    spark = index.codes.sparkSession
+    return replace(index, codes=spark.read.parquet(path))
+
+
+def _mv_quant_prep(index, queries: Sequence[Sequence[Sequence[float]]],
+                   metric: str):
+    """Per-kind prep shared by the single-request and batched coarse
+    scans over quantized token storage: returns ``(code_cols, Qtoks,
+    decode)`` where ``Qtoks`` holds one per-query token matrix ALREADY
+    in scoring space, and ``decode(flats)`` maps the first-level-
+    flattened Arrow code arrays of one batch to the float token matrix
+    in the same space (cosine-normalized when the kind scores the
+    requested metric; binary stays metric-blind ±1-dot like the dense
+    coarse stage). The per-kind quantities are exactly the dense
+    scorers' (quantize.sq/pq/bq/tq_search) applied token-wise."""
+    from qdrant_spark.operators.quantize import (
+        _TQ_CENTROIDS, _bq_ext_dim, _tq_rotate, _tq_rotation_params,
+        _tq_unpack, bq_bits_np,
+    )
+
+    cosine = metric == "cosine"
+
+    def _norm_rows(M):
+        n = np.linalg.norm(M, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return M / n
+
+    if isinstance(index, MaxSimBq):
+        Qtoks = [np.asarray(
+            [bq_bits_np(list(t), index.means, index.stds, index.encoding)
+             for t in q], dtype=np.float64) * 2.0 - 1.0 for q in queries]
+        ext_dim = _bq_ext_dim(len(index.means), index.encoding)
+        nwords = (ext_dim + 63) // 64
+
+        def decode(flats):
+            words = flats[0].flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.int64).reshape(-1, nwords).view(np.uint64)
+            pm = np.empty((words.shape[0], ext_dim), dtype=np.float64)
+            col = 0
+            for w in range(words.shape[1]):
+                nb = min(64, ext_dim - col)
+                sh = np.arange(nb - 1, -1, -1, dtype=np.uint64)
+                pm[:, col:col + nb] = \
+                    ((words[:, w:w + 1] >> sh) & np.uint64(1))
+                col += nb
+            return pm * 2.0 - 1.0
+
+        return ["__mbq"], Qtoks, decode
+
+    if isinstance(index, MaxSimPq):
+        cb = index.codebooks
+        M_, _, dsub = cb.shape
+        dim = M_ * dsub
+        Qtoks = [np.asarray([list(t) for t in q], dtype=np.float64)
+                 for q in queries]
+        if cosine:
+            Qtoks = [_norm_rows(Q) for Q in Qtoks]
+
+        def decode(flats):
+            codes = flats[0].flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.int16).reshape(-1, M_) + 128
+            Tm = np.empty((codes.shape[0], dim), dtype=np.float64)
+            for m in range(M_):
+                Tm[:, m * dsub:(m + 1) * dsub] = cb[m][codes[:, m]]
+            return _norm_rows(Tm) if cosine else Tm
+
+        return ["__mpq"], Qtoks, decode
+
+    if isinstance(index, MaxSimTq):
+        bpc = index.bits_per_code
+        centroids = _TQ_CENTROIDS[bpc]
+        pd_, dim_ = index.padded_dim, index.dim
+        params = _tq_rotation_params(pd_, index.seed)
+        Qtoks = []
+        for q in queries:
+            Qm = np.zeros((len(q), pd_), dtype=np.float64)
+            Qm[:, :dim_] = np.asarray([list(t) for t in q],
+                                      dtype=np.float64)
+            Qm = _tq_rotate(Qm, params)  # rotation preserves dots
+            Qtoks.append(_norm_rows(Qm) if cosine else Qm)
+
+        def decode(flats):
+            raw_objs = flats[0].to_numpy(zero_copy_only=False)
+            raw = np.frombuffer(b"".join(raw_objs), dtype=np.uint8) \
+                .reshape(len(raw_objs), -1)
+            idx = _tq_unpack(raw, bpc, pd_)
+            l2 = flats[1].to_numpy(zero_copy_only=False)
+            cn = np.maximum(flats[2].to_numpy(zero_copy_only=False), 1e-12)
+            # renorm reconstruction in ROTATED space: direction from the
+            # codebook, true token length from the stored l2 extra
+            Tm = centroids[idx] * (l2 / cn)[:, None]
+            return _norm_rows(Tm) if cosine else Tm
+
+        return ["__mtq", "__mtq_l2", "__mtq_cn"], Qtoks, decode
+
+    # scalar (MaxSimSq)
+    lo = index.lo
+    scale = (index.hi - index.lo) / 255.0
+    dim = len(lo)
+    Qtoks = [np.asarray([list(t) for t in q], dtype=np.float64)
+             for q in queries]
+    if cosine:
+        Qtoks = [_norm_rows(Q) for Q in Qtoks]
+
+    def decode(flats):
+        Tm = flats[0].flatten().to_numpy(zero_copy_only=False) \
+            .reshape(-1, dim).astype(np.float64)
+        Tm = (Tm + 128.0) * scale + lo
+        return _norm_rows(Tm) if cosine else Tm
+
+    return ["__msq"], Qtoks, decode
+
+
+def maxsim_knn_quant(
+    index,
+    query_multivector: Sequence[Sequence[float]],
+    *,
+    k: int = 10,
+    oversampling: float = 4.0,
+    metric: str = "dot",
+    rescore: bool = True,
+) -> DataFrame:
+    """Two-stage MaxSim over ANY quantized token storage kind
+    (:class:`MaxSimSq` / :class:`MaxSimBq` / :class:`MaxSimPq` /
+    :class:`MaxSimTq`): the coarse scan runs the shared batch kernel
+    with one query (per-kind decode hook + one BLAS segment-max per
+    Arrow batch), the exact MaxSim rescore touches only the oversampled
+    candidates' float tokens — QuantizationSearchParams semantics
+    applied to multivectors, for every kind the reference's
+    quantized_vectors.rs accepts."""
+    if metric not in ("dot", "cosine"):
+        raise ValueError("maxsim supports dot/cosine")
+    n_coarse = max(k, int(np.ceil(k * oversampling)))
+    coarse = maxsim_quant_coarse_batch(
+        index, [query_multivector], n_coarse, metric=metric)
+    id_col = index.id_col
+    if not rescore:
+        return (coarse.filter(F.col("rank") <= k)
+                .orderBy("rank").select(id_col, "score"))
+    cand_ids = F.broadcast(coarse.select(id_col))
+    cand = index.points.join(cand_ids, id_col, "left_semi")
+    return maxsim_knn(cand, query_multivector, k=k, metric=metric,
+                      mv_col=index.mv_col, id_col=id_col)
+
+
+def maxsim_knn_pq(index: MaxSimPq, query_multivector, *, k: int = 10,
+                  oversampling: float = 4.0, metric: str = "dot",
+                  rescore: bool = True) -> DataFrame:
+    """PQ-kind alias of :func:`maxsim_knn_quant` (codebook-gather
+    reconstruction coarse stage + exact rescore)."""
+    return maxsim_knn_quant(index, query_multivector, k=k,
+                            oversampling=oversampling, metric=metric,
+                            rescore=rescore)
+
+
+def maxsim_knn_tq(index: MaxSimTq, query_multivector, *, k: int = 10,
+                  oversampling: float = 4.0, metric: str = "dot",
+                  rescore: bool = True) -> DataFrame:
+    """TQ-kind alias of :func:`maxsim_knn_quant` (rotated-space renorm
+    reconstruction coarse stage + exact rescore)."""
+    return maxsim_knn_quant(index, query_multivector, k=k,
+                            oversampling=oversampling, metric=metric,
+                            rescore=rescore)
+
+
 def encode_maxsim(index, points: DataFrame) -> DataFrame:
     """Encode NEW multivector rows with the index's FROZEN encoder state
     — the quantized-multivector twin of quantize.encode_quant: map-only,
     no re-fitting (the reference appends to quantized multivector
-    storage with the stored parameters the same way). Accepts either a
-    :class:`MaxSimSq` (int8 codes, ``__msq``) or a :class:`MaxSimBq`
-    (packed 1-bit words, ``__mbq``). Returns ``points`` (non-null,
-    non-empty multivectors) with the code column attached."""
+    storage with the stored parameters the same way). Accepts any
+    quantized-multivector index kind: :class:`MaxSimSq` (int8 codes,
+    ``__msq``), :class:`MaxSimBq` (packed 1-bit words, ``__mbq``),
+    :class:`MaxSimPq` (codebook indices, ``__mpq``) or :class:`MaxSimTq`
+    (rotated Lloyd-Max codes + renorm extras, ``__mtq*``). Returns
+    ``points`` (non-null, non-empty multivectors) with the code
+    column(s) attached."""
     from qdrant_spark.operators.quantize import _bq_code_expr, _sq_code_expr
 
     base = points.filter(
@@ -636,6 +1043,13 @@ def encode_maxsim(index, points: DataFrame) -> DataFrame:
                 F.col(index.mv_col),
                 lambda t: _bq_code_expr(index.means, index.stds,
                                         index.encoding, t, dim)))
+    if isinstance(index, MaxSimPq):
+        return base.withColumn(
+            "__mpq", _mpq_encode_udf(index.codebooks)(F.col(index.mv_col)))
+    if isinstance(index, MaxSimTq):
+        return _mtq_encode_columns(
+            base, index.mv_col, index.id_col, bits=index.bits,
+            dim=index.dim, padded_dim=index.padded_dim, seed=index.seed)
     return base.withColumn(
         "__msq",
         F.transform(F.col(index.mv_col),
@@ -645,96 +1059,63 @@ def encode_maxsim(index, points: DataFrame) -> DataFrame:
 def maxsim_quant_coarse_batch(index, queries: Sequence[Sequence[Sequence[float]]],
                               k: int, *, metric: str = "dot") -> DataFrame:
     """ONE coarse scan answering a BATCH of multivector queries over
-    quantized token storage (:class:`MaxSimSq` int8 codes or
-    :class:`MaxSimBq` packed bits): all query multivectors' tokens
-    concatenate into a single matrix, each Arrow batch runs ONE BLAS
-    call against it, and two ``reduceat`` passes compute per-(doc,
-    query) MaxSim — per-doc segment max over doc tokens, per-query sum
-    over its token columns. Per-batch per-query top-k bounds the
-    shuffle; the final window makes the per-query (score desc, id)
-    ranking exact. Returns (__qid, id, score, rank<=k). The reference's
-    batch dispatch walks quantized storage once for the whole batch the
-    same way (lib/segment/src/vector_storage/quantized/)."""
+    quantized token storage of ANY kind (:class:`MaxSimSq` int8 codes,
+    :class:`MaxSimBq` packed bits, :class:`MaxSimPq` codebook indices,
+    :class:`MaxSimTq` rotated Lloyd-Max codes — per-kind decode via
+    :func:`_mv_quant_prep`): all query multivectors' tokens concatenate
+    into a single matrix, each Arrow batch runs ONE BLAS call against
+    it, and two ``reduceat`` passes compute per-(doc, query) MaxSim —
+    per-doc segment max over doc tokens, per-query sum over its token
+    columns. Per-batch per-query top-k bounds the shuffle; the final
+    window makes the per-query (score desc, id) ranking exact. Returns
+    (__qid, id, score, rank<=k). The reference's batch dispatch walks
+    quantized storage once for the whole batch the same way
+    (lib/segment/src/vector_storage/quantized/)."""
     from pyspark.sql.window import Window
 
-    from qdrant_spark.operators.quantize import _bq_ext_dim, bq_bits_np
-
-    binary = isinstance(index, MaxSimBq)
-    if binary:
-        Qtoks = [np.asarray(
-            [bq_bits_np(list(t), index.means, index.stds, index.encoding)
-             for t in q], dtype=np.float64) * 2.0 - 1.0 for q in queries]
-        ext_dim = _bq_ext_dim(len(index.means), index.encoding)
-        lo = scale = None
-        # like the single-request binary path, the coarse rank is
-        # metric-blind (±1-dot); the rescore applies the metric
-        code_col, cosine = "__mbq", False
-    else:
-        cosine = metric == "cosine"
-        Qtoks = []
-        for q in queries:
-            Qm = np.asarray([list(t) for t in q], dtype=np.float64)
-            if cosine:
-                nq = np.linalg.norm(Qm, axis=1, keepdims=True)
-                nq[nq == 0] = 1.0
-                Qm = Qm / nq
-            Qtoks.append(Qm)
-        lo = index.lo
-        scale = (index.hi - index.lo) / 255.0
-        ext_dim = len(lo)
-        code_col = "__msq"
+    code_cols, Qtoks, decode = _mv_quant_prep(index, queries, metric)
     Qall = np.concatenate(Qtoks, axis=0)
     # per-query token column offsets for the reduceat over columns
     qstarts = np.cumsum([0] + [len(t) for t in Qtoks[:-1]])
     nq = len(Qtoks)
 
     sc = index.codes.sparkSession.sparkContext
-    bq = sc.broadcast((Qall, qstarts, lo, scale))
-    sel = index.codes.select(index.id_col, code_col)
+    # broadcast only the plain arrays (sc.broadcast pickles with the
+    # stock pickler, which can't take the per-kind decode closure); the
+    # decode fn + its encoder state ride the cloudpickled task closure
+    bq = sc.broadcast((Qall, qstarts))
+    sel = index.codes.select(index.id_col, *code_cols)
     id_col = index.id_col
     out_schema = T.StructType([
         T.StructField("__qid", T.LongType()),
         T.StructField(id_col, sel.schema[id_col].dataType),
         T.StructField("score", T.DoubleType()),
     ])
+    ncols = len(code_cols)
 
     def score_batches(batches: Iterator) -> Iterator:
         import pyarrow as pa
 
-        Qm, qs, lo_, scale_ = bq.value
+        Qm, qs = bq.value
+        dec = decode
         for batch in batches:
             n = batch.num_rows
             if n == 0:
                 continue
             ids = batch.column(0).to_numpy(zero_copy_only=False)
-            mv = batch.column(1)
-            if isinstance(mv, pa.ChunkedArray):
-                mv = mv.combine_chunks()
-            inner = mv.flatten()
-            outer_off = mv.offsets.to_numpy(zero_copy_only=False)
+            flats = []
+            outer_off = None
+            for ci in range(1, 1 + ncols):
+                col = batch.column(ci)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                if outer_off is None:
+                    outer_off = col.offsets.to_numpy(zero_copy_only=False)
+                flats.append(col.flatten())
             tok_counts = np.diff(outer_off)
-            flat = inner.flatten().to_numpy(zero_copy_only=False)
-            if binary:
-                words = flat.astype(np.int64) \
-                    .reshape(-1, (ext_dim + 63) // 64).view(np.uint64)
-                Tm = np.empty((words.shape[0], ext_dim), dtype=np.float64)
-                col = 0
-                for w in range(words.shape[1]):
-                    nb = min(64, ext_dim - col)
-                    sh = np.arange(nb - 1, -1, -1, dtype=np.uint64)
-                    Tm[:, col:col + nb] = \
-                        ((words[:, w:w + 1] >> sh) & np.uint64(1))
-                    col += nb
-                Tm = Tm * 2.0 - 1.0
-            else:
-                Tm = flat.reshape(-1, ext_dim).astype(np.float64)
-                Tm = (Tm + 128.0) * scale_ + lo_
-                if cosine:
-                    norms = np.linalg.norm(Tm, axis=1, keepdims=True)
-                    norms[norms == 0] = 1.0
-                    Tm = Tm / norms
+            Tm = dec(flats)
             starts = outer_off[:-1] - outer_off[0]
-            assert (tok_counts > 0).all()
+            assert (tok_counts > 0).all()  # empties filtered at build
             # chunk the query-token columns: the full (batch_tokens x
             # all_qtokens) score matrix would be ~100s of MB per worker
             # at 64 queries (first-rep GC thrash measured 40s); per-doc
@@ -750,11 +1131,28 @@ def maxsim_quant_coarse_batch(index, queries: Sequence[Sequence[Sequence[float]]
             scores = np.add.reduceat(M, qs, axis=1)     # (docs, queries)
             kk = min(k, n)
             if kk < n:
-                part = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+                # per-batch top-k must follow the SAME total order as
+                # the final window — (score desc, id asc) — or tied
+                # boundary docs (endemic for integer-valued binary
+                # coarse scores) get dropped by argpartition's arbitrary
+                # tie choice before the window ever sees them
+                sel_rows, sel_q = [], []
+                for j in range(nq):
+                    s = scores[:, j]
+                    part = np.argpartition(-s, kk - 1)[:kk]
+                    kth = s[part].min()
+                    strict = np.where(s > kth)[0]
+                    tied = np.where(s == kth)[0]
+                    need = kk - len(strict)
+                    tied = tied[np.argsort(ids[tied], kind="stable")][:need]
+                    rows_j = np.concatenate([strict, tied])
+                    sel_rows.append(rows_j)
+                    sel_q.append(np.full(len(rows_j), j, dtype=np.int64))
+                rows = np.concatenate(sel_rows)
+                qid = np.concatenate(sel_q)
             else:
-                part = np.tile(np.arange(n)[:, None], (1, nq))
-            rows = part.ravel(order="F")
-            qid = np.repeat(np.arange(nq, dtype=np.int64), part.shape[0])
+                rows = np.tile(np.arange(n), nq)
+                qid = np.repeat(np.arange(nq, dtype=np.int64), n)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(qid), pa.array(ids[rows]),
                  pa.array(scores[rows, qid], type=pa.float64())],

@@ -447,7 +447,9 @@ def load_maxsim_sq_index(points: DataFrame, path: str):
     ``points`` is the full-precision multivector corpus for the exact
     rescore. ``meta["kind"]`` picks the index class (absent = scalar,
     the pre-binary layout)."""
-    from qdrant_spark.operators.multivec import MaxSimBq, MaxSimSq
+    from qdrant_spark.operators.multivec import (
+        MaxSimBq, MaxSimPq, MaxSimSq, MaxSimTq,
+    )
 
     meta = read_maxsim_sq_meta(path)
     if meta is None:
@@ -459,10 +461,17 @@ def load_maxsim_sq_index(points: DataFrame, path: str):
                   oversampling=float(meta["oversampling"]),
                   full_scan_threshold=meta.get("full_scan_threshold"),
                   n_docs=meta.get("n_rows"))
-    if meta.get("kind", "scalar") == "binary":
+    kind = meta.get("kind", "scalar")
+    if kind == "binary":
         return MaxSimBq(means=arrays["means"], stds=arrays["stds"],
                         encoding=meta.get("encoding", "one_bit"),
                         **common)
+    if kind == "product":
+        return MaxSimPq(codebooks=arrays["codebooks"], **common)
+    if kind == "turbo":
+        return MaxSimTq(bits=float(meta["bits"]), dim=int(meta["dim"]),
+                        padded_dim=int(meta["padded_dim"]),
+                        seed=int(meta["seed"]), **common)
     return MaxSimSq(lo=arrays["lo"], hi=arrays["hi"], **common)
 
 
@@ -479,19 +488,16 @@ def ensure_maxsim_sq_index(
 ):
     """Idempotent quantized-multivector maintenance; skip/LOAD/REBUILD
     contract of the other ensures. ``config`` is the declared
-    quantization_config — scalar (int8 token codes) or binary (1-bit
-    packed token words) for multivectors here (PQ/TQ token codes would
-    need per-kind nested scorers — documented subset)."""
+    quantization_config — ANY kind since r12 (scalar int8 token codes,
+    binary packed token words, product codebook indices, turbo rotated
+    Lloyd-Max codes), matching the reference's vector-kind-agnostic
+    quantized_vectors.rs."""
     from qdrant_spark.operators.multivec import (
-        build_maxsim_bq, build_maxsim_sq,
+        build_maxsim_bq, build_maxsim_pq, build_maxsim_sq, build_maxsim_tq,
     )
-    from qdrant_spark.operators.quantize import quant_kind
+    from qdrant_spark.operators.quantize import _TQ_BITS, quant_kind
 
     qk = quant_kind(config)
-    if qk not in ("scalar", "binary"):
-        raise ValueError(
-            "multivector quantization supports the scalar and binary "
-            "kinds only")
     cfg = config[qk] or {}
 
     n = points.count() if total is None else int(total)
@@ -511,18 +517,33 @@ def ensure_maxsim_sq_index(
             return load_maxsim_sq_index(points, path), "loaded"
 
     extra: dict[str, Any] = {"kind": qk}
+    over = float(cfg.get("oversampling", 4.0))
     if qk == "binary":
         idx = build_maxsim_bq(
             points, mv_col=mv_col, id_col=id_col,
-            encoding=cfg.get("encoding", "one_bit"),
-            oversampling=float(cfg.get("oversampling", 4.0)))
+            encoding=cfg.get("encoding", "one_bit"), oversampling=over)
         arrays = {"means": idx.means, "stds": idx.stds}
         extra["encoding"] = idx.encoding
+    elif qk == "product":
+        idx = build_maxsim_pq(
+            points, mv_col=mv_col, id_col=id_col,
+            compression=str(cfg.get("compression", "x8")),
+            oversampling=over)
+        arrays = {"codebooks": idx.codebooks}
+    elif qk == "turbo":
+        bits = _TQ_BITS.get(str(cfg.get("bits", "bits4")))
+        if bits is None:
+            raise ValueError(f"unknown turbo bits {cfg.get('bits')!r}")
+        idx = build_maxsim_tq(
+            points, mv_col=mv_col, id_col=id_col, bits=bits,
+            oversampling=over)
+        arrays = {}  # seed-only encoder; state lives in the meta scalars
+        extra.update(bits=idx.bits, dim=idx.dim,
+                     padded_dim=idx.padded_dim, seed=idx.seed)
     else:
         idx = build_maxsim_sq(
             points, mv_col=mv_col, id_col=id_col,
-            quantile=float(cfg.get("quantile", 0.99)),
-            oversampling=float(cfg.get("oversampling", 4.0)))
+            quantile=float(cfg.get("quantile", 0.99)), oversampling=over)
         arrays = {"lo": idx.lo, "hi": idx.hi}
     idx.codes.write.mode("overwrite").parquet(os.path.join(path, _MSQDATA))
     os.makedirs(path, exist_ok=True)

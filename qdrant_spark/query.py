@@ -902,7 +902,7 @@ class QueryPlanner:
 
                 from qdrant_spark.filters import apply_filter as _af
                 from qdrant_spark.operators.multivec import (
-                    maxsim_knn, maxsim_knn_ivf, maxsim_knn_sq,
+                    maxsim_knn, maxsim_knn_ivf,
                 )
 
                 mvq = (req.get("params") or {}).get("quantization") or {}
@@ -949,21 +949,20 @@ class QueryPlanner:
                         use_pruned = route.n_docs >= ms_thr
                 if use_sq:
                     # declared multivector quantization: the coarse
-                    # MaxSim scan reads int8 token codes (scalar) or
-                    # 1-bit packed words (binary), the exact rescore
-                    # touches only the oversampled candidates' float
-                    # tokens (quantized_vectors.rs is
-                    # vector-kind-agnostic; SearchParams.quantization
-                    # semantics apply as for dense)
+                    # MaxSim scan reads the declared kind's token codes
+                    # — int8 (scalar), packed bits (binary), codebook
+                    # indices (product) or rotated Lloyd-Max codes
+                    # (turbo) — and the exact rescore touches only the
+                    # oversampled candidates' float tokens
+                    # (quantized_vectors.rs is vector-kind-agnostic;
+                    # SearchParams.quantization semantics as for dense)
                     from qdrant_spark.operators.multivec import (
-                        MaxSimBq, maxsim_knn_bq,
+                        maxsim_knn_quant,
                     )
 
                     self.last_plan_info["maxsim_sq_leaves"] = \
                         self.last_plan_info.get("maxsim_sq_leaves", 0) + 1
-                    ms_fn = maxsim_knn_bq if isinstance(sqh, MaxSimBq) \
-                        else maxsim_knn_sq
-                    out = ms_fn(
+                    out = maxsim_knn_quant(
                         sqh, target, k=limit + offset, metric=metric,
                         oversampling=float(mvq.get("oversampling")
                                            or sqh.oversampling),

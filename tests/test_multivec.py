@@ -565,15 +565,25 @@ def test_client_multivector_quantization(spark, embeddings, tmp_path):
     assert [(p.id, round(p.score, 9)) for p in got2.points] == \
         [(p.id, round(p.score, 9)) for p in exact.points]
 
-    # kinds without a token scorer (PQ/TQ) rejected at create time;
-    # binary is supported since late r11 (MaxSimBq)
+    # every quantization kind has a token scorer since r12 (PQ here; TQ
+    # covered by test_client_multivector_quantization_kinds) — the
+    # vector-kind-agnostic posture of quantized_vectors.rs
     c3 = QdrantSparkClient(spark)
-    with pytest.raises(ValueError, match="scalar and binary"):
-        c3.create_collection("mvsq_bad", vectors_config={
-            "late": {"size": td, "distance": "Dot",
-                     "multivector_config": {"comparator": "max_sim"},
-                     "quantization_config": {"product":
-                                             {"compression": "x8"}}}})
+    c3.create_collection("mvsq_pq", vectors_config={
+        "late": {"size": td, "distance": "Dot",
+                 "multivector_config": {"comparator": "max_sim"},
+                 "quantization_config": {"product":
+                                         {"compression": "x8",
+                                          "full_scan_threshold": 0}}}})
+    c3.upsert("mvsq_pq", pts)
+    assert c3.ensure_vector_index("mvsq_pq", using="late",
+                                  indexing_threshold=0) == "built"
+    got_pq = c3.query_points("mvsq_pq", query=q, using="late", limit=5,
+                             with_payload=False,
+                             search_params={"quantization":
+                                            {"oversampling": 30.0}})
+    assert [(p.id, round(p.score, 9)) for p in got_pq.points] == \
+        [(p.id, round(p.score, 9)) for p in exact.points]
 
     # WITHOUT the threshold override a 200-doc corpus takes the exact
     # scan despite the declared quantization (the same crossover the
@@ -747,25 +757,30 @@ def test_client_multivector_binary_quantization(spark, embeddings,
         [(p.id, round(p.score, 9)) for p in exact.points]
 
 
-@pytest.mark.parametrize("kind", ["scalar", "binary"])
+@pytest.mark.parametrize("kind", ["scalar", "binary", "product", "turbo"])
 @pytest.mark.parametrize("metric", ["dot", "cosine"])
 def test_query_batch_fuses_quantized_maxsim(mv_points, embeddings, kind,
                                             metric):
     """>=2 unfiltered MaxSim requests on a quantized multivector column
-    fuse into ONE coarse scan (all query multivectors in one token
-    matrix) + ONE pair-scored exact rescore — batch == single per
-    request, including rescore=False, score_threshold, and offset."""
+    — ANY kind since r12 — fuse into ONE coarse scan (all query
+    multivectors in one token matrix) + ONE pair-scored exact rescore —
+    batch == single per request, including rescore=False,
+    score_threshold, and offset."""
     from dataclasses import replace
+    from functools import partial
 
     from qdrant_spark.operators import multivec as MV
     from qdrant_spark.operators.multivec import (
-        build_maxsim_bq, build_maxsim_sq,
+        build_maxsim_bq, build_maxsim_pq, build_maxsim_sq, build_maxsim_tq,
     )
     from qdrant_spark.query import query_batch
 
     if kind == "binary" and metric == "cosine":
         pytest.skip("binary coarse is metric-blind; dot covers it")
-    build = build_maxsim_bq if kind == "binary" else build_maxsim_sq
+    build = {"scalar": build_maxsim_sq, "binary": build_maxsim_bq,
+             "product": partial(build_maxsim_pq, n_subspaces=4,
+                                sample_tokens=4000),
+             "turbo": partial(build_maxsim_tq, bits=4)}[kind]
     idx = replace(build(mv_points, mv_col="mv", id_col="vec_id"),
                   full_scan_threshold=0)  # pin the quantized route
     rows = embeddings.limit(3).collect()
@@ -886,3 +901,69 @@ def test_query_batch_maxsim_routing_split(mv_points, embeddings):
     for i, w in enumerate(want):
         assert sorted(by_req.get(i, [])) == \
             sorted((r["vec_id"], round(r["score"], 6)) for r in w), i
+
+
+@pytest.mark.parametrize("kind,cfg", [
+    ("product", {"product": {"compression": "x8",
+                             "full_scan_threshold": 0}}),
+    ("turbo", {"turbo": {"bits": "bits4", "full_scan_threshold": 0}}),
+])
+def test_client_multivector_quantization_pq_tq(spark, embeddings, tmp_path,
+                                               kind, cfg):
+    """PQ / TQ token storage through the full client stack (r12 — the
+    last two kinds of the vector-kind-agnostic quantized_vectors.rs
+    posture): ensure builds the token codes, query_points routes MaxSim
+    coarse+rescore through them (values == exact with ample
+    oversampling), and a NEW session reloads codes + encoder state from
+    the persisted meta without re-training."""
+    from qdrant_spark.client import QdrantSparkClient
+    from qdrant_spark.operators.multivec import MaxSimPq, MaxSimTq
+
+    rows = embeddings.limit(200).collect()
+    dim = len(rows[0]["embedding"])
+    td = dim // 8
+    pts = [{"id": int(r["vec_id"]),
+            "vector": {"late": [[float(x) for x in
+                                 r["embedding"][i * td:(i + 1) * td]]
+                                for i in range(8)]}} for r in rows]
+    q = pts[6]["vector"]["late"]
+
+    def mk():
+        c = QdrantSparkClient(spark, root=str(tmp_path))
+        c.create_collection(f"mv_{kind}", vectors_config={
+            "late": {"size": td, "distance": "Dot",
+                     "multivector_config": {"comparator": "max_sim"},
+                     "quantization_config": cfg}})
+        c.upsert(f"mv_{kind}", pts)
+        return c
+
+    c = mk()
+    assert c.ensure_vector_index(f"mv_{kind}", using="late",
+                                 indexing_threshold=0) == "built"
+    cls = MaxSimPq if kind == "product" else MaxSimTq
+    assert isinstance(c._coll(f"mv_{kind}").mv_sq["late"], cls)
+    exact = c.query_points(f"mv_{kind}", query=q, using="late", limit=5,
+                           with_payload=False,
+                           search_params={"exact": True})
+    got = c.query_points(f"mv_{kind}", query=q, using="late", limit=5,
+                         with_payload=False,
+                         search_params={"quantization":
+                                        {"oversampling": 40.0}})
+    assert [(p.id, round(p.score, 9)) for p in got.points] == \
+        [(p.id, round(p.score, 9)) for p in exact.points]
+    pl = c._planner(c._coll(f"mv_{kind}"), "late")
+    pl.plan({"query": {"nearest": [list(t) for t in q]}, "limit": 5,
+             "using": "vec_late"}).collect()
+    assert pl.last_plan_info.get("maxsim_sq_leaves") == 1
+
+    # new session: loaded from meta, same answers
+    c2 = mk()
+    assert c2.ensure_vector_index(f"mv_{kind}", using="late",
+                                  indexing_threshold=0) == "loaded"
+    assert isinstance(c2._coll(f"mv_{kind}").mv_sq["late"], cls)
+    got2 = c2.query_points(f"mv_{kind}", query=q, using="late", limit=5,
+                           with_payload=False,
+                           search_params={"quantization":
+                                          {"oversampling": 40.0}})
+    assert [(p.id, round(p.score, 9)) for p in got2.points] == \
+        [(p.id, round(p.score, 9)) for p in exact.points]

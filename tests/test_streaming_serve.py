@@ -224,16 +224,16 @@ def test_quant_ingest_stream_matches_batch_codes(spark, emb, tmp_path):
     assert got == want
 
 
-@pytest.mark.parametrize("kind", ["scalar", "binary"])
+@pytest.mark.parametrize("kind", ["scalar", "binary", "product", "turbo"])
 def test_maxsim_quant_ingest_stream_matches_batch(spark, emb, tmp_path,
                                                   kind):
     """stream==batch gate for the quantized-MULTIVECTOR ingest: the
     snapshot's frozen-state token codes equal a batch encode, and the
     quantized MaxSim search over the live index equals the exact MaxSim
-    scan (rescore is exact) — for int8 and 1-bit token codes alike."""
+    scan (rescore is exact) — for ALL FOUR token-code kinds since r12."""
     from qdrant_spark.operators.multivec import (
-        build_maxsim_bq, build_maxsim_sq, encode_maxsim, maxsim_knn,
-        maxsim_knn_bq, maxsim_knn_sq,
+        build_maxsim_bq, build_maxsim_pq, build_maxsim_sq, build_maxsim_tq,
+        encode_maxsim, maxsim_knn, maxsim_knn_quant,
     )
     from qdrant_spark.streaming.serve import (
         live_maxsim_quant_index, start_maxsim_quant_upsert_stream,
@@ -244,12 +244,20 @@ def test_maxsim_quant_ingest_stream_matches_batch(spark, emb, tmp_path,
         lambda i: F.slice(F.col("embedding").cast("array<double>"),
                           i * 8 + 1, 8))
     pts = emb.select("vec_id", d_mv.alias("mv"))
+    search = maxsim_knn_quant
     if kind == "binary":
         idx = build_maxsim_bq(pts, mv_col="mv", id_col="vec_id")
-        code_col, search = "__mbq", maxsim_knn_bq
+        code_col = "__mbq"
+    elif kind == "product":
+        idx = build_maxsim_pq(pts, mv_col="mv", id_col="vec_id",
+                              n_subspaces=4, sample_tokens=4000)
+        code_col = "__mpq"
+    elif kind == "turbo":
+        idx = build_maxsim_tq(pts, mv_col="mv", id_col="vec_id", bits=4)
+        code_col = "__mtq"
     else:
         idx = build_maxsim_sq(pts, mv_col="mv", id_col="vec_id")
-        code_col, search = "__msq", maxsim_knn_sq
+        code_col = "__msq"
 
     src_dir = str(tmp_path / f"mvq_src_{kind}")
     pts.repartitionByRange(2, "vec_id").write.parquet(src_dir)
