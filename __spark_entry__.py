@@ -588,6 +588,54 @@ def _q_field_index_stats(spark: SparkSession, sf: str) -> DataFrame:
     return _r6(_r6(out, "min_num"), "max_num")
 
 
+def _q_field_index_uuid(spark: SparkSession, sf: str) -> DataFrame:
+    """Uuid-typed payload index (PayloadSchemaType::Uuid,
+    lib/segment/src/data_types/index.rs:142; a tenant-eligible keyword
+    sibling): the uuid derives deterministically from doc_id
+    (md5 formatted 8-4-4-4-12, replayable in SQL), the index registers
+    as a TENANT key, its stats materialize in the one-scan pass, and a
+    match.value filter on the uuid field resolves (asserted inline —
+    the oracle checks the stats row)."""
+    from qdrant_spark.catalog import CollectionCatalog
+    from qdrant_spark.filters import apply_filter
+
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    uuid = F.concat_ws(
+        "-", F.substring(md5, 1, 8), F.substring(md5, 9, 4),
+        F.substring(md5, 13, 4), F.substring(md5, 17, 4),
+        F.substring(md5, 21, 12))
+    docs = _docs(spark, sf).select("doc_id", uuid.alias("tenant_uuid"))
+    cat = CollectionCatalog()
+    cat.register("docs_uuid", docs)
+    fi = cat.create_field_index("docs_uuid", "tenant_uuid", "uuid",
+                                is_tenant=True)
+    assert fi.is_tenant and fi.schema_type == "uuid"
+    # the uuid field filters like a keyword (match.value)
+    probe = docs.orderBy("doc_id").first()
+    hit = apply_filter(docs, {"must": [{
+        "key": "tenant_uuid",
+        "match": {"value": probe["tenant_uuid"]}}]}).collect()
+    assert [r["doc_id"] for r in hit] == [probe["doc_id"]]
+    return _r6(_r6(cat.index_stats("docs_uuid"), "min_num"), "max_num")
+
+
+_FIELD_INDEX_UUID_SQL = """
+WITH u AS (SELECT doc_id,
+  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '-' ||
+  substr(md5(CAST(doc_id AS VARCHAR)), 9, 4) || '-' ||
+  substr(md5(CAST(doc_id AS VARCHAR)), 13, 4) || '-' ||
+  substr(md5(CAST(doc_id AS VARCHAR)), 17, 4) || '-' ||
+  substr(md5(CAST(doc_id AS VARCHAR)), 21, 12) AS tenant_uuid
+  FROM documents)
+SELECT 'tenant_uuid' AS field, 'uuid' AS schema_type,
+       count(tenant_uuid) AS n, count(*) - count(tenant_uuid) AS nulls,
+       count(DISTINCT tenant_uuid) AS n_distinct,
+       min(tenant_uuid) AS min_str, max(tenant_uuid) AS max_str,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num
+FROM u
+"""
+
+
 _FIELD_INDEX_STATS_SQL = """
 SELECT 'event_type' AS field, 'keyword' AS schema_type,
        count(event_type) AS n, count(*) - count(event_type) AS nulls,
@@ -741,6 +789,34 @@ def _q_filter_min_should(spark: SparkSession, sf: str) -> DataFrame:
     }
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     return apply_filter(li, flt).select("l_orderkey", "l_linenumber")
+
+
+def _q_filter_match_except(spark: SparkSession, sf: str) -> DataFrame:
+    """match.except on an ARRAY-valued payload field with the
+    reference's pinned semantics (MatchExcept, types.rs:3075;
+    empty-set and missing-field behavior per
+    tests/openapi/test_match_except_empty.py): a point matches iff at
+    least one PRESENT value is outside the excluded set — points
+    whose field is missing never match. ``tags`` derives
+    deterministically from documents ([lang, source], NULL when
+    doc_id % 7 == 0), so the oracle replays the whole quantity in SQL
+    with the missing-field guard."""
+    from qdrant_spark.filters import apply_filter
+
+    docs = _docs(spark, sf).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 != 0,
+               F.array("lang", "source")).alias("tags"))
+    flt = {"must": [{"key": "tags", "match": {"except": ["en", "web"]}}]}
+    return apply_filter(docs, flt).select("doc_id")
+
+
+_FILTER_MATCH_EXCEPT_SQL = """
+SELECT doc_id FROM documents
+WHERE doc_id % 7 != 0
+  AND EXISTS (SELECT 1 FROM unnest([lang, source]) AS t(v)
+              WHERE v IS NOT NULL AND v NOT IN ('en', 'web'))
+"""
 
 
 def _q_filter_text(kind: str):
@@ -4006,160 +4082,62 @@ def entry(spark: SparkSession) -> DataFrame:
 # drops to the back). Keep rotating each round so no entry's driver row
 # goes more than ~2 rounds stale.
 _GATE_PRIORITY = [
-    # round-11 head: the 9 entries new this round (first-ever driver
-    # value check; quantized_bq_asym + maxsim_bq landed late), then the
-    # 35-entry r08 cohort (stale since r08 — r10 VERDICT item 4),
-    # filling the 50-slot gate with the oldest r09 entries. After r11
-    # no entry's latest driver row should be older than r09; the
-    # r10-greened cohort goes last.
-    "quantized_bq_asym",
-    "maxsim_bq",
-    "maxsim_sq_batch",
-    "quantized_ivf_planned",
-    "quantized_batch_kinds",
-    "maxsim_sq",
-    "maxsim_sq_planned",
-    "filter_has_vector",
-    "count_approx",
-    # --- r08 cohort (35) ---
-    "filter_nested",
-    "filter_jsonpath_array",
-    "filter_prefix",
-    "filter_text_any",
-    "filter_phrase_indexed",
-    "query_by_id",
-    "recommend_multi_ids",
-    "knn_acorn_filtered",
-    "dedup_simhash",
-    "dedup_components",
-    "dedup_resolve",
-    "dedup_embedding",
-    "ann_ivf_batch",
-    "quantized_sq_rescore",
-    "ann_ivf_full_probe",
-    "ann_ivf_pq_batch",
-    "ann_ivf_pq_rescore",
-    "c4_line_filter",
-    "context",
-    "count_filtered",
-    "delete_by_filter",
-    "discover",
-    "distance_matrix",
-    "dsir_weights",
-    "facet_estimate",
-    "facet_event_type",
-    "facet_lang",
-    "filter_dsl_orders",
-    "filter_min_should",
-    "filter_text_all",
-    "formula_rescore",
-    "fusion_dbsf",
-    "fusion_rrf",
-    "geo_indexed_radius",
-    "group_by",
-    # --- oldest r09 entries filling the gate to 50 ---
-    "sparse_knn_planned",
-    "sparse_knn_batch_indexed",
-    "group_by_lookup",
-    "maxsim",
-    "maxsim_knn",
-    "recommend_best_score",
+    # round-12 head: the 4 entries new this round (first-ever driver
+    # value check), then the 44-entry r09 cohort (latest driver row r09
+    # — r11 VERDICT item 5) oldest-first, filling the 50-slot gate.
+    # After r12 no entry's latest driver row should be older than r10.
+    "maxsim_pq",
+    "maxsim_tq",
+    "filter_match_except",
+    "field_index_uuid",
+    # --- r09 cohort (44) ---
+    "bm25_search",
+    "distance_matrix_offsets",
+    "field_index_stats",
+    "filter_text_stemmed",
+    "filter_text_stemmed_de",
+    "knn_batch",
+    "knn_batch_matmul",
+    "knn_batch_partial",
+    "knn_cosine",
+    "knn_dot",
+    "knn_euclid",
+    "knn_filtered",
+    "knn_manhattan",
+    "knn_uint8",
+    "lm_buckets",
+    "lm_score",
+    "mixture_sample",
+    "quantized_pq_rescore",
+    "quantized_tq_rescore",
+    "query_batch",
+    "recommend_avg_vector",
     "recommend_sum_scores",
     "relevance_feedback",
+    "repetition_signals",
     "retrieve",
     "scroll_keyset",
     "scroll_order_by",
     "scroll_random",
     "set_payload",
-    # --- below the 50-slot line: remaining r09-greened entries ---
+    "shard_fallback_route",
+    "shard_routed_knn",
+    "similarity_join",
+    "sparse_idf_corpus",
+    "sparse_idf_knn",
+    "sparse_knn",
+    "sparse_knn_batch",
     "sync",
+    "unique_values",
     "universal_hybrid",
     "universal_hybrid_sparse",
     "universal_rescore",
+    "update_vectors",
     "upsert",
     "upsert_conditional",
-    "update_vectors",
-    "knn_uint8",
-    "quantized_pq_rescore",
-    "quantized_tq_rescore",
-    "lm_score",
-    "lm_buckets",
-    "mixture_sample",
-    "query_batch",
-    "repetition_signals",
-    "unique_values",
-    "knn_cosine",
-    "knn_dot",
-    "knn_euclid",
-    "knn_manhattan",
-    "knn_filtered",
-    "knn_batch",
-    "knn_batch_matmul",
-    "knn_batch_partial",
-    "sparse_knn",
-    "sparse_knn_batch",
-    "sparse_idf_knn",
-    "sparse_idf_corpus",
-    "bm25_search",
-    "recommend_avg_vector",
-    "similarity_join",
-    "distance_matrix_offsets",
-    "field_index_stats",
-    "shard_routed_knn",
-    "shard_fallback_route",
-    "filter_text_stemmed",
-    "filter_text_stemmed_de",
-    # --- r10-greened cohort (freshest driver rows) goes last ---
-    "maxsim_knn_indexed",
-    "maxsim_planned",
-    "quantized_planned",
-    "quantized_batch",
-    "sparse_idf_by_id",
-    "universal_groups_indexed",
-    "mmr",
-    "knn_auto_filtered",
-    "universal_groups",
+    # --- two oldest r10 entries to fill the 50-slot gate ---
     "dedup_exact",
     "dedup_minhash_sig",
-    "dedup_lsh_pairs",
-    "dedup_lsh_cross",
-    "dedup_ngram_jaccard",
-    "paragraph_dedup",
-    "substring_dup_spans",
-    "decontaminate",
-    "gopher_quality",
-    "ann_ivf_pq_incremental",
-    "filter_phrase",
-    "payload_json_path",
-    "text_quality",
-    "token_counts",
-    "lang_detect",
-    "fingerprint",
-    "pack_sequences",
-    "quantized_bq2_rescore",
-    "corpus_stats",
-    "pii_scan",
-    "chunk_docs",
-    "stratified_sample",
-    "stratified_quota",
-    "embedding_project",
-    "ngram_counts",
-    "weighted_sample",
-    "client_query_points",
-    "filter_text_stopworded",
-    "ann_ivf",
-    "quantized_bq_rescore",
-    "filter_slice",
-    "sparse_knn_persisted",
-    "multimodal_wav",
-    "multimodal_ppm",
-    "geo_radius",
-    "geo_bbox_wrap",
-    "geo_polygon",
-    "filter_is_empty",
-    "filter_is_null",
-    "filter_has_id",
-    "filter_values_count",
 ]
 
 
@@ -4215,6 +4193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_matrix": _q_matrix,
         "distance_matrix_offsets": _q_matrix_offsets,
         "field_index_stats": _q_field_index_stats,
+        "field_index_uuid": _q_field_index_uuid,
         "shard_routed_knn": _q_shard_routed_knn,
         "shard_fallback_route": _q_shard_fallback,
         "maxsim": _q_maxsim,
@@ -4237,6 +4216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieve": _q_retrieve,
         "filter_dsl_orders": _q_filter_orders,
         "filter_min_should": _q_filter_min_should,
+        "filter_match_except": _q_filter_match_except,
         "filter_text_all": _q_filter_text("text"),
         "filter_text_stemmed": _q_filter_text_stemmed,
         "filter_text_stopworded": _q_filter_text_stopworded,
@@ -4370,6 +4350,7 @@ def oracle_sql() -> dict[str, str]:
         "distance_matrix": _MATRIX_SQL,
         "distance_matrix_offsets": _MATRIX_OFFSETS_SQL,
         "field_index_stats": _FIELD_INDEX_STATS_SQL,
+        "field_index_uuid": _FIELD_INDEX_UUID_SQL,
         "shard_routed_knn": _SHARD_ROUTED_SQL,
         "shard_fallback_route": _SHARD_FALLBACK_SQL,
         "maxsim": _MAXSIM_SQL,
@@ -4425,6 +4406,7 @@ WHERE (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
      + CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END
      + CASE WHEN l_discount <= 0.02 THEN 1 ELSE 0 END) >= 2
 """,
+        "filter_match_except": _FILTER_MATCH_EXCEPT_SQL,
         "filter_text_all": f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
 SELECT doc_id FROM t WHERE list_contains(toks, 'fast') AND list_contains(toks, 'hash')
