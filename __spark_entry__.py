@@ -3085,6 +3085,76 @@ SELECT qid, vec_id, round(score, 6) AS score FROM r WHERE rn <= 10
 """
 
 
+def _q_maxsim_batch_kinds(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched quantized-multivector search covers the PQ and TQ token
+    kinds too (r12; the multivector sibling of quantized_batch_kinds —
+    the reference batches every quantized kind through one storage
+    walk, lib/segment/src/vector_storage/quantized/): two named
+    multivectors on one collection, one product- and one
+    turbo-quantized, two requests each — the planner fuses each
+    column's pair into ONE coarse token scan + ONE pair rescore.
+    Rescore is exact and oversampling corpus-wide, so all four results
+    equal the exact MaxSim top-10 the oracle recomputes per query."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    rows = _emb(spark, sf).orderBy("vec_id").limit(500).collect()
+    dim = len(rows[0]["embedding"])
+    td = dim // 8
+    kinds = [("p", {"product": {"compression": "x8",
+                                "full_scan_threshold": 0}}),
+             ("t", {"turbo": {"bits": "bits4",
+                              "full_scan_threshold": 0}})]
+    c = QdrantSparkClient(spark)
+    c.create_collection("entry_mv_kinds", vectors_config={
+        n: {"size": td, "distance": "Dot",
+            "multivector_config": {"comparator": "max_sim"},
+            "quantization_config": cfg} for n, cfg in kinds})
+    c.upsert("entry_mv_kinds", [
+        {"id": int(r["vec_id"]),
+         "vector": {n: [[float(x) for x in
+                         r["embedding"][i * td:(i + 1) * td]]
+                        for i in range(8)] for n, _ in kinds}}
+        for r in rows])
+    for n, _ in kinds:
+        assert c.ensure_vector_index("entry_mv_kinds", using=n,
+                                     indexing_threshold=0) == "built"
+    srcs = [0, 3, 5, 9]  # 2 per kind, see oracle VALUES
+    reqs = []
+    for ki, (n, _) in enumerate(kinds):
+        for s in srcs[ki * 2: ki * 2 + 2]:
+            q = [[float(x) for x in rows[s]["embedding"][t * td:(t + 1) * td]]
+                 for t in range(8)]
+            reqs.append({"query": {"nearest": q}, "using": n,
+                         "limit": 10, "with_payload": False,
+                         "params": {"quantization":
+                                    {"oversampling": 50.0}}})
+    res = c.query_batch_points("entry_mv_kinds", reqs)
+    out = [(qi, p.id, round(p.score, 6))
+           for qi, r in enumerate(res) for p in r.points]
+    return spark.createDataFrame(
+        out, "qid long, vec_id long, score double")
+
+
+_MAXSIM_BATCH_KINDS_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+           WHERE vec_id < 500),
+qs AS (SELECT * FROM (VALUES (0, 0), (1, 3), (2, 5), (3, 9)) AS t(qid, src)),
+q AS (SELECT qs.qid, e.v AS qv FROM qs JOIN e ON e.vec_id = qs.src),
+m AS (
+  SELECT q.qid, e.vec_id, qi.i AS qi,
+         max(list_dot_product(q.qv[qi.i * 8 + 1 : qi.i * 8 + 8],
+                              e.v[di.i * 8 + 1 : di.i * 8 + 8])) AS mx
+  FROM e, q, generate_series(0, 7) qi(i), generate_series(0, 7) di(i)
+  GROUP BY q.qid, e.vec_id, qi.i),
+t AS (SELECT qid, vec_id, sum(mx) AS score FROM m GROUP BY qid, vec_id),
+r AS (SELECT qid, vec_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id) AS rn
+      FROM t)
+SELECT qid, vec_id, round(score, 6) AS score FROM r WHERE rn <= 10
+"""
+
+
 def _q_maxsim_sq(spark: SparkSession, sf: str) -> DataFrame:
     """Quantized multivector storage (r11): the coarse MaxSim scan reads
     int8 token codes (1 B/dim; shared per-dimension clip bounds fitted
@@ -4088,6 +4158,7 @@ _GATE_PRIORITY = [
     # After r12 no entry's latest driver row should be older than r10.
     "maxsim_pq",
     "maxsim_tq",
+    "maxsim_batch_kinds",
     "filter_match_except",
     "field_index_uuid",
     # --- r09 cohort (44) ---
@@ -4135,9 +4206,8 @@ _GATE_PRIORITY = [
     "update_vectors",
     "upsert",
     "upsert_conditional",
-    # --- two oldest r10 entries to fill the 50-slot gate ---
+    # --- oldest r10 entry to fill the 50-slot gate ---
     "dedup_exact",
-    "dedup_minhash_sig",
 ]
 
 
@@ -4204,6 +4274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_bq": _q_maxsim_bq,
         "maxsim_pq": _q_maxsim_pq,
         "maxsim_tq": _q_maxsim_tq,
+        "maxsim_batch_kinds": _q_maxsim_batch_kinds,
         "maxsim_sq_batch": _q_maxsim_sq_batch,
         "maxsim_sq_planned": _q_maxsim_sq_planned,
         "scroll_keyset": _q_scroll_docs,
@@ -4360,6 +4431,7 @@ def oracle_sql() -> dict[str, str]:
         "maxsim_bq": _MAXSIM_SQL,
         "maxsim_pq": _MAXSIM_SQL,
         "maxsim_tq": _MAXSIM_SQL,
+        "maxsim_batch_kinds": _MAXSIM_BATCH_KINDS_SQL,
         "maxsim_sq_batch": _MAXSIM_BATCH_SQL,
         "maxsim_planned": _MAXSIM_PLANNED_SQL,
         "maxsim_sq_planned": _MAXSIM_PLANNED_SQL,

@@ -104,6 +104,40 @@ def main() -> None:
     #: contaminated line is visible as such post hoc and a regression on
     #: a slow line can't hide behind min-of-n (r7 ADVICE + verdict #1)
     rep_samples: dict[str, list[float]] = {}
+
+    def _prev_artifact_queries() -> dict[str, float]:
+        """Per-line values from the most recent BENCH_r*.json artifact —
+        the history the strict lines confirm against (r11 verdict Wrong
+        #2: the agreeing-pair protocol quarantines one-rep spikes but
+        CONFIRMS a sustained contention window; knn_batch64_xxl shipped
+        2.475s from such a window while the code path was byte-identical
+        to the round that measured 0.888s). Robust to the driver's
+        tail-truncated artifacts: the queries dict is flat, so a regex
+        slice parses even when the surrounding JSON is cut off."""
+        import glob
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                        reverse=True):
+            try:
+                tail = json.load(open(p)).get("tail") or ""
+            except Exception:
+                continue
+            m = _re.search(r'"queries": (\{[^{}]*\})', tail)
+            if not m:
+                continue
+            try:
+                return {k: float(v)
+                        for k, v in json.loads(m.group(1)).items()}
+            except Exception:
+                continue
+        return {}
+
+    prev_queries = _prev_artifact_queries()
+    #: lines that landed >2x their previous-artifact value and were
+    #: re-measured after a sleep window; maps name -> what happened
+    history_rechecks: dict[str, str] = {}
     #: lines whose spread exceeded 2.5x without a reproducible fast mode —
     #: their reported time is the plain median; review rep_samples by hand
     noisy_unconfirmed: list[str] = []
@@ -147,9 +181,40 @@ def main() -> None:
                 salvage_left[0] -= time.time() - t_s
             two = sorted(samples)[:2]
             agreed = two[1] <= two[0] * 1.25
-            if not agreed:
+            prev = prev_queries.get(name)
+            if prev and sorted(samples)[0] > 2.0 * prev \
+                    and salvage_left[0] > 0:
+                # history-aware confirmation (r11 verdict Wrong #2): an
+                # agreeing pair inside a SUSTAINED contention window still
+                # publishes garbage. >2x the previous artifact -> sleep
+                # past the window, re-measure twice; if the re-run lands
+                # near history use it, if the slowdown persists report it
+                # (a real regression must not hide), else flag the line.
+                t_s = time.time()
+                time.sleep(10.0)
+                wait_idle()
+                for _ in range(2):
+                    t0 = time.time()
+                    fn()
+                    samples.append(time.time() - t0)
+                salvage_left[0] -= time.time() - t_s
+                two = sorted(samples)[:2]
+                agreed = two[1] <= two[0] * 1.25
+                if two[0] <= 1.5 * prev:
+                    history_rechecks[name] = (
+                        f"recovered: {two[0]:.2f}s after sleep vs prev "
+                        f"{prev}s — contention window, re-run used")
+                elif agreed:
+                    history_rechecks[name] = (
+                        f"persisted: {two[0]:.2f}s across a sleep window "
+                        f"vs prev {prev}s — reported as real")
+                else:
+                    history_rechecks[name] = (
+                        f"ambiguous vs prev {prev}s — flagged")
+                    noisy_unconfirmed.append(name)
+            if not agreed and name not in noisy_unconfirmed:
                 noisy_unconfirmed.append(name)
-            times[name] = round(two[0], 3)
+            times[name] = round(sorted(samples)[0], 3)
             rep_samples[name] = [round(s, 3) for s in samples]
             mark(f"  {name}: {times[name]}s (n={len(samples)},min,strict,"
                  f"{'agreed' if agreed else 'CONTENDED'} "
@@ -700,8 +765,14 @@ def main() -> None:
     # knn_single_xxl_disk: the same corpus, exact floats from parquet.
     from qdrant_spark.operators.quantize import build_quant, persist_quant
 
+    # full_scan_threshold 0 FORCES the quantized routes at 512k — since
+    # r12 the planner's default crossover (quantize.
+    # QUANT_FULL_SCAN_THRESHOLD) takes the exact scan below 2M rows, so
+    # the sq_* lines here are forced diagnostics like maxsim_ivf_xxl_disk;
+    # the default-dispatch contrast is sq_ivf_batch64_xxl_default_disk.
     quant_xxl = persist_quant(
-        build_quant(xxl_disk, {"scalar": {"type": "int8"}},
+        build_quant(xxl_disk, {"scalar": {"type": "int8",
+                                          "full_scan_threshold": 0}},
                     vec_col="embedding", id_col="vec_id"),
         f"{work}/quant_sq_xxl")
     quant_planner = QueryPlanner(xxl_disk, id_col="vec_id",
@@ -768,6 +839,28 @@ def main() -> None:
 
     measure("sq_ivf_batch64_xxl_disk", q_sq_ivf_batch64_xxl_disk,
             strict=True)
+
+    # r12: the SAME 64 requests under DEFAULT dispatch — 512k sits below
+    # the exact-vs-quantized crossover (r11 verdict Wrong #1: the forced
+    # line above measured 4.07s vs the exact fused matmul's 1.00s), so
+    # the planner folds the batch into ONE exact fused matmul group.
+    # This line is what a user actually gets at this scale.
+    from dataclasses import replace as _dc_replace
+
+    quant_xxl_default = _dc_replace(quant_xxl, full_scan_threshold=None,
+                                    n_docs=n_xxl)
+    qivf_xxl_default = _dc_replace(qivf_xxl, handle=quant_xxl_default)
+
+    def q_sq_ivf_batch64_xxl_default_disk():
+        reqs = [{"query": {"nearest": qvecs[i]}, "limit": 10,
+                 "params": {"quantization": {"oversampling": PQ_OS}}}
+                for i in range(64)]
+        return _qb(xxl_disk, reqs, id_col="vec_id", vec_col="embedding",
+                   quant_indexes={"embedding": quant_xxl_default},
+                   quant_ivf_indexes={"embedding": qivf_xxl_default}).count()
+
+    measure("sq_ivf_batch64_xxl_default_disk",
+            q_sq_ivf_batch64_xxl_default_disk, strict=True)
 
     # r10: multivector MaxSim with the token-level IVF coarse stage.
     # Corpus: the same 512k rows as 8 tokens x 48 dims. The exact line
@@ -1114,6 +1207,37 @@ def main() -> None:
         run_app("ivf_pq_batch64_xxxl_disk", lambda: ivf_pq_search_batch(
             ivfpq_xxxl, queries_df, k=10, nprobe=4, oversampling=PQ_OS,
             metric="cosine", mode="coarse").count())
+        # r12: the composed quant x IVF batch at 2M — the scale where the
+        # planner's DEFAULT crossover (QUANT_FULL_SCAN_THRESHOLD = 2M)
+        # first routes the fused coarse+rescore plan instead of the exact
+        # fused matmul. Frozen-state build like every appendix index: the
+        # 512k encoder (lo/hi) encodes the 2M rows map-only, the xxl
+        # centroids assign them. Contrast knn_batch64_xxxl_disk (the
+        # exact fused matmul over the same corpus + 64 requests) — the
+        # crossover's other side, next to the forced 512k diagnostic
+        # where exact wins.
+        from dataclasses import replace as _dcr2
+
+        from qdrant_spark.operators.quantize import (
+            QuantHandle as _QH, compose_quant_ivf as _cqi,
+            encode_quant as _eq, persist_quant_ivf as _pqi,
+        )
+
+        sq_idx_xxxl = _dcr2(quant_xxl.index,
+                            codes=_eq(quant_xxl, xxxl_disk),
+                            full=xxxl_disk)
+        quant_xxxl = _QH(kind="scalar", index=sq_idx_xxxl,
+                         oversampling=quant_xxl.oversampling,
+                         n_docs=n_xxxl)  # default threshold: 2M routes quant
+        qivf_xxxl_sq = _pqi(_cqi(quant_xxxl, ivf_xxxl, nprobe=4),
+                            f"{work}/xxxl_sq_ivf")
+        reqs64_sq = [{"query": {"nearest": qvecs[i]}, "limit": 10,
+                      "params": {"quantization": {"oversampling": PQ_OS}}}
+                     for i in range(64)]
+        run_app("sq_ivf_batch64_xxxl_disk", lambda: _qb(
+            xxxl_disk, reqs64_sq, id_col="vec_id", vec_col="embedding",
+            quant_indexes={"embedding": quant_xxxl},
+            quant_ivf_indexes={"embedding": qivf_xxxl_sq}).count())
         # --------------------------------------------------------------
         # multitenant pruning (catalog layout hints: tenant -> partition
         # column). Same tenant-filtered KNN against (a) the
@@ -1422,6 +1546,7 @@ def main() -> None:
                 "composed in NumPy (was interpreted per-example Columns)"),
         },
         "noisy_unconfirmed": noisy_unconfirmed,
+        "history_rechecks": history_rechecks,
         "sf": sf,
         "n_embeddings": n_emb,
         "n_embeddings_xl": n_xl,
