@@ -3210,6 +3210,67 @@ def _q_maxsim_bq(spark: SparkSession, sf: str) -> DataFrame:
     return _r6(out.select("vec_id", "score"), "score")
 
 
+def _q_maxsim_bq_asym(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric binary quantization on MULTIVECTOR token storage (r12;
+    BinaryQuantizationQueryEncoding::Scalar8Bits, types.rs:1188-1201,
+    composed with the multivector token codes — quantized_vectors.rs is
+    vector-kind-agnostic): storage stays 1 bit/dim, each QUERY TOKEN
+    keeps 8-bit scalar precision, and the coarse per-token-pair quantity
+    is ext_dim - 2*xor/255 with xor = sum_d (code_d if bit=0 else
+    255-code_d). rescore=False returns the coarse MaxSim directly
+    (per-query-token max over doc tokens, summed), so the oracle replays
+    the WHOLE quantity in SQL over a 500-doc slice: per-dimension token
+    means, the storage bits, the per-token uniform scalar codes, the
+    xor, the max and the sum."""
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_bq, maxsim_knn_quant,
+    )
+
+    emb = _emb(spark, sf)
+    rows = emb.orderBy("vec_id").limit(500)
+    q = _vecs(spark, sf, [0])[0]
+    q_mv = [q[i * 8:(i + 1) * 8] for i in range(8)]
+    d_mv = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.slice(F.col("embedding").cast("array<double>"), i * 8 + 1, 8),
+    )
+    pts = rows.select("vec_id", d_mv.alias("mv"))
+    idx = build_maxsim_bq(pts, mv_col="mv", id_col="vec_id",
+                          query_encoding="scalar8bits")
+    out = maxsim_knn_quant(idx, q_mv, k=10, oversampling=1.0,
+                           metric="dot", rescore=False)
+    return _r6(out.select("vec_id", "score"), "score")
+
+
+_MAXSIM_BQ_ASYM_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+           WHERE vec_id < 500),
+q0 AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+m AS (SELECT d.i AS d, AVG(e.v[ti.i * 8 + d.i]) AS mean
+      FROM e, generate_series(0, 7) ti(i), generate_series(1, 8) d(i)
+      GROUP BY d.i),
+qc AS (  -- per query token: 8-bit uniform scalar codes over [-mab, mab]
+  SELECT qi.i AS qi, d.i AS d,
+         CAST(floor((q0.qv[qi.i * 8 + d.i] + t.mab)
+                    / (2.0 * t.mab / 255.0) + 0.5) AS BIGINT) % 256 AS code
+  FROM q0, generate_series(0, 7) qi(i), generate_series(1, 8) d(i),
+       LATERAL (SELECT max(abs(q0.qv[qi.i * 8 + dd.i]))
+                FROM generate_series(1, 8) dd(i)) t(mab)),
+x AS (  -- xor per (doc, query token, doc token)
+  SELECT e.vec_id, qc.qi, ti.i AS ti,
+         sum(CASE WHEN e.v[ti.i * 8 + qc.d] > m.mean
+             THEN 255 - qc.code ELSE qc.code END) / 255.0 AS xr
+  FROM e, generate_series(0, 7) ti(i), qc
+  JOIN m ON m.d = qc.d
+  GROUP BY e.vec_id, qc.qi, ti.i),
+p AS (SELECT vec_id, qi, max(8.0 - 2.0 * xr) AS mx
+      FROM x GROUP BY vec_id, qi),
+s AS (SELECT vec_id, sum(mx) AS score FROM p GROUP BY vec_id)
+SELECT vec_id, round(score, 6) AS score FROM s
+ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
 def _q_maxsim_pq(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantized multivector storage (r12 — the third kind of
     the vector-kind-agnostic quantized_vectors.rs posture): each token
@@ -4159,6 +4220,7 @@ _GATE_PRIORITY = [
     "maxsim_pq",
     "maxsim_tq",
     "maxsim_batch_kinds",
+    "maxsim_bq_asym",
     "filter_match_except",
     "field_index_uuid",
     # --- r09 cohort (44) ---
@@ -4206,8 +4268,6 @@ _GATE_PRIORITY = [
     "update_vectors",
     "upsert",
     "upsert_conditional",
-    # --- oldest r10 entry to fill the 50-slot gate ---
-    "dedup_exact",
 ]
 
 
@@ -4275,6 +4335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_pq": _q_maxsim_pq,
         "maxsim_tq": _q_maxsim_tq,
         "maxsim_batch_kinds": _q_maxsim_batch_kinds,
+        "maxsim_bq_asym": _q_maxsim_bq_asym,
         "maxsim_sq_batch": _q_maxsim_sq_batch,
         "maxsim_sq_planned": _q_maxsim_sq_planned,
         "scroll_keyset": _q_scroll_docs,
@@ -4432,6 +4493,7 @@ def oracle_sql() -> dict[str, str]:
         "maxsim_pq": _MAXSIM_SQL,
         "maxsim_tq": _MAXSIM_SQL,
         "maxsim_batch_kinds": _MAXSIM_BATCH_KINDS_SQL,
+        "maxsim_bq_asym": _MAXSIM_BQ_ASYM_SQL,
         "maxsim_sq_batch": _MAXSIM_BATCH_SQL,
         "maxsim_planned": _MAXSIM_PLANNED_SQL,
         "maxsim_sq_planned": _MAXSIM_PLANNED_SQL,

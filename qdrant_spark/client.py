@@ -1671,6 +1671,7 @@ class QdrantSparkClient:
                 idx = build_maxsim_bq(
                     col.df, mv_col=mvc, id_col=idc,
                     encoding=cfg.get("encoding", "one_bit"),
+                    query_encoding=cfg.get("query_encoding", "default"),
                     oversampling=over)
             elif qk == "product":
                 from qdrant_spark.operators.multivec import build_maxsim_pq

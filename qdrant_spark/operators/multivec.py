@@ -473,6 +473,13 @@ class MaxSimBq:
     #: same exact-vs-quantized crossover semantics as MaxSimSq
     full_scan_threshold: int | None = None
     n_docs: int | None = None
+    #: BinaryQuantizationQueryEncoding (types.rs:1188-1201) applied per
+    #: QUERY TOKEN: "default"/"binary" score same-as-storage ±1 bits;
+    #: "scalar4bits"/"scalar8bits" keep 4/8-bit scalar precision on each
+    #: query token and rank by the fractional-XOR quantity — the same
+    #: asymmetric trade the dense route ships (r11: +0.05 recall@10 at
+    #: identical storage bytes)
+    query_encoding: str = "default"
 
 
 def build_maxsim_bq(
@@ -481,6 +488,7 @@ def build_maxsim_bq(
     mv_col: str = "mv",
     id_col: str = "id",
     encoding: str = "one_bit",
+    query_encoding: str = "default",
     oversampling: float = 4.0,
 ) -> MaxSimBq:
     """Fit per-dimension token mean/stddev in ONE aggregation pass over
@@ -488,11 +496,18 @@ def build_maxsim_bq(
     rows), then bit-encode every token with one codegen'd nested
     transform — no python workers, no training state beyond
     (means, stds)."""
-    from qdrant_spark.operators.quantize import BQ_ENCODINGS, _bq_code_expr
+    from qdrant_spark.operators.quantize import (
+        BQ_ENCODINGS, BQ_QUERY_ENCODINGS, _bq_code_expr,
+    )
 
     if encoding not in BQ_ENCODINGS:
         raise ValueError(
             f"encoding must be one of {BQ_ENCODINGS}, got {encoding!r}")
+    query_encoding = str(query_encoding).lower()
+    if query_encoding not in BQ_QUERY_ENCODINGS:
+        raise ValueError(
+            f"query_encoding must be one of {BQ_QUERY_ENCODINGS}, "
+            f"got {query_encoding!r}")
     base = points.filter(
         F.col(mv_col).isNotNull() & (F.size(mv_col) > 0))
     tok = base.select(F.explode(mv_col).alias("__tok"))
@@ -518,7 +533,8 @@ def build_maxsim_bq(
         ).alias("__mbq"))
     return MaxSimBq(codes=codes, means=means, stds=stds, points=points,
                     mv_col=mv_col, id_col=id_col, encoding=encoding,
-                    oversampling=float(oversampling))
+                    oversampling=float(oversampling),
+                    query_encoding=query_encoding)
 
 
 def persist_maxsim_bq(index: MaxSimBq, path: str) -> MaxSimBq:
@@ -863,19 +879,25 @@ def _mv_quant_prep(index, queries: Sequence[Sequence[Sequence[float]]],
                    metric: str):
     """Per-kind prep shared by the single-request and batched coarse
     scans over quantized token storage: returns ``(code_cols, Qtoks,
-    decode)`` where ``Qtoks`` holds one per-query token matrix ALREADY
-    in scoring space, and ``decode(flats)`` maps the first-level-
+    decode, offsets)`` where ``Qtoks`` holds one per-query token matrix
+    ALREADY in scoring space, ``decode(flats)`` maps the first-level-
     flattened Arrow code arrays of one batch to the float token matrix
     in the same space (cosine-normalized when the kind scores the
     requested metric; binary stays metric-blind ±1-dot like the dense
-    coarse stage). The per-kind quantities are exactly the dense
-    scorers' (quantize.sq/pq/bq/tq_search) applied token-wise."""
+    coarse stage), and ``offsets`` is a per-query additive constant the
+    kernel applies AFTER the MaxSim reduction (zero except for the
+    asymmetric binary encoding, whose per-pair quantity is affine in
+    the bits — the dot carries the variable part, the constant folds
+    out here). The per-kind quantities are exactly the dense scorers'
+    (quantize.sq/pq/bq/tq_search) applied token-wise."""
     from qdrant_spark.operators.quantize import (
-        _TQ_CENTROIDS, _bq_ext_dim, _tq_rotate, _tq_rotation_params,
-        _tq_unpack, bq_bits_np,
+        _BQ_QUERY_BITS, _TQ_CENTROIDS, _bq_ext_dim, _tq_rotate,
+        _tq_rotation_params, _tq_unpack, bq_bits_np,
+        bq_scalar_query_codes,
     )
 
     cosine = metric == "cosine"
+    zeros = np.zeros(len(queries))
 
     def _norm_rows(M):
         n = np.linalg.norm(M, axis=1, keepdims=True)
@@ -883,11 +905,36 @@ def _mv_quant_prep(index, queries: Sequence[Sequence[Sequence[float]]],
         return M / n
 
     if isinstance(index, MaxSimBq):
-        Qtoks = [np.asarray(
-            [bq_bits_np(list(t), index.means, index.stds, index.encoding)
-             for t in q], dtype=np.float64) * 2.0 - 1.0 for q in queries]
         ext_dim = _bq_ext_dim(len(index.means), index.encoding)
         nwords = (ext_dim + 63) // 64
+        asym = index.query_encoding in _BQ_QUERY_BITS
+        if asym:
+            # asymmetric per-token encoding (BinaryQuantization
+            # QueryEncoding::Scalar4bits/8bits, encoded_vectors_binary.rs
+            # :673-760): the per-pair quantity ext - 2*xor/ranges with
+            # xor = sum_d (bit ? ranges-code : code) rewrites as
+            # (ext - 2*S_c/ranges) + bits . (4c - 2*ranges)/ranges — a
+            # dot over the raw 0/1 bits plus a per-query-token constant,
+            # so the shared BLAS segment-max kernel scores it directly
+            # and the constants fold into the per-query offset
+            Qtoks, offs = [], []
+            for q in queries:
+                rows, off = [], 0.0
+                for t in q:
+                    codes, ranges = bq_scalar_query_codes(index, list(t))
+                    c = codes.astype(np.float64)
+                    rows.append((4.0 * c - 2.0 * ranges) / ranges)
+                    off += ext_dim - 2.0 * float(c.sum()) / ranges
+                Qtoks.append(np.asarray(rows, dtype=np.float64))
+                offs.append(off)
+            offsets = np.asarray(offs, dtype=np.float64)
+        else:
+            Qtoks = [np.asarray(
+                [bq_bits_np(list(t), index.means, index.stds,
+                            index.encoding)
+                 for t in q], dtype=np.float64) * 2.0 - 1.0
+                for q in queries]
+            offsets = zeros
 
         def decode(flats):
             words = flats[0].flatten().to_numpy(zero_copy_only=False) \
@@ -900,9 +947,9 @@ def _mv_quant_prep(index, queries: Sequence[Sequence[Sequence[float]]],
                 pm[:, col:col + nb] = \
                     ((words[:, w:w + 1] >> sh) & np.uint64(1))
                 col += nb
-            return pm * 2.0 - 1.0
+            return pm if asym else pm * 2.0 - 1.0
 
-        return ["__mbq"], Qtoks, decode
+        return ["__mbq"], Qtoks, decode, offsets
 
     if isinstance(index, MaxSimPq):
         cb = index.codebooks
@@ -921,7 +968,7 @@ def _mv_quant_prep(index, queries: Sequence[Sequence[Sequence[float]]],
                 Tm[:, m * dsub:(m + 1) * dsub] = cb[m][codes[:, m]]
             return _norm_rows(Tm) if cosine else Tm
 
-        return ["__mpq"], Qtoks, decode
+        return ["__mpq"], Qtoks, decode, zeros
 
     if isinstance(index, MaxSimTq):
         bpc = index.bits_per_code
@@ -948,7 +995,7 @@ def _mv_quant_prep(index, queries: Sequence[Sequence[Sequence[float]]],
             Tm = centroids[idx] * (l2 / cn)[:, None]
             return _norm_rows(Tm) if cosine else Tm
 
-        return ["__mtq", "__mtq_l2", "__mtq_cn"], Qtoks, decode
+        return ["__mtq", "__mtq_l2", "__mtq_cn"], Qtoks, decode, zeros
 
     # scalar (MaxSimSq)
     lo = index.lo
@@ -965,7 +1012,7 @@ def _mv_quant_prep(index, queries: Sequence[Sequence[Sequence[float]]],
         Tm = (Tm + 128.0) * scale + lo
         return _norm_rows(Tm) if cosine else Tm
 
-    return ["__msq"], Qtoks, decode
+    return ["__msq"], Qtoks, decode, zeros
 
 
 def maxsim_knn_quant(
@@ -1073,7 +1120,8 @@ def maxsim_quant_coarse_batch(index, queries: Sequence[Sequence[Sequence[float]]
     (lib/segment/src/vector_storage/quantized/)."""
     from pyspark.sql.window import Window
 
-    code_cols, Qtoks, decode = _mv_quant_prep(index, queries, metric)
+    code_cols, Qtoks, decode, offsets = _mv_quant_prep(index, queries,
+                                                       metric)
     Qall = np.concatenate(Qtoks, axis=0)
     # per-query token column offsets for the reduceat over columns
     qstarts = np.cumsum([0] + [len(t) for t in Qtoks[:-1]])
@@ -1083,7 +1131,7 @@ def maxsim_quant_coarse_batch(index, queries: Sequence[Sequence[Sequence[float]]
     # broadcast only the plain arrays (sc.broadcast pickles with the
     # stock pickler, which can't take the per-kind decode closure); the
     # decode fn + its encoder state ride the cloudpickled task closure
-    bq = sc.broadcast((Qall, qstarts))
+    bq = sc.broadcast((Qall, qstarts, offsets))
     sel = index.codes.select(index.id_col, *code_cols)
     id_col = index.id_col
     out_schema = T.StructType([
@@ -1096,7 +1144,7 @@ def maxsim_quant_coarse_batch(index, queries: Sequence[Sequence[Sequence[float]]
     def score_batches(batches: Iterator) -> Iterator:
         import pyarrow as pa
 
-        Qm, qs = bq.value
+        Qm, qs, offs = bq.value
         dec = decode
         for batch in batches:
             n = batch.num_rows
@@ -1129,6 +1177,7 @@ def maxsim_quant_coarse_batch(index, queries: Sequence[Sequence[Sequence[float]]
             M = blocks[0] if len(blocks) == 1 \
                 else np.concatenate(blocks, axis=1)     # (docs, qtokens)
             scores = np.add.reduceat(M, qs, axis=1)     # (docs, queries)
+            scores = scores + offs  # per-query affine part (asym BQ)
             kk = min(k, n)
             if kk < n:
                 # per-batch top-k must follow the SAME total order as
@@ -1278,7 +1327,7 @@ def maxsim_knn_batch(points: DataFrame,
     nq = len(Qtoks)
     dim = Qall.shape[1]
     sc = points.sparkSession.sparkContext
-    bq = sc.broadcast((Qall, qstarts))
+    bq = sc.broadcast((Qall, qstarts, offsets))
 
     base = points.filter(
         F.col(mv_col).isNotNull() & (F.size(mv_col) > 0))

@@ -465,6 +465,8 @@ def load_maxsim_sq_index(points: DataFrame, path: str):
     if kind == "binary":
         return MaxSimBq(means=arrays["means"], stds=arrays["stds"],
                         encoding=meta.get("encoding", "one_bit"),
+                        query_encoding=meta.get("query_encoding",
+                                                "default"),
                         **common)
     if kind == "product":
         return MaxSimPq(codebooks=arrays["codebooks"], **common)
@@ -521,9 +523,12 @@ def ensure_maxsim_sq_index(
     if qk == "binary":
         idx = build_maxsim_bq(
             points, mv_col=mv_col, id_col=id_col,
-            encoding=cfg.get("encoding", "one_bit"), oversampling=over)
+            encoding=cfg.get("encoding", "one_bit"),
+            query_encoding=cfg.get("query_encoding", "default"),
+            oversampling=over)
         arrays = {"means": idx.means, "stds": idx.stds}
         extra["encoding"] = idx.encoding
+        extra["query_encoding"] = idx.query_encoding
     elif qk == "product":
         idx = build_maxsim_pq(
             points, mv_col=mv_col, id_col=id_col,

@@ -967,3 +967,73 @@ def test_client_multivector_quantization_pq_tq(spark, embeddings, tmp_path,
                                           {"oversampling": 40.0}})
     assert [(p.id, round(p.score, 9)) for p in got2.points] == \
         [(p.id, round(p.score, 9)) for p in exact.points]
+
+
+@pytest.mark.parametrize("enc", ["one_bit", "two_bits"])
+def test_maxsim_bq_asym_query_encoding(mv_points, embeddings, enc):
+    """Asymmetric BQ query encoding on MULTIVECTOR token storage (r12;
+    BinaryQuantizationQueryEncoding types.rs:1188-1201 — storage stays
+    1/2-bit, each QUERY TOKEN keeps 8-bit scalar precision): coarse
+    values equal a direct per-pair replay of the reference quantity
+    ext - 2*xor/ranges, rescore recovers the exact MaxSim top-k, and a
+    saturated query reduces the asymmetric score to the symmetric
+    ±1-dot exactly (the affine rewrite's algebra check)."""
+    import numpy as np
+
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_bq, maxsim_knn_quant,
+    )
+    from qdrant_spark.operators.quantize import (
+        _bq_ext_dim, bq_bits_np, bq_scalar_query_codes,
+    )
+
+    idx = build_maxsim_bq(mv_points, mv_col="mv", id_col="vec_id",
+                          encoding=enc, query_encoding="scalar8bits")
+    r0 = embeddings.limit(1).collect()[0]
+    q = [list(r0["embedding"])[i * 8:(i + 1) * 8] for i in range(8)]
+
+    # rescore=True + corpus-wide oversampling == exact MaxSim
+    n = mv_points.count()
+    exact = [(r["vec_id"], round(r["score"], 6)) for r in maxsim_knn(
+        mv_points, q, k=10, metric="dot", mv_col="mv",
+        id_col="vec_id").collect()]
+    got = [(r["vec_id"], round(r["score"], 6)) for r in maxsim_knn_quant(
+        idx, q, k=10, oversampling=n / 10.0, metric="dot").collect()]
+    assert got == exact
+
+    # coarse values == the per-pair reference quantity (50 docs checked)
+    coarse = {r["vec_id"]: r["score"] for r in maxsim_knn_quant(
+        idx, q, k=50, oversampling=1.0, metric="dot",
+        rescore=False).collect()}
+    ext = _bq_ext_dim(8, enc)
+    qc = [bq_scalar_query_codes(idx, t) for t in q]
+    docs = {r["vec_id"]: r["mv"] for r in mv_points.limit(200).collect()}
+    checked = 0
+    for did, score in coarse.items():
+        if did not in docs:
+            continue
+        B = np.array([bq_bits_np(list(t), idx.means, idx.stds, enc)
+                      for t in docs[did]], dtype=np.float64)
+        want = 0.0
+        for codes, ranges in qc:
+            c = codes.astype(np.float64)
+            xor = np.where(B > 0, ranges - c, c).sum(axis=1) / ranges
+            want += (ext - 2.0 * xor).max()
+        assert abs(score - want) < 1e-9, (did, score, want)
+        checked += 1
+    assert checked >= 10
+
+    # saturated query: asym == symmetric coarse, value for value
+    from dataclasses import replace
+
+    qsat = [[1.0 if v > 0 else -1.0 for v in t] for t in q]
+    sym = replace(idx, query_encoding="default")
+    a = sorted((r["vec_id"], round(r["score"], 9))
+               for r in maxsim_knn_quant(idx, qsat, k=50, oversampling=1.0,
+                                         metric="dot",
+                                         rescore=False).collect())
+    b = sorted((r["vec_id"], round(r["score"], 9))
+               for r in maxsim_knn_quant(sym, qsat, k=50, oversampling=1.0,
+                                         metric="dot",
+                                         rescore=False).collect())
+    assert a == b
