@@ -3370,6 +3370,52 @@ def _q_maxsim_sq_planned(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id long, score double")
 
 
+def _q_maxsim_sq_ivf_planned(spark: SparkSession, sf: str) -> DataFrame:
+    """COMPOSED multivector quantization x token-IVF through the full
+    client stack (r12 — the multivector twin of quantized_ivf_planned,
+    and the full ColBERTv2/PLAID ladder): quantization_config declared
+    ON the multivector + ensure_vector_index(n_clusters=...) builds BOTH
+    the cluster-partitioned id-only token table and the int8 token
+    codes, and query_points routes probe-clusters ->
+    coarse-over-candidate-CODES -> exact-rescore (the reference's
+    HNSW-over-quantized-multivector posture, hnsw.rs quantized scorer +
+    quantized_vectors.rs). Full probe + ample oversampling makes the
+    answer equal the exact MaxSim scan, which the oracle recomputes."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    rows = _emb(spark, sf).orderBy("vec_id").limit(500).collect()
+    dim = len(rows[0]["embedding"])
+    td = dim // 8
+    c = QdrantSparkClient(spark)
+    c.create_collection("entry_mv_sq_ivf", vectors_config={
+        "late": {"size": td, "distance": "Dot",
+                 "multivector_config": {"comparator": "max_sim",
+                                        "full_scan_threshold": 0},
+                 "quantization_config": {"scalar":
+                                         {"quantile": 0.99,
+                                          "full_scan_threshold": 0}}}})
+    c.upsert("entry_mv_sq_ivf", [
+        {"id": int(r["vec_id"]),
+         "vector": {"late": [
+             [float(x) for x in r["embedding"][i * td:(i + 1) * td]]
+             for i in range(8)]}}
+        for r in rows])
+    assert c.ensure_vector_index(
+        "entry_mv_sq_ivf", using="late", n_clusters=8, nprobe=8,
+        indexing_threshold=0) == "built"
+    assert "late" in c._coll("entry_mv_sq_ivf").mv_sq
+    assert "late" in c._coll("entry_mv_sq_ivf").mv_idx  # composed
+    q = [[float(x) for x in rows[0]["embedding"][i * td:(i + 1) * td]]
+         for i in range(8)]
+    res = c.query_points(
+        "entry_mv_sq_ivf", query=q, using="late", limit=10,
+        with_payload=False,
+        search_params={"quantization": {"oversampling": 10.0}})
+    return spark.createDataFrame(
+        [(p.id, round(p.score, 6)) for p in res.points],
+        "vec_id long, score double")
+
+
 def _q_maxsim_planned(spark: SparkSession, sf: str) -> DataFrame:
     """Declared multivector index through the full client stack (r10):
     ensure_vector_index on a multivector builds + registers the
@@ -4221,6 +4267,7 @@ _GATE_PRIORITY = [
     "maxsim_tq",
     "maxsim_batch_kinds",
     "maxsim_bq_asym",
+    "maxsim_sq_ivf_planned",
     "filter_match_except",
     "field_index_uuid",
     # --- r09 cohort (44) ---
@@ -4336,6 +4383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_tq": _q_maxsim_tq,
         "maxsim_batch_kinds": _q_maxsim_batch_kinds,
         "maxsim_bq_asym": _q_maxsim_bq_asym,
+        "maxsim_sq_ivf_planned": _q_maxsim_sq_ivf_planned,
         "maxsim_sq_batch": _q_maxsim_sq_batch,
         "maxsim_sq_planned": _q_maxsim_sq_planned,
         "scroll_keyset": _q_scroll_docs,
@@ -4494,6 +4542,7 @@ def oracle_sql() -> dict[str, str]:
         "maxsim_tq": _MAXSIM_SQL,
         "maxsim_batch_kinds": _MAXSIM_BATCH_KINDS_SQL,
         "maxsim_bq_asym": _MAXSIM_BQ_ASYM_SQL,
+        "maxsim_sq_ivf_planned": _MAXSIM_PLANNED_SQL,
         "maxsim_sq_batch": _MAXSIM_BATCH_SQL,
         "maxsim_planned": _MAXSIM_PLANNED_SQL,
         "maxsim_sq_planned": _MAXSIM_PLANNED_SQL,

@@ -1471,7 +1471,20 @@ class QdrantSparkClient:
                 _ignored[kk] = declared[kk]
         if vc is not None and vc.kind == "multi":
             if vc.quantization is not None:
-                return self._ensure_maxsim_sq_index(col, using, vc, thr)
+                action = self._ensure_maxsim_sq_index(col, using, vc, thr)
+                if n_clusters is not None and action != "skipped":
+                    # explicit clustering params compose the token-IVF
+                    # route WITH the token codes (the dense quantized
+                    # posture mirrored, r12): the planner then runs
+                    # probe-clusters -> coarse-over-candidate-codes ->
+                    # exact-rescore (maxsim_quant_ivf_leaves)
+                    a2 = self._ensure_maxsim_index(
+                        col, using, thr, n_clusters=n_clusters,
+                        **_ignored)
+                    if a2 not in ("exists", "loaded"):
+                        action = a2 if action in ("exists", "loaded") \
+                            else action
+                return action
             return self._ensure_maxsim_index(col, using, thr,
                                              n_clusters=n_clusters or 16,
                                              **_ignored)

@@ -235,6 +235,27 @@ def maxsim_knn_ivf(
     makes the probe pay when corpora have many tokens per doc spread
     across clusters: membership alone barely prunes, the cap bounds the
     exact stage to candidates/N of the corpus regardless."""
+    cand_ids = _maxsim_ivf_candidates(index, query_multivector,
+                                      nprobe=nprobe, metric=metric,
+                                      candidates=candidates)
+    cand = index.points.join(cand_ids, index.id_col, "left_semi")
+    return maxsim_knn(cand, query_multivector, k=k, metric=metric,
+                      mv_col=index.mv_col, id_col=index.id_col)
+
+
+def _maxsim_ivf_candidates(
+    index: MaxSimIvf,
+    query_multivector: Sequence[Sequence[float]],
+    *,
+    nprobe: int = 2,
+    metric: str = "dot",
+    candidates: int | None = None,
+) -> DataFrame:
+    """The candidate stage of :func:`maxsim_knn_ivf`, factored so the
+    composed quantized route shares it: per-query-token probe, probed
+    token membership (directory-pruned on the persisted layout), and the
+    optional PLAID centroid-resolution cap. Returns the candidate-id
+    frame."""
     Qm = np.asarray([list(t) for t in query_multivector], dtype=np.float64)
     if metric == "cosine":
         n = np.linalg.norm(Qm, axis=1, keepdims=True)
@@ -278,9 +299,55 @@ def maxsim_knn_ivf(
                              F.col(index.id_col).asc())
                     .limit(int(candidates))
                     .select(index.id_col))
-    cand = index.points.join(cand_ids, index.id_col, "left_semi")
+    return cand_ids
+
+
+def maxsim_knn_quant_ivf(
+    route: MaxSimIvf,
+    qidx,
+    query_multivector: Sequence[Sequence[float]],
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    metric: str = "dot",
+    candidates: int | None = None,
+    oversampling: float | None = None,
+    rescore: bool = True,
+) -> DataFrame:
+    """COMPOSED pruned + quantized MaxSim (r12 — the multivector twin
+    of quantize.quant_ivf_search, and the full ColBERTv2/PLAID ladder):
+    (1) each query token probes its nearest token clusters and candidate
+    docs come off the id-only cluster-partitioned token table
+    (directory pruning), optionally capped at centroid resolution;
+    (2) the coarse MaxSim scan runs over ONLY the candidates' QUANTIZED
+    token codes (any kind — the id semi-join lands on the 1-4 bit/dim
+    table instead of the float tokens); (3) the exact rescore touches
+    the ``k*oversampling`` survivors' float tokens. With
+    ``nprobe == n_clusters``, no cap and ample oversampling the result
+    equals the exact scan. The reference reaches the same composition
+    with HNSW built over quantized multivector storage
+    (hnsw.rs quantized scorer path; quantized_vectors.rs)."""
+    from dataclasses import replace
+
+    if metric not in ("dot", "cosine"):
+        raise ValueError("maxsim supports dot/cosine")
+    cand_ids = _maxsim_ivf_candidates(route, query_multivector,
+                                      nprobe=nprobe, metric=metric,
+                                      candidates=candidates)
+    pruned = replace(
+        qidx, codes=qidx.codes.join(cand_ids, qidx.id_col, "left_semi"))
+    over = float(qidx.oversampling if oversampling is None
+                 else oversampling)
+    n_coarse = max(k, int(np.ceil(k * over)))
+    coarse = maxsim_quant_coarse_batch(pruned, [query_multivector],
+                                       n_coarse, metric=metric)
+    if not rescore:
+        return (coarse.filter(F.col("rank") <= k)
+                .orderBy("rank").select(qidx.id_col, "score"))
+    top_ids = F.broadcast(coarse.select(qidx.id_col))
+    cand = qidx.points.join(top_ids, qidx.id_col, "left_semi")
     return maxsim_knn(cand, query_multivector, k=k, metric=metric,
-                      mv_col=index.mv_col, id_col=index.id_col)
+                      mv_col=qidx.mv_col, id_col=qidx.id_col)
 
 
 # ---------------------------------------------------------------------------

@@ -926,7 +926,7 @@ class QueryPlanner:
                             sqh.n_docs = sqh.points.count()
                         use_sq = sqh.n_docs >= sq_thr
                 route = self.maxsim_indexes.get(vec_col)
-                use_pruned = (not use_sq and route is not None
+                use_pruned = (route is not None
                               and flt is None and not pre_filtered
                               and not self._leaf_exact(req))
                 if use_pruned:
@@ -947,7 +947,30 @@ class QueryPlanner:
                         if route.n_docs is None:
                             route.n_docs = route.index.points.count()
                         use_pruned = route.n_docs >= ms_thr
-                if use_sq:
+                if use_sq and use_pruned:
+                    # BOTH token clusters and token codes are declared:
+                    # compose them — probe clusters for candidates,
+                    # coarse-MaxSim the candidates' token CODES, exact-
+                    # rescore the survivors' float tokens (r12; the
+                    # multivector twin of the dense quant x IVF leaf and
+                    # the reference's HNSW-over-quantized-multivector
+                    # posture, hnsw.rs quantized scorer +
+                    # quantized_vectors.rs; PLAID's full ladder)
+                    from qdrant_spark.operators.multivec import (
+                        maxsim_knn_quant_ivf,
+                    )
+
+                    self.last_plan_info["maxsim_quant_ivf_leaves"] = \
+                        self.last_plan_info.get(
+                            "maxsim_quant_ivf_leaves", 0) + 1
+                    out = maxsim_knn_quant_ivf(
+                        route.index, sqh, target, k=limit + offset,
+                        nprobe=route.nprobe, metric=metric,
+                        candidates=route.candidates,
+                        oversampling=float(mvq.get("oversampling")
+                                           or sqh.oversampling),
+                        rescore=mvq.get("rescore") is not False)
+                elif use_sq:
                     # declared multivector quantization: the coarse
                     # MaxSim scan reads the declared kind's token codes
                     # — int8 (scalar), packed bits (binary), codebook
@@ -1402,6 +1425,22 @@ def _batch_maxsim_quant(planner: "QueryPlanner",
                 sqh.n_docs = sqh.points.count()
             if sqh.n_docs < thr:
                 continue  # per-request plans take the exact scan
+        route = planner.maxsim_indexes.get(vc)
+        if route is not None:
+            # a registered token-IVF route above its crossover owns the
+            # single-request plan as the COMPOSED leaf (r12) — keep the
+            # batch value-identical by letting those requests plan
+            # per-request (a fused composed multivector batch would need
+            # a per-query candidate mask, like _batch_quant_ivf_indexed)
+            r_thr = (MAXSIM_FULL_SCAN_THRESHOLD
+                     if route.full_scan_threshold is None
+                     else route.full_scan_threshold)
+            if not r_thr:
+                continue
+            if route.n_docs is None:
+                route.n_docs = route.index.points.count()
+            if route.n_docs >= r_thr:
+                continue
         metric = planner.metric_for(vc)
         ks, cs, rescores = {}, {}, {}
         for i in idxs:

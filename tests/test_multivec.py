@@ -1037,3 +1037,170 @@ def test_maxsim_bq_asym_query_encoding(mv_points, embeddings, enc):
                                          metric="dot",
                                          rescore=False).collect())
     assert a == b
+
+
+def test_maxsim_quant_ivf_composed_operator(mv_points, q_mv):
+    """Composed pruned+quantized MaxSim (r12): full probe + ample
+    oversampling reproduces the exact scan for the scalar AND binary
+    token kinds; a partial probe with a candidate cap still returns k
+    rows from candidates only."""
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_bq, build_maxsim_ivf, build_maxsim_sq,
+        maxsim_knn_quant_ivf,
+    )
+
+    route = build_maxsim_ivf(mv_points, n_clusters=8, mv_col="mv",
+                             id_col="vec_id")
+    exact = [(r["vec_id"], round(r["score"], 9))
+             for r in maxsim_knn(mv_points, q_mv, k=10, metric="dot",
+                                 mv_col="mv", id_col="vec_id").collect()]
+    n = mv_points.count()
+    for build, over in ((build_maxsim_sq, 8.0), (build_maxsim_bq, n / 10.0)):
+        qidx = build(mv_points, mv_col="mv", id_col="vec_id")
+        got = [(r["vec_id"], round(r["score"], 9))
+               for r in maxsim_knn_quant_ivf(
+                   route, qidx, q_mv, k=10, nprobe=8, metric="dot",
+                   oversampling=over).collect()]
+        assert got == exact, build.__name__
+    # partial probe + cap: bounded candidate set, k rows out
+    qidx = build_maxsim_sq(mv_points, mv_col="mv", id_col="vec_id")
+    capped = maxsim_knn_quant_ivf(route, qidx, q_mv, k=10, nprobe=2,
+                                  candidates=50, metric="dot",
+                                  oversampling=4.0).collect()
+    assert len(capped) == 10
+
+
+def test_planner_composes_maxsim_quant_ivf(mv_points, embeddings):
+    """A multivector column with BOTH a token-IVF route and quantized
+    token storage registered (both pinned above their crossovers)
+    routes through the COMPOSED leaf (maxsim_quant_ivf_leaves);
+    quantization.ignore falls to the pruned route, params.exact to the
+    exact scan; batch requests stay value-identical per request (no
+    quant batch group forms on a composed column)."""
+    from dataclasses import replace
+
+    from qdrant_spark.operators.multivec import (
+        MaxSimRoute, build_maxsim_ivf, build_maxsim_sq,
+    )
+    from qdrant_spark.query import QueryPlanner, query_batch
+
+    route = MaxSimRoute(
+        index=build_maxsim_ivf(mv_points, n_clusters=8, mv_col="mv",
+                               id_col="vec_id"),
+        nprobe=8, full_scan_threshold=0)
+    sqh = replace(build_maxsim_sq(mv_points, mv_col="mv", id_col="vec_id"),
+                  full_scan_threshold=0)
+    r0 = embeddings.limit(1).collect()[0]
+    q = [list(r0["embedding"])[i * 8:(i + 1) * 8] for i in range(8)]
+    kw = dict(id_col="vec_id", default_vec_col="mv", metric="dot",
+              maxsim_indexes={"mv": route}, maxsim_sq_indexes={"mv": sqh})
+    pl = QueryPlanner(mv_points, **kw)
+    got = [(r["vec_id"], round(r["score"], 9)) for r in pl.plan(
+        {"query": {"nearest": q}, "limit": 10,
+         "params": {"quantization": {"oversampling": 8.0}}}).collect()]
+    assert pl.last_plan_info.get("maxsim_quant_ivf_leaves") == 1
+    exact = [(r["vec_id"], round(r["score"], 9))
+             for r in maxsim_knn(mv_points, q, k=10, metric="dot",
+                                 mv_col="mv", id_col="vec_id").collect()]
+    assert got == exact  # full probe + ample oversampling == exact
+
+    # ignore -> pruned route; exact -> neither
+    pl2 = QueryPlanner(mv_points, **kw)
+    pl2.plan({"query": {"nearest": q}, "limit": 10,
+              "params": {"quantization": {"ignore": True}}}).collect()
+    assert pl2.last_plan_info.get("maxsim_index_leaves") == 1
+    assert not pl2.last_plan_info.get("maxsim_quant_ivf_leaves")
+    pl3 = QueryPlanner(mv_points, **kw)
+    pl3.plan({"query": {"nearest": q}, "limit": 10,
+              "params": {"exact": True}}).collect()
+    assert not pl3.last_plan_info.get("maxsim_quant_ivf_leaves")
+    assert not pl3.last_plan_info.get("maxsim_index_leaves")
+
+    # batch == single on the composed column (no fused quant group)
+    from qdrant_spark import query as QM
+
+    r1 = embeddings.limit(2).collect()[1]
+    q2 = [list(r1["embedding"])[i * 8:(i + 1) * 8] for i in range(8)]
+    reqs = [{"query": {"nearest": qq}, "limit": 5,
+             "params": {"quantization": {"oversampling": 8.0}}}
+            for qq in (q, q2)]
+    from qdrant_spark.operators import multivec as MV
+
+    seen = {}
+    orig = QM._batch_maxsim_quant
+    calls = []
+    orig_ci = MV.maxsim_knn_quant_ivf
+
+    def spy(planner, requests, outs):
+        orig(planner, requests, outs)
+        seen["planner"] = planner
+
+    QM._batch_maxsim_quant = spy
+    MV.maxsim_knn_quant_ivf = \
+        lambda *a, **k2: calls.append(1) or orig_ci(*a, **k2)
+    try:
+        got_b = query_batch(mv_points, reqs, vec_col="mv", **{
+            k: v for k, v in kw.items() if k != "default_vec_col"}).collect()
+    finally:
+        QM._batch_maxsim_quant = orig
+        MV.maxsim_knn_quant_ivf = orig_ci
+    assert not seen["planner"].last_plan_info.get(
+        "maxsim_quant_batch_groups")
+    # per-request plans each took the composed route (plan() resets
+    # last_plan_info per call, so count the operator calls)
+    assert len(calls) == 2
+    want = [query_batch(mv_points, [dict(r)], vec_col="mv", **{
+        k: v for k, v in kw.items() if k != "default_vec_col"}).collect()
+        for r in reqs]
+    by_req: dict = {}
+    for r in got_b:
+        by_req.setdefault(r["request_idx"], []).append(
+            (r["vec_id"], round(r["score"], 9)))
+    for i, w in enumerate(want):
+        assert by_req[i] == [(r["vec_id"], round(r["score"], 9))
+                             for r in w], i
+
+
+def test_client_composes_maxsim_quant_ivf(spark, embeddings):
+    """create_collection(multivector + quantization_config) +
+    ensure_vector_index(n_clusters=...) builds BOTH token structures and
+    query_points routes the composed plan — full probe + ample
+    oversampling equals the exact scan through the whole client
+    stack."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    rows = embeddings.limit(200).collect()
+    dim = len(rows[0]["embedding"])
+    td = dim // 8
+    pts = [{"id": int(r["vec_id"]),
+            "vector": {"late": [[float(x) for x in
+                                 r["embedding"][i * td:(i + 1) * td]]
+                                for i in range(8)]}} for r in rows]
+    q = pts[6]["vector"]["late"]
+    c = QdrantSparkClient(spark)
+    c.create_collection("mv_composed", vectors_config={
+        "late": {"size": td, "distance": "Dot",
+                 "multivector_config": {"comparator": "max_sim",
+                                        "full_scan_threshold": 0},
+                 "quantization_config": {"scalar":
+                                         {"full_scan_threshold": 0}}}})
+    c.upsert("mv_composed", pts)
+    assert c.ensure_vector_index("mv_composed", using="late",
+                                 n_clusters=8, nprobe=8,
+                                 indexing_threshold=0) == "built"
+    assert "late" in c._coll("mv_composed").mv_sq
+    assert "late" in c._coll("mv_composed").mv_idx
+    exact = c.query_points("mv_composed", query=q, using="late", limit=5,
+                           with_payload=False,
+                           search_params={"exact": True})
+    got = c.query_points("mv_composed", query=q, using="late", limit=5,
+                         with_payload=False,
+                         search_params={"quantization":
+                                        {"oversampling": 10.0}})
+    assert [(p.id, round(p.score, 9)) for p in got.points] == \
+        [(p.id, round(p.score, 9)) for p in exact.points]
+    pl = c._planner(c._coll("mv_composed"), "late")
+    pl.plan({"query": {"nearest": [list(t) for t in q]}, "limit": 5,
+             "using": "vec_late",
+             "params": {"quantization": {"oversampling": 10.0}}}).collect()
+    assert pl.last_plan_info.get("maxsim_quant_ivf_leaves") == 1
