@@ -124,6 +124,11 @@ def main() -> None:
                 tail = json.load(open(p)).get("tail") or ""
             except Exception:
                 continue
+            # history only applies at the same scale factor (a smoke run
+            # at sf0.001 must not recheck against sf0.1 values)
+            msf = _re.search(r'"sf": ([0-9.]+)', tail)
+            if msf and abs(float(msf.group(1)) - sf) > 1e-9:
+                continue
             m = _re.search(r'"queries": (\{[^{}]*\})', tail)
             if not m:
                 continue
@@ -1234,10 +1239,30 @@ def main() -> None:
         reqs64_sq = [{"query": {"nearest": qvecs[i]}, "limit": 10,
                       "params": {"quantization": {"oversampling": PQ_OS}}}
                      for i in range(64)]
+        # FORCED diagnostic: the batch crossover default
+        # (QUANT_BATCH_FULL_SCAN_THRESHOLD = 8M, calibrated from this
+        # very line — quant batch ~flat 4.1-4.2s from 512k to 2M while
+        # the exact fused matmul grew 0.81->1.20s) folds a default 2M
+        # batch into the exact fused group (== knn_batch64_xxxl_disk);
+        # pinning threshold 0 keeps measuring the composed batch here.
+        quant_xxxl_forced = _dcr2(quant_xxxl, full_scan_threshold=0)
+        qivf_xxxl_forced = _dcr2(qivf_xxxl_sq, handle=quant_xxxl_forced)
         run_app("sq_ivf_batch64_xxxl_disk", lambda: _qb(
             xxxl_disk, reqs64_sq, id_col="vec_id", vec_col="embedding",
+            quant_indexes={"embedding": quant_xxxl_forced},
+            quant_ivf_indexes={"embedding": qivf_xxxl_forced}).count())
+        # the SINGLE-query composed plan at 2M (default dispatch routes
+        # it here): coarse reads nprobe/32 of the FILES x 1/4 bytes/row
+        # — contrast knn_single_xxxl_disk (exact floats, all files).
+        # Batch probe unions cover every file at 64 diverse queries, so
+        # the single-leaf line is where the compound pruning is visible.
+        xxxl_qp = QueryPlanner(
+            xxxl_disk, id_col="vec_id", default_vec_col="embedding",
             quant_indexes={"embedding": quant_xxxl},
-            quant_ivf_indexes={"embedding": qivf_xxxl_sq}).count())
+            quant_ivf_indexes={"embedding": qivf_xxxl_sq})
+        run_app("sq_ivf_single_xxxl_disk", lambda: xxxl_qp.plan(
+            {"query": {"nearest": q0}, "limit": 10,
+             "params": {"quantization": {"oversampling": PQ_OS}}}).collect())
         # --------------------------------------------------------------
         # multitenant pruning (catalog layout hints: tenant -> partition
         # column). Same tenant-filtered KNN against (a) the

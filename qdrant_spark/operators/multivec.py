@@ -1394,7 +1394,7 @@ def maxsim_knn_batch(points: DataFrame,
     nq = len(Qtoks)
     dim = Qall.shape[1]
     sc = points.sparkSession.sparkContext
-    bq = sc.broadcast((Qall, qstarts, offsets))
+    bq = sc.broadcast((Qall, qstarts))
 
     base = points.filter(
         F.col(mv_col).isNotNull() & (F.size(mv_col) > 0))

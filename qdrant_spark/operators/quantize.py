@@ -1224,6 +1224,18 @@ _QUANT_OVERSAMPLING = {"scalar": 3.0, "product": 4.0, "binary": 4.0,
 #: IO-bound. None on the handle = this default; 0 = always quantized.
 QUANT_FULL_SCAN_THRESHOLD = 2_000_000
 
+#: The BATCHED quant routes' crossover sits HIGHER: the fused exact
+#: matmul amortizes its one scan over every request, while the fused
+#: coarse+rescore pays per-request candidate cuts and a pair rescore —
+#: measured r12 at both ends of the buildable range, the quant batch is
+#: ~flat (4.06s @ 512k -> 4.23s @ 2M) while the exact fused matmul grows
+#: slowly page-cached (0.81s -> 1.20s); extrapolating the exact line's
+#: slope puts the wall-clock crossover well past the largest corpus this
+#: box can build, i.e. strictly in the IO-bound regime. 8M = the exact
+#: line's extrapolated ~4s point. A handle-declared full_scan_threshold
+#: overrides BOTH defaults (0 pins the quantized route everywhere).
+QUANT_BATCH_FULL_SCAN_THRESHOLD = 8_000_000
+
 
 @dataclass
 class QuantHandle:

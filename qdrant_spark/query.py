@@ -40,7 +40,7 @@ Request shape (qdrant JSON, dict form):
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, NamedTuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -439,18 +439,21 @@ class QueryPlanner:
         return bool((req.get("params") or {}).get("exact")
                     or req.get("exact"))
 
-    def _quant_crossover_ok(self, vec_col: str) -> bool:
+    def _quant_crossover_ok(self, vec_col: str, *,
+                            batch: bool = False) -> bool:
         """Exact-vs-quantized corpus-size dispatch for the dense quant
-        routes (single-leaf AND batched), mirroring the MaxSim guard: the
-        coarse+rescore plan reads 4-32x fewer bytes but pays a second
-        candidate-float scan, which only wins past the page-cache scale
-        (quantize.QUANT_FULL_SCAN_THRESHOLD; the r11 bench measured the
-        fused coarse route 4x SLOWER than the fused exact matmul at 512k
-        rows). Below the threshold the planner takes the exact scan — a
-        declared threshold of 0 pins the quantized route. n_docs caches
-        on the handle, a metadata-only parquet count."""
+        routes, mirroring the MaxSim guard: the coarse+rescore plan reads
+        4-32x fewer bytes but pays a second candidate-float scan, which
+        only wins past the page-cache scale. Below the threshold the
+        planner takes the exact scan — a declared threshold of 0 pins
+        the quantized route. ``batch=True`` (fused multi-request
+        contexts: query_batch groups and prefetch sibling fusion) uses
+        the HIGHER batch default — the fused exact matmul amortizes one
+        scan across every request, so the quant batch's crossover sits
+        far beyond the single leaf's (r12 measurements in quantize.py).
+        n_docs caches on the handle, a metadata-only parquet count."""
         from qdrant_spark.operators.quantize import (
-            QUANT_FULL_SCAN_THRESHOLD,
+            QUANT_BATCH_FULL_SCAN_THRESHOLD, QUANT_FULL_SCAN_THRESHOLD,
         )
 
         qh = self.quant_indexes.get(vec_col)
@@ -459,9 +462,10 @@ class QueryPlanner:
             qh = qih.handle
         if qh is None:
             return False
-        thr = (QUANT_FULL_SCAN_THRESHOLD
-               if qh.full_scan_threshold is None
-               else qh.full_scan_threshold)
+        thr = qh.full_scan_threshold
+        if thr is None:
+            thr = (QUANT_BATCH_FULL_SCAN_THRESHOLD if batch
+                   else QUANT_FULL_SCAN_THRESHOLD)
         if not thr:
             return True
         if qh.n_docs is None:
@@ -497,7 +501,7 @@ class QueryPlanner:
         if (self.quant_indexes.get(vec_col) is not None
                 or self.quant_ivf_indexes.get(vec_col) is not None) \
                 and not qp.get("ignore") and not self._leaf_exact(req) \
-                and self._quant_crossover_ok(vec_col):
+                and self._quant_crossover_ok(vec_col, batch=True):
             # quant-routed leaf (plain or composed): fusing would bypass
             # the declared coarse+rescore plan (and change VALUES for
             # rescore=false requests, which return coarse scores). Below
@@ -543,7 +547,8 @@ class QueryPlanner:
                 out[i] = self._node(c, depth + 1)
         return out
 
-    def _fused_leaves(self, reqs: list[dict], vec_col: str) -> list[DataFrame]:
+    def _fused_leaves(self, reqs: list[dict], vec_col: str,
+                      as_rows: bool = False) -> list:
         from pyspark.sql import types as T
 
         from qdrant_spark.filters import apply_filter
@@ -649,6 +654,11 @@ class QueryPlanner:
             off = int(r.get("offset", 0))
             limit = int(r.get("limit", DEFAULT_LIMIT))
             kept = hits[off:off + limit]
+            if as_rows:
+                # query_batch collapses all-local legs into ONE frame —
+                # skip the per-leg createDataFrame roundtrip entirely
+                out.append(_RowsLeg(schema, kept))
+                continue
             df = _local_result_df(spark, kept, schema)
             if lb:
                 # only larger-is-better legs register for the driver-side
@@ -1600,14 +1610,29 @@ def _batch_maxsim_exact(planner: "QueryPlanner",
             outs[i] = _local_result_df(spark, hits[off:off + lim], schema)
 
 
+class _RowsLeg(NamedTuple):
+    """A batch leg held as driver-side rows instead of a DataFrame —
+    produced by ``_fused_leaves(as_rows=True)`` so query_batch's
+    all-local fast path never pays the per-leg createDataFrame."""
+
+    schema: Any
+    rows: list
+
+
 def _local_result_df(spark, rows: list, schema) -> DataFrame:
     """A ≤limit-row local result as a SINGLE-partition DataFrame.
     ``spark.createDataFrame(list)`` defaults to defaultParallelism
     slices, so a 64-request batch unioned ~2048 near-empty tasks —
     ~10s of pure scheduler overhead on the batched-composed bench line
-    before this."""
+    before this. The driver-side rows ride along on the DataFrame
+    (``_qs_local_rows``) so query_batch can collapse an all-local batch
+    into ONE local frame instead of a 64-way union (r12: the union's 64
+    one-row tasks plus 64 createDataFrame roundtrips measured ~1.4s of
+    the default fused batch's 2.9s)."""
     sc = spark.sparkContext
-    return spark.createDataFrame(sc.parallelize(rows, 1), schema)
+    df = spark.createDataFrame(sc.parallelize(rows, 1), schema)
+    df._qs_local_rows = [tuple(r) for r in rows]
+    return df
 
 
 def _quant_scan_setup(qh, metric: str, Qraw):
@@ -1876,7 +1901,7 @@ def _quant_batch_eligible(planner, requests, outs):
         qp = (req.get("params") or {}).get("quantization") or {}
         if qp.get("ignore") or planner._leaf_exact(req):
             continue
-        if not planner._quant_crossover_ok(vc):
+        if not planner._quant_crossover_ok(vc, batch=True):
             # below the exact-vs-quantized corpus crossover the whole
             # quant family stands down; these requests joined the exact
             # fused matmul group in _fusable_leaf (or plan exact alone),
@@ -2169,11 +2194,12 @@ def query_batch(
             key = planner._fusable_leaf(req)
             if key is not None:
                 groups.setdefault(key, []).append(i)
-    outs: list[DataFrame | None] = [None] * len(requests)
+    outs: list = [None] * len(requests)
     for key, idxs in groups.items():
         if len(idxs) < 2:
             continue
-        legs = planner._fused_leaves([requests[i] for i in idxs], key[0])
+        legs = planner._fused_leaves([requests[i] for i in idxs], key[0],
+                                     as_rows=True)
         for i, df in zip(idxs, legs):
             outs[i] = df
         planner.last_plan_info["fused_groups"] += 1
@@ -2233,8 +2259,41 @@ def query_batch(
             fused_persists.extend(planner._fused_persisted)
             planner._fused_persisted = []
     planner._fused_persisted.extend(fused_persists)
+    spark = planner.points.sparkSession
+
+    def _leg_local(o):
+        """(column names, schema, rows) when the leg is driver-local."""
+        if isinstance(o, _RowsLeg):
+            return (tuple(f.name for f in o.schema.fields), o.schema,
+                    o.rows)
+        rows = getattr(o, "_qs_local_rows", None)
+        if rows is None:
+            return None
+        return (tuple(o.columns), o.schema, rows)
+
+    locals_ = [_leg_local(o) for o in outs]
+    if all(loc is not None for loc in locals_) \
+            and len({loc[0] for loc in locals_}) == 1:
+        # every leg is a bounded driver-side result with one shared
+        # schema: emit ONE single-partition local frame instead of a
+        # per-leg createDataFrame + N-way union (r12: the union's 64
+        # one-row tasks + 64 createDataFrame roundtrips measured ~1.4s
+        # of the 64-request fused batch's 2.9s)
+        from pyspark.sql import types as T
+
+        base_schema = locals_[0][1]
+        schema = T.StructType(
+            [T.StructField("request_idx", T.LongType())]
+            + list(base_schema.fields))
+        data = [(i, *tuple(r)) for i, loc in enumerate(locals_)
+                for r in loc[2]]
+        return _release_one_shot(
+            planner, _local_result_df(spark, data, schema))
+    tagged = [(df if not isinstance(df, _RowsLeg)
+               else _local_result_df(spark, df.rows, df.schema))
+              for df in outs]
     tagged = [df.withColumn("request_idx", F.lit(i))
-              for i, df in enumerate(outs)]
+              for i, df in enumerate(tagged)]
     out = reduce(lambda a, b: a.unionByName(b), tagged) \
         .select("request_idx", *(c for c in tagged[0].columns if c != "request_idx"))
     return _release_one_shot(planner, out)

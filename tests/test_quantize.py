@@ -1256,3 +1256,49 @@ def test_quant_crossover_batch_composed_falls_back(embeddings, spark):
     for i, q in enumerate(qs):
         exp = _exact_ids(embeddings, q, "cosine", 5)
         assert [r["vec_id"] for r in got if r["request_idx"] == i] == exp, i
+
+
+def test_quant_crossover_batch_threshold_sits_higher(embeddings):
+    """Between the single-leaf and batch defaults (n_docs faked at 3M,
+    handle threshold unset): a SINGLE request routes quantized, while a
+    >=2-request batch folds into the exact fused matmul group — the
+    fused exact scan amortizes across requests, so its crossover sits
+    higher (r12 measurements: quant batch ~flat 4.1-4.2s from 512k to
+    2M while the exact fused matmul grew 0.81->1.20s)."""
+    from qdrant_spark import query as QM
+    from qdrant_spark.query import QueryPlanner, query_batch
+
+    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+                    id_col="vec_id")
+    h.n_docs = 3_000_000  # single default (2M) <= this < batch default (8M)
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+
+    pl = QueryPlanner(embeddings, id_col="vec_id",
+                      default_vec_col="embedding",
+                      quant_indexes={"embedding": h})
+    pl.plan({"query": {"nearest": q}, "limit": 10}).collect()
+    assert pl.last_plan_info.get("quant_leaves") == 1  # single: quantized
+
+    rows = embeddings.limit(2).collect()
+    reqs = [{"query": {"nearest": list(r["embedding"])}, "limit": 5}
+            for r in rows]
+    seen = {}
+    orig = QM._batch_quant_indexed
+
+    def spy(planner, requests, outs):
+        orig(planner, requests, outs)
+        seen["planner"] = planner
+
+    QM._batch_quant_indexed = spy
+    try:
+        got = query_batch(embeddings, reqs, id_col="vec_id",
+                          vec_col="embedding", fuse_min_bytes=0,
+                          quant_indexes={"embedding": h}).collect()
+    finally:
+        QM._batch_quant_indexed = orig
+    info = seen["planner"].last_plan_info
+    assert not info.get("quant_batch_groups")
+    assert info.get("fused_legs") == 2  # batch: exact fused matmul group
+    for i, r in enumerate(rows):
+        exp = _exact_ids(embeddings, list(r["embedding"]), "cosine", 5)
+        assert [x["vec_id"] for x in got if x["request_idx"] == i] == exp
