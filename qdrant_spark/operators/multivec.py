@@ -1282,6 +1282,123 @@ def maxsim_quant_coarse_batch(index, queries: Sequence[Sequence[Sequence[float]]
             .filter(F.col("rank") <= k))
 
 
+def maxsim_quant_pair_topk(qidx, pairs: DataFrame,
+                           queries: Sequence[Sequence[Sequence[float]]],
+                           *, k: int, metric: str = "dot") -> DataFrame:
+    """Coarse MaxSim over a (qid, id) candidate PAIR set read from
+    QUANTIZED token storage of any kind — the coarse half of the fused
+    composed multivector batch (r12): the code table joins the pair set
+    once (the join lands on 1-4 bit/dim codes, never float tokens), each
+    Arrow batch decodes its rows' tokens via the per-kind hook and runs
+    one BLAS call per qid group, scoring every candidate ONLY against
+    its own query (so results equal the per-request composed plans).
+    Returns per-qid (score desc, id) rank<=k."""
+    from pyspark.sql.window import Window
+
+    code_cols, Qtoks, decode, offsets = _mv_quant_prep(qidx, queries,
+                                                       metric)
+    id_col = qidx.id_col
+    sel = qidx.codes.select(id_col, *code_cols)
+    joined = sel.join(pairs, id_col).select("__qid", id_col, *code_cols)
+    out_schema = T.StructType([
+        T.StructField("__qid", T.LongType()),
+        T.StructField(id_col, sel.schema[id_col].dataType),
+        T.StructField("score", T.DoubleType()),
+    ])
+    ncols = len(code_cols)
+    bq = joined.sparkSession.sparkContext.broadcast(offsets)
+
+    def score_batches(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        offs = bq.value
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            qids = batch.column(0).to_numpy(zero_copy_only=False)
+            ids = batch.column(1).to_numpy(zero_copy_only=False)
+            flats = []
+            outer_off = None
+            for ci in range(2, 2 + ncols):
+                col = batch.column(ci)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                if outer_off is None:
+                    outer_off = col.offsets.to_numpy(zero_copy_only=False)
+                flats.append(col.flatten())
+            Tm = decode(flats)
+            starts = outer_off[:-1] - outer_off[0]
+            out = np.empty(n, dtype=np.float64)
+            for qi in np.unique(qids):
+                mask = np.where(qids == qi)[0]
+                Qm = Qtoks[int(qi)]
+                segs = [np.arange(starts[i],
+                                  starts[i] + (outer_off[i + 1]
+                                               - outer_off[i]))
+                        for i in mask]
+                rows = np.concatenate(segs)
+                S = Tm[rows] @ Qm.T
+                lens = np.array([len(s) for s in segs])
+                st = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                M = np.maximum.reduceat(S, st, axis=0)
+                out[mask] = M.sum(axis=1) + offs[int(qi)]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qids), pa.array(ids),
+                 pa.array(out, type=pa.float64())],
+                names=["__qid", id_col, "score"],
+            )
+
+    scored = joined.mapInArrow(score_batches, out_schema)
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def maxsim_ivf_candidate_pairs(
+    route_index: MaxSimIvf,
+    queries: Sequence[Sequence[Sequence[float]]],
+    *,
+    nprobe: int = 2,
+    metric: str = "dot",
+) -> DataFrame:
+    """ONE scan of the id-only cluster-partitioned token table answering
+    EVERY query's candidate stage at once (the fused twin of
+    :func:`_maxsim_ivf_candidates`, no PLAID cap): per query the probed
+    cluster set computes driver-side; the scan filters to the probe
+    UNION (directory pruning) and each matched token row fans out to
+    exactly the queries that probed its cluster via one literal
+    cluster->qids map — distinct (qid, id) pairs equal each query's own
+    candidate set bit-for-bit."""
+    cluster_q: dict[int, list[int]] = {}
+    for qi, q in enumerate(queries):
+        Qm = np.asarray([list(t) for t in q], dtype=np.float64)
+        if metric == "cosine":
+            n = np.linalg.norm(Qm, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            Qm = Qm / n
+        d2 = ((Qm[:, None, :] - route_index.centroids[None, :, :]) ** 2) \
+            .sum(axis=2)
+        per_tok = np.argsort(d2, axis=1)[:, :nprobe]
+        for c in {int(c) for row in per_tok for c in row}:
+            cluster_q.setdefault(c, []).append(qi)
+    probes = sorted(cluster_q)
+    flat = []
+    for c in probes:
+        flat.append(F.lit(int(c)))
+        flat.append(F.array(*[F.lit(int(qi)) for qi in cluster_q[c]])
+                    .cast("array<bigint>"))
+    qids_for = F.element_at(F.create_map(*flat),
+                            F.col("__cluster").cast("int"))
+    return (route_index.tokens
+            .filter(F.col("__cluster").isin(probes))
+            .select(route_index.id_col, qids_for.alias("__qs"))
+            .select(F.explode("__qs").alias("__qid"),
+                    route_index.id_col)
+            .distinct())
+
+
 def maxsim_pair_topk(points: DataFrame, pairs: DataFrame,
                      queries: Sequence[Sequence[Sequence[float]]],
                      *, metric: str = "dot", k: int,

@@ -1468,50 +1468,154 @@ def _batch_maxsim_quant(planner: "QueryPlanner",
             sqh, queries, max(cs.values()), metric=metric).collect()
         planner.last_plan_info["maxsim_quant_batch_groups"] = \
             planner.last_plan_info.get("maxsim_quant_batch_groups", 0) + 1
-        by_req: dict[int, list] = {i: [] for i in idxs}
-        for r in coarse:  # local qid 0..len(idxs)-1, ranked
+        _finish_maxsim_group(planner, requests, idxs, outs, sqh,
+                             metric, ks, cs, rescores, queries, coarse)
+
+
+def _finish_maxsim_group(planner, requests, idxs, outs, sqh, metric,
+                         ks, cs, rescores, queries, coarse) -> None:
+    """Shared tail of the batched quantized / composed MaxSim groups:
+    bucket the collected coarse rows per request, exact-rescore the
+    rescore=True requests' survivors over ONE float-token pair scan, and
+    emit per-request local results with threshold/offset/limit applied
+    — value-identical per request to planning each alone."""
+    from pyspark.sql import types as T
+
+    from qdrant_spark.operators.multivec import maxsim_pair_topk
+
+    by_req: dict[int, list] = {i: [] for i in idxs}
+    for r in coarse:  # local qid 0..len(idxs)-1, ranked
+        gi = idxs[r["__qid"]]
+        if r["rank"] <= cs[gi]:
+            by_req[gi].append((r[sqh.id_col], float(r["score"])))
+    for i in idxs:  # collect order is not the window order
+        by_req[i].sort(key=lambda h: (-h[1], h[0]))
+
+    spark = planner.points.sparkSession
+    id_type = planner.points.schema[planner.id_col].dataType
+    schema = T.StructType([
+        T.StructField(planner.id_col, id_type),
+        T.StructField("score", T.DoubleType()),
+    ])
+    need_rescore = [i for i in idxs if rescores[i]]
+    if need_rescore:
+        pairs = spark.createDataFrame(
+            [(int(idxs.index(i)), h[0]) for i in need_rescore
+             for h in by_req[i]],
+            T.StructType([T.StructField("__qid", T.LongType()),
+                          T.StructField(sqh.id_col, id_type)]))
+        rescored = maxsim_pair_topk(
+            sqh.points, pairs, queries,
+            metric=metric, k=max(ks[i] for i in need_rescore),
+            mv_col=sqh.mv_col, id_col=sqh.id_col).collect()
+        re_by: dict[int, list] = {i: [] for i in need_rescore}
+        for r in rescored:
             gi = idxs[r["__qid"]]
-            if r["rank"] <= cs[gi]:
-                by_req[gi].append((r[sqh.id_col], float(r["score"])))
-        for i in idxs:  # collect order is not the window order
-            by_req[i].sort(key=lambda h: (-h[1], h[0]))
+            if gi in re_by:
+                re_by[gi].append((r[sqh.id_col], float(r["score"])))
+        for i in need_rescore:
+            by_req[i] = sorted(re_by[i], key=lambda h: (-h[1], h[0]))
 
-        spark = planner.points.sparkSession
-        id_type = planner.points.schema[planner.id_col].dataType
-        schema = T.StructType([
-            T.StructField(planner.id_col, id_type),
-            T.StructField("score", T.DoubleType()),
-        ])
-        need_rescore = [i for i in idxs if rescores[i]]
-        if need_rescore:
-            pairs = spark.createDataFrame(
-                [(int(idxs.index(i)), h[0]) for i in need_rescore
-                 for h in by_req[i]],
-                T.StructType([T.StructField("__qid", T.LongType()),
-                              T.StructField(sqh.id_col, id_type)]))
-            rescored = maxsim_pair_topk(
-                sqh.points, pairs, queries,
-                metric=metric, k=max(ks[i] for i in need_rescore),
-                mv_col=sqh.mv_col, id_col=sqh.id_col).collect()
-            re_by: dict[int, list] = {i: [] for i in need_rescore}
-            for r in rescored:
-                gi = idxs[r["__qid"]]
-                if gi in re_by:
-                    re_by[gi].append((r[sqh.id_col], float(r["score"])))
-            for i in need_rescore:
-                by_req[i] = sorted(re_by[i], key=lambda h: (-h[1], h[0]))
+    for i in idxs:
+        req = requests[i]
+        hits = by_req[i][:ks[i]]
+        t = req.get("score_threshold")
+        if t is not None:
+            # maxsim is larger-better (dot/cosine; binary coarse
+            # scores are the ±1-dot estimate — also larger-better)
+            hits = [h for h in hits if h[1] > float(t)]
+        off = int(req.get("offset", 0))
+        lim = int(req.get("limit", DEFAULT_LIMIT))
+        outs[i] = _local_result_df(spark, hits[off:off + lim], schema)
 
+
+def _batch_maxsim_quant_ivf(planner: "QueryPlanner",
+                            requests: list[dict[str, Any]],
+                            outs: list) -> None:
+    """Batched COMPOSED multivector search (r12): >=2 unfiltered MaxSim
+    requests on a column with BOTH a token-IVF route and quantized token
+    storage (both above their crossovers) fuse into ONE candidate scan
+    of the id-only cluster-partitioned token table (each matched token
+    row fans out to exactly the queries that probed its cluster) + ONE
+    coarse pair scan over the candidates' token CODES (per-kind decode,
+    each candidate scored only against ITS query) + ONE float-token pair
+    rescore — value-identical per request to the per-request composed
+    plans. Routes with a PLAID candidate cap keep per-request plans (the
+    cap's centroid-resolution scoring is per-query)."""
+    import numpy as np
+
+    from qdrant_spark.operators.multivec import (
+        MAXSIM_FULL_SCAN_THRESHOLD, maxsim_ivf_candidate_pairs,
+        maxsim_quant_pair_topk,
+    )
+
+    groups: dict[str, list[int]] = {}
+    for i, req in enumerate(requests):
+        if outs[i] is not None or req.get("prefetch") \
+                or req.get("shard_key") is not None \
+                or req.get("filter") is not None:
+            continue
+        q = req.get("query")
+        if not (isinstance(q, dict) and isinstance(q.get("nearest"),
+                                                   (list, tuple))):
+            continue
+        t = q["nearest"]
+        if not (t and isinstance(t[0], (list, tuple))):
+            continue
+        vc = req.get("using", planner.default_vec_col)
+        if planner.maxsim_sq_indexes.get(vc) is None \
+                or planner.maxsim_indexes.get(vc) is None:
+            continue
+        if planner.metric_for(vc) not in ("dot", "cosine"):
+            continue
+        qp = (req.get("params") or {}).get("quantization") or {}
+        if qp.get("ignore") or planner._leaf_exact(req):
+            continue
+        groups.setdefault(vc, []).append(i)
+
+    for vc, idxs in groups.items():
+        if len(idxs) < 2:
+            continue
+        sqh = planner.maxsim_sq_indexes[vc]
+        route = planner.maxsim_indexes[vc]
+        if route.candidates is not None:
+            continue  # per-request cap semantics
+        ok = True
+        for handle, n_src in ((sqh, sqh.points),
+                              (route, route.index.points)):
+            thr = (MAXSIM_FULL_SCAN_THRESHOLD
+                   if handle.full_scan_threshold is None
+                   else handle.full_scan_threshold)
+            if thr:
+                if handle.n_docs is None:
+                    handle.n_docs = n_src.count()
+                if handle.n_docs < thr:
+                    ok = False  # the leaf would not take the composed plan
+        if not ok:
+            continue
+        metric = planner.metric_for(vc)
+        ks, cs, rescores = {}, {}, {}
         for i in idxs:
             req = requests[i]
-            hits = by_req[i][:ks[i]]
-            t = req.get("score_threshold")
-            if t is not None:
-                # maxsim is larger-better (dot/cosine; binary coarse
-                # scores are the ±1-dot estimate — also larger-better)
-                hits = [h for h in hits if h[1] > float(t)]
-            off = int(req.get("offset", 0))
-            lim = int(req.get("limit", DEFAULT_LIMIT))
-            outs[i] = _local_result_df(spark, hits[off:off + lim], schema)
+            qp = (req.get("params") or {}).get("quantization") or {}
+            ks[i] = int(req.get("limit", DEFAULT_LIMIT)) \
+                + int(req.get("offset", 0))
+            over = float(qp.get("oversampling") or sqh.oversampling)
+            cs[i] = max(ks[i], int(np.ceil(ks[i] * over)))
+            rescores[i] = qp.get("rescore") is not False
+        if len(idxs) * max(cs.values()) > planner.fused_collect_max:
+            continue
+        queries = [requests[i]["query"]["nearest"] for i in idxs]
+        pairs = maxsim_ivf_candidate_pairs(
+            route.index, queries, nprobe=route.nprobe, metric=metric)
+        coarse = maxsim_quant_pair_topk(
+            sqh, pairs, queries, k=max(cs.values()),
+            metric=metric).collect()
+        planner.last_plan_info["maxsim_quant_ivf_batch_groups"] = \
+            planner.last_plan_info.get(
+                "maxsim_quant_ivf_batch_groups", 0) + 1
+        _finish_maxsim_group(planner, requests, idxs, outs, sqh,
+                             metric, ks, cs, rescores, queries, coarse)
 
 
 def _batch_maxsim_exact(planner: "QueryPlanner",
@@ -2207,6 +2311,7 @@ def query_batch(
     _batch_sparse_indexed(planner, requests, outs)
     _batch_quant_indexed(planner, requests, outs)
     _batch_quant_ivf_indexed(planner, requests, outs)
+    _batch_maxsim_quant_ivf(planner, requests, outs)
     _batch_maxsim_quant(planner, requests, outs)
     _batch_maxsim_exact(planner, requests, outs)
     # stash fallback persists from the fused legs: the per-request plan()

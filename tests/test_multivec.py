@@ -1116,39 +1116,38 @@ def test_planner_composes_maxsim_quant_ivf(mv_points, embeddings):
     assert not pl3.last_plan_info.get("maxsim_quant_ivf_leaves")
     assert not pl3.last_plan_info.get("maxsim_index_leaves")
 
-    # batch == single on the composed column (no fused quant group)
+    # batch == single on the composed column: >=2 requests fuse into ONE
+    # candidate scan + ONE coarse code pair scan + ONE float pair
+    # rescore (r12, _batch_maxsim_quant_ivf) — value-identical to the
+    # per-request composed plans (incl. rescore=False + offset)
     from qdrant_spark import query as QM
 
     r1 = embeddings.limit(2).collect()[1]
     q2 = [list(r1["embedding"])[i * 8:(i + 1) * 8] for i in range(8)]
-    reqs = [{"query": {"nearest": qq}, "limit": 5,
-             "params": {"quantization": {"oversampling": 8.0}}}
-            for qq in (q, q2)]
-    from qdrant_spark.operators import multivec as MV
-
+    reqs = [{"query": {"nearest": q}, "limit": 5,
+             "params": {"quantization": {"oversampling": 8.0}}},
+            {"query": {"nearest": q2}, "limit": 5,
+             "params": {"quantization": {"oversampling": 8.0}}},
+            {"query": {"nearest": q2}, "limit": 4, "offset": 1},
+            {"query": {"nearest": q}, "limit": 6,
+             "params": {"quantization": {"rescore": False}}}]
     seen = {}
-    orig = QM._batch_maxsim_quant
-    calls = []
-    orig_ci = MV.maxsim_knn_quant_ivf
+    orig = QM._batch_maxsim_quant_ivf
 
     def spy(planner, requests, outs):
         orig(planner, requests, outs)
         seen["planner"] = planner
 
-    QM._batch_maxsim_quant = spy
-    MV.maxsim_knn_quant_ivf = \
-        lambda *a, **k2: calls.append(1) or orig_ci(*a, **k2)
+    QM._batch_maxsim_quant_ivf = spy
     try:
         got_b = query_batch(mv_points, reqs, vec_col="mv", **{
             k: v for k, v in kw.items() if k != "default_vec_col"}).collect()
     finally:
-        QM._batch_maxsim_quant = orig
-        MV.maxsim_knn_quant_ivf = orig_ci
+        QM._batch_maxsim_quant_ivf = orig
+    assert seen["planner"].last_plan_info.get(
+        "maxsim_quant_ivf_batch_groups") == 1
     assert not seen["planner"].last_plan_info.get(
         "maxsim_quant_batch_groups")
-    # per-request plans each took the composed route (plan() resets
-    # last_plan_info per call, so count the operator calls)
-    assert len(calls) == 2
     want = [query_batch(mv_points, [dict(r)], vec_col="mv", **{
         k: v for k, v in kw.items() if k != "default_vec_col"}).collect()
         for r in reqs]
@@ -1157,8 +1156,8 @@ def test_planner_composes_maxsim_quant_ivf(mv_points, embeddings):
         by_req.setdefault(r["request_idx"], []).append(
             (r["vec_id"], round(r["score"], 9)))
     for i, w in enumerate(want):
-        assert by_req[i] == [(r["vec_id"], round(r["score"], 9))
-                             for r in w], i
+        assert by_req.get(i, []) == [(r["vec_id"], round(r["score"], 9))
+                                     for r in w], i
 
 
 def test_client_composes_maxsim_quant_ivf(spark, embeddings):
