@@ -978,6 +978,41 @@ def main() -> None:
     measure("maxsim_sq_xxl_disk", q_maxsim_sq_xxl_disk)
     measure("maxsim_sq_batch16_xxl_disk", q_maxsim_sq_batch16_xxl_disk)
 
+    def q_maxsim_sq_ivf_batch16_xxl_disk():
+        # r12 FORCED diagnostic: the COMPOSED multivector batch — 16
+        # requests share ONE candidate scan of the id-only token table,
+        # ONE coarse pair scan over the candidates' int8 token CODES,
+        # and ONE float pair rescore. On THIS corpus the line is
+        # adversarial by construction (tokens are slices of near-uniform
+        # embeddings, so nprobe=4/64 membership covers ~99.6% of docs
+        # per query — the pair fan-out is ~16 x corpus and the join
+        # dominates; see test_maxsim_ivf_candidate_cap's docstring):
+        # measured ~8.1s vs ~13s for 16 sequential composed plans (the
+        # fuse's win), vs 2.97s for the quant-only fuse and 0.71s exact
+        # — which is what default dispatch picks here. The composed
+        # batch pays off when token clusters actually prune (real
+        # ColBERT-style corpora) or at IO-bound scale. Forced (both
+        # crossovers pinned); no PLAID cap so candidates equal
+        # per-request membership exactly.
+        from dataclasses import replace as _dcr
+
+        from qdrant_spark.query import query_batch as _qb2
+
+        sq_forced = _dcr(msq_xxl, full_scan_threshold=0)
+        route_forced = MaxSimRoute(index=msivf_xxl, nprobe=4,
+                                   full_scan_threshold=0)
+        reqs = [{"query": {"nearest": [qvecs[i][t * _tok_d:(t + 1) * _tok_d]
+                                       for t in range(8)]},
+                 "limit": 10,
+                 "params": {"quantization": {"oversampling": PQ_OS}}}
+                for i in range(16)]
+        return _qb2(mv_xxl, reqs, id_col="vec_id", vec_col="mv",
+                    metric="dot", maxsim_sq_indexes={"mv": sq_forced},
+                    maxsim_indexes={"mv": route_forced}).count()
+
+    measure("maxsim_sq_ivf_batch16_xxl_disk",
+            q_maxsim_sq_ivf_batch16_xxl_disk, strict=True)
+
     # the remaining RAM-resident cache is only used by group-3 timed lines
     pq_ram_xxl.unpersist()
 
