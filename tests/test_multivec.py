@@ -1203,3 +1203,39 @@ def test_client_composes_maxsim_quant_ivf(spark, embeddings):
              "using": "vec_late",
              "params": {"quantization": {"oversampling": 10.0}}}).collect()
     assert pl.last_plan_info.get("maxsim_quant_ivf_leaves") == 1
+
+
+def test_maxsim_candidate_pairs_plan_prunes(mv_points, q_mv, tmp_path):
+    """The fused candidate scan reads ONLY the probed clusters' FILES of
+    the id-only token table (PartitionFilters on the persisted layout;
+    no float-token column in the scan) and its distinct (qid, id) pairs
+    equal each query's own candidate set."""
+    import numpy as np
+
+    from qdrant_spark.operators.multivec import (
+        _maxsim_ivf_candidates, build_maxsim_ivf,
+        maxsim_ivf_candidate_pairs, persist_maxsim_ivf,
+    )
+
+    idx = persist_maxsim_ivf(
+        build_maxsim_ivf(mv_points, n_clusters=32, mv_col="mv",
+                         id_col="vec_id"),
+        str(tmp_path / "tokens"))
+    q2 = [[-v for v in t] for t in q_mv]
+    pairs = maxsim_ivf_candidate_pairs(idx, [q_mv, q2], nprobe=1,
+                                       metric="dot")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    scans = plan.split("FileScan")[1:]
+    assert scans
+    for s in scans:
+        head = s[:1200]
+        assert "PartitionFilters: [" in head
+        assert "__cluster" in head.split("PartitionFilters", 1)[1][:200]
+        assert "mv" not in head.split("ReadSchema", 1)[1][:120]
+    got = {(r["__qid"], r["vec_id"]) for r in pairs.collect()}
+    for qi, q in enumerate([q_mv, q2]):
+        want = {(qi, r["vec_id"]) for r in _maxsim_ivf_candidates(
+            idx, q, nprobe=1, metric="dot").withColumnRenamed(
+            "vec_id", "vec_id").selectExpr(
+            f"{qi} as __qid", "vec_id").collect()}
+        assert {(a, b) for a, b in got if a == qi} == want, qi
