@@ -4263,9 +4263,13 @@ _GATE_PRIORITY = [
     # value check), then the 44-entry r09 cohort (latest driver row r09
     # — r11 VERDICT item 5) oldest-first, filling the 50-slot gate.
     # After r12 no entry's latest driver row should be older than r10.
+    # 6 of the 7 new entries lead; maxsim_batch_kinds heads the r13
+    # rotation instead — 6 + the full 44-entry r09 cohort fills the
+    # 50-slot gate exactly, so nothing stays r09-stale after r12 (its
+    # per-kind routes are driver-checked via maxsim_pq/maxsim_tq and
+    # the quantized_batch_kinds pattern this round)
     "maxsim_pq",
     "maxsim_tq",
-    "maxsim_batch_kinds",
     "maxsim_bq_asym",
     "maxsim_sq_ivf_planned",
     "filter_match_except",
