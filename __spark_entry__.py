@@ -3416,6 +3416,53 @@ def _q_maxsim_sq_ivf_planned(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id long, score double")
 
 
+def _q_maxsim_sq_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """Filtered quantized-multivector search (r12): the payload filter
+    evaluates on the full-precision frame and reaches the narrow token-
+    code scan as an id semi-join (the dense quantize._coarse_src posture
+    — the reference wraps quantized scorers in the same filtered-scorer
+    machinery). Corpus-wide oversampling + exact rescore make the answer
+    equal the exact FILTERED MaxSim scan, which the oracle recomputes
+    with the same label predicate."""
+    from dataclasses import replace
+
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_sq, maxsim_knn_quant,
+    )
+
+    emb = _emb(spark, sf)
+    q = _vecs(spark, sf, [0])[0]
+    q_mv = [q[i * 8:(i + 1) * 8] for i in range(8)]
+    d_mv = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.slice(F.col("embedding").cast("array<double>"), i * 8 + 1, 8),
+    )
+    pts = emb.select("vec_id", "label", d_mv.alias("mv"))
+    idx = replace(build_maxsim_sq(pts, mv_col="mv", id_col="vec_id"),
+                  full_scan_threshold=0)
+    n = pts.count()
+    out = maxsim_knn_quant(
+        idx, q_mv, k=10, oversampling=n / 10.0, metric="dot",
+        flt={"must": [{"key": "label", "range": {"lte": 4}}]})
+    return _r6(out.select("vec_id", "score"), "score")
+
+
+_MAXSIM_FILTERED_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+           WHERE label <= 4),
+{_Q_CTE.strip()},
+s AS (
+  SELECT e.vec_id, qi.i AS qi,
+         max(list_dot_product(q.qv[qi.i * 8 + 1 : qi.i * 8 + 8],
+                              e.v[di.i * 8 + 1 : di.i * 8 + 8])) AS m
+  FROM e, q, generate_series(0, 7) qi(i), generate_series(0, 7) di(i)
+  GROUP BY e.vec_id, qi.i),
+t AS (SELECT vec_id, sum(m) AS score FROM s GROUP BY vec_id)
+SELECT vec_id, round(t.score, 6) AS score FROM t
+ORDER BY t.score DESC, vec_id LIMIT 10
+"""
+
+
 def _q_maxsim_planned(spark: SparkSession, sf: str) -> DataFrame:
     """Declared multivector index through the full client stack (r10):
     ensure_vector_index on a multivector builds + registers the
@@ -4263,11 +4310,12 @@ _GATE_PRIORITY = [
     # value check), then the 44-entry r09 cohort (latest driver row r09
     # — r11 VERDICT item 5) oldest-first, filling the 50-slot gate.
     # After r12 no entry's latest driver row should be older than r10.
-    # 6 of the 7 new entries lead; maxsim_batch_kinds heads the r13
-    # rotation instead — 6 + the full 44-entry r09 cohort fills the
-    # 50-slot gate exactly, so nothing stays r09-stale after r12 (its
-    # per-kind routes are driver-checked via maxsim_pq/maxsim_tq and
-    # the quantized_batch_kinds pattern this round)
+    # 6 of the 8 new entries lead; maxsim_batch_kinds and
+    # maxsim_sq_filtered head the r13 rotation instead — 6 + the full
+    # 44-entry r09 cohort fills the 50-slot gate exactly, so nothing
+    # stays r09-stale after r12 (the deferred pair's routes are
+    # driver-checked via maxsim_pq/maxsim_tq/maxsim_sq this round and
+    # locally oracle-verified)
     "maxsim_pq",
     "maxsim_tq",
     "maxsim_bq_asym",
@@ -4388,6 +4436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_batch_kinds": _q_maxsim_batch_kinds,
         "maxsim_bq_asym": _q_maxsim_bq_asym,
         "maxsim_sq_ivf_planned": _q_maxsim_sq_ivf_planned,
+        "maxsim_sq_filtered": _q_maxsim_sq_filtered,
         "maxsim_sq_batch": _q_maxsim_sq_batch,
         "maxsim_sq_planned": _q_maxsim_sq_planned,
         "scroll_keyset": _q_scroll_docs,
@@ -4547,6 +4596,7 @@ def oracle_sql() -> dict[str, str]:
         "maxsim_batch_kinds": _MAXSIM_BATCH_KINDS_SQL,
         "maxsim_bq_asym": _MAXSIM_BQ_ASYM_SQL,
         "maxsim_sq_ivf_planned": _MAXSIM_PLANNED_SQL,
+        "maxsim_sq_filtered": _MAXSIM_FILTERED_SQL,
         "maxsim_sq_batch": _MAXSIM_BATCH_SQL,
         "maxsim_planned": _MAXSIM_PLANNED_SQL,
         "maxsim_sq_planned": _MAXSIM_PLANNED_SQL,

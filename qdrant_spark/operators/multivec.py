@@ -16,7 +16,7 @@ computes the per-doc segment max — no per-doc python loop.
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence
+from typing import Any, Iterator, Sequence
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -1090,6 +1090,7 @@ def maxsim_knn_quant(
     oversampling: float = 4.0,
     metric: str = "dot",
     rescore: bool = True,
+    flt: dict[str, Any] | None = None,
 ) -> DataFrame:
     """Two-stage MaxSim over ANY quantized token storage kind
     (:class:`MaxSimSq` / :class:`MaxSimBq` / :class:`MaxSimPq` /
@@ -1098,9 +1099,22 @@ def maxsim_knn_quant(
     Arrow batch), the exact MaxSim rescore touches only the oversampled
     candidates' float tokens — QuantizationSearchParams semantics
     applied to multivectors, for every kind the reference's
-    quantized_vectors.rs accepts."""
+    quantized_vectors.rs accepts. A payload ``flt`` evaluates on the
+    full-precision frame (where the payload columns live) and reaches
+    the narrow code scan as an id semi-join — the dense
+    quantize._coarse_src posture; the reference serves filtered search
+    over quantized storage with the same filtered-scorer wrap."""
+    from dataclasses import replace
+
     if metric not in ("dot", "cosine"):
         raise ValueError("maxsim supports dot/cosine")
+    points = index.points
+    if flt is not None:
+        from qdrant_spark.filters import apply_filter
+
+        points = apply_filter(index.points, flt)
+        index = replace(index, codes=index.codes.join(
+            points.select(index.id_col), index.id_col, "left_semi"))
     n_coarse = max(k, int(np.ceil(k * oversampling)))
     coarse = maxsim_quant_coarse_batch(
         index, [query_multivector], n_coarse, metric=metric)
@@ -1109,7 +1123,7 @@ def maxsim_knn_quant(
         return (coarse.filter(F.col("rank") <= k)
                 .orderBy("rank").select(id_col, "score"))
     cand_ids = F.broadcast(coarse.select(id_col))
-    cand = index.points.join(cand_ids, id_col, "left_semi")
+    cand = points.join(cand_ids, id_col, "left_semi")
     return maxsim_knn(cand, query_multivector, k=k, metric=metric,
                       mv_col=index.mv_col, id_col=id_col)
 

@@ -917,7 +917,11 @@ class QueryPlanner:
 
                 mvq = (req.get("params") or {}).get("quantization") or {}
                 sqh = self.maxsim_sq_indexes.get(vec_col)
-                use_sq = (sqh is not None and flt is None
+                # filtered requests keep the quantized route (r12): the
+                # payload filter evaluates on the float frame and reaches
+                # the narrow code scan as an id semi-join, the dense
+                # _coarse_src posture
+                use_sq = (sqh is not None
                           and not pre_filtered and not mvq.get("ignore")
                           and not self._leaf_exact(req))
                 if use_sq:
@@ -957,7 +961,7 @@ class QueryPlanner:
                         if route.n_docs is None:
                             route.n_docs = route.index.points.count()
                         use_pruned = route.n_docs >= ms_thr
-                if use_sq and use_pruned:
+                if use_sq and use_pruned and flt is None:
                     # BOTH token clusters and token codes are declared:
                     # compose them — probe clusters for candidates,
                     # coarse-MaxSim the candidates' token CODES, exact-
@@ -999,7 +1003,8 @@ class QueryPlanner:
                         sqh, target, k=limit + offset, metric=metric,
                         oversampling=float(mvq.get("oversampling")
                                            or sqh.oversampling),
-                        rescore=mvq.get("rescore") is not False)
+                        rescore=mvq.get("rescore") is not False,
+                        flt=flt)
                 elif use_pruned:
                     # registered token-level coarse index: probe per
                     # query token, exact MaxSim over candidates only

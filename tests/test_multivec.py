@@ -1239,3 +1239,43 @@ def test_maxsim_candidate_pairs_plan_prunes(mv_points, q_mv, tmp_path):
             "vec_id", "vec_id").selectExpr(
             f"{qi} as __qid", "vec_id").collect()}
         assert {(a, b) for a, b in got if a == qi} == want, qi
+
+
+@pytest.mark.parametrize("kind", ["scalar", "binary"])
+def test_maxsim_quant_filtered(mv_points, embeddings, kind):
+    """Filtered quantized MaxSim (r12): the payload filter evaluates on
+    the float frame and reaches the narrow code scan as an id semi-join
+    (the dense _coarse_src posture) — results equal the exact filtered
+    MaxSim scan with corpus-wide oversampling, through the operator AND
+    the planner (maxsim_sq_leaves fires with a filter present)."""
+    from dataclasses import replace
+
+    from qdrant_spark.filters import apply_filter
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_bq, build_maxsim_sq, maxsim_knn_quant,
+    )
+    from qdrant_spark.query import QueryPlanner
+
+    pts = mv_points.join(embeddings.select("vec_id", "label"), "vec_id")
+    build = build_maxsim_bq if kind == "binary" else build_maxsim_sq
+    idx = replace(build(pts, mv_col="mv", id_col="vec_id"),
+                  full_scan_threshold=0)
+    r0 = embeddings.limit(1).collect()[0]
+    q = [list(r0["embedding"])[i * 8:(i + 1) * 8] for i in range(8)]
+    flt = {"must": [{"key": "label", "range": {"lte": 4}}]}
+    n = pts.count()
+    exact = [(r["vec_id"], round(r["score"], 9)) for r in maxsim_knn(
+        apply_filter(pts, flt), q, k=10, metric="dot",
+        mv_col="mv", id_col="vec_id").collect()]
+    got = [(r["vec_id"], round(r["score"], 9)) for r in maxsim_knn_quant(
+        idx, q, k=10, oversampling=n / 10.0, metric="dot",
+        flt=flt).collect()]
+    assert got == exact and len(got) == 10
+
+    pl = QueryPlanner(pts, id_col="vec_id", default_vec_col="mv",
+                      metric="dot", maxsim_sq_indexes={"mv": idx})
+    got_pl = [(r["vec_id"], round(r["score"], 9)) for r in pl.plan(
+        {"query": {"nearest": q}, "limit": 10, "filter": flt,
+         "params": {"quantization": {"oversampling": n / 10.0}}}).collect()]
+    assert pl.last_plan_info.get("maxsim_sq_leaves") == 1
+    assert got_pl == exact
