@@ -732,6 +732,27 @@ def _q_facet(table: str, key: str):
     return run
 
 
+def _q_facet_int_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """Facet over an INTEGER payload field with a filter (FacetParams
+    accepts keyword/integer/uuid/bool keys, facets.rs:16-30 +
+    data_types/index.rs; only keyword fields were driver-gated before
+    r12): top user_ids among 'click' events, count desc then value asc
+    — the integer ordering, not lexicographic."""
+    from qdrant_spark.operators.points import facet
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return facet(ev, "user_id", limit=10,
+                 flt={"must": [{"key": "event_type",
+                                "match": {"value": "click"}}]})
+
+
+_FACET_INT_SQL = """
+SELECT user_id AS value, count(*) AS count FROM events
+WHERE event_type = 'click' AND user_id IS NOT NULL
+GROUP BY user_id ORDER BY count(*) DESC, user_id ASC LIMIT 10
+"""
+
+
 def _q_facet_estimate(spark: SparkSession, sf: str) -> DataFrame:
     """facet(exact=false): scaled counts from the deterministic md5
     quarter-sample — approximate yet exactly reproducible (the sample
@@ -4444,6 +4465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_filtered": _q_count_events,
         "facet_lang": _q_facet("documents", "lang"),
         "facet_event_type": _q_facet("events", "event_type"),
+        "facet_int_filtered": _q_facet_int_filtered,
         "facet_estimate": _q_facet_estimate,
         "unique_values": _q_unique_source,
         "retrieve": _q_retrieve,
@@ -4620,6 +4642,7 @@ GROUP BY lang ORDER BY count(*) DESC, lang ASC LIMIT 10
 SELECT event_type AS value, count(*) AS count FROM events WHERE event_type IS NOT NULL
 GROUP BY event_type ORDER BY count(*) DESC, event_type ASC LIMIT 10
 """,
+        "facet_int_filtered": _FACET_INT_SQL,
         "facet_estimate": """
 SELECT event_type AS value,
        CAST(round(count(*) / 0.25) AS BIGINT) AS est_count
