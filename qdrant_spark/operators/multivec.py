@@ -1413,6 +1413,77 @@ def maxsim_ivf_candidate_pairs(
             .distinct())
 
 
+def maxsim_ivf_capped_pairs(
+    route_index: MaxSimIvf,
+    queries: Sequence[Sequence[Sequence[float]]],
+    *,
+    nprobe: int = 2,
+    candidates: int = 4096,
+    metric: str = "dot",
+) -> DataFrame:
+    """The fused PLAID stage-2 cap: ONE scan of the probed token union
+    answers EVERY query's centroid-resolution candidate ranking at once.
+    Per query a literal map carries its probed clusters' per-q-token
+    centroid scores (NULL for unprobed clusters, so rows only contribute
+    to the queries that probed them); one groupBy(id) computes every
+    (query, q-token) max as a column; per-query totals unpivot to
+    (qid, id, total) and a per-qid window keeps the top ``candidates``
+    by (total desc, id) — bit-for-bit the single-request cap's ranking
+    (:func:`_maxsim_ivf_candidates` with ``candidates`` set)."""
+    from pyspark.sql.window import Window
+
+    qdata = []
+    union: set[int] = set()
+    for q in queries:
+        Qm = np.asarray([list(t) for t in q], dtype=np.float64)
+        if metric == "cosine":
+            n = np.linalg.norm(Qm, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            Qm = Qm / n
+        d2 = ((Qm[:, None, :] - route_index.centroids[None, :, :]) ** 2) \
+            .sum(axis=2)
+        per_tok = np.argsort(d2, axis=1)[:, :nprobe]
+        probes = sorted({int(c) for row in per_tok for c in row})
+        union.update(probes)
+        S = Qm @ route_index.centroids.T  # (tq, n_clusters)
+        qdata.append((probes, S))
+
+    id_col = route_index.id_col
+    matched = route_index.tokens \
+        .filter(F.col("__cluster").isin(sorted(union)))
+    sel_cols, aggs, totals = [F.col(id_col)], [], []
+    for qi, (probes, S) in enumerate(qdata):
+        flat = []
+        for c in probes:
+            flat.append(F.lit(int(c)))
+            flat.append(F.lit([float(x) for x in S[:, c]]))
+        sel_cols.append(
+            F.element_at(F.create_map(*flat),
+                         F.col("__cluster").cast("int"))
+            .alias(f"__a{qi}"))
+        tq = S.shape[0]
+        for ti in range(tq):
+            aggs.append(F.max(F.element_at(F.col(f"__a{qi}"), ti + 1))
+                        .alias(f"__m_{qi}_{ti}"))
+        totals.append(sum((F.col(f"__m_{qi}_{ti}")
+                           for ti in range(1, tq)),
+                          F.col(f"__m_{qi}_0")))
+    gb = matched.select(*sel_cols).groupBy(id_col).agg(*aggs)
+    stacked = gb.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(qi).cast("long").alias("__qid"),
+                     t.alias("__total"))
+            for qi, t in enumerate(totals)])).alias("__s")) \
+        .select(id_col, "__s.__qid", "__s.__total") \
+        .filter(F.col("__total").isNotNull())
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("__total").desc(), F.col(id_col).asc())
+    return (stacked.withColumn("__rnk", F.row_number().over(w))
+            .filter(F.col("__rnk") <= int(candidates))
+            .select("__qid", id_col))
+
+
 def maxsim_pair_topk(points: DataFrame, pairs: DataFrame,
                      queries: Sequence[Sequence[Sequence[float]]],
                      *, metric: str = "dot", k: int,

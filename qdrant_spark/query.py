@@ -1545,8 +1545,9 @@ def _batch_maxsim_quant_ivf(planner: "QueryPlanner",
     coarse pair scan over the candidates' token CODES (per-kind decode,
     each candidate scored only against ITS query) + ONE float-token pair
     rescore — value-identical per request to the per-request composed
-    plans. Routes with a PLAID candidate cap keep per-request plans (the
-    cap's centroid-resolution scoring is per-query)."""
+    plans. Routes with a PLAID candidate cap rank every query's
+    centroid-resolution candidates in the same fused scan
+    (maxsim_ivf_capped_pairs)."""
     import numpy as np
 
     from qdrant_spark.operators.multivec import (
@@ -1583,8 +1584,6 @@ def _batch_maxsim_quant_ivf(planner: "QueryPlanner",
             continue
         sqh = planner.maxsim_sq_indexes[vc]
         route = planner.maxsim_indexes[vc]
-        if route.candidates is not None:
-            continue  # per-request cap semantics
         ok = True
         for handle, n_src in ((sqh, sqh.points),
                               (route, route.index.points)):
@@ -1611,8 +1610,19 @@ def _batch_maxsim_quant_ivf(planner: "QueryPlanner",
         if len(idxs) * max(cs.values()) > planner.fused_collect_max:
             continue
         queries = [requests[i]["query"]["nearest"] for i in idxs]
-        pairs = maxsim_ivf_candidate_pairs(
-            route.index, queries, nprobe=route.nprobe, metric=metric)
+        if route.candidates is not None:
+            # fused PLAID stage-2 cap: one scan + one groupBy ranks every
+            # query's centroid-resolution candidates at once
+            from qdrant_spark.operators.multivec import (
+                maxsim_ivf_capped_pairs,
+            )
+
+            pairs = maxsim_ivf_capped_pairs(
+                route.index, queries, nprobe=route.nprobe,
+                candidates=route.candidates, metric=metric)
+        else:
+            pairs = maxsim_ivf_candidate_pairs(
+                route.index, queries, nprobe=route.nprobe, metric=metric)
         coarse = maxsim_quant_pair_topk(
             sqh, pairs, queries, k=max(cs.values()),
             metric=metric).collect()

@@ -1279,3 +1279,64 @@ def test_maxsim_quant_filtered(mv_points, embeddings, kind):
          "params": {"quantization": {"oversampling": n / 10.0}}}).collect()]
     assert pl.last_plan_info.get("maxsim_sq_leaves") == 1
     assert got_pl == exact
+
+
+def test_maxsim_capped_pairs_fused_equals_per_request(mv_points,
+                                                      embeddings):
+    """The fused PLAID stage-2 cap (r12): one scan + one groupBy ranks
+    every query's centroid-resolution candidates; per query the (qid,
+    id) set equals the single-request capped candidate stage, and the
+    capped composed BATCH equals the per-request composed plans."""
+    from dataclasses import replace
+
+    from qdrant_spark import query as QM
+    from qdrant_spark.operators.multivec import (
+        MaxSimRoute, _maxsim_ivf_candidates, build_maxsim_ivf,
+        build_maxsim_sq, maxsim_ivf_capped_pairs,
+    )
+    from qdrant_spark.query import query_batch
+
+    idx = build_maxsim_ivf(mv_points, n_clusters=16, mv_col="mv",
+                           id_col="vec_id")
+    rows = embeddings.limit(3).collect()
+    qs = [[list(r["embedding"])[i * 8:(i + 1) * 8] for i in range(8)]
+          for r in rows]
+    pairs = {(r["__qid"], r["vec_id"]) for r in maxsim_ivf_capped_pairs(
+        idx, qs, nprobe=2, candidates=40, metric="dot").collect()}
+    for qi, q in enumerate(qs):
+        want = {r["vec_id"] for r in _maxsim_ivf_candidates(
+            idx, q, nprobe=2, candidates=40, metric="dot").collect()}
+        assert {b for a, b in pairs if a == qi} == want, qi
+
+    route = MaxSimRoute(index=idx, nprobe=4, candidates=60,
+                        full_scan_threshold=0)
+    sqh = replace(build_maxsim_sq(mv_points, mv_col="mv", id_col="vec_id"),
+                  full_scan_threshold=0)
+    kw = dict(id_col="vec_id", vec_col="mv", metric="dot",
+              maxsim_indexes={"mv": route}, maxsim_sq_indexes={"mv": sqh})
+    reqs = [{"query": {"nearest": q}, "limit": 5,
+             "params": {"quantization": {"oversampling": 6.0}}}
+            for q in qs]
+    want = [query_batch(mv_points, [dict(r)], **kw).collect()
+            for r in reqs]
+    seen = {}
+    orig = QM._batch_maxsim_quant_ivf
+
+    def spy(p, r, o):
+        orig(p, r, o)
+        seen["p"] = p
+
+    QM._batch_maxsim_quant_ivf = spy
+    try:
+        got = query_batch(mv_points, reqs, **kw).collect()
+    finally:
+        QM._batch_maxsim_quant_ivf = orig
+    assert seen["p"].last_plan_info.get(
+        "maxsim_quant_ivf_batch_groups") == 1
+    by: dict = {}
+    for r in got:
+        by.setdefault(r["request_idx"], []).append(
+            (r["vec_id"], round(r["score"], 9)))
+    for i, w in enumerate(want):
+        assert by.get(i, []) == [(r["vec_id"], round(r["score"], 9))
+                                 for r in w], i
