@@ -979,25 +979,29 @@ def main() -> None:
     measure("maxsim_sq_batch16_xxl_disk", q_maxsim_sq_batch16_xxl_disk)
 
     def q_maxsim_sq_ivf_batch16_xxl_disk():
-        # r12 FORCED diagnostic: the COMPOSED multivector batch with the
-        # fused PLAID stage-2 cap — 16 requests share ONE candidate scan
-        # + groupBy ranking every query's centroid-resolution top-4096
-        # (same cap as the single maxsim_ivf line; membership alone is
-        # useless on this corpus — near-uniform token slices make
-        # nprobe=4/64 membership cover ~99.6% of docs per query, and the
-        # UNCAPPED fusion measured 8.1s on the ~16 x corpus pair
-        # fan-out), then ONE coarse pair scan over the capped candidates'
-        # int8 token CODES and ONE float pair rescore. Contrast 16
-        # sequential composed capped plans (~16 x maxsim_ivf_xxl_disk
-        # ~= 21s) and the quant-only fuse (maxsim_sq_batch16, coarse
-        # BLAS over every doc x query). Forced (both crossovers pinned).
+        # r12 FORCED diagnostic: the COMPOSED multivector batch — 16
+        # requests share ONE candidate scan of the id-only token table,
+        # ONE coarse pair scan over the candidates' int8 token CODES,
+        # and ONE float pair rescore. This corpus is adversarial for
+        # EVERY candidate stage (near-uniform token slices: nprobe=4/64
+        # membership covers ~99.6% of docs per query, and
+        # centroid-resolution scoring is the measured bottleneck of the
+        # single maxsim_ivf line too): measured ~8.1s membership-fused
+        # vs ~11.8s with the fused PLAID cap (the 16 x (query, token)
+        # max-aggregation over ~4M probed rows dominates) vs ~13-21s for
+        # 16 sequential composed plans — the fuse wins over sequential
+        # either way, while default dispatch at this scale correctly
+        # takes the quant-only fuse (maxsim_sq_batch16, ~3s) or the
+        # exact scan (~0.7s). The composed batch's regime is corpora
+        # whose token clusters actually prune + IO-bound scale. Forced
+        # (both crossovers pinned); membership variant timed (the faster
+        # of the two here).
         from dataclasses import replace as _dcr
 
         from qdrant_spark.query import query_batch as _qb2
 
         sq_forced = _dcr(msq_xxl, full_scan_threshold=0)
         route_forced = MaxSimRoute(index=msivf_xxl, nprobe=4,
-                                   candidates=4096,
                                    full_scan_threshold=0)
         reqs = [{"query": {"nearest": [qvecs[i][t * _tok_d:(t + 1) * _tok_d]
                                        for t in range(8)]},
