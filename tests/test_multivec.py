@@ -1340,3 +1340,37 @@ def test_maxsim_capped_pairs_fused_equals_per_request(mv_points,
     for i, w in enumerate(want):
         assert by.get(i, []) == [(r["vec_id"], round(r["score"], 9))
                                  for r in w], i
+
+
+@pytest.mark.parametrize("kind", ["product", "turbo"])
+def test_persist_maxsim_quant_split_storage(mv_points, q_mv, tmp_path,
+                                            kind):
+    """persist_maxsim_quant materializes the narrow token-code table for
+    ANY kind; the persisted index answers identically and its coarse
+    scan reads parquet codes, not the float corpus."""
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_pq, build_maxsim_tq, maxsim_knn_quant,
+        persist_maxsim_quant,
+    )
+
+    build = build_maxsim_pq if kind == "product" else build_maxsim_tq
+    kw = {"n_subspaces": 4, "sample_tokens": 4000} \
+        if kind == "product" else {"bits": 4}
+    idx = build(mv_points, mv_col="mv", id_col="vec_id", **kw)
+    n = mv_points.count()
+    mem = [(r["vec_id"], round(r["score"], 9)) for r in maxsim_knn_quant(
+        idx, q_mv, k=10, oversampling=n / 10.0, metric="dot").collect()]
+    pidx = persist_maxsim_quant(idx, str(tmp_path / f"codes_{kind}"))
+    got = [(r["vec_id"], round(r["score"], 9)) for r in maxsim_knn_quant(
+        pidx, q_mv, k=10, oversampling=n / 10.0, metric="dot").collect()]
+    assert got == mem
+    # the persisted coarse scan is a parquet FileScan of the narrow code
+    # column(s) — the float token column never appears in its ReadSchema
+    coarse = maxsim_knn_quant(pidx, q_mv, k=10, oversampling=1.0,
+                              metric="dot", rescore=False)
+    plan = coarse._jdf.queryExecution().executedPlan().toString()
+    code_col = "__mpq" if kind == "product" else "__mtq"
+    scans = [s for s in plan.split("FileScan")[1:] if code_col in s[:400]]
+    assert scans
+    for s in scans:
+        assert "mv:" not in s.split("ReadSchema", 1)[1][:300]
