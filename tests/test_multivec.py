@@ -1041,12 +1041,14 @@ def test_maxsim_bq_asym_query_encoding(mv_points, embeddings, enc):
 
 def test_maxsim_quant_ivf_composed_operator(mv_points, q_mv):
     """Composed pruned+quantized MaxSim (r12): full probe + ample
-    oversampling reproduces the exact scan for the scalar AND binary
-    token kinds; a partial probe with a candidate cap still returns k
-    rows from candidates only."""
+    oversampling reproduces the exact scan for ALL FOUR token kinds;
+    a partial probe with a candidate cap still returns k rows from
+    candidates only."""
+    from functools import partial
+
     from qdrant_spark.operators.multivec import (
-        build_maxsim_bq, build_maxsim_ivf, build_maxsim_sq,
-        maxsim_knn_quant_ivf,
+        build_maxsim_bq, build_maxsim_ivf, build_maxsim_pq,
+        build_maxsim_sq, build_maxsim_tq, maxsim_knn_quant_ivf,
     )
 
     route = build_maxsim_ivf(mv_points, n_clusters=8, mv_col="mv",
@@ -1055,13 +1057,18 @@ def test_maxsim_quant_ivf_composed_operator(mv_points, q_mv):
              for r in maxsim_knn(mv_points, q_mv, k=10, metric="dot",
                                  mv_col="mv", id_col="vec_id").collect()]
     n = mv_points.count()
-    for build, over in ((build_maxsim_sq, 8.0), (build_maxsim_bq, n / 10.0)):
+    for build, over in (
+            (build_maxsim_sq, 8.0),
+            (build_maxsim_bq, n / 10.0),
+            (partial(build_maxsim_pq, n_subspaces=4,
+                     sample_tokens=4000), n / 10.0),
+            (partial(build_maxsim_tq, bits=4), n / 10.0)):
         qidx = build(mv_points, mv_col="mv", id_col="vec_id")
         got = [(r["vec_id"], round(r["score"], 9))
                for r in maxsim_knn_quant_ivf(
                    route, qidx, q_mv, k=10, nprobe=8, metric="dot",
                    oversampling=over).collect()]
-        assert got == exact, build.__name__
+        assert got == exact, str(build)
     # partial probe + cap: bounded candidate set, k rows out
     qidx = build_maxsim_sq(mv_points, mv_col="mv", id_col="vec_id")
     capped = maxsim_knn_quant_ivf(route, qidx, q_mv, k=10, nprobe=2,
