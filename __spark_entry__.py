@@ -4327,67 +4327,64 @@ def entry(spark: SparkSession) -> DataFrame:
 # drops to the back). Keep rotating each round so no entry's driver row
 # goes more than ~2 rounds stale.
 _GATE_PRIORITY = [
-    # round-12 head: the 4 entries new this round (first-ever driver
-    # value check), then the 44-entry r09 cohort (latest driver row r09
-    # — r11 VERDICT item 5) oldest-first, filling the 50-slot gate.
-    # After r12 no entry's latest driver row should be older than r10.
-    # 6 of the 8 new entries lead; maxsim_batch_kinds and
-    # maxsim_sq_filtered head the r13 rotation instead — 6 + the full
-    # 44-entry r09 cohort fills the 50-slot gate exactly, so nothing
-    # stays r09-stale after r12 (the deferred pair's routes are
-    # driver-checked via maxsim_pq/maxsim_tq/maxsim_sq this round and
-    # locally oracle-verified)
-    "maxsim_pq",
-    "maxsim_tq",
-    "maxsim_bq_asym",
-    "maxsim_sq_ivf_planned",
-    "filter_match_except",
-    "field_index_uuid",
-    # --- r09 cohort (44) ---
-    "bm25_search",
-    "distance_matrix_offsets",
-    "field_index_stats",
-    "filter_text_stemmed",
-    "filter_text_stemmed_de",
-    "knn_batch",
-    "knn_batch_matmul",
-    "knn_batch_partial",
-    "knn_cosine",
-    "knn_dot",
-    "knn_euclid",
-    "knn_filtered",
-    "knn_manhattan",
-    "knn_uint8",
-    "lm_buckets",
-    "lm_score",
-    "mixture_sample",
-    "quantized_pq_rescore",
-    "quantized_tq_rescore",
-    "query_batch",
-    "recommend_avg_vector",
-    "recommend_sum_scores",
-    "relevance_feedback",
-    "repetition_signals",
-    "retrieve",
-    "scroll_keyset",
-    "scroll_order_by",
-    "scroll_random",
-    "set_payload",
-    "shard_fallback_route",
-    "shard_routed_knn",
-    "similarity_join",
-    "sparse_idf_corpus",
-    "sparse_idf_knn",
-    "sparse_knn",
-    "sparse_knn_batch",
-    "sync",
-    "unique_values",
-    "universal_hybrid",
-    "universal_hybrid_sparse",
-    "universal_rescore",
-    "update_vectors",
-    "upsert",
-    "upsert_conditional",
+    # round-13 head: the 3 entries that landed after the r12 rotation
+    # was pinned (never driver-gated; locally oracle-verified in r12 and
+    # again in r13), then 47 of the 50-entry r10-stale cohort. The 3
+    # deferred r10 entries — dedup_minhash_sig, universal_groups_indexed,
+    # quantized_bq2_rescore — each have a green sibling on the same route
+    # (dedup_lsh_pairs, universal_groups, quantized_bq_rescore), are
+    # locally re-verified this round, and head the r14 rotation.
+    "maxsim_batch_kinds",
+    "maxsim_sq_filtered",
+    "facet_int_filtered",
+    # --- r10-stale cohort (47 of 50) ---
+    "ann_ivf",
+    "ann_ivf_pq_incremental",
+    "chunk_docs",
+    "client_query_points",
+    "corpus_stats",
+    "decontaminate",
+    "dedup_exact",
+    "dedup_lsh_cross",
+    "dedup_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "embedding_project",
+    "filter_has_id",
+    "filter_is_empty",
+    "filter_is_null",
+    "filter_phrase",
+    "filter_slice",
+    "filter_text_stopworded",
+    "filter_values_count",
+    "fingerprint",
+    "geo_bbox_wrap",
+    "geo_polygon",
+    "geo_radius",
+    "gopher_quality",
+    "knn_auto_filtered",
+    "lang_detect",
+    "maxsim_knn_indexed",
+    "maxsim_planned",
+    "mmr",
+    "multimodal_ppm",
+    "multimodal_wav",
+    "ngram_counts",
+    "pack_sequences",
+    "paragraph_dedup",
+    "payload_json_path",
+    "pii_scan",
+    "quantized_batch",
+    "quantized_bq_rescore",
+    "quantized_planned",
+    "sparse_idf_by_id",
+    "sparse_knn_persisted",
+    "stratified_quota",
+    "stratified_sample",
+    "substring_dup_spans",
+    "text_quality",
+    "token_counts",
+    "universal_groups",
+    "weighted_sample",
 ]
 
 

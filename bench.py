@@ -1,7 +1,10 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+"queries": {name: sec, ...}, "sf": ...}. Since r13 the headline value
+sums ONLY default-dispatch lines; threshold-0 forced routes report under
+"forced_diagnostics" (r12 verdict Wrong #2), and the >2x-previous-artifact
+history recheck runs on EVERY line, not just strict ones (Wrong #1).
 
 Headline set mirrors the reference's own bench configs (BASELINE.md):
 batch KNN (batch_search_bench.rs), filtered search (conditional_search.rs),
@@ -133,10 +136,21 @@ def main() -> None:
             if not m:
                 continue
             try:
-                return {k: float(v)
+                prev = {k: float(v)
                         for k, v in json.loads(m.group(1)).items()}
             except Exception:
                 continue
+            # forced lines moved out of the queries dict in r13 — merge
+            # them back so their history recheck keeps working
+            mf = _re.search(r'"forced_diagnostics": (\{[^{}]*\})', tail)
+            if mf:
+                try:
+                    prev.update({k: float(v)
+                                 for k, v in json.loads(mf.group(1)).items()
+                                 if k not in prev})
+                except Exception:
+                    pass
+            return prev
         return {}
 
     prev_queries = _prev_artifact_queries()
@@ -146,6 +160,10 @@ def main() -> None:
     #: lines whose spread exceeded 2.5x without a reproducible fast mode —
     #: their reported time is the plain median; review rep_samples by hand
     noisy_unconfirmed: list[str] = []
+    #: lines measured with forced=True (threshold-0 pinned routes the
+    #: default planner refuses at this scale) — reported under
+    #: forced_diagnostics, excluded from headline_queries_total
+    forced_names: set[str] = set()
     # One retry-after-backoff budget for externally-contended lines: the
     # box occasionally runs something else for a couple of minutes, and a
     # line whose every rep lands inside the burst records garbage no
@@ -153,7 +171,55 @@ def main() -> None:
     # values). Bounded so a permanently-contended box can't stall the run.
     salvage_left = [180.0]
 
-    def measure(name: str, fn, reps: int = 3, strict: bool = False) -> None:
+    def _history_check(name: str, fn, samples: list[float],
+                       value: float) -> float:
+        """>2x-previous-artifact confirmation on EVERY measured line (r12
+        verdict Wrong #1: the r12 recheck lived inside the strict branch
+        only, so knn_single_xxl shipped 2.82x its r11 value from a
+        sustained contention window with history_rechecks empty). Costs
+        nothing when history agrees; when the candidate value exceeds 2x
+        the previous artifact, sleep past the window, take two fresh
+        reps, and publish the recovered value / confirm the regression /
+        flag the line."""
+        prev = prev_queries.get(name)
+        if not prev or value <= 2.0 * prev or salvage_left[0] <= 0:
+            return value
+        t_s = time.time()
+        time.sleep(10.0)
+        wait_idle()
+        fresh = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            fresh.append(time.time() - t0)
+        samples.extend(fresh)
+        salvage_left[0] -= time.time() - t_s
+        best = round(min(fresh), 3)
+        if best <= 1.5 * prev:
+            history_rechecks[name] = (
+                f"recovered: {best:.2f}s after sleep vs prev "
+                f"{prev}s — contention window, re-run used")
+            return best
+        if max(fresh) <= min(fresh) * 1.25:
+            history_rechecks[name] = (
+                f"persisted: {best:.2f}s across a sleep window "
+                f"vs prev {prev}s — reported as real")
+            return min(value, best)
+        history_rechecks[name] = f"ambiguous vs prev {prev}s — flagged"
+        if name not in noisy_unconfirmed:
+            noisy_unconfirmed.append(name)
+        return min(value, best)
+
+    def measure(name: str, fn, reps: int = 3, strict: bool = False,
+                forced: bool = False) -> None:
+        if forced:
+            # threshold-0 / pinned-off-crossover diagnostic: measured and
+            # recorded, but summed under forced_diagnostics instead of the
+            # headline (r12 verdict Wrong #2: the headline grew 19.4 ->
+            # 30.7 -> 46.0s across rounds while default-dispatch plans got
+            # faster, because forced routes the planner correctly refuses
+            # at this scale were summed in).
+            forced_names.add(name)
         wait_idle()
         fn()  # untimed warm rep: plan + codegen + python worker pool
         samples = []
@@ -184,42 +250,13 @@ def main() -> None:
                 fn()
                 samples.append(time.time() - t0)
                 salvage_left[0] -= time.time() - t_s
+            value = _history_check(name, fn, samples,
+                                   round(sorted(samples)[0], 3))
             two = sorted(samples)[:2]
             agreed = two[1] <= two[0] * 1.25
-            prev = prev_queries.get(name)
-            if prev and sorted(samples)[0] > 2.0 * prev \
-                    and salvage_left[0] > 0:
-                # history-aware confirmation (r11 verdict Wrong #2): an
-                # agreeing pair inside a SUSTAINED contention window still
-                # publishes garbage. >2x the previous artifact -> sleep
-                # past the window, re-measure twice; if the re-run lands
-                # near history use it, if the slowdown persists report it
-                # (a real regression must not hide), else flag the line.
-                t_s = time.time()
-                time.sleep(10.0)
-                wait_idle()
-                for _ in range(2):
-                    t0 = time.time()
-                    fn()
-                    samples.append(time.time() - t0)
-                salvage_left[0] -= time.time() - t_s
-                two = sorted(samples)[:2]
-                agreed = two[1] <= two[0] * 1.25
-                if two[0] <= 1.5 * prev:
-                    history_rechecks[name] = (
-                        f"recovered: {two[0]:.2f}s after sleep vs prev "
-                        f"{prev}s — contention window, re-run used")
-                elif agreed:
-                    history_rechecks[name] = (
-                        f"persisted: {two[0]:.2f}s across a sleep window "
-                        f"vs prev {prev}s — reported as real")
-                else:
-                    history_rechecks[name] = (
-                        f"ambiguous vs prev {prev}s — flagged")
-                    noisy_unconfirmed.append(name)
             if not agreed and name not in noisy_unconfirmed:
                 noisy_unconfirmed.append(name)
-            times[name] = round(sorted(samples)[0], 3)
+            times[name] = value
             rep_samples[name] = [round(s, 3) for s in samples]
             mark(f"  {name}: {times[name]}s (n={len(samples)},min,strict,"
                  f"{'agreed' if agreed else 'CONTENDED'} "
@@ -249,9 +286,11 @@ def main() -> None:
                 fn()
                 samples.append(time.time() - t0)
                 salvage_left[0] -= time.time() - t_s
+            value = _history_check(name, fn, samples,
+                                   round(sorted(samples)[0], 3))
             two = sorted(samples)[:2]
             agreed = two[1] <= two[0] * 1.25
-            times[name] = round(two[0], 3)
+            times[name] = value
             rep_samples[name] = [round(s, 3) for s in samples]
             mark(f"  {name}: {times[name]}s (n={len(samples)},min,"
                  f"{'agreed' if agreed else 'CONTENDED'} "
@@ -288,7 +327,9 @@ def main() -> None:
                 ordered = ordered[:3]
             else:
                 noisy_unconfirmed.append(name)
-        times[name] = round(ordered[len(ordered) // 2], 3)
+        times[name] = _history_check(
+            name, fn, samples, round(ordered[len(ordered) // 2], 3))
+        rep_samples[name] = [round(s, 3) for s in samples]
         mark(f"  {name}: {times[name]}s (n={len(samples)}"
              f"{',NOISY-trimmed' if noisy and len(ordered) == 3 else ''}"
              f"{',NOISY-UNCONFIRMED' if name in noisy_unconfirmed else ''})")
@@ -790,7 +831,7 @@ def main() -> None:
         assert quant_planner.last_plan_info.get("quant_leaves")
         return out
 
-    measure("sq_planned_xxl_disk", q_sq_planned_xxl_disk)
+    measure("sq_planned_xxl_disk", q_sq_planned_xxl_disk, forced=True)
 
     # r11: the COMPOSED plan — probe clusters AND scan int8 codes
     # (planner rule quant_ivf_leaves; the reference's quantized-HNSW
@@ -824,7 +865,8 @@ def main() -> None:
         assert qivf_planner.last_plan_info.get("quant_ivf_leaves")
         return out
 
-    measure("sq_ivf_planned_xxl_disk", q_sq_ivf_planned_xxl_disk)
+    measure("sq_ivf_planned_xxl_disk", q_sq_ivf_planned_xxl_disk,
+            forced=True)
 
     # r11: 64 requests on the composed column fuse into ONE
     # cluster-masked coarse scan (each query scored only inside ITS
@@ -843,7 +885,7 @@ def main() -> None:
                    quant_ivf_indexes={"embedding": qivf_xxl}).count()
 
     measure("sq_ivf_batch64_xxl_disk", q_sq_ivf_batch64_xxl_disk,
-            strict=True)
+            strict=True, forced=True)
 
     # r12: the SAME 64 requests under DEFAULT dispatch — 512k sits below
     # the exact-vs-quantized crossover (r11 verdict Wrong #1: the forced
@@ -906,7 +948,7 @@ def main() -> None:
                               metric="dot", candidates=4096).collect()
 
     measure("maxsim_xxl_disk", q_maxsim_xxl_disk)
-    measure("maxsim_ivf_xxl_disk", q_maxsim_ivf_xxl_disk)
+    measure("maxsim_ivf_xxl_disk", q_maxsim_ivf_xxl_disk, forced=True)
 
     # r11: the ROUTED plan — a registered MaxSimRoute now carries the
     # exact-vs-pruned crossover (multivec.MAXSIM_FULL_SCAN_THRESHOLD,
@@ -975,8 +1017,9 @@ def main() -> None:
         return _qb2(mv_xxl, reqs, id_col="vec_id", vec_col="mv",
                     metric="dot", maxsim_sq_indexes={"mv": idx}).count()
 
-    measure("maxsim_sq_xxl_disk", q_maxsim_sq_xxl_disk)
-    measure("maxsim_sq_batch16_xxl_disk", q_maxsim_sq_batch16_xxl_disk)
+    measure("maxsim_sq_xxl_disk", q_maxsim_sq_xxl_disk, forced=True)
+    measure("maxsim_sq_batch16_xxl_disk", q_maxsim_sq_batch16_xxl_disk,
+            forced=True)
 
     def q_maxsim_sq_ivf_batch16_xxl_disk():
         # r12 FORCED diagnostic: the COMPOSED multivector batch — 16
@@ -1013,7 +1056,7 @@ def main() -> None:
                     maxsim_indexes={"mv": route_forced}).count()
 
     measure("maxsim_sq_ivf_batch16_xxl_disk",
-            q_maxsim_sq_ivf_batch16_xxl_disk, strict=True)
+            q_maxsim_sq_ivf_batch16_xxl_disk, strict=True, forced=True)
 
     # the remaining RAM-resident cache is only used by group-3 timed lines
     pq_ram_xxl.unpersist()
@@ -1168,6 +1211,13 @@ def main() -> None:
     dedup_sig.unpersist()
     emb.unpersist()
 
+    # r12 verdict Wrong #2: the headline sums ONLY default-dispatch lines
+    # — what a user's query actually costs at this scale. Forced
+    # threshold-0 diagnostics (the quantized/pruned routes measured past
+    # their crossover on purpose) stay measured and recheck-protected but
+    # live under forced_diagnostics, next to their exact-scan contrast.
+    forced_times = {k: times.pop(k) for k in sorted(forced_names)
+                    if k in times}
     total = round(sum(times.values()), 3)
 
     # ------------------------------------------------------------------
@@ -1609,6 +1659,15 @@ def main() -> None:
         },
         "noisy_unconfirmed": noisy_unconfirmed,
         "history_rechecks": history_rechecks,
+        "forced_note": (
+            "forced_diagnostics = threshold-0 pinned routes the default "
+            "planner refuses at this corpus size (their default-dispatch "
+            "contrasts sit in queries: knn_single_xxl_disk, "
+            "maxsim_xxl_disk, maxsim_planned_xxl_disk, "
+            "sq_ivf_batch64_xxl_default_disk, knn_batch64_xxl_disk); "
+            "measured+recheck-protected, excluded from the headline sum"),
+        "forced_diagnostics": forced_times,
+        "forced_total": round(sum(forced_times.values()), 3),
         "sf": sf,
         "n_embeddings": n_emb,
         "n_embeddings_xl": n_xl,
