@@ -134,6 +134,18 @@ class MaxSimIvf:
 #: MaxSimRoute.full_scan_threshold (0 = always prune, the pre-r11
 #: behavior). The same crossover idea as dispatch.FULL_SCAN_THRESHOLD for
 #: dense leaves, calibrated for MaxSim's heavier candidate stage.
+#:
+#: The pruned side is measured too, on data where pruning CAN pay: the
+#: bench appendix's maxsim_clustered_pruning corpus (512k docs whose 8
+#: tokens each come from one of 64 topic blobs — the topically-coherent
+#: shape of real ColBERT corpora, and the structured-data recall setup of
+#: the reference's multivector_hnsw_test.rs). There nprobe=4 membership
+#: admits ~5-11% of docs and both the token-IVF route and the composed
+#: quantized route beat the exact BLAS scan at recall@10 = 1.0 (200k/8cpu
+#: prototype: 0.73s / 1.10s vs exact 3.15s; see
+#: bench.py maxsim_{exact,ivf,sq_ivf}_clustered_xxl_disk for the 512k
+#: figures). The headline mv corpus (near-uniform token slices, ~99.6%
+#: membership) is the adversarial bound, not the typical case.
 MAXSIM_FULL_SCAN_THRESHOLD = 2_000_000
 
 
