@@ -1227,12 +1227,14 @@ QUANT_FULL_SCAN_THRESHOLD = 2_000_000
 #: The BATCHED quant routes' crossover sits HIGHER: the fused exact
 #: matmul amortizes its one scan over every request, while the fused
 #: coarse+rescore pays per-request candidate cuts and a pair rescore —
-#: measured r12 at both ends of the buildable range, the quant batch is
-#: ~flat (4.06s @ 512k -> 4.23s @ 2M) while the exact fused matmul grows
-#: slowly page-cached (0.81s -> 1.20s); extrapolating the exact line's
-#: slope puts the wall-clock crossover well past the largest corpus this
-#: box can build, i.e. strictly in the IO-bound regime. 8M = the exact
-#: line's extrapolated ~4s point. A handle-declared full_scan_threshold
+#: measured r12 at both ends of the buildable range and BRACKETED r13
+#: with a 4M one-off: the quant batch is ~flat (4.06s @ 512k -> 4.23s @
+#: 2M -> 3.93s @ 4M) while the exact fused matmul grows linearly
+#: page-cached (0.81s -> 1.20s -> 2.39s); the exact line's slope crosses
+#: the flat quant cost at ~6.7M rows on this box, so 8M sits just past
+#: the measured crossing — conservative in the exact direction, no
+#: longer a pure extrapolation (exact still won at every buildable
+#: datapoint, 4M included). A handle-declared full_scan_threshold
 #: overrides BOTH defaults (0 pins the quantized route everywhere).
 QUANT_BATCH_FULL_SCAN_THRESHOLD = 8_000_000
 
