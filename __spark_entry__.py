@@ -47,6 +47,21 @@ def _events(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(f"{sf}/events.parquet")
 
 
+#: memoized 500-row embedding slice shared by the client-e2e entries —
+#: ~10 entries each collected the same deterministic slice per gate run
+#: (r12 verdict #7: the 50-entry gate's wall-clock is dominated by
+#: repeated small Spark actions). Rows are plain driver-side data, so the
+#: cache is session-independent; keyed by sf_dir.
+_EMB500_CACHE: dict = {}
+
+
+def _emb_rows500(spark: SparkSession, sf: str):
+    if sf not in _EMB500_CACHE:
+        _EMB500_CACHE[sf] = (_emb(spark, sf).orderBy("vec_id")
+                             .limit(500).collect())
+    return _EMB500_CACHE[sf]
+
+
 def _vecs(spark: SparkSession, sf: str, ids: list[int]) -> dict[int, list[float]]:
     rows = _emb(spark, sf).filter(F.col("vec_id").isin(ids)).collect()
     return {r["vec_id"]: list(r["embedding"]) for r in rows}
@@ -2402,7 +2417,7 @@ def _q_client_e2e(spark: SparkSession, sf: str) -> DataFrame:
     (exclude_referenced_ids, collection_query.rs:523,705)."""
     from qdrant_spark.client import QdrantSparkClient
 
-    rows = _emb(spark, sf).orderBy("vec_id").limit(500).collect()
+    rows = _emb_rows500(spark, sf)
     dim = len(rows[0]["embedding"])
     c = QdrantSparkClient(spark)
     c.create_collection("entry_corpus",
@@ -2442,7 +2457,7 @@ def _q_quantized_planned(spark: SparkSession, sf: str) -> DataFrame:
     exact cosine scan and the oracle asserts equality."""
     from qdrant_spark.client import QdrantSparkClient
 
-    rows = _emb(spark, sf).orderBy("vec_id").limit(500).collect()
+    rows = _emb_rows500(spark, sf)
     dim = len(rows[0]["embedding"])
     c = QdrantSparkClient(spark)
     # full_scan_threshold 0 pins the quantized route: 500 rows sit far
@@ -2495,7 +2510,7 @@ def _q_quantized_ivf_planned(spark: SparkSession, sf: str) -> DataFrame:
     a partial-probe plan test lives in tests/test_quant_ivf.py."""
     from qdrant_spark.client import QdrantSparkClient
 
-    rows = _emb(spark, sf).orderBy("vec_id").limit(500).collect()
+    rows = _emb_rows500(spark, sf)
     dim = len(rows[0]["embedding"])
     c = QdrantSparkClient(spark)
     c.create_collection(
@@ -2927,7 +2942,7 @@ def _q_quantized_batch(spark: SparkSession, sf: str) -> DataFrame:
     cosine top-k over the 500-row slice."""
     from qdrant_spark.client import QdrantSparkClient
 
-    rows = _emb(spark, sf).orderBy("vec_id").limit(500).collect()
+    rows = _emb_rows500(spark, sf)
     dim = len(rows[0]["embedding"])
     c = QdrantSparkClient(spark)
     c.create_collection(
@@ -2966,7 +2981,7 @@ def _q_quantized_batch_kinds(spark: SparkSession, sf: str) -> DataFrame:
     recomputes per query."""
     from qdrant_spark.client import QdrantSparkClient
 
-    rows = _emb(spark, sf).orderBy("vec_id").limit(500).collect()
+    rows = _emb_rows500(spark, sf)
     dim = len(rows[0]["embedding"])
     kinds = [("s", {"scalar": {"type": "int8",
                                "full_scan_threshold": 0}}, 8.0),
@@ -3056,7 +3071,7 @@ def _q_maxsim_sq_batch(spark: SparkSession, sf: str) -> DataFrame:
     slice — the oracle recomputes that per query in SQL."""
     from qdrant_spark.client import QdrantSparkClient
 
-    rows = _emb(spark, sf).orderBy("vec_id").limit(500).collect()
+    rows = _emb_rows500(spark, sf)
     dim = len(rows[0]["embedding"])
     td = dim // 8
     c = QdrantSparkClient(spark)
@@ -3118,7 +3133,7 @@ def _q_maxsim_batch_kinds(spark: SparkSession, sf: str) -> DataFrame:
     equal the exact MaxSim top-10 the oracle recomputes per query."""
     from qdrant_spark.client import QdrantSparkClient
 
-    rows = _emb(spark, sf).orderBy("vec_id").limit(500).collect()
+    rows = _emb_rows500(spark, sf)
     dim = len(rows[0]["embedding"])
     td = dim // 8
     kinds = [("p", {"product": {"compression": "x8",
@@ -3359,7 +3374,7 @@ def _q_maxsim_sq_planned(spark: SparkSession, sf: str) -> DataFrame:
     the 500-row slice (same oracle as maxsim_planned)."""
     from qdrant_spark.client import QdrantSparkClient
 
-    rows = _emb(spark, sf).orderBy("vec_id").limit(500).collect()
+    rows = _emb_rows500(spark, sf)
     dim = len(rows[0]["embedding"])
     td = dim // 8
     c = QdrantSparkClient(spark)
@@ -3404,7 +3419,7 @@ def _q_maxsim_sq_ivf_planned(spark: SparkSession, sf: str) -> DataFrame:
     answer equal the exact MaxSim scan, which the oracle recomputes."""
     from qdrant_spark.client import QdrantSparkClient
 
-    rows = _emb(spark, sf).orderBy("vec_id").limit(500).collect()
+    rows = _emb_rows500(spark, sf)
     dim = len(rows[0]["embedding"])
     td = dim // 8
     c = QdrantSparkClient(spark)
@@ -3494,7 +3509,7 @@ def _q_maxsim_planned(spark: SparkSession, sf: str) -> DataFrame:
     500-row slice)."""
     from qdrant_spark.client import QdrantSparkClient
 
-    rows = _emb(spark, sf).orderBy("vec_id").limit(500).collect()
+    rows = _emb_rows500(spark, sf)
     dim = len(rows[0]["embedding"])
     td = dim // 8
     c = QdrantSparkClient(spark)
