@@ -2933,6 +2933,42 @@ def _q_maxsim_knn_indexed(spark: SparkSession, sf: str) -> DataFrame:
     return _r6(out.select("vec_id", "score"), "score")
 
 
+def _q_maxsim_invlist(spark: SparkSession, sf: str) -> DataFrame:
+    """Pruned MaxSim over the INVLIST layout (r13,
+    persist_maxsim_ivf_points): the full multivector rows stored once
+    per distinct (doc, token cluster) and partitioned by cluster, so the
+    probe prunes the float-token SCAN at the file level — the
+    ColBERTv2/PLAID posting layout the reference's multivector HNSW
+    serves from memory (multivector_hnsw_test.rs). A doc probed through
+    several clusters scores identically on each stored copy and dedups
+    on the narrow (id, score) frame. Full probe makes every doc a
+    candidate, so the result equals the exact scan and shares its
+    oracle; the dedup contract is what's under test (duplicated storage
+    must not duplicate results)."""
+    import tempfile
+
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_ivf, maxsim_knn_ivf, persist_maxsim_ivf,
+        persist_maxsim_ivf_points,
+    )
+
+    emb = _emb(spark, sf)
+    q = _vecs(spark, sf, [0])[0]
+    q_mv = [q[i * 8:(i + 1) * 8] for i in range(8)]
+    d_mv = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.slice(F.col("embedding").cast("array<double>"), i * 8 + 1, 8),
+    )
+    pts = emb.select("vec_id", d_mv.alias("mv"))
+    root = tempfile.mkdtemp(prefix="entry_msinv_")
+    idx = persist_maxsim_ivf(
+        build_maxsim_ivf(pts, n_clusters=8, mv_col="mv", id_col="vec_id"),
+        f"{root}/tokens")
+    inv = persist_maxsim_ivf_points(idx, f"{root}/points")
+    out = maxsim_knn_ivf(inv, q_mv, k=10, nprobe=8, metric="dot")
+    return _r6(out.select("vec_id", "score"), "score")
+
+
 def _q_quantized_batch(spark: SparkSession, sf: str) -> DataFrame:
     """Batched quantized search through the client (r10): >=2 unfiltered
     dense requests on the scalar-quantized default vector are answered
@@ -4352,7 +4388,9 @@ _GATE_PRIORITY = [
     "maxsim_batch_kinds",
     "maxsim_sq_filtered",
     "facet_int_filtered",
-    # --- r10-stale cohort (47 of 50) ---
+    "maxsim_invlist",
+    # --- r10-stale cohort (46 of 50; multimodal_ppm deferred with its
+    # green sibling multimodal_wav gated, locally re-verified) ---
     "ann_ivf",
     "ann_ivf_pq_incremental",
     "chunk_docs",
@@ -4381,7 +4419,6 @@ _GATE_PRIORITY = [
     "maxsim_knn_indexed",
     "maxsim_planned",
     "mmr",
-    "multimodal_ppm",
     "multimodal_wav",
     "ngram_counts",
     "pack_sequences",
@@ -4461,6 +4498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim": _q_maxsim,
         "maxsim_knn": _q_maxsim_knn,
         "maxsim_knn_indexed": _q_maxsim_knn_indexed,
+        "maxsim_invlist": _q_maxsim_invlist,
         "maxsim_planned": _q_maxsim_planned,
         "maxsim_sq": _q_maxsim_sq,
         "maxsim_bq": _q_maxsim_bq,
@@ -4623,6 +4661,7 @@ def oracle_sql() -> dict[str, str]:
         "maxsim": _MAXSIM_SQL,
         "maxsim_knn": _MAXSIM_SQL,
         "maxsim_knn_indexed": _MAXSIM_SQL,
+        "maxsim_invlist": _MAXSIM_SQL,
         "maxsim_sq": _MAXSIM_SQL,
         "maxsim_bq": _MAXSIM_SQL,
         "maxsim_pq": _MAXSIM_SQL,

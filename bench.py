@@ -1534,13 +1534,29 @@ def main() -> None:
         # prototype: exact 3.15s, token-IVF 0.73s, composed SQ x IVF
         # 1.10s, recall 1.0/1.0.
         # --------------------------------------------------------------
+        import glob as _glob
+
         import numpy as np
         import pyarrow as _pa
+        import pyarrow.parquet as _pq
 
         from qdrant_spark.operators.multivec import (
-            _maxsim_ivf_candidates, build_maxsim_sq, maxsim_knn_quant_ivf,
+            _maxsim_ivf_candidates, _probe_clusters, build_maxsim_sq,
+            maxsim_knn_quant_ivf, persist_maxsim_ivf_points,
             persist_maxsim_sq,
         )
+
+        def _col_bytes(pattern: str, cols: set[str]) -> int:
+            total = 0
+            for fpath in _glob.glob(pattern):
+                md = _pq.ParquetFile(fpath).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        if col.path_in_schema.split(".")[0] in cols:
+                            total += col.total_compressed_size
+            return total
 
         _N_TOPIC = 64
         _rs_mv = np.random.RandomState(1303)
@@ -1592,11 +1608,26 @@ def main() -> None:
         _mvc_cand = _maxsim_ivf_candidates(
             msivf_c, q_mv_c, nprobe=4, metric="dot").count()
 
+        # r13: the INVLIST layout (persist_maxsim_ivf_points) — the full
+        # multivector rows stored once per distinct (doc, token cluster),
+        # partitioned by cluster, so the probe prunes the float SCAN at
+        # the file level. The flat semi-join route decodes every row's
+        # tokens (Arrow decode dominates; measured no win at 2M even
+        # after the candidate broadcast fix), the invlist route reads
+        # nprobe-ish/64 of the files: 512k settled 0.70s vs exact 0.96s,
+        # 2M one-off 1.11s vs exact 2.75s, recall 1.0 both.
+        mvinv_c = persist_maxsim_ivf_points(
+            msivf_c, f"{work}/mv_clustered_inv")
+
         run_app("maxsim_exact_clustered_xxl_disk", lambda: maxsim_knn(
             mvc, q_mv_c, k=10, metric="dot", mv_col="mv",
             id_col="vec_id").collect())
         run_app("maxsim_ivf_clustered_xxl_disk", lambda: maxsim_knn_ivf(
             msivf_c, q_mv_c, k=10, nprobe=4, metric="dot").collect())
+        run_app("maxsim_ivf_invlist_clustered_xxl_disk",
+                lambda: maxsim_knn_ivf(
+                    mvinv_c, q_mv_c, k=10, nprobe=4,
+                    metric="dot").collect())
         run_app("maxsim_sq_ivf_clustered_xxl_disk",
                 lambda: maxsim_knn_quant_ivf(
                     msivf_c, msq_c, q_mv_c, k=10, nprobe=4, metric="dot",
@@ -1606,16 +1637,34 @@ def main() -> None:
             id_col="vec_id").collect()}
         _mvc_iv = {r["vec_id"] for r in maxsim_knn_ivf(
             msivf_c, q_mv_c, k=10, nprobe=4, metric="dot").collect()}
+        _mvc_inv = {r["vec_id"] for r in maxsim_knn_ivf(
+            mvinv_c, q_mv_c, k=10, nprobe=4, metric="dot").collect()}
         _mvc_cq = {r["vec_id"] for r in maxsim_knn_quant_ivf(
             msivf_c, msq_c, q_mv_c, k=10, nprobe=4, metric="dot",
             oversampling=PQ_OS).collect()}
+        # cache-independent IO contrast (parquet footers): the float
+        # tokens the invlist scan DECODES (probed cluster dirs only) vs
+        # the whole corpus's float tokens (what the exact scan and the
+        # flat semi-join both decode)
+        _mvc_probes = _probe_clusters(msivf_c, q_mv_c, nprobe=4,
+                                      metric="dot")
+        _inv_probed_bytes = sum(
+            _col_bytes(f"{work}/mv_clustered_inv/__cluster={c}/*.parquet",
+                       {"mv"}) for c in _mvc_probes)
+        _flat_bytes = _col_bytes(f"{work}/mv_clustered/*.parquet", {"mv"})
         appendix_mv_clustered = {
             "n_docs": n_xxl,
             "n_topics": _N_TOPIC,
             "nprobe": 4,
             "candidate_fraction": round(_mvc_cand / n_xxl, 4),
             "recall_ivf": len(_mvc_ex & _mvc_iv) / 10,
+            "recall_ivf_invlist": len(_mvc_ex & _mvc_inv) / 10,
             "recall_sq_ivf": len(_mvc_ex & _mvc_cq) / 10,
+            "invlist_probed_mv_bytes": _inv_probed_bytes,
+            "exact_scan_mv_bytes": _flat_bytes,
+            "invlist_bytes_ratio": (round(_flat_bytes / _inv_probed_bytes, 1)
+                                    if _flat_bytes and _inv_probed_bytes
+                                    else None),
             "note": "topically-coherent multivector corpus — the regime "
                     "MAXSIM_FULL_SCAN_THRESHOLD's pruned side is for; "
                     "contrast the forced maxsim_ivf_xxl_disk diagnostic "
@@ -1631,22 +1680,6 @@ def main() -> None:
         # column, the exact scan the 1.5 KB/row float column. (The UI's
         # "size of files read" counts whole files, so column pruning is
         # invisible to it — footer metadata is the accurate source.)
-        import glob as _glob
-
-        import pyarrow.parquet as _pq
-
-        def _col_bytes(pattern: str, cols: set[str]) -> int:
-            total = 0
-            for fpath in _glob.glob(pattern):
-                md = _pq.ParquetFile(fpath).metadata
-                for rg in range(md.num_row_groups):
-                    g = md.row_group(rg)
-                    for ci in range(g.num_columns):
-                        col = g.column(ci)
-                        if col.path_in_schema.split(".")[0] in cols:
-                            total += col.total_compressed_size
-            return total
-
         exact_col_bytes = _col_bytes(f"{work}/xxxl/*.parquet",
                                      {"vec_id", "embedding"})
         # 64 queries x 4 probes cover all 32 cluster dirs, so the coarse

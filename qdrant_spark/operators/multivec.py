@@ -35,10 +35,13 @@ def maxsim_knn(
     metric: str = "dot",
     mv_col: str = "mv",
     id_col: str = "id",
+    dedup_ids: bool = False,
 ) -> DataFrame:
     """Top-k by MaxSim of an ``array<array<float>>`` column against a query
     multivector. ``metric``: dot or cosine (both larger-is-better, as the
-    reference restricts multivectors to sim metrics)."""
+    reference restricts multivectors to sim metrics). ``dedup_ids`` keeps
+    one row per id after scoring (for the invlist layout, where a doc is
+    stored once per token cluster)."""
     if metric not in ("dot", "cosine"):
         raise ValueError("maxsim supports dot/cosine")
     Qm = np.asarray([list(t) for t in query_multivector], dtype=np.float64)
@@ -95,6 +98,11 @@ def maxsim_knn(
             )
 
     scored = sel.mapInArrow(score_batches, out_schema)
+    if dedup_ids:
+        # invlist layout stores one row per (doc, token-cluster): a doc
+        # probed through several clusters scores identically on each
+        # copy — dedup the NARROW (id, score) frame, never the floats
+        scored = scored.dropDuplicates([id_col])
     # single global top-k: TakeOrderedAndProject, no shuffle of scored rows
     return scored.orderBy(*score_order(metric, id_col=id_col)).limit(k)
 
@@ -120,6 +128,14 @@ class MaxSimIvf:
     points: DataFrame
     mv_col: str
     id_col: str
+    #: optional invlist layout from :func:`persist_maxsim_ivf_points`:
+    #: the FULL multivector rows stored once per distinct (doc, token
+    #: cluster), parquet-partitioned by ``__cluster`` — probing then
+    #: prunes the float-token SCAN at the file level instead of only the
+    #: BLAS work (a candidate semi-join against a flat table still
+    #: decodes every row's tokens; decode dominated the pruned route at
+    #: 2M docs). The PLAID/ColBERTv2 posting layout.
+    clustered_points: DataFrame | None = None
 
 
 #: Exact-vs-pruned crossover for a ROUTED MaxSim leaf, in DOCS. The bench
@@ -140,12 +156,17 @@ class MaxSimIvf:
 #: tokens each come from one of 64 topic blobs — the topically-coherent
 #: shape of real ColBERT corpora, and the structured-data recall setup of
 #: the reference's multivector_hnsw_test.rs). There nprobe=4 membership
-#: admits ~5-11% of docs and both the token-IVF route and the composed
-#: quantized route beat the exact BLAS scan at recall@10 = 1.0 (200k/8cpu
-#: prototype: 0.73s / 1.10s vs exact 3.15s; see
-#: bench.py maxsim_{exact,ivf,sq_ivf}_clustered_xxl_disk for the 512k
-#: figures). The headline mv corpus (near-uniform token slices, ~99.6%
-#: membership) is the adversarial bound, not the typical case.
+#: admits ~5-14% of docs, and with the INVLIST layout
+#: (:func:`persist_maxsim_ivf_points` — probing prunes the float SCAN at
+#: the file level, not just the BLAS) the route beats the exact scan at
+#: recall@10 = 1.0: 512k docs 0.70s vs exact 0.96s, 2M docs 1.11s vs
+#: 2.75s (r13, settled 32-cpu box; bench.py
+#: maxsim_{exact,ivf,ivf_invlist,sq_ivf}_clustered_xxl_disk). Without
+#: the layout, membership pruning saves BLAS but still DECODES every
+#: row's tokens through the semi-join, and the page-cached exact scan
+#: wins at every buildable size. The headline mv corpus (near-uniform
+#: token slices, ~99.6% membership) is the adversarial bound, not the
+#: typical case.
 MAXSIM_FULL_SCAN_THRESHOLD = 2_000_000
 
 
@@ -221,6 +242,28 @@ def persist_maxsim_ivf(index: MaxSimIvf, path: str) -> MaxSimIvf:
         mv_col=index.mv_col, id_col=index.id_col)
 
 
+def persist_maxsim_ivf_points(index: MaxSimIvf, path: str) -> MaxSimIvf:
+    """Materialize the INVLIST layout: the full multivector rows joined
+    to their distinct (id, __cluster) token memberships and
+    parquet-partitioned by ``__cluster`` — each doc stored once per
+    distinct cluster its tokens hit (≤ tokens/doc copies; ~1 on
+    topically-coherent corpora). Probing then reads ONLY the probed
+    clusters' FILES of the float tokens, the layout the reference's
+    ColBERTv2/PLAID lineage stores its token postings in — a candidate
+    semi-join against a flat table decodes every row's tokens, so
+    membership pruning alone saved BLAS but not IO (measured: no win at
+    2M docs until this layout). Candidates stay exact: a doc is scored
+    off any stored copy (identical score) and deduped on the narrow
+    (id, score) frame."""
+    dup = index.tokens.select(index.id_col, "__cluster").distinct()
+    (index.points.join(dup, index.id_col)
+        .write.mode("overwrite").partitionBy("__cluster").parquet(path))
+    spark = index.points.sparkSession
+    from dataclasses import replace
+
+    return replace(index, clustered_points=spark.read.parquet(path))
+
+
 def maxsim_knn_ivf(
     index: MaxSimIvf,
     query_multivector: Sequence[Sequence[float]],
@@ -247,12 +290,76 @@ def maxsim_knn_ivf(
     makes the probe pay when corpora have many tokens per doc spread
     across clusters: membership alone barely prunes, the cap bounds the
     exact stage to candidates/N of the corpus regardless."""
+    if index.clustered_points is not None:
+        # invlist layout: the probe IS the scan — read only the probed
+        # clusters' files of the float tokens (directory pruning), score
+        # every stored copy, dedup the narrow (id, score) frame. Same
+        # candidates as the membership semi-join, bit-for-bit.
+        probes = _probe_clusters(index, query_multivector,
+                                 nprobe=nprobe, metric=metric)
+        src = (index.clustered_points
+               .filter(F.col("__cluster").isin(probes))
+               .drop("__cluster"))
+        if candidates is not None:
+            cand_ids = _maxsim_ivf_candidates(
+                index, query_multivector, nprobe=nprobe, metric=metric,
+                candidates=candidates)
+            src = src.join(F.broadcast(cand_ids), index.id_col,
+                           "left_semi")
+        return maxsim_knn(src, query_multivector, k=k, metric=metric,
+                          mv_col=index.mv_col, id_col=index.id_col,
+                          dedup_ids=True)
     cand_ids = _maxsim_ivf_candidates(index, query_multivector,
                                       nprobe=nprobe, metric=metric,
                                       candidates=candidates)
-    cand = index.points.join(cand_ids, index.id_col, "left_semi")
+    cand = _semi_join_candidates(index.points, cand_ids, index.id_col,
+                                 bounded=candidates is not None)
     return maxsim_knn(cand, query_multivector, k=k, metric=metric,
                       mv_col=index.mv_col, id_col=index.id_col)
+
+
+#: Cap (in ids) under which a candidate-id frame broadcasts into its
+#: semi-join against the float-token / code table. Catalyst can't
+#: estimate the DISTINCT over probed token rows, so without the hint it
+#: plans a SortMergeJoin that SHUFFLES the multivector column — measured
+#: 12-36s vs the 3.1s exact scan at 2M docs on the clustered bench
+#: corpus (r13), while the broadcast plan streams the big side map-only.
+#: AQE can't save it: both child shuffles materialize before the join
+#: re-plans. 8M ids ≈ 64 MB broadcast; membership sets bigger than that
+#: mean the probe isn't pruning, which is exactly when the planner's
+#: MAXSIM_FULL_SCAN_THRESHOLD crossover prefers the exact scan anyway.
+MAXSIM_BROADCAST_IDS_MAX = 8_000_000
+
+
+def _semi_join_candidates(big: DataFrame, cand_ids: DataFrame,
+                          id_col: str, *, bounded: bool) -> DataFrame:
+    """Semi-join ``big`` to a candidate-id frame without ever shuffling
+    ``big``: broadcast the ids when their count is known-bounded (a
+    PLAID cap / top-k limit) or measured under
+    :data:`MAXSIM_BROADCAST_IDS_MAX` (one narrow count over the
+    partition-pruned id-only table — sub-second where the avoided
+    shuffle is tens of seconds)."""
+    if bounded or cand_ids.count() <= MAXSIM_BROADCAST_IDS_MAX:
+        cand_ids = F.broadcast(cand_ids)
+    return big.join(cand_ids, id_col, "left_semi")
+
+
+def _probe_clusters(index: MaxSimIvf, query_multivector, *,
+                    nprobe: int, metric: str, return_q: bool = False):
+    """Per-query-token probe: the ``nprobe`` centroid-nearest token
+    clusters per token, unioned (a driver-side argsort over the small
+    centroid matrix). Shared by the semi-join candidate stage and the
+    invlist scan path."""
+    Qm = np.asarray([list(t) for t in query_multivector], dtype=np.float64)
+    if metric == "cosine":
+        n = np.linalg.norm(Qm, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        Qm = Qm / n
+    # (tq, n_clusters) squared distances, top-nprobe per query token
+    d2 = ((Qm[:, None, :] - index.centroids[None, :, :]) ** 2).sum(axis=2)
+    per_tok = np.argsort(d2, axis=1)[:, :nprobe]
+    probes = sorted({int(c) for row in per_tok for c in row})
+    return (Qm, probes) if return_q else probes
 
 
 def _maxsim_ivf_candidates(
@@ -268,15 +375,9 @@ def _maxsim_ivf_candidates(
     token membership (directory-pruned on the persisted layout), and the
     optional PLAID centroid-resolution cap. Returns the candidate-id
     frame."""
-    Qm = np.asarray([list(t) for t in query_multivector], dtype=np.float64)
-    if metric == "cosine":
-        n = np.linalg.norm(Qm, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        Qm = Qm / n
-    # (tq, n_clusters) squared distances, top-nprobe per query token
-    d2 = ((Qm[:, None, :] - index.centroids[None, :, :]) ** 2).sum(axis=2)
-    per_tok = np.argsort(d2, axis=1)[:, :nprobe]
-    probes = sorted({int(c) for row in per_tok for c in row})
+    Qm, probes = _probe_clusters(index, query_multivector,
+                                 nprobe=nprobe, metric=metric,
+                                 return_q=True)
     matched = index.tokens.filter(F.col("__cluster").isin(probes))
     if candidates is None:
         cand_ids = matched.select(index.id_col).distinct()
@@ -347,7 +448,9 @@ def maxsim_knn_quant_ivf(
                                       nprobe=nprobe, metric=metric,
                                       candidates=candidates)
     pruned = replace(
-        qidx, codes=qidx.codes.join(cand_ids, qidx.id_col, "left_semi"))
+        qidx, codes=_semi_join_candidates(qidx.codes, cand_ids,
+                                          qidx.id_col,
+                                          bounded=candidates is not None))
     over = float(qidx.oversampling if oversampling is None
                  else oversampling)
     n_coarse = max(k, int(np.ceil(k * over)))

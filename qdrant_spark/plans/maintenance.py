@@ -346,6 +346,7 @@ def ensure_quant_ivf_index(
 
 _MSMETA = "maxsim_meta.json"
 _MSDATA = "tokens"
+_MSPOINTS = "points"
 
 
 def read_maxsim_meta(path: str) -> dict[str, Any] | None:
@@ -359,16 +360,23 @@ def read_maxsim_meta(path: str) -> dict[str, Any] | None:
 def load_maxsim_index(points: DataFrame, path: str):
     """Re-open a persisted token-cluster index: cluster-partitioned
     (id, __cluster) parquet + centroids from meta; ``points`` is the
-    multivector corpus for the exact stage. No token explode, no KMeans."""
+    multivector corpus for the exact stage. No token explode, no KMeans.
+    A persisted invlist layout (``clustered_points`` in meta) re-opens
+    with it, so the reloaded route keeps the file-level scan pruning."""
     from qdrant_spark.operators.multivec import MaxSimIvf
 
     meta = read_maxsim_meta(path)
     if meta is None:
         raise FileNotFoundError(f"no maxsim meta at {path}")
+    spark = points.sparkSession
+    inv = None
+    if meta.get("clustered_points"):
+        inv = spark.read.parquet(os.path.join(path, _MSPOINTS))
     return MaxSimIvf(
-        tokens=points.sparkSession.read.parquet(os.path.join(path, _MSDATA)),
+        tokens=spark.read.parquet(os.path.join(path, _MSDATA)),
         centroids=np.asarray(meta["centroids"], dtype=np.float64),
-        points=points, mv_col=meta["mv_col"], id_col=meta["id_col"])
+        points=points, mv_col=meta["mv_col"], id_col=meta["id_col"],
+        clustered_points=inv)
 
 
 def ensure_maxsim_index(
@@ -383,15 +391,20 @@ def ensure_maxsim_index(
     indexing_threshold: int = FULL_SCAN_THRESHOLD,
     stale_fraction: float = 0.2,
     total: int | None = None,
+    clustered_points: bool = False,
 ):
     """Idempotent multivector coarse-index maintenance; returns
     ``(MaxSimIvf | None, action)`` with the skip/LOAD/REBUILD contract of
     :func:`ensure_ann_index`. Before this a restarted session re-exploded
     and re-clustered every token on its first ensure (r10 VERDICT #2 /
     ADVICE); now a matching meta loads the cluster-partitioned token
-    parquet + centroids with no corpus pass."""
+    parquet + centroids with no corpus pass. ``clustered_points=True``
+    also builds/loads the INVLIST layout (the full rows stored once per
+    distinct doc token-cluster, partitioned by cluster —
+    :func:`~qdrant_spark.operators.multivec.persist_maxsim_ivf_points`),
+    so probing prunes the float scan at the file level after reload."""
     from qdrant_spark.operators.multivec import (
-        build_maxsim_ivf, persist_maxsim_ivf,
+        build_maxsim_ivf, persist_maxsim_ivf, persist_maxsim_ivf_points,
     )
 
     n = points.count() if total is None else int(total)
@@ -400,11 +413,15 @@ def ensure_maxsim_index(
 
     requested = {"n_clusters": int(n_clusters), "mv_col": mv_col,
                  "id_col": id_col, "seed": int(seed),
-                 "fit_fraction": fit_fraction}
+                 "fit_fraction": fit_fraction,
+                 "clustered_points": bool(clustered_points)}
     meta = read_maxsim_meta(path)
     action = "built"
     if meta is not None:
         stored = {k: meta.get(k) for k in requested}
+        # pre-r13 metas have no invlist flag: absent == not built
+        stored["clustered_points"] = bool(meta.get("clustered_points",
+                                                   False))
         if stored != requested:
             action = "rebuilt"
         elif abs(n - meta["n_rows"]) > stale_fraction * max(meta["n_rows"], 1):
@@ -416,6 +433,8 @@ def ensure_maxsim_index(
                            id_col=id_col, seed=seed,
                            fit_fraction=fit_fraction)
     idx = persist_maxsim_ivf(idx, os.path.join(path, _MSDATA))
+    if clustered_points:
+        idx = persist_maxsim_ivf_points(idx, os.path.join(path, _MSPOINTS))
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _MSMETA), "w") as f:
         json.dump({**requested, "n_rows": n,

@@ -128,6 +128,112 @@ def test_maxsim_ivf_scans_only_probed_clusters(mv_points, q_mv):
     assert n_cand < mv_points.count()
 
 
+def test_maxsim_ivf_candidate_join_broadcasts(mv_points, q_mv):
+    """The candidate-id semi-join must BROADCAST the ids, never shuffle
+    the float-token side: Catalyst can't estimate the DISTINCT over
+    probed token rows and plans a SortMergeJoin that shuffles the wide
+    multivector column (r13: measured 12-36s vs the 3.1s exact scan at
+    2M docs on the clustered bench corpus; AQE can't recover — both
+    child shuffles materialize before the join re-plans). Checked on
+    BOTH the membership path (candidates counted, then broadcast under
+    MAXSIM_BROADCAST_IDS_MAX) and the PLAID-capped path (bounded by the
+    cap, broadcast outright)."""
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_ivf, maxsim_knn_ivf,
+    )
+
+    idx = build_maxsim_ivf(mv_points, n_clusters=8, mv_col="mv",
+                           id_col="vec_id")
+    for cap in (None, 50):
+        out = maxsim_knn_ivf(idx, q_mv, k=10, nprobe=2, metric="dot",
+                             candidates=cap)
+        plan = out._jdf.queryExecution().sparkPlan().toString()
+        semi = plan.index("LeftSemi")
+        assert "Broadcast" in plan[:semi + 200], \
+            f"candidates={cap}: semi-join not broadcast:\n{plan[:800]}"
+        assert "SortMergeJoin" not in plan
+
+
+def test_maxsim_quant_ivf_candidate_join_broadcasts(mv_points, q_mv):
+    """Same contract for the composed route's coarse stage: the
+    candidate ids broadcast into the semi-join against the token CODES
+    table instead of shuffling it."""
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_ivf, build_maxsim_sq, maxsim_knn_quant_ivf,
+    )
+
+    route = build_maxsim_ivf(mv_points, n_clusters=8, mv_col="mv",
+                             id_col="vec_id")
+    qidx = build_maxsim_sq(mv_points, mv_col="mv", id_col="vec_id")
+    out = maxsim_knn_quant_ivf(route, qidx, q_mv, k=10, nprobe=2,
+                               metric="dot", oversampling=4.0)
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+
+def test_maxsim_ivf_invlist_layout_matches_semi_join(mv_points, q_mv,
+                                                     tmp_path):
+    """persist_maxsim_ivf_points stores each doc once per distinct token
+    cluster, partitioned by cluster; probing scans ONLY probed
+    partitions and dedups after scoring — results equal the flat
+    semi-join route bit-for-bit, on both the membership and the
+    PLAID-capped paths, and the full probe equals the exact scan."""
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_ivf, maxsim_knn_ivf, persist_maxsim_ivf,
+        persist_maxsim_ivf_points,
+    )
+
+    idx = persist_maxsim_ivf(
+        build_maxsim_ivf(mv_points, n_clusters=8, mv_col="mv",
+                         id_col="vec_id"),
+        str(tmp_path / "tokens"))
+    inv = persist_maxsim_ivf_points(idx, str(tmp_path / "invlist"))
+    # a doc with tokens in >1 cluster is stored once per cluster
+    n_docs = mv_points.count()
+    assert inv.clustered_points.count() >= n_docs
+    for cap in (None, 50):
+        for npb in (2, 8):
+            flat = [(r["vec_id"], round(r["score"], 9))
+                    for r in maxsim_knn_ivf(idx, q_mv, k=10, nprobe=npb,
+                                            metric="dot",
+                                            candidates=cap).collect()]
+            got = [(r["vec_id"], round(r["score"], 9))
+                   for r in maxsim_knn_ivf(inv, q_mv, k=10, nprobe=npb,
+                                           metric="dot",
+                                           candidates=cap).collect()]
+            assert got == flat, (cap, npb)
+    exact = [(r["vec_id"], round(r["score"], 9))
+             for r in maxsim_knn(mv_points, q_mv, k=10, metric="dot",
+                                 mv_col="mv", id_col="vec_id").collect()]
+    got = [(r["vec_id"], round(r["score"], 9))
+           for r in maxsim_knn_ivf(inv, q_mv, k=10, nprobe=8,
+                                   metric="dot").collect()]
+    assert got == exact
+
+
+def test_maxsim_ivf_invlist_prunes_partitions(mv_points, q_mv, tmp_path):
+    """The probe reaches the invlist scan as PartitionFilters — reading
+    nprobe/K of the float-token FILES, which is the whole point of the
+    layout (the flat semi-join decodes every row's tokens)."""
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_ivf, maxsim_knn_ivf, persist_maxsim_ivf,
+        persist_maxsim_ivf_points,
+    )
+
+    idx = persist_maxsim_ivf(
+        build_maxsim_ivf(mv_points, n_clusters=8, mv_col="mv",
+                         id_col="vec_id"),
+        str(tmp_path / "tokens"))
+    inv = persist_maxsim_ivf_points(idx, str(tmp_path / "invlist"))
+    out = maxsim_knn_ivf(inv, q_mv, k=10, nprobe=1, metric="dot")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[[^\]]*__cluster[^\]]*IN",
+                  plan)
+    assert m, f"no __cluster partition filter in:\n{plan[:1200]}"
+    assert "SortMergeJoin" not in plan
+
+
 def test_maxsim_ivf_candidate_cap(mv_points, embeddings, spark):
     """The PLAID stage-2 cap (candidates=N by centroid-resolution
     scores) bounds the exact stage to N docs. Gates: (a) the exact scan
@@ -378,6 +484,33 @@ def test_ensure_maxsim_reload(spark, embeddings, tmp_path):
     grown = mv.unionByName(mv)  # 2x rows > stale_fraction
     _, act = ensure_maxsim_index(
         grown, str(tmp_path / "op"), n_clusters=4, mv_col="mv",
+        id_col="vec_id", indexing_threshold=0)
+    assert act == "rebuilt"
+
+    # invlist lifecycle (r13): requesting the clustered-points layout
+    # rebuilds (flag in meta), reloads WITH the layout, and the reloaded
+    # route answers identically to the flat one
+    from qdrant_spark.operators.multivec import maxsim_knn_ivf
+
+    idx, act = ensure_maxsim_index(
+        mv, str(tmp_path / "op2"), n_clusters=4, mv_col="mv",
+        id_col="vec_id", indexing_threshold=0, clustered_points=True)
+    assert act == "built" and idx.clustered_points is not None
+    q5 = [list(r) for r in
+          [x["mv"][i] for x in mv.limit(1).collect() for i in range(8)]]
+    want5 = [(r["vec_id"], round(r["score"], 9)) for r in maxsim_knn_ivf(
+        idx, q5, k=5, nprobe=2, metric="dot").collect()]
+    idx2, act = ensure_maxsim_index(
+        mv, str(tmp_path / "op2"), n_clusters=4, mv_col="mv",
+        id_col="vec_id", indexing_threshold=0, clustered_points=True)
+    assert act == "loaded" and idx2.clustered_points is not None
+    got5 = [(r["vec_id"], round(r["score"], 9)) for r in maxsim_knn_ivf(
+        idx2, q5, k=5, nprobe=2, metric="dot").collect()]
+    assert got5 == want5
+    # dropping the layout request on an invlist-built index rebuilds
+    # (flag mismatch), symmetric with every other param change
+    _, act = ensure_maxsim_index(
+        mv, str(tmp_path / "op2"), n_clusters=4, mv_col="mv",
         id_col="vec_id", indexing_threshold=0)
     assert act == "rebuilt"
 
