@@ -1630,7 +1630,7 @@ def main() -> None:
                     metric="dot").collect())
         run_app("maxsim_sq_ivf_clustered_xxl_disk",
                 lambda: maxsim_knn_quant_ivf(
-                    msivf_c, msq_c, q_mv_c, k=10, nprobe=4, metric="dot",
+                    mvinv_c, msq_c, q_mv_c, k=10, nprobe=4, metric="dot",
                     oversampling=PQ_OS).collect())
         _mvc_ex = {r["vec_id"] for r in maxsim_knn(
             mvc, q_mv_c, k=10, metric="dot", mv_col="mv",
@@ -1640,7 +1640,7 @@ def main() -> None:
         _mvc_inv = {r["vec_id"] for r in maxsim_knn_ivf(
             mvinv_c, q_mv_c, k=10, nprobe=4, metric="dot").collect()}
         _mvc_cq = {r["vec_id"] for r in maxsim_knn_quant_ivf(
-            msivf_c, msq_c, q_mv_c, k=10, nprobe=4, metric="dot",
+            mvinv_c, msq_c, q_mv_c, k=10, nprobe=4, metric="dot",
             oversampling=PQ_OS).collect()}
         # cache-independent IO contrast (parquet footers): the float
         # tokens the invlist scan DECODES (probed cluster dirs only) vs

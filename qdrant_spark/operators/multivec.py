@@ -460,6 +460,21 @@ def maxsim_knn_quant_ivf(
         return (coarse.filter(F.col("rank") <= k)
                 .orderBy("rank").select(qidx.id_col, "score"))
     top_ids = F.broadcast(coarse.select(qidx.id_col))
+    if route.clustered_points is not None:
+        # invlist rescore (r13): the survivors all sit inside the probed
+        # clusters (top ⊆ candidates ⊆ probes), so the float reads prune
+        # to the probed partitions' FILES instead of decoding the whole
+        # corpus through the semi-join; duplicate storage copies score
+        # identically and dedup on the narrow (id, score) frame.
+        probes = _probe_clusters(route, query_multivector,
+                                 nprobe=nprobe, metric=metric)
+        src = (route.clustered_points
+               .filter(F.col("__cluster").isin(probes))
+               .drop("__cluster"))
+        cand = src.join(top_ids, qidx.id_col, "left_semi")
+        return maxsim_knn(cand, query_multivector, k=k, metric=metric,
+                          mv_col=qidx.mv_col, id_col=qidx.id_col,
+                          dedup_ids=True)
     cand = qidx.points.join(top_ids, qidx.id_col, "left_semi")
     return maxsim_knn(cand, query_multivector, k=k, metric=metric,
                       mv_col=qidx.mv_col, id_col=qidx.id_col)

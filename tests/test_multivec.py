@@ -154,6 +154,34 @@ def test_maxsim_ivf_candidate_join_broadcasts(mv_points, q_mv):
         assert "SortMergeJoin" not in plan
 
 
+def test_maxsim_quant_ivf_invlist_rescore_matches(mv_points, q_mv,
+                                                  tmp_path):
+    """The composed route's exact rescore uses the invlist layout when
+    the route carries it (survivors ⊆ probed clusters), equal to the
+    flat-rescore composed plan bit-for-bit."""
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_ivf, build_maxsim_sq, maxsim_knn_quant_ivf,
+        persist_maxsim_ivf, persist_maxsim_ivf_points,
+    )
+
+    idx = persist_maxsim_ivf(
+        build_maxsim_ivf(mv_points, n_clusters=8, mv_col="mv",
+                         id_col="vec_id"),
+        str(tmp_path / "tokens"))
+    inv = persist_maxsim_ivf_points(idx, str(tmp_path / "invlist"))
+    qidx = build_maxsim_sq(mv_points, mv_col="mv", id_col="vec_id")
+    for npb in (2, 8):
+        flat = [(r["vec_id"], round(r["score"], 9))
+                for r in maxsim_knn_quant_ivf(
+                    idx, qidx, q_mv, k=10, nprobe=npb, metric="dot",
+                    oversampling=8.0).collect()]
+        got = [(r["vec_id"], round(r["score"], 9))
+               for r in maxsim_knn_quant_ivf(
+                   inv, qidx, q_mv, k=10, nprobe=npb, metric="dot",
+                   oversampling=8.0).collect()]
+        assert got == flat, npb
+
+
 def test_maxsim_quant_ivf_candidate_join_broadcasts(mv_points, q_mv):
     """Same contract for the composed route's coarse stage: the
     candidate ids broadcast into the semi-join against the token CODES
