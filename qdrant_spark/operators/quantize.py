@@ -1524,6 +1524,14 @@ class QuantIvfHandle:
     centroids: np.ndarray   # (n_clusters, dim) from the IVF index
     coded: DataFrame        # (id, __cluster, *code_cols)
     nprobe: int = 4
+    #: the IVF's full-precision assignment frame (original columns +
+    #: __cluster — exactly what ann.persist_ivf lays out partitioned by
+    #: cluster). When present, quant_ivf_search's exact rescore reads
+    #: ONLY the probed clusters' FILES of the floats (the coarse
+    #: candidates all sit inside probed clusters) instead of decoding
+    #: the whole flat table through the candidate semi-join — the same
+    #: r13 decode-bound finding as the multivector invlist layout.
+    clustered_full: DataFrame | None = None
 
     @property
     def id_col(self) -> str:
@@ -1544,11 +1552,15 @@ def compose_quant_ivf(handle: QuantHandle, ivf, *,
     cols = [handle.id_col, *handle.code_cols()]
     codes = handle.codes_frame().select(*cols)
     assign = ivf.assigned.select(ivf.id_col, "__cluster")
+    clustered_full = ivf.assigned
     if ivf.id_col != handle.id_col:
         assign = assign.withColumnRenamed(ivf.id_col, handle.id_col)
+        clustered_full = clustered_full.withColumnRenamed(
+            ivf.id_col, handle.id_col)
     coded = codes.join(assign, handle.id_col)
     return QuantIvfHandle(handle=handle, centroids=ivf.centroids,
-                          coded=coded, nprobe=nprobe)
+                          coded=coded, nprobe=nprobe,
+                          clustered_full=clustered_full)
 
 
 def persist_quant_ivf(qih: QuantIvfHandle, path: str) -> QuantIvfHandle:
@@ -1590,15 +1602,24 @@ def quant_ivf_search(
     pruned = qih.coded.filter(F.col("__cluster").isin(probes)) \
         .drop("__cluster")
     idx = qih.handle.index
-    # point the kind's coarse frame at the cluster-pruned codes; `full`
-    # stays the whole corpus (exact rescore + payload filters reach the
-    # narrow scan as id semi-joins, _coarse_src)
+    # point the kind's coarse frame at the cluster-pruned codes. `full`
+    # (exact rescore + payload filters, reached as id semi-joins via
+    # _coarse_src) prunes to the probed clusters' FILES when the handle
+    # carries the IVF's cluster-partitioned float layout — every coarse
+    # candidate sits inside a probed cluster, so the pruned frame is
+    # exact; without the layout the flat table's decode costs as much
+    # as the exact scan it was supposed to avoid (r13).
+    if qih.clustered_full is not None:
+        full2 = qih.clustered_full.filter(
+            F.col("__cluster").isin(probes)).drop("__cluster")
+    else:
+        full2 = idx.full
     if qih.handle.kind == "binary":
         idx2 = replace(idx, packed=pruned,
-                       full=idx.full if idx.full is not None else idx.packed)
+                       full=full2 if full2 is not None else idx.packed)
     else:
         idx2 = replace(idx, codes=pruned,
-                       full=idx.full if idx.full is not None else idx.codes)
+                       full=full2 if full2 is not None else idx.codes)
     h2 = QuantHandle(kind=qih.handle.kind, index=idx2,
                      oversampling=qih.handle.oversampling,
                      full_scan_threshold=qih.handle.full_scan_threshold)

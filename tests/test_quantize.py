@@ -1258,6 +1258,51 @@ def test_quant_crossover_batch_composed_falls_back(embeddings, spark):
         assert [r["vec_id"] for r in got if r["request_idx"] == i] == exp, i
 
 
+def test_quant_ivf_rescore_prunes_to_probed_clusters(embeddings, spark,
+                                                     tmp_path):
+    """When the composed handle carries the IVF's cluster-partitioned
+    float layout (compose_quant_ivf wires ivf.assigned through), the
+    exact rescore reads ONLY the probed clusters' files instead of
+    decoding the whole flat table (r13 decode-bound finding, the dense
+    twin of the multivector invlist): results equal the flat-rescore
+    plan bit-for-bit, and the rescore source carries the probed-cluster
+    PartitionFilters when persisted."""
+    from dataclasses import replace
+
+    from qdrant_spark.operators.ann import build_ivf, persist_ivf
+    from qdrant_spark.operators.quantize import (
+        compose_quant_ivf, persist_quant_ivf, quant_ivf_search,
+    )
+
+    h = build_quant(embeddings, {"scalar": {"full_scan_threshold": 0}},
+                    vec_col="embedding", id_col="vec_id")
+    ivf = persist_ivf(
+        build_ivf(embeddings, n_clusters=4, vec_col="embedding",
+                  id_col="vec_id", seed=1),
+        str(tmp_path / "ivf"))
+    qih = persist_quant_ivf(compose_quant_ivf(h, ivf, nprobe=4),
+                            str(tmp_path / "qivf"))
+    assert qih.clustered_full is not None
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    for npb in (2, 4):
+        pruned = [(r["vec_id"], round(r["score"], 9))
+                  for r in quant_ivf_search(qih, q, k=5, nprobe=npb,
+                                            oversampling=8.0).collect()]
+        flat = [(r["vec_id"], round(r["score"], 9))
+                for r in quant_ivf_search(
+                    replace(qih, clustered_full=None), q, k=5,
+                    nprobe=npb, oversampling=8.0).collect()]
+        assert pruned == flat, npb
+    out = quant_ivf_search(qih, q, k=5, nprobe=2, oversampling=8.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    hits = re.findall(r"PartitionFilters: \[[^\]]*__cluster[^\]]*IN",
+                      plan)
+    # both the coarse codes scan AND the float rescore scan prune
+    assert len(hits) >= 2, plan[:1500]
+
+
 def test_quant_crossover_batch_threshold_sits_higher(embeddings):
     """Between the single-leaf and batch defaults (n_docs faked at 3M,
     handle threshold unset): a SINGLE request routes quantized, while a
