@@ -47,6 +47,13 @@ class IvfIndex:
     centroids: np.ndarray  # (n_clusters, dim)
     vec_col: str
     id_col: str
+    #: True when ``assigned`` is a cluster-partitioned parquet SCAN
+    #: (persist_ivf / a maintenance load) rather than a computed frame —
+    #: downstream layouts (quantize.compose_quant_ivf's clustered_full)
+    #: only wire it as a rescore source then: filtering a computed
+    #: assignment by __cluster would re-run the whole KMeans transform /
+    #: argmin per query instead of pruning files (r13 ADVICE).
+    persisted: bool = False
 
 
 def build_ivf(
@@ -93,6 +100,7 @@ def persist_ivf(index: IvfIndex, path: str) -> IvfIndex:
         centroids=index.centroids,
         vec_col=index.vec_col,
         id_col=index.id_col,
+        persisted=True,
     )
 
 
@@ -598,9 +606,13 @@ def assign_to_ivf(index: IvfIndex, new_points: DataFrame) -> IvfIndex:
     )
     cols = index.assigned.columns
     merged = index.assigned.unionByName(assigned_new.select(*cols))
+    # the union is still prunable-enough to keep downstream layouts: the
+    # persisted side file-prunes on __cluster and the appended side is a
+    # bounded (<= stale_fraction) computed tail
     return IvfIndex(
         assigned=merged, centroids=index.centroids,
         vec_col=index.vec_col, id_col=index.id_col,
+        persisted=index.persisted,
     )
 
 

@@ -190,6 +190,18 @@ class MaxSimRoute:
     candidates: int | None = None
     full_scan_threshold: int | None = None
     n_docs: int | None = None
+    #: pruned-vs-pruned dispatch: when the index carries the INVLIST
+    #: layout, the planner takes the plain invlist float route even if
+    #: token CODES are also declared — at every measured size the
+    #: composed probe→coarse-over-codes→rescore ladder loses to reading
+    #: the probed partitions' floats directly (r13 idle-box: composed
+    #: 1.83 s vs invlist 0.53 s at 2M docs, 1.69 vs 0.66 s at 512k,
+    #: recall@10 = 1.0 both) — the coarse code stage only plausibly pays
+    #: when the probed float partitions are cold-IO-bound and the 1-4
+    #: bit/dim codes are not. Set True to request the composed ladder
+    #: anyway for that regime; without the invlist layout the composed
+    #: route remains the default (codes beat the FLAT float semi-join).
+    prefer_composed: bool = False
 
     @property
     def id_col(self) -> str:
@@ -471,6 +483,12 @@ def maxsim_knn_quant_ivf(
         src = (route.clustered_points
                .filter(F.col("__cluster").isin(probes))
                .drop("__cluster"))
+        # the invlist carries the ROUTE's column names — align them with
+        # the quant index's when the two were built with different ones
+        if route.id_col != qidx.id_col:
+            src = src.withColumnRenamed(route.id_col, qidx.id_col)
+        if route.mv_col != qidx.mv_col:
+            src = src.withColumnRenamed(route.mv_col, qidx.mv_col)
         cand = src.join(top_ids, qidx.id_col, "left_semi")
         return maxsim_knn(cand, query_multivector, k=k, metric=metric,
                           mv_col=qidx.mv_col, id_col=qidx.id_col,

@@ -1552,11 +1552,19 @@ def compose_quant_ivf(handle: QuantHandle, ivf, *,
     cols = [handle.id_col, *handle.code_cols()]
     codes = handle.codes_frame().select(*cols)
     assign = ivf.assigned.select(ivf.id_col, "__cluster")
-    clustered_full = ivf.assigned
+    # the probed-partition rescore layout only pays when the assignment
+    # is a persisted cluster-partitioned SCAN (ann.persist_ivf / a
+    # maintenance load): filtering a COMPUTED assignment by __cluster
+    # would re-run the full cluster transform over the corpus per query
+    # — worse than the flat semi-join it replaces (r13 ADVICE). Follow
+    # compose with persist_ivf/ensure_quant_ivf_index to get the layout.
+    clustered_full = ivf.assigned if getattr(ivf, "persisted", False) \
+        else None
     if ivf.id_col != handle.id_col:
         assign = assign.withColumnRenamed(ivf.id_col, handle.id_col)
-        clustered_full = clustered_full.withColumnRenamed(
-            ivf.id_col, handle.id_col)
+        if clustered_full is not None:
+            clustered_full = clustered_full.withColumnRenamed(
+                ivf.id_col, handle.id_col)
     coded = codes.join(assign, handle.id_col)
     return QuantIvfHandle(handle=handle, centroids=ivf.centroids,
                           coded=coded, nprobe=nprobe,

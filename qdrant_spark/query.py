@@ -961,7 +961,20 @@ class QueryPlanner:
                         if route.n_docs is None:
                             route.n_docs = route.index.points.count()
                         use_pruned = route.n_docs >= ms_thr
-                if use_sq and use_pruned and flt is None:
+                # pruned-vs-pruned preference (r14): a route carrying
+                # the INVLIST layout beats both quantized ladders —
+                # reading the probed partitions' floats directly
+                # outran the coarse-over-codes plans at every measured
+                # size (r13 verdict: invlist 0.53 s vs composed 1.83 s
+                # vs exact 0.95 s at 2M docs, recall@10 = 1.0; codes
+                # only plausibly pay in the cold-IO regime, declarable
+                # via MaxSimRoute.prefer_composed)
+                invlist_pref = (use_pruned
+                                and route.index.clustered_points
+                                is not None
+                                and not route.prefer_composed)
+                if use_sq and use_pruned and flt is None \
+                        and not invlist_pref:
                     # BOTH token clusters and token codes are declared:
                     # compose them — probe clusters for candidates,
                     # coarse-MaxSim the candidates' token CODES, exact-
@@ -969,7 +982,15 @@ class QueryPlanner:
                     # multivector twin of the dense quant x IVF leaf and
                     # the reference's HNSW-over-quantized-multivector
                     # posture, hnsw.rs quantized scorer +
-                    # quantized_vectors.rs; PLAID's full ladder)
+                    # quantized_vectors.rs; PLAID's full ladder).
+                    # EXCEPT when the route carries the invlist layout:
+                    # reading the probed partitions' floats directly
+                    # beats the coarse-over-codes ladder at every
+                    # measured size (r13 verdict: 0.53 s invlist vs
+                    # 1.83 s composed vs 0.95 s exact at 2M docs) — the
+                    # invlist route below wins unless
+                    # MaxSimRoute.prefer_composed declares the cold-IO
+                    # regime where code width could pay.
                     from qdrant_spark.operators.multivec import (
                         maxsim_knn_quant_ivf,
                     )
@@ -984,7 +1005,7 @@ class QueryPlanner:
                         oversampling=float(mvq.get("oversampling")
                                            or sqh.oversampling),
                         rescore=mvq.get("rescore") is not False)
-                elif use_sq:
+                elif use_sq and not invlist_pref:
                     # declared multivector quantization: the coarse
                     # MaxSim scan reads the declared kind's token codes
                     # — int8 (scalar), packed bits (binary), codebook
@@ -1584,6 +1605,13 @@ def _batch_maxsim_quant_ivf(planner: "QueryPlanner",
             continue
         sqh = planner.maxsim_sq_indexes[vc]
         route = planner.maxsim_indexes[vc]
+        if route.index.clustered_points is not None \
+                and not route.prefer_composed:
+            # mirror the leaf dispatch (r14): with the invlist layout the
+            # plain partition-pruned float route beats the composed
+            # ladder at every measured size — these requests plan
+            # per-request through maxsim_knn_ivf's invlist scan
+            continue
         ok = True
         for handle, n_src in ((sqh, sqh.points),
                               (route, route.index.points)):

@@ -1542,3 +1542,114 @@ def test_persist_maxsim_quant_split_storage(mv_points, q_mv, tmp_path,
     assert scans
     for s in scans:
         assert "mv:" not in s.split("ReadSchema", 1)[1][:300]
+
+
+def test_planner_prefers_invlist_over_composed(mv_points, embeddings,
+                                               tmp_path):
+    """Pruned-vs-pruned dispatch (r14): when the token-IVF route carries
+    the INVLIST layout, the planner takes the plain partition-pruned
+    float route even though token CODES are also declared — at every
+    measured size the composed probe→coarse-over-codes→rescore ladder
+    loses to reading the probed partitions' floats directly (r13
+    verdict: composed 1.83 s vs invlist 0.53 s vs exact 0.95 s at 2M
+    docs, recall@10 = 1.0). ``prefer_composed=True`` declares the
+    cold-IO override; the batched path mirrors the preference."""
+    from dataclasses import replace
+
+    from qdrant_spark.operators import multivec as MV
+    from qdrant_spark.operators.multivec import (
+        MaxSimRoute, build_maxsim_ivf, build_maxsim_sq, maxsim_knn_ivf,
+        persist_maxsim_ivf, persist_maxsim_ivf_points,
+    )
+    from qdrant_spark.query import QueryPlanner, query_batch
+
+    inv = persist_maxsim_ivf_points(
+        persist_maxsim_ivf(
+            build_maxsim_ivf(mv_points, n_clusters=8, mv_col="mv",
+                             id_col="vec_id"),
+            str(tmp_path / "tokens")),
+        str(tmp_path / "invlist"))
+    route = MaxSimRoute(index=inv, nprobe=8, full_scan_threshold=0)
+    sqh = replace(build_maxsim_sq(mv_points, mv_col="mv", id_col="vec_id"),
+                  full_scan_threshold=0)
+    r0 = embeddings.limit(1).collect()[0]
+    q = [list(r0["embedding"])[i * 8:(i + 1) * 8] for i in range(8)]
+    kw = dict(id_col="vec_id", default_vec_col="mv", metric="dot",
+              maxsim_indexes={"mv": route}, maxsim_sq_indexes={"mv": sqh})
+
+    pl = QueryPlanner(mv_points, **kw)
+    got = [(r["vec_id"], round(r["score"], 9)) for r in pl.plan(
+        {"query": {"nearest": q}, "limit": 10}).collect()]
+    assert pl.last_plan_info.get("maxsim_index_leaves") == 1
+    assert not pl.last_plan_info.get("maxsim_quant_ivf_leaves")
+    want = [(r["vec_id"], round(r["score"], 9)) for r in maxsim_knn_ivf(
+        inv, q, k=10, nprobe=8, metric="dot").collect()]
+    assert got == want
+
+    # the declared override requests the composed ladder anyway
+    pl2 = QueryPlanner(mv_points, **dict(
+        kw, maxsim_indexes={"mv": replace(route, prefer_composed=True)}))
+    pl2.plan({"query": {"nearest": q}, "limit": 10,
+              "params": {"quantization": {"oversampling": 8.0}}}).collect()
+    assert pl2.last_plan_info.get("maxsim_quant_ivf_leaves") == 1
+
+    # batch mirrors the preference: no composed fusion forms; each
+    # request runs the invlist route, value-identical to planning alone
+    r1 = embeddings.limit(2).collect()[1]
+    q2 = [list(r1["embedding"])[i * 8:(i + 1) * 8] for i in range(8)]
+    calls = []
+    orig = MV.maxsim_knn_quant_ivf
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    MV.maxsim_knn_quant_ivf = spy
+    try:
+        reqs = [{"query": {"nearest": q}, "limit": 5},
+                {"query": {"nearest": q2}, "limit": 5}]
+        got_b = query_batch(
+            mv_points, reqs, id_col="vec_id", vec_col="mv", metric="dot",
+            maxsim_indexes={"mv": route},
+            maxsim_sq_indexes={"mv": sqh}).collect()
+    finally:
+        MV.maxsim_knn_quant_ivf = orig
+    assert not calls
+    by_req: dict = {}
+    for r in got_b:
+        by_req.setdefault(r["request_idx"], []).append(
+            (r["vec_id"], round(r["score"], 9)))
+    for i, qq in enumerate((q, q2)):
+        want_i = [(r["vec_id"], round(r["score"], 9))
+                  for r in maxsim_knn_ivf(inv, qq, k=5, nprobe=8,
+                                          metric="dot").collect()]
+        assert sorted(by_req[i]) == sorted(want_i), i
+
+
+def test_ensure_maxsim_corpus_signature_drift(mv_points, tmp_path):
+    """corpus_signature on ensure_maxsim_index (r13 ADVICE): the invlist
+    freezes the float corpus at persist time, so count-stable content
+    drift must be declarable — a changed signature rebuilds, a matching
+    one loads, omitting it keeps the row-count-only contract."""
+    from qdrant_spark.plans.maintenance import ensure_maxsim_index
+
+    path = str(tmp_path / "ms")
+    _, act = ensure_maxsim_index(
+        mv_points, path, n_clusters=4, mv_col="mv", id_col="vec_id",
+        indexing_threshold=0, clustered_points=True,
+        corpus_signature="gen1")
+    assert act == "built"
+    _, act = ensure_maxsim_index(
+        mv_points, path, n_clusters=4, mv_col="mv", id_col="vec_id",
+        indexing_threshold=0, clustered_points=True,
+        corpus_signature="gen1")
+    assert act == "loaded"
+    _, act = ensure_maxsim_index(
+        mv_points, path, n_clusters=4, mv_col="mv", id_col="vec_id",
+        indexing_threshold=0, clustered_points=True)
+    assert act == "loaded"  # no signature = row-count-only check
+    idx, act = ensure_maxsim_index(
+        mv_points, path, n_clusters=4, mv_col="mv", id_col="vec_id",
+        indexing_threshold=0, clustered_points=True,
+        corpus_signature="gen2")
+    assert act == "rebuilt" and idx.clustered_points is not None

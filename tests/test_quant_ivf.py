@@ -414,3 +414,122 @@ def test_quant_ivf_binary_asym_composes(embeddings, ivf8):
     for i, w in enumerate(want_b):
         assert sorted(by_req.get(i, [])) == \
             sorted((r["vec_id"], round(r["score"], 6)) for r in w), i
+
+
+def test_compose_only_wires_persisted_clustered_full(embeddings, ivf8,
+                                                     tmp_path):
+    """compose_quant_ivf wires the assignment as the rescore layout ONLY
+    when it is a persisted cluster-partitioned scan — filtering a
+    COMPUTED assignment by __cluster would re-run the whole cluster
+    transform per query instead of pruning files (r13 ADVICE)."""
+    from qdrant_spark.operators.ann import persist_ivf
+
+    h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
+                    id_col="vec_id")
+    assert compose_quant_ivf(h, ivf8, nprobe=4).clustered_full is None
+    pivf = persist_ivf(ivf8, str(tmp_path / "ivf"))
+    qih = compose_quant_ivf(h, pivf, nprobe=4)
+    assert qih.clustered_full is not None
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    assert _rows(quant_ivf_search(qih, q, k=10, metric="cosine",
+                                  oversampling=6.0)) \
+        == _rows(quant_ivf_search(compose_quant_ivf(h, ivf8, nprobe=4),
+                                  q, k=10, metric="cosine",
+                                  oversampling=6.0))
+
+
+def test_ensure_quant_ivf_load_restores_clustered_full(embeddings,
+                                                       tmp_path):
+    """The LOAD path re-wires the persisted cluster-partitioned float
+    layout (r13 VERDICT: load_quant_ivf_index returned
+    clustered_full=None, so every reloaded composed index silently
+    re-paid the full-table decode): a loaded handle's exact rescore
+    reads ONLY the probed clusters' FILES — PartitionFilters on BOTH
+    the coarse codes scan and the float rescore scan — and results
+    equal the flat-rescore plan bit-for-bit."""
+    import re
+    from dataclasses import replace
+
+    from qdrant_spark.plans.maintenance import ensure_quant_ivf_index
+
+    path = str(tmp_path / "qivf")
+    built, action = ensure_quant_ivf_index(
+        embeddings, path, {"scalar": {}}, n_clusters=4, nprobe=2,
+        vec_col="embedding", id_col="vec_id", indexing_threshold=0)
+    assert action == "built" and built.clustered_full is not None
+
+    loaded, action = ensure_quant_ivf_index(
+        embeddings, path, {"scalar": {}}, n_clusters=4, nprobe=2,
+        vec_col="embedding", id_col="vec_id", indexing_threshold=0)
+    assert action == "loaded" and loaded.clustered_full is not None
+
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    for npb in (2, 4):
+        pruned = _rows(quant_ivf_search(loaded, q, k=5, nprobe=npb,
+                                        oversampling=8.0))
+        flat = _rows(quant_ivf_search(
+            replace(loaded, clustered_full=None), q, k=5, nprobe=npb,
+            oversampling=8.0))
+        assert pruned == flat, npb
+    out = quant_ivf_search(loaded, q, k=5, nprobe=2, oversampling=8.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    hits = re.findall(r"PartitionFilters: \[[^\]]*__cluster[^\]]*IN",
+                      plan)
+    assert len(hits) >= 2, plan[:1500]
+
+
+def test_ensure_quant_ivf_upgrades_pre_r14_meta(embeddings, tmp_path):
+    """A persisted index whose meta predates the clustered_full layout
+    (flag absent) is REBUILT on the next ensure — the
+    config_mismatch_optimizer posture applied to the storage layout, so
+    old deployments pick the pruned rescore up automatically."""
+    import json
+    import os
+
+    from qdrant_spark.plans.maintenance import ensure_quant_ivf_index
+
+    path = str(tmp_path / "qivf")
+    _, action = ensure_quant_ivf_index(
+        embeddings, path, {"scalar": {}}, n_clusters=4,
+        vec_col="embedding", id_col="vec_id", indexing_threshold=0)
+    assert action == "built"
+    mp = os.path.join(path, "quant_ivf_meta.json")
+    with open(mp) as f:
+        meta = json.load(f)
+    del meta["clustered_full"]  # simulate a pre-r14 index
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    qih, action = ensure_quant_ivf_index(
+        embeddings, path, {"scalar": {}}, n_clusters=4,
+        vec_col="embedding", id_col="vec_id", indexing_threshold=0)
+    assert action == "rebuilt" and qih.clustered_full is not None
+
+
+def test_ensure_quant_ivf_corpus_signature_drift(embeddings, tmp_path):
+    """corpus_signature closes the content-drift hole (r13 ADVICE): the
+    persisted layouts freeze the floats at build time and the row-count
+    check can't see count-stable mutations — a changed signature
+    rebuilds, a matching one loads, and omitting it keeps the
+    row-count-only contract."""
+    from qdrant_spark.plans.maintenance import ensure_quant_ivf_index
+
+    path = str(tmp_path / "qivf")
+    _, action = ensure_quant_ivf_index(
+        embeddings, path, {"scalar": {}}, n_clusters=4,
+        vec_col="embedding", id_col="vec_id", indexing_threshold=0,
+        corpus_signature="v1")
+    assert action == "built"
+    _, action = ensure_quant_ivf_index(
+        embeddings, path, {"scalar": {}}, n_clusters=4,
+        vec_col="embedding", id_col="vec_id", indexing_threshold=0,
+        corpus_signature="v1")
+    assert action == "loaded"
+    _, action = ensure_quant_ivf_index(
+        embeddings, path, {"scalar": {}}, n_clusters=4,
+        vec_col="embedding", id_col="vec_id", indexing_threshold=0)
+    assert action == "loaded"  # no signature = row-count-only check
+    _, action = ensure_quant_ivf_index(
+        embeddings, path, {"scalar": {}}, n_clusters=4,
+        vec_col="embedding", id_col="vec_id", indexing_threshold=0,
+        corpus_signature="v2")
+    assert action == "rebuilt"  # count-stable content drift
