@@ -393,6 +393,34 @@ class QdrantSparkClient:
         self.catalog._collections[col.name] = df
         return UpdateResult(operation_id=col.op_counter)
 
+    def _points_signature(self, col: _Collection) -> str | None:
+        """Cheap content token of the persisted points table (relative
+        path + size + mtime of every data file, md5'd) for the ensures'
+        ``corpus_signature`` drift check — no corpus scan, just a
+        directory listing. ``_commit`` rewrites the table on every
+        mutation, so count-stable content drift (update_vectors) changes
+        the digest and a later ensure REBUILDS the frozen float layouts
+        instead of loading stale ones. None without a storage root
+        (in-memory indexes die with the mutation anyway — ``_commit``
+        clears them)."""
+        if self.root is None:
+            return None
+        import hashlib
+
+        path = os.path.join(self.root, col.name, "points")
+        h = hashlib.md5()
+        found = False
+        for dirpath, dirnames, filenames in os.walk(path):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if fn.startswith(("_", ".")):
+                    continue
+                found = True
+                st = os.stat(os.path.join(dirpath, fn))
+                rel = os.path.relpath(os.path.join(dirpath, fn), path)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
+        return h.hexdigest() if found else None
+
     def _indexed_fields(self, name: str) -> set[str]:
         return set(self.catalog.list_field_indexes(name))
 
@@ -1466,7 +1494,8 @@ class QdrantSparkClient:
         declared = dict((vc.index_params if vc is not None else None) or {})
         if n_clusters is None:
             n_clusters = declared.get("n_clusters")
-        for kk in ("nprobe", "candidates", "full_scan_threshold"):
+        for kk in ("nprobe", "candidates", "full_scan_threshold",
+                   "clustered_points", "prefer_composed"):
             if kk in declared and kk not in _ignored:
                 _ignored[kk] = declared[kk]
         if vc is not None and vc.kind == "multi":
@@ -1554,7 +1583,8 @@ class QdrantSparkClient:
                     col.df, path, vc.quantization,
                     n_clusters=int(n_clusters), nprobe=int(nprobe),
                     vec_col=col.vec_col(using), id_col="id", dim=vc.dim,
-                    indexing_threshold=thr)
+                    indexing_threshold=thr,
+                    corpus_signature=self._points_signature(col))
             else:
                 if col.df.count() < thr:
                     return "skipped"
@@ -1602,6 +1632,8 @@ class QdrantSparkClient:
                              nprobe: int = 4,
                              candidates: int | None = None,
                              full_scan_threshold: int | None = None,
+                             clustered_points: bool = False,
+                             prefer_composed: bool = False,
                              **_ignored: Any) -> str:
         """Multivector analogue of the dense ensure: cluster the corpus's
         token vectors (multivec.build_maxsim_ivf — the coarse structure
@@ -1616,7 +1648,20 @@ class QdrantSparkClient:
         exact-vs-pruned crossover (``full_scan_threshold`` docs, default
         multivec.MAXSIM_FULL_SCAN_THRESHOLD; the bench measured the
         pruned path 3.4x slower at 512k docs). Per-request
-        ``params.exact`` and filtered requests keep the exact scan."""
+        ``params.exact`` and filtered requests keep the exact scan.
+
+        ``clustered_points=True`` (kwarg or declared in the vector's
+        index params) also builds the INVLIST layout — the full rows
+        stored once per distinct doc token-cluster, partitioned by
+        cluster — so routed queries prune the float-token SCAN at the
+        file level; the planner then prefers that route over the
+        composed quantized ladder (r14; ``prefer_composed`` overrides
+        for cold-IO deployments). It needs a storage root (the layout
+        IS a persisted artifact); without one the plain route builds.
+        The ensure passes the points table's file-listing digest as
+        ``corpus_signature``, so count-stable content drift (e.g.
+        update_vectors) rebuilds the frozen layout instead of serving
+        stale floats."""
         from qdrant_spark.operators.multivec import (
             MaxSimRoute, build_maxsim_ivf,
         )
@@ -1632,7 +1677,9 @@ class QdrantSparkClient:
             idx, action = ensure_maxsim_index(
                 col.df, path, n_clusters=n_clusters,
                 mv_col=col.vec_col(using), id_col="id",
-                indexing_threshold=thr, total=n)
+                indexing_threshold=thr, total=n,
+                clustered_points=bool(clustered_points),
+                corpus_signature=self._points_signature(col))
         else:
             if n < thr:
                 return "skipped"
@@ -1642,7 +1689,8 @@ class QdrantSparkClient:
         if idx is not None:
             col.mv_idx[using] = MaxSimRoute(
                 index=idx, nprobe=nprobe, candidates=candidates,
-                full_scan_threshold=full_scan_threshold, n_docs=n)
+                full_scan_threshold=full_scan_threshold, n_docs=n,
+                prefer_composed=bool(prefer_composed))
         return action
 
     def _ensure_maxsim_sq_index(self, col: _Collection, using: str,

@@ -45,6 +45,47 @@ _META = "ivf_meta.json"
 _DATA = "assigned"
 
 
+def corpus_content_fp(points: DataFrame, cols: list[str]) -> str:
+    """Order-independent content fingerprint of ``cols`` in ONE JVM-side
+    columnar pass (xxhash64 per row folded with count + bit-XOR; no
+    Python workers, no shuffle — xxhash64 hashes arrays/structs
+    natively). This is the maybe-drifted probe behind the ensures'
+    ``corpus_signature``: when the cheap signature changes, this one
+    scan distinguishes a re-ingest of identical content (keep the
+    index, re-stamp the signature) from real drift (rebuild) — so
+    restarts and re-ingests never re-cluster, while count-stable
+    mutations can't serve stale frozen floats."""
+    from pyspark.sql import functions as F
+
+    row = (points.select(F.xxhash64(*[F.col(c) for c in cols])
+                         .alias("__h"))
+           .agg(F.count("*").alias("n"),
+                F.expr("bit_xor(__h)").alias("x")).first())
+    return f"{row['n']}:{row['x']}"
+
+
+def _signature_check(meta: dict[str, Any], meta_path: str,
+                     corpus_signature: str | None,
+                     points: DataFrame, cols: list[str]) -> bool:
+    """True when the corpus content behind a matching meta is still the
+    one the index froze. No-op (True) without a requested signature; a
+    matching signature is trusted without a scan; a mismatched one runs
+    the one-pass content probe — identical content re-stamps the new
+    signature into the meta and loads, anything else (including pre-
+    signature metas) reports drift."""
+    if corpus_signature is None \
+            or meta.get("corpus_signature") == corpus_signature:
+        return True
+    if meta.get("content_fp") is None:
+        return False  # pre-signature build: can't prove freshness
+    if corpus_content_fp(points, cols) != meta["content_fp"]:
+        return False
+    meta["corpus_signature"] = corpus_signature
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return True
+
+
 def _meta_path(path: str) -> str:
     return os.path.join(path, _META)
 
@@ -315,9 +356,10 @@ def ensure_quant_ivf_index(
     in-place vector updates) is invisible to the row-count drift check
     and a later ensure would LOAD stale floats. Pass ``corpus_signature``
     (any cheap opaque token of the corpus state — a snapshot version, a
-    file-listing digest) to close that: a stored signature that differs
-    from the requested one rebuilds (the client passes its points-dir
-    digest; r13 ADVICE content-drift item)."""
+    file-listing digest) to close that: a changed signature triggers the
+    one-pass content probe (:func:`corpus_content_fp`) — identical
+    content loads and re-stamps, real drift rebuilds (the client passes
+    its points-dir digest; r13 ADVICE content-drift item)."""
     from qdrant_spark.operators.quantize import (
         build_quant, compose_quant_ivf, quant_state,
     )
@@ -335,13 +377,14 @@ def ensure_quant_ivf_index(
         stored = {k: meta.get(k) for k in requested}
         if stored != requested:
             action = "rebuilt"
-        elif corpus_signature is not None \
-                and meta.get("corpus_signature") != corpus_signature:
-            action = "rebuilt"  # content drift (count-stable mutations)
         elif abs(n - meta["n_rows"]) > stale_fraction * max(meta["n_rows"], 1):
             action = "rebuilt"  # corpus drifted past the re-index trigger
         elif not meta.get("clustered_full"):
             action = "rebuilt"  # pre-r14 index: upgrade to the layout
+        elif not _signature_check(meta, os.path.join(path, _QIMETA),
+                                  corpus_signature, points,
+                                  [id_col, vec_col]):
+            action = "rebuilt"  # content drift (count-stable mutations)
         else:
             qih = load_quant_ivf_index(points, path)
             if int(meta["nprobe"]) != int(nprobe):
@@ -363,12 +406,15 @@ def ensure_quant_ivf_index(
     arrays, scalars = quant_state(handle)
     os.makedirs(path, exist_ok=True)
     np.savez(os.path.join(path, _QIPARAMS), **arrays)
+    fp = corpus_content_fp(points, [id_col, vec_col]) \
+        if corpus_signature is not None else None
     with open(os.path.join(path, _QIMETA), "w") as f:
         json.dump({**requested, "kind": handle.kind, "scalars": scalars,
                    "oversampling": handle.oversampling, "nprobe": int(nprobe),
                    "centroids": ivf.centroids.tolist(), "n_rows": n,
                    "clustered_full": True,
-                   "corpus_signature": corpus_signature}, f)
+                   "corpus_signature": corpus_signature,
+                   "content_fp": fp}, f)
     return load_quant_ivf_index(points, path), action
 
 
@@ -446,9 +492,10 @@ def ensure_maxsim_index(
     ``stale_fraction`` (e.g. in-place vector updates) would silently
     serve stale scores from a LOADed invlist. Pass ``corpus_signature``
     (any cheap opaque token of the corpus state — a snapshot version, a
-    file-listing digest) and the ensure rebuilds whenever it changes
-    (r13 ADVICE content-drift item; the client passes its points-dir
-    digest)."""
+    file-listing digest): a changed signature triggers the one-pass
+    content probe (:func:`corpus_content_fp`) — identical content loads
+    and re-stamps, real drift rebuilds (r13 ADVICE content-drift item;
+    the client passes its points-dir digest)."""
     from qdrant_spark.operators.multivec import (
         build_maxsim_ivf, persist_maxsim_ivf, persist_maxsim_ivf_points,
     )
@@ -470,11 +517,12 @@ def ensure_maxsim_index(
                                                    False))
         if stored != requested:
             action = "rebuilt"
-        elif corpus_signature is not None \
-                and meta.get("corpus_signature") != corpus_signature:
-            action = "rebuilt"  # content drift (count-stable mutations)
         elif abs(n - meta["n_rows"]) > stale_fraction * max(meta["n_rows"], 1):
             action = "rebuilt"
+        elif not _signature_check(meta, os.path.join(path, _MSMETA),
+                                  corpus_signature, points,
+                                  [id_col, mv_col]):
+            action = "rebuilt"  # content drift (count-stable mutations)
         else:
             return load_maxsim_index(points, path), "loaded"
 
@@ -485,9 +533,12 @@ def ensure_maxsim_index(
     if clustered_points:
         idx = persist_maxsim_ivf_points(idx, os.path.join(path, _MSPOINTS))
     os.makedirs(path, exist_ok=True)
+    fp = corpus_content_fp(points, [id_col, mv_col]) \
+        if corpus_signature is not None else None
     with open(os.path.join(path, _MSMETA), "w") as f:
         json.dump({**requested, "n_rows": n,
                    "corpus_signature": corpus_signature,
+                   "content_fp": fp,
                    "centroids": idx.centroids.tolist()}, f)
     return idx, action
 

@@ -291,3 +291,112 @@ def live_maxsim_quant_index(sink: ParquetPointsSink, index):
     if snap is None:
         return None
     return replace(index, codes=snap, points=snap)
+
+
+class MaxSimInvlistSink(SparsePairsSink):
+    """Maintains the multivector INVLIST snapshot under streaming
+    upserts: one full row per distinct (doc, token-cluster), committed
+    parquet-PARTITIONED by ``__cluster`` so the live index's probes
+    prune files like a batch-persisted layout
+    (multivec.persist_maxsim_ivf_points). A point upsert REPLACES its
+    whole copy set — drop every old (id, cluster) row of the batch's
+    ids, append the new ones — the SparsePairsSink merge shape (the
+    reference's inverted indexes apply updates the same way), which
+    ``upsert_points`` can't express (it keeps one row per id and this
+    layout is deliberately multi-row). Because the snapshot rows ARE the
+    live floats, the batch layout's frozen-corpus staleness
+    (plans.maintenance.ensure_maxsim_index's corpus_signature caveat)
+    does not arise here: an update rewrites the copies in the same
+    commit."""
+
+    def _commit(self, df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        name = f"_v{batch_id}"
+        out = os.path.join(self.table_dir, name)
+        df.write.mode("overwrite").partitionBy("__cluster").parquet(out)
+        with open(os.path.join(self.table_dir, "CURRENT"), "w") as f:
+            f.write(name)
+        keep = {name, f"_v{batch_id - 1}"}
+        for d in os.listdir(self.table_dir):
+            if d.startswith("_v") and d not in keep:
+                shutil.rmtree(os.path.join(self.table_dir, d),
+                              ignore_errors=True)
+
+
+def start_maxsim_ivf_upsert_stream(
+    points_stream: DataFrame,
+    sink: MaxSimInvlistSink,
+    centroids: np.ndarray,
+    *,
+    checkpoint_dir: str,
+    mv_col: str = "mv",
+    trigger: dict[str, Any] | None = None,
+):
+    """Ingest stream that keeps the multivector INVLIST fresh (r14 —
+    closes the lifecycle gap where only direct ensure_maxsim_index
+    callers got the layout): each micro-batch's tokens are assigned to
+    the FROZEN token-space ``centroids`` (map-only argmin,
+    ann.ivf_from_centroids — no KMeans refit, the
+    start_ivf_upsert_stream posture), collapsed to distinct (id,
+    cluster) memberships, joined back to the batch rows (one full-row
+    copy per membership) and merged into the cluster-partitioned
+    snapshot. ``live_maxsim_ivf_index(sink, centroids)`` is then always
+    searchable through maxsim_knn_ivf's partition-pruned invlist scan,
+    exactly like a batch-built index. Centroids refit out-of-band, as
+    the reference rebuilds index segments outside the update path.
+    Returns the StreamingQuery."""
+    from qdrant_spark.operators.ann import ivf_from_centroids
+
+    cents = np.asarray(centroids)
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ids = batch_df.select(sink.id_col).distinct()
+        base = batch_df.filter(
+            F.col(mv_col).isNotNull() & (F.size(mv_col) > 0))
+        toks = base.select(sink.id_col, F.explode(mv_col).alias("__tok"))
+        memb = (ivf_from_centroids(toks, cents, vec_col="__tok",
+                                   id_col=sink.id_col)
+                .assigned.select(sink.id_col, "__cluster").distinct())
+        rows = base.join(memb, sink.id_col)
+        # ids covers EVERY batch id (null/empty multivectors included),
+        # so a point re-upserted without tokens clears its copies
+        sink.apply_pairs(rows, ids, batch_id)
+
+    writer = (
+        points_stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(do_batch)
+    )
+    writer = writer.trigger(**trigger) if trigger \
+        else writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def live_maxsim_ivf_index(
+    sink: MaxSimInvlistSink,
+    centroids: np.ndarray,
+    *,
+    mv_col: str = "mv",
+):
+    """The current invlist snapshot as a searchable ``MaxSimIvf`` (None
+    before the first commit): ``clustered_points`` is the snapshot
+    itself (partition-pruned probes), ``tokens`` its distinct (id,
+    cluster) projection — bit-identical for both the membership stage
+    and the PLAID centroid-resolution cap, which scores the max over a
+    doc's probed CLUSTERS (duplicate token rows in one cluster
+    contribute the same max). Pair with maxsim_knn_ivf or register as
+    ``QueryPlanner(maxsim_indexes=...)`` — the planner then prefers the
+    invlist route (r14)."""
+    from qdrant_spark.operators.multivec import MaxSimIvf
+
+    snap = sink.read()
+    if snap is None:
+        return None
+    return MaxSimIvf(
+        tokens=snap.select(sink.id_col, "__cluster"),
+        centroids=np.asarray(centroids),
+        points=snap.drop("__cluster").dropDuplicates([sink.id_col]),
+        mv_col=mv_col, id_col=sink.id_col,
+        clustered_points=snap)

@@ -1629,8 +1629,10 @@ def test_planner_prefers_invlist_over_composed(mv_points, embeddings,
 def test_ensure_maxsim_corpus_signature_drift(mv_points, tmp_path):
     """corpus_signature on ensure_maxsim_index (r13 ADVICE): the invlist
     freezes the float corpus at persist time, so count-stable content
-    drift must be declarable — a changed signature rebuilds, a matching
-    one loads, omitting it keeps the row-count-only contract."""
+    drift must be detectable. Two-tier: matching signature loads with no
+    scan; changed signature runs the one-pass content probe — identical
+    content loads and re-stamps (re-ingests never re-cluster), real
+    drift rebuilds; no signature keeps the row-count-only contract."""
     from qdrant_spark.plans.maintenance import ensure_maxsim_index
 
     path = str(tmp_path / "ms")
@@ -1648,8 +1650,101 @@ def test_ensure_maxsim_corpus_signature_drift(mv_points, tmp_path):
         mv_points, path, n_clusters=4, mv_col="mv", id_col="vec_id",
         indexing_threshold=0, clustered_points=True)
     assert act == "loaded"  # no signature = row-count-only check
-    idx, act = ensure_maxsim_index(
+    # new signature, same content: content probe loads + re-stamps
+    _, act = ensure_maxsim_index(
         mv_points, path, n_clusters=4, mv_col="mv", id_col="vec_id",
         indexing_threshold=0, clustered_points=True,
         corpus_signature="gen2")
+    assert act == "loaded"
+    # new signature, count-stable content drift: rebuilt
+    drifted = mv_points.withColumn(
+        "mv", F.transform(
+            F.col("mv"),
+            lambda t: F.transform(t, lambda x: x * 2.0)))
+    idx, act = ensure_maxsim_index(
+        drifted, path, n_clusters=4, mv_col="mv", id_col="vec_id",
+        indexing_threshold=0, clustered_points=True,
+        corpus_signature="gen3")
     assert act == "rebuilt" and idx.clustered_points is not None
+
+
+def test_client_invlist_lifecycle(spark, embeddings, tmp_path):
+    """create → ensure → query with a declared invlist ("clustered_points"
+    in the vector's index block, r14): the client builds the layout, the
+    planner takes the invlist route over the composed one, a NEW session
+    over the same root LOADS it without re-clustering, and a
+    count-stable vector update REBUILDS it via the points-dir signature
+    (the invlist freezes floats at persist time — r13 ADVICE)."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    rows = embeddings.limit(150).collect()
+    dim = len(rows[0]["embedding"])
+    td = dim // 8
+    root = str(tmp_path / "store")
+    cfg = {"late": {"size": td, "distance": "Dot",
+                    "multivector_config": {"comparator": "max_sim"},
+                    "index": {"n_clusters": 8, "nprobe": 8,
+                              "full_scan_threshold": 0,
+                              "clustered_points": True},
+                    "quantization_config": {
+                        "scalar": {"full_scan_threshold": 0}}}}
+    pts = [{"id": int(r["vec_id"]),
+            "vector": {"late": [[float(x) for x in
+                                 r["embedding"][i * td:(i + 1) * td]]
+                                for i in range(8)]}} for r in rows]
+
+    c = QdrantSparkClient(spark, root=root)
+    c.create_collection("inv", vectors_config=cfg)
+    c.upsert("inv", pts)
+    assert c.ensure_vector_index("inv", using="late",
+                                 indexing_threshold=0) in ("built",
+                                                           "rebuilt")
+    route = c._coll("inv").mv_idx["late"]
+    assert route.index.clustered_points is not None
+    assert not route.prefer_composed
+
+    q = [[float(x) for x in rows[4]["embedding"][i * td:(i + 1) * td]]
+         for i in range(8)]
+    routed = c.query_points("inv", query=q, using="late", limit=5,
+                            with_payload=False)
+    exact = c.query_points("inv", query=q, using="late", limit=5,
+                           with_payload=False,
+                           search_params={"exact": True})
+    # full probe, threshold 0 -> invlist route, equal values
+    assert [(p.id, round(p.score, 9)) for p in routed.points] == \
+        [(p.id, round(p.score, 9)) for p in exact.points]
+
+    # a NEW session over the same root re-ingests the SAME content: the
+    # points parquet rewrites (new file signature) but the content
+    # probe proves it identical — the invlist LOADS, no re-cluster
+    c3 = QdrantSparkClient(spark, root=root)
+    c3.create_collection("inv", vectors_config=cfg)
+    c3.upsert("inv", pts)
+    assert c3.ensure_vector_index("inv", using="late",
+                                  indexing_threshold=0) == "loaded"
+    r3 = c3._coll("inv").mv_idx["late"]
+    assert r3.index.clustered_points is not None
+    routed3 = c3.query_points("inv", query=q, using="late", limit=5,
+                              with_payload=False)
+    assert [(p.id, round(p.score, 9)) for p in routed3.points] == \
+        [(p.id, round(p.score, 9)) for p in exact.points]
+
+    # count-stable content drift: update one point's vectors -> the
+    # points-dir signature changes -> the frozen invlist REBUILDS
+    # instead of serving stale floats
+    c3.update_vectors("inv", [{
+        "id": int(rows[0]["vec_id"]),
+        "vector": {"late": [[float(x) + 1.0 for x in
+                             rows[0]["embedding"][i * td:(i + 1) * td]]
+                            for i in range(8)]}}])
+    assert c3.ensure_vector_index("inv", using="late",
+                                  indexing_threshold=0) == "rebuilt"
+    r4 = c3._coll("inv").mv_idx["late"]
+    assert r4.index.clustered_points is not None
+    routed4 = c3.query_points("inv", query=q, using="late", limit=5,
+                              with_payload=False)
+    exact4 = c3.query_points("inv", query=q, using="late", limit=5,
+                             with_payload=False,
+                             search_params={"exact": True})
+    assert [(p.id, round(p.score, 9)) for p in routed4.points] == \
+        [(p.id, round(p.score, 9)) for p in exact4.points]

@@ -508,8 +508,10 @@ def test_ensure_quant_ivf_upgrades_pre_r14_meta(embeddings, tmp_path):
 def test_ensure_quant_ivf_corpus_signature_drift(embeddings, tmp_path):
     """corpus_signature closes the content-drift hole (r13 ADVICE): the
     persisted layouts freeze the floats at build time and the row-count
-    check can't see count-stable mutations — a changed signature
-    rebuilds, a matching one loads, and omitting it keeps the
+    check can't see count-stable mutations. Two-tier check: a matching
+    signature loads with no scan; a changed signature runs the one-pass
+    content probe — identical content loads (and re-stamps the new
+    signature), REAL drift rebuilds; omitting the signature keeps the
     row-count-only contract."""
     from qdrant_spark.plans.maintenance import ensure_quant_ivf_index
 
@@ -528,8 +530,25 @@ def test_ensure_quant_ivf_corpus_signature_drift(embeddings, tmp_path):
         embeddings, path, {"scalar": {}}, n_clusters=4,
         vec_col="embedding", id_col="vec_id", indexing_threshold=0)
     assert action == "loaded"  # no signature = row-count-only check
+    # new signature, SAME content (a re-ingest): content probe loads
+    # and re-stamps — restarts never re-cluster
     _, action = ensure_quant_ivf_index(
         embeddings, path, {"scalar": {}}, n_clusters=4,
         vec_col="embedding", id_col="vec_id", indexing_threshold=0,
         corpus_signature="v2")
-    assert action == "rebuilt"  # count-stable content drift
+    assert action == "loaded"
+    _, action = ensure_quant_ivf_index(
+        embeddings, path, {"scalar": {}}, n_clusters=4,
+        vec_col="embedding", id_col="vec_id", indexing_threshold=0,
+        corpus_signature="v2")
+    assert action == "loaded"  # the re-stamp stuck
+    # new signature, count-stable content DRIFT: rebuilt
+    drifted = embeddings.withColumn(
+        "embedding",
+        F.transform(F.col("embedding"),
+                    lambda x: (x.cast("double") * 2.0).cast("float")))
+    _, action = ensure_quant_ivf_index(
+        drifted, path, {"scalar": {}}, n_clusters=4,
+        vec_col="embedding", id_col="vec_id", indexing_threshold=0,
+        corpus_signature="v3")
+    assert action == "rebuilt"

@@ -295,3 +295,89 @@ def test_maxsim_quant_ingest_stream_matches_batch(spark, emb, tmp_path,
         pts, q_mv, k=5, metric="dot", mv_col="mv",
         id_col="vec_id").collect()]
     assert got == want
+
+
+def test_maxsim_invlist_ingest_stream_matches_batch(spark, emb, tmp_path):
+    """Streamed-in multivector INVLIST == the batch-built layout (r14 —
+    the streaming half of the invlist lifecycle): frozen token-space
+    centroids assign each micro-batch's tokens map-only, the snapshot
+    keeps one full-row copy per distinct (doc, cluster) partitioned by
+    cluster, live_maxsim_ivf_index answers bit-identically to the
+    batch invlist route, and an upsert's new vectors are scored FRESH
+    (the batch layout's frozen-float staleness can't arise: copies
+    rewrite in the same commit)."""
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_ivf, maxsim_knn, maxsim_knn_ivf, persist_maxsim_ivf,
+        persist_maxsim_ivf_points,
+    )
+    from qdrant_spark.streaming.serve import (
+        MaxSimInvlistSink, live_maxsim_ivf_index,
+        start_maxsim_ivf_upsert_stream,
+    )
+
+    td = 8
+    mv = emb.select(
+        "vec_id",
+        F.transform(F.sequence(F.lit(0), F.lit(7)),
+                    lambda i: F.slice(F.col("embedding")
+                                      .cast("array<double>"),
+                                      i * td + 1, td)).alias("mv")).cache()
+    batch_idx = build_maxsim_ivf(mv, n_clusters=8, mv_col="mv",
+                                 id_col="vec_id")
+    cents = batch_idx.centroids
+    inv = persist_maxsim_ivf_points(
+        persist_maxsim_ivf(batch_idx, str(tmp_path / "tok")),
+        str(tmp_path / "inv"))
+
+    src_dir = str(tmp_path / "mv_src")
+    mv.repartitionByRange(2, "vec_id").write.parquet(src_dir)
+    stream = (spark.readStream.schema(mv.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    sink = MaxSimInvlistSink(spark, str(tmp_path / "invtable"),
+                             id_col="vec_id")
+    q = start_maxsim_ivf_upsert_stream(
+        stream, sink, cents,
+        checkpoint_dir=str(tmp_path / "ckpt"), mv_col="mv")
+    q.awaitTermination()
+
+    live = live_maxsim_ivf_index(sink, cents, mv_col="mv")
+    # same copy multiset as the batch layout
+    assert live.clustered_points.count() == inv.clustered_points.count()
+    qmv = [list(t) for t in mv.limit(1).collect()[0]["mv"]]
+    for npb in (2, 8):
+        want = [(r["vec_id"], round(r["score"], 9))
+                for r in maxsim_knn_ivf(inv, qmv, k=5, nprobe=npb,
+                                        metric="dot").collect()]
+        got = [(r["vec_id"], round(r["score"], 9))
+               for r in maxsim_knn_ivf(live, qmv, k=5, nprobe=npb,
+                                       metric="dot").collect()]
+        assert got == want, npb
+    # the live probe is file-level pruning, like the batch layout
+    plan = maxsim_knn_ivf(live, qmv, k=5, nprobe=1, metric="dot") \
+        ._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert re.search(r"PartitionFilters: \[[^\]]*__cluster[^\]]*IN", plan)
+
+    # update one doc's vectors through the stream: fresh scores, no
+    # stale frozen copies (the r13 ADVICE scenario, solved structurally)
+    row0 = mv.limit(1).collect()[0]
+    upd = spark.createDataFrame(
+        [(int(row0["vec_id"]),
+          [[float(x) * 3.0 for x in t] for t in row0["mv"]])],
+        mv.schema)
+    upd.coalesce(1).write.mode("append").parquet(src_dir)
+    q = start_maxsim_ivf_upsert_stream(
+        stream, sink, cents,
+        checkpoint_dir=str(tmp_path / "ckpt"), mv_col="mv")
+    q.awaitTermination()
+    live2 = live_maxsim_ivf_index(sink, cents, mv_col="mv")
+    assert live2.points.count() == mv.count()  # replaced, not appended
+    mv2 = mv.filter(F.col("vec_id") != int(row0["vec_id"])) \
+        .unionByName(upd)
+    want2 = [(r["vec_id"], round(r["score"], 9))
+             for r in maxsim_knn(mv2, qmv, k=5, metric="dot",
+                                 mv_col="mv", id_col="vec_id").collect()]
+    got2 = [(r["vec_id"], round(r["score"], 9))
+            for r in maxsim_knn_ivf(live2, qmv, k=5, nprobe=8,
+                                    metric="dot").collect()]
+    assert got2 == want2
