@@ -2969,6 +2969,175 @@ def _q_maxsim_invlist(spark: SparkSession, sf: str) -> DataFrame:
     return _r6(out.select("vec_id", "score"), "score")
 
 
+def _q_maxsim_codes_invlist(spark: SparkSession, sf: str) -> DataFrame:
+    """COMPOSED pruned+quantized MaxSim over the CODES invlist (r14,
+    persist_maxsim_quant_codes): the quantized token codes stored once
+    per distinct (doc, token cluster) and partitioned by cluster, so the
+    composed coarse stage reads ONLY the probed clusters' code FILES —
+    no flat-codes semi-join, no separate token-table membership scan
+    (the r13 decode-dominance fix applied to the narrow side of the
+    ladder; same ColBERTv2/PLAID posting lineage as the float invlist).
+    Duplicated code copies score identically and dedup inside the coarse
+    kernel. Full probe + ample oversampling + exact rescore makes the
+    answer equal the exact MaxSim scan, which the oracle recomputes; the
+    dedup contract is what's under test."""
+    import tempfile
+
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_ivf, build_maxsim_sq, maxsim_knn_quant_ivf,
+        persist_maxsim_ivf, persist_maxsim_quant_codes,
+    )
+
+    emb = _emb(spark, sf)
+    q = _vecs(spark, sf, [0])[0]
+    q_mv = [q[i * 8:(i + 1) * 8] for i in range(8)]
+    d_mv = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.slice(F.col("embedding").cast("array<double>"), i * 8 + 1, 8),
+    )
+    pts = emb.select("vec_id", d_mv.alias("mv"))
+    root = tempfile.mkdtemp(prefix="entry_mscodes_")
+    idx = persist_maxsim_ivf(
+        build_maxsim_ivf(pts, n_clusters=8, mv_col="mv", id_col="vec_id"),
+        f"{root}/tokens")
+    qidx = build_maxsim_sq(pts, mv_col="mv", id_col="vec_id")
+    inv = persist_maxsim_quant_codes(idx, qidx, f"{root}/codes")
+    out = maxsim_knn_quant_ivf(inv, qidx, q_mv, k=10, nprobe=8,
+                               metric="dot", oversampling=8.0)
+    return _r6(out.select("vec_id", "score"), "score")
+
+
+def _q_maxsim_invlist_loaded(spark: SparkSession, sf: str) -> DataFrame:
+    """The invlist through the FULL persist/load lifecycle (r14 — the
+    r13 layout evaporated on reload/ensure because only direct
+    persist_maxsim_ivf_points callers got it): a collection DECLARES
+    clustered_points in its vector index params, the first client
+    builds create→ensure→query, a second client over the same root
+    re-ingests the same content and the ensure LOADS (the one-pass
+    content probe proves the rewritten parquet identical and re-stamps
+    the file signature — no re-cluster, no stale floats), keeping the
+    partition-pruned invlist route. Full probe + threshold 0 equals the
+    exact MaxSim scan over the 500-row slice (oracle recomputes)."""
+    import tempfile
+
+    from qdrant_spark.client import QdrantSparkClient
+
+    rows = _emb_rows500(spark, sf)
+    dim = len(rows[0]["embedding"])
+    td = dim // 8
+    root = tempfile.mkdtemp(prefix="entry_msinvload_")
+    cfg = {"late": {"size": td, "distance": "Dot",
+                    "multivector_config": {"comparator": "max_sim"},
+                    "index": {"n_clusters": 8, "nprobe": 8,
+                              "full_scan_threshold": 0,
+                              "clustered_points": True}}}
+    pts = [{"id": int(r["vec_id"]),
+            "vector": {"late": [[float(x) for x in
+                                 r["embedding"][i * td:(i + 1) * td]]
+                                for i in range(8)]}} for r in rows]
+
+    c1 = QdrantSparkClient(spark, root=root)
+    c1.create_collection("entry_msinv_loaded", vectors_config=cfg)
+    c1.upsert("entry_msinv_loaded", pts)
+    assert c1.ensure_vector_index("entry_msinv_loaded", using="late",
+                                  indexing_threshold=0) == "built"
+
+    c2 = QdrantSparkClient(spark, root=root)  # "restarted session"
+    c2.create_collection("entry_msinv_loaded", vectors_config=cfg)
+    c2.upsert("entry_msinv_loaded", pts)
+    assert c2.ensure_vector_index("entry_msinv_loaded", using="late",
+                                  indexing_threshold=0) == "loaded"
+    route = c2._coll("entry_msinv_loaded").mv_idx["late"]
+    assert route.index.clustered_points is not None  # layout survived
+    q = [[float(x) for x in rows[0]["embedding"][i * td:(i + 1) * td]]
+         for i in range(8)]
+    res = c2.query_points("entry_msinv_loaded", query=q, using="late",
+                          limit=10, with_payload=False)
+    return spark.createDataFrame(
+        [(p.id, round(p.score, 6)) for p in res.points],
+        "vec_id long, score double")
+
+
+_MAXSIM_500_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+           WHERE vec_id < 500),
+q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id, qi.i AS qi,
+         max(list_dot_product(q.qv[qi.i * 8 + 1 : qi.i * 8 + 8],
+                              e.v[di.i * 8 + 1 : di.i * 8 + 8])) AS m
+  FROM e, q, generate_series(0, 7) qi(i), generate_series(0, 7) di(i)
+  GROUP BY e.vec_id, qi.i),
+t AS (SELECT vec_id, sum(m) AS score FROM s GROUP BY vec_id)
+SELECT vec_id, round(t.score, 6) AS score FROM t ORDER BY t.score DESC, vec_id LIMIT 10
+"""
+
+
+def _q_quant_ivf_loaded(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed quantization x IVF through the PERSIST/LOAD lifecycle
+    (r14 — r13 VERDICT #2: load_quant_ivf_index silently dropped the
+    cluster-partitioned float layout, so every reloaded composed index
+    re-paid the full-table decode): the first client builds (the ensure
+    now persists the IVF's floats partitioned by cluster next to the
+    codes), a second client over the same root re-ingests the same
+    content and LOADS — content probe re-stamps the rewritten parquet's
+    signature — and the restored handle carries clustered_full, so the
+    exact rescore reads only the probed clusters' FILES. Full probe +
+    ample oversampling equals the exact cosine scan over the 500-row
+    slice (oracle recomputes); the partial-probe plan assert lives in
+    tests/test_quant_ivf.py."""
+    import tempfile
+
+    from qdrant_spark.client import QdrantSparkClient
+
+    rows = _emb_rows500(spark, sf)
+    dim = len(rows[0]["embedding"])
+    root = tempfile.mkdtemp(prefix="entry_qivfload_")
+    pts = [{"id": int(r["vec_id"]),
+            "vector": [float(x) for x in r["embedding"]]} for r in rows]
+
+    def mk():
+        c = QdrantSparkClient(spark, root=root)
+        c.create_collection(
+            "entry_qivf_loaded",
+            vectors_config={"size": dim, "distance": "Cosine"},
+            quantization_config={"scalar": {"type": "int8",
+                                            "full_scan_threshold": 0}})
+        c.upsert("entry_qivf_loaded", pts)
+        return c
+
+    c1 = mk()
+    assert c1.ensure_vector_index("entry_qivf_loaded", n_clusters=8,
+                                  nprobe=8,
+                                  indexing_threshold=0) == "built"
+    c2 = mk()  # "restarted session": same root, re-ingested content
+    assert c2.ensure_vector_index("entry_qivf_loaded", n_clusters=8,
+                                  nprobe=8,
+                                  indexing_threshold=0) == "loaded"
+    qih = c2._coll("entry_qivf_loaded").quant_ivf[""]
+    assert qih.clustered_full is not None  # the layout survived reload
+    q = [float(x) for x in rows[7]["embedding"]]
+    res = c2.query_points(
+        "entry_qivf_loaded", query=q, limit=10, with_payload=False,
+        search_params={"quantization": {"rescore": True,
+                                        "oversampling": 8.0}})
+    return spark.createDataFrame(
+        [(p.id, round(p.score, 6)) for p in res.points],
+        "vec_id long, score double")
+
+
+_QUANT_IVF_LOADED_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 7),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+      WHERE vec_id < 500)
+SELECT e.vec_id,
+       round(list_dot_product(e.v, q.qv) /
+             (sqrt(list_dot_product(e.v, e.v)) *
+              sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+FROM e, q ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
 def _q_quantized_batch(spark: SparkSession, sf: str) -> DataFrame:
     """Batched quantized search through the client (r10): >=2 unfiltered
     dense requests on the scalar-quantized default vector are answered
@@ -4378,65 +4547,68 @@ def entry(spark: SparkSession) -> DataFrame:
 # drops to the back). Keep rotating each round so no entry's driver row
 # goes more than ~2 rounds stale.
 _GATE_PRIORITY = [
-    # round-13 head: the 3 entries that landed after the r12 rotation
-    # was pinned (never driver-gated; locally oracle-verified in r12 and
-    # again in r13), then 47 of the 50-entry r10-stale cohort. The 3
-    # deferred r10 entries — dedup_minhash_sig, universal_groups_indexed,
-    # quantized_bq2_rescore — each have a green sibling on the same route
-    # (dedup_lsh_pairs, universal_groups, quantized_bq_rescore), are
-    # locally re-verified this round, and head the r14 rotation.
-    "maxsim_batch_kinds",
-    "maxsim_sq_filtered",
-    "facet_int_filtered",
-    "maxsim_invlist",
-    # --- r10-stale cohort (46 of 50; multimodal_ppm deferred with its
-    # green sibling multimodal_wav gated, locally re-verified) ---
-    "ann_ivf",
-    "ann_ivf_pq_incremental",
-    "chunk_docs",
-    "client_query_points",
-    "corpus_stats",
-    "decontaminate",
-    "dedup_exact",
-    "dedup_lsh_cross",
-    "dedup_lsh_pairs",
-    "dedup_ngram_jaccard",
-    "embedding_project",
-    "filter_has_id",
-    "filter_is_empty",
-    "filter_is_null",
-    "filter_phrase",
-    "filter_slice",
-    "filter_text_stopworded",
-    "filter_values_count",
-    "fingerprint",
-    "geo_bbox_wrap",
-    "geo_polygon",
-    "geo_radius",
-    "gopher_quality",
-    "knn_auto_filtered",
-    "lang_detect",
-    "maxsim_knn_indexed",
-    "maxsim_planned",
-    "mmr",
-    "multimodal_wav",
-    "ngram_counts",
-    "pack_sequences",
-    "paragraph_dedup",
-    "payload_json_path",
-    "pii_scan",
-    "quantized_batch",
-    "quantized_bq_rescore",
-    "quantized_planned",
-    "sparse_idf_by_id",
-    "sparse_knn_persisted",
-    "stratified_quota",
-    "stratified_sample",
-    "substring_dup_spans",
-    "text_quality",
-    "token_counts",
-    "universal_groups",
-    "weighted_sample",
+    # round-14 head: the 3 entries new this round (the invlist/composed
+    # lifecycle work), then the 4 r10-stale deferrals (each has a green
+    # same-route sibling and passed local re-runs in r13 AND r14), then
+    # 43 of the 50-entry r11-stale cohort. The 7 deferred r11 entries —
+    # ann_ivf_full_probe, ann_ivf_batch, ann_ivf_pq_batch,
+    # ann_ivf_pq_rescore, maxsim, maxsim_knn, maxsim_sq_batch — each
+    # have an r13-green sibling on the same route (ann_ivf,
+    # ann_ivf_pq_incremental, maxsim_invlist/maxsim_planned,
+    # maxsim_knn_indexed, maxsim_batch_kinds), are locally re-verified
+    # this round, and head the r15 rotation.
+    "maxsim_invlist_loaded",
+    "maxsim_codes_invlist",
+    "quant_ivf_loaded",
+    # --- r10-stale deferrals (head of the carried backlog) ---
+    "dedup_minhash_sig",
+    "universal_groups_indexed",
+    "quantized_bq2_rescore",
+    "multimodal_ppm",
+    # --- r11-stale cohort (43 of 50; 7 deferred as documented above) ---
+    "c4_line_filter",
+    "context",
+    "count_approx",
+    "count_filtered",
+    "dedup_components",
+    "dedup_embedding",
+    "dedup_resolve",
+    "dedup_simhash",
+    "delete_by_filter",
+    "discover",
+    "distance_matrix",
+    "dsir_weights",
+    "facet_estimate",
+    "facet_event_type",
+    "facet_lang",
+    "filter_dsl_orders",
+    "filter_has_vector",
+    "filter_jsonpath_array",
+    "filter_min_should",
+    "filter_nested",
+    "filter_phrase_indexed",
+    "filter_prefix",
+    "filter_text_all",
+    "filter_text_any",
+    "formula_rescore",
+    "fusion_dbsf",
+    "fusion_rrf",
+    "geo_indexed_radius",
+    "group_by",
+    "group_by_lookup",
+    "knn_acorn_filtered",
+    "maxsim_bq",
+    "maxsim_sq",
+    "maxsim_sq_planned",
+    "quantized_batch_kinds",
+    "quantized_bq_asym",
+    "quantized_ivf_planned",
+    "quantized_sq_rescore",
+    "query_by_id",
+    "recommend_best_score",
+    "recommend_multi_ids",
+    "sparse_knn_batch_indexed",
+    "sparse_knn_planned",
 ]
 
 
@@ -4499,6 +4671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_knn": _q_maxsim_knn,
         "maxsim_knn_indexed": _q_maxsim_knn_indexed,
         "maxsim_invlist": _q_maxsim_invlist,
+        "maxsim_invlist_loaded": _q_maxsim_invlist_loaded,
+        "maxsim_codes_invlist": _q_maxsim_codes_invlist,
+        "quant_ivf_loaded": _q_quant_ivf_loaded,
         "maxsim_planned": _q_maxsim_planned,
         "maxsim_sq": _q_maxsim_sq,
         "maxsim_bq": _q_maxsim_bq,
@@ -4662,6 +4837,9 @@ def oracle_sql() -> dict[str, str]:
         "maxsim_knn": _MAXSIM_SQL,
         "maxsim_knn_indexed": _MAXSIM_SQL,
         "maxsim_invlist": _MAXSIM_SQL,
+        "maxsim_invlist_loaded": _MAXSIM_500_SQL,
+        "maxsim_codes_invlist": _MAXSIM_SQL,
+        "quant_ivf_loaded": _QUANT_IVF_LOADED_SQL,
         "maxsim_sq": _MAXSIM_SQL,
         "maxsim_bq": _MAXSIM_SQL,
         "maxsim_pq": _MAXSIM_SQL,

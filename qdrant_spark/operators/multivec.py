@@ -136,6 +136,15 @@ class MaxSimIvf:
     #: decodes every row's tokens; decode dominated the pruned route at
     #: 2M docs). The PLAID/ColBERTv2 posting layout.
     clustered_points: DataFrame | None = None
+    #: optional invlist layout of the composed route's token CODES from
+    #: :func:`persist_maxsim_quant_codes`: one (id, code) row per
+    #: distinct (doc, token cluster), partitioned by ``__cluster`` — the
+    #: composed coarse stage then reads ONLY the probed clusters' code
+    #: FILES instead of semi-joining the flat codes table (the r13
+    #: decode-dominance finding applied to the narrow side; the win is
+    #: smaller than the float invlist's but the same shape). Only the
+    #: composed route (maxsim_knn_quant_ivf) reads it.
+    clustered_codes: DataFrame | None = None
 
 
 #: Exact-vs-pruned crossover for a ROUTED MaxSim leaf, in DOCS. The bench
@@ -274,6 +283,30 @@ def persist_maxsim_ivf_points(index: MaxSimIvf, path: str) -> MaxSimIvf:
     from dataclasses import replace
 
     return replace(index, clustered_points=spark.read.parquet(path))
+
+
+def persist_maxsim_quant_codes(index: MaxSimIvf, qidx,
+                               path: str) -> MaxSimIvf:
+    """Materialize the composed route's CODES invlist: the quantized
+    token codes (any kind — the qidx's code frame) joined to their
+    distinct (id, __cluster) memberships and parquet-partitioned by
+    ``__cluster``, one copy per distinct cluster a doc's tokens hit.
+    The composed coarse stage (:func:`maxsim_knn_quant_ivf`) then reads
+    ONLY the probed clusters' code FILES — membership needs no separate
+    token-table scan and the flat-codes semi-join disappears (the same
+    layout treatment r13 gave the float rescore side; reference lineage
+    is the same ColBERTv2/PLAID posting layout, code-width compressed).
+    Duplicate copies score identically and dedup inside the coarse
+    kernel. Returns the route index re-pointed at the layout."""
+    from dataclasses import replace
+
+    dup = index.tokens.select(index.id_col, "__cluster").distinct()
+    if index.id_col != qidx.id_col:
+        dup = dup.withColumnRenamed(index.id_col, qidx.id_col)
+    (qidx.codes.join(dup, qidx.id_col)
+        .write.mode("overwrite").partitionBy("__cluster").parquet(path))
+    spark = qidx.codes.sparkSession
+    return replace(index, clustered_codes=spark.read.parquet(path))
 
 
 def maxsim_knn_ivf(
@@ -456,18 +489,45 @@ def maxsim_knn_quant_ivf(
 
     if metric not in ("dot", "cosine"):
         raise ValueError("maxsim supports dot/cosine")
-    cand_ids = _maxsim_ivf_candidates(route, query_multivector,
-                                      nprobe=nprobe, metric=metric,
-                                      candidates=candidates)
-    pruned = replace(
-        qidx, codes=_semi_join_candidates(qidx.codes, cand_ids,
-                                          qidx.id_col,
-                                          bounded=candidates is not None))
+    coarse_dedup = False
+    if route.clustered_codes is not None:
+        # CODES invlist (r14): the probed partitions' code FILES are
+        # exactly the membership candidates — no token-table scan, no
+        # flat-codes semi-join; a PLAID cap still ranks candidates at
+        # centroid resolution and broadcasts the bounded id cut
+        probes = _probe_clusters(route, query_multivector,
+                                 nprobe=nprobe, metric=metric)
+        src = (route.clustered_codes
+               .filter(F.col("__cluster").isin(probes))
+               .drop("__cluster"))
+        if candidates is not None:
+            cand_ids = _maxsim_ivf_candidates(
+                route, query_multivector, nprobe=nprobe, metric=metric,
+                candidates=candidates)
+            if route.id_col != qidx.id_col:
+                cand_ids = cand_ids.withColumnRenamed(route.id_col,
+                                                      qidx.id_col)
+            src = src.join(F.broadcast(cand_ids), qidx.id_col,
+                           "left_semi")
+        pruned = replace(qidx, codes=src)
+        coarse_dedup = True  # one code copy per (doc, probed cluster)
+    else:
+        cand_ids = _maxsim_ivf_candidates(route, query_multivector,
+                                          nprobe=nprobe, metric=metric,
+                                          candidates=candidates)
+        if route.id_col != qidx.id_col:
+            cand_ids = cand_ids.withColumnRenamed(route.id_col,
+                                                  qidx.id_col)
+        pruned = replace(
+            qidx, codes=_semi_join_candidates(
+                qidx.codes, cand_ids, qidx.id_col,
+                bounded=candidates is not None))
     over = float(qidx.oversampling if oversampling is None
                  else oversampling)
     n_coarse = max(k, int(np.ceil(k * over)))
     coarse = maxsim_quant_coarse_batch(pruned, [query_multivector],
-                                       n_coarse, metric=metric)
+                                       n_coarse, metric=metric,
+                                       dedup_ids=coarse_dedup)
     if not rescore:
         return (coarse.filter(F.col("rank") <= k)
                 .orderBy("rank").select(qidx.id_col, "score"))
@@ -1333,7 +1393,8 @@ def encode_maxsim(index, points: DataFrame) -> DataFrame:
 
 
 def maxsim_quant_coarse_batch(index, queries: Sequence[Sequence[Sequence[float]]],
-                              k: int, *, metric: str = "dot") -> DataFrame:
+                              k: int, *, metric: str = "dot",
+                              dedup_ids: bool = False) -> DataFrame:
     """ONE coarse scan answering a BATCH of multivector queries over
     quantized token storage of ANY kind (:class:`MaxSimSq` int8 codes,
     :class:`MaxSimBq` packed bits, :class:`MaxSimPq` codebook indices,
@@ -1346,7 +1407,14 @@ def maxsim_quant_coarse_batch(index, queries: Sequence[Sequence[Sequence[float]]
     window makes the per-query (score desc, id) ranking exact. Returns
     (__qid, id, score, rank<=k). The reference's batch dispatch walks
     quantized storage once for the whole batch the same way
-    (lib/segment/src/vector_storage/quantized/)."""
+    (lib/segment/src/vector_storage/quantized/).
+
+    ``dedup_ids``: the codes frame is an INVLIST layout holding one
+    identical-scoring copy per (doc, cluster) — dedup ids INSIDE each
+    Arrow batch before the per-batch cut (copies from different
+    partitions can coalesce into one batch; two copies of one doc must
+    not occupy two of its kk slots and push a distinct doc out) and
+    once more across batches on the narrow (qid, id) frame."""
     from pyspark.sql.window import Window
 
     code_cols, Qtoks, decode, offsets = _mv_quant_prep(index, queries,
@@ -1407,7 +1475,15 @@ def maxsim_quant_coarse_batch(index, queries: Sequence[Sequence[Sequence[float]]
                 else np.concatenate(blocks, axis=1)     # (docs, qtokens)
             scores = np.add.reduceat(M, qs, axis=1)     # (docs, queries)
             scores = scores + offs  # per-query affine part (asym BQ)
-            kk = min(k, n)
+            if dedup_ids:
+                # invlist copies score identically — keep one per doc
+                # BEFORE the cut so copies can't crowd out distinct docs
+                _, keep = np.unique(ids, return_index=True)
+                if len(keep) < n:
+                    ids = ids[keep]
+                    scores = scores[keep]
+                    n = len(keep)
+            kk = min(k, n)  # dedup'd batch size
             if kk < n:
                 # per-batch top-k must follow the SAME total order as
                 # the final window — (score desc, id asc) — or tied
@@ -1438,6 +1514,10 @@ def maxsim_quant_coarse_batch(index, queries: Sequence[Sequence[Sequence[float]]
             )
 
     scored = sel.mapInArrow(score_batches, out_schema)
+    if dedup_ids:
+        # copies in DIFFERENT batches survive the kernel dedup; scores
+        # are identical, so dedup the narrow (qid, id, score) frame
+        scored = scored.dropDuplicates(["__qid", id_col])
     w = Window.partitionBy("__qid").orderBy(
         F.col("score").desc(), F.col(id_col).asc())
     return (scored.withColumn("rank", F.row_number().over(w))

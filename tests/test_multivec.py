@@ -1748,3 +1748,56 @@ def test_client_invlist_lifecycle(spark, embeddings, tmp_path):
                              search_params={"exact": True})
     assert [(p.id, round(p.score, 9)) for p in routed4.points] == \
         [(p.id, round(p.score, 9)) for p in exact4.points]
+
+
+def test_maxsim_quant_ivf_codes_invlist_matches_flat(mv_points, q_mv,
+                                                     tmp_path):
+    """The composed route's CODES invlist (r14): codes stored once per
+    distinct (doc, token cluster), partitioned by cluster — the coarse
+    stage reads ONLY the probed clusters' code FILES (PartitionFilters,
+    no flat-codes semi-join, and membership needs no separate token
+    scan). Results equal the flat composed path bit-for-bit on the
+    membership and PLAID-capped paths, for scalar and binary kinds."""
+    import re
+
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_bq, build_maxsim_ivf, build_maxsim_sq,
+        maxsim_knn_quant_ivf, persist_maxsim_ivf,
+        persist_maxsim_quant_codes,
+    )
+
+    idx = persist_maxsim_ivf(
+        build_maxsim_ivf(mv_points, n_clusters=8, mv_col="mv",
+                         id_col="vec_id"),
+        str(tmp_path / "tokens"))
+    for kind, qidx in (
+            ("sq", build_maxsim_sq(mv_points, mv_col="mv",
+                                   id_col="vec_id")),
+            ("bq", build_maxsim_bq(mv_points, mv_col="mv",
+                                   id_col="vec_id"))):
+        inv = persist_maxsim_quant_codes(
+            idx, qidx, str(tmp_path / f"codes_{kind}"))
+        assert inv.clustered_codes is not None
+        for cap in (None, 50):
+            for npb in (2, 8):
+                flat = [(r["vec_id"], round(r["score"], 9))
+                        for r in maxsim_knn_quant_ivf(
+                            idx, qidx, q_mv, k=10, nprobe=npb,
+                            metric="dot", candidates=cap,
+                            oversampling=6.0).collect()]
+                got = [(r["vec_id"], round(r["score"], 9))
+                       for r in maxsim_knn_quant_ivf(
+                           inv, qidx, q_mv, k=10, nprobe=npb,
+                           metric="dot", candidates=cap,
+                           oversampling=6.0).collect()]
+                assert got == flat, (kind, cap, npb)
+
+    # plan: the coarse scan partition-prunes on __cluster and the
+    # membership stage needs no token-table scan (uncapped path)
+    qidx = build_maxsim_sq(mv_points, mv_col="mv", id_col="vec_id")
+    inv = persist_maxsim_quant_codes(idx, qidx, str(tmp_path / "codes_p"))
+    out = maxsim_knn_quant_ivf(inv, qidx, q_mv, k=10, nprobe=1,
+                               metric="dot", oversampling=6.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*__cluster[^\]]*IN", plan)
+    assert "SortMergeJoin" not in plan
