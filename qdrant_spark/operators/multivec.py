@@ -275,7 +275,16 @@ def persist_maxsim_ivf_points(index: MaxSimIvf, path: str) -> MaxSimIvf:
     membership pruning alone saved BLAS but not IO (measured: no win at
     2M docs until this layout). Candidates stay exact: a doc is scored
     off any stored copy (identical score) and deduped on the narrow
-    (id, score) frame."""
+    (id, score) frame.
+
+    The layout FREEZES the float corpus at persist time: the invlist
+    route scores these stored copies while the flat route reads the
+    live ``points`` frame, so an in-place vector mutation makes the two
+    routes diverge until the layout re-persists. Lifecycle callers go
+    through ``plans.maintenance.ensure_maxsim_index`` whose
+    ``corpus_signature`` + content probe rebuilds on count-stable
+    drift; the streaming twin (streaming.serve.MaxSimInvlistSink)
+    rewrites copies in the same commit and cannot go stale."""
     dup = index.tokens.select(index.id_col, "__cluster").distinct()
     (index.points.join(dup, index.id_col)
         .write.mode("overwrite").partitionBy("__cluster").parquet(path))
