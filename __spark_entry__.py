@@ -3012,12 +3012,13 @@ def _q_maxsim_invlist_loaded(spark: SparkSession, sf: str) -> DataFrame:
     r13 layout evaporated on reload/ensure because only direct
     persist_maxsim_ivf_points callers got it): a collection DECLARES
     clustered_points in its vector index params, the first client
-    builds create→ensure→query, a second client over the same root
-    re-ingests the same content and the ensure LOADS (the one-pass
-    content probe proves the rewritten parquet identical and re-stamps
-    the file signature — no re-cluster, no stale floats), keeping the
-    partition-pruned invlist route. Full probe + threshold 0 equals the
-    exact MaxSim scan over the 500-row slice (oracle recomputes)."""
+    builds create→ensure→query; a second client over the same root
+    REOPENS the persisted points snapshot (no re-upsert — r14: the
+    client reattaches the committed parquet on create, the reference's
+    collection-open-from-disk posture) and its ensure LOADS the invlist
+    from the matching meta with no corpus pass, keeping the
+    partition-pruned route. Full probe + threshold 0 equals the exact
+    MaxSim scan over the 500-row slice (oracle recomputes)."""
     import tempfile
 
     from qdrant_spark.client import QdrantSparkClient
@@ -3044,7 +3045,8 @@ def _q_maxsim_invlist_loaded(spark: SparkSession, sf: str) -> DataFrame:
 
     c2 = QdrantSparkClient(spark, root=root)  # "restarted session"
     c2.create_collection("entry_msinv_loaded", vectors_config=cfg)
-    c2.upsert("entry_msinv_loaded", pts)
+    # no re-upsert: create reopened the persisted snapshot
+    assert c2.count("entry_msinv_loaded").count == len(pts)
     assert c2.ensure_vector_index("entry_msinv_loaded", using="late",
                                   indexing_threshold=0) == "loaded"
     route = c2._coll("entry_msinv_loaded").mv_idx["late"]
@@ -3079,9 +3081,10 @@ def _q_quant_ivf_loaded(spark: SparkSession, sf: str) -> DataFrame:
     cluster-partitioned float layout, so every reloaded composed index
     re-paid the full-table decode): the first client builds (the ensure
     now persists the IVF's floats partitioned by cluster next to the
-    codes), a second client over the same root re-ingests the same
-    content and LOADS — content probe re-stamps the rewritten parquet's
-    signature — and the restored handle carries clustered_full, so the
+    codes), a second client over the same root REOPENS the persisted
+    points snapshot (no re-upsert — the client reattaches the committed
+    parquet on create, r14) and LOADS from the matching meta, and the
+    restored handle carries clustered_full, so the
     exact rescore reads only the probed clusters' FILES. Full probe +
     ample oversampling equals the exact cosine scan over the 500-row
     slice (oracle recomputes); the partial-probe plan assert lives in
@@ -3096,21 +3099,23 @@ def _q_quant_ivf_loaded(spark: SparkSession, sf: str) -> DataFrame:
     pts = [{"id": int(r["vec_id"]),
             "vector": [float(x) for x in r["embedding"]]} for r in rows]
 
-    def mk():
+    def mk(ingest: bool):
         c = QdrantSparkClient(spark, root=root)
         c.create_collection(
             "entry_qivf_loaded",
             vectors_config={"size": dim, "distance": "Cosine"},
             quantization_config={"scalar": {"type": "int8",
                                             "full_scan_threshold": 0}})
-        c.upsert("entry_qivf_loaded", pts)
+        if ingest:
+            c.upsert("entry_qivf_loaded", pts)
         return c
 
-    c1 = mk()
+    c1 = mk(ingest=True)
     assert c1.ensure_vector_index("entry_qivf_loaded", n_clusters=8,
                                   nprobe=8,
                                   indexing_threshold=0) == "built"
-    c2 = mk()  # "restarted session": same root, re-ingested content
+    c2 = mk(ingest=False)  # "restart": create reopens the snapshot
+    assert c2.count("entry_qivf_loaded").count == len(pts)
     assert c2.ensure_vector_index("entry_qivf_loaded", n_clusters=8,
                                   nprobe=8,
                                   indexing_threshold=0) == "loaded"

@@ -499,7 +499,18 @@ class QdrantSparkClient:
                           sharding=("custom" if sharding_method == "custom"
                                     else None))
         self._colls[collection_name] = col
-        # registered lazily so alias checks see it; real df arrives on upsert
+        # registered lazily so alias checks see it; real df arrives on
+        # upsert — or, with a storage root, from the PERSISTED snapshot a
+        # previous session committed: the reference reopens collections
+        # from disk on restart (segment load on collection open), and at
+        # scale "re-upsert everything after every restart" is not a
+        # lifecycle. The reopened frame is the same parquet every
+        # mutation swaps (_commit), so ensure_vector_index's signature
+        # check sees the unchanged files and takes its no-scan LOAD path.
+        if self.root is not None:
+            ppath = os.path.join(self.root, collection_name, "points")
+            if os.path.isdir(ppath):
+                col.df = self.spark.read.parquet(ppath)
         self.catalog.register(collection_name, lambda: col.df)
         if strict_mode_config is not None:
             if not isinstance(strict_mode_config, StrictModeConfig):

@@ -1615,3 +1615,45 @@ def test_set_payload_widens_int_column_to_double(spark):
     got = {p.id: p.payload["num"] for p in c.retrieve("widen", [1, 2])}
     assert got[1] == 0.5       # the float survives
     assert got[2] == 7.0       # untouched rows widen losslessly
+
+
+def test_client_reopens_persisted_collection(spark, tmp_path):
+    """A client with a storage root REOPENS a previously committed
+    points snapshot on create_collection (r14 — the reference reopens
+    collections from disk on restart; at scale 're-upsert everything
+    after every restart' is not a lifecycle): points, payload
+    hydration, filters, and further mutations all work on the reopened
+    frame without any re-ingest."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    root = str(tmp_path / "store")
+    c1 = QdrantSparkClient(spark, root=root)
+    c1.create_collection("reopen",
+                         vectors_config={"size": 4, "distance": "Dot"})
+    c1.upsert("reopen", [
+        {"id": i, "vector": [float(i), 1.0, 0.0, 0.5],
+         "payload": {"grp": "a" if i % 2 else "b"}} for i in range(20)])
+
+    c2 = QdrantSparkClient(spark, root=root)
+    c2.create_collection("reopen",
+                         vectors_config={"size": 4, "distance": "Dot"})
+    assert c2.count("reopen").count == 20  # reopened, no upsert
+    res = c2.query_points("reopen", query=[1.0, 0.0, 0.0, 0.0], limit=3)
+    assert [p.id for p in res.points] == [19, 18, 17]
+    assert res.points[0].payload["grp"] == "a"
+    flt = c2.count("reopen", count_filter={
+        "must": [{"key": "grp", "match": {"value": "b"}}]})
+    assert flt.count == 10
+    # mutations continue from the reopened state
+    c2.delete("reopen", points_selector=[0, 1, 2, 3])
+    assert c2.count("reopen").count == 16
+    # a THIRD session sees the post-mutation snapshot
+    c3 = QdrantSparkClient(spark, root=root)
+    c3.create_collection("reopen",
+                         vectors_config={"size": 4, "distance": "Dot"})
+    assert c3.count("reopen").count == 16
+    # without a root, create still starts empty
+    c4 = QdrantSparkClient(spark)
+    c4.create_collection("reopen",
+                         vectors_config={"size": 4, "distance": "Dot"})
+    assert c4.count("reopen").count == 0
