@@ -34,14 +34,21 @@ class ParquetPointsSink:
 
     Layout: ``table_dir/_v<N>`` snapshot directories + ``table_dir/CURRENT``
     pointer file — readers always see a complete snapshot (poor-man's
-    transaction log; swap is a one-line file write)."""
+    transaction log; swap is a one-line file write).
+
+    ``partition_cols`` commits each snapshot parquet-PARTITIONED by the
+    given columns — the persisted layout the cluster-pruned search
+    routes turn into file-level PartitionFilters (index-maintaining
+    sinks set ``("__cluster",)``)."""
 
     def __init__(self, spark: SparkSession, table_dir: str, *,
-                 id_col: str = "id", version_col: str | None = None):
+                 id_col: str = "id", version_col: str | None = None,
+                 partition_cols: tuple[str, ...] = ()):
         self.spark = spark
         self.table_dir = table_dir
         self.id_col = id_col
         self.version_col = version_col
+        self.partition_cols = tuple(partition_cols)
         os.makedirs(table_dir, exist_ok=True)
 
     # -- snapshot plumbing ---------------------------------------------------
@@ -61,7 +68,10 @@ class ParquetPointsSink:
     def _commit(self, df: DataFrame, batch_id: int) -> None:
         name = f"_v{batch_id}"
         out = os.path.join(self.table_dir, name)
-        df.write.mode("overwrite").parquet(out)
+        w = df.write.mode("overwrite")
+        if self.partition_cols:
+            w = w.partitionBy(*self.partition_cols)
+        w.parquet(out)
         with open(os.path.join(self.table_dir, "CURRENT"), "w") as f:
             f.write(name)
         # retire old snapshots (keep the previous one for in-flight readers)

@@ -309,20 +309,9 @@ class MaxSimInvlistSink(SparsePairsSink):
     does not arise here: an update rewrites the copies in the same
     commit."""
 
-    def _commit(self, df: DataFrame, batch_id: int) -> None:
-        import os
-        import shutil
-
-        name = f"_v{batch_id}"
-        out = os.path.join(self.table_dir, name)
-        df.write.mode("overwrite").partitionBy("__cluster").parquet(out)
-        with open(os.path.join(self.table_dir, "CURRENT"), "w") as f:
-            f.write(name)
-        keep = {name, f"_v{batch_id - 1}"}
-        for d in os.listdir(self.table_dir):
-            if d.startswith("_v") and d not in keep:
-                shutil.rmtree(os.path.join(self.table_dir, d),
-                              ignore_errors=True)
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault("partition_cols", ("__cluster",))
+        super().__init__(*args, **kwargs)
 
 
 def start_maxsim_ivf_upsert_stream(
@@ -400,3 +389,76 @@ def live_maxsim_ivf_index(
         points=snap.drop("__cluster").dropDuplicates([sink.id_col]),
         mv_col=mv_col, id_col=sink.id_col,
         clustered_points=snap)
+
+
+def start_quant_ivf_upsert_stream(
+    stream_df: DataFrame,
+    sink: ParquetPointsSink,
+    centroids: np.ndarray,
+    handle,
+    *,
+    checkpoint_dir: str,
+    vec_col: str = "vec",
+    trigger: dict[str, Any] | None = None,
+):
+    """Upsert stream whose snapshot stays a COMPOSED quant x IVF layout
+    (r14 — the dense twin of start_maxsim_ivf_upsert_stream; before
+    this the streaming ingest never built clustered_full at all): each
+    micro-batch is cluster-assigned against the FROZEN ``centroids``
+    AND encoded with the handle's FROZEN quantizer state (both
+    map-only; centroids/encoders refit out-of-band, as the reference
+    rebuilds quantized segments outside the update path). Create the
+    sink with ``partition_cols=("__cluster",)`` so every snapshot
+    commits cluster-partitioned — ``live_quant_ivf_handle`` then probes
+    with file-level pruning on BOTH the coarse codes and the exact
+    rescore, exactly like a batch-built persisted index. Returns the
+    StreamingQuery."""
+    from qdrant_spark.operators.ann import ivf_from_centroids
+    from qdrant_spark.operators.quantize import encode_quant
+
+    cents = np.asarray(centroids)
+
+    def transform(batch_df: DataFrame) -> DataFrame:
+        assigned = ivf_from_centroids(
+            batch_df, cents, vec_col=vec_col, id_col=sink.id_col,
+        ).assigned
+        return encode_quant(handle, assigned)
+
+    return start_upsert_stream(
+        stream_df, sink, checkpoint_dir=checkpoint_dir,
+        trigger=trigger, transform=transform,
+    )
+
+
+def live_quant_ivf_handle(
+    sink: ParquetPointsSink,
+    centroids: np.ndarray,
+    handle,
+    *,
+    nprobe: int = 4,
+):
+    """The current snapshot as a searchable ``QuantIvfHandle`` (None
+    before the first commit): ``coded`` is the snapshot's (id,
+    __cluster, code) projection and ``clustered_full`` the snapshot
+    itself, so ``quant_ivf_search`` probes prune files on both stages
+    when the sink commits cluster-partitioned. ``handle`` carries only
+    the frozen encoder state; its own frames are not touched."""
+    from dataclasses import replace
+
+    from qdrant_spark.operators.quantize import QuantHandle, QuantIvfHandle
+
+    snap = sink.read()
+    if snap is None:
+        return None
+    code_cols = handle.code_cols()
+    coded = snap.select(sink.id_col, "__cluster", *code_cols)
+    base = snap.drop("__cluster")
+    idx = replace(handle.index, full=base, **(
+        {"packed": coded.drop("__cluster")} if handle.kind == "binary"
+        else {"codes": coded.drop("__cluster")}))
+    h2 = QuantHandle(kind=handle.kind, index=idx,
+                     oversampling=handle.oversampling,
+                     full_scan_threshold=handle.full_scan_threshold)
+    return QuantIvfHandle(
+        handle=h2, centroids=np.asarray(centroids), coded=coded,
+        nprobe=nprobe, clustered_full=snap)

@@ -381,3 +381,63 @@ def test_maxsim_invlist_ingest_stream_matches_batch(spark, emb, tmp_path):
             for r in maxsim_knn_ivf(live2, qmv, k=5, nprobe=8,
                                     metric="dot").collect()]
     assert got2 == want2
+
+
+def test_quant_ivf_ingest_stream_matches_batch(spark, emb, tmp_path):
+    """Streamed-in COMPOSED quant x IVF == the batch-built layout (r14 —
+    the dense twin of the invlist stream; the streaming ingest
+    previously never built clustered_full): frozen centroids assign and
+    the frozen quantizer encodes each micro-batch map-only, the
+    cluster-partitioned snapshot carries codes AND floats, and
+    live_quant_ivf_handle answers bit-identically to the batch composed
+    index — with file-level PartitionFilters on the probes."""
+    import re
+
+    from qdrant_spark.operators.ann import build_ivf, persist_ivf
+    from qdrant_spark.operators.quantize import (
+        build_quant, compose_quant_ivf, quant_ivf_search,
+    )
+    from qdrant_spark.streaming.serve import (
+        live_quant_ivf_handle, start_quant_ivf_upsert_stream,
+    )
+
+    handle = build_quant(emb, {"scalar": {}}, vec_col="embedding",
+                         id_col="vec_id")
+    ivf = persist_ivf(
+        build_ivf(emb, n_clusters=8, vec_col="embedding",
+                  id_col="vec_id"),
+        str(tmp_path / "ivf"))
+    batch_qih = compose_quant_ivf(handle, ivf, nprobe=4)
+    assert batch_qih.clustered_full is not None
+
+    src_dir = str(tmp_path / "pts_src")
+    emb.repartitionByRange(2, "vec_id").write.parquet(src_dir)
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    from qdrant_spark.streaming.ingest import ParquetPointsSink
+
+    sink = ParquetPointsSink(spark, str(tmp_path / "table"),
+                             id_col="vec_id",
+                             partition_cols=("__cluster",))
+    q = start_quant_ivf_upsert_stream(
+        stream, sink, ivf.centroids, handle,
+        checkpoint_dir=str(tmp_path / "ckpt"), vec_col="embedding")
+    q.awaitTermination()
+
+    live = live_quant_ivf_handle(sink, ivf.centroids, handle, nprobe=4)
+    assert live.clustered_full is not None
+    assert live.coded.count() == emb.count()
+    qv = list(emb.limit(1).collect()[0]["embedding"])
+    for npb in (2, 8):
+        want = [(r["vec_id"], round(r["score"], 9))
+                for r in quant_ivf_search(batch_qih, qv, k=5, nprobe=npb,
+                                          oversampling=8.0).collect()]
+        got = [(r["vec_id"], round(r["score"], 9))
+               for r in quant_ivf_search(live, qv, k=5, nprobe=npb,
+                                         oversampling=8.0).collect()]
+        assert got == want, npb
+    plan = quant_ivf_search(live, qv, k=5, nprobe=2, oversampling=8.0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    hits = re.findall(r"PartitionFilters: \[[^\]]*__cluster[^\]]*IN",
+                      plan)
+    assert len(hits) >= 2, plan[:1500]
