@@ -511,6 +511,8 @@ class QdrantSparkClient:
             ppath = os.path.join(self.root, collection_name, "points")
             if os.path.isdir(ppath):
                 col.df = self.spark.read.parquet(ppath)
+                # state the first upsert would otherwise infer
+                col.id_type = col.df.schema["id"].dataType
         self.catalog.register(collection_name, lambda: col.df)
         if strict_mode_config is not None:
             if not isinstance(strict_mode_config, StrictModeConfig):
@@ -1506,7 +1508,8 @@ class QdrantSparkClient:
         if n_clusters is None:
             n_clusters = declared.get("n_clusters")
         for kk in ("nprobe", "candidates", "full_scan_threshold",
-                   "clustered_points", "prefer_composed"):
+                   "clustered_points", "prefer_composed",
+                   "clustered_codes"):
             if kk in declared and kk not in _ignored:
                 _ignored[kk] = declared[kk]
         if vc is not None and vc.kind == "multi":
@@ -1521,6 +1524,17 @@ class QdrantSparkClient:
                     a2 = self._ensure_maxsim_index(
                         col, using, thr, n_clusters=n_clusters,
                         **_ignored)
+                    if _ignored.get("clustered_codes") \
+                            and a2 != "skipped":
+                        # r14: the declared CODES invlist — the composed
+                        # coarse stage then file-prunes to the probed
+                        # clusters' code files; rebuilt whenever either
+                        # parent index was (it derives from both)
+                        self._ensure_maxsim_codes(
+                            col, using,
+                            parents_fresh=(
+                                action not in ("exists", "loaded")
+                                or a2 not in ("exists", "loaded")))
                     if a2 not in ("exists", "loaded"):
                         action = a2 if action in ("exists", "loaded") \
                             else action
@@ -1702,6 +1716,35 @@ class QdrantSparkClient:
                 index=idx, nprobe=nprobe, candidates=candidates,
                 full_scan_threshold=full_scan_threshold, n_docs=n,
                 prefer_composed=bool(prefer_composed))
+        return action
+
+    def _ensure_maxsim_codes(self, col: _Collection, using: str, *,
+                             parents_fresh: bool) -> str:
+        """Build/load the composed route's CODES invlist (r14 —
+        declared via ``{"index": {"clustered_codes": true}}``): the
+        quantized token codes stored once per distinct (doc, token
+        cluster), cluster-partitioned, so the composed coarse stage
+        file-prunes (maxsim_knn_quant_ivf reads it off the route).
+        Derives from BOTH the token-cluster index and the quantized
+        storage — rebuilt whenever either parent ensure built/rebuilt,
+        loaded otherwise; needs a storage root (the layout IS a
+        persisted artifact; in-memory composed plans keep the
+        candidate-broadcast semi-join)."""
+        from dataclasses import replace
+
+        route = col.mv_idx.get(using)
+        qidx = col.mv_sq.get(using)
+        if route is None or qidx is None or self.root is None:
+            return "skipped"
+        from qdrant_spark.plans.maintenance import ensure_maxsim_codes
+
+        path = os.path.join(self.root, col.name,
+                            f"maxsim_codes_{using or 'default'}")
+        idx2, action = ensure_maxsim_codes(
+            route.index, qidx, path, force_rebuild=parents_fresh,
+            total=route.n_docs,
+            corpus_signature=self._points_signature(col))
+        col.mv_idx[using] = replace(route, index=idx2)
         return action
 
     def _ensure_maxsim_sq_index(self, col: _Collection, using: str,

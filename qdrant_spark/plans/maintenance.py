@@ -679,3 +679,60 @@ def ensure_maxsim_sq_index(
                    "oversampling": idx.oversampling,
                    "full_scan_threshold": fst, "n_rows": n}, f)
     return load_maxsim_sq_index(points, path), action
+
+
+# ---------------------------------------------------------------------------
+# Composed multivector CODES-layout maintenance (r14): the cluster-
+# partitioned copy of the quantized token codes that maxsim_knn_quant_ivf's
+# coarse stage file-prunes — derived from BOTH the token-cluster index and
+# the quantized storage, so its lifecycle follows theirs.
+# ---------------------------------------------------------------------------
+
+_MSCMETA = "maxsim_codes_meta.json"
+_MSCDATA = "codes"
+
+
+def read_maxsim_codes_meta(path: str) -> dict[str, Any] | None:
+    try:
+        with open(os.path.join(path, _MSCMETA)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def ensure_maxsim_codes(
+    index,
+    qidx,
+    path: str,
+    *,
+    force_rebuild: bool = False,
+    total: int | None = None,
+    corpus_signature: str | None = None,
+):
+    """Idempotent maintenance of the composed route's CODES invlist
+    (:func:`~qdrant_spark.operators.multivec.persist_maxsim_quant_codes`):
+    LOAD when the meta matches (same corpus rows + signature) and
+    neither parent was rebuilt this round, REBUILD otherwise. The
+    layout is a pure derivation of the token memberships and the code
+    frame — callers pass ``force_rebuild=True`` whenever either parent
+    ensure built/rebuilt (the derivation's inputs changed), which is
+    how the client wires it. Returns ``(MaxSimIvf-with-layout,
+    action)``."""
+    from dataclasses import replace
+
+    from qdrant_spark.operators.multivec import persist_maxsim_quant_codes
+
+    n = index.points.count() if total is None else int(total)
+    meta = read_maxsim_codes_meta(path)
+    if not force_rebuild and meta is not None and meta["n_rows"] == n \
+            and (corpus_signature is None
+                 or meta.get("corpus_signature") == corpus_signature):
+        spark = index.points.sparkSession
+        return replace(index, clustered_codes=spark.read.parquet(
+            os.path.join(path, _MSCDATA))), "loaded"
+    idx2 = persist_maxsim_quant_codes(index, qidx,
+                                      os.path.join(path, _MSCDATA))
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _MSCMETA), "w") as f:
+        json.dump({"n_rows": n, "corpus_signature": corpus_signature}, f)
+    return idx2, ("rebuilt" if meta is not None else "built")

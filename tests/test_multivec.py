@@ -1801,3 +1801,82 @@ def test_maxsim_quant_ivf_codes_invlist_matches_flat(mv_points, q_mv,
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^\]]*__cluster[^\]]*IN", plan)
     assert "SortMergeJoin" not in plan
+
+
+def test_client_codes_invlist_lifecycle(spark, embeddings, tmp_path):
+    """Declared CODES invlist through create → ensure → query (r14):
+    with quantization + clustering + `"clustered_codes": true` +
+    `"prefer_composed": true` declared, the client persists the
+    cluster-partitioned code copies, the planner's composed leaf reads
+    them, a restarted session REOPENS + LOADS the layout, and a
+    count-stable vector update rebuilds it with its parents."""
+    from qdrant_spark.client import QdrantSparkClient
+
+    rows = embeddings.limit(150).collect()
+    dim = len(rows[0]["embedding"])
+    td = dim // 8
+    root = str(tmp_path / "store")
+    cfg = {"late": {"size": td, "distance": "Dot",
+                    "multivector_config": {"comparator": "max_sim"},
+                    "index": {"n_clusters": 8, "nprobe": 8,
+                              "full_scan_threshold": 0,
+                              "prefer_composed": True,
+                              "clustered_codes": True},
+                    "quantization_config": {
+                        "scalar": {"full_scan_threshold": 0}}}}
+    pts = [{"id": int(r["vec_id"]),
+            "vector": {"late": [[float(x) for x in
+                                 r["embedding"][i * td:(i + 1) * td]]
+                                for i in range(8)]}} for r in rows]
+
+    c1 = QdrantSparkClient(spark, root=root)
+    c1.create_collection("codesinv", vectors_config=cfg)
+    c1.upsert("codesinv", pts)
+    assert c1.ensure_vector_index("codesinv", using="late",
+                                  indexing_threshold=0) == "built"
+    route = c1._coll("codesinv").mv_idx["late"]
+    assert route.index.clustered_codes is not None
+    assert route.prefer_composed
+
+    q = [[float(x) for x in rows[4]["embedding"][i * td:(i + 1) * td]]
+         for i in range(8)]
+    # the planner takes the composed leaf and reads the codes layout
+    coll = c1._coll("codesinv")
+    pl = c1._planner(coll, "late")
+    pl.plan({"query": {"nearest": q}, "using": coll.vec_col("late"),
+             "limit": 5,
+             "params": {"quantization": {"oversampling": 8.0}}}).collect()
+    assert pl.last_plan_info.get("maxsim_quant_ivf_leaves") == 1
+    routed = c1.query_points(
+        "codesinv", query=q, using="late", limit=5, with_payload=False,
+        search_params={"quantization": {"oversampling": 8.0}})
+    exact = c1.query_points("codesinv", query=q, using="late", limit=5,
+                            with_payload=False,
+                            search_params={"exact": True})
+    assert [(p.id, round(p.score, 9)) for p in routed.points] == \
+        [(p.id, round(p.score, 9)) for p in exact.points]
+
+    # restarted session: reopen + load all three layers
+    c2 = QdrantSparkClient(spark, root=root)
+    c2.create_collection("codesinv", vectors_config=cfg)
+    assert c2.count("codesinv").count == len(pts)  # reopened
+    assert c2.ensure_vector_index("codesinv", using="late",
+                                  indexing_threshold=0) == "loaded"
+    r2 = c2._coll("codesinv").mv_idx["late"]
+    assert r2.index.clustered_codes is not None
+    routed2 = c2.query_points(
+        "codesinv", query=q, using="late", limit=5, with_payload=False,
+        search_params={"quantization": {"oversampling": 8.0}})
+    assert [(p.id, round(p.score, 9)) for p in routed2.points] == \
+        [(p.id, round(p.score, 9)) for p in exact.points]
+
+    # count-stable drift rebuilds the codes layout with its parents
+    c2.update_vectors("codesinv", [{
+        "id": int(rows[0]["vec_id"]),
+        "vector": {"late": [[float(x) + 1.0 for x in
+                             rows[0]["embedding"][i * td:(i + 1) * td]]
+                            for i in range(8)]}}])
+    assert c2.ensure_vector_index("codesinv", using="late",
+                                  indexing_threshold=0) == "rebuilt"
+    r3 = c2._coll("codesinv").mv_idx["late"]
+    assert r3.index.clustered_codes is not None
