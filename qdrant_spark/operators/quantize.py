@@ -422,7 +422,8 @@ class PqIndex:
         return self.codebooks.shape[1]
 
 
-def _kmeans_np(X: np.ndarray, k: int, iters: int, rng: np.random.Generator) -> np.ndarray:
+def _kmeans_np(X: np.ndarray, k: int, iters: int, rng: np.random.Generator,
+               init: np.ndarray | None = None) -> np.ndarray:
     """Seeded Lloyd's on a driver-side sample. The reference trains PQ
     codebooks on a bounded sample too (encoded_vectors_pq.rs KMeans over
     a capped training set); sample size bounds driver cost at 100 TB.
@@ -436,7 +437,16 @@ def _kmeans_np(X: np.ndarray, k: int, iters: int, rng: np.random.Generator) -> n
     n, d = X.shape
     k = min(k, n)
     Xf = np.ascontiguousarray(X, dtype=np.float32)
-    C = Xf[rng.choice(n, size=k, replace=False)].copy()
+    if init is not None:
+        # caller-provided seeding (ann.build_ivf passes kmeans++ — the
+        # coarse IVF structure needs it; random init merges/splits blobs
+        # and measurably costs probe recall). PQ codebook fits keep the
+        # random init: 256 codes on a jittered subspace cloud are
+        # insensitive to it and the D^2 pass would dominate their fit.
+        C = np.ascontiguousarray(init, dtype=np.float32).copy()
+        k = C.shape[0]
+    else:
+        C = Xf[rng.choice(n, size=k, replace=False)].copy()
     assign = np.empty(n, dtype=np.int32)
     prev = None
     block = 16384

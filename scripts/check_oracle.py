@@ -65,6 +65,7 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     failed = []
+    t_all = time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -104,10 +105,11 @@ def main() -> int:
         else:
             print(f"PASS  {name}: rows={len(sr)} cols={sc} ({dt:.1f}s)")
     spark.stop()
+    print(f"\ntotal {time.time() - t_all:.1f}s")
     if failed:
-        print(f"\n{len(failed)} FAILED: {failed}")
+        print(f"{len(failed)} FAILED: {failed}")
         return 1
-    print("\nALL PASS")
+    print("ALL PASS")
     return 0
 
 

@@ -63,15 +63,36 @@ def test_quant_ivf_full_probe_matches_quant_search(embeddings, ivf8, config):
 def test_quant_ivf_pruned_recall_and_scan(embeddings, ivf8, tmp_path):
     """Partial probe: the coarse stage scans only the probed clusters'
     (id, code) rows — PartitionFilters on the persisted layout — and
-    recall@10 vs the exact scan stays high at nprobe=4/8."""
+    recall@10 vs the exact scan clearly beats the probed coverage at
+    nprobe=4/8 (the clustering is informative, not just sampling).
+
+    Floor history: the pre-r14 0.85 floor at nprobe=4 was an artifact
+    of MLlib's degenerate fit on this unclusterable 500-vector corpus —
+    cluster sizes [1, 100, 76, 129, 1, 74, 11, 108], so "nprobe=4"
+    probed ~80% of the mass and recall measured coverage, not
+    clustering. The r14 driver-side fit (kmeans++ best-of-4) is
+    balanced (max cluster ~78), probes an honest ~50%, and lands
+    ~0.78 at nprobe=4 / >=0.85 at nprobe=5 — gated as recall >>
+    coverage plus the balance that makes pruned layouts predictable
+    (no straggler partitions at scale)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
     from qdrant_spark.operators.knn import knn
 
     h = build_quant(embeddings, {"scalar": {}}, vec_col="embedding",
                     id_col="vec_id")
     qih = persist_quant_ivf(compose_quant_ivf(h, ivf8, nprobe=4),
                             str(tmp_path / "coded"))
+    n = embeddings.count()
+    sizes = {r["__cluster"]: r["c"] for r in
+             qih.coded.groupBy("__cluster").agg(
+                 F.count(F.lit(1)).alias("c")).collect()}
+    assert max(sizes.values()) <= 0.35 * n, sizes  # balanced fit
     qs = [list(r["embedding"]) for r in embeddings.limit(8).collect()]
-    hits = 0
+    cents = qih.centroids
+    hits = coverage = 0
     for q in qs:
         exact = {r[0] for r in knn(
             embeddings, q, metric="cosine", k=10, vec_col="embedding",
@@ -79,7 +100,14 @@ def test_quant_ivf_pruned_recall_and_scan(embeddings, ivf8, tmp_path):
         got = {r[0] for r in quant_ivf_search(
             qih, q, k=10, metric="cosine", oversampling=6.0).collect()}
         hits += len(exact & got)
-    assert hits / (10 * len(qs)) >= 0.85
+        d = ((cents - np.asarray(q)) ** 2).sum(axis=1)
+        probed = np.argsort(d)[:4]
+        coverage += sum(sizes.get(int(c), 0) for c in probed) / n
+    recall = hits / (10 * len(qs))
+    coverage /= len(qs)
+    assert coverage <= 0.65, coverage  # the probe really prunes
+    assert recall >= 0.70, (recall, coverage)
+    assert recall >= coverage + 0.15, (recall, coverage)
     # plan: the probe is a partition filter on the persisted coded table,
     # and that coarse scan reads the code column only — the float vector
     # column appears in the rescore scan, never the coarse one
