@@ -357,3 +357,39 @@ def test_assign_to_ivf_pq_appends_and_searches(spark, embeddings, ivfpq):
     assert {7, 10_007} <= ids
     by_id = {r["vec_id"]: round(r["score"], 9) for r in hits}
     assert by_id[7] == by_id[10_007]
+
+
+def test_build_ivf_fit_dispatch(embeddings):
+    """r14 fit dispatch (build_ivf): fit sets under IVF_DRIVER_FIT_MAX_ELEMS
+    train driver-side (seeded kmeans++ best-of-4 — deterministic and
+    balanced, no MLlib job barriers); forcing the cap to 0 takes the MLlib
+    path. Both paths must agree at full probe (assignment only re-buckets
+    rows; nprobe == K makes the search exact either way), and the driver
+    fit must be reproducible run-to-run and free of the degenerate
+    mega-clusters that defeat partial-probe pruning."""
+    from qdrant_spark.operators import ann
+
+    n = embeddings.count()
+    a = ann.build_ivf(embeddings, n_clusters=8, vec_col="embedding",
+                      id_col="vec_id")
+    b = ann.build_ivf(embeddings, n_clusters=8, vec_col="embedding",
+                      id_col="vec_id")
+    assert np.array_equal(a.centroids, b.centroids)  # deterministic
+    sizes = [r["count"] for r in
+             a.assigned.groupBy("__cluster").count().collect()]
+    assert sum(sizes) == n and max(sizes) <= 0.35 * n, sizes
+
+    old = ann.IVF_DRIVER_FIT_MAX_ELEMS
+    ann.IVF_DRIVER_FIT_MAX_ELEMS = 0
+    try:
+        ml = ann.build_ivf(embeddings, n_clusters=8, vec_col="embedding",
+                           id_col="vec_id")
+    finally:
+        ann.IVF_DRIVER_FIT_MAX_ELEMS = old
+    assert not np.array_equal(a.centroids, ml.centroids)  # paths distinct
+    q = list(embeddings.limit(1).collect()[0]["embedding"])
+    got_a = [(r[0], round(r[1], 9)) for r in ann.ivf_search(
+        a, q, k=10, nprobe=8, metric="cosine").collect()]
+    got_ml = [(r[0], round(r[1], 9)) for r in ann.ivf_search(
+        ml, q, k=10, nprobe=8, metric="cosine").collect()]
+    assert got_a == got_ml
