@@ -1168,11 +1168,21 @@ def _mv_quant_prep(index, queries: Sequence[Sequence[Sequence[float]]],
     flattened Arrow code arrays of one batch to the float token matrix
     in the same space (cosine-normalized when the kind scores the
     requested metric; binary stays metric-blind ±1-dot like the dense
-    coarse stage), and ``offsets`` is a per-query additive constant the
-    kernel applies AFTER the MaxSim reduction (zero except for the
-    asymmetric binary encoding, whose per-pair quantity is affine in
-    the bits — the dot carries the variable part, the constant folds
-    out here). The per-kind quantities are exactly the dense scorers'
+    coarse stage), ``offsets`` is a per-query additive constant the
+    kernel applies AFTER the MaxSim reduction, and ``scales`` is a
+    per-query multiplicative constant applied last —
+    ``(maxsim + offset) * scale``. Both are identity (0 / 1) except for
+    the asymmetric binary encoding, whose per-pair quantity is affine
+    in the bits: there the dot, the max and the token sum all run over
+    INTEGER-valued float64 (every partial sum is an exact integer, so
+    the result is independent of accumulation order — BLAS blocking,
+    reduceat order, CPU kernel choice), and the single ``1/ranges``
+    division happens once at the end. The float path computed the same
+    rational with a per-dim division first, which made equal integer
+    totals differ in the last ulp by summation order — splitting exact
+    score ties (endemic for integer coarse quantities) differently
+    than the oracle's id-asc tie-break at the top-k cut. The per-kind
+    quantities are exactly the dense scorers'
     (quantize.sq/pq/bq/tq_search) applied token-wise."""
     from qdrant_spark.operators.quantize import (
         _BQ_QUERY_BITS, _TQ_CENTROIDS, _bq_ext_dim, _tq_rotate,
@@ -1182,6 +1192,7 @@ def _mv_quant_prep(index, queries: Sequence[Sequence[Sequence[float]]],
 
     cosine = metric == "cosine"
     zeros = np.zeros(len(queries))
+    ones = np.ones(len(queries))
 
     def _norm_rows(M):
         n = np.linalg.norm(M, axis=1, keepdims=True)
@@ -1199,19 +1210,26 @@ def _mv_quant_prep(index, queries: Sequence[Sequence[Sequence[float]]],
             # xor = sum_d (bit ? ranges-code : code) rewrites as
             # (ext - 2*S_c/ranges) + bits . (4c - 2*ranges)/ranges — a
             # dot over the raw 0/1 bits plus a per-query-token constant,
-            # so the shared BLAS segment-max kernel scores it directly
-            # and the constants fold into the per-query offset
-            Qtoks, offs = [], []
+            # so the shared BLAS segment-max kernel scores it directly.
+            # Carried SCALED BY ``ranges``: the dot operands, the
+            # per-token constants and every max/sum stay exact integers
+            # in float64; the kernel's final per-query ``scale`` divides
+            # by ranges ONCE, so equal integer totals are equal doubles
+            # on every CPU/BLAS (see the docstring's tie rationale)
+            Qtoks, offs, scls = [], [], []
             for q in queries:
-                rows, off = [], 0.0
+                rows, off, rng = [], 0.0, 1.0
                 for t in q:
                     codes, ranges = bq_scalar_query_codes(index, list(t))
+                    rng = float(ranges)
                     c = codes.astype(np.float64)
-                    rows.append((4.0 * c - 2.0 * ranges) / ranges)
-                    off += ext_dim - 2.0 * float(c.sum()) / ranges
+                    rows.append(4.0 * c - 2.0 * ranges)
+                    off += ext_dim * rng - 2.0 * float(c.sum())
                 Qtoks.append(np.asarray(rows, dtype=np.float64))
                 offs.append(off)
+                scls.append(1.0 / rng)
             offsets = np.asarray(offs, dtype=np.float64)
+            scales = np.asarray(scls, dtype=np.float64)
         else:
             Qtoks = [np.asarray(
                 [bq_bits_np(list(t), index.means, index.stds,
@@ -1219,6 +1237,7 @@ def _mv_quant_prep(index, queries: Sequence[Sequence[Sequence[float]]],
                  for t in q], dtype=np.float64) * 2.0 - 1.0
                 for q in queries]
             offsets = zeros
+            scales = ones
 
         def decode(flats):
             words = flats[0].flatten().to_numpy(zero_copy_only=False) \
@@ -1233,7 +1252,7 @@ def _mv_quant_prep(index, queries: Sequence[Sequence[Sequence[float]]],
                 col += nb
             return pm if asym else pm * 2.0 - 1.0
 
-        return ["__mbq"], Qtoks, decode, offsets
+        return ["__mbq"], Qtoks, decode, offsets, scales
 
     if isinstance(index, MaxSimPq):
         cb = index.codebooks
@@ -1252,7 +1271,7 @@ def _mv_quant_prep(index, queries: Sequence[Sequence[Sequence[float]]],
                 Tm[:, m * dsub:(m + 1) * dsub] = cb[m][codes[:, m]]
             return _norm_rows(Tm) if cosine else Tm
 
-        return ["__mpq"], Qtoks, decode, zeros
+        return ["__mpq"], Qtoks, decode, zeros, ones
 
     if isinstance(index, MaxSimTq):
         bpc = index.bits_per_code
@@ -1279,7 +1298,7 @@ def _mv_quant_prep(index, queries: Sequence[Sequence[Sequence[float]]],
             Tm = centroids[idx] * (l2 / cn)[:, None]
             return _norm_rows(Tm) if cosine else Tm
 
-        return ["__mtq", "__mtq_l2", "__mtq_cn"], Qtoks, decode, zeros
+        return ["__mtq", "__mtq_l2", "__mtq_cn"], Qtoks, decode, zeros, ones
 
     # scalar (MaxSimSq)
     lo = index.lo
@@ -1296,7 +1315,7 @@ def _mv_quant_prep(index, queries: Sequence[Sequence[Sequence[float]]],
         Tm = (Tm + 128.0) * scale + lo
         return _norm_rows(Tm) if cosine else Tm
 
-    return ["__msq"], Qtoks, decode, zeros
+    return ["__msq"], Qtoks, decode, zeros, ones
 
 
 def maxsim_knn_quant(
@@ -1426,8 +1445,8 @@ def maxsim_quant_coarse_batch(index, queries: Sequence[Sequence[Sequence[float]]
     once more across batches on the narrow (qid, id) frame."""
     from pyspark.sql.window import Window
 
-    code_cols, Qtoks, decode, offsets = _mv_quant_prep(index, queries,
-                                                       metric)
+    code_cols, Qtoks, decode, offsets, scales = _mv_quant_prep(
+        index, queries, metric)
     Qall = np.concatenate(Qtoks, axis=0)
     # per-query token column offsets for the reduceat over columns
     qstarts = np.cumsum([0] + [len(t) for t in Qtoks[:-1]])
@@ -1437,7 +1456,7 @@ def maxsim_quant_coarse_batch(index, queries: Sequence[Sequence[Sequence[float]]
     # broadcast only the plain arrays (sc.broadcast pickles with the
     # stock pickler, which can't take the per-kind decode closure); the
     # decode fn + its encoder state ride the cloudpickled task closure
-    bq = sc.broadcast((Qall, qstarts, offsets))
+    bq = sc.broadcast((Qall, qstarts, offsets, scales))
     sel = index.codes.select(index.id_col, *code_cols)
     id_col = index.id_col
     out_schema = T.StructType([
@@ -1450,7 +1469,7 @@ def maxsim_quant_coarse_batch(index, queries: Sequence[Sequence[Sequence[float]]
     def score_batches(batches: Iterator) -> Iterator:
         import pyarrow as pa
 
-        Qm, qs, offs = bq.value
+        Qm, qs, offs, scl = bq.value
         dec = decode
         for batch in batches:
             n = batch.num_rows
@@ -1483,7 +1502,10 @@ def maxsim_quant_coarse_batch(index, queries: Sequence[Sequence[Sequence[float]]
             M = blocks[0] if len(blocks) == 1 \
                 else np.concatenate(blocks, axis=1)     # (docs, qtokens)
             scores = np.add.reduceat(M, qs, axis=1)     # (docs, queries)
-            scores = scores + offs  # per-query affine part (asym BQ)
+            # per-query affine part + final scale (identity except asym
+            # BQ, where it is the single 1/ranges division of the
+            # integer-exact pipeline — see _mv_quant_prep)
+            scores = (scores + offs) * scl
             if dedup_ids:
                 # invlist copies score identically — keep one per doc
                 # BEFORE the cut so copies can't crowd out distinct docs
@@ -1546,8 +1568,8 @@ def maxsim_quant_pair_topk(qidx, pairs: DataFrame,
     Returns per-qid (score desc, id) rank<=k."""
     from pyspark.sql.window import Window
 
-    code_cols, Qtoks, decode, offsets = _mv_quant_prep(qidx, queries,
-                                                       metric)
+    code_cols, Qtoks, decode, offsets, scales = _mv_quant_prep(
+        qidx, queries, metric)
     id_col = qidx.id_col
     sel = qidx.codes.select(id_col, *code_cols)
     joined = sel.join(pairs, id_col).select("__qid", id_col, *code_cols)
@@ -1557,12 +1579,12 @@ def maxsim_quant_pair_topk(qidx, pairs: DataFrame,
         T.StructField("score", T.DoubleType()),
     ])
     ncols = len(code_cols)
-    bq = joined.sparkSession.sparkContext.broadcast(offsets)
+    bq = joined.sparkSession.sparkContext.broadcast((offsets, scales))
 
     def score_batches(batches: Iterator) -> Iterator:
         import pyarrow as pa
 
-        offs = bq.value
+        offs, scl = bq.value
         for batch in batches:
             n = batch.num_rows
             if n == 0:
@@ -1593,7 +1615,9 @@ def maxsim_quant_pair_topk(qidx, pairs: DataFrame,
                 lens = np.array([len(s) for s in segs])
                 st = np.concatenate([[0], np.cumsum(lens)[:-1]])
                 M = np.maximum.reduceat(S, st, axis=0)
-                out[mask] = M.sum(axis=1) + offs[int(qi)]
+                # offset + scale: identity except asym BQ's one final
+                # 1/ranges division (integer-exact pipeline)
+                out[mask] = (M.sum(axis=1) + offs[int(qi)]) * scl[int(qi)]
             yield pa.RecordBatch.from_arrays(
                 [pa.array(qids), pa.array(ids),
                  pa.array(out, type=pa.float64())],

@@ -1880,3 +1880,44 @@ def test_client_codes_invlist_lifecycle(spark, embeddings, tmp_path):
                                   indexing_threshold=0) == "rebuilt"
     r3 = c2._coll("codesinv").mv_idx["late"]
     assert r3.index.clustered_codes is not None
+
+
+def test_maxsim_bq_asym_integer_exact_ties(spark):
+    """Asym-BQ coarse scores are integer-exact (r14): equal integer
+    xor totals must land on EXACTLY the same double regardless of which
+    dimensions carry the bits, so an exact score tie at the top-k cut is
+    broken by id asc — the oracle's order. The float-path kernel divided
+    per-dimension before summing, so BLAS/reduceat accumulation order
+    split true ties by 1 ulp (observed: sf0.001 maxsim_bq_asym ranked id
+    157 above 139 at the k=10 boundary while DuckDB tied them)."""
+    from qdrant_spark.operators.multivec import (
+        build_maxsim_bq, maxsim_knn_quant,
+    )
+
+    # two docs whose bits are complementary permutations (same popcount
+    # per token) + one distinct doc; per-dim means straddle both so the
+    # bit patterns are [1,1,0,0] vs [0,0,1,1]
+    rows = [
+        (1, [[1.0, 1.0, 0.0, 0.0]] * 2),
+        (2, [[0.0, 0.0, 1.0, 1.0]] * 2),
+        (3, [[1.0, 1.0, 1.0, 1.0]] * 2),
+    ]
+    pts = spark.createDataFrame(
+        rows, "vec_id: long, mv: array<array<double>>")
+    idx = build_maxsim_bq(pts, mv_col="mv", id_col="vec_id",
+                          query_encoding="scalar8bits")
+    # all-equal query token -> every dimension gets the SAME 8-bit code,
+    # so any same-popcount bit pattern has the same integer xor total
+    q = [[1.0, 1.0, 1.0, 1.0]]
+    got = maxsim_knn_quant(idx, q, k=3, oversampling=1.0, metric="dot",
+                           rescore=False).collect()
+    by_id = {r["vec_id"]: r["score"] for r in got}
+    assert by_id[1] == by_id[2]  # exactly equal doubles, not approx
+    order = [r["vec_id"] for r in got]
+    # doc 3 (all bits set) wins; the tied pair breaks by id asc
+    assert order == [3, 1, 2]
+    # k=2 cut: the tie boundary keeps the LOWER id
+    cut = [r["vec_id"] for r in maxsim_knn_quant(
+        idx, q, k=2, oversampling=1.0, metric="dot",
+        rescore=False).collect()]
+    assert cut == [3, 1]
