@@ -452,8 +452,17 @@ def main() -> None:
 
     qvecs = [list(r["embedding"]) for r in emb.limit(64).collect()]
     q0, q1 = qvecs[0], qvecs[1]
-    queries_df = spark.createDataFrame(
-        [(i, qvecs[i]) for i in range(64)], "qid: long, qvec: array<float>"
+    # LocalRelation-backed query frame (r14, guide §6 Arrow driver
+    # transfers): the plain createDataFrame(list) parallelizes 64 rows
+    # into 32 python partitions, and every batch operator's internal
+    # queries.collect() then pays a full 32-task python job (~0.3-0.8 s
+    # measured) INSIDE each timed rep. Same rows, same schema, same
+    # float32 values — collect of a LocalRelation is driver-only.
+    from qdrant_spark.session import local_df
+
+    queries_df = local_df(
+        spark, [(i, qvecs[i]) for i in range(64)],
+        "qid: long, qvec: array<float>"
     )
 
     # ------------------------------------------------------------------

@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 
 from qdrant_spark.filters import apply_filter
 from qdrant_spark.functions.text import tokenize
+from qdrant_spark.session import local_df
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -83,7 +84,10 @@ def sparse_knn_terms(
     posting lists of query terms are read (predicate pushdown on the join
     key after AQE converts it to a broadcast join)."""
     spark = terms.sparkSession
-    q = spark.createDataFrame(
+    # LocalRelation query frame (r14): broadcast builds driver-side with
+    # no python-RDD job per execution — see session.local_df
+    q = local_df(
+        spark,
         [(t, float(w)) for t, w in query_terms.items()], "term: string, qw: double"
     )
     scored = (
@@ -111,7 +115,8 @@ def sparse_knn(
     df = apply_filter(points, flt)
     pairs = _explode_pairs(df, id_col, indices_col, values_col)
     spark = points.sparkSession
-    q = spark.createDataFrame(
+    q = local_df(
+        spark,
         list(zip([int(i) for i in query_indices], [float(v) for v in query_values])),
         "dim: long, qv: double",
     )
@@ -223,7 +228,8 @@ def sparse_knn_index(
     if cand is not None:
         pairs = pairs.join(cand.select(index.id_col), index.id_col,
                            "left_semi")
-    q = spark.createDataFrame(
+    q = local_df(
+        spark,
         list(zip([int(i) for i in query_indices],
                  [float(v) for v in query_values])),
         "dim: long, qv: double",
@@ -311,7 +317,8 @@ def sparse_knn_index_batch(
         dbs = sorted({int(d) % index.dim_buckets
                       for _, dims, _ in queries for d in dims})
         pairs = pairs.filter(F.col("__db").isin(dbs))
-    q = spark.createDataFrame(
+    q = local_df(
+        spark,
         [(qid, int(d), float(v)) for qid, dims, vals in queries
          for d, v in zip(dims, vals)],
         "qid: long, dim: long, qv: double",
@@ -476,7 +483,7 @@ def _query_terms_df(spark, query_text: str) -> DataFrame:
     from qdrant_spark.functions.text import tokenize_py
 
     toks = sorted(set(tokenize_py(query_text)))
-    return spark.createDataFrame([(t,) for t in toks], "term: string")
+    return local_df(spark, [(t,) for t in toks], "term: string")
 
 
 def bm25_search(

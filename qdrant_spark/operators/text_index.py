@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from qdrant_spark.filters import apply_filter
 from qdrant_spark.functions.text import tokenize, tokenize_py
+from qdrant_spark.session import local_df
 
 
 @dataclass
@@ -98,7 +99,7 @@ def text_match_index(index: TextIndex, text: str, *, mode: str = "all") -> DataF
     spark = index.postings.sparkSession
     if not q_tokens:  # vacuous match, reference treats empty token set as all
         return index.postings.select(index.id_col).distinct()
-    q = spark.createDataFrame([(t,) for t in q_tokens], "term: string")
+    q = local_df(spark, [(t,) for t in q_tokens], "term: string")
     hits = (
         index.postings.join(F.broadcast(q), "term")
         .groupBy(index.id_col)
@@ -120,8 +121,9 @@ def phrase_match_index(index: TextIndex, phrase: str) -> DataFrame:
         return index.postings.select(index.id_col).distinct()
     m = len(q_tokens)
     spark = index.postings.sparkSession
-    q = spark.createDataFrame(
-        [(t, i) for i, t in enumerate(q_tokens)], "term: string, off: int"
+    q = local_df(
+        spark, [(t, i) for i, t in enumerate(q_tokens)],
+        "term: string, off: int"
     )
     starts = (
         index.postings.join(F.broadcast(q), "term")

@@ -589,7 +589,10 @@ class QueryPlanner:
                         np.asarray(targets, dtype=np.float64)),
             ).select("qid", self.id_col, "score")
         else:
-            qdf = spark.createDataFrame(
+            from qdrant_spark.session import local_df
+
+            qdf = local_df(
+                spark,
                 [(i, t) for i, t in enumerate(targets)],
                 "qid: long, qvec: array<double>",
             )
@@ -1335,9 +1338,11 @@ def _release_one_shot(planner: "QueryPlanner", out: DataFrame) -> DataFrame:
     common non-fallback paths; localCheckpoint is avoided because its
     blocks would themselves stay resident for the application lifetime."""
     if planner._fused_persisted:
+        from qdrant_spark.session import local_df
+
         rows = out.collect()
         spark = planner.points.sparkSession
-        out = spark.createDataFrame(rows, schema=out.schema)
+        out = local_df(spark, rows, out.schema)
         planner.close()
     return out
 
@@ -1525,7 +1530,10 @@ def _finish_maxsim_group(planner, requests, idxs, outs, sqh, metric,
     ])
     need_rescore = [i for i in idxs if rescores[i]]
     if need_rescore:
-        pairs = spark.createDataFrame(
+        from qdrant_spark.session import local_df
+
+        pairs = local_df(
+            spark,
             [(int(idxs.index(i)), h[0]) for i in need_rescore
              for h in by_req[i]],
             T.StructType([T.StructField("__qid", T.LongType()),
@@ -1776,8 +1784,12 @@ def _local_result_df(spark, rows: list, schema) -> DataFrame:
     into ONE local frame instead of a 64-way union (r12: the union's 64
     one-row tasks plus 64 createDataFrame roundtrips measured ~1.4s of
     the default fused batch's 2.9s)."""
-    sc = spark.sparkContext
-    df = spark.createDataFrame(sc.parallelize(rows, 1), schema)
+    from qdrant_spark.session import local_df
+
+    df = local_df(spark, rows, schema)
+    if not df.isLocal():  # arrow-rejected shape: keep the 1-slice RDD
+        df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+                                   schema)
     df._qs_local_rows = [tuple(r) for r in rows]
     return df
 
@@ -1970,13 +1982,17 @@ def _finish_quant_group(planner, requests, idxs, outs, qh, metric,
 
     need_rescore = [i for i in idxs if rescores[i]]
     if need_rescore:
-        pairs = spark.createDataFrame(
+        from qdrant_spark.session import local_df
+
+        pairs = local_df(
+            spark,
             [(int(i), h[0]) for i in need_rescore
              for h in by_req[i]],
             T.StructType([T.StructField("__qid", T.LongType()),
                           T.StructField(idx.id_col, id_type)]))
         full = idx.full if idx.full is not None else qh.codes_frame()
-        qdf = spark.createDataFrame(
+        qdf = local_df(
+            spark,
             [(int(i), [float(x) for x in requests[i]["query"]["nearest"]])
              for i in need_rescore],
             "__qid long, __qvec array<double>")
