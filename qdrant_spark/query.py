@@ -92,6 +92,7 @@ class QueryPlanner:
                  cluster_stats=None,
                  fuse_min_bytes: int | None = None,
                  fused_collect_max: int | None = None,
+                 driver_lazy_fusion: bool = True,
                  text_params: dict[str, dict[str, Any]] | None = None,
                  metrics: dict[str, str] | None = None,
                  sparse_indexes: dict[str, Any] | None = None,
@@ -217,6 +218,15 @@ class QueryPlanner:
         #: can fuse DRIVER-SIDE (rrf_hits/dbsf_hits) instead of spending
         #: ~1s of Spark job overhead on <=legs*limit local rows
         self._fused_hits_by_df: dict[int, list] = {}
+        #: r14: a fusion root over LAZY (un-fused) legs also fuses
+        #: driver-side — every leg is a bounded top-k frame (each leaf /
+        #: nested rescore carries its request limit), so the root's
+        #: union + per-leg rank windows + groupBy-sum Spark plan spends
+        #: 3-4 AQE stage waves on <= legs*limit rows. Instead the legs
+        #: collect as overlapped jobs (guide §2.6) and rrf_hits /
+        #: dbsf_hits re-rank with the operators' exact ordering
+        #: (score desc, id asc). False restores the Spark-side fusion.
+        self.driver_lazy_fusion = driver_lazy_fusion
         #: shared-scan results persisted by the DataFrame fallback; freed
         #: at the next plan() so the leak is bounded to one request
         self._fused_persisted: list[DataFrame] = []
@@ -1225,6 +1235,48 @@ class QueryPlanner:
                 self.last_plan_info["driver_fused_root"] = 1
                 fused = {"rrf": rrf_hits, "dbsf": dbsf_hits}[query["fusion"]](
                     hits, limit=limit)
+                from pyspark.sql import types as T
+
+                id_type = self.points.schema[self.id_col].dataType
+                schema = T.StructType([
+                    T.StructField(self.id_col, id_type),
+                    T.StructField("score", T.DoubleType()),
+                ])
+                return _local_result_df(
+                    self.points.sparkSession, fused, schema)
+            if self.driver_lazy_fusion:
+                # r14: lazy legs are bounded top-k frames too — collect
+                # them (jobs overlapped from a small thread pool, guide
+                # §2.6) and fuse driver-side. Ranking mirrors the Spark
+                # operators' DEFAULT orders exactly: every leg re-sorted
+                # (score desc, id asc) before the rank-based formula, so
+                # values match rrf()/dbsf() for any leg metric.
+                from concurrent.futures import ThreadPoolExecutor
+
+                from qdrant_spark.operators.fusion import (
+                    dbsf_hits, rrf_hits,
+                )
+
+                def _leg_hits(i_c):
+                    i, c = i_c
+                    h = self._fused_hits_by_df.get(id(c))
+                    if h is not None:
+                        return h
+                    rows = c.select(self.id_col, "score").collect()
+                    return sorted(((r[0], float(r[1])) for r in rows),
+                                  key=lambda t: (-t[1], t[0]))
+
+                if len(children) > 1:
+                    with ThreadPoolExecutor(
+                            max_workers=min(3, len(children))) as pool:
+                        hits = list(pool.map(_leg_hits,
+                                             enumerate(children)))
+                else:
+                    hits = [_leg_hits((0, children[0]))]
+                self.last_plan_info["driver_lazy_fusion"] = \
+                    self.last_plan_info.get("driver_lazy_fusion", 0) + 1
+                fused = {"rrf": rrf_hits, "dbsf": dbsf_hits}[
+                    query["fusion"]](hits, limit=limit)
                 from pyspark.sql import types as T
 
                 id_type = self.points.schema[self.id_col].dataType

@@ -777,3 +777,40 @@ def test_delta_upsert_merge_env_gated(spark, table, tmp_path):
             for r in upsert_points(table, ups, id_col="id",
                                    version_col="version").collect()}
     assert got == want
+
+
+def test_driver_lazy_fusion_parity(embeddings):
+    """r14: a fusion root over LAZY legs fuses driver-side (bounded leg
+    collects + rrf_hits/dbsf_hits with the Spark operators' exact
+    ordering). Values must equal the Spark-side rrf()/dbsf() plan for
+    every fusion kind and for a smaller-is-better leg metric, and the
+    plan info must record the lazy-driver path without touching
+    driver_fused_root (the fused-root contract)."""
+    from qdrant_spark.query import QueryPlanner
+
+    rows = embeddings.orderBy("vec_id").limit(8).collect()
+    v = {r["vec_id"]: list(r["embedding"]) for r in rows}
+    for fusion in ("rrf", "dbsf"):
+        for metric in ("cosine", "euclid"):
+            req = {
+                "prefetch": [
+                    {"query": {"nearest": v[1]}, "limit": 25},
+                    {"query": {"nearest": v[4]}, "limit": 12},
+                    {"query": {"nearest": v[7]}, "limit": 18, "offset": 1},
+                ],
+                "query": {"fusion": fusion},
+                "limit": 10,
+            }
+            new_p = QueryPlanner(embeddings, id_col="vec_id",
+                                 default_vec_col="embedding", metric=metric)
+            got = new_p.plan(req).collect()
+            assert new_p.last_plan_info.get("driver_lazy_fusion") == 1
+            assert new_p.last_plan_info["driver_fused_root"] == 0
+            old_p = QueryPlanner(embeddings, id_col="vec_id",
+                                 default_vec_col="embedding", metric=metric,
+                                 driver_lazy_fusion=False)
+            want = old_p.plan(req).collect()
+            assert "driver_lazy_fusion" not in old_p.last_plan_info
+            assert [(r["vec_id"], round(r["score"], 9)) for r in got] == \
+                [(r["vec_id"], round(r["score"], 9)) for r in want], \
+                (fusion, metric)
