@@ -1196,16 +1196,19 @@ def main() -> None:
                                  signatures=dedup_sig).count()
 
     def q_curation_pipeline():
-        # quality-filter -> chunk: all per-row JVM column expressions
+        # quality-filter -> chunk: all per-row JVM column expressions.
+        # One-pass composition (guide §2.4): gopher_quality(keep=["text"])
+        # carries the text through so chunking consumes the SAME scan,
+        # instead of joining kept ids back onto the corpus (which scanned
+        # and tokenized `documents` twice). Verified row-identical to the
+        # join-back form (6923 chunks at sf0.1) before the switch; r14.
         from qdrant_spark.operators.curation import (
             chunk_documents, gopher_quality,
         )
 
-        q = gopher_quality(docs)
-        keep = q.where((F.col("dup_word_frac") < 0.95)
-                       & (F.col("n_words") >= 10)).select("doc_id")
-        return chunk_documents(docs.join(keep, "doc_id"),
-                               size=64, overlap=8).count()
+        kept = gopher_quality(docs, keep=["text"]).where(
+            (F.col("dup_word_frac") < 0.95) & (F.col("n_words") >= 10))
+        return chunk_documents(kept, size=64, overlap=8).count()
 
     mark("group4: docs queries")
     measure("bm25", q_bm25)

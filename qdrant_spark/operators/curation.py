@@ -486,6 +486,7 @@ def gopher_quality(
     text_col: str = "text",
     id_col: str = "doc_id",
     stopwords: Iterable[str] = _DEFAULT_STOPWORDS,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Per-document Gopher/C4-style quality signals, all as per-row column
     expressions (no shuffle):
@@ -502,10 +503,18 @@ def gopher_quality(
 
     The top-2-gram argmax is one sorted-run fold per row
     (:func:`_run_stats` — O(g log g), no per-distinct-gram rescan).
+
+    ``keep`` carries source columns (e.g. the text itself) through to the
+    output, so a filter-then-process pipeline consumes the quality
+    signals in the SAME scan instead of joining the kept ids back onto
+    the corpus — the join-back plan scans and tokenizes the corpus twice
+    (guide §2.4: remove shuffles/passes outright; r14).
     """
+    keep = [c for c in (keep or []) if c not in (id_col,)]
     docs = docs.select(
         F.col(id_col),
         F.col(text_col),
+        *[F.col(c) for c in keep if c != text_col],
         F.split(F.trim(F.col(text_col)), r"\s+").alias("__words"),
         F.split(F.col(text_col), "\n").alias("__lines"),
     ).withColumn("__grams", _word_grams(F.col("__words"), 2))
@@ -535,6 +544,7 @@ def gopher_quality(
         F.when(F.size(grams) > 0, F.round(
             top["top_cnt"] * F.length(top["top_item"]) / F.length(text_col), 6
         )).otherwise(F.lit(0.0)).alias("top_2gram_char_frac"),
+        *[F.col(c) for c in keep],
     )
 
 

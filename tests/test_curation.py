@@ -77,6 +77,27 @@ def test_gopher_quality_metrics(spark, toy_docs):
     assert out[5].n_words == 1 and out[5].mean_word_len == 1.0
 
 
+def test_gopher_quality_keep_passthrough(spark, toy_docs):
+    # keep= carries source columns through unchanged and leaves the
+    # signal columns identical to the default output (the one-pass
+    # filter-then-chunk composition in bench relies on both).
+    base = {r.doc_id: r for r in gopher_quality(toy_docs).collect()}
+    kept = {r.doc_id: r
+            for r in gopher_quality(toy_docs, keep=["text", "lang"])
+            .collect()}
+    src = {r.doc_id: r for r in toy_docs.collect()}
+    assert set(kept) == set(base)
+    for did, row in kept.items():
+        assert row.text == src[did].text
+        assert row.lang == src[did].lang
+        for c in base[did].asDict():
+            assert getattr(row, c) == getattr(base[did], c), c
+    # keep= listing id/text a second time must not duplicate columns
+    dup = gopher_quality(toy_docs, keep=["doc_id", "text"])
+    assert dup.columns.count("doc_id") == 1
+    assert dup.columns.count("text") == 1
+
+
 def _py_repetition(text, top_ns=(2, 3, 4), dup_ns=(5, 10)):
     """Pure-Python reimplementation of repetition_signals (same
     occurrence-count definitions, capped at 1.0)."""
