@@ -24,8 +24,29 @@ import shutil
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from qdrant_spark.operators.mutate import upsert_points
+
+#: partition column of the ``id_buckets`` incremental-commit layout
+BUCKET_COL = "__ibucket"
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Hardlink every file under ``src`` into ``dst`` (copy fallback).
+    The local analogue of a manifest re-pointing at unchanged data files
+    (Delta/Iceberg keep clean files by reference; plain parquet dirs
+    need the link)."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            s, d = os.path.join(root, f), os.path.join(out, f)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
 
 
 class ParquetPointsSink:
@@ -43,12 +64,27 @@ class ParquetPointsSink:
 
     def __init__(self, spark: SparkSession, table_dir: str, *,
                  id_col: str = "id", version_col: str | None = None,
-                 partition_cols: tuple[str, ...] = ()):
+                 partition_cols: tuple[str, ...] = (),
+                 id_buckets: int = 0):
         self.spark = spark
         self.table_dir = table_dir
         self.id_col = id_col
         self.version_col = version_col
         self.partition_cols = tuple(partition_cols)
+        #: ``id_buckets > 0`` switches the snapshot to an id-hash-bucket
+        #: partitioned layout with INCREMENTAL commits: a micro-batch
+        #: merges and rewrites only the buckets its ids hash into; clean
+        #: buckets carry into the new snapshot version by hardlink
+        #: (r14, guide §6/§2: per-batch work O(batch + dirty buckets)
+        #: instead of a full O(corpus) read-merge-rewrite — the
+        #: reference's analogue is applying updates only to the segment
+        #: that holds the point, segments.rs/update_handler.rs; at
+        #: cluster scale the link step is a manifest rewrite). Size it
+        #: so one bucket ~ a few target output files: batches touch
+        #: min(id_buckets, distinct batch ids) buckets, so savings need
+        #: id_buckets >> typical batch cardinality (or key-clustered
+        #: batches). 0 = the plain full-snapshot commit.
+        self.id_buckets = int(id_buckets)
         os.makedirs(table_dir, exist_ok=True)
 
     # -- snapshot plumbing ---------------------------------------------------
@@ -63,26 +99,87 @@ class ParquetPointsSink:
 
     def read(self) -> DataFrame | None:
         path = self._current_path()
-        return self.spark.read.parquet(path) if path else None
+        if not path:
+            return None
+        df = self.spark.read.parquet(path)
+        # the bucket column is commit-layout plumbing, not point data
+        return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
-    def _commit(self, df: DataFrame, batch_id: int) -> None:
-        name = f"_v{batch_id}"
-        out = os.path.join(self.table_dir, name)
-        w = df.write.mode("overwrite")
-        if self.partition_cols:
-            w = w.partitionBy(*self.partition_cols)
-        w.parquet(out)
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(self.id_buckets)),
+        )
+
+    def _swap_current(self, name: str, batch_id: int) -> None:
         with open(os.path.join(self.table_dir, "CURRENT"), "w") as f:
             f.write(name)
-        # retire old snapshots (keep the previous one for in-flight readers)
+        # retire old snapshots (keep the previous one for in-flight
+        # readers; hardlinked carry-over files keep their inodes alive
+        # in newer snapshots regardless)
         keep = {name, f"_v{batch_id - 1}"}
         for d in os.listdir(self.table_dir):
             if d.startswith("_v") and d not in keep:
                 shutil.rmtree(os.path.join(self.table_dir, d), ignore_errors=True)
 
+    def _commit(self, df: DataFrame, batch_id: int) -> None:
+        name = f"_v{batch_id}"
+        out = os.path.join(self.table_dir, name)
+        parts = self.partition_cols
+        if self.id_buckets:
+            df = self._bucketed(df)
+            parts = (BUCKET_COL, *parts)
+        w = df.write.mode("overwrite")
+        if parts:
+            w = w.partitionBy(*parts)
+        w.parquet(out)
+        self._swap_current(name, batch_id)
+
+    def _commit_incremental(self, batch_df: DataFrame, batch_id: int,
+                            prev_path: str) -> None:
+        """Merge the batch into ONLY the id-hash buckets it touches and
+        hardlink every clean bucket from the previous snapshot — the
+        same rows `_commit` over a full `upsert_points` would produce
+        (batch rows land in dirty buckets by construction; clean
+        buckets are byte-identical)."""
+        batch_b = self._bucketed(batch_df)
+        dirty = sorted(
+            r[0] for r in batch_b.select(BUCKET_COL).distinct().collect()
+        )
+        name = f"_v{batch_id}"
+        out = os.path.join(self.table_dir, name)
+        if dirty:
+            cur_dirty = (
+                self.spark.read.parquet(prev_path)
+                .filter(F.col(BUCKET_COL).isin(dirty))
+                .drop(BUCKET_COL)
+            )
+            merged = upsert_points(
+                cur_dirty, batch_df,
+                id_col=self.id_col, version_col=self.version_col,
+            )
+            w = self._bucketed(merged).write.mode("overwrite")
+            w.partitionBy(BUCKET_COL, *self.partition_cols).parquet(out)
+        else:  # empty batch: new version is a pure carry-over
+            os.makedirs(out, exist_ok=True)
+        dirty_set = {f"{BUCKET_COL}={b}" for b in dirty}
+        for d in os.listdir(prev_path):
+            if d.startswith(f"{BUCKET_COL}=") and d not in dirty_set:
+                _link_tree(os.path.join(prev_path, d), os.path.join(out, d))
+        self._swap_current(name, batch_id)
+
     # -- foreachBatch --------------------------------------------------------
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        prev = self._current_path()
+        if prev is not None and self.id_buckets and any(
+                d.startswith(f"{BUCKET_COL}=") for d in os.listdir(prev)):
+            # safe while reading the previous snapshot: new _v dir.
+            # (A previous snapshot without bucket dirs — layout change
+            # or empty table — takes the full-commit path once, which
+            # re-buckets it.)
+            self._commit_incremental(batch_df, batch_id, prev)
+            return
         current = self.read()
         if current is None:
             merged = batch_df
