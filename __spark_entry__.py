@@ -24,6 +24,7 @@ if _REPO not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from qdrant_spark.session import local_df
 
 # ---------------------------------------------------------------------------
 # shared helpers
@@ -969,7 +970,7 @@ def _q_count_approx(spark: SparkSession, sf: str) -> DataFrame:
     est, interval = count_estimate(
         emb, {"must": [{"key": "label", "range": {"lt": 4}}]},
         fraction=0.25, seed=42, id_col="vec_id")
-    return spark.createDataFrame([(est, interval)],
+    return local_df(spark, [(est, interval)],
                                  "estimate long, interval long")
 
 
@@ -1444,7 +1445,7 @@ def _q_sparse_idf(spark: SparkSession, sf: str) -> DataFrame:
     terms = doc_terms(docs)
     idf = idf_df(terms, n_docs)
     q_tokens = ["fast", "hash", "join", "sort"]
-    q = spark.createDataFrame([(t,) for t in q_tokens], "term: string")
+    q = local_df(spark, [(t,) for t in q_tokens], "term: string")
     scored = (
         terms.join(F.broadcast(q), "term")
         .join(idf, "term")
@@ -1483,7 +1484,7 @@ def _q_sparse_idf_corpus(spark: SparkSession, sf: str) -> DataFrame:
     idf = idf_df(doc_terms(corpus), n_corpus)
     terms = doc_terms(docs)
     q_tokens = ["fast", "hash", "join", "sort"]
-    q = spark.createDataFrame([(t,) for t in q_tokens], "term: string")
+    q = local_df(spark, [(t,) for t in q_tokens], "term: string")
     scored = (
         terms.join(F.broadcast(q), "term")
         .join(F.broadcast(idf), "term")
@@ -2431,7 +2432,7 @@ def _q_client_e2e(spark: SparkSession, sf: str) -> DataFrame:
         "entry_corpus", query=7,
         query_filter={"must": [{"key": "label", "match": {"value": 1}}]},
         limit=10, with_payload=False)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(p.id, round(p.score, 6)) for p in res.points],
         "vec_id long, score double")
 
@@ -2479,7 +2480,7 @@ def _q_quantized_planned(spark: SparkSession, sf: str) -> DataFrame:
         "entry_quant", query=q, limit=10, with_payload=False,
         search_params={"quantization": {"rescore": True,
                                         "oversampling": 8.0}})
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(p.id, round(p.score, 6)) for p in res.points],
         "vec_id long, score double")
 
@@ -2530,7 +2531,7 @@ def _q_quantized_ivf_planned(spark: SparkSession, sf: str) -> DataFrame:
         "entry_qivf", query=q, limit=10, with_payload=False,
         search_params={"quantization": {"rescore": True,
                                         "oversampling": 8.0}})
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(p.id, round(p.score, 6)) for p in res.points],
         "vec_id long, score double")
 
@@ -2576,7 +2577,7 @@ def _q_sparse_idf_by_id(spark: SparkSession, sf: str) -> DataFrame:
         for r in rows])
     res = c.query_points("entry_idf_by_id", query=7, using="t",
                          limit=10, with_payload=False)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(p.id, round(p.score, 6)) for p in res.points],
         "vec_id long, score double")
 
@@ -2632,7 +2633,7 @@ SELECT vec_id, round(s.score, 6) AS score FROM s ORDER BY s.score DESC, vec_id L
 def _q_upsert(spark: SparkSession, sf: str) -> DataFrame:
     from qdrant_spark.operators.mutate import upsert_points
 
-    ups = spark.createDataFrame(
+    ups = local_df(spark, 
         [(0, 99), (1, 99), (10001, 99)], "vec_id: long, label: int"
     )
     out = upsert_points(_emb(spark, sf), ups, id_col="vec_id")
@@ -2653,7 +2654,7 @@ def _q_sync(spark: SparkSession, sf: str) -> DataFrame:
     equal the batch — absent range ids deleted, batch rows replace/insert."""
     from qdrant_spark.operators.mutate import sync_points
 
-    batch = spark.createDataFrame(
+    batch = local_df(spark, 
         [(100, 77), (150, 77), (199, 77)], "vec_id: long, label: int"
     )
     out = sync_points(_emb(spark, sf), batch, from_id=100, to_id=200,
@@ -2677,7 +2678,7 @@ def _q_upsert_conditional(spark: SparkSession, sf: str) -> DataFrame:
     the CURRENT row matches the filter; unknown ids always insert."""
     from qdrant_spark.operators.mutate import upsert_points_conditional
 
-    ups = spark.createDataFrame(
+    ups = local_df(spark, 
         [(0, 77), (1, 77), (10001, 77)], "vec_id: long, label: int"
     )
     flt = {"must": [{"key": "label", "range": {"lte": 4}}]}
@@ -2708,7 +2709,7 @@ def _q_update_vectors(spark: SparkSession, sf: str) -> DataFrame:
     from qdrant_spark.operators.mutate import update_vectors
 
     new_vec = [0.5] * 64
-    ups = spark.createDataFrame([(0, new_vec)], "vec_id: long, embedding: array<float>")
+    ups = local_df(spark, [(0, new_vec)], "vec_id: long, embedding: array<float>")
     out = update_vectors(_emb(spark, sf), ups, ["embedding"], id_col="vec_id")
     s = F.aggregate(
         F.col("embedding").cast("array<double>"), F.lit(0.0), lambda a, x: a + x
@@ -3055,7 +3056,7 @@ def _q_maxsim_invlist_loaded(spark: SparkSession, sf: str) -> DataFrame:
          for i in range(8)]
     res = c2.query_points("entry_msinv_loaded", query=q, using="late",
                           limit=10, with_payload=False)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(p.id, round(p.score, 6)) for p in res.points],
         "vec_id long, score double")
 
@@ -3126,7 +3127,7 @@ def _q_quant_ivf_loaded(spark: SparkSession, sf: str) -> DataFrame:
         "entry_qivf_loaded", query=q, limit=10, with_payload=False,
         search_params={"quantization": {"rescore": True,
                                         "oversampling": 8.0}})
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(p.id, round(p.score, 6)) for p in res.points],
         "vec_id long, score double")
 
@@ -3173,7 +3174,7 @@ def _q_quantized_batch(spark: SparkSession, sf: str) -> DataFrame:
         for q in qs])
     out = [(qi, p.id, round(p.score, 6))
            for qi, r in enumerate(res) for p in r.points]
-    return spark.createDataFrame(
+    return local_df(spark, 
         out, "qid long, vec_id long, score double")
 
 
@@ -3227,7 +3228,7 @@ def _q_quantized_batch_kinds(spark: SparkSession, sf: str) -> DataFrame:
     res = c.query_batch_points("entry_quant_kinds", reqs)
     out = [(qi, p.id, round(p.score, 6))
            for qi, r in enumerate(res) for p in r.points]
-    return spark.createDataFrame(
+    return local_df(spark, 
         out, "qid long, vec_id long, score double")
 
 
@@ -3307,7 +3308,7 @@ def _q_maxsim_sq_batch(spark: SparkSession, sf: str) -> DataFrame:
         for q in qs])
     out = [(qi, p.id, round(p.score, 6))
            for qi, r in enumerate(res) for p in r.points]
-    return spark.createDataFrame(
+    return local_df(spark, 
         out, "qid long, vec_id long, score double")
 
 
@@ -3377,7 +3378,7 @@ def _q_maxsim_batch_kinds(spark: SparkSession, sf: str) -> DataFrame:
     res = c.query_batch_points("entry_mv_kinds", reqs)
     out = [(qi, p.id, round(p.score, 6))
            for qi, r in enumerate(res) for p in r.points]
-    return spark.createDataFrame(
+    return local_df(spark, 
         out, "qid long, vec_id long, score double")
 
 
@@ -3611,7 +3612,7 @@ def _q_maxsim_sq_planned(spark: SparkSession, sf: str) -> DataFrame:
         "entry_mv_sq", query=q, using="late", limit=10,
         with_payload=False,
         search_params={"quantization": {"oversampling": 10.0}})
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(p.id, round(p.score, 6)) for p in res.points],
         "vec_id long, score double")
 
@@ -3657,7 +3658,7 @@ def _q_maxsim_sq_ivf_planned(spark: SparkSession, sf: str) -> DataFrame:
         "entry_mv_sq_ivf", query=q, using="late", limit=10,
         with_payload=False,
         search_params={"quantization": {"oversampling": 10.0}})
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(p.id, round(p.score, 6)) for p in res.points],
         "vec_id long, score double")
 
@@ -3739,7 +3740,7 @@ def _q_maxsim_planned(spark: SparkSession, sf: str) -> DataFrame:
          for i in range(8)]
     res = c.query_points("entry_mv_planned", query=q, using="late",
                          limit=10, with_payload=False)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(p.id, round(p.score, 6)) for p in res.points],
         "vec_id long, score double")
 
