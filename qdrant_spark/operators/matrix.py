@@ -39,6 +39,25 @@ def distance_matrix(
         sample_points(points.filter(F.col(vec_col).isNotNull()), sample_size, flt=flt, seed=seed)
         .select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     )
+    # The sample is bounded by sample_size (API default 10), but every
+    # DataFrame reference to it re-evaluates the corpus scan + sample
+    # top-k — the offsets wrapper referenced it 7x, i.e. 7 corpus scans
+    # per query (plans/r14/distance_matrix_offsets_before.txt). Collect
+    # the sample ONCE and rebuild it as a LocalRelation: one corpus
+    # scan total, every downstream reference is a LocalTableScan
+    # (guide §2.4 remove repeated passes; values round-trip exactly —
+    # collect -> local_df preserves float32 bits, same rows, same
+    # ordering logic).
+    from qdrant_spark.session import local_df
+
+    spark = points.sparkSession
+    smp_schema = smp.schema
+    smp = local_df(spark, [tuple(r) for r in smp.collect()], smp_schema)
+    if sample_size > 100:
+        # restore scan parallelism the corpus lineage used to provide:
+        # the Arrow pair scorer below streams sample^2 rows
+        smp = smp.repartition(
+            min(sample_size, spark.sparkContext.defaultParallelism))
     other = smp.select(F.col("id_a").alias("id_b"), F.col("__va").alias("__vb"))
     pairs = smp.crossJoin(F.broadcast(other)).filter(F.col("id_a") != F.col("id_b"))
     if sample_size > 100:

@@ -154,6 +154,21 @@ def test_distance_matrix_shape(embeddings):
         assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
 
 
+def test_distance_matrix_plans_without_corpus_rescan(embeddings):
+    """The bounded sample is collected once into a LocalRelation, so the
+    final pairs/offsets plans must not rescan the corpus — the offsets
+    wrapper used to re-evaluate the sample subtree 7x (r14)."""
+    from qdrant_spark.operators.matrix import distance_matrix_offsets
+
+    kw = dict(sample_size=10, limit_per_sample=3, metric="cosine",
+              vec_col="embedding", id_col="vec_id", seed=7)
+    for df in (distance_matrix(embeddings, **kw),
+               distance_matrix_offsets(embeddings, **kw)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan" not in plan and "Scan parquet" not in plan
+        assert "LocalTableScan" in plan
+
+
 def test_distance_matrix_large_sample_matches_numpy(embeddings):
     """sample_size > 100 switches to the Arrow pair scorer; verify it
     against a direct NumPy recomputation of the same sample."""
