@@ -170,6 +170,7 @@ def lm_score(
     lm_docs: DataFrame | None = None,
     vocab_size: int = 2000,
     alpha: float = 1.0,
+    eager_model: bool = True,
 ) -> DataFrame:
     """Unigram language-model scoring — the CCNet-style perplexity proxy
     (Wenzek et al. 2020: documents are ranked by LM score against a clean
@@ -186,7 +187,18 @@ def lm_score(
     Scale shape: token counting is one map-side-combined aggregation keyed
     on the token (bounded by vocabulary, not corpus size); the top-V table
     broadcasts; scoring is explode -> broadcast join -> one groupBy(id).
-    No shuffle ever carries full text."""
+    No shuffle ever carries full text.
+
+    ``eager_model`` (default, r15): the bounded model — the top-V
+    (tok, cnt) table and the one-double corpus total — is computed as
+    two EAGER jobs and re-enters the plan as a LocalRelation + literals.
+    The lazy in-plan alternative (a broadcast 1-row crossJoin per
+    reference) re-plans the whole token-agg subtree at every reference
+    (exchange reuse verified NOT to fire): the final lm_score plan
+    scanned the corpus 4x, lm_buckets 8x. Scoring expressions are
+    unchanged (same Spark log/div/add over the same values), so results
+    are bit-identical; pass ``eager_model=False`` to keep the fully
+    lazy plan."""
     def toks(col: Column) -> Column:
         return F.filter(
             F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != ""
@@ -197,38 +209,48 @@ def lm_score(
         src.select(F.explode(toks(F.col(text_col))).alias("tok"))
         .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # corpus token total stays IN-PLAN: a broadcast 1-row crossJoin instead
-    # of a driver-side collect — the plan stays lazy and the token agg runs
-    # once, not as a separate scalar job
-    denom = F.col("__total") + F.lit(float(alpha * (vocab_size + 1)))
-    total_df = tok_counts.agg(
-        F.coalesce(F.sum("cnt").cast("double"), F.lit(0.0)).alias("__total")
-    )
     # top-V via orderBy+limit = map-side TakeOrdered, NOT a global window
     # (a windowed row_number over all distinct tokens is a one-partition
     # sort of the whole vocabulary)
-    vocab = (
-        tok_counts.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    top_v = tok_counts.orderBy(F.col("cnt").desc(), F.col("tok").asc()) \
         .limit(vocab_size)
-        .crossJoin(F.broadcast(total_df))
-        .select(
-            "tok",
-            F.log((F.col("cnt") + F.lit(float(alpha))) / denom).alias("lp"),
+    if eager_model:
+        from qdrant_spark.session import local_df
+
+        spark = docs.sparkSession
+        total_val = tok_counts.agg(
+            F.coalesce(F.sum("cnt").cast("double"), F.lit(0.0))
+        ).collect()[0][0]
+        total = F.lit(float(total_val))
+        cnts = local_df(spark, [(r["tok"], r["cnt"])
+                                for r in top_v.collect()],
+                        "tok string, cnt bigint")
+    else:
+        # corpus token total stays IN-PLAN: a broadcast 1-row crossJoin
+        # per reference instead of a driver-side collect
+        total = F.col("__total")
+        total_df = tok_counts.agg(
+            F.coalesce(F.sum("cnt").cast("double"), F.lit(0.0))
+            .alias("__total")
         )
+        cnts = top_v.crossJoin(F.broadcast(total_df))
+    denom = total + F.lit(float(alpha * (vocab_size + 1)))
+    vocab = cnts.select(
+        "tok",
+        F.log((F.col("cnt") + F.lit(float(alpha))) / denom).alias("lp"),
     )
 
     ex = docs.select(
         F.col(id_col),
         F.explode_outer(toks(F.col(text_col))).alias("tok"),
     )
-    scored = (
-        ex.join(F.broadcast(vocab), "tok", "left")
-        .crossJoin(F.broadcast(total_df))
-        .withColumn(
-            "__oov_lp",
-            F.when(F.col("__total") > 0,
-                   F.log(F.lit(float(alpha)) / denom)).otherwise(F.lit(0.0)),
-        )
+    scored = ex.join(F.broadcast(vocab), "tok", "left")
+    if not eager_model:
+        scored = scored.crossJoin(F.broadcast(total_df))
+    scored = scored.withColumn(
+        "__oov_lp",
+        F.when(total > 0,
+               F.log(F.lit(float(alpha)) / denom)).otherwise(F.lit(0.0)),
     )
     n_tok = F.count("tok")
     n_oov = F.count(F.when(F.col("tok").isNotNull() & F.col("lp").isNull(),
@@ -258,6 +280,7 @@ def lm_buckets(
     vocab_size: int = 2000,
     alpha: float = 1.0,
     cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    eager_model: bool = True,
 ) -> DataFrame:
     """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): rank
     documents by LM score and split the corpus at the ``cuts`` percentiles
@@ -267,9 +290,11 @@ def lm_buckets(
 
     Built on :func:`lm_score` (the smoothed-unigram perplexity proxy);
     thresholds are EXACT interpolated percentiles of ``avg_logprob``
-    computed in one corpus aggregation that stays in-plan (broadcast 1-row
-    crossJoin — no driver collect). Returns ``(id, n_tokens, oov_frac,
-    avg_logprob, bucket)``.
+    computed in one corpus aggregation (two doubles — with
+    ``eager_model``, the r15 default, they collect eagerly and re-enter
+    as literals; lazily they stay in-plan via a broadcast 1-row
+    crossJoin, which re-plans the whole scored subtree a second time).
+    Returns ``(id, n_tokens, oov_frac, avg_logprob, bucket)``.
 
     Scale shape: lm_score's vocab-bounded aggregations + ONE extra global
     percentile agg (two doubles out) + a map-only bucket assignment. The
@@ -277,18 +302,32 @@ def lm_buckets(
     corpora where that matters switch the caller to sampled thresholds —
     the assignment logic is unchanged."""
     scored = lm_score(docs, text_col, id_col, lm_docs=lm_docs,
-                      vocab_size=vocab_size, alpha=alpha)
+                      vocab_size=vocab_size, alpha=alpha,
+                      eager_model=eager_model)
     lo_p, hi_p = float(cuts[0]), float(cuts[1])
-    cuts_df = scored.agg(
-        F.round(F.percentile("avg_logprob", F.lit(lo_p)), 6).alias("__lo"),
-        F.round(F.percentile("avg_logprob", F.lit(hi_p)), 6).alias("__hi"),
-    )
+    if eager_model:
+        row = scored.agg(
+            F.round(F.percentile("avg_logprob", F.lit(lo_p)), 6),
+            F.round(F.percentile("avg_logprob", F.lit(hi_p)), 6),
+        ).collect()[0]
+        # None (empty corpus) keeps the lazy path's null-comparison
+        # semantics: both WHENs are null -> every row lands in "tail"
+        lo = F.lit(row[0]).cast("double")
+        hi = F.lit(row[1]).cast("double")
+    else:
+        cuts_df = scored.agg(
+            F.round(F.percentile("avg_logprob", F.lit(lo_p)), 6)
+            .alias("__lo"),
+            F.round(F.percentile("avg_logprob", F.lit(hi_p)), 6)
+            .alias("__hi"),
+        )
+        scored = scored.crossJoin(F.broadcast(cuts_df))
+        lo, hi = F.col("__lo"), F.col("__hi")
     return (
-        scored.crossJoin(F.broadcast(cuts_df))
-        .withColumn(
+        scored.withColumn(
             "bucket",
-            F.when(F.col("avg_logprob") >= F.col("__hi"), F.lit("head"))
-            .when(F.col("avg_logprob") >= F.col("__lo"), F.lit("middle"))
+            F.when(F.col("avg_logprob") >= hi, F.lit("head"))
+            .when(F.col("avg_logprob") >= lo, F.lit("middle"))
             .otherwise(F.lit("tail")),
         )
         .drop("__lo", "__hi")
@@ -363,6 +402,7 @@ def dsir_weights(
     *,
     n_buckets: int = 10_000,
     alpha: float = 1.0,
+    eager_model: bool = True,
 ) -> DataFrame:
     """Data Selection with Importance Resampling (Xie et al. 2023): score
     every raw document by the hashed-n-gram importance log-ratio
@@ -379,11 +419,15 @@ def dsir_weights(
     bag-of-hashed-ngrams likelihood ratio), rounded to 6 places.
 
     Scale shape: exactly :func:`lm_score` twice — the two bucket-count
-    aggregations are bounded by ``n_buckets`` (map-side combined), their
-    totals stay in-plan via broadcast 1-row crossJoins, the two bucket
-    tables broadcast, and the raw corpus is touched by ONE explode +
-    broadcast-join + groupBy(id). The target corpus is small by design
-    (that's the method's premise)."""
+    aggregations are bounded by ``n_buckets`` (map-side combined), the
+    two bucket tables broadcast, and the raw corpus is touched by ONE
+    explode + broadcast-join + groupBy(id). The target corpus is small
+    by design (that's the method's premise). ``eager_model`` (default,
+    r15): each model's <= ``n_buckets`` (bucket, cnt) rows collect
+    eagerly and re-enter as a LocalRelation (totals derive exactly from
+    the collected counts); the lazy in-plan alternative re-planned each
+    model subtree at every reference (7 scans in the final plan).
+    Scoring expressions are unchanged, so results are bit-identical."""
     from qdrant_spark.functions.hashes import token_hash63
 
     def toks(col: Column) -> Column:
@@ -402,18 +446,32 @@ def dsir_weights(
             .alias("bucket"),
         )
 
-    def model(df: DataFrame, name: str) -> DataFrame:
+    def model(df: DataFrame, name: str):
         cnts = (feats(df, with_id=False).where(F.col("bucket").isNotNull())
                 .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")))
-        total = cnts.agg(
-            F.coalesce(F.sum("cnt").cast("double"), F.lit(0.0))
-            .alias(f"__tot_{name}"))
-        denom = F.col(f"__tot_{name}") + F.lit(float(alpha * n_buckets))
-        lp = (cnts.crossJoin(F.broadcast(total))
-              .select("bucket",
-                      F.log((F.col("cnt") + F.lit(float(alpha))) / denom)
-                      .alias(f"lp_{name}")))
-        return lp, total, denom
+        if eager_model:
+            # bounded by n_buckets: collect once; the total is EXACTLY
+            # the sum of the collected counts (integer math, same value
+            # the in-plan sum-cast-double produced)
+            from qdrant_spark.session import local_df
+
+            rows = [(r["bucket"], r["cnt"]) for r in cnts.collect()]
+            total_val = float(sum(c for _, c in rows))
+            cnts = local_df(df.sparkSession, rows,
+                            "bucket bigint, cnt bigint")
+            total_col = F.lit(total_val)
+            total_df = None
+        else:
+            total_df = cnts.agg(
+                F.coalesce(F.sum("cnt").cast("double"), F.lit(0.0))
+                .alias(f"__tot_{name}"))
+            total_col = F.col(f"__tot_{name}")
+            cnts = cnts.crossJoin(F.broadcast(total_df))
+        denom = total_col + F.lit(float(alpha * n_buckets))
+        lp = cnts.select("bucket",
+                         F.log((F.col("cnt") + F.lit(float(alpha))) / denom)
+                         .alias(f"lp_{name}"))
+        return lp, total_df, denom
 
     lp_t, tot_t, denom_t = model(target, "t")
     lp_r, tot_r, denom_r = model(docs, "r")
@@ -423,13 +481,16 @@ def dsir_weights(
         feats(docs, with_id=True)
         .join(F.broadcast(lp_t), "bucket", "left")
         .join(F.broadcast(lp_r), "bucket", "left")
-        .crossJoin(F.broadcast(tot_t))
-        .crossJoin(F.broadcast(tot_r))
-        .withColumn("__d",
-                    F.when(F.col("bucket").isNull(), F.lit(None)).otherwise(
-                        F.coalesce(F.col("lp_t"), oov_t)
-                        - F.coalesce(F.col("lp_r"), oov_r)))
     )
+    if tot_t is not None:
+        scored = scored.crossJoin(F.broadcast(tot_t))
+    if tot_r is not None:
+        scored = scored.crossJoin(F.broadcast(tot_r))
+    scored = scored.withColumn(
+        "__d",
+        F.when(F.col("bucket").isNull(), F.lit(None)).otherwise(
+            F.coalesce(F.col("lp_t"), oov_t)
+            - F.coalesce(F.col("lp_r"), oov_r)))
     return scored.groupBy(id_col).agg(
         F.count("__d").alias("n_feats"),
         F.round(F.coalesce(F.sum("__d"), F.lit(0.0)), 6).alias("log_ratio"),

@@ -48,16 +48,20 @@ def distance_matrix(
     # (guide §2.4 remove repeated passes; values round-trip exactly —
     # collect -> local_df preserves float32 bits, same rows, same
     # ordering logic).
+    # Guard the shortcut by sample size: collecting ids+vectors is a
+    # driver-memory/py4j bottleneck the distributed lineage never had,
+    # so very large samples keep the live frame (and pay the rescans).
     from qdrant_spark.session import local_df
 
     spark = points.sparkSession
-    smp_schema = smp.schema
-    smp = local_df(spark, [tuple(r) for r in smp.collect()], smp_schema)
-    if sample_size > 100:
-        # restore scan parallelism the corpus lineage used to provide:
-        # the Arrow pair scorer below streams sample^2 rows
-        smp = smp.repartition(
-            min(sample_size, spark.sparkContext.defaultParallelism))
+    if sample_size <= 1000:
+        smp_schema = smp.schema
+        smp = local_df(spark, [tuple(r) for r in smp.collect()], smp_schema)
+        if sample_size > 100:
+            # restore scan parallelism the corpus lineage used to provide:
+            # the Arrow pair scorer below streams sample^2 rows
+            smp = smp.repartition(
+                min(sample_size, spark.sparkContext.defaultParallelism))
     other = smp.select(F.col("id_a").alias("id_b"), F.col("__va").alias("__vb"))
     pairs = smp.crossJoin(F.broadcast(other)).filter(F.col("id_a") != F.col("id_b"))
     if sample_size > 100:

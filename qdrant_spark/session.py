@@ -49,6 +49,11 @@ def local_df(spark: SparkSession, data, schema):
                     return math.isnan(v)
                 if isinstance(v, (list, tuple)):
                     return any(_has_nan(x) for x in v)
+                if isinstance(v, dict):
+                    # MapType cells (e.g. replayed one-shot schemas):
+                    # a NaN value inside the map must also fall back
+                    return any(_has_nan(x)
+                               for kv in v.items() for x in kv)
                 return False
 
             if any(_has_nan(v) for r in rows for v in r):

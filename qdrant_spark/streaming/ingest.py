@@ -111,6 +111,31 @@ class ParquetPointsSink:
             F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(self.id_buckets)),
         )
 
+    # underscore prefix: parquet readers ignore it like _SUCCESS
+    _META = "_ID_BUCKETS"
+
+    def _write_meta(self, out: str) -> None:
+        """Record the modulus a snapshot was bucketed with INSIDE the
+        snapshot dir. Incremental commits compute dirty buckets with
+        ``self.id_buckets``; if the snapshot on disk was written with a
+        DIFFERENT modulus, an updated id's old row can sit in a bucket
+        the new modulus calls clean and survive the carry-over as a
+        duplicate — so a mismatch must force the full re-bucketing
+        commit (reproduced: 40 rows at B=4, one update at B=8 left the
+        id twice)."""
+        if self.id_buckets:
+            with open(os.path.join(out, self._META), "w") as f:
+                f.write(str(self.id_buckets))
+
+    def _snapshot_buckets(self, path: str) -> int | None:
+        """The modulus ``path`` was committed with (None = unknown:
+        pre-metadata snapshot or unbucketed layout)."""
+        try:
+            with open(os.path.join(path, self._META)) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
     def _swap_current(self, name: str, batch_id: int) -> None:
         with open(os.path.join(self.table_dir, "CURRENT"), "w") as f:
             f.write(name)
@@ -133,18 +158,22 @@ class ParquetPointsSink:
         if parts:
             w = w.partitionBy(*parts)
         w.parquet(out)
+        self._write_meta(out)
         self._swap_current(name, batch_id)
 
-    def _commit_incremental(self, batch_df: DataFrame, batch_id: int,
-                            prev_path: str) -> None:
-        """Merge the batch into ONLY the id-hash buckets it touches and
-        hardlink every clean bucket from the previous snapshot — the
-        same rows `_commit` over a full `upsert_points` would produce
-        (batch rows land in dirty buckets by construction; clean
-        buckets are byte-identical)."""
-        batch_b = self._bucketed(batch_df)
+    def _commit_incremental(self, keys_df: DataFrame, batch_id: int,
+                            prev_path: str, merge) -> None:
+        """Rewrite ONLY the id-hash buckets the batch's ids hash into and
+        hardlink every clean bucket from the previous snapshot.
+        ``keys_df`` carries EVERY id the batch touches (it decides
+        dirtiness); ``merge(cur_dirty)`` produces the merged rows for
+        those buckets from the previous snapshot's dirty-bucket rows —
+        the same rows a full commit would put there (merged rows land in
+        dirty buckets by construction: every merge keys on the id;
+        clean buckets are byte-identical)."""
         dirty = sorted(
-            r[0] for r in batch_b.select(BUCKET_COL).distinct().collect()
+            r[0] for r in self._bucketed(keys_df)
+            .select(BUCKET_COL).distinct().collect()
         )
         name = f"_v{batch_id}"
         out = os.path.join(self.table_dir, name)
@@ -154,10 +183,7 @@ class ParquetPointsSink:
                 .filter(F.col(BUCKET_COL).isin(dirty))
                 .drop(BUCKET_COL)
             )
-            merged = upsert_points(
-                cur_dirty, batch_df,
-                id_col=self.id_col, version_col=self.version_col,
-            )
+            merged = merge(cur_dirty)
             w = self._bucketed(merged).write.mode("overwrite")
             w.partitionBy(BUCKET_COL, *self.partition_cols).parquet(out)
         else:  # empty batch: new version is a pure carry-over
@@ -166,19 +192,34 @@ class ParquetPointsSink:
         for d in os.listdir(prev_path):
             if d.startswith(f"{BUCKET_COL}=") and d not in dirty_set:
                 _link_tree(os.path.join(prev_path, d), os.path.join(out, d))
+        self._write_meta(out)
         self._swap_current(name, batch_id)
+
+    def _incremental_prev(self) -> str | None:
+        """The previous snapshot path IF an incremental commit is sound:
+        bucketing on, snapshot present, and its recorded modulus equals
+        ours. A mismatched or unrecorded modulus (layout change, upgrade
+        from an unbucketed or pre-metadata snapshot) returns None — the
+        caller's full commit re-buckets the table once."""
+        prev = self._current_path()
+        if (prev is not None and self.id_buckets
+                and self._snapshot_buckets(prev) == self.id_buckets
+                and any(d.startswith(f"{BUCKET_COL}=")
+                        for d in os.listdir(prev))):
+            return prev
+        return None
 
     # -- foreachBatch --------------------------------------------------------
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        prev = self._current_path()
-        if prev is not None and self.id_buckets and any(
-                d.startswith(f"{BUCKET_COL}=") for d in os.listdir(prev)):
-            # safe while reading the previous snapshot: new _v dir.
-            # (A previous snapshot without bucket dirs — layout change
-            # or empty table — takes the full-commit path once, which
-            # re-buckets it.)
-            self._commit_incremental(batch_df, batch_id, prev)
+        prev = self._incremental_prev()
+        if prev is not None:
+            # safe while reading the previous snapshot: new _v dir
+            self._commit_incremental(
+                batch_df, batch_id, prev,
+                lambda cur_dirty: upsert_points(
+                    cur_dirty, batch_df,
+                    id_col=self.id_col, version_col=self.version_col))
             return
         current = self.read()
         if current is None:

@@ -134,6 +134,20 @@ class SparsePairsSink(ParquetPointsSink):
 
     def apply_pairs(self, pairs_df: DataFrame, ids_df: DataFrame,
                     batch_id: int) -> None:
+        prev = self._incremental_prev()
+        if prev is not None:
+            # id-bucketed incremental commit (r15): every old pair of a
+            # batch id lives in that id's hash bucket, so the
+            # replace-posting-set merge is complete over the dirty
+            # buckets alone; dirtiness keys on ids_df (EVERY batch id —
+            # a point re-upserted with no pairs still clears its old
+            # ones), clean buckets carry over by hardlink.
+            self._commit_incremental(
+                ids_df, batch_id, prev,
+                lambda cur_dirty: cur_dirty
+                .join(ids_df, on=self.id_col, how="left_anti")
+                .unionByName(pairs_df))
+            return
         current = self.read()
         if current is None:
             merged = pairs_df

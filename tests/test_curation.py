@@ -571,3 +571,44 @@ def test_corpus_stats_double_num_col_keeps_double_sum(spark):
     df_i = spark.createDataFrame(
         [(0, "en", 3, "s")], ["doc_id", "lang", "n_chars", "source"])
     assert dict(corpus_stats(df_i).dtypes)["sum_n_chars"] == "bigint"
+
+
+def test_lm_dsir_eager_model_matches_lazy(spark):
+    # r15: the bounded model stats (top-V vocab, totals, percentile
+    # cuts, hashed-ngram bucket models) collect eagerly and re-enter the
+    # plan as LocalRelations/literals — results must be bit-identical to
+    # the fully lazy in-plan subtrees, and the eager plans must stop
+    # re-scanning the corpus per reference.
+    from qdrant_spark.operators.curation import (
+        dsir_weights, lm_buckets, lm_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i % 3} delta word{i}" * (1 + i % 4))
+         for i in range(40)] + [(99, "")],
+        "doc_id long, text string")
+    target = docs.filter("doc_id % 5 = 0")
+
+    for fn, kwargs in (
+        (lm_score, dict(vocab_size=7, alpha=0.5)),
+        (lm_buckets, dict(vocab_size=7, alpha=0.5)),
+    ):
+        eager = fn(docs, eager_model=True, **kwargs)
+        lazy = fn(docs, eager_model=False, **kwargs)
+        assert sorted(map(tuple, eager.collect())) == \
+            sorted(map(tuple, lazy.collect())), fn.__name__
+        # the corpus subtree is planned ONCE in the eager plan (the
+        # model frames enter as LocalTableScan, not corpus re-scans);
+        # AQE's toString repeats the tree under "Initial Plan" — count
+        # only the final section
+        plan = (eager._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0])
+        assert plan.count("ExistingRDD") <= 1, fn.__name__
+
+    eager = dsir_weights(docs, target, n_buckets=64, eager_model=True)
+    lazy = dsir_weights(docs, target, n_buckets=64, eager_model=False)
+    assert sorted(map(tuple, eager.collect())) == \
+        sorted(map(tuple, lazy.collect()))
+    plan = (eager._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert plan.count("ExistingRDD") <= 1

@@ -105,3 +105,148 @@ def test_unbucketed_previous_snapshot_upgrades_once(spark, tmp_path):
     assert any(x.startswith(BUCKET_COL) for x in os.listdir(v1))
     got = {r["id"]: r["payload"] for r in inc.read().collect()}
     assert got[1] == "x" and len(got) == 50
+
+
+def test_reopen_with_different_bucket_count_rebuckets(spark, tmp_path):
+    # the r14 ADVICE corruption: a sink reopened with a different
+    # id_buckets used to compute dirty buckets with the NEW modulus over
+    # a snapshot partitioned by the OLD one — an updated id's old row
+    # sat in a bucket the new modulus called clean and was carried over,
+    # leaving the id twice. The per-snapshot _ID_BUCKETS metadata forces
+    # the full re-bucketing commit on mismatch.
+    d = str(tmp_path / "t")
+    s4 = ParquetPointsSink(spark, d, id_col="id", id_buckets=4)
+    s4.apply_batch(_base(spark, n=40), 0)
+    s8 = ParquetPointsSink(spark, d, id_col="id", id_buckets=8)
+    s8.apply_batch(_mk(spark, [(7, "updated", 9), (1_000, "new", 1)]), 1)
+    rows = s8.read().collect()
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 41  # no duplicate id survived
+    got = {r["id"]: r["payload"] for r in rows}
+    assert got[7] == "updated" and got[1_000] == "new"
+    # the re-bucketed snapshot recorded the new modulus, so the NEXT
+    # commit is incremental again (clean buckets hardlink-carried)
+    s8.apply_batch(_mk(spark, [(7, "again", 10)]), 2)
+    v2 = os.path.join(d, "_v2")
+    links = {os.stat(os.path.join(dp, f)).st_nlink
+             for dp, _dn, fn in os.walk(v2) for f in fn
+             if f.endswith(".parquet")}
+    assert 2 in links  # at least one carried (clean) bucket file
+    got2 = {r["id"]: r["payload"] for r in s8.read().collect()}
+    assert got2[7] == "again" and len(got2) == 41
+
+
+def test_pre_metadata_snapshot_upgrades_with_full_commit(spark, tmp_path):
+    # bucketed snapshots written before _ID_BUCKETS existed have bucket
+    # dirs but no recorded modulus: the next commit must take the full
+    # path (unknown modulus = assume mismatch), after which incremental
+    # commits resume
+    d = str(tmp_path / "t")
+    sink = ParquetPointsSink(spark, d, id_col="id", id_buckets=4)
+    sink.apply_batch(_base(spark, n=40), 0)
+    os.remove(os.path.join(d, "_v0", "_ID_BUCKETS"))
+    assert sink._incremental_prev() is None
+    sink.apply_batch(_mk(spark, [(3, "upd", 2)]), 1)
+    v1 = os.path.join(d, "_v1")
+    assert os.path.exists(os.path.join(v1, "_ID_BUCKETS"))
+    # full commit: nothing hardlink-carried
+    links = {os.stat(os.path.join(dp, f)).st_nlink
+             for dp, _dn, fn in os.walk(v1) for f in fn
+             if f.endswith(".parquet")}
+    assert links == {1}
+    got = {r["id"]: r["payload"] for r in sink.read().collect()}
+    assert got[3] == "upd" and len(got) == 40
+    assert sink._incremental_prev() is not None
+
+
+def test_pairs_sink_bucketed_incremental_equals_full(spark, tmp_path):
+    # the replace-posting-set merge (SparsePairsSink.apply_pairs) under
+    # id-bucketed incremental commits: same final pairs as the
+    # full-rewrite sink across upsert + clear, clean buckets carried by
+    # hardlink
+    from qdrant_spark.streaming.serve import SparsePairsSink
+
+    def pairs_df(rows):
+        return spark.createDataFrame(rows, "id long, dim long, v double")
+
+    def ids_df(ids):
+        return spark.createDataFrame([(i,) for i in ids], "id long")
+
+    base = [(i, d, float(i + d)) for i in range(200) for d in (1, 2)]
+    up1 = ([(7, 9, 1.0)], [7, 8])        # 7 re-posted, 8 cleared
+    up2 = ([(300, 1, 2.0)], [300])       # new id
+    full = SparsePairsSink(spark, str(tmp_path / "full"), id_col="id")
+    inc = SparsePairsSink(spark, str(tmp_path / "inc"), id_col="id",
+                          id_buckets=8)
+    for sink in (full, inc):
+        sink.apply_pairs(pairs_df(base), ids_df(range(200)), 0)
+        sink.apply_pairs(pairs_df(up1[0]), ids_df(up1[1]), 1)
+        sink.apply_pairs(pairs_df(up2[0]), ids_df(up2[1]), 2)
+
+    def rows(s):
+        return sorted(map(tuple, s.read().collect()))
+
+    assert rows(inc) == rows(full)
+    assert (7, 9, 1.0) in rows(inc)
+    assert not any(r[0] == 8 for r in rows(inc))  # postings cleared
+    # incremental commits carried clean buckets by hardlink
+    v2 = os.path.join(str(tmp_path / "inc"), "_v2")
+    links = {os.stat(os.path.join(dp, f)).st_nlink
+             for dp, _dn, fn in os.walk(v2) for f in fn
+             if f.endswith(".parquet")}
+    assert 2 in links
+
+
+def test_maxsim_invlist_sink_bucketed_prunes_and_matches(spark, tmp_path):
+    # composing id_buckets UNDER the __cluster-partitioned invlist sink
+    # (r15): the snapshot layout becomes __ibucket=*/__cluster=*, the
+    # live search route still prunes files on __cluster (PartitionFilters)
+    # and answers bit-identically to the unbucketed sink
+    import re
+
+    import numpy as np
+
+    from qdrant_spark.operators.multivec import maxsim_knn_ivf
+    from qdrant_spark.streaming.serve import (
+        MaxSimInvlistSink, live_maxsim_ivf_index,
+    )
+
+    rng = np.random.default_rng(7)
+    docs = [(i, [[float(x) for x in rng.normal(size=4)]
+                 for _ in range(3)]) for i in range(60)]
+    mv = spark.createDataFrame(docs, "vec_id long, mv array<array<double>>")
+    cents = rng.normal(size=(4, 4))
+
+    def feed(sink, batch, bid):
+        from qdrant_spark.operators.ann import ivf_from_centroids
+        ids = batch.select("vec_id").distinct()
+        base = batch.filter(F.col("mv").isNotNull() & (F.size("mv") > 0))
+        toks = base.select("vec_id", F.explode("mv").alias("__tok"))
+        memb = (ivf_from_centroids(toks, cents, vec_col="__tok",
+                                   id_col="vec_id")
+                .assigned.select("vec_id", "__cluster").distinct())
+        sink.apply_pairs(base.join(memb, "vec_id"), ids, bid)
+
+    plain = MaxSimInvlistSink(spark, str(tmp_path / "plain"),
+                              id_col="vec_id")
+    bucketed = MaxSimInvlistSink(spark, str(tmp_path / "bucketed"),
+                                 id_col="vec_id", id_buckets=4)
+    upd = spark.createDataFrame(
+        [(5, [[float(x) * 2 for x in t] for t in docs[5][1]])],
+        mv.schema)
+    for sink in (plain, bucketed):
+        feed(sink, mv, 0)
+        feed(sink, upd, 1)
+
+    qmv = docs[0][1]
+    want = [(r["vec_id"], round(r["score"], 9))
+            for r in maxsim_knn_ivf(
+                live_maxsim_ivf_index(plain, cents, mv_col="mv"),
+                qmv, k=5, nprobe=2, metric="dot").collect()]
+    live_b = live_maxsim_ivf_index(bucketed, cents, mv_col="mv")
+    got_df = maxsim_knn_ivf(live_b, qmv, k=5, nprobe=2, metric="dot")
+    got = [(r["vec_id"], round(r["score"], 9)) for r in got_df.collect()]
+    assert got == want
+    # file-level pruning on __cluster survives the nested bucket layout
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*__cluster[^\]]*IN", plan)
