@@ -4539,6 +4539,117 @@ WHERE list_sum(list_transform(range(8), i ->
 """
 
 
+def _q_maxsim_degrade(spark: SparkSession, sf: str) -> DataFrame:
+    """Membership-fraction DEGRADE of the composed multivector ladder
+    (r15): a route that opts in via ``degrade_membership`` estimates the
+    probe-union membership fraction from metadata (memoized per-cluster
+    token counts, multivec.maxsim_membership_fraction); here the full
+    probe makes it exactly 1 — the candidate stage would admit every doc
+    — so the planner degrades the request to the quant-only
+    coarse+rescore leaf instead of the composed ladder (asserted via
+    last_plan_info). Ample oversampling + exact rescore make the answer
+    equal the exact MaxSim scan, which the oracle recomputes."""
+    from dataclasses import replace
+
+    from qdrant_spark.operators.multivec import (
+        MaxSimRoute, build_maxsim_ivf, build_maxsim_sq,
+    )
+    from qdrant_spark.query import QueryPlanner
+
+    emb = _emb(spark, sf)
+    q = _vecs(spark, sf, [0])[0]
+    q_mv = [q[i * 8:(i + 1) * 8] for i in range(8)]
+    d_mv = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.slice(F.col("embedding").cast("array<double>"), i * 8 + 1, 8),
+    )
+    pts = emb.select("vec_id", d_mv.alias("mv"))
+    n = pts.count()
+    idx = build_maxsim_ivf(pts, n_clusters=8, mv_col="mv", id_col="vec_id")
+    sqidx = replace(build_maxsim_sq(pts, mv_col="mv", id_col="vec_id"),
+                    full_scan_threshold=0)
+    route = MaxSimRoute(index=idx, nprobe=8, full_scan_threshold=0,
+                        degrade_membership=0.95)
+    planner = QueryPlanner(pts, id_col="vec_id", default_vec_col="mv",
+                           metric="dot", maxsim_indexes={"mv": route},
+                           maxsim_sq_indexes={"mv": sqidx})
+    out = planner.plan({
+        "query": {"nearest": q_mv}, "limit": 10,
+        "params": {"quantization": {"oversampling": n / 10.0}}})
+    pi = planner.last_plan_info
+    assert pi.get("maxsim_degraded_leaves") == 1, pi
+    assert not pi.get("maxsim_quant_ivf_leaves"), pi
+    return _r6(out.select("vec_id", "score"), "score")
+
+
+def _q_maxsim_degrade_routed(spark: SparkSession, sf: str) -> DataFrame:
+    """The KEEP side of the membership degrade (r15): a topically
+    clustered corpus (each doc's two tokens share one of two fixed
+    token clusters) probed at nprobe=1 gives probed token mass 0.5 and
+    estimated membership 0.75 < the 0.9 threshold, so the planner KEEPS
+    the composed probe→coarse-over-codes→rescore ladder (asserted via
+    last_plan_info). Deterministic centroids make the candidate set
+    SQL-expressible: candidates = docs whose tokens sit in the probed
+    cluster (odd ids); ample oversampling + exact rescore equal the
+    exact MaxSim top-k over those candidates, which the oracle
+    recomputes."""
+    from dataclasses import replace
+
+    import numpy as np
+
+    from qdrant_spark.operators.ann import ivf_from_centroids
+    from qdrant_spark.operators.multivec import (
+        MaxSimIvf, MaxSimRoute, build_maxsim_sq,
+    )
+    from qdrant_spark.query import QueryPlanner
+
+    ids = [int(r["vec_id"]) for r in _emb_rows500(spark, sf)]
+    rows = [(i, [[float(i % 2), 0.001 * i, 0.5, 0.25],
+                 [float(i % 2), 0.002 * i, 0.125, 0.0625]]) for i in ids]
+    pts = local_df(spark, rows, "vec_id long, mv array<array<double>>")
+    cents = np.array([[0.0, 0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0]])
+    toks = pts.select("vec_id", F.explode("mv").alias("__tok"))
+    assigned = ivf_from_centroids(toks, cents, vec_col="__tok",
+                                  id_col="vec_id").assigned
+    idx = MaxSimIvf(tokens=assigned.select("vec_id", "__cluster"),
+                    centroids=cents, points=pts,
+                    mv_col="mv", id_col="vec_id")
+    sqidx = replace(build_maxsim_sq(pts, mv_col="mv", id_col="vec_id"),
+                    full_scan_threshold=0)
+    route = MaxSimRoute(index=idx, nprobe=1, full_scan_threshold=0,
+                        degrade_membership=0.9)
+    planner = QueryPlanner(pts, id_col="vec_id", default_vec_col="mv",
+                           metric="dot", maxsim_indexes={"mv": route},
+                           maxsim_sq_indexes={"mv": sqidx})
+    q_mv = [[1.0, 0.5, 0.5, 0.25], [1.0, 0.9, 0.125, 0.0625]]
+    out = planner.plan({
+        "query": {"nearest": q_mv}, "limit": 10,
+        "params": {"quantization": {"oversampling": 50.0}}})
+    pi = planner.last_plan_info
+    assert pi.get("maxsim_quant_ivf_leaves") == 1, pi
+    assert not pi.get("maxsim_degraded_leaves"), pi
+    return _r6(out.select("vec_id", "score"), "score")
+
+
+_MAXSIM_DEGRADE_ROUTED_SQL = """
+WITH ids AS (SELECT vec_id FROM embeddings WHERE vec_id < 500),
+tok AS (SELECT vec_id,
+        [[CAST(vec_id % 2 AS DOUBLE), 0.001 * vec_id, 0.5, 0.25],
+         [CAST(vec_id % 2 AS DOUBLE), 0.002 * vec_id, 0.125, 0.0625]] AS tv
+        FROM ids),
+cand AS (SELECT * FROM tok WHERE vec_id % 2 = 1),
+q AS (SELECT [[1.0, 0.5, 0.5, 0.25], [1.0, 0.9, 0.125, 0.0625]] AS qv),
+s AS (SELECT c.vec_id, qi.i AS qi,
+             max(list_dot_product(q.qv[qi.i], c.tv[di.i])) AS m
+      FROM cand c, q, generate_series(1, 2) qi(i),
+           generate_series(1, 2) di(i)
+      GROUP BY c.vec_id, qi.i),
+t AS (SELECT vec_id, sum(m) AS score FROM s GROUP BY vec_id)
+SELECT vec_id, round(score, 6) AS score FROM t
+ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: dense prefetch + text-derived sparse
     prefetch over the same points, fused with RRF — the reference's
@@ -4553,68 +4664,72 @@ def entry(spark: SparkSession) -> DataFrame:
 # drops to the back). Keep rotating each round so no entry's driver row
 # goes more than ~2 rounds stale.
 _GATE_PRIORITY = [
-    # round-14 head: the 3 entries new this round (the invlist/composed
-    # lifecycle work), then the 4 r10-stale deferrals (each has a green
-    # same-route sibling and passed local re-runs in r13 AND r14), then
-    # 43 of the 50-entry r11-stale cohort. The 7 deferred r11 entries —
-    # ann_ivf_full_probe, ann_ivf_batch, ann_ivf_pq_batch,
-    # ann_ivf_pq_rescore, maxsim, maxsim_knn, maxsim_sq_batch — each
-    # have an r13-green sibling on the same route (ann_ivf,
-    # ann_ivf_pq_incremental, maxsim_invlist/maxsim_planned,
-    # maxsim_knn_indexed, maxsim_batch_kinds), are locally re-verified
-    # this round, and head the r15 rotation.
-    "maxsim_invlist_loaded",
-    "maxsim_codes_invlist",
-    "quant_ivf_loaded",
-    # --- r10-stale deferrals (head of the carried backlog) ---
-    "dedup_minhash_sig",
-    "universal_groups_indexed",
-    "quantized_bq2_rescore",
-    "multimodal_ppm",
-    # --- r11-stale cohort (43 of 50; 7 deferred as documented above) ---
-    "c4_line_filter",
-    "context",
-    "count_approx",
-    "count_filtered",
-    "dedup_components",
-    "dedup_embedding",
-    "dedup_resolve",
-    "dedup_simhash",
-    "delete_by_filter",
-    "discover",
-    "distance_matrix",
-    "dsir_weights",
-    "facet_estimate",
-    "facet_event_type",
-    "facet_lang",
-    "filter_dsl_orders",
-    "filter_has_vector",
-    "filter_jsonpath_array",
-    "filter_min_should",
-    "filter_nested",
-    "filter_phrase_indexed",
-    "filter_prefix",
-    "filter_text_all",
-    "filter_text_any",
-    "formula_rescore",
-    "fusion_dbsf",
-    "fusion_rrf",
-    "geo_indexed_radius",
-    "group_by",
-    "group_by_lookup",
-    "knn_acorn_filtered",
-    "maxsim_bq",
-    "maxsim_sq",
-    "maxsim_sq_planned",
-    "quantized_batch_kinds",
-    "quantized_bq_asym",
-    "quantized_ivf_planned",
-    "quantized_sq_rescore",
-    "query_by_id",
-    "recommend_best_score",
-    "recommend_multi_ids",
-    "sparse_knn_batch_indexed",
-    "sparse_knn_planned",
+    # round-15 head: the 2 entries new this round (the membership
+    # degrade of the composed multivector ladder), then the 7 r11-stale
+    # deferrals the r14 verdict scheduled to head this rotation (each
+    # re-verified locally every round since), then 41 of the 50-entry
+    # r12-stale cohort. The 9 deferred r12 entries — knn_dot,
+    # knn_euclid, knn_manhattan (same single-KNN route as the kept
+    # knn_cosine), knn_batch_matmul / knn_batch_partial (same batch
+    # route as knn_batch), filter_text_stemmed_de (same stemmed route
+    # as filter_text_stemmed), scroll_random (same scroll machinery as
+    # scroll_keyset/scroll_order_by), recommend_sum_scores (same
+    # recommend rewrite as recommend_avg_vector),
+    # field_index_uuid (same field-index stats route as
+    # field_index_stats) — are locally re-verified this round and head
+    # the r16 rotation.
+    "maxsim_degrade",
+    "maxsim_degrade_routed",
+    # --- r11-stale deferrals (head of the carried backlog) ---
+    "ann_ivf_full_probe",
+    "ann_ivf_batch",
+    "ann_ivf_pq_batch",
+    "ann_ivf_pq_rescore",
+    "maxsim",
+    "maxsim_knn",
+    "maxsim_sq_batch",
+    # --- r12-stale cohort (41 of 50; 9 deferred as documented above) ---
+    "bm25_search",
+    "distance_matrix_offsets",
+    "field_index_stats",
+    "filter_match_except",
+    "filter_text_stemmed",
+    "knn_batch",
+    "knn_cosine",
+    "knn_filtered",
+    "knn_uint8",
+    "lm_buckets",
+    "lm_score",
+    "maxsim_bq_asym",
+    "maxsim_pq",
+    "maxsim_sq_ivf_planned",
+    "maxsim_tq",
+    "mixture_sample",
+    "quantized_pq_rescore",
+    "quantized_tq_rescore",
+    "query_batch",
+    "recommend_avg_vector",
+    "relevance_feedback",
+    "repetition_signals",
+    "retrieve",
+    "scroll_keyset",
+    "scroll_order_by",
+    "set_payload",
+    "shard_fallback_route",
+    "shard_routed_knn",
+    "similarity_join",
+    "sparse_idf_corpus",
+    "sparse_idf_knn",
+    "sparse_knn",
+    "sparse_knn_batch",
+    "sync",
+    "unique_values",
+    "universal_hybrid",
+    "universal_hybrid_sparse",
+    "universal_rescore",
+    "update_vectors",
+    "upsert",
+    "upsert_conditional",
 ]
 
 
@@ -4679,6 +4794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_invlist": _q_maxsim_invlist,
         "maxsim_invlist_loaded": _q_maxsim_invlist_loaded,
         "maxsim_codes_invlist": _q_maxsim_codes_invlist,
+        "maxsim_degrade": _q_maxsim_degrade,
+        "maxsim_degrade_routed": _q_maxsim_degrade_routed,
         "quant_ivf_loaded": _q_quant_ivf_loaded,
         "maxsim_planned": _q_maxsim_planned,
         "maxsim_sq": _q_maxsim_sq,
@@ -4845,6 +4962,8 @@ def oracle_sql() -> dict[str, str]:
         "maxsim_invlist": _MAXSIM_SQL,
         "maxsim_invlist_loaded": _MAXSIM_500_SQL,
         "maxsim_codes_invlist": _MAXSIM_SQL,
+        "maxsim_degrade": _MAXSIM_SQL,
+        "maxsim_degrade_routed": _MAXSIM_DEGRADE_ROUTED_SQL,
         "quant_ivf_loaded": _QUANT_IVF_LOADED_SQL,
         "maxsim_sq": _MAXSIM_SQL,
         "maxsim_bq": _MAXSIM_SQL,

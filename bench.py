@@ -1048,13 +1048,24 @@ def main() -> None:
         # whose token clusters actually prune + IO-bound scale. Forced
         # (both crossovers pinned); membership variant timed (the faster
         # of the two here).
+        # r15: the route now opts into the MEMBERSHIP DEGRADE
+        # (MaxSimRoute.degrade_membership=0.95): the metadata estimate
+        # puts this corpus's probe-union membership at ~0.996 per
+        # query, so the planner degrades the 16 requests to the
+        # quant-only fused scan instead of paying the candidate ladder
+        # that prunes nothing (r14: 8.5-10.9s always-composed vs ~3s
+        # quant-only fuse; the always-composed bound stays recorded in
+        # the r14 artifacts). On clustered corpora the estimate stays
+        # low and the composed fuse is kept (oracle entries
+        # maxsim_degrade / maxsim_degrade_routed pin both sides).
         from dataclasses import replace as _dcr
 
         from qdrant_spark.query import query_batch as _qb2
 
         sq_forced = _dcr(msq_xxl, full_scan_threshold=0)
         route_forced = MaxSimRoute(index=msivf_xxl, nprobe=4,
-                                   full_scan_threshold=0)
+                                   full_scan_threshold=0,
+                                   degrade_membership=0.95)
         reqs = [{"query": {"nearest": [qvecs[i][t * _tok_d:(t + 1) * _tok_d]
                                        for t in range(8)]},
                  "limit": 10,

@@ -145,6 +145,12 @@ class MaxSimIvf:
     #: smaller than the float invlist's but the same shape). Only the
     #: composed route (maxsim_knn_quant_ivf) reads it.
     clustered_codes: DataFrame | None = None
+    #: memoized per-cluster token row counts (index METADATA — the
+    #: partition sizes of the persisted layout): one narrow count over
+    #: the id-only token table on first use, then free. Feeds the
+    #: membership-fraction estimate (:func:`maxsim_membership_fraction`)
+    #: that drives ``MaxSimRoute.degrade_membership``.
+    cluster_counts: dict[int, int] | None = None
 
 
 #: Exact-vs-pruned crossover for a ROUTED MaxSim leaf, in DOCS. The bench
@@ -211,6 +217,27 @@ class MaxSimRoute:
     #: anyway for that regime; without the invlist layout the composed
     #: route remains the default (codes beat the FLAT float semi-join).
     prefer_composed: bool = False
+    #: data-dependent degrade of the composed ladder (r15, opt-in): when
+    #: the ESTIMATED probe-union membership fraction of a request is >=
+    #: this value, the candidate stage would admit (nearly) every doc —
+    #: it prunes nothing while its pair fan-out and per-pair coarse
+    #: kernel cost more than the quant-only fused scan they wrap (the
+    #: bench's adversarial corpus: ~99.6% membership; the forced fused
+    #: candidate ladder measured 8.5 s vs ~3 s for the quant-only fuse
+    #: on the same 16-query batch). The planner then degrades those
+    #: requests to the quant-only coarse+rescore
+    #: (:func:`maxsim_knn_quant` / the fused
+    #: ``maxsim_quant_coarse_batch`` group). The estimate
+    #: (:func:`maxsim_membership_fraction`) is metadata-only (memoized
+    #: per-cluster token counts) and errs toward KEEPING the composed
+    #: route on topically-clustered corpora, where true membership sits
+    #: far below the independence estimate. None (the default) never
+    #: degrades, so existing declared plans are unchanged unless a route
+    #: opts in. A PLAID ``candidates`` cap is dropped by the degrade
+    #: (its centroid-resolution ranking is pointless when membership ~1
+    #: makes its input the whole corpus), so degraded requests can only
+    #: gain recall.
+    degrade_membership: float | None = None
 
     @property
     def id_col(self) -> str:
@@ -414,6 +441,44 @@ def _probe_clusters(index: MaxSimIvf, query_multivector, *,
     per_tok = np.argsort(d2, axis=1)[:, :nprobe]
     probes = sorted({int(c) for row in per_tok for c in row})
     return (Qm, probes) if return_q else probes
+
+
+def maxsim_membership_fraction(route: "MaxSimRoute", query_multivector,
+                               *, metric: str = "dot") -> float:
+    """Estimated fraction of docs owning >=1 token in the query's probe
+    union — the quantity that decides whether the composed ladder's
+    candidate stage prunes anything (see
+    ``MaxSimRoute.degrade_membership``). Metadata-only: per-cluster
+    token ROW counts of the id-only token table (memoized on the INDEX,
+    so per-request routes over a long-lived index pay the one
+    partition-column count job once) give
+    the probed token mass m = probed_tokens/total_tokens, and with t̄ =
+    total_tokens/n_docs tokens per doc the independence estimate is
+    1 - (1-m)^t̄. Exact when doc tokens scatter independently across
+    clusters (the near-uniform regime the degrade targets; bench mv
+    corpus: est 0.996 vs measured ~0.996); topical corpora concentrate a
+    doc's tokens in few clusters, which can only LOWER true membership
+    relative to the probed mass spread — the estimate stays high only
+    when the probes genuinely cover the corpus."""
+    idx = route.index
+    if idx.cluster_counts is None:
+        idx.cluster_counts = {
+            int(r["__cluster"]): int(r["cnt"])
+            for r in idx.tokens.groupBy("__cluster")
+            .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    total = float(sum(idx.cluster_counts.values()))
+    if total <= 0:
+        return 0.0
+    if route.n_docs is None:
+        route.n_docs = idx.points.count()
+    if not route.n_docs:
+        return 0.0
+    probes = _probe_clusters(idx, query_multivector,
+                             nprobe=route.nprobe, metric=metric)
+    mass = sum(idx.cluster_counts.get(int(c), 0) for c in probes) / total
+    tbar = total / float(route.n_docs)
+    est = 1.0 - (1.0 - min(1.0, mass)) ** tbar
+    return float(min(1.0, max(0.0, est)))
 
 
 def _maxsim_ivf_candidates(

@@ -986,8 +986,28 @@ class QueryPlanner:
                                 and route.index.clustered_points
                                 is not None
                                 and not route.prefer_composed)
+                # membership degrade (r15, opt-in): when the estimated
+                # probe-union membership is ~1 the composed candidate
+                # stage prunes nothing — take the quant-only
+                # coarse+rescore leaf instead (see
+                # MaxSimRoute.degrade_membership)
+                degraded = False
+                if (use_sq and use_pruned and flt is None
+                        and not invlist_pref
+                        and route.degrade_membership is not None):
+                    from qdrant_spark.operators.multivec import (
+                        maxsim_membership_fraction,
+                    )
+
+                    degraded = (maxsim_membership_fraction(
+                        route, target, metric=metric)
+                        >= route.degrade_membership)
+                    if degraded:
+                        self.last_plan_info["maxsim_degraded_leaves"] = \
+                            self.last_plan_info.get(
+                                "maxsim_degraded_leaves", 0) + 1
                 if use_sq and use_pruned and flt is None \
-                        and not invlist_pref:
+                        and not invlist_pref and not degraded:
                     # BOTH token clusters and token codes are declared:
                     # compose them — probe clusters for candidates,
                     # coarse-MaxSim the candidates' token CODES, exact-
@@ -1686,6 +1706,52 @@ def _batch_maxsim_quant_ivf(planner: "QueryPlanner",
         if not ok:
             continue
         metric = planner.metric_for(vc)
+        if route.degrade_membership is not None:
+            # membership degrade (r15, opt-in): requests whose probe
+            # union covers ~the whole corpus gain nothing from the
+            # fused candidate stage — they split off into the
+            # quant-only fused group (maxsim_quant_coarse_batch), the
+            # same plan _batch_maxsim_quant builds; the rest keep the
+            # composed fuse. Singles fall through to the per-request
+            # leaf, which applies the same degrade rule.
+            from qdrant_spark.operators.multivec import (
+                maxsim_membership_fraction, maxsim_quant_coarse_batch,
+            )
+
+            deg = [i for i in idxs if maxsim_membership_fraction(
+                route, requests[i]["query"]["nearest"], metric=metric)
+                >= route.degrade_membership]
+            if deg:
+                idxs = [i for i in idxs if i not in set(deg)]
+                if len(deg) >= 2:
+                    ks, cs, rescores = {}, {}, {}
+                    for i in deg:
+                        req = requests[i]
+                        qp = (req.get("params") or {}) \
+                            .get("quantization") or {}
+                        ks[i] = int(req.get("limit", DEFAULT_LIMIT)) \
+                            + int(req.get("offset", 0))
+                        over = float(qp.get("oversampling")
+                                     or sqh.oversampling)
+                        cs[i] = max(ks[i], int(np.ceil(ks[i] * over)))
+                        rescores[i] = qp.get("rescore") is not False
+                    if len(deg) * max(cs.values()) \
+                            <= planner.fused_collect_max:
+                        queries = [requests[i]["query"]["nearest"]
+                                   for i in deg]
+                        coarse = maxsim_quant_coarse_batch(
+                            sqh, queries, max(cs.values()),
+                            metric=metric).collect()
+                        planner.last_plan_info[
+                            "maxsim_degraded_batch_requests"] = \
+                            planner.last_plan_info.get(
+                                "maxsim_degraded_batch_requests", 0) \
+                            + len(deg)
+                        _finish_maxsim_group(planner, requests, deg,
+                                             outs, sqh, metric, ks, cs,
+                                             rescores, queries, coarse)
+        if len(idxs) < 2:
+            continue
         ks, cs, rescores = {}, {}, {}
         for i in idxs:
             req = requests[i]

@@ -1921,3 +1921,141 @@ def test_maxsim_bq_asym_integer_exact_ties(spark):
         idx, q, k=2, oversampling=1.0, metric="dot",
         rescore=False).collect()]
     assert cut == [3, 1]
+
+
+# ---------------------------------------------------------------------------
+# r15: membership-fraction degrade of the composed ladder
+# ---------------------------------------------------------------------------
+
+def _topical_setup(spark):
+    """60 docs x 2 tokens (dim 4) in one of two FIXED token clusters
+    (doc i -> cluster i%2), so membership is exactly knowable: a probe
+    of one cluster admits half the docs; a probe of both admits all."""
+    import numpy as np
+
+    from qdrant_spark.operators.ann import ivf_from_centroids
+    from qdrant_spark.operators.multivec import MaxSimIvf
+    from qdrant_spark.session import local_df
+
+    rows = [(i, [[float(i % 2), 0.001 * i, 0.5, 0.25],
+                 [float(i % 2), 0.002 * i, 0.125, 0.0625]])
+            for i in range(60)]
+    pts = local_df(spark, rows, "vec_id long, mv array<array<double>>")
+    cents = np.array([[0.0, 0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0]])
+    toks = pts.select("vec_id", F.explode("mv").alias("__tok"))
+    assigned = ivf_from_centroids(toks, cents, vec_col="__tok",
+                                  id_col="vec_id").assigned
+    idx = MaxSimIvf(tokens=assigned.select("vec_id", "__cluster"),
+                    centroids=cents, points=pts,
+                    mv_col="mv", id_col="vec_id")
+    return pts, idx
+
+
+def test_membership_fraction_estimate(spark):
+    from qdrant_spark.operators.multivec import (
+        MaxSimRoute, maxsim_membership_fraction,
+    )
+
+    _pts, idx = _topical_setup(spark)
+    route = MaxSimRoute(index=idx, nprobe=1)
+    one_cluster_q = [[1.0, 0.5, 0.5, 0.25]]          # probes cluster 1
+    both_clusters_q = [[1.0, 0.5, 0.5, 0.25],
+                       [0.0, 0.5, 0.5, 0.25]]        # probes 0 AND 1
+    f1 = maxsim_membership_fraction(route, one_cluster_q, metric="dot")
+    f2 = maxsim_membership_fraction(route, both_clusters_q, metric="dot")
+    # probed mass 0.5, 2 tokens/doc -> independence estimate 0.75
+    assert abs(f1 - 0.75) < 1e-9
+    assert f2 == 1.0
+    # memoized on the INDEX (long-lived; per-request routes reuse it)
+    assert idx.cluster_counts == {0: 60, 1: 60}
+    idx.cluster_counts = {0: 60, 1: 180}  # poison: proves no recount
+    # probed cluster 1 mass becomes 180/240 -> a different estimate,
+    # i.e. the poisoned counts were USED, not recounted
+    assert abs(maxsim_membership_fraction(route, one_cluster_q,
+                                          metric="dot") - 0.75) > 0.05
+
+
+def test_batch_degrade_splits_group(spark):
+    """A composed batch with degrade_membership splits: requests whose
+    probes cover ~every doc take the quant-only fused group, the rest
+    keep the composed fuse — results equal the exact MaxSim per request
+    (ample oversampling, exact rescore) on each side's candidates."""
+    from dataclasses import replace
+
+    from qdrant_spark.operators.multivec import (
+        MaxSimRoute, build_maxsim_sq, maxsim_knn,
+    )
+    from qdrant_spark.query import QueryPlanner
+
+    pts, idx = _topical_setup(spark)
+    sqh = replace(build_maxsim_sq(pts, mv_col="mv", id_col="vec_id"),
+                  full_scan_threshold=0)
+    route = MaxSimRoute(index=idx, nprobe=1, full_scan_threshold=0,
+                        degrade_membership=0.9)
+    planner = QueryPlanner(pts, id_col="vec_id", default_vec_col="mv",
+                           metric="dot", maxsim_indexes={"mv": route},
+                           maxsim_sq_indexes={"mv": sqh})
+    keep_q = [[1.0, 0.5, 0.5, 0.25], [1.0, 0.9, 0.125, 0.0625]]
+    keep_q2 = [[1.0, 0.4, 0.5, 0.25], [1.0, 0.8, 0.125, 0.0625]]
+    deg_q = [[1.0, 0.5, 0.5, 0.25], [0.0, 0.5, 0.5, 0.25]]
+    deg_q2 = [[1.0, 0.4, 0.5, 0.25], [0.0, 0.4, 0.5, 0.25]]
+    reqs = [{"query": {"nearest": q}, "limit": 5,
+             "params": {"quantization": {"oversampling": 30.0}}}
+            for q in (keep_q, deg_q, keep_q2, deg_q2)]
+    outs = [None] * 4
+    from qdrant_spark.query import _batch_maxsim_quant_ivf
+    _batch_maxsim_quant_ivf(planner, reqs, outs)
+    pi = planner.last_plan_info
+    assert pi.get("maxsim_degraded_batch_requests") == 2, pi
+    assert pi.get("maxsim_quant_ivf_batch_groups") == 1, pi
+    assert all(o is not None for o in outs)
+
+    # value identity: degraded requests == exact scan over ALL docs;
+    # kept requests == exact scan over the probed cluster's docs
+    odd = pts.filter(F.col("vec_id") % 2 == 1)
+    for i, q in enumerate((keep_q, deg_q, keep_q2, deg_q2)):
+        src = pts if i % 2 else odd
+        want = [(r["vec_id"], round(r["score"], 9))
+                for r in maxsim_knn(src, q, k=5, metric="dot",
+                                    mv_col="mv", id_col="vec_id").collect()]
+        got = [(r["vec_id"], round(r["score"], 9))
+               for r in outs[i].collect()]
+        assert got == want, (i, got, want)
+
+
+def test_leaf_degrade_matches_quant_only(spark):
+    """The single-request degrade: a probe union covering every doc
+    degrades the composed leaf to the quant-only coarse+rescore; with
+    degrade off the composed leaf answers identically here (membership
+    is total, candidates = all docs)."""
+    from dataclasses import replace
+
+    from qdrant_spark.operators.multivec import (
+        MaxSimRoute, build_maxsim_sq,
+    )
+    from qdrant_spark.query import QueryPlanner
+
+    pts, idx = _topical_setup(spark)
+    sqh = replace(build_maxsim_sq(pts, mv_col="mv", id_col="vec_id"),
+                  full_scan_threshold=0)
+    deg_q = [[1.0, 0.5, 0.5, 0.25], [0.0, 0.5, 0.5, 0.25]]
+    req = {"query": {"nearest": deg_q}, "limit": 5,
+           "params": {"quantization": {"oversampling": 30.0}}}
+
+    def run(dm):
+        route = MaxSimRoute(index=idx, nprobe=1, full_scan_threshold=0,
+                            degrade_membership=dm)
+        p = QueryPlanner(pts, id_col="vec_id", default_vec_col="mv",
+                         metric="dot", maxsim_indexes={"mv": route},
+                         maxsim_sq_indexes={"mv": sqh})
+        out = p.plan(req)
+        return p.last_plan_info, [(r["vec_id"], round(r["score"], 9))
+                                  for r in out.collect()]
+
+    pi_deg, got_deg = run(0.9)
+    assert pi_deg.get("maxsim_degraded_leaves") == 1, pi_deg
+    assert not pi_deg.get("maxsim_quant_ivf_leaves"), pi_deg
+    pi_off, got_off = run(None)
+    assert pi_off.get("maxsim_quant_ivf_leaves") == 1, pi_off
+    assert not pi_off.get("maxsim_degraded_leaves"), pi_off
+    assert got_deg == got_off
