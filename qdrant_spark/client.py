@@ -57,6 +57,7 @@ from qdrant_spark.operators import mutate as M
 from qdrant_spark.operators import points as P
 from qdrant_spark.query import QueryPlanner
 from qdrant_spark.schema import VectorConfig
+from qdrant_spark.session import local_df
 
 # REST distance names (types.rs Distance enum) -> engine metric names
 _DISTANCE = {"cosine": "cosine", "dot": "dot", "euclid": "euclid",
@@ -804,7 +805,12 @@ class QdrantSparkClient:
             for f_ in payload_fields:
                 row.append(_conform(payload.get(f_.name), f_.dataType))
             rows.append(tuple(row))
-        return self.spark.createDataFrame(rows, schema)
+        # Arrow LocalRelation where the shape allows (r15, guide §4/§6):
+        # point frames are driver-local and tiny next to the corpus —
+        # the pickled-RDD path paid a full python-task job on every
+        # later collect/broadcast of the frame. local_df probes the
+        # shape (struct/map payloads, NaN) and falls back unchanged.
+        return local_df(self.spark, rows, schema)
 
     @staticmethod
     def _evolve(table: DataFrame, updates: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -1038,7 +1044,7 @@ class QdrantSparkClient:
                 else p["id"]
             rows.append(tuple([pid] + [
                 self._vec_value(col, n, vm.get(n)) for n in mentioned]))
-        updates = self.spark.createDataFrame(rows, schema)
+        updates = local_df(self.spark, rows, schema)
         return self._commit(col, M.update_vectors(
             col.df, updates, [col.vec_col(n) for n in mentioned],
             id_col="id"))
@@ -2065,7 +2071,8 @@ class QdrantSparkClient:
         groups: dict[Any, PointGroup] = {}
         hydr = {p.id: p for p in self._hydrate(
             col,
-            self.spark.createDataFrame(
+            local_df(
+                self.spark,
                 [(r["id"], r["score"]) for r in rows],
                 col.df.select("id").withColumn("score", F.lit(0.0)).schema),
             with_payload=with_payload, with_vectors=with_vectors)}
