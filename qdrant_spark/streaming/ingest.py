@@ -147,6 +147,18 @@ class ParquetPointsSink:
             if d.startswith("_v") and d not in keep:
                 shutil.rmtree(os.path.join(self.table_dir, d), ignore_errors=True)
 
+    def _cluster_for_write(self, df: DataFrame,
+                           parts: tuple[str, ...]) -> DataFrame:
+        """Shuffle rows onto their layout keys before a partitionBy
+        write (guide §6): without it EVERY write task opens a file in
+        EVERY (bucket[, cluster]) directory it sees — the bucketed
+        2M-row composed snapshot came out as ~78k tiny files, and each
+        later commit paid the listing (driver) and the per-file open
+        (executors) for all of them. Keyed repartition + AQE coalescing
+        puts each partition-dir's rows in ~one task (~one file per
+        directory), and scales with data size instead of a constant."""
+        return df.repartition(*[F.col(c) for c in parts])
+
     def _commit(self, df: DataFrame, batch_id: int) -> None:
         name = f"_v{batch_id}"
         out = os.path.join(self.table_dir, name)
@@ -154,6 +166,8 @@ class ParquetPointsSink:
         if self.id_buckets:
             df = self._bucketed(df)
             parts = (BUCKET_COL, *parts)
+        if parts:
+            df = self._cluster_for_write(df, parts)
         w = df.write.mode("overwrite")
         if parts:
             w = w.partitionBy(*parts)
@@ -183,8 +197,10 @@ class ParquetPointsSink:
                 .filter(F.col(BUCKET_COL).isin(dirty))
                 .drop(BUCKET_COL)
             )
-            merged = merge(cur_dirty)
-            w = self._bucketed(merged).write.mode("overwrite")
+            merged = self._cluster_for_write(
+                self._bucketed(merge(cur_dirty)),
+                (BUCKET_COL, *self.partition_cols))
+            w = merged.write.mode("overwrite")
             w.partitionBy(BUCKET_COL, *self.partition_cols).parquet(out)
         else:  # empty batch: new version is a pure carry-over
             os.makedirs(out, exist_ok=True)
