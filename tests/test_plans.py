@@ -338,11 +338,21 @@ def test_lm_score_vocab_broadcasts(spark):
     from qdrant_spark.operators.curation import lm_score
 
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # eager model (r15 default): the top-V vocab is collected by a
+    # bounded eager job and re-enters as a broadcast LocalRelation —
+    # the scoring plan scans the corpus ONCE and carries no in-plan
+    # token-agg subtree
     plan = _plan(lm_score(df, vocab_size=100), "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # top-V is a TakeOrdered, not a single-partition global sort window
-    assert "TakeOrderedAndProject" in plan
+    assert "LocalTableScan" in plan
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2
+    # lazy model keeps the in-plan top-V: a TakeOrdered, not a
+    # single-partition global sort window
+    lazy = _plan(lm_score(df, vocab_size=100, eager_model=False), "simple")
+    assert "BroadcastHashJoin" in lazy
+    assert "SortMergeJoin" not in lazy
+    assert "TakeOrderedAndProject" in lazy
 
 
 def test_multilingual_fmm_tokenize_stays_jvm_side(documents):
