@@ -1961,6 +1961,16 @@ def main() -> None:
         },
         "noisy_unconfirmed": noisy_unconfirmed,
         "history_rechecks": history_rechecks,
+        "scaling_note": (
+            "at sf0.1 most pre-r15 headline lines are bounded by fixed "
+            "scheduling/AQE-wave/JVM overhead (~0.2-0.4 s/line; PERF_r14: "
+            "19/31 lines had an 8c/32c ratio <=1.05 and 12 ran faster on "
+            "8 cores) — their low-cpu ratios measure overhead, not "
+            "parallel compute. Read the 8c/32c scaling contrast on the "
+            "compute-dominated lines: knn_batch256_xxl, "
+            "knn_batch256_xxl_disk, maxsim_batch16_xxl_disk (multi-second "
+            "per-task BLAS), plus knn_batch64_xxl[_disk] and the ivf_pq "
+            "batch lines"),
         "forced_note": (
             "forced_diagnostics = threshold-0 pinned routes the default "
             "planner refuses at this corpus size (their default-dispatch "
