@@ -1657,3 +1657,21 @@ def test_client_reopens_persisted_collection(spark, tmp_path):
     c4.create_collection("reopen",
                          vectors_config={"size": 4, "distance": "Dot"})
     assert c4.count("reopen").count == 0
+
+
+def test_point_frames_plan_as_local_relations(client):
+    # r15 (guide §4/§6): driver-local point batches plan as Arrow
+    # LocalRelations — the pickled-RDD path ran a full python-task job
+    # on every later collect/broadcast of the tiny frame. NaN payloads
+    # must still fall back to the plain createDataFrame path (Arrow
+    # would silently coerce them).
+    col = client._coll("test_collection")
+    pts = [{"id": 100 + i, "vector": [0.1 * i, 0.2, 0.3, 0.4]}
+           for i in range(3)]
+    plan = (client._points_to_df(col, pts)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "LocalTableScan" in plan and "ExistingRDD" not in plan
+    nan_pts = [{"id": 200, "vector": [float("nan"), 0.0, 0.0, 0.0]}]
+    plan2 = (client._points_to_df(col, nan_pts)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "LocalTableScan" not in plan2
