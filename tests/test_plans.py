@@ -386,3 +386,15 @@ def test_batch_knn_window_has_mapside_topk_combine(embeddings, spark):
             continue
         # the combine must sit below the window's exchange
         assert plan.index("MapInPandas") > plan.index("Window")
+
+
+def test_local_df_nan_in_map_falls_back(spark):
+    # r15 ADVICE fix: a NaN inside a MapType cell must take the plain
+    # createDataFrame path (Arrow would silently convert it to NULL)
+    from qdrant_spark.session import local_df
+
+    df = local_df(spark, [({"a": float("nan")},)], "m map<string,double>")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan
+    v = df.collect()[0]["m"]["a"]
+    assert v != v  # NaN preserved, not NULL
